@@ -1,0 +1,45 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+
+/** SparkSession factory for the graft engine.
+  *
+  * Parity note: the reference (pedsnetdcc) delegates all execution to
+  * PostgreSQL over up to 25 worker connections
+  * (/root/reference/pedsnetdcc/db.py:313-320). In Spark the equivalent
+  * knobs are shuffle parallelism + AQE, configured once here.
+  *
+  * Scale design: every setting below is chosen to survive a 1000-executor
+  * cluster unchanged except `master` / `shuffle.partitions`, which callers
+  * override via spark-submit in cluster mode (the builder only applies
+  * defaults when the key is absent from the submit conf).
+  */
+object GraftSession {
+
+  /** Local-mode defaults used by tests / Verify / Bench. */
+  def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession =
+    build(s"local[$cores]", cores)
+
+  def build(master: String, shufflePartitions: Int): SparkSession = {
+    val b = SparkSession
+      .builder()
+      .appName("graft")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // era/as-of plans union wide lineages; keep broadcast autonomy on
+      .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      // the synthetic events table carries parquet TIMESTAMP(NANOS); Spark
+      // has no nanos TimestampType, so surface them as raw Long nanos and
+      // convert explicitly at the read site (see Tables.events).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.host", "localhost")
+    if (master.nonEmpty) b.master(master)
+    val spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}
