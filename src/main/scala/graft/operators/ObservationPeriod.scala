@@ -1,0 +1,36 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** observation_period synchronization (A1/U2/W2).
+  *
+  * Parity: /root/reference/pedsnetdcc/sync_observation_period.py:8-78 —
+  * per fact domain, take per-person MIN/MAX of `coalesce(datetime,
+  * date)`; UNION ALL the 7 domains; reduce to one global (min, max) per
+  * person; renumber ids.
+  *
+  * Spark shape: each branch is a partial-aggregated groupBy (map-side
+  * combine), the union is plan-level, and the final groupBy re-uses the
+  * same person_id hash partitioning. The id is assigned with the
+  * two-phase AssignIds (no single-partition window).
+  */
+object ObservationPeriod {
+
+  /** @param domains (df, dateExpr) pairs — dateExpr is typically
+    *                `coalesce(col(dt), col(d))`
+    */
+  def sync(domains: Seq[(DataFrame, Column)], personCol: String = "person_id"): DataFrame = {
+    val perDomain = domains.map { case (df, dateExpr) =>
+      df.groupBy(col(personCol))
+        .agg(min(dateExpr).as("start_date"), max(dateExpr).as("end_date"))
+    }
+    val unioned = perDomain.reduce(_ unionByName _)
+    val perPerson = unioned
+      .groupBy(col(personCol))
+      .agg(
+        min(col("start_date")).as("observation_period_start_date"),
+        max(col("end_date")).as("observation_period_end_date"))
+    AssignIds.assign(perPerson, Seq(personCol), "observation_period_id")
+  }
+}

@@ -19,7 +19,12 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
     def cell(v):
         if isinstance(v, float):
             return f"{v:.10g}"
-        return str(v)
+        s = str(v)
+        # DuckDB DATE -> pandas datetime64 renders a spurious midnight;
+        # normalize so date-valued cells compare equal across engines
+        if s.endswith(" 00:00:00"):
+            return s[:-9]
+        return s
     df = df.map(cell)
     return df.sort_values(by=list(df.columns)).reset_index(drop=True)
 
