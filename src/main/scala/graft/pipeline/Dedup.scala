@@ -1,0 +1,167 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import TextFunctions._
+
+/** Deduplication operators for document corpora: exact, MinHash+LSH,
+  * SimHash, and n-gram-Jaccard near-dup detection.
+  *
+  * Beyond-reference surface (BASELINE.json north star). Scale design:
+  * every method is a pure shuffle-bounded DataFrame plan — no
+  * collect(), no cross join. Candidate generation always goes through
+  * an equi-join key (content hash, LSH band, simhash segment, shared
+  * shingle), so the only full pairwise work happens within buckets,
+  * which is the standard way these algorithms bound cost at corpus
+  * scale.
+  */
+object Dedup {
+
+  /** Exact dedup by content hash: one row per distinct normalized text,
+    * keeping the smallest `idCol`, with the group size attached.
+    * Equivalent to the classic hash-groupBy dedup; the md5 keeps the
+    * shuffle key small (16 bytes) instead of shuffling full documents.
+    */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+        col(idCol),
+        fingerprint(tokens(col(textCol))).as("fp"))
+      .groupBy(col("fp"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Shared prep: id, distinct k-shingle set, base hashes. */
+  def shingled(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    df.select(
+      col(idCol).as("doc"),
+      shingles(tokens(col(textCol)), k).as("sh"))
+      .withColumn("hs", shingleHashes(col("sh")))
+
+  /** MinHash + LSH near-dup pairs.
+    *
+    * Pipeline: shingle → minhash signature (`seeds.size` permutations)
+    * → split into `bands` bands of `rows` values → explode → equi-join
+    * on (band index, band values) → distinct candidate pairs →
+    * verify true Jaccard ≥ `threshold`.
+    *
+    * Scale: the exploded band relation is `bands × N` rows with a
+    * short string key; the self-join shuffles on that key, so work is
+    * proportional to bucket collisions (near-dups), never N².
+    * Verification re-joins the shingle sets by doc id — two
+    * broadcast-or-shuffle hash joins on the id.
+    */
+  def minhashPairs(df: DataFrame, idCol: String, textCol: String, k: Int,
+      numHashes: Int, bands: Int, threshold: Double): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val seeds = minhashSeeds(numHashes)
+    val docs = shingled(df, idCol, textCol, k)
+      .withColumn("sig", minhashSignature(col("hs"), seeds))
+
+    val bandRows = docs.select(
+      col("doc"),
+      posexplode(array((0 until bands).map(b =>
+        concat_ws("_", slice(col("sig"), b * rows + 1, rows))): _*)))
+      .toDF("doc", "band", "key")
+
+    val a = bandRows.alias("a")
+    val b = bandRows.alias("b")
+    val cand = a.join(b,
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+      .distinct()
+
+    verifyJaccard(cand, docs, threshold)
+  }
+
+  /** True-Jaccard verification of candidate (doc_a, doc_b) pairs using
+    * the distinct shingle sets in `docs` (columns doc, sh).
+    */
+  private def verifyJaccard(cand: DataFrame, docs: DataFrame,
+      threshold: Double): DataFrame = {
+    val sa = docs.select(col("doc").as("doc_a"), col("sh").as("sh_a"))
+    val sb = docs.select(col("doc").as("doc_b"), col("sh").as("sh_b"))
+    cand.join(sa, "doc_a").join(sb, "doc_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"),
+        floor(col("jaccard") * 1e6).cast("long").as("jaccard_micro"))
+  }
+
+  /** SimHash near-dup pairs within `maxHamming` bit flips of a
+    * `bits`-wide simhash, found via segment-LSH: the hash is cut into
+    * `segments` equal segments; by pigeonhole any pair within
+    * `maxHamming < segments` differs in at most `maxHamming` segments,
+    * so at least one segment matches exactly — candidates are pairs
+    * sharing (segment index, segment value), i.e. an equi-join, never
+    * a cross join. Exact for maxHamming < segments.
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+      bits: Int, segments: Int, maxHamming: Int): DataFrame = {
+    require(bits % segments == 0, "segments must divide bits")
+    require(maxHamming < segments, "segment LSH is exact only for maxHamming < segments")
+    val segBits = bits / segments
+    val mask = (1L << segBits) - 1
+    val docs = df.select(
+      col(idCol).as("doc"),
+      simhash(tokens(col(textCol)), bits).as("sim"))
+
+    val segRows = docs.select(
+      col("doc"), col("sim"),
+      posexplode(array((0 until segments).map(sIdx =>
+        shiftright(col("sim"), sIdx * segBits).bitwiseAND(lit(mask))): _*)))
+      .toDF("doc", "sim", "seg", "segval")
+
+    val a = segRows.alias("a")
+    val b = segRows.alias("b")
+    a.join(b,
+        col("a.seg") === col("b.seg") && col("a.segval") === col("b.segval") &&
+          col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
+        col("a.sim").as("sim_a"), col("b.sim").as("sim_b"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming").cast("long").as("hamming"))
+  }
+
+  /** Exact n-gram-Jaccard pairs via inverted index: explode shingles,
+    * equi-join on the shingle, count shared shingles per pair, derive
+    * Jaccard from |A∩B| and the set sizes. Finds every pair with
+    * Jaccard > 0 (they share ≥ 1 shingle) — exact, and still an
+    * equi-join plan: the shuffle key is the shingle, and skew on
+    * ubiquitous shingles is the knob `maxShingleFreq` (drop shingles
+    * appearing in more than that many docs — standard stopword-shingle
+    * pruning; pairs only ever lose candidates that other shingles
+    * still generate unless ALL their shared shingles are ubiquitous).
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String, k: Int,
+      threshold: Double, maxShingleFreq: Option[Int] = None): DataFrame = {
+    val docs = shingled(df, idCol, textCol, k)
+    val sizes = docs.select(col("doc"), size(col("sh")).as("sz"))
+    val inv0 = docs.select(col("doc"), explode(col("sh")).as("s"))
+    val inv = maxShingleFreq match {
+      case Some(f) =>
+        val keep = inv0.groupBy("s").count().filter(col("count") <= f).select("s")
+        inv0.join(keep, "s")
+      case None => inv0
+    }
+    val a = inv.alias("a")
+    val b = inv.alias("b")
+    val inter = a.join(b, col("a.s") === col("b.s") && col("a.doc") < col("b.doc"))
+      .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col("doc").as("doc_a"), col("sz").as("sz_a")), "doc_a")
+      .join(sizes.select(col("doc").as("doc_b"), col("sz").as("sz_b")), "doc_b")
+      .withColumn("jaccard",
+        col("n_inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("n_inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"),
+        floor(col("jaccard") * 1e6).cast("long").as("jaccard_micro"))
+  }
+}

@@ -1,0 +1,89 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: image/audio/video payloads as opaque
+  * `binary` columns with typed metadata, plus batched per-partition
+  * feature extraction.
+  *
+  * Beyond-reference surface (BASELINE.json north star). The decode
+  * step is STUBBED with a deterministic fake (no image/audio codecs in
+  * this environment); the Spark-side plumbing — schema, partitioning,
+  * batch iteration shape — is real and tested.
+  *
+  * Scale design: payload bytes ride in the row (Parquet binary), so a
+  * scan prunes them unless requested (`ReadSchema` check); feature
+  * extraction is `mapPartitions` over a typed Dataset — one codec
+  * initialization per partition, streaming iterator, no per-row setup
+  * and no driver collect. On a real cluster the same code fans out per
+  * input split.
+  */
+object Multimodal {
+
+  case class MediaRow(media_id: Long, content: Array[Byte], mime: String)
+
+  case class MediaFeatures(
+      media_id: Long,
+      n_bytes: Long,
+      checksum: String,
+      width: Int,
+      height: Int,
+      mean_luma: Double)
+
+  /** Attach typed metadata to a binary payload column — pure Column
+    * expressions (codegen, no decode needed): byte length and an md5
+    * checksum of the payload bytes (equals any engine's md5 of the
+    * UTF-8 source string, keeping the oracle portable).
+    */
+  def withMeta(df: DataFrame, binCol: String): DataFrame =
+    df.withColumn("n_bytes", length(col(binCol)).cast("long"))
+      .withColumn("checksum", md5(col(binCol)))
+
+  /** Batched "decode + feature extraction" over a typed Dataset.
+    *
+    * The real thing would initialize a codec per partition and decode
+    * each payload; here `decodeOne` is a deterministic fake keyed on
+    * the payload bytes. The partition-iterator shape (init once,
+    * stream rows, no materialization) is the part that matters at
+    * scale and is exactly what a libjpeg/ffmpeg binding would use.
+    */
+  def extractFeatures(ds: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      // per-partition init would go here (codec handles, buffers)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { row =>
+        val bytes = row.content
+        val digest = md.digest(bytes).map("%02x".format(_)).mkString
+        md.reset()
+        decodeOne(row.media_id, bytes, digest)
+      }
+    }
+  }
+
+  /** STUB decode: deterministic fake dimensions/luma derived from the
+    * payload. A real build replaces this body with an actual codec
+    * call; the signature and surrounding plumbing stay unchanged.
+    */
+  private def decodeOne(id: Long, bytes: Array[Byte], digest: String): MediaFeatures = {
+    val n = bytes.length
+    val w = 64 + (if (n > 0) (bytes(0) & 0xff) % 192 else 0)
+    val h = 64 + (if (n > 1) (bytes(1) & 0xff) % 192 else 0)
+    val luma = if (n == 0) 0.0 else bytes.map(b => (b & 0xff).toDouble).sum / n / 255.0
+    MediaFeatures(id, n.toLong, digest, w, h, luma)
+  }
+
+  /** Build a media table from the documents table by treating the
+    * UTF-8 bytes as an opaque payload — the driver testdata carries no
+    * real image column, so this is the plumbing-exercise source.
+    */
+  def mediaFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    docs.select(
+        col("doc_id").as("media_id"),
+        encode(col("text"), "UTF-8").as("content"),
+        lit("text/plain").as("mime"))
+      .as[MediaRow]
+  }
+}

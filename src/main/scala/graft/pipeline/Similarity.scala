@@ -1,0 +1,107 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import TextFunctions.hash60
+
+/** Similarity search over embedding columns (`array<float>`).
+  *
+  * Beyond-reference surface (BASELINE.json north star).
+  *
+  * All vector math is pure `Column` HOFs (`transform`/`aggregate`) in
+  * strict index order, so results are bit-reproducible on any engine
+  * that evaluates the same IEEE-754 double ops — which is what lets the
+  * DuckDB oracle verify them. No UDFs.
+  *
+  * Scale story:
+  *  - [[topK]] (brute force) broadcasts the *query* set and streams the
+  *    corpus — one pass, no shuffle of the corpus, cost O(|corpus|·|Q|·d).
+  *    Right for small query batches over any corpus size.
+  *  - [[lshTopK]] buckets the corpus once by random-hyperplane signs
+  *    (an equi-join key), so each query only scans its bucket —
+  *    cost O(|corpus|·d) to bucket + per-query bucket scans. The
+  *    hyperplanes are derived from the portable hash, not an RNG, so
+  *    plans are deterministic and reproducible across runs/engines.
+  */
+object Similarity {
+
+  /** Sum of element-wise products in index order, as double. */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** L2 norm in index order, as double. */
+  def l2norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, v) => acc + v))
+
+  /** Cosine similarity of two equal-length float vectors. */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+
+  /** Brute-force cosine top-k: for each query row, the k nearest
+    * corpus rows (self-pairs excluded). `queries` must be small enough
+    * to broadcast; the corpus side is never shuffled until the final
+    * per-query top-k (a window over |Q|·k candidate rows after
+    * per-partition pre-ranking would be the next refinement; at this
+    * fan-out the window on (query id) is already tiny).
+    */
+  def topK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    val q = broadcast(queries.select(
+      col(idCol).as("query_id"), col(vecCol).as("qv")))
+    val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cv"))
+    val scored = c.join(q, col("query_id") =!= col("cand_id"))
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("cand_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"), col("cand_id"),
+        floor(col("sim") * 1e6).cast("long").as("sim_micro"))
+  }
+
+  /** Deterministic pseudo-random hyperplane weight for (plane, dim):
+    * an integer in [−1000, 1000] derived from the portable hash.
+    */
+  private def planeWeight(plane: Int, dim: Column): Column =
+    (hash60(concat(lit(s"hp${plane}_"), dim.cast("string"))) % 2001L - 1000L)
+      .cast("double")
+
+  /** Random-hyperplane LSH bucket id: bit p of the result is the sign
+    * of ⟨vec, w_p⟩ for hyperplane p ∈ [0, planes).
+    */
+  def lshBucket(vec: Column, dim: Int, planes: Int): Column =
+    (0 until planes).map { p =>
+      val d = aggregate(
+        transform(sequence(lit(1), lit(dim)),
+          i => element_at(vec, i).cast("double") * planeWeight(p, i)),
+        lit(0.0), (acc, v) => acc + v)
+      when(d > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Approximate top-k: bucket corpus and queries by [[lshBucket]],
+    * equi-join on the bucket, exact cosine within it. Recall < 1 by
+    * construction (that is the approximation); cost drops from
+    * |corpus|·|Q| to collisions-in-bucket.
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, dim: Int, planes: Int, k: Int): DataFrame = {
+    val cb = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cv"),
+      lshBucket(col(vecCol), dim, planes).as("bucket"))
+    val qb = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      lshBucket(col(vecCol), dim, planes).as("bucket"))
+    val scored = cb.join(qb, Seq("bucket"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("cand_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"), col("cand_id"),
+        floor(col("sim") * 1e6).cast("long").as("sim_micro"))
+  }
+}

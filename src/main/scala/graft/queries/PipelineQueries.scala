@@ -1,12 +1,424 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
-/** Beyond-reference data-pipeline queries (dedup, similarity search, text
-  * analysis, multimodal) over `documents` / `embeddings`. Populated as the
-  * operators land.
+import graft.core.Tables
+import graft.operators.Sessionize
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextFunctions => TF}
+
+/** Beyond-reference data-pipeline queries (dedup, similarity search,
+  * text analysis, multimodal, event sessionization) over the driver's
+  * `documents` / `embeddings` / `events` tables, each hash-checked
+  * against a DuckDB oracle.
+  *
+  * Portability rules that make the oracles exact:
+  *  - all hashing goes through [[TF.hash60]] (md5-hex-derived 60-bit
+  *    ints — reproducible in any engine; no xxhash/murmur);
+  *  - similarity doubles are computed with identical-op-order HOFs and
+  *    emitted as `floor(x*1e6)` bigints;
+  *  - LSH candidate generation is deterministic (hash-derived seeds /
+  *    hyperplanes), and its oracles are *exhaustive* SQL — so the check
+  *    also proves the LSH found every qualifying pair at this SF.
   */
 object PipelineQueries {
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  def oracle: Map[String, String] = Map()
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.read(s, dir, name)
+
+  // ------------------------------------------------------------ SQL helpers
+
+  /** DuckDB rendering of [[TF.hash60]]. */
+  private def oHash(e: String): String =
+    s"CAST('0x' || substr(md5($e), 1, 15) AS BIGINT)"
+
+  private val oToks = """string_split_regex(trim(text), '\s+')"""
+
+  /** DuckDB rendering of [[TF.shingles]] over an in-scope `toks`. */
+  private def oShingles(k: Int): String = {
+    val cat = (0 until k).map(j => if (j == 0) "toks[i]" else s"toks[i+$j]")
+      .mkString(" || ' ' || ")
+    s"""CASE WHEN len(toks) >= $k
+       |  THEN list_distinct(list_transform(
+       |         generate_series(1, len(toks) - ${k - 1}), i -> $cat))
+       |  ELSE CAST([] AS VARCHAR[]) END""".stripMargin
+  }
+
+  /** Exhaustive pair-Jaccard oracle shared by the dedup queries. */
+  private def oJaccardPairs(k: Int, threshold: Double): String =
+    s"""WITH sh AS (
+       |  SELECT doc_id, ${oShingles(k)} AS sh
+       |  FROM (SELECT doc_id, $oToks AS toks FROM documents)),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    len(list_intersect(a.sh, b.sh))
+       |      / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS j
+       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, CAST(FLOOR(j * 1e6) AS BIGINT) AS jaccard_micro
+       |FROM pairs WHERE j >= $threshold""".stripMargin
+
+  // ---------------------------------------------------------------- dedup
+
+  /** Exact dedup: hash-groupBy on normalized text. */
+  def p01ExactDedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.exact(t(s, dir, "documents"), "doc_id", "text")
+
+  /** MinHash + LSH near-dup pairs (12 hashes, 6 bands × 2 rows,
+    * verified Jaccard ≥ 0.5). The oracle is the exhaustive pair scan,
+    * so a pass certifies LSH recall at this SF.
+    */
+  def p02MinhashLsh(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text",
+      k = 3, numHashes = 12, bands = 6, threshold = 0.5)
+
+  /** SimHash near-dup pairs (16-bit simhash, 4-segment LSH,
+    * Hamming ≤ 2 — exact by pigeonhole).
+    */
+  def p03Simhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
+      bits = 16, segments = 4, maxHamming = 2)
+
+  /** Exact bigram-Jaccard pairs via inverted shingle index. */
+  def p04NgramJaccard(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+      k = 2, threshold = 0.5)
+
+  // ------------------------------------------------------------ similarity
+
+  /** Brute-force cosine top-5 for a 20-query batch. */
+  def p05CosineTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.topK(emb, emb.filter(col("vec_id") < 20), "vec_id", "embedding", k = 5)
+  }
+
+  /** Hyperplane-LSH approximate top-3 (4 planes → 16 buckets). */
+  def p06AnnLsh(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.lshTopK(emb, emb.filter(col("vec_id") < 20), "vec_id", "embedding",
+      dim = 64, planes = 4, k = 3)
+  }
+
+  /** Embedding-cosine near-dup pairs: all pairs with cosine ≥ 0.4.
+    * Brute force at this SF; the LSH-bucketed path (p06) is the scale
+    * variant.
+    */
+  def p07EmbedNearDup(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
+    val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .withColumn("sim", Similarity.cosine(col("ea"), col("eb")))
+      .filter(col("sim") >= 0.4)
+      .select(col("vec_a"), col("vec_b"),
+        floor(col("sim") * 1e6).cast("long").as("sim_micro"))
+  }
+
+  // ---------------------------------------------------------- text analysis
+
+  /** Language ID by stopword-count argmax. */
+  def p08LangId(s: SparkSession, dir: String): DataFrame = {
+    val toks = TF.tokens(col("text"))
+    t(s, dir, "documents").select(
+      Seq(col("doc_id"), TF.langId(toks).as("lang_pred")) ++
+        TF.stopwords.map { case (lang, ws) =>
+          TF.stopwordHits(toks, ws).cast("long").as(s"hits_$lang")
+        }: _*)
+  }
+
+  /** Quality scoring: token stats, punctuation/stopword ratios,
+    * composite score.
+    */
+  def p09Quality(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .withColumn("toks", TF.tokens(col("text")))
+      .withColumn("n_toks", size(col("toks")))
+      .withColumn("mean_len",
+        aggregate(col("toks"), lit(0L), (acc, x) => acc + length(x))
+          .cast("double") / col("n_toks").cast("double"))
+      .withColumn("punct_ratio",
+        TF.punctCount(col("text")).cast("double") / length(col("text")).cast("double"))
+      .withColumn("stop_ratio",
+        TF.stopwordHits(col("toks"), TF.stopwords.head._2).cast("double") /
+          col("n_toks").cast("double"))
+    d.select(
+      col("doc_id"),
+      col("n_toks").cast("long").as("n_toks"),
+      col("mean_len"),
+      col("punct_ratio"),
+      col("stop_ratio"),
+      TF.qualityScore(col("n_toks"), col("mean_len"), col("punct_ratio"),
+        col("stop_ratio")).as("score"))
+  }
+
+  /** Token counting: whitespace and BPE-ish sub-word tokenization. */
+  def p10Tokens(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      size(TF.tokens(col("text"))).cast("long").as("n_ws_tokens"),
+      size(TF.bpeTokens(col("text"))).cast("long").as("n_bpe_tokens"),
+      length(col("text")).cast("long").as("n_chars"))
+
+  /** Document fingerprinting: md5-prefix of normalized text + minimum
+    * shingle hash (Rabin-style min fingerprint).
+    */
+  def p11Fingerprint(s: SparkSession, dir: String): DataFrame = {
+    val toks = TF.tokens(col("text"))
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      TF.fingerprint(toks).as("fp"),
+      coalesce(array_min(TF.shingleHashes(TF.shingles(toks, 3))), lit(TF.P))
+        .as("min_shingle_hash"))
+  }
+
+  // ------------------------------------------------------------ multimodal
+
+  /** Multimodal plumbing: opaque binary payloads + typed metadata.
+    * (Feature extraction over the binary column is the mapPartitions
+    * path, exercised in MultimodalSpec — not SQL-expressible.)
+    */
+  def p12Multimodal(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.mediaFromDocuments(s, t(s, dir, "documents")).toDF()
+    Multimodal.withMeta(media, "content")
+      .select(col("media_id"), col("mime"), col("n_bytes"), col("checksum"))
+  }
+
+  // ------------------------------------------------------------ events
+
+  /** Gap-based sessionization (30-min timeout) of the event stream. */
+  def p13Sessionize(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .withColumn("ts_us", expr("ts_ns div 1000"))
+    Sessionize.sessions(e, Seq("user_id"), "ts_us",
+        gap = 1800L * 1000 * 1000, tiebreak = Seq("event_id"))
+      .select(col("user_id"), col("session_id"),
+        col("session_start"), col("session_end"), col("n_events"))
+  }
+
+  /** Tumbling 1-hour windowed aggregation per event type — the same
+    * plan Structured Streaming runs incrementally (see
+    * graft.streaming).
+    */
+  def p14WindowAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(20,6)")).cast("double").as("sum_value"))
+      .select(
+        unix_micros(col("window.start")).as("ws_us"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** Semi-structured property extraction from the events JSON blob. */
+  def p15JsonProps(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(regexp_extract(col("props"), "\"k\": ([0-9]+)", 1)
+        .cast("long").as("k"))
+      .groupBy((col("k") % 10).as("k_mod"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+
+  // ---------------------------------------------------------------- wiring
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p01_exact_dedup" -> p01ExactDedup _,
+    "p02_minhash_lsh" -> p02MinhashLsh _,
+    "p03_simhash" -> p03Simhash _,
+    "p04_ngram_jaccard" -> p04NgramJaccard _,
+    "p05_cosine_topk" -> p05CosineTopK _,
+    "p06_ann_lsh" -> p06AnnLsh _,
+    "p07_embed_near_dup" -> p07EmbedNearDup _,
+    "p08_lang_id" -> p08LangId _,
+    "p09_quality" -> p09Quality _,
+    "p10_tokens" -> p10Tokens _,
+    "p11_fingerprint" -> p11Fingerprint _,
+    "p12_multimodal" -> p12Multimodal _,
+    "p13_sessionize" -> p13Sessionize _,
+    "p14_window_agg" -> p14WindowAgg _,
+    "p15_json_props" -> p15JsonProps _
+  )
+
+  // ------------------------------------------------------------ oracle SQL
+
+  /** DuckDB cosine between two in-scope DOUBLE-list expressions, same
+    * op order as [[Similarity.cosine]].
+    */
+  private def oCos(a: String, b: String): String =
+    s"""(list_sum(list_transform(generate_series(1, 64), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))
+       | / (sqrt(list_sum(list_transform(generate_series(1, 64), i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE))))
+       |    * sqrt(list_sum(list_transform(generate_series(1, 64), i -> CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))))))""".stripMargin
+
+  /** DuckDB 16-bit simhash over an in-scope `toks`, same semantics as
+    * [[TF.simhash]].
+    */
+  private def oSimhash: String = {
+    val bits = (0 until 16).map { i =>
+      s"""(CASE WHEN list_sum(list_transform(hl,
+         |   h -> CASE WHEN ((h >> $i) & 1) = 1 THEN 1 ELSE -1 END)) > 0
+         | THEN CAST(${1L << i} AS BIGINT) ELSE 0 END)""".stripMargin
+    }
+    bits.mkString(" + ")
+  }
+
+  /** DuckDB hyperplane-LSH bucket, same hash-derived weights as
+    * [[Similarity.lshBucket]] (4 planes over 64 dims).
+    */
+  private def oBucket(vec: String): String =
+    (0 until 4).map { p =>
+      s"""(CASE WHEN list_sum(list_transform(generate_series(1, 64),
+         |  i -> CAST($vec[i] AS DOUBLE) *
+         |       (${oHash(s"'hp${p}_' || CAST(i AS VARCHAR)")} % 2001 - 1000)))
+         |  > 0 THEN ${1L << p} ELSE 0 END)""".stripMargin
+    }.mkString(" + ")
+
+  private val oLangCase: String = {
+    val langs = TF.stopwords.map(_._1)
+    val conds = langs.init.zipWithIndex.map { case (lang, i) =>
+      val later = langs.drop(i + 1)
+      val cond = later.map(o => s"hits_$lang >= hits_$o").mkString(" AND ")
+      s"WHEN $cond THEN '$lang'"
+    }
+    s"CASE ${conds.mkString(" ")} ELSE '${langs.last}' END"
+  }
+
+  private def oHits(lang: String, words: Seq[String]): String = {
+    val set = words.map(w => s"'$w'").mkString(", ")
+    s"len(list_filter(toks, t -> lower(t) IN ($set)))"
+  }
+
+  def oracle: Map[String, String] = Map(
+    "p01_exact_dedup" ->
+      s"""SELECT substr(md5(array_to_string($oToks, ' ')), 1, 16) AS fp,
+         |  MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+         |FROM documents GROUP BY 1""".stripMargin,
+    "p02_minhash_lsh" -> oJaccardPairs(k = 3, threshold = 0.5),
+    "p03_simhash" ->
+      s"""WITH sims AS (
+         |  SELECT doc_id, $oSimhash AS sim
+         |  FROM (SELECT doc_id,
+         |          list_transform($oToks, t -> ${oHash("t")}) AS hl
+         |        FROM documents))
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT) AS hamming
+         |FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sim, b.sim)) <= 2""".stripMargin,
+    "p04_ngram_jaccard" -> oJaccardPairs(k = 2, threshold = 0.5),
+    "p05_cosine_topk" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+         |           FROM embeddings WHERE vec_id < 20),
+         |scored AS (
+         |  SELECT query_id, e.vec_id AS cand_id,
+         |    ${oCos("qv", "e.embedding")} AS sim
+         |  FROM embeddings e, q WHERE e.vec_id != query_id),
+         |ranked AS (
+         |  SELECT query_id, cand_id, sim,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |                       ORDER BY sim DESC, cand_id ASC) AS rank
+         |  FROM scored)
+         |SELECT query_id, CAST(rank AS BIGINT) AS rank, cand_id,
+         |  CAST(FLOOR(sim * 1e6) AS BIGINT) AS sim_micro
+         |FROM ranked WHERE rank <= 5""".stripMargin,
+    "p06_ann_lsh" ->
+      s"""WITH b AS (
+         |  SELECT vec_id, embedding, ${oBucket("embedding")} AS bucket
+         |  FROM embeddings),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         |    ${oCos("q.embedding", "c.embedding")} AS sim
+         |  FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id != c.vec_id
+         |  WHERE q.vec_id < 20),
+         |ranked AS (
+         |  SELECT query_id, cand_id, sim,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |                       ORDER BY sim DESC, cand_id ASC) AS rank
+         |  FROM scored)
+         |SELECT query_id, CAST(rank AS BIGINT) AS rank, cand_id,
+         |  CAST(FLOOR(sim * 1e6) AS BIGINT) AS sim_micro
+         |FROM ranked WHERE rank <= 3""".stripMargin,
+    "p07_embed_near_dup" ->
+      s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |  CAST(FLOOR(${oCos("a.embedding", "b.embedding")} * 1e6) AS BIGINT) AS sim_micro
+         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |WHERE ${oCos("a.embedding", "b.embedding")} >= 0.4""".stripMargin,
+    "p08_lang_id" -> {
+      val hitCols = TF.stopwords
+        .map { case (lang, ws) =>
+          s"CAST(${oHits(lang, ws)} AS BIGINT) AS hits_$lang"
+        }
+        .mkString(",\n  ")
+      s"""SELECT doc_id, $oLangCase AS lang_pred,
+         |  hits_${TF.stopwords.map(_._1).mkString(", hits_")}
+         |FROM (SELECT doc_id, $hitCols
+         |      FROM (SELECT doc_id, $oToks AS toks FROM documents))""".stripMargin
+    },
+    "p09_quality" -> {
+      val enSet = TF.stopwords.head._2.map(w => s"'$w'").mkString(", ")
+      s"""WITH base AS (
+         |  SELECT doc_id, text, $oToks AS toks FROM documents),
+         |m AS (
+         |  SELECT doc_id,
+         |    CAST(len(toks) AS BIGINT) AS n_toks,
+         |    list_sum(list_transform(toks, t -> length(t)))
+         |      / CAST(len(toks) AS DOUBLE) AS mean_len,
+         |    (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))
+         |      / CAST(length(text) AS DOUBLE) AS punct_ratio,
+         |    len(list_filter(toks, t -> lower(t) IN ($enSet)))
+         |      / CAST(len(toks) AS DOUBLE) AS stop_ratio
+         |  FROM base)
+         |SELECT doc_id, n_toks, mean_len, punct_ratio, stop_ratio,
+         |  least(n_toks / 100.0, 1.0) * 0.4
+         |  + least(mean_len / 10.0, 1.0) * 0.2
+         |  + (1.0 - least(punct_ratio * 10.0, 1.0)) * 0.2
+         |  + least(stop_ratio * 5.0, 1.0) * 0.2 AS score
+         |FROM m""".stripMargin
+    },
+    "p10_tokens" ->
+      s"""SELECT doc_id,
+         |  CAST(len($oToks) AS BIGINT) AS n_ws_tokens,
+         |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_bpe_tokens,
+         |  CAST(length(text) AS BIGINT) AS n_chars
+         |FROM documents""".stripMargin,
+    "p11_fingerprint" ->
+      s"""WITH s AS (
+         |  SELECT doc_id, ${oShingles(3)} AS sh
+         |  FROM (SELECT doc_id, $oToks AS toks FROM documents)),
+         |f AS (
+         |  SELECT doc_id,
+         |    substr(md5(array_to_string($oToks, ' ')), 1, 16) AS fp
+         |  FROM documents)
+         |SELECT f.doc_id, f.fp,
+         |  COALESCE(list_aggregate(list_transform(s.sh,
+         |    x -> ${oHash("x")} % ${TF.P}), 'min'), ${TF.P}) AS min_shingle_hash
+         |FROM f JOIN s ON f.doc_id = s.doc_id""".stripMargin,
+    "p12_multimodal" ->
+      """SELECT doc_id AS media_id, 'text/plain' AS mime,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  md5(text) AS checksum
+        |FROM documents""".stripMargin,
+    "p13_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+        |l AS (
+        |  SELECT *, lag(ts_us) OVER (PARTITION BY user_id
+        |                             ORDER BY ts_us, event_id) AS prev
+        |  FROM e),
+        |s AS (
+        |  SELECT *, SUM(CASE WHEN prev IS NULL OR ts_us - prev > 1800000000
+        |                     THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |          ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM l)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |  MIN(ts_us) AS session_start, MAX(ts_us) AS session_end,
+        |  COUNT(*) AS n_events
+        |FROM s GROUP BY user_id, session_id""".stripMargin,
+    "p14_window_agg" ->
+      """SELECT CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) AS ws_us,
+        |  event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "p15_json_props" ->
+      """SELECT CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) % 10 AS k_mod,
+        |  COUNT(*) AS n,
+        |  SUM(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS sum_k
+        |FROM events GROUP BY 1""".stripMargin
+  )
 }
