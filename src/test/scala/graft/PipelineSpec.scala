@@ -1,0 +1,139 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline._
+
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hash60 is the first 15 md5 hex digits as a long") {
+    // md5("abc") = 900150983cd24fb0..., first 15 digits big-endian
+    val got = Seq("abc").toDF("s")
+      .select(TextFunctions.hash60(col("s"))).as[Long].head()
+    assert(got == java.lang.Long.parseLong("900150983cd24fb", 16))
+  }
+
+  test("shingles produces distinct word k-grams; short docs empty") {
+    val got = Seq("a b c d", "a b").toDF("t")
+      .select(TextFunctions.shingles(TextFunctions.tokens(col("t")), 3))
+      .as[Seq[String]].collect()
+    assert(got(0) == Seq("a b c", "b c d"))
+    assert(got(1).isEmpty)
+  }
+
+  test("exact dedup groups identical normalized text") {
+    val df = Seq((1L, "hello  world"), (2L, "hello world"), (3L, "bye"))
+      .toDF("doc_id", "text")
+    val out = Dedup.exact(df, "doc_id", "text")
+      .orderBy("keep_id").select("keep_id", "n_copies").as[(Long, Long)].collect()
+    assert(out.toSeq == Seq((1L, 2L), (3L, 1L)))
+  }
+
+  test("minhashPairs finds a planted near-dup and skips unrelated docs") {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val nearDup = (1 to 38).map(i => s"tok$i").mkString(" ") + " x y"
+    val other = (100 to 140).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, base), (2L, nearDup), (3L, other)).toDF("doc_id", "text")
+    val pairs = Dedup.minhashPairs(df, "doc_id", "text",
+      k = 3, numHashes = 12, bands = 6, threshold = 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    assert(pairs.toSeq == Seq((1L, 2L)))
+  }
+
+  test("simhashPairs: identical docs at hamming 0, disjoint docs absent") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"),
+      (3L, "zz yy xx ww vv uu tt ss")).toDF("doc_id", "text")
+    val out = Dedup.simhashPairs(df, "doc_id", "text",
+      bits = 16, segments = 4, maxHamming = 2)
+      .select("doc_a", "doc_b", "hamming").as[(Long, Long, Long)].collect()
+    assert(out.toSeq == Seq((1L, 2L, 0L)))
+  }
+
+  test("ngramJaccardPairs computes exact Jaccard") {
+    val df = Seq((1L, "a b c d"), (2L, "a b c e"), (3L, "x y z w"))
+      .toDF("doc_id", "text")
+    // bigrams: {a b, b c, c d} vs {a b, b c, c e} → J = 2/4 = 0.5
+    val out = Dedup.ngramJaccardPairs(df, "doc_id", "text", k = 2, threshold = 0.5)
+      .select("doc_a", "doc_b", "jaccard_micro").as[(Long, Long, Long)].collect()
+    assert(out.toSeq == Seq((1L, 2L, 500000L)))
+  }
+
+  test("cosine topK ranks an identical vector first") {
+    val df = Seq(
+      (0L, Array(1f, 0f, 0f)),
+      (1L, Array(1f, 0f, 0f)),
+      (2L, Array(0f, 1f, 0f)),
+      (3L, Array(-1f, 0f, 0f))).toDF("vec_id", "embedding")
+    val out = Similarity.topK(df, df.filter($"vec_id" === 0), "vec_id", "embedding", 3)
+      .orderBy("rank").select("cand_id", "sim_micro").as[(Long, Long)].collect()
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 3L))
+    assert(out(0)._2 == 1000000L) // cos = 1 exactly
+    assert(out(1)._2 == 0L)       // orthogonal
+    assert(out(2)._2 == -1000000L) // opposite
+  }
+
+  test("lshBucket puts identical vectors in the same bucket") {
+    val df = Seq(
+      (0L, (1 to 64).map(_.toFloat).toArray),
+      (1L, (1 to 64).map(_.toFloat).toArray),
+      (2L, (1 to 64).map(i => -i.toFloat).toArray)).toDF("vec_id", "embedding")
+    val b = df.select(Similarity.lshBucket(col("embedding"), 64, 4)).as[Long].collect()
+    assert(b(0) == b(1))
+    assert(b(0) != b(2)) // opposite vector flips every sign bit
+    assert(b(0) + b(2) == 15L) // complementary 4-bit buckets
+  }
+
+  test("langId follows stopword-count argmax with list-order ties") {
+    val df = Seq(
+      "the cat of the house",  // en
+      "el gato de la casa y que en los", // es
+      "der hund und die katze ist", // de
+      "nothing matching at all").toDF("text")
+    val got = df.select(TextFunctions.langId(TextFunctions.tokens(col("text"))))
+      .as[String].collect()
+    assert(got.toSeq == Seq("en", "es", "de", "en")) // all-zero ties → first lang
+  }
+
+  test("multimodal feature extraction stub is deterministic per payload") {
+    val media = Seq(
+      Multimodal.MediaRow(1L, "hello".getBytes("UTF-8"), "text/plain"),
+      Multimodal.MediaRow(2L, Array[Byte](), "application/octet-stream"))
+      .toDS()
+    val out = Multimodal.extractFeatures(media).collect().sortBy(_.media_id)
+    assert(out(0).n_bytes == 5L)
+    assert(out(0).checksum == "5d41402abc4b2a76b9719d911017c592") // md5("hello")
+    assert(out(0).width == 64 + ('h'.toInt % 192))
+    assert(out(1).n_bytes == 0L && out(1).mean_luma == 0.0)
+  }
+
+  test("sessionize splits on gaps strictly greater than the timeout") {
+    val df = Seq(
+      (1L, 10L, 0L), (1L, 11L, 100L), (1L, 12L, 101L),
+      (1L, 13L, 302L), // gap 201 > 200 → new session
+      (2L, 20L, 0L)).toDF("user_id", "event_id", "ts_us")
+    val out = graft.operators.Sessionize
+      .sessions(df, Seq("user_id"), "ts_us", gap = 200L, tiebreak = Seq("event_id"))
+      .orderBy("user_id", "session_id")
+      .select("user_id", "session_id", "session_start", "session_end", "n_events")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(out.toSeq == Seq(
+      (1L, 1L, 0L, 101L, 3L),
+      (1L, 2L, 302L, 302L, 1L),
+      (2L, 1L, 0L, 0L, 1L)))
+  }
+
+  test("PolyMap dispatches by domain and leaves unmapped domains null") {
+    val facts = Seq((1L, "a", 10L), (2L, "b", 10L), (3L, "c", 10L), (4L, "a", 99L))
+      .toDF("id", "dom", "fk")
+    val lookA = Seq((10L, "alpha")).toDF("k", "v")
+    val lookB = Seq((10L, "beta")).toDF("k", "v")
+    val out = graft.operators.PolyMap.map(facts, "dom", "fk",
+        Seq(graft.operators.PolyMap.Domain("a", lookA, "k", "v"),
+          graft.operators.PolyMap.Domain("b", lookB, "k", "v")), "name")
+      .orderBy("id").select("name").as[String].collect()
+    assert(out.toSeq == Seq("alpha", "beta", null, null))
+  }
+}

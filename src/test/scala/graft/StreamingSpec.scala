@@ -1,0 +1,62 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.StreamingJobs
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("windowedAgg over a MemoryStream matches the batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val events = mem.toDF().toDF("ts", "event_type", "value")
+
+    val q = StreamingJobs.windowedAgg(events)
+      .writeStream.format("memory").queryName("wagg")
+      .outputMode("append").start()
+    try {
+      def ts(s: String) = Timestamp.valueOf(s)
+      mem.addData(
+        (ts("2024-01-01 00:10:00"), "click", 1.5),
+        (ts("2024-01-01 00:50:00"), "click", 2.5),
+        (ts("2024-01-01 01:10:00"), "view", 1.0))
+      q.processAllAvailable()
+      // advance watermark far enough to close the first two windows
+      mem.addData((ts("2024-01-01 12:00:00"), "view", 9.0))
+      q.processAllAvailable()
+      val rows = spark.table("wagg")
+        .select("ws_us", "event_type", "n", "sum_value")
+        .as[(Long, String, Long, Double)].collect().sortBy(r => (r._1, r._2))
+      val hourUs = 3600L * 1000 * 1000
+      val base = ts("2024-01-01 00:00:00").getTime * 1000
+      assert(rows.toSeq == Seq(
+        (base, "click", 2L, 4.0),
+        (base + hourUs, "view", 1L, 1.0)))
+    } finally q.stop()
+  }
+
+  test("streaming sessionize emits closed sessions across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamingJobs.Event]
+    val out = StreamingJobs.sessionize(mem.toDS(), gapUs = 200L)
+
+    val q = out.writeStream.format("memory").queryName("sess")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        StreamingJobs.Event(1L, 10L, 0L),
+        StreamingJobs.Event(1L, 11L, 100L))
+      q.processAllAvailable()
+      // next batch: event far beyond the gap closes session 1
+      mem.addData(StreamingJobs.Event(1L, 12L, 1000L))
+      q.processAllAvailable()
+      val rows = spark.table("sess")
+        .as[StreamingJobs.Session].collect().toSeq
+      assert(rows == Seq(StreamingJobs.Session(1L, 0L, 100L, 2L)))
+    } finally q.stop()
+  }
+}
