@@ -40,6 +40,18 @@ object Similarity {
   /** Cosine similarity of two equal-length float vectors. */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
 
+  /** Cosine from a per-pair dot and per-row precomputed norms —
+    * bitwise-identical to [[cosine]] (same final op order) but the
+    * norms are computed once per row instead of once per pair, which
+    * drops ~2/3 of the pairwise flops.
+    */
+  private def cosinePre(dotCol: Column, normA: Column, normB: Column): Column =
+    dotCol / (normA * normB)
+
+  /** Cosine with caller-precomputed norms (see [[cosinePre]]). */
+  def dotOverNorms(a: Column, b: Column, normA: Column, normB: Column): Column =
+    cosinePre(dot(a, b), normA, normB)
+
   /** Brute-force cosine top-k: for each query row, the k nearest
     * corpus rows (self-pairs excluded). `queries` must be small enough
     * to broadcast; the corpus side is never shuffled until the final
@@ -50,10 +62,18 @@ object Similarity {
   def topK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
       k: Int): DataFrame = {
     val q = broadcast(queries.select(
-      col(idCol).as("query_id"), col(vecCol).as("qv")))
-    val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cv"))
+      col(idCol).as("query_id"), col(vecCol).as("qv"),
+      l2norm(col(vecCol)).as("qn")))
+    // corpora usually arrive as few dense files (1 input split ≪ cores);
+    // the scoring loop is the hot path, so spread it across the cluster
+    // before the broadcast join — the repartition moves only the corpus
+    // vectors once, the scoring fan-out never shuffles.
+    val c = corpus
+      .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).as("cand_id"), col(vecCol).as("cv"),
+        l2norm(col(vecCol)).as("cn"))
     val scored = c.join(q, col("query_id") =!= col("cand_id"))
-      .withColumn("sim", cosine(col("qv"), col("cv")))
+      .withColumn("sim", cosinePre(dot(col("qv"), col("cv")), col("qn"), col("cn")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("cand_id").asc)
     scored
@@ -90,12 +110,14 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, dim: Int, planes: Int, k: Int): DataFrame = {
     val cb = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cv"),
+      l2norm(col(vecCol)).as("cn"),
       lshBucket(col(vecCol), dim, planes).as("bucket"))
     val qb = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      l2norm(col(vecCol)).as("qn"),
       lshBucket(col(vecCol), dim, planes).as("bucket"))
     val scored = cb.join(qb, Seq("bucket"))
       .filter(col("query_id") =!= col("cand_id"))
-      .withColumn("sim", cosine(col("qv"), col("cv")))
+      .withColumn("sim", cosinePre(dot(col("qv"), col("cv")), col("qn"), col("cn")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("cand_id").asc)
     scored

@@ -151,13 +151,69 @@ object ParityQueries2 {
         orderCols = Seq("c_custkey"), idCol = "new_id", start = 1001L)
       .select(col("c_custkey"), col("c_name"), col("new_id"))
 
+  // ------------------------------------------------------------------ S5
+  /** CSV sink + source round-trip (the external-id-mapper CSV surface,
+    * /root/reference/pedsnetdcc/external_id_mapper.py:63-65,150-249):
+    * write a projection as CSV, read it back with an explicit schema,
+    * aggregate. Values must survive the round-trip exactly for the
+    * oracle (reading the original parquet) to hash-match.
+    */
+  def q27Csv(s: SparkSession, dir: String): DataFrame = {
+    val tmp = s"/tmp/graft_csv_roundtrip_${dir.replaceAll("[^0-9.]", "")}"
+    t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+      .write.mode("overwrite").option("header", "true").csv(tmp)
+    s.read
+      .schema("c_custkey LONG, c_mktsegment STRING, c_acctbal DOUBLE")
+      .option("header", "true").csv(tmp)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("c_acctbal").cast(dec)).cast("double").as("sum_bal"))
+  }
+
+  // -------------------------------------------------------------- P6/F7
+  /** NaN / overflow cleanup: drop NaN values and |round(v)| > 10^15
+    * before aggregating (/root/reference/pedsnetdcc/z_score.py:19-21,
+    * 428-486).
+    */
+  def q28Cleanup(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .filter(!isnan(col("value")) && round(abs(col("value"))) <= 1e15)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(20,6)")).cast("double").as("sum_value"))
+
+  // --------------------------------------------------------------- Ext→Z
+  /** LMS z-score derivation (internalized derive_z): broadcast-join a
+    * deterministic LMS stratum table and evaluate
+    * ((x/M)^L − 1)/(L·S) as Column math.
+    */
+  def q29Zscore(s: SparkSession, dir: String): DataFrame = {
+    val lms = t(s, dir, "part")
+      .select(col("p_size").cast("long").as("stratum")).distinct()
+      .select(
+        col("stratum"),
+        (lit(0.5) + (col("stratum") % 5).cast("double") * 0.1).as("L"),
+        (lit(50.0) + col("stratum").cast("double")).as("M"),
+        (lit(0.1) + (col("stratum") % 3).cast("double") * 0.05).as("S"))
+    val meas = t(s, dir, "lineitem").select(
+      col("l_orderkey"), col("l_linenumber"),
+      (col("l_quantity").cast("long") % 50 + 1).as("stratum"),
+      (col("l_extendedprice").cast("double") / 1000.0).as("x"))
+    ZScore.attach(meas, lms, Seq("stratum"), "x", "z")
+      .select(col("l_orderkey"), col("l_linenumber"), col("stratum"), col("z"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_asof" -> q21Asof _,
     "q22_poly" -> q22Poly _,
     "q23_pipeline" -> q23Pipeline _,
     "q24_split" -> q24Split _,
     "q25_cohort" -> q25Cohort _,
-    "q26_renumber" -> q26Renumber _
+    "q26_renumber" -> q26Renumber _,
+    "q27_csv" -> q27Csv _,
+    "q28_cleanup" -> q28Cleanup _,
+    "q29_zscore" -> q29Zscore _
   )
 
   def oracle: Map[String, String] = Map(
@@ -237,6 +293,31 @@ object ParityQueries2 {
     "q26_renumber" ->
       """SELECT c_custkey, c_name,
         |  ROW_NUMBER() OVER (ORDER BY c_custkey) + 1000 AS new_id
-        |FROM customer""".stripMargin
+        |FROM customer""".stripMargin,
+    "q27_csv" ->
+      """SELECT c_mktsegment, COUNT(*) AS n,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(20,4))) AS DOUBLE) AS sum_bal
+        |FROM customer GROUP BY c_mktsegment""".stripMargin,
+    "q28_cleanup" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS sum_value
+        |FROM events
+        |WHERE NOT isnan(value) AND round(abs(value)) <= 1e15
+        |GROUP BY event_type""".stripMargin,
+    "q29_zscore" ->
+      """WITH lms AS (
+        |  SELECT stratum,
+        |    0.5 + CAST(stratum % 5 AS DOUBLE) * 0.1 AS L,
+        |    50.0 + CAST(stratum AS DOUBLE) AS M,
+        |    0.1 + CAST(stratum % 3 AS DOUBLE) * 0.05 AS S
+        |  FROM (SELECT DISTINCT CAST(p_size AS BIGINT) AS stratum FROM part)),
+        |meas AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    CAST(l_quantity AS BIGINT) % 50 + 1 AS stratum,
+        |    CAST(l_extendedprice AS DOUBLE) / 1000.0 AS x
+        |  FROM lineitem)
+        |SELECT l_orderkey, l_linenumber, stratum,
+        |  (pow(x / M, L) - 1.0) / (L * S) AS z
+        |FROM meas LEFT JOIN lms USING (stratum)""".stripMargin
   )
 }

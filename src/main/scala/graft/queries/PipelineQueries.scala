@@ -104,10 +104,14 @@ object PipelineQueries {
     */
   def p07EmbedNearDup(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
-    val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
-    val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
+    // single-file input → 1 split; spread the N² scoring across cores
+    val a = e.repartition(s.sparkContext.defaultParallelism)
+      .select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
+        Similarity.l2norm(col("embedding")).as("na"))
+    val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
+      Similarity.l2norm(col("embedding")).as("nb"))
     a.join(b, col("vec_a") < col("vec_b"))
-      .withColumn("sim", Similarity.cosine(col("ea"), col("eb")))
+      .withColumn("sim", Similarity.dotOverNorms(col("ea"), col("eb"), col("na"), col("nb")))
       .filter(col("sim") >= 0.4)
       .select(col("vec_a"), col("vec_b"),
         floor(col("sim") * 1e6).cast("long").as("sim_micro"))
