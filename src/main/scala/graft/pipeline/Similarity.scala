@@ -27,15 +27,18 @@ import TextFunctions.hash60
   */
 object Similarity {
 
-  /** Sum of element-wise products in index order, as double. */
+  /** Sum of element-wise products in index order, as double.
+    * Codegen'd native expression (see [[graft.functions.DotProductF]]);
+    * bit-identical to `aggregate(zip_with(a, b, _*_), 0.0, _+_)`.
+    */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    graft.functions.VectorExpressions.dotF(a, b)
 
-  /** L2 norm in index order, as double. */
+  /** L2 norm in index order, as double (codegen'd, bit-identical to
+    * the `sqrt(aggregate(transform(...)))` HOF form).
+    */
   def l2norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, v) => acc + v))
+    graft.functions.VectorExpressions.l2normF(a)
 
   /** Cosine similarity of two equal-length float vectors. */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))

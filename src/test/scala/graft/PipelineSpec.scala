@@ -75,6 +75,23 @@ class PipelineSpec extends SparkSpec {
     assert(out(2)._2 == -1000000L) // opposite
   }
 
+  test("native dot/l2norm expressions are bit-identical to the HOF forms") {
+    val df = Seq(
+      (Array(0.1f, -2.5f, 3.75f, 0.003f), Array(1.5f, 0.25f, -0.75f, 8f)))
+      .toDF("a", "b")
+    val hofDot = aggregate(
+      zip_with(col("a"), col("b"), (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    val hofNorm = sqrt(aggregate(
+      transform(col("a"), x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, v) => acc + v))
+    val row = df.select(
+      graft.functions.VectorExpressions.dotF(col("a"), col("b")) === hofDot,
+      graft.functions.VectorExpressions.l2normF(col("a")) === hofNorm)
+      .as[(Boolean, Boolean)].head()
+    assert(row == ((true, true)))
+  }
+
   test("lshBucket puts identical vectors in the same bucket") {
     val df = Seq(
       (0L, (1 to 64).map(_.toFloat).toArray),
