@@ -1,0 +1,33 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+
+/** View-DDL generation (S7): the reference emits Oracle view DDL over
+  * the transformed tables to a SQL file
+  * (/root/reference/pedsnetdcc/views.py:9-62). Spark-native twin:
+  * render `CREATE OR REPLACE VIEW` statements per table (optionally
+  * prefix-qualified) and/or register them in the session catalog.
+  */
+object ViewDdl {
+
+  /** One view statement per table: `targetSchema.table` →
+    * `SELECT col, ... FROM sourceSchema.table`.
+    */
+  def render(tables: Map[String, Seq[String]], sourceSchema: String,
+      targetSchema: String): Seq[String] =
+    tables.toSeq.sortBy(_._1).map { case (table, cols) =>
+      val colList = cols.mkString(", ")
+      s"CREATE OR REPLACE VIEW $targetSchema.$table AS " +
+        s"SELECT $colList FROM $sourceSchema.$table;"
+    }
+
+  /** Register parquet-backed temp views in the live catalog so
+    * `spark.sql` can address `<prefix>_<table>`.
+    */
+  def registerTempViews(spark: SparkSession, dir: String, tables: Seq[String],
+      prefix: String): Unit =
+    tables.foreach { t =>
+      graft.core.Tables.read(spark, dir, t)
+        .createOrReplaceTempView(s"${prefix}_$t")
+    }
+}

@@ -142,6 +142,16 @@ class PipelineSpec extends SparkSpec {
       (2L, 1L, 0L, 0L, 1L)))
   }
 
+  test("ViewDdl renders ordered CREATE VIEW statements and registers temp views") {
+    val ddl = graft.operators.ViewDdl.render(
+      Map("b" -> Seq("x", "y"), "a" -> Seq("z")), "src", "dst")
+    assert(ddl == Seq(
+      "CREATE OR REPLACE VIEW dst.a AS SELECT z FROM src.a;",
+      "CREATE OR REPLACE VIEW dst.b AS SELECT x, y FROM src.b;"))
+    graft.operators.ViewDdl.registerTempViews(spark, sf0001, Seq("nation"), "v")
+    assert(spark.sql("SELECT COUNT(*) FROM v_nation").as[Long].head() == 25L)
+  }
+
   test("PolyMap dispatches by domain and leaves unmapped domains null") {
     val facts = Seq((1L, "a", 10L), (2L, "b", 10L), (3L, "c", 10L), (4L, "a", 99L))
       .toDF("id", "dom", "fk")
