@@ -1,0 +1,123 @@
+package graft.functions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native kernels for the portable-hash dedup operators.
+  *
+  * Semantics are IDENTICAL to the HOF formulations in
+  * [[graft.pipeline.TextFunctions]] (and therefore to the DuckDB
+  * oracles): hash60(s) = first 15 hex digits of md5(s) as a 60-bit
+  * long. The HOF path pays an interpreted lambda dispatch per element
+  * AND recomputes md5 once per MinHash permutation; these kernels run
+  * one compiled loop with one md5 per element. CodegenFallback costs
+  * one virtual call per ROW (not per element), which is noise next to
+  * the per-element digest work.
+  */
+object HashKernels {
+
+  val P: Long = 2147483647L
+
+  /** hash60: first 8 md5 bytes big-endian, dropped low nibble. */
+  def hash60(md: MessageDigest, s: UTF8String): Long = {
+    md.reset()
+    val d = md.digest(s.getBytes)
+    var h = 0L
+    var i = 0
+    while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+    h >>> 4
+  }
+}
+
+/** MinHash signature over a string array: for seed j,
+  * min over elements of `(a_j * (hash60(s) % P) + b_j) % P`; empty
+  * arrays yield P for every seed — exactly
+  * [[graft.pipeline.TextFunctions.minhashSignature]].
+  */
+case class MinHashSig(child: Expression, seedsA: Array[Long], seedsB: Array[Long])
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val k = seedsA.length
+    val mins = Array.fill(k)(HashKernels.P)
+    val md = MessageDigest.getInstance("MD5")
+    var i = 0
+    while (i < n) {
+      val base = HashKernels.hash60(md, arr.getUTF8String(i)) % HashKernels.P
+      var j = 0
+      while (j < k) {
+        val v = (seedsA(j) * base + seedsB(j)) % HashKernels.P
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** SimHash over a string array, `bits` wide — exactly
+  * [[graft.pipeline.TextFunctions.simhash]]: bit i set iff the ±1 vote
+  * sum over elements' hash60 bit i is positive.
+  */
+case class SimHash(child: Expression, bits: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val votes = new Array[Long](bits)
+    val md = MessageDigest.getInstance("MD5")
+    var i = 0
+    while (i < n) {
+      val h = HashKernels.hash60(md, arr.getUTF8String(i))
+      var b = 0
+      while (b < bits) {
+        votes(b) += (if (((h >> b) & 1L) == 1L) 1L else -1L)
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < bits) {
+      if (votes(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object HashKernelFunctions {
+
+  /** MinHash signature of a string-array column (native kernel). */
+  def minhashSig(shinglesCol: Column, seeds: Seq[(Long, Long)]): Column =
+    ColumnBridge.column(MinHashSig(
+      ColumnBridge.expression(shinglesCol),
+      seeds.map(_._1).toArray, seeds.map(_._2).toArray))
+
+  /** SimHash of a string-array column (native kernel). */
+  def simhash(toksCol: Column, bits: Int): Column =
+    ColumnBridge.column(SimHash(ColumnBridge.expression(toksCol), bits))
+}

@@ -30,12 +30,11 @@ object Dedup {
       .groupBy(col("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** Shared prep: id, distinct k-shingle set, base hashes. */
+  /** Shared prep: id, distinct k-shingle set. */
   def shingled(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
     df.select(
       col(idCol).as("doc"),
       shingles(tokens(col(textCol)), k).as("sh"))
-      .withColumn("hs", shingleHashes(col("sh")))
 
   /** MinHash + LSH near-dup pairs.
     *
@@ -55,8 +54,10 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     val seeds = minhashSeeds(numHashes)
+    // native kernel (one md5 per shingle, compiled loop) — semantics
+    // identical to the HOF minhashSignature(shingleHashes(sh), seeds)
     val docs = shingled(df, idCol, textCol, k)
-      .withColumn("sig", minhashSignature(col("hs"), seeds))
+      .withColumn("sig", graft.functions.HashKernelFunctions.minhashSig(col("sh"), seeds))
 
     val bandRows = docs.select(
       col("doc"),
@@ -107,7 +108,7 @@ object Dedup {
     val mask = (1L << segBits) - 1
     val docs = df.select(
       col(idCol).as("doc"),
-      simhash(tokens(col(textCol)), bits).as("sim"))
+      graft.functions.HashKernelFunctions.simhash(tokens(col(textCol)), bits).as("sim"))
 
     val segRows = docs.select(
       col("doc"), col("sim"),

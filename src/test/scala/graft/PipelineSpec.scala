@@ -75,6 +75,21 @@ class PipelineSpec extends SparkSpec {
     assert(out(2)._2 == -1000000L) // opposite
   }
 
+  test("native minhash/simhash kernels equal the HOF reference forms") {
+    val df = Seq("alpha beta gamma delta epsilon zeta", "x", "")
+      .toDF("text")
+    val toks = TextFunctions.tokens(col("text"))
+    val sh = TextFunctions.shingles(toks, 3)
+    val seeds = TextFunctions.minhashSeeds(12)
+    val rows = df.select(
+      graft.functions.HashKernelFunctions.minhashSig(sh, seeds) ===
+        TextFunctions.minhashSignature(TextFunctions.shingleHashes(sh), seeds),
+      graft.functions.HashKernelFunctions.simhash(toks, 16) ===
+        TextFunctions.simhash(toks, 16))
+      .as[(Boolean, Boolean)].collect()
+    assert(rows.forall(r => r._1 && r._2), rows.toSeq)
+  }
+
   test("native dot/l2norm expressions are bit-identical to the HOF forms") {
     val df = Seq(
       (Array(0.1f, -2.5f, 3.75f, 0.003f), Array(1.5f, 0.25f, -0.75f, 8f)))
