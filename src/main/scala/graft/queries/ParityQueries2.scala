@@ -204,6 +204,60 @@ object ParityQueries2 {
       .select(col("l_orderkey"), col("l_linenumber"), col("stratum"), col("z"))
   }
 
+  // ------------------------------------------------------------ J9 + math
+  /** Full BMI derivation shape (/root/reference/pedsnetdcc/bmi.py):
+    * pair each "weight" fact with the nearest "height" fact of the
+    * same person within the match window (as-of join), then derive
+    * bmi = wt / (ht/100)^2 as Column math — the external derive_bmi
+    * tool internalized. Heights/weights are synthesized from the
+    * events stream deterministically.
+    */
+  def q30Bmi(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).withColumn("ts_us", expr("ts_ns div 1000"))
+    val weights = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id"), col("ts_us"),
+        (col("value") + 50.0).as("wt_kg"))
+    val heights = e.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id"), col("ts_us"),
+        (col("value") + 150.0).as("ht_cm"))
+    AsOfJoin.nearest(
+        weights, heights,
+        keys = Seq("user_id"), leftTs = "ts_us", rightTs = "ts_us",
+        toleranceSec = 3600L * 1000 * 1000,
+        leftUnique = Seq("event_id"), rightTiebreak = Seq("event_id"))
+      .select(col("user_id"), col("event_id"), col("r_event_id"),
+        (col("wt_kg") / ((col("r_ht_cm") / 100.0) * (col("r_ht_cm") / 100.0)))
+          .as("bmi"))
+  }
+
+  // ------------------------------------------------------- era + rollup
+  /** Drug-era ingredient rollup shape
+    * (/root/reference/pedsnetdcc/era.py:135-258): facts map to a
+    * coarser concept via a dimension join (RxNorm ingredient via
+    * concept_ancestor in the reference; part→brand here), then eras
+    * build over the rolled-up concept.
+    */
+  def q31EraRollup(s: SparkSession, dir: String): DataFrame = {
+    val intervals = t(s, dir, "lineitem")
+      .join(broadcast(t(s, dir, "part").select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(
+        col("l_suppkey").alias("person_id"),
+        col("p_brand").alias("concept_id"),
+        col("l_shipdate").cast("date").alias("start_date"),
+        date_add(col("l_shipdate").cast("date"),
+          col("l_quantity").cast("int")).alias("end_date"),
+        col("l_orderkey"), col("l_linenumber"))
+    // pk tiebreak: duplicate (start, end) rows carry different
+    // running-max flags, so a non-total order lets a re-sort split
+    // them nondeterministically (SURVEY.md §7.4)
+    EraBuilder
+      .eras(intervals, Seq("person_id", "concept_id"), "start_date", "end_date",
+        gapDays = 30, tiebreak = Seq("l_orderkey", "l_linenumber"))
+      .select(col("person_id"), col("concept_id"), col("era_id"),
+        col("era_start"), col("era_end"), col("row_count"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_asof" -> q21Asof _,
     "q22_poly" -> q22Poly _,
@@ -213,7 +267,9 @@ object ParityQueries2 {
     "q26_renumber" -> q26Renumber _,
     "q27_csv" -> q27Csv _,
     "q28_cleanup" -> q28Cleanup _,
-    "q29_zscore" -> q29Zscore _
+    "q29_zscore" -> q29Zscore _,
+    "q30_bmi" -> q30Bmi _,
+    "q31_era_rollup" -> q31EraRollup _
   )
 
   def oracle: Map[String, String] = Map(
@@ -318,6 +374,49 @@ object ParityQueries2 {
         |  FROM lineitem)
         |SELECT l_orderkey, l_linenumber, stratum,
         |  (pow(x / M, L) - 1.0) / (L * S) AS z
-        |FROM meas LEFT JOIN lms USING (stratum)""".stripMargin
+        |FROM meas LEFT JOIN lms USING (stratum)""".stripMargin,
+    "q30_bmi" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, value,
+        |                  epoch_us(ts) AS ts_us FROM events),
+        |cand AS (
+        |  SELECT w.user_id, w.event_id, v.event_id AS r_event_id,
+        |    (w.value + 50.0) AS wt_kg, (v.value + 150.0) AS ht_cm,
+        |    ROW_NUMBER() OVER (
+        |      PARTITION BY w.user_id, w.event_id
+        |      ORDER BY abs(w.ts_us - v.ts_us) ASC, v.ts_us ASC, v.event_id ASC)
+        |      AS rn
+        |  FROM e w JOIN e v
+        |    ON w.user_id = v.user_id
+        |   AND w.event_type = 'click' AND v.event_type = 'view'
+        |   AND abs(w.ts_us - v.ts_us) <= 3600000000)
+        |SELECT user_id, event_id, r_event_id,
+        |  wt_kg / ((ht_cm / 100.0) * (ht_cm / 100.0)) AS bmi
+        |FROM cand WHERE rn = 1""".stripMargin,
+    "q31_era_rollup" ->
+      """WITH intervals AS (
+        |  SELECT l_suppkey AS person_id, p_brand AS concept_id,
+        |    CAST(l_shipdate AS DATE) AS start_date,
+        |    CAST(l_shipdate AS DATE) + CAST(CAST(l_quantity AS INT) AS INTEGER) AS end_date,
+        |    l_orderkey, l_linenumber
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |flagged AS (
+        |  SELECT *,
+        |    MAX(end_date) OVER (PARTITION BY person_id, concept_id
+        |      ORDER BY start_date, end_date, l_orderkey, l_linenumber
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max_end
+        |  FROM intervals),
+        |islands AS (
+        |  SELECT *,
+        |    SUM(CASE WHEN prev_max_end IS NULL
+        |             OR start_date > prev_max_end + INTERVAL 30 DAY
+        |             THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY person_id, concept_id
+        |            ORDER BY start_date, end_date, l_orderkey, l_linenumber
+        |            ROWS UNBOUNDED PRECEDING) AS era_id
+        |  FROM flagged)
+        |SELECT person_id, concept_id, CAST(era_id AS BIGINT) AS era_id,
+        |  MIN(start_date) AS era_start, MAX(end_date) AS era_end,
+        |  COUNT(*) AS row_count
+        |FROM islands GROUP BY person_id, concept_id, era_id""".stripMargin
   )
 }

@@ -78,14 +78,16 @@ object PipelineQueries {
     Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
       bits = 16, segments = 4, maxHamming = 2)
 
-  /** Exact trigram-Jaccard pairs via inverted shingle index.
-    * (k=3: with a small vocabulary, bigram posting lists are ubiquitous
-    * and the index join degenerates toward N² — trigrams keep postings
-    * sparse, the standard shingle-width lever for this operator.)
+  /** Exact 4-gram-Jaccard pairs via inverted shingle index.
+    * (Shingle width is the sparsity lever for this operator: with a
+    * small vocabulary, short-shingle posting lists are ubiquitous and
+    * the index join degenerates toward N² candidate rows; 4-grams keep
+    * postings near-unique while true near-dups still share most
+    * shingles.)
     */
   def p04NgramJaccard(s: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
-      k = 3, threshold = 0.4)
+      k = 4, threshold = 0.4)
 
   // ------------------------------------------------------------ similarity
 
@@ -308,7 +310,7 @@ object PipelineQueries {
          |  CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT) AS hamming
          |FROM sims a JOIN sims b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.sim, b.sim)) <= 2""".stripMargin,
-    "p04_ngram_jaccard" -> oJaccardPairs(k = 3, threshold = 0.4),
+    "p04_ngram_jaccard" -> oJaccardPairs(k = 4, threshold = 0.4),
     "p05_cosine_topk" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
          |           FROM embeddings WHERE vec_id < 20),
