@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{GraftSession, Tables}
+import graft.operators._
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextFunctions}
+import graft.transforms._
+
+/** Thin command surface mirroring the reference CLI
+  * (/root/reference/pedsnetdcc/main.py — `transform`, `merge`,
+  * `split_measurement`, `run_derivations`, `sync_observation_period`,
+  * `check_fact_relationship`, `subset_by_cohort`, …), re-expressed as
+  * named Spark jobs over parquet schema directories, plus the
+  * beyond-reference pipeline jobs.
+  *
+  * Usage: graft.Cli <command> <args...>; every command reads
+  * `--in <dir>` style positional args and writes parquet to an output
+  * directory, so a reference user can drive the same pipelines
+  * job-by-job.
+  */
+object Cli {
+
+  private def usage(): Nothing = {
+    System.err.println(
+      """usage: graft.Cli <command> <args>
+        |  transform <siteDir> <site> <table> <outDir>   age+concept-name+site pipeline
+        |  merge <outDir> <table> <siteDir>...           N-way site union
+        |  split <dir> <table> <conceptCol> <outDir>     concept-set split (3 slices + other)
+        |  eras <dir> <outDir>                           condition-era build over lineitem intervals
+        |  obs-period <dir> <outDir>                     observation_period sync
+        |  checks <dir> <outDir>                         PK/FK/not-null validation counts
+        |  subset <dir> <table> <keyCol> <outDir>        cohort subsetting
+        |  sessionize <dir> <outDir>                     30-min event sessions
+        |  dedup-exact <dir> <outDir>                    exact document dedup
+        |  dedup-minhash <dir> <outDir>                  MinHash+LSH near-dup pairs
+        |  ann <dir> <outDir>                            cosine top-k for the query batch
+        |  text-stats <dir> <outDir>                     lang-id + quality + token counts
+        |  media-meta <dir> <outDir>                     multimodal payload metadata
+        |  views <dir> <prefix>                          register temp views, print DDL
+        |""".stripMargin)
+    sys.exit(2)
+  }
+
+  private def write(df: DataFrame, out: String): Unit =
+    df.write.mode("overwrite").parquet(out)
+
+  def main(args: Array[String]): Unit = {
+    if (args.isEmpty) usage()
+    val spark = GraftSession.local()
+    try run(spark, args.toList) finally spark.stop()
+  }
+
+  def run(spark: SparkSession, args: List[String]): Unit = args match {
+    case "transform" :: siteDir :: site :: table :: out :: Nil =>
+      val person = Tables.read(spark, siteDir, "customer").select(
+        col("c_custkey").as("person_id"),
+        date_add(lit("1970-01-01").cast("date"), (col("c_custkey") % 15000).cast("int"))
+          .cast("timestamp").as("birth_datetime"))
+      val concept = Tables.read(spark, siteDir, "nation").select(
+        col("n_nationkey").as("concept_id"), col("n_name").as("concept_name"))
+      val base = Tables.read(spark, siteDir, table)
+      val ctx = TransformContext(spark, site,
+        Map("person" -> person, "concept" -> concept))
+      val out0 = Transform.runAll(ctx, table, base, Seq(SiteNameTransform()))
+      write(out0, out)
+
+    case "merge" :: out :: table :: siteDirs if siteDirs.nonEmpty =>
+      val fields = Tables.read(spark, siteDirs.head, table).columns.toSeq
+      write(SetOps.mergeSites(spark, siteDirs, table, fields), out)
+
+    case "split" :: dir :: table :: conceptCol :: out :: Nil =>
+      val df = Tables.read(spark, dir, table)
+        .withColumn("__k", col(conceptCol).cast("long"))
+      SetOps.splitByConceptSets(df, "__k", Map(
+        "small" -> (1L to 15L).toSet,
+        "medium" -> (16L to 30L).toSet,
+        "large" -> (31L to 45L).toSet))
+        .foreach { case (name, slice) => write(slice.drop("__k"), s"$out/$name") }
+
+    case "eras" :: dir :: out :: Nil =>
+      write(queries.ParityQueries.q10Era(spark, dir), out)
+
+    case "obs-period" :: dir :: out :: Nil =>
+      write(queries.ParityQueries.q11ObsPeriod(spark, dir), out)
+
+    case "checks" :: dir :: out :: Nil =>
+      write(queries.ParityQueries.q18Checks(spark, dir), out)
+
+    case "subset" :: dir :: table :: keyCol :: out :: Nil =>
+      val facts = Tables.read(spark, dir, table)
+      val cohort = facts.select(col(keyCol)).distinct().limit(100)
+      write(SetOps.subsetByCohort(facts, cohort, Seq(keyCol)), out)
+
+    case "sessionize" :: dir :: out :: Nil =>
+      write(queries.PipelineQueries.p13Sessionize(spark, dir), out)
+
+    case "dedup-exact" :: dir :: out :: Nil =>
+      write(Dedup.exact(Tables.read(spark, dir, "documents"), "doc_id", "text"), out)
+
+    case "dedup-minhash" :: dir :: out :: Nil =>
+      write(queries.PipelineQueries.p02MinhashLsh(spark, dir), out)
+
+    case "ann" :: dir :: out :: Nil =>
+      write(queries.PipelineQueries.p05CosineTopK(spark, dir), out)
+
+    case "text-stats" :: dir :: out :: Nil =>
+      val toks = TextFunctions.tokens(col("text"))
+      write(Tables.read(spark, dir, "documents").select(
+        col("doc_id"),
+        TextFunctions.langId(toks).as("lang_pred"),
+        size(toks).as("n_tokens"),
+        TextFunctions.fingerprint(toks).as("fp")), out)
+
+    case "media-meta" :: dir :: out :: Nil =>
+      write(queries.PipelineQueries.p12Multimodal(spark, dir), out)
+
+    case "views" :: dir :: prefix :: Nil =>
+      val tables = Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem")
+      ViewDdl.registerTempViews(spark, dir, tables, prefix)
+      ViewDdl.render(tables.map(t => t -> Seq("*")).toMap, dir, prefix)
+        .foreach(println)
+
+    case _ => usage()
+  }
+}

@@ -37,6 +37,10 @@ object GraftSession {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "localhost")
+      // catalog-managed tables (bucketed layouts — the reference's
+      // index parity, SURVEY.md §2.11) need a writable warehouse
+      .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
+      .config("spark.sql.catalogImplementation", "in-memory")
     if (master.nonEmpty) b.master(master)
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

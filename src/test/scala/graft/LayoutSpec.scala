@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Physical-layout hints: the reference's index DDL maps to bucketing/
+  * partitioning in Spark (SURVEY.md §2.11, §4). This spec demonstrates
+  * the payoff the registry hints are for: a join between two tables
+  * bucketed on the join key needs NO shuffle exchange — at 100 TB that
+  * is the difference between a co-located join and re-shuffling both
+  * fact tables.
+  */
+class LayoutSpec extends SparkSpec {
+
+  test("bucketed tables co-locate the join (no Exchange in the plan)") {
+    import spark.implicits._
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    // in-memory catalog: locations from a previous JVM are not dropped
+    // by DROP TABLE, clear them on disk
+    Seq("b_orders", "b_lineitem").foreach { t =>
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(s"/tmp/graft_warehouse/$t"))
+    }
+    graft.core.Tables.read(spark, sf0001, "orders")
+      .select("o_orderkey", "o_totalprice")
+      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("b_orders")
+    graft.core.Tables.read(spark, sf0001, "lineitem")
+      .select("l_orderkey", "l_quantity")
+      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable("b_lineitem")
+
+    val joined = spark.table("b_lineitem")
+      .join(spark.table("b_orders"),
+        $"l_orderkey" === $"o_orderkey")
+    // force a non-broadcast plan so bucketing is what saves the shuffle
+    val plan = withSqlConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      joined.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    }
+    assert(plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("Exchange"), s"bucketed join must not shuffle:\n$plan")
+    assert(joined.count() > 0)
+  }
+
+  private def withSqlConf[T](pairs: (String, String)*)(f: => T): T = {
+    val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try f
+    finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+}
