@@ -55,9 +55,13 @@ object Dedup {
     val rows = numHashes / bands
     val seeds = minhashSeeds(numHashes)
     // native kernel (one md5 per shingle, compiled loop) — semantics
-    // identical to the HOF minhashSignature(shingleHashes(sh), seeds)
+    // identical to the HOF minhashSignature(shingleHashes(sh), seeds).
+    // The shingled frame feeds band explosion AND both verify sides;
+    // persist it so shingling/hashing runs once (the materialized-stage
+    // equivalent at cluster scale).
     val docs = shingled(df, idCol, textCol, k)
       .withColumn("sig", graft.functions.HashKernelFunctions.minhashSig(col("sh"), seeds))
+      .persist()
 
     val bandRows = docs.select(
       col("doc"),
@@ -141,7 +145,8 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String, k: Int,
       threshold: Double, maxShingleFreq: Option[Int] = None): DataFrame = {
-    val docs = shingled(df, idCol, textCol, k)
+    // shingling feeds the size table and both join aliases — run it once
+    val docs = shingled(df, idCol, textCol, k).persist()
     val sizes = docs.select(col("doc"), size(col("sh")).as("sz"))
     val inv0 = docs.select(col("doc"), explode(col("sh")).as("s"))
     val inv = maxShingleFreq match {
