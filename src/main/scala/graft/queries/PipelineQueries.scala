@@ -226,6 +226,44 @@ object PipelineQueries {
       .groupBy((col("k") % 10).as("k_mod"))
       .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
 
+  /** Deterministic hash-based train/validation/test split — the
+    * reproducible alternative to randomSplit for training corpora: the
+    * assignment depends only on the id, never on partitioning or seed
+    * state, so re-runs and engines agree row-for-row.
+    */
+  def p16HashSplit(s: SparkSession, dir: String): DataFrame = {
+    val bucket = TF.hash60(concat(lit("split"), col("doc_id").cast("string"))) % 100
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        when(bucket < 80, "train").when(bucket < 90, "valid")
+          .otherwise("test").as("split"))
+  }
+
+  /** TF-IDF top-3 terms per document (inverted-index shape: explode →
+    * per-(doc,term) tf → per-term df → score). Scores emitted as
+    * floor-micro ints; ties broken by term.
+    */
+  def p17Tfidf(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val n = docs.select(count(lit(1)).as("n_docs"))
+    val terms = docs.select(col("doc_id"), explode(TF.tokens(col("text"))).as("term"))
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = terms.select("doc_id", "term").distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf.join(dfreq, "term").crossJoin(broadcast(n))
+      .withColumn("score_micro",
+        floor(col("tf").cast("double") *
+          log(col("n_docs").cast("double") / col("df").cast("double")) * 1e6)
+          .cast("long"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id")
+      .orderBy(col("score_micro").desc, col("term").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("rank").cast("long").as("rank"),
+        col("term"), col("score_micro"))
+  }
+
   // ---------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -243,7 +281,9 @@ object PipelineQueries {
     "p12_multimodal" -> p12Multimodal _,
     "p13_sessionize" -> p13Sessionize _,
     "p14_window_agg" -> p14WindowAgg _,
-    "p15_json_props" -> p15JsonProps _
+    "p15_json_props" -> p15JsonProps _,
+    "p16_hash_split" -> p16HashSplit _,
+    "p17_tfidf" -> p17Tfidf _
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -429,6 +469,34 @@ object PipelineQueries {
       """SELECT CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) % 10 AS k_mod,
         |  COUNT(*) AS n,
         |  SUM(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS sum_k
-        |FROM events GROUP BY 1""".stripMargin
+        |FROM events GROUP BY 1""".stripMargin,
+    "p16_hash_split" ->
+      s"""SELECT doc_id,
+         |  CASE WHEN ${oHash("'split' || CAST(doc_id AS VARCHAR)")} % 100 < 80 THEN 'train'
+         |       WHEN ${oHash("'split' || CAST(doc_id AS VARCHAR)")} % 100 < 90 THEN 'valid'
+         |       ELSE 'test' END AS split
+         |FROM documents""".stripMargin,
+    "p17_tfidf" ->
+      s"""WITH terms AS (
+         |  SELECT doc_id, unnest($oToks) AS term FROM documents),
+         |tf AS (
+         |  SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY doc_id, term),
+         |dfreq AS (
+         |  SELECT term, COUNT(*) AS df
+         |  FROM (SELECT DISTINCT doc_id, term FROM terms) GROUP BY term),
+         |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+         |scored AS (
+         |  SELECT doc_id, tf.term,
+         |    CAST(FLOOR(CAST(tf AS DOUBLE)
+         |      * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)) * 1e6) AS BIGINT)
+         |      AS score_micro
+         |  FROM tf JOIN dfreq ON tf.term = dfreq.term, n),
+         |ranked AS (
+         |  SELECT doc_id, term, score_micro,
+         |    ROW_NUMBER() OVER (PARTITION BY doc_id
+         |                       ORDER BY score_micro DESC, term ASC) AS rank
+         |  FROM scored)
+         |SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, score_micro
+         |FROM ranked WHERE rank <= 3""".stripMargin
   )
 }
