@@ -18,13 +18,21 @@ import TextFunctions._
   */
 object Dedup {
 
+  /** Document corpora usually arrive as few dense files (1 input split
+    * ≪ cores); the per-document hashing below is the hot path, so
+    * spread rows across the cluster first — one small shuffle of raw
+    * rows unlocks full parallelism for everything downstream.
+    */
+  private def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   /** Exact dedup by content hash: one row per distinct normalized text,
     * keeping the smallest `idCol`, with the group size attached.
     * Equivalent to the classic hash-groupBy dedup; the md5 keeps the
     * shuffle key small (16 bytes) instead of shuffling full documents.
     */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(
+    spread(df).select(
         col(idCol),
         fingerprint(tokens(col(textCol))).as("fp"))
       .groupBy(col("fp"))
@@ -32,7 +40,7 @@ object Dedup {
 
   /** Shared prep: id, distinct k-shingle set. */
   def shingled(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
-    df.select(
+    spread(df).select(
       col(idCol).as("doc"),
       shingles(tokens(col(textCol)), k).as("sh"))
 
@@ -110,7 +118,7 @@ object Dedup {
     require(maxHamming < segments, "segment LSH is exact only for maxHamming < segments")
     val segBits = bits / segments
     val mask = (1L << segBits) - 1
-    val docs = df.select(
+    val docs = spread(df).select(
       col(idCol).as("doc"),
       graft.functions.HashKernelFunctions.simhash(tokens(col(textCol)), bits).as("sim"))
 
