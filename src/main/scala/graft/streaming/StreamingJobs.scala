@@ -43,13 +43,59 @@ object StreamingJobs {
   case class SessionState(start: Long, end: Long, n: Long)
   case class Session(user_id: Long, session_start: Long, session_end: Long,
       n_events: Long)
+  case class TimedEvent(user_id: Long, event_id: Long, ts: java.sql.Timestamp)
+
+  /** Production sessionization with EVENT-TIME state expiry: an open
+    * session also closes when the watermark passes `session_end + gap`
+    * — idle users' state is emitted and freed without waiting for
+    * their next event, which is what bounds state-store size on an
+    * unbounded stream. Input needs a TimestampType event-time column
+    * (watermark requirement).
+    */
+  def sessionizeEventTime(events: Dataset[TimedEvent], gapUs: Long,
+      watermarkDelay: String = "1 hour"): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[TimedEvent], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(userId, s.start, s.end, s.n))
+          } else {
+            val sorted = rows.toSeq
+              .map(e => (e.ts.getTime * 1000L, e.event_id))
+              .sortBy(identity)
+            var cur = state.getOption
+            val closed = Seq.newBuilder[Session]
+            sorted.foreach { case (tsUs, _) =>
+              cur match {
+                case Some(s) if tsUs - s.end <= gapUs =>
+                  cur = Some(SessionState(s.start, math.max(s.end, tsUs), s.n + 1))
+                case Some(s) =>
+                  closed += Session(userId, s.start, s.end, s.n)
+                  cur = Some(SessionState(tsUs, tsUs, 1))
+                case None =>
+                  cur = Some(SessionState(tsUs, tsUs, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // expire once the watermark passes the session's close
+              state.setTimeoutTimestamp((s.end + gapUs) / 1000L)
+            }
+            closed.result().iterator
+          }
+      }
+  }
 
   /** Gap-based sessionization as custom state: one open session per
     * user; an event beyond `gapUs` of the running end closes and emits
-    * the previous session. ProcessingTimeTimeout would leak sessions
-    * on a real stream — a production build keys the timeout to event
-    * time via watermark; here the timeout closes idle state when the
-    * stream ends (tests drain with a final flush).
+    * the previous session. Simplest variant (no state expiry) — see
+    * [[sessionizeEventTime]] for the watermark-bounded production form.
     */
   def sessionize(events: Dataset[Event], gapUs: Long): Dataset[Session] = {
     import events.sparkSession.implicits._

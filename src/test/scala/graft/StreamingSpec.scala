@@ -39,6 +39,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("event-time timeout closes idle sessions when the watermark passes") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamingJobs.TimedEvent]
+    val out = StreamingJobs.sessionizeEventTime(mem.toDS(),
+      gapUs = 120L * 1000 * 1000, watermarkDelay = "10 minutes")
+    val q = out.writeStream.format("memory").queryName("sess_et")
+      .outputMode("append").start()
+    try {
+      def ev(id: Long, s: String) =
+        StreamingJobs.TimedEvent(1L, id, Timestamp.valueOf(s))
+      mem.addData(ev(1, "2024-01-01 00:00:00"), ev(2, "2024-01-01 00:01:00"))
+      q.processAllAvailable()
+      assert(spark.table("sess_et").count() == 0) // session still open
+      // an unrelated user's much-later event advances the watermark past
+      // user 1's session_end + gap → timeout fires, session emitted
+      mem.addData(StreamingJobs.TimedEvent(99L, 9L,
+        Timestamp.valueOf("2024-01-01 06:00:00")))
+      q.processAllAvailable()
+      mem.addData(StreamingJobs.TimedEvent(99L, 10L,
+        Timestamp.valueOf("2024-01-01 07:00:00")))
+      q.processAllAvailable()
+      val rows = spark.table("sess_et").as[StreamingJobs.Session].collect().toSeq
+      val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime * 1000L
+      assert(rows.contains(StreamingJobs.Session(1L, base, base + 60_000_000L, 2L)))
+    } finally q.stop()
+  }
+
   test("streaming sessionize emits closed sessions across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[StreamingJobs.Event]
