@@ -42,6 +42,28 @@ class LayoutSpec extends SparkSpec {
     assert(joined.count() > 0)
   }
 
+  test("partitioned write routes rows and scans prune partitions") {
+    import spark.implicits._
+    // the reference's measurement partitioning-by-concept-class with
+    // trigger routing (pedsnetdcc/partition_measurement.py) maps to a
+    // partitionBy write + automatic partition pruning on read
+    val out = "/tmp/graft_partitioned_events"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+    graft.core.Tables.events(spark, sf0001)
+      .select("event_id", "user_id", "value", "event_type")
+      .write.partitionBy("event_type").mode("overwrite").parquet(out)
+
+    val clicks = spark.read.parquet(out).filter($"event_type" === "click")
+    val plan = clicks.queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+    assert(plan.contains("PartitionFilters"), plan)
+    assert(plan.contains("event_type"), plan)
+    // routing correctness: partition slice equals the predicate slice
+    val expected = graft.core.Tables.events(spark, sf0001)
+      .filter($"event_type" === "click").count()
+    assert(clicks.count() == expected && expected > 0)
+  }
+
   private def withSqlConf[T](pairs: (String, String)*)(f: => T): T = {
     val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
     pairs.foreach { case (k, v) => spark.conf.set(k, v) }
