@@ -264,6 +264,22 @@ object PipelineQueries {
         col("term"), col("score_micro"))
   }
 
+  /** Int8 embedding quantization: per-vector symmetric scale +
+    * quantized-vector checksums (sum/min/max — scalars so the oracle
+    * compare avoids array-rendering differences).
+    */
+  def p18Quantize(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+      .withColumn("scale", Similarity.quantScale(col("embedding")))
+      .withColumn("q", Similarity.quantize(col("embedding"), col("scale")))
+    e.select(
+      col("vec_id"),
+      floor(col("scale") * 1e6).cast("long").as("scale_micro"),
+      aggregate(col("q"), lit(0L), (acc, v) => acc + v).as("q_sum"),
+      array_min(col("q")).as("q_min"),
+      array_max(col("q")).as("q_max"))
+  }
+
   // ---------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -283,7 +299,8 @@ object PipelineQueries {
     "p14_window_agg" -> p14WindowAgg _,
     "p15_json_props" -> p15JsonProps _,
     "p16_hash_split" -> p16HashSplit _,
-    "p17_tfidf" -> p17Tfidf _
+    "p17_tfidf" -> p17Tfidf _,
+    "p18_quantize" -> p18Quantize _
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -497,6 +514,23 @@ object PipelineQueries {
          |                       ORDER BY score_micro DESC, term ASC) AS rank
          |  FROM scored)
          |SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, score_micro
-         |FROM ranked WHERE rank <= 3""".stripMargin
+         |FROM ranked WHERE rank <= 3""".stripMargin,
+    "p18_quantize" ->
+      """WITH s AS (
+        |  SELECT vec_id, embedding,
+        |    127.0 / list_aggregate(list_transform(embedding,
+        |      x -> abs(CAST(x AS DOUBLE))), 'max') AS scale
+        |  FROM embeddings),
+        |q AS (
+        |  SELECT vec_id, scale,
+        |    list_transform(embedding,
+        |      x -> CAST(FLOOR(CAST(x AS DOUBLE) * scale) AS BIGINT)) AS qv
+        |  FROM s)
+        |SELECT vec_id,
+        |  CAST(FLOOR(scale * 1e6) AS BIGINT) AS scale_micro,
+        |  list_sum(qv) AS q_sum,
+        |  list_aggregate(qv, 'min') AS q_min,
+        |  list_aggregate(qv, 'max') AS q_max
+        |FROM q""".stripMargin
   )
 }
