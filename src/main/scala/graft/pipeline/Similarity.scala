@@ -86,6 +86,55 @@ object Similarity {
         floor(col("sim") * 1e6).cast("long").as("sim_micro"))
   }
 
+  /** IVF (inverted-file) approximate top-k: a deterministic coarse
+    * quantizer — `centroidFilter` picks corpus rows to serve as
+    * centroids — partitions the corpus into cells (each vector joins
+    * its nearest centroid by cosine); a query probes only its own
+    * cell. The other classic ANN layout next to hyperplane LSH
+    * ([[lshTopK]]): cells adapt to the data distribution where LSH
+    * buckets are data-oblivious.
+    *
+    * Scale: assignment is corpus × C broadcast-join work (C small);
+    * probing shuffles on cell id only. A production build k-means-
+    * refines the centroids; the structure (assign → cell equi-join →
+    * exact re-rank) is identical.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, centroidFilter: Column, k: Int): DataFrame = {
+    val cents = broadcast(corpus.filter(centroidFilter)
+      .select(col(idCol).as("cent_id"), col(vecCol).as("ce"),
+        l2norm(col(vecCol)).as("ce_n")))
+    def assign(df: DataFrame, prefix: String): DataFrame = {
+      val base = df
+        .repartition(df.sparkSession.sparkContext.defaultParallelism)
+        .select(col(idCol).as(s"${prefix}_id"), col(vecCol).as(s"${prefix}v"),
+          l2norm(col(vecCol)).as(s"${prefix}n"))
+      val w = Window.partitionBy(col(s"${prefix}_id"))
+        .orderBy(
+          cosinePre(dot(col(s"${prefix}v"), col("ce")), col(s"${prefix}n"),
+            col("ce_n")).desc,
+          col("cent_id").asc)
+      base.crossJoin(cents)
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col(s"${prefix}_id"), col(s"${prefix}v"), col(s"${prefix}n"),
+          col("cent_id"))
+    }
+    val cellC = assign(corpus, "cand")
+    val cellQ = assign(queries, "query")
+    val scored = cellC.join(cellQ, Seq("cent_id"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("sim",
+        cosinePre(dot(col("queryv"), col("candv")), col("queryn"), col("candn")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("cand_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"), col("cand_id"),
+        floor(col("sim") * 1e6).cast("long").as("sim_micro"))
+  }
+
   /** Symmetric int8 quantization scale: 127 / max|v_i|. At corpus
     * scale, int8 vectors cut ANN memory/IO 4× vs float32; dequantized
     * scoring error is bounded by the scale. Quantized values use

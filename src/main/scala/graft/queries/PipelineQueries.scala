@@ -264,6 +264,16 @@ object PipelineQueries {
         col("term"), col("score_micro"))
   }
 
+  /** IVF approximate top-3: every 25th vector serves as a centroid,
+    * vectors join their nearest-centroid cell, queries probe only
+    * their own cell.
+    */
+  def p19Ivf(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 20), "vec_id", "embedding",
+      centroidFilter = col("vec_id") % 25 === 0, k = 3)
+  }
+
   /** Int8 embedding quantization: per-vector symmetric scale +
     * quantized-vector checksums (sum/min/max — scalars so the oracle
     * compare avoids array-rendering differences).
@@ -300,7 +310,8 @@ object PipelineQueries {
     "p15_json_props" -> p15JsonProps _,
     "p16_hash_split" -> p16HashSplit _,
     "p17_tfidf" -> p17Tfidf _,
-    "p18_quantize" -> p18Quantize _
+    "p18_quantize" -> p18Quantize _,
+    "p19_ivf" -> p19Ivf _
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -531,6 +542,31 @@ object PipelineQueries {
         |  list_sum(qv) AS q_sum,
         |  list_aggregate(qv, 'min') AS q_min,
         |  list_aggregate(qv, 'max') AS q_max
-        |FROM q""".stripMargin
+        |FROM q""".stripMargin,
+    "p19_ivf" ->
+      s"""WITH cents AS (
+         |  SELECT vec_id AS cent_id, embedding AS ce FROM embeddings
+         |  WHERE vec_id % 25 = 0),
+         |assign AS (
+         |  SELECT e.vec_id, e.embedding, cent_id,
+         |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${oCos("e.embedding", "ce")} DESC, cent_id ASC) AS rn
+         |  FROM embeddings e, cents),
+         |cells AS (
+         |  SELECT vec_id, embedding, cent_id FROM assign WHERE rn = 1),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         |    ${oCos("q.embedding", "c.embedding")} AS sim
+         |  FROM cells q JOIN cells c
+         |    ON q.cent_id = c.cent_id AND q.vec_id != c.vec_id
+         |  WHERE q.vec_id < 20),
+         |ranked AS (
+         |  SELECT query_id, cand_id, sim,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |                       ORDER BY sim DESC, cand_id ASC) AS rank
+         |  FROM scored)
+         |SELECT query_id, CAST(rank AS BIGINT) AS rank, cand_id,
+         |  CAST(FLOOR(sim * 1e6) AS BIGINT) AS sim_micro
+         |FROM ranked WHERE rank <= 3""".stripMargin
   )
 }
