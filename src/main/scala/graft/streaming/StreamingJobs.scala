@@ -39,6 +39,18 @@ object StreamingJobs {
 
   val outputMode: OutputMode = OutputMode.Append()
 
+  /** Streaming exact dedup: drop re-deliveries of the same key within
+    * the watermark horizon — the streaming twin of
+    * [[graft.pipeline.Dedup.exact]]. State holds one entry per key seen
+    * inside the horizon and is evicted by the watermark, which is what
+    * keeps it bounded on an unbounded stream.
+    */
+  def dedupByKey(events: DataFrame, eventTimeCol: String,
+      keyCols: Seq[String], watermarkDelay: String = "1 hour"): DataFrame =
+    events
+      .withWatermark(eventTimeCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
   case class Event(user_id: Long, event_id: Long, ts_us: Long)
   case class SessionState(start: Long, end: Long, n: Long)
   case class Session(user_id: Long, session_start: Long, session_end: Long,

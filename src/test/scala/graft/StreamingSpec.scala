@@ -39,6 +39,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup drops re-delivered keys within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val out = StreamingJobs.dedupByKey(
+      mem.toDF().toDF("ts", "event_id", "payload"), "ts", Seq("event_id"),
+      watermarkDelay = "10 minutes")
+    val q = out.writeStream.format("memory").queryName("dedup_s")
+      .outputMode("append").start()
+    try {
+      def ts(s: String) = Timestamp.valueOf(s)
+      mem.addData(
+        (ts("2024-01-01 00:00:00"), 1L, "a"),
+        (ts("2024-01-01 00:00:30"), 1L, "a-redelivered"),
+        (ts("2024-01-01 00:01:00"), 2L, "b"))
+      q.processAllAvailable()
+      // same key re-delivered in a later batch, still within watermark
+      mem.addData((ts("2024-01-01 00:02:00"), 1L, "a-again"))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_s").select("event_id")
+        .as[Long].collect().toSeq.sorted
+      assert(ids == Seq(1L, 2L))
+    } finally q.stop()
+  }
+
   test("event-time timeout closes idle sessions when the watermark passes") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[StreamingJobs.TimedEvent]
