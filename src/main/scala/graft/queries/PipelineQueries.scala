@@ -496,7 +496,7 @@ object PipelineQueries {
     "p15_json_props" ->
       """SELECT CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) % 10 AS k_mod,
         |  COUNT(*) AS n,
-        |  SUM(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS sum_k
+        |  CAST(SUM(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS BIGINT) AS sum_k
         |FROM events GROUP BY 1""".stripMargin,
     "p16_hash_split" ->
       s"""SELECT doc_id,
@@ -539,9 +539,9 @@ object PipelineQueries {
         |  FROM s)
         |SELECT vec_id,
         |  CAST(FLOOR(scale * 1e6) AS BIGINT) AS scale_micro,
-        |  list_sum(qv) AS q_sum,
-        |  list_aggregate(qv, 'min') AS q_min,
-        |  list_aggregate(qv, 'max') AS q_max
+        |  CAST(list_sum(qv) AS BIGINT) AS q_sum,
+        |  CAST(list_aggregate(qv, 'min') AS BIGINT) AS q_min,
+        |  CAST(list_aggregate(qv, 'max') AS BIGINT) AS q_max
         |FROM q""".stripMargin,
     "p19_ivf" ->
       s"""WITH cents AS (
