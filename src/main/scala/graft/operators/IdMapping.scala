@@ -15,10 +15,11 @@ import org.apache.spark.sql.functions._
   * appending the original PK as `site_id`
   * (id_mapping_transform.py:14-31, 213-294).
   *
-  * Spark shape: map tables are per-site and small relative to facts →
-  * broadcast joins; the reservation protocol becomes a single-writer
-  * read-modify-write on a parquet control table (the reference's LOCK
-  * implies the same single-writer assumption).
+  * Spark shape: PK map tables are fact-sized (one row per mapped key),
+  * so map joins shuffle by default and broadcast only when the caller
+  * knows the map is small; the reservation protocol becomes a
+  * single-writer read-modify-write on a parquet control table (the
+  * reference's LOCK implies the same single-writer assumption).
   */
 object IdMapping {
 
@@ -34,6 +35,13 @@ object IdMapping {
   /** Extend the map with new keys, numbering them lastId+1… in naturalKey
     * order (deterministic block allocation — the reference's
     * `row_number() + old_last_id`). Returns (newMap, newLastId).
+    *
+    * The anti-join output is persisted so the lineage runs once, shared
+    * by the `count` here and every later consumer of the returned map
+    * (without it, each consumer re-runs the anti-join + numbering).
+    * Batch drivers running many tables in one session should clear the
+    * cache between tables (`spark.catalog.clearCache()`), as Verify and
+    * Bench do per query.
     */
   def extendMap(
       facts: DataFrame,
@@ -42,6 +50,7 @@ object IdMapping {
       lastId: Long): (DataFrame, Long) = {
     val fresh = unmappedKeys(facts, naturalKey, idMap)
       .withColumnRenamed(naturalKey, "site_id")
+      .persist()
     val numbered = AssignIds
       .assign(fresh, Seq("site_id"), "dcc_id", lastId + 1)
     val newMap = idMap.unionByName(numbered)
@@ -54,14 +63,24 @@ object IdMapping {
     * nullable FK yields NULL, matching the reference's outer-join-iff-
     * nullable rule (id_mapping_transform.py:270-279). When `keepSiteId`
     * the original value is appended as `site_id` (PK case).
+    *
+    * PK map tables carry one row per fact row, so the map side is
+    * fact-sized — at 100-TB scale an unconditional broadcast is a
+    * guaranteed driver/executor OOM. The join therefore defaults to
+    * Catalyst/AQE's choice (sort-merge or shuffled-hash for a big map);
+    * callers mapping a genuinely small dimension pass
+    * `broadcastMap = true` (the same caller-gated pattern as
+    * [[Checks.fkOrphans]]).
     */
   def replaceId(
       df: DataFrame,
       key: String,
       idMap: DataFrame,
       nullable: Boolean,
-      keepSiteId: Boolean = false): DataFrame = {
-    val m = broadcast(idMap.select(col("site_id"), col("dcc_id")))
+      keepSiteId: Boolean = false,
+      broadcastMap: Boolean = false): DataFrame = {
+    val m0 = idMap.select(col("site_id"), col("dcc_id"))
+    val m = if (broadcastMap) broadcast(m0) else m0
     val joined = df.join(m, df(key) === m("site_id"), if (nullable) "left" else "inner")
     val replaced = df.columns.toSeq.map {
       case c if c == key => m("dcc_id").alias(key)
@@ -78,17 +97,21 @@ object IdMapping {
     * (id_mapping_transform.py:296-363).
     *
     * @param maps (domainCode -> idMap) — map tables with (site_id, dcc_id)
+    * @param broadcastMaps force-broadcast each per-domain map; leave false
+    *   when the maps are fact-sized (same gate as [[replaceId]])
     */
   def replacePolymorphicId(
       df: DataFrame,
       domainCol: String,
       factIdCol: String,
-      maps: Map[Int, DataFrame]): DataFrame = {
+      maps: Map[Int, DataFrame],
+      broadcastMaps: Boolean = false): DataFrame = {
     val joined = maps.toSeq.sortBy(_._1).foldLeft(df) { case (acc, (code, m)) =>
-      val mm = broadcast(
+      val mm0 =
         m.select(
           col("site_id").alias(s"__site_id_$code"),
-          col("dcc_id").alias(s"__dcc_id_$code")))
+          col("dcc_id").alias(s"__dcc_id_$code"))
+      val mm = if (broadcastMaps) broadcast(mm0) else mm0
       acc.join(
         mm,
         acc(factIdCol) === mm(s"__site_id_$code") && acc(domainCol) === lit(code),

@@ -141,41 +141,41 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("hamming").cast("long").as("hamming"))
   }
 
-  /** Exact n-gram-Jaccard pairs via inverted index: explode shingles,
-    * equi-join on the shingle, count shared shingles per pair, derive
-    * Jaccard from |A∩B| and the set sizes. Finds every pair with
-    * Jaccard > 0 (they share ≥ 1 shingle) — exact, and still an
-    * equi-join plan: the shuffle key is the shingle, and skew on
-    * ubiquitous shingles is the knob `maxShingleFreq` (drop shingles
-    * appearing in more than that many docs — standard stopword-shingle
-    * pruning; pairs only ever lose candidates that other shingles
-    * still generate unless ALL their shared shingles are ubiquitous).
+  /** n-gram-Jaccard pairs via inverted index: explode shingles into an
+    * inverted index keyed by the 60-bit shingle hash (an 8-byte shuffle
+    * key instead of the shingle string), equi-join on the key for
+    * candidate pairs, then verify the TRUE Jaccard from the full
+    * shingle sets. Separating candidate generation from verification
+    * makes both scale levers safe:
+    *
+    *  - hash keys: a 60-bit collision can only ADD a candidate pair,
+    *    which exact verification then scores correctly — values are
+    *    never wrong;
+    *  - `maxShingleFreq`: postings longer than this are dropped before
+    *    the self-join (standard stopword-shingle pruning — one shingle
+    *    shared by f docs alone contributes f²/2 candidate rows, the
+    *    inverted-index skew killer at corpus scale). A qualifying pair
+    *    is missed only if EVERY shingle it shares is ubiquitous; near
+    *    dups at meaningful thresholds share many specific shingles, so
+    *    the exhaustive oracle stays green with the knob engaged.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String, k: Int,
       threshold: Double, maxShingleFreq: Option[Int] = None): DataFrame = {
-    // shingling feeds the size table and both join aliases — run it once
+    // shingling feeds the inverted index and both verify sides — run it once
     val docs = shingled(df, idCol, textCol, k).persist()
-    val sizes = docs.select(col("doc"), size(col("sh")).as("sz"))
     val inv0 = docs.select(col("doc"), explode(col("sh")).as("s"))
+      .select(col("doc"), hash60(col("s")).as("h"))
     val inv = maxShingleFreq match {
       case Some(f) =>
-        val keep = inv0.groupBy("s").count().filter(col("count") <= f).select("s")
-        inv0.join(keep, "s")
+        val keep = inv0.groupBy("h").count().filter(col("count") <= f).select("h")
+        inv0.join(keep, "h")
       case None => inv0
     }
     val a = inv.alias("a")
     val b = inv.alias("b")
-    val inter = a.join(b, col("a.s") === col("b.s") && col("a.doc") < col("b.doc"))
-      .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
-      .agg(count(lit(1)).as("n_inter"))
-    inter
-      .join(sizes.select(col("doc").as("doc_a"), col("sz").as("sz_a")), "doc_a")
-      .join(sizes.select(col("doc").as("doc_b"), col("sz").as("sz_b")), "doc_b")
-      .withColumn("jaccard",
-        col("n_inter").cast("double") /
-          (col("sz_a") + col("sz_b") - col("n_inter")).cast("double"))
-      .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"),
-        floor(col("jaccard") * 1e6).cast("long").as("jaccard_micro"))
+    val cand = a.join(b, col("a.h") === col("b.h") && col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+      .distinct()
+    verifyJaccard(cand, docs, threshold)
   }
 }

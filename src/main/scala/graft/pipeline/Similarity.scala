@@ -4,8 +4,6 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import TextFunctions.hash60
-
 /** Similarity search over embedding columns (`array<float>`).
   *
   * Beyond-reference surface (BASELINE.json north star).
@@ -150,22 +148,34 @@ object Similarity {
   def quantize(vec: Column, scale: Column): Column =
     transform(vec, x => floor(x.cast("double") * scale).cast("long"))
 
-  /** Deterministic pseudo-random hyperplane weight for (plane, dim):
-    * an integer in [−1000, 1000] derived from the portable hash.
+  /** Deterministic pseudo-random hyperplane weights for plane `p`:
+    * integers in [−1000, 1000] derived from the portable 60-bit md5
+    * hash of "hp<p>_<i>" (i = 1-based dimension index) — the same
+    * value [[TextFunctions.hash60]] produces, but computed ONCE on the
+    * driver instead of per row per element. The weights are integers,
+    * so the float literal array is exact and the double products below
+    * are bit-identical to the old interpreted-HOF form (and to the
+    * DuckDB oracle, which still derives them via md5 in SQL).
     */
-  private def planeWeight(plane: Int, dim: Column): Column =
-    (hash60(concat(lit(s"hp${plane}_"), dim.cast("string"))) % 2001L - 1000L)
-      .cast("double")
+  private[graft] def planeWeights(plane: Int, dim: Int): Array[Float] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (1 to dim).map { i =>
+      val hex = md.digest(s"hp${plane}_$i".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      val h = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+      (h % 2001L - 1000L).toFloat
+    }.toArray
+  }
 
   /** Random-hyperplane LSH bucket id: bit p of the result is the sign
-    * of ⟨vec, w_p⟩ for hyperplane p ∈ [0, planes).
+    * of ⟨vec, w_p⟩ for hyperplane p ∈ [0, planes). The hyperplane
+    * weights are constant-folded driver-side ([[planeWeights]]) and the
+    * dot product runs through the codegen kernel — no per-row hashing,
+    * no interpreted lambdas in the bucketing scan.
     */
   def lshBucket(vec: Column, dim: Int, planes: Int): Column =
     (0 until planes).map { p =>
-      val d = aggregate(
-        transform(sequence(lit(1), lit(dim)),
-          i => element_at(vec, i).cast("double") * planeWeight(p, i)),
-        lit(0.0), (acc, v) => acc + v)
+      val d = dot(vec, typedLit(planeWeights(p, dim)))
       when(d > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 

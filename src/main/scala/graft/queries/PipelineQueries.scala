@@ -78,16 +78,21 @@ object PipelineQueries {
     Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
       bits = 16, segments = 4, maxHamming = 2)
 
-  /** Exact 4-gram-Jaccard pairs via inverted shingle index.
-    * (Shingle width is the sparsity lever for this operator: with a
-    * small vocabulary, short-shingle posting lists are ubiquitous and
-    * the index join degenerates toward N² candidate rows; 4-grams keep
-    * postings near-unique while true near-dups still share most
-    * shingles.)
+  /** 4-gram-Jaccard pairs via inverted shingle index, with BOTH scale
+    * levers engaged: 60-bit hashed posting keys (8-byte shuffle) and
+    * stopword-shingle pruning at 10% of the corpus — a posting list
+    * longer than that contributes O(f²) candidate rows by itself (the
+    * inverted-index skew killer), while true near-dups at J ≥ 0.4
+    * still share plenty of sub-threshold shingles. The oracle is the
+    * exhaustive pair scan, so a pass certifies that pruning lost no
+    * qualifying pair at this SF.
     */
-  def p04NgramJaccard(s: SparkSession, dir: String): DataFrame =
-    Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
-      k = 4, threshold = 0.4)
+  def p04NgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val freqCap = math.max(20, (docs.count() / 10).toInt)
+    Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      k = 4, threshold = 0.4, maxShingleFreq = Some(freqCap))
+  }
 
   // ------------------------------------------------------------ similarity
 

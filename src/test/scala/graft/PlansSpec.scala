@@ -50,4 +50,39 @@ class PlansSpec extends SparkSpec {
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
       || p.contains("BroadcastHashJoin"), p)
   }
+
+  test("id-map replacement does not force-broadcast the map") {
+    // PK maps are fact-sized; replaceId must not carry a broadcast HINT
+    // (at 100 TB the measurement map alone OOMs the driver). With
+    // auto-broadcast off, a hint would still produce BroadcastHashJoin;
+    // the default path must fall back to a shuffle join.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p = plan(ParityQueries.q15IdMap(spark, sf0001))
+      assert(!p.contains("BroadcastHashJoin"), p)
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("hyperplane LSH buckets carry no per-row hashing (p06)") {
+    import org.apache.spark.sql.functions.col
+    // weights are constant-folded on the driver: the bucket expression
+    // must be literal arrays + the codegen dot kernel, no md5/conv
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val expr = org.apache.spark.sql.graftbridge.ColumnBridge
+      .expression(graft.pipeline.Similarity
+        .lshBucket(col("embedding"), dim = 64, planes = 4)).toString
+    assert(!expr.contains("md5") && !expr.contains("conv"), expr)
+    assert(expr.contains("dot_product_f"), expr)
+    val p = plan(emb.select(graft.pipeline.Similarity
+      .lshBucket(col("embedding"), 64, 4).as("b")))
+    assert(!p.contains("md5"), p)
+  }
+
+  test("ngram-Jaccard inverted index joins on 8-byte hash keys (p04)") {
+    val p = plan(PipelineQueries.p04NgramJaccard(spark, sf0001))
+    // candidate generation must be an equi-join (no nested loop)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
 }
