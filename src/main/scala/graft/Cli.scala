@@ -60,10 +60,30 @@ object Cli {
           .cast("timestamp").as("birth_datetime"))
       val concept = Tables.read(spark, siteDir, "nation").select(
         col("n_nationkey").as("concept_id"), col("n_name").as("concept_name"))
-      val base = Tables.read(spark, siteDir, table)
+      val base0 = Tables.read(spark, siteDir, table)
       val ctx = TransformContext(spark, site,
         Map("person" -> person, "concept" -> concept))
-      val out0 = Transform.runAll(ctx, table, base, Seq(SiteNameTransform()))
+      // the full stock pipeline, as the usage text promises: age (on the
+      // orders fact shape), concept names (for *_concept_id columns),
+      // site label. Age/concept steps no-op on tables without the
+      // configured columns, matching the reference's per-table dispatch.
+      val (base, ageCols) =
+        if (table == "orders")
+          (base0
+            .join(Tables.read(spark, siteDir, "customer"),
+              col("o_custkey") === col("c_custkey"))
+            .select(
+              base0.columns.map(base0(_)) :+
+                col("o_custkey").as("person_id") :+
+                col("c_nationkey").as("nation_concept_id") :+
+                col("o_orderdate").cast("timestamp").as("order_datetime"): _*),
+            Map(table -> Seq("order_datetime")))
+        else (base0, Map.empty[String, Seq[String]])
+      val out0 = Transform.runAll(ctx, table, base, Seq(
+        AgeTransform(ageCols),
+        ConceptNameTransform(_ =>
+          base.columns.toSeq.filter(_.endsWith("_concept_id"))),
+        SiteNameTransform()))
       write(out0, out)
 
     case "merge" :: out :: table :: siteDirs if siteDirs.nonEmpty =>

@@ -1,7 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+
+import graft.model.Model
 
 /** Constraint validation passes.
   *
@@ -51,4 +53,75 @@ object Checks {
   /** Rows violating NOT NULL on any of the given columns. */
   def notNullViolations(df: DataFrame, cols: Seq[String]): DataFrame =
     df.filter(cols.map(c => col(c).isNull).reduce(_ || _))
+
+  /** One polymorphic-reference domain for [[badRowReport]]: rows
+    * matching `pred` must have `fkCol` present in `parent.parentKey`.
+    */
+  final case class DomainRef(
+      domain: String,
+      pred: org.apache.spark.sql.Column,
+      fkCol: String,
+      parent: DataFrame,
+      parentKey: String)
+
+  /** Per-domain bad-row report with example rows — the reference's
+    * fact_relationship check emits, per domain and fact-id field, an
+    * orphan count plus a `LIMIT 1` sample row for the error log
+    * (/root/reference/pedsnetdcc/check_fact_relationship.py:142-248).
+    * A LIMIT-1 sample is nondeterministic under parallel scan, so the
+    * sample here is the MINIMUM violating id — same diagnostic value,
+    * reproducible on any engine. Returns one row per domain:
+    * (domain, n_bad, example_id — NULL when the domain is clean).
+    */
+  def badRowReport(
+      facts: DataFrame,
+      refs: Seq[DomainRef],
+      idCol: String): DataFrame =
+    refs.map { r =>
+      val parentKeys =
+        broadcast(r.parent.select(col(r.parentKey).as(r.fkCol)).dropDuplicates())
+      facts.filter(r.pred && col(r.fkCol).isNotNull)
+        .join(parentKeys, Seq(r.fkCol), "left_anti")
+        .agg(
+          count(lit(1)).as("n_bad"),
+          min(col(idCol)).as("example_id"))
+        .select(lit(r.domain).as("domain"), col("n_bad"), col("example_id"))
+    }.reduce(_ unionByName _)
+
+  /** Registry-driven validation report: one row per model table with
+    * PK-duplicate / FK-orphan / NOT-NULL-violation counts, the
+    * constraint specs resolved from the [[graft.model.Model]] exactly
+    * as the reference resolves them from `stock_metadata`
+    * (primary_keys.py:19-40, foreign_keys.py:18-44, not_nulls.py:15-36)
+    * instead of hand-passed lists.
+    *
+    * `lookup` resolves a table name to its DataFrame; tables it cannot
+    * resolve (not materialized in this run) are skipped, matching the
+    * reference's behavior of constraining only existing tables.
+    * FK orphan counts sum over every FK of the child table; an FK whose
+    * parent is missing from `lookup` is skipped.
+    */
+  def modelReport(
+      spark: SparkSession,
+      model: Model,
+      lookup: String => Option[DataFrame],
+      broadcastParents: Boolean = false): DataFrame = {
+    val rows = model.tableSeq.flatMap { t =>
+      lookup(t.name).map { df =>
+        val pkDups =
+          if (t.pk.nonEmpty) pkDuplicates(df, t.pk).count() else 0L
+        val orphans = t.fks.flatMap { fk =>
+          lookup(fk.refTable).map { parent =>
+            fkOrphans(df, fk.cols, parent, fk.refCols, broadcastParents).count()
+          }
+        }.sum
+        val nulls =
+          if (t.notNull.nonEmpty) notNullViolations(df, t.notNull).count()
+          else 0L
+        (t.name, pkDups, orphans, nulls)
+      }
+    }
+    import spark.implicits._
+    rows.toDF("table_name", "pk_dups", "fk_orphans", "null_violations")
+  }
 }

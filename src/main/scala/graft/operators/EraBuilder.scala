@@ -30,19 +30,19 @@ import org.apache.spark.sql.functions._
   */
 object EraBuilder {
 
-  /** @param df        input intervals
-    * @param partition grouping keys (e.g. person_id, concept_id)
-    * @param start     interval start column name
-    * @param end       interval end column name (rows with end < start are
-    *                  treated as [start, start])
-    * @param gapDays   merge intervals whose start is within gapDays after
-    *                  the running max end
-    * @param tiebreak  extra ordering columns making the within-partition
-    *                  order total (determinism at equal (start,end))
-    * @return one row per era: partition cols, era_id (1-based ordinal
-    *         within the partition), era_start, era_end, row_count
+  /** Per-row era assignment: the input rows with an `era_id` column
+    * appended (1-based ordinal within the partition). This is the
+    * window pass [[eras]] aggregates over, exposed for derivations
+    * that need row↔era membership before rolling up (e.g. the SCDF
+    * drug-era variant groups exposures by era AND drug type,
+    * /root/reference/pedsnetdcc/era.py:353-386). One shuffle on the
+    * partition keys; callers whose follow-up groupBy starts with the
+    * same keys reuse the partitioning.
+    *
+    * Rows with end < start extend the running max only by their raw
+    * end (callers pre-normalize inverted intervals if they can occur).
     */
-  def eras(
+  def eraIds(
       df: DataFrame,
       partition: Seq[String],
       start: String,
@@ -62,6 +62,31 @@ object EraBuilder {
       .withColumn(
         "era_id",
         sum(col("__new_era")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .drop("__new_era")
+  }
+
+  /** @param df        input intervals
+    * @param partition grouping keys (e.g. person_id, concept_id)
+    * @param start     interval start column name
+    * @param end       interval end column name (rows with end < start
+    *                  extend the running max only by their raw end —
+    *                  callers pre-normalize inverted intervals)
+    * @param gapDays   merge intervals whose start is within gapDays after
+    *                  the running max end
+    * @param tiebreak  extra ordering columns making the within-partition
+    *                  order total (determinism at equal (start,end))
+    * @return one row per era: partition cols, era_id (1-based ordinal
+    *         within the partition), era_start, era_end, row_count
+    */
+  def eras(
+      df: DataFrame,
+      partition: Seq[String],
+      start: String,
+      end: String,
+      gapDays: Int,
+      tiebreak: Seq[String] = Seq.empty): DataFrame = {
+    val pcols = partition.map(col)
+    eraIds(df, partition, start, end, gapDays, tiebreak)
       .groupBy((pcols :+ col("era_id")): _*)
       .agg(
         min(col(start)).as("era_start"),

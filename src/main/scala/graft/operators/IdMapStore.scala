@@ -1,6 +1,6 @@
 package graft.operators
 
-import java.nio.file.{Files, Path, Paths}
+import org.apache.hadoop.fs.{FileSystem, Path}
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
@@ -12,11 +12,22 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   * (/root/reference/pedsnetdcc/id_maps.py:20-167, 258-293).
   *
   * Spark-native twin: parquet control tables under a store directory,
-  * updated with an ATOMIC SWAP (write staging → rename) — the same
-  * write-new-then-repoint discipline the reference implements as a
+  * updated with an atomic directory swap (write staging → rename) — the
+  * same write-new-then-repoint discipline the reference implements as a
   * transactional backup-schema swap
   * (/root/reference/pedsnetdcc/transform_runner.py:899-927). Single
   * writer assumed, exactly like the reference's `LOCK TABLE` protocol.
+  *
+  * Crash safety: the previous live version is renamed to `<path>__prev`
+  * BEFORE the new version moves in, and is retained until the NEXT
+  * write — so a crash between the two renames leaves `__prev` complete
+  * and [[load]] falls back to it (the old, consistent state; never an
+  * empty store that would silently restart dcc ids from 1). The map and
+  * its last-id counter live inside ONE swapped directory, so they can
+  * never be observed from different versions. All paths go through the
+  * Hadoop FileSystem API, so the store works on HDFS/S3A/local alike
+  * (rename is atomic on HDFS; on object stores the window is the
+  * rename's copy, still recoverable via `__prev`).
   */
 object IdMapStore {
 
@@ -24,33 +35,48 @@ object IdMapStore {
     StructField("site_id", LongType),
     StructField("dcc_id", LongType)))
 
-  private def mapPath(dir: String, table: String) = s"$dir/${table}_ids"
-  private def lastIdPath(dir: String, table: String) = s"$dir/${table}_last_id"
+  private def tablePath(dir: String, table: String) = s"$dir/${table}_ids"
+
+  private def fsFor(spark: SparkSession, path: String): FileSystem =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** The readable version of `path`: the live directory, or `__prev`
+    * when a crash stranded the swap between its two renames.
+    */
+  private def resolve(fs: FileSystem, path: String): Option[String] =
+    if (fs.exists(new Path(path))) Some(path)
+    else if (fs.exists(new Path(path + "__prev"))) Some(path + "__prev")
+    else None
 
   /** Load (map, lastId) for a table; empty map + 0 when absent. */
   def load(spark: SparkSession, dir: String, table: String): (DataFrame, Long) = {
-    val mp = mapPath(dir, table)
-    if (Files.exists(Paths.get(mp))) {
-      val m = spark.read.parquet(mp)
-      val last = spark.read.parquet(lastIdPath(dir, table))
-        .select(col("last_id")).head().getLong(0)
-      (m, last)
-    } else {
-      (spark.createDataFrame(spark.sparkContext.emptyRDD[Row], mapSchema), 0L)
+    val tp = tablePath(dir, table)
+    resolve(fsFor(spark, tp), tp) match {
+      case Some(p) =>
+        val m = spark.read.parquet(s"$p/map")
+        val last = spark.read.parquet(s"$p/last_id")
+          .select(col("last_id")).head().getLong(0)
+        (m, last)
+      case None =>
+        (spark.createDataFrame(spark.sparkContext.emptyRDD[Row], mapSchema), 0L)
     }
   }
 
-  /** Persist (map, lastId) with an atomic directory swap: the new
-    * version lands in `<path>__staging`, then replaces the live path in
-    * one rename pair. Readers of the old version keep their snapshot
-    * (parquet files are immutable); a crash leaves either old or new,
-    * never a mix.
+  /** Persist (map, lastId) atomically: both land in one staging
+    * directory, which then replaces the live directory in a single
+    * rename — a reader never sees a new map with an old counter.
     */
   def save(map: DataFrame, lastId: Long, dir: String, table: String): Unit = {
     val spark = map.sparkSession
-    atomicWrite(map, mapPath(dir, table))
+    val tp = tablePath(dir, table)
+    val staging = tp + "__staging"
+    // the write fully materializes before any move, so saving a map
+    // whose lineage reads the live path is safe
+    map.write.mode("overwrite").parquet(s"$staging/map")
     import spark.implicits._
-    atomicWrite(Seq(lastId).toDF("last_id"), lastIdPath(dir, table))
+    Seq(lastId).toDF("last_id").write.mode("overwrite")
+      .parquet(s"$staging/last_id")
+    swapIn(fsFor(spark, tp), staging, tp)
   }
 
   /** Copy a table's map + counter into the next data cycle's store
@@ -67,19 +93,24 @@ object IdMapStore {
     * also feeds `df`'s lineage is safe.
     */
   def atomicWrite(df: DataFrame, path: String): Unit = {
-    val staging = Paths.get(path + "__staging")
-    val live = Paths.get(path)
-    val backup = Paths.get(path + "__prev")
-    df.write.mode("overwrite").parquet(staging.toString)
-    deleteRecursively(backup)
-    if (Files.exists(live)) Files.move(live, backup)
-    Files.move(staging, live)
-    deleteRecursively(backup)
+    val staging = path + "__staging"
+    df.write.mode("overwrite").parquet(staging)
+    swapIn(fsFor(df.sparkSession, path), staging, path)
   }
 
-  private def deleteRecursively(p: Path): Unit =
-    if (Files.exists(p)) {
-      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-        .forEach(f => Files.delete(f))
-    }
+  /** staging → live, retiring live → `__prev`. The old `__prev` is
+    * deleted only now (a complete replacement exists in staging), and
+    * the NEW `__prev` is retained after the swap so [[resolve]] can
+    * fall back if a crash lands between the two renames.
+    */
+  private def swapIn(fs: FileSystem, staging: String, live: String): Unit = {
+    val stagingP = new Path(staging)
+    val liveP = new Path(live)
+    val prevP = new Path(live + "__prev")
+    fs.delete(prevP, true)
+    if (fs.exists(liveP) && !fs.rename(liveP, prevP))
+      sys.error(s"IdMapStore: failed to retire $live")
+    if (!fs.rename(stagingP, liveP))
+      sys.error(s"IdMapStore: failed to publish $staging -> $live")
+  }
 }

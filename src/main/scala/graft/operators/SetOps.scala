@@ -73,6 +73,40 @@ object SetOps {
     target.unionByName(fresh.select(target.columns.map(col).toSeq: _*))
   }
 
+  /** One branch of an OR-of-EXISTS subset: rows matching `pred` are
+    * kept iff their `fkCol` value exists among `parent`'s `parentKey`s.
+    */
+  final case class ExistsBranch(
+      pred: org.apache.spark.sql.Column,
+      parent: DataFrame,
+      fkCol: String,
+      parentKey: String,
+      broadcastParent: Boolean = true)
+
+  /** OR-of-EXISTS subsetting — the reference's fact_relationship
+    * special-case during cohort subsetting, where a row survives if ANY
+    * of its per-domain EXISTS predicates matches
+    * (/root/reference/pedsnetdcc/subset_by_cohort.py:198-205: visit=8 /
+    * drug=13 / measurement=21 / observation=27 branches OR-ed together;
+    * same shape in subset_pcornet_by_cohort.py).
+    *
+    * Branch predicates must be mutually exclusive (the reference's are:
+    * each row has exactly one domain code), so the branch semi-joins
+    * union WITHOUT a dedup pass — each fact row can satisfy at most one
+    * branch. Scale: every branch is filter → semi-join on its own key;
+    * cohort/parent key sets broadcast by default (they are the small
+    * side), so the fact table streams through once per branch with no
+    * fact-side shuffle.
+    */
+  def subsetByAnyExists(
+      facts: DataFrame,
+      branches: Seq[ExistsBranch]): DataFrame =
+    branches.map { b =>
+      val keys0 = b.parent.select(col(b.parentKey).as(b.fkCol)).dropDuplicates()
+      val keys = if (b.broadcastParent) broadcast(keys0) else keys0
+      facts.filter(b.pred).join(keys, Seq(b.fkCol), "left_semi")
+    }.reduce(_ unionByName _)
+
   /** J10: UPDATE-join as recompute-and-rewrite — replace `targetCol` with
     * the value from `source` matched on `key`, keeping the old value when
     * unmatched (/root/reference/pedsnetdcc/era.py:392-418 updates concept

@@ -30,4 +30,30 @@ object ViewDdl {
       graft.core.Tables.read(spark, dir, t)
         .createOrReplaceTempView(s"${prefix}_$t")
     }
+
+  /** Union view over split slices (U4): the reference re-exposes the
+    * split measurement tables as one `measurements` view —
+    * `create view measurements as select * from measurement_anthro
+    * union all …` (/root/reference/pedsnetdcc/split_measurement.py:
+    * 325-331). Registers each slice as a temp view plus the UNION ALL
+    * view itself, and returns the rendered DDL. Reads through the view
+    * stay partition-parallel: a UNION ALL view is plan-level only (no
+    * shuffle), and per-slice predicates still push down into each
+    * slice's scan.
+    */
+  def unionView(
+      spark: SparkSession,
+      viewName: String,
+      slices: Map[String, org.apache.spark.sql.DataFrame]): String = {
+    slices.toSeq.sortBy(_._1).foreach { case (name, df) =>
+      df.createOrReplaceTempView(name)
+    }
+    val ddl = s"CREATE OR REPLACE VIEW $viewName AS " +
+      slices.keys.toSeq.sorted.map(n => s"SELECT * FROM $n")
+        .mkString(" UNION ALL ") + ";"
+    spark.sql(s"CREATE OR REPLACE TEMP VIEW $viewName AS " +
+      slices.keys.toSeq.sorted.map(n => s"SELECT * FROM $n")
+        .mkString(" UNION ALL "))
+    ddl
+  }
 }

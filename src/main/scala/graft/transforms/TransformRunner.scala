@@ -28,6 +28,31 @@ object TransformRunner {
   /** Per-table validation spec: PK columns and NOT NULL columns. */
   final case class TableChecks(pk: Seq[String] = Nil, notNull: Seq[String] = Nil)
 
+  /** Derive the per-table validation specs from a schema registry —
+    * the registry-driven path matching the reference, where
+    * `stock_metadata(model_version)` feeds every constraint pass
+    * (primary_keys.py:19-40, not_nulls.py:15-36) rather than callers
+    * hand-passing column lists.
+    */
+  def checksFor(model: graft.model.Model): Map[String, TableChecks] =
+    model.tableSeq.map { t =>
+      t.name -> TableChecks(pk = t.pk, notNull = t.notNull)
+    }.toMap
+
+  /** Registry-driven run: tables and validation specs come from the
+    * model; only tables present in the registry are processed.
+    */
+  def run(
+      spark: SparkSession,
+      siteDir: String,
+      site: String,
+      model: graft.model.Model,
+      transforms: Seq[Transform],
+      lookup: String => DataFrame,
+      outDir: String): Seq[TableResult] =
+    run(spark, siteDir, site, model.tableSeq.map(_.name), transforms, lookup,
+      checksFor(model), outDir)
+
   final case class TableResult(table: String, rows: Long, pkDuplicates: Long,
       nullViolations: Long)
 

@@ -47,4 +47,36 @@ class IdMapStoreSpec extends SparkSpec {
     val (m3, l3) = IdMapStore.load(spark, store2, "customer")
     assert(l3 == 5L && m3.count() == 5L)
   }
+
+  test("a crash stranded between the swap renames still loads the old map") {
+    val store = "/tmp/graft_idmap_store_crash"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(store))
+    new java.io.File(store).mkdirs()
+
+    val facts = Seq(10L, 20L, 30L).toDF("custkey")
+    val (m0, l0) = IdMapStore.load(spark, store, "customer")
+    val (m1, l1) = IdMapping.extendMap(facts, "custkey", m0, l0)
+    IdMapStore.save(m1, l1, store, "customer")
+
+    // simulate a crash between rename(live -> __prev) and
+    // rename(staging -> live): live is gone, __prev holds the old state
+    val live = new java.io.File(s"$store/customer_ids")
+    val prev = new java.io.File(s"$store/customer_ids__prev")
+    org.apache.commons.io.FileUtils.deleteQuietly(prev)
+    assert(live.renameTo(prev))
+
+    // load MUST fall back to __prev: same mappings, same counter —
+    // never (empty, 0), which would reassign dcc ids from 1
+    val (m2, l2) = IdMapStore.load(spark, store, "customer")
+    assert(l2 == 3L, "crash recovery must preserve the last id")
+    val mapped = m2.orderBy("site_id").as[(Long, Long)].collect().toSeq
+    assert(mapped == Seq((10L, 1L), (20L, 2L), (30L, 3L)))
+
+    // and the next save publishes cleanly over the recovered state
+    val (m3, l3) = IdMapping.extendMap(
+      Seq(10L, 20L, 30L, 40L).toDF("custkey"), "custkey", m2, l2)
+    IdMapStore.save(m3, l3, store, "customer")
+    val (m4, l4) = IdMapStore.load(spark, store, "customer")
+    assert(l4 == 4L && m4.count() == 4L)
+  }
 }

@@ -1,0 +1,57 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.model.PedsnetModel
+
+/** Schema-registry invariants (the stock_metadata parity surface):
+  * constraint lookups resolve, FK references close over the model, and
+  * the not-null rule matches the reference's (PK columns excluded from
+  * the non-PK not-null set, not_nulls.py:33-35).
+  */
+class ModelSpec extends AnyFunSuite {
+
+  for (model <- Seq(PedsnetModel.v33, PedsnetModel.tpch)) {
+
+    test(s"${model.name}/${model.version}: FK references resolve within the model") {
+      for {
+        t <- model.tableSeq
+        fk <- t.fks
+      } {
+        val parent = model.table(fk.refTable)
+        assert(fk.refCols.forall(parent.columns.contains),
+          s"${t.name} FK -> ${fk.refTable}(${fk.refCols.mkString(",")})")
+        assert(fk.cols.forall(t.columns.contains), s"${t.name} FK cols")
+        // FKs reference the parent's PK (the reference's constraints do)
+        assert(parent.pk == fk.refCols,
+          s"${t.name} FK must target ${fk.refTable}'s PK")
+      }
+    }
+
+    test(s"${model.name}/${model.version}: pk/fk/notNull constraint maps are consistent") {
+      assert(model.primaryKeys.keySet.subsetOf(model.tables.keySet))
+      assert(model.foreignKeys.keySet.subsetOf(model.tables.keySet))
+      for (t <- model.tableSeq) {
+        assert(t.pk.forall(t.columns.contains), s"${t.name} pk cols exist")
+        assert(t.notNull.forall(t.columns.contains), s"${t.name} notNull cols exist")
+        // non-PK not-null excludes every PK column (not_nulls.py rule)
+        assert(t.notNullNonPk.intersect(t.pk).isEmpty, t.name)
+      }
+    }
+  }
+
+  test("pedsnet model carries the core CDM tables the reference constrains") {
+    val names = PedsnetModel.v33.tables.keySet
+    for (t <- Seq("person", "visit_occurrence", "measurement",
+        "drug_exposure", "condition_occurrence", "observation",
+        "fact_relationship", "observation_period"))
+      assert(names.contains(t), t)
+    // fact tables carry the person_id bucketing layout hint
+    val m = PedsnetModel.v33.table("measurement")
+    assert(m.layout.exists(_.bucketBy == Seq("person_id")))
+  }
+
+  test("fact_relationship has no PK, matching the CDM") {
+    assert(PedsnetModel.v33.table("fact_relationship").pk.isEmpty)
+  }
+}

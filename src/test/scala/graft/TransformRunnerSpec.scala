@@ -40,4 +40,26 @@ class TransformRunnerSpec extends SparkSpec {
     assert(spark.read.parquet(s"$out/nation.parquet")
       .select("site").distinct().collect().map(_.getString(0)).toSeq == Seq("siteB"))
   }
+
+  test("registry-driven run derives tables and checks from the model") {
+    val out = "/tmp/graft_runner_model_out"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+    new java.io.File(out).mkdirs()
+
+    // a two-table slice of the registry keeps the test fast while still
+    // proving the model (not hand lists) drives tables + validation
+    val model = graft.model.PedsnetModel.tpch
+    val slice = graft.model.Model(model.name, model.version,
+      model.tableSeq.filter(t => Set("nation", "region").contains(t.name)))
+    val results = TransformRunner.run(
+      spark, sf0001, "siteA", slice,
+      transforms = Seq(SiteNameTransform()),
+      lookup = Map.empty,
+      outDir = out)
+    assert(results.map(r => (r.table, r.rows, r.pkDuplicates, r.nullViolations))
+      .toSet == Set(("nation", 25L, 0L, 0L), ("region", 5L, 0L, 0L)))
+    // the spec came from the registry: notNull includes n_name, so a
+    // model-driven check of a table with nulls would report them
+    assert(TransformRunner.checksFor(slice)("nation").notNull.contains("n_name"))
+  }
 }
