@@ -39,6 +39,14 @@ object Cli {
         |  text-stats <dir> <outDir>                     lang-id + quality + token counts
         |  media-meta <dir> <outDir>                     multimodal payload metadata
         |  views <dir> <prefix>                          register temp views, print DDL
+        |  ext-id-map <dir> <inCsv> <outCsv>             CSV external-id mapping
+        |  scdf-era <dir> <outDir>                       SCDF drug-era derivation package
+        |  registry-checks <dir> <outDir>                model-driven PK/FK/not-null report
+        |  stats <dir> <outDir>                          ANALYZE statistics pass
+        |  bad-rows <dir> <outDir>                       per-domain orphan samples
+        |  union-view <dir> <outDir>                     split slices + UNION ALL view
+        |  idmap-copy <fromDir> <toDir> <table>          copy id map into next cycle store
+        |  subset-any <dir> <outDir>                     OR-of-EXISTS cohort subsetting
         |""".stripMargin)
     sys.exit(2)
   }
@@ -142,6 +150,31 @@ object Cli {
       ViewDdl.registerTempViews(spark, dir, tables, prefix)
       ViewDdl.render(tables.map(t => t -> Seq("*")).toMap, dir, prefix)
         .foreach(println)
+
+    case "ext-id-map" :: dir :: inCsv :: outCsv :: Nil =>
+      val (existing, lastId) = IdMapStore.load(spark, dir, "orders")
+      ExternalIdMapper.mapCsvFile(spark, inCsv, outCsv, existing, lastId)
+
+    case "scdf-era" :: dir :: out :: Nil =>
+      write(queries.ParityQueries3.q34ScdfEra(spark, dir), out)
+
+    case "registry-checks" :: dir :: out :: Nil =>
+      write(queries.ParityQueries3.q35Registry(spark, dir), out)
+
+    case "stats" :: dir :: out :: Nil =>
+      write(queries.ParityQueries3.q37Stats(spark, dir), out)
+
+    case "bad-rows" :: dir :: out :: Nil =>
+      write(queries.ParityQueries3.q38BadRows(spark, dir), out)
+
+    case "union-view" :: dir :: out :: Nil =>
+      write(queries.ParityQueries3.q36UnionView(spark, dir), out)
+
+    case "idmap-copy" :: fromDir :: toDir :: table :: Nil =>
+      IdMapStore.copyCycle(spark, fromDir, toDir, table)
+
+    case "subset-any" :: dir :: out :: Nil =>
+      write(queries.ParityQueries3.q33OrExists(spark, dir), out)
 
     case _ => usage()
   }

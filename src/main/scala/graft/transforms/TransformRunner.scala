@@ -69,7 +69,9 @@ object TransformRunner {
       checks: Map[String, TableChecks] = Map.empty,
       outDir: String): Seq[TableResult] = {
     val ctx = TransformContext(spark, site, lookup)
+    val log = graft.util.JsonLog()
     tables.map { table =>
+      log.info("msg" -> "transforming table", "site" -> site, "table" -> table)
       val transformed =
         Transform.runAll(ctx, table, Tables.read(spark, siteDir, table), transforms)
       IdMapStore.atomicWrite(transformed, s"$outDir/$table.parquet")
@@ -81,7 +83,11 @@ object TransformRunner {
         if (spec.notNull.nonEmpty)
           Checks.notNullViolations(out, spec.notNull).count()
         else 0L
-      TableResult(table, out.count(), pkDups, nulls)
+      val result = TableResult(table, out.count(), pkDups, nulls)
+      log.info("msg" -> "table transformed", "site" -> site, "table" -> table,
+        "rows" -> result.rows, "pk_dups" -> result.pkDuplicates,
+        "null_violations" -> result.nullViolations)
+      result
     }
   }
 }
