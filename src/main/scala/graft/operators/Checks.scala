@@ -100,28 +100,43 @@ object Checks {
     * reference's behavior of constraining only existing tables.
     * FK orphan counts sum over every FK of the child table; an FK whose
     * parent is missing from `lookup` is skipped.
+    *
+    * The whole report is ONE lazy plan (each per-table count is a
+    * one-row aggregate, cross-joined within the table and unioned
+    * across tables) — Spark schedules every count's stages
+    * concurrently in a single job instead of one blocking driver
+    * action per constraint.
     */
   def modelReport(
       spark: SparkSession,
       model: Model,
       lookup: String => Option[DataFrame],
       broadcastParents: Boolean = false): DataFrame = {
-    val rows = model.tableSeq.flatMap { t =>
+    def scalar(df: DataFrame, name: String): DataFrame =
+      df.agg(count(lit(1)).cast("long").as(name))
+    val perTable = model.tableSeq.flatMap { t =>
       lookup(t.name).map { df =>
-        val pkDups =
-          if (t.pk.nonEmpty) pkDuplicates(df, t.pk).count() else 0L
-        val orphans = t.fks.flatMap { fk =>
+        val pkRow =
+          if (t.pk.nonEmpty) scalar(pkDuplicates(df, t.pk), "pk_dups")
+          else spark.range(1).select(lit(0L).as("pk_dups"))
+        val fkCounts = t.fks.flatMap { fk =>
           lookup(fk.refTable).map { parent =>
-            fkOrphans(df, fk.cols, parent, fk.refCols, broadcastParents).count()
+            fkOrphans(df, fk.cols, parent, fk.refCols, broadcastParents)
           }
-        }.sum
-        val nulls =
-          if (t.notNull.nonEmpty) notNullViolations(df, t.notNull).count()
-          else 0L
-        (t.name, pkDups, orphans, nulls)
+        }
+        val fkRow = fkCounts match {
+          case Nil => spark.range(1).select(lit(0L).as("fk_orphans"))
+          case cs => scalar(cs.reduce(_ unionByName _), "fk_orphans")
+        }
+        val nnRow =
+          if (t.notNull.nonEmpty)
+            scalar(notNullViolations(df, t.notNull), "null_violations")
+          else spark.range(1).select(lit(0L).as("null_violations"))
+        pkRow.crossJoin(fkRow).crossJoin(nnRow)
+          .select(lit(t.name).as("table_name"), col("pk_dups"),
+            col("fk_orphans"), col("null_violations"))
       }
     }
-    import spark.implicits._
-    rows.toDF("table_name", "pk_dups", "fk_orphans", "null_violations")
+    perTable.reduce(_ unionByName _)
   }
 }

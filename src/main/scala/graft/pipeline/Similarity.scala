@@ -53,12 +53,50 @@ object Similarity {
   def dotOverNorms(a: Column, b: Column, normA: Column, normB: Column): Column =
     cosinePre(dot(a, b), normA, normB)
 
+  /** Candidate order for top-k: better = higher sim, ties to the
+    * smaller cand id — the same total order as the ranking window.
+    */
+  private val candBetter: Ordering[(Double, Long)] = Ordering.fromLessThan {
+    case ((s1, c1), (s2, c2)) => s1 > s2 || (s1 == s2 && c1 < c2)
+  }
+
+  /** Map-side per-partition top-k: for each query, keep only that
+    * partition's k best candidates (bounded heap, the window's exact
+    * order), so the ranking shuffle moves P·|Q|·k survivor rows
+    * instead of every scored pair — the global top-k is always
+    * contained in the union of per-partition top-ks, so the final
+    * window returns identical rows. This is the one deliberate
+    * mapPartitions in the engine: Spark has no partial top-k
+    * aggregate, and at corpus scale the unpruned shuffle of
+    * |corpus|·|Q| scored rows is the operator's bottleneck.
+    */
+  private def prunePartitionTopK(scored: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    val schema = scored.schema
+    scored.mapPartitions { it =>
+      val heaps = scala.collection.mutable.HashMap
+        .empty[Any, scala.collection.mutable.PriorityQueue[(Double, Long, Row)]]
+      // under candBetter "better" compares smaller, so the queue's max
+      // (its dequeue head) is the WORST row — exactly the one to evict
+      // once a query's heap exceeds k
+      val worstFirst: Ordering[(Double, Long, Row)] =
+        candBetter.on[(Double, Long, Row)](t => (t._1, t._2))
+      it.foreach { row =>
+        val h = heaps.getOrElseUpdate(row.getAs[Any]("query_id"),
+          scala.collection.mutable.PriorityQueue.empty(worstFirst))
+        h.enqueue((row.getAs[Double]("sim"), row.getAs[Long]("cand_id"), row))
+        if (h.size > k) h.dequeue()
+      }
+      heaps.valuesIterator.flatMap(_.iterator.map(_._3))
+    }(Encoders.row(schema))
+  }
+
   /** Brute-force cosine top-k: for each query row, the k nearest
     * corpus rows (self-pairs excluded). `queries` must be small enough
-    * to broadcast; the corpus side is never shuffled until the final
-    * per-query top-k (a window over |Q|·k candidate rows after
-    * per-partition pre-ranking would be the next refinement; at this
-    * fan-out the window on (query id) is already tiny).
+    * to broadcast; the corpus is scored in place (broadcast join, no
+    * corpus shuffle) and [[prunePartitionTopK]] keeps only each
+    * partition's k best per query, so the final exact ranking window
+    * shuffles P·|Q|·k rows — never the full scored cross product.
     */
   def topK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
       k: Int): DataFrame = {
@@ -75,9 +113,10 @@ object Similarity {
         l2norm(col(vecCol)).as("cn"))
     val scored = c.join(q, col("query_id") =!= col("cand_id"))
       .withColumn("sim", cosinePre(dot(col("qv"), col("cv")), col("qn"), col("cn")))
+      .select(col("query_id"), col("cand_id"), col("sim"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("cand_id").asc)
-    scored
+    prunePartitionTopK(scored, k)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank").cast("long").as("rank"), col("cand_id"),
