@@ -24,6 +24,8 @@ object GraftSession {
     val b = SparkSession
       .builder()
       .appName("graft")
+      // native Catalyst functions addressable from plain SQL
+      .withExtensions(new GraftExtensions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
