@@ -85,4 +85,32 @@ class PlansSpec extends SparkSpec {
     // candidate generation must be an equi-join (no nested loop)
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
   }
+
+  test("SCDF era reuses the window shuffle for rollup and era-end (q34)") {
+    val p = plan(graft.queries.ParityQueries3.q34ScdfEra(spark, sf0001))
+    // era window partitions by (person, scdf); the per-type groupBy and
+    // the era-end window both cluster on supersets of those keys, so
+    // neither may introduce its own Exchange — and the concept rollup
+    // joins must broadcast (dimension side), never shuffle the facts
+    val shuffles = """[+:]- Exchange \(\d""".r.findAllIn(p).size
+    assert(shuffles <= 2, s"expected <=2 shuffle exchanges, got $shuffles\n$p")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("OR-of-EXISTS subsetting is per-branch broadcast semi-joins (q33)") {
+    val p = plan(graft.queries.ParityQueries3.q33OrExists(spark, sf0001))
+    assert(p.contains("LeftSemi"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("cosine topK pre-prunes map-side before the ranking shuffle (p05)") {
+    val p = plan(PipelineQueries.p05CosineTopK(spark, sf0001))
+    // the mapPartitions prune must sit BELOW the window's exchange:
+    // only per-partition survivors shuffle
+    val prune = p.indexOf("MapPartitions")
+    val window = p.indexOf("Window")
+    assert(prune >= 0 && window >= 0 && prune > window,
+      s"prune@$prune window@$window (formatted plans list children after parents)\n$p")
+  }
 }
