@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native kernels for the portable-hash dedup operators.
@@ -109,6 +109,46 @@ case class SimHash(child: Expression, bits: Int)
     copy(child = newChild)
 }
 
+/** Distinct word k-shingles of a token array — exactly
+  * [[graft.pipeline.TextFunctions.shingles]]: space-joined windows of
+  * k tokens, de-duplicated in first-occurrence order (matching
+  * `array_distinct`), empty when fewer than k tokens. The HOF form
+  * pays an interpreted lambda + array `slice` + `concat_ws` expression
+  * tree per window; this kernel is one compiled loop over the token
+  * array, and dominates the dedup operators' scan cost.
+  */
+case class ShinglesK(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(k >= 1, "shingle width must be >= 1")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "shingles_k"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n < k) return new GenericArrayData(Array.empty[AnyRef])
+    val toks = new Array[UTF8String](n)
+    var i = 0
+    while (i < n) { toks(i) = arr.getUTF8String(i); i += 1 }
+    val sep = UTF8String.fromString(" ")
+    val seen = new java.util.LinkedHashSet[UTF8String](n * 2)
+    i = 0
+    while (i <= n - k) {
+      val parts = new Array[UTF8String](k)
+      var j = 0
+      while (j < k) { parts(j) = toks(i + j); j += 1 }
+      seen.add(UTF8String.concatWs(sep, parts: _*))
+      i += 1
+    }
+    new GenericArrayData(seen.toArray(new Array[AnyRef](seen.size)))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object HashKernelFunctions {
 
   /** MinHash signature of a string-array column (native kernel). */
@@ -120,4 +160,8 @@ object HashKernelFunctions {
   /** SimHash of a string-array column (native kernel). */
   def simhash(toksCol: Column, bits: Int): Column =
     ColumnBridge.column(SimHash(ColumnBridge.expression(toksCol), bits))
+
+  /** Distinct k-shingles of a string-array column (native kernel). */
+  def shingles(toksCol: Column, k: Int): Column =
+    ColumnBridge.column(ShinglesK(ColumnBridge.expression(toksCol), k))
 }

@@ -38,11 +38,14 @@ object Dedup {
       .groupBy(col("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** Shared prep: id, distinct k-shingle set. */
+  /** Shared prep: id, distinct k-shingle set (native kernel — one
+    * compiled loop per document; semantics identical to the HOF
+    * [[TextFunctions.shingles]], pinned by KernelEquivalenceSpec).
+    */
   def shingled(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
     spread(df).select(
       col(idCol).as("doc"),
-      shingles(tokens(col(textCol)), k).as("sh"))
+      graft.functions.HashKernelFunctions.shingles(tokens(col(textCol)), k).as("sh"))
 
   /** MinHash + LSH near-dup pairs.
     *

@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions.col
+
+import graft.core.Tables
+import graft.functions.HashKernelFunctions
+import graft.pipeline.TextFunctions
+
+/** Native kernels must be element-for-element identical to their HOF
+  * reference formulations over real corpus data (the HOF forms are
+  * what the DuckDB oracles mirror).
+  */
+class KernelEquivalenceSpec extends SparkSpec {
+
+  test("ShinglesK kernel equals the HOF shingles for k=3 and k=4") {
+    val docs = Tables.read(spark, sf001, "documents")
+    for (k <- Seq(3, 4)) {
+      val toks = TextFunctions.tokens(col("text"))
+      val mismatches = docs.select(
+        col("doc_id"),
+        HashKernelFunctions.shingles(toks, k).as("kernel"),
+        TextFunctions.shingles(toks, k).as("hof"))
+        .filter(!(col("kernel") <=> col("hof")))
+        .count()
+      assert(mismatches == 0L, s"k=$k: $mismatches docs differ")
+    }
+  }
+
+  test("ShinglesK handles short and empty token arrays") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b"),        // fewer tokens than k
+      (2L, ""),           // empty text
+      (3L, "x x x x x"),  // duplicate shingles collapse
+      (4L, "a b c d")     // exact window count
+    ).toDF("id", "text")
+    val toks = TextFunctions.tokens(col("text"))
+    val rows = df.select(
+      col("id"),
+      HashKernelFunctions.shingles(toks, 3).as("kernel"),
+      TextFunctions.shingles(toks, 3).as("hof"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[String](1) == r.getSeq[String](2), s"id=${r.getLong(0)}")
+    }
+    val x = rows.find(_.getLong(0) == 3L).get.getSeq[String](1)
+    assert(x == Seq("x x x"))
+  }
+}
