@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 import graft.core.Tables
-import graft.derivations.ScdfDrugEra
+import graft.derivations.{LabLoinc, ScdfDrugEra}
 import graft.model.PedsnetModel
 import graft.operators._
 
@@ -183,6 +183,27 @@ object ParityQueries3 {
       .withColumn("last_id", lit(loadedLast))
   }
 
+  // ---------------------------------------------------------------- §2.10
+  /** Second derivation package — LOINC lab remap (lab_loinc.py:81-172):
+    * measurement concepts crosswalk-mapped to LOINC, originals kept
+    * when unmatched and preserved as source_concept_id. Parts divisible
+    * by 3 have a crosswalk entry (their id + 1,000,000).
+    */
+  def q40LabLoinc(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val measurement = li.select(
+      (col("l_orderkey") * 10 + col("l_linenumber")).as("measurement_id"),
+      col("l_suppkey").as("person_id"),
+      col("l_partkey").as("measurement_concept_id"),
+      col("l_quantity").cast("double").as("value_as_number"))
+    val crosswalk = t(s, dir, "part")
+      .filter(col("p_partkey") % 3 === 0)
+      .select(col("p_partkey").as("source_concept_id"),
+        (col("p_partkey") + 1000000L).as("loinc_concept_id"))
+    val tables = Map("measurement" -> measurement, "loinc_crosswalk" -> crosswalk)
+    LabLoinc.run(s, tables(_))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q32_ext_id" -> q32ExtId _,
     "q33_or_exists" -> q33OrExists _,
@@ -191,7 +212,8 @@ object ParityQueries3 {
     "q36_union_view" -> q36UnionView _,
     "q37_stats" -> q37Stats _,
     "q38_bad_rows" -> q38BadRows _,
-    "q39_idmap_cycle" -> q39IdMapCycle _
+    "q39_idmap_cycle" -> q39IdMapCycle _,
+    "q40_lab_loinc" -> q40LabLoinc _
   )
 
   /** DuckDB oracle for q35, rendered FROM the registry — the same
@@ -346,6 +368,18 @@ object ParityQueries3 {
         |  FROM (SELECT DISTINCT o_custkey FROM orders))
         |SELECT site_id, dcc_id,
         |  (SELECT COUNT(*) FROM idmap) AS last_id
-        |FROM idmap""".stripMargin
+        |FROM idmap""".stripMargin,
+    "q40_lab_loinc" ->
+      """WITH xwalk AS (
+        |  SELECT p_partkey AS source_concept_id,
+        |    p_partkey + 1000000 AS loinc_concept_id
+        |  FROM part WHERE p_partkey % 3 = 0)
+        |SELECT l_orderkey * 10 + l_linenumber AS measurement_id,
+        |  l_suppkey AS person_id,
+        |  COALESCE(x.loinc_concept_id, l_partkey) AS measurement_concept_id,
+        |  CAST(l_quantity AS DOUBLE) AS value_as_number,
+        |  l_partkey AS source_concept_id
+        |FROM lineitem
+        |LEFT JOIN xwalk x ON l_partkey = x.source_concept_id""".stripMargin
   )
 }

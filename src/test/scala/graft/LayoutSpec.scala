@@ -64,6 +64,34 @@ class LayoutSpec extends SparkSpec {
     assert(clicks.count() == expected && expected > 0)
   }
 
+  test("registry layout hints drive co-bucketed, shuffle-free joins") {
+    import spark.implicits._
+    val model = graft.model.PedsnetModel.tpch
+    Seq("graft_customer", "graft_orders").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(s"/tmp/graft_warehouse/$t"))
+    }
+    // the registry says: customer buckets by c_custkey, orders by
+    // o_custkey, both 64 — the person-join co-location decision made
+    // ONCE in metadata, not per call site
+    val cust = graft.operators.Layout.write(
+      graft.core.Tables.read(spark, sf0001, "customer"),
+      model.table("customer"), outDir = "/tmp")
+    val ords = graft.operators.Layout.write(
+      graft.core.Tables.read(spark, sf0001, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice"),
+      model.table("orders"), outDir = "/tmp")
+    val joined = spark.table(ords)
+      .join(spark.table(cust), $"o_custkey" === $"c_custkey")
+    val plan = withSqlConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      joined.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    }
+    assert(plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("Exchange"), s"co-bucketed join must not shuffle:\n$plan")
+    assert(joined.count() > 0)
+  }
+
   private def withSqlConf[T](pairs: (String, String)*)(f: => T): T = {
     val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
     pairs.foreach { case (k, v) => spark.conf.set(k, v) }
