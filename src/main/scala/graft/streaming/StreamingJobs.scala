@@ -39,6 +39,25 @@ object StreamingJobs {
 
   val outputMode: OutputMode = OutputMode.Append()
 
+  /** Stream-static enrichment — the streaming twin of the
+    * concept-name broadcast lookup (J2): each micro-batch left-joins
+    * the static dimension, which Spark re-plans per batch (a
+    * broadcast-hash join for a dimension-sized static side; no stream
+    * state at all, so nothing to bound). This is how per-event
+    * decoration (concept names, site labels) stays current at ingest
+    * time instead of in a nightly rewrite.
+    */
+  def enrich(
+      events: DataFrame,
+      dim: DataFrame,
+      keyCol: String,
+      dimKeyCol: String,
+      dimCols: Seq[String]): DataFrame = {
+    val d = broadcast(
+      dim.select((col(dimKeyCol).as(keyCol) +: dimCols.map(col)): _*))
+    events.join(d, Seq(keyCol), "left")
+  }
+
   /** Streaming exact dedup: drop re-deliveries of the same key within
     * the watermark horizon — the streaming twin of
     * [[graft.pipeline.Dedup.exact]]. State holds one entry per key seen

@@ -110,4 +110,25 @@ class StreamingSpec extends SparkSpec {
       assert(rows == Seq(StreamingJobs.Session(1L, 0L, 100L, 2L)))
     } finally q.stop()
   }
+
+  test("stream-static enrich decorates events with the broadcast dimension") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long)]
+    val events = mem.toDF().toDF("event_id", "user_id")
+    val dim = Seq((1L, "alice"), (2L, "bob")).toDF("cust_id", "cust_name")
+
+    val q = StreamingJobs.enrich(events, dim,
+        keyCol = "user_id", dimKeyCol = "cust_id", dimCols = Seq("cust_name"))
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    try {
+      mem.addData((100L, 1L), (101L, 2L), (102L, 7L))
+      q.processAllAvailable()
+      val rows = spark.table("enriched")
+        .select("event_id", "cust_name")
+        .as[(Long, Option[String])].collect().sortBy(_._1)
+      assert(rows.toSeq == Seq(
+        (100L, Some("alice")), (101L, Some("bob")), (102L, None)))
+    } finally q.stop()
+  }
 }
