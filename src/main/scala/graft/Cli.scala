@@ -47,6 +47,8 @@ object Cli {
         |  union-view <dir> <outDir>                     split slices + UNION ALL view
         |  idmap-copy <fromDir> <toDir> <table>          copy id map into next cycle store
         |  subset-any <dir> <outDir>                     OR-of-EXISTS cohort subsetting
+        |  lab-loinc <dir> <outDir>                      LOINC lab remap derivation package
+        |  layout-write <dir> <table> <outDir>           write per registry layout hint
         |""".stripMargin)
     sys.exit(2)
   }
@@ -175,6 +177,15 @@ object Cli {
 
     case "subset-any" :: dir :: out :: Nil =>
       write(queries.ParityQueries3.q33OrExists(spark, dir), out)
+
+    case "lab-loinc" :: dir :: out :: Nil =>
+      write(queries.ParityQueries3.q40LabLoinc(spark, dir), out)
+
+    case "layout-write" :: dir :: table :: out :: Nil =>
+      val target = operators.Layout.write(
+        Tables.read(spark, dir, table),
+        graft.model.PedsnetModel.tpch.table(table), out)
+      println(s"""{"written":"$target"}""")
 
     case _ => usage()
   }
