@@ -163,9 +163,10 @@ object Similarity {
       .filter(col("query_id") =!= col("cand_id"))
       .withColumn("sim",
         cosinePre(dot(col("queryv"), col("candv")), col("queryn"), col("candn")))
+      .select(col("query_id"), col("cand_id"), col("sim"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("cand_id").asc)
-    scored
+    prunePartitionTopK(scored, k)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank").cast("long").as("rank"), col("cand_id"),
@@ -234,9 +235,10 @@ object Similarity {
     val scored = cb.join(qb, Seq("bucket"))
       .filter(col("query_id") =!= col("cand_id"))
       .withColumn("sim", cosinePre(dot(col("qv"), col("cv")), col("qn"), col("cn")))
+      .select(col("query_id"), col("cand_id"), col("sim"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("cand_id").asc)
-    scored
+    prunePartitionTopK(scored, k)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank").cast("long").as("rank"), col("cand_id"),
