@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 import graft.core.Tables
-import graft.derivations.{LabLoinc, ScdfDrugEra}
+import graft.derivations.{LabLoinc, ObsDerivation, ScdfDrugEra}
 import graft.model.PedsnetModel
 import graft.operators._
 
@@ -204,6 +204,36 @@ object ParityQueries3 {
     LabLoinc.run(s, tables(_))
   }
 
+  // ---------------------------------------------------------------- §2.10
+  /** Third derivation package — concept-set observation derivation
+    * (r_obs_covid.py / r_obs_recover.py shape): measurements whose
+    * concept is in the study set become observations routed to a
+    * derived concept; names fill from a deliberately partial
+    * vocabulary (even partkeys only) so the left-join semantics of
+    * `_fill_concept_names` is exercised; observation ids assign
+    * globally in measurement order.
+    */
+  def q41ObsDerivation(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val part = t(s, dir, "part")
+    val measurement = li.select(
+      (col("l_orderkey") * 10 + col("l_linenumber")).as("measurement_id"),
+      col("l_suppkey").as("person_id"),
+      col("l_partkey").as("measurement_concept_id"),
+      col("l_quantity").cast("double").as("value_as_number"))
+    val conceptSet = part.filter(col("p_size") < 20).select(
+      col("p_partkey").as("source_concept_id"),
+      (col("p_partkey") + 2000000L).as("observation_concept_id"))
+    val concept = part.filter(col("p_partkey") % 2 === 0).select(
+      (col("p_partkey") + 2000000L).as("concept_id"),
+      col("p_name").as("concept_name"))
+    val tables = Map(
+      "measurement" -> measurement,
+      "concept_set" -> conceptSet,
+      "concept" -> concept)
+    ObsDerivation.run(s, tables(_))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q32_ext_id" -> q32ExtId _,
     "q33_or_exists" -> q33OrExists _,
@@ -213,7 +243,8 @@ object ParityQueries3 {
     "q37_stats" -> q37Stats _,
     "q38_bad_rows" -> q38BadRows _,
     "q39_idmap_cycle" -> q39IdMapCycle _,
-    "q40_lab_loinc" -> q40LabLoinc _
+    "q40_lab_loinc" -> q40LabLoinc _,
+    "q41_obs_derivation" -> q41ObsDerivation _
   )
 
   /** DuckDB oracle for q35, rendered FROM the registry — the same
@@ -380,6 +411,28 @@ object ParityQueries3 {
         |  CAST(l_quantity AS DOUBLE) AS value_as_number,
         |  l_partkey AS source_concept_id
         |FROM lineitem
-        |LEFT JOIN xwalk x ON l_partkey = x.source_concept_id""".stripMargin
+        |LEFT JOIN xwalk x ON l_partkey = x.source_concept_id""".stripMargin,
+    "q41_obs_derivation" ->
+      """WITH cs AS (
+        |  SELECT p_partkey AS source_concept_id,
+        |    p_partkey + 2000000 AS observation_concept_id
+        |  FROM part WHERE p_size < 20),
+        |names AS (
+        |  SELECT p_partkey + 2000000 AS concept_id, p_name AS concept_name
+        |  FROM part WHERE p_partkey % 2 = 0),
+        |derived AS (
+        |  SELECT l_orderkey * 10 + l_linenumber AS measurement_id,
+        |    l_suppkey AS person_id,
+        |    cs.observation_concept_id,
+        |    n.concept_name AS observation_concept_name,
+        |    CAST(l_quantity AS DOUBLE) AS value_as_number
+        |  FROM lineitem
+        |  JOIN cs ON l_partkey = cs.source_concept_id
+        |  LEFT JOIN names n ON cs.observation_concept_id = n.concept_id)
+        |SELECT *,
+        |  ROW_NUMBER() OVER (ORDER BY measurement_id,
+        |    observation_concept_id, person_id, value_as_number)
+        |    AS observation_id
+        |FROM derived""".stripMargin
   )
 }
