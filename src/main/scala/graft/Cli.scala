@@ -49,6 +49,14 @@ object Cli {
         |  subset-any <dir> <outDir>                     OR-of-EXISTS cohort subsetting
         |  lab-loinc <dir> <outDir>                      LOINC lab remap derivation package
         |  layout-write <dir> <table> <outDir>           write per registry layout hint
+        |  obs-derivation <dir> <outDir>                 concept-set observation derivation package
+        |  run-derivations <dir> <outRoot>               all derivation packages, one dir per package
+        |  bmi <dir> <outDir>                            BMI derivation from ht/wt measurements
+        |  zscore <dir> <outDir>                         growth z-score derivation
+        |  populate-last-id <storeDir> <table>           recompute id-map counter from the map
+        |  cleanup <storeDir> <table>                    drop retained backup/staging store dirs
+        |  views-sql <dir> <prefix> <outFile>            render view DDL to a SQL file
+        |  explain <dir> <query>                         print a query's optimized physical plan
         |""".stripMargin)
     sys.exit(2)
   }
@@ -186,6 +194,53 @@ object Cli {
         Tables.read(spark, dir, table),
         graft.model.PedsnetModel.tpch.table(table), out)
       println(s"""{"written":"$target"}""")
+
+    case "obs-derivation" :: dir :: out :: Nil =>
+      write(queries.ParityQueries3.q41ObsDerivation(spark, dir), out)
+
+    // run_derivations parity: every registered package in one pass,
+    // each result under its package name
+    case "run-derivations" :: dir :: outRoot :: Nil =>
+      val jobs = Seq(
+        "scdf_drug_era" -> queries.ParityQueries3.q34ScdfEra _,
+        "lab_loinc" -> queries.ParityQueries3.q40LabLoinc _,
+        "obs_derivation" -> queries.ParityQueries3.q41ObsDerivation _)
+      jobs.foreach { case (name, fn) =>
+        write(fn(spark, dir), s"$outRoot/$name")
+        println(s"""{"package":"$name","out":"$outRoot/$name"}""")
+      }
+
+    case "bmi" :: dir :: out :: Nil =>
+      write(queries.ParityQueries2.q30Bmi(spark, dir), out)
+
+    case "zscore" :: dir :: out :: Nil =>
+      write(queries.ParityQueries2.q29Zscore(spark, dir), out)
+
+    case "populate-last-id" :: storeDir :: table :: Nil =>
+      val last = IdMapStore.populateLastId(spark, storeDir, table)
+      println(s"""{"table":"$table","last_id":$last}""")
+
+    case "cleanup" :: storeDir :: table :: Nil =>
+      val removed = IdMapStore.cleanup(spark, storeDir, table)
+      println(s"""{"removed":[${removed.map(p => s""""$p"""").mkString(",")}]}""")
+
+    // create_oracle_views_sql parity: render the DDL to a file instead
+    // of executing it
+    case "views-sql" :: dir :: prefix :: outFile :: Nil =>
+      val tables = Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem")
+      val ddl = ViewDdl.render(tables.map(t => t -> Seq("*")).toMap, dir, prefix)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(outFile), ddl.mkString("\n") + "\n")
+      println(s"""{"written":"$outFile","views":${ddl.size}}""")
+
+    // generate_transform_statements parity: show the plan, run nothing
+    case "explain" :: dir :: query :: Nil =>
+      SparkEntry.queries.get(query) match {
+        case Some(fn) => fn(spark, dir).explain("formatted")
+        case None =>
+          System.err.println(s"unknown query: $query"); sys.exit(2)
+      }
 
     case _ => usage()
   }

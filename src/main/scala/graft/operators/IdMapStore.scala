@@ -88,6 +88,37 @@ object IdMapStore {
     save(m, last, toDir, table)
   }
 
+  /** Recompute a table's counter from its map — MAX(dcc_id), 0 when
+    * empty — and persist it (the reference's `populate_last_id`
+    * command, id_maps.py `populate_last_id`: SELECT MAX into the
+    * counter table after a bulk map load). Returns the new last id.
+    */
+  def populateLastId(spark: SparkSession, dir: String, table: String): Long = {
+    val (m, _) = load(spark, dir, table)
+    val last = m.agg(coalesce(max(col("dcc_id")), lit(0L))).head().getLong(0)
+    save(m, last, dir, table)
+    last
+  }
+
+  /** Drop the retained `__prev` backup (and any stranded `__staging`)
+    * once the current live version is verified — the reference's
+    * `cleanup` command, which removes backup schemas after a swap.
+    * Returns the paths it removed.
+    */
+  def cleanup(spark: SparkSession, dir: String, table: String): Seq[String] = {
+    val tp = tablePath(dir, table)
+    val fs = fsFor(spark, tp)
+    // never remove __prev while the live dir is missing — after a
+    // stranded swap it is the only consistent copy
+    val candidates =
+      if (fs.exists(new Path(tp))) Seq(tp + "__prev", tp + "__staging")
+      else Seq(tp + "__staging")
+    candidates.filter { p =>
+      val path = new Path(p)
+      fs.exists(path) && fs.delete(path, true)
+    }
+  }
+
   /** Write df to `<path>__staging` then swap into `path`. The write
     * fully materializes before any move, so overwriting a path that
     * also feeds `df`'s lineage is safe.

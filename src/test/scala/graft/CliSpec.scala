@@ -18,4 +18,29 @@ class CliSpec extends SparkSpec {
     assert(spark.read.parquet(s"$out/dedup").columns.toSet ==
       Set("fp", "keep_id", "n_copies"))
   }
+
+  test("derivation and store lifecycle subcommands") {
+    val out = "/tmp/graft_cli_test2"
+    Cli.run(spark, List("run-derivations", sf0001, s"$out/deriv"))
+    for (pkg <- Seq("scdf_drug_era", "lab_loinc", "obs_derivation"))
+      assert(spark.read.parquet(s"$out/deriv/$pkg").count() > 0, pkg)
+
+    // store lifecycle: save via copy, recount the counter, prune backups
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val store = s"$out/store"
+    val m = Seq((10L, 1L), (20L, 7L)).toDF("site_id", "dcc_id")
+    operators.IdMapStore.save(m, 2L, store, "orders") // stale counter
+    Cli.run(spark, List("populate-last-id", store, "orders"))
+    val (_, last) = operators.IdMapStore.load(spark, store, "orders")
+    assert(last == 7L)
+    Cli.run(spark, List("cleanup", store, "orders"))
+    assert(!new java.io.File(s"$store/orders_ids__prev").exists())
+    assert(spark.read.parquet(s"$store/orders_ids/map").count() == 2L)
+
+    Cli.run(spark, List("views-sql", sf0001, "g1", s"$out/views.sql"))
+    val sql = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$out/views.sql"))
+    assert(sql.contains("CREATE OR REPLACE VIEW") && sql.contains("lineitem"))
+  }
 }
