@@ -25,11 +25,20 @@ final case class ForeignKey(cols: Seq[String], refTable: String, refCols: Seq[St
   * Bucketing by the join key co-locates fact↔map joins; date
   * partitioning prunes time-range scans (the Spark analogue of the
   * reference's btree indexes, indexes.py).
+  *
+  * `yearOf` makes derived partition columns self-describing: a
+  * `partitionBy` entry named here is computed as `year(<source date
+  * column>)` by [[graft.operators.Layout.write]], so callers hand the
+  * writer the CDM table as-is instead of pre-deriving
+  * `visit_start_year`-style columns (the reference's
+  * partition_measurement.py derives the routing value inside its
+  * trigger for the same reason).
   */
 final case class LayoutHint(
     bucketBy: Seq[String] = Nil,
     numBuckets: Int = 0,
-    partitionBy: Seq[String] = Nil)
+    partitionBy: Seq[String] = Nil,
+    yearOf: Map[String, String] = Map.empty)
 
 final case class TableDef(
     name: String,
@@ -125,7 +134,8 @@ object PedsnetModel {
       notNull = Seq("visit_occurrence_id", "person_id", "visit_concept_id",
         "visit_start_date", "visit_type_concept_id"),
       layout = Some(LayoutHint(bucketBy = Seq("person_id"), numBuckets = 256,
-        partitionBy = Seq("visit_start_year")))),
+        partitionBy = Seq("visit_start_year"),
+        yearOf = Map("visit_start_year" -> "visit_start_date")))),
     TableDef("condition_occurrence",
       tbl("condition_occurrence_id" -> L, "person_id" -> L,
         "condition_concept_id" -> L, "condition_start_date" -> D,
@@ -167,7 +177,8 @@ object PedsnetModel {
       notNull = Seq("measurement_id", "person_id", "measurement_concept_id",
         "measurement_date", "measurement_type_concept_id"),
       layout = Some(LayoutHint(bucketBy = Seq("person_id"), numBuckets = 256,
-        partitionBy = Seq("measurement_year")))),
+        partitionBy = Seq("measurement_year"),
+        yearOf = Map("measurement_year" -> "measurement_date")))),
     TableDef("observation",
       tbl("observation_id" -> L, "person_id" -> L, "observation_concept_id" -> L,
         "observation_date" -> D, "observation_type_concept_id" -> L,

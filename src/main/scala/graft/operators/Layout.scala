@@ -1,8 +1,9 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{col, year}
 
-import graft.model.TableDef
+import graft.model.{LayoutHint, TableDef}
 
 /** Registry-driven physical layout — the Spark mapping of the
   * reference's index DDL (/root/reference/pedsnetdcc/indexes.py:20-199
@@ -27,12 +28,27 @@ object Layout {
     * catalog (bucket metadata lives there), named
     * `<prefix><table>`.
     */
+  /** Materialize the hint's derived partition columns that `df` lacks
+    * (`yearOf`: partition col := year(source date col)) — the writer's
+    * twin of the reference trigger deriving its routing value
+    * (partition_measurement.py), so callers pass the CDM table as-is.
+    */
+  private def withDerived(df: DataFrame, h: LayoutHint): DataFrame =
+    h.partitionBy.filterNot(df.columns.contains).foldLeft(df) { (d, p) =>
+      h.yearOf.get(p) match {
+        case Some(src) => d.withColumn(p, year(col(src)).cast("long"))
+        case None => sys.error(
+          s"Layout: partition column '$p' is neither in the data nor derivable")
+      }
+    }
+
   def write(
-      df: DataFrame,
+      df0: DataFrame,
       table: TableDef,
       outDir: String,
       catalogPrefix: String = "graft_"): String = {
-    val spark = df.sparkSession
+    val spark = df0.sparkSession
+    val df = table.layout.map(withDerived(df0, _)).getOrElse(df0)
     table.layout match {
       case Some(h) if h.bucketBy.nonEmpty =>
         val name = s"$catalogPrefix${table.name}"

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions.year
 
 /** Physical-layout hints: the reference's index DDL maps to bucketing/
   * partitioning in Spark (SURVEY.md §2.11, §4). This spec demonstrates
@@ -90,6 +91,46 @@ class LayoutSpec extends SparkSpec {
     assert(plan.contains("SortMergeJoin"), plan)
     assert(!plan.contains("Exchange"), s"co-bucketed join must not shuffle:\n$plan")
     assert(joined.count() > 0)
+  }
+
+  test("hint-derived partition columns materialize at write time") {
+    import spark.implicits._
+    // the pedsnet measurement hint partitions by measurement_year,
+    // which is NOT a CDM column — the writer derives it from
+    // measurement_date per the hint's yearOf entry, and pruning on the
+    // derived column works on read
+    val model = graft.model.PedsnetModel.v33
+    spark.sql("DROP TABLE IF EXISTS graft_measurement")
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File("/tmp/graft_warehouse/graft_measurement"))
+    val m = graft.core.Tables.read(spark, sf0001, "lineitem").select(
+      $"l_orderkey".as("measurement_id"),
+      $"l_suppkey".as("person_id"),
+      $"l_shipdate".as("measurement_date"))
+    val name = graft.operators.Layout.write(
+      m, model.table("measurement").copy(
+        schema = m.schema,
+        layout = model.table("measurement").layout),
+      outDir = "/tmp")
+    val t = spark.table(name)
+    assert(t.columns.contains("measurement_year"))
+    val oneYear = t.filter($"measurement_year" === 1996)
+    val plan = oneYear.queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+    assert(plan.contains("measurement_year"), plan)
+    val expected = m.filter(year($"measurement_date") === 1996).count()
+    assert(oneYear.count() == expected && expected > 0)
+  }
+
+  test("underivable missing partition column fails fast") {
+    import graft.model.{LayoutHint, TableDef}
+    val df = spark.range(3).toDF("id")
+    val bad = TableDef("t", df.schema,
+      layout = Some(LayoutHint(partitionBy = Seq("missing_col"))))
+    val e = intercept[RuntimeException] {
+      graft.operators.Layout.write(df, bad, outDir = "/tmp/graft_layout_bad")
+    }
+    assert(e.getMessage.contains("missing_col"))
   }
 
   private def withSqlConf[T](pairs: (String, String)*)(f: => T): T = {
