@@ -20,12 +20,14 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ParityQueries.queries ++ ParityQueries2.queries ++
-      ParityQueries3.queries ++ PipelineQueries.queries
+      ParityQueries3.queries ++ ParityQueries4.queries ++
+      PipelineQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
     ParityQueries.oracle ++ ParityQueries2.oracle ++
-      ParityQueries3.oracle ++ PipelineQueries.oracle
+      ParityQueries3.oracle ++ ParityQueries4.oracle ++
+      PipelineQueries.oracle
 }

@@ -1,0 +1,212 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.derivations.DoseDerivation
+import graft.model.PedsnetModel
+import graft.operators._
+
+/** Fourth parity batch — the remaining reference subcommand surface:
+  * full observation-period sync (distinct start/end + null-max fill),
+  * the dose derivation package with its drug_exposure write-back,
+  * union-of-domains cohort construction (recover_cohort), and the
+  * registry-driven whole-schema cohort subset (subset_by_cohort's main
+  * loop over stock_metadata).
+  */
+object ParityQueries4 {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.read(s, dir, name)
+
+  // ------------------------------------------------------------ A1/U2/W2
+  /** Full observation-period sync (sync_observation_period.py:8-82):
+    * domains with DISTINCT start/end expressions where the end can be
+    * NULL — lineitem ends are NULL for returned rows, order ends NULL
+    * for open orders — exercising the per-domain null-max→min fill and
+    * the final coalesce, then the period-type stamp + renumbering.
+    */
+  def q42SyncObs(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select(
+      col("l_suppkey").as("person_id"),
+      col("l_shipdate").cast("date").as("s"),
+      when(col("l_returnflag") === "R", lit(null).cast("date"))
+        .otherwise(date_add(col("l_shipdate").cast("date"), 30)).as("e"))
+    val ord = t(s, dir, "orders").select(
+      col("o_custkey").as("person_id"),
+      col("o_orderdate").cast("date").as("s"),
+      when(col("o_orderstatus") === "O", lit(null).cast("date"))
+        .otherwise(date_add(col("o_orderdate").cast("date"), 60)).as("e"))
+    ObservationPeriod.syncRanges(Seq(
+      (li, col("s"), col("e")),
+      (ord, col("s"), col("e"))))
+  }
+
+  // ---------------------------------------------------------------- §2.10
+  /** Dose derivation package (r_dose.py): exposures pair with the
+    * nearest weight measurement of the same person within 30 days
+    * (as-of join), derive mg/kg effective dose, and the derivations
+    * UPDATE-join back into drug_exposure — matched rows take the three
+    * dose columns, unmatched keep their NULLs.
+    */
+  def q43Dose(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val drugExposure = li.filter(col("l_linenumber") >= 2).select(
+      (col("l_orderkey") * 10 + col("l_linenumber")).as("drug_exposure_id"),
+      col("l_suppkey").as("person_id"),
+      col("l_shipdate").cast("date").cast("timestamp").as("exposure_ts"),
+      (col("l_quantity") * 100.0).as("dose_mg"),
+      lit(null).cast("long").as("dose_unit_concept_id"),
+      lit(null).cast("double").as("effective_drug_dose"),
+      lit(null).cast("string").as("dose_unit_concept_name"))
+    val weights = li.filter(col("l_linenumber") === 1).select(
+      (col("l_orderkey") * 10 + col("l_linenumber")).as("measurement_id"),
+      col("l_suppkey").as("person_id"),
+      col("l_shipdate").cast("date").cast("timestamp").as("weight_ts"),
+      (col("l_quantity") + 20.0).as("weight_kg"))
+    val pkg = DoseDerivation(toleranceSec = 30L * 86400)
+    val derivs = pkg.run(s,
+      Map("drug_exposure" -> drugExposure, "weight_measurement" -> weights)(_))
+    DoseDerivation.updateDrugExposure(drugExposure, derivs)
+      .select(col("drug_exposure_id"), col("person_id"),
+        col("dose_unit_concept_id"), col("effective_drug_dose"),
+        col("dose_unit_concept_name"))
+  }
+
+  // ------------------------------------------------------------- recover
+  /** Cohort construction (recover_cohort.py:13-120): three branches —
+    * a concept-set select (lineitems of small parts), a plain domain
+    * select (purchase events), and a join-constrained select (returned
+    * lineitems on recent orders) — unioned and deduped once.
+    */
+  def q44Cohort(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val conceptSet = broadcast(
+      t(s, dir, "part").filter(col("p_size") < 10).select(col("p_partkey")))
+    val labBranch = li
+      .join(conceptSet, li("l_partkey") === conceptSet("p_partkey"), "left_semi")
+      .select(col("l_suppkey").as("person_id"))
+    val eventBranch = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("person_id"))
+    val recentOrders = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("date"))
+      .select(col("o_orderkey"))
+    val visitBranch = li.filter(col("l_returnflag") === "R")
+      .join(recentOrders, li("l_orderkey") === recentOrders("o_orderkey"), "left_semi")
+      .select(col("l_suppkey").as("person_id"))
+    Cohort.build(Seq(labBranch, eventBranch, visitBranch))
+  }
+
+  // -------------------------------------------------------------- subset
+  /** Registry-driven whole-schema subset (subset_by_cohort.py:152-222):
+    * the cohort is BUILDING-segment customers; orders subset through
+    * their customer FK, lineitem transitively through orders — table
+    * list, keys, and join columns all come from the registry, and the
+    * report is one lazy plan of unioned one-row counts.
+    */
+  def q45SubsetModel(s: SparkSession, dir: String): DataFrame = {
+    val cohort = t(s, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    val subs = ModelSubset.subset(
+      PedsnetModel.tpch, "customer", cohort, name => t(s, dir, name))
+    ModelSubset.countReport(subs)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q42_sync_obs" -> q42SyncObs _,
+    "q43_dose" -> q43Dose _,
+    "q44_cohort" -> q44Cohort _,
+    "q45_subset_model" -> q45SubsetModel _
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q42_sync_obs" ->
+      """WITH d AS (
+        |  SELECT l_suppkey AS person_id,
+        |    MIN(CAST(l_shipdate AS DATE)) AS min_dt,
+        |    MAX(CASE WHEN l_returnflag = 'R' THEN NULL
+        |             ELSE CAST(l_shipdate AS DATE) + 30 END) AS max_dt
+        |  FROM lineitem GROUP BY 1
+        |  UNION ALL
+        |  SELECT o_custkey,
+        |    MIN(CAST(o_orderdate AS DATE)),
+        |    MAX(CASE WHEN o_orderstatus = 'O' THEN NULL
+        |             ELSE CAST(o_orderdate AS DATE) + 60 END)
+        |  FROM orders GROUP BY 1),
+        |f AS (
+        |  SELECT person_id, min_dt, COALESCE(max_dt, min_dt) AS max_dt FROM d),
+        |p AS (
+        |  SELECT person_id,
+        |    MIN(min_dt) AS observation_period_start_date,
+        |    COALESCE(MAX(max_dt), MAX(min_dt)) AS observation_period_end_date
+        |  FROM f GROUP BY 1)
+        |SELECT person_id, observation_period_start_date,
+        |  observation_period_end_date,
+        |  CAST(44814724 AS BIGINT) AS period_type_concept_id,
+        |  ROW_NUMBER() OVER (ORDER BY person_id) AS observation_period_id
+        |FROM p""".stripMargin,
+    "q43_dose" ->
+      """WITH de AS (
+        |  SELECT l_orderkey * 10 + l_linenumber AS drug_exposure_id,
+        |    l_suppkey AS person_id,
+        |    epoch_us(CAST(l_shipdate AS TIMESTAMP)) AS ts_us,
+        |    l_quantity * 100.0 AS dose_mg
+        |  FROM lineitem WHERE l_linenumber >= 2),
+        |wt AS (
+        |  SELECT l_orderkey * 10 + l_linenumber AS mid,
+        |    l_suppkey AS person_id,
+        |    epoch_us(CAST(l_shipdate AS TIMESTAMP)) AS ts_us,
+        |    l_quantity + 20.0 AS wt_kg
+        |  FROM lineitem WHERE l_linenumber = 1),
+        |cand AS (
+        |  SELECT de.drug_exposure_id, de.person_id,
+        |    de.dose_mg / wt.wt_kg AS eff,
+        |    ROW_NUMBER() OVER (
+        |      PARTITION BY de.person_id, de.drug_exposure_id
+        |      ORDER BY abs(de.ts_us - wt.ts_us) ASC, wt.ts_us ASC, wt.mid ASC)
+        |      AS rn
+        |  FROM de JOIN wt
+        |    ON de.person_id = wt.person_id
+        |   AND abs(de.ts_us - wt.ts_us) <= 2592000000000),
+        |derivs AS (
+        |  SELECT drug_exposure_id, person_id, eff FROM cand WHERE rn = 1)
+        |SELECT de.drug_exposure_id, de.person_id,
+        |  CASE WHEN d.drug_exposure_id IS NOT NULL
+        |       THEN CAST(9562 AS BIGINT) END AS dose_unit_concept_id,
+        |  d.eff AS effective_drug_dose,
+        |  CASE WHEN d.drug_exposure_id IS NOT NULL
+        |       THEN 'milligram per kilogram' END AS dose_unit_concept_name
+        |FROM de LEFT JOIN derivs d
+        |  ON de.drug_exposure_id = d.drug_exposure_id
+        | AND de.person_id = d.person_id""".stripMargin,
+    "q44_cohort" ->
+      """SELECT l_suppkey AS person_id FROM lineitem
+        |WHERE EXISTS (SELECT 1 FROM part
+        |              WHERE p_partkey = l_partkey AND p_size < 10)
+        |UNION
+        |SELECT user_id FROM events WHERE event_type = 'purchase'
+        |UNION
+        |SELECT l_suppkey FROM lineitem
+        |WHERE l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM orders
+        |              WHERE o_orderkey = l_orderkey
+        |                AND o_orderdate >= DATE '1997-01-01')""".stripMargin,
+    "q45_subset_model" ->
+      """SELECT 'customer' AS table_name, CAST(COUNT(*) AS BIGINT) AS n_rows
+        |FROM customer WHERE c_mktsegment = 'BUILDING'
+        |UNION ALL
+        |SELECT 'orders', CAST(COUNT(*) AS BIGINT) FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM customer c
+        |              WHERE c.c_custkey = o.o_custkey
+        |                AND c.c_mktsegment = 'BUILDING')
+        |UNION ALL
+        |SELECT 'lineitem', CAST(COUNT(*) AS BIGINT) FROM lineitem l
+        |WHERE EXISTS (SELECT 1 FROM orders o JOIN customer c
+        |                ON o.o_custkey = c.c_custkey
+        |              WHERE o.o_orderkey = l.l_orderkey
+        |                AND c.c_mktsegment = 'BUILDING')""".stripMargin
+  )
+}
