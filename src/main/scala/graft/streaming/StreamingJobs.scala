@@ -123,6 +123,89 @@ object StreamingJobs {
       }
   }
 
+  case class AsOfEvent(user_id: Long, event_id: Long, side: String,
+      ts: java.sql.Timestamp)
+  case class AsOfState(lefts: List[(Long, Long)], rights: List[(Long, Long)])
+  case class AsOfPair(user_id: Long, event_id: Long, ts_us: Long,
+      r_event_id: Long, r_ts_us: Long, diff_us: Long)
+
+  /** Stream-stream as-of join — the streaming twin of
+    * [[graft.operators.AsOfJoin.nearest]] (J9): pair each left-side
+    * event with the nearest right-side event of the same key within
+    * `toleranceUs`, on two unbounded streams.
+    *
+    * Spark's built-in stream-stream join can express the time-bounded
+    * candidate set but not "keep only the nearest" (no windows over
+    * streaming joins), so the pairing is custom state: both streams
+    * are tagged and unioned (one shuffle on user_id), and per key the
+    * state buffers both sides. A left event is emitted only once the
+    * watermark passes `left.ts + tolerance` — at that point every
+    * right candidate inside the window is guaranteed present, so the
+    * nearest choice is final and deterministic (tie order: smaller
+    * |Δt|, then earlier right ts, then right id — identical to the
+    * batch operator). Left events with no candidate are dropped
+    * (inner semantics).
+    *
+    * State bounds: lefts live until the watermark passes their
+    * emission horizon (≤ watermark delay + tolerance of stream time);
+    * rights are pruned once `ts ≤ watermark − 2·tolerance`, since any
+    * still-pending left has `ts > watermark − tolerance` and could
+    * only pair with rights newer than that. Event-time timeouts flush
+    * idle keys, so state never waits on the key's next event.
+    */
+  def asOfNearest(
+      left: Dataset[TimedEvent],
+      right: Dataset[TimedEvent],
+      toleranceUs: Long,
+      watermarkDelay: String = "1 hour"): Dataset[AsOfPair] = {
+    import left.sparkSession.implicits._
+    val tag = (side: String) => (e: TimedEvent) =>
+      AsOfEvent(e.user_id, e.event_id, side, e.ts)
+    val tagged = left.map(tag("l")).unionByName(right.map(tag("r")))
+      .withWatermark("ts", watermarkDelay)
+      .as[AsOfEvent]
+    tagged
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[AsOfState, AsOfPair](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[AsOfEvent], state: GroupState[AsOfState]) =>
+          val prev = state.getOption.getOrElse(AsOfState(Nil, Nil))
+          val (newL, newR) = rows.toSeq
+            .map(e => (e.ts.getTime * 1000L, e.event_id, e.side))
+            .partition(_._3 == "l")
+          var lefts = prev.lefts ++ newL.map(e => (e._1, e._2))
+          var rights = prev.rights ++ newR.map(e => (e._1, e._2))
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+
+          // lefts whose candidate window is sealed by the watermark
+          val (ready, pending) = lefts.partition(_._1 + toleranceUs <= wmUs)
+          val out = ready.sortBy(identity).flatMap { case (lts, lid) =>
+            val cands = rights.filter(r => math.abs(r._1 - lts) <= toleranceUs)
+            if (cands.isEmpty) None
+            else {
+              val (rts, rid) = cands.minBy { case (ts, id) =>
+                (math.abs(ts - lts), ts, id)
+              }
+              Some(AsOfPair(userId, lid, lts, rid, rts, math.abs(rts - lts)))
+            }
+          }
+          lefts = pending
+          rights = rights.filter(_._1 > wmUs - 2 * toleranceUs)
+
+          if (lefts.isEmpty && rights.isEmpty) state.remove()
+          else {
+            state.update(AsOfState(lefts, rights))
+            // wake when the earliest pending left seals, or (rights
+            // only) when the last right ages out of every window
+            val wakeUs =
+              if (lefts.nonEmpty) lefts.map(_._1).min + toleranceUs
+              else rights.map(_._1).max + 2 * toleranceUs
+            state.setTimeoutTimestamp(math.max(wakeUs / 1000L, state.getCurrentWatermarkMs() + 1))
+          }
+          out.iterator
+      }
+  }
+
   /** Gap-based sessionization as custom state: one open session per
     * user; an event beyond `gapUs` of the running end closes and emits
     * the previous session. Simplest variant (no state expiry) — see

@@ -131,4 +131,60 @@ class StreamingSpec extends SparkSpec {
         (100L, Some("alice")), (101L, Some("bob")), (102L, None)))
     } finally q.stop()
   }
+
+  test("stream-stream as-of join matches the batch AsOfJoin on the same data") {
+    implicit val sqlCtx = spark.sqlContext
+    def ev(user: Long, id: Long, s: String) =
+      StreamingJobs.TimedEvent(user, id, Timestamp.valueOf(s))
+    val lefts = Seq(
+      ev(1L, 100L, "2024-01-01 00:10:00"),
+      ev(2L, 200L, "2024-01-01 00:20:00"), // no right within tolerance
+      ev(1L, 101L, "2024-01-01 00:40:00"),
+      ev(3L, 300L, "2024-01-01 00:18:00"))
+    val rights = Seq(
+      ev(1L, 900L, "2024-01-01 00:05:00"),
+      ev(1L, 901L, "2024-01-01 00:12:00"), // nearest to 100, ahead of 900
+      ev(3L, 903L, "2024-01-01 00:17:00"), // tie on |Δt| → earlier wins
+      ev(3L, 904L, "2024-01-01 00:19:00"),
+      ev(1L, 902L, "2024-01-01 00:41:00"))
+
+    val memL = MemoryStream[StreamingJobs.TimedEvent]
+    val memR = MemoryStream[StreamingJobs.TimedEvent]
+    val out = StreamingJobs.asOfNearest(memL.toDS(), memR.toDS(),
+      toleranceUs = 10L * 60 * 1000 * 1000, watermarkDelay = "5 minutes")
+    val q = out.writeStream.format("memory").queryName("asof_s")
+      .outputMode("append").start()
+    try {
+      // both sides split across batches (never behind the watermark)
+      // to exercise buffered state
+      memL.addData(lefts.take(2): _*)
+      memR.addData(rights.take(4): _*)
+      q.processAllAvailable()
+      memL.addData(lefts.drop(2): _*)
+      memR.addData(rights.drop(4): _*)
+      q.processAllAvailable()
+      // advance the watermark far enough to seal every left
+      memL.addData(ev(99L, 999L, "2024-01-01 06:00:00"))
+      q.processAllAvailable()
+      memL.addData(ev(99L, 998L, "2024-01-01 07:00:00"))
+      q.processAllAvailable()
+
+      val streamed = spark.table("asof_s")
+        .select("user_id", "event_id", "r_event_id", "diff_us")
+        .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+
+      val toRow = (e: StreamingJobs.TimedEvent) => (e.user_id, e.event_id, e.ts)
+      val batchL = lefts.map(toRow).toDF("user_id", "event_id", "ts")
+      val batchR = rights.map(toRow).toDF("user_id", "event_id", "ts")
+      val batch = graft.operators.AsOfJoin.nearest(
+          batchL, batchR, Seq("user_id"), "ts", "ts",
+          toleranceSec = 10L * 60, leftUnique = Seq("event_id"),
+          rightTiebreak = Seq("event_id"))
+        .select(col("user_id"), col("event_id"), col("r_event_id"),
+          abs(col("ts").cast("long") - col("r_ts").cast("long")) * 1000000L)
+        .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+
+      assert(streamed.nonEmpty && streamed == batch)
+    } finally q.stop()
+  }
 }
