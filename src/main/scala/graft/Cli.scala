@@ -57,6 +57,10 @@ object Cli {
         |  cleanup <storeDir> <table>                    drop retained backup/staging store dirs
         |  views-sql <dir> <prefix> <outFile>            render view DDL to a SQL file
         |  explain <dir> <query>                         print a query's optimized physical plan
+        |  sync-obs <dir> <outDir>                       full obs-period sync (null-end fill + renumber)
+        |  dose <dir> <outDir>                           mg/kg dose derivation + drug_exposure write-back
+        |  cohort <dir> <outDir>                         union-of-domains cohort build
+        |  subset-model <dir> <root> <outRoot>           registry-driven whole-schema cohort subset
         |""".stripMargin)
     sys.exit(2)
   }
@@ -240,6 +244,29 @@ object Cli {
         case Some(fn) => fn(spark, dir).explain("formatted")
         case None =>
           System.err.println(s"unknown query: $query"); sys.exit(2)
+      }
+
+    case "sync-obs" :: dir :: out :: Nil =>
+      write(queries.ParityQueries4.q42SyncObs(spark, dir), out)
+
+    case "dose" :: dir :: out :: Nil =>
+      write(queries.ParityQueries4.q43Dose(spark, dir), out)
+
+    case "cohort" :: dir :: out :: Nil =>
+      write(queries.ParityQueries4.q44Cohort(spark, dir), out)
+
+    // subset_by_cohort parity: one subset dir per FK-reachable table,
+    // plus the per-table count report the reference logs
+    case "subset-model" :: dir :: root :: outRoot :: Nil =>
+      val model = graft.model.PedsnetModel.tpch
+      val rootDef = model.table(root)
+      val cohort = Tables.read(spark, dir, root)
+        .select(rootDef.pk.map(col): _*).limit(100)
+      val subs = ModelSubset.subset(model, root, cohort,
+        name => Tables.read(spark, dir, name))
+      subs.foreach { case (name, df) => write(df, s"$outRoot/$name") }
+      ModelSubset.countReport(subs).collect().foreach { r =>
+        println(s"""{"table":"${r.getString(0)}","rows":${r.getLong(1)}}""")
       }
 
     case _ => usage()

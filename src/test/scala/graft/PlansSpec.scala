@@ -113,4 +113,35 @@ class PlansSpec extends SparkSpec {
     assert(prune >= 0 && window >= 0 && prune > window,
       s"prune@$prune window@$window (formatted plans list children after parents)\n$p")
   }
+
+  test("registry subset chains are semi-joins with only the root cohort broadcast (q45)") {
+    val p = plan(graft.queries.ParityQueries4.q45SubsetModel(spark, sf0001))
+    assert(p.contains("LeftSemi"), p)
+    // the customer cohort is hint-broadcast; the derived orders/lineitem
+    // key sides must NOT be (they are fact-sized at scale) — so at most
+    // the auto-broadcast planner touches them, never a hint, and no
+    // dedup shuffle appears for PK-proven-unique parent key sides
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // parent-key sides skip the defensive dropDuplicates (registry PK
+    // proves uniqueness): the deepest chain — lineitem through orders
+    // through customer — must carry exactly ONE Deduplicate, the root
+    // cohort's, not one per level
+    import org.apache.spark.sql.functions.col
+    val cohort = spark.read.parquet(s"$sf0001/customer.parquet")
+      .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    val subs = graft.operators.ModelSubset.subset(
+      graft.model.PedsnetModel.tpch, "customer", cohort,
+      name => spark.read.parquet(s"$sf0001/$name.parquet")).toMap
+    val dedups = subs("lineitem").queryExecution.analyzed.collect {
+      case d: org.apache.spark.sql.catalyst.plans.logical.Deduplicate => d
+    }.size
+    assert(dedups == 1, s"expected 1 Deduplicate (root cohort only), got $dedups")
+  }
+
+  test("dose derivation pairs exposures and weights with one exchange per side (q43)") {
+    val p = plan(graft.queries.ParityQueries4.q43Dose(spark, sf0001))
+    // as-of inner join + write-back left join, all keyed on person (+id);
+    // no cartesian/NLJ leakage from the range predicate
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
