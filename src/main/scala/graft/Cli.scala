@@ -61,6 +61,11 @@ object Cli {
         |  dose <dir> <outDir>                           mg/kg dose derivation + drug_exposure write-back
         |  cohort <dir> <outDir>                         union-of-domains cohort build
         |  subset-model <dir> <root> <outRoot>           registry-driven whole-schema cohort subset
+        |  concept-groups <dir> <outRoot>                index-replacement concept-group tables
+        |  prepdb <outFile> <site>...                    render registry CREATE TABLE DDL per site
+        |  post-load <outRoot> <site:dir>...             transform + merge + checks + stats composite
+        |  grant-permissions                             no-op (PostgreSQL GRANTs; storage-layer ACLs in Spark)
+        |  vocab-indexes                                 no-op (btree DDL; layout-write covers the Spark analogue)
         |""".stripMargin)
     sys.exit(2)
   }
@@ -254,6 +259,56 @@ object Cli {
 
     case "cohort" :: dir :: out :: Nil =>
       write(queries.ParityQueries4.q44Cohort(spark, dir), out)
+
+    case "concept-groups" :: dir :: outRoot :: Nil =>
+      val groups = ConceptGroups.build(
+        name => Tables.read(spark, dir, name),
+        Seq(
+          ConceptGroups.GroupSpec(
+            "lineitem_returnflag", "lineitem", "l_returnflag", "l_partkey"),
+          ConceptGroups.GroupSpec(
+            "orders_priority", "orders", "o_orderpriority", "o_custkey")))
+      groups.foreach { case (name, df) =>
+        write(df, s"$outRoot/$name")
+        println(s"""{"group_table":"$name","out":"$outRoot/$name"}""")
+      }
+
+    case "prepdb" :: outFile :: sites if sites.nonEmpty =>
+      val ddl = Ddl.prepSchemas(graft.model.PedsnetModel.tpch, sites)
+      val p = java.nio.file.Paths.get(outFile)
+      Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+      java.nio.file.Files.writeString(p, ddl.mkString(";\n\n") + ";\n")
+      println(s"""{"written":"$outFile","statements":${ddl.size}}""")
+
+    // post_load parity (main.py:78-124): the reference's flagship
+    // composite — per-site transform, N-way merge, constraint checks,
+    // statistics — as one command over site schema dirs
+    case "post-load" :: outRoot :: siteSpecs if siteSpecs.nonEmpty =>
+      val sites = siteSpecs.map { s =>
+        s.split(":", 2) match {
+          case Array(site, dir) => (site, dir)
+          case _ => usage()
+        }
+      }
+      sites.foreach { case (site, dir) =>
+        run(spark, List("transform", dir, site, "orders", s"$outRoot/$site/orders"))
+      }
+      val merged = SetOps.mergeSites(spark, sites.map(_._2), "orders",
+        Tables.read(spark, sites.head._2, "orders").columns.toSeq)
+      write(merged, s"$outRoot/dcc/orders")
+      write(queries.ParityQueries3.q35Registry(spark, sites.head._2),
+        s"$outRoot/dcc/checks")
+      write(queries.ParityQueries3.q37Stats(spark, sites.head._2),
+        s"$outRoot/dcc/stats")
+      println(s"""{"post_load":"$outRoot","sites":${sites.size}}""")
+
+    // permission GRANTs and vocabulary btree DDL are PostgreSQL-layer
+    // concepts (permissions.py, vocabulary_add_index_transform.py);
+    // Spark delegates ACLs to storage and index locality to layouts
+    case "grant-permissions" :: _ =>
+      println("""{"noop":"grant-permissions","reason":"storage-layer ACLs"}""")
+    case "vocab-indexes" :: _ =>
+      println("""{"noop":"vocab-indexes","reason":"use layout-write"}""")
 
     // subset_by_cohort parity: one subset dir per FK-reachable table,
     // plus the per-table count report the reference logs

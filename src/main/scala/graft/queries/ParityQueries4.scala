@@ -115,11 +115,26 @@ object ParityQueries4 {
     ModelSubset.countReport(subs)
   }
 
+  // ------------------------------------------------------- index-replace
+  /** Concept-group index-replacement table
+    * (concept_group_tables.py:10-60): grouped (value, id, count)
+    * lookup over a fact table — the reference's
+    * `measurement_source_value`-style table, over lineitem's
+    * (returnflag, partkey) pairs.
+    */
+  def q46ConceptGroups(s: SparkSession, dir: String): DataFrame =
+    ConceptGroups.build(
+      name => t(s, dir, name),
+      Seq(ConceptGroups.GroupSpec(
+        "lineitem_returnflag", "lineitem", "l_returnflag", "l_partkey")))
+      .head._2
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q42_sync_obs" -> q42SyncObs _,
     "q43_dose" -> q43Dose _,
     "q44_cohort" -> q44Cohort _,
-    "q45_subset_model" -> q45SubsetModel _
+    "q45_subset_model" -> q45SubsetModel _,
+    "q46_concept_groups" -> q46ConceptGroups _
   )
 
   def oracle: Map[String, String] = Map(
@@ -207,6 +222,10 @@ object ParityQueries4 {
         |WHERE EXISTS (SELECT 1 FROM orders o JOIN customer c
         |                ON o.o_custkey = c.c_custkey
         |              WHERE o.o_orderkey = l.l_orderkey
-        |                AND c.c_mktsegment = 'BUILDING')""".stripMargin
+        |                AND c.c_mktsegment = 'BUILDING')""".stripMargin,
+    "q46_concept_groups" ->
+      """SELECT l_returnflag, l_partkey,
+        |  COUNT(l_partkey) AS n
+        |FROM lineitem GROUP BY 1, 2""".stripMargin
   )
 }

@@ -43,4 +43,27 @@ class CliSpec extends SparkSpec {
       java.nio.file.Paths.get(s"$out/views.sql"))
     assert(sql.contains("CREATE OR REPLACE VIEW") && sql.contains("lineitem"))
   }
+
+  test("prepdb, concept-groups, and the post-load composite") {
+    val out = "/tmp/graft_cli_test3"
+
+    Cli.run(spark, List("prepdb", s"$out/prep.sql", "site_a", "dcc"))
+    val ddl = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$out/prep.sql"))
+    assert(ddl.contains("CREATE DATABASE IF NOT EXISTS site_a"))
+    assert(ddl.contains("CREATE TABLE dcc.lineitem"))
+
+    Cli.run(spark, List("concept-groups", sf0001, s"$out/groups"))
+    val g = spark.read.parquet(s"$out/groups/lineitem_returnflag")
+    assert(g.columns.toSeq == Seq("l_returnflag", "l_partkey", "n"))
+
+    Cli.run(spark, List("post-load", s"$out/postload",
+      s"siteA:$sf0001", s"siteB:$sf0001"))
+    val merged = spark.read.parquet(s"$out/postload/dcc/orders")
+    val one = spark.read.parquet(s"$sf0001/orders.parquet").count()
+    assert(merged.count() == 2 * one)
+    assert(spark.read.parquet(s"$out/postload/siteA/orders")
+      .columns.contains("site"))
+    assert(spark.read.parquet(s"$out/postload/dcc/checks").count() > 0)
+  }
 }

@@ -55,3 +55,29 @@ class ModelSpec extends AnyFunSuite {
     assert(PedsnetModel.v33.table("fact_relationship").pk.isEmpty)
   }
 }
+
+/** prepdb parity: the registry-rendered DDL must be executable Spark
+  * SQL, and the created tables must round-trip the registry schema
+  * exactly — the same metadata provisions, validates, and lays out.
+  */
+class DdlSpec extends SparkSpec {
+
+  test("prepdb DDL executes and round-trips the registry schema") {
+    val model = PedsnetModel.tpch
+    val stmts = graft.operators.Ddl.prepSchemas(model, Seq("ddl_spec_site"))
+    try {
+      stmts.foreach(spark.sql(_))
+      for (td <- model.tableSeq) {
+        val created = spark.table(s"ddl_spec_site.${td.name}").schema
+        assert(created.fieldNames.toSeq == td.schema.fieldNames.toSeq, td.name)
+        assert(created.fields.map(_.dataType).toSeq ==
+          td.schema.fields.map(_.dataType).toSeq, td.name)
+      }
+      // constraint metadata surfaces as comments for the DDL reader
+      val lineitemDdl = graft.operators.Ddl.createTable(model.table("lineitem"))
+      assert(lineitemDdl.contains("-- primary key (l_orderkey, l_linenumber)"))
+      assert(lineitemDdl.contains("references orders(o_orderkey)"))
+    } finally
+      spark.sql("DROP DATABASE IF EXISTS ddl_spec_site CASCADE")
+  }
+}
