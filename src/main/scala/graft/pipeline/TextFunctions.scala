@@ -137,4 +137,16 @@ object TextFunctions {
     */
   def fingerprint(toks: Column): Column =
     substring(md5(concat_ws(" ", toks)), 1, 16)
+
+  /** Repetition signal (the Gopher paper's duplicate-n-gram class of
+    * quality filters): the fraction of word k-grams that repeat an
+    * earlier k-gram — `1 − distinct/total`, 0 for docs shorter than k
+    * words. Pure Column expression over [[shingles]]: per-document,
+    * shuffle-free, codegen'd.
+    */
+  def dupShingleFraction(toks: Column, k: Int): Column =
+    when(size(toks) >= k,
+      lit(1.0) - size(shingles(toks, k)).cast("double") /
+        (size(toks) - (k - 1)))
+      .otherwise(lit(0.0))
 }

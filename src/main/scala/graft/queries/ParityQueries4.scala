@@ -129,12 +129,40 @@ object ParityQueries4 {
         "lineitem_returnflag", "lineitem", "l_returnflag", "l_partkey")))
       .head._2
 
+  // --------------------------------------------------------------- copy
+  /** Derived-measurement copy-back (main.py:2106 `copy_to_measurement`,
+    * copy_bmi at :1110): BMI rows derived from paired events append
+    * into measurement with fresh surrogate ids seeded past the current
+    * max (the reference's sequence), via the scale-safe two-phase
+    * numbering. Output = the appended table.
+    */
+  def q47CopyToMeasurement(s: SparkSession, dir: String): DataFrame = {
+    val m = t(s, dir, "lineitem").select(
+      (col("l_orderkey") * 10 + col("l_linenumber")).as("measurement_id"),
+      col("l_suppkey").as("person_id"),
+      col("l_partkey").as("measurement_concept_id"),
+      col("l_quantity").cast("double").as("value_as_number"))
+    // one-row action, like the reference's sequence read
+    val maxId = m.agg(max(col("measurement_id"))).head.getLong(0)
+    val derived = ParityQueries2.q30Bmi(s, dir).select(
+      col("user_id").as("person_id"),
+      lit(3038553L).as("measurement_concept_id"),
+      col("bmi").as("value_as_number"),
+      col("event_id"))
+    val numbered = AssignIds
+      .assign(derived, Seq("event_id"), "measurement_id", start = maxId + 1)
+      .drop("event_id")
+      .select(m.columns.map(col).toSeq: _*)
+    m.unionByName(numbered)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q42_sync_obs" -> q42SyncObs _,
     "q43_dose" -> q43Dose _,
     "q44_cohort" -> q44Cohort _,
     "q45_subset_model" -> q45SubsetModel _,
-    "q46_concept_groups" -> q46ConceptGroups _
+    "q46_concept_groups" -> q46ConceptGroups _,
+    "q47_copy_to_measurement" -> q47CopyToMeasurement _
   )
 
   def oracle: Map[String, String] = Map(
@@ -226,6 +254,40 @@ object ParityQueries4 {
     "q46_concept_groups" ->
       """SELECT l_returnflag, l_partkey,
         |  COUNT(l_partkey) AS n
-        |FROM lineitem GROUP BY 1, 2""".stripMargin
+        |FROM lineitem GROUP BY 1, 2""".stripMargin,
+    "q47_copy_to_measurement" ->
+      """WITH m AS (
+        |  SELECT l_orderkey * 10 + l_linenumber AS measurement_id,
+        |    l_suppkey AS person_id,
+        |    l_partkey AS measurement_concept_id,
+        |    CAST(l_quantity AS DOUBLE) AS value_as_number
+        |  FROM lineitem),
+        |e AS (SELECT user_id, event_id, event_type, value,
+        |             epoch_us(ts) AS ts_us FROM events),
+        |cand AS (
+        |  SELECT w.user_id, w.event_id,
+        |    (w.value + 50.0) AS wt_kg, (v.value + 150.0) AS ht_cm,
+        |    ROW_NUMBER() OVER (
+        |      PARTITION BY w.user_id, w.event_id
+        |      ORDER BY abs(w.ts_us - v.ts_us) ASC, v.ts_us ASC, v.event_id ASC)
+        |      AS rn
+        |  FROM e w JOIN e v
+        |    ON w.user_id = v.user_id
+        |   AND w.event_type = 'click' AND v.event_type = 'view'
+        |   AND abs(w.ts_us - v.ts_us) <= 3600000000),
+        |bmi AS (
+        |  SELECT user_id, event_id,
+        |    wt_kg / ((ht_cm / 100.0) * (ht_cm / 100.0)) AS bmi
+        |  FROM cand WHERE rn = 1),
+        |numbered AS (
+        |  SELECT (SELECT MAX(measurement_id) FROM m)
+        |      + ROW_NUMBER() OVER (ORDER BY event_id) AS measurement_id,
+        |    user_id AS person_id,
+        |    CAST(3038553 AS BIGINT) AS measurement_concept_id,
+        |    bmi AS value_as_number
+        |  FROM bmi)
+        |SELECT * FROM m
+        |UNION ALL
+        |SELECT * FROM numbered""".stripMargin
   )
 }

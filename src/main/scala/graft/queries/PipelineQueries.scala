@@ -273,6 +273,27 @@ object PipelineQueries {
     * vectors join their nearest-centroid cell, queries probe only
     * their own cell.
     */
+  /** Repetition filters (the Gopher quality-signal family): duplicate
+    * trigram fraction (pure per-doc Column math, shuffle-free) and
+    * top-word fraction (explode → two partial-aggregated shuffles).
+    * The final doc_id join is between two doc-count-sized sides.
+    */
+  def p20Repetition(s: SparkSession, dir: String): DataFrame = {
+    val toksed = t(s, dir, "documents")
+      .select(col("doc_id"), TF.tokens(col("text")).as("toks"))
+    val base = toksed.select(
+      col("doc_id"),
+      size(col("toks")).cast("long").as("n_words"),
+      TF.dupShingleFraction(col("toks"), 3).as("dup_3gram_frac"))
+    val topWord = toksed
+      .select(col("doc_id"), explode(col("toks")).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg((max(col("c")).cast("double") / sum(col("c")).cast("double"))
+        .as("top_word_frac"))
+    base.join(topWord, Seq("doc_id"))
+  }
+
   def p19Ivf(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 20), "vec_id", "embedding",
@@ -316,7 +337,8 @@ object PipelineQueries {
     "p16_hash_split" -> p16HashSplit _,
     "p17_tfidf" -> p17Tfidf _,
     "p18_quantize" -> p18Quantize _,
-    "p19_ivf" -> p19Ivf _
+    "p19_ivf" -> p19Ivf _,
+    "p20_repetition" -> p20Repetition _
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -572,6 +594,23 @@ object PipelineQueries {
          |  FROM scored)
          |SELECT query_id, CAST(rank AS BIGINT) AS rank, cand_id,
          |  CAST(FLOOR(sim * 1e6) AS BIGINT) AS sim_micro
-         |FROM ranked WHERE rank <= 3""".stripMargin
+         |FROM ranked WHERE rank <= 3""".stripMargin,
+    "p20_repetition" ->
+      s"""WITH words AS (
+         |  SELECT doc_id, UNNEST($oToks) AS w FROM documents),
+         |wc AS (
+         |  SELECT doc_id, w, COUNT(*) AS c FROM words GROUP BY 1, 2),
+         |topf AS (
+         |  SELECT doc_id,
+         |    CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS top_word_frac
+         |  FROM wc GROUP BY 1),
+         |tri AS (
+         |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_words,
+         |    CASE WHEN len(toks) >= 3 THEN
+         |      1.0 - CAST(len(${oShingles(3)}) AS DOUBLE) / (len(toks) - 2)
+         |    ELSE 0.0 END AS dup_3gram_frac
+         |  FROM (SELECT doc_id, $oToks AS toks FROM documents))
+         |SELECT t.doc_id, t.n_words, t.dup_3gram_frac, f.top_word_frac
+         |FROM tri t JOIN topf f USING (doc_id)""".stripMargin
   )
 }
