@@ -317,9 +317,15 @@ object Cli {
       val rootDef = model.table(root)
       val cohort = Tables.read(spark, dir, root)
         .select(rootDef.pk.map(col): _*).limit(100)
+      // write-and-read-back each level (the reference's materialized
+      // `_subset` tables): children scan the written parent, not the
+      // recomputed ancestor lineage
       val subs = ModelSubset.subset(model, root, cohort,
-        name => Tables.read(spark, dir, name))
-      subs.foreach { case (name, df) => write(df, s"$outRoot/$name") }
+        name => Tables.read(spark, dir, name),
+        materialize = Some { (name, df) =>
+          write(df, s"$outRoot/$name")
+          spark.read.parquet(s"$outRoot/$name")
+        })
       ModelSubset.countReport(subs).collect().foreach { r =>
         println(s"""{"table":"${r.getString(0)}","rows":${r.getLong(1)}}""")
       }

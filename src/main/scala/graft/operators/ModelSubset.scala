@@ -37,6 +37,14 @@ object ModelSubset {
     *
     * @param cohort one row per cohort member, keyed by the root's PK
     *               column names
+    * @param materialize when set, each level's subset is passed through
+    *               this (write parquet + read back) before its children
+    *               join against it — the reference materializes every
+    *               `<table>_subset` the same way
+    *               (subset_by_cohort.py:215-222), so a deep chain scans
+    *               the written parent once instead of re-running the
+    *               whole ancestor lineage per level. Leave None for a
+    *               single-action lazy plan (count reports).
     * @return (table, subsetted rows) in registry order, root first
     */
   def subset(
@@ -44,14 +52,16 @@ object ModelSubset {
       root: String,
       cohort: DataFrame,
       lookup: String => DataFrame,
-      broadcastCohort: Boolean = true): Seq[(String, DataFrame)] = {
+      broadcastCohort: Boolean = true,
+      materialize: Option[(String, DataFrame) => DataFrame] = None): Seq[(String, DataFrame)] = {
     val rootDef = model.table(root)
     require(rootDef.pk.nonEmpty, s"subset root '$root' needs a registry PK")
     val c0 = cohort.select(rootDef.pk.map(col): _*).dropDuplicates()
     val c = if (broadcastCohort) broadcast(c0) else c0
 
+    val seal = materialize.getOrElse((_: String, df: DataFrame) => df)
     val subs = mutable.LinkedHashMap[String, DataFrame](
-      root -> lookup(root).join(c, rootDef.pk, "left_semi"))
+      root -> seal(root, lookup(root).join(c, rootDef.pk, "left_semi")))
     var changed = true
     while (changed) {
       changed = false
@@ -63,7 +73,8 @@ object ModelSubset {
           val parentKeys =
             if (fk.refCols == parentDef.pk) parentKeys0
             else parentKeys0.dropDuplicates()
-          subs += td.name -> lookup(td.name).join(parentKeys, fk.cols, "left_semi")
+          subs += td.name ->
+            seal(td.name, lookup(td.name).join(parentKeys, fk.cols, "left_semi"))
           changed = true
         }
       }

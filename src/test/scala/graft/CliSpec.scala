@@ -65,5 +65,13 @@ class CliSpec extends SparkSpec {
     assert(spark.read.parquet(s"$out/postload/siteA/orders")
       .columns.contains("site"))
     assert(spark.read.parquet(s"$out/postload/dcc/checks").count() > 0)
+
+    // subset-model materializes each FK level; lineitem keys ⊆ orders keys
+    Cli.run(spark, List("subset-model", sf0001, "customer", s"$out/subset"))
+    val so = spark.read.parquet(s"$out/subset/orders")
+    val sl = spark.read.parquet(s"$out/subset/lineitem")
+    assert(so.count() > 0 && sl.count() > 0)
+    assert(sl.join(so, sl("l_orderkey") === so("o_orderkey"), "left_anti")
+      .count() == 0)
   }
 }
