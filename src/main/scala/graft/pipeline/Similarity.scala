@@ -244,4 +244,47 @@ object Similarity {
       .select(col("query_id"), col("rank").cast("long").as("rank"), col("cand_id"),
         floor(col("sim") * 1e6).cast("long").as("sim_micro"))
   }
+
+  /** One Lloyd (k-means) centroid-update iteration for the IVF coarse
+    * quantizer: assign every vector to its nearest centroid by cosine,
+    * then per (centroid, dimension) emit the member count and the
+    * fixed-point mean — the refinement loop that turns the seeded
+    * quantizer ([[ivfTopK]]'s `centroidFilter`) into trained cells.
+    *
+    * Scale shape: centroids broadcast; the nearest-centroid argmax is
+    * a partial-aggregated `max(struct(sim, tie, …))` groupBy — the
+    * corpus×centroids product collapses map-side to ONE row per vector
+    * before the shuffle (cheaper than a window, which would shuffle
+    * all |corpus|·|centroids| candidate rows). The update aggregation
+    * is a second partial-agg groupBy on (centroid, dim).
+    *
+    * Determinism: ties break to the smaller centroid id (the struct
+    * orders by sim, then negated id); element means are computed on
+    * `floor(x·1e6)` fixed-point integers, so sums are exact and any
+    * engine reproduces `mean_fixed` bit-for-bit (double sums of
+    * same-valued terms are order-sensitive; integer sums are not).
+    */
+  def kmeansUpdate(corpus: DataFrame, idCol: String, vecCol: String,
+      centroidFilter: Column): DataFrame = {
+    val cents = broadcast(corpus.filter(centroidFilter)
+      .select(col(idCol).as("cent_id"), col(vecCol).as("ce"),
+        l2norm(col(vecCol)).as("ce_n")))
+    val base = corpus.select(col(idCol).as("vid"), col(vecCol).as("v"),
+      l2norm(col(vecCol)).as("vn"))
+    val assigned = base.crossJoin(cents)
+      .withColumn("sim",
+        cosinePre(dot(col("v"), col("ce")), col("vn"), col("ce_n")))
+      .groupBy(col("vid"))
+      .agg(max(struct(col("sim"), (-col("cent_id")).as("tie"),
+        col("cent_id"), col("v"))).as("best"))
+      .select(col("best.cent_id").as("cent_id"), col("best.v").as("v"))
+    assigned
+      .select(col("cent_id"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy(col("cent_id"), col("dim"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(floor(col("x").cast("double") * 1e6)).as("sx"))
+      .select(col("cent_id"), col("dim").cast("long").as("dim"), col("n"),
+        floor(col("sx") / col("n")).cast("long").as("mean_fixed"))
+  }
 }

@@ -300,6 +300,13 @@ object PipelineQueries {
       centroidFilter = col("vec_id") % 25 === 0, k = 3)
   }
 
+  /** IVF centroid training: one Lloyd iteration over the p19 seed
+    * centroids — fixed-point per-dimension means, exact in any engine.
+    */
+  def p21Kmeans(s: SparkSession, dir: String): DataFrame =
+    Similarity.kmeansUpdate(t(s, dir, "embeddings"), "vec_id", "embedding",
+      centroidFilter = col("vec_id") % 25 === 0)
+
   /** Int8 embedding quantization: per-vector symmetric scale +
     * quantized-vector checksums (sum/min/max — scalars so the oracle
     * compare avoids array-rendering differences).
@@ -338,7 +345,8 @@ object PipelineQueries {
     "p17_tfidf" -> p17Tfidf _,
     "p18_quantize" -> p18Quantize _,
     "p19_ivf" -> p19Ivf _,
-    "p20_repetition" -> p20Repetition _
+    "p20_repetition" -> p20Repetition _,
+    "p21_kmeans" -> p21Kmeans _
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -611,6 +619,26 @@ object PipelineQueries {
          |    ELSE 0.0 END AS dup_3gram_frac
          |  FROM (SELECT doc_id, $oToks AS toks FROM documents))
          |SELECT t.doc_id, t.n_words, t.dup_3gram_frac, f.top_word_frac
-         |FROM tri t JOIN topf f USING (doc_id)""".stripMargin
+         |FROM tri t JOIN topf f USING (doc_id)""".stripMargin,
+    "p21_kmeans" ->
+      s"""WITH cents AS (
+         |  SELECT vec_id AS cent_id, embedding AS ce FROM embeddings
+         |  WHERE vec_id % 25 = 0),
+         |assign AS (
+         |  SELECT e.vec_id, e.embedding, cent_id,
+         |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${oCos("e.embedding", "ce")} DESC, cent_id ASC) AS rn
+         |  FROM embeddings e, cents),
+         |cells AS (
+         |  SELECT vec_id, embedding, cent_id FROM assign WHERE rn = 1),
+         |expl AS (
+         |  SELECT cent_id, i - 1 AS dim,
+         |    FLOOR(CAST(embedding[i] AS DOUBLE) * 1e6) AS fx
+         |  FROM cells
+         |  CROSS JOIN (SELECT UNNEST(generate_series(1, 64)) AS i) s)
+         |SELECT cent_id, CAST(dim AS BIGINT) AS dim,
+         |  CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(FLOOR(SUM(fx) / COUNT(*)) AS BIGINT) AS mean_fixed
+         |FROM expl GROUP BY 1, 2""".stripMargin
   )
 }

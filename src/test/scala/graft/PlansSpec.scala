@@ -138,6 +138,16 @@ class PlansSpec extends SparkSpec {
     assert(dedups == 1, s"expected 1 Deduplicate (root cohort only), got $dedups")
   }
 
+  test("kmeans update collapses the centroid product map-side, no window (p21)") {
+    val p = plan(PipelineQueries.p21Kmeans(spark, sf0001))
+    // nearest-centroid argmax must be a partial-aggregated max(struct),
+    // not a row_number window over all |corpus|x|centroids| rows
+    assert(!p.contains("Window"), p)
+    // shuffle exchanges only — [+:]- prefix excludes BroadcastExchange
+    val exchanges = """[+:]- Exchange \(""".r.findAllIn(p).size
+    assert(exchanges <= 2, s"expected <=2 shuffle exchanges (vid agg + cent/dim agg), got $exchanges\n$p")
+  }
+
   test("dose derivation pairs exposures and weights with one exchange per side (q43)") {
     val p = plan(graft.queries.ParityQueries4.q43Dose(spark, sf0001))
     // as-of inner join + write-back left join, all keyed on person (+id);
