@@ -66,6 +66,9 @@ object Cli {
         |  post-load <outRoot> <site:dir>...             transform + merge + checks + stats composite
         |  grant-permissions                             no-op (PostgreSQL GRANTs; storage-layer ACLs in Spark)
         |  vocab-indexes                                 no-op (btree DDL; layout-write covers the Spark analogue)
+        |  stream-window <dir> <outDir>                  windowed agg as an incremental stream over events
+        |  kmeans <dir> <outDir>                         one IVF centroid-training iteration
+        |  repetition <dir> <outDir>                     Gopher-style repetition quality signals
         |""".stripMargin)
     sys.exit(2)
   }
@@ -309,6 +312,44 @@ object Cli {
       println("""{"noop":"grant-permissions","reason":"storage-layer ACLs"}""")
     case "vocab-indexes" :: _ =>
       println("""{"noop":"vocab-indexes","reason":"use layout-write"}""")
+
+    // the streaming surface run for real from the CLI: the events table
+    // as a file-source stream, processed incrementally (AvailableNow =
+    // drain what exists, checkpoint, stop), writing the windowed agg as
+    // it would in continuous ingest. Only watermark-closed windows emit
+    // (Append mode) — the open tail stays in state for the next run.
+    case "stream-window" :: dir :: out :: Nil =>
+      val staticSchema = Tables.read(spark, dir, "events").schema
+      // a file stream source lists a directory for arriving files; the
+      // testdata table is a bare file, so stage it into an ingest dir
+      // (the layout a real incremental feed would use). The ingest dir
+      // must be stable across runs — the checkpoint records source
+      // paths, so a fresh dir per run would invalidate it; under the
+      // sink, "_"-prefixed so batch reads of the sink skip it.
+      val stage = java.nio.file.Paths.get(out, "_ingest")
+      java.nio.file.Files.createDirectories(stage)
+      if (!java.nio.file.Files.exists(stage.resolve("events.parquet")))
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$dir/events.parquet"),
+          stage.resolve("events.parquet"))
+      val stream = spark.readStream.schema(staticSchema)
+        .parquet(stage.toString)
+        .withColumnRenamed("ts", "ts_ns")
+        .withColumn("ts", timestamp_micros((col("ts_ns") / 1000L).cast("long")))
+      val q = streaming.StreamingJobs.windowedAgg(stream)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", s"$out/_checkpoint")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      println(s"""{"stream_window":"$out"}""")
+
+    case "kmeans" :: dir :: out :: Nil =>
+      write(queries.PipelineQueries.p21Kmeans(spark, dir), out)
+
+    case "repetition" :: dir :: out :: Nil =>
+      write(queries.PipelineQueries.p20Repetition(spark, dir), out)
 
     // subset_by_cohort parity: one subset dir per FK-reachable table,
     // plus the per-table count report the reference logs

@@ -66,6 +66,17 @@ class CliSpec extends SparkSpec {
       .columns.contains("site"))
     assert(spark.read.parquet(s"$out/postload/dcc/checks").count() > 0)
 
+    // incremental streaming from the CLI: AvailableNow drains the events
+    // file source; watermark-closed windows land as parquet. A second
+    // run against the same checkpoint sees no new files and emits
+    // nothing — the incremental contract.
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$out/stream"))
+    Cli.run(spark, List("stream-window", sf0001, s"$out/stream"))
+    val streamed = spark.read.parquet(s"$out/stream").count()
+    assert(streamed > 0)
+    Cli.run(spark, List("stream-window", sf0001, s"$out/stream"))
+    assert(spark.read.parquet(s"$out/stream").count() == streamed)
+
     // subset-model materializes each FK level; lineitem keys ⊆ orders keys
     Cli.run(spark, List("subset-model", sf0001, "customer", s"$out/subset"))
     val so = spark.read.parquet(s"$out/subset/orders")
