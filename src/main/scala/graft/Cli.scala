@@ -67,7 +67,7 @@ object Cli {
         |  grant-permissions                             no-op (PostgreSQL GRANTs; storage-layer ACLs in Spark)
         |  vocab-indexes                                 no-op (btree DDL; layout-write covers the Spark analogue)
         |  stream-window <dir> <outDir>                  windowed agg as an incremental stream over events
-        |  kmeans <dir> <outDir>                         one IVF centroid-training iteration
+        |  kmeans <dir> <outDir> [iters]                 IVF centroid training (Lloyd, default 1 iteration)
         |  repetition <dir> <outDir>                     Gopher-style repetition quality signals
         |""".stripMargin)
     sys.exit(2)
@@ -345,8 +345,11 @@ object Cli {
       q.awaitTermination()
       println(s"""{"stream_window":"$out"}""")
 
-    case "kmeans" :: dir :: out :: Nil =>
-      write(queries.PipelineQueries.p21Kmeans(spark, dir), out)
+    case "kmeans" :: dir :: out :: rest if rest.lengthIs <= 1 =>
+      val iters = rest.headOption.map(_.toInt).getOrElse(1)
+      write(pipeline.Similarity.kmeansTrain(
+        Tables.read(spark, dir, "embeddings"), "vec_id", "embedding",
+        centroidFilter = col("vec_id") % 25 === 0, iters = iters), out)
 
     case "repetition" :: dir :: out :: Nil =>
       write(queries.PipelineQueries.p20Repetition(spark, dir), out)

@@ -265,10 +265,55 @@ object Similarity {
     * same-valued terms are order-sensitive; integer sums are not).
     */
   def kmeansUpdate(corpus: DataFrame, idCol: String, vecCol: String,
-      centroidFilter: Column): DataFrame = {
-    val cents = broadcast(corpus.filter(centroidFilter)
-      .select(col(idCol).as("cent_id"), col(vecCol).as("ce"),
-        l2norm(col(vecCol)).as("ce_n")))
+      centroidFilter: Column): DataFrame =
+    lloydStep(corpus, idCol, vecCol,
+      corpus.filter(centroidFilter)
+        .select(col(idCol).as("cent_id"), col(vecCol).as("ce")))
+
+  /** Lloyd iterated to a fixed count: [[kmeansUpdate]]'s step, with the
+    * refined centroids fed back in. Between iterations the k·d
+    * fixed-point means are collected to the driver and re-broadcast —
+    * centroids are driver state in any k-means (tiny: cells × dims),
+    * which keeps every iteration an independent two-shuffle plan
+    * instead of a lineage that deepens with the iteration count.
+    *
+    * Determinism: the rebuilt centroid elements are
+    * `(mean_fixed / 1e6).toFloat` — an exact integer divided in double
+    * then rounded once to float, the same two IEEE ops any engine
+    * performs — so iterated assignments stay bit-reproducible.
+    *
+    * Output is [[kmeansUpdate]]'s shape for the final iteration, with
+    * `cent_id` normalized to long.
+    */
+  def kmeansTrain(corpus: DataFrame, idCol: String, vecCol: String,
+      centroidFilter: Column, iters: Int): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    var cents = corpus.filter(centroidFilter)
+      .select(col(idCol).cast("long").as("cent_id"), col(vecCol).as("ce"))
+    var out: DataFrame = null
+    for (i <- 1 to iters) {
+      out = lloydStep(corpus, idCol, vecCol, cents)
+      if (i < iters) {
+        val rows = out.select("cent_id", "dim", "mean_fixed").collect()
+        cents = rows.groupBy(_.getLong(0)).toSeq
+          .map { case (id, rs) =>
+            (id, rs.sortBy(_.getLong(1))
+              .map(r => (r.getLong(2).toDouble / 1e6).toFloat))
+          }
+          .sortBy(_._1)
+          .toDF("cent_id", "ce")
+      }
+    }
+    out.select(col("cent_id").cast("long").as("cent_id"), col("dim"),
+      col("n"), col("mean_fixed"))
+  }
+
+  private def lloydStep(corpus: DataFrame, idCol: String, vecCol: String,
+      rawCents: DataFrame): DataFrame = {
+    val cents = broadcast(rawCents
+      .select(col("cent_id"), col("ce"), l2norm(col("ce")).as("ce_n")))
     val base = corpus.select(col(idCol).as("vid"), col(vecCol).as("v"),
       l2norm(col(vecCol)).as("vn"))
     val assigned = base.crossJoin(cents)

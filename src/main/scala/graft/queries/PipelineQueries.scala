@@ -307,6 +307,14 @@ object PipelineQueries {
     Similarity.kmeansUpdate(t(s, dir, "embeddings"), "vec_id", "embedding",
       centroidFilter = col("vec_id") % 25 === 0)
 
+  /** Full k-means training loop: three Lloyd iterations from the p19
+    * seed centroids, driver-held centroid state between steps.
+    */
+  val kmeansIters = 3
+  def p22KmeansTrain(s: SparkSession, dir: String): DataFrame =
+    Similarity.kmeansTrain(t(s, dir, "embeddings"), "vec_id", "embedding",
+      centroidFilter = col("vec_id") % 25 === 0, iters = kmeansIters)
+
   /** Int8 embedding quantization: per-vector symmetric scale +
     * quantized-vector checksums (sum/min/max — scalars so the oracle
     * compare avoids array-rendering differences).
@@ -346,7 +354,8 @@ object PipelineQueries {
     "p18_quantize" -> p18Quantize _,
     "p19_ivf" -> p19Ivf _,
     "p20_repetition" -> p20Repetition _,
-    "p21_kmeans" -> p21Kmeans _
+    "p21_kmeans" -> p21Kmeans _,
+    "p22_kmeans_train" -> p22KmeansTrain _
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -358,6 +367,42 @@ object PipelineQueries {
     s"""(list_sum(list_transform(generate_series(1, 64), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))
        | / (sqrt(list_sum(list_transform(generate_series(1, 64), i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE))))
        |    * sqrt(list_sum(list_transform(generate_series(1, 64), i -> CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))))))""".stripMargin
+
+  /** The p21 Lloyd step chained `iters` times: each round assigns by
+    * cosine (ties to the smaller centroid id), takes fixed-point
+    * per-dimension means, and rebuilds the next round's centroid lists
+    * as `CAST(mean_fixed / 1e6 AS FLOAT)` — the same two IEEE ops
+    * [[Similarity.kmeansTrain]] performs driver-side.
+    */
+  private def oKmeansTrain(iters: Int): String = {
+    val sb = new StringBuilder(
+      """WITH cents0 AS (
+        |  SELECT vec_id AS cent_id, embedding AS ce FROM embeddings
+        |  WHERE vec_id % 25 = 0)""".stripMargin)
+    for (it <- 0 until iters) {
+      sb ++= s""",
+         |assign$it AS (
+         |  SELECT e.vec_id, e.embedding, cent_id,
+         |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${oCos("e.embedding", "ce")} DESC, cent_id ASC) AS rn
+         |  FROM embeddings e, cents$it),
+         |means$it AS (
+         |  SELECT cent_id, i - 1 AS dim, CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(FLOOR(SUM(FLOOR(CAST(embedding[i] AS DOUBLE) * 1e6)) / COUNT(*)) AS BIGINT) AS mean_fixed
+         |  FROM (SELECT * FROM assign$it WHERE rn = 1)
+         |  CROSS JOIN (SELECT UNNEST(generate_series(1, 64)) AS i) s
+         |  GROUP BY 1, 2)""".stripMargin
+      if (it < iters - 1) sb ++= s""",
+         |cents${it + 1} AS (
+         |  SELECT cent_id,
+         |    list(CAST(CAST(mean_fixed AS DOUBLE) / 1000000.0 AS FLOAT) ORDER BY dim) AS ce
+         |  FROM means$it GROUP BY cent_id)""".stripMargin
+    }
+    sb ++= s"""
+       |SELECT cent_id, CAST(dim AS BIGINT) AS dim, n, mean_fixed
+       |FROM means${iters - 1}""".stripMargin
+    sb.toString
+  }
 
   /** DuckDB 16-bit simhash over an in-scope `toks`, same semantics as
     * [[TF.simhash]].
@@ -639,6 +684,7 @@ object PipelineQueries {
          |SELECT cent_id, CAST(dim AS BIGINT) AS dim,
          |  CAST(COUNT(*) AS BIGINT) AS n,
          |  CAST(FLOOR(SUM(fx) / COUNT(*)) AS BIGINT) AS mean_fixed
-         |FROM expl GROUP BY 1, 2""".stripMargin
+         |FROM expl GROUP BY 1, 2""".stripMargin,
+    "p22_kmeans_train" -> oKmeansTrain(kmeansIters)
   )
 }

@@ -75,6 +75,30 @@ class PipelineSpec extends SparkSpec {
     assert(out(2)._2 == -1000000L) // opposite
   }
 
+  test("kmeansTrain(1) equals kmeansUpdate; iterating moves a centroid to its cell mean") {
+    val df = Seq(
+      (0L, Array(1f, 0f, 0f)),   // seed centroid A
+      (25L, Array(0f, 1f, 0f)),  // seed centroid B
+      (1L, Array(0.9f, 0.1f, 0f)),
+      (2L, Array(0.1f, 0.9f, 0f))).toDF("vec_id", "embedding")
+    val filt = $"vec_id" % 25 === 0
+    val one = Similarity.kmeansTrain(df, "vec_id", "embedding", filt, iters = 1)
+      .orderBy("cent_id", "dim").collect().toSeq
+    val upd = Similarity.kmeansUpdate(df, "vec_id", "embedding", filt)
+      .select($"cent_id".cast("long"), $"dim", $"n", $"mean_fixed")
+      .orderBy("cent_id", "dim").collect().toSeq
+    assert(one == upd)
+    // after one step each cell holds {axis, nearby} — iterating again
+    // reassigns against the refined (averaged) centroids and must keep
+    // the same stable 2+2 partition: n stays 2 per cell
+    val two = Similarity.kmeansTrain(df, "vec_id", "embedding", filt, iters = 2)
+    assert(two.select("n").as[Long].collect().forall(_ == 2L))
+    // cell-A dim-0 mean = floor((floor(1e6*1.0) + floor(1e6*0.9f)) / 2)
+    val a0 = two.filter($"cent_id" === 0 && $"dim" === 0)
+      .select("mean_fixed").as[Long].head()
+    assert(a0 == (1000000L + math.floor(0.9f.toDouble * 1e6).toLong) / 2)
+  }
+
   test("native minhash/simhash kernels equal the HOF reference forms") {
     val df = Seq("alpha beta gamma delta epsilon zeta", "x", "")
       .toDF("text")

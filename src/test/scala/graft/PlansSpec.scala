@@ -148,6 +148,16 @@ class PlansSpec extends SparkSpec {
     assert(exchanges <= 2, s"expected <=2 shuffle exchanges (vid agg + cent/dim agg), got $exchanges\n$p")
   }
 
+  test("kmeans training keeps every iteration a two-shuffle plan (p22)") {
+    // centroid state lives on the driver between iterations, so the
+    // FINAL iteration's plan is the same shape as a single update —
+    // no lineage deepening with the iteration count
+    val p = plan(PipelineQueries.p22KmeansTrain(spark, sf0001))
+    assert(!p.contains("Window"), p)
+    val exchanges = """[+:]- Exchange \(""".r.findAllIn(p).size
+    assert(exchanges <= 2, s"expected <=2 shuffle exchanges, got $exchanges\n$p")
+  }
+
   test("dose derivation pairs exposures and weights with one exchange per side (q43)") {
     val p = plan(graft.queries.ParityQueries4.q43Dose(spark, sf0001))
     // as-of inner join + write-back left join, all keyed on person (+id);
