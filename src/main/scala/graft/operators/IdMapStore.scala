@@ -134,7 +134,7 @@ object IdMapStore {
     * the NEW `__prev` is retained after the swap so [[resolve]] can
     * fall back if a crash lands between the two renames.
     */
-  private def swapIn(fs: FileSystem, staging: String, live: String): Unit = {
+  private[operators] def swapIn(fs: FileSystem, staging: String, live: String): Unit = {
     val stagingP = new Path(staging)
     val liveP = new Path(live)
     val prevP = new Path(live + "__prev")

@@ -11,6 +11,20 @@ class OperatorsSpec extends SparkSpec {
 
   private def d(s: String) = Date.valueOf(s)
 
+  test("Compact rewrites a fragmented parquet dir to the size target, content-identical") {
+    val dir = "/tmp/graft_compact_test"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    val src = spark.read.parquet(s"$sf0001/lineitem.parquet")
+    src.repartition(24).write.parquet(dir)
+    val r = Compact.compact(spark, dir, targetBytes = 1L << 30)
+    assert(r.filesBefore == 24 && r.filesAfter == 1, r)
+    val after = spark.read.parquet(dir)
+    assert(after.count() == src.count())
+    assert(after.except(src).isEmpty && src.except(after).isEmpty)
+    // the retired file set is retained for crash fallback, swap-style
+    assert(new java.io.File(dir + "__prev").exists())
+  }
+
   test("EraBuilder merges overlapping and within-gap intervals") {
     val df = Seq(
       // person 1, concept 10: [Jan1,Jan5], [Jan20,Jan25] (gap 15d <= 30 → merge),
