@@ -69,6 +69,7 @@ object Cli {
         |  stream-window <dir> <outDir>                  windowed agg as an incremental stream over events
         |  kmeans <dir> <outDir> [iters]                 IVF centroid training (Lloyd, default 1 iteration)
         |  repetition <dir> <outDir>                     Gopher-style repetition quality signals
+        |  vacuum <tableDir> [targetMB]                  compact a parquet dir's small files in place
         |""".stripMargin)
     sys.exit(2)
   }
@@ -293,12 +294,31 @@ object Cli {
           case _ => usage()
         }
       }
-      sites.foreach { case (site, dir) =>
-        run(spark, List("transform", dir, site, "orders", s"$outRoot/$site/orders"))
+      // per-site transforms are independent writes — submit them as
+      // concurrent Spark jobs from one session, the way the reference
+      // fans statements over a pool (transform_runner.py:462,
+      // pool_size 25). Threads only submit; executors do the work, so
+      // the pool is sized by sites, capped to keep scheduler pressure
+      // bounded when hundreds of sites arrive.
+      locally {
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        import scala.concurrent.duration.Duration
+        val pool = java.util.concurrent.Executors
+          .newFixedThreadPool(math.min(sites.size, 8))
+        implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+        try Await.result(
+          Future.traverse(sites) { case (site, dir) => Future {
+            run(spark, List("transform", dir, site, "orders",
+              s"$outRoot/$site/orders"))
+          }}, Duration.Inf)
+        finally pool.shutdown()
       }
       val merged = SetOps.mergeSites(spark, sites.map(_._2), "orders",
         Tables.read(spark, sites.head._2, "orders").columns.toSeq)
       write(merged, s"$outRoot/dcc/orders")
+      // the reference vacuums the merged table before checks/stats
+      // (merge_site_data.py:207) — compact the per-site task files
+      operators.Compact.compact(spark, s"$outRoot/dcc/orders")
       write(queries.ParityQueries3.q35Registry(spark, sites.head._2),
         s"$outRoot/dcc/checks")
       write(queries.ParityQueries3.q37Stats(spark, sites.head._2),
@@ -353,6 +373,13 @@ object Cli {
 
     case "repetition" :: dir :: out :: Nil =>
       write(queries.PipelineQueries.p20Repetition(spark, dir), out)
+
+    // the reference vacuums after every merge (merge_site_data.py:207);
+    // the lake-maintenance twin is small-file compaction
+    case "vacuum" :: dir :: rest if rest.lengthIs <= 1 =>
+      val target = rest.headOption.map(_.toLong << 20).getOrElse(128L << 20)
+      val r = operators.Compact.compact(spark, dir, target)
+      println(s"""{"vacuum":"$dir","files_before":${r.filesBefore},"files_after":${r.filesAfter},"bytes":${r.bytes}}""")
 
     // subset_by_cohort parity: one subset dir per FK-reachable table,
     // plus the per-table count report the reference logs

@@ -17,6 +17,14 @@ class CliSpec extends SparkSpec {
     Cli.run(spark, List("dedup-exact", sf0001, s"$out/dedup"))
     assert(spark.read.parquet(s"$out/dedup").columns.toSet ==
       Set("fp", "keep_id", "n_copies"))
+
+    // vacuum = in-place compaction; the table stays readable with the
+    // same rows and collapses to one data file at sf0.001
+    val preVacuum = spark.read.parquet(s"$out/dedup").count()
+    Cli.run(spark, List("vacuum", s"$out/dedup"))
+    assert(spark.read.parquet(s"$out/dedup").count() == preVacuum)
+    assert(new java.io.File(s"$out/dedup").listFiles()
+      .count(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith(".")) == 1)
   }
 
   test("derivation and store lifecycle subcommands") {
