@@ -156,13 +156,32 @@ object ParityQueries4 {
     m.unionByName(numbered)
   }
 
+  /** copy-to-measurement's `neg_ids` variant
+    * (/root/reference/pedsnetdcc/bmi.py:436-437: the id sequence runs
+    * `INCREMENT 1 START -2147483647 MAXVALUE 0`, so derived rows get
+    * ids disjoint from every source id): the q47 derived BMI rows,
+    * numbered ascending from INT_MIN+1 with the same two-phase
+    * numbering.
+    */
+  def q48NegIds(s: SparkSession, dir: String): DataFrame = {
+    val derived = ParityQueries2.q30Bmi(s, dir).select(
+      col("user_id").as("person_id"),
+      lit(3038553L).as("measurement_concept_id"),
+      col("bmi").as("value_as_number"),
+      col("event_id"))
+    AssignIds
+      .assign(derived, Seq("event_id"), "measurement_id", start = -2147483647L)
+      .drop("event_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q42_sync_obs" -> q42SyncObs _,
     "q43_dose" -> q43Dose _,
     "q44_cohort" -> q44Cohort _,
     "q45_subset_model" -> q45SubsetModel _,
     "q46_concept_groups" -> q46ConceptGroups _,
-    "q47_copy_to_measurement" -> q47CopyToMeasurement _
+    "q47_copy_to_measurement" -> q47CopyToMeasurement _,
+    "q48_neg_ids" -> q48NegIds _
   )
 
   def oracle: Map[String, String] = Map(
@@ -288,6 +307,30 @@ object ParityQueries4 {
         |  FROM bmi)
         |SELECT * FROM m
         |UNION ALL
-        |SELECT * FROM numbered""".stripMargin
+        |SELECT * FROM numbered""".stripMargin,
+    "q48_neg_ids" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, value,
+        |             epoch_us(ts) AS ts_us FROM events),
+        |cand AS (
+        |  SELECT w.user_id, w.event_id,
+        |    (w.value + 50.0) AS wt_kg, (v.value + 150.0) AS ht_cm,
+        |    ROW_NUMBER() OVER (
+        |      PARTITION BY w.user_id, w.event_id
+        |      ORDER BY abs(w.ts_us - v.ts_us) ASC, v.ts_us ASC, v.event_id ASC)
+        |      AS rn
+        |  FROM e w JOIN e v
+        |    ON w.user_id = v.user_id
+        |   AND w.event_type = 'click' AND v.event_type = 'view'
+        |   AND abs(w.ts_us - v.ts_us) <= 3600000000),
+        |bmi AS (
+        |  SELECT user_id, event_id,
+        |    wt_kg / ((ht_cm / 100.0) * (ht_cm / 100.0)) AS bmi
+        |  FROM cand WHERE rn = 1)
+        |SELECT user_id AS person_id,
+        |  CAST(3038553 AS BIGINT) AS measurement_concept_id,
+        |  bmi AS value_as_number,
+        |  CAST(-2147483647 + ROW_NUMBER() OVER (ORDER BY event_id) - 1 AS BIGINT)
+        |    AS measurement_id
+        |FROM bmi""".stripMargin
   )
 }
