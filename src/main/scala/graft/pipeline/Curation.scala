@@ -1,0 +1,78 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{TextFunctions => TF}
+
+/** Corpus-curation operators for assembling a training set: stratified
+  * sampling with exact per-stratum quotas, token-budget data mixing,
+  * and benchmark decontamination. Beyond-reference surface, same
+  * determinism discipline as the rest of the pipeline package: every
+  * ordering is a portable md5-derived hash with a pk tiebreak, so any
+  * engine draws the identical sample.
+  */
+object Curation {
+
+  /** Exactly `min(quota, |stratum|)` rows per stratum, drawn in
+    * portable-hash order — a seedless simple random sample that any
+    * engine reproduces row-for-row (`TABLESAMPLE`/`rand()` never
+    * would).
+    *
+    * Scale shape: one shuffle on the stratum key, then a per-partition
+    * row_number. Strata are corpus sources (hundreds, not billions),
+    * and the sort within each is on a 60-bit hash — AQE splits a
+    * skewed stratum's sort; for quota ≪ |stratum| a per-partition
+    * top-(quota) pre-prune could bound the sort input, the same lever
+    * [[Similarity]] uses for top-k.
+    */
+  def stratifiedSample(df: DataFrame, stratumCol: String, idCol: String,
+      quota: Int, salt: String = "sample"): DataFrame = {
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(col("__h"), col(idCol))
+    df.withColumn("__h", TF.hash60(concat(lit(salt), col(idCol).cast("string"))))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= quota)
+      .drop("__h")
+  }
+
+  /** Token-budget mixing: walk each stratum in portable-hash order and
+    * keep documents while the running token total stays within
+    * `budget` — the "sample source X down to N tokens" step of a
+    * training-mix recipe, as an exact cumulative-window predicate
+    * rather than a rate estimate.
+    */
+  def tokenBudgetMix(df: DataFrame, stratumCol: String, idCol: String,
+      textCol: String, budget: Long, salt: String = "mix"): DataFrame = {
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(col("__h"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__h", TF.hash60(concat(lit(salt), col(idCol).cast("string"))))
+      .withColumn("n_toks", size(TF.tokens(col(textCol))).cast("long"))
+      .withColumn("cum_toks", sum(col("n_toks")).over(w))
+      .filter(col("cum_toks") <= budget)
+      .drop("__h")
+  }
+
+  /** Benchmark decontamination: (train doc, benchmark doc) pairs that
+    * share at least `minShared` distinct word k-shingles. Candidate
+    * generation is an equi-join on the hashed shingle — the benchmark
+    * side is tiny by construction (eval sets, not corpora), so Spark
+    * broadcasts its posting list and the corpus streams through
+    * unshuffled; the pair count then partial-aggregates map-side
+    * before the only shuffle, on (train_doc, bench_doc).
+    */
+  def contaminationPairs(train: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, k: Int, minShared: Int): DataFrame = {
+    def postings(df: DataFrame, as: String) =
+      Dedup.shingled(df, idCol, textCol, k)
+        .select(col("doc").as(as), explode(col("sh")).as("s"))
+        .select(col(as), TF.hash60(col("s")).as("h"))
+    postings(train, "train_doc")
+      .join(broadcast(postings(bench, "bench_doc")), "h")
+      .groupBy(col("train_doc"), col("bench_doc"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+}

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Tables
 import graft.operators.Sessionize
-import graft.pipeline.{Dedup, Multimodal, Similarity, TextFunctions => TF}
+import graft.pipeline.{Curation, Dedup, Multimodal, Similarity, TextFunctions => TF}
 
 /** Beyond-reference data-pipeline queries (dedup, similarity search,
   * text analysis, multimodal, event sessionization) over the driver's
@@ -315,6 +315,34 @@ object PipelineQueries {
     Similarity.kmeansTrain(t(s, dir, "embeddings"), "vec_id", "embedding",
       centroidFilter = col("vec_id") % 25 === 0, iters = kmeansIters)
 
+  /** Stratified sample: exactly 10 docs per source in portable-hash
+    * order — the seedless draw any engine reproduces row-for-row.
+    */
+  def p23StratifiedSample(s: SparkSession, dir: String): DataFrame =
+    Curation.stratifiedSample(t(s, dir, "documents"), "source", "doc_id",
+        quota = 10)
+      .select(col("doc_id"), col("source"), col("rank"))
+
+  /** Token-budget mix: each source sampled down to a 700-token budget
+    * by the exact cumulative-window rule.
+    */
+  def p24TokenBudget(s: SparkSession, dir: String): DataFrame =
+    Curation.tokenBudgetMix(t(s, dir, "documents"), "source", "doc_id",
+        "text", budget = 700L)
+      .select(col("doc_id"), col("source"), col("n_toks"), col("cum_toks"))
+
+  /** Benchmark decontamination: every 20th doc plays the eval set;
+    * report train docs sharing >= 2 distinct word 3-shingles with any
+    * benchmark doc.
+    */
+  def p25Decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    Curation.contaminationPairs(
+      docs.filter(col("doc_id") % 20 =!= 0),
+      docs.filter(col("doc_id") % 20 === 0),
+      "doc_id", "text", k = 3, minShared = 2)
+  }
+
   /** Int8 embedding quantization: per-vector symmetric scale +
     * quantized-vector checksums (sum/min/max — scalars so the oracle
     * compare avoids array-rendering differences).
@@ -355,7 +383,10 @@ object PipelineQueries {
     "p19_ivf" -> p19Ivf _,
     "p20_repetition" -> p20Repetition _,
     "p21_kmeans" -> p21Kmeans _,
-    "p22_kmeans_train" -> p22KmeansTrain _
+    "p22_kmeans_train" -> p22KmeansTrain _,
+    "p23_stratified_sample" -> p23StratifiedSample _,
+    "p24_token_budget" -> p24TokenBudget _,
+    "p25_decontaminate" -> p25Decontaminate _
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -685,6 +716,41 @@ object PipelineQueries {
          |  CAST(COUNT(*) AS BIGINT) AS n,
          |  CAST(FLOOR(SUM(fx) / COUNT(*)) AS BIGINT) AS mean_fixed
          |FROM expl GROUP BY 1, 2""".stripMargin,
-    "p22_kmeans_train" -> oKmeansTrain(kmeansIters)
+    "p22_kmeans_train" -> oKmeansTrain(kmeansIters),
+    "p23_stratified_sample" ->
+      s"""WITH h AS (
+         |  SELECT doc_id, source,
+         |    ${oHash("'sample' || CAST(doc_id AS VARCHAR)")} AS hh
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id, source,
+         |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY hh, doc_id)
+         |      AS rank
+         |  FROM h)
+         |SELECT doc_id, source, CAST(rank AS BIGINT) AS rank
+         |FROM r WHERE rank <= 10""".stripMargin,
+    "p24_token_budget" ->
+      s"""WITH h AS (
+         |  SELECT doc_id, source, len($oToks) AS n_toks,
+         |    ${oHash("'mix' || CAST(doc_id AS VARCHAR)")} AS hh
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, source, n_toks,
+         |    SUM(n_toks) OVER (PARTITION BY source ORDER BY hh, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM h)
+         |SELECT doc_id, source, CAST(n_toks AS BIGINT) AS n_toks,
+         |  CAST(cum AS BIGINT) AS cum_toks
+         |FROM c WHERE cum <= 700""".stripMargin,
+    "p25_decontaminate" ->
+      s"""WITH sh AS (
+         |  SELECT DISTINCT doc_id, ${oHash("s")} AS h
+         |  FROM (SELECT doc_id, unnest(${oShingles(3)}) AS s
+         |        FROM (SELECT doc_id, $oToks AS toks FROM documents))),
+         |b AS (SELECT doc_id AS bench_doc, h FROM sh WHERE doc_id % 20 = 0),
+         |tr AS (SELECT doc_id AS train_doc, h FROM sh WHERE doc_id % 20 != 0)
+         |SELECT train_doc, bench_doc, CAST(COUNT(*) AS BIGINT) AS n_shared
+         |FROM tr JOIN b USING (h)
+         |GROUP BY 1, 2 HAVING COUNT(*) >= 2""".stripMargin
   )
 }

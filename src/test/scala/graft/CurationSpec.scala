@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.Curation
+
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "a b c d e f", "s1"),
+    (2L, "g h i j", "s1"),
+    (3L, "k l", "s1"),
+    (4L, "m n o", "s2"),
+    (5L, "p q r s t u v w", "s2")).toDF("doc_id", "text", "source")
+
+  test("stratifiedSample takes exactly min(quota, stratum) rows, deterministically") {
+    val s1 = Curation.stratifiedSample(docs, "source", "doc_id", quota = 2)
+    val bySrc = s1.groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(bySrc == Map("s1" -> 2L, "s2" -> 2L))
+    // quota above stratum size keeps everything, ranked 1..n
+    val all = Curation.stratifiedSample(docs, "source", "doc_id", quota = 10)
+    assert(all.count() == 5)
+    assert(all.filter($"source" === "s1").select(max($"rank")).as[Long].head() == 3L)
+    // seedless: a second draw is identical row-for-row
+    val s2 = Curation.stratifiedSample(docs, "source", "doc_id", quota = 2)
+    assert(s1.except(s2).isEmpty && s2.except(s1).isEmpty)
+  }
+
+  test("tokenBudgetMix keeps docs while the running token total fits the budget") {
+    // one stratum, hash order is fixed by doc_id salt; budget 9 of 12
+    // total tokens must cut the walk at a prefix, never skip-and-refill
+    val out = Curation.tokenBudgetMix(docs.filter($"source" === "s1"),
+        "source", "doc_id", "text", budget = 9L)
+      .orderBy("cum_toks")
+      .select("doc_id", "n_toks", "cum_toks").as[(Long, Long, Long)]
+      .collect().toSeq
+    assert(out.nonEmpty && out.last._3 <= 9L)
+    // cumulative sums are consistent: each row's cum = previous cum + n
+    assert(out.scanLeft(0L)((acc, r) => acc + r._2).tail == out.map(_._3))
+    // the walk is a strict prefix: adding the next doc would burst 9
+    assert(out.map(_._2).sum + (Seq(6L, 4L, 2L).sum - out.map(_._2).sum) > 9L)
+  }
+
+  test("contaminationPairs flags planted shingle overlap and honors minShared") {
+    val train = Seq(
+      (10L, "alpha beta gamma delta epsilon"), // shares 3-shingles with bench 1
+      (11L, "zz yy xx ww vv")).toDF("doc_id", "text")
+    val bench = Seq(
+      (1L, "alpha beta gamma delta"), // 2 shared 3-shingles with doc 10
+      (2L, "one two three four")).toDF("doc_id", "text")
+    val hit = Curation.contaminationPairs(train, bench, "doc_id", "text",
+        k = 3, minShared = 2)
+      .select("train_doc", "bench_doc", "n_shared").as[(Long, Long, Long)]
+      .collect().toSeq
+    assert(hit == Seq((10L, 1L, 2L)))
+    // raising minShared above the overlap empties the report
+    assert(Curation.contaminationPairs(train, bench, "doc_id", "text",
+      k = 3, minShared = 3).isEmpty)
+  }
+}

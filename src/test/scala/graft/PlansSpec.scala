@@ -158,6 +158,14 @@ class PlansSpec extends SparkSpec {
     assert(exchanges <= 2, s"expected <=2 shuffle exchanges, got $exchanges\n$p")
   }
 
+  test("decontamination broadcasts the benchmark posting list (p25)") {
+    val p = plan(PipelineQueries.p25Decontaminate(spark, sf0001))
+    // the corpus side must stream: hashed-shingle equi-join against a
+    // broadcast eval set, no corpus shuffle before the pair count
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("dose derivation pairs exposures and weights with one exchange per side (q43)") {
     val p = plan(graft.queries.ParityQueries4.q43Dose(spark, sf0001))
     // as-of inner join + write-back left join, all keyed on person (+id);
