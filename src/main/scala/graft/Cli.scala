@@ -70,6 +70,13 @@ object Cli {
         |  kmeans <dir> <outDir> [iters]                 IVF centroid training (Lloyd, default 1 iteration)
         |  repetition <dir> <outDir>                     Gopher-style repetition quality signals
         |  vacuum <tableDir> [targetMB]                  compact a parquet dir's small files in place
+        |  transform-one <siteDir> <site> <table> <step> <outDir>  one stock step: age|concept-name|site
+        |  copy-derivation <dir> <kind> <outDir>         append derived rows: bmi|bmiz|ht-z|wt-z
+        |  pcornet-slice <dir> <minY> <maxY> <outRoot>   age-banded cohort + whole-schema subset
+        |  unpartition <partDir> <outDir>                flatten a partitioned layout
+        |  id-transform <dir> <table> <key> <store> <outDir>  extend durable id map + rewrite key
+        |  create-id-maps <dir> <table> <storeDir>       seed a store from a table's existing pk
+        |(reference main.py snake_case subcommand names are accepted as aliases)
         |""".stripMargin)
     sys.exit(2)
   }
@@ -83,33 +90,113 @@ object Cli {
     try run(spark, args.toList) finally spark.stop()
   }
 
-  def run(spark: SparkSession, args: List[String]): Unit = args match {
+  /** Reference `main.py` subcommand names (and their snake_case forms)
+    * that are alternate spellings of a graft job — resolved before the
+    * match so every reference CLI entry point runs here by its own
+    * name. Alias only; the target command's semantics are unchanged.
+    */
+  private val aliases = Map(
+    "merge_schema" -> "merge",
+    "prepdb_altname" -> "prepdb",
+    "site_transform" -> "transform",
+    "run_target_transform" -> "transform",
+    "map_external_ids" -> "ext-id-map",
+    "create_oracle_views_sql" -> "views-sql",
+    "split_measurement" -> "split",
+    "partition_measurement" -> "layout-write",
+    "unpartition_measurement" -> "unpartition",
+    "subset_by_cohort" -> "subset-model",
+    "subset_pcornet_by_cohort" -> "pcornet-slice",
+    "sync_observation_period" -> "sync-obs",
+    "run_recover_cohort" -> "cohort",
+    "run_r_dose" -> "dose",
+    "run_r_lab_loinc" -> "lab-loinc",
+    "run_r_obs_covid" -> "obs-derivation",
+    "run_r_obs_recover" -> "obs-derivation",
+    "run_r_drug_era" -> "scdf-era",
+    "run_r_drug_era_test" -> "scdf-era",
+    "run_drug_scdf_era" -> "scdf-era",
+    "run_condition_era" -> "eras",
+    "run_drug_era" -> "eras",
+    "run_drug_condition_era" -> "eras",
+    "run_bmi" -> "bmi",
+    "run_bmiz" -> "zscore",
+    "run_height_z" -> "zscore",
+    "run_weight_z" -> "zscore",
+    "run_ht_wt_z" -> "zscore",
+    "run_bmi_bmiz" -> "bmi",
+    "copy_id_maps" -> "idmap-copy",
+    "create_id_maps" -> "create-id-maps",
+    "populate_last_id" -> "populate-last-id",
+    "check_fact_relationship" -> "bad-rows",
+    "create_index_replace" -> "concept-groups",
+    "index_transform" -> "layout-write",
+    "generate_transform_statements" -> "explain",
+    "run_r_query" -> "run-derivations",
+    "run_derivations" -> "run-derivations",
+    "id_transform" -> "id-transform",
+    "post_load" -> "post-load",
+    "grant_permissions" -> "grant-permissions",
+    "vocab_indexes" -> "vocab-indexes")
+
+  private def transformParts(spark: SparkSession, siteDir: String,
+      site: String, table: String) = {
+    val person = Tables.read(spark, siteDir, "customer").select(
+      col("c_custkey").as("person_id"),
+      date_add(lit("1970-01-01").cast("date"), (col("c_custkey") % 15000).cast("int"))
+        .cast("timestamp").as("birth_datetime"))
+    val concept = Tables.read(spark, siteDir, "nation").select(
+      col("n_nationkey").as("concept_id"), col("n_name").as("concept_name"))
+    val base0 = Tables.read(spark, siteDir, table)
+    val ctx = TransformContext(spark, site,
+      Map("person" -> person, "concept" -> concept))
+    // age/concept steps no-op on tables without the configured
+    // columns, matching the reference's per-table dispatch
+    val (base, ageCols) =
+      if (table == "orders")
+        (base0
+          .join(Tables.read(spark, siteDir, "customer"),
+            col("o_custkey") === col("c_custkey"))
+          .select(
+            base0.columns.map(base0(_)) :+
+              col("o_custkey").as("person_id") :+
+              col("c_nationkey").as("nation_concept_id") :+
+              col("o_orderdate").cast("timestamp").as("order_datetime"): _*),
+          Map(table -> Seq("order_datetime")))
+      else (base0, Map.empty[String, Seq[String]])
+    (ctx, base, ageCols)
+  }
+
+  def run(spark: SparkSession, args0: List[String]): Unit = {
+    // kind-carrying alternate names rewrite to the generic command +
+    // kind argument; plain alternate names just rename
+    val args = args0 match {
+      case "copy_to_measurement" :: dir :: out :: Nil =>
+        List("copy-derivation", dir, "bmi", out)
+      case "copy_bmi" :: dir :: out :: Nil =>
+        List("copy-derivation", dir, "bmi", out)
+      case "copy_bmiz" :: dir :: out :: Nil =>
+        List("copy-derivation", dir, "bmiz", out)
+      case "copy_height_z" :: dir :: out :: Nil =>
+        List("copy-derivation", dir, "ht-z", out)
+      case "copy_weight_z" :: dir :: out :: Nil =>
+        List("copy-derivation", dir, "wt-z", out)
+      case "age_transform" :: siteDir :: site :: table :: out :: Nil =>
+        List("transform-one", siteDir, site, table, "age", out)
+      case "concept_transform" :: siteDir :: site :: table :: out :: Nil =>
+        List("transform-one", siteDir, site, table, "concept-name", out)
+      case cmd :: rest => aliases.getOrElse(cmd, cmd) :: rest
+      case Nil => args0
+    }
+    dispatch(spark, args)
+  }
+
+  private def dispatch(spark: SparkSession, args: List[String]): Unit = args match {
     case "transform" :: siteDir :: site :: table :: out :: Nil =>
-      val person = Tables.read(spark, siteDir, "customer").select(
-        col("c_custkey").as("person_id"),
-        date_add(lit("1970-01-01").cast("date"), (col("c_custkey") % 15000).cast("int"))
-          .cast("timestamp").as("birth_datetime"))
-      val concept = Tables.read(spark, siteDir, "nation").select(
-        col("n_nationkey").as("concept_id"), col("n_name").as("concept_name"))
-      val base0 = Tables.read(spark, siteDir, table)
-      val ctx = TransformContext(spark, site,
-        Map("person" -> person, "concept" -> concept))
-      // the full stock pipeline, as the usage text promises: age (on the
-      // orders fact shape), concept names (for *_concept_id columns),
-      // site label. Age/concept steps no-op on tables without the
-      // configured columns, matching the reference's per-table dispatch.
-      val (base, ageCols) =
-        if (table == "orders")
-          (base0
-            .join(Tables.read(spark, siteDir, "customer"),
-              col("o_custkey") === col("c_custkey"))
-            .select(
-              base0.columns.map(base0(_)) :+
-                col("o_custkey").as("person_id") :+
-                col("c_nationkey").as("nation_concept_id") :+
-                col("o_orderdate").cast("timestamp").as("order_datetime"): _*),
-            Map(table -> Seq("order_datetime")))
-        else (base0, Map.empty[String, Seq[String]])
+      val (ctx, base, ageCols) = transformParts(spark, siteDir, site, table)
+      // the full stock pipeline, as the usage text promises: age (on
+      // the orders fact shape), concept names (for *_concept_id
+      // columns), site label
       val out0 = Transform.runAll(ctx, table, base, Seq(
         AgeTransform(ageCols),
         ConceptNameTransform(_ =>
@@ -383,6 +470,79 @@ object Cli {
 
     // subset_by_cohort parity: one subset dir per FK-reachable table,
     // plus the per-table count report the reference logs
+    // the reference exposes each stock transform step as its own
+    // subcommand (main.py age_transform / concept_transform /
+    // site_transform); step here = age | concept-name | site
+    case "transform-one" :: siteDir :: site :: table :: step :: out :: Nil =>
+      val (ctx, base, ageCols) = transformParts(spark, siteDir, site, table)
+      val one = step match {
+        case "age" => AgeTransform(ageCols)
+        case "concept-name" => ConceptNameTransform(_ =>
+          base.columns.toSeq.filter(_.endsWith("_concept_id")))
+        case "site" => SiteNameTransform()
+        case _ => usage()
+      }
+      write(Transform.runAll(ctx, table, base, Seq(one)), out)
+
+    // copy_bmi / copy_bmiz / copy_height_z / copy_weight_z: derived
+    // rows appended under the kind's concept id
+    case "copy-derivation" :: dir :: kind :: out :: Nil
+        if Set("bmi", "bmiz", "ht-z", "wt-z")(kind) =>
+      write(queries.ParityQueries4.copyDerivation(spark, dir, kind), out)
+
+    // pcornet peds/adult slice (subset_pcornet_by_cohort +
+    // r_pcornet_peds_slice): an age-banded person cohort at a fixed
+    // as-of date, then the registry-FK-driven whole-schema subset
+    case "pcornet-slice" :: dir :: minY :: maxY :: outRoot :: Nil =>
+      val asOf = lit("1995-06-01").cast("date").cast("timestamp")
+      // spread the synthetic birth offsets across the full range at
+      // every SF (plain custkey % 15000 clusters small keys into one
+      // birth month, making any age band all-or-nothing)
+      val birth = date_add(lit("1970-01-01").cast("date"),
+        (col("c_custkey") * 97 % 15000).cast("int")).cast("timestamp")
+      val months = graft.functions.PgAge.months_in_interval(birth, asOf)
+      val model = graft.model.PedsnetModel.tpch
+      val cohort = Tables.read(spark, dir, "customer")
+        .filter(months >= lit(minY.toInt * 12.0) &&
+          months < lit(maxY.toInt * 12.0))
+        .select(model.table("customer").pk.map(col): _*)
+      val subs = ModelSubset.subset(model, "customer", cohort,
+        name => Tables.read(spark, dir, name),
+        materialize = Some { (name, df) =>
+          write(df, s"$outRoot/$name")
+          spark.read.parquet(s"$outRoot/$name")
+        })
+      ModelSubset.countReport(subs).collect().foreach { r =>
+        println(s"""{"table":"${r.getString(0)}","rows":${r.getLong(1)}}""")
+      }
+
+    // unpartition_measurement: flatten a partitioned layout back into
+    // a plain directory (the partition column rejoins the schema)
+    case "unpartition" :: partDir :: out :: Nil =>
+      write(spark.read.parquet(partDir), out)
+
+    // id_transform: extend the durable id map with this batch's new
+    // natural keys, persist it, and rewrite the fact's key to dcc ids
+    case "id-transform" :: dir :: table :: keyCol :: storeDir :: out :: Nil =>
+      val facts = Tables.read(spark, dir, table)
+      val (prior, lastId) = IdMapStore.load(spark, storeDir, table)
+      val (m, newLast) = IdMapping.extendMap(facts, keyCol, prior, lastId)
+      IdMapStore.save(m, newLast, storeDir, table)
+      val (saved, _) = IdMapStore.load(spark, storeDir, table)
+      write(IdMapping.replaceId(facts, keyCol, saved, nullable = false), out)
+      println(s"""{"id_transform":"$table","last_id":$newLast}""")
+
+    // create_id_maps: seed a store with the identity mapping of a
+    // table's existing pk and its max as the sequence floor
+    case "create-id-maps" :: dir :: table :: storeDir :: Nil =>
+      val pk = graft.model.PedsnetModel.tpch.table(table).pk.head
+      val ids = Tables.read(spark, dir, table)
+        .select(col(pk).cast("long").as("site_id"))
+      val m = ids.select(col("site_id"), col("site_id").as("dcc_id"))
+      val last = ids.agg(max(col("site_id"))).head.getLong(0)
+      IdMapStore.save(m, last, storeDir, table)
+      println(s"""{"created":"$table","last_id":$last}""")
+
     case "subset-model" :: dir :: root :: outRoot :: Nil =>
       val model = graft.model.PedsnetModel.tpch
       val rootDef = model.table(root)

@@ -136,7 +136,21 @@ object ParityQueries4 {
     * max (the reference's sequence), via the scale-safe two-phase
     * numbering. Output = the appended table.
     */
-  def q47CopyToMeasurement(s: SparkSession, dir: String): DataFrame = {
+  def q47CopyToMeasurement(s: SparkSession, dir: String): DataFrame =
+    copyDerivation(s, dir, "bmi")
+
+  /** copy_weight_z: the same append under the weight-z concept id. */
+  def q49CopyWeightZ(s: SparkSession, dir: String): DataFrame =
+    copyDerivation(s, dir, "wt-z")
+
+  /** The whole copy_* subcommand family (main.py copy_bmi / copy_bmiz /
+    * copy_height_z / copy_weight_z): derived rows appended into
+    * measurement under the kind's concept id — bmi 3038553
+    * (/root/reference/pedsnetdcc/bmi.py:26), bmiz 2000000043, height-z
+    * 2000000042, weight-z 2000000041 (z_score.py:33,66,99) — with
+    * fresh surrogate ids seeded past the current max.
+    */
+  def copyDerivation(s: SparkSession, dir: String, kind: String): DataFrame = {
     val m = t(s, dir, "lineitem").select(
       (col("l_orderkey") * 10 + col("l_linenumber")).as("measurement_id"),
       col("l_suppkey").as("person_id"),
@@ -144,14 +158,26 @@ object ParityQueries4 {
       col("l_quantity").cast("double").as("value_as_number"))
     // one-row action, like the reference's sequence read
     val maxId = m.agg(max(col("measurement_id"))).head.getLong(0)
-    val derived = ParityQueries2.q30Bmi(s, dir).select(
-      col("user_id").as("person_id"),
-      lit(3038553L).as("measurement_concept_id"),
-      col("bmi").as("value_as_number"),
-      col("event_id"))
+    val (derived, orderCols) = kind match {
+      case "bmi" =>
+        (ParityQueries2.q30Bmi(s, dir).select(
+          col("user_id").as("person_id"),
+          lit(3038553L).as("measurement_concept_id"),
+          col("bmi").as("value_as_number"),
+          col("event_id")), Seq("event_id"))
+      case zk =>
+        val cid = Map("bmiz" -> 2000000043L, "ht-z" -> 2000000042L,
+          "wt-z" -> 2000000041L)(zk)
+        (ParityQueries2.q29Zscore(s, dir).select(
+          col("l_orderkey").as("person_id"),
+          lit(cid).as("measurement_concept_id"),
+          col("z").as("value_as_number"),
+          col("l_orderkey"), col("l_linenumber")),
+          Seq("l_orderkey", "l_linenumber"))
+    }
     val numbered = AssignIds
-      .assign(derived, Seq("event_id"), "measurement_id", start = maxId + 1)
-      .drop("event_id")
+      .assign(derived, orderCols, "measurement_id", start = maxId + 1)
+      .drop(orderCols: _*)
       .select(m.columns.map(col).toSeq: _*)
     m.unionByName(numbered)
   }
@@ -181,7 +207,8 @@ object ParityQueries4 {
     "q45_subset_model" -> q45SubsetModel _,
     "q46_concept_groups" -> q46ConceptGroups _,
     "q47_copy_to_measurement" -> q47CopyToMeasurement _,
-    "q48_neg_ids" -> q48NegIds _
+    "q48_neg_ids" -> q48NegIds _,
+    "q49_copy_weight_z" -> q49CopyWeightZ _
   )
 
   def oracle: Map[String, String] = Map(
@@ -331,6 +358,39 @@ object ParityQueries4 {
         |  bmi AS value_as_number,
         |  CAST(-2147483647 + ROW_NUMBER() OVER (ORDER BY event_id) - 1 AS BIGINT)
         |    AS measurement_id
-        |FROM bmi""".stripMargin
+        |FROM bmi""".stripMargin,
+    "q49_copy_weight_z" ->
+      """WITH m AS (
+        |  SELECT l_orderkey * 10 + l_linenumber AS measurement_id,
+        |    l_suppkey AS person_id,
+        |    l_partkey AS measurement_concept_id,
+        |    CAST(l_quantity AS DOUBLE) AS value_as_number
+        |  FROM lineitem),
+        |lms AS (
+        |  SELECT stratum,
+        |    0.5 + CAST(stratum % 5 AS DOUBLE) * 0.1 AS L,
+        |    50.0 + CAST(stratum AS DOUBLE) AS M,
+        |    0.1 + CAST(stratum % 3 AS DOUBLE) * 0.05 AS S
+        |  FROM (SELECT DISTINCT CAST(p_size AS BIGINT) AS stratum FROM part)),
+        |meas AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    CAST(l_quantity AS BIGINT) % 50 + 1 AS stratum,
+        |    CAST(l_extendedprice AS DOUBLE) / 1000.0 AS x
+        |  FROM lineitem),
+        |z AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    (pow(x / M, L) - 1.0) / (L * S) AS z
+        |  FROM meas LEFT JOIN lms USING (stratum)),
+        |numbered AS (
+        |  SELECT (SELECT MAX(measurement_id) FROM m)
+        |      + ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber)
+        |      AS measurement_id,
+        |    l_orderkey AS person_id,
+        |    CAST(2000000041 AS BIGINT) AS measurement_concept_id,
+        |    z AS value_as_number
+        |  FROM z)
+        |SELECT * FROM m
+        |UNION ALL
+        |SELECT * FROM numbered""".stripMargin
   )
 }

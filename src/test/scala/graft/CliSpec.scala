@@ -27,6 +27,52 @@ class CliSpec extends SparkSpec {
       .count(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith(".")) == 1)
   }
 
+  test("reference-name aliases and the per-step / copy / slice commands") {
+    import org.apache.spark.sql.functions._
+    val out = "/tmp/graft_cli_test4"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+
+    // copy_weight_z under its reference name: appended rows carry the
+    // weight-z concept id and ids past the source max
+    Cli.run(spark, List("copy_weight_z", sf0001, s"$out/wz"))
+    val wz = spark.read.parquet(s"$out/wz")
+    assert(wz.filter(col("measurement_concept_id") === 2000000041L).count() > 0)
+
+    // age_transform → the single age step; the full pipeline's site
+    // column must NOT appear
+    Cli.run(spark, List("age_transform", sf0001, "siteA", "orders", s"$out/age"))
+    val age = spark.read.parquet(s"$out/age")
+    assert(age.columns.contains("order_age_in_months") && !age.columns.contains("site"))
+
+    // pcornet-slice: the age band keeps a strict, non-empty subset and
+    // the FK closure holds (orders customers ⊆ sliced customers)
+    Cli.run(spark, List("subset_pcornet_by_cohort", sf0001, "0", "22", s"$out/peds"))
+    val c = spark.read.parquet(s"$out/peds/customer")
+    val allC = spark.read.parquet(s"$sf0001/customer.parquet")
+    assert(c.count() > 0 && c.count() < allC.count())
+    val o = spark.read.parquet(s"$out/peds/orders")
+    assert(o.join(c, o("o_custkey") === c("c_custkey"), "left_anti").count() == 0)
+
+    // unpartition flattens a partitioned layout, partition column intact
+    spark.read.parquet(s"$sf0001/orders.parquet")
+      .write.mode("overwrite").partitionBy("o_orderstatus").parquet(s"$out/part")
+    Cli.run(spark, List("unpartition_measurement", s"$out/part", s"$out/flat"))
+    val flat = spark.read.parquet(s"$out/flat")
+    assert(flat.count() == spark.read.parquet(s"$sf0001/orders.parquet").count())
+    assert(flat.columns.contains("o_orderstatus"))
+
+    // create-id-maps seeds an identity store; id-transform then maps
+    // every key to itself and leaves no unmapped rows
+    Cli.run(spark, List("create_id_maps", sf0001, "orders", s"$out/store"))
+    Cli.run(spark, List("id_transform", sf0001, "orders", "o_custkey",
+      s"$out/store", s"$out/idt"))
+    val idt = spark.read.parquet(s"$out/idt")
+    val orders = spark.read.parquet(s"$sf0001/orders.parquet")
+    assert(idt.count() == orders.count())
+    assert(idt.select(sum(col("o_custkey"))).head.getLong(0) ==
+      orders.select(sum(col("o_custkey"))).head.getLong(0))
+  }
+
   test("derivation and store lifecycle subcommands") {
     val out = "/tmp/graft_cli_test2"
     Cli.run(spark, List("run-derivations", sf0001, s"$out/deriv"))
