@@ -67,6 +67,8 @@ object Cli {
         |  grant-permissions                             no-op (PostgreSQL GRANTs; storage-layer ACLs in Spark)
         |  vocab-indexes                                 no-op (btree DDL; layout-write covers the Spark analogue)
         |  stream-window <dir> <outDir>                  windowed agg as an incremental stream over events
+        |  stream-dedup <dir> <outDir>                   streaming exact dedup (watermark-bounded state)
+        |  stream-sessionize <dir> <outDir>              stateful sessionization as an incremental stream
         |  kmeans <dir> <outDir> [iters]                 IVF centroid training (Lloyd, default 1 iteration)
         |  repetition <dir> <outDir>                     Gopher-style repetition quality signals
         |  vacuum <tableDir> [targetMB]                  compact a parquet dir's small files in place
@@ -138,6 +140,40 @@ object Cli {
     "post_load" -> "post-load",
     "grant_permissions" -> "grant-permissions",
     "vocab_indexes" -> "vocab-indexes")
+
+  /** Run one streaming job over the events table as a file-source
+    * stream, processed incrementally (AvailableNow = drain what
+    * exists, checkpoint, stop) and written as parquet. A file stream
+    * source lists a directory for arriving files; the testdata table
+    * is a bare file, so it's staged into an ingest dir (the layout a
+    * real incremental feed would use). The ingest dir must be stable
+    * across runs — the checkpoint records source paths, so a fresh dir
+    * per run would invalidate it; it lives under the sink,
+    * "_"-prefixed so batch reads of the sink skip it. Only
+    * watermark-closed results emit (Append mode) — the open tail stays
+    * in state for the next run.
+    */
+  private def runEventStream(spark: SparkSession, dir: String, out: String,
+      job: DataFrame => DataFrame): Unit = {
+    val staticSchema = Tables.read(spark, dir, "events").schema
+    val stage = java.nio.file.Paths.get(out, "_ingest")
+    java.nio.file.Files.createDirectories(stage)
+    if (!java.nio.file.Files.exists(stage.resolve("events.parquet")))
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        stage.resolve("events.parquet"))
+    val stream = spark.readStream.schema(staticSchema)
+      .parquet(stage.toString)
+      .withColumnRenamed("ts", "ts_ns")
+      .withColumn("ts", timestamp_micros((col("ts_ns") / 1000L).cast("long")))
+    val q = job(stream)
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", s"$out/_checkpoint")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
 
   private def transformParts(spark: SparkSession, siteDir: String,
       site: String, table: String) = {
@@ -426,31 +462,27 @@ object Cli {
     // it would in continuous ingest. Only watermark-closed windows emit
     // (Append mode) — the open tail stays in state for the next run.
     case "stream-window" :: dir :: out :: Nil =>
-      val staticSchema = Tables.read(spark, dir, "events").schema
-      // a file stream source lists a directory for arriving files; the
-      // testdata table is a bare file, so stage it into an ingest dir
-      // (the layout a real incremental feed would use). The ingest dir
-      // must be stable across runs — the checkpoint records source
-      // paths, so a fresh dir per run would invalidate it; under the
-      // sink, "_"-prefixed so batch reads of the sink skip it.
-      val stage = java.nio.file.Paths.get(out, "_ingest")
-      java.nio.file.Files.createDirectories(stage)
-      if (!java.nio.file.Files.exists(stage.resolve("events.parquet")))
-        java.nio.file.Files.copy(
-          java.nio.file.Paths.get(s"$dir/events.parquet"),
-          stage.resolve("events.parquet"))
-      val stream = spark.readStream.schema(staticSchema)
-        .parquet(stage.toString)
-        .withColumnRenamed("ts", "ts_ns")
-        .withColumn("ts", timestamp_micros((col("ts_ns") / 1000L).cast("long")))
-      val q = streaming.StreamingJobs.windowedAgg(stream)
-        .writeStream.format("parquet").option("path", out)
-        .option("checkpointLocation", s"$out/_checkpoint")
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      runEventStream(spark, dir, out, streaming.StreamingJobs.windowedAgg)
       println(s"""{"stream_window":"$out"}""")
+
+    // streaming exact dedup run incrementally: re-deliveries of the
+    // same (user_id, event_id) within the watermark horizon are
+    // dropped; state evicts with the watermark
+    case "stream-dedup" :: dir :: out :: Nil =>
+      runEventStream(spark, dir, out,
+        streaming.StreamingJobs.dedupByKey(_, "ts", Seq("user_id", "event_id")))
+      println(s"""{"stream_dedup":"$out"}""")
+
+    // stateful sessionization as an incremental stream
+    case "stream-sessionize" :: dir :: out :: Nil =>
+      runEventStream(spark, dir, out, df => {
+        import df.sparkSession.implicits._
+        streaming.StreamingJobs.sessionizeEventTime(
+          df.select(col("user_id"), col("event_id"), col("ts"))
+            .as[streaming.StreamingJobs.TimedEvent],
+          gapUs = 30L * 60 * 1000 * 1000).toDF()
+      })
+      println(s"""{"stream_sessionize":"$out"}""")
 
     case "kmeans" :: dir :: out :: rest if rest.lengthIs <= 1 =>
       val iters = rest.headOption.map(_.toInt).getOrElse(1)

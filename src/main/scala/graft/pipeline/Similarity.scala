@@ -136,12 +136,21 @@ object Similarity {
     * refines the centroids; the structure (assign → cell equi-join →
     * exact re-rank) is identical.
     */
+  /** @param nprobe how many nearest cells each QUERY probes (corpus
+    *               vectors always live in exactly one cell). The
+    *               classic IVF recall lever: raising it widens each
+    *               query's candidate set linearly without touching the
+    *               index — at corpus scale that trades k·|Q| extra
+    *               cell scans for recall, never an extra corpus pass.
+    */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, centroidFilter: Column, k: Int): DataFrame = {
+      vecCol: String, centroidFilter: Column, k: Int,
+      nprobe: Int = 1): DataFrame = {
+    require(nprobe >= 1, "nprobe must be >= 1")
     val cents = broadcast(corpus.filter(centroidFilter)
       .select(col(idCol).as("cent_id"), col(vecCol).as("ce"),
         l2norm(col(vecCol)).as("ce_n")))
-    def assign(df: DataFrame, prefix: String): DataFrame = {
+    def assign(df: DataFrame, prefix: String, maxRank: Int): DataFrame = {
       val base = df
         .repartition(df.sparkSession.sparkContext.defaultParallelism)
         .select(col(idCol).as(s"${prefix}_id"), col(vecCol).as(s"${prefix}v"),
@@ -153,12 +162,12 @@ object Similarity {
           col("cent_id").asc)
       base.crossJoin(cents)
         .withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1)
+        .filter(col("__rn") <= maxRank)
         .select(col(s"${prefix}_id"), col(s"${prefix}v"), col(s"${prefix}n"),
           col("cent_id"))
     }
-    val cellC = assign(corpus, "cand")
-    val cellQ = assign(queries, "query")
+    val cellC = assign(corpus, "cand", 1)
+    val cellQ = assign(queries, "query", nprobe)
     val scored = cellC.join(cellQ, Seq("cent_id"))
       .filter(col("query_id") =!= col("cand_id"))
       .withColumn("sim",

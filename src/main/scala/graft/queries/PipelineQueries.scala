@@ -315,6 +315,15 @@ object PipelineQueries {
     Similarity.kmeansTrain(t(s, dir, "embeddings"), "vec_id", "embedding",
       centroidFilter = col("vec_id") % 25 === 0, iters = kmeansIters)
 
+  /** Multi-probe IVF: the p19 layout with each query probing its two
+    * nearest cells — recall widens, the corpus index is untouched.
+    */
+  def p26IvfNprobe(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 20), "vec_id", "embedding",
+      centroidFilter = col("vec_id") % 25 === 0, k = 3, nprobe = 2)
+  }
+
   /** Stratified sample: exactly 10 docs per source in portable-hash
     * order — the seedless draw any engine reproduces row-for-row.
     */
@@ -386,7 +395,8 @@ object PipelineQueries {
     "p22_kmeans_train" -> p22KmeansTrain _,
     "p23_stratified_sample" -> p23StratifiedSample _,
     "p24_token_budget" -> p24TokenBudget _,
-    "p25_decontaminate" -> p25Decontaminate _
+    "p25_decontaminate" -> p25Decontaminate _,
+    "p26_ivf_nprobe" -> p26IvfNprobe _
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -742,6 +752,33 @@ object PipelineQueries {
          |SELECT doc_id, source, CAST(n_toks AS BIGINT) AS n_toks,
          |  CAST(cum AS BIGINT) AS cum_toks
          |FROM c WHERE cum <= 700""".stripMargin,
+    "p26_ivf_nprobe" ->
+      s"""WITH cents AS (
+         |  SELECT vec_id AS cent_id, embedding AS ce FROM embeddings
+         |  WHERE vec_id % 25 = 0),
+         |assign AS (
+         |  SELECT e.vec_id, e.embedding, cent_id,
+         |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${oCos("e.embedding", "ce")} DESC, cent_id ASC) AS rn
+         |  FROM embeddings e, cents),
+         |cells AS (
+         |  SELECT vec_id, embedding, cent_id FROM assign WHERE rn = 1),
+         |probes AS (
+         |  SELECT vec_id, embedding, cent_id FROM assign
+         |  WHERE rn <= 2 AND vec_id < 20),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         |    ${oCos("q.embedding", "c.embedding")} AS sim
+         |  FROM probes q JOIN cells c
+         |    ON q.cent_id = c.cent_id AND q.vec_id != c.vec_id),
+         |ranked AS (
+         |  SELECT query_id, cand_id, sim,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |                       ORDER BY sim DESC, cand_id ASC) AS rank
+         |  FROM scored)
+         |SELECT query_id, CAST(rank AS BIGINT) AS rank, cand_id,
+         |  CAST(FLOOR(sim * 1e6) AS BIGINT) AS sim_micro
+         |FROM ranked WHERE rank <= 3""".stripMargin,
     "p25_decontaminate" ->
       s"""WITH sh AS (
          |  SELECT DISTINCT doc_id, ${oHash("s")} AS h

@@ -131,6 +131,15 @@ class CliSpec extends SparkSpec {
     Cli.run(spark, List("stream-window", sf0001, s"$out/stream"))
     assert(spark.read.parquet(s"$out/stream").count() == streamed)
 
+    // the dedup and sessionize jobs run through the same incremental
+    // harness; watermark-closed output lands as parquet
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$out/sdedup"))
+    Cli.run(spark, List("stream-dedup", sf0001, s"$out/sdedup"))
+    assert(spark.read.parquet(s"$out/sdedup").count() > 0)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$out/ssess"))
+    Cli.run(spark, List("stream-sessionize", sf0001, s"$out/ssess"))
+    assert(spark.read.parquet(s"$out/ssess").count() > 0)
+
     // subset-model materializes each FK level; lineitem keys ⊆ orders keys
     Cli.run(spark, List("subset-model", sf0001, "customer", s"$out/subset"))
     val so = spark.read.parquet(s"$out/subset/orders")

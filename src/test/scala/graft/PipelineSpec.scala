@@ -75,6 +75,21 @@ class PipelineSpec extends SparkSpec {
     assert(out(2)._2 == -1000000L) // opposite
   }
 
+  test("multi-probe IVF recall dominates single-probe against brute-force truth") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val q = emb.filter($"vec_id" < 20)
+    val truth = Similarity.topK(emb, q, "vec_id", "embedding", 3)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+    def hits(np: Int) = Similarity
+      .ivfTopK(emb, q, "vec_id", "embedding", $"vec_id" % 25 === 0, 3, np)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+      .intersect(truth).size
+    val one = hits(1)
+    val two = hits(2)
+    assert(two >= one, s"nprobe=2 recall $two < nprobe=1 recall $one")
+    assert(two > 0)
+  }
+
   test("kmeansTrain(1) equals kmeansUpdate; iterating moves a centroid to its cell mean") {
     val df = Seq(
       (0L, Array(1f, 0f, 0f)),   // seed centroid A
