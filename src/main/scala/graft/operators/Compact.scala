@@ -32,13 +32,30 @@ object Compact {
     */
   case class Report(filesBefore: Int, filesAfter: Int, bytes: Long)
 
-  private def dataFiles(fs: org.apache.hadoop.fs.FileSystem, dir: String) =
-    fs.listStatus(new Path(dir)).filter { s =>
+  private def dataFiles(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String): Seq[org.apache.hadoop.fs.FileStatus] =
+    fs.listStatus(new Path(dir)).toSeq.flatMap { s =>
       val n = s.getPath.getName
-      s.isFile && !n.startsWith("_") && !n.startsWith(".")
+      if (n.startsWith("_") || n.startsWith(".")) Nil
+      else if (s.isFile) Seq(s)
+      else dataFiles(fs, s.getPath.toString)
     }
 
-  /** Compact the parquet directory `dir` in place. */
+  /** Hive-style partition columns of `dir` (first-level `col=value`
+    * entries), empty for a flat table.
+    */
+  private def partitionCols(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String): Seq[String] =
+    fs.listStatus(new Path(dir)).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+      .map(_.getPath.getName.split("=", 2)(0)).distinct
+
+  /** Compact the parquet directory `dir` in place. A flat table
+    * coalesces (no shuffle); a Hive-partitioned table keeps its layout
+    * — rows are clustered back onto their partition values (one
+    * shuffle) so each partition directory ends up with few full files
+    * instead of one shard per historical task.
+    */
   def compact(spark: SparkSession, dir: String,
       targetBytes: Long = 128L << 20): Report = {
     require(targetBytes > 0, "targetBytes must be positive")
@@ -48,7 +65,11 @@ object Compact {
     val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
     val staging = dir + "__staging"
     fs.delete(new Path(staging), true)
-    spark.read.parquet(dir).coalesce(nOut).write.parquet(staging)
+    val df = spark.read.parquet(dir)
+    val pcols = partitionCols(fs, dir)
+    if (pcols.isEmpty) df.coalesce(nOut).write.parquet(staging)
+    else df.repartition(nOut, pcols.map(org.apache.spark.sql.functions.col): _*)
+      .write.partitionBy(pcols: _*).parquet(staging)
     IdMapStore.swapIn(fs, staging, dir)
     Report(before.length, dataFiles(fs, dir).length, bytes)
   }

@@ -25,6 +25,27 @@ class OperatorsSpec extends SparkSpec {
     assert(new java.io.File(dir + "__prev").exists())
   }
 
+  test("Compact preserves a Hive-partitioned layout, one file per partition dir") {
+    val dir = "/tmp/graft_compact_part_test"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    val src = spark.read.parquet(s"$sf0001/orders.parquet")
+    src.repartition(8).write.partitionBy("o_orderstatus").parquet(dir)
+    val r = Compact.compact(spark, dir, targetBytes = 1L << 30)
+    val partDirs = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.contains("=")).toSeq
+    assert(partDirs.nonEmpty, "partition layout must survive compaction")
+    // nOut=1 → rows cluster into one task → one file per partition dir
+    partDirs.foreach { d =>
+      val files = d.listFiles().count(f =>
+        f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      assert(files == 1, s"${d.getName}: $files files")
+    }
+    assert(r.filesBefore > r.filesAfter, r)
+    val after = spark.read.parquet(dir).select(src.columns.map(col): _*)
+    assert(after.count() == src.count())
+    assert(after.except(src).isEmpty && src.except(after).isEmpty)
+  }
+
   test("EraBuilder merges overlapping and within-gap intervals") {
     val df = Seq(
       // person 1, concept 10: [Jan1,Jan5], [Jan20,Jan25] (gap 15d <= 30 → merge),
