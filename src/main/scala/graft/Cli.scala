@@ -72,6 +72,7 @@ object Cli {
         |  kmeans <dir> <outDir> [iters]                 IVF centroid training (Lloyd, default 1 iteration)
         |  repetition <dir> <outDir>                     Gopher-style repetition quality signals
         |  vacuum <tableDir> [targetMB]                  compact a parquet dir's small files in place
+        |  ingest-dedup <dir> <batchDir> <outDir>        idempotent corpus append (content-hash anti-join)
         |  transform-one <siteDir> <site> <table> <step> <outDir>  one stock step: age|concept-name|site
         |  copy-derivation <dir> <kind> <outDir>         append derived rows: bmi|bmiz|ht-z|wt-z
         |  pcornet-slice <dir> <minY> <maxY> <outRoot>   age-banded cohort + whole-schema subset
@@ -492,6 +493,22 @@ object Cli {
 
     case "repetition" :: dir :: out :: Nil =>
       write(queries.PipelineQueries.p20Repetition(spark, dir), out)
+
+    // idempotent corpus ingest — the S4 ON CONFLICT DO NOTHING append
+    // over content identity: only batch docs whose content fingerprint
+    // is absent from the corpus land; re-running the same batch adds
+    // nothing. The anti-join shuffles 16-byte digests, not documents.
+    case "ingest-dedup" :: dir :: batchDir :: out :: Nil =>
+      def fp(c: org.apache.spark.sql.Column) =
+        TextFunctions.fingerprint(TextFunctions.tokens(c))
+      val corpus = Tables.read(spark, dir, "documents")
+      val batch = Tables.read(spark, batchDir, "documents")
+      val fresh = batch.withColumn("fp", fp(col("text")))
+        .join(corpus.select(fp(col("text")).as("fp")).distinct(),
+          Seq("fp"), "left_anti")
+        .drop("fp")
+      write(corpus.unionByName(fresh), out)
+      println(s"""{"ingest":"$out","corpus":${corpus.count()},"batch":${batch.count()},"appended":${fresh.count()}}""")
 
     // the reference vacuums after every merge (merge_site_data.py:207);
     // the lake-maintenance twin is small-file compaction

@@ -181,4 +181,52 @@ object Dedup {
       .distinct()
     verifyJaccard(cand, docs, threshold)
   }
+
+  /** Directional containment pairs: (contained, container) where
+    * |contained ∩ container| / |contained| ≥ `threshold` over distinct
+    * word k-shingles — the quote/snippet detector symmetric Jaccard
+    * misses (a small doc fully inside a big one has low Jaccard but
+    * containment 1).
+    *
+    * Same scale shape as [[ngramJaccardPairs]]: hashed-shingle
+    * inverted-index candidates (with the same `maxShingleFreq` skew
+    * cap — pruning only thins CANDIDATES; the verify step recomputes
+    * the exact intersection from the full sets), then both directions
+    * of each unordered candidate pair are verified at once.
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String, k: Int,
+      threshold: Double, maxShingleFreq: Option[Int] = None): DataFrame = {
+    val docs = shingled(df, idCol, textCol, k).persist()
+    val inv0 = docs.select(col("doc"), explode(col("sh")).as("s"))
+      .select(col("doc"), hash60(col("s")).as("h"))
+    val inv = maxShingleFreq match {
+      case Some(f) =>
+        val keep = inv0.groupBy("h").count().filter(col("count") <= f).select("h")
+        inv0.join(keep, "h")
+      case None => inv0
+    }
+    val a = inv.alias("a")
+    val b = inv.alias("b")
+    val cand = a.join(b, col("a.h") === col("b.h") && col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+      .distinct()
+    val sa = docs.select(col("doc").as("doc_a"), col("sh").as("sh_a"))
+    val sb = docs.select(col("doc").as("doc_b"), col("sh").as("sh_b"))
+    val withSets = cand.join(sa, "doc_a").join(sb, "doc_b")
+      .withColumn("inter",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+    val aInB = withSets
+      .filter(size(col("sh_a")) > 0 &&
+        col("inter") / size(col("sh_a")) >= threshold)
+      .select(col("doc_a").as("contained"), col("doc_b").as("container"),
+        floor(col("inter") / size(col("sh_a")) * 1e6).cast("long")
+          .as("containment_micro"))
+    val bInA = withSets
+      .filter(size(col("sh_b")) > 0 &&
+        col("inter") / size(col("sh_b")) >= threshold)
+      .select(col("doc_b").as("contained"), col("doc_a").as("container"),
+        floor(col("inter") / size(col("sh_b")) * 1e6).cast("long")
+          .as("containment_micro"))
+    aInB.unionByName(bInA)
+  }
 }

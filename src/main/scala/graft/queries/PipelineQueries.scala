@@ -315,6 +315,32 @@ object PipelineQueries {
     Similarity.kmeansTrain(t(s, dir, "embeddings"), "vec_id", "embedding",
       centroidFilter = col("vec_id") % 25 === 0, iters = kmeansIters)
 
+  /** Directional containment pairs at 0.5 over word 3-shingles, skew
+    * cap engaged; the oracle is the exhaustive scan, certifying the
+    * cap lost no qualifying pair at this SF.
+    */
+  def p27Containment(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val freqCap = math.max(20, (docs.count() / 10).toInt)
+    Dedup.containmentPairs(docs, "doc_id", "text",
+      k = 3, threshold = 0.5, maxShingleFreq = Some(freqCap))
+  }
+
+  /** Per-source dataset-card stats: doc/token counts, fixed-point mean
+    * tokens, language spread.
+    */
+  def p28CorpusStats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("source"), col("lang"),
+        size(TF.tokens(col("text"))).cast("long").as("n_toks"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("sum_toks"),
+        floor(sum(col("n_toks")) * lit(1e6) / count(lit(1))).cast("long")
+          .as("mean_toks_micro"),
+        countDistinct(col("lang")).as("n_langs"))
+
   /** Multi-probe IVF: the p19 layout with each query probing its two
     * nearest cells — recall widens, the corpus index is untouched.
     */
@@ -396,7 +422,9 @@ object PipelineQueries {
     "p23_stratified_sample" -> p23StratifiedSample _,
     "p24_token_budget" -> p24TokenBudget _,
     "p25_decontaminate" -> p25Decontaminate _,
-    "p26_ivf_nprobe" -> p26IvfNprobe _
+    "p26_ivf_nprobe" -> p26IvfNprobe _,
+    "p27_containment" -> p27Containment _,
+    "p28_corpus_stats" -> p28CorpusStats _
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -752,6 +780,33 @@ object PipelineQueries {
          |SELECT doc_id, source, CAST(n_toks AS BIGINT) AS n_toks,
          |  CAST(cum AS BIGINT) AS cum_toks
          |FROM c WHERE cum <= 700""".stripMargin,
+    "p27_containment" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, ${oShingles(3)} AS sh
+         |  FROM (SELECT doc_id, $oToks AS toks FROM documents)),
+         |pairs AS (
+         |  SELECT a.doc_id AS da, b.doc_id AS db,
+         |    len(list_intersect(a.sh, b.sh)) AS inter,
+         |    len(a.sh) AS na, len(b.sh) AS nb
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+         |dirn AS (
+         |  SELECT da AS contained, db AS container,
+         |    inter / CAST(na AS DOUBLE) AS c
+         |  FROM pairs WHERE na > 0
+         |  UNION ALL
+         |  SELECT db, da, inter / CAST(nb AS DOUBLE) FROM pairs WHERE nb > 0)
+         |SELECT contained, container,
+         |  CAST(FLOOR(c * 1e6) AS BIGINT) AS containment_micro
+         |FROM dirn WHERE c >= 0.5""".stripMargin,
+    "p28_corpus_stats" ->
+      s"""WITH d AS (
+         |  SELECT source, lang, len($oToks) AS n_toks FROM documents)
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(n_toks) AS BIGINT) AS sum_toks,
+         |  CAST(FLOOR(CAST(SUM(n_toks) AS DOUBLE) * 1000000.0 / COUNT(*)) AS BIGINT)
+         |    AS mean_toks_micro,
+         |  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+         |FROM d GROUP BY source""".stripMargin,
     "p26_ivf_nprobe" ->
       s"""WITH cents AS (
          |  SELECT vec_id AS cent_id, embedding AS ce FROM embeddings

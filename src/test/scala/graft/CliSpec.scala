@@ -18,6 +18,12 @@ class CliSpec extends SparkSpec {
     assert(spark.read.parquet(s"$out/dedup").columns.toSet ==
       Set("fp", "keep_id", "n_copies"))
 
+    // ingesting the corpus into itself appends nothing — the
+    // content-hash anti-join makes the append idempotent
+    Cli.run(spark, List("ingest-dedup", sf0001, sf0001, s"$out/ingest"))
+    assert(spark.read.parquet(s"$out/ingest").count() ==
+      spark.read.parquet(s"$sf0001/documents.parquet").count())
+
     // vacuum = in-place compaction; the table stays readable with the
     // same rows and collapses to one data file at sf0.001
     val preVacuum = spark.read.parquet(s"$out/dedup").count()

@@ -75,6 +75,21 @@ class PipelineSpec extends SparkSpec {
     assert(out(2)._2 == -1000000L) // opposite
   }
 
+  test("containmentPairs catches a snippet symmetric Jaccard misses") {
+    val docs = Seq(
+      (1L, "alpha beta gamma"), // one 3-shingle, fully inside doc 2
+      (2L, "alpha beta gamma x y z w q r s t u v"))
+      .toDF("doc_id", "text")
+    val hit = Dedup.containmentPairs(docs, "doc_id", "text", k = 3,
+        threshold = 0.99)
+      .select("contained", "container", "containment_micro")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(hit == Seq((1L, 2L, 1000000L)))
+    // the symmetric measure misses it: jaccard = 1/11
+    assert(Dedup.ngramJaccardPairs(docs, "doc_id", "text", k = 3,
+      threshold = 0.4).isEmpty)
+  }
+
   test("multi-probe IVF recall dominates single-probe against brute-force truth") {
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val q = emb.filter($"vec_id" < 20)
