@@ -74,6 +74,61 @@ object Multimodal {
     MediaFeatures(id, n.toLong, digest, w, h, luma)
   }
 
+  case class FrameRow(media_id: Long, frame_idx: Long, frame_checksum: String)
+
+  /** Video frame sampling: one payload row expands to every `every`-th
+    * frame, at most `maxFrames` of them — the row-expanding
+    * mapPartitions shape (iterator flatMap, codec init once per
+    * partition) an ffmpeg binding would use. STUB decode: the frame
+    * count derives from the payload byte length (40 bytes ≙ one fake
+    * frame) and each "frame" is fingerprinted as the md5 of the
+    * payload bytes plus a `#<idx>` suffix — deterministic, so any
+    * engine reproduces it from the source text.
+    */
+  def sampleFrames(ds: Dataset[MediaRow], every: Int,
+      maxFrames: Int): Dataset[FrameRow] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      // per-partition init would go here (demuxer handles, buffers)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.flatMap { row =>
+        val nFrames = row.content.length / 40 + 1
+        (0 until maxFrames).map(_.toLong * every).filter(_ < nFrames).map { i =>
+          val digest = md.digest(row.content ++ s"#$i".getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString
+          md.reset()
+          FrameRow(row.media_id, i, digest)
+        }
+      }
+    }
+  }
+
+  case class ResizedMeta(
+      media_id: Long,
+      target_w: Int,
+      target_h: Int,
+      scale_x_micro: Long,
+      scale_y_micro: Long)
+
+  /** Resize planning: per payload, the scale factors from the decoded
+    * dimensions to a target box — the 1:1 mapPartitions shape of a
+    * batch resizer. Dimensions come from the same STUB decode as
+    * [[extractFeatures]]; scales are fixed-point so any engine
+    * reproduces them.
+    */
+  def resizePlan(ds: Dataset[MediaRow], targetW: Int,
+      targetH: Int): Dataset[ResizedMeta] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.map { row =>
+        val f = decodeOne(row.media_id, row.content, "")
+        ResizedMeta(row.media_id, targetW, targetH,
+          math.floor(targetW * 1e6 / f.width).toLong,
+          math.floor(targetH * 1e6 / f.height).toLong)
+      }
+    }
+  }
+
   /** Build a media table from the documents table by treating the
     * UTF-8 bytes as an opaque payload — the driver testdata carries no
     * real image column, so this is the plumbing-exercise source.

@@ -315,6 +315,20 @@ object PipelineQueries {
     Similarity.kmeansTrain(t(s, dir, "embeddings"), "vec_id", "embedding",
       centroidFilter = col("vec_id") % 25 === 0, iters = kmeansIters)
 
+  /** Frame sampling over the media payloads: every 2nd fake frame, at
+    * most 4 per payload — the row-expanding batched-decode shape.
+    */
+  def p29FrameSample(s: SparkSession, dir: String): DataFrame =
+    Multimodal.sampleFrames(
+      Multimodal.mediaFromDocuments(s, t(s, dir, "documents")),
+      every = 2, maxFrames = 4).toDF()
+
+  /** Resize planning to a 224x224 box from stub-decoded dimensions. */
+  def p30ResizePlan(s: SparkSession, dir: String): DataFrame =
+    Multimodal.resizePlan(
+      Multimodal.mediaFromDocuments(s, t(s, dir, "documents")),
+      targetW = 224, targetH = 224).toDF()
+
   /** Directional containment pairs at 0.5 over word 3-shingles, skew
     * cap engaged; the oracle is the exhaustive scan, certifying the
     * cap lost no qualifying pair at this SF.
@@ -424,7 +438,9 @@ object PipelineQueries {
     "p25_decontaminate" -> p25Decontaminate _,
     "p26_ivf_nprobe" -> p26IvfNprobe _,
     "p27_containment" -> p27Containment _,
-    "p28_corpus_stats" -> p28CorpusStats _
+    "p28_corpus_stats" -> p28CorpusStats _,
+    "p29_frame_sample" -> p29FrameSample _,
+    "p30_resize_plan" -> p30ResizePlan _
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -780,6 +796,26 @@ object PipelineQueries {
          |SELECT doc_id, source, CAST(n_toks AS BIGINT) AS n_toks,
          |  CAST(cum AS BIGINT) AS cum_toks
          |FROM c WHERE cum <= 700""".stripMargin,
+    "p29_frame_sample" ->
+      s"""WITH f AS (
+         |  SELECT doc_id AS media_id, text,
+         |    octet_length(encode(text)) // 40 + 1 AS nf
+         |  FROM documents)
+         |SELECT media_id, CAST(i AS BIGINT) AS frame_idx,
+         |  md5(text || '#' || CAST(i AS VARCHAR)) AS frame_checksum
+         |FROM f CROSS JOIN (SELECT UNNEST(generate_series(0, 6, 2)) AS i) s
+         |WHERE i < nf""".stripMargin,
+    "p30_resize_plan" ->
+      s"""WITH d AS (
+         |  SELECT doc_id AS media_id,
+         |    64 + (ascii(substr(text, 1, 1)) % 192) AS w,
+         |    64 + (ascii(substr(text, 2, 1)) % 192) AS h
+         |  FROM documents)
+         |SELECT media_id,
+         |  CAST(224 AS INTEGER) AS target_w, CAST(224 AS INTEGER) AS target_h,
+         |  CAST(FLOOR(224 * 1000000.0 / w) AS BIGINT) AS scale_x_micro,
+         |  CAST(FLOOR(224 * 1000000.0 / h) AS BIGINT) AS scale_y_micro
+         |FROM d""".stripMargin,
     "p27_containment" ->
       s"""WITH sh AS (
          |  SELECT doc_id, ${oShingles(3)} AS sh

@@ -90,6 +90,21 @@ class PipelineSpec extends SparkSpec {
       threshold = 0.4).isEmpty)
   }
 
+  test("frame sampling follows the every/max expansion rule; resize scales are fixed-point") {
+    import graft.pipeline.Multimodal
+    val media = Seq(
+      Multimodal.MediaRow(1L, Array.fill(100)('a'.toByte), "video/fake"), // 3 fake frames
+      Multimodal.MediaRow(2L, Array.fill(10)('b'.toByte), "video/fake"))  // 1 fake frame
+      .toDS()
+    val frames = Multimodal.sampleFrames(media, every = 2, maxFrames = 4)
+      .collect().toSeq.groupBy(_.media_id)
+    assert(frames(1L).map(_.frame_idx).sorted == Seq(0L, 2L)) // idx < 3
+    assert(frames(2L).map(_.frame_idx) == Seq(0L))
+    val r = Multimodal.resizePlan(media, 224, 224).filter($"media_id" === 1L).head()
+    // stub width = 64 + ('a' % 192) = 161 → floor(224e6 / 161)
+    assert(r.scale_x_micro == 224000000L / 161L)
+  }
+
   test("multi-probe IVF recall dominates single-probe against brute-force truth") {
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val q = emb.filter($"vec_id" < 20)
