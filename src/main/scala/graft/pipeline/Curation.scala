@@ -55,6 +55,45 @@ object Curation {
       .drop("__h")
   }
 
+  /** Shard-export assignment: every document lands in one of
+    * `nShards` output shards with a stable position — the final
+    * "globally shuffle, then write N equal files" step of a training
+    * pipeline, seedless. The portable hash IS the shuffle: shard =
+    * hash % n spreads adjacent source docs across shards, and the
+    * within-shard order (hash, pk) is the pseudo-random read order.
+    * One Spark shuffle on the shard key; shards stay balanced because
+    * the hash is uniform, no sampling pass needed.
+    */
+  def shardAssignments(df: DataFrame, idCol: String, nShards: Int,
+      salt: String = "shard"): DataFrame = {
+    val w = Window.partitionBy(col("shard")).orderBy(col("__h"), col(idCol))
+    df.withColumn("__h", TF.hash60(concat(lit(salt), col(idCol).cast("string"))))
+      .withColumn("shard", (col("__h") % nShards).cast("long"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .drop("__h")
+  }
+
+  /** Concat-and-chunk sequence packing: walk each stratum in
+    * portable-hash order, lay the token streams end to end, and cut
+    * every `chunkToks` tokens — each document's placement is its
+    * starting chunk and offset (a document may straddle a boundary;
+    * the trainer reads it across the two chunks, GPT-style packing).
+    * All placement is one cumulative window per stratum — exact, no
+    * first-fit sequential loop to serialize.
+    */
+  def packAssignments(df: DataFrame, stratumCol: String, idCol: String,
+      textCol: String, chunkToks: Long, salt: String = "pack"): DataFrame = {
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(col("__h"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__h", TF.hash60(concat(lit(salt), col(idCol).cast("string"))))
+      .withColumn("n_toks", size(TF.tokens(col(textCol))).cast("long"))
+      .withColumn("start_tok", sum(col("n_toks")).over(w) - col("n_toks"))
+      .withColumn("chunk_idx", floor(col("start_tok") / chunkToks).cast("long"))
+      .withColumn("chunk_off", (col("start_tok") % chunkToks).cast("long"))
+      .drop("__h", "start_tok")
+  }
+
   /** Benchmark decontamination: (train doc, benchmark doc) pairs that
     * share at least `minShared` distinct word k-shingles. Candidate
     * generation is an equi-join on the hashed shingle — the benchmark

@@ -315,6 +315,18 @@ object PipelineQueries {
     Similarity.kmeansTrain(t(s, dir, "embeddings"), "vec_id", "embedding",
       centroidFilter = col("vec_id") % 25 === 0, iters = kmeansIters)
 
+  /** Shuffle-shard export assignment across 8 shards. */
+  def p31ShardExport(s: SparkSession, dir: String): DataFrame =
+    Curation.shardAssignments(t(s, dir, "documents"), "doc_id", nShards = 8)
+      .select(col("doc_id"), col("shard"), col("pos"))
+
+  /** Concat-and-chunk packing into 2048-token chunks per source. */
+  def p32SeqPack(s: SparkSession, dir: String): DataFrame =
+    Curation.packAssignments(t(s, dir, "documents"), "source", "doc_id",
+        "text", chunkToks = 2048L)
+      .select(col("doc_id"), col("source"), col("n_toks"),
+        col("chunk_idx"), col("chunk_off"))
+
   /** Frame sampling over the media payloads: every 2nd fake frame, at
     * most 4 per payload — the row-expanding batched-decode shape.
     */
@@ -440,7 +452,9 @@ object PipelineQueries {
     "p27_containment" -> p27Containment _,
     "p28_corpus_stats" -> p28CorpusStats _,
     "p29_frame_sample" -> p29FrameSample _,
-    "p30_resize_plan" -> p30ResizePlan _
+    "p30_resize_plan" -> p30ResizePlan _,
+    "p31_shard_export" -> p31ShardExport _,
+    "p32_seq_pack" -> p32SeqPack _
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -796,6 +810,30 @@ object PipelineQueries {
          |SELECT doc_id, source, CAST(n_toks AS BIGINT) AS n_toks,
          |  CAST(cum AS BIGINT) AS cum_toks
          |FROM c WHERE cum <= 700""".stripMargin,
+    "p31_shard_export" ->
+      s"""WITH h AS (
+         |  SELECT doc_id,
+         |    ${oHash("'shard' || CAST(doc_id AS VARCHAR)")} AS hh
+         |  FROM documents)
+         |SELECT doc_id, CAST(hh % 8 AS BIGINT) AS shard,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY hh % 8 ORDER BY hh, doc_id)
+         |    AS BIGINT) AS pos
+         |FROM h""".stripMargin,
+    "p32_seq_pack" ->
+      s"""WITH h AS (
+         |  SELECT doc_id, source, len($oToks) AS n_toks,
+         |    ${oHash("'pack' || CAST(doc_id AS VARCHAR)")} AS hh
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, source, n_toks,
+         |    SUM(n_toks) OVER (PARTITION BY source ORDER BY hh, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_toks
+         |      AS start_tok
+         |  FROM h)
+         |SELECT doc_id, source, CAST(n_toks AS BIGINT) AS n_toks,
+         |  CAST(FLOOR(CAST(start_tok AS DOUBLE) / 2048) AS BIGINT) AS chunk_idx,
+         |  CAST(start_tok % 2048 AS BIGINT) AS chunk_off
+         |FROM c""".stripMargin,
     "p29_frame_sample" ->
       s"""WITH f AS (
          |  SELECT doc_id AS media_id, text,

@@ -42,6 +42,28 @@ class CurationSpec extends SparkSpec {
     assert(out.map(_._2).sum + (Seq(6L, 4L, 2L).sum - out.map(_._2).sum) > 9L)
   }
 
+  test("shardAssignments covers every doc once with dense per-shard positions") {
+    val out = Curation.shardAssignments(docs, "doc_id", nShards = 2)
+      .select("doc_id", "shard", "pos").as[(Long, Long, Long)].collect().toSeq
+    assert(out.map(_._1).toSet == Set(1L, 2L, 3L, 4L, 5L))
+    assert(out.forall(r => r._2 >= 0 && r._2 < 2))
+    out.groupBy(_._2).foreach { case (_, rs) =>
+      assert(rs.map(_._3).sorted == (1L to rs.size).toSeq) // dense 1..n
+    }
+  }
+
+  test("packAssignments lays token streams end to end across chunk boundaries") {
+    val out = Curation.packAssignments(docs.filter($"source" === "s1"),
+        "source", "doc_id", "text", chunkToks = 5L)
+      .select("n_toks", "chunk_idx", "chunk_off").as[(Long, Long, Long)]
+      .collect().toSeq
+      .map { case (n, ci, off) => (ci * 5 + off, n) }.sortBy(_._1)
+    // each doc starts exactly where the previous one ended
+    assert(out.map(_._1) == out.scanLeft(0L)((acc, r) => acc + r._2).init)
+    // total 12 tokens over 5-token chunks → a start lands past chunk 0
+    assert(out.last._1 >= 5)
+  }
+
   test("contaminationPairs flags planted shingle overlap and honors minShared") {
     val train = Seq(
       (10L, "alpha beta gamma delta epsilon"), // shares 3-shingles with bench 1
