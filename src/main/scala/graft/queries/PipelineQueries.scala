@@ -341,15 +341,17 @@ object PipelineQueries {
       Multimodal.mediaFromDocuments(s, t(s, dir, "documents")),
       targetW = 224, targetH = 224).toDF()
 
-  /** Directional containment pairs at 0.5 over word 3-shingles, skew
+  /** Directional containment pairs at 0.5 over word 4-shingles, skew
     * cap engaged; the oracle is the exhaustive scan, certifying the
-    * cap lost no qualifying pair at this SF.
+    * cap lost no qualifying pair at this SF. k=4 matches p04 — 3-gram
+    * postings are an order of magnitude denser and blow up the
+    * candidate join at larger SFs for no recall gain here.
     */
   def p27Containment(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     val freqCap = math.max(20, (docs.count() / 10).toInt)
     Dedup.containmentPairs(docs, "doc_id", "text",
-      k = 3, threshold = 0.5, maxShingleFreq = Some(freqCap))
+      k = 4, threshold = 0.5, maxShingleFreq = Some(freqCap))
   }
 
   /** Per-source dataset-card stats: doc/token counts, fixed-point mean
@@ -856,7 +858,7 @@ object PipelineQueries {
          |FROM d""".stripMargin,
     "p27_containment" ->
       s"""WITH sh AS (
-         |  SELECT doc_id, ${oShingles(3)} AS sh
+         |  SELECT doc_id, ${oShingles(4)} AS sh
          |  FROM (SELECT doc_id, $oToks AS toks FROM documents)),
          |pairs AS (
          |  SELECT a.doc_id AS da, b.doc_id AS db,
