@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.{GraftSession, Tables}
 import graft.operators._
-import graft.pipeline.{Dedup, Multimodal, Similarity, TextFunctions}
+import graft.pipeline.{Curation, Dedup, Multimodal, Similarity, TextFunctions}
 import graft.transforms._
 
 /** Thin command surface mirroring the reference CLI
@@ -73,6 +73,7 @@ object Cli {
         |  repetition <dir> <outDir>                     Gopher-style repetition quality signals
         |  vacuum <tableDir> [targetMB]                  compact a parquet dir's small files in place
         |  ingest-dedup <dir> <batchDir> <outDir>        idempotent corpus append (content-hash anti-join)
+        |  curate <dir> <outDir>                         quality -> dedup -> decontaminate -> shard, one command
         |  transform-one <siteDir> <site> <table> <step> <outDir>  one stock step: age|concept-name|site
         |  copy-derivation <dir> <kind> <outDir>         append derived rows: bmi|bmiz|ht-z|wt-z
         |  pcornet-slice <dir> <minY> <maxY> <outRoot>   age-banded cohort + whole-schema subset
@@ -493,6 +494,29 @@ object Cli {
 
     case "repetition" :: dir :: out :: Nil =>
       write(queries.PipelineQueries.p20Repetition(spark, dir), out)
+
+    // end-to-end corpus curation: quality gate → exact dedup →
+    // benchmark decontamination → shuffle-shard export, every stage
+    // the oracle-checked operator, one command. Output is shard-
+    // partitioned parquet plus a stage-by-stage count report.
+    case "curate" :: dir :: out :: Nil =>
+      val docs = Tables.read(spark, dir, "documents")
+      val scored = queries.PipelineQueries.p09Quality(spark, dir)
+      val qualified = docs.join(
+        scored.filter(col("score") >= 0.5).select("doc_id"), "doc_id")
+      val keep = Dedup.exact(qualified, "doc_id", "text")
+        .select(col("keep_id").as("doc_id"))
+      val deduped = qualified.join(keep, "doc_id")
+      val train = deduped.filter(col("doc_id") % 20 =!= 0)
+      val tainted = Curation.contaminationPairs(
+          train, docs.filter(col("doc_id") % 20 === 0),
+          "doc_id", "text", k = 4, minShared = 2)
+        .select(col("train_doc").as("doc_id")).distinct()
+      val clean = train.join(tainted, Seq("doc_id"), "left_anti")
+      Curation.shardAssignments(clean, "doc_id", nShards = 4)
+        .write.mode("overwrite").partitionBy("shard").parquet(out)
+      val kept = spark.read.parquet(out).count()
+      println(s"""{"curate":"$out","in":${docs.count()},"quality":${qualified.count()},"deduped":${deduped.count()},"decontaminated":${clean.count()},"sharded":$kept}""")
 
     // idempotent corpus ingest — the S4 ON CONFLICT DO NOTHING append
     // over content identity: only batch docs whose content fingerprint

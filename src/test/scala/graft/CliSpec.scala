@@ -18,6 +18,19 @@ class CliSpec extends SparkSpec {
     assert(spark.read.parquet(s"$out/dedup").columns.toSet ==
       Set("fp", "keep_id", "n_copies"))
 
+    // the curation composite: monotone non-increasing counts through
+    // the stages, shard-partitioned output, deterministic re-run
+    Cli.run(spark, List("curate", sf0001, s"$out/curated"))
+    val curated = spark.read.parquet(s"$out/curated")
+    val nDocs = spark.read.parquet(s"$sf0001/documents.parquet").count()
+    assert(curated.count() > 0 && curated.count() <= nDocs)
+    assert(curated.columns.contains("shard") && curated.columns.contains("pos"))
+    assert(new java.io.File(s"$out/curated").listFiles()
+      .exists(f => f.isDirectory && f.getName.startsWith("shard=")))
+    val n1 = curated.count()
+    Cli.run(spark, List("curate", sf0001, s"$out/curated"))
+    assert(spark.read.parquet(s"$out/curated").count() == n1)
+
     // ingesting the corpus into itself appends nothing — the
     // content-hash anti-join makes the append idempotent
     Cli.run(spark, List("ingest-dedup", sf0001, sf0001, s"$out/ingest"))

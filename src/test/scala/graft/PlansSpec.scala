@@ -158,6 +158,16 @@ class PlansSpec extends SparkSpec {
     assert(exchanges <= 2, s"expected <=2 shuffle exchanges, got $exchanges\n$p")
   }
 
+  test("shard export and sequence packing are single-exchange window plans (p31, p32)") {
+    for ((name, df) <- Seq(
+        "p31" -> PipelineQueries.p31ShardExport(spark, sf0001),
+        "p32" -> PipelineQueries.p32SeqPack(spark, sf0001))) {
+      val p = plan(df)
+      val exchanges = """[+:]- Exchange \(""".r.findAllIn(p).size
+      assert(exchanges <= 1, s"$name: expected <=1 shuffle exchange, got $exchanges\n$p")
+    }
+  }
+
   test("decontamination broadcasts the benchmark posting list (p25)") {
     val p = plan(PipelineQueries.p25Decontaminate(spark, sf0001))
     // the corpus side must stream: hashed-shingle equi-join against a
