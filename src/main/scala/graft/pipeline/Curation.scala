@@ -94,6 +94,53 @@ object Curation {
       .drop("__h", "start_tok")
   }
 
+  /** Rare-token ratio — the OOV/rarity quality signal: per document,
+    * the fraction of token OCCURRENCES whose corpus document frequency
+    * is at or below `maxDf`. Pure integer counting (exact in any
+    * engine) where a perplexity filter would need a language model —
+    * the standard deterministic stand-in. Two shuffles: the df
+    * aggregation and the per-doc rollup; the df table is vocabulary-
+    * sized, so Spark broadcasts it back onto the occurrence stream.
+    */
+  def rareTokenRatio(df: DataFrame, idCol: String, textCol: String,
+      maxDf: Long): DataFrame = {
+    val occ = df.select(col(idCol).as("doc"),
+      explode(TF.tokens(col(textCol))).as("tok"))
+    val dfreq = occ.groupBy("tok")
+      .agg(countDistinct(col("doc")).as("df"))
+    occ.join(broadcast(dfreq), "tok")
+      .groupBy(col("doc"))
+      .agg(
+        count(lit(1)).as("n_toks"),
+        sum(when(col("df") <= maxDf, 1L).otherwise(0L)).as("n_rare"),
+        floor(sum(when(col("df") <= maxDf, 1L).otherwise(0L)) * lit(1e6) /
+          count(lit(1))).cast("long").as("rare_micro"))
+  }
+
+  /** Winnowing fingerprints (the MOSS scheme): hash every positional
+    * k-shingle, slide a window of `w` hashes, keep each window's
+    * minimum — a guaranteed-overlap document sketch: any shared run of
+    * w+k-1 tokens contributes at least one identical fingerprint, so
+    * sketch joins catch local overlap at a fraction of the full
+    * posting volume. All array math happens inside the row (no
+    * explode until the final distinct fingerprint set), portable-hash
+    * based and exact.
+    */
+  def winnow(df: DataFrame, idCol: String, textCol: String, k: Int,
+      w: Int): DataFrame = {
+    // sequence(1, n) DESCENDS for n < 1, so empty inputs need the guard
+    val hashExpr = s"""if(size(__toks) < $k, array(),
+        transform(sequence(1, size(__toks) - ${k - 1}),
+          i -> cast(conv(substring(md5(concat_ws(' ', slice(__toks, i, $k))), 1, 15), 16, 10) as bigint)))"""
+    val minsExpr = s"""if(size(__h) < $w, array_distinct(__h),
+        array_distinct(transform(sequence(1, size(__h) - ${w - 1}),
+          j -> array_min(slice(__h, j, $w)))))"""
+    df.withColumn("__toks", TF.tokens(col(textCol)))
+      .withColumn("__h", expr(hashExpr))
+      .withColumn("__fp", expr(minsExpr))
+      .select(col(idCol).as("doc"), explode(col("__fp")).as("fp"))
+  }
+
   /** Benchmark decontamination: (train doc, benchmark doc) pairs that
     * share at least `minShared` distinct word k-shingles. Candidate
     * generation is an equi-join on the hashed shingle — the benchmark

@@ -327,6 +327,22 @@ object PipelineQueries {
       .select(col("doc_id"), col("source"), col("n_toks"),
         col("chunk_idx"), col("chunk_off"))
 
+  /** Rare-token ratio with a corpus-relative df threshold (|D|/5 —
+    * the same fraction at every SF, and the oracle computes it as a
+    * subquery so both engines derive it from the data).
+    */
+  def p33RareTokens(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    Curation.rareTokenRatio(docs, "doc_id", "text", maxDf = docs.count() / 5)
+      .select(col("doc").as("doc_id"), col("n_toks"), col("n_rare"),
+        col("rare_micro"))
+  }
+
+  /** Winnowing fingerprints over word 3-shingles, window 4. */
+  def p34Winnow(s: SparkSession, dir: String): DataFrame =
+    Curation.winnow(t(s, dir, "documents"), "doc_id", "text", k = 3, w = 4)
+      .select(col("doc").as("doc_id"), col("fp"))
+
   /** Frame sampling over the media payloads: every 2nd fake frame, at
     * most 4 per payload — the row-expanding batched-decode shape.
     */
@@ -456,7 +472,9 @@ object PipelineQueries {
     "p29_frame_sample" -> p29FrameSample _,
     "p30_resize_plan" -> p30ResizePlan _,
     "p31_shard_export" -> p31ShardExport _,
-    "p32_seq_pack" -> p32SeqPack _
+    "p32_seq_pack" -> p32SeqPack _,
+    "p33_rare_tokens" -> p33RareTokens _,
+    "p34_winnow" -> p34Winnow _
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -812,6 +830,35 @@ object PipelineQueries {
          |SELECT doc_id, source, CAST(n_toks AS BIGINT) AS n_toks,
          |  CAST(cum AS BIGINT) AS cum_toks
          |FROM c WHERE cum <= 700""".stripMargin,
+    "p33_rare_tokens" ->
+      s"""WITH occ AS (
+         |  SELECT doc_id, unnest($oToks) AS tok FROM documents),
+         |dfreq AS (
+         |  SELECT tok, COUNT(DISTINCT doc_id) AS df FROM occ GROUP BY tok),
+         |j AS (SELECT doc_id, df FROM occ JOIN dfreq USING (tok)),
+         |thr AS (SELECT COUNT(*) // 5 AS t FROM documents)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_toks,
+         |  CAST(SUM(CASE WHEN df <= (SELECT t FROM thr) THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+         |  CAST(FLOOR(CAST(SUM(CASE WHEN df <= (SELECT t FROM thr) THEN 1 ELSE 0 END) AS DOUBLE)
+         |    * 1000000.0 / COUNT(*)) AS BIGINT) AS rare_micro
+         |FROM j GROUP BY doc_id""".stripMargin,
+    "p34_winnow" ->
+      s"""WITH toks AS (SELECT doc_id, $oToks AS toks FROM documents),
+         |h AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(toks) < 3 THEN CAST([] AS BIGINT[])
+         |    ELSE list_transform(generate_series(1, len(toks) - 2),
+         |      i -> ${oHash("toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]")})
+         |    END AS h
+         |  FROM toks),
+         |fps AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(h) < 4 THEN list_distinct(h)
+         |    ELSE list_distinct(list_transform(generate_series(1, len(h) - 3),
+         |      j -> list_min(h[j:j+3])))
+         |    END AS fps
+         |  FROM h)
+         |SELECT doc_id, unnest(fps) AS fp FROM fps""".stripMargin,
     "p31_shard_export" ->
       s"""WITH h AS (
          |  SELECT doc_id,

@@ -64,6 +64,31 @@ class CurationSpec extends SparkSpec {
     assert(out.last._1 >= 5)
   }
 
+  test("winnow guarantees a shared fingerprint for any shared w+k-1 token run") {
+    val shared = "one two three four five six" // exactly w+k-1 = 6 tokens
+    val pair = Seq(
+      (1L, s"aa bb $shared cc"),
+      (2L, s"$shared zz yy xx"),
+      (3L, "p q r s t u v w")).toDF("doc_id", "text")
+    val fp = Curation.winnow(pair, "doc_id", "text", k = 3, w = 4)
+      .as[(Long, Long)].collect().toSeq.groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    assert(fp(1L).intersect(fp(2L)).nonEmpty, "guaranteed overlap missed")
+    assert(fp(3L).intersect(fp(1L) ++ fp(2L)).isEmpty, "disjoint doc collided")
+  }
+
+  test("rareTokenRatio counts occurrences of low-df tokens exactly") {
+    val corpus = Seq(
+      (1L, "common common unicorn"), // unicorn df=1
+      (2L, "common filler"),
+      (3L, "common filler")).toDF("doc_id", "text")
+    val out = Curation.rareTokenRatio(corpus, "doc_id", "text", maxDf = 1L)
+      .select("doc", "n_toks", "n_rare", "rare_micro")
+      .as[(Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(out(0) == ((1L, 3L, 1L, 333333L))) // 1 of 3 occurrences rare
+    assert(out(1)._3 == 0L && out(2)._3 == 0L) // filler has df=2 > 1
+  }
+
   test("contaminationPairs flags planted shingle overlap and honors minShared") {
     val train = Seq(
       (10L, "alpha beta gamma delta epsilon"), // shares 3-shingles with bench 1
