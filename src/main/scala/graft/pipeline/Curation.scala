@@ -141,6 +141,23 @@ object Curation {
       .select(col(idCol).as("doc"), explode(col("__fp")).as("fp"))
   }
 
+  /** Near-dup pair detection over the winnowed sketches: pairs sharing
+    * at least `minShared` fingerprints. The scale payoff of [[winnow]]:
+    * the self-join runs over ~|doc|/w sketch rows instead of the full
+    * shingle postings, with the same overlap guarantee for runs of
+    * w+k-1 tokens.
+    */
+  def winnowPairs(df: DataFrame, idCol: String, textCol: String, k: Int,
+      w: Int, minShared: Int): DataFrame = {
+    val fp = winnow(df, idCol, textCol, k, w)
+    val a = fp.select(col("doc").as("doc_a"), col("fp"))
+    val b = fp.select(col("doc").as("doc_b"), col("fp"))
+    a.join(b, Seq("fp")).filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Benchmark decontamination: (train doc, benchmark doc) pairs that
     * share at least `minShared` distinct word k-shingles. Candidate
     * generation is an equi-join on the hashed shingle — the benchmark

@@ -343,6 +343,13 @@ object PipelineQueries {
     Curation.winnow(t(s, dir, "documents"), "doc_id", "text", k = 3, w = 4)
       .select(col("doc").as("doc_id"), col("fp"))
 
+  /** Sketch-join near-dup pairs: >= 3 shared winnow fingerprints —
+    * finds the planted near-dups from ~|doc|/w sketch rows.
+    */
+  def p35WinnowPairs(s: SparkSession, dir: String): DataFrame =
+    Curation.winnowPairs(t(s, dir, "documents"), "doc_id", "text",
+      k = 3, w = 4, minShared = 3)
+
   /** Frame sampling over the media payloads: every 2nd fake frame, at
     * most 4 per payload — the row-expanding batched-decode shape.
     */
@@ -474,7 +481,8 @@ object PipelineQueries {
     "p31_shard_export" -> p31ShardExport _,
     "p32_seq_pack" -> p32SeqPack _,
     "p33_rare_tokens" -> p33RareTokens _,
-    "p34_winnow" -> p34Winnow _
+    "p34_winnow" -> p34Winnow _,
+    "p35_winnow_pairs" -> p35WinnowPairs _
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -830,6 +838,27 @@ object PipelineQueries {
          |SELECT doc_id, source, CAST(n_toks AS BIGINT) AS n_toks,
          |  CAST(cum AS BIGINT) AS cum_toks
          |FROM c WHERE cum <= 700""".stripMargin,
+    "p35_winnow_pairs" ->
+      s"""WITH toks AS (SELECT doc_id, $oToks AS toks FROM documents),
+         |h AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(toks) < 3 THEN CAST([] AS BIGINT[])
+         |    ELSE list_transform(generate_series(1, len(toks) - 2),
+         |      i -> ${oHash("toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]")})
+         |    END AS h
+         |  FROM toks),
+         |fps AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(h) < 4 THEN list_distinct(h)
+         |    ELSE list_distinct(list_transform(generate_series(1, len(h) - 3),
+         |      j -> list_min(h[j:j+3])))
+         |    END AS fps
+         |  FROM h),
+         |e AS (SELECT doc_id, unnest(fps) AS fp FROM fps)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(COUNT(*) AS BIGINT) AS n_shared
+         |FROM e a JOIN e b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING COUNT(*) >= 3""".stripMargin,
     "p33_rare_tokens" ->
       s"""WITH occ AS (
          |  SELECT doc_id, unnest($oToks) AS tok FROM documents),
