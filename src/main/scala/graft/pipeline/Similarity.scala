@@ -228,6 +228,20 @@ object Similarity {
       when(d > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** Random-projection dimensionality reduction: project a `dim`-wide
+    * vector onto `outDim` deterministic hyperplanes (the same
+    * constant-folded [[planeWeights]] family as [[lshBucket]]) —
+    * the classic 4-16× shrink before ANN indexing, distances
+    * approximately preserved (Johnson–Lindenstrauss). Projections are
+    * emitted fixed-point (`floor(⟨v,w⟩·1e6)`) so every engine
+    * reproduces the reduced vectors bit-for-bit; each component is one
+    * codegen dot kernel, no per-row weight hashing.
+    */
+  def randomProjection(vec: Column, dim: Int, outDim: Int): Column =
+    array((0 until outDim).map { p =>
+      floor(dot(vec, typedLit(planeWeights(p, dim))) * 1e6).cast("long")
+    }: _*)
+
   /** Approximate top-k: bucket corpus and queries by [[lshBucket]],
     * equi-join on the bucket, exact cosine within it. Recall < 1 by
     * construction (that is the approximation); cost drops from

@@ -327,6 +327,16 @@ object PipelineQueries {
       .select(col("doc_id"), col("source"), col("n_toks"),
         col("chunk_idx"), col("chunk_off"))
 
+  /** Random-projection reduction 64 → 16 dims, exploded to
+    * per-component fixed-point rows for the oracle compare.
+    */
+  def p36RandomProjection(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .select(col("vec_id"),
+        posexplode(Similarity.randomProjection(col("embedding"), 64, 16)))
+      .select(col("vec_id"), col("pos").cast("long").as("dim"),
+        col("col").as("proj_fixed"))
+
   /** Rare-token ratio with a corpus-relative df threshold (|D|/5 —
     * the same fraction at every SF, and the oracle computes it as a
     * subquery so both engines derive it from the data).
@@ -482,7 +492,8 @@ object PipelineQueries {
     "p32_seq_pack" -> p32SeqPack _,
     "p33_rare_tokens" -> p33RareTokens _,
     "p34_winnow" -> p34Winnow _,
-    "p35_winnow_pairs" -> p35WinnowPairs _
+    "p35_winnow_pairs" -> p35WinnowPairs _,
+    "p36_random_projection" -> p36RandomProjection _
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -838,6 +849,14 @@ object PipelineQueries {
          |SELECT doc_id, source, CAST(n_toks AS BIGINT) AS n_toks,
          |  CAST(cum AS BIGINT) AS cum_toks
          |FROM c WHERE cum <= 700""".stripMargin,
+    "p36_random_projection" -> (0 until 16).map { p =>
+      s"""SELECT vec_id, CAST($p AS BIGINT) AS dim,
+         |  CAST(FLOOR(list_sum(list_transform(generate_series(1, 64),
+         |    i -> CAST(embedding[i] AS DOUBLE) *
+         |         (${oHash(s"'hp${p}_' || CAST(i AS VARCHAR)")} % 2001 - 1000)))
+         |    * 1000000.0) AS BIGINT) AS proj_fixed
+         |FROM embeddings""".stripMargin
+    }.mkString("\nUNION ALL\n"),
     "p35_winnow_pairs" ->
       s"""WITH toks AS (SELECT doc_id, $oToks AS toks FROM documents),
          |h AS (
