@@ -128,17 +128,22 @@ object Curation {
     */
   def winnow(df: DataFrame, idCol: String, textCol: String, k: Int,
       w: Int): DataFrame = {
-    // sequence(1, n) DESCENDS for n < 1, so empty inputs need the guard
-    val hashExpr = s"""if(size(__toks) < $k, array(),
-        transform(sequence(1, size(__toks) - ${k - 1}),
-          i -> cast(conv(substring(md5(concat_ws(' ', slice(__toks, i, $k))), 1, 15), 16, 10) as bigint)))"""
-    val minsExpr = s"""if(size(__h) < $w, array_distinct(__h),
-        array_distinct(transform(sequence(1, size(__h) - ${w - 1}),
-          j -> array_min(slice(__h, j, $w)))))"""
-    df.withColumn("__toks", TF.tokens(col(textCol)))
-      .withColumn("__h", expr(hashExpr))
-      .withColumn("__fp", expr(minsExpr))
-      .select(col(idCol).as("doc"), explode(col("__fp")).as("fp"))
+    // Two subtleties: sequence(1, n) DESCENDS for n < 1, so short
+    // inputs need the guards; and the token/hash arrays are bound as
+    // single-element `transform(array(x), v -> …)` lambda arguments —
+    // a chain of withColumns would let Catalyst's projection collapse
+    // inline the hash array into EVERY window position, re-running the
+    // md5 loop O(positions) times per row (observed 40ms/row at sf0.1;
+    // the binding keeps it one evaluation per row).
+    val hashOverT = s"""if(size(t) < $k, array(),
+        transform(sequence(1, size(t) - ${k - 1}),
+          i -> cast(conv(substring(md5(concat_ws(' ', slice(t, i, $k))), 1, 15), 16, 10) as bigint)))"""
+    val minsOverH = s"""if(size(h) < $w, array_distinct(h),
+        array_distinct(transform(sequence(1, size(h) - ${w - 1}),
+          j -> array_min(slice(h, j, $w)))))"""
+    val fpExpr = s"""element_at(transform(array(split(trim($textCol), '\\\\s+')), t ->
+        element_at(transform(array($hashOverT), h -> $minsOverH), 1)), 1)"""
+    df.select(col(idCol).as("doc"), explode(expr(fpExpr)).as("fp"))
   }
 
   /** Near-dup pair detection over the winnowed sketches: pairs sharing
