@@ -163,6 +163,81 @@ object Curation {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** One scrub rule: redact every match of `regex` to `replacement`
+    * and report the match count. Patterns stay in the RE2-compatible
+    * subset (character classes, quantifiers, alternation — no
+    * backreferences or lookaround) so the same pattern string runs
+    * identically under Java regex (Spark) and RE2 (DuckDB oracle,
+    * and any other engine a corpus pipeline cross-checks against).
+    */
+  final case class ScrubRule(name: String, regex: String, replacement: String)
+
+  /** Common training-corpus redaction rules: emails, international
+    * phone numbers, and bare digit-run identifiers (account numbers,
+    * user ids). Order matters — emails and phones are redacted before
+    * the generic digit rule so their digits don't double-count.
+    */
+  val piiRules: Seq[ScrubRule] = Seq(
+    ScrubRule("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+      "<EMAIL>"),
+    ScrubRule("phone", "\\+?[0-9][0-9()\\- ]{6,}[0-9]", "<PHONE>"),
+    ScrubRule("id", "[0-9]+", "<ID>"))
+
+  /** PII / identifier scrubbing: apply `rules` in order to `textCol`,
+    * producing a `clean` column plus one `n_<rule>` count column per
+    * rule (counted against the text as the rule sees it, i.e. after
+    * the previous rules' redactions).
+    *
+    * Scale shape: a pure per-row projection — every regexp_replace /
+    * regexp_count is a codegen'd Catalyst expression, no UDF, no
+    * shuffle, runs inside the scan's WholeStageCodegen span. At 100 TB
+    * this is the cheapest kind of operator there is: it adds zero
+    * exchanges to whatever plan consumes it.
+    */
+  def scrubText(df: DataFrame, textCol: String,
+      rules: Seq[ScrubRule] = piiRules): DataFrame = {
+    val scrubbed = rules.foldLeft((df, col(textCol))) {
+      case ((acc, cur), r) =>
+        val counted = acc.withColumn(s"n_${r.name}",
+          regexp_count(cur, lit(r.regex)).cast("long"))
+        (counted, regexp_replace(cur, r.regex, r.replacement))
+    }
+    scrubbed._1.withColumn("clean", scrubbed._2)
+  }
+
+  /** Global segment-level dedup (the C4 "remove duplicated lines
+    * across the corpus" rule, over fixed word windows when the corpus
+    * has no line structure): split each document's tokens into
+    * consecutive `segWords`-word segments, keep a segment only in the
+    * single document with the minimum id containing it, and report
+    * per-document kept/dropped counts.
+    *
+    * Scale shape: segments are hashed to 60-bit keys before the
+    * shuffle, so the global first-occurrence aggregation moves 8-byte
+    * keys, not text; the per-document rollup then partial-aggregates
+    * map-side. Two exchanges total, both on compact keys — the same
+    * discipline as the inverted-index dedup family.
+    */
+  def segmentDedup(df: DataFrame, idCol: String, textCol: String,
+      segWords: Int): DataFrame = {
+    val segs = df
+      .select(col(idCol).as("doc"), TF.tokens(col(textCol)).as("toks"))
+      .withColumn("seg", explode(expr(
+        s"""if(size(toks) < 1, array(),
+           |  transform(sequence(1, cast(ceil(size(toks) / ${segWords}.0D) as int)),
+           |    i -> concat_ws(' ', slice(toks, (i - 1) * $segWords + 1, $segWords))))"""
+          .stripMargin)))
+      .select(col("doc"), TF.hash60(col("seg")).as("h"))
+      .distinct()
+    val owners = segs.groupBy("h").agg(min(col("doc")).as("owner"))
+    segs.join(owners, "h")
+      .groupBy(col("doc"))
+      .agg(
+        count(lit(1)).as("n_segs"),
+        sum(when(col("doc") === col("owner"), 1L).otherwise(0L)).as("n_kept"))
+      .withColumn("n_dropped", col("n_segs") - col("n_kept"))
+  }
+
   /** Benchmark decontamination: (train doc, benchmark doc) pairs that
     * share at least `minShared` distinct word k-shingles. Candidate
     * generation is an equi-join on the hashed shingle — the benchmark

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.operators.Sessionize
+import graft.operators.{ConnectedComponents, Sessionize}
 import graft.pipeline.{Curation, Dedup, Multimodal, Similarity, TextFunctions => TF}
 
 /** Beyond-reference data-pipeline queries (dedup, similarity search,
@@ -360,6 +360,52 @@ object PipelineQueries {
     Curation.winnowPairs(t(s, dir, "documents"), "doc_id", "text",
       k = 3, w = 4, minShared = 3)
 
+  /** Near-dup CLUSTERS: the p04 pair set closed under transitivity by
+    * alternating large-star/small-star connected components — every
+    * doc in a qualifying pair gets its cluster representative (minimum
+    * reachable id) and a keep flag, the actual dedup decision a
+    * curation pipeline acts on. The oracle recomputes the closure with
+    * a recursive CTE over the exhaustive pair scan, so the check
+    * certifies BOTH pair recall and the clustering itself.
+    */
+  def p37DupClusters(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val freqCap = math.max(20, (docs.count() / 10).toInt)
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      k = 4, threshold = 0.4, maxShingleFreq = Some(freqCap))
+    ConnectedComponents.dedupDecisions(
+      pairs.select(col("doc_a").as("u"), col("doc_b").as("v")))
+      .select(col("node").as("doc_id"), col("component").as("cluster_id"),
+        col("keep"))
+  }
+
+  /** Identifier/PII scrubbing over rendered event log lines: the digit
+    * rule redacts user ids and fixed-point amounts to `<ID>`; the
+    * email and phone rules run first in the cascade (structurally
+    * exercised — the synthetic corpus has no hits; CurationSpec covers
+    * them on literal rows). Pure codegen projection, zero exchanges.
+    */
+  def p38PiiScrub(s: SparkSession, dir: String): DataFrame = {
+    val lines = t(s, dir, "events").select(
+      col("event_id"),
+      concat(col("event_type"), lit(" user="),
+        col("user_id").cast("string"), lit(" amount="),
+        floor(col("value") * 100).cast("string")).as("line"))
+    Curation.scrubText(lines, "line")
+      .select(col("event_id"), col("clean"),
+        col("n_email"), col("n_phone"), col("n_id"))
+  }
+
+  /** C4-style global segment dedup over 10-word windows: a segment
+    * survives only in the minimum-id document containing it; per-doc
+    * kept/dropped counts.
+    */
+  def p39LineDedup(s: SparkSession, dir: String): DataFrame =
+    Curation.segmentDedup(t(s, dir, "documents"), "doc_id", "text",
+        segWords = 10)
+      .select(col("doc").as("doc_id"), col("n_segs"), col("n_kept"),
+        col("n_dropped"))
+
   /** Frame sampling over the media payloads: every 2nd fake frame, at
     * most 4 per payload — the row-expanding batched-decode shape.
     */
@@ -493,7 +539,10 @@ object PipelineQueries {
     "p33_rare_tokens" -> p33RareTokens _,
     "p34_winnow" -> p34Winnow _,
     "p35_winnow_pairs" -> p35WinnowPairs _,
-    "p36_random_projection" -> p36RandomProjection _
+    "p36_random_projection" -> p36RandomProjection _,
+    "p37_dup_clusters" -> p37DupClusters _,
+    "p38_pii_scrub" -> p38PiiScrub _,
+    "p39_line_dedup" -> p39LineDedup _
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -849,6 +898,70 @@ object PipelineQueries {
          |SELECT doc_id, source, CAST(n_toks AS BIGINT) AS n_toks,
          |  CAST(cum AS BIGINT) AS cum_toks
          |FROM c WHERE cum <= 700""".stripMargin,
+    "p37_dup_clusters" ->
+      s"""WITH RECURSIVE sh AS (
+         |  SELECT doc_id, ${oShingles(4)} AS sh
+         |  FROM (SELECT doc_id, $oToks AS toks FROM documents)),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE len(list_intersect(a.sh, b.sh))
+         |      / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE)
+         |      >= 0.4),
+         |edges AS (
+         |  SELECT doc_a AS u, doc_b AS v FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(u, v) AS (
+         |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
+         |SELECT u AS doc_id, MIN(v) AS cluster_id,
+         |  CAST(u = MIN(v) AS INT) AS keep
+         |FROM reach GROUP BY u""".stripMargin,
+    "p38_pii_scrub" ->
+      s"""WITH lines AS (
+         |  SELECT event_id,
+         |    event_type || ' user=' || CAST(user_id AS VARCHAR) ||
+         |    ' amount=' || CAST(CAST(FLOOR(value * 100) AS BIGINT) AS VARCHAR)
+         |      AS line
+         |  FROM events),
+         |s1 AS (
+         |  SELECT event_id,
+         |    CAST(len(regexp_extract_all(line,
+         |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT)
+         |      AS n_email,
+         |    regexp_replace(line,
+         |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+         |      '<EMAIL>', 'g') AS t1
+         |  FROM lines),
+         |s2 AS (
+         |  SELECT event_id, n_email,
+         |    CAST(len(regexp_extract_all(t1,
+         |      '\\+?[0-9][0-9()\\- ]{6,}[0-9]')) AS BIGINT) AS n_phone,
+         |    regexp_replace(t1, '\\+?[0-9][0-9()\\- ]{6,}[0-9]',
+         |      '<PHONE>', 'g') AS t2
+         |  FROM s1)
+         |SELECT event_id,
+         |  regexp_replace(t2, '[0-9]+', '<ID>', 'g') AS clean,
+         |  n_email, n_phone,
+         |  CAST(len(regexp_extract_all(t2, '[0-9]+')) AS BIGINT) AS n_id
+         |FROM s2""".stripMargin,
+    "p39_line_dedup" ->
+      s"""WITH segs AS (
+         |  SELECT DISTINCT doc_id, ${oHash("seg")} AS h
+         |  FROM (
+         |    SELECT doc_id, unnest(list_transform(
+         |      generate_series(1, CAST(CEIL(len(toks) / 10.0) AS BIGINT)),
+         |      i -> array_to_string(list_slice(toks, (i-1)*10+1, i*10), ' '))) AS seg
+         |    FROM (SELECT doc_id, $oToks AS toks FROM documents))),
+         |owners AS (SELECT h, MIN(doc_id) AS owner FROM segs GROUP BY h)
+         |SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_segs,
+         |  CAST(SUM(CASE WHEN s.doc_id = o.owner THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_kept,
+         |  CAST(COUNT(*) AS BIGINT) -
+         |  CAST(SUM(CASE WHEN s.doc_id = o.owner THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_dropped
+         |FROM segs s JOIN owners o USING (h) GROUP BY s.doc_id""".stripMargin,
     "p36_random_projection" -> (0 until 16).map { p =>
       s"""SELECT vec_id, CAST($p AS BIGINT) AS dim,
          |  CAST(FLOOR(list_sum(list_transform(generate_series(1, 64),

@@ -1,0 +1,46 @@
+package graft
+
+import graft.operators.ConnectedComponents
+
+class ConnectedComponentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def comps(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    ConnectedComponents.components(edges.toDF("u", "v"))
+      .as[(Long, Long)].collect().toMap
+
+  test("chain collapses to its minimum — the diameter case star contraction wins") {
+    // a 12-node path: naive propagation needs 11 rounds, star needs ~log
+    val chain = (1L to 11L).map(i => (i, i + 1))
+    val c = comps(chain)
+    assert(c == (1L to 12L).map(_ -> 1L).toMap)
+  }
+
+  test("disjoint components keep distinct minima") {
+    val c = comps(Seq((5L, 7L), (7L, 6L), (20L, 30L), (40L, 40L), (50L, 41L)))
+    assert(c(5L) == 5L && c(6L) == 5L && c(7L) == 5L)
+    assert(c(20L) == 20L && c(30L) == 20L)
+    assert(c(41L) == 41L && c(50L) == 41L)
+    // pure self-loop contributes no node
+    assert(!c.contains(40L) || c(40L) == 40L)
+  }
+
+  test("duplicate, reversed, and self edges are tolerated") {
+    val c = comps(Seq((3L, 1L), (1L, 3L), (3L, 3L), (1L, 3L), (2L, 3L)))
+    assert(c == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("dedupDecisions keeps exactly one representative per cluster") {
+    val d = ConnectedComponents.dedupDecisions(
+      Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("u", "v"))
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(d.filter(_._3 == 1).map(_._1).toSet == Set(1L, 10L))
+    assert(d.filter(_._3 == 0).map(_._1).toSet == Set(2L, 3L, 11L))
+  }
+
+  test("a high-degree star converges without round blowup") {
+    val star = (2L to 200L).map(i => (i, 1L))
+    val c = comps(star)
+    assert(c.size == 199 + 1 && c.values.forall(_ == 1L))
+  }
+}

@@ -105,4 +105,42 @@ class CurationSpec extends SparkSpec {
     assert(Curation.contaminationPairs(train, bench, "doc_id", "text",
       k = 3, minShared = 3).isEmpty)
   }
+
+  test("scrubText redacts emails, phones, and ids in cascade order") {
+    val rows = Seq(
+      (1L, "mail bob.smith+x@example.co.uk now"),
+      (2L, "call +1 (555) 123-4567 or 555 867 5309"),
+      (3L, "account 12345 moved to 99"),
+      (4L, "nothing sensitive here")).toDF("id", "text")
+    val out = Curation.scrubText(rows, "text")
+      .select("id", "clean", "n_email", "n_phone", "n_id")
+      .as[(Long, String, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(out(0) == ((1L, "mail <EMAIL> now", 1L, 0L, 0L)))
+    assert(out(1)._2 == "call <PHONE> or <PHONE>" && out(1)._4 == 2L)
+    // email digits must not double-count into the id rule
+    assert(out(0)._5 == 0L)
+    assert(out(2) == ((3L, "account <ID> moved to <ID>", 0L, 0L, 2L)))
+    assert(out(3) == ((4L, "nothing sensitive here", 0L, 0L, 0L)))
+  }
+
+  test("segmentDedup keeps a shared segment only in the min-id doc") {
+    // 2-word segments; doc 1 and 2 share "a b"; doc 2's "c d" is its own
+    val corpus = Seq(
+      (1L, "a b x y"),
+      (2L, "a b c d"),
+      (3L, "c d")).toDF("doc_id", "text") // "c d" first occurs in doc 2
+    val out = Curation.segmentDedup(corpus, "doc_id", "text", segWords = 2)
+      .select("doc", "n_segs", "n_kept", "n_dropped")
+      .as[(Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(out(0) == ((1L, 2L, 2L, 0L))) // "a b" + "x y" both first here
+    assert(out(1) == ((2L, 2L, 1L, 1L))) // "a b" lost to doc 1, "c d" kept
+    assert(out(2) == ((3L, 1L, 0L, 1L))) // "c d" lost to doc 2
+  }
+
+  test("segmentDedup's trailing partial window is its own segment") {
+    val corpus = Seq((7L, "p q r")).toDF("doc_id", "text")
+    val out = Curation.segmentDedup(corpus, "doc_id", "text", segWords = 2)
+      .select("n_segs").as[Long].head()
+    assert(out == 2L) // "p q" + "r"
+  }
 }
