@@ -71,6 +71,9 @@ object Cli {
         |  stream-sessionize <dir> <outDir>              stateful sessionization as an incremental stream
         |  kmeans <dir> <outDir> [iters]                 IVF centroid training (Lloyd, default 1 iteration)
         |  repetition <dir> <outDir>                     Gopher-style repetition quality signals
+        |  dup-clusters <dir> <outDir>                   connected-component near-dup clusters + keep flags
+        |  scrub <dir> <outDir>                          PII/identifier redaction over event log lines
+        |  line-dedup <dir> <outDir>                     global segment dedup (C4 rule, 10-word windows)
         |  vacuum <tableDir> [targetMB]                  compact a parquet dir's small files in place
         |  ingest-dedup <dir> <batchDir> <outDir>        idempotent corpus append (content-hash anti-join)
         |  curate <dir> <outDir>                         quality -> dedup -> decontaminate -> shard, one command
@@ -494,6 +497,15 @@ object Cli {
 
     case "repetition" :: dir :: out :: Nil =>
       write(queries.PipelineQueries.p20Repetition(spark, dir), out)
+
+    case "dup-clusters" :: dir :: out :: Nil =>
+      write(queries.PipelineQueries.p37DupClusters(spark, dir), out)
+
+    case "scrub" :: dir :: out :: Nil =>
+      write(queries.PipelineQueries.p38PiiScrub(spark, dir), out)
+
+    case "line-dedup" :: dir :: out :: Nil =>
+      write(queries.PipelineQueries.p39LineDedup(spark, dir), out)
 
     // end-to-end corpus curation: quality gate → exact dedup →
     // benchmark decontamination → shuffle-shard export, every stage

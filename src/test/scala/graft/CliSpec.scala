@@ -44,6 +44,18 @@ class CliSpec extends SparkSpec {
     assert(spark.read.parquet(s"$out/dedup").count() == preVacuum)
     assert(new java.io.File(s"$out/dedup").listFiles()
       .count(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith(".")) == 1)
+
+    // the near-dup clustering, scrub, and segment-dedup jobs
+    Cli.run(spark, List("dup-clusters", sf0001, s"$out/clusters"))
+    val clusters = spark.read.parquet(s"$out/clusters")
+    assert(clusters.columns.toSet == Set("doc_id", "cluster_id", "keep"))
+    Cli.run(spark, List("scrub", sf0001, s"$out/scrub"))
+    val scrubbed = spark.read.parquet(s"$out/scrub")
+    assert(scrubbed.filter("clean LIKE '%<ID>%'").count() > 0)
+    assert(scrubbed.filter("clean RLIKE '[0-9]'").count() == 0)
+    Cli.run(spark, List("line-dedup", sf0001, s"$out/linededup"))
+    assert(spark.read.parquet(s"$out/linededup")
+      .filter("n_kept + n_dropped != n_segs").count() == 0)
   }
 
   test("reference-name aliases and the per-step / copy / slice commands") {

@@ -182,4 +182,21 @@ class PlansSpec extends SparkSpec {
     // no cartesian/NLJ leakage from the range predicate
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("PII scrub is a zero-exchange codegen projection (p38)") {
+    val p = plan(PipelineQueries.p38PiiScrub(spark, sf0001))
+    assert(!p.contains("Exchange"), p)
+    assert(p.contains("[codegen id : 1]"), p)
+    // column pruning: the scan must not read ts or props
+    assert(!p.contains("props"), p)
+  }
+
+  test("segment dedup shuffles 8-byte segment hashes, not text (p39)") {
+    val p = plan(PipelineQueries.p39LineDedup(spark, sf0001))
+    // the ownership join + both aggregations key on the hash `h` /
+    // doc id — the segment string itself never reaches an exchange
+    val exchangeLines = p.linesIterator.filter(_.contains("Arguments: hashpartitioning")).toSeq
+    assert(exchangeLines.nonEmpty, p)
+    assert(!exchangeLines.exists(_.contains("seg#")), exchangeLines.mkString("\n"))
+  }
 }
