@@ -74,6 +74,7 @@ object Cli {
         |  dup-clusters <dir> <outDir>                   connected-component near-dup clusters + keep flags
         |  scrub <dir> <outDir>                          PII/identifier redaction over event log lines
         |  line-dedup <dir> <outDir>                     global segment dedup (C4 rule, 10-word windows)
+        |  semantic-dedup <dir> <outDir>                 SemDeDup-style embedding-cluster dedup
         |  vacuum <tableDir> [targetMB]                  compact a parquet dir's small files in place
         |  ingest-dedup <dir> <batchDir> <outDir>        idempotent corpus append (content-hash anti-join)
         |  curate <dir> <outDir>                         quality -> dedup -> decontaminate -> shard, one command
@@ -506,6 +507,9 @@ object Cli {
 
     case "line-dedup" :: dir :: out :: Nil =>
       write(queries.PipelineQueries.p39LineDedup(spark, dir), out)
+
+    case "semantic-dedup" :: dir :: out :: Nil =>
+      write(queries.PipelineQueries.p40SemanticDedup(spark, dir), out)
 
     // end-to-end corpus curation: quality gate → exact dedup →
     // benchmark decontamination → shuffle-shard export, every stage

@@ -86,19 +86,22 @@ object ConnectedComponents {
     *         node id in its connected component
     */
   def components(edges: DataFrame, maxRounds: Int = 50): DataFrame = {
+    // checkpoint the canonical edge set FIRST: the incoming lineage is
+    // typically an expensive near-dup candidate join, and both the node
+    // list and the iteration start from it — one materialization, not two
     val canonical = edges
       .select(col("u").cast("long").as("u"), col("v").cast("long").as("v"))
       .filter(col("u") =!= col("v"))
       .select(greatest(col("u"), col("v")).as("u"),
         least(col("u"), col("v")).as("v"))
       .distinct()
+      .localCheckpoint(true)
 
     val nodes = canonical.select(col("u").as("node"))
       .unionAll(canonical.select(col("v").as("node")))
       .distinct()
-      .localCheckpoint(true)
 
-    var e = canonical.localCheckpoint(true)
+    var e = canonical
     var sig = checksum(e)
     var round = 0
     var converged = false

@@ -15,6 +15,15 @@ import TextFunctions._
   * shingle), so the only full pairwise work happens within buckets,
   * which is the standard way these algorithms bound cost at corpus
   * scale.
+  *
+  * Caching contract: the pair detectors `persist()` their shingled
+  * intermediate (it feeds candidate generation AND both verify sides,
+  * so materializing it once is the point). The cache is released when
+  * the caller drops the returned plan — batch drivers that run many
+  * queries in one session (Verify, Bench) call
+  * `spark.catalog.clearCache()` between queries; long-lived services
+  * should do the same or `unpersist()` the result's lineage after
+  * materializing it.
   */
 object Dedup {
 

@@ -182,6 +182,63 @@ object Similarity {
         floor(col("sim") * 1e6).cast("long").as("sim_micro"))
   }
 
+  /** SemDeDup-style semantic deduplication: partition the corpus into
+    * IVF cells (each vector joins its nearest centroid by cosine, ties
+    * to the smaller centroid id), detect within-cell pairs with cosine
+    * ≥ `threshold`, close the pairs under transitivity
+    * ([[graft.operators.ConnectedComponents]]), and keep the minimum
+    * id per semantic cluster. One row per corpus vector: its cell, its
+    * cluster representative, and the keep flag.
+    *
+    * The cell restriction is the published algorithm's approximation:
+    * pairwise scoring is O(Σ cell²), never O(N²), so the plan scales
+    * with cell sizes (centroid count is the lever). Cross-cell
+    * near-dups are intentionally not detected — same trade as the IVF
+    * probe path ([[ivfTopK]]).
+    *
+    * Scale shape: centroids broadcast; assignment collapses map-side
+    * to one row per vector; the pair join is an equi-join on the cell
+    * id; the closure runs O(log n) star-contraction rounds on pair
+    * edges only (near-dup edge sets are tiny relative to the corpus).
+    */
+  def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
+      centroidFilter: Column, threshold: Double): DataFrame = {
+    val cents = broadcast(corpus.filter(centroidFilter)
+      .select(col(idCol).as("cent_id"), col(vecCol).as("ce"),
+        l2norm(col(vecCol)).as("ce_n")))
+    val base = corpus
+      .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).as("vid"), col(vecCol).as("v"),
+        l2norm(col(vecCol)).as("vn"))
+    val w = Window.partitionBy(col("vid"))
+      .orderBy(
+        cosinePre(dot(col("v"), col("ce")), col("vn"), col("ce_n")).desc,
+        col("cent_id").asc)
+    // the assignment feeds the pair join AND the final output join —
+    // persist it so the crossJoin+window runs once (same caching
+    // contract as [[graft.pipeline.Dedup]])
+    val cells = base.crossJoin(cents)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("vid"), col("v"), col("vn"), col("cent_id"))
+      .persist()
+    val a = cells.select(col("cent_id"), col("vid").as("u"),
+      col("v").as("va"), col("vn").as("na"))
+    val b = cells.select(col("cent_id"), col("vid").as("v0"),
+      col("v").as("vb"), col("vn").as("nb"))
+    val edges = a.join(b,
+        Seq("cent_id"))
+      .filter(col("u") < col("v0") &&
+        cosinePre(dot(col("va"), col("vb")), col("na"), col("nb")) >= threshold)
+      .select(col("u"), col("v0").as("v"))
+    val comp = graft.operators.ConnectedComponents.components(edges)
+    cells.join(comp, cells("vid") === comp("node"), "left")
+      .select(col("vid").as("vec_id"), col("cent_id").as("cell"),
+        coalesce(col("component"), col("vid")).as("cluster_id"),
+        (coalesce(col("component"), col("vid")) === col("vid"))
+          .cast("int").as("keep"))
+  }
+
   /** Symmetric int8 quantization scale: 127 / max|v_i|. At corpus
     * scale, int8 vectors cut ANN memory/IO 4× vs float32; dequantized
     * scoring error is bounded by the scale. Quantized values use

@@ -406,6 +406,16 @@ object PipelineQueries {
       .select(col("doc").as("doc_id"), col("n_segs"), col("n_kept"),
         col("n_dropped"))
 
+  /** Semantic dedup over the embedding corpus: IVF cells from the p19
+    * seed centroids, within-cell cosine pairs at the p07 threshold,
+    * transitive closure, one keeper per semantic cluster. The oracle
+    * replays the whole chain (assignment, pair scan, recursive
+    * closure), so the cell-restricted semantics are certified exactly.
+    */
+  def p40SemanticDedup(s: SparkSession, dir: String): DataFrame =
+    Similarity.semanticDedup(t(s, dir, "embeddings"), "vec_id", "embedding",
+      centroidFilter = col("vec_id") % 25 === 0, threshold = 0.4)
+
   /** Frame sampling over the media payloads: every 2nd fake frame, at
     * most 4 per payload — the row-expanding batched-decode shape.
     */
@@ -542,7 +552,8 @@ object PipelineQueries {
     "p36_random_projection" -> p36RandomProjection _,
     "p37_dup_clusters" -> p37DupClusters _,
     "p38_pii_scrub" -> p38PiiScrub _,
-    "p39_line_dedup" -> p39LineDedup _
+    "p39_line_dedup" -> p39LineDedup _,
+    "p40_semantic_dedup" -> p40SemanticDedup _
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -898,6 +909,34 @@ object PipelineQueries {
          |SELECT doc_id, source, CAST(n_toks AS BIGINT) AS n_toks,
          |  CAST(cum AS BIGINT) AS cum_toks
          |FROM c WHERE cum <= 700""".stripMargin,
+    "p40_semantic_dedup" ->
+      s"""WITH RECURSIVE cents AS (
+         |  SELECT vec_id AS cent_id, embedding AS ce FROM embeddings
+         |  WHERE vec_id % 25 = 0),
+         |assign AS (
+         |  SELECT e.vec_id, e.embedding, cent_id,
+         |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${oCos("e.embedding", "ce")} DESC, cent_id ASC) AS rn
+         |  FROM embeddings e, cents),
+         |cells AS (
+         |  SELECT vec_id, embedding, cent_id FROM assign WHERE rn = 1),
+         |pairs AS (
+         |  SELECT a.vec_id AS ua, b.vec_id AS vb
+         |  FROM cells a JOIN cells b
+         |    ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+         |  WHERE ${oCos("a.embedding", "b.embedding")} >= 0.4),
+         |edges AS (
+         |  SELECT ua AS u, vb AS v FROM pairs
+         |  UNION SELECT vb, ua FROM pairs),
+         |reach(u, v) AS (
+         |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+         |  UNION
+         |  SELECT r.u, e2.v FROM reach r JOIN edges e2 ON r.v = e2.u),
+         |comp AS (SELECT u, MIN(v) AS cmp FROM reach GROUP BY u)
+         |SELECT a.vec_id, a.cent_id AS cell,
+         |  COALESCE(c.cmp, a.vec_id) AS cluster_id,
+         |  CAST(COALESCE(c.cmp, a.vec_id) = a.vec_id AS INT) AS keep
+         |FROM cells a LEFT JOIN comp c ON a.vec_id = c.u""".stripMargin,
     "p37_dup_clusters" ->
       s"""WITH RECURSIVE sh AS (
          |  SELECT doc_id, ${oShingles(4)} AS sh

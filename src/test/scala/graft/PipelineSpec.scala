@@ -236,6 +236,29 @@ class PipelineSpec extends SparkSpec {
     assert(spark.sql("SELECT COUNT(*) FROM v_nation").as[Long].head() == 25L)
   }
 
+  test("semanticDedup chains within-cell near-dups, keeps one per cluster") {
+    // cents 0 and 25; vectors 1,2 chain to 0's cluster inside cell 0
+    // (1~0 and 2~1 qualify, 2~0 alone would not — transitivity); 26
+    // is near 25 in the other cell; 3 is alone in cell 0
+    val emb = Seq(
+      (0L, Array(1f, 0f, 0f)),
+      (25L, Array(0f, 1f, 0f)),
+      (1L, Array(0.95f, 0.05f, 0f)),
+      (2L, Array(0.8f, 0.2f, 0f)),
+      (3L, Array(0.7f, 0.3f, 0.648f)), // cell 0, cosine to all < 0.95
+      (26L, Array(0.05f, 0.95f, 0f))).toDF("vec_id", "embedding")
+    val out = graft.pipeline.Similarity.semanticDedup(emb, "vec_id",
+        "embedding", org.apache.spark.sql.functions.col("vec_id") % 25 === 0,
+        threshold = 0.98)
+      .select("vec_id", "cluster_id", "keep")
+      .as[(Long, Long, Int)].collect().toSeq.sortBy(_._1)
+    val byId = out.map(r => r._1 -> r).toMap
+    assert(byId(0L)._2 == 0L && byId(1L)._2 == 0L && byId(2L)._2 == 0L)
+    assert(byId(3L) == ((3L, 3L, 1)))
+    assert(byId(25L)._2 == 25L && byId(26L)._2 == 25L)
+    assert(out.count(_._3 == 1) == 3) // one keeper per cluster + singleton
+  }
+
   test("PolyMap dispatches by domain and leaves unmapped domains null") {
     val facts = Seq((1L, "a", 10L), (2L, "b", 10L), (3L, "c", 10L), (4L, "a", 99L))
       .toDF("id", "dom", "fk")
