@@ -75,6 +75,8 @@ object Cli {
         |  scrub <dir> <outDir>                          PII/identifier redaction over event log lines
         |  line-dedup <dir> <outDir>                     global segment dedup (C4 rule, 10-word windows)
         |  semantic-dedup <dir> <outDir>                 SemDeDup-style embedding-cluster dedup
+        |  vocab <dir> <outDir>                          top-50 token vocabulary (tokenizer prep)
+        |  oov-rate <dir> <outDir>                       per-doc out-of-vocabulary rate vs that vocab
         |  vacuum <tableDir> [targetMB]                  compact a parquet dir's small files in place
         |  ingest-dedup <dir> <batchDir> <outDir>        idempotent corpus append (content-hash anti-join)
         |  curate <dir> <outDir>                         quality -> dedup -> decontaminate -> shard, one command
@@ -510,6 +512,12 @@ object Cli {
 
     case "semantic-dedup" :: dir :: out :: Nil =>
       write(queries.PipelineQueries.p40SemanticDedup(spark, dir), out)
+
+    case "vocab" :: dir :: out :: Nil =>
+      write(queries.PipelineQueries.p41Vocab(spark, dir), out)
+
+    case "oov-rate" :: dir :: out :: Nil =>
+      write(queries.PipelineQueries.p42OovRate(spark, dir), out)
 
     // end-to-end corpus curation: quality gate → exact dedup →
     // benchmark decontamination → shuffle-shard export, every stage

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
@@ -416,6 +417,48 @@ object PipelineQueries {
     Similarity.semanticDedup(t(s, dir, "embeddings"), "vec_id", "embedding",
       centroidFilter = col("vec_id") % 25 === 0, threshold = 0.4)
 
+  /** Vocabulary building (the tokenizer-training prep step): global
+    * token counts, top 50 by (count desc, token asc). The top-k is a
+    * sort-limit, which Spark plans as TakeOrderedAndProject — per-
+    * partition heaps then one driver merge of 50-row heads, never a
+    * global sort — so the pattern holds at any vocabulary size; the
+    * dense rank is applied to the 50 survivors only.
+    */
+  def p41Vocab(s: SparkSession, dir: String): DataFrame = {
+    val counts = t(s, dir, "documents")
+      .select(explode(TF.tokens(col("text"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok").asc)
+      .limit(50)
+    counts.withColumn("rank",
+      row_number().over(Window.orderBy(col("n").desc, col("tok").asc))
+        .cast("long"))
+  }
+
+  /** Out-of-vocabulary rate per document against a top-10 vocabulary
+    * (smaller than p41's so the rate is non-trivial on the 31-token
+    * synthetic corpus): the tokenizer-coverage check a corpus runs
+    * before committing to a vocab. The vocab broadcasts; the token
+    * stream never shuffles until the per-doc rollup.
+    */
+  def p42OovRate(s: SparkSession, dir: String): DataFrame = {
+    val vocab = broadcast(t(s, dir, "documents")
+      .select(explode(TF.tokens(col("text"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok").asc)
+      .limit(10)
+      .select(col("tok")))
+    t(s, dir, "documents")
+      .select(col("doc_id"), explode(TF.tokens(col("text"))).as("tok"))
+      .join(vocab.withColumn("in_vocab", lit(1L)), Seq("tok"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_toks"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"),
+        floor(sum(when(col("in_vocab").isNull, 1L).otherwise(0L)) * lit(1e6) /
+          count(lit(1))).cast("long").as("oov_micro"))
+  }
+
   /** Frame sampling over the media payloads: every 2nd fake frame, at
     * most 4 per payload — the row-expanding batched-decode shape.
     */
@@ -553,7 +596,9 @@ object PipelineQueries {
     "p37_dup_clusters" -> p37DupClusters _,
     "p38_pii_scrub" -> p38PiiScrub _,
     "p39_line_dedup" -> p39LineDedup _,
-    "p40_semantic_dedup" -> p40SemanticDedup _
+    "p40_semantic_dedup" -> p40SemanticDedup _,
+    "p41_vocab" -> p41Vocab _,
+    "p42_oov_rate" -> p42OovRate _
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -909,6 +954,23 @@ object PipelineQueries {
          |SELECT doc_id, source, CAST(n_toks AS BIGINT) AS n_toks,
          |  CAST(cum AS BIGINT) AS cum_toks
          |FROM c WHERE cum <= 700""".stripMargin,
+    "p41_vocab" ->
+      s"""WITH c AS (SELECT unnest($oToks) AS tok FROM documents),
+         |n AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS n FROM c GROUP BY tok),
+         |r AS (SELECT tok, n,
+         |  ROW_NUMBER() OVER (ORDER BY n DESC, tok ASC) AS rank FROM n)
+         |SELECT tok, n, CAST(rank AS BIGINT) AS rank FROM r
+         |WHERE rank <= 50""".stripMargin,
+    "p42_oov_rate" ->
+      s"""WITH c AS (SELECT doc_id, unnest($oToks) AS tok FROM documents),
+         |n AS (SELECT tok, COUNT(*) AS n FROM c GROUP BY tok),
+         |v AS (SELECT tok FROM n ORDER BY n DESC, tok ASC LIMIT 10)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_toks,
+         |  CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_oov,
+         |  CAST(FLOOR(CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |    * 1000000.0 / COUNT(*)) AS BIGINT) AS oov_micro
+         |FROM c LEFT JOIN v ON c.tok = v.tok GROUP BY doc_id""".stripMargin,
     "p40_semantic_dedup" ->
       s"""WITH RECURSIVE cents AS (
          |  SELECT vec_id AS cent_id, embedding AS ce FROM embeddings

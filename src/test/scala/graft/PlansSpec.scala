@@ -183,6 +183,15 @@ class PlansSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("vocab top-k is TakeOrderedAndProject; OOV join broadcasts the vocab (p41, p42)") {
+    val pv = plan(PipelineQueries.p41Vocab(spark, sf0001))
+    // per-partition heaps + driver merge, never a global sort of the vocab
+    assert(pv.contains("TakeOrderedAndProject"), pv)
+    val po = plan(PipelineQueries.p42OovRate(spark, sf0001))
+    assert(po.contains("BroadcastHashJoin"), po)
+    assert(!po.contains("SortMergeJoin"), po)
+  }
+
   test("PII scrub is a zero-exchange codegen projection (p38)") {
     val p = plan(PipelineQueries.p38PiiScrub(spark, sf0001))
     assert(!p.contains("Exchange"), p)
