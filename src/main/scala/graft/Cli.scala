@@ -69,6 +69,7 @@ object Cli {
         |  stream-window <dir> <outDir>                  windowed agg as an incremental stream over events
         |  stream-dedup <dir> <outDir>                   streaming exact dedup (watermark-bounded state)
         |  stream-sessionize <dir> <outDir>              stateful sessionization as an incremental stream
+        |  stream-scrub <dir> <outDir>                   stateless PII scrub as an incremental stream
         |  kmeans <dir> <outDir> [iters]                 IVF centroid training (Lloyd, default 1 iteration)
         |  repetition <dir> <outDir>                     Gopher-style repetition quality signals
         |  dup-clusters <dir> <outDir>                   connected-component near-dup clusters + keep flags
@@ -480,6 +481,11 @@ object Cli {
       runEventStream(spark, dir, out,
         streaming.StreamingJobs.dedupByKey(_, "ts", Seq("user_id", "event_id")))
       println(s"""{"stream_dedup":"$out"}""")
+
+    // stateless ingest-time PII scrub as an incremental stream
+    case "stream-scrub" :: dir :: out :: Nil =>
+      runEventStream(spark, dir, out, streaming.StreamingJobs.scrub)
+      println(s"""{"stream_scrub":"$out"}""")
 
     // stateful sessionization as an incremental stream
     case "stream-sessionize" :: dir :: out :: Nil =>

@@ -39,6 +39,23 @@ object StreamingJobs {
 
   val outputMode: OutputMode = OutputMode.Append()
 
+  /** Ingest-time PII scrub — the streaming twin of the batch scrub
+    * query (p38): render a log line per event and run the redaction
+    * cascade. Stateless (a pure projection), so it needs no watermark
+    * or state store and emits every micro-batch immediately; results
+    * are identical to the batch pass over the same rows.
+    */
+  def scrub(events: DataFrame): DataFrame = {
+    val lines = events.select(
+      col("event_id"),
+      concat(col("event_type"), lit(" user="),
+        col("user_id").cast("string"), lit(" amount="),
+        floor(col("value") * 100).cast("string")).as("line"))
+    graft.pipeline.Curation.scrubText(lines, "line")
+      .select(col("event_id"), col("clean"),
+        col("n_email"), col("n_phone"), col("n_id"))
+  }
+
   /** Stream-static enrichment — the streaming twin of the
     * concept-name broadcast lookup (J2): each micro-batch left-joins
     * the static dimension, which Spark re-plans per batch (a

@@ -187,4 +187,32 @@ class StreamingSpec extends SparkSpec {
       assert(streamed.nonEmpty && streamed == batch)
     } finally q.stop()
   }
+
+  test("streaming scrub matches the batch scrub on the same events") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Long, Double)]
+    val events = mem.toDF().toDF("event_id", "event_type", "user_id", "value")
+    val q = StreamingJobs.scrub(events)
+      .writeStream.format("memory").queryName("scrub_s")
+      .outputMode("append").start()
+    try {
+      val rows = Seq(
+        (1L, "click", 12345L, 1.5),
+        (2L, "view", 9L, 20.25))
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("scrub_s")
+        .select("event_id", "clean", "n_id")
+        .as[(Long, String, Long)].collect().toSeq.sorted
+      assert(streamed == Seq(
+        (1L, "click user=<ID> amount=<ID>", 2L),
+        (2L, "view user=<ID> amount=<ID>", 2L)))
+      // identical to the batch pass over the same rows
+      val batch = StreamingJobs.scrub(
+          rows.toDF("event_id", "event_type", "user_id", "value"))
+        .select("event_id", "clean", "n_id")
+        .as[(Long, String, Long)].collect().toSeq.sorted
+      assert(streamed == batch)
+    } finally q.stop()
+  }
 }
