@@ -80,7 +80,7 @@ object Cli {
         |  oov-rate <dir> <outDir>                       per-doc out-of-vocabulary rate vs that vocab
         |  vacuum <tableDir> [targetMB]                  compact a parquet dir's small files in place
         |  ingest-dedup <dir> <batchDir> <outDir>        idempotent corpus append (content-hash anti-join)
-        |  curate <dir> <outDir>                         quality -> dedup -> decontaminate -> shard, one command
+        |  curate <dir> <outDir>                         quality -> exact+near dedup -> decontaminate -> shard
         |  transform-one <siteDir> <site> <table> <step> <outDir>  one stock step: age|concept-name|site
         |  copy-derivation <dir> <kind> <outDir>         append derived rows: bmi|bmiz|ht-z|wt-z
         |  pcornet-slice <dir> <minY> <maxY> <outRoot>   age-banded cohort + whole-schema subset
@@ -537,7 +537,17 @@ object Cli {
       val keep = Dedup.exact(qualified, "doc_id", "text")
         .select(col("keep_id").as("doc_id"))
       val deduped = qualified.join(keep, "doc_id")
-      val train = deduped.filter(col("doc_id") % 20 =!= 0)
+      // near-dup cluster removal: close the Jaccard pair set under
+      // transitivity and drop every non-representative (p37 semantics)
+      val nearDupLosers = operators.ConnectedComponents.dedupDecisions(
+          Dedup.ngramJaccardPairs(deduped, "doc_id", "text",
+              k = 4, threshold = 0.4,
+              maxShingleFreq = Some(math.max(20, (deduped.count() / 10).toInt)))
+            .select(col("doc_a").as("u"), col("doc_b").as("v")))
+        .filter(col("keep") === 0)
+        .select(col("node").as("doc_id"))
+      val nearDeduped = deduped.join(nearDupLosers, Seq("doc_id"), "left_anti")
+      val train = nearDeduped.filter(col("doc_id") % 20 =!= 0)
       val tainted = Curation.contaminationPairs(
           train, docs.filter(col("doc_id") % 20 === 0),
           "doc_id", "text", k = 4, minShared = 2)
@@ -546,7 +556,7 @@ object Cli {
       Curation.shardAssignments(clean, "doc_id", nShards = 4)
         .write.mode("overwrite").partitionBy("shard").parquet(out)
       val kept = spark.read.parquet(out).count()
-      println(s"""{"curate":"$out","in":${docs.count()},"quality":${qualified.count()},"deduped":${deduped.count()},"decontaminated":${clean.count()},"sharded":$kept}""")
+      println(s"""{"curate":"$out","in":${docs.count()},"quality":${qualified.count()},"deduped":${deduped.count()},"near_deduped":${nearDeduped.count()},"decontaminated":${clean.count()},"sharded":$kept}""")
 
     // idempotent corpus ingest — the S4 ON CONFLICT DO NOTHING append
     // over content identity: only batch docs whose content fingerprint
