@@ -78,6 +78,7 @@ object Cli {
         |  semantic-dedup <dir> <outDir>                 SemDeDup-style embedding-cluster dedup
         |  vocab <dir> <outDir>                          top-50 token vocabulary (tokenizer prep)
         |  oov-rate <dir> <outDir>                       per-doc out-of-vocabulary rate vs that vocab
+        |  histogram <dir> <table> <column> <outDir>     10-bucket equi-width column histogram (ANALYZE depth)
         |  vacuum <tableDir> [targetMB]                  compact a parquet dir's small files in place
         |  ingest-dedup <dir> <batchDir> <outDir>        idempotent corpus append (content-hash anti-join)
         |  curate <dir> <outDir>                         quality -> exact+near dedup -> decontaminate -> shard
@@ -524,6 +525,9 @@ object Cli {
 
     case "oov-rate" :: dir :: out :: Nil =>
       write(queries.PipelineQueries.p42OovRate(spark, dir), out)
+
+    case "histogram" :: dir :: table :: column :: out :: Nil =>
+      write(Statistics.histogram(Tables.read(spark, dir, table), column, 10), out)
 
     // end-to-end corpus curation: quality gate → exact dedup →
     // benchmark decontamination → shuffle-shard export, every stage

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Table-statistics pass — the reference's `VACUUM ANALYZE` sweep over
   * the model's tables (/root/reference/pedsnetdcc/utils.py:343-388),
@@ -45,5 +46,32 @@ object Statistics {
     }
     import spark.implicits._
     rows.toDF("table_name", "row_count")
+  }
+
+  /** Equi-width histogram over a numeric column — the per-column
+    * distribution statistic the reference's ANALYZE populates into
+    * `pg_stats` for the planner (Spark's `FOR COLUMNS` analogue, here
+    * as data a user can read and any engine can reproduce). Values
+    * land in `buckets` equal-width bins over the observed [min, max];
+    * the max value joins the last bin.
+    *
+    * Scale shape: the min/max aggregate is one scalar row broadcast
+    * back over the scan, and the bucket rollup partial-aggregates
+    * map-side — two passes over the column, no wide shuffle.
+    */
+  def histogram(df: DataFrame, column: String, buckets: Int): DataFrame = {
+    require(buckets >= 1, "buckets must be >= 1")
+    val mm = df.agg(
+      min(col(column).cast("double")).as("mn"),
+      max(col(column).cast("double")).as("mx"))
+    df.select(col(column).cast("double").as("x"))
+      .crossJoin(broadcast(mm))
+      .select(
+        when(col("mx") === col("mn"), lit(0L))
+          .otherwise(least(lit(buckets - 1L),
+            floor((col("x") - col("mn")) * buckets / (col("mx") - col("mn")))))
+          .cast("long").as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"))
   }
 }

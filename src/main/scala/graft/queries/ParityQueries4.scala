@@ -200,7 +200,16 @@ object ParityQueries4 {
       .drop("event_id")
   }
 
+  /** Per-column equi-width histogram — the pg_stats distribution half
+    * of the reference's ANALYZE sweep (`utils.py:343-388`), beside
+    * q37's row-count/size half.
+    */
+  def q50Histogram(s: SparkSession, dir: String): DataFrame =
+    Statistics.histogram(t(s, dir, "lineitem"), "l_extendedprice",
+      buckets = 10)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q50_histogram" -> q50Histogram _,
     "q42_sync_obs" -> q42SyncObs _,
     "q43_dose" -> q43Dose _,
     "q44_cohort" -> q44Cohort _,
@@ -212,6 +221,16 @@ object ParityQueries4 {
   )
 
   def oracle: Map[String, String] = Map(
+    "q50_histogram" ->
+      """WITH s AS (
+        |  SELECT MIN(CAST(l_extendedprice AS DOUBLE)) AS mn,
+        |         MAX(CAST(l_extendedprice AS DOUBLE)) AS mx
+        |  FROM lineitem)
+        |SELECT CAST(CASE WHEN mx = mn THEN 0
+        |    ELSE LEAST(9, FLOOR((CAST(l_extendedprice AS DOUBLE) - mn) * 10
+        |                        / (mx - mn))) END AS BIGINT) AS bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM lineitem, s GROUP BY 1""".stripMargin,
     "q42_sync_obs" ->
       """WITH d AS (
         |  SELECT l_suppkey AS person_id,

@@ -205,4 +205,17 @@ class OperatorsSpec extends SparkSpec {
       (1L, "2019-12-01", "2021-01-01", 1L),
       (2L, "2020-02-01", "2020-02-01", 2L)))
   }
+
+  test("Statistics.histogram bins equi-width, max value in last bin, constant column in bin 0") {
+    import spark.implicits._
+    val df = Seq(0.0, 1.0, 4.9, 5.0, 9.9, 10.0).toDF("x")
+    val out = graft.operators.Statistics.histogram(df, "x", buckets = 2)
+      .as[(Long, Long)].collect().toMap
+    // width 5: [0,5) -> bin 0 has {0,1,4.9}; [5,10] -> bin 1 has {5,9.9,10}
+    assert(out == Map(0L -> 3L, 1L -> 3L))
+    val const = Seq(7.0, 7.0).toDF("x")
+    val cOut = graft.operators.Statistics.histogram(const, "x", buckets = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(cOut == Map(0L -> 2L))
+  }
 }
