@@ -79,6 +79,8 @@ object Cli {
         |  vocab <dir> <outDir>                          top-50 token vocabulary (tokenizer prep)
         |  oov-rate <dir> <outDir>                       per-doc out-of-vocabulary rate vs that vocab
         |  histogram <dir> <table> <column> <outDir>     10-bucket equi-width column histogram (ANALYZE depth)
+        |  export-jsonl <dir> <outDir>                   documents out as line-delimited JSON
+        |  import-jsonl <inDir> <outDir>                 JSONL corpus in (schema-checked) -> parquet
         |  vacuum <tableDir> [targetMB]                  compact a parquet dir's small files in place
         |  ingest-dedup <dir> <batchDir> <outDir>        idempotent corpus append (content-hash anti-join)
         |  curate <dir> <outDir>                         quality -> exact+near dedup -> decontaminate -> shard
@@ -528,6 +530,19 @@ object Cli {
 
     case "histogram" :: dir :: table :: column :: out :: Nil =>
       write(Statistics.histogram(Tables.read(spark, dir, table), column, 10), out)
+
+    // JSONL corpus interchange: documents out as line-delimited JSON
+    // (the de-facto LLM-corpus format), and back in with an explicit
+    // schema so types survive the roundtrip
+    case "export-jsonl" :: dir :: out :: Nil =>
+      Tables.read(spark, dir, "documents")
+        .write.mode("overwrite").json(out)
+      println(s"""{"export_jsonl":"$out"}""")
+
+    case "import-jsonl" :: in :: out :: Nil =>
+      val docsSchema = org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
+      write(spark.read.schema(docsSchema).json(in), out)
 
     // end-to-end corpus curation: quality gate → exact dedup →
     // benchmark decontamination → shuffle-shard export, every stage

@@ -56,6 +56,14 @@ class CliSpec extends SparkSpec {
     Cli.run(spark, List("line-dedup", sf0001, s"$out/linededup"))
     assert(spark.read.parquet(s"$out/linededup")
       .filter("n_kept + n_dropped != n_segs").count() == 0)
+
+    // JSONL roundtrip preserves rows and types
+    Cli.run(spark, List("export-jsonl", sf0001, s"$out/jsonl"))
+    Cli.run(spark, List("import-jsonl", s"$out/jsonl", s"$out/jsonl_back"))
+    val orig = spark.read.parquet(s"$sf0001/documents.parquet")
+    val back = spark.read.parquet(s"$out/jsonl_back")
+    assert(back.schema == orig.schema)
+    assert(back.except(orig).isEmpty && orig.except(back).isEmpty)
   }
 
   test("reference-name aliases and the per-step / copy / slice commands") {
