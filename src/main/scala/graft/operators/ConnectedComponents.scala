@@ -126,4 +126,30 @@ object ConnectedComponents {
     components(edges, maxRounds)
       .select(col("node"), col("component"),
         (col("node") === col("component")).cast("int").as("keep"))
+
+  /** Incremental merge: fold a batch of NEW edges into a stored
+    * component assignment without re-clustering the whole corpus. The
+    * stored (node, component) rows are already star edges, so the
+    * combined input is |assignment| + |new edges| rows — at ingest
+    * scale that is yesterday's compact mapping plus today's pair
+    * detections, never the historical pair set. Equivalent to running
+    * [[components]] over the full edge history (ComponentsSpec proves
+    * it), because a star edge preserves exactly the reachability the
+    * closure needs.
+    */
+  def merge(assignment: DataFrame, newEdges: DataFrame,
+      maxRounds: Int = 50): DataFrame = {
+    val comp = components(
+      assignment.select(col("node").as("u"), col("component").as("v"))
+        .unionAll(newEdges.select(col("u"), col("v"))),
+      maxRounds)
+    // singleton clusters are self-loops the closure drops — keep them
+    val allNodes = assignment.select(col("node"))
+      .unionAll(newEdges.select(col("u").cast("long").as("node")))
+      .unionAll(newEdges.select(col("v").cast("long").as("node")))
+      .distinct()
+    allNodes.join(comp, Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("component"), col("node")).as("component"))
+  }
 }

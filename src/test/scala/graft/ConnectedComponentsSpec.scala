@@ -43,4 +43,19 @@ class ConnectedComponentsSpec extends SparkSpec {
     val c = comps(star)
     assert(c.size == 199 + 1 && c.values.forall(_ == 1L))
   }
+
+  test("incremental merge equals batch clustering over the full history") {
+    val day1 = Seq((2L, 3L), (5L, 6L), (9L, 9L))
+    val day2 = Seq((3L, 5L), (7L, 8L)) // bridges {2,3} with {5,6}; new pair
+    val stored = ConnectedComponents.components(day1.toDF("u", "v"))
+      .unionAll(Seq((9L, 9L)).toDF("node", "component")) // a singleton doc
+    val merged = ConnectedComponents.merge(stored, day2.toDF("u", "v"))
+      .as[(Long, Long)].collect().toMap
+    val batch = ConnectedComponents.components((day1 ++ day2).toDF("u", "v"))
+      .as[(Long, Long)].collect().toMap
+    assert(merged - 9L == batch) // batch drops the pure self-loop node
+    assert(merged(9L) == 9L) // the stored singleton survives the merge
+    assert(merged(2L) == 2L && merged(6L) == 2L && merged(5L) == 2L)
+    assert(merged(7L) == 7L && merged(8L) == 7L)
+  }
 }
