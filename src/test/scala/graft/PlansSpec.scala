@@ -183,6 +183,14 @@ class PlansSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("semantic dedup broadcasts centroids; the pair join keys on the cell (p40)") {
+    val p = plan(PipelineQueries.p40SemanticDedup(spark, sf0001))
+    // the only nested-loop is the bounded corpus×centroids assignment
+    // against a BROADCAST build side; no unbounded cartesian anywhere
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("vocab top-k is TakeOrderedAndProject; OOV join broadcasts the vocab (p41, p42)") {
     val pv = plan(PipelineQueries.p41Vocab(spark, sf0001))
     // per-partition heaps + driver merge, never a global sort of the vocab
