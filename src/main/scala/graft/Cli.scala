@@ -78,6 +78,7 @@ object Cli {
         |  semantic-dedup <dir> <outDir>                 SemDeDup-style embedding-cluster dedup
         |  vocab <dir> <outDir>                          top-50 token vocabulary (tokenizer prep)
         |  oov-rate <dir> <outDir>                       per-doc out-of-vocabulary rate vs that vocab
+        |  length-quantiles <dir> <outDir>               per-source token-length p25/p50/p75 (nearest-rank)
         |  histogram <dir> <table> <column> <outDir>     10-bucket equi-width column histogram (ANALYZE depth)
         |  export-jsonl <dir> <outDir>                   documents out as line-delimited JSON
         |  import-jsonl <inDir> <outDir>                 JSONL corpus in (schema-checked) -> parquet
@@ -527,6 +528,9 @@ object Cli {
 
     case "oov-rate" :: dir :: out :: Nil =>
       write(queries.PipelineQueries.p42OovRate(spark, dir), out)
+
+    case "length-quantiles" :: dir :: out :: Nil =>
+      write(queries.PipelineQueries.p43LengthQuantiles(spark, dir), out)
 
     case "histogram" :: dir :: table :: column :: out :: Nil =>
       write(Statistics.histogram(Tables.read(spark, dir, table), column, 10), out)

@@ -417,6 +417,27 @@ object PipelineQueries {
     Similarity.semanticDedup(t(s, dir, "embeddings"), "vec_id", "embedding",
       centroidFilter = col("vec_id") % 25 === 0, threshold = 0.4)
 
+  /** Per-source token-length quantiles (p25/p50/p75) by the exact
+    * nearest-rank rule — the dataset-card distribution stat next to
+    * p28's means. Nearest-rank keeps the result integer-exact and
+    * portable (no interpolation, no engine-specific percentile
+    * estimator): the value at sorted rank ceil(q·n/100) is unique even
+    * under row_number tie-splitting, because tied rows share the value.
+    */
+  def p43LengthQuantiles(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .select(col("source"), size(TF.tokens(col("text"))).cast("long").as("n"))
+    val part = Window.partitionBy("source")
+    val ranked = d
+      .withColumn("rn", row_number().over(part.orderBy(col("n"))))
+      .withColumn("cnt", count(lit(1)).over(part))
+    val qs = s.range(1).select(explode(array(lit(25L), lit(50L), lit(75L))).as("q"))
+    ranked.crossJoin(broadcast(qs))
+      .filter(col("rn") ===
+        floor((col("cnt") * col("q") + lit(99)) / lit(100.0)).cast("long"))
+      .select(col("source"), col("q"), col("n").as("value"))
+  }
+
   /** Vocabulary building (the tokenizer-training prep step): global
     * token counts, top 50 by (count desc, token asc). The top-k is a
     * sort-limit, which Spark plans as TakeOrderedAndProject — per-
@@ -598,7 +619,8 @@ object PipelineQueries {
     "p39_line_dedup" -> p39LineDedup _,
     "p40_semantic_dedup" -> p40SemanticDedup _,
     "p41_vocab" -> p41Vocab _,
-    "p42_oov_rate" -> p42OovRate _
+    "p42_oov_rate" -> p42OovRate _,
+    "p43_length_quantiles" -> p43LengthQuantiles _
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -954,6 +976,18 @@ object PipelineQueries {
          |SELECT doc_id, source, CAST(n_toks AS BIGINT) AS n_toks,
          |  CAST(cum AS BIGINT) AS cum_toks
          |FROM c WHERE cum <= 700""".stripMargin,
+    "p43_length_quantiles" ->
+      s"""WITH d AS (
+         |  SELECT source, CAST(len($oToks) AS BIGINT) AS n FROM documents),
+         |r AS (
+         |  SELECT source, n,
+         |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY n) AS rn,
+         |    COUNT(*) OVER (PARTITION BY source) AS cnt
+         |  FROM d)
+         |SELECT source, q, n AS value
+         |FROM r CROSS JOIN
+         |  (SELECT CAST(UNNEST([25, 50, 75]) AS BIGINT) AS q) s
+         |WHERE rn = CAST(FLOOR((cnt * q + 99) / 100.0) AS BIGINT)""".stripMargin,
     "p41_vocab" ->
       s"""WITH c AS (SELECT unnest($oToks) AS tok FROM documents),
          |n AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS n FROM c GROUP BY tok),
