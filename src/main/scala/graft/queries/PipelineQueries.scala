@@ -438,6 +438,25 @@ object PipelineQueries {
       .select(col("source"), col("q"), col("n").as("value"))
   }
 
+  /** Static mixture re-weighting: the per-source sampling weight that
+    * equalizes token share across sources (weight = target/actual,
+    * fixed-point) — the data-mixing recipe step that turns p28's
+    * dataset-card counts into sampling probabilities. Sources above
+    * their equal share get weight < 1 (downsample), below it > 1
+    * (upsample/repeat).
+    */
+  def p44MixWeights(s: SparkSession, dir: String): DataFrame = {
+    val perSource = t(s, dir, "documents")
+      .select(col("source"), size(TF.tokens(col("text"))).cast("long").as("n"))
+      .groupBy("source").agg(sum(col("n")).as("toks"))
+    val totals = perSource.agg(
+      sum(col("toks")).as("total"), count(lit(1)).as("n_sources"))
+    perSource.crossJoin(broadcast(totals))
+      .select(col("source"), col("toks"),
+        floor(col("total") * lit(1e6) / (col("n_sources") * col("toks")))
+          .cast("long").as("weight_micro"))
+  }
+
   /** Vocabulary building (the tokenizer-training prep step): global
     * token counts, top 50 by (count desc, token asc). The top-k is a
     * sort-limit, which Spark plans as TakeOrderedAndProject — per-
@@ -620,7 +639,8 @@ object PipelineQueries {
     "p40_semantic_dedup" -> p40SemanticDedup _,
     "p41_vocab" -> p41Vocab _,
     "p42_oov_rate" -> p42OovRate _,
-    "p43_length_quantiles" -> p43LengthQuantiles _
+    "p43_length_quantiles" -> p43LengthQuantiles _,
+    "p44_mix_weights" -> p44MixWeights _
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -976,6 +996,18 @@ object PipelineQueries {
          |SELECT doc_id, source, CAST(n_toks AS BIGINT) AS n_toks,
          |  CAST(cum AS BIGINT) AS cum_toks
          |FROM c WHERE cum <= 700""".stripMargin,
+    "p44_mix_weights" ->
+      s"""WITH ps AS (
+         |  SELECT source, CAST(SUM(len($oToks)) AS BIGINT) AS toks
+         |  FROM documents GROUP BY source),
+         |t AS (
+         |  SELECT CAST(SUM(toks) AS BIGINT) AS total,
+         |         CAST(COUNT(*) AS BIGINT) AS n_sources
+         |  FROM ps)
+         |SELECT source, toks,
+         |  CAST(FLOOR(total * 1000000.0 / (n_sources * toks)) AS BIGINT)
+         |    AS weight_micro
+         |FROM ps, t""".stripMargin,
     "p43_length_quantiles" ->
       s"""WITH d AS (
          |  SELECT source, CAST(len($oToks) AS BIGINT) AS n FROM documents),
