@@ -80,6 +80,7 @@ object Cli {
         |  oov-rate <dir> <outDir>                       per-doc out-of-vocabulary rate vs that vocab
         |  length-quantiles <dir> <outDir>               per-source token-length p25/p50/p75 (nearest-rank)
         |  mix-weights <dir> <outDir>                    equal-share mixture re-weighting per source
+        |  source-overlap <dir> <outDir>                 cross-source near-dup mirror matrix
         |  histogram <dir> <table> <column> <outDir>     10-bucket equi-width column histogram (ANALYZE depth)
         |  export-jsonl <dir> <outDir>                   documents out as line-delimited JSON
         |  import-jsonl <inDir> <outDir>                 JSONL corpus in (schema-checked) -> parquet
@@ -535,6 +536,9 @@ object Cli {
 
     case "mix-weights" :: dir :: out :: Nil =>
       write(queries.PipelineQueries.p44MixWeights(spark, dir), out)
+
+    case "source-overlap" :: dir :: out :: Nil =>
+      write(queries.PipelineQueries.p45SourceOverlap(spark, dir), out)
 
     case "histogram" :: dir :: table :: column :: out :: Nil =>
       write(Statistics.histogram(Tables.read(spark, dir, table), column, 10), out)

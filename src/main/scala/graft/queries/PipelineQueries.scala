@@ -438,6 +438,29 @@ object PipelineQueries {
       .select(col("source"), col("q"), col("n").as("value"))
   }
 
+  /** Cross-source duplicate-overlap matrix: for each ordered source
+    * pair (A, B), how many of A's documents have a near-dup mirror in
+    * B (≥ 3 shared winnow fingerprints, the p35 sketch identity) — the
+    * dataset-card view that tells a curation pipeline which sources
+    * mirror each other and which direction to dedup. The pair basis is
+    * the sketch equi-join, so the matrix costs the p35 join plus two
+    * broadcast source lookups.
+    */
+  def p45SourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val pairs = Curation.winnowPairs(docs, "doc_id", "text",
+      k = 3, w = 4, minShared = 3)
+    val src = docs.select(col("doc_id"), col("source"))
+    val sym = pairs.select(col("doc_a").as("d"), col("doc_b").as("o"))
+      .unionAll(pairs.select(col("doc_b").as("d"), col("doc_a").as("o")))
+    sym
+      .join(broadcast(src.toDF("d", "src_a")), "d")
+      .join(broadcast(src.toDF("o", "src_b")), "o")
+      .filter(col("src_a") =!= col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(countDistinct(col("d")).as("n_mirrored"))
+  }
+
   /** Static mixture re-weighting: the per-source sampling weight that
     * equalizes token share across sources (weight = target/actual,
     * fixed-point) — the data-mixing recipe step that turns p28's
@@ -640,7 +663,8 @@ object PipelineQueries {
     "p41_vocab" -> p41Vocab _,
     "p42_oov_rate" -> p42OovRate _,
     "p43_length_quantiles" -> p43LengthQuantiles _,
-    "p44_mix_weights" -> p44MixWeights _
+    "p44_mix_weights" -> p44MixWeights _,
+    "p45_source_overlap" -> p45SourceOverlap _
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -996,6 +1020,38 @@ object PipelineQueries {
          |SELECT doc_id, source, CAST(n_toks AS BIGINT) AS n_toks,
          |  CAST(cum AS BIGINT) AS cum_toks
          |FROM c WHERE cum <= 700""".stripMargin,
+    "p45_source_overlap" ->
+      s"""WITH toks AS (SELECT doc_id, $oToks AS toks FROM documents),
+         |h AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(toks) < 3 THEN CAST([] AS BIGINT[])
+         |    ELSE list_transform(generate_series(1, len(toks) - 2),
+         |      i -> ${oHash("toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]")})
+         |    END AS h
+         |  FROM toks),
+         |fps AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(h) < 4 THEN list_distinct(h)
+         |    ELSE list_distinct(list_transform(generate_series(1, len(h) - 3),
+         |      j -> list_min(h[j:j+3])))
+         |    END AS fps
+         |  FROM h),
+         |e AS (SELECT doc_id, unnest(fps) AS fp FROM fps),
+         |p AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM e a JOIN e b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+         |sym AS (
+         |  SELECT doc_a AS d, doc_b AS o FROM p
+         |  UNION ALL SELECT doc_b, doc_a FROM p),
+         |src AS (SELECT doc_id, source FROM documents)
+         |SELECT sa.source AS src_a, sb.source AS src_b,
+         |  CAST(COUNT(DISTINCT sym.d) AS BIGINT) AS n_mirrored
+         |FROM sym
+         |JOIN src sa ON sym.d = sa.doc_id
+         |JOIN src sb ON sym.o = sb.doc_id
+         |WHERE sa.source != sb.source
+         |GROUP BY 1, 2""".stripMargin,
     "p44_mix_weights" ->
       s"""WITH ps AS (
          |  SELECT source, CAST(SUM(len($oToks)) AS BIGINT) AS toks
