@@ -64,6 +64,27 @@ class CliSpec extends SparkSpec {
     val back = spark.read.parquet(s"$out/jsonl_back")
     assert(back.schema == orig.schema)
     assert(back.except(orig).isEmpty && orig.except(back).isEmpty)
+
+    // the remaining dataset-card / tokenizer-prep jobs run end-to-end
+    Cli.run(spark, List("semantic-dedup", sf0001, s"$out/semdedup"))
+    assert(spark.read.parquet(s"$out/semdedup")
+      .filter("keep = 1").count() > 0)
+    Cli.run(spark, List("vocab", sf0001, s"$out/vocab"))
+    assert(spark.read.parquet(s"$out/vocab").count() > 0)
+    Cli.run(spark, List("oov-rate", sf0001, s"$out/oov"))
+    assert(spark.read.parquet(s"$out/oov")
+      .filter("oov_micro < 0 OR oov_micro > 1000000").count() == 0)
+    Cli.run(spark, List("length-quantiles", sf0001, s"$out/lq"))
+    assert(spark.read.parquet(s"$out/lq").select("q").distinct().count() == 3)
+    Cli.run(spark, List("mix-weights", sf0001, s"$out/mw"))
+    assert(spark.read.parquet(s"$out/mw").filter("weight_micro <= 0").count() == 0)
+    Cli.run(spark, List("source-overlap", sf0001, s"$out/overlap"))
+    assert(spark.read.parquet(s"$out/overlap").columns.toSet ==
+      Set("src_a", "src_b", "n_mirrored"))
+    Cli.run(spark, List("histogram", sf0001, "lineitem", "l_quantity", s"$out/hist"))
+    assert(spark.read.parquet(s"$out/hist")
+      .agg(org.apache.spark.sql.functions.sum("n")).head().getLong(0) ==
+      spark.read.parquet(s"$sf0001/lineitem.parquet").count())
   }
 
   test("reference-name aliases and the per-step / copy / slice commands") {
