@@ -149,6 +149,67 @@ case class ShinglesK(child: Expression, k: Int)
     copy(child = newChild)
 }
 
+/** Winnowing fingerprints of a token array — exactly the HOF
+  * formulation [[graft.pipeline.Curation.winnow]] used to build
+  * (and the DuckDB oracle still does): positional k-shingle hash60s,
+  * sliding-window (`w`) minima, de-duplicated in first-occurrence
+  * order; fewer than k tokens yields no fingerprints, fewer than w
+  * shingle hashes yields the distinct hashes themselves. One compiled
+  * loop with one md5 per shingle, replacing an interpreted
+  * lambda-per-window expression tree.
+  */
+case class WinnowFps(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(k >= 1 && w >= 1, "shingle width and window must be >= 1")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow_fps"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n < k) return new GenericArrayData(Array.empty[Long])
+    val toks = new Array[UTF8String](n)
+    var i = 0
+    while (i < n) { toks(i) = arr.getUTF8String(i); i += 1 }
+    val sep = UTF8String.fromString(" ")
+    val md = MessageDigest.getInstance("MD5")
+    val m = n - k + 1
+    val h = new Array[Long](m)
+    i = 0
+    while (i < m) {
+      val parts = new Array[UTF8String](k)
+      var j = 0
+      while (j < k) { parts(j) = toks(i + j); j += 1 }
+      h(i) = HashKernels.hash60(md, UTF8String.concatWs(sep, parts: _*))
+      i += 1
+    }
+    val seen = new java.util.LinkedHashSet[java.lang.Long](m * 2)
+    if (m < w) {
+      i = 0
+      while (i < m) { seen.add(h(i)); i += 1 }
+    } else {
+      var j = 0
+      while (j <= m - w) {
+        var min = h(j)
+        var x = j + 1
+        while (x < j + w) { if (h(x) < min) min = h(x); x += 1 }
+        seen.add(min)
+        j += 1
+      }
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object HashKernelFunctions {
 
   /** MinHash signature of a string-array column (native kernel). */
@@ -164,4 +225,8 @@ object HashKernelFunctions {
   /** Distinct k-shingles of a string-array column (native kernel). */
   def shingles(toksCol: Column, k: Int): Column =
     ColumnBridge.column(ShinglesK(ColumnBridge.expression(toksCol), k))
+
+  /** Winnowing fingerprints of a token-array column (native kernel). */
+  def winnowFps(toksCol: Column, k: Int, w: Int): Column =
+    ColumnBridge.column(WinnowFps(ColumnBridge.expression(toksCol), k, w))
 }

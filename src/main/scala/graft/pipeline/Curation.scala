@@ -127,23 +127,31 @@ object Curation {
     * based and exact.
     */
   def winnow(df: DataFrame, idCol: String, textCol: String, k: Int,
-      w: Int): DataFrame = {
-    // Two subtleties: sequence(1, n) DESCENDS for n < 1, so short
-    // inputs need the guards; and the token/hash arrays are bound as
-    // single-element `transform(array(x), v -> …)` lambda arguments —
-    // a chain of withColumns would let Catalyst's projection collapse
-    // inline the hash array into EVERY window position, re-running the
-    // md5 loop O(positions) times per row (observed 40ms/row at sf0.1;
-    // the binding keeps it one evaluation per row).
+      w: Int): DataFrame =
+    df.select(col(idCol).as("doc"),
+      explode(graft.functions.HashKernelFunctions.winnowFps(
+        TF.tokens(col(textCol)), k, w)).as("fp"))
+
+  /** The original HOF formulation of [[winnow]]'s fingerprint array —
+    * kept as the executable specification the native `WinnowFps`
+    * kernel is equivalence-tested against (KernelEquivalenceSpec), and
+    * as the shape the DuckDB oracle mirrors. Two subtleties: Spark's
+    * `sequence(1, n)` DESCENDS for n < 1, so short inputs need the
+    * guards; and the token/hash arrays are bound as single-element
+    * `transform(array(x), v -> …)` lambda arguments — a chain of
+    * withColumns would let Catalyst's projection collapse inline the
+    * hash array into EVERY window position, re-running the md5 loop
+    * O(positions) times per row.
+    */
+  private[graft] def winnowFpsHof(textCol: String, k: Int, w: Int): Column = {
     val hashOverT = s"""if(size(t) < $k, array(),
         transform(sequence(1, size(t) - ${k - 1}),
           i -> cast(conv(substring(md5(concat_ws(' ', slice(t, i, $k))), 1, 15), 16, 10) as bigint)))"""
     val minsOverH = s"""if(size(h) < $w, array_distinct(h),
         array_distinct(transform(sequence(1, size(h) - ${w - 1}),
           j -> array_min(slice(h, j, $w)))))"""
-    val fpExpr = s"""element_at(transform(array(split(trim($textCol), '\\\\s+')), t ->
-        element_at(transform(array($hashOverT), h -> $minsOverH), 1)), 1)"""
-    df.select(col(idCol).as("doc"), explode(expr(fpExpr)).as("fp"))
+    expr(s"""element_at(transform(array(split(trim($textCol), '\\\\s+')), t ->
+        element_at(transform(array($hashOverT), h -> $minsOverH), 1)), 1)""")
   }
 
   /** Near-dup pair detection over the winnowed sketches: pairs sharing
