@@ -1,0 +1,34 @@
+package graft.core
+
+import org.apache.spark.sql.DataFrame
+
+/** Deterministic cache bracket for multi-use intermediates.
+  *
+  * The near-dup detectors and semantic dedup each build one expensive
+  * intermediate (shingle sets, cell assignment) that feeds several
+  * downstream branches. Caching it is the point — but a bare
+  * `persist()` leaks a CacheManager entry until someone calls
+  * `clearCache()`, which a long-lived service composing several
+  * detectors in one session won't do between calls.
+  *
+  * [[withCached]] closes the bracket: persist the intermediates, build
+  * the result plan, materialize it eagerly (`localCheckpoint` — the
+  * same lineage-truncation device [[graft.operators.ConnectedComponents]]
+  * uses; results here are pair/decision sets, orders of magnitude
+  * smaller than the corpus), then unpersist the intermediates before
+  * returning. The caller gets a block-backed DataFrame with no cache
+  * entries left behind — `CachingSpec` asserts the CacheManager is
+  * empty after every detector materializes.
+  */
+object Caching {
+
+  /** Persist `intermediates`, build + eagerly materialize the result,
+    * release the intermediates. The returned frame is localCheckpointed
+    * (computed exactly once; safe to reuse without recomputation).
+    */
+  def withCached(intermediates: DataFrame*)(build: => DataFrame): DataFrame = {
+    intermediates.foreach(_.persist())
+    try build.localCheckpoint(eager = true)
+    finally intermediates.foreach(_.unpersist())
+  }
+}

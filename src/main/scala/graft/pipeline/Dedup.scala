@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import TextFunctions._
+import graft.core.Caching
 
 /** Deduplication operators for document corpora: exact, MinHash+LSH,
   * SimHash, and n-gram-Jaccard near-dup detection.
@@ -16,14 +17,13 @@ import TextFunctions._
   * which is the standard way these algorithms bound cost at corpus
   * scale.
   *
-  * Caching contract: the pair detectors `persist()` their shingled
-  * intermediate (it feeds candidate generation AND both verify sides,
-  * so materializing it once is the point). The cache is released when
-  * the caller drops the returned plan — batch drivers that run many
-  * queries in one session (Verify, Bench) call
-  * `spark.catalog.clearCache()` between queries; long-lived services
-  * should do the same or `unpersist()` the result's lineage after
-  * materializing it.
+  * Caching contract: the pair detectors cache their shingled
+  * intermediate for the duration of the computation (it feeds candidate
+  * generation AND both verify sides, so materializing it once is the
+  * point) through [[graft.core.Caching.withCached]], which releases the
+  * cache deterministically once the (far smaller) pair result is
+  * materialized — no CacheManager entries survive a detector call
+  * (CachingSpec). The returned frame is block-backed; reuse is free.
   */
 object Dedup {
 
@@ -77,12 +77,19 @@ object Dedup {
     // native kernel (one md5 per shingle, compiled loop) — semantics
     // identical to the HOF minhashSignature(shingleHashes(sh), seeds).
     // The shingled frame feeds band explosion AND both verify sides;
-    // persist it so shingling/hashing runs once (the materialized-stage
-    // equivalent at cluster scale).
+    // the bracket caches it so shingling/hashing runs once, and
+    // releases it when the pair set materializes.
     val docs = shingled(df, idCol, textCol, k)
       .withColumn("sig", graft.functions.HashKernelFunctions.minhashSig(col("sh"), seeds))
-      .persist()
+    Caching.withCached(docs)(minhashPlan(docs, bands, rows, threshold))
+  }
 
+  /** Lazy plan for [[minhashPairs]] over a prepared (doc, sh, sig)
+    * frame — split out so plan tests can pin the join shape (the
+    * public method returns a checkpointed, plan-opaque frame).
+    */
+  private[graft] def minhashPlan(docs: DataFrame, bands: Int, rows: Int,
+      threshold: Double): DataFrame = {
     val bandRows = docs.select(
       col("doc"),
       posexplode(array((0 until bands).map(b =>
@@ -98,6 +105,64 @@ object Dedup {
       .distinct()
 
     verifyJaccard(cand, docs, threshold)
+  }
+
+  /** Inverted-index candidate pairs over hashed shingles, WITH the
+    * shared-posting count: explode each doc's distinct shingles into
+    * postings keyed by the 60-bit shingle hash (an 8-byte shuffle key),
+    * self-join on the key, and aggregate one row per unordered pair
+    * carrying `n_shared` = number of shared kept postings. The count is
+    * free — it rides the same exchange the old `.distinct()` used — and
+    * it is what lets the verify step prefilter on sizes instead of
+    * joining full shingle arrays onto every candidate.
+    *
+    * Also returns the per-doc stats frame (doc, n_sh = |shingle set|,
+    * n_capped = postings the `maxShingleFreq` cap dropped) the bound
+    * needs: true |a ∩ b| ≤ n_shared + min(n_capped_a, n_capped_b),
+    * because a pair's shared shingles are kept postings (counted) plus
+    * possibly capped ones (at most min(capped) of them).
+    */
+  private def invertedCandidates(docs: DataFrame,
+      maxShingleFreq: Option[Int]): (DataFrame, DataFrame) = {
+    val inv0 = docs.select(col("doc"), explode(col("sh")).as("s"))
+      .select(col("doc"), hash60(col("s")).as("h"))
+    val inv = maxShingleFreq match {
+      case Some(f) =>
+        val keep = inv0.groupBy("h").count().filter(col("count") <= f).select("h")
+        inv0.join(keep, "h")
+      case None => inv0
+    }
+    val a = inv.alias("a")
+    val b = inv.alias("b")
+    val cand = a.join(b, col("a.h") === col("b.h") && col("a.doc") < col("b.doc"))
+      .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    val stats = docs.select(col("doc"), size(col("sh")).as("n_sh"))
+      .join(inv.groupBy("doc").agg(count(lit(1)).as("n_kept")), Seq("doc"), "left")
+      .select(col("doc"), col("n_sh"),
+        (col("n_sh") - coalesce(col("n_kept"), lit(0L))).as("n_capped"))
+    (cand, stats)
+  }
+
+  /** Count-only prefilter ahead of exact verification: a pair can reach
+    * Jaccard ≥ t only if |∩| ≥ t/(1+t)·(|a|+|b|), and |∩| is bounded
+    * above by n_shared + min(capped) ([[invertedCandidates]]). The
+    * filter touches three integers per pair — no shingle arrays move —
+    * so the expensive array-intersect join runs only on survivors.
+    * `+1` slack absorbs float rounding at the exact boundary: a
+    * false KEEP costs one extra exact check, a false DROP would lose a
+    * pair, so the bound is deliberately loosened by one shingle.
+    */
+  private def jaccardSurvivors(cand: DataFrame, stats: DataFrame,
+      threshold: Double): DataFrame = {
+    val sta = stats.select(col("doc").as("doc_a"), col("n_sh").as("n_a"),
+      col("n_capped").as("cap_a"))
+    val stb = stats.select(col("doc").as("doc_b"), col("n_sh").as("n_b"),
+      col("n_capped").as("cap_b"))
+    cand.join(sta, "doc_a").join(stb, "doc_b")
+      .filter(col("n_shared") + least(col("cap_a"), col("cap_b")) + lit(1) >=
+        lit(threshold / (1.0 + threshold)) * (col("n_a") + col("n_b")))
+      .select(col("doc_a"), col("doc_b"))
   }
 
   /** True-Jaccard verification of candidate (doc_a, doc_b) pairs using

@@ -150,21 +150,47 @@ object Similarity {
     val cents = broadcast(corpus.filter(centroidFilter)
       .select(col(idCol).as("cent_id"), col(vecCol).as("ce"),
         l2norm(col(vecCol)).as("ce_n")))
+    // Nearest-cell assignment collapses the corpus×centroids product
+    // MAP-SIDE — the same partial-aggregated argmax shape as
+    // [[lloydStep]]. A ranking window here would hash-exchange all
+    // N·C scored rows (vectors included) just to keep rank ≤ nprobe;
+    // the partial agg reduces each vector's C candidates to one row
+    // (or one ≤nprobe-slot list) before anything shuffles, so the
+    // exchange moves N rows regardless of the centroid count.
     def assign(df: DataFrame, prefix: String, maxRank: Int): DataFrame = {
       val base = df
         .repartition(df.sparkSession.sparkContext.defaultParallelism)
         .select(col(idCol).as(s"${prefix}_id"), col(vecCol).as(s"${prefix}v"),
           l2norm(col(vecCol)).as(s"${prefix}n"))
-      val w = Window.partitionBy(col(s"${prefix}_id"))
-        .orderBy(
+      val scored = base.crossJoin(cents)
+        .withColumn("__sim",
           cosinePre(dot(col(s"${prefix}v"), col("ce")), col(s"${prefix}n"),
-            col("ce_n")).desc,
-          col("cent_id").asc)
-      base.crossJoin(cents)
-        .withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") <= maxRank)
-        .select(col(s"${prefix}_id"), col(s"${prefix}v"), col(s"${prefix}n"),
-          col("cent_id"))
+            col("ce_n")))
+      if (maxRank == 1) {
+        // struct order (sim, −cent_id) == the old window's
+        // (sim desc, cent_id asc) — ties to the smaller centroid id
+        scored.groupBy(col(s"${prefix}_id"))
+          .agg(max(struct(col("__sim"), (-col("cent_id")).as("tie"),
+            col("cent_id"), col(s"${prefix}v"), col(s"${prefix}n"))).as("best"))
+          .select(col(s"${prefix}_id"),
+            col(s"best.${prefix}v").as(s"${prefix}v"),
+            col(s"best.${prefix}n").as(s"${prefix}n"),
+            col("best.cent_id").as("cent_id"))
+      } else {
+        // bounded top-nprobe per vector: collect the (sim, tie, cent)
+        // triples (24 bytes each — never the vectors), sort the ≤C-slot
+        // list, keep nprobe. first(v) is well-defined: every row in the
+        // group carries the same vector.
+        scored.groupBy(col(s"${prefix}_id"))
+          .agg(
+            slice(reverse(array_sort(collect_list(struct(col("__sim"),
+              (-col("cent_id")).as("tie"), col("cent_id"))))), 1, maxRank)
+              .as("top"),
+            first(col(s"${prefix}v")).as(s"${prefix}v"),
+            first(col(s"${prefix}n")).as(s"${prefix}n"))
+          .select(col(s"${prefix}_id"), col(s"${prefix}v"), col(s"${prefix}n"),
+            explode(col("top.cent_id")).as("cent_id"))
+      }
     }
     val cellC = assign(corpus, "cand", 1)
     val cellQ = assign(queries, "query", nprobe)
@@ -210,33 +236,37 @@ object Similarity {
       .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol).as("vid"), col(vecCol).as("v"),
         l2norm(col(vecCol)).as("vn"))
-    val w = Window.partitionBy(col("vid"))
-      .orderBy(
-        cosinePre(dot(col("v"), col("ce")), col("vn"), col("ce_n")).desc,
-        col("cent_id").asc)
-    // the assignment feeds the pair join AND the final output join —
-    // persist it so the crossJoin+window runs once (same caching
-    // contract as [[graft.pipeline.Dedup]])
+    // nearest-cell argmax collapses the corpus×centroids product
+    // map-side (the [[lloydStep]] shape — a ranking window here would
+    // shuffle all N·C scored rows, vectors included); the assignment
+    // feeds the pair join AND the final output join, so it is cached
+    // for the duration of the computation and released deterministically
+    // by [[graft.core.Caching.withCached]] once the result materializes.
     val cells = base.crossJoin(cents)
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .select(col("vid"), col("v"), col("vn"), col("cent_id"))
-      .persist()
-    val a = cells.select(col("cent_id"), col("vid").as("u"),
-      col("v").as("va"), col("vn").as("na"))
-    val b = cells.select(col("cent_id"), col("vid").as("v0"),
-      col("v").as("vb"), col("vn").as("nb"))
-    val edges = a.join(b,
-        Seq("cent_id"))
-      .filter(col("u") < col("v0") &&
-        cosinePre(dot(col("va"), col("vb")), col("na"), col("nb")) >= threshold)
-      .select(col("u"), col("v0").as("v"))
-    val comp = graft.operators.ConnectedComponents.components(edges)
-    cells.join(comp, cells("vid") === comp("node"), "left")
-      .select(col("vid").as("vec_id"), col("cent_id").as("cell"),
-        coalesce(col("component"), col("vid")).as("cluster_id"),
-        (coalesce(col("component"), col("vid")) === col("vid"))
-          .cast("int").as("keep"))
+      .withColumn("__sim",
+        cosinePre(dot(col("v"), col("ce")), col("vn"), col("ce_n")))
+      .groupBy(col("vid"))
+      .agg(max(struct(col("__sim"), (-col("cent_id")).as("tie"),
+        col("cent_id"), col("v"), col("vn"))).as("best"))
+      .select(col("vid"), col("best.v").as("v"), col("best.vn").as("vn"),
+        col("best.cent_id").as("cent_id"))
+    graft.core.Caching.withCached(cells) {
+      val a = cells.select(col("cent_id"), col("vid").as("u"),
+        col("v").as("va"), col("vn").as("na"))
+      val b = cells.select(col("cent_id"), col("vid").as("v0"),
+        col("v").as("vb"), col("vn").as("nb"))
+      val edges = a.join(b,
+          Seq("cent_id"))
+        .filter(col("u") < col("v0") &&
+          cosinePre(dot(col("va"), col("vb")), col("na"), col("nb")) >= threshold)
+        .select(col("u"), col("v0").as("v"))
+      val comp = graft.operators.ConnectedComponents.components(edges)
+      cells.join(comp, cells("vid") === comp("node"), "left")
+        .select(col("vid").as("vec_id"), col("cent_id").as("cell"),
+          coalesce(col("component"), col("vid")).as("cluster_id"),
+          (coalesce(col("component"), col("vid")) === col("vid"))
+            .cast("int").as("keep"))
+    }
   }
 
   /** Symmetric int8 quantization scale: 127 / max|v_i|. At corpus
