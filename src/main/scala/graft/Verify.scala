@@ -6,14 +6,14 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir, only) = args match {
-      case Array(s, o)       => (s, o, None)
-      case Array(s, o, name) => (s, o, Some(name)) // iterate on one query
+      case Array(s, o)           => (s, o, None)
+      case Array(s, o, names @ _*) => (s, o, Some(names.toSet)) // iterate on a subset
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     val spark = graft.core.GraftSession.build(s"local[$cpus]", cpus)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
-      .filter { case (name, _) => only.forall(_ == name) }
+      .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

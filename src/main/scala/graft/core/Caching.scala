@@ -25,6 +25,14 @@ object Caching {
   /** Persist `intermediates`, build + eagerly materialize the result,
     * release the intermediates. The returned frame is localCheckpointed
     * (computed exactly once; safe to reuse without recomputation).
+    *
+    * Contract for callers: the bracketed job runs EAGERLY at call time
+    * (not at first action), and the checkpointed blocks are not
+    * recoverable on executor loss — the right trade for pair/decision
+    * sets that are orders of magnitude smaller than their inputs and
+    * about to be written anyway. Plan tests must pin the lazy inner
+    * plan (the detectors expose `*Plan` split-outs), because the
+    * returned frame's plan is an opaque LogicalRDD.
     */
   def withCached(intermediates: DataFrame*)(build: => DataFrame): DataFrame = {
     intermediates.foreach(_.persist())

@@ -73,16 +73,24 @@ object Dedup {
       numHashes: Int, bands: Int, threshold: Double): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val seeds = minhashSeeds(numHashes)
-    // native kernel (one md5 per shingle, compiled loop) — semantics
-    // identical to the HOF minhashSignature(shingleHashes(sh), seeds).
     // The shingled frame feeds band explosion AND both verify sides;
     // the bracket caches it so shingling/hashing runs once, and
     // releases it when the pair set materializes.
-    val docs = shingled(df, idCol, textCol, k)
-      .withColumn("sig", graft.functions.HashKernelFunctions.minhashSig(col("sh"), seeds))
+    val docs = minhashDocs(df, idCol, textCol, k, numHashes)
     Caching.withCached(docs)(minhashPlan(docs, bands, rows, threshold))
   }
+
+  /** Prepared (doc, sh, sig) frame for [[minhashPairs]] — the minhash
+    * signature runs through the native kernel (one md5 per shingle,
+    * compiled loop; semantics identical to the HOF
+    * minhashSignature(shingleHashes(sh), seeds)). Split out so plan
+    * tests can build the lazy [[minhashPlan]] over it.
+    */
+  private[graft] def minhashDocs(df: DataFrame, idCol: String,
+      textCol: String, k: Int, numHashes: Int): DataFrame =
+    shingled(df, idCol, textCol, k)
+      .withColumn("sig", graft.functions.HashKernelFunctions
+        .minhashSig(col("sh"), minhashSeeds(numHashes)))
 
   /** Lazy plan for [[minhashPairs]] over a prepared (doc, sh, sig)
     * frame — split out so plan tests can pin the join shape (the
@@ -122,7 +130,7 @@ object Dedup {
     * because a pair's shared shingles are kept postings (counted) plus
     * possibly capped ones (at most min(capped) of them).
     */
-  private def invertedCandidates(docs: DataFrame,
+  private[graft] def invertedCandidates(docs: DataFrame,
       maxShingleFreq: Option[Int]): (DataFrame, DataFrame) = {
     val inv0 = docs.select(col("doc"), explode(col("sh")).as("s"))
       .select(col("doc"), hash60(col("s")).as("h"))
@@ -153,15 +161,30 @@ object Dedup {
     * false KEEP costs one extra exact check, a false DROP would lose a
     * pair, so the bound is deliberately loosened by one shingle.
     */
-  private def jaccardSurvivors(cand: DataFrame, stats: DataFrame,
-      threshold: Double): DataFrame = {
+  private[graft] def jaccardSurvivors(cand: DataFrame, stats: DataFrame,
+      threshold: Double): DataFrame =
+    survivors(cand, stats,
+      lit(threshold / (1.0 + threshold)) * (col("n_a") + col("n_b")))
+
+  /** Directional-containment analogue of [[jaccardSurvivors]]: either
+    * direction of a pair qualifies only if |∩| ≥ t·|contained|, and the
+    * easier direction is the smaller set — so a pair can survive only
+    * if ub(|∩|) ≥ t·min(|a|, |b|). Same three-integer filter, same
+    * +1 rounding slack.
+    */
+  private[graft] def containmentSurvivors(cand: DataFrame, stats: DataFrame,
+      threshold: Double): DataFrame =
+    survivors(cand, stats, lit(threshold) * least(col("n_a"), col("n_b")))
+
+  private def survivors(cand: DataFrame, stats: DataFrame,
+      requiredIntersection: Column): DataFrame = {
     val sta = stats.select(col("doc").as("doc_a"), col("n_sh").as("n_a"),
       col("n_capped").as("cap_a"))
     val stb = stats.select(col("doc").as("doc_b"), col("n_sh").as("n_b"),
       col("n_capped").as("cap_b"))
     cand.join(sta, "doc_a").join(stb, "doc_b")
       .filter(col("n_shared") + least(col("cap_a"), col("cap_b")) + lit(1) >=
-        lit(threshold / (1.0 + threshold)) * (col("n_a") + col("n_b")))
+        requiredIntersection)
       .select(col("doc_a"), col("doc_b"))
   }
 
@@ -239,21 +262,20 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String, k: Int,
       threshold: Double, maxShingleFreq: Option[Int] = None): DataFrame = {
     // shingling feeds the inverted index and both verify sides — run it once
-    val docs = shingled(df, idCol, textCol, k).persist()
-    val inv0 = docs.select(col("doc"), explode(col("sh")).as("s"))
-      .select(col("doc"), hash60(col("s")).as("h"))
-    val inv = maxShingleFreq match {
-      case Some(f) =>
-        val keep = inv0.groupBy("h").count().filter(col("count") <= f).select("h")
-        inv0.join(keep, "h")
-      case None => inv0
-    }
-    val a = inv.alias("a")
-    val b = inv.alias("b")
-    val cand = a.join(b, col("a.h") === col("b.h") && col("a.doc") < col("b.doc"))
-      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
-      .distinct()
-    verifyJaccard(cand, docs, threshold)
+    val docs = shingled(df, idCol, textCol, k)
+    Caching.withCached(docs)(ngramJaccardPlan(docs, threshold, maxShingleFreq))
+  }
+
+  /** Lazy plan for [[ngramJaccardPairs]] over a prepared (doc, sh)
+    * frame: hashed-posting candidates with their shared count, the
+    * three-integer [[jaccardSurvivors]] prefilter, then exact
+    * verification on survivors only — the full shingle arrays move
+    * solely for pairs that can actually qualify.
+    */
+  private[graft] def ngramJaccardPlan(docs: DataFrame, threshold: Double,
+      maxShingleFreq: Option[Int]): DataFrame = {
+    val (cand, stats) = invertedCandidates(docs, maxShingleFreq)
+    verifyJaccard(jaccardSurvivors(cand, stats, threshold), docs, threshold)
   }
 
   /** Directional containment pairs: (contained, container) where
@@ -270,23 +292,22 @@ object Dedup {
     */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String, k: Int,
       threshold: Double, maxShingleFreq: Option[Int] = None): DataFrame = {
-    val docs = shingled(df, idCol, textCol, k).persist()
-    val inv0 = docs.select(col("doc"), explode(col("sh")).as("s"))
-      .select(col("doc"), hash60(col("s")).as("h"))
-    val inv = maxShingleFreq match {
-      case Some(f) =>
-        val keep = inv0.groupBy("h").count().filter(col("count") <= f).select("h")
-        inv0.join(keep, "h")
-      case None => inv0
-    }
-    val a = inv.alias("a")
-    val b = inv.alias("b")
-    val cand = a.join(b, col("a.h") === col("b.h") && col("a.doc") < col("b.doc"))
-      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
-      .distinct()
+    val docs = shingled(df, idCol, textCol, k)
+    Caching.withCached(docs)(containmentPlan(docs, threshold, maxShingleFreq))
+  }
+
+  /** Lazy plan for [[containmentPairs]] over a prepared (doc, sh)
+    * frame — same candidates + [[containmentSurvivors]] prefilter shape
+    * as [[ngramJaccardPlan]], then both directions of each surviving
+    * unordered pair are verified at once.
+    */
+  private[graft] def containmentPlan(docs: DataFrame, threshold: Double,
+      maxShingleFreq: Option[Int]): DataFrame = {
+    val (cand, stats) = invertedCandidates(docs, maxShingleFreq)
+    val surv = containmentSurvivors(cand, stats, threshold)
     val sa = docs.select(col("doc").as("doc_a"), col("sh").as("sh_a"))
     val sb = docs.select(col("doc").as("doc_b"), col("sh").as("sh_b"))
-    val withSets = cand.join(sa, "doc_a").join(sb, "doc_b")
+    val withSets = surv.join(sa, "doc_a").join(sb, "doc_b")
       .withColumn("inter",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
     val aInB = withSets

@@ -229,6 +229,24 @@ object Similarity {
     */
   def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
       centroidFilter: Column, threshold: Double): DataFrame = {
+    // the assignment feeds the pair join AND the final output join, so
+    // it is cached for the duration of the computation and released
+    // deterministically by [[graft.core.Caching.withCached]] once the
+    // result materializes.
+    val cells = semanticCells(corpus, idCol, vecCol, centroidFilter)
+    graft.core.Caching.withCached(cells)(semanticDedupPlan(cells, threshold))
+  }
+
+  /** Nearest-cell assignment for [[semanticDedup]]: one row per corpus
+    * vector (vid, v, vn, cent_id). The argmax collapses the
+    * corpus×centroids product MAP-SIDE (the [[lloydStep]] shape — a
+    * ranking window here would shuffle all N·C scored rows, vectors
+    * included). Split out so plan tests can pin the broadcast + no-
+    * Window shape (the public method returns a checkpointed,
+    * plan-opaque frame).
+    */
+  private[graft] def semanticCells(corpus: DataFrame, idCol: String,
+      vecCol: String, centroidFilter: Column): DataFrame = {
     val cents = broadcast(corpus.filter(centroidFilter)
       .select(col(idCol).as("cent_id"), col(vecCol).as("ce"),
         l2norm(col(vecCol)).as("ce_n")))
@@ -236,13 +254,7 @@ object Similarity {
       .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol).as("vid"), col(vecCol).as("v"),
         l2norm(col(vecCol)).as("vn"))
-    // nearest-cell argmax collapses the corpus×centroids product
-    // map-side (the [[lloydStep]] shape — a ranking window here would
-    // shuffle all N·C scored rows, vectors included); the assignment
-    // feeds the pair join AND the final output join, so it is cached
-    // for the duration of the computation and released deterministically
-    // by [[graft.core.Caching.withCached]] once the result materializes.
-    val cells = base.crossJoin(cents)
+    base.crossJoin(cents)
       .withColumn("__sim",
         cosinePre(dot(col("v"), col("ce")), col("vn"), col("ce_n")))
       .groupBy(col("vid"))
@@ -250,23 +262,30 @@ object Similarity {
         col("cent_id"), col("v"), col("vn"))).as("best"))
       .select(col("vid"), col("best.v").as("v"), col("best.vn").as("vn"),
         col("best.cent_id").as("cent_id"))
-    graft.core.Caching.withCached(cells) {
-      val a = cells.select(col("cent_id"), col("vid").as("u"),
-        col("v").as("va"), col("vn").as("na"))
-      val b = cells.select(col("cent_id"), col("vid").as("v0"),
-        col("v").as("vb"), col("vn").as("nb"))
-      val edges = a.join(b,
-          Seq("cent_id"))
-        .filter(col("u") < col("v0") &&
-          cosinePre(dot(col("va"), col("vb")), col("na"), col("nb")) >= threshold)
-        .select(col("u"), col("v0").as("v"))
-      val comp = graft.operators.ConnectedComponents.components(edges)
-      cells.join(comp, cells("vid") === comp("node"), "left")
-        .select(col("vid").as("vec_id"), col("cent_id").as("cell"),
-          coalesce(col("component"), col("vid")).as("cluster_id"),
-          (coalesce(col("component"), col("vid")) === col("vid"))
-            .cast("int").as("keep"))
-    }
+  }
+
+  /** Within-cell pair detection + transitive closure + keep decision
+    * over a prepared [[semanticCells]] frame. NOTE: building this plan
+    * runs the closure's star-contraction jobs eagerly (ConnectedComponents
+    * checkpoints per round); only the surrounding joins stay lazy.
+    */
+  private[graft] def semanticDedupPlan(cells: DataFrame,
+      threshold: Double): DataFrame = {
+    val a = cells.select(col("cent_id"), col("vid").as("u"),
+      col("v").as("va"), col("vn").as("na"))
+    val b = cells.select(col("cent_id"), col("vid").as("v0"),
+      col("v").as("vb"), col("vn").as("nb"))
+    val edges = a.join(b,
+        Seq("cent_id"))
+      .filter(col("u") < col("v0") &&
+        cosinePre(dot(col("va"), col("vb")), col("na"), col("nb")) >= threshold)
+      .select(col("u"), col("v0").as("v"))
+    val comp = graft.operators.ConnectedComponents.components(edges)
+    cells.join(comp, cells("vid") === comp("node"), "left")
+      .select(col("vid").as("vec_id"), col("cent_id").as("cell"),
+        coalesce(col("component"), col("vid")).as("cluster_id"),
+        (coalesce(col("component"), col("vid")) === col("vid"))
+          .cast("int").as("keep"))
   }
 
   /** Symmetric int8 quantization scale: 127 / max|v_i|. At corpus

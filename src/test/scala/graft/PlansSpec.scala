@@ -44,11 +44,18 @@ class PlansSpec extends SparkSpec {
   }
 
   test("LSH candidate generation is an equi-join on the band key (p02)") {
-    val p = plan(PipelineQueries.p02MinhashLsh(spark, sf0001))
+    // the public minhashPairs returns a checkpointed (plan-opaque)
+    // frame, so pin the lazy inner plan it brackets
+    val docs = graft.pipeline.Dedup.minhashDocs(
+      spark.read.parquet(s"$sf0001/documents.parquet"),
+      "doc_id", "text", k = 3, numHashes = 12)
+    val p = plan(graft.pipeline.Dedup.minhashPlan(docs, bands = 6, rows = 2,
+      threshold = 0.5))
     // candidates must come from a hash-partitioned equi join, never a
     // nested-loop pair scan
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
       || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
   }
 
   test("id-map replacement does not force-broadcast the map") {
@@ -81,9 +88,25 @@ class PlansSpec extends SparkSpec {
   }
 
   test("ngram-Jaccard inverted index joins on 8-byte hash keys (p04)") {
-    val p = plan(PipelineQueries.p04NgramJaccard(spark, sf0001))
-    // candidate generation must be an equi-join (no nested loop)
+    val docs = graft.pipeline.Dedup.shingled(
+      spark.read.parquet(s"$sf0001/documents.parquet"), "doc_id", "text", k = 4)
+    val p = plan(graft.pipeline.Dedup.ngramJaccardPlan(docs,
+      threshold = 0.4, maxShingleFreq = Some(50)))
+    // candidate generation must be an equi-join (no nested loop), and
+    // the count prefilter must not smuggle a window in
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("containment shares the prefiltered candidate shape (p27)") {
+    val docs = graft.pipeline.Dedup.shingled(
+      spark.read.parquet(s"$sf0001/documents.parquet"), "doc_id", "text", k = 4)
+    val p = plan(graft.pipeline.Dedup.containmentPlan(docs,
+      threshold = 0.6, maxShingleFreq = Some(50)))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"), p)
   }
 
   test("SCDF era reuses the window shuffle for rollup and era-end (q34)") {
@@ -184,11 +207,44 @@ class PlansSpec extends SparkSpec {
   }
 
   test("semantic dedup broadcasts centroids; the pair join keys on the cell (p40)") {
-    val p = plan(PipelineQueries.p40SemanticDedup(spark, sf0001))
+    import org.apache.spark.sql.functions.col
+    // the public semanticDedup returns a checkpointed (plan-opaque)
+    // frame, so pin the lazy cell-assignment plan it brackets
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val cells = graft.pipeline.Similarity.semanticCells(
+      emb, "vec_id", "embedding", col("vec_id") % 25 === 0)
+    val p = plan(cells)
     // the only nested-loop is the bounded corpus×centroids assignment
-    // against a BROADCAST build side; no unbounded cartesian anywhere
+    // against a BROADCAST build side; no unbounded cartesian anywhere,
+    // and the argmax must be a partial-aggregated max(struct) — a
+    // ranking window here would shuffle all N·C scored rows
     assert(!p.contains("CartesianProduct"), p)
     assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("Window"), p)
+    // downstream: the pair join keys on the cell id (equi-join), and
+    // the closure output join stays an equi-join on vid
+    val pd = plan(graft.pipeline.Similarity.semanticDedupPlan(cells, 0.4))
+    assert(!pd.contains("CartesianProduct"), pd)
+    assert(!pd.contains("Window"), pd)
+  }
+
+  test("IVF assignment collapses corpus×centroids map-side, no N·C window (p19, p26)") {
+    // the ONLY window allowed is the final per-query re-rank over the
+    // pruned candidate set; the corpus- and query-side assignments must
+    // be partial-aggregated argmax / bounded collect_list, so exactly
+    // one Window node appears and max(struct(...)) shows in the plan
+    for (df <- Seq(PipelineQueries.p19Ivf(spark, sf0001),
+        PipelineQueries.p26IvfNprobe(spark, sf0001))) {
+      val p = plan(df)
+      // tree lines read "Window (n)"; "Window \(" cannot match
+      // WindowGroupLimit (different following char), and detail headers
+      // "(n) Window" lack the trailing paren
+      val windows = """Window \(\d""".r.findAllIn(p).size
+      assert(windows <= 1, s"expected the final re-rank window only, got $windows\n$p")
+      assert(p.contains("BroadcastNestedLoopJoin"), p)
+      assert(p.contains("max(struct("), p)
+      assert(!p.contains("CartesianProduct"), p)
+    }
   }
 
   test("vocab top-k is TakeOrderedAndProject; OOV join broadcasts the vocab (p41, p42)") {
