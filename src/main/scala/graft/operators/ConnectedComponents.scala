@@ -113,6 +113,14 @@ object ConnectedComponents {
       sig = nextSig
       round += 1
     }
+    // star contraction halves component diameter per round, so 50
+    // rounds cover any real graph — but if a caller lowers maxRounds,
+    // a non-star edge set here would silently assign WRONG components
+    // to every downstream dedup decision. Fail loudly instead.
+    if (!converged)
+      throw new IllegalStateException(
+        s"connected components did not converge in $maxRounds rounds; " +
+          "raise maxRounds (star contraction needs O(log n) rounds)")
     // at the fixpoint e is a union of stars: (member, root) with one
     // row per non-root member; roots appear only on the right side
     nodes.join(e.withColumnRenamed("u", "node"), Seq("node"), "left")

@@ -64,7 +64,11 @@ object Statistics {
     val mm = df.agg(
       min(col(column).cast("double")).as("mn"),
       max(col(column).cast("double")).as("mx"))
+    // NULLs carry no position on the [min, max] axis — without the
+    // filter, least(buckets-1, null) silently lands them in the TOP
+    // bucket (both engines share the LEAST quirk), inflating the tail
     df.select(col(column).cast("double").as("x"))
+      .filter(col("x").isNotNull)
       .crossJoin(broadcast(mm))
       .select(
         when(col("mx") === col("mn"), lit(0L))

@@ -71,7 +71,8 @@ object TextFunctions {
       coalesce(array_min(transform(baseHashes, h => (lit(a) * h + lit(b)) % P)), lit(P))
     }: _*)
 
-  /** SimHash over a token array, `bits` wide (≤ 32). Bit i is set iff
+  /** SimHash over a token array, `bits` wide (≤ 64; the token hash is
+    * 60-bit, so bits 60–63 are never set). Bit i is set iff
     * the count of tokens whose hash has bit i set exceeds the count of
     * those that don't (sum of ±1 > 0).
     */

@@ -230,7 +230,8 @@ object ParityQueries4 {
         |    ELSE LEAST(9, FLOOR((CAST(l_extendedprice AS DOUBLE) - mn) * 10
         |                        / (mx - mn))) END AS BIGINT) AS bucket,
         |  CAST(COUNT(*) AS BIGINT) AS n
-        |FROM lineitem, s GROUP BY 1""".stripMargin,
+        |FROM lineitem, s
+        |WHERE l_extendedprice IS NOT NULL GROUP BY 1""".stripMargin,
     "q42_sync_obs" ->
       """WITH d AS (
         |  SELECT l_suppkey AS person_id,

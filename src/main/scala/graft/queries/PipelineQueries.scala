@@ -72,12 +72,20 @@ object PipelineQueries {
     Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text",
       k = 3, numHashes = 12, bands = 6, threshold = 0.5)
 
-  /** SimHash near-dup pairs (16-bit simhash, 4-segment LSH,
+  /** SimHash near-dup pairs (64-bit simhash, 4-segment LSH,
     * Hamming ≤ 2 — exact by pigeonhole).
+    *
+    * Bucket cardinality is the quadratic-blowup lever: 16-bit segments
+    * give 65k possible (seg, segval) values, so bucket occupancy — and
+    * with it the self-join's candidate count — stays proportional to
+    * real near-dup density. (A 16-bit hash in 4-bit segments would put
+    * ~1/16 of the corpus in every bucket: O(N²/16) candidates.)
+    * The underlying token hash is 60-bit, so bits 60–63 are constant;
+    * segment 3 still spans 4k effective values.
     */
   def p03Simhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
-      bits = 16, segments = 4, maxHamming = 2)
+      bits = 64, segments = 4, maxHamming = 2)
 
   /** 4-gram-Jaccard pairs via inverted shingle index, with BOTH scale
     * levers engaged: 60-bit hashed posting keys (8-byte shuffle) and
@@ -453,9 +461,12 @@ object PipelineQueries {
     val src = docs.select(col("doc_id"), col("source"))
     val sym = pairs.select(col("doc_a").as("d"), col("doc_b").as("o"))
       .unionAll(pairs.select(col("doc_b").as("d"), col("doc_a").as("o")))
+    // src is one row per DOCUMENT — corpus-sized, so no broadcast hint:
+    // the pair side is far smaller than the corpus, and AQE picks the
+    // right strategy per actual sizes at any SF
     sym
-      .join(broadcast(src.toDF("d", "src_a")), "d")
-      .join(broadcast(src.toDF("o", "src_b")), "o")
+      .join(src.toDF("d", "src_a"), "d")
+      .join(src.toDF("o", "src_b"), "o")
       .filter(col("src_a") =!= col("src_b"))
       .groupBy(col("src_a"), col("src_b"))
       .agg(countDistinct(col("d")).as("n_mirrored"))
@@ -713,11 +724,13 @@ object PipelineQueries {
     sb.toString
   }
 
-  /** DuckDB 16-bit simhash over an in-scope `toks`, same semantics as
-    * [[TF.simhash]].
+  /** DuckDB 64-bit simhash over an in-scope `toks`, same semantics as
+    * the native kernel behind [[Dedup.simhashPairs]]. The token hash is
+    * the 60-bit hash60, so bits 60–63 can never win a vote — emitting
+    * only the first 60 terms is exact and avoids the 1<<63 literal.
     */
   private def oSimhash: String = {
-    val bits = (0 until 16).map { i =>
+    val bits = (0 until 60).map { i =>
       s"""(CASE WHEN list_sum(list_transform(hl,
          |   h -> CASE WHEN ((h >> $i) & 1) = 1 THEN 1 ELSE -1 END)) > 0
          | THEN CAST(${1L << i} AS BIGINT) ELSE 0 END)""".stripMargin

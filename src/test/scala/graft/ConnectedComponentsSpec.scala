@@ -25,6 +25,15 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(!c.contains(40L) || c(40L) == 40L)
   }
 
+  test("non-convergence within maxRounds fails loudly, never returns wrong components") {
+    // a 12-node path cannot contract to stars in one round
+    val chain = (1L to 11L).map(i => (i, i + 1)).toDF("u", "v")
+    val ex = intercept[IllegalStateException] {
+      ConnectedComponents.components(chain, maxRounds = 1).collect()
+    }
+    assert(ex.getMessage.contains("did not converge"))
+  }
+
   test("duplicate, reversed, and self edges are tolerated") {
     val c = comps(Seq((3L, 1L), (1L, 3L), (3L, 3L), (1L, 3L), (2L, 3L)))
     assert(c == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))

@@ -218,4 +218,14 @@ class OperatorsSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(cOut == Map(0L -> 2L))
   }
+
+  test("Statistics.histogram drops NULLs instead of counting them in the top bucket") {
+    import spark.implicits._
+    val df = Seq[Option[Double]](Some(0.0), None, Some(10.0), None)
+      .toDF("x")
+    val out = graft.operators.Statistics.histogram(df, "x", buckets = 2)
+      .as[(Long, Long)].collect().toMap
+    // the two NULLs must not inflate bucket 1
+    assert(out == Map(0L -> 1L, 1L -> 1L))
+  }
 }

@@ -154,9 +154,11 @@ class PipelineSpec extends SparkSpec {
       graft.functions.HashKernelFunctions.minhashSig(sh, seeds) ===
         TextFunctions.minhashSignature(TextFunctions.shingleHashes(sh), seeds),
       graft.functions.HashKernelFunctions.simhash(toks, 16) ===
-        TextFunctions.simhash(toks, 16))
-      .as[(Boolean, Boolean)].collect()
-    assert(rows.forall(r => r._1 && r._2), rows.toSeq)
+        TextFunctions.simhash(toks, 16),
+      graft.functions.HashKernelFunctions.simhash(toks, 64) ===
+        TextFunctions.simhash(toks, 64))
+      .as[(Boolean, Boolean, Boolean)].collect()
+    assert(rows.forall(r => r._1 && r._2 && r._3), rows.toSeq)
   }
 
   test("native dot/l2norm expressions are bit-identical to the HOF forms") {
