@@ -11,7 +11,7 @@ import graft.model.PedsnetModel
   */
 class ModelSpec extends AnyFunSuite {
 
-  for (model <- Seq(PedsnetModel.v33, PedsnetModel.tpch)) {
+  for (model <- Seq(PedsnetModel.v33, PedsnetModel.v27, PedsnetModel.tpch)) {
 
     test(s"${model.name}/${model.version}: FK references resolve within the model") {
       for {
@@ -53,6 +53,33 @@ class ModelSpec extends AnyFunSuite {
 
   test("fact_relationship has no PK, matching the CDM") {
     assert(PedsnetModel.v33.table("fact_relationship").pk.isEmpty)
+  }
+
+  test("every reference ID_MAP_TABLE and VOCAB_TABLE resolves in v3.3") {
+    val names = PedsnetModel.v33.tables.keySet
+    for (t <- PedsnetModel.idMapTables) assert(names.contains(t), s"id-map $t")
+    for (t <- PedsnetModel.vocabTables) assert(names.contains(t), s"vocab $t")
+    // the consistent set is a prefix subset of the full id-map set
+    assert(PedsnetModel.consistentIdMapTables.toSet
+      .subsetOf(PedsnetModel.idMapTables.toSet))
+    // vocabulary tables are never id-mapped
+    assert(PedsnetModel.vocabTables.toSet
+      .intersect(PedsnetModel.idMapTables.toSet) == Set("cohort_definition"))
+  }
+
+  test("version resolver returns distinct schemas per version (stock_metadata parity)") {
+    assert(PedsnetModel.forVersion("3.3.0") eq PedsnetModel.v33)
+    assert(PedsnetModel.forVersion("2.7.0") eq PedsnetModel.v27)
+    intercept[RuntimeException](PedsnetModel.forVersion("9.9.9"))
+    // real schema diffs: 2.7 predates the linkage/geocode tables and
+    // the measurement datetime refinement
+    val old = PedsnetModel.v27.tables.keySet
+    for (t <- Seq("location_fips", "location_history", "hash_token"))
+      assert(!old.contains(t), t)
+    assert(PedsnetModel.v33.table("measurement").columns
+      .contains("measurement_datetime"))
+    assert(!PedsnetModel.v27.table("measurement").columns
+      .contains("measurement_datetime"))
   }
 }
 
