@@ -90,6 +90,9 @@ object Cli {
         |  transform-one <siteDir> <site> <table> <step> <outDir>  one stock step: age|concept-name|site
         |  copy-derivation <dir> <kind> <outDir>         append derived rows: bmi|bmiz|ht-z|wt-z
         |  pcornet-slice <dir> <minY> <maxY> <outRoot>   age-banded cohort + whole-schema subset
+        |  covid-slice <dir> <outDir>                    event-marked cohort slice (counts report)
+        |  adult-slice <dir> <outDir>                    age>=21 cohort slice (counts report)
+        |  run-query <package> <dir> <outDir>            dispatch one named query package (run_r_query)
         |  unpartition <partDir> <outDir>                flatten a partitioned layout
         |  id-transform <dir> <table> <key> <store> <outDir>  extend durable id map + rewrite key
         |  create-id-maps <dir> <table> <storeDir>       seed a store from a table's existing pk
@@ -126,6 +129,9 @@ object Cli {
     "subset_pcornet_by_cohort" -> "pcornet-slice",
     "sync_observation_period" -> "sync-obs",
     "run_recover_cohort" -> "cohort",
+    "run_r_query" -> "run-query",
+    "run_r_pcornet_covid_slice" -> "covid-slice",
+    "run_r_pcornet_adult_slice" -> "adult-slice",
     "run_r_dose" -> "dose",
     "run_r_lab_loinc" -> "lab-loinc",
     "run_r_obs_covid" -> "obs-derivation",
@@ -217,6 +223,20 @@ object Cli {
       else (base0, Map.empty[String, Seq[String]])
     (ctx, base, ageCols)
   }
+
+  /** The query-package registry `run-query` / `run-derivations`
+    * dispatch over — the engine's twin of the reference's named R
+    * packages (r_query.py resolves a package name to its script; here
+    * a name resolves to its registered Spark job).
+    */
+  private val queryPackages: Map[String, (SparkSession, String) => DataFrame] =
+    Map(
+      "scdf_drug_era" -> (queries.ParityQueries3.q34ScdfEra _),
+      "lab_loinc" -> (queries.ParityQueries3.q40LabLoinc _),
+      "obs_derivation" -> (queries.ParityQueries3.q41ObsDerivation _),
+      "dose" -> (queries.ParityQueries4.q43Dose _),
+      "pcornet_covid_slice" -> (queries.ParityQueries4.q51CovidSlice _),
+      "pcornet_adult_slice" -> (queries.ParityQueries4.q52AdultSlice _))
 
   def run(spark: SparkSession, args0: List[String]): Unit = {
     // kind-carrying alternate names rewrite to the generic command +
@@ -352,13 +372,29 @@ object Cli {
     // run_derivations parity: every registered package in one pass,
     // each result under its package name
     case "run-derivations" :: dir :: outRoot :: Nil =>
-      val jobs = Seq(
-        "scdf_drug_era" -> queries.ParityQueries3.q34ScdfEra _,
-        "lab_loinc" -> queries.ParityQueries3.q40LabLoinc _,
-        "obs_derivation" -> queries.ParityQueries3.q41ObsDerivation _)
-      jobs.foreach { case (name, fn) =>
+      queryPackages.toSeq.sortBy(_._1).foreach { case (name, fn) =>
         write(fn(spark, dir), s"$outRoot/$name")
         println(s"""{"package":"$name","out":"$outRoot/$name"}""")
+      }
+
+    case "covid-slice" :: dir :: out :: Nil =>
+      write(queries.ParityQueries4.q51CovidSlice(spark, dir), out)
+
+    case "adult-slice" :: dir :: out :: Nil =>
+      write(queries.ParityQueries4.q52AdultSlice(spark, dir), out)
+
+    // run_r_query parity (r_query.py:17-128): config-driven dispatch of
+    // ONE named query package through the shared registry — the
+    // reference resolves an R package by name and runs it with the
+    // site's source/target config; here the package resolves to its
+    // registered Spark job and the test-data dir is the config
+    case "run-query" :: pkg :: dir :: out :: Nil =>
+      queryPackages.get(pkg) match {
+        case Some(fn) =>
+          write(fn(spark, dir), out)
+          println(s"""{"package":"$pkg","out":"$out"}""")
+        case None => sys.error(
+          s"unknown query package '$pkg' (have ${queryPackages.keys.toSeq.sorted.mkString(", ")})")
       }
 
     case "bmi" :: dir :: out :: Nil =>

@@ -208,7 +208,21 @@ object ParityQueries4 {
     Statistics.histogram(t(s, dir, "lineitem"), "l_extendedprice",
       buckets = 10)
 
+  /** Pcornet covid slice (r_pcornet_covid_slice.py): event-marked
+    * cohort → registry-FK whole-schema subset → per-table counts.
+    */
+  def q51CovidSlice(s: SparkSession, dir: String): DataFrame =
+    graft.derivations.PcornetCovidSlice.run(s, name => t(s, dir, name))
+
+  /** Pcornet adult slice (r_pcornet_adult_slice.py): age-threshold
+    * cohort → the same subset machinery.
+    */
+  def q52AdultSlice(s: SparkSession, dir: String): DataFrame =
+    graft.derivations.PcornetAdultSlice.run(s, name => t(s, dir, name))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q51_covid_slice" -> q51CovidSlice _,
+    "q52_adult_slice" -> q52AdultSlice _,
     "q50_histogram" -> q50Histogram _,
     "q42_sync_obs" -> q42SyncObs _,
     "q43_dose" -> q43Dose _,
@@ -221,6 +235,41 @@ object ParityQueries4 {
   )
 
   def oracle: Map[String, String] = Map(
+    "q51_covid_slice" ->
+      """WITH cohort AS (
+        |  SELECT c_custkey FROM customer c
+        |  WHERE EXISTS (SELECT 1 FROM orders o
+        |                WHERE o.o_custkey = c.c_custkey
+        |                  AND o.o_orderpriority = '1-URGENT'
+        |                  AND o.o_orderdate >= DATE '1995-01-01'
+        |                  AND o.o_orderdate < DATE '1995-07-01'))
+        |SELECT 'customer' AS table_name, CAST(COUNT(*) AS BIGINT) AS n_rows
+        |FROM customer WHERE c_custkey IN (SELECT c_custkey FROM cohort)
+        |UNION ALL
+        |SELECT 'orders', CAST(COUNT(*) AS BIGINT) FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM cohort)
+        |UNION ALL
+        |SELECT 'lineitem', CAST(COUNT(*) AS BIGINT) FROM lineitem l
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_orderkey = l.l_orderkey
+        |                AND o.o_custkey IN (SELECT c_custkey FROM cohort))"""
+        .stripMargin,
+    "q52_adult_slice" ->
+      """WITH cohort AS (
+        |  SELECT c_custkey FROM customer
+        |  WHERE DATE '1970-01-01' + CAST(c_custkey * 97 % 15000 AS INTEGER)
+        |        <= DATE '1995-06-01' - INTERVAL 252 MONTH)
+        |SELECT 'customer' AS table_name, CAST(COUNT(*) AS BIGINT) AS n_rows
+        |FROM customer WHERE c_custkey IN (SELECT c_custkey FROM cohort)
+        |UNION ALL
+        |SELECT 'orders', CAST(COUNT(*) AS BIGINT) FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM cohort)
+        |UNION ALL
+        |SELECT 'lineitem', CAST(COUNT(*) AS BIGINT) FROM lineitem l
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_orderkey = l.l_orderkey
+        |                AND o.o_custkey IN (SELECT c_custkey FROM cohort))"""
+        .stripMargin,
     "q50_histogram" ->
       """WITH s AS (
         |  SELECT MIN(CAST(l_extendedprice AS DOUBLE)) AS mn,

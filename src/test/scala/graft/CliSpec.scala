@@ -136,8 +136,20 @@ class CliSpec extends SparkSpec {
   test("derivation and store lifecycle subcommands") {
     val out = "/tmp/graft_cli_test2"
     Cli.run(spark, List("run-derivations", sf0001, s"$out/deriv"))
-    for (pkg <- Seq("scdf_drug_era", "lab_loinc", "obs_derivation"))
+    for (pkg <- Seq("scdf_drug_era", "lab_loinc", "obs_derivation",
+        "dose", "pcornet_covid_slice", "pcornet_adult_slice"))
       assert(spark.read.parquet(s"$out/deriv/$pkg").count() > 0, pkg)
+
+    // run_r_query parity: generic dispatch of one named package equals
+    // the package's direct run; unknown names fail loudly
+    Cli.run(spark, List("run-query", "lab_loinc", sf0001, s"$out/rq"))
+    assert(spark.read.parquet(s"$out/rq").count() ==
+      spark.read.parquet(s"$out/deriv/lab_loinc").count())
+    Cli.run(spark,
+      List("run_r_pcornet_covid_slice", sf0001, s"$out/covid"))
+    assert(spark.read.parquet(s"$out/covid").count() == 3L)
+    intercept[RuntimeException](
+      Cli.run(spark, List("run-query", "nope", sf0001, s"$out/rq2")))
 
     // store lifecycle: save via copy, recount the counter, prune backups
     import org.apache.spark.sql.functions._
