@@ -1,6 +1,21 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  /** Physical-plan fingerprint: shuffle-exchange and broadcast-exchange
+    * node counts from the formatted explain. Wall times on a contended
+    * driver host swing 4-5x run to run; the plan shape does not — a
+    * changed exchange count is a real regression regardless of load.
+    */
+  private[graft] def planFingerprint(
+      df: org.apache.spark.sql.DataFrame): (Int, Int) = {
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val shuffles = """Exchange \(\d""".r.findAllIn(p).size
+    val broadcasts = """BroadcastExchange \(\d""".r.findAllIn(p).size
+    (shuffles - broadcasts, broadcasts)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
@@ -10,21 +25,40 @@ object Bench {
     try SparkEntry.entry(spark).count()
     catch { case _: Throwable => () }
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val plans = scala.collection.mutable.LinkedHashMap[String, (Int, Int)]()
+    // Dev lever: SPARK_GRAFT_ONLY=p04,p27 times a subset while
+    // iterating on one operator. Unset (the driver's mode) = full suite.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch {
+      val elapsed = try {
+        val df = fn(spark, sfDir)
+        df.count()
+        val t = (System.nanoTime() - t0) / 1e9
+        // fingerprint AFTER stopping the clock: explain cost stays out
+        // of the wall numbers. Checkpoint-backed detectors show (0, 0)
+        // — their inner plans are pinned by PlansSpec instead.
+        plans(name) = planFingerprint(df)
+        t
+      } catch {
         case e: Throwable =>
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
             .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200)
+          (System.nanoTime() - t0) / 1e9
       }
       spark.catalog.clearCache() // per-query persist()s must not accumulate
-      name -> (System.nanoTime() - t0) / 1e9
+      name -> elapsed
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => s"\"$k\":\"$v\"" }.mkString("{", ",", "}")
+    val planJson = plans
+      .map { case (k, (sh, bc)) => s"""\"$k\":{"shuffles":$sh,"broadcasts":$bc}""" }
+      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n_errors":${errors.size},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"plans":$planJson,"errors":$errs,"n_errors":${errors.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -115,14 +115,34 @@ object Dedup {
     verifyJaccard(cand, docs, threshold)
   }
 
-  /** Inverted-index candidate pairs over hashed shingles, WITH the
-    * shared-posting count: explode each doc's distinct shingles into
-    * postings keyed by the 60-bit shingle hash (an 8-byte shuffle key),
-    * self-join on the key, and aggregate one row per unordered pair
-    * carrying `n_shared` = number of shared kept postings. The count is
-    * free — it rides the same exchange the old `.distinct()` used — and
-    * it is what lets the verify step prefilter on sizes instead of
-    * joining full shingle arrays onto every candidate.
+  /** Hashed-shingle inverted index (doc, h): explode each doc's
+    * distinct shingles into postings keyed by the 60-bit shingle hash
+    * (an 8-byte shuffle key), optionally dropping postings whose key
+    * appears in more than `maxShingleFreq` docs (stopword-shingle skew
+    * cap). Split out of [[invertedCandidates]] so the public detectors
+    * can cache it: the candidate self-join reads it twice and the stats
+    * pass once — three full explode+cap recomputations without the
+    * cache bracket, one with it.
+    */
+  private[graft] def invIndex(docs: DataFrame,
+      maxShingleFreq: Option[Int]): DataFrame = {
+    val inv0 = docs.select(col("doc"), explode(col("sh")).as("s"))
+      .select(col("doc"), hash60(col("s")).as("h"))
+    maxShingleFreq match {
+      case Some(f) =>
+        val keep = inv0.groupBy("h").count().filter(col("count") <= f).select("h")
+        inv0.join(keep, "h")
+      case None => inv0
+    }
+  }
+
+  /** Inverted-index candidate pairs over a prepared [[invIndex]], WITH
+    * the shared-posting count: self-join on the hash key, and aggregate
+    * one row per unordered pair carrying `n_shared` = number of shared
+    * kept postings. The count is free — it rides the same exchange the
+    * old `.distinct()` used — and it is what lets the verify step
+    * prefilter on sizes instead of joining full shingle arrays onto
+    * every candidate.
     *
     * Also returns the per-doc stats frame (doc, n_sh = |shingle set|,
     * n_capped = postings the `maxShingleFreq` cap dropped) the bound
@@ -131,15 +151,7 @@ object Dedup {
     * possibly capped ones (at most min(capped) of them).
     */
   private[graft] def invertedCandidates(docs: DataFrame,
-      maxShingleFreq: Option[Int]): (DataFrame, DataFrame) = {
-    val inv0 = docs.select(col("doc"), explode(col("sh")).as("s"))
-      .select(col("doc"), hash60(col("s")).as("h"))
-    val inv = maxShingleFreq match {
-      case Some(f) =>
-        val keep = inv0.groupBy("h").count().filter(col("count") <= f).select("h")
-        inv0.join(keep, "h")
-      case None => inv0
-    }
+      inv: DataFrame): (DataFrame, DataFrame) = {
     val a = inv.alias("a")
     val b = inv.alias("b")
     val cand = a.join(b, col("a.h") === col("b.h") && col("a.doc") < col("b.doc"))
@@ -261,20 +273,23 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String, k: Int,
       threshold: Double, maxShingleFreq: Option[Int] = None): DataFrame = {
-    // shingling feeds the inverted index and both verify sides — run it once
+    // shingling feeds the inverted index and both verify sides, and the
+    // index feeds the candidate self-join (both sides) plus the stats
+    // pass — cache both for the duration of the job
     val docs = shingled(df, idCol, textCol, k)
-    Caching.withCached(docs)(ngramJaccardPlan(docs, threshold, maxShingleFreq))
+    val inv = invIndex(docs, maxShingleFreq)
+    Caching.withCached(docs, inv)(ngramJaccardPlan(docs, inv, threshold))
   }
 
   /** Lazy plan for [[ngramJaccardPairs]] over a prepared (doc, sh)
-    * frame: hashed-posting candidates with their shared count, the
-    * three-integer [[jaccardSurvivors]] prefilter, then exact
-    * verification on survivors only — the full shingle arrays move
-    * solely for pairs that can actually qualify.
+    * frame and its [[invIndex]]: hashed-posting candidates with their
+    * shared count, the three-integer [[jaccardSurvivors]] prefilter,
+    * then exact verification on survivors only — the full shingle
+    * arrays move solely for pairs that can actually qualify.
     */
-  private[graft] def ngramJaccardPlan(docs: DataFrame, threshold: Double,
-      maxShingleFreq: Option[Int]): DataFrame = {
-    val (cand, stats) = invertedCandidates(docs, maxShingleFreq)
+  private[graft] def ngramJaccardPlan(docs: DataFrame, inv: DataFrame,
+      threshold: Double): DataFrame = {
+    val (cand, stats) = invertedCandidates(docs, inv)
     verifyJaccard(jaccardSurvivors(cand, stats, threshold), docs, threshold)
   }
 
@@ -293,17 +308,19 @@ object Dedup {
   def containmentPairs(df: DataFrame, idCol: String, textCol: String, k: Int,
       threshold: Double, maxShingleFreq: Option[Int] = None): DataFrame = {
     val docs = shingled(df, idCol, textCol, k)
-    Caching.withCached(docs)(containmentPlan(docs, threshold, maxShingleFreq))
+    val inv = invIndex(docs, maxShingleFreq)
+    Caching.withCached(docs, inv)(containmentPlan(docs, inv, threshold))
   }
 
   /** Lazy plan for [[containmentPairs]] over a prepared (doc, sh)
-    * frame — same candidates + [[containmentSurvivors]] prefilter shape
-    * as [[ngramJaccardPlan]], then both directions of each surviving
-    * unordered pair are verified at once.
+    * frame and its [[invIndex]] — same candidates +
+    * [[containmentSurvivors]] prefilter shape as [[ngramJaccardPlan]],
+    * then both directions of each surviving unordered pair are verified
+    * at once.
     */
-  private[graft] def containmentPlan(docs: DataFrame, threshold: Double,
-      maxShingleFreq: Option[Int]): DataFrame = {
-    val (cand, stats) = invertedCandidates(docs, maxShingleFreq)
+  private[graft] def containmentPlan(docs: DataFrame, inv: DataFrame,
+      threshold: Double): DataFrame = {
+    val (cand, stats) = invertedCandidates(docs, inv)
     val surv = containmentSurvivors(cand, stats, threshold)
     val sa = docs.select(col("doc").as("doc_a"), col("sh").as("sh_a"))
     val sb = docs.select(col("doc").as("doc_b"), col("sh").as("sh_b"))

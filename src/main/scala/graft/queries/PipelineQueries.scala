@@ -415,6 +415,28 @@ object PipelineQueries {
       .select(col("doc").as("doc_id"), col("n_segs"), col("n_kept"),
         col("n_dropped"))
 
+  /** Incremental component merge ([[ConnectedComponents.merge]]): the
+    * p37 near-dup pair set split into two deterministic batches — the
+    * first clustered from scratch, the second folded into the stored
+    * (node, component) assignment. The oracle replays the closure over
+    * the FULL pair history with a recursive CTE, so a pass certifies
+    * that star-edge folding loses no reachability (the property that
+    * makes ingest-time merge equal a full re-cluster at corpus scale,
+    * folding |assignment| + |new pairs| rows instead of the history).
+    */
+  def p46MergeClusters(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val freqCap = math.max(20, (docs.count() / 10).toInt)
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        k = 4, threshold = 0.4, maxShingleFreq = Some(freqCap))
+      .select(col("doc_a").as("u"), col("doc_b").as("v"))
+    val batch1 = pairs.filter((col("u") + col("v")) % 2 === 0)
+    val batch2 = pairs.filter((col("u") + col("v")) % 2 =!= 0)
+    val assignment = graft.operators.ConnectedComponents.components(batch1)
+    graft.operators.ConnectedComponents.merge(assignment, batch2)
+      .select(col("node").as("doc_id"), col("component").as("cluster_id"))
+  }
+
   /** Semantic dedup over the embedding corpus: IVF cells from the p19
     * seed centroids, within-cell cosine pairs at the p07 threshold,
     * transitive closure, one keeper per semantic cluster. The oracle
@@ -668,6 +690,7 @@ object PipelineQueries {
     "p35_winnow_pairs" -> p35WinnowPairs _,
     "p36_random_projection" -> p36RandomProjection _,
     "p37_dup_clusters" -> p37DupClusters _,
+    "p46_merge_clusters" -> p46MergeClusters _,
     "p38_pii_scrub" -> p38PiiScrub _,
     "p39_line_dedup" -> p39LineDedup _,
     "p40_semantic_dedup" -> p40SemanticDedup _,
@@ -1153,6 +1176,25 @@ object PipelineQueries {
          |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
          |SELECT u AS doc_id, MIN(v) AS cluster_id,
          |  CAST(u = MIN(v) AS INT) AS keep
+         |FROM reach GROUP BY u""".stripMargin,
+    "p46_merge_clusters" ->
+      s"""WITH RECURSIVE sh AS (
+         |  SELECT doc_id, ${oShingles(4)} AS sh
+         |  FROM (SELECT doc_id, $oToks AS toks FROM documents)),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE len(list_intersect(a.sh, b.sh))
+         |      / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE)
+         |      >= 0.4),
+         |edges AS (
+         |  SELECT doc_a AS u, doc_b AS v FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(u, v) AS (
+         |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
+         |SELECT u AS doc_id, MIN(v) AS cluster_id
          |FROM reach GROUP BY u""".stripMargin,
     "p38_pii_scrub" ->
       s"""WITH lines AS (

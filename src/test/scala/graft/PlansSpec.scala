@@ -90,8 +90,9 @@ class PlansSpec extends SparkSpec {
   test("ngram-Jaccard inverted index joins on 8-byte hash keys (p04)") {
     val docs = graft.pipeline.Dedup.shingled(
       spark.read.parquet(s"$sf0001/documents.parquet"), "doc_id", "text", k = 4)
-    val p = plan(graft.pipeline.Dedup.ngramJaccardPlan(docs,
-      threshold = 0.4, maxShingleFreq = Some(50)))
+    val inv = graft.pipeline.Dedup.invIndex(docs, maxShingleFreq = Some(50))
+    val p = plan(graft.pipeline.Dedup.ngramJaccardPlan(docs, inv,
+      threshold = 0.4))
     // candidate generation must be an equi-join (no nested loop), and
     // the count prefilter must not smuggle a window in
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
@@ -103,8 +104,9 @@ class PlansSpec extends SparkSpec {
   test("containment shares the prefiltered candidate shape (p27)") {
     val docs = graft.pipeline.Dedup.shingled(
       spark.read.parquet(s"$sf0001/documents.parquet"), "doc_id", "text", k = 4)
-    val p = plan(graft.pipeline.Dedup.containmentPlan(docs,
-      threshold = 0.6, maxShingleFreq = Some(50)))
+    val inv = graft.pipeline.Dedup.invIndex(docs, maxShingleFreq = Some(50))
+    val p = plan(graft.pipeline.Dedup.containmentPlan(docs, inv,
+      threshold = 0.6))
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
     assert(!p.contains("Window"), p)
   }
