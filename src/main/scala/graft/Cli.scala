@@ -55,7 +55,7 @@ object Cli {
         |  zscore <dir> <outDir>                         growth z-score derivation
         |  populate-last-id <storeDir> <table>           recompute id-map counter from the map
         |  cleanup <storeDir> <table>                    drop retained backup/staging store dirs
-        |  views-sql <dir> <prefix> <outFile>            render view DDL to a SQL file
+        |  views-sql [model] <source> <target> <outFile>  whole-model Oracle view DDL + grants to a SQL file
         |  explain <dir> <query>                         print a query's optimized physical plan
         |  sync-obs <dir> <outDir>                       full obs-period sync (null-end fill + renumber)
         |  dose <dir> <outDir>                           mg/kg dose derivation + drug_exposure write-back
@@ -411,15 +411,25 @@ object Cli {
       val removed = IdMapStore.cleanup(spark, storeDir, table)
       println(s"""{"removed":[${removed.map(p => s""""$p"""").mkString(",")}]}""")
 
-    // create_oracle_views_sql parity: render the DDL to a file instead
-    // of executing it
-    case "views-sql" :: dir :: prefix :: outFile :: Nil =>
-      val tables = Seq("region", "nation", "customer", "supplier", "part",
-        "orders", "lineitem")
-      val ddl = ViewDdl.render(tables.map(t => t -> Seq("*")).toMap, dir, prefix)
+    // create_oracle_views_sql parity (views.py:9-62): render the
+    // whole-model DDL — per-column upper->lower aliasing plus grants —
+    // to a file instead of executing it. 4-arg form mirrors the
+    // reference signature (model_version, source, target, file);
+    // 3-arg form defaults to the tpch test model.
+    case "views-sql" :: rest =>
+      val (model, source, target, outFile) = rest match {
+        case mv :: src :: tgt :: f :: Nil =>
+          val m = if (mv == "tpch") graft.model.PedsnetModel.tpch
+                  else graft.model.PedsnetModel.forVersion(mv)
+          (m, src, tgt, f)
+        case src :: tgt :: f :: Nil =>
+          (graft.model.PedsnetModel.tpch, src, tgt, f)
+        case _ => usage()
+      }
+      val ddl = ViewDdl.oracleViews(model, source, target)
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(outFile), ddl.mkString("\n") + "\n")
-      println(s"""{"written":"$outFile","views":${ddl.size}}""")
+      println(s"""{"written":"$outFile","statements":${ddl.size},"model":"${model.name}/${model.version}"}""")
 
     // generate_transform_statements parity: show the plan, run nothing
     case "explain" :: dir :: query :: Nil =>

@@ -21,6 +21,45 @@ object ViewDdl {
         s"SELECT $colList FROM $sourceSchema.$table;"
     }
 
+  /** Whole-model Oracle-dialect view DDL
+    * (/root/reference/pedsnetdcc/views.py:39-57, CLI entry
+    * main.py:2248-2261): for EVERY table in the registry model, a
+    * lower-case view that re-aliases each upper-cased source column
+    * back to its lower-case name, then a GRANT SELECT per view — both
+    * blocks sorted by table name, creates before grants, schemas
+    * upper-cased. Pure driver-side rendering over registry metadata
+    * ([[graft.model.Model]]), no Spark jobs — breadth comes from the
+    * model version, so v2.7/v3.3/tpch all render without table lists.
+    */
+  def oracleViews(model: graft.model.Model, sourceSchema: String,
+      targetSchema: String): Seq[String] = {
+    val src = sourceSchema.toUpperCase
+    val tgt = targetSchema.toUpperCase
+    val names = model.tableSeq.map(_.name).sorted
+    val creates = names.map { n =>
+      val cols = model.table(n).columns
+        .map(c => s""""${c.toUpperCase}" AS "$c"""").mkString(", ")
+      s"""CREATE OR REPLACE VIEW "$tgt"."$n" AS SELECT $cols""" +
+        s""" FROM "$src"."${n.toUpperCase}";"""
+    }
+    val grants =
+      names.map(n => s"""GRANT SELECT ON "$tgt"."$n" TO "$tgt";""")
+    creates ++ grants
+  }
+
+  /** Registration twin of [[oracleViews]] for a live session: every
+    * model table becomes a parquet-backed temp view `<prefix>_<table>`.
+    * Returns the registered view names. Reads through the views stay
+    * fully pushdown-transparent — a temp view is plan-level only.
+    */
+  def registerModelViews(spark: SparkSession, dir: String,
+      model: graft.model.Model, prefix: String): Seq[String] =
+    model.tableSeq.map(_.name).sorted.map { t =>
+      graft.core.Tables.read(spark, dir, t)
+        .createOrReplaceTempView(s"${prefix}_$t")
+      s"${prefix}_$t"
+    }
+
   /** Register parquet-backed temp views in the live catalog so
     * `spark.sql` can address `<prefix>_<table>`.
     */

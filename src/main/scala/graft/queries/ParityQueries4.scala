@@ -220,7 +220,29 @@ object ParityQueries4 {
   def q52AdultSlice(s: SparkSession, dir: String): DataFrame =
     graft.derivations.PcornetAdultSlice.run(s, name => t(s, dir, name))
 
+  /** Whole-model view layer (create_oracle_views, views.py:9-62):
+    * render the full DDL+grant set for the tpch registry model, then
+    * register every model table as a live view and read each table's
+    * row count back THROUGH its view. The oracle replays plain
+    * per-table counts, so a pass proves the registered view layer is a
+    * transparent projection over every table the model declares — the
+    * whole-model breadth of the reference command, not just the
+    * split-slice union view q36 covers.
+    */
+  def q53OracleViews(s: SparkSession, dir: String): DataFrame = {
+    val model = graft.model.PedsnetModel.tpch
+    val ddl = graft.operators.ViewDdl.oracleViews(model, "site", "dcc")
+    require(ddl.size == 2 * model.tableSeq.size,
+      s"expected a create and a grant per table, got ${ddl.size}")
+    val views = graft.operators.ViewDdl.registerModelViews(s, dir, model, "ora")
+    views.map { v =>
+      s.table(v).agg(count(lit(1)).as("n_rows"))
+        .select(lit(v.stripPrefix("ora_")).as("table_name"), col("n_rows"))
+    }.reduce(_ unionByName _)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q53_oracle_views" -> q53OracleViews _,
     "q51_covid_slice" -> q51CovidSlice _,
     "q52_adult_slice" -> q52AdultSlice _,
     "q50_histogram" -> q50Histogram _,
@@ -235,6 +257,15 @@ object ParityQueries4 {
   )
 
   def oracle: Map[String, String] = Map(
+    "q53_oracle_views" ->
+      """SELECT 'customer' AS table_name, CAST(COUNT(*) AS BIGINT) AS n_rows FROM customer
+        |UNION ALL SELECT 'lineitem', CAST(COUNT(*) AS BIGINT) FROM lineitem
+        |UNION ALL SELECT 'nation', CAST(COUNT(*) AS BIGINT) FROM nation
+        |UNION ALL SELECT 'orders', CAST(COUNT(*) AS BIGINT) FROM orders
+        |UNION ALL SELECT 'part', CAST(COUNT(*) AS BIGINT) FROM part
+        |UNION ALL SELECT 'region', CAST(COUNT(*) AS BIGINT) FROM region
+        |UNION ALL SELECT 'supplier', CAST(COUNT(*) AS BIGINT) FROM supplier"""
+        .stripMargin,
     "q51_covid_slice" ->
       """WITH cohort AS (
         |  SELECT c_custkey FROM customer c

@@ -167,7 +167,22 @@ class CliSpec extends SparkSpec {
     Cli.run(spark, List("views-sql", sf0001, "g1", s"$out/views.sql"))
     val sql = java.nio.file.Files.readString(
       java.nio.file.Paths.get(s"$out/views.sql"))
-    assert(sql.contains("CREATE OR REPLACE VIEW") && sql.contains("lineitem"))
+    // whole-model fidelity: a create AND a grant per model table, with
+    // upper-cased source columns aliased back to lower case
+    assert(sql.contains("""CREATE OR REPLACE VIEW "G1"."lineitem""""), sql)
+    assert(sql.contains(""""L_ORDERKEY" AS "l_orderkey""""), sql)
+    assert(sql.contains("""GRANT SELECT ON "G1"."lineitem" TO "G1";"""), sql)
+    val tpchTables = graft.model.PedsnetModel.tpch.tableSeq.size
+    assert(sql.linesIterator.size == 2 * tpchTables, sql)
+
+    // 4-arg reference signature: whole pedsnet model by version
+    Cli.run(spark, List("create_oracle_views_sql", "3.3.0", "site_a", "dcc",
+      s"$out/views33.sql"))
+    val sql33 = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$out/views33.sql"))
+    assert(sql33.contains("""CREATE OR REPLACE VIEW "DCC"."drug_era""""), sql33)
+    val v33Tables = graft.model.PedsnetModel.forVersion("3.3.0").tableSeq.size
+    assert(sql33.linesIterator.size == 2 * v33Tables, sql33)
   }
 
   test("prepdb, concept-groups, and the post-load composite") {
