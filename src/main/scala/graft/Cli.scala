@@ -640,14 +640,9 @@ object Cli {
     // is absent from the corpus land; re-running the same batch adds
     // nothing. The anti-join shuffles 16-byte digests, not documents.
     case "ingest-dedup" :: dir :: batchDir :: out :: Nil =>
-      def fp(c: org.apache.spark.sql.Column) =
-        TextFunctions.fingerprint(TextFunctions.tokens(c))
       val corpus = Tables.read(spark, dir, "documents")
       val batch = Tables.read(spark, batchDir, "documents")
-      val fresh = batch.withColumn("fp", fp(col("text")))
-        .join(corpus.select(fp(col("text")).as("fp")).distinct(),
-          Seq("fp"), "left_anti")
-        .drop("fp")
+      val fresh = pipeline.Ingest.exactFresh(corpus, batch, "text")
       write(corpus.unionByName(fresh), out)
       println(s"""{"ingest":"$out","corpus":${corpus.count()},"batch":${batch.count()},"appended":${fresh.count()}}""")
 

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Tables
 import graft.operators.{ConnectedComponents, Sessionize}
-import graft.pipeline.{Curation, Dedup, Multimodal, Similarity, TextFunctions => TF}
+import graft.pipeline.{Curation, Dedup, Ingest, Multimodal, Similarity, TextFunctions => TF}
 
 /** Beyond-reference data-pipeline queries (dedup, similarity search,
   * text analysis, multimodal, event sessionization) over the driver's
@@ -437,6 +437,26 @@ object PipelineQueries {
       .select(col("node").as("doc_id"), col("component").as("cluster_id"))
   }
 
+  /** Bloom-prefiltered idempotent ingest ([[Ingest.bloomFresh]]): a
+    * deterministic batch built from the corpus itself — one slice
+    * re-submitted verbatim (must all be rejected) and one slice with a
+    * token appended (must all land) — admitted through the
+    * sketch-then-verify path. The oracle is the plain content-hash
+    * anti-join, so a pass certifies the bloom path is bit-identical to
+    * exact ingest: the sketch only prefilters, never decides.
+    */
+  def p47BloomIngest(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val dup = docs.filter(col("doc_id") % 5 === 0)
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+    val fresh = docs.filter(col("doc_id") % 7 === 0)
+      .withColumn("doc_id", col("doc_id") + 2000000L)
+      .withColumn("text", concat(col("text"), lit(" zzfresh")))
+    Ingest.bloomFresh(docs, dup.unionByName(fresh), "text",
+        expectedItems = 1000000L, fpp = 0.01)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+  }
+
   /** Semantic dedup over the embedding corpus: IVF cells from the p19
     * seed centroids, within-cell cosine pairs at the p07 threshold,
     * transitive closure, one keeper per semantic cluster. The oracle
@@ -691,6 +711,7 @@ object PipelineQueries {
     "p36_random_projection" -> p36RandomProjection _,
     "p37_dup_clusters" -> p37DupClusters _,
     "p46_merge_clusters" -> p46MergeClusters _,
+    "p47_bloom_ingest" -> p47BloomIngest _,
     "p38_pii_scrub" -> p38PiiScrub _,
     "p39_line_dedup" -> p39LineDedup _,
     "p40_semantic_dedup" -> p40SemanticDedup _,
@@ -1196,6 +1217,23 @@ object PipelineQueries {
          |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
          |SELECT u AS doc_id, MIN(v) AS cluster_id
          |FROM reach GROUP BY u""".stripMargin,
+    "p47_bloom_ingest" ->
+      s"""WITH corpus AS (
+         |  SELECT substr(md5(array_to_string($oToks, ' ')), 1, 16) AS fp
+         |  FROM documents),
+         |batch AS (
+         |  SELECT doc_id + 1000000 AS doc_id, text, source, n_chars
+         |  FROM documents WHERE doc_id % 5 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 2000000, text || ' zzfresh', source, n_chars
+         |  FROM documents WHERE doc_id % 7 = 0),
+         |bfp AS (
+         |  SELECT doc_id, source, n_chars,
+         |    substr(md5(array_to_string($oToks, ' ')), 1, 16) AS fp
+         |  FROM batch)
+         |SELECT doc_id, source, n_chars FROM bfp b
+         |WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.fp = b.fp)"""
+        .stripMargin,
     "p38_pii_scrub" ->
       s"""WITH lines AS (
          |  SELECT event_id,

@@ -22,6 +22,20 @@ class PipelineSpec extends SparkSpec {
     assert(got(1).isEmpty)
   }
 
+  test("bloom ingest equals the exact anti-join; re-ingest adds nothing") {
+    val corpus = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon"),
+      (3L, "zeta eta theta")).toDF("doc_id", "text")
+    val batch = Seq((10L, "delta  epsilon"), (11L, "iota kappa"),
+      (12L, "alpha beta gamma"), (13L, "iota kappa")).toDF("doc_id", "text")
+    val bloom = Ingest.bloomFresh(corpus, batch, "text", 1000L, 0.03)
+    val exact = Ingest.exactFresh(corpus, batch, "text")
+    assert(bloom.collect().toSet == exact.collect().toSet)
+    // whitespace-normalized dup rejected; both fresh copies land
+    assert(bloom.select("doc_id").as[Long].collect().toSet == Set(11L, 13L))
+    val appended = corpus.unionByName(bloom)
+    assert(Ingest.bloomFresh(appended, batch, "text", 1000L, 0.03).count() == 0)
+  }
+
   test("exact dedup groups identical normalized text") {
     val df = Seq((1L, "hello  world"), (2L, "hello world"), (3L, "bye"))
       .toDF("doc_id", "text")
