@@ -461,4 +461,115 @@ object Similarity {
       .select(col("cent_id"), col("dim").cast("long").as("dim"), col("n"),
         floor(col("sx") / col("n")).cast("long").as("mean_fixed"))
   }
+
+  /** Squared L2 distance as three index-order dot products
+    * (`a·a − 2·a·b + b·b`) — each term is the codegen kernel, and the
+    * combination is three IEEE ops in a fixed order, so any engine
+    * replaying the same three sums gets the same double.
+    */
+  private def dist2(a: Column, b: Column): Column =
+    dot(a, a) - lit(2.0) * dot(a, b) + dot(b, b)
+
+  /** Product-quantization codes: the vector is cut into `m` equal
+    * subspaces and each vector is assigned, per subspace, the id of its
+    * nearest (squared-L2) codebook entry — ties to the smaller id. The
+    * codebook is the `centroidFilter` rows' sub-slices, collected to
+    * the driver and constant-folded into the per-row argmin exactly as
+    * [[kmeansTrain]] treats centroids (codebooks are driver state:
+    * m × k × dim/m floats = k × dim total).
+    *
+    * Scale shape: ZERO exchanges — the argmin over the folded codebook
+    * runs in whole-stage codegen per row; output is (vec_id, subspace,
+    * code). At 100 TB the point of PQ is exactly this compression:
+    * m small ints per vector instead of 4·dim bytes, so an
+    * asymmetric-distance scan reads codes + a k×m lookup table instead
+    * of raw vectors — the codes relation is what downstream ANN
+    * shuffles, ~64× lighter at dim=64/m=4.
+    */
+  def pqCodes(corpus: DataFrame, idCol: String, vecCol: String, m: Int,
+      dim: Int, centroidFilter: Column): DataFrame =
+    pqCodeArray(corpus, idCol, vecCol, m, dim,
+        loadCodebook(corpus, idCol, vecCol, centroidFilter))
+      .select(col("vec_id"), posexplode(col("codes")))
+      .toDF("vec_id", "subspace", "code")
+
+  /** The driver-side codebook: (id, full vector) rows selected by the
+    * filter, sorted by id (k × dim floats — the same driver state
+    * [[kmeansTrain]] carries between iterations).
+    */
+  private def loadCodebook(corpus: DataFrame, idCol: String, vecCol: String,
+      centroidFilter: Column): Array[(Long, Array[Float])] = {
+    val cb = corpus.filter(centroidFilter)
+      .select(col(idCol).cast("long").as("cent_id"), col(vecCol).as("ce"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    require(cb.nonEmpty, "centroidFilter selected no codebook rows")
+    cb
+  }
+
+  /** (vec_id, codes[m]) — the wide form of [[pqCodes]]: the per-row
+    * argmin over the constant-folded codebook, one code column per
+    * subspace, zero exchanges.
+    */
+  private def pqCodeArray(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int, dim: Int, codebook: Array[(Long, Array[Float])]): DataFrame = {
+    require(dim % m == 0, "m must divide dim")
+    val sub = dim / m
+    val codeCols = (0 until m).map { s =>
+      val vslice = slice(col("__v"), s * sub + 1, sub)
+      val scored = codebook.map { case (cid, ce) =>
+        val cslice = array(ce.slice(s * sub, (s + 1) * sub).map(lit(_)): _*)
+        struct((-dist2(vslice, cslice)).as("negd"),
+          lit(-cid).as("tie"), lit(cid).as("cent_id"))
+      }
+      (if (scored.length == 1) scored.head else greatest(scored: _*))
+        .getField("cent_id")
+    }
+    corpus.select(col(idCol).as("vec_id"), col(vecCol).as("__v"))
+      .select(col("vec_id"), array(codeCols: _*).as("codes"))
+  }
+
+  /** Asymmetric-distance (ADC) top-k over PQ codes: each query keeps
+    * its full-precision vector; every corpus row participates only
+    * through its m codes, and the approximate distance is the sum of
+    * per-subspace exact distances from the query's sub-slice to the
+    * CODEBOOK ENTRY the code names — the classic PQ scan.
+    *
+    * Scale shape: the corpus side of the scan carries (vec_id,
+    * codes[m]) — m·4 bytes a row instead of dim·4 — against a broadcast
+    * query set, with the codebook lookup a constant-folded map literal
+    * resolved in codegen. [[prunePartitionTopK]] then bounds the
+    * ranking exchange to P·|Q|·k survivors exactly as the exact scans
+    * do. Smaller distance = better; ties to the smaller corpus id.
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, m: Int, dim: Int, centroidFilter: Column,
+      k: Int): DataFrame = {
+    require(dim % m == 0, "m must divide dim")
+    val sub = dim / m
+    val codebook = loadCodebook(corpus, idCol, vecCol, centroidFilter)
+    val codes = pqCodeArray(corpus, idCol, vecCol, m, dim, codebook)
+      .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("qv")))
+    val adist = (0 until m).map { s =>
+      val lut = map(codebook.flatMap { case (cid, ce) =>
+        Seq(lit(cid), array(ce.slice(s * sub, (s + 1) * sub).map(lit(_)): _*))
+      }: _*)
+      dist2(slice(col("qv"), s * sub + 1, sub),
+        element_at(lut, col("codes").getItem(s)))
+    }.reduce(_ + _)
+    val scored = codes.crossJoin(q)
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("cand_id"),
+        (-adist).as("sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("cand_id").asc)
+    prunePartitionTopK(scored, k)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("cand_id"), col("rank").cast("long"),
+        floor(-col("sim") * 1e6).cast("long").as("adist_micro"))
+  }
 }

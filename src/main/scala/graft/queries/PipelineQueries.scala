@@ -457,6 +457,32 @@ object PipelineQueries {
       .select(col("doc_id"), col("source"), col("n_chars"))
   }
 
+  /** Product-quantization codes over the embedding corpus
+    * ([[Similarity.pqCodes]]): 64 dims cut into 4 subspaces, an 8-entry
+    * codebook per subspace seeded from the first 8 vectors. The oracle
+    * replays the per-subspace squared-L2 argmin with the same
+    * index-order sums, so a pass certifies the zero-shuffle codegen
+    * assignment — the compression step that lets ANN scans move m-byte
+    * codes instead of raw vectors at corpus scale.
+    */
+  def p48PqCodes(s: SparkSession, dir: String): DataFrame =
+    Similarity.pqCodes(t(s, dir, "embeddings"), "vec_id", "embedding",
+        m = 4, dim = 64, centroidFilter = col("vec_id") < 8)
+      .withColumn("subspace", col("subspace").cast("long"))
+
+  /** ADC top-k over the p48 codes ([[Similarity.pqTopK]]): the p05
+    * query set scanned against code-compressed corpus rows, ranked by
+    * asymmetric distance. The oracle replays code assignment AND the
+    * ordered four-term distance sum, so a pass certifies the whole
+    * compressed scan — codes, codebook lookup, and ranking — not just
+    * the assignment step.
+    */
+  def p49PqTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.pqTopK(emb, emb.filter(col("vec_id") < 20), "vec_id",
+      "embedding", m = 4, dim = 64, centroidFilter = col("vec_id") < 8, k = 5)
+  }
+
   /** Semantic dedup over the embedding corpus: IVF cells from the p19
     * seed centroids, within-cell cosine pairs at the p07 threshold,
     * transitive closure, one keeper per semantic cluster. The oracle
@@ -712,6 +738,8 @@ object PipelineQueries {
     "p37_dup_clusters" -> p37DupClusters _,
     "p46_merge_clusters" -> p46MergeClusters _,
     "p47_bloom_ingest" -> p47BloomIngest _,
+    "p48_pq_codes" -> p48PqCodes _,
+    "p49_pq_topk" -> p49PqTopK _,
     "p38_pii_scrub" -> p38PiiScrub _,
     "p39_line_dedup" -> p39LineDedup _,
     "p40_semantic_dedup" -> p40SemanticDedup _,
@@ -1234,6 +1262,82 @@ object PipelineQueries {
          |SELECT doc_id, source, n_chars FROM bfp b
          |WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.fp = b.fp)"""
         .stripMargin,
+    "p48_pq_codes" -> {
+      def oDotSub(a: String, b: String): String =
+        s"""list_sum(list_transform(generate_series(1, 16),
+           |      i -> CAST($a[subs.s*16 + i] AS DOUBLE)
+           |           * CAST($b[subs.s*16 + i] AS DOUBLE)))""".stripMargin
+      s"""WITH cents AS (
+         |  SELECT vec_id AS cent_id, embedding AS ce FROM embeddings
+         |  WHERE vec_id < 8),
+         |subs AS (SELECT unnest(generate_series(0, 3)) AS s),
+         |scored AS (
+         |  SELECT e.vec_id, subs.s, c.cent_id,
+         |    ROW_NUMBER() OVER (PARTITION BY e.vec_id, subs.s ORDER BY
+         |      (${oDotSub("e.embedding", "e.embedding")}
+         |       - 2 * ${oDotSub("e.embedding", "c.ce")}
+         |       + ${oDotSub("c.ce", "c.ce")}) ASC,
+         |      c.cent_id ASC) AS rn
+         |  FROM embeddings e, cents c, subs)
+         |SELECT vec_id, CAST(s AS BIGINT) AS subspace, cent_id AS code
+         |FROM scored WHERE rn = 1""".stripMargin
+    },
+    "p49_pq_topk" -> {
+      // fixed-offset index-order dot over subspace s (a literal here,
+      // unlike p48's correlated subs.s)
+      def oDotAt(a: String, b: String, s: Int): String =
+        s"""list_sum(list_transform(generate_series(1, 16),
+           |        i -> CAST($a[${s * 16} + i] AS DOUBLE)
+           |             * CAST($b[${s * 16} + i] AS DOUBLE)))""".stripMargin
+      def oD2At(a: String, b: String, s: Int): String =
+        s"""(${oDotAt(a, a, s)}
+           |     - 2 * ${oDotAt(a, b, s)}
+           |     + ${oDotAt(b, b, s)})""".stripMargin
+      val terms = (0 until 4)
+        .map(s => oD2At("q.qv", s"e$s.ce", s)).mkString("\n    + ")
+      s"""WITH cents AS (
+         |  SELECT vec_id AS cent_id, embedding AS ce FROM embeddings
+         |  WHERE vec_id < 8),
+         |subs AS (SELECT unnest(generate_series(0, 3)) AS s),
+         |scored AS (
+         |  SELECT e.vec_id, subs.s, c.cent_id,
+         |    ROW_NUMBER() OVER (PARTITION BY e.vec_id, subs.s ORDER BY
+         |      (list_sum(list_transform(generate_series(1, 16),
+         |         i -> CAST(e.embedding[subs.s*16 + i] AS DOUBLE)
+         |              * CAST(e.embedding[subs.s*16 + i] AS DOUBLE)))
+         |       - 2 * list_sum(list_transform(generate_series(1, 16),
+         |         i -> CAST(e.embedding[subs.s*16 + i] AS DOUBLE)
+         |              * CAST(c.ce[subs.s*16 + i] AS DOUBLE)))
+         |       + list_sum(list_transform(generate_series(1, 16),
+         |         i -> CAST(c.ce[subs.s*16 + i] AS DOUBLE)
+         |              * CAST(c.ce[subs.s*16 + i] AS DOUBLE)))) ASC,
+         |      c.cent_id ASC) AS rn
+         |  FROM embeddings e, cents c, subs),
+         |codesw AS (
+         |  SELECT vec_id,
+         |    MAX(CASE WHEN s = 0 THEN cent_id END) AS c0,
+         |    MAX(CASE WHEN s = 1 THEN cent_id END) AS c1,
+         |    MAX(CASE WHEN s = 2 THEN cent_id END) AS c2,
+         |    MAX(CASE WHEN s = 3 THEN cent_id END) AS c3
+         |  FROM scored WHERE rn = 1 GROUP BY vec_id),
+         |q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+         |      WHERE vec_id < 20),
+         |ad AS (
+         |  SELECT q.query_id, w.vec_id AS cand_id,
+         |    ($terms) AS adist
+         |  FROM codesw w
+         |  JOIN cents e0 ON e0.cent_id = w.c0
+         |  JOIN cents e1 ON e1.cent_id = w.c1
+         |  JOIN cents e2 ON e2.cent_id = w.c2
+         |  JOIN cents e3 ON e3.cent_id = w.c3
+         |  CROSS JOIN q
+         |  WHERE q.query_id != w.vec_id)
+         |SELECT query_id, cand_id, CAST(rn AS BIGINT) AS rank,
+         |  CAST(FLOOR(adist * 1e6) AS BIGINT) AS adist_micro
+         |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |        ORDER BY adist ASC, cand_id ASC) AS rn FROM ad)
+         |WHERE rn <= 5""".stripMargin
+    },
     "p38_pii_scrub" ->
       s"""WITH lines AS (
          |  SELECT event_id,

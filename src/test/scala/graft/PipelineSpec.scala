@@ -134,6 +134,39 @@ class PipelineSpec extends SparkSpec {
     assert(two > 0)
   }
 
+  test("pq codes: a codebook vector is its own code in every subspace") {
+    // 8-dim vectors, m=2 -> 4-dim subspaces; codebook = ids 0 and 1
+    val vecs = Seq(
+      (0L, Array(0f, 0f, 0f, 0f, 0f, 0f, 0f, 0f)),
+      (1L, Array(10f, 10f, 10f, 10f, 10f, 10f, 10f, 10f)),
+      // near codebook 0 in the first subspace, codebook 1 in the second
+      (5L, Array(1f, 0f, 0f, 0f, 9f, 10f, 10f, 10f))
+    ).toDF("vec_id", "embedding")
+    val codes = Similarity.pqCodes(vecs, "vec_id", "embedding",
+        m = 2, dim = 8, centroidFilter = col("vec_id") < 2)
+      .as[(Long, Int, Long)].collect().toSet
+    assert(codes == Set((0L, 0, 0L), (0L, 1, 0L), (1L, 0, 1L), (1L, 1, 1L),
+      (5L, 0, 0L), (5L, 1, 1L)))
+  }
+
+  test("pq ADC with a one-entry-per-vector codebook is exact L2 ranking") {
+    // m=1 and every corpus vector its own codebook entry: each vector's
+    // code is itself (self-distance 0), so adist == true squared L2 and
+    // the ADC ranking must equal the exact one
+    val vecs = (0L until 10L)
+      .map(i => (i, Array.tabulate(4)(j => (i * 4 + j).toFloat)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.pqTopK(vecs, vecs.filter(col("vec_id") < 2),
+        "vec_id", "embedding", m = 1, dim = 4,
+        centroidFilter = lit(true), k = 3)
+      .select("query_id", "rank", "cand_id").as[(Long, Long, Long)]
+      .collect().toSet
+    // the ramp makes distance monotone in |i-j|; query 1 has cands 0
+    // and 2 equidistant -> tie to the smaller id
+    assert(got == Set((0L, 1L, 1L), (0L, 2L, 2L), (0L, 3L, 3L),
+      (1L, 1L, 0L), (1L, 2L, 2L), (1L, 3L, 3L)))
+  }
+
   test("kmeansTrain(1) equals kmeansUpdate; iterating moves a centroid to its cell mean") {
     val df = Seq(
       (0L, Array(1f, 0f, 0f)),   // seed centroid A

@@ -43,6 +43,22 @@ class PlansSpec extends SparkSpec {
     assert(p.contains("dot_product_f"), p) // codegen kernel in the plan
   }
 
+  test("pq code assignment is a zero-exchange codegen projection (p48)") {
+    val p = plan(PipelineQueries.p48PqCodes(spark, sf0001))
+    assert(!p.contains("Exchange"), p)
+    assert(p.contains("dot_product_f"), p)
+  }
+
+  test("pq ADC scan broadcasts queries; corpus moves codes only (p49)") {
+    val p = plan(PipelineQueries.p49PqTopK(spark, sf0001))
+    // corpus side: one spread repartition + the pruned ranking exchange
+    val exchanges = """Exchange \(\d""".r.findAllIn(p).size -
+      """BroadcastExchange \(\d""".r.findAllIn(p).size
+    assert(exchanges <= 2, s"expected <=2 shuffle exchanges, got $exchanges\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("LSH candidate generation is an equi-join on the band key (p02)") {
     // the public minhashPairs returns a checkpointed (plan-opaque)
     // frame, so pin the lazy inner plan it brackets
