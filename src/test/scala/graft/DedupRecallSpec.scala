@@ -25,4 +25,61 @@ class DedupRecallSpec extends SparkSpec {
     assert(missing == 0L, s"pruning lost $missing qualifying pairs")
     assert(extra == 0L, s"pruning fabricated $extra pairs")
   }
+
+  test("count-bound prefilter never drops a qualifying pair (random corpora)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // a tiny vocabulary forces heavy shingle sharing, so many pairs sit
+    // right at the survivor bound — the regime where an off-by-one in
+    // n_shared + min(cap) + 1 >= required-intersection would bite
+    for (seed <- Seq(7, 21, 99)) {
+      val rnd = new scala.util.Random(seed)
+      val vocab = Vector("a", "b", "c", "d", "e", "f")
+      val base = (1L to 30L).map { i =>
+        (i, Seq.fill(4 + rnd.nextInt(8))(vocab(rnd.nextInt(vocab.size)))
+          .mkString(" "))
+      }
+      // planted near-dups: copies with one token appended
+      val planted = base.take(6).map { case (i, t) => (i + 100L, t + " a") }
+      val df = (base ++ planted).toDF("doc_id", "text")
+
+      val sh = Dedup.shingled(df, "doc_id", "text", k = 2)
+      val a = sh.select(col("doc").as("doc_a"), col("sh").as("sh_a"))
+      val b = sh.select(col("doc").as("doc_b"), col("sh").as("sh_b"))
+      def brute(pred: org.apache.spark.sql.Column) =
+        a.join(b, col("doc_a") < col("doc_b"))
+          .withColumn("inter",
+            size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+          .filter(pred)
+          .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+
+      val wantJ = brute(col("inter") /
+        size(array_union(col("sh_a"), col("sh_b"))) >= 0.5)
+      val wantC = {
+        val ab = brute(size(col("sh_a")) > 0 &&
+          col("inter") / size(col("sh_a")) >= 0.6)
+        val ba = brute(size(col("sh_b")) > 0 &&
+          col("inter") / size(col("sh_b")) >= 0.6).map(_.swap)
+        ab ++ ba
+      }
+      def runJ(cap: Option[Int]) =
+        Dedup.ngramJaccardPairs(df, "doc_id", "text", k = 2,
+            threshold = 0.5, maxShingleFreq = cap)
+          .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+      def runC(cap: Option[Int]) =
+        Dedup.containmentPairs(df, "doc_id", "text", k = 2,
+            threshold = 0.6, maxShingleFreq = cap)
+          .select("contained", "container").as[(Long, Long)].collect().toSet
+
+      // uncapped: the count-bound prefilter must be exactly lossless
+      assert(runJ(None) == wantJ, s"jaccard seed=$seed: " +
+        s"missing=${wantJ -- runJ(None)} extra=${runJ(None) -- wantJ}")
+      assert(runC(None) == wantC, s"containment seed=$seed: " +
+        s"missing=${wantC -- runC(None)} extra=${runC(None) -- wantC}")
+      // capped in this everything-is-a-stopword corpus: allowed to lose
+      // pairs (documented cap semantics) but never to fabricate one
+      assert((runJ(Some(10)) -- wantJ).isEmpty, s"jaccard cap seed=$seed")
+      assert((runC(Some(10)) -- wantC).isEmpty, s"containment cap seed=$seed")
+    }
+  }
 }
