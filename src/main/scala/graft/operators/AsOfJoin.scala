@@ -12,18 +12,36 @@ import org.apache.spark.sql.functions._
   * (/root/reference/pedsnetdcc/bmi.py:22-48, 267-273 — computed by the
   * external `derive_bmi` Perl tool; we internalize it).
   *
-  * Composition: equi-join on the partition key with a range predicate,
-  * then keep the row minimizing |Δt| via one row_number window. Ties
-  * break on the smaller right-side timestamp then the right id column —
-  * deterministic, unlike the external tool's input order.
+  * Composition: equi-join on (partition key, tolerance-sized time
+  * bucket) with the left side exploded to its bucket ±1, a residual
+  * |Δt| ≤ tolerance predicate, then keep the row minimizing |Δt| via
+  * one row_number window. Ties break on the smaller right-side
+  * timestamp then the right id column — deterministic, unlike the
+  * external tool's input order.
   *
-  * Scale: shuffles both sides once on the key. The range predicate runs
-  * inside the shuffled-hash/sort-merge join, so the blow-up is bounded by
-  * rows-per-key within the tolerance window; AQE's skew-join splitting
-  * handles hot keys. If the right side is dimension-sized the caller can
-  * broadcast it beforehand.
+  * Scale: shuffles the (3×) left and right once on (key, bucket). The
+  * bucket in the equi-key is what bounds the join product: a bare
+  * person-key join materializes every (left, right) pair for the
+  * person and THEN filters on Δt — per-key cost quadratic in facts per
+  * person — while bucketing caps each group at the rows inside one
+  * tolerance window, which is the quantity the operator's output is
+  * bounded by anyway. |Δt| ≤ tol implies the buckets differ by at most
+  * one, and each right row lands in exactly one of a left row's three
+  * probe buckets, so the rewrite is pair-for-pair identical (no dedup
+  * needed). AQE's skew-join splitting handles residual hot
+  * (key, bucket) cells; if the right side is dimension-sized the
+  * caller can broadcast it beforehand.
   */
 object AsOfJoin {
+
+  /** Floor time bucket in pure long arithmetic (timestamps are
+    * non-negative; `x - pmod(x, tol)` is an exact multiple of `tol`,
+    * so the double division is exact).
+    */
+  private def bucketOf(ts: Column, tol: Long): Column = {
+    val t = ts.cast("long")
+    ((t - pmod(t, lit(tol))) / lit(tol)).cast("long")
+  }
 
   /** For every left row, attach the single right row with the same `keys`
     * whose `rightTs` is closest to `leftTs` within `toleranceSec`
@@ -42,14 +60,20 @@ object AsOfJoin {
       leftUnique: Seq[String],
       rightTiebreak: Seq[String],
       rightPrefix: String = "r_"): DataFrame = {
-    val r = right.columns.foldLeft(right) { (df, c) =>
+    require(toleranceSec > 0, "tolerance must be positive")
+    val l = left.withColumn("__b",
+      explode(array(Seq(-1, 0, 1).map(d =>
+        bucketOf(left(leftTs), toleranceSec) + d): _*)))
+    val r0 = right.columns.foldLeft(right) { (df, c) =>
       if (keys.contains(c)) df else df.withColumnRenamed(c, s"$rightPrefix$c")
     }
     val rTs = s"$rightPrefix$rightTs"
+    val r = r0.withColumn("__b", bucketOf(r0(rTs), toleranceSec))
     val cond: Column =
-      keys.map(k => left(k) === r(k)).reduce(_ && _) &&
-        abs(left(leftTs).cast("long") - r(rTs).cast("long")) <= toleranceSec
-    val joined = keys.foldLeft(left.join(r, cond))((d, k) => d.drop(r(k)))
+      (keys.map(k => l(k) === r(k)) :+ (l("__b") === r("__b"))).reduce(_ && _) &&
+        abs(l(leftTs).cast("long") - r(rTs).cast("long")) <= toleranceSec
+    val joined = keys.foldLeft(l.join(r, cond))((d, k) => d.drop(r(k)))
+      .drop("__b")
     val diff = abs(col(leftTs).cast("long") - col(rTs).cast("long"))
     val w = Window
       .partitionBy((keys ++ leftUnique).map(col): _*)
