@@ -96,19 +96,27 @@ object Dedup {
     * frame — split out so plan tests can pin the join shape (the
     * public method returns a checkpointed, plan-opaque frame).
     */
+  /** Per-band LSH bucket keys of a minhash signature: one string per
+    * band, the band index prefixed so a single equi-join key carries
+    * both coordinates. Shared by the batch candidate join and the
+    * streaming near-dup state key
+    * ([[graft.streaming.StreamingJobs.nearDupCandidates]]).
+    */
+  private[graft] def bandKeyArray(sig: Column, bands: Int,
+      rows: Int): Column =
+    array((0 until bands).map(b =>
+      concat_ws("_", lit(b), slice(sig, b * rows + 1, rows))): _*)
+
   private[graft] def minhashPlan(docs: DataFrame, bands: Int, rows: Int,
       threshold: Double): DataFrame = {
     val bandRows = docs.select(
       col("doc"),
-      posexplode(array((0 until bands).map(b =>
-        concat_ws("_", slice(col("sig"), b * rows + 1, rows))): _*)))
-      .toDF("doc", "band", "key")
+      explode(bandKeyArray(col("sig"), bands, rows)).as("key"))
 
     val a = bandRows.alias("a")
     val b = bandRows.alias("b")
     val cand = a.join(b,
-        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("a.doc") < col("b.doc"))
+        col("a.key") === col("b.key") && col("a.doc") < col("b.doc"))
       .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
       .distinct()
 

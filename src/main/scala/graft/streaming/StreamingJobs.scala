@@ -254,4 +254,80 @@ object StreamingJobs {
           closed.result().iterator
       }
   }
+
+  case class BandHit(band: String, doc_id: Long, ts: java.sql.Timestamp)
+  case class NearDupState(docs: List[(Long, Long)]) // (ts_us, doc_id)
+  case class CandPair(doc_a: Long, doc_b: Long)
+
+  /** Streaming near-dup CANDIDATE pairs — the incremental twin of the
+    * batch MinHash-LSH candidate join ([[graft.pipeline.Dedup]]
+    * `minhashPlan`): as documents arrive, each of their LSH band keys
+    * (the shared [[graft.pipeline.Dedup.bandKeyArray]], computed by the
+    * same native kernels) probes a per-band state of recently seen
+    * docs, and every co-bucketed pair within `horizonUs` is emitted the
+    * moment the second document lands — ingest-time dedup flagging
+    * instead of a nightly recompute. Pairs may repeat across bands
+    * (the batch `.distinct()` has no bounded-state streaming analogue);
+    * consumers dedupe at the sink, exactly like candidate verification
+    * is downstream in the batch path.
+    *
+    * State per band bucket is the docs inside the horizon — the
+    * streaming analogue of a posting list, evicted by the watermark
+    * (entries too old to pair with any admissible future event are
+    * dropped each trigger; idle buckets expire whole via event-time
+    * timeout). State is bounded by horizon × bucket density, the same
+    * quantity that bounds the batch join's per-bucket cost.
+    */
+  def nearDupCandidates(docs: DataFrame, idCol: String, textCol: String,
+      tsCol: String, k: Int, numHashes: Int, bands: Int, horizonUs: Long,
+      watermarkDelay: String = "1 hour"): Dataset[CandPair] = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    import docs.sparkSession.implicits._
+    val sh = graft.functions.HashKernelFunctions.shingles(
+      graft.pipeline.TextFunctions.tokens(col(textCol)), k)
+    val sig = graft.functions.HashKernelFunctions.minhashSig(
+      sh, graft.pipeline.TextFunctions.minhashSeeds(numHashes))
+    docs
+      .select(col(idCol).as("doc_id"), col(tsCol).as("ts"),
+        explode(graft.pipeline.Dedup.bandKeyArray(sig, bands, rows))
+          .as("band"))
+      .withWatermark("ts", watermarkDelay)
+      .as[BandHit]
+      .groupByKey(_.band)
+      .flatMapGroupsWithState[NearDupState, CandPair](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (_: String, hits: Iterator[BandHit], state: GroupState[NearDupState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = hits.toSeq
+              .map(h => (h.ts.getTime * 1000L, h.doc_id)).sortBy(identity)
+            var seen = state.getOption.map(_.docs).getOrElse(Nil)
+            val out = Seq.newBuilder[CandPair]
+            sorted.foreach { case (tsUs, id) =>
+              seen.iterator
+                .filter { case (t, other) =>
+                  other != id && math.abs(tsUs - t) <= horizonUs }
+                .foreach { case (_, other) =>
+                  out += CandPair(math.min(id, other), math.max(id, other)) }
+              seen = (tsUs, id) :: seen
+            }
+            // watermark-exact eviction: a future event has ts >= wm, so
+            // an entry can still pair only if t + horizon >= wm
+            val wmUs = state.getCurrentWatermarkMs() * 1000L
+            val kept = seen.filter(_._1 + horizonUs >= wmUs)
+            if (kept.isEmpty) state.remove()
+            else {
+              state.update(NearDupState(kept))
+              val newestUs = kept.map(_._1).max
+              state.setTimeoutTimestamp(math.max(
+                (newestUs + horizonUs) / 1000L,
+                state.getCurrentWatermarkMs() + 1L))
+            }
+            out.result().iterator
+          }
+      }
+  }
 }

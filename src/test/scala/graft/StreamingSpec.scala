@@ -132,6 +132,50 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming near-dup candidates equal the batch LSH candidate join") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val nearDup = (1 to 38).map(i => s"tok$i").mkString(" ") + " x y"
+    val nearDup2 = (1 to 39).map(i => s"tok$i").mkString(" ") + " z"
+    val other = (100 to 140).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, nearDup), (3L, other), (4L, nearDup2))
+    val (k, numHashes, bands) = (3, 12, 6)
+
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val out = StreamingJobs.nearDupCandidates(
+      mem.toDF().toDF("ts", "doc_id", "text"), "doc_id", "text", "ts",
+      k, numHashes, bands, horizonUs = 3600L * 1000 * 1000)
+    val q = out.writeStream.format("memory").queryName("neardup_s")
+      .outputMode("append").start()
+    try {
+      def ts(s: String) = Timestamp.valueOf(s)
+      // arrivals split across triggers; all within the horizon
+      mem.addData((ts("2024-01-01 00:00:00"), 1L, base),
+        (ts("2024-01-01 00:05:00"), 2L, nearDup))
+      q.processAllAvailable()
+      mem.addData((ts("2024-01-01 00:10:00"), 3L, other),
+        (ts("2024-01-01 00:15:00"), 4L, nearDup2))
+      q.processAllAvailable()
+      val got = spark.table("neardup_s")
+        .select("doc_a", "doc_b").distinct()
+        .as[(Long, Long)].collect().toSet
+
+      val docsB = graft.pipeline.Dedup.minhashDocs(
+        docs.toDF("doc_id", "text"), "doc_id", "text", k, numHashes)
+      val bandRows = docsB.select(col("doc"),
+        explode(graft.pipeline.Dedup.bandKeyArray(col("sig"), bands,
+          numHashes / bands)).as("key"))
+      val want = bandRows.alias("a")
+        .join(bandRows.alias("b"),
+          col("a.key") === col("b.key") && col("a.doc") < col("b.doc"))
+        .select(col("a.doc"), col("b.doc")).distinct()
+        .as[(Long, Long)].collect().toSet
+
+      assert(got == want, s"streaming=$got batch=$want")
+      assert(got.contains((1L, 2L))) // the planted near-dup is caught
+    } finally q.stop()
+  }
+
   test("stream-stream as-of join matches the batch AsOfJoin on the same data") {
     implicit val sqlCtx = spark.sqlContext
     def ev(user: Long, id: Long, s: String) =
