@@ -559,6 +559,28 @@ object PipelineQueries {
           .cast("long").as("weight_micro"))
   }
 
+  /** Temperature-weighted mixture sampling at α = 0.5 (the
+    * square-root-scaled source probabilities of T5 / multilingual
+    * pretraining: p_s = n_s^α / Σ n_t^α — α = 1 is proportional, α→0
+    * approaches p44's equal share; 0.5 is the standard middle).
+    * sqrt is correctly rounded in IEEE-754 (unlike pow, which is why
+    * the declared query pins α at the sqrt case), and the denominator
+    * is an index-order fold over the VALUE-SORTED per-source terms —
+    * a deterministic double in any engine, where a bare SUM(double)
+    * is summation-order-dependent in both Spark and DuckDB.
+    */
+  def p50TempMix(s: SparkSession, dir: String): DataFrame = {
+    val perSource = t(s, dir, "documents")
+      .groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val denom = perSource.agg(
+      aggregate(sort_array(collect_list(sqrt(col("n_docs")))),
+        lit(0.0), (acc, x) => acc + x).as("denom"))
+    perSource.crossJoin(broadcast(denom))
+      .select(col("source"), col("n_docs"),
+        floor(sqrt(col("n_docs")) / col("denom") * lit(1e6))
+          .cast("long").as("p_micro"))
+  }
+
   /** Vocabulary building (the tokenizer-training prep step): global
     * token counts, top 50 by (count desc, token asc). The top-k is a
     * sort-limit, which Spark plans as TakeOrderedAndProject — per-
@@ -740,6 +762,7 @@ object PipelineQueries {
     "p47_bloom_ingest" -> p47BloomIngest _,
     "p48_pq_codes" -> p48PqCodes _,
     "p49_pq_topk" -> p49PqTopK _,
+    "p50_temp_mix" -> p50TempMix _,
     "p38_pii_scrub" -> p38PiiScrub _,
     "p39_line_dedup" -> p39LineDedup _,
     "p40_semantic_dedup" -> p40SemanticDedup _,
@@ -1338,6 +1361,17 @@ object PipelineQueries {
          |        ORDER BY adist ASC, cand_id ASC) AS rn FROM ad)
          |WHERE rn <= 5""".stripMargin
     },
+    "p50_temp_mix" ->
+      s"""WITH c AS (
+         |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+         |  FROM documents GROUP BY 1),
+         |d AS (
+         |  SELECT list_sum(list_sort(list(sqrt(CAST(n_docs AS DOUBLE)))))
+         |    AS denom FROM c)
+         |SELECT source, n_docs,
+         |  CAST(FLOOR(sqrt(CAST(n_docs AS DOUBLE)) / denom * 1e6) AS BIGINT)
+         |    AS p_micro
+         |FROM c, d""".stripMargin,
     "p38_pii_scrub" ->
       s"""WITH lines AS (
          |  SELECT event_id,
