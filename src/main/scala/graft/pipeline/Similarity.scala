@@ -99,7 +99,17 @@ object Similarity {
     * shuffles P·|Q|·k rows — never the full scored cross product.
     */
   def topK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
-      k: Int): DataFrame = {
+      k: Int): DataFrame = topK(corpus, queries, idCol, vecCol, k, None)
+
+  /** [[topK]] with an optional similarity ceiling: pairs at or above
+    * `simCeiling` are excluded BEFORE ranking — hard-negative mining
+    * for contrastive training (the most-similar candidates that are
+    * not near-duplicates of the query). The ceiling is a map-side
+    * filter on the scored stream, so it reduces the ranking exchange
+    * rather than adding work.
+    */
+  def topK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, simCeiling: Option[Double]): DataFrame = {
     val q = broadcast(queries.select(
       col(idCol).as("query_id"), col(vecCol).as("qv"),
       l2norm(col(vecCol)).as("qn")))
@@ -111,9 +121,10 @@ object Similarity {
       .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol).as("cand_id"), col(vecCol).as("cv"),
         l2norm(col(vecCol)).as("cn"))
-    val scored = c.join(q, col("query_id") =!= col("cand_id"))
+    val scored0 = c.join(q, col("query_id") =!= col("cand_id"))
       .withColumn("sim", cosinePre(dot(col("qv"), col("cv")), col("qn"), col("cn")))
       .select(col("query_id"), col("cand_id"), col("sim"))
+    val scored = simCeiling.fold(scored0)(t => scored0.filter(col("sim") < t))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("cand_id").asc)
     prunePartitionTopK(scored, k)

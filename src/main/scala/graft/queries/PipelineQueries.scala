@@ -111,6 +111,19 @@ object PipelineQueries {
     Similarity.topK(emb, emb.filter(col("vec_id") < 20), "vec_id", "embedding", k = 5)
   }
 
+  /** Hard-negative mining for contrastive training: the top-5
+    * most-similar candidates per query that sit BELOW the near-dup
+    * ceiling (cosine < 0.8) — similar enough to be hard, distinct
+    * enough not to be a positive leaking into the negatives. The
+    * ceiling filters map-side before ranking, so it shrinks the top-k
+    * exchange rather than adding a pass.
+    */
+  def p51HardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.topK(emb, emb.filter(col("vec_id") < 20), "vec_id",
+      "embedding", k = 5, simCeiling = Some(0.8))
+  }
+
   /** Hyperplane-LSH approximate top-3 (4 planes → 16 buckets). */
   def p06AnnLsh(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
@@ -763,6 +776,7 @@ object PipelineQueries {
     "p48_pq_codes" -> p48PqCodes _,
     "p49_pq_topk" -> p49PqTopK _,
     "p50_temp_mix" -> p50TempMix _,
+    "p51_hard_negatives" -> p51HardNegatives _,
     "p38_pii_scrub" -> p38PiiScrub _,
     "p39_line_dedup" -> p39LineDedup _,
     "p40_semantic_dedup" -> p40SemanticDedup _,
@@ -1372,6 +1386,21 @@ object PipelineQueries {
          |  CAST(FLOOR(sqrt(CAST(n_docs AS DOUBLE)) / denom * 1e6) AS BIGINT)
          |    AS p_micro
          |FROM c, d""".stripMargin,
+    "p51_hard_negatives" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+         |           FROM embeddings WHERE vec_id < 20),
+         |scored AS (
+         |  SELECT query_id, e.vec_id AS cand_id,
+         |    ${oCos("qv", "e.embedding")} AS sim
+         |  FROM embeddings e, q WHERE e.vec_id != query_id),
+         |ranked AS (
+         |  SELECT query_id, cand_id, sim,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |                       ORDER BY sim DESC, cand_id ASC) AS rank
+         |  FROM scored WHERE sim < 0.8)
+         |SELECT query_id, CAST(rank AS BIGINT) AS rank, cand_id,
+         |  CAST(FLOOR(sim * 1e6) AS BIGINT) AS sim_micro
+         |FROM ranked WHERE rank <= 5""".stripMargin,
     "p38_pii_scrub" ->
       s"""WITH lines AS (
          |  SELECT event_id,
