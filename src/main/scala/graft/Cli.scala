@@ -86,6 +86,10 @@ object Cli {
         |  import-jsonl <inDir> <outDir>                 JSONL corpus in (schema-checked) -> parquet
         |  vacuum <tableDir> [targetMB]                  compact a parquet dir's small files in place
         |  ingest-dedup <dir> <batchDir> <outDir>        idempotent corpus append (content-hash anti-join)
+        |  ingest-bloom <dir> <batchDir> <outDir>        same append, bloom-prefiltered (zero-shuffle scale path)
+        |  pq-codes <dir> <outDir>                       product-quantization codes per vector
+        |  pq-ann <dir> <outDir>                         ADC top-k over PQ codes
+        |  hard-negatives <dir> <outDir>                 top-k below the near-dup ceiling
         |  curate <dir> <outDir>                         quality -> exact+near dedup -> decontaminate -> shard
         |  transform-one <siteDir> <site> <table> <step> <outDir>  one stock step: age|concept-name|site
         |  copy-derivation <dir> <kind> <outDir>         append derived rows: bmi|bmiz|ht-z|wt-z
@@ -313,6 +317,25 @@ object Cli {
 
     case "ann" :: dir :: out :: Nil =>
       write(queries.PipelineQueries.p05CosineTopK(spark, dir), out)
+
+    // bloom-prefiltered idempotent ingest: the zero-shuffle scale path
+    // of ingest-dedup (sketch sized from the corpus's own count)
+    case "ingest-bloom" :: dir :: batchDir :: out :: Nil =>
+      val corpus = Tables.read(spark, dir, "documents")
+      val batch = Tables.read(spark, batchDir, "documents")
+      val fresh = pipeline.Ingest.bloomFresh(corpus, batch, "text",
+        expectedItems = math.max(1000L, corpus.count() * 2), fpp = 0.01)
+      write(corpus.unionByName(fresh), out)
+      println(s"""{"ingest":"$out","appended":${fresh.count()}}""")
+
+    case "pq-codes" :: dir :: out :: Nil =>
+      write(queries.PipelineQueries.p48PqCodes(spark, dir), out)
+
+    case "pq-ann" :: dir :: out :: Nil =>
+      write(queries.PipelineQueries.p49PqTopK(spark, dir), out)
+
+    case "hard-negatives" :: dir :: out :: Nil =>
+      write(queries.PipelineQueries.p51HardNegatives(spark, dir), out)
 
     case "text-stats" :: dir :: out :: Nil =>
       val toks = TextFunctions.tokens(col("text"))

@@ -37,6 +37,11 @@ class CliSpec extends SparkSpec {
     assert(spark.read.parquet(s"$out/ingest").count() ==
       spark.read.parquet(s"$sf0001/documents.parquet").count())
 
+    // bloom path: re-ingesting the corpus into itself appends nothing
+    Cli.run(spark, List("ingest-bloom", sf0001, sf0001, s"$out/ingest_b"))
+    assert(spark.read.parquet(s"$out/ingest_b").count() ==
+      spark.read.parquet(s"$sf0001/documents.parquet").count())
+
     // vacuum = in-place compaction; the table stays readable with the
     // same rows and collapses to one data file at sf0.001
     val preVacuum = spark.read.parquet(s"$out/dedup").count()
