@@ -69,6 +69,7 @@ object Cli {
         |  stream-window <dir> <outDir>                  windowed agg as an incremental stream over events
         |  stream-dedup <dir> <outDir>                   streaming exact dedup (watermark-bounded state)
         |  stream-sessionize <dir> <outDir>              stateful sessionization as an incremental stream
+        |  stream-neardup <dir> <outDir>                 streaming LSH near-dup candidate pairs
         |  stream-scrub <dir> <outDir>                   stateless PII scrub as an incremental stream
         |  kmeans <dir> <outDir> [iters]                 IVF centroid training (Lloyd, default 1 iteration)
         |  repetition <dir> <outDir>                     Gopher-style repetition quality signals
@@ -556,6 +557,33 @@ object Cli {
       runEventStream(spark, dir, out,
         streaming.StreamingJobs.dedupByKey(_, "ts", Seq("user_id", "event_id")))
       println(s"""{"stream_dedup":"$out"}""")
+
+    // streaming near-dup candidate pairs over an ingest directory of
+    // documents; event time synthesized from doc_id (the corpus has no
+    // timestamps), horizon wide enough to cover the whole corpus so a
+    // one-shot run equals the batch candidate join
+    case "stream-neardup" :: dir :: out :: Nil =>
+      val schema = Tables.read(spark, dir, "documents").schema
+      val stage = java.nio.file.Paths.get(out, "_ingest")
+      java.nio.file.Files.createDirectories(stage)
+      if (!java.nio.file.Files.exists(stage.resolve("documents.parquet")))
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$dir/documents.parquet"),
+          stage.resolve("documents.parquet"))
+      // +1: an epoch-0 event time equals the initial watermark and the
+      // stateful operator drops the row as late — start the clock at 1s
+      val stream = spark.readStream.schema(schema).parquet(stage.toString)
+        .withColumn("ts", timestamp_micros((col("doc_id") + 1) * 1000000L))
+      val q = streaming.StreamingJobs.nearDupCandidates(stream, "doc_id",
+          "text", "ts", k = 3, numHashes = 12, bands = 6,
+          horizonUs = 3650L * 86400 * 1000000)
+        .toDF().writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", s"$out/_checkpoint")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      println(s"""{"stream_neardup":"$out"}""")
 
     // stateless ingest-time PII scrub as an incremental stream
     case "stream-scrub" :: dir :: out :: Nil =>

@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.{col, explode}
+
 class CliSpec extends SparkSpec {
 
   test("CLI jobs run end-to-end on sf0.001") {
@@ -231,6 +233,22 @@ class CliSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$out/ssess"))
     Cli.run(spark, List("stream-sessionize", sf0001, s"$out/ssess"))
     assert(spark.read.parquet(s"$out/ssess").count() > 0)
+
+    // stream-neardup: one AvailableNow pass over the corpus emits
+    // exactly the batch LSH candidate pair set
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$out/snd"))
+    Cli.run(spark, List("stream-neardup", sf0001, s"$out/snd"))
+    val docsB = graft.pipeline.Dedup.minhashDocs(
+      spark.read.parquet(s"$sf0001/documents.parquet"),
+      "doc_id", "text", k = 3, numHashes = 12)
+    val bandRows = docsB.select(col("doc"),
+      explode(graft.pipeline.Dedup.bandKeyArray(col("sig"), 6, 2)).as("key"))
+    val want = bandRows.alias("a")
+      .join(bandRows.alias("b"),
+        col("a.key") === col("b.key") && col("a.doc") < col("b.doc"))
+      .select(col("a.doc"), col("b.doc")).distinct().count()
+    assert(spark.read.parquet(s"$out/snd")
+      .select("doc_a", "doc_b").distinct().count() == want)
 
     // subset-model materializes each FK level; lineitem keys ⊆ orders keys
     Cli.run(spark, List("subset-model", sf0001, "customer", s"$out/subset"))
