@@ -156,11 +156,25 @@ object Similarity {
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, centroidFilter: Column, k: Int,
-      nprobe: Int = 1): DataFrame = {
+      nprobe: Int = 1): DataFrame =
+    ivfTopKWith(corpus, queries, idCol, vecCol,
+      corpus.filter(centroidFilter)
+        .select(col(idCol).as("cent_id"), col(vecCol).as("ce")),
+      k, nprobe)
+
+  /** [[ivfTopK]] over an EXPLICIT centroid table (cent_id, ce) — the
+    * entry point for trained coarse quantizers: feed
+    * [[centroidsFromMeans]] of a [[kmeansTrain]] run here and the IVF
+    * cells adapt to the data distribution instead of sitting on seed
+    * rows. Same plan shape: centroids broadcast, assignment collapses
+    * map-side, probing shuffles on the cell id only.
+    */
+  def ivfTopKWith(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, centroidTable: DataFrame, k: Int,
+      nprobe: Int): DataFrame = {
     require(nprobe >= 1, "nprobe must be >= 1")
-    val cents = broadcast(corpus.filter(centroidFilter)
-      .select(col(idCol).as("cent_id"), col(vecCol).as("ce"),
-        l2norm(col(vecCol)).as("ce_n")))
+    val cents = broadcast(centroidTable
+      .select(col("cent_id"), col("ce"), l2norm(col("ce")).as("ce_n")))
     // Nearest-cell assignment collapses the corpus×centroids product
     // MAP-SIDE — the same partial-aggregated argmax shape as
     // [[lloydStep]]. A ranking window here would hash-exchange all
@@ -472,6 +486,21 @@ object Similarity {
       .select(col("cent_id"), col("dim").cast("long").as("dim"), col("n"),
         floor(col("sx") / col("n")).cast("long").as("mean_fixed"))
   }
+
+  /** Centroid vectors from [[kmeansTrain]]'s fixed-point means:
+    * per-dimension `(mean_fixed / 1e6).toFloat` assembled in dim order
+    * — the same two IEEE ops the trainer performs driver-side between
+    * iterations, so a trained centroid fed back through
+    * [[ivfTopKWith]] is bit-reproducible in any engine.
+    */
+  def centroidsFromMeans(means: DataFrame): DataFrame =
+    means.groupBy("cent_id")
+      .agg(array_sort(collect_list(struct(col("dim"), col("mean_fixed"))))
+        .as("dm"))
+      .select(col("cent_id"),
+        transform(col("dm"), x =>
+          (x.getField("mean_fixed").cast("double") / lit(1e6)).cast("float"))
+          .as("ce"))
 
   /** Squared L2 distance as three index-order dot products
     * (`a·a − 2·a·b + b·b`) — each term is the codegen kernel, and the

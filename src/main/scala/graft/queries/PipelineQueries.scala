@@ -124,6 +124,22 @@ object PipelineQueries {
       "embedding", k = 5, simCeiling = Some(0.8))
   }
 
+  /** Trained-quantizer IVF, end to end: two Lloyd iterations refine the
+    * seed centroids ([[Similarity.kmeansTrain]]), the fixed-point means
+    * rebuild as float centroid vectors
+    * ([[Similarity.centroidsFromMeans]]), and the multi-probe IVF scan
+    * runs against the TRAINED cells ([[Similarity.ivfTopKWith]]) — the
+    * production ANN composition (train → index → query) as one plan
+    * chain, oracle-replayed iteration by iteration.
+    */
+  def p52IvfTrained(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val means = Similarity.kmeansTrain(emb, "vec_id", "embedding",
+      centroidFilter = col("vec_id") % 25 === 0, iters = 2)
+    Similarity.ivfTopKWith(emb, emb.filter(col("vec_id") < 20), "vec_id",
+      "embedding", Similarity.centroidsFromMeans(means), k = 3, nprobe = 2)
+  }
+
   /** Hyperplane-LSH approximate top-3 (4 planes → 16 buckets). */
   def p06AnnLsh(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
@@ -777,6 +793,7 @@ object PipelineQueries {
     "p49_pq_topk" -> p49PqTopK _,
     "p50_temp_mix" -> p50TempMix _,
     "p51_hard_negatives" -> p51HardNegatives _,
+    "p52_ivf_trained" -> p52IvfTrained _,
     "p38_pii_scrub" -> p38PiiScrub _,
     "p39_line_dedup" -> p39LineDedup _,
     "p40_semantic_dedup" -> p40SemanticDedup _,
@@ -830,6 +847,59 @@ object PipelineQueries {
     sb ++= s"""
        |SELECT cent_id, CAST(dim AS BIGINT) AS dim, n, mean_fixed
        |FROM means${iters - 1}""".stripMargin
+    sb.toString
+  }
+
+  /** [[oKmeansTrain]]'s iteration chain, continued into a full IVF
+    * replay over the TRAINED centroids: rebuild the final float
+    * centroid lists, re-assign the corpus, probe `nprobe` cells per
+    * query, rank top `k` — the p52 oracle.
+    */
+  private def oIvfTrained(iters: Int, nprobe: Int, k: Int): String = {
+    val sb = new StringBuilder(
+      """WITH cents0 AS (
+        |  SELECT vec_id AS cent_id, embedding AS ce FROM embeddings
+        |  WHERE vec_id % 25 = 0)""".stripMargin)
+    for (it <- 0 until iters) {
+      sb ++= s""",
+         |assign$it AS (
+         |  SELECT e.vec_id, e.embedding, cent_id,
+         |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${oCos("e.embedding", "ce")} DESC, cent_id ASC) AS rn
+         |  FROM embeddings e, cents$it),
+         |means$it AS (
+         |  SELECT cent_id, i - 1 AS dim, CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(FLOOR(SUM(FLOOR(CAST(embedding[i] AS DOUBLE) * 1e6)) / COUNT(*)) AS BIGINT) AS mean_fixed
+         |  FROM (SELECT * FROM assign$it WHERE rn = 1)
+         |  CROSS JOIN (SELECT UNNEST(generate_series(1, 64)) AS i) s
+         |  GROUP BY 1, 2),
+         |cents${it + 1} AS (
+         |  SELECT cent_id,
+         |    list(CAST(CAST(mean_fixed AS DOUBLE) / 1000000.0 AS FLOAT) ORDER BY dim) AS ce
+         |  FROM means$it GROUP BY cent_id)""".stripMargin
+    }
+    sb ++= s""",
+       |assignT AS (
+       |  SELECT e.vec_id, e.embedding, cent_id,
+       |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${oCos("e.embedding", "ce")} DESC, cent_id ASC) AS rn
+       |  FROM embeddings e, cents$iters),
+       |cells AS (SELECT vec_id, embedding, cent_id FROM assignT WHERE rn = 1),
+       |probes AS (SELECT vec_id, embedding, cent_id FROM assignT
+       |           WHERE rn <= $nprobe AND vec_id < 20),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+       |    ${oCos("q.embedding", "c.embedding")} AS sim
+       |  FROM probes q JOIN cells c
+       |    ON q.cent_id = c.cent_id AND q.vec_id != c.vec_id),
+       |ranked AS (
+       |  SELECT query_id, cand_id, sim,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |                       ORDER BY sim DESC, cand_id ASC) AS rank
+       |  FROM scored)
+       |SELECT query_id, CAST(rank AS BIGINT) AS rank, cand_id,
+       |  CAST(FLOOR(sim * 1e6) AS BIGINT) AS sim_micro
+       |FROM ranked WHERE rank <= $k""".stripMargin
     sb.toString
   }
 
@@ -1117,6 +1187,7 @@ object PipelineQueries {
          |  CAST(FLOOR(SUM(fx) / COUNT(*)) AS BIGINT) AS mean_fixed
          |FROM expl GROUP BY 1, 2""".stripMargin,
     "p22_kmeans_train" -> oKmeansTrain(kmeansIters),
+    "p52_ivf_trained" -> oIvfTrained(iters = 2, nprobe = 2, k = 3),
     "p23_stratified_sample" ->
       s"""WITH h AS (
          |  SELECT doc_id, source,
