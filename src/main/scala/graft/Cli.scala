@@ -257,6 +257,16 @@ object Cli {
         List("copy-derivation", dir, "ht-z", out)
       case "copy_weight_z" :: dir :: out :: Nil =>
         List("copy-derivation", dir, "wt-z", out)
+      // single-site era copies into the dcc namespace = a 1-site merge
+      // (copy_drug_era / copy_condition_era, main.py:1794,2009)
+      case "copy_drug_era" :: siteDir :: out :: Nil =>
+        List("merge", out, "drug_era", siteDir)
+      case "copy_condition_era" :: siteDir :: out :: Nil =>
+        List("merge", out, "condition_era", siteDir)
+      // the peds slice is the age-banded slice at the pediatric band
+      // (run_r_pcornet_peds_slice; adult starts at 21y = 252 months)
+      case "run_r_pcornet_peds_slice" :: dir :: out :: Nil =>
+        List("pcornet-slice", dir, "0", "21", out)
       case "age_transform" :: siteDir :: site :: table :: out :: Nil =>
         List("transform-one", siteDir, site, table, "age", out)
       case "concept_transform" :: siteDir :: site :: table :: out :: Nil =>

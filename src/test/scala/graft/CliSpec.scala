@@ -250,6 +250,15 @@ class CliSpec extends SparkSpec {
     assert(spark.read.parquet(s"$out/snd")
       .select("doc_a", "doc_b").distinct().count() == want)
 
+    // copy_drug_era: a 1-site merge into the dcc namespace under the
+    // reference's copy_* name
+    val eraDir = s"$out/era_site"
+    queries.ParityQueries3.q34ScdfEra(spark, sf0001)
+      .write.mode("overwrite").parquet(s"$eraDir/drug_era.parquet")
+    Cli.run(spark, List("copy_drug_era", eraDir, s"$out/dcc_drug_era"))
+    assert(spark.read.parquet(s"$out/dcc_drug_era").count() ==
+      spark.read.parquet(s"$eraDir/drug_era.parquet").count())
+
     // subset-model materializes each FK level; lineitem keys ⊆ orders keys
     Cli.run(spark, List("subset-model", sf0001, "customer", s"$out/subset"))
     val so = spark.read.parquet(s"$out/subset/orders")
