@@ -266,4 +266,29 @@ object Curation {
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }
+
+  /** Overlapping token-window chunking (RAG / context-window prep):
+    * each document's tokens split into windows of `window` tokens every
+    * `stride` tokens (stride < window ⇒ overlap), one output row per
+    * chunk with its index, length, and content hash. All work is
+    * per-row expression + explode — ZERO exchanges; at corpus scale the
+    * chunk relation partitions exactly like its source scan. A doc
+    * always yields at least one chunk (its tokens clamp the final
+    * slice), so short docs survive.
+    */
+  def chunks(df: DataFrame, idCol: String, textCol: String, window: Int,
+      stride: Int): DataFrame = {
+    require(window > 0 && stride > 0, "window and stride must be positive")
+    val toks = TF.tokens(col(textCol))
+    df.select(col(idCol).as("doc_id"), toks.as("toks"))
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0), greatest(size(col("toks")) - 1, lit(0)),
+            lit(stride)),
+          st => slice(col("toks"), st + 1, lit(window)))))
+      .toDF("doc_id", "chunk_id", "chunk")
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        size(col("chunk")).cast("long").as("n_tokens"),
+        TF.hash60(concat_ws(" ", col("chunk"))).as("chunk_hash"))
+  }
 }

@@ -512,6 +512,15 @@ object PipelineQueries {
       "embedding", m = 4, dim = 64, centroidFilter = col("vec_id") < 8, k = 5)
   }
 
+  /** Overlapping token-window chunking ([[Curation.chunks]]): 32-token
+    * windows every 24 tokens (25% overlap) — the RAG / context-window
+    * prep step. Zero-exchange per-row explode; the oracle replays the
+    * same window arithmetic over the same token lists.
+    */
+  def p53Chunks(s: SparkSession, dir: String): DataFrame =
+    Curation.chunks(t(s, dir, "documents"), "doc_id", "text",
+      window = 32, stride = 24)
+
   /** Semantic dedup over the embedding corpus: IVF cells from the p19
     * seed centroids, within-cell cosine pairs at the p07 threshold,
     * transitive closure, one keeper per semantic cluster. The oracle
@@ -794,6 +803,7 @@ object PipelineQueries {
     "p50_temp_mix" -> p50TempMix _,
     "p51_hard_negatives" -> p51HardNegatives _,
     "p52_ivf_trained" -> p52IvfTrained _,
+    "p53_chunks" -> p53Chunks _,
     "p38_pii_scrub" -> p38PiiScrub _,
     "p39_line_dedup" -> p39LineDedup _,
     "p40_semantic_dedup" -> p40SemanticDedup _,
@@ -1472,6 +1482,19 @@ object PipelineQueries {
          |SELECT query_id, CAST(rank AS BIGINT) AS rank, cand_id,
          |  CAST(FLOOR(sim * 1e6) AS BIGINT) AS sim_micro
          |FROM ranked WHERE rank <= 5""".stripMargin,
+    "p53_chunks" ->
+      s"""WITH d AS (SELECT doc_id, $oToks AS toks FROM documents),
+         |st AS (
+         |  SELECT doc_id, toks,
+         |    unnest(range(0, greatest(len(toks), 1), 24)) AS start
+         |  FROM d),
+         |c AS (
+         |  SELECT doc_id, CAST(start / 24 AS BIGINT) AS chunk_id,
+         |    toks[start + 1 : start + 32] AS chunk
+         |  FROM st)
+         |SELECT doc_id, chunk_id, CAST(len(chunk) AS BIGINT) AS n_tokens,
+         |  ${oHash("array_to_string(chunk, ' ')")} AS chunk_hash
+         |FROM c""".stripMargin,
     "p38_pii_scrub" ->
       s"""WITH lines AS (
          |  SELECT event_id,

@@ -36,6 +36,17 @@ class PipelineSpec extends SparkSpec {
     assert(Ingest.bloomFresh(appended, batch, "text", 1000L, 0.03).count() == 0)
   }
 
+  test("chunking windows overlap by window-stride; short docs yield one chunk") {
+    val df = Seq((1L, (1 to 10).map(i => s"t$i").mkString(" ")),
+      (2L, "a b")).toDF("doc_id", "text")
+    val got = Curation.chunks(df, "doc_id", "text", window = 4, stride = 3)
+      .select("doc_id", "chunk_id", "n_tokens").as[(Long, Long, Long)]
+      .collect().toSet
+    // doc 1: starts 0,3,6,9 -> lengths 4,4,4,1; doc 2: one clamped chunk
+    assert(got == Set((1L, 0L, 4L), (1L, 1L, 4L), (1L, 2L, 4L), (1L, 3L, 1L),
+      (2L, 0L, 2L)))
+  }
+
   test("exact dedup groups identical normalized text") {
     val df = Seq((1L, "hello  world"), (2L, "hello world"), (3L, "bye"))
       .toDF("doc_id", "text")
