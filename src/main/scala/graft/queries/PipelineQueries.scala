@@ -444,26 +444,30 @@ object PipelineQueries {
       .select(col("doc").as("doc_id"), col("n_segs"), col("n_kept"),
         col("n_dropped"))
 
-  /** Incremental component merge ([[ConnectedComponents.merge]]): the
-    * p37 near-dup pair set split into two deterministic batches — the
+  /** Incremental component merge ([[ConnectedComponents.merge]]): a
+    * near-dup pair set split into two deterministic batches — the
     * first clustered from scratch, the second folded into the stored
     * (node, component) assignment. The oracle replays the closure over
     * the FULL pair history with a recursive CTE, so a pass certifies
     * that star-edge folding loses no reachability (the property that
     * makes ingest-time merge equal a full re-cluster at corpus scale,
     * folding |assignment| + |new pairs| rows instead of the history).
+    * Merge semantics are edge-agnostic, so the edge source is the
+    * cheapest oracle-replayable detector (the p35 winnow sketch join —
+    * p37 already closes the ngram pair set); the cache bracket
+    * materializes the pair set once for both batch filters.
     */
   def p46MergeClusters(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
-    val freqCap = math.max(20, (docs.count() / 10).toInt)
-    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
-        k = 4, threshold = 0.4, maxShingleFreq = Some(freqCap))
+    val pairs = Curation.winnowPairs(t(s, dir, "documents"), "doc_id",
+        "text", k = 3, w = 4, minShared = 3)
       .select(col("doc_a").as("u"), col("doc_b").as("v"))
-    val batch1 = pairs.filter((col("u") + col("v")) % 2 === 0)
-    val batch2 = pairs.filter((col("u") + col("v")) % 2 =!= 0)
-    val assignment = graft.operators.ConnectedComponents.components(batch1)
-    graft.operators.ConnectedComponents.merge(assignment, batch2)
-      .select(col("node").as("doc_id"), col("component").as("cluster_id"))
+    graft.core.Caching.withCached(pairs) {
+      val batch1 = pairs.filter((col("u") + col("v")) % 2 === 0)
+      val batch2 = pairs.filter((col("u") + col("v")) % 2 =!= 0)
+      val assignment = graft.operators.ConnectedComponents.components(batch1)
+      graft.operators.ConnectedComponents.merge(assignment, batch2)
+        .select(col("node").as("doc_id"), col("component").as("cluster_id"))
+    }
   }
 
   /** Bloom-prefiltered idempotent ingest ([[Ingest.bloomFresh]]): a
@@ -1345,22 +1349,33 @@ object PipelineQueries {
          |  CAST(u = MIN(v) AS INT) AS keep
          |FROM reach GROUP BY u""".stripMargin,
     "p46_merge_clusters" ->
-      s"""WITH RECURSIVE sh AS (
-         |  SELECT doc_id, ${oShingles(4)} AS sh
-         |  FROM (SELECT doc_id, $oToks AS toks FROM documents)),
+      s"""WITH RECURSIVE toks AS (SELECT doc_id, $oToks AS toks FROM documents),
+         |h AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(toks) < 3 THEN CAST([] AS BIGINT[])
+         |    ELSE list_transform(generate_series(1, len(toks) - 2),
+         |      i -> ${oHash("toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]")})
+         |    END AS h
+         |  FROM toks),
+         |fps AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(h) < 4 THEN list_distinct(h)
+         |    ELSE list_distinct(list_transform(generate_series(1, len(h) - 3),
+         |      j -> list_min(h[j:j+3])))
+         |    END AS fps
+         |  FROM h),
+         |e AS (SELECT doc_id, unnest(fps) AS fp FROM fps),
          |pairs AS (
          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-         |  WHERE len(list_intersect(a.sh, b.sh))
-         |      / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE)
-         |      >= 0.4),
+         |  FROM e a JOIN e b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= 3),
          |edges AS (
          |  SELECT doc_a AS u, doc_b AS v FROM pairs
          |  UNION SELECT doc_b, doc_a FROM pairs),
          |reach(u, v) AS (
          |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
          |  UNION
-         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
+         |  SELECT r.u, e2.v FROM reach r JOIN edges e2 ON r.v = e2.u)
          |SELECT u AS doc_id, MIN(v) AS cluster_id
          |FROM reach GROUP BY u""".stripMargin,
     "p47_bloom_ingest" ->
