@@ -118,6 +118,20 @@ class OperatorsSpec extends SparkSpec {
     assert(paired.toSeq == Seq((1L, 100L, 201L), (2L, 102L, 203L)))
   }
 
+  test("AsOfJoin matches a pair at exactly the tolerance across a bucket edge") {
+    // tolerance 100s: left at t=150 (bucket 1), right at t=250 (bucket 2,
+    // |dt| == tolerance) and t=49 (bucket 0, |dt| == 101 > tol). The
+    // bucket +/-1 probe must catch the exact-boundary neighbor and the
+    // residual predicate must still reject the out-of-tolerance one.
+    val l = Seq((1L, 10L, 150L)).toDF("k", "lid", "ts")
+    val r = Seq((1L, 20L, 250L), (1L, 21L, 49L)).toDF("k", "rid", "ts")
+    val got = AsOfJoin.nearest(l, r, Seq("k"), "ts", "ts",
+        toleranceSec = 100L, leftUnique = Seq("lid"),
+        rightTiebreak = Seq("rid"))
+      .select("lid", "r_rid").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((10L, 20L)))
+  }
+
   test("IdMapping extendMap + replaceId round-trip") {
     val facts = Seq((1001L, "a"), (1002L, "b"), (1003L, "c")).toDF("mk", "payload")
     val empty = Seq.empty[(Long, Long)].toDF("site_id", "dcc_id")

@@ -176,6 +176,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming near-dup pairs out-of-order arrivals; watermark-expired docs don't pair") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val nearDup = (1 to 38).map(i => s"tok$i").mkString(" ") + " x y"
+    val nearDup2 = (1 to 39).map(i => s"tok$i").mkString(" ") + " z"
+
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val out = StreamingJobs.nearDupCandidates(
+      mem.toDF().toDF("ts", "doc_id", "text"), "doc_id", "text", "ts",
+      k = 3, numHashes = 12, bands = 6,
+      horizonUs = 10L * 60 * 1000 * 1000, watermarkDelay = "5 minutes")
+    val q = out.writeStream.format("memory").queryName("neardup_ooo")
+      .outputMode("append").start()
+    try {
+      def ts(s: String) = Timestamp.valueOf(s)
+      mem.addData((ts("2024-01-01 00:05:00"), 1L, base))
+      q.processAllAvailable()
+      // doc 2 arrives in a later trigger with an EARLIER event time —
+      // still inside the watermark delay, must pair with doc 1
+      mem.addData((ts("2024-01-01 00:04:00"), 2L, nearDup))
+      q.processAllAvailable()
+      val afterOoo = spark.table("neardup_ooo")
+        .select("doc_a", "doc_b").distinct().as[(Long, Long)].collect().toSet
+      assert(afterOoo.contains((1L, 2L)), s"got $afterOoo")
+
+      // push the watermark far past docs 1/2 + horizon, then a near-dup
+      // of them arrives fresh: state for the old docs must be gone, so
+      // no pair with 1 or 2 may emit
+      mem.addData((ts("2024-01-01 09:00:00"), 3L, "unrelated filler words"))
+      q.processAllAvailable()
+      mem.addData((ts("2024-01-01 09:01:00"), 4L, nearDup2))
+      q.processAllAvailable()
+      val finalPairs = spark.table("neardup_ooo")
+        .select("doc_a", "doc_b").distinct().as[(Long, Long)].collect().toSet
+      assert(!finalPairs.exists(p => p._2 == 4L || p._1 == 4L),
+        s"expired docs paired: $finalPairs")
+    } finally q.stop()
+  }
+
   test("stream-stream as-of join matches the batch AsOfJoin on the same data") {
     implicit val sqlCtx = spark.sqlContext
     def ev(user: Long, id: Long, s: String) =
