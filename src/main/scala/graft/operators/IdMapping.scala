@@ -36,12 +36,13 @@ object IdMapping {
     * order (deterministic block allocation — the reference's
     * `row_number() + old_last_id`). Returns (newMap, newLastId).
     *
-    * The anti-join output is persisted so the lineage runs once, shared
-    * by the `count` here and every later consumer of the returned map
-    * (without it, each consumer re-runs the anti-join + numbering).
-    * Batch drivers running many tables in one session should clear the
-    * cache between tables (`spark.catalog.clearCache()`), as Verify and
-    * Bench do per query.
+    * The anti-join output is eagerly localCheckpointed so the lineage
+    * runs once, shared by the `count` here and every later consumer of
+    * the returned map (without it, each consumer re-runs the anti-join
+    * + numbering) — block-backed like the dedup detectors
+    * ([[graft.core.Caching]]), so no CacheManager entry outlives the
+    * call and long-lived sessions need no clearCache() between tables.
+    * The new-keys frame is orders of magnitude smaller than the facts.
     */
   def extendMap(
       facts: DataFrame,
@@ -50,7 +51,7 @@ object IdMapping {
       lastId: Long): (DataFrame, Long) = {
     val fresh = unmappedKeys(facts, naturalKey, idMap)
       .withColumnRenamed(naturalKey, "site_id")
-      .persist()
+      .localCheckpoint(true)
     val numbered = AssignIds
       .assign(fresh, Seq("site_id"), "dcc_id", lastId + 1)
     val newMap = idMap.unionByName(numbered)
