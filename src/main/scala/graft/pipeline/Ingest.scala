@@ -77,4 +77,23 @@ object Ingest {
       .join(corpus.select(fp(col(textCol)).as("__k")).distinct(),
         Seq("__k"), "left_anti")
       .drop("__k")
+
+  /** Snapshot diff — the audit step of incremental ingest: one row per
+    * doc id in either snapshot, classified `added` / `removed` /
+    * `modified` (same id, different content fingerprint) / `unchanged`.
+    * A single full-outer join on the id carrying 16-byte fingerprints,
+    * never document text — at corpus scale the exchange is id+digest
+    * sized, and both scans prune to (id, text→digest).
+    */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val o = oldSnap.select(col(idCol).as("doc_id"), fp(col(textCol)).as("ofp"))
+    val n = newSnap.select(col(idCol).as("doc_id"), fp(col(textCol)).as("nfp"))
+    o.join(n, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("ofp").isNull, "added")
+          .when(col("nfp").isNull, "removed")
+          .when(col("ofp") === col("nfp"), "unchanged")
+          .otherwise("modified").as("status"))
+  }
 }

@@ -525,6 +525,22 @@ object PipelineQueries {
     Curation.chunks(t(s, dir, "documents"), "doc_id", "text",
       window = 32, stride = 24)
 
+  /** Corpus snapshot diff ([[Ingest.snapshotDiff]]): two deterministic
+    * snapshots carved from the corpus — docs %7==0 absent from the old,
+    * docs %5==0 absent from the new, docs %11==0 edited in the new —
+    * classified added/removed/modified/unchanged by id + content
+    * fingerprint. The exchange carries 16-byte digests, never text.
+    */
+  def p54SnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val oldSnap = docs.filter(col("doc_id") % 7 =!= 0)
+    val newSnap = docs.filter(col("doc_id") % 5 =!= 0)
+      .withColumn("text",
+        when(col("doc_id") % 11 === 0, concat(col("text"), lit(" edited")))
+          .otherwise(col("text")))
+    Ingest.snapshotDiff(oldSnap, newSnap, "doc_id", "text")
+  }
+
   /** Semantic dedup over the embedding corpus: IVF cells from the p19
     * seed centroids, within-cell cosine pairs at the p07 threshold,
     * transitive closure, one keeper per semantic cluster. The oracle
@@ -808,6 +824,7 @@ object PipelineQueries {
     "p51_hard_negatives" -> p51HardNegatives _,
     "p52_ivf_trained" -> p52IvfTrained _,
     "p53_chunks" -> p53Chunks _,
+    "p54_snapshot_diff" -> p54SnapshotDiff _,
     "p38_pii_scrub" -> p38PiiScrub _,
     "p39_line_dedup" -> p39LineDedup _,
     "p40_semantic_dedup" -> p40SemanticDedup _,
@@ -1510,6 +1527,26 @@ object PipelineQueries {
          |SELECT doc_id, chunk_id, CAST(len(chunk) AS BIGINT) AS n_tokens,
          |  ${oHash("array_to_string(chunk, ' ')")} AS chunk_hash
          |FROM c""".stripMargin,
+    "p54_snapshot_diff" ->
+      s"""WITH o AS (
+         |  SELECT doc_id,
+         |    substr(md5(array_to_string($oToks, ' ')), 1, 16) AS ofp
+         |  FROM documents WHERE doc_id % 7 != 0),
+         |n0 AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 11 = 0 THEN text || ' edited' ELSE text END
+         |      AS text
+         |  FROM documents WHERE doc_id % 5 != 0),
+         |n AS (
+         |  SELECT doc_id,
+         |    substr(md5(array_to_string($oToks, ' ')), 1, 16) AS nfp
+         |  FROM n0)
+         |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+         |  CASE WHEN o.doc_id IS NULL THEN 'added'
+         |       WHEN n.doc_id IS NULL THEN 'removed'
+         |       WHEN ofp = nfp THEN 'unchanged'
+         |       ELSE 'modified' END AS status
+         |FROM o FULL OUTER JOIN n USING (doc_id)""".stripMargin,
     "p38_pii_scrub" ->
       s"""WITH lines AS (
          |  SELECT event_id,
