@@ -58,6 +58,12 @@ class CachingSpec extends SparkSpec with org.scalatest.BeforeAndAfterEach {
     assertNoCacheEntries("semanticDedup")
   }
 
+  test("merge-clusters (p46) releases its pair cache on materialize") {
+    val out = graft.queries.PipelineQueries.p46MergeClusters(spark, sf0001)
+    out.count()
+    assertNoCacheEntries("p46MergeClusters")
+  }
+
   test("the bracketed result is stable across reuse (no recomputation drift)") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
     val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
