@@ -59,6 +59,20 @@ class PlansSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("chunking is a zero-exchange per-row explode (p53)") {
+    val p = plan(PipelineQueries.p53Chunks(spark, sf0001))
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("snapshot diff shuffles on the id with digest-only payload (p54)") {
+    val p = plan(PipelineQueries.p54SnapshotDiff(spark, sf0001))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // the exchange partitions on doc_id, and the digest (md5 prefix) is
+    // computed scan-side so text never rides the shuffle
+    assert(p.contains("hashpartitioning(doc_id"), p)
+    assert(p.contains("md5"), p)
+  }
+
   test("LSH candidate generation is an equi-join on the band key (p02)") {
     // the public minhashPairs returns a checkpointed (plan-opaque)
     // frame, so pin the lazy inner plan it brackets
