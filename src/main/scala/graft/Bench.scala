@@ -11,9 +11,12 @@ object Bench {
       df: org.apache.spark.sql.DataFrame): (Int, Int) = {
     val p = df.queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
-    val shuffles = """Exchange \(\d""".r.findAllIn(p).size
-    val broadcasts = """BroadcastExchange \(\d""".r.findAllIn(p).size
-    (shuffles - broadcasts, broadcasts)
+    // ReusedExchange nodes (AQE exchange reuse, common in self-join
+    // plans) are not new shuffles — count only real Exchange nodes, or
+    // the fingerprint drifts with AQE's run-to-run reuse decisions.
+    val shuffles = """(?<!Broadcast)(?<!Reused)Exchange \(\d""".r.findAllIn(p).size
+    val broadcasts = """(?<!Reused)BroadcastExchange \(\d""".r.findAllIn(p).size
+    (shuffles, broadcasts)
   }
 
   def main(args: Array[String]): Unit = {
@@ -38,9 +41,11 @@ object Bench {
         df.count()
         val t = (System.nanoTime() - t0) / 1e9
         // fingerprint AFTER stopping the clock: explain cost stays out
-        // of the wall numbers. Checkpoint-backed detectors show (0, 0)
-        // — their inner plans are pinned by PlansSpec instead.
-        plans(name) = planFingerprint(df)
+        // of the wall numbers. Checkpoint-backed detectors return an
+        // opaque LogicalRDD, so their lazy pre-checkpoint plan is
+        // rebuilt via SparkEntry.benchPlans and fingerprinted instead.
+        plans(name) = planFingerprint(
+          SparkEntry.benchPlans.get(name).map(_(spark, sfDir)).getOrElse(df))
         t
       } catch {
         case e: Throwable =>

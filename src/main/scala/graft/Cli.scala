@@ -120,7 +120,7 @@ object Cli {
     * match so every reference CLI entry point runs here by its own
     * name. Alias only; the target command's semantics are unchanged.
     */
-  private val aliases = Map(
+  private val aliasPairs: Seq[(String, String)] = Seq(
     "merge_schema" -> "merge",
     "prepdb_altname" -> "prepdb",
     "site_transform" -> "transform",
@@ -160,12 +160,41 @@ object Cli {
     "create_index_replace" -> "concept-groups",
     "index_transform" -> "layout-write",
     "generate_transform_statements" -> "explain",
-    "run_r_query" -> "run-derivations",
     "run_derivations" -> "run-derivations",
     "id_transform" -> "id-transform",
     "post_load" -> "post-load",
     "grant_permissions" -> "grant-permissions",
     "vocab_indexes" -> "vocab-indexes")
+
+  // A Map literal silently keeps only the last binding of a repeated
+  // key, which once shadowed run_r_query -> run-query with a stray
+  // second entry; fail loudly at class init instead.
+  private val aliases: Map[String, String] = {
+    val dups = aliasPairs.groupBy(_._1).collect { case (k, vs) if vs.size > 1 => k }
+    require(dups.isEmpty, s"duplicate CLI alias keys: ${dups.mkString(", ")}")
+    aliasPairs.toMap
+  }
+
+  /** Stage the documents table into a stable ingest dir under `out`
+    * and open it as a file-source stream with a synthetic event time
+    * (the corpus has no timestamps; doc_id+1 seconds — +1 because an
+    * epoch-0 event time equals the initial watermark and the stateful
+    * operator would drop the row as late). The ingest dir must be
+    * stable across runs — the checkpoint records source paths — and is
+    * "_"-prefixed so batch reads of the sink skip it.
+    */
+  private def stagedDocStream(spark: SparkSession, dir: String,
+      out: String): DataFrame = {
+    val schema = Tables.read(spark, dir, "documents").schema
+    val stage = java.nio.file.Paths.get(out, "_ingest")
+    java.nio.file.Files.createDirectories(stage)
+    if (!java.nio.file.Files.exists(stage.resolve("documents.parquet")))
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/documents.parquet"),
+        stage.resolve("documents.parquet"))
+    spark.readStream.schema(schema).parquet(stage.toString)
+      .withColumn("ts", timestamp_micros((col("doc_id") + 1) * 1000000L))
+  }
 
   /** Run one streaming job over the events table as a file-source
     * stream, processed incrementally (AvailableNow = drain what
@@ -330,12 +359,23 @@ object Cli {
       write(queries.PipelineQueries.p05CosineTopK(spark, dir), out)
 
     // bloom-prefiltered idempotent ingest: the zero-shuffle scale path
-    // of ingest-dedup (sketch sized from the corpus's own count)
+    // of ingest-dedup. The sketch is sized from input FILE BYTES, not a
+    // corpus count pass: sizing only tunes the sketch (positives are
+    // exactly verified downstream), and bytes/32 over-estimates rows
+    // for any realistic doc row — over-sizing is the safe direction.
+    // `fresh` is checkpointed once so the append write and the appended
+    // count don't re-run the classification joins.
     case "ingest-bloom" :: dir :: batchDir :: out :: Nil =>
       val corpus = Tables.read(spark, dir, "documents")
       val batch = Tables.read(spark, batchDir, "documents")
+      val conf = spark.sparkContext.hadoopConfiguration
+      val corpusBytes = corpus.inputFiles.map { f =>
+        val p = new org.apache.hadoop.fs.Path(f)
+        p.getFileSystem(conf).getFileStatus(p).getLen
+      }.sum
       val fresh = pipeline.Ingest.bloomFresh(corpus, batch, "text",
-        expectedItems = math.max(1000L, corpus.count() * 2), fpp = 0.01)
+          expectedItems = math.max(1000L, corpusBytes / 32), fpp = 0.01)
+        .localCheckpoint(eager = true)
       write(corpus.unionByName(fresh), out)
       println(s"""{"ingest":"$out","appended":${fresh.count()}}""")
 
@@ -573,17 +613,7 @@ object Cli {
     // timestamps), horizon wide enough to cover the whole corpus so a
     // one-shot run equals the batch candidate join
     case "stream-neardup" :: dir :: out :: Nil =>
-      val schema = Tables.read(spark, dir, "documents").schema
-      val stage = java.nio.file.Paths.get(out, "_ingest")
-      java.nio.file.Files.createDirectories(stage)
-      if (!java.nio.file.Files.exists(stage.resolve("documents.parquet")))
-        java.nio.file.Files.copy(
-          java.nio.file.Paths.get(s"$dir/documents.parquet"),
-          stage.resolve("documents.parquet"))
-      // +1: an epoch-0 event time equals the initial watermark and the
-      // stateful operator drops the row as late — start the clock at 1s
-      val stream = spark.readStream.schema(schema).parquet(stage.toString)
-        .withColumn("ts", timestamp_micros((col("doc_id") + 1) * 1000000L))
+      val stream = stagedDocStream(spark, dir, out)
       val q = streaming.StreamingJobs.nearDupCandidates(stream, "doc_id",
           "text", "ts", k = 3, numHashes = 12, bands = 6,
           horizonUs = 3650L * 86400 * 1000000)
@@ -594,6 +624,23 @@ object Cli {
         .start()
       q.awaitTermination()
       println(s"""{"stream_neardup":"$out"}""")
+
+    // verified variant: candidates are scored with exact Jaccard
+    // against the staged snapshot (the same files being streamed), so
+    // the sink holds true near-dup pairs, not band collisions
+    case "stream-neardup-verified" :: dir :: out :: Nil =>
+      val stream = stagedDocStream(spark, dir, out)
+      val snapshot = Tables.read(spark, dir, "documents")
+      val q = streaming.StreamingJobs.nearDupVerified(stream, snapshot,
+          "doc_id", "text", "ts", k = 3, numHashes = 12, bands = 6,
+          threshold = 0.5, horizonUs = 3650L * 86400 * 1000000)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", s"$out/_checkpoint")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      println(s"""{"stream_neardup_verified":"$out"}""")
 
     // stateless ingest-time PII scrub as an incremental stream
     case "stream-scrub" :: dir :: out :: Nil =>
@@ -679,8 +726,7 @@ object Cli {
       // transitivity and drop every non-representative (p37 semantics)
       val nearDupLosers = operators.ConnectedComponents.dedupDecisions(
           Dedup.ngramJaccardPairs(deduped, "doc_id", "text",
-              k = 4, threshold = 0.4,
-              maxShingleFreq = Some(math.max(20, (deduped.count() / 10).toInt)))
+              k = 4, threshold = 0.4, maxShingleFreqFrac = Some(0.1))
             .select(col("doc_a").as("u"), col("doc_b").as("v")))
         .filter(col("keep") === 0)
         .select(col("node").as("doc_id"))

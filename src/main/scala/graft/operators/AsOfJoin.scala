@@ -34,14 +34,15 @@ import org.apache.spark.sql.functions._
   */
 object AsOfJoin {
 
-  /** Floor time bucket in pure long arithmetic (timestamps are
-    * non-negative; `x - pmod(x, tol)` is an exact multiple of `tol`,
-    * so the double division is exact).
+  /** Floor time bucket in pure long arithmetic. `x - pmod(x, tol)` is
+    * an exact non-negative-remainder multiple of `tol` (so the `div`
+    * is floor division even for negative x), and SQL `div` is integral
+    * — the bucket id never routes through a double, so it stays exact
+    * past 2^53 (micro/nano-scale timestamps included).
     */
-  private def bucketOf(ts: Column, tol: Long): Column = {
-    val t = ts.cast("long")
-    ((t - pmod(t, lit(tol))) / lit(tol)).cast("long")
-  }
+  private def bucketOf(tsCol: String, tol: Long): Column =
+    expr(s"(cast(`$tsCol` as long) - pmod(cast(`$tsCol` as long), $tol))" +
+      s" div $tol")
 
   /** For every left row, attach the single right row with the same `keys`
     * whose `rightTs` is closest to `leftTs` within `toleranceSec`
@@ -63,12 +64,12 @@ object AsOfJoin {
     require(toleranceSec > 0, "tolerance must be positive")
     val l = left.withColumn("__b",
       explode(array(Seq(-1, 0, 1).map(d =>
-        bucketOf(left(leftTs), toleranceSec) + d): _*)))
+        bucketOf(leftTs, toleranceSec) + d): _*)))
     val r0 = right.columns.foldLeft(right) { (df, c) =>
       if (keys.contains(c)) df else df.withColumnRenamed(c, s"$rightPrefix$c")
     }
     val rTs = s"$rightPrefix$rightTs"
-    val r = r0.withColumn("__b", bucketOf(r0(rTs), toleranceSec))
+    val r = r0.withColumn("__b", bucketOf(rTs, toleranceSec))
     val cond: Column =
       (keys.map(k => l(k) === r(k)) :+ (l("__b") === r("__b"))).reduce(_ && _) &&
         abs(l(leftTs).cast("long") - r(rTs).cast("long")) <= toleranceSec

@@ -133,14 +133,27 @@ object Dedup {
     * cache bracket, one with it.
     */
   private[graft] def invIndex(docs: DataFrame,
-      maxShingleFreq: Option[Int]): DataFrame = {
+      maxShingleFreq: Option[Int],
+      maxShingleFreqFrac: Option[Double] = None): DataFrame = {
     val inv0 = docs.select(col("doc"), explode(col("sh")).as("s"))
       .select(col("doc"), hash60(col("s")).as("h"))
-    maxShingleFreq match {
-      case Some(f) =>
+    (maxShingleFreq, maxShingleFreqFrac) match {
+      case (Some(f), _) =>
         val keep = inv0.groupBy("h").count().filter(col("count") <= f).select("h")
         inv0.join(keep, "h")
-      case None => inv0
+      case (None, Some(frac)) =>
+        // Corpus-proportional cap (max(20, ceil(frac · |docs|))) resolved
+        // INSIDE the plan: the doc count rides a single-row broadcast, so
+        // the detector stays one job — no driver-side count pre-pass —
+        // and the cap tracks corpus size at any SF. `docs` is persisted
+        // by the callers' cache bracket, so the count reuses its blocks.
+        val total = broadcast(docs.agg(count(lit(1)).as("__n_docs")))
+        val keep = inv0.groupBy("h").count().crossJoin(total)
+          .filter(col("count") <=
+            greatest(lit(20L), ceil(col("__n_docs") * frac).cast("long")))
+          .select("h")
+        inv0.join(keep, "h")
+      case _ => inv0
     }
   }
 
@@ -211,7 +224,7 @@ object Dedup {
   /** True-Jaccard verification of candidate (doc_a, doc_b) pairs using
     * the distinct shingle sets in `docs` (columns doc, sh).
     */
-  private def verifyJaccard(cand: DataFrame, docs: DataFrame,
+  private[graft] def verifyJaccard(cand: DataFrame, docs: DataFrame,
       threshold: Double): DataFrame = {
     val sa = docs.select(col("doc").as("doc_a"), col("sh").as("sh_a"))
     val sb = docs.select(col("doc").as("doc_b"), col("sh").as("sh_b"))
@@ -280,12 +293,13 @@ object Dedup {
     *    the exhaustive oracle stays green with the knob engaged.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String, k: Int,
-      threshold: Double, maxShingleFreq: Option[Int] = None): DataFrame = {
+      threshold: Double, maxShingleFreq: Option[Int] = None,
+      maxShingleFreqFrac: Option[Double] = None): DataFrame = {
     // shingling feeds the inverted index and both verify sides, and the
     // index feeds the candidate self-join (both sides) plus the stats
     // pass — cache both for the duration of the job
     val docs = shingled(df, idCol, textCol, k)
-    val inv = invIndex(docs, maxShingleFreq)
+    val inv = invIndex(docs, maxShingleFreq, maxShingleFreqFrac)
     Caching.withCached(docs, inv)(ngramJaccardPlan(docs, inv, threshold))
   }
 
@@ -314,9 +328,10 @@ object Dedup {
     * of each unordered candidate pair are verified at once.
     */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String, k: Int,
-      threshold: Double, maxShingleFreq: Option[Int] = None): DataFrame = {
+      threshold: Double, maxShingleFreq: Option[Int] = None,
+      maxShingleFreqFrac: Option[Double] = None): DataFrame = {
     val docs = shingled(df, idCol, textCol, k)
-    val inv = invIndex(docs, maxShingleFreq)
+    val inv = invIndex(docs, maxShingleFreq, maxShingleFreqFrac)
     Caching.withCached(docs, inv)(containmentPlan(docs, inv, threshold))
   }
 

@@ -529,9 +529,123 @@ object Similarity {
   def pqCodes(corpus: DataFrame, idCol: String, vecCol: String, m: Int,
       dim: Int, centroidFilter: Column): DataFrame =
     pqCodeArray(corpus, idCol, vecCol, m, dim,
-        loadCodebook(corpus, idCol, vecCol, centroidFilter))
+        subSlices(loadCodebook(corpus, idCol, vecCol, centroidFilter), m, dim / m))
       .select(col("vec_id"), posexplode(col("codes")))
       .toDF("vec_id", "subspace", "code")
+
+  /** Per-subspace view of a full-vector codebook: subspace s's entry
+    * list is every (cid, slice_s). After training the subspaces
+    * diverge (each refines its own means, and a code that loses all
+    * members in one subspace drops out of that subspace only), so the
+    * per-subspace list-of-entries is the codebook's true shape; the
+    * untrained path is just the uniform special case.
+    */
+  private def subSlices(codebook: Array[(Long, Array[Float])], m: Int,
+      sub: Int): IndexedSeq[Array[(Long, Array[Float])]] =
+    (0 until m).map(s =>
+      codebook.map { case (cid, ce) => (cid, ce.slice(s * sub, (s + 1) * sub)) })
+
+  /** Nearest-codebook-entry argmin for one subspace: the entries are
+    * constant-folded into a `greatest(struct(-d², -id, id))` resolved
+    * in whole-stage codegen — zero exchanges, ties to the smaller id.
+    */
+  private def pqArgmin(vslice: Column,
+      entries: Array[(Long, Array[Float])]): Column = {
+    require(entries.nonEmpty, "empty subspace codebook")
+    val scored = entries.map { case (cid, ce) =>
+      val cslice = array(ce.map(lit(_)): _*)
+      struct((-dist2(vslice, cslice)).as("negd"),
+        lit(-cid).as("tie"), lit(cid).as("cent_id"))
+    }
+    (if (scored.length == 1) scored.head else greatest(scored: _*))
+      .getField("cent_id")
+  }
+
+  /** Per-subspace Lloyd refinement of the PQ codebook — the ADC-error
+    * trainer ([[kmeansTrain]]'s exact shape, once per subspace but in
+    * ONE plan): assignment is the zero-exchange [[pqArgmin]] argmin per
+    * (vector, subspace); the update is a single (subspace, code, dim)
+    * partial-agg groupBy over the exploded member slices. Between
+    * iterations the m·k·(dim/m) fixed-point means — k×dim floats, the
+    * same driver state [[kmeansTrain]] carries — collect and rebuild
+    * the per-subspace codebooks. A code that loses all members in a
+    * subspace drops out of that subspace's list (never reassigned).
+    *
+    * Determinism matches [[kmeansTrain]]: distances are fixed-op-order
+    * doubles, means are integer fixed-point, rebuilt elements are
+    * `(mean_fixed / 1e6).toFloat` — so any engine replays the
+    * iterations bit-for-bit. Output is the FINAL iteration's
+    * (subspace, code, dim, n, mean_fixed) with `dim` global.
+    */
+  def pqTrainMeans(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int, dim: Int, centroidFilter: Column, iters: Int): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    require(dim % m == 0, "m must divide dim")
+    val sub = dim / m
+    var books = subSlices(
+      loadCodebook(corpus, idCol, vecCol, centroidFilter), m, sub)
+    var out: DataFrame = null
+    for (i <- 1 to iters) {
+      out = pqLloydStep(corpus, vecCol, m, dim, books)
+      if (i < iters) books = booksFromMeans(out.collect(), m, sub)
+    }
+    out
+  }
+
+  /** PQ codes assigned from a TRAINED codebook: [[pqTrainMeans]]'s
+    * final means rebuild as per-subspace entries and the assignment is
+    * the same zero-exchange constant-folded argmin as [[pqCodes]] —
+    * train → index, the production composition (p52's analogue for the
+    * ADC family).
+    */
+  def pqTrainedCodes(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int, dim: Int, centroidFilter: Column, iters: Int): DataFrame = {
+    val books = booksFromMeans(
+      pqTrainMeans(corpus, idCol, vecCol, m, dim, centroidFilter, iters)
+        .collect(),
+      m, dim / m)
+    pqCodeArray(corpus, idCol, vecCol, m, dim, books)
+      .select(col("vec_id"), posexplode(col("codes")))
+      .toDF("vec_id", "subspace", "code")
+  }
+
+  private def pqLloydStep(corpus: DataFrame, vecCol: String, m: Int,
+      dim: Int, books: IndexedSeq[Array[(Long, Array[Float])]]): DataFrame = {
+    val sub = dim / m
+    val entries = (0 until m).map { s =>
+      val vslice = slice(col("__v"), s * sub + 1, sub)
+      struct(lit(s.toLong).as("s"), pqArgmin(vslice, books(s)).as("code"),
+        vslice.as("vs"))
+    }
+    corpus.select(col(vecCol).as("__v"))
+      .select(explode(array(entries: _*)).as("e"))
+      .select(col("e.s").as("subspace"), col("e.code").as("code"),
+        posexplode(col("e.vs")).as(Seq("j", "x")))
+      .withColumn("dim", (col("subspace") * sub + col("j")).cast("long"))
+      .groupBy(col("subspace"), col("code"), col("dim"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("x").cast("double") * 1e6)).as("sx"))
+      .select(col("subspace"), col("code"), col("dim"), col("n"),
+        floor(col("sx") / col("n")).cast("long").as("mean_fixed"))
+  }
+
+  /** Rebuild per-subspace codebooks from collected
+    * (subspace, code, dim, n, mean_fixed) rows — the element rebuild is
+    * the [[kmeansTrain]] driver step per subspace.
+    */
+  private def booksFromMeans(rows: Array[org.apache.spark.sql.Row], m: Int,
+      sub: Int): IndexedSeq[Array[(Long, Array[Float])]] = {
+    val bySub = rows.groupBy(_.getLong(0))
+    (0 until m).map { s =>
+      bySub.getOrElse(s.toLong, Array.empty)
+        .groupBy(_.getLong(1)).toArray
+        .map { case (cid, rs) =>
+          (cid, rs.sortBy(_.getLong(2))
+            .map(r => (r.getLong(4).toDouble / 1e6).toFloat))
+        }
+        .sortBy(_._1)
+    }
+  }
 
   /** The driver-side codebook: (id, full vector) rows selected by the
     * filter, sorted by id (k × dim floats — the same driver state
@@ -553,18 +667,12 @@ object Similarity {
     * subspace, zero exchanges.
     */
   private def pqCodeArray(corpus: DataFrame, idCol: String, vecCol: String,
-      m: Int, dim: Int, codebook: Array[(Long, Array[Float])]): DataFrame = {
+      m: Int, dim: Int,
+      books: IndexedSeq[Array[(Long, Array[Float])]]): DataFrame = {
     require(dim % m == 0, "m must divide dim")
     val sub = dim / m
     val codeCols = (0 until m).map { s =>
-      val vslice = slice(col("__v"), s * sub + 1, sub)
-      val scored = codebook.map { case (cid, ce) =>
-        val cslice = array(ce.slice(s * sub, (s + 1) * sub).map(lit(_)): _*)
-        struct((-dist2(vslice, cslice)).as("negd"),
-          lit(-cid).as("tie"), lit(cid).as("cent_id"))
-      }
-      (if (scored.length == 1) scored.head else greatest(scored: _*))
-        .getField("cent_id")
+      pqArgmin(slice(col("__v"), s * sub + 1, sub), books(s))
     }
     corpus.select(col(idCol).as("vec_id"), col(vecCol).as("__v"))
       .select(col("vec_id"), array(codeCols: _*).as("codes"))
@@ -588,14 +696,15 @@ object Similarity {
       k: Int): DataFrame = {
     require(dim % m == 0, "m must divide dim")
     val sub = dim / m
-    val codebook = loadCodebook(corpus, idCol, vecCol, centroidFilter)
-    val codes = pqCodeArray(corpus, idCol, vecCol, m, dim, codebook)
+    val books = subSlices(
+      loadCodebook(corpus, idCol, vecCol, centroidFilter), m, sub)
+    val codes = pqCodeArray(corpus, idCol, vecCol, m, dim, books)
       .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
     val q = broadcast(queries.select(col(idCol).as("query_id"),
       col(vecCol).as("qv")))
     val adist = (0 until m).map { s =>
-      val lut = map(codebook.flatMap { case (cid, ce) =>
-        Seq(lit(cid), array(ce.slice(s * sub, (s + 1) * sub).map(lit(_)): _*))
+      val lut = map(books(s).flatMap { case (cid, ce) =>
+        Seq(lit(cid), array(ce.map(lit(_)): _*))
       }: _*)
       dist2(slice(col("qv"), s * sub + 1, sub),
         element_at(lut, col("codes").getItem(s)))

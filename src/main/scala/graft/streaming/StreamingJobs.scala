@@ -330,4 +330,31 @@ object StreamingJobs {
           }
       }
   }
+
+  /** Streaming near-dup VERIFIED pairs — completes the loop
+    * [[nearDupCandidates]] leaves open: every candidate band collision
+    * is joined stream-static against a corpus snapshot's shingle sets
+    * and scored with EXACT Jaccard, so the stream emits precisely what
+    * the batch detector ([[graft.pipeline.Dedup.minhashPairs]]) would
+    * for the same pairs — false-positive band collisions are rejected
+    * in-flight instead of at a nightly recompute.
+    *
+    * The verify join is stateless (static side broadcast- or
+    * shuffle-hash per micro-batch), so candidate repeats across
+    * bands/triggers cost one probe each; sinks still dedupe on
+    * (doc_a, doc_b). Contract: `corpusSnapshot` must cover the
+    * streamed ids (in the ingest layout the snapshot IS the directory
+    * being streamed); a candidate whose doc is missing from the
+    * snapshot has no shingle set to score and is dropped by the inner
+    * join rather than emitted unverified.
+    */
+  def nearDupVerified(docs: DataFrame, corpusSnapshot: DataFrame,
+      idCol: String, textCol: String, tsCol: String, k: Int,
+      numHashes: Int, bands: Int, threshold: Double, horizonUs: Long,
+      watermarkDelay: String = "1 hour"): DataFrame = {
+    val cand = nearDupCandidates(docs, idCol, textCol, tsCol, k,
+      numHashes, bands, horizonUs, watermarkDelay).toDF()
+    val sh = graft.pipeline.Dedup.shingled(corpusSnapshot, idCol, textCol, k)
+    graft.pipeline.Dedup.verifyJaccard(cand, sh, threshold)
+  }
 }

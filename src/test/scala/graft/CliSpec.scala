@@ -152,6 +152,13 @@ class CliSpec extends SparkSpec {
     Cli.run(spark, List("run-query", "lab_loinc", sf0001, s"$out/rq"))
     assert(spark.read.parquet(s"$out/rq").count() ==
       spark.read.parquet(s"$out/deriv/lab_loinc").count())
+    // the literal reference spelling (main.py run_r_query) must reach
+    // the same dispatcher with the same arity — this was once shadowed
+    // by a duplicate alias key that rewrote it to run-derivations
+    Cli.run(spark,
+      List("run_r_query", "lab_loinc", sf0001, s"$out/rq_ref"))
+    assert(spark.read.parquet(s"$out/rq_ref").count() ==
+      spark.read.parquet(s"$out/rq").count())
     Cli.run(spark,
       List("run_r_pcornet_covid_slice", sf0001, s"$out/covid"))
     assert(spark.read.parquet(s"$out/covid").count() == 3L)

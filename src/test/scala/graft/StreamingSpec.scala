@@ -298,4 +298,81 @@ class StreamingSpec extends SparkSpec {
       assert(streamed == batch)
     } finally q.stop()
   }
+
+  test("streaming verified near-dup pairs equal batch minhashPairs incl. out-of-order") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val nearDup = (1 to 38).map(i => s"tok$i").mkString(" ") + " x y"
+    val nearDup2 = (1 to 39).map(i => s"tok$i").mkString(" ") + " z"
+    val other = (100 to 140).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, nearDup), (3L, other), (4L, nearDup2))
+    val (k, numHashes, bands) = (3, 12, 6)
+    val snapshot = docs.toDF("doc_id", "text")
+
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val out = StreamingJobs.nearDupVerified(
+      mem.toDF().toDF("ts", "doc_id", "text"), snapshot, "doc_id", "text",
+      "ts", k, numHashes, bands, threshold = 0.5,
+      horizonUs = 3600L * 1000 * 1000)
+    val q = out.writeStream.format("memory").queryName("neardup_v")
+      .outputMode("append").start()
+    try {
+      def ts(s: String) = Timestamp.valueOf(s)
+      mem.addData((ts("2024-01-01 00:05:00"), 1L, base))
+      q.processAllAvailable()
+      // doc 2 arrives in a later trigger with an EARLIER event time —
+      // still inside the watermark delay, must pair AND verify
+      mem.addData((ts("2024-01-01 00:04:00"), 2L, nearDup),
+        (ts("2024-01-01 00:10:00"), 3L, other))
+      q.processAllAvailable()
+      mem.addData((ts("2024-01-01 00:15:00"), 4L, nearDup2))
+      q.processAllAvailable()
+      val got = spark.table("neardup_v")
+        .select("doc_a", "doc_b", "jaccard_micro").distinct()
+        .as[(Long, Long, Long)].collect().toSet
+
+      val want = graft.pipeline.Dedup.minhashPairs(snapshot,
+          "doc_id", "text", k, numHashes, bands, threshold = 0.5)
+        .select("doc_a", "doc_b", "jaccard_micro")
+        .as[(Long, Long, Long)].collect().toSet
+
+      assert(got == want, s"streaming=$got batch=$want")
+      assert(got.exists(p => p._1 == 1L && p._2 == 2L)) // planted pair
+      // doc 3 shares no bands — verification never even sees it
+      assert(!got.exists(p => p._1 == 3L || p._2 == 3L))
+    } finally q.stop()
+  }
+
+  test("streaming verified near-dup: watermark-expired docs emit no pairs") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val nearDup = (1 to 38).map(i => s"tok$i").mkString(" ") + " x y"
+    val nearDup2 = (1 to 39).map(i => s"tok$i").mkString(" ") + " z"
+    val snapshot = Seq((1L, base), (2L, nearDup), (3L, "unrelated filler words"),
+      (4L, nearDup2)).toDF("doc_id", "text")
+
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val out = StreamingJobs.nearDupVerified(
+      mem.toDF().toDF("ts", "doc_id", "text"), snapshot, "doc_id", "text",
+      "ts", k = 3, numHashes = 12, bands = 6, threshold = 0.5,
+      horizonUs = 10L * 60 * 1000 * 1000, watermarkDelay = "5 minutes")
+    val q = out.writeStream.format("memory").queryName("neardup_v_exp")
+      .outputMode("append").start()
+    try {
+      def ts(s: String) = Timestamp.valueOf(s)
+      mem.addData((ts("2024-01-01 00:05:00"), 1L, base),
+        (ts("2024-01-01 00:06:00"), 2L, nearDup))
+      q.processAllAvailable()
+      // push the watermark far past docs 1/2 + horizon; their state
+      // must be gone, so the late near-dup 4 verifies against nothing
+      mem.addData((ts("2024-01-01 09:00:00"), 3L, "unrelated filler words"))
+      q.processAllAvailable()
+      mem.addData((ts("2024-01-01 09:01:00"), 4L, nearDup2))
+      q.processAllAvailable()
+      val pairs = spark.table("neardup_v_exp")
+        .select("doc_a", "doc_b").distinct()
+        .as[(Long, Long)].collect().toSet
+      assert(pairs == Set((1L, 2L)), s"got $pairs")
+    } finally q.stop()
+  }
 }
