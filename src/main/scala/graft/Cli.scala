@@ -70,6 +70,7 @@ object Cli {
         |  stream-dedup <dir> <outDir>                   streaming exact dedup (watermark-bounded state)
         |  stream-sessionize <dir> <outDir>              stateful sessionization as an incremental stream
         |  stream-neardup <dir> <outDir>                 streaming LSH near-dup candidate pairs
+        |  stream-neardup-verified <dir> <outDir>        streaming near-dup pairs, exact-Jaccard verified
         |  stream-scrub <dir> <outDir>                   stateless PII scrub as an incremental stream
         |  kmeans <dir> <outDir> [iters]                 IVF centroid training (Lloyd, default 1 iteration)
         |  repetition <dir> <outDir>                     Gopher-style repetition quality signals
@@ -88,6 +89,7 @@ object Cli {
         |  vacuum <tableDir> [targetMB]                  compact a parquet dir's small files in place
         |  ingest-dedup <dir> <batchDir> <outDir>        idempotent corpus append (content-hash anti-join)
         |  ingest-bloom <dir> <batchDir> <outDir>        same append, bloom-prefiltered (zero-shuffle scale path)
+        |  ingest-loop <dir> <batchDir> <outDir>         full incremental cycle: admit, diff, delta pairs, merge clusters
         |  pq-codes <dir> <outDir>                       product-quantization codes per vector
         |  pq-ann <dir> <outDir>                         ADC top-k over PQ codes
         |  hard-negatives <dir> <outDir>                 top-k below the near-dup ceiling
@@ -173,6 +175,21 @@ object Cli {
     val dups = aliasPairs.groupBy(_._1).collect { case (k, vs) if vs.size > 1 => k }
     require(dups.isEmpty, s"duplicate CLI alias keys: ${dups.mkString(", ")}")
     aliasPairs.toMap
+  }
+
+  /** Bloom-sketch capacity from input FILE BYTES — an upper bound on
+    * the corpus row count with no corpus pass. Sizing only tunes the
+    * sketch (positives are exactly verified downstream), and bytes/32
+    * over-estimates rows for any realistic doc row; over-sizing is the
+    * safe direction.
+    */
+  private def bloomCapacity(spark: SparkSession, corpus: DataFrame): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val bytes = corpus.inputFiles.map { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      p.getFileSystem(conf).getFileStatus(p).getLen
+    }.sum
+    math.max(1000L, bytes / 32)
   }
 
   /** Stage the documents table into a stable ingest dir under `out`
@@ -368,16 +385,43 @@ object Cli {
     case "ingest-bloom" :: dir :: batchDir :: out :: Nil =>
       val corpus = Tables.read(spark, dir, "documents")
       val batch = Tables.read(spark, batchDir, "documents")
-      val conf = spark.sparkContext.hadoopConfiguration
-      val corpusBytes = corpus.inputFiles.map { f =>
-        val p = new org.apache.hadoop.fs.Path(f)
-        p.getFileSystem(conf).getFileStatus(p).getLen
-      }.sum
       val fresh = pipeline.Ingest.bloomFresh(corpus, batch, "text",
-          expectedItems = math.max(1000L, corpusBytes / 32), fpp = 0.01)
+          expectedItems = bloomCapacity(spark, corpus), fpp = 0.01)
         .localCheckpoint(eager = true)
       write(corpus.unionByName(fresh), out)
       println(s"""{"ingest":"$out","appended":${fresh.count()}}""")
+
+    // the full incremental ingest loop as ONE job — the production
+    // composition the pieces were built for: bloom admission (p47) →
+    // snapshot diff audit (p54) → pair detection on the DELTA only
+    // (p35's sketch join, delta × corpus) → star-edge component merge
+    // (p46). Writes corpus/, diff/, assignment/ under <out>. The base
+    // assignment is bootstrapped from the pre-batch corpus here; a
+    // long-lived deployment loads it from the previous cycle instead —
+    // either way pair history is never replayed, which is the point.
+    case "ingest-loop" :: dir :: batchDir :: out :: Nil =>
+      val corpus = Tables.read(spark, dir, "documents")
+      val batch = Tables.read(spark, batchDir, "documents")
+      val fresh = pipeline.Ingest.bloomFresh(corpus, batch, "text",
+          expectedItems = bloomCapacity(spark, corpus), fpp = 0.01)
+        .localCheckpoint(eager = true)
+      val newCorpus = corpus.unionByName(fresh)
+      write(newCorpus, s"$out/corpus")
+      val diff = pipeline.Ingest.snapshotDiff(corpus, newCorpus,
+        "doc_id", "text").localCheckpoint(eager = true)
+      write(diff, s"$out/diff")
+      val assignment = operators.ConnectedComponents.components(
+        Curation.winnowPairs(corpus, "doc_id", "text", k = 3, w = 4,
+            minShared = 3)
+          .select(col("doc_a").as("u"), col("doc_b").as("v")))
+      val delta = newCorpus.join(
+        diff.filter(col("status") === "added").select("doc_id"), "doc_id")
+      val newPairs = Curation.winnowPairsDelta(newCorpus, delta,
+        "doc_id", "text", k = 3, w = 4, minShared = 3)
+      val merged = operators.ConnectedComponents.merge(assignment,
+        newPairs.select(col("doc_a").as("u"), col("doc_b").as("v")))
+      write(merged, s"$out/assignment")
+      println(s"""{"ingest_loop":"$out","appended":${fresh.count()}}""")
 
     case "pq-codes" :: dir :: out :: Nil =>
       write(queries.PipelineQueries.p48PqCodes(spark, dir), out)

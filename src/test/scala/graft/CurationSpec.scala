@@ -77,6 +77,23 @@ class CurationSpec extends SparkSpec {
     assert(fp(3L).intersect(fp(1L) ++ fp(2L)).isEmpty, "disjoint doc collided")
   }
 
+  test("winnowPairsDelta(full, full) equals winnowPairs(full); delta keeps only touching pairs") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet").limit(60)
+    val all = Curation.winnowPairs(docs, "doc_id", "text",
+        k = 3, w = 4, minShared = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    val viaDelta = Curation.winnowPairsDelta(docs, docs, "doc_id", "text",
+        k = 3, w = 4, minShared = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(viaDelta == all)
+    val delta = docs.filter($"doc_id" % 3 === 0)
+    val touching = Curation.winnowPairsDelta(docs, delta, "doc_id", "text",
+        k = 3, w = 4, minShared = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(touching ==
+      all.filter(p => p._1 % 3 == 0 || p._2 % 3 == 0))
+  }
+
   test("rareTokenRatio counts occurrences of low-df tokens exactly") {
     val corpus = Seq(
       (1L, "common common unicorn"), // unicorn df=1
