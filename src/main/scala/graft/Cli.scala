@@ -92,6 +92,8 @@ object Cli {
         |  ingest-loop <dir> <batchDir> <outDir>         full incremental cycle: admit, diff, delta pairs, merge clusters
         |  pq-codes <dir> <outDir>                       product-quantization codes per vector
         |  pq-ann <dir> <outDir>                         ADC top-k over PQ codes
+        |  pq-train <dir> <outDir>                       trained-codebook PQ codes (per-subspace Lloyd)
+        |  pq-ann-trained <dir> <outDir>                 ADC top-k against the trained codebook
         |  hard-negatives <dir> <outDir>                 top-k below the near-dup ceiling
         |  curate <dir> <outDir>                         quality -> exact+near dedup -> decontaminate -> shard
         |  transform-one <siteDir> <site> <table> <step> <outDir>  one stock step: age|concept-name|site
@@ -428,6 +430,12 @@ object Cli {
 
     case "pq-ann" :: dir :: out :: Nil =>
       write(queries.PipelineQueries.p49PqTopK(spark, dir), out)
+
+    case "pq-train" :: dir :: out :: Nil =>
+      write(queries.PipelineQueries.p55PqTrained(spark, dir), out)
+
+    case "pq-ann-trained" :: dir :: out :: Nil =>
+      write(queries.PipelineQueries.p58PqTrainedTopK(spark, dir), out)
 
     case "hard-negatives" :: dir :: out :: Nil =>
       write(queries.PipelineQueries.p51HardNegatives(spark, dir), out)

@@ -693,11 +693,33 @@ object Similarity {
     */
   def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, m: Int, dim: Int, centroidFilter: Column,
-      k: Int): DataFrame = {
+      k: Int): DataFrame =
+    pqTopKWith(corpus, queries, idCol, vecCol, m, dim,
+      subSlices(loadCodebook(corpus, idCol, vecCol, centroidFilter), m,
+        dim / m),
+      k)
+
+  /** ADC top-k over PREPARED per-subspace codebooks — [[pqTopK]] with
+    * the codebook as an explicit input, so the trained entries from
+    * [[pqTrainMeans]] (via [[booksFromMeans]]) drive the full
+    * compressed scan: train → index → query, the [[ivfTopKWith]]
+    * analogue for the ADC family.
+    */
+  def pqTopKTrained(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, m: Int, dim: Int, centroidFilter: Column,
+      iters: Int, k: Int): DataFrame =
+    pqTopKWith(corpus, queries, idCol, vecCol, m, dim,
+      booksFromMeans(
+        pqTrainMeans(corpus, idCol, vecCol, m, dim, centroidFilter, iters)
+          .collect(),
+        m, dim / m),
+      k)
+
+  private def pqTopKWith(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, m: Int, dim: Int,
+      books: IndexedSeq[Array[(Long, Array[Float])]], k: Int): DataFrame = {
     require(dim % m == 0, "m must divide dim")
     val sub = dim / m
-    val books = subSlices(
-      loadCodebook(corpus, idCol, vecCol, centroidFilter), m, sub)
     val codes = pqCodeArray(corpus, idCol, vecCol, m, dim, books)
       .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
     val q = broadcast(queries.select(col(idCol).as("query_id"),

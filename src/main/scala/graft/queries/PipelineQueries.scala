@@ -533,6 +533,19 @@ object PipelineQueries {
         iters = 2)
       .withColumn("subspace", col("subspace").cast("long"))
 
+  /** Trained-ADC top-k ([[Similarity.pqTopKTrained]]): the full PQ
+    * production chain — per-subspace Lloyd training, trained-code
+    * assignment, ADC scan against the TRAINED entries — as one query,
+    * p52's train→index→query composition for the ADC family. The
+    * oracle replays training AND the four-term asymmetric distance.
+    */
+  def p58PqTrainedTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.pqTopKTrained(emb, emb.filter(col("vec_id") < 20),
+      "vec_id", "embedding", m = 4, dim = 64,
+      centroidFilter = col("vec_id") < 8, iters = 2, k = 5)
+  }
+
   /** ADC top-k over the p48 codes ([[Similarity.pqTopK]]): the p05
     * query set scanned against code-compressed corpus rows, ranked by
     * asymmetric distance. The oracle replays code assignment AND the
@@ -892,6 +905,7 @@ object PipelineQueries {
     "p49_pq_topk" -> p49PqTopK _,
     "p55_pq_trained" -> p55PqTrained _,
     "p56_ann_recall" -> p56AnnRecall _,
+    "p58_pq_trained_topk" -> p58PqTrainedTopK _,
     "p57_png_decode" -> p57PngDecode _,
     "p50_temp_mix" -> p50TempMix _,
     "p51_hard_negatives" -> p51HardNegatives _,
@@ -1015,7 +1029,7 @@ object PipelineQueries {
     * `(mean_fixed/1e6)::FLOAT` — the two IEEE ops the Spark driver
     * performs. Final select = code assignment against cb`iters`.
     */
-  private def oPqTrained(iters: Int): String = {
+  private def oPqTrainedCtes(iters: Int): String = {
     def d2(ce: String): String =
       s"""(list_sum(list_transform(generate_series(1, 16),
          |    i -> CAST(e.embedding[c.s*16 + i] AS DOUBLE)
@@ -1058,10 +1072,56 @@ object PipelineQueries {
        |  SELECT e.vec_id, c.s, c.cid,
        |    ROW_NUMBER() OVER (PARTITION BY e.vec_id, c.s
        |      ORDER BY ${d2("c.ce")} ASC, c.cid ASC) AS rn
-       |  FROM embeddings e, cb$iters c)
-       |SELECT vec_id, CAST(s AS BIGINT) AS subspace, cid AS code
-       |FROM assignT WHERE rn = 1""".stripMargin
+       |  FROM embeddings e, cb$iters c)""".stripMargin
     sb.toString
+  }
+
+  private def oPqTrained(iters: Int): String =
+    oPqTrainedCtes(iters) + """
+      |SELECT vec_id, CAST(s AS BIGINT) AS subspace, cid AS code
+      |FROM assignT WHERE rn = 1""".stripMargin
+
+  /** Trained-ADC replay: the [[oPqTrainedCtes]] chain through the
+    * trained codebook, then the p49 scan shape with each subspace's
+    * entry joined from cb`iters` (local 1..16 indexing on the entry,
+    * global offsets on the query) — same ordered four-term sum.
+    */
+  private def oPqTrainedTopK(iters: Int, k: Int): String = {
+    def d2At(s: Int): String =
+      s"""(list_sum(list_transform(generate_series(1, 16),
+         |    i -> CAST(q.qv[${s * 16} + i] AS DOUBLE)
+         |         * CAST(q.qv[${s * 16} + i] AS DOUBLE)))
+         | - 2 * list_sum(list_transform(generate_series(1, 16),
+         |    i -> CAST(q.qv[${s * 16} + i] AS DOUBLE)
+         |         * CAST(e$s.ce[i] AS DOUBLE)))
+         | + list_sum(list_transform(generate_series(1, 16),
+         |    i -> CAST(e$s.ce[i] AS DOUBLE) * CAST(e$s.ce[i] AS DOUBLE))))""".stripMargin
+    val terms = (0 until 4).map(d2At).mkString("\n    + ")
+    val joins = (0 until 4)
+      .map(s => s"JOIN cb$iters e$s ON e$s.s = $s AND e$s.cid = w.c$s")
+      .mkString("\n  ")
+    oPqTrainedCtes(iters) + s""",
+      |codesw AS (
+      |  SELECT vec_id,
+      |    MAX(CASE WHEN s = 0 THEN cid END) AS c0,
+      |    MAX(CASE WHEN s = 1 THEN cid END) AS c1,
+      |    MAX(CASE WHEN s = 2 THEN cid END) AS c2,
+      |    MAX(CASE WHEN s = 3 THEN cid END) AS c3
+      |  FROM assignT WHERE rn = 1 GROUP BY vec_id),
+      |q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+      |      WHERE vec_id < 20),
+      |ad AS (
+      |  SELECT q.query_id, w.vec_id AS cand_id,
+      |    ($terms) AS adist
+      |  FROM codesw w
+      |  $joins
+      |  CROSS JOIN q
+      |  WHERE q.query_id != w.vec_id)
+      |SELECT query_id, cand_id, CAST(rn AS BIGINT) AS rank,
+      |  CAST(FLOOR(adist * 1e6) AS BIGINT) AS adist_micro
+      |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+      |        ORDER BY adist ASC, cand_id ASC) AS rn FROM ad)
+      |WHERE rn <= $k""".stripMargin
   }
 
   /** DuckDB 64-bit simhash over an in-scope `toks`, same semantics as
@@ -1628,6 +1688,7 @@ object PipelineQueries {
          |FROM scored WHERE rn = 1""".stripMargin
     },
     "p55_pq_trained" -> oPqTrained(iters = 2),
+    "p58_pq_trained_topk" -> oPqTrainedTopK(iters = 2, k = 5),
     "p49_pq_topk" -> {
       // fixed-offset index-order dot over subspace s (a literal here,
       // unlike p48's correlated subs.s)

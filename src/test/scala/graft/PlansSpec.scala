@@ -37,6 +37,16 @@ class PlansSpec extends SparkSpec {
     assert(exchanges == 1, s"expected 1 exchange, got $exchanges\n$p")
   }
 
+  test("benchPlans fingerprints are non-vacuous for every checkpointed detector") {
+    // Bench reads these instead of the opaque LogicalRDD the public
+    // query returns; a (0, 0) row here means the BENCH artifact would
+    // carry no plan signal for the most expensive queries again.
+    for ((name, build) <- SparkEntry.benchPlans) {
+      val (sh, bc) = Bench.planFingerprint(build(spark, sf0001))
+      assert(sh + bc > 0, s"$name fingerprinted as (0, 0)")
+    }
+  }
+
   test("cosine topK broadcasts the query side and keeps scan pruned (p05)") {
     val p = plan(PipelineQueries.p05CosineTopK(spark, sf0001))
     assert(p.contains("BroadcastNestedLoopJoin"), p)
@@ -47,6 +57,17 @@ class PlansSpec extends SparkSpec {
     val p = plan(PipelineQueries.p48PqCodes(spark, sf0001))
     assert(!p.contains("Exchange"), p)
     assert(p.contains("dot_product_f"), p)
+  }
+
+  test("trained-PQ code assignment stays a zero-exchange projection (p55)") {
+    // training runs its own jobs plan-side; the ASSIGNMENT the query
+    // returns must still be the constant-folded argmin, no exchanges
+    val p = plan(graft.pipeline.Similarity.pqTrainedCodes(
+      spark.read.parquet(s"$sf0001/embeddings.parquet"), "vec_id",
+      "embedding", m = 4, dim = 64,
+      centroidFilter = org.apache.spark.sql.functions.col("vec_id") < 8,
+      iters = 1))
+    assert(!p.contains("Exchange"), p)
   }
 
   test("pq ADC scan broadcasts queries; corpus moves codes only (p49)") {
