@@ -859,7 +859,10 @@ object PipelineQueries {
         pairs.filter((col("u") + col("v")) % 2 === 0))
       ConnectedComponents.merge(assignment,
         pairs.filter((col("u") + col("v")) % 2 =!= 0))
-    }))
+    }),
+    "p56_ann_recall" -> ((s, dir) =>
+      annRecallPlan(s, dir,
+        p05CosineTopK(s, dir).select("query_id", "cand_id", "rank"))))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_exact_dedup" -> p01ExactDedup _,
@@ -1177,24 +1180,31 @@ object PipelineQueries {
     */
   def p56AnnRecall(s: SparkSession, dir: String): DataFrame = {
     val exact = p05CosineTopK(s, dir).select("query_id", "cand_id", "rank")
+    graft.core.Caching.withCached(exact)(annRecallPlan(s, dir, exact))
+  }
+
+  /** Lazy plan for [[p56AnnRecall]] over a prepared exact-truth frame
+    * (split out so Bench can fingerprint it — the public query's
+    * cache bracket returns an opaque LogicalRDD).
+    */
+  private def annRecallPlan(s: SparkSession, dir: String,
+      exact: DataFrame): DataFrame = {
     val methods: Seq[(String, DataFrame, Int)] = Seq(
       ("p06_ann_lsh", p06AnnLsh(s, dir), 3),
       ("p19_ivf", p19Ivf(s, dir), 3),
       ("p26_ivf_nprobe", p26IvfNprobe(s, dir), 3),
       ("p49_pq_topk", p49PqTopK(s, dir), 5))
-    graft.core.Caching.withCached(exact) {
-      methods.map { case (name, df, km) =>
-        val truth = exact.filter(col("rank") <= km)
-          .select("query_id", "cand_id")
-        df.select("query_id", "cand_id")
-          .join(truth, Seq("query_id", "cand_id"))
-          .agg(count(lit(1)).as("n_hits"))
-          .crossJoin(truth.agg(count(lit(1)).as("n_truth")))
-          .select(lit(name).as("method"), col("n_hits"), col("n_truth"),
-            floor((col("n_hits") * lit(1e6)) / col("n_truth")).cast("long")
-              .as("recall_micro"))
-      }.reduce(_ unionByName _)
-    }
+    methods.map { case (name, df, km) =>
+      val truth = exact.filter(col("rank") <= km)
+        .select("query_id", "cand_id")
+      df.select("query_id", "cand_id")
+        .join(truth, Seq("query_id", "cand_id"))
+        .agg(count(lit(1)).as("n_hits"))
+        .crossJoin(truth.agg(count(lit(1)).as("n_truth")))
+        .select(lit(name).as("method"), col("n_hits"), col("n_truth"),
+          floor((col("n_hits") * lit(1e6)) / col("n_truth")).cast("long")
+            .as("recall_micro"))
+    }.reduce(_ unionByName _)
   }
 
   /** The p56 oracle: each method's own oracle SQL (verbatim, as a
