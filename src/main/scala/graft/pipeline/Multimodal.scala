@@ -178,6 +178,22 @@ object Multimodal {
     }
   }
 
+  /** [[resizePlan]] over REAL decoded dimensions: the payloads are
+    * actual PNGs and width/height come from `ImageIO.read`, not the
+    * stub — the full resize-planning path a batch image pipeline runs
+    * (decode → compute scale factors), per partition, fixed-point
+    * scales.
+    */
+  def resizePlanPng(ds: Dataset[EncodedImage], targetW: Int,
+      targetH: Int): Dataset[ResizedMeta] = {
+    import ds.sparkSession.implicits._
+    decodePng(ds).map { d =>
+      ResizedMeta(d.media_id, targetW, targetH,
+        math.floor(targetW * 1e6 / d.width).toLong,
+        math.floor(targetH * 1e6 / d.height).toLong)
+    }
+  }
+
   /** Build a media table from the documents table by treating the
     * UTF-8 bytes as an opaque payload — the driver testdata carries no
     * real image column, so this is the plumbing-exercise source.

@@ -252,6 +252,25 @@ object PipelineQueries {
     Multimodal.decodePng(Multimodal.encodePng(src)).toDF()
   }
 
+  /** Resize planning over REAL decoded dimensions
+    * ([[Multimodal.resizePlanPng]]): the p57 PNGs decoded by the actual
+    * codec, scale factors to a 224×224 box from the decoded — not
+    * derived — width/height. The oracle recomputes the expected
+    * dimensions from the doc attributes, so a pass certifies decode +
+    * the fixed-point scale arithmetic together.
+    */
+  def p59ResizePng(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val src = t(s, dir, "documents").select(
+        col("doc_id"),
+        (lit(1) + pmod(col("doc_id"), lit(16))).cast("int"),
+        (lit(1) + pmod(length(col("text")), lit(16))).cast("int"),
+        (pmod(col("doc_id"), lit(256)) * 65793).cast("int"))
+      .as[(Long, Int, Int, Int)]
+    Multimodal.resizePlanPng(Multimodal.encodePng(src),
+      targetW = 224, targetH = 224).toDF()
+  }
+
   // ------------------------------------------------------------ events
 
   /** Gap-based sessionization (30-min timeout) of the event stream. */
@@ -909,6 +928,7 @@ object PipelineQueries {
     "p55_pq_trained" -> p55PqTrained _,
     "p56_ann_recall" -> p56AnnRecall _,
     "p58_pq_trained_topk" -> p58PqTrainedTopK _,
+    "p59_resize_png" -> p59ResizePng _,
     "p57_png_decode" -> p57PngDecode _,
     "p50_temp_mix" -> p50TempMix _,
     "p51_hard_negatives" -> p51HardNegatives _,
@@ -1949,6 +1969,17 @@ object PipelineQueries {
          |  md5(text || '#' || CAST(i AS VARCHAR)) AS frame_checksum
          |FROM f CROSS JOIN (SELECT UNNEST(generate_series(0, 6, 2)) AS i) s
          |WHERE i < nf""".stripMargin,
+    "p59_resize_png" ->
+      s"""WITH d AS (
+         |  SELECT doc_id AS media_id,
+         |    1 + doc_id % 16 AS w,
+         |    1 + length(text) % 16 AS h
+         |  FROM documents)
+         |SELECT media_id,
+         |  CAST(224 AS INTEGER) AS target_w, CAST(224 AS INTEGER) AS target_h,
+         |  CAST(FLOOR(224 * 1000000.0 / w) AS BIGINT) AS scale_x_micro,
+         |  CAST(FLOOR(224 * 1000000.0 / h) AS BIGINT) AS scale_y_micro
+         |FROM d""".stripMargin,
     "p30_resize_plan" ->
       s"""WITH d AS (
          |  SELECT doc_id AS media_id,
