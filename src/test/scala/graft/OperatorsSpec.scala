@@ -132,6 +132,22 @@ class OperatorsSpec extends SparkSpec {
     assert(got == Seq((10L, 20L)))
   }
 
+  test("AsOfJoin buckets stay exact past 2^53 (nano-scale timestamps)") {
+    // quotients ~1.5e18 are unrepresentable in double: the old
+    // double-division bucket id could land either side of the true
+    // floor. The SQL `div` path must pair the in-tolerance neighbor
+    // and reject the out-of-tolerance one regardless of magnitude.
+    val base = 1L << 62
+    val l = Seq((1L, 10L, base)).toDF("k", "lid", "ts")
+    val r = Seq((1L, 20L, base + 2L), (1L, 21L, base - 4L))
+      .toDF("k", "rid", "ts")
+    val got = AsOfJoin.nearest(l, r, Seq("k"), "ts", "ts",
+        toleranceSec = 3L, leftUnique = Seq("lid"),
+        rightTiebreak = Seq("rid"))
+      .select("lid", "r_rid").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((10L, 20L)))
+  }
+
   test("IdMapping extendMap + replaceId round-trip") {
     val facts = Seq((1001L, "a"), (1002L, "b"), (1003L, "c")).toDF("mk", "payload")
     val empty = Seq.empty[(Long, Long)].toDF("site_id", "dcc_id")
