@@ -178,6 +178,68 @@ object Multimodal {
     }
   }
 
+  case class EncodedAudio(media_id: Long, wav: Array[Byte])
+
+  case class DecodedAudio(media_id: Long, sample_rate: Long,
+      channels: Long, n_frames: Long, peak: Long)
+
+  /** REAL WAV encode — no stub: 16-bit mono PCM frames (a constant
+    * `amplitude` tone; little-endian shorts) written through the JDK's
+    * actual RIFF/WAVE encoder (`javax.sound.sampled.AudioSystem`). The
+    * payload column carries genuine codec output, same contract as
+    * [[encodePng]].
+    */
+  def encodeWav(ds: Dataset[(Long, Int, Int, Int)]): Dataset[EncodedAudio] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.map { case (id, sampleRate, nFrames, amplitude) =>
+        val pcm = new Array[Byte](nFrames * 2)
+        var i = 0
+        while (i < nFrames) {
+          pcm(2 * i) = (amplitude & 0xff).toByte
+          pcm(2 * i + 1) = ((amplitude >> 8) & 0xff).toByte
+          i += 1
+        }
+        val fmt = new javax.sound.sampled.AudioFormat(
+          sampleRate.toFloat, 16, 1, true, false)
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        EncodedAudio(id, bos.toByteArray)
+      }
+    }
+  }
+
+  /** REAL WAV decode — no stub: `AudioSystem.getAudioInputStream`
+    * parses the actual RIFF header (sample rate, channels, frame
+    * count) and the PCM frames are read back for a peak-sample stat —
+    * the audio analogue of [[decodePng]], and the same oracle
+    * contract: decoded properties are pinned, payload bytes never are.
+    */
+  def decodeWav(ds: Dataset[EncodedAudio]): Dataset[DecodedAudio] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.map { r =>
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(r.wav))
+        val fmt = ais.getFormat
+        val frames = ais.getFrameLength
+        val bytes = ais.readAllBytes()
+        var peak = 0L
+        var i = 0
+        while (i + 1 < bytes.length) {
+          val s = ((bytes(i) & 0xff) | (bytes(i + 1) << 8)).toShort
+          if (math.abs(s.toLong) > peak) peak = math.abs(s.toLong)
+          i += 2
+        }
+        DecodedAudio(r.media_id, fmt.getSampleRate.toLong,
+          fmt.getChannels.toLong, frames, peak)
+      }
+    }
+  }
+
   /** [[resizePlan]] over REAL decoded dimensions: the payloads are
     * actual PNGs and width/height come from `ImageIO.read`, not the
     * stub — the full resize-planning path a batch image pipeline runs

@@ -271,6 +271,24 @@ object PipelineQueries {
       targetW = 224, targetH = 224).toDF()
   }
 
+  /** REAL audio decode ([[Multimodal.encodeWav]]/[[Multimodal.decodeWav]]
+    * — the JDK's RIFF/WAVE codec, not the stub): per document a 16-bit
+    * mono PCM tone with doc-derived rate/length/amplitude is written
+    * through `AudioSystem`, and the query output is what the decoder
+    * parses back (header fields + peak sample). Same oracle contract
+    * as p57: encode∘decode identity on doc-derived properties.
+    */
+  def p60WavDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val src = t(s, dir, "documents").select(
+        col("doc_id"),
+        (lit(8000) + pmod(col("doc_id"), lit(8)) * 1000).cast("int"),
+        (lit(100) + pmod(length(col("text")), lit(400))).cast("int"),
+        (pmod(col("doc_id"), lit(1000)) * 30).cast("int"))
+      .as[(Long, Int, Int, Int)]
+    Multimodal.decodeWav(Multimodal.encodeWav(src)).toDF()
+  }
+
   // ------------------------------------------------------------ events
 
   /** Gap-based sessionization (30-min timeout) of the event stream. */
@@ -929,6 +947,7 @@ object PipelineQueries {
     "p56_ann_recall" -> p56AnnRecall _,
     "p58_pq_trained_topk" -> p58PqTrainedTopK _,
     "p59_resize_png" -> p59ResizePng _,
+    "p60_wav_decode" -> p60WavDecode _,
     "p57_png_decode" -> p57PngDecode _,
     "p50_temp_mix" -> p50TempMix _,
     "p51_hard_negatives" -> p51HardNegatives _,
@@ -1361,6 +1380,13 @@ object PipelineQueries {
       """SELECT doc_id AS media_id, 'text/plain' AS mime,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  md5(text) AS checksum
+        |FROM documents""".stripMargin,
+    "p60_wav_decode" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(8000 + (doc_id % 8) * 1000 AS BIGINT) AS sample_rate,
+        |  CAST(1 AS BIGINT) AS channels,
+        |  CAST(100 + length(text) % 400 AS BIGINT) AS n_frames,
+        |  CAST((doc_id % 1000) * 30 AS BIGINT) AS peak
         |FROM documents""".stripMargin,
     "p57_png_decode" ->
       """SELECT doc_id AS media_id,

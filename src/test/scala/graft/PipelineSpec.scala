@@ -283,6 +283,21 @@ class PipelineSpec extends SparkSpec {
     assert(bytes.take(4).toSeq == Seq[Byte](0x89.toByte, 'P', 'N', 'G'))
   }
 
+  test("real WAV codec round-trip: decode returns encoded rate, frames, peak") {
+    val src = Seq((1L, 8000, 120, 300), (2L, 11000, 100, 0),
+      (3L, 15000, 499, 29970)).toDS()
+    val out = Multimodal.decodeWav(Multimodal.encodeWav(src))
+      .collect().sortBy(_.media_id)
+    assert(out.map(r => (r.media_id, r.sample_rate, r.channels,
+      r.n_frames, r.peak)).toSeq ==
+      Seq((1L, 8000L, 1L, 120L, 300L), (2L, 11000L, 1L, 100L, 0L),
+        (3L, 15000L, 1L, 499L, 29970L)))
+    // the payload really is a RIFF/WAVE file from the actual encoder
+    val bytes = Multimodal.encodeWav(src).collect().head.wav
+    assert(new String(bytes.take(4), "US-ASCII") == "RIFF")
+    assert(new String(bytes.slice(8, 12), "US-ASCII") == "WAVE")
+  }
+
   test("sessionize splits on gaps strictly greater than the timeout") {
     val df = Seq(
       (1L, 10L, 0L), (1L, 11L, 100L), (1L, 12L, 101L),
