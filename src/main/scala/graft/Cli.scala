@@ -397,10 +397,11 @@ object Cli {
     // composition the pieces were built for: bloom admission (p47) →
     // snapshot diff audit (p54) → pair detection on the DELTA only
     // (p35's sketch join, delta × corpus) → star-edge component merge
-    // (p46). Writes corpus/, diff/, assignment/ under <out>. The base
-    // assignment is bootstrapped from the pre-batch corpus here; a
-    // long-lived deployment loads it from the previous cycle instead —
-    // either way pair history is never replayed, which is the point.
+    // (p46). The output dir IS the next cycle's input dir: the merged
+    // corpus lands at <out>/documents.parquet and the assignment at
+    // <out>/assignment, and a later cycle whose <dir> carries an
+    // assignment/ loads it instead of re-clustering — so pair history
+    // is replayed exactly once (the first bootstrap), never again.
     case "ingest-loop" :: dir :: batchDir :: out :: Nil =>
       val corpus = Tables.read(spark, dir, "documents")
       val batch = Tables.read(spark, batchDir, "documents")
@@ -408,14 +409,17 @@ object Cli {
           expectedItems = bloomCapacity(spark, corpus), fpp = 0.01)
         .localCheckpoint(eager = true)
       val newCorpus = corpus.unionByName(fresh)
-      write(newCorpus, s"$out/corpus")
+      write(newCorpus, s"$out/documents.parquet")
       val diff = pipeline.Ingest.snapshotDiff(corpus, newCorpus,
         "doc_id", "text").localCheckpoint(eager = true)
       write(diff, s"$out/diff")
-      val assignment = operators.ConnectedComponents.components(
-        Curation.winnowPairs(corpus, "doc_id", "text", k = 3, w = 4,
-            minShared = 3)
-          .select(col("doc_a").as("u"), col("doc_b").as("v")))
+      val assignment =
+        if (new java.io.File(s"$dir/assignment").exists())
+          spark.read.parquet(s"$dir/assignment") // previous cycle's
+        else operators.ConnectedComponents.components(
+          Curation.winnowPairs(corpus, "doc_id", "text", k = 3, w = 4,
+              minShared = 3)
+            .select(col("doc_a").as("u"), col("doc_b").as("v")))
       val delta = newCorpus.join(
         diff.filter(col("status") === "added").select("doc_id"), "doc_id")
       val newPairs = Curation.winnowPairsDelta(newCorpus, delta,

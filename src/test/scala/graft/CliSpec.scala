@@ -292,7 +292,7 @@ class CliSpec extends SparkSpec {
 
     Cli.run(spark, List("ingest-loop", sf0001, s"$out/batch", s"$out/loop"))
 
-    val corpus = spark.read.parquet(s"$out/loop/corpus")
+    val corpus = spark.read.parquet(s"$out/loop/documents.parquet")
     // every variant admitted, every verbatim re-submission rejected
     assert(corpus.count() == docs.count() + variants.count())
     assert(corpus.count() == corpus.select("doc_id").distinct().count())
@@ -302,12 +302,28 @@ class CliSpec extends SparkSpec {
 
     // the star-edge merge over delta-only pairs must equal clustering
     // the merged corpus from scratch over the full pair set
-    val scratch = operators.ConnectedComponents.components(
-      pipeline.Curation.winnowPairs(corpus, "doc_id", "text",
-          k = 3, w = 4, minShared = 3)
-        .select(col("doc_a").as("u"), col("doc_b").as("v")))
+    def scratchOf(c: org.apache.spark.sql.DataFrame) =
+      operators.ConnectedComponents.components(
+        pipeline.Curation.winnowPairs(c, "doc_id", "text",
+            k = 3, w = 4, minShared = 3)
+          .select(col("doc_a").as("u"), col("doc_b").as("v")))
     val merged = spark.read.parquet(s"$out/loop/assignment")
     assert(merged.count() > 0)
+    val scratch = scratchOf(corpus)
     assert(merged.except(scratch).isEmpty && scratch.except(merged).isEmpty)
+
+    // cycle 2 chains off cycle 1's OUTPUT dir: the stored assignment is
+    // loaded (no re-bootstrap) and folding only the new delta's pairs
+    // must still equal a from-scratch re-cluster of the final corpus
+    docs.filter(col("doc_id") % 11 === 0)
+      .withColumn("doc_id", col("doc_id") + 200000L)
+      .withColumn("text", concat(col("text"), lit(" vq vq")))
+      .write.parquet(s"$out/batch2/documents.parquet")
+    Cli.run(spark,
+      List("ingest-loop", s"$out/loop", s"$out/batch2", s"$out/loop2"))
+    val corpus2 = spark.read.parquet(s"$out/loop2/documents.parquet")
+    val merged2 = spark.read.parquet(s"$out/loop2/assignment")
+    val scratch2 = scratchOf(corpus2)
+    assert(merged2.except(scratch2).isEmpty && scratch2.except(merged2).isEmpty)
   }
 }
