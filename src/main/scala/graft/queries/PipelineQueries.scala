@@ -866,6 +866,13 @@ object PipelineQueries {
     * per-round artifact.) Building p40/p46's plans runs their closure
     * jobs eagerly — acceptable because Bench fingerprints after the
     * per-query clock stops.
+    *
+    * Reading the counts: the lazy tree is UNCACHED, so a shared
+    * intermediate (the shingle frame, the inverted index, the exact
+    * top-k) appears once per consumer and its exchanges are counted
+    * per appearance — the executed query materializes each exactly
+    * once via its cache bracket. The fingerprint is a plan-shape
+    * regression signal, not an executed-exchange count.
     */
   def benchPlans: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p02_minhash_lsh" -> ((s, dir) => {

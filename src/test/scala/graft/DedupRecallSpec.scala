@@ -26,6 +26,20 @@ class DedupRecallSpec extends SparkSpec {
     assert(extra == 0L, s"pruning fabricated $extra pairs")
   }
 
+  test("in-plan fractional cap equals the absolute cap it derives from") {
+    // the production queries use maxShingleFreqFrac (resolved from a
+    // single-row broadcast inside the plan); it must prune exactly as
+    // the driver-computed max(20, |docs|/10) cap did
+    val docs = Tables.read(spark, sf001, "documents")
+    val abs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      k = 4, threshold = 0.4,
+      maxShingleFreq = Some(math.max(20, (docs.count() / 10).toInt)))
+    val frac = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      k = 4, threshold = 0.4, maxShingleFreqFrac = Some(0.1))
+    assert(frac.exceptAll(abs).count() == 0L &&
+      abs.exceptAll(frac).count() == 0L)
+  }
+
   test("count-bound prefilter never drops a qualifying pair (random corpora)") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
