@@ -74,6 +74,9 @@ object Cli {
         |  stream-scrub <dir> <outDir>                   stateless PII scrub as an incremental stream
         |  kmeans <dir> <outDir> [iters]                 IVF centroid training (Lloyd, default 1 iteration)
         |  repetition <dir> <outDir>                     Gopher-style repetition quality signals
+        |  gopher-filter <dir> <outDir>                  Gopher rule-set boolean quality gates
+        |  bpe-pairs <dir> <outDir>                      BPE merge-step adjacent-pair counts (top 20)
+        |  audio-features <dir> <outDir>                 peak/energy/zero-crossings from decoded WAV
         |  dup-clusters <dir> <outDir>                   connected-component near-dup clusters + keep flags
         |  scrub <dir> <outDir>                          PII/identifier redaction over event log lines
         |  line-dedup <dir> <outDir>                     global segment dedup (C4 rule, 10-word windows)
@@ -268,7 +271,7 @@ object Cli {
           .join(Tables.read(spark, siteDir, "customer"),
             col("o_custkey") === col("c_custkey"))
           .select(
-            base0.columns.map(base0(_)) :+
+            base0.columns.toIndexedSeq.map(base0(_)) :+
               col("o_custkey").as("person_id") :+
               col("c_nationkey").as("nation_concept_id") :+
               col("o_orderdate").cast("timestamp").as("order_datetime"): _*),
@@ -723,6 +726,15 @@ object Cli {
     case "repetition" :: dir :: out :: Nil =>
       write(queries.PipelineQueries.p20Repetition(spark, dir), out)
 
+    case "gopher-filter" :: dir :: out :: Nil =>
+      write(queries.PipelineQueries.p61GopherRules(spark, dir), out)
+
+    case "bpe-pairs" :: dir :: out :: Nil =>
+      write(queries.PipelineQueries.p62BpePairs(spark, dir), out)
+
+    case "audio-features" :: dir :: out :: Nil =>
+      write(queries.PipelineQueries.p63AudioFeatures(spark, dir), out)
+
     case "dup-clusters" :: dir :: out :: Nil =>
       write(queries.PipelineQueries.p37DupClusters(spark, dir), out)
 
@@ -887,7 +899,7 @@ object Cli {
       val ids = Tables.read(spark, dir, table)
         .select(col(pk).cast("long").as("site_id"))
       val m = ids.select(col("site_id"), col("site_id").as("dcc_id"))
-      val last = ids.agg(max(col("site_id"))).head.getLong(0)
+      val last = ids.agg(max(col("site_id"))).head().getLong(0)
       IdMapStore.save(m, last, storeDir, table)
       println(s"""{"created":"$table","last_id":$last}""")
 

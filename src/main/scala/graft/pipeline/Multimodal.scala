@@ -240,6 +240,72 @@ object Multimodal {
     }
   }
 
+  /** Square-wave variant of [[encodeWav]]: frame i carries
+    * `+amplitude` when `(i / period) % 2 == 0`, else `-amplitude` —
+    * a waveform with sign structure, so downstream feature extraction
+    * (zero crossings, energy) is non-degenerate. Same REAL RIFF/WAVE
+    * encoder, 16-bit mono little-endian PCM.
+    */
+  def encodeWavSquare(ds: Dataset[(Long, Int, Int, Int, Int)]): Dataset[EncodedAudio] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.map { case (id, sampleRate, nFrames, amplitude, period) =>
+        val pcm = new Array[Byte](nFrames * 2)
+        var i = 0
+        while (i < nFrames) {
+          val s = if ((i / period) % 2 == 0) amplitude else -amplitude
+          pcm(2 * i) = (s & 0xff).toByte
+          pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+          i += 1
+        }
+        val fmt = new javax.sound.sampled.AudioFormat(
+          sampleRate.toFloat, 16, 1, true, false)
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        EncodedAudio(id, bos.toByteArray)
+      }
+    }
+  }
+
+  case class AudioFeatures(media_id: Long, n_frames: Long, peak: Long,
+      energy: Long, n_crossings: Long)
+
+  /** Audio feature extraction over REAL decoded PCM: parse the RIFF
+    * header with `AudioSystem`, read the 16-bit frames back, and
+    * compute exact integer features — peak amplitude, energy (sum of
+    * squared samples), and sign-change (zero-crossing) count. Integer
+    * math end to end, so the oracle reproduces every value exactly;
+    * per-partition 1:1 map, no exchange.
+    */
+  def audioFeatures(ds: Dataset[EncodedAudio]): Dataset[AudioFeatures] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.map { r =>
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(r.wav))
+        val frames = ais.getFrameLength
+        val bytes = ais.readAllBytes()
+        var peak = 0L
+        var energy = 0L
+        var crossings = 0L
+        var prev = 0
+        var i = 0
+        while (i + 1 < bytes.length) {
+          val s = ((bytes(i) & 0xff) | (bytes(i + 1) << 8)).toShort.toInt
+          if (math.abs(s.toLong) > peak) peak = math.abs(s.toLong)
+          energy += s.toLong * s.toLong
+          if (i >= 2 && ((s < 0) != (prev < 0))) crossings += 1
+          prev = s
+          i += 2
+        }
+        AudioFeatures(r.media_id, frames, peak, energy, crossings)
+      }
+    }
+  }
+
   /** [[resizePlan]] over REAL decoded dimensions: the payloads are
     * actual PNGs and width/height come from `ImageIO.read`, not the
     * stub — the full resize-planning path a batch image pipeline runs

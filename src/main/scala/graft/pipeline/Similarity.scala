@@ -553,11 +553,11 @@ object Similarity {
       entries: Array[(Long, Array[Float])]): Column = {
     require(entries.nonEmpty, "empty subspace codebook")
     val scored = entries.map { case (cid, ce) =>
-      val cslice = array(ce.map(lit(_)): _*)
+      val cslice = array(ce.toIndexedSeq.map(lit(_)): _*)
       struct((-dist2(vslice, cslice)).as("negd"),
         lit(-cid).as("tie"), lit(cid).as("cent_id"))
     }
-    (if (scored.length == 1) scored.head else greatest(scored: _*))
+    (if (scored.length == 1) scored.head else greatest(scored.toIndexedSeq: _*))
       .getField("cent_id")
   }
 
@@ -725,8 +725,8 @@ object Similarity {
     val q = broadcast(queries.select(col(idCol).as("query_id"),
       col(vecCol).as("qv")))
     val adist = (0 until m).map { s =>
-      val lut = map(books(s).flatMap { case (cid, ce) =>
-        Seq(lit(cid), array(ce.map(lit(_)): _*))
+      val lut = map(books(s).toIndexedSeq.flatMap { case (cid, ce) =>
+        Seq(lit(cid), array(ce.toIndexedSeq.map(lit(_)): _*))
       }: _*)
       dist2(slice(col("qv"), s * sub + 1, sub),
         element_at(lut, col("codes").getItem(s)))

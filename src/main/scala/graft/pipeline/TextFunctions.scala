@@ -116,6 +116,12 @@ object TextFunctions {
     }
   }
 
+  /** The Gopher rule-set's required-word list (Rae et al. 2021,
+    * §A1.1: "contains at least two of the following English words").
+    */
+  val gopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
   // ------------------------------------------------------------ quality
 
   /** Heuristic quality signals: token count, mean token length,

@@ -157,7 +157,7 @@ object ParityQueries4 {
       col("l_partkey").as("measurement_concept_id"),
       col("l_quantity").cast("double").as("value_as_number"))
     // one-row action, like the reference's sequence read
-    val maxId = m.agg(max(col("measurement_id"))).head.getLong(0)
+    val maxId = m.agg(max(col("measurement_id"))).head().getLong(0)
     val (derived, orderCols) = kind match {
       case "bmi" =>
         (ParityQueries2.q30Bmi(s, dir).select(

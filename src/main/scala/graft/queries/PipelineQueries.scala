@@ -220,6 +220,72 @@ object PipelineQueries {
         .as("min_shingle_hash"))
   }
 
+  /** Gopher-style rule-set quality filter (Rae et al. 2021, §A1.1 —
+    * the boolean-gate complement of p09's composite score): word-count
+    * bounds, mean-word-length bounds, symbol-to-word ratio, bullet /
+    * ellipsis line fractions, alphabetic-word fraction, and required
+    * stopword presence. Every rule is an INTEGER cross-multiplied
+    * comparison (no ratio doubles), so the oracle reproduces each flag
+    * exactly. Pure codegen projection — zero exchange at any scale.
+    */
+  def p61GopherRules(s: SparkSession, dir: String): DataFrame = {
+    val toks = TF.tokens(col("text"))
+    val lower = transform(toks, t => org.apache.spark.sql.functions.lower(t))
+    val lines = split(col("text"), "\n")
+    val d = t(s, dir, "documents")
+      .withColumn("n_toks", size(toks).cast("long"))
+      .withColumn("sum_len",
+        aggregate(toks, lit(0L), (acc, x) => acc + length(x)))
+      .withColumn("n_lines", size(lines).cast("long"))
+      .withColumn("n_hash",
+        (length(col("text")) -
+          length(regexp_replace(col("text"), "#", ""))).cast("long"))
+      .withColumn("n_ellipsis_lines",
+        size(filter(lines, l => rtrim(l).like("%..."))).cast("long"))
+      .withColumn("n_bullet_lines",
+        size(filter(lines, l =>
+          substring(ltrim(l), 1, 1).isin("-", "*", "•"))).cast("long"))
+      .withColumn("n_alpha_words",
+        size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("long"))
+      .withColumn("n_stop_present",
+        TF.gopherStopwords.map(w =>
+          when(array_contains(lower, w), 1L).otherwise(0L))
+          .reduce(_ + _))
+    val flags = Seq(
+      "r_words" -> (col("n_toks") >= 20 && col("n_toks") <= 100000L),
+      "r_mean_len" -> (col("sum_len") >= col("n_toks") * 3 &&
+        col("sum_len") <= col("n_toks") * 10),
+      "r_hash" -> (col("n_hash") * 10 <= col("n_toks")),
+      "r_ellipsis" -> (col("n_ellipsis_lines") * 10 <= col("n_lines") * 3),
+      "r_bullet" -> (col("n_bullet_lines") * 10 <= col("n_lines") * 9),
+      "r_alpha" -> (col("n_alpha_words") * 5 >= col("n_toks") * 4),
+      "r_stop" -> (col("n_stop_present") >= 1))
+    val withFlags = flags.foldLeft(d) { case (df, (n, c)) =>
+      df.withColumn(n, when(c, 1L).otherwise(0L)) }
+    withFlags.select(
+      col("doc_id") +: col("n_toks") +:
+        flags.map { case (n, _) => col(n) } :+
+        flags.map { case (n, _) => col(n) }.reduce(_ * _).as("keep"): _*)
+  }
+
+  /** BPE merge-step pair counting (tokenizer prep): the corpus-wide
+    * frequency of adjacent sub-word token pairs — the statistic a BPE
+    * trainer computes each merge round — with a deterministic top-k.
+    * One shuffle (partial map-side counts) + TakeOrderedAndProject;
+    * the pair key is a short string, never the document.
+    */
+  def p62BpePairs(s: SparkSession, dir: String): DataFrame = {
+    val toks = TF.bpeTokens(col("text"))
+    t(s, dir, "documents")
+      .select(explode(when(size(toks) >= 2,
+        transform(sequence(lit(1), size(toks) - 1),
+          i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+        .otherwise(array().cast("array<string>"))).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("pair"))
+      .limit(20)
+  }
+
   // ------------------------------------------------------------ multimodal
 
   /** Multimodal plumbing: opaque binary payloads + typed metadata.
@@ -287,6 +353,27 @@ object PipelineQueries {
         (pmod(col("doc_id"), lit(1000)) * 30).cast("int"))
       .as[(Long, Int, Int, Int)]
     Multimodal.decodeWav(Multimodal.encodeWav(src)).toDF()
+  }
+
+  /** Audio feature extraction over REAL decoded PCM
+    * ([[Multimodal.audioFeatures]]): doc-derived square waves are
+    * written through the actual RIFF/WAVE encoder, decoded back, and
+    * peak / energy / zero-crossing counts are computed from the
+    * decoded 16-bit samples — exact integer math, so the oracle
+    * replays the closed forms (peak = amplitude, energy = n·a²,
+    * crossings = (n−1) div period) from the doc attributes. A pass
+    * certifies the decode actually ran sample-by-sample.
+    */
+  def p63AudioFeatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val src = t(s, dir, "documents").select(
+        col("doc_id"),
+        (lit(8000) + pmod(col("doc_id"), lit(8)) * 1000).cast("int"),
+        (lit(100) + pmod(length(col("text")), lit(400))).cast("int"),
+        (lit(1) + pmod(col("doc_id"), lit(1000)) * 30).cast("int"),
+        (lit(1) + pmod(col("doc_id"), lit(7))).cast("int"))
+      .as[(Long, Int, Int, Int, Int)]
+    Multimodal.audioFeatures(Multimodal.encodeWavSquare(src)).toDF()
   }
 
   // ------------------------------------------------------------ events
@@ -955,6 +1042,9 @@ object PipelineQueries {
     "p58_pq_trained_topk" -> p58PqTrainedTopK _,
     "p59_resize_png" -> p59ResizePng _,
     "p60_wav_decode" -> p60WavDecode _,
+    "p61_gopher_rules" -> p61GopherRules _,
+    "p62_bpe_pairs" -> p62BpePairs _,
+    "p63_audio_features" -> p63AudioFeatures _,
     "p57_png_decode" -> p57PngDecode _,
     "p50_temp_mix" -> p50TempMix _,
     "p51_hard_negatives" -> p51HardNegatives _,
@@ -1394,6 +1484,68 @@ object PipelineQueries {
         |  CAST(1 AS BIGINT) AS channels,
         |  CAST(100 + length(text) % 400 AS BIGINT) AS n_frames,
         |  CAST((doc_id % 1000) * 30 AS BIGINT) AS peak
+        |FROM documents""".stripMargin,
+    "p61_gopher_rules" -> {
+      val stopCases = TF.gopherStopwords.map(w =>
+        s"CASE WHEN list_contains(lw, '$w') THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH base AS (
+         |  SELECT doc_id, text, $oToks AS toks,
+         |    string_split(text, chr(10)) AS lines
+         |  FROM documents),
+         |m AS (
+         |  SELECT doc_id,
+         |    CAST(len(toks) AS BIGINT) AS n_toks,
+         |    CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT) AS sum_len,
+         |    CAST(len(lines) AS BIGINT) AS n_lines,
+         |    CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) AS n_hash,
+         |    CAST(len(list_filter(lines, l -> rtrim(l) LIKE '%...')) AS BIGINT) AS n_ell,
+         |    CAST(len(list_filter(lines, l ->
+         |      substr(ltrim(l), 1, 1) IN ('-', '*', '•'))) AS BIGINT) AS n_bul,
+         |    CAST(len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
+         |    ($stopCases) AS n_stop
+         |  FROM (SELECT doc_id, text, toks, lines,
+         |          list_transform(toks, t -> lower(t)) AS lw FROM base)),
+         |f AS (
+         |  SELECT doc_id, n_toks,
+         |    CASE WHEN n_toks >= 20 AND n_toks <= 100000 THEN 1 ELSE 0 END AS r_words,
+         |    CASE WHEN sum_len >= n_toks * 3 AND sum_len <= n_toks * 10 THEN 1 ELSE 0 END AS r_mean_len,
+         |    CASE WHEN n_hash * 10 <= n_toks THEN 1 ELSE 0 END AS r_hash,
+         |    CASE WHEN n_ell * 10 <= n_lines * 3 THEN 1 ELSE 0 END AS r_ellipsis,
+         |    CASE WHEN n_bul * 10 <= n_lines * 9 THEN 1 ELSE 0 END AS r_bullet,
+         |    CASE WHEN n_alpha * 5 >= n_toks * 4 THEN 1 ELSE 0 END AS r_alpha,
+         |    CASE WHEN n_stop >= 1 THEN 1 ELSE 0 END AS r_stop
+         |  FROM m)
+         |SELECT doc_id, n_toks,
+         |  CAST(r_words AS BIGINT) AS r_words,
+         |  CAST(r_mean_len AS BIGINT) AS r_mean_len,
+         |  CAST(r_hash AS BIGINT) AS r_hash,
+         |  CAST(r_ellipsis AS BIGINT) AS r_ellipsis,
+         |  CAST(r_bullet AS BIGINT) AS r_bullet,
+         |  CAST(r_alpha AS BIGINT) AS r_alpha,
+         |  CAST(r_stop AS BIGINT) AS r_stop,
+         |  CAST(r_words * r_mean_len * r_hash * r_ellipsis * r_bullet
+         |       * r_alpha * r_stop AS BIGINT) AS keep
+         |FROM f""".stripMargin
+    },
+    "p62_bpe_pairs" ->
+      s"""WITH toks AS (
+         |  SELECT regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]') AS tk
+         |  FROM documents),
+         |pairs AS (
+         |  SELECT unnest(list_transform(generate_series(1, len(tk) - 1),
+         |    i -> tk[i] || ' ' || tk[i + 1])) AS pair
+         |  FROM toks)
+         |SELECT pair, CAST(COUNT(*) AS BIGINT) AS cnt
+         |FROM pairs GROUP BY pair
+         |ORDER BY cnt DESC, pair LIMIT 20""".stripMargin,
+    "p63_audio_features" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(100 + length(text) % 400 AS BIGINT) AS n_frames,
+        |  CAST(1 + (doc_id % 1000) * 30 AS BIGINT) AS peak,
+        |  CAST((100 + length(text) % 400)
+        |    * (1 + (doc_id % 1000) * 30) * (1 + (doc_id % 1000) * 30) AS BIGINT) AS energy,
+        |  CAST((100 + length(text) % 400 - 1) // (1 + doc_id % 7) AS BIGINT) AS n_crossings
         |FROM documents""".stripMargin,
     "p57_png_decode" ->
       """SELECT doc_id AS media_id,

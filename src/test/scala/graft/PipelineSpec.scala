@@ -347,6 +347,72 @@ class PipelineSpec extends SparkSpec {
     assert(out.count(_._3 == 1) == 3) // one keeper per cluster + singleton
   }
 
+  test("gopher rules fire on crafted violations the corpus never hits") {
+    val out = "/tmp/graft_gopher_docs"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+    val good = "the quick brown fox jumps over the lazy dog and then " +
+      "some more words with that have been added here today okay fine"
+    Seq(
+      (1L, good, "a"),                                // passes everything
+      (2L, "too few words here", "a"),                // fails r_words
+      (3L, good.replace(" ", " ## ").trim, "a"),      // fails r_hash (+alpha)
+      (4L, (1 to 25).map(i => s"- bullet item $i the of and").mkString("\n"),
+        "a"),                                         // fails r_bullet
+      (5L, (1 to 25).map(i => s"line number $i the of and trails ...")
+        .mkString("\n"), "a"),                        // fails r_ellipsis
+      (6L, (1 to 30).map(_ => "7 42 9000").mkString(" "), "a"), // alpha+stop+len
+      (7L, Seq.fill(30)("zzz qqq vvv").mkString(" "), "a"))     // fails r_stop
+      .toDF("doc_id", "text", "source")
+      .write.parquet(s"$out/documents.parquet")
+    val rules = queries.PipelineQueries.p61GopherRules(spark, out)
+      .collect().map(r => r.getLong(0) ->
+        (2 to 8).map(i => r.getLong(i)).toList).toMap
+    // flag order: words, mean_len, hash, ellipsis, bullet, alpha, stop
+    assert(rules(1L) == List(1L, 1L, 1L, 1L, 1L, 1L, 1L))
+    assert(rules(2L).head == 0L)
+    assert(rules(3L)(2) == 0L)
+    assert(rules(4L)(4) == 0L && rules(4L)(3) == 1L)
+    assert(rules(5L)(3) == 0L && rules(5L)(4) == 1L)
+    assert(rules(6L)(5) == 0L && rules(6L)(6) == 0L && rules(6L)(1) == 0L)
+    assert(rules(7L)(6) == 0L && rules(7L)(5) == 1L)
+    val keep = queries.PipelineQueries.p61GopherRules(spark, out)
+      .filter(col("keep") === 1).select("doc_id").as[Long].collect()
+    assert(keep.toSeq == Seq(1L))
+  }
+
+  test("bpe pair counts equal a brute-force tally with deterministic ties") {
+    val out = "/tmp/graft_bpe_docs"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+    val texts = Seq((1L, "low lower lowest", "a"), (2L, "low low low!", "a"),
+      (3L, "", "a"))
+    texts.toDF("doc_id", "text", "source")
+      .write.parquet(s"$out/documents.parquet")
+    val got = queries.PipelineQueries.p62BpePairs(spark, out)
+      .as[(String, Long)].collect().toSeq
+    // brute force over the same BPE-ish pre-tokenization
+    val toks = texts.map(_._2).map(t =>
+      "[a-z]+|[0-9]+|[^a-z0-9\\s]".r.findAllIn(t.toLowerCase).toList)
+    val expected = toks.flatMap(ts => ts.zip(ts.drop(1)))
+      .groupBy(p => s"${p._1} ${p._2}").view.mapValues(_.size.toLong).toSeq
+      .sortBy { case (p, c) => (-c, p) }.take(20)
+    assert(got == expected)
+    assert(got.head == (("low low", 2L))) // cross-doc count, tie broken by name
+  }
+
+  test("audio features match closed forms on a decoded square wave") {
+    val src = Seq((1L, 8000, 10, 5, 3), (2L, 8000, 7, 1, 1),
+      (3L, 8000, 4, 29971, 10)).toDS()
+    val out = Multimodal.audioFeatures(Multimodal.encodeWavSquare(src))
+      .collect().sortBy(_.media_id)
+    // n=10,a=5,p=3: crossings = (10-1)/3 = 3; energy = 10*25
+    assert(out(0) == Multimodal.AudioFeatures(1L, 10L, 5L, 250L, 3L))
+    // n=7,a=1,p=1: alternating every sample → 6 crossings
+    assert(out(1) == Multimodal.AudioFeatures(2L, 7L, 1L, 7L, 6L))
+    // amplitude at the 16-bit edge survives the encode/decode round trip
+    assert(out(2) == Multimodal.AudioFeatures(3L, 4L,
+      29971L, 4L * 29971L * 29971L, 0L))
+  }
+
   test("PolyMap dispatches by domain and leaves unmapped domains null") {
     val facts = Seq((1L, "a", 10L), (2L, "b", 10L), (3L, "c", 10L), (4L, "a", 99L))
       .toDF("id", "dom", "fk")
