@@ -75,6 +75,7 @@ object Cli {
         |  kmeans <dir> <outDir> [iters]                 IVF centroid training (Lloyd, default 1 iteration)
         |  repetition <dir> <outDir>                     Gopher-style repetition quality signals
         |  gopher-filter <dir> <outDir>                  Gopher rule-set boolean quality gates
+        |  c4-clean <dir> <outDir>                       C4 line filters + page gates + cleaned-text fp
         |  bpe-pairs <dir> <outDir>                      BPE merge-step adjacent-pair counts (top 20)
         |  audio-features <dir> <outDir>                 peak/energy/zero-crossings from decoded WAV
         |  dup-clusters <dir> <outDir>                   connected-component near-dup clusters + keep flags
@@ -728,6 +729,9 @@ object Cli {
 
     case "gopher-filter" :: dir :: out :: Nil =>
       write(queries.PipelineQueries.p61GopherRules(spark, dir), out)
+
+    case "c4-clean" :: dir :: out :: Nil =>
+      write(queries.PipelineQueries.p64C4Lines(spark, dir), out)
 
     case "bpe-pairs" :: dir :: out :: Nil =>
       write(queries.PipelineQueries.p62BpePairs(spark, dir), out)

@@ -268,6 +268,42 @@ object PipelineQueries {
         flags.map { case (n, _) => col(n) }.reduce(_ * _).as("keep"): _*)
   }
 
+  /** C4-style line-and-page cleaning (Raffel et al. 2020, §2.2 — the
+    * line-level complement of p61's page-level Gopher gates): lines
+    * with fewer than 3 words are dropped, terminal-punctuation lines
+    * and sentence marks are counted, and the page gates ("{" /
+    * "lorem ipsum" / at least one surviving line) land as flags. The
+    * cleaned text is emitted as an md5 fingerprint so the oracle
+    * certifies the actual filtered reconstruction, not just counts.
+    * Pure codegen projection — zero exchange.
+    */
+  def p64C4Lines(s: SparkSession, dir: String): DataFrame = {
+    val lines = split(col("text"), "\n")
+    val kept = filter(lines, l => size(split(trim(l), "\\s+")) >= 3)
+    val d = t(s, dir, "documents")
+      .withColumn("n_lines", size(lines).cast("long"))
+      .withColumn("n_kept", size(kept).cast("long"))
+      .withColumn("n_punct_lines",
+        size(filter(lines, l =>
+          substring(rtrim(l), -1, 1).isin(".", "!", "?", "\""))).cast("long"))
+      .withColumn("n_sentences",
+        (length(col("text")) -
+          length(regexp_replace(col("text"), "[.!?]", ""))).cast("long"))
+      .withColumn("has_brace",
+        when(col("text").like("%{%"), 1L).otherwise(0L))
+      .withColumn("has_lorem",
+        when(org.apache.spark.sql.functions.lower(col("text"))
+          .like("%lorem ipsum%"), 1L).otherwise(0L))
+      .withColumn("clean_fp",
+        substring(md5(concat_ws("\n", kept)), 1, 16))
+    d.select(col("doc_id"), col("n_lines"), col("n_kept"),
+      col("n_punct_lines"), col("n_sentences"), col("has_brace"),
+      col("has_lorem"),
+      when(col("has_brace") === 0 && col("has_lorem") === 0 &&
+        col("n_kept") >= 1, 1L).otherwise(0L).as("page_keep"),
+      col("clean_fp"))
+  }
+
   /** BPE merge-step pair counting (tokenizer prep): the corpus-wide
     * frequency of adjacent sub-word token pairs — the statistic a BPE
     * trainer computes each merge round — with a deterministic top-k.
@@ -1044,6 +1080,7 @@ object PipelineQueries {
     "p60_wav_decode" -> p60WavDecode _,
     "p61_gopher_rules" -> p61GopherRules _,
     "p62_bpe_pairs" -> p62BpePairs _,
+    "p64_c4_lines" -> p64C4Lines _,
     "p63_audio_features" -> p63AudioFeatures _,
     "p57_png_decode" -> p57PngDecode _,
     "p50_temp_mix" -> p50TempMix _,
@@ -1528,6 +1565,29 @@ object PipelineQueries {
          |       * r_alpha * r_stop AS BIGINT) AS keep
          |FROM f""".stripMargin
     },
+    "p64_c4_lines" ->
+      """WITH base AS (
+        |  SELECT doc_id, text, string_split(text, chr(10)) AS lines,
+        |    list_filter(string_split(text, chr(10)),
+        |      l -> len(string_split_regex(trim(l), '\s+')) >= 3) AS kept
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(len(lines) AS BIGINT) AS n_lines,
+        |    CAST(len(kept) AS BIGINT) AS n_kept,
+        |    CAST(len(list_filter(lines, l ->
+        |      substr(rtrim(l), -1, 1) IN ('.', '!', '?', '"'))) AS BIGINT) AS n_punct_lines,
+        |    CAST(length(text) - length(regexp_replace(text, '[.!?]', '', 'g')) AS BIGINT) AS n_sentences,
+        |    CAST(CASE WHEN text LIKE '%{%' THEN 1 ELSE 0 END AS BIGINT) AS has_brace,
+        |    CAST(CASE WHEN lower(text) LIKE '%lorem ipsum%' THEN 1 ELSE 0 END AS BIGINT) AS has_lorem,
+        |    substr(md5(array_to_string(kept, chr(10))), 1, 16) AS clean_fp
+        |  FROM base)
+        |SELECT doc_id, n_lines, n_kept, n_punct_lines, n_sentences,
+        |  has_brace, has_lorem,
+        |  CAST(CASE WHEN has_brace = 0 AND has_lorem = 0 AND n_kept >= 1
+        |    THEN 1 ELSE 0 END AS BIGINT) AS page_keep,
+        |  clean_fp
+        |FROM m""".stripMargin,
     "p62_bpe_pairs" ->
       s"""WITH toks AS (
          |  SELECT regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]') AS tk

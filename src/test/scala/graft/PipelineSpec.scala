@@ -380,6 +380,33 @@ class PipelineSpec extends SparkSpec {
     assert(keep.toSeq == Seq(1L))
   }
 
+  test("c4 line filter drops short lines, counts punct lines, gates pages") {
+    val out = "/tmp/graft_c4_docs"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+    Seq(
+      (1L, "This line has five words.\nno\nAnother keeper line here!\nok ok",
+        "a"),                                    // 4 lines, 2 kept, 2 punct
+      (2L, "function f() { return 1; }", "a"),   // brace page gate
+      (3L, "Lorem Ipsum dolor sit amet etc", "a"), // lorem page gate
+      (4L, "a\nb\nc", "a"))                      // nothing survives
+      .toDF("doc_id", "text", "source")
+      .write.parquet(s"$out/documents.parquet")
+    val got = queries.PipelineQueries.p64C4Lines(spark, out)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long, String)]
+      .collect().toSeq
+    assert(got(0)._1 == 1L && got(0)._2 == 4L && got(0)._3 == 2L &&
+      got(0)._4 == 2L && got(0)._5 == 2L && got(0)._8 == 1L)
+    // cleaned text is exactly the two surviving lines rejoined
+    val expFp = java.security.MessageDigest.getInstance("MD5")
+      .digest("This line has five words.\nAnother keeper line here!"
+        .getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+    assert(got(0)._9 == expFp)
+    assert(got(1)._6 == 1L && got(1)._8 == 0L) // brace kills the page
+    assert(got(2)._7 == 1L && got(2)._8 == 0L) // lorem ipsum kills the page
+    assert(got(3)._3 == 0L && got(3)._8 == 0L) // no surviving line
+  }
+
   test("bpe pair counts equal a brute-force tally with deterministic ties") {
     val out = "/tmp/graft_bpe_docs"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
