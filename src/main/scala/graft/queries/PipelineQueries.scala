@@ -226,7 +226,8 @@ object PipelineQueries {
     * ellipsis line fractions, alphabetic-word fraction, and required
     * stopword presence. Every rule is an INTEGER cross-multiplied
     * comparison (no ratio doubles), so the oracle reproduces each flag
-    * exactly. Pure codegen projection — zero exchange at any scale.
+    * exactly. Zero-exchange single-scan projection at any scale (the
+    * higher-order array ops run as expressions, no join, no shuffle).
     */
   def p61GopherRules(s: SparkSession, dir: String): DataFrame = {
     val toks = TF.tokens(col("text"))
@@ -275,7 +276,7 @@ object PipelineQueries {
     * "lorem ipsum" / at least one surviving line) land as flags. The
     * cleaned text is emitted as an md5 fingerprint so the oracle
     * certifies the actual filtered reconstruction, not just counts.
-    * Pure codegen projection — zero exchange.
+    * Zero-exchange single-scan projection.
     */
   def p64C4Lines(s: SparkSession, dir: String): DataFrame = {
     val lines = split(col("text"), "\n")

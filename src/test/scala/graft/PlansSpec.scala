@@ -70,6 +70,28 @@ class PlansSpec extends SparkSpec {
     assert(!p.contains("Exchange"), p)
   }
 
+  test("quality gates are zero-exchange single-scan projections (p61, p64)") {
+    // The higher-order array expressions (filter/aggregate/transform)
+    // are CodegenFallback, so the plan is Scan → Project chains with
+    // no exchange and no join — per-row work only, at any scale.
+    for (q <- Seq(PipelineQueries.p61GopherRules _,
+        PipelineQueries.p64C4Lines _)) {
+      val p = plan(q(spark, sf0001))
+      assert(!p.contains("Exchange"), p)
+      assert(!p.contains("Join"), p)
+      assert("""\(\d+\) Scan parquet""".r.findAllIn(p).size == 1, p)
+    }
+  }
+
+  test("bpe pair counting is one shuffle + top-k, pair keys only (p62)") {
+    val p = plan(PipelineQueries.p62BpePairs(spark, sf0001))
+    val exchanges = """Exchange \(\d""".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges\n$p")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // partial map-side aggregation runs before the pair shuffle
+    assert(p.contains("HashAggregate"), p)
+  }
+
   test("pq ADC scan broadcasts queries; corpus moves codes only (p49)") {
     val p = plan(PipelineQueries.p49PqTopK(spark, sf0001))
     // corpus side: one spread repartition + the pruned ranking exchange
