@@ -313,11 +313,18 @@ object PipelineQueries {
     */
   def p62BpePairs(s: SparkSession, dir: String): DataFrame = {
     val toks = TF.bpeTokens(col("text"))
+    // zip_with over two slices, NOT element_at(toks, i) inside a
+    // transform lambda: non-lambda subexpressions of a HOF body are
+    // re-evaluated per element, which would re-run the tokenizer regex
+    // O(tokens) times per document (measured 50x slower at sf0.1).
+    val pairs = when(size(toks) >= 2,
+      zip_with(
+        slice(toks, lit(1), size(toks) - 1),
+        slice(toks, lit(2), size(toks) - 1),
+        (a, b) => concat_ws(" ", a, b)))
+      .otherwise(array().cast("array<string>"))
     t(s, dir, "documents")
-      .select(explode(when(size(toks) >= 2,
-        transform(sequence(lit(1), size(toks) - 1),
-          i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
-        .otherwise(array().cast("array<string>"))).as("pair"))
+      .select(explode(pairs).as("pair"))
       .groupBy("pair").agg(count(lit(1)).as("cnt"))
       .orderBy(desc("cnt"), asc("pair"))
       .limit(20)
