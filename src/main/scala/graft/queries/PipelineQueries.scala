@@ -1374,7 +1374,8 @@ object PipelineQueries {
       ("p06_ann_lsh", p06AnnLsh(s, dir), 3),
       ("p19_ivf", p19Ivf(s, dir), 3),
       ("p26_ivf_nprobe", p26IvfNprobe(s, dir), 3),
-      ("p49_pq_topk", p49PqTopK(s, dir), 5))
+      ("p49_pq_topk", p49PqTopK(s, dir), 5),
+      ("p58_pq_trained_topk", p58PqTrainedTopK(s, dir), 5))
     methods.map { case (name, df, km) =>
       val truth = exact.filter(col("rank") <= km)
         .select("query_id", "cand_id")
@@ -1407,7 +1408,8 @@ object PipelineQueries {
        |  CAST(FLOOR((n_hits * 1e6) / n_truth) AS BIGINT) AS recall_micro
        |FROM (
        |${Seq(("p06_ann_lsh", 3), ("p19_ivf", 3), ("p26_ivf_nprobe", 3),
-              ("p49_pq_topk", 5)).map((row _).tupled).mkString("\nUNION ALL\n")}
+              ("p49_pq_topk", 5), ("p58_pq_trained_topk", 5))
+            .map((row _).tupled).mkString("\nUNION ALL\n")}
        |)""".stripMargin
   }
 
