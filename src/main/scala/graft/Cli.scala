@@ -81,6 +81,7 @@ object Cli {
         |  dup-clusters <dir> <outDir>                   connected-component near-dup clusters + keep flags
         |  scrub <dir> <outDir>                          PII/identifier redaction over event log lines
         |  line-dedup <dir> <outDir>                     global segment dedup (C4 rule, 10-word windows)
+        |  segment-scrub <dir> <outDir>                  C4 removal: rebuild docs without duplicated segments
         |  semantic-dedup <dir> <outDir>                 SemDeDup-style embedding-cluster dedup
         |  vocab <dir> <outDir>                          top-50 token vocabulary (tokenizer prep)
         |  oov-rate <dir> <outDir>                       per-doc out-of-vocabulary rate vs that vocab
@@ -747,6 +748,9 @@ object Cli {
 
     case "line-dedup" :: dir :: out :: Nil =>
       write(queries.PipelineQueries.p39LineDedup(spark, dir), out)
+
+    case "segment-scrub" :: dir :: out :: Nil =>
+      write(queries.PipelineQueries.p65SegmentScrub(spark, dir), out)
 
     case "semantic-dedup" :: dir :: out :: Nil =>
       write(queries.PipelineQueries.p40SemanticDedup(spark, dir), out)

@@ -269,6 +269,48 @@ object Curation {
       .withColumn("n_dropped", col("n_segs") - col("n_kept"))
   }
 
+  /** [[segmentDedup]]'s removal twin — the part of the C4 rule that
+    * actually edits the corpus: every duplicated segment occurrence
+    * (globally, in (doc, position) corpus order — within-document
+    * repeats included) is dropped, and each document is rebuilt from
+    * its surviving segments in position order. Returns per-doc counts
+    * plus an md5 fingerprint of the reconstruction, so correctness is
+    * certified on the rebuilt text itself.
+    *
+    * Scale shape: the global first-occurrence winner set is computed
+    * over 8-byte hashes + (doc, pos) ids only; segment TEXT crosses an
+    * exchange exactly twice (the winner join keyed on compact
+    * (doc, pos), then the per-document rebuild), which is the floor
+    * for an operator whose output is rewritten text.
+    */
+  def segmentScrub(df: DataFrame, idCol: String, textCol: String,
+      segWords: Int): DataFrame = {
+    val segArr = expr(
+      s"""if(size(toks) < 1, array(),
+         |  transform(sequence(1, cast(ceil(size(toks) / ${segWords}.0D) as int)),
+         |    i -> concat_ws(' ', slice(toks, (i - 1) * $segWords + 1, $segWords))))"""
+        .stripMargin)
+    val segs = df
+      .select(col(idCol).as("doc"), TF.tokens(col(textCol)).as("toks"))
+      .select(col("doc"), posexplode(segArr).as(Seq("pos", "seg")))
+    val winners = segs
+      .select(col("doc"), col("pos"), TF.hash60(col("seg")).as("h"))
+      .groupBy("h")
+      .agg(min(struct(col("doc"), col("pos"))).as("f"))
+      .select(col("f.doc").as("doc"), col("f.pos").as("pos"),
+        lit(1L).as("kept"))
+    segs.join(winners, Seq("doc", "pos"), "left")
+      .groupBy("doc")
+      .agg(
+        count(lit(1)).as("n_segs"),
+        coalesce(sum(col("kept")), lit(0L)).as("n_kept"),
+        substring(md5(concat_ws(" ",
+          transform(
+            array_sort(collect_list(when(col("kept") === 1L,
+              struct(col("pos"), col("seg"))))),
+            x => x.getField("seg")))), 1, 16).as("clean_fp"))
+  }
+
   /** Benchmark decontamination: (train doc, benchmark doc) pairs that
     * share at least `minShared` distinct word k-shingles. Candidate
     * generation is an equi-join on the hashed shingle — the benchmark

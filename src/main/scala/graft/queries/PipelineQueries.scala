@@ -628,6 +628,19 @@ object PipelineQueries {
       .select(col("doc").as("doc_id"), col("n_segs"), col("n_kept"),
         col("n_dropped"))
 
+  /** C4 segment REMOVAL with document reconstruction
+    * ([[Curation.segmentScrub]] — p39 counts what the rule would drop;
+    * this rebuilds the corpus with the duplicated occurrences actually
+    * gone, first occurrence in (doc, position) order winning). The
+    * oracle replays the global window and re-derives the md5 of every
+    * rebuilt document, so the reconstruction itself is certified.
+    */
+  def p65SegmentScrub(s: SparkSession, dir: String): DataFrame =
+    Curation.segmentScrub(t(s, dir, "documents"), "doc_id", "text",
+        segWords = 10)
+      .select(col("doc").as("doc_id"), col("n_segs"), col("n_kept"),
+        col("clean_fp"))
+
   /** Incremental component merge ([[ConnectedComponents.merge]]): a
     * near-dup pair set split into two deterministic batches — the
     * first clustered from scratch, the second folded into the stored
@@ -1089,6 +1102,7 @@ object PipelineQueries {
     "p61_gopher_rules" -> p61GopherRules _,
     "p62_bpe_pairs" -> p62BpePairs _,
     "p64_c4_lines" -> p64C4Lines _,
+    "p65_segment_scrub" -> p65SegmentScrub _,
     "p63_audio_features" -> p63AudioFeatures _,
     "p57_png_decode" -> p57PngDecode _,
     "p50_temp_mix" -> p50TempMix _,
@@ -2133,6 +2147,30 @@ object PipelineQueries {
          |  CAST(SUM(CASE WHEN s.doc_id = o.owner THEN 1 ELSE 0 END) AS BIGINT)
          |    AS n_dropped
          |FROM segs s JOIN owners o USING (h) GROUP BY s.doc_id""".stripMargin,
+    "p65_segment_scrub" ->
+      s"""WITH base AS (SELECT doc_id, $oToks AS toks FROM documents),
+         |exp AS (
+         |  SELECT doc_id AS doc,
+         |    unnest(generate_series(1, CAST(CEIL(len(toks) / 10.0) AS BIGINT))) AS pos,
+         |    toks
+         |  FROM base),
+         |segs AS (
+         |  SELECT doc, pos,
+         |    array_to_string(list_slice(toks, (pos-1)*10+1, pos*10), ' ') AS seg
+         |  FROM exp),
+         |flag AS (
+         |  SELECT doc, pos, seg,
+         |    CASE WHEN ROW_NUMBER() OVER (
+         |      PARTITION BY ${oHash("seg")} ORDER BY doc, pos) = 1
+         |    THEN 1 ELSE 0 END AS kept
+         |  FROM segs)
+         |SELECT doc AS doc_id,
+         |  CAST(COUNT(*) AS BIGINT) AS n_segs,
+         |  CAST(SUM(kept) AS BIGINT) AS n_kept,
+         |  substr(md5(COALESCE(
+         |    string_agg(CASE WHEN kept = 1 THEN seg END, ' ' ORDER BY pos),
+         |    '')), 1, 16) AS clean_fp
+         |FROM flag GROUP BY doc""".stripMargin,
     "p36_random_projection" -> (0 until 16).map { p =>
       s"""SELECT vec_id, CAST($p AS BIGINT) AS dim,
          |  CAST(FLOOR(list_sum(list_transform(generate_series(1, 64),

@@ -440,6 +440,29 @@ class PipelineSpec extends SparkSpec {
       29971L, 4L * 29971L * 29971L, 0L))
   }
 
+  test("segment scrub rebuilds docs without duplicated segments, first occurrence wins") {
+    // 2-word segments for readable fixtures
+    val a = (1L, "aa bb cc dd aa bb")   // segs: "aa bb","cc dd","aa bb" (self-dup)
+    val b = (2L, "cc dd ee ff")         // "cc dd" already owned by doc 1
+    val c = (3L, "gg hh")
+    val df = Seq(a, b, c).toDF("doc_id", "text")
+    val out = Curation.segmentScrub(df, "doc_id", "text", segWords = 2)
+      .orderBy("doc")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    def fp(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+    // doc 1: 3 segs, within-doc repeat of "aa bb" dropped
+    assert(out(0) == ((1L, 3L, 2L, fp("aa bb cc dd"))))
+    // doc 2: loses "cc dd" to doc 1, keeps "ee ff"
+    assert(out(1) == ((2L, 2L, 1L, fp("ee ff"))))
+    assert(out(2) == ((3L, 1L, 1L, fp("gg hh"))))
+    // a doc that keeps nothing fingerprints the empty string
+    val allDup = Seq((1L, "aa bb"), (2L, "aa bb")).toDF("doc_id", "text")
+    val empt = Curation.segmentScrub(allDup, "doc_id", "text", segWords = 2)
+      .filter(col("doc") === 2).as[(Long, Long, Long, String)].head()
+    assert(empt == ((2L, 1L, 0L, fp(""))))
+  }
+
   test("PolyMap dispatches by domain and leaves unmapped domains null") {
     val facts = Seq((1L, "a", 10L), (2L, "b", 10L), (3L, "c", 10L), (4L, "a", 99L))
       .toDF("id", "dom", "fk")
