@@ -92,6 +92,14 @@ class PlansSpec extends SparkSpec {
     assert(p.contains("HashAggregate"), p)
   }
 
+  test("segment scrub's winner shuffle moves hashes and ids, not text (p65)") {
+    val p = plan(PipelineQueries.p65SegmentScrub(spark, sf0001))
+    val m = ("""\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]\n""" +
+      """Arguments: hashpartitioning\(h#""").r.findFirstMatchIn(p)
+    assert(m.isDefined, p)
+    assert(!m.get.group(1).contains("seg#"), m.get.group(1))
+  }
+
   test("pq ADC scan broadcasts queries; corpus moves codes only (p49)") {
     val p = plan(PipelineQueries.p49PqTopK(spark, sf0001))
     // corpus side: one spread repartition + the pruned ranking exchange
