@@ -793,8 +793,16 @@ object Cli {
     case "curate" :: dir :: out :: Nil =>
       val docs = Tables.read(spark, dir, "documents")
       val scored = queries.PipelineQueries.p09Quality(spark, dir)
-      val qualified = docs.join(
-        scored.filter(col("score") >= 0.5).select("doc_id"), "doc_id")
+      // three-gate quality stage: composite score, Gopher rule set,
+      // C4 page gates — all zero-exchange projections, one semi-join
+      val gopherKeep = queries.PipelineQueries.p61GopherRules(spark, dir)
+        .filter(col("keep") === 1).select("doc_id")
+      val c4Keep = queries.PipelineQueries.p64C4Lines(spark, dir)
+        .filter(col("page_keep") === 1).select("doc_id")
+      val qualified = docs
+        .join(scored.filter(col("score") >= 0.5).select("doc_id"), "doc_id")
+        .join(gopherKeep, "doc_id")
+        .join(c4Keep, "doc_id")
       val keep = Dedup.exact(qualified, "doc_id", "text")
         .select(col("keep_id").as("doc_id"))
       val deduped = qualified.join(keep, "doc_id")
