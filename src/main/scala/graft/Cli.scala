@@ -72,6 +72,7 @@ object Cli {
         |  stream-neardup <dir> <outDir>                 streaming LSH near-dup candidate pairs
         |  stream-neardup-verified <dir> <outDir>        streaming near-dup pairs, exact-Jaccard verified
         |  stream-scrub <dir> <outDir>                   stateless PII scrub as an incremental stream
+        |  stream-quality <dir> <outDir>                 Gopher quality gates applied at stream ingest
         |  kmeans <dir> <outDir> [iters]                 IVF centroid training (Lloyd, default 1 iteration)
         |  repetition <dir> <outDir>                     Gopher-style repetition quality signals
         |  gopher-filter <dir> <outDir>                  Gopher rule-set boolean quality gates
@@ -704,6 +705,17 @@ object Cli {
       println(s"""{"stream_neardup_verified":"$out"}""")
 
     // stateless ingest-time PII scrub as an incremental stream
+    case "stream-quality" :: dir :: out :: Nil =>
+      val stream = stagedDocStream(spark, dir, out)
+      val q = streaming.StreamingJobs.qualityGate(stream)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", s"$out/_checkpoint")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      println(s"""{"stream_quality":"$out"}""")
+
     case "stream-scrub" :: dir :: out :: Nil =>
       runEventStream(spark, dir, out, streaming.StreamingJobs.scrub)
       println(s"""{"stream_scrub":"$out"}""")

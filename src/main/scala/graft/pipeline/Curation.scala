@@ -269,6 +269,53 @@ object Curation {
       .withColumn("n_dropped", col("n_segs") - col("n_kept"))
   }
 
+  /** Gopher rule-set page gates (Rae et al. 2021, §A1.1) as a
+    * reusable projection — shared verbatim by the batch query (p61)
+    * and the streaming ingest twin ([[graft.streaming.StreamingJobs]]),
+    * so the gate a stream applies at admission time is provably the
+    * one the batch pass applies. Every rule is an integer
+    * cross-multiplied comparison; zero exchange, no state.
+    */
+  def gopherGates(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = TF.tokens(col(textCol))
+    val lowered = transform(toks, t => lower(t))
+    val lines = split(col(textCol), "\n")
+    val d = df
+      .withColumn("n_toks", size(toks).cast("long"))
+      .withColumn("sum_len",
+        aggregate(toks, lit(0L), (acc, x) => acc + length(x)))
+      .withColumn("n_lines", size(lines).cast("long"))
+      .withColumn("n_hash",
+        (length(col(textCol)) -
+          length(regexp_replace(col(textCol), "#", ""))).cast("long"))
+      .withColumn("n_ellipsis_lines",
+        size(filter(lines, l => rtrim(l).like("%..."))).cast("long"))
+      .withColumn("n_bullet_lines",
+        size(filter(lines, l =>
+          substring(ltrim(l), 1, 1).isin("-", "*", "•"))).cast("long"))
+      .withColumn("n_alpha_words",
+        size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("long"))
+      .withColumn("n_stop_present",
+        TF.gopherStopwords.map(w =>
+          when(array_contains(lowered, w), 1L).otherwise(0L))
+          .reduce(_ + _))
+    val flags = Seq(
+      "r_words" -> (col("n_toks") >= 20 && col("n_toks") <= 100000L),
+      "r_mean_len" -> (col("sum_len") >= col("n_toks") * 3 &&
+        col("sum_len") <= col("n_toks") * 10),
+      "r_hash" -> (col("n_hash") * 10 <= col("n_toks")),
+      "r_ellipsis" -> (col("n_ellipsis_lines") * 10 <= col("n_lines") * 3),
+      "r_bullet" -> (col("n_bullet_lines") * 10 <= col("n_lines") * 9),
+      "r_alpha" -> (col("n_alpha_words") * 5 >= col("n_toks") * 4),
+      "r_stop" -> (col("n_stop_present") >= 1))
+    val withFlags = flags.foldLeft(d) { case (acc, (n, c)) =>
+      acc.withColumn(n, when(c, 1L).otherwise(0L)) }
+    withFlags.select(
+      col(idCol) +: col("n_toks") +:
+        flags.map { case (n, _) => col(n) } :+
+        flags.map { case (n, _) => col(n) }.reduce(_ * _).as("keep"): _*)
+  }
+
   /** [[segmentDedup]]'s removal twin — the part of the C4 rule that
     * actually edits the corpus: every duplicated segment occurrence
     * (globally, in (doc, position) corpus order — within-document

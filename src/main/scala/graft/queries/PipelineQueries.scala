@@ -229,45 +229,8 @@ object PipelineQueries {
     * exactly. Zero-exchange single-scan projection at any scale (the
     * higher-order array ops run as expressions, no join, no shuffle).
     */
-  def p61GopherRules(s: SparkSession, dir: String): DataFrame = {
-    val toks = TF.tokens(col("text"))
-    val lower = transform(toks, t => org.apache.spark.sql.functions.lower(t))
-    val lines = split(col("text"), "\n")
-    val d = t(s, dir, "documents")
-      .withColumn("n_toks", size(toks).cast("long"))
-      .withColumn("sum_len",
-        aggregate(toks, lit(0L), (acc, x) => acc + length(x)))
-      .withColumn("n_lines", size(lines).cast("long"))
-      .withColumn("n_hash",
-        (length(col("text")) -
-          length(regexp_replace(col("text"), "#", ""))).cast("long"))
-      .withColumn("n_ellipsis_lines",
-        size(filter(lines, l => rtrim(l).like("%..."))).cast("long"))
-      .withColumn("n_bullet_lines",
-        size(filter(lines, l =>
-          substring(ltrim(l), 1, 1).isin("-", "*", "•"))).cast("long"))
-      .withColumn("n_alpha_words",
-        size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("long"))
-      .withColumn("n_stop_present",
-        TF.gopherStopwords.map(w =>
-          when(array_contains(lower, w), 1L).otherwise(0L))
-          .reduce(_ + _))
-    val flags = Seq(
-      "r_words" -> (col("n_toks") >= 20 && col("n_toks") <= 100000L),
-      "r_mean_len" -> (col("sum_len") >= col("n_toks") * 3 &&
-        col("sum_len") <= col("n_toks") * 10),
-      "r_hash" -> (col("n_hash") * 10 <= col("n_toks")),
-      "r_ellipsis" -> (col("n_ellipsis_lines") * 10 <= col("n_lines") * 3),
-      "r_bullet" -> (col("n_bullet_lines") * 10 <= col("n_lines") * 9),
-      "r_alpha" -> (col("n_alpha_words") * 5 >= col("n_toks") * 4),
-      "r_stop" -> (col("n_stop_present") >= 1))
-    val withFlags = flags.foldLeft(d) { case (df, (n, c)) =>
-      df.withColumn(n, when(c, 1L).otherwise(0L)) }
-    withFlags.select(
-      col("doc_id") +: col("n_toks") +:
-        flags.map { case (n, _) => col(n) } :+
-        flags.map { case (n, _) => col(n) }.reduce(_ * _).as("keep"): _*)
-  }
+  def p61GopherRules(s: SparkSession, dir: String): DataFrame =
+    Curation.gopherGates(t(s, dir, "documents"), "doc_id", "text")
 
   /** C4-style line-and-page cleaning (Raffel et al. 2020, §2.2 — the
     * line-level complement of p61's page-level Gopher gates): lines

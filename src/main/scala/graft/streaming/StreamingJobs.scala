@@ -56,6 +56,16 @@ object StreamingJobs {
         col("n_email"), col("n_phone"), col("n_id"))
   }
 
+  /** Ingest-time quality gating — the streaming twin of the Gopher
+    * rule-set query (p61), applied at admission so low-quality
+    * documents never enter the corpus. Shares the EXACT projection
+    * with the batch query ([[graft.pipeline.Curation.gopherGates]]),
+    * so stream and batch decisions cannot drift. Stateless — no
+    * watermark, no state store, emits every micro-batch.
+    */
+  def qualityGate(docs: DataFrame): DataFrame =
+    graft.pipeline.Curation.gopherGates(docs, "doc_id", "text")
+
   /** Stream-static enrichment — the streaming twin of the
     * concept-name broadcast lookup (J2): each micro-batch left-joins
     * the static dimension, which Spark re-plans per batch (a

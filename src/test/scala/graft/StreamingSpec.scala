@@ -299,6 +299,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming quality gate equals the batch Gopher rules on the same docs") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDF().toDF("doc_id", "text")
+    val q = StreamingJobs.qualityGate(docs)
+      .writeStream.format("memory").queryName("qgate_s")
+      .outputMode("append").start()
+    try {
+      val rows = Seq(
+        (1L, "the quick brown fox jumps over the lazy dog and then some " +
+          "more words with that have been added here today okay fine"),
+        (2L, "too short"),
+        (3L, Seq.fill(30)("zzz qqq vvv").mkString(" ")))
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("qgate_s")
+        .select("doc_id", "keep").as[(Long, Long)].collect().toSeq.sorted
+      assert(streamed == Seq((1L, 1L), (2L, 0L), (3L, 0L)))
+      // bit-identical to the batch projection over the same rows
+      val batch = graft.pipeline.Curation.gopherGates(
+          rows.toDF("doc_id", "text"), "doc_id", "text")
+        .select("doc_id", "keep").as[(Long, Long)].collect().toSeq.sorted
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("streaming verified near-dup pairs equal batch minhashPairs incl. out-of-order") {
     implicit val sqlCtx = spark.sqlContext
     val base = (1 to 40).map(i => s"tok$i").mkString(" ")
