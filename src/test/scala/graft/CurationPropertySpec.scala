@@ -34,6 +34,31 @@ class CurationPropertySpec extends SparkSpec {
     assert(result.passed, result.status.toString)
   }
 
+  test("segmentScrub: reconstruction equals the brute-force first-occurrence filter") {
+    val prop = Prop.forAll(Gen.listOfN(8, doc)) { texts =>
+      val corpus = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val out = Curation.segmentScrub(corpus, "doc_id", "text", segWords = 3)
+        .as[(Long, Long, Long, String)].collect()
+        .map(r => r._1 -> r).toMap
+      // brute force: walk the corpus in (doc, pos) order, keep a
+      // segment occurrence only the first time its text is seen
+      val seen = scala.collection.mutable.Set[String]()
+      val expected = texts.zipWithIndex.map { case (t, i) =>
+        val segs = t.split("\\s+").grouped(3).map(_.mkString(" ")).toSeq
+        val kept = segs.filter(seen.add)
+        val fp = java.security.MessageDigest.getInstance("MD5")
+          .digest(kept.mkString(" ").getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(16)
+        (i.toLong, segs.size.toLong, kept.size.toLong, fp)
+      }
+      expected.forall(e => out(e._1) == e)
+    }
+    val result = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(result.passed, result.status.toString)
+  }
+
   test("scrubText: no digit survives the cascade; counts are consistent") {
     val piece: Gen[String] = Gen.oneOf(
       Gen.chooseNum(0, 999999999L).map(_.toString),
