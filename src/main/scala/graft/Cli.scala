@@ -77,6 +77,7 @@ object Cli {
         |  repetition <dir> <outDir>                     Gopher-style repetition quality signals
         |  gopher-filter <dir> <outDir>                  Gopher rule-set boolean quality gates
         |  c4-clean <dir> <outDir>                       C4 line filters + page gates + cleaned-text fp
+        |  quality-funnel <dir> <outDir>                 per-source survival through all three quality gates
         |  bpe-pairs <dir> <outDir>                      BPE merge-step adjacent-pair counts (top 20)
         |  audio-features <dir> <outDir>                 peak/energy/zero-crossings from decoded WAV
         |  dup-clusters <dir> <outDir>                   connected-component near-dup clusters + keep flags
@@ -745,6 +746,9 @@ object Cli {
 
     case "c4-clean" :: dir :: out :: Nil =>
       write(queries.PipelineQueries.p64C4Lines(spark, dir), out)
+
+    case "quality-funnel" :: dir :: out :: Nil =>
+      write(queries.PipelineQueries.p66QualityFunnel(spark, dir), out)
 
     case "bpe-pairs" :: dir :: out :: Nil =>
       write(queries.PipelineQueries.p62BpePairs(spark, dir), out)

@@ -276,7 +276,8 @@ object Curation {
     * one the batch pass applies. Every rule is an integer
     * cross-multiplied comparison; zero exchange, no state.
     */
-  def gopherGates(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def gopherGates(df: DataFrame, idCol: String, textCol: String,
+      carry: Seq[String] = Nil): DataFrame = {
     val toks = TF.tokens(col(textCol))
     val lowered = transform(toks, t => lower(t))
     val lines = split(col(textCol), "\n")
@@ -311,8 +312,8 @@ object Curation {
     val withFlags = flags.foldLeft(d) { case (acc, (n, c)) =>
       acc.withColumn(n, when(c, 1L).otherwise(0L)) }
     withFlags.select(
-      col(idCol) +: col("n_toks") +:
-        flags.map { case (n, _) => col(n) } :+
+      (col(idCol) +: carry.map(col)) ++
+        (col("n_toks") +: flags.map { case (n, _) => col(n) }) :+
         flags.map { case (n, _) => col(n) }.reduce(_ * _).as("keep"): _*)
   }
 

@@ -268,6 +268,46 @@ object PipelineQueries {
       col("clean_fp"))
   }
 
+  /** Per-source quality funnel (the dataset-card view of the three
+    * quality gates): for each source, how many documents survive the
+    * composite score (p09, ≥ 0.5), the Gopher rule set (p61), the C4
+    * page gates (p64), and all three together. ONE pass — every gate
+    * is a per-row expression over the same scan, so the only exchange
+    * is the source-count rollup (source-cardinality rows).
+    */
+  def p66QualityFunnel(s: SparkSession, dir: String): DataFrame = {
+    val gated = Curation.gopherGates(t(s, dir, "documents"), "doc_id",
+      "text", carry = Seq("source", "text"))
+    val toks = TF.tokens(col("text"))
+    val lines = split(col("text"), "\n")
+    val keptLines = filter(lines, l => size(split(trim(l), "\\s+")) >= 3)
+    val full = gated
+      .withColumn("mean_len",
+        aggregate(toks, lit(0L), (a, x) => a + length(x)).cast("double") /
+          col("n_toks").cast("double"))
+      .withColumn("punct_ratio",
+        TF.punctCount(col("text")).cast("double") /
+          length(col("text")).cast("double"))
+      .withColumn("stop_ratio",
+        TF.stopwordHits(toks, TF.stopwords.head._2).cast("double") /
+          col("n_toks").cast("double"))
+      .withColumn("score_keep",
+        when(TF.qualityScore(col("n_toks"), col("mean_len"),
+          col("punct_ratio"), col("stop_ratio")) >= 0.5, 1L).otherwise(0L))
+      .withColumn("c4_keep",
+        when(!col("text").like("%{%") &&
+          !org.apache.spark.sql.functions.lower(col("text"))
+            .like("%lorem ipsum%") &&
+          size(keptLines) >= 1, 1L).otherwise(0L))
+    full.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("score_keep")).as("n_score"),
+        sum(col("keep")).as("n_gopher"),
+        sum(col("c4_keep")).as("n_c4"),
+        sum(col("score_keep") * col("keep") * col("c4_keep")).as("n_all"))
+      .orderBy("source")
+  }
+
   /** BPE merge-step pair counting (tokenizer prep): the corpus-wide
     * frequency of adjacent sub-word token pairs — the statistic a BPE
     * trainer computes each merge round — with a deterministic top-k.
@@ -1066,6 +1106,7 @@ object PipelineQueries {
     "p62_bpe_pairs" -> p62BpePairs _,
     "p64_c4_lines" -> p64C4Lines _,
     "p65_segment_scrub" -> p65SegmentScrub _,
+    "p66_quality_funnel" -> p66QualityFunnel _,
     "p63_audio_features" -> p63AudioFeatures _,
     "p57_png_decode" -> p57PngDecode _,
     "p50_temp_mix" -> p50TempMix _,
@@ -1390,8 +1431,31 @@ object PipelineQueries {
        |)""".stripMargin
   }
 
+  /** The p66 oracle: the three gate oracles composed verbatim as
+    * derived tables (the p56 pattern) — a funnel pass certifies every
+    * gate's own replay AND the rollup.
+    */
+  private def oQualityFunnel: String =
+    s"""WITH g AS (${oracle0("p61_gopher_rules")}),
+       |c AS (${oracle0("p64_c4_lines")}),
+       |q AS (${oracle0("p09_quality")}),
+       |d AS (SELECT doc_id, source FROM documents)
+       |SELECT d.source,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(CASE WHEN q.score >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_score,
+       |  CAST(SUM(g.keep) AS BIGINT) AS n_gopher,
+       |  CAST(SUM(c.page_keep) AS BIGINT) AS n_c4,
+       |  CAST(SUM(CASE WHEN q.score >= 0.5 THEN 1 ELSE 0 END
+       |           * g.keep * c.page_keep) AS BIGINT) AS n_all
+       |FROM d
+       |JOIN g ON d.doc_id = g.doc_id
+       |JOIN c ON d.doc_id = c.doc_id
+       |JOIN q ON d.doc_id = q.doc_id
+       |GROUP BY d.source ORDER BY d.source""".stripMargin
+
   def oracle: Map[String, String] =
-    oracle0 + ("p56_ann_recall" -> oAnnRecall)
+    oracle0 + ("p56_ann_recall" -> oAnnRecall) +
+      ("p66_quality_funnel" -> oQualityFunnel)
 
   private lazy val oracle0: Map[String, String] = Map(
     "p01_exact_dedup" ->
