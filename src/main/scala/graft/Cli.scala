@@ -34,6 +34,7 @@ object Cli {
         |  subset <dir> <table> <keyCol> <outDir>        cohort subsetting
         |  sessionize <dir> <outDir>                     30-min event sessions
         |  dedup-exact <dir> <outDir>                    exact document dedup
+        |  dedup-keep-longest <dir> <outDir>             exact dedup, longest-raw-text survivor policy
         |  dedup-minhash <dir> <outDir>                  MinHash+LSH near-dup pairs
         |  ann <dir> <outDir>                            cosine top-k for the query batch
         |  text-stats <dir> <outDir>                     lang-id + quality + token counts
@@ -374,6 +375,9 @@ object Cli {
 
     case "sessionize" :: dir :: out :: Nil =>
       write(queries.PipelineQueries.p13Sessionize(spark, dir), out)
+
+    case "dedup-keep-longest" :: dir :: out :: Nil =>
+      write(queries.PipelineQueries.p67KeepLongest(spark, dir), out)
 
     case "dedup-exact" :: dir :: out :: Nil =>
       write(Dedup.exact(Tables.read(spark, dir, "documents"), "doc_id", "text"), out)

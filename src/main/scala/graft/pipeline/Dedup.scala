@@ -47,6 +47,26 @@ object Dedup {
       .groupBy(col("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** [[exact]] with the keep-longest policy: among documents sharing a
+    * fingerprint, keep the one with the most RAW characters (exact
+    * duplicates here are equal after whitespace normalization, so raw
+    * length still varies), ties to the smallest id. The policy rides
+    * the same 16-byte-key shuffle: the aggregate carries a
+    * (length, -id) struct max instead of an id min — no extra
+    * exchange, no text movement.
+    */
+  def exactKeepLongest(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    spread(df).select(
+        col(idCol),
+        length(col(textCol)).cast("long").as("len"),
+        fingerprint(tokens(col(textCol))).as("fp"))
+      .groupBy(col("fp"))
+      .agg(
+        max(struct(col("len"), (-col(idCol)).as("nid"))).as("best"),
+        count(lit(1)).as("n_copies"))
+      .select(col("fp"), (-col("best.nid")).as("keep_id"),
+        col("best.len").as("keep_len"), col("n_copies"))
+
   /** Shared prep: id, distinct k-shingle set (native kernel — one
     * compiled loop per document; semantics identical to the HOF
     * [[TextFunctions.shingles]], pinned by KernelEquivalenceSpec).

@@ -268,6 +268,17 @@ object PipelineQueries {
       col("clean_fp"))
   }
 
+  /** Exact dedup under the keep-longest policy
+    * ([[Dedup.exactKeepLongest]]): the survivor of each duplicate
+    * group is the doc with the most raw characters (ties to the
+    * smaller id) instead of the smallest id — the policy real curation
+    * pipelines use when near-identical scrapes differ in formatting.
+    * Same 16-byte-key shuffle as p01; the policy lives in the
+    * aggregate, not an extra pass.
+    */
+  def p67KeepLongest(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactKeepLongest(t(s, dir, "documents"), "doc_id", "text")
+
   /** Per-source quality funnel (the dataset-card view of the three
     * quality gates): for each source, how many documents survive the
     * composite score (p09, ≥ 0.5), the Gopher rule set (p61), the C4
@@ -1107,6 +1118,7 @@ object PipelineQueries {
     "p64_c4_lines" -> p64C4Lines _,
     "p65_segment_scrub" -> p65SegmentScrub _,
     "p66_quality_funnel" -> p66QualityFunnel _,
+    "p67_keep_longest" -> p67KeepLongest _,
     "p63_audio_features" -> p63AudioFeatures _,
     "p57_png_decode" -> p57PngDecode _,
     "p50_temp_mix" -> p50TempMix _,
@@ -2174,6 +2186,19 @@ object PipelineQueries {
          |  CAST(SUM(CASE WHEN s.doc_id = o.owner THEN 1 ELSE 0 END) AS BIGINT)
          |    AS n_dropped
          |FROM segs s JOIN owners o USING (h) GROUP BY s.doc_id""".stripMargin,
+    "p67_keep_longest" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, CAST(length(text) AS BIGINT) AS len,
+         |    substr(md5(array_to_string($oToks, ' ')), 1, 16) AS fp
+         |  FROM documents),
+         |r AS (
+         |  SELECT fp, doc_id, len,
+         |    ROW_NUMBER() OVER (PARTITION BY fp ORDER BY len DESC, doc_id ASC) AS rn,
+         |    COUNT(*) OVER (PARTITION BY fp) AS n
+         |  FROM base)
+         |SELECT fp, doc_id AS keep_id, len AS keep_len,
+         |  CAST(n AS BIGINT) AS n_copies
+         |FROM r WHERE rn = 1""".stripMargin,
     "p65_segment_scrub" ->
       s"""WITH base AS (SELECT doc_id, $oToks AS toks FROM documents),
          |exp AS (

@@ -440,6 +440,20 @@ class PipelineSpec extends SparkSpec {
       29971L, 4L * 29971L * 29971L, 0L))
   }
 
+  test("keep-longest dedup keeps the raw-longest copy, ties to smaller id") {
+    val df = Seq(
+      (1L, "alpha beta"),          // len 10
+      (2L, "alpha   beta"),        // same fp, len 12 → survivor
+      (3L, "alpha  beta"),         // same fp, len 11
+      (4L, "gamma delta"),         // singleton
+      (5L, "gamma delta"))         // exact tie with 4 → id 4 wins
+      .toDF("doc_id", "text")
+    val out = Dedup.exactKeepLongest(df, "doc_id", "text")
+      .select("keep_id", "keep_len", "n_copies")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out == Set((2L, 12L, 3L), (4L, 11L, 2L)))
+  }
+
   test("segment scrub rebuilds docs without duplicated segments, first occurrence wins") {
     // 2-word segments for readable fixtures
     val a = (1L, "aa bb cc dd aa bb")   // segs: "aa bb","cc dd","aa bb" (self-dup)
