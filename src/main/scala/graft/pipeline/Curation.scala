@@ -404,4 +404,69 @@ object Curation {
         size(col("chunk")).cast("long").as("n_tokens"),
         TF.hash60(concat_ws(" ", col("chunk"))).as("chunk_hash"))
   }
+
+  /** CCNet-style unigram language-model scoring: fit an add-one-smoothed
+    * unigram LM over the corpus (top-`vocabSize` tokens by frequency,
+    * everything else one shared OOV mass) and score every document by
+    * its total and mean negative log-likelihood — the perplexity filter
+    * of a web-scale curation pipeline, self-trained here the way CCNet
+    * trains on its own snapshot.
+    *
+    * Determinism: each token's cost is floored to integer micro-nats
+    * BEFORE the per-doc sum, so the aggregate is an order-independent
+    * integer sum any engine reproduces; the vocabulary cut is
+    * (count DESC, token) — a total order. The only doubles are one
+    * division and one `ln` per DISTINCT vocab count, never per row.
+    *
+    * Scale shape: one corpus-wide shuffle to count tokens; the cost
+    * table is vocab-sized and broadcast (so is the single-row OOV
+    * cost); the per-doc sum partial-aggregates map-side. Nothing
+    * corpus-sized is ever collected or broadcast.
+    */
+  def unigramLogLoss(df: DataFrame, idCol: String, textCol: String,
+      vocabSize: Int): DataFrame = {
+    require(vocabSize > 0, "vocabSize must be positive")
+    val toks = df.select(col(idCol), explode(TF.tokens(col(textCol))).as("tok"))
+    val counts = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+    val totals = counts.agg(sum("c").as("t"))
+    // smoothing denominator: total tokens + vocab slots + 1 OOV slot
+    val denom = (col("t") + lit(vocabSize + 1)).cast("double")
+    val cost = counts.orderBy(col("c").desc, col("tok")).limit(vocabSize)
+      .crossJoin(broadcast(totals))
+      .select(col("tok"),
+        floor(-log((col("c") + 1).cast("double") / denom) * 1e6)
+          .cast("long").as("cost"))
+    val oov = totals.select(
+      floor(-log(lit(1.0) / denom) * 1e6).cast("long").as("oov_cost"))
+    toks.join(broadcast(cost), Seq("tok"), "left")
+      .crossJoin(broadcast(oov))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("cost"), col("oov_cost"))).as("nll_micro"))
+      .withColumn("avg_nll_micro", expr("nll_micro div n_tokens"))
+  }
+
+  /** Quality-weighted importance sampling: accept each document with
+    * probability score/max(score), decided by a seedless portable hash
+    * — the "resample toward high quality" step of a curation recipe
+    * (the acceptance-sampling half of importance resampling; the
+    * stratum-quota half is [[stratifiedSample]]). The comparison is
+    * cross-multiplied integers (draw·maxScore < score·1e6), so no
+    * engine ever rounds a probability.
+    *
+    * Scale shape: the corpus max is a single-row broadcast; everything
+    * else is a per-row projection on the scan — zero corpus shuffles.
+    */
+  def importanceSample(scored: DataFrame, idCol: String,
+      scoreMicroCol: String, salt: String = "imp"): DataFrame = {
+    val maxScore = scored.agg(max(col(scoreMicroCol)).as("max_score"))
+    scored.crossJoin(broadcast(maxScore))
+      .withColumn("draw",
+        pmod(TF.hash60(concat(lit(salt), col(idCol).cast("string"))),
+          lit(1000000L)))
+      .withColumn("accept",
+        (col("draw") * col("max_score") <
+          col(scoreMicroCol) * lit(1000000L)).cast("int"))
+      .drop("max_score")
+  }
 }

@@ -45,6 +45,32 @@ object PipelineQueries {
        |  ELSE CAST([] AS VARCHAR[]) END""".stripMargin
   }
 
+  /** CTE pair (`qm`, `q`) rendering [[scoredDocs]]'s floored-micro p09
+    * quality score — shared by the canonical-selection and
+    * importance-sampling oracles.
+    */
+  private lazy val oScoreCtes: String = {
+    val enSet = TF.stopwords.head._2.map(w => s"'$w'").mkString(", ")
+    s"""qm AS (
+       |  SELECT doc_id,
+       |    CAST(len(toks) AS BIGINT) AS n_toks,
+       |    list_sum(list_transform(toks, t -> length(t)))
+       |      / CAST(len(toks) AS DOUBLE) AS mean_len,
+       |    (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))
+       |      / CAST(length(text) AS DOUBLE) AS punct_ratio,
+       |    len(list_filter(toks, t -> lower(t) IN ($enSet)))
+       |      / CAST(len(toks) AS DOUBLE) AS stop_ratio
+       |  FROM (SELECT doc_id, text, $oToks AS toks FROM documents)),
+       |q AS (
+       |  SELECT doc_id,
+       |    CAST(FLOOR((least(n_toks / 100.0, 1.0) * 0.4
+       |      + least(mean_len / 10.0, 1.0) * 0.2
+       |      + (1.0 - least(punct_ratio * 10.0, 1.0)) * 0.2
+       |      + least(stop_ratio * 5.0, 1.0) * 0.2) * 1e6) AS BIGINT)
+       |      AS score_micro
+       |  FROM qm)""".stripMargin
+  }
+
   /** Exhaustive pair-Jaccard oracle shared by the dedup queries. */
   private def oJaccardPairs(k: Int, threshold: Double): String =
     s"""WITH sh AS (
@@ -278,6 +304,81 @@ object PipelineQueries {
     */
   def p67KeepLongest(s: SparkSession, dir: String): DataFrame =
     Dedup.exactKeepLongest(t(s, dir, "documents"), "doc_id", "text")
+
+  /** The p09 composite quality score floored to integer micro-units —
+    * the deterministic ranking key the canonical-selection and
+    * importance-sampling ops order by. The double itself is portable
+    * (p09 hash-matches it), so its floor is too.
+    */
+  private def scoredDocs(docs: DataFrame): DataFrame = {
+    val toks = TF.tokens(col("text"))
+    docs
+      .withColumn("n_toks", size(toks))
+      .withColumn("mean_len",
+        aggregate(toks, lit(0L), (a, x) => a + length(x)).cast("double") /
+          col("n_toks").cast("double"))
+      .withColumn("punct_ratio",
+        TF.punctCount(col("text")).cast("double") /
+          length(col("text")).cast("double"))
+      .withColumn("stop_ratio",
+        TF.stopwordHits(toks, TF.stopwords.head._2).cast("double") /
+          col("n_toks").cast("double"))
+      .withColumn("score_micro",
+        floor(TF.qualityScore(col("n_toks"), col("mean_len"),
+          col("punct_ratio"), col("stop_ratio")) * 1e6).cast("long"))
+  }
+
+  /** CCNet-style unigram-LM perplexity scoring
+    * ([[Curation.unigramLogLoss]]): a 500-token add-one-smoothed
+    * unigram model fit on the corpus itself, every document scored by
+    * total and mean negative log-likelihood in integer micro-nats —
+    * the "perplexity filter" stage of a web-curation pipeline. The
+    * oracle refits the model from scratch, so a pass certifies the
+    * vocabulary cut, the smoothing arithmetic, and the OOV fallback.
+    */
+  def p68UnigramLm(s: SparkSession, dir: String): DataFrame =
+    Curation.unigramLogLoss(t(s, dir, "documents"), "doc_id", "text",
+      vocabSize = 500)
+
+  /** Near-dup cluster canonical selection: the p37 clusters, but the
+    * survivor is the HIGHEST-QUALITY member (p09 score, ties to the
+    * smaller id) rather than the minimum id — keep-best, the policy a
+    * curation pipeline actually wants when scrapes of the same page
+    * differ in boilerplate. One row per cluster with its size. The
+    * score lives in the same window shuffle that ranks the cluster —
+    * no extra pass over the corpus.
+    */
+  def p69ClusterBest(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      k = 4, threshold = 0.4, maxShingleFreqFrac = Some(0.1))
+    val comp = ConnectedComponents.components(
+      pairs.select(col("doc_a").as("u"), col("doc_b").as("v")))
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(col("score_micro").desc, col("doc_id"))
+    comp.select(col("node").as("doc_id"), col("component").as("cluster_id"))
+      .join(scoredDocs(docs).select(col("doc_id"), col("score_micro")),
+        Seq("doc_id"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy("cluster_id")))
+      .filter(col("rn") === 1)
+      .select(col("cluster_id"), col("doc_id").as("best_doc_id"),
+        col("score_micro").as("best_score_micro"), col("cluster_size"))
+  }
+
+  /** Quality-weighted importance sampling
+    * ([[Curation.importanceSample]]): each document accepted with
+    * probability score/max(score) by a seedless portable-hash draw —
+    * deterministic resampling toward quality. The top-scoring doc is
+    * always accepted (draw < 1e6 by construction); a zero score is
+    * never accepted.
+    */
+  def p70ImportanceSample(s: SparkSession, dir: String): DataFrame =
+    Curation.importanceSample(
+      scoredDocs(t(s, dir, "documents"))
+        .select(col("doc_id"), col("source"), col("score_micro")),
+      "doc_id", "score_micro")
 
   /** Per-source quality funnel (the dataset-card view of the three
     * quality gates): for each source, how many documents survive the
@@ -1119,6 +1220,9 @@ object PipelineQueries {
     "p65_segment_scrub" -> p65SegmentScrub _,
     "p66_quality_funnel" -> p66QualityFunnel _,
     "p67_keep_longest" -> p67KeepLongest _,
+    "p68_unigram_lm" -> p68UnigramLm _,
+    "p69_cluster_best" -> p69ClusterBest _,
+    "p70_importance_sample" -> p70ImportanceSample _,
     "p63_audio_features" -> p63AudioFeatures _,
     "p57_png_decode" -> p57PngDecode _,
     "p50_temp_mix" -> p50TempMix _,
@@ -2186,6 +2290,64 @@ object PipelineQueries {
          |  CAST(SUM(CASE WHEN s.doc_id = o.owner THEN 1 ELSE 0 END) AS BIGINT)
          |    AS n_dropped
          |FROM segs s JOIN owners o USING (h) GROUP BY s.doc_id""".stripMargin,
+    "p68_unigram_lm" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest($oToks) AS tok FROM documents),
+         |cnt AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+         |tot AS (SELECT SUM(c) AS t FROM cnt),
+         |vocab AS (SELECT tok, c FROM cnt ORDER BY c DESC, tok LIMIT 500),
+         |cost AS (
+         |  SELECT tok,
+         |    CAST(FLOOR(-ln((c + 1) / CAST(t + 501 AS DOUBLE)) * 1e6)
+         |      AS BIGINT) AS cost
+         |  FROM vocab, tot),
+         |oov AS (
+         |  SELECT CAST(FLOOR(-ln(1 / CAST(t + 501 AS DOUBLE)) * 1e6)
+         |    AS BIGINT) AS oov_cost
+         |  FROM tot)
+         |SELECT t2.doc_id,
+         |  CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(COALESCE(cost.cost, oov.oov_cost)) AS BIGINT) AS nll_micro,
+         |  CAST(SUM(COALESCE(cost.cost, oov.oov_cost)) AS BIGINT) // COUNT(*)
+         |    AS avg_nll_micro
+         |FROM toks t2 CROSS JOIN oov LEFT JOIN cost ON t2.tok = cost.tok
+         |GROUP BY t2.doc_id""".stripMargin,
+    "p69_cluster_best" ->
+      s"""WITH RECURSIVE sh AS (
+         |  SELECT doc_id, ${oShingles(4)} AS sh
+         |  FROM (SELECT doc_id, $oToks AS toks FROM documents)),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE len(list_intersect(a.sh, b.sh))
+         |      / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE)
+         |      >= 0.4),
+         |edges AS (
+         |  SELECT doc_a AS u, doc_b AS v FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(u, v) AS (
+         |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+         |clus AS (SELECT u AS doc_id, MIN(v) AS cluster_id FROM reach GROUP BY u),
+         |$oScoreCtes,
+         |r2 AS (
+         |  SELECT cluster_id, c2.doc_id, score_micro,
+         |    ROW_NUMBER() OVER (PARTITION BY cluster_id
+         |      ORDER BY score_micro DESC, c2.doc_id) AS rn,
+         |    COUNT(*) OVER (PARTITION BY cluster_id) AS n
+         |  FROM clus c2 JOIN q ON c2.doc_id = q.doc_id)
+         |SELECT cluster_id, doc_id AS best_doc_id,
+         |  score_micro AS best_score_micro, CAST(n AS BIGINT) AS cluster_size
+         |FROM r2 WHERE rn = 1""".stripMargin,
+    "p70_importance_sample" ->
+      s"""WITH $oScoreCtes,
+         |mx AS (SELECT MAX(score_micro) AS mx FROM q)
+         |SELECT q.doc_id, d.source, q.score_micro,
+         |  ${oHash("'imp' || CAST(q.doc_id AS VARCHAR)")} % 1000000 AS draw,
+         |  CAST((${oHash("'imp' || CAST(q.doc_id AS VARCHAR)")} % 1000000)
+         |       * mx.mx < q.score_micro * 1000000 AS INT) AS accept
+         |FROM q JOIN documents d ON q.doc_id = d.doc_id CROSS JOIN mx""".stripMargin,
     "p67_keep_longest" ->
       s"""WITH base AS (
          |  SELECT doc_id, CAST(length(text) AS BIGINT) AS len,

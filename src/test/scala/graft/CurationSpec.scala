@@ -160,4 +160,33 @@ class CurationSpec extends SparkSpec {
       .select("n_segs").as[Long].head()
     assert(out == 2L) // "p q" + "r"
   }
+
+  test("unigramLogLoss: in-vocab cost matches the closed form, OOV costs more") {
+    // corpus: "a" ×3, "b" ×2, "z" ×1; vocabSize=2 → vocab {a, b}, z is OOV
+    val corpus = Seq((1L, "a a a b"), (2L, "b z")).toDF("doc_id", "text")
+    val out = Curation.unigramLogLoss(corpus, "doc_id", "text", vocabSize = 2)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val t = 6L; val denom = (t + 3).toDouble // V=2 vocab slots + 1 OOV
+    def cost(c: Long) = math.floor(-math.log((c + 1) / denom) * 1e6).toLong
+    val oov = math.floor(-math.log(1 / denom) * 1e6).toLong
+    assert(out(1L) == ((4L, 3 * cost(3) + cost(2), (3 * cost(3) + cost(2)) / 4)))
+    assert(out(2L) == ((2L, cost(2) + oov, (cost(2) + oov) / 2)))
+    assert(oov > cost(1)) // unseen is always costlier than any vocab token
+  }
+
+  test("importanceSample: max-score docs always accepted, zero never") {
+    val scored = Seq(
+      (1L, "s1", 1000000L), (2L, "s1", 0L), (3L, "s2", 500000L))
+      .toDF("doc_id", "source", "score_micro")
+    val out = Curation.importanceSample(scored, "doc_id", "score_micro")
+      .select("doc_id", "draw", "accept")
+      .as[(Long, Long, Int)].collect().toSeq.sortBy(_._1)
+    assert(out.forall { case (_, d, _) => d >= 0 && d < 1000000 })
+    assert(out(0)._3 == 1) // score == max ⇒ draw·max < max·1e6 always
+    assert(out(1)._3 == 0) // zero score can never win a strict <
+    // mid score accepts iff draw·max < score·1e6 — recompute the rule
+    val (_, d3, a3) = out(2)
+    assert((if (d3 * 1000000L < 500000L * 1000000L) 1 else 0) == a3)
+  }
 }
