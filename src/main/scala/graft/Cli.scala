@@ -79,7 +79,11 @@ object Cli {
         |  gopher-filter <dir> <outDir>                  Gopher rule-set boolean quality gates
         |  c4-clean <dir> <outDir>                       C4 line filters + page gates + cleaned-text fp
         |  quality-funnel <dir> <outDir>                 per-source survival through all three quality gates
+        |  unigram-lm <dir> <outDir>                     self-trained unigram-LM NLL (perplexity filter) per doc
+        |  cluster-best <dir> <outDir>                   near-dup clusters, highest-quality survivor per cluster
+        |  importance-sample <dir> <outDir>              quality-weighted acceptance sampling (portable hash)
         |  bpe-pairs <dir> <outDir>                      BPE merge-step adjacent-pair counts (top 20)
+        |  bpe-train <dir> <outDir> [nMerges]            full BPE merge-loop training (default 3 merges)
         |  audio-features <dir> <outDir>                 peak/energy/zero-crossings from decoded WAV
         |  dup-clusters <dir> <outDir>                   connected-component near-dup clusters + keep flags
         |  scrub <dir> <outDir>                          PII/identifier redaction over event log lines
@@ -754,8 +758,22 @@ object Cli {
     case "quality-funnel" :: dir :: out :: Nil =>
       write(queries.PipelineQueries.p66QualityFunnel(spark, dir), out)
 
+    case "unigram-lm" :: dir :: out :: Nil =>
+      write(queries.PipelineQueries.p68UnigramLm(spark, dir), out)
+
+    case "cluster-best" :: dir :: out :: Nil =>
+      write(queries.PipelineQueries.p69ClusterBest(spark, dir), out)
+
+    case "importance-sample" :: dir :: out :: Nil =>
+      write(queries.PipelineQueries.p70ImportanceSample(spark, dir), out)
+
     case "bpe-pairs" :: dir :: out :: Nil =>
       write(queries.PipelineQueries.p62BpePairs(spark, dir), out)
+
+    case "bpe-train" :: dir :: out :: rest if rest.size <= 1 =>
+      val n = rest.headOption.map(_.toInt).getOrElse(3)
+      write(pipeline.Bpe.train(
+        core.Tables.read(spark, dir, "documents"), "text", n), out)
 
     case "audio-features" :: dir :: out :: Nil =>
       write(queries.PipelineQueries.p63AudioFeatures(spark, dir), out)

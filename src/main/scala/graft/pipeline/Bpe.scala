@@ -1,0 +1,95 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{TextFunctions => TF}
+
+/** Byte-pair-encoding tokenizer TRAINING as iterative Spark plans — the
+  * full merge loop, not just one round's pair statistic (that is
+  * p62). Each round: count adjacent symbol pairs in the current
+  * segmentation, pick the most frequent (ties to the lexicographically
+  * smallest pair), greedily re-segment every word, repeat. The learned
+  * merge table is the artifact a tokenizer ships.
+  *
+  * Scale shape — the classic trainer decomposition: ONE corpus-wide
+  * shuffle builds the distinct-word frequency table; every iteration
+  * after that touches only that vocab-sized table (pair counting is a
+  * map-side-combined shuffle of 2-symbol keys, the argmax is a one-row
+  * broadcast, and the re-segmentation is a zero-exchange O(|word|)
+  * fold per row). A 100 TB corpus trains at the cost of its distinct
+  * words, exactly like a single-node BPE trainer over a counted
+  * vocabulary.
+  */
+object Bpe {
+
+  /** Distinct-word frequency table, each word split to single-character
+    * symbols — the working set the merge loop iterates on.
+    */
+  def wordTable(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(TF.tokens(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .withColumn("syms",
+        transform(sequence(lit(1), length(col("word"))),
+          i => col("word").substr(i, lit(1))))
+
+  /** Adjacent-pair frequencies of the current segmentation, weighted by
+    * word frequency; overlapping occurrences all count (the BPE
+    * counting rule — the merge step, not this one, is non-overlapping).
+    */
+  def pairCounts(words: DataFrame): DataFrame = {
+    val syms = col("syms")
+    val pairs = when(size(syms) >= 2,
+      zip_with(
+        slice(syms, lit(1), size(syms) - 1),
+        slice(syms, lit(2), size(syms) - 1),
+        (a, b) => struct(a.as("l"), b.as("r"))))
+      .otherwise(array().cast("array<struct<l:string,r:string>>"))
+    words.select(col("cnt"), explode(pairs).as("p"))
+      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+      .agg(sum(col("cnt")).as("pc"))
+  }
+
+  /** Greedy left-to-right non-overlapping application of the merge
+    * (l, r) to every word's symbol list — one O(|word|) fold per row,
+    * zero exchanges. Fold state is (emitted, pending): `pending` is the
+    * one symbol the scan may still merge with the next element; ""
+    * means none (a symbol is never empty, so the sentinel is safe).
+    */
+  def applyMerge(words: DataFrame, l: Column, r: Column): DataFrame = {
+    val merged = aggregate(
+      col("syms"),
+      struct(array().cast("array<string>").as("res"), lit("").as("prev")),
+      (st, x) =>
+        when(st.getField("prev") === "",
+          struct(st.getField("res").as("res"), x.as("prev")))
+          .when(st.getField("prev") === l && x === r,
+            struct(concat(st.getField("res"), array(concat(l, r))).as("res"),
+              lit("").as("prev")))
+          .otherwise(
+            struct(concat(st.getField("res"), array(st.getField("prev")))
+              .as("res"), x.as("prev"))),
+      st => when(st.getField("prev") === "", st.getField("res"))
+        .otherwise(concat(st.getField("res"), array(st.getField("prev")))))
+    words.withColumn("syms", merged)
+  }
+
+  /** Train `nMerges` merges; returns the merge table
+    * (it, lhs, rhs, pair_count) in training order.
+    */
+  def train(docs: DataFrame, textCol: String, nMerges: Int): DataFrame = {
+    require(nMerges > 0, "nMerges must be positive")
+    var words = wordTable(docs, textCol)
+    var merges: DataFrame = null
+    for (it <- 1 to nMerges) {
+      val winner = pairCounts(words)
+        .orderBy(desc("pc"), asc("l"), asc("r")).limit(1)
+      val step = winner.select(lit(it.toLong).as("it"),
+        col("l").as("lhs"), col("r").as("rhs"), col("pc").as("pair_count"))
+      merges = if (merges == null) step else merges.unionAll(step)
+      words = applyMerge(words.crossJoin(broadcast(winner)), col("l"), col("r"))
+        .drop("l", "r", "pc")
+    }
+    merges
+  }
+}

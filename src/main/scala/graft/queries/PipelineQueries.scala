@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Tables
 import graft.operators.{ConnectedComponents, Sessionize}
-import graft.pipeline.{Curation, Dedup, Ingest, Multimodal, Similarity, TextFunctions => TF}
+import graft.pipeline.{Bpe, Curation, Dedup, Ingest, Multimodal, Similarity, TextFunctions => TF}
 
 /** Beyond-reference data-pipeline queries (dedup, similarity search,
   * text analysis, multimodal, event sessionization) over the driver's
@@ -69,6 +69,62 @@ object PipelineQueries {
        |      + least(stop_ratio * 5.0, 1.0) * 0.2) * 1e6) AS BIGINT)
        |      AS score_micro
        |  FROM qm)""".stripMargin
+  }
+
+  /** Iteration-by-iteration replay of [[Bpe.train]]: each round's CTEs
+    * recount pairs from the previous round's re-segmented vocab, pick
+    * the (count DESC, pair ASC) argmax, and apply the greedy
+    * non-overlapping merge — consecutive match positions form islands
+    * (only possible when lhs = rhs) and every other island position is
+    * active, which is exactly the left-to-right scan.
+    */
+  private def oBpeTrain(n: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH w0 AS (
+         |  SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt,
+         |    list_transform(generate_series(1, length(word)),
+         |      i -> substr(word, i, 1)) AS syms
+         |  FROM (SELECT unnest($oToks) AS word FROM documents)
+         |  GROUP BY word)""".stripMargin)
+    for (k <- 1 to n) {
+      val p = k - 1
+      sb.append(
+        s""",
+           |c$k AS (
+           |  SELECT l, r, CAST(SUM(cnt) AS BIGINT) AS pc FROM (
+           |    SELECT cnt, syms[pos] AS l, syms[pos + 1] AS r FROM (
+           |      SELECT cnt, syms,
+           |        unnest(generate_series(1, len(syms) - 1)) AS pos
+           |      FROM w$p WHERE len(syms) >= 2))
+           |  GROUP BY l, r),
+           |win$k AS (SELECT l, r, pc FROM c$k ORDER BY pc DESC, l, r LIMIT 1),
+           |m$k AS (
+           |  SELECT word, cnt, syms, pos,
+           |    CASE WHEN pos < len(syms) AND syms[pos] = win.l
+           |         AND syms[pos + 1] = win.r THEN 1 ELSE 0 END AS mt
+           |  FROM (SELECT word, cnt, syms,
+           |          unnest(generate_series(1, len(syms))) AS pos
+           |        FROM w$p), win$k win),
+           |g$k AS (
+           |  SELECT word, cnt, syms, pos,
+           |    CASE WHEN mt = 1 AND (pos - MIN(pos) OVER (PARTITION BY word, grp))
+           |         % 2 = 0 THEN 1 ELSE 0 END AS act
+           |  FROM (SELECT *, CASE WHEN mt = 1 THEN pos - ROW_NUMBER()
+           |          OVER (PARTITION BY word, mt ORDER BY pos) END AS grp
+           |        FROM m$k)),
+           |w$k AS (
+           |  SELECT word, cnt,
+           |    list(CASE WHEN act = 1 THEN syms[pos] || syms[pos + 1]
+           |         ELSE syms[pos] END ORDER BY pos) AS syms
+           |  FROM (SELECT *, LAG(act, 1, 0) OVER (PARTITION BY word ORDER BY pos)
+           |          AS pa FROM g$k)
+           |  WHERE pa = 0 GROUP BY word, cnt)""".stripMargin)
+    }
+    sb.append("\n" + (1 to n).map(k =>
+      s"SELECT CAST($k AS BIGINT) AS it, l AS lhs, r AS rhs, " +
+        s"pc AS pair_count FROM win$k").mkString("\nUNION ALL\n"))
+    sb.toString
   }
 
   /** Exhaustive pair-Jaccard oracle shared by the dedup queries. */
@@ -379,6 +435,17 @@ object PipelineQueries {
       scoredDocs(t(s, dir, "documents"))
         .select(col("doc_id"), col("source"), col("score_micro")),
       "doc_id", "score_micro")
+
+  /** Full BPE merge-loop training ([[Bpe.train]], 3 merges): p62 gave
+    * one round's pair statistic; this runs the actual trainer —
+    * count → argmax → greedy re-segment, iterated — and emits the
+    * learned merge table. The oracle replays every iteration (pair
+    * counts from the re-segmented vocab, the (count DESC, pair) argmax,
+    * and the greedy non-overlapping merge via an islands window), so a
+    * pass certifies the whole training trajectory, not just round 1.
+    */
+  def p71BpeTrain(s: SparkSession, dir: String): DataFrame =
+    Bpe.train(t(s, dir, "documents"), "text", nMerges = 3)
 
   /** Per-source quality funnel (the dataset-card view of the three
     * quality gates): for each source, how many documents survive the
@@ -1223,6 +1290,7 @@ object PipelineQueries {
     "p68_unigram_lm" -> p68UnigramLm _,
     "p69_cluster_best" -> p69ClusterBest _,
     "p70_importance_sample" -> p70ImportanceSample _,
+    "p71_bpe_train" -> p71BpeTrain _,
     "p63_audio_features" -> p63AudioFeatures _,
     "p57_png_decode" -> p57PngDecode _,
     "p50_temp_mix" -> p50TempMix _,
@@ -2290,6 +2358,7 @@ object PipelineQueries {
          |  CAST(SUM(CASE WHEN s.doc_id = o.owner THEN 1 ELSE 0 END) AS BIGINT)
          |    AS n_dropped
          |FROM segs s JOIN owners o USING (h) GROUP BY s.doc_id""".stripMargin,
+    "p71_bpe_train" -> oBpeTrain(3),
     "p68_unigram_lm" ->
       s"""WITH toks AS (
          |  SELECT doc_id, unnest($oToks) AS tok FROM documents),
