@@ -15,19 +15,29 @@ import graft.pipeline.{TextFunctions => TF}
   * Scale shape — the classic trainer decomposition: ONE corpus-wide
   * shuffle builds the distinct-word frequency table; every iteration
   * after that touches only that vocab-sized table (pair counting is a
-  * map-side-combined shuffle of 2-symbol keys, the argmax is a one-row
-  * broadcast, and the re-segmentation is a zero-exchange O(|word|)
-  * fold per row). A 100 TB corpus trains at the cost of its distinct
-  * words, exactly like a single-node BPE trainer over a counted
-  * vocabulary.
+  * map-side-combined shuffle of 2-symbol keys, the argmax is ONE ROW
+  * collected to the driver and re-applied as literals, and the
+  * re-segmentation is a zero-exchange O(|word|) fold per row over a
+  * lineage-cut word table). A 100 TB corpus trains at the cost of its
+  * distinct words, exactly like a single-node BPE trainer over a
+  * counted vocabulary.
   */
 object Bpe {
 
   /** Distinct-word frequency table, each word split to single-character
     * symbols — the working set the merge loop iterates on.
+    *
+    * Zero-length words (a blank document tokenizes to `[""]`) are
+    * dropped before the split: Spark's `sequence(1, 0)` DESCENDS to
+    * `[1, 0]`, which would fabricate a phantom `("","")` pair that
+    * violates [[applyMerge]]'s empty-string sentinel (the oracle's
+    * `generate_series(1, 0)` is empty, so the pair exists only on the
+    * Spark side). An empty word carries no pairs, so the filter cannot
+    * change any merge statistic.
     */
   def wordTable(docs: DataFrame, textCol: String): DataFrame =
     docs.select(explode(TF.tokens(col(textCol))).as("word"))
+      .where(length(col("word")) > 0)
       .groupBy("word").agg(count(lit(1)).as("cnt"))
       .withColumn("syms",
         transform(sequence(lit(1), length(col("word"))),
@@ -74,22 +84,43 @@ object Bpe {
     words.withColumn("syms", merged)
   }
 
-  /** Train `nMerges` merges; returns the merge table
-    * (it, lhs, rhs, pair_count) in training order.
+  /** Train up to `nMerges` merges; returns the merge table
+    * (it, lhs, rhs, pair_count) in training order. Stops early if the
+    * vocabulary runs out of adjacent pairs.
+    *
+    * Each round runs ONE vocab-sized job: the pair-count argmax is a
+    * single row, so it is collected to the driver (the same move the
+    * k-means trainer makes with its centroid table) and re-applied as
+    * literals — no `crossJoin(broadcast(...))` that would embed the
+    * previous round's whole aggregate in the next round's plan. The
+    * re-segmented word table is `localCheckpoint`ed each round (lazy:
+    * the next round's argmax job materializes it), so the logical plan
+    * stays FLAT — one `applyMerge` deep — at any merge count, instead
+    * of doubling per round. 10k-merge vocabularies are then bounded by
+    * 10k vocab-sized jobs, not by an O(2^n) plan.
     */
   def train(docs: DataFrame, textCol: String, nMerges: Int): DataFrame = {
     require(nMerges > 0, "nMerges must be positive")
-    var words = wordTable(docs, textCol)
-    var merges: DataFrame = null
-    for (it <- 1 to nMerges) {
-      val winner = pairCounts(words)
-        .orderBy(desc("pc"), asc("l"), asc("r")).limit(1)
-      val step = winner.select(lit(it.toLong).as("it"),
-        col("l").as("lhs"), col("r").as("rhs"), col("pc").as("pair_count"))
-      merges = if (merges == null) step else merges.unionAll(step)
-      words = applyMerge(words.crossJoin(broadcast(winner)), col("l"), col("r"))
-        .drop("l", "r", "pc")
+    val spark = docs.sparkSession
+    // eager: the one corpus-wide shuffle happens here, once
+    var words = wordTable(docs, textCol).localCheckpoint()
+    val merges = Seq.newBuilder[(Long, String, String, Long)]
+    var it = 1
+    var exhausted = false
+    while (it <= nMerges && !exhausted) {
+      val top = pairCounts(words)
+        .orderBy(desc("pc"), asc("l"), asc("r")).limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r, pc) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((it.toLong, l, r, pc))
+        words = applyMerge(words, lit(l), lit(r))
+          .localCheckpoint(eager = false)
+        it += 1
+      }
     }
-    merges
+    spark.createDataFrame(merges.result())
+      .toDF("it", "lhs", "rhs", "pair_count")
   }
 }

@@ -77,43 +77,53 @@ object PipelineQueries {
     * non-overlapping merge — consecutive match positions form islands
     * (only possible when lhs = rhs) and every other island position is
     * active, which is exactly the left-to-right scan.
+    *
+    * Every CTE is `AS MATERIALIZED`: DuckDB inlines plain CTEs, and
+    * with each round referencing the previous round's vocab twice the
+    * inlined plan doubles per round (n = 16 already exhausts file
+    * handles re-scanning the parquet). Materialized, the replay is
+    * linear — n = 100 runs in ~6 s at sf0.01. Rounds past pair
+    * exhaustion yield an empty `win`, which the UNION ALL skips —
+    * mirroring the trainer's early stop.
     */
   private def oBpeTrain(n: Int): String = {
     val sb = new StringBuilder
     sb.append(
-      s"""WITH w0 AS (
+      s"""WITH w0 AS MATERIALIZED (
          |  SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt,
          |    list_transform(generate_series(1, length(word)),
          |      i -> substr(word, i, 1)) AS syms
          |  FROM (SELECT unnest($oToks) AS word FROM documents)
+         |  WHERE length(word) > 0
          |  GROUP BY word)""".stripMargin)
     for (k <- 1 to n) {
       val p = k - 1
       sb.append(
         s""",
-           |c$k AS (
+           |c$k AS MATERIALIZED (
            |  SELECT l, r, CAST(SUM(cnt) AS BIGINT) AS pc FROM (
            |    SELECT cnt, syms[pos] AS l, syms[pos + 1] AS r FROM (
            |      SELECT cnt, syms,
            |        unnest(generate_series(1, len(syms) - 1)) AS pos
            |      FROM w$p WHERE len(syms) >= 2))
            |  GROUP BY l, r),
-           |win$k AS (SELECT l, r, pc FROM c$k ORDER BY pc DESC, l, r LIMIT 1),
-           |m$k AS (
+           |win$k AS MATERIALIZED (
+           |  SELECT l, r, pc FROM c$k ORDER BY pc DESC, l, r LIMIT 1),
+           |m$k AS MATERIALIZED (
            |  SELECT word, cnt, syms, pos,
            |    CASE WHEN pos < len(syms) AND syms[pos] = win.l
            |         AND syms[pos + 1] = win.r THEN 1 ELSE 0 END AS mt
            |  FROM (SELECT word, cnt, syms,
            |          unnest(generate_series(1, len(syms))) AS pos
            |        FROM w$p), win$k win),
-           |g$k AS (
+           |g$k AS MATERIALIZED (
            |  SELECT word, cnt, syms, pos,
            |    CASE WHEN mt = 1 AND (pos - MIN(pos) OVER (PARTITION BY word, grp))
            |         % 2 = 0 THEN 1 ELSE 0 END AS act
            |  FROM (SELECT *, CASE WHEN mt = 1 THEN pos - ROW_NUMBER()
            |          OVER (PARTITION BY word, mt ORDER BY pos) END AS grp
            |        FROM m$k)),
-           |w$k AS (
+           |w$k AS MATERIALIZED (
            |  SELECT word, cnt,
            |    list(CASE WHEN act = 1 THEN syms[pos] || syms[pos + 1]
            |         ELSE syms[pos] END ORDER BY pos) AS syms
@@ -436,16 +446,19 @@ object PipelineQueries {
         .select(col("doc_id"), col("source"), col("score_micro")),
       "doc_id", "score_micro")
 
-  /** Full BPE merge-loop training ([[Bpe.train]], 3 merges): p62 gave
-    * one round's pair statistic; this runs the actual trainer —
-    * count → argmax → greedy re-segment, iterated — and emits the
+  /** Full BPE merge-loop training ([[Bpe.train]], up to 100 merges):
+    * p62 gave one round's pair statistic; this runs the actual trainer
+    * — count → argmax → greedy re-segment, iterated — and emits the
     * learned merge table. The oracle replays every iteration (pair
     * counts from the re-segmented vocab, the (count DESC, pair) argmax,
     * and the greedy non-overlapping merge via an islands window), so a
-    * pass certifies the whole training trajectory, not just round 1.
+    * pass certifies the whole training trajectory to pair EXHAUSTION
+    * (the sf corpus vocabulary runs dry at 89 merges; both sides stop
+    * there) — deep enough that any per-round lineage compounding would
+    * have blown the plan long before the end.
     */
   def p71BpeTrain(s: SparkSession, dir: String): DataFrame =
-    Bpe.train(t(s, dir, "documents"), "text", nMerges = 3)
+    Bpe.train(t(s, dir, "documents"), "text", nMerges = 100)
 
   /** Per-source quality funnel (the dataset-card view of the three
     * quality gates): for each source, how many documents survive the
@@ -2358,7 +2371,7 @@ object PipelineQueries {
          |  CAST(SUM(CASE WHEN s.doc_id = o.owner THEN 1 ELSE 0 END) AS BIGINT)
          |    AS n_dropped
          |FROM segs s JOIN owners o USING (h) GROUP BY s.doc_id""".stripMargin,
-    "p71_bpe_train" -> oBpeTrain(3),
+    "p71_bpe_train" -> oBpeTrain(100),
     "p68_unigram_lm" ->
       s"""WITH toks AS (
          |  SELECT doc_id, unnest($oToks) AS tok FROM documents),

@@ -426,6 +426,52 @@ class PipelineSpec extends SparkSpec {
     assert(got.head == (("low low", 2L))) // cross-doc count, tie broken by name
   }
 
+  test("bpe trainer matches a brute-force merge loop to exhaustion, blank docs included") {
+    // single-node reference trainer: same counting rule (overlaps count),
+    // same argmax (count DESC, pair ASC), same greedy left-to-right merge
+    def brute(corpus: Seq[String], n: Int): Seq[(Long, String, String, Long)] = {
+      var words: Map[List[String], Long] = corpus
+        .flatMap(_.trim.split("\\s+")).filter(_.nonEmpty)
+        .groupBy(identity).map { case (w, ws) =>
+          (w.map(_.toString).toList, ws.size.toLong) }
+      val out = Seq.newBuilder[(Long, String, String, Long)]
+      var it = 1L
+      var stop = false
+      while (it <= n && !stop) {
+        val pc = scala.collection.mutable.Map[(String, String), Long]()
+        for ((syms, c) <- words; p <- syms.zip(syms.tail))
+          pc(p) = pc.getOrElse(p, 0L) + c
+        if (pc.isEmpty) stop = true
+        else {
+          val ((l, r), c) = pc.minBy { case ((l, r), c) => (-c, l, r) }
+          out += ((it, l, r, c))
+          def merge(s: List[String]): List[String] = s match {
+            case a :: b :: rest if a == l && b == r => (a + b) :: merge(rest)
+            case a :: rest => a :: merge(rest)
+            case Nil => Nil
+          }
+          words = words.groupMapReduce { case (s, _) => merge(s) }(_._2)(_ + _)
+          it += 1
+        }
+      }
+      out.result()
+    }
+    val corpus = Seq("low lower lowest", "low low low!", "", "   ",
+      "newer newest news", "wide wider widest", "low lows",
+      "tokenizer vocabulary segmentation training",
+      "internationalization localization hyperparameter",
+      "tokenizer training tokenizer vocabulary")
+    val docs = corpus.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    // deep enough that compounding lineage would have blown up long ago;
+    // the corpus exhausts its pairs well before 120, exercising early stop
+    val got = Bpe.train(docs, "text", nMerges = 120)
+      .as[(Long, String, String, Long)].collect().toSeq.sortBy(_._1)
+    val exp = brute(corpus, 120)
+    assert(exp.size > 25 && exp.size < 120) // really ran deep + exhausted
+    assert(got == exp)
+  }
+
   test("audio features match closed forms on a decoded square wave") {
     val src = Seq((1L, 8000, 10, 5, 3), (2L, 8000, 7, 1, 1),
       (3L, 8000, 4, 29971, 10)).toDS()
