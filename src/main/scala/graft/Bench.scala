@@ -64,6 +64,17 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"plans":$planJson,"errors":$errs,"n_errors":${errors.size},"sf":"$sfDir"}""")
+    // Compact tail line AFTER the full JSON: the harness that collects
+    // this output keeps only the last ~2000 stdout characters, and the
+    // full line above (per-query timings + plan fingerprints for 120+
+    // queries) is far longer than that — without this line the
+    // artifact's tail would carry fingerprints but lose every timing.
+    // Keep it well under the tail window: total, error count, and the
+    // ten slowest queries are the numbers a reader needs first.
+    val top10 = results.toSeq.sortBy { case (n, sec) => (-sec, n) }.take(10)
+      .map { case (n, sec) => s"""\"$n\":${math.round(sec * 100) / 100.0}""" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"top10_slowest":$top10,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

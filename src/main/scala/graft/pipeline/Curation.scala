@@ -103,13 +103,33 @@ object Curation {
     * sized, so Spark broadcasts it back onto the occurrence stream.
     */
   def rareTokenRatio(df: DataFrame, idCol: String, textCol: String,
-      maxDf: Long): DataFrame = {
-    val occ = df.select(col(idCol).as("doc"),
+      maxDf: Long): DataFrame =
+    rareTokenRatioBy(df, idCol, textCol, lit(maxDf))
+
+  /** Corpus-relative [[rareTokenRatio]]: the df threshold is |D| div
+    * `dfDiv`, resolved INSIDE the plan — the corpus count rides a
+    * single-row broadcast onto the occurrence stream (the same device
+    * as the inverted-index fraction cap), so the operator stays one
+    * job with no driver-side `count()` pre-pass and the threshold
+    * tracks corpus size at any SF.
+    */
+  def rareTokenRatioRel(df: DataFrame, idCol: String, textCol: String,
+      dfDiv: Long): DataFrame = {
+    require(dfDiv > 0, "dfDiv must be positive")
+    val total = broadcast(df.agg(count(lit(1)).as("__n_docs")))
+    rareTokenRatioBy(df, idCol, textCol,
+      expr(s"__n_docs div $dfDiv"), Some(total))
+  }
+
+  private def rareTokenRatioBy(df: DataFrame, idCol: String,
+      textCol: String, maxDf: Column,
+      extra: Option[DataFrame] = None): DataFrame = {
+    val occ0 = df.select(col(idCol).as("doc"),
       explode(TF.tokens(col(textCol))).as("tok"))
-    val dfreq = occ.groupBy("tok")
+    val dfreq = occ0.groupBy("tok")
       .agg(countDistinct(col("doc")).as("df"))
-    occ.join(broadcast(dfreq), "tok")
-      .groupBy(col("doc"))
+    val occ = extra.foldLeft(occ0.join(broadcast(dfreq), "tok"))(_ crossJoin _)
+    occ.groupBy(col("doc"))
       .agg(
         count(lit(1)).as("n_toks"),
         sum(when(col("df") <= maxDf, 1L).otherwise(0L)).as("n_rare"),
@@ -301,20 +321,68 @@ object Curation {
           when(array_contains(lowered, w), 1L).otherwise(0L))
           .reduce(_ + _))
     val flags = Seq(
-      "r_words" -> (col("n_toks") >= 20 && col("n_toks") <= 100000L),
+      // Thresholds as published (Rae et al. 2021, §A1.1): 50-100k
+      // words, mean word length 3-10, symbol-to-word ratio <= 0.1,
+      // <= 30% ellipsis lines, <= 90% bullet lines, >= 80% words with
+      // an alphabetic character, and at least TWO of the required
+      // stopwords present.
+      "r_words" -> (col("n_toks") >= 50 && col("n_toks") <= 100000L),
       "r_mean_len" -> (col("sum_len") >= col("n_toks") * 3 &&
         col("sum_len") <= col("n_toks") * 10),
       "r_hash" -> (col("n_hash") * 10 <= col("n_toks")),
       "r_ellipsis" -> (col("n_ellipsis_lines") * 10 <= col("n_lines") * 3),
       "r_bullet" -> (col("n_bullet_lines") * 10 <= col("n_lines") * 9),
       "r_alpha" -> (col("n_alpha_words") * 5 >= col("n_toks") * 4),
-      "r_stop" -> (col("n_stop_present") >= 1))
+      "r_stop" -> (col("n_stop_present") >= 2))
     val withFlags = flags.foldLeft(d) { case (acc, (n, c)) =>
       acc.withColumn(n, when(c, 1L).otherwise(0L)) }
     withFlags.select(
       (col(idCol) +: carry.map(col)) ++
         (col("n_toks") +: flags.map { case (n, _) => col(n) }) :+
         flags.map { case (n, _) => col(n) }.reduce(_ * _).as("keep"): _*)
+  }
+
+  /** C4-style line-and-page cleaning (Raffel et al. 2020, §2.2) as a
+    * reusable projection — shared verbatim by the batch query (p64),
+    * the per-source funnel (p66), and the streaming ingest twin
+    * ([[graft.streaming.StreamingJobs.c4Gate]]). Rules as published: a
+    * line survives only if it has at least FIVE words AND ends in a
+    * terminal punctuation mark; a page survives only with no "{", no
+    * "lorem ipsum", at least THREE sentence marks, and at least one
+    * surviving line. The cleaned text is emitted as an md5 fingerprint
+    * so correctness is certified on the actual filtered
+    * reconstruction, not just counts. Zero-exchange single-scan
+    * projection.
+    */
+  def c4PageGates(df: DataFrame, idCol: String, textCol: String,
+      carry: Seq[String] = Nil): DataFrame = {
+    val lines = split(col(textCol), "\n")
+    val endsTerminal = (l: Column) =>
+      substring(rtrim(l), -1, 1).isin(".", "!", "?", "\"")
+    val kept = filter(lines, l =>
+      size(split(trim(l), "\\s+")) >= 5 && endsTerminal(l))
+    val d = df
+      .withColumn("n_lines", size(lines).cast("long"))
+      .withColumn("n_kept", size(kept).cast("long"))
+      .withColumn("n_punct_lines",
+        size(filter(lines, endsTerminal)).cast("long"))
+      .withColumn("n_sentences",
+        (length(col(textCol)) -
+          length(regexp_replace(col(textCol), "[.!?]", ""))).cast("long"))
+      .withColumn("has_brace",
+        when(col(textCol).like("%{%"), 1L).otherwise(0L))
+      .withColumn("has_lorem",
+        when(lower(col(textCol)).like("%lorem ipsum%"), 1L).otherwise(0L))
+      .withColumn("clean_fp",
+        substring(md5(concat_ws("\n", kept)), 1, 16))
+    d.select(
+      (col(idCol) +: carry.map(col)) ++ Seq(
+        col("n_lines"), col("n_kept"), col("n_punct_lines"),
+        col("n_sentences"), col("has_brace"), col("has_lorem"),
+        when(col("has_brace") === 0 && col("has_lorem") === 0 &&
+          col("n_sentences") >= 3 && col("n_kept") >= 1, 1L)
+          .otherwise(0L).as("page_keep"),
+        col("clean_fp")): _*)
   }
 
   /** [[segmentDedup]]'s removal twin — the part of the C4 rule that
@@ -425,8 +493,40 @@ object Curation {
     */
   def unigramLogLoss(df: DataFrame, idCol: String, textCol: String,
       vocabSize: Int): DataFrame = {
+    val toks = tokenOccurrences(df, idCol, textCol)
+    // Cache bracket: the occurrence stream feeds BOTH the vocabulary
+    // count shuffle and the final scoring join — without the bracket
+    // the tokenizer regex runs over the corpus twice.
+    graft.core.Caching.withCached(toks)(
+      unigramLogLossPlan(toks, idCol, vocabSize))
+  }
+
+  /** Lazy plan of [[unigramLogLoss]] over a prepared occurrence frame
+    * (split out so Bench can fingerprint it — the public entry's cache
+    * bracket returns an opaque LogicalRDD).
+    */
+  private[graft] def unigramLogLossPlan(toks: DataFrame, idCol: String,
+      vocabSize: Int): DataFrame = {
+    val (cost, oov) = unigramCostTables(toks, vocabSize)
+    unigramScore(toks, Seq(col(idCol)), cost, oov)
+  }
+
+  /** One (doc, token) row per token occurrence — the shared front of
+    * the unigram-LM family.
+    */
+  def tokenOccurrences(df: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    df.select(col(idCol), explode(TF.tokens(col(textCol))).as("tok"))
+
+  /** Fit the add-one-smoothed unigram cost tables over an occurrence
+    * stream: the vocab-sized per-token cost table and the single-row
+    * OOV cost, both in integer micro-nats. These are the "model" —
+    * a streaming scorer broadcasts them as the static side of a
+    * stream-static join ([[graft.streaming.StreamingJobs]]).
+    */
+  def unigramCostTables(toks: DataFrame,
+      vocabSize: Int): (DataFrame, DataFrame) = {
     require(vocabSize > 0, "vocabSize must be positive")
-    val toks = df.select(col(idCol), explode(TF.tokens(col(textCol))).as("tok"))
     val counts = toks.groupBy("tok").agg(count(lit(1)).as("c"))
     val totals = counts.agg(sum("c").as("t"))
     // smoothing denominator: total tokens + vocab slots + 1 OOV slot
@@ -438,13 +538,23 @@ object Curation {
           .cast("long").as("cost"))
     val oov = totals.select(
       floor(-log(lit(1.0) / denom) * 1e6).cast("long").as("oov_cost"))
+    (cost, oov)
+  }
+
+  /** Score an occurrence stream against prepared cost tables: broadcast
+    * lookup join, OOV fallback, integer per-group sum. `groupCols` is
+    * the per-document key for the batch path and (window, doc) for the
+    * streaming twin — the expressions are otherwise identical, which is
+    * what pins stream ≡ batch.
+    */
+  def unigramScore(toks: DataFrame, groupCols: Seq[Column],
+      cost: DataFrame, oov: DataFrame): DataFrame =
     toks.join(broadcast(cost), Seq("tok"), "left")
       .crossJoin(broadcast(oov))
-      .groupBy(col(idCol))
+      .groupBy(groupCols: _*)
       .agg(count(lit(1)).as("n_tokens"),
         sum(coalesce(col("cost"), col("oov_cost"))).as("nll_micro"))
       .withColumn("avg_nll_micro", expr("nll_micro div n_tokens"))
-  }
 
   /** Quality-weighted importance sampling: accept each document with
     * probability score/max(score), decided by a seedless portable hash

@@ -755,16 +755,17 @@ object PipelineQueries {
       .select(col("vec_id"), col("pos").cast("long").as("dim"),
         col("col").as("proj_fixed"))
 
-  /** Rare-token ratio with a corpus-relative df threshold (|D|/5 —
-    * the same fraction at every SF, and the oracle computes it as a
-    * subquery so both engines derive it from the data).
+  /** Rare-token ratio with a corpus-relative df threshold (|D| div 5 —
+    * the same fraction at every SF, resolved INSIDE the plan from a
+    * single-row broadcast, so the query is one job with no driver-side
+    * count pre-pass; the oracle computes the identical threshold as a
+    * subquery).
     */
-  def p33RareTokens(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
-    Curation.rareTokenRatio(docs, "doc_id", "text", maxDf = docs.count() / 5)
+  def p33RareTokens(s: SparkSession, dir: String): DataFrame =
+    Curation.rareTokenRatioRel(t(s, dir, "documents"), "doc_id", "text",
+        dfDiv = 5)
       .select(col("doc").as("doc_id"), col("n_toks"), col("n_rare"),
         col("rare_micro"))
-  }
 
   /** Winnowing fingerprints over word 3-shingles, window 4. */
   def p34Winnow(s: SparkSession, dir: String): DataFrame =
@@ -1245,7 +1246,11 @@ object PipelineQueries {
     }),
     "p56_ann_recall" -> ((s, dir) =>
       annRecallPlan(s, dir,
-        p05CosineTopK(s, dir).select("query_id", "cand_id", "rank"))))
+        p05CosineTopK(s, dir).select("query_id", "cand_id", "rank"))),
+    "p68_unigram_lm" -> ((s, dir) =>
+      Curation.unigramLogLossPlan(
+        Curation.tokenOccurrences(t(s, dir, "documents"), "doc_id", "text"),
+        "doc_id", vocabSize = 500)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_exact_dedup" -> p01ExactDedup _,
