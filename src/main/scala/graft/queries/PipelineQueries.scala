@@ -325,40 +325,15 @@ object PipelineQueries {
     Curation.gopherGates(t(s, dir, "documents"), "doc_id", "text")
 
   /** C4-style line-and-page cleaning (Raffel et al. 2020, §2.2 — the
-    * line-level complement of p61's page-level Gopher gates): lines
-    * with fewer than 3 words are dropped, terminal-punctuation lines
-    * and sentence marks are counted, and the page gates ("{" /
-    * "lorem ipsum" / at least one surviving line) land as flags. The
-    * cleaned text is emitted as an md5 fingerprint so the oracle
-    * certifies the actual filtered reconstruction, not just counts.
-    * Zero-exchange single-scan projection.
+    * line-level complement of p61's page-level Gopher gates), the
+    * shared [[Curation.c4PageGates]] projection: a line survives with
+    * at least five words AND terminal punctuation; a page survives
+    * with no "{", no "lorem ipsum", at least three sentence marks and
+    * a surviving line. The same expressions run in the per-source
+    * funnel (p66) and the streaming ingest twin.
     */
-  def p64C4Lines(s: SparkSession, dir: String): DataFrame = {
-    val lines = split(col("text"), "\n")
-    val kept = filter(lines, l => size(split(trim(l), "\\s+")) >= 3)
-    val d = t(s, dir, "documents")
-      .withColumn("n_lines", size(lines).cast("long"))
-      .withColumn("n_kept", size(kept).cast("long"))
-      .withColumn("n_punct_lines",
-        size(filter(lines, l =>
-          substring(rtrim(l), -1, 1).isin(".", "!", "?", "\""))).cast("long"))
-      .withColumn("n_sentences",
-        (length(col("text")) -
-          length(regexp_replace(col("text"), "[.!?]", ""))).cast("long"))
-      .withColumn("has_brace",
-        when(col("text").like("%{%"), 1L).otherwise(0L))
-      .withColumn("has_lorem",
-        when(org.apache.spark.sql.functions.lower(col("text"))
-          .like("%lorem ipsum%"), 1L).otherwise(0L))
-      .withColumn("clean_fp",
-        substring(md5(concat_ws("\n", kept)), 1, 16))
-    d.select(col("doc_id"), col("n_lines"), col("n_kept"),
-      col("n_punct_lines"), col("n_sentences"), col("has_brace"),
-      col("has_lorem"),
-      when(col("has_brace") === 0 && col("has_lorem") === 0 &&
-        col("n_kept") >= 1, 1L).otherwise(0L).as("page_keep"),
-      col("clean_fp"))
-  }
+  def p64C4Lines(s: SparkSession, dir: String): DataFrame =
+    Curation.c4PageGates(t(s, dir, "documents"), "doc_id", "text")
 
   /** Exact dedup under the keep-longest policy
     * ([[Dedup.exactKeepLongest]]): the survivor of each duplicate
@@ -471,9 +446,7 @@ object PipelineQueries {
     val gated = Curation.gopherGates(t(s, dir, "documents"), "doc_id",
       "text", carry = Seq("source", "text"))
     val toks = TF.tokens(col("text"))
-    val lines = split(col("text"), "\n")
-    val keptLines = filter(lines, l => size(split(trim(l), "\\s+")) >= 3)
-    val full = gated
+    val scored = gated
       .withColumn("mean_len",
         aggregate(toks, lit(0L), (a, x) => a + length(x)).cast("double") /
           col("n_toks").cast("double"))
@@ -486,17 +459,17 @@ object PipelineQueries {
       .withColumn("score_keep",
         when(TF.qualityScore(col("n_toks"), col("mean_len"),
           col("punct_ratio"), col("stop_ratio")) >= 0.5, 1L).otherwise(0L))
-      .withColumn("c4_keep",
-        when(!col("text").like("%{%") &&
-          !org.apache.spark.sql.functions.lower(col("text"))
-            .like("%lorem ipsum%") &&
-          size(keptLines) >= 1, 1L).otherwise(0L))
+    // The C4 page gate is the SAME projection p64 runs — chained onto
+    // the scored frame, so the whole funnel is still one scan with
+    // only the source-cardinality rollup exchanging rows.
+    val full = Curation.c4PageGates(scored, "doc_id", "text",
+      carry = Seq("source", "keep", "score_keep"))
     full.groupBy("source").agg(
         count(lit(1)).as("n_docs"),
         sum(col("score_keep")).as("n_score"),
         sum(col("keep")).as("n_gopher"),
-        sum(col("c4_keep")).as("n_c4"),
-        sum(col("score_keep") * col("keep") * col("c4_keep")).as("n_all"))
+        sum(col("page_keep")).as("n_c4"),
+        sum(col("score_keep") * col("keep") * col("page_keep")).as("n_all"))
       .orderBy("source")
   }
 
@@ -1798,13 +1771,13 @@ object PipelineQueries {
          |          list_transform(toks, t -> lower(t)) AS lw FROM base)),
          |f AS (
          |  SELECT doc_id, n_toks,
-         |    CASE WHEN n_toks >= 20 AND n_toks <= 100000 THEN 1 ELSE 0 END AS r_words,
+         |    CASE WHEN n_toks >= 50 AND n_toks <= 100000 THEN 1 ELSE 0 END AS r_words,
          |    CASE WHEN sum_len >= n_toks * 3 AND sum_len <= n_toks * 10 THEN 1 ELSE 0 END AS r_mean_len,
          |    CASE WHEN n_hash * 10 <= n_toks THEN 1 ELSE 0 END AS r_hash,
          |    CASE WHEN n_ell * 10 <= n_lines * 3 THEN 1 ELSE 0 END AS r_ellipsis,
          |    CASE WHEN n_bul * 10 <= n_lines * 9 THEN 1 ELSE 0 END AS r_bullet,
          |    CASE WHEN n_alpha * 5 >= n_toks * 4 THEN 1 ELSE 0 END AS r_alpha,
-         |    CASE WHEN n_stop >= 1 THEN 1 ELSE 0 END AS r_stop
+         |    CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END AS r_stop
          |  FROM m)
          |SELECT doc_id, n_toks,
          |  CAST(r_words AS BIGINT) AS r_words,
@@ -1822,7 +1795,8 @@ object PipelineQueries {
       """WITH base AS (
         |  SELECT doc_id, text, string_split(text, chr(10)) AS lines,
         |    list_filter(string_split(text, chr(10)),
-        |      l -> len(string_split_regex(trim(l), '\s+')) >= 3) AS kept
+        |      l -> len(string_split_regex(trim(l), '\s+')) >= 5
+        |           AND substr(rtrim(l), -1, 1) IN ('.', '!', '?', '"')) AS kept
         |  FROM documents),
         |m AS (
         |  SELECT doc_id,
@@ -1833,11 +1807,12 @@ object PipelineQueries {
         |    CAST(length(text) - length(regexp_replace(text, '[.!?]', '', 'g')) AS BIGINT) AS n_sentences,
         |    CAST(CASE WHEN text LIKE '%{%' THEN 1 ELSE 0 END AS BIGINT) AS has_brace,
         |    CAST(CASE WHEN lower(text) LIKE '%lorem ipsum%' THEN 1 ELSE 0 END AS BIGINT) AS has_lorem,
-        |    substr(md5(array_to_string(kept, chr(10))), 1, 16) AS clean_fp
+        |    substr(md5(coalesce(array_to_string(kept, chr(10)), '')), 1, 16) AS clean_fp
         |  FROM base)
         |SELECT doc_id, n_lines, n_kept, n_punct_lines, n_sentences,
         |  has_brace, has_lorem,
-        |  CAST(CASE WHEN has_brace = 0 AND has_lorem = 0 AND n_kept >= 1
+        |  CAST(CASE WHEN has_brace = 0 AND has_lorem = 0
+        |    AND n_sentences >= 3 AND n_kept >= 1
         |    THEN 1 ELSE 0 END AS BIGINT) AS page_keep,
         |  clean_fp
         |FROM m""".stripMargin,

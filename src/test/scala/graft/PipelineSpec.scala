@@ -350,8 +350,10 @@ class PipelineSpec extends SparkSpec {
   test("gopher rules fire on crafted violations the corpus never hits") {
     val out = "/tmp/graft_gopher_docs"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
-    val good = "the quick brown fox jumps over the lazy dog and then " +
-      "some more words with that have been added here today okay fine"
+    // 69 words (>= 50), five distinct required stopwords (>= 2)
+    val good = Seq.fill(3)("the quick brown fox jumps over the lazy dog " +
+      "and then some more words with that have been added here today " +
+      "okay fine").mkString(" ")
     Seq(
       (1L, good, "a"),                                // passes everything
       (2L, "too few words here", "a"),                // fails r_words
@@ -384,8 +386,11 @@ class PipelineSpec extends SparkSpec {
     val out = "/tmp/graft_c4_docs"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
     Seq(
-      (1L, "This line has five words.\nno\nAnother keeper line here!\nok ok",
-        "a"),                                    // 4 lines, 2 kept, 2 punct
+      // 4 lines: two >= 5-word terminal-punct keepers, one short
+      // punct-only line ("Short tail?" — punct but < 5 words), one
+      // bare fragment; 3 sentence marks pass the page gate
+      (1L, "This line has five words.\nno\n" +
+        "Another keeper line sits here!\nShort tail?", "a"),
       (2L, "function f() { return 1; }", "a"),   // brace page gate
       (3L, "Lorem Ipsum dolor sit amet etc", "a"), // lorem page gate
       (4L, "a\nb\nc", "a"))                      // nothing survives
@@ -396,10 +401,10 @@ class PipelineSpec extends SparkSpec {
       .as[(Long, Long, Long, Long, Long, Long, Long, Long, String)]
       .collect().toSeq
     assert(got(0)._1 == 1L && got(0)._2 == 4L && got(0)._3 == 2L &&
-      got(0)._4 == 2L && got(0)._5 == 2L && got(0)._8 == 1L)
+      got(0)._4 == 3L && got(0)._5 == 3L && got(0)._8 == 1L)
     // cleaned text is exactly the two surviving lines rejoined
     val expFp = java.security.MessageDigest.getInstance("MD5")
-      .digest("This line has five words.\nAnother keeper line here!"
+      .digest("This line has five words.\nAnother keeper line sits here!"
         .getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
     assert(got(0)._9 == expFp)
     assert(got(1)._6 == 1L && got(1)._8 == 0L) // brace kills the page
