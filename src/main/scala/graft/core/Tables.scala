@@ -15,16 +15,29 @@ object Tables {
   def read(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events` carries parquet TIMESTAMP(NANOS); with
+  /** `events.ts` has shipped as both parquet TIMESTAMP(NANOS) (with
     * spark.sql.legacy.parquet.nanosAsLong the column arrives as Long
-    * nanoseconds. Expose both the raw nanos (`ts_ns`, total order even
-    * within the same microsecond) and a microsecond-precision `ts`
+    * nanoseconds) and plain TIMESTAMP(MICROS) (arrives as a timestamp
+    * type), so dispatch on the ARRIVED type rather than assuming one
+    * generation of the testdata. Either way the frame exposes both raw
+    * nanos (`ts_ns`, a total order) and a microsecond-precision `ts`
     * TimestampType for date arithmetic.
     */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    val raw = read(spark, dir, "events")
-    raw
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", timestamp_micros((col("ts_ns") / 1000L).cast("long")))
+  def events(spark: SparkSession, dir: String): DataFrame =
+    normalizeEventTs(read(spark, dir, "events"))
+
+  /** The type dispatch above, as pure column ops — also valid on a
+    * STREAMING events frame (no actions, schema-only inspection).
+    */
+  def normalizeEventTs(raw: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumnRenamed("ts", "ts_ns")
+          .withColumn("ts", timestamp_micros((col("ts_ns") / 1000L).cast("long")))
+      case _ => // TIMESTAMP / TIMESTAMP_NTZ (micros); session tz is UTC
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+          .withColumn("ts_ns", unix_micros(col("ts")) * 1000L)
+    }
   }
 }
