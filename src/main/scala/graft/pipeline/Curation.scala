@@ -296,8 +296,15 @@ object Curation {
     * one the batch pass applies. Every rule is an integer
     * cross-multiplied comparison; zero exchange, no state.
     */
+  /** `minWords`/`minStopwords` default to the PUBLISHED thresholds
+    * (Rae et al. 2021, §A1.1: ≥50 words, ≥2 required stopwords); they
+    * are parameters because real curation tunes them per corpus — a
+    * caller that relaxes them owns documenting why (see the CLI
+    * `curate` profile).
+    */
   def gopherGates(df: DataFrame, idCol: String, textCol: String,
-      carry: Seq[String] = Nil): DataFrame = {
+      carry: Seq[String] = Nil, minWords: Long = 50,
+      minStopwords: Long = 2): DataFrame = {
     val toks = TF.tokens(col(textCol))
     val lowered = transform(toks, t => lower(t))
     val lines = split(col(textCol), "\n")
@@ -326,14 +333,14 @@ object Curation {
       // <= 30% ellipsis lines, <= 90% bullet lines, >= 80% words with
       // an alphabetic character, and at least TWO of the required
       // stopwords present.
-      "r_words" -> (col("n_toks") >= 50 && col("n_toks") <= 100000L),
+      "r_words" -> (col("n_toks") >= minWords && col("n_toks") <= 100000L),
       "r_mean_len" -> (col("sum_len") >= col("n_toks") * 3 &&
         col("sum_len") <= col("n_toks") * 10),
       "r_hash" -> (col("n_hash") * 10 <= col("n_toks")),
       "r_ellipsis" -> (col("n_ellipsis_lines") * 10 <= col("n_lines") * 3),
       "r_bullet" -> (col("n_bullet_lines") * 10 <= col("n_lines") * 9),
       "r_alpha" -> (col("n_alpha_words") * 5 >= col("n_toks") * 4),
-      "r_stop" -> (col("n_stop_present") >= 2))
+      "r_stop" -> (col("n_stop_present") >= minStopwords))
     val withFlags = flags.foldLeft(d) { case (acc, (n, c)) =>
       acc.withColumn(n, when(c, 1L).otherwise(0L)) }
     withFlags.select(
@@ -345,22 +352,28 @@ object Curation {
   /** C4-style line-and-page cleaning (Raffel et al. 2020, §2.2) as a
     * reusable projection — shared verbatim by the batch query (p64),
     * the per-source funnel (p66), and the streaming ingest twin
-    * ([[graft.streaming.StreamingJobs.c4Gate]]). Rules as published: a
-    * line survives only if it has at least FIVE words AND ends in a
-    * terminal punctuation mark; a page survives only with no "{", no
-    * "lorem ipsum", at least THREE sentence marks, and at least one
-    * surviving line. The cleaned text is emitted as an md5 fingerprint
+    * ([[graft.streaming.StreamingJobs.c4Gate]]). Default thresholds
+    * are the PUBLISHED rules: a line survives only if it has at least
+    * FIVE words AND ends in a terminal punctuation mark; a page
+    * survives only with no "{", no "lorem ipsum", at least THREE
+    * sentence marks, and at least one surviving line. The thresholds
+    * are parameters because real curation tunes them per corpus — a
+    * caller that relaxes them owns documenting why (see the CLI
+    * `curate` profile). The cleaned text is emitted as an md5 fingerprint
     * so correctness is certified on the actual filtered
     * reconstruction, not just counts. Zero-exchange single-scan
     * projection.
     */
   def c4PageGates(df: DataFrame, idCol: String, textCol: String,
-      carry: Seq[String] = Nil): DataFrame = {
+      carry: Seq[String] = Nil, minLineWords: Int = 5,
+      requireTerminalPunct: Boolean = true,
+      minSentences: Long = 3): DataFrame = {
     val lines = split(col(textCol), "\n")
     val endsTerminal = (l: Column) =>
       substring(rtrim(l), -1, 1).isin(".", "!", "?", "\"")
     val kept = filter(lines, l =>
-      size(split(trim(l), "\\s+")) >= 5 && endsTerminal(l))
+      size(split(trim(l), "\\s+")) >= minLineWords &&
+        (if (requireTerminalPunct) endsTerminal(l) else lit(true)))
     val d = df
       .withColumn("n_lines", size(lines).cast("long"))
       .withColumn("n_kept", size(kept).cast("long"))
@@ -380,7 +393,7 @@ object Curation {
         col("n_lines"), col("n_kept"), col("n_punct_lines"),
         col("n_sentences"), col("has_brace"), col("has_lorem"),
         when(col("has_brace") === 0 && col("has_lorem") === 0 &&
-          col("n_sentences") >= 3 && col("n_kept") >= 1, 1L)
+          col("n_sentences") >= minSentences && col("n_kept") >= 1, 1L)
           .otherwise(0L).as("page_keep"),
         col("clean_fp")): _*)
   }

@@ -7,10 +7,12 @@ import org.apache.spark.sql.functions._
   * `binary` columns with typed metadata, plus batched per-partition
   * feature extraction.
   *
-  * Beyond-reference surface (BASELINE.json north star). The decode
-  * step is STUBBED with a deterministic fake (no image/audio codecs in
-  * this environment); the Spark-side plumbing — schema, partitioning,
-  * batch iteration shape — is real and tested.
+  * Beyond-reference surface (BASELINE.json north star). IMAGE payloads
+  * (PNG/JPEG/GIF/BMP, sniffed by magic number) are decoded for REAL
+  * through `javax.imageio` — dimensions and mean luma come from the
+  * actual raster. Only payloads with no JDK codec (video, unknown
+  * formats) fall back to a deterministic STUB keyed on the payload
+  * bytes, clearly marked below.
   *
   * Scale design: payload bytes ride in the row (Parquet binary), so a
   * scan prunes them unless requested (`ReadSchema` check); feature
@@ -25,11 +27,54 @@ object Multimodal {
 
   case class MediaFeatures(
       media_id: Long,
+      mime: String,
       n_bytes: Long,
       checksum: String,
       width: Int,
       height: Int,
       mean_luma: Double)
+
+  /** True when the payload's magic number marks a format `ImageIO`
+    * decodes out of the box: PNG, JPEG, GIF, or BMP. The dispatch is
+    * on CONTENT, not the mime column — a mislabeled payload still
+    * takes the right path.
+    */
+  def isImagePayload(b: Array[Byte]): Boolean =
+    (b.length >= 8 && (b(0) & 0xff) == 0x89 && b(1) == 'P' &&
+      b(2) == 'N' && b(3) == 'G') ||
+    (b.length >= 3 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8 &&
+      (b(2) & 0xff) == 0xff) ||
+    (b.length >= 6 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F') ||
+    (b.length >= 2 && b(0) == 'B' && b(1) == 'M')
+
+  /** REAL image decode for feature extraction: parse with `ImageIO`,
+    * then one pass over the raster for mean luma (per-pixel channel
+    * average, normalized to [0,1] — exact double math: channel sums
+    * are integers, so the division order below is reproducible by any
+    * engine computing the same closed form).
+    */
+  private def imageFeatures(id: Long, mime: String, bytes: Array[Byte],
+      digest: String): MediaFeatures = {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes))
+    require(img != null, s"media_id=$id: image magic but undecodable")
+    val w = img.getWidth
+    val h = img.getHeight
+    var lumaSum = 0.0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        lumaSum += (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) +
+          (rgb & 0xff)) / 3.0
+        x += 1
+      }
+      y += 1
+    }
+    MediaFeatures(id, mime, bytes.length.toLong, digest, w, h,
+      lumaSum / (w.toLong * h) / 255.0)
+  }
 
   /** Attach typed metadata to a binary payload column — pure Column
     * expressions (codegen, no decode needed): byte length and an md5
@@ -42,11 +87,11 @@ object Multimodal {
 
   /** Batched "decode + feature extraction" over a typed Dataset.
     *
-    * The real thing would initialize a codec per partition and decode
-    * each payload; here `decodeOne` is a deterministic fake keyed on
-    * the payload bytes. The partition-iterator shape (init once,
-    * stream rows, no materialization) is the part that matters at
-    * scale and is exactly what a libjpeg/ffmpeg binding would use.
+    * Image payloads (magic-sniffed) go through the REAL `ImageIO`
+    * decoder; everything else (video, unknown) through the documented
+    * stub. The partition-iterator shape (init once, stream rows, no
+    * materialization) is the part that matters at scale and is exactly
+    * what a libjpeg/ffmpeg binding would use.
     */
   def extractFeatures(ds: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import ds.sparkSession.implicits._
@@ -57,32 +102,41 @@ object Multimodal {
         val bytes = row.content
         val digest = md.digest(bytes).map("%02x".format(_)).mkString
         md.reset()
-        decodeOne(row.media_id, bytes, digest)
+        if (isImagePayload(bytes)) imageFeatures(row.media_id, row.mime, bytes, digest)
+        else decodeOne(row.media_id, row.mime, bytes, digest)
       }
     }
   }
 
-  /** STUB decode: deterministic fake dimensions/luma derived from the
-    * payload. A real build replaces this body with an actual codec
-    * call; the signature and surrounding plumbing stay unchanged.
+  /** STUB decode — the fallback for payloads the JDK cannot decode
+    * (video, unknown formats): deterministic fake dimensions/luma
+    * derived from the payload bytes. A real build replaces this body
+    * with an ffmpeg binding; image payloads never reach it (they are
+    * sniffed into [[imageFeatures]]).
     */
-  private def decodeOne(id: Long, bytes: Array[Byte], digest: String): MediaFeatures = {
+  private def decodeOne(id: Long, mime: String, bytes: Array[Byte],
+      digest: String): MediaFeatures = {
     val n = bytes.length
     val w = 64 + (if (n > 0) (bytes(0) & 0xff) % 192 else 0)
     val h = 64 + (if (n > 1) (bytes(1) & 0xff) % 192 else 0)
     val luma = if (n == 0) 0.0 else bytes.map(b => (b & 0xff).toDouble).sum / n / 255.0
-    MediaFeatures(id, n.toLong, digest, w, h, luma)
+    MediaFeatures(id, mime, n.toLong, digest, w, h, luma)
   }
 
   case class FrameRow(media_id: Long, frame_idx: Long, frame_checksum: String)
 
-  /** Video frame sampling: one payload row expands to every `every`-th
+  /** Frame sampling: one payload row expands to every `every`-th
     * frame, at most `maxFrames` of them — the row-expanding
     * mapPartitions shape (iterator flatMap, codec init once per
-    * partition) an ffmpeg binding would use. STUB decode: the frame
-    * count derives from the payload byte length (40 bytes ≙ one fake
-    * frame) and each "frame" is fingerprinted as the md5 of the
-    * payload bytes plus a `#<idx>` suffix — deterministic, so any
+    * partition) an ffmpeg binding would use.
+    *
+    * Image payloads (magic-sniffed) are decoded for REAL: a still
+    * image is its own single frame, fingerprinted from the DECODED
+    * properties (`"<w>x<h>:<px00>"` md5) — never the payload bytes,
+    * which vary across encoders. Video/opaque payloads use the STUB:
+    * the frame count derives from the payload byte length (40 bytes ≙
+    * one fake frame) and each "frame" is fingerprinted as the md5 of
+    * the payload bytes plus a `#<idx>` suffix — deterministic, so any
     * engine reproduces it from the source text.
     */
   def sampleFrames(ds: Dataset[MediaRow], every: Int,
@@ -91,13 +145,26 @@ object Multimodal {
     ds.mapPartitions { it =>
       // per-partition init would go here (demuxer handles, buffers)
       val md = java.security.MessageDigest.getInstance("MD5")
+      def fp(bytes: Array[Byte]): String = {
+        val digest = md.digest(bytes).map("%02x".format(_)).mkString
+        md.reset()
+        digest
+      }
       it.flatMap { row =>
-        val nFrames = row.content.length / 40 + 1
-        (0 until maxFrames).map(_.toLong * every).filter(_ < nFrames).map { i =>
-          val digest = md.digest(row.content ++ s"#$i".getBytes("UTF-8"))
-            .map("%02x".format(_)).mkString
-          md.reset()
-          FrameRow(row.media_id, i, digest)
+        if (isImagePayload(row.content)) {
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(row.content))
+          require(img != null,
+            s"media_id=${row.media_id}: image magic but undecodable")
+          val key = s"${img.getWidth}x${img.getHeight}:" +
+            s"${img.getRGB(0, 0) & 0xffffff}"
+          Seq(FrameRow(row.media_id, 0L, fp(key.getBytes("UTF-8"))))
+        } else {
+          val nFrames = row.content.length / 40 + 1
+          (0 until maxFrames).map(_.toLong * every).filter(_ < nFrames).map { i =>
+            FrameRow(row.media_id, i,
+              fp(row.content ++ s"#$i".getBytes("UTF-8")))
+          }
         }
       }
     }
@@ -114,7 +181,16 @@ object Multimodal {
     * shape is [[extractFeatures]]'s: stream the iterator, reuse
     * per-partition buffers, never materialize a partition.
     */
-  def encodePng(ds: Dataset[(Long, Int, Int, Int)]): Dataset[EncodedImage] = {
+  def encodePng(ds: Dataset[(Long, Int, Int, Int)]): Dataset[EncodedImage] =
+    encodeImage(ds, "png")
+
+  /** Format-generic twin of [[encodePng]]: `format` is any writer
+    * `ImageIO` ships ("png", "jpg", "gif", "bmp"). JPEG output is
+    * LOSSY — oracles over JPEG payloads must pin dimensions and coarse
+    * pixel bands, never exact pixel values or bytes.
+    */
+  def encodeImage(ds: Dataset[(Long, Int, Int, Int)],
+      format: String): Dataset[EncodedImage] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { it =>
       val bos = new java.io.ByteArrayOutputStream()
@@ -126,18 +202,19 @@ object Multimodal {
         g.fillRect(0, 0, w, h)
         g.dispose()
         bos.reset()
-        javax.imageio.ImageIO.write(img, "png", bos)
+        javax.imageio.ImageIO.write(img, format, bos)
         EncodedImage(id, bos.toByteArray)
       }
     }
   }
 
-  /** REAL PNG decode — no stub: `ImageIO.read` parses the actual
-    * bytes; dimensions and the top-left pixel come from the decoded
-    * raster. Encoded bytes are NOT portable across encoders (PNG
-    * filtering choices differ), so correctness oracles pin the decoded
-    * properties, never the payload — the encode∘decode identity is
-    * what certifies both codec calls ran for real.
+  /** REAL image decode — no stub: `ImageIO.read` parses the actual
+    * bytes (format-sniffed, so PNG and JPEG payloads both decode);
+    * dimensions and the top-left pixel come from the decoded raster.
+    * Encoded bytes are NOT portable across encoders (PNG filtering
+    * choices differ, JPEG is lossy), so correctness oracles pin the
+    * decoded properties, never the payload — the encode∘decode
+    * identity is what certifies both codec calls ran for real.
     */
   def decodePng(ds: Dataset[EncodedImage]): Dataset[DecodedImage] = {
     import ds.sparkSession.implicits._
@@ -161,19 +238,29 @@ object Multimodal {
 
   /** Resize planning: per payload, the scale factors from the decoded
     * dimensions to a target box — the 1:1 mapPartitions shape of a
-    * batch resizer. Dimensions come from the same STUB decode as
-    * [[extractFeatures]]; scales are fixed-point so any engine
-    * reproduces them.
+    * batch resizer. Image payloads are decoded for REAL (`ImageIO`
+    * header dimensions); only video/opaque payloads use the STUB
+    * dimensions. Scales are fixed-point so any engine reproduces them.
     */
   def resizePlan(ds: Dataset[MediaRow], targetW: Int,
       targetH: Int): Dataset[ResizedMeta] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { it =>
       it.map { row =>
-        val f = decodeOne(row.media_id, row.content, "")
+        val (w, h) =
+          if (isImagePayload(row.content)) {
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(row.content))
+            require(img != null,
+              s"media_id=${row.media_id}: image magic but undecodable")
+            (img.getWidth, img.getHeight)
+          } else {
+            val f = decodeOne(row.media_id, row.mime, row.content, "")
+            (f.width, f.height)
+          }
         ResizedMeta(row.media_id, targetW, targetH,
-          math.floor(targetW * 1e6 / f.width).toLong,
-          math.floor(targetH * 1e6 / f.height).toLong)
+          math.floor(targetW * 1e6 / w).toLong,
+          math.floor(targetH * 1e6 / h).toLong)
       }
     }
   }
@@ -333,5 +420,30 @@ object Multimodal {
         encode(col("text"), "UTF-8").as("content"),
         lit("text/plain").as("mime"))
       .as[MediaRow]
+  }
+
+  /** Mixed media table from documents: EVEN doc_ids become real PNG
+    * payloads (doc-derived dimensions 1+id%16 × 1+len%16 and gray
+    * color (id%256)·0x010101, written through the actual encoder —
+    * the p57 recipe), ODD doc_ids stay opaque text payloads. One
+    * corpus that exercises both the real-decode path and the
+    * documented video/opaque stub, with every decoded property
+    * derivable from the doc attributes so oracles replay it in
+    * closed form.
+    */
+  def mixedMediaFromDocuments(spark: SparkSession,
+      docs: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    val evens = docs.filter(pmod(col("doc_id"), lit(2)) === 0).select(
+        col("doc_id"),
+        (lit(1) + pmod(col("doc_id"), lit(16))).cast("int"),
+        (lit(1) + pmod(length(col("text")), lit(16))).cast("int"),
+        (pmod(col("doc_id"), lit(256)) * 65793).cast("int"))
+      .as[(Long, Int, Int, Int)]
+    val pngs = encodePng(evens)
+      .map(e => MediaRow(e.media_id, e.png, "image/png"))
+    val texts = mediaFromDocuments(spark,
+      docs.filter(pmod(col("doc_id"), lit(2)) === 1))
+    pngs.union(texts)
   }
 }

@@ -500,14 +500,27 @@ object PipelineQueries {
 
   // ------------------------------------------------------------ multimodal
 
-  /** Multimodal plumbing: opaque binary payloads + typed metadata.
-    * (Feature extraction over the binary column is the mapPartitions
-    * path, exercised in MultimodalSpec — not SQL-expressible.)
+  /** Multimodal feature extraction over a MIXED corpus: even doc_ids
+    * are real PNG payloads — dimensions and mean luma come from the
+    * actual `ImageIO` raster ([[Multimodal.extractFeatures]]'s
+    * magic-sniffed decode path) and the oracle replays them in closed
+    * form from the doc attributes — odd doc_ids are opaque text
+    * payloads through the documented stub, certifying byte metadata
+    * (n_bytes, md5) and the stub dims. Payload-dependent columns
+    * (bytes, checksum, luma) are nulled on the side where no engine
+    * could reproduce them (PNG bytes are encoder-specific; stub luma
+    * is a byte-sum no SQL replays cheaply).
     */
   def p12Multimodal(s: SparkSession, dir: String): DataFrame = {
-    val media = Multimodal.mediaFromDocuments(s, t(s, dir, "documents")).toDF()
-    Multimodal.withMeta(media, "content")
-      .select(col("media_id"), col("mime"), col("n_bytes"), col("checksum"))
+    val media = Multimodal.mixedMediaFromDocuments(s, t(s, dir, "documents"))
+    Multimodal.extractFeatures(media).toDF()
+      .select(col("media_id"), col("mime"),
+        when(col("mime") === "text/plain", col("n_bytes")).as("n_bytes"),
+        when(col("mime") === "text/plain", col("checksum")).as("checksum"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        when(col("mime") === "image/png",
+          floor(col("mean_luma") * lit(1e6)).cast("long")).as("luma_micro"))
   }
 
   /** REAL image decode ([[Multimodal.encodePng]]/[[Multimodal.decodePng]]
@@ -528,6 +541,43 @@ object PipelineQueries {
         (pmod(col("doc_id"), lit(256)) * 65793).cast("int"))
       .as[(Long, Int, Int, Int)]
     Multimodal.decodePng(Multimodal.encodePng(src)).toDF()
+  }
+
+  /** Mixed-format REAL image decode ([[Multimodal.encodeImage]] /
+    * [[Multimodal.decodePng]]): even doc_ids encode through the actual
+    * PNG writer, odd doc_ids through the actual JPEG writer, and one
+    * format-sniffing `ImageIO.read` pass decodes both. Dimensions are
+    * pinned exactly for both formats; the top-left pixel is pinned
+    * exactly for PNG (lossless) and as a ±8-per-channel band for JPEG
+    * (lossy — solid-gray blocks quantize to within a few counts), so
+    * the oracle replays `px_ok = 1` for every row in closed form.
+    */
+  def p72JpegDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = t(s, dir, "documents")
+    def src(parity: Int) =
+      docs.filter(pmod(col("doc_id"), lit(2)) === parity).select(
+          col("doc_id"),
+          (lit(1) + pmod(col("doc_id"), lit(16))).cast("int"),
+          (lit(1) + pmod(length(col("text")), lit(16))).cast("int"),
+          (pmod(col("doc_id"), lit(256)) * 65793).cast("int"))
+        .as[(Long, Int, Int, Int)]
+    val mixed = Multimodal.encodeImage(src(0), "png")
+      .union(Multimodal.encodeImage(src(1), "jpg"))
+    val gray = pmod(col("media_id"), lit(256))
+    val r = floor(col("px00") / 65536) % 256
+    val g = floor(col("px00") / 256) % 256
+    val b = col("px00") % 256
+    Multimodal.decodePng(mixed).toDF()
+      .select(col("media_id"),
+        when(pmod(col("media_id"), lit(2)) === 0, "image/png")
+          .otherwise("image/jpeg").as("mime"),
+        col("width"), col("height"),
+        when(pmod(col("media_id"), lit(2)) === 0,
+            (col("px00") === gray * 65793).cast("long"))
+          .otherwise((abs(r - gray) <= 8 && abs(g - gray) <= 8 &&
+            abs(b - gray) <= 8).cast("long"))
+          .as("px_ok"))
   }
 
   /** Resize planning over REAL decoded dimensions
@@ -1074,18 +1124,24 @@ object PipelineQueries {
           count(lit(1))).cast("long").as("oov_micro"))
   }
 
-  /** Frame sampling over the media payloads: every 2nd fake frame, at
-    * most 4 per payload — the row-expanding batched-decode shape.
+  /** Frame sampling over the MIXED corpus: real PNG payloads decode
+    * to their single still frame, fingerprinted from the DECODED
+    * properties (w×h:px00); text payloads expand through the stub
+    * (every 2nd fake frame, at most 4) — the row-expanding
+    * batched-decode shape either way.
     */
   def p29FrameSample(s: SparkSession, dir: String): DataFrame =
     Multimodal.sampleFrames(
-      Multimodal.mediaFromDocuments(s, t(s, dir, "documents")),
+      Multimodal.mixedMediaFromDocuments(s, t(s, dir, "documents")),
       every = 2, maxFrames = 4).toDF()
 
-  /** Resize planning to a 224x224 box from stub-decoded dimensions. */
+  /** Resize planning to a 224x224 box over the MIXED corpus: real
+    * `ImageIO` header dimensions for the PNG payloads, stub dims for
+    * the opaque ones.
+    */
   def p30ResizePlan(s: SparkSession, dir: String): DataFrame =
     Multimodal.resizePlan(
-      Multimodal.mediaFromDocuments(s, t(s, dir, "documents")),
+      Multimodal.mixedMediaFromDocuments(s, t(s, dir, "documents")),
       targetW = 224, targetH = 224).toDF()
 
   /** Directional containment pairs at 0.5 over word 4-shingles, skew
@@ -1284,6 +1340,7 @@ object PipelineQueries {
     "p71_bpe_train" -> p71BpeTrain _,
     "p63_audio_features" -> p63AudioFeatures _,
     "p57_png_decode" -> p57PngDecode _,
+    "p72_jpeg_decode" -> p72JpegDecode _,
     "p50_temp_mix" -> p50TempMix _,
     "p51_hard_negatives" -> p51HardNegatives _,
     "p52_ivf_trained" -> p52IvfTrained _,
@@ -1737,9 +1794,17 @@ object PipelineQueries {
          |    x -> ${oHash("x")} % ${TF.P}), 'min'), ${TF.P}) AS min_shingle_hash
          |FROM f JOIN s ON f.doc_id = s.doc_id""".stripMargin,
     "p12_multimodal" ->
-      """SELECT doc_id AS media_id, 'text/plain' AS mime,
-        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-        |  md5(text) AS checksum
+      """SELECT doc_id AS media_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'text/plain' END AS mime,
+        |  CASE WHEN doc_id % 2 = 1
+        |    THEN CAST(octet_length(encode(text)) AS BIGINT) END AS n_bytes,
+        |  CASE WHEN doc_id % 2 = 1 THEN md5(text) END AS checksum,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 1 + doc_id % 16
+        |       ELSE 64 + (ascii(substr(text, 1, 1)) % 192) END AS BIGINT) AS width,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 1 + length(text) % 16
+        |       ELSE 64 + (ascii(substr(text, 2, 1)) % 192) END AS BIGINT) AS height,
+        |  CASE WHEN doc_id % 2 = 0 THEN
+        |    CAST(FLOOR((doc_id % 256) / 255.0 * 1000000) AS BIGINT) END AS luma_micro
         |FROM documents""".stripMargin,
     "p60_wav_decode" ->
       """SELECT doc_id AS media_id,
@@ -2352,6 +2417,13 @@ object PipelineQueries {
          |    AS n_dropped
          |FROM segs s JOIN owners o USING (h) GROUP BY s.doc_id""".stripMargin,
     "p71_bpe_train" -> oBpeTrain(100),
+    "p72_jpeg_decode" ->
+      """SELECT doc_id AS media_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'image/jpeg' END AS mime,
+        |  CAST(1 + doc_id % 16 AS BIGINT) AS width,
+        |  CAST(1 + length(text) % 16 AS BIGINT) AS height,
+        |  CAST(1 AS BIGINT) AS px_ok
+        |FROM documents""".stripMargin,
     "p68_unigram_lm" ->
       s"""WITH toks AS (
          |  SELECT doc_id, unnest($oToks) AS tok FROM documents),
@@ -2533,11 +2605,17 @@ object PipelineQueries {
       s"""WITH f AS (
          |  SELECT doc_id AS media_id, text,
          |    octet_length(encode(text)) // 40 + 1 AS nf
-         |  FROM documents)
+         |  FROM documents WHERE doc_id % 2 = 1)
          |SELECT media_id, CAST(i AS BIGINT) AS frame_idx,
          |  md5(text || '#' || CAST(i AS VARCHAR)) AS frame_checksum
          |FROM f CROSS JOIN (SELECT UNNEST(generate_series(0, 6, 2)) AS i) s
-         |WHERE i < nf""".stripMargin,
+         |WHERE i < nf
+         |UNION ALL
+         |SELECT doc_id AS media_id, CAST(0 AS BIGINT) AS frame_idx,
+         |  md5(CAST(1 + doc_id % 16 AS VARCHAR) || 'x' ||
+         |      CAST(1 + length(text) % 16 AS VARCHAR) || ':' ||
+         |      CAST((doc_id % 256) * 65793 AS VARCHAR)) AS frame_checksum
+         |FROM documents WHERE doc_id % 2 = 0""".stripMargin,
     "p59_resize_png" ->
       s"""WITH d AS (
          |  SELECT doc_id AS media_id,
@@ -2552,8 +2630,10 @@ object PipelineQueries {
     "p30_resize_plan" ->
       s"""WITH d AS (
          |  SELECT doc_id AS media_id,
-         |    64 + (ascii(substr(text, 1, 1)) % 192) AS w,
-         |    64 + (ascii(substr(text, 2, 1)) % 192) AS h
+         |    CASE WHEN doc_id % 2 = 0 THEN 1 + doc_id % 16
+         |         ELSE 64 + (ascii(substr(text, 1, 1)) % 192) END AS w,
+         |    CASE WHEN doc_id % 2 = 0 THEN 1 + length(text) % 16
+         |         ELSE 64 + (ascii(substr(text, 2, 1)) % 192) END AS h
          |  FROM documents)
          |SELECT media_id,
          |  CAST(224 AS INTEGER) AS target_w, CAST(224 AS INTEGER) AS target_h,

@@ -270,6 +270,46 @@ class PipelineSpec extends SparkSpec {
     assert(out(1).n_bytes == 0L && out(1).mean_luma == 0.0)
   }
 
+  test("image payloads take the REAL decode path in features/frames/resize") {
+    // a real 4x2 solid-gray PNG payload mixed with an opaque payload
+    val png = Multimodal.encodePng(Seq((1L, 4, 2, 0x505050)).toDS())
+      .head().png
+    assert(Multimodal.isImagePayload(png))
+    val media = Seq(
+      Multimodal.MediaRow(1L, png, "image/png"),
+      Multimodal.MediaRow(2L, Array.fill(100)('a'.toByte), "video/fake"))
+      .toDS()
+    val f = Multimodal.extractFeatures(media).collect()
+      .map(r => r.media_id -> r).toMap
+    // decoded, not stub: stub would say 64 + (0x89 % 192) = 201 wide
+    assert(f(1L).width == 4 && f(1L).height == 2)
+    assert(f(1L).mean_luma == 0x50 / 255.0) // solid gray, exact
+    assert(f(2L).width == 64 + ('a'.toInt % 192)) // opaque → stub
+    val frames = Multimodal.sampleFrames(media, every = 2, maxFrames = 4)
+      .collect().groupBy(_.media_id)
+    assert(frames(1L).map(_.frame_idx).toSeq == Seq(0L)) // one real frame
+    val expKey = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"4x2:${0x505050}".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(frames(1L).head.frame_checksum == expKey)
+    assert(frames(2L).map(_.frame_idx).sorted.toSeq == Seq(0L, 2L)) // stub
+    val r = Multimodal.resizePlan(media, 224, 224).collect()
+      .map(x => x.media_id -> x).toMap
+    assert(r(1L).scale_x_micro == 224000000L / 4L) // real decoded width
+    assert(r(2L).scale_x_micro == 224000000L / 161L) // stub width
+  }
+
+  test("JPEG codec round-trip: exact dims, solid-gray pixels within band") {
+    val src = Seq((1L, 5, 3, 0x404040), (2L, 1, 7, 0xc8c8c8)).toDS()
+    val out = Multimodal.decodePng(Multimodal.encodeImage(src, "jpg"))
+      .collect().sortBy(_.media_id)
+    assert(out.map(r => (r.media_id, r.width, r.height)).toSeq ==
+      Seq((1L, 5L, 3L), (2L, 1L, 7L)))
+    for ((r, exp) <- out.zip(Seq(0x40L, 0xc8L)); shift <- Seq(16, 8, 0))
+      assert(math.abs(((r.px00 >> shift) & 0xff) - exp) <= 8,
+        s"media ${r.media_id} channel @$shift: ${r.px00}%06x vs $exp")
+  }
+
   test("real PNG codec round-trip: decode returns encoded dims and pixel") {
     val src = Seq((7L, 3, 5, 0x123456), (8L, 1, 1, 0xffffff),
       (9L, 16, 2, 0)).toDS()

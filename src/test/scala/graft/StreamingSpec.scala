@@ -308,8 +308,11 @@ class StreamingSpec extends SparkSpec {
       .outputMode("append").start()
     try {
       val rows = Seq(
-        (1L, "the quick brown fox jumps over the lazy dog and then some " +
-          "more words with that have been added here today okay fine"),
+        // 69 words, five distinct required stopwords — passes the
+        // published Gopher thresholds the shared projection defaults to
+        (1L, Seq.fill(3)("the quick brown fox jumps over the lazy dog " +
+          "and then some more words with that have been added here " +
+          "today okay fine").mkString(" ")),
         (2L, "too short"),
         (3L, Seq.fill(30)("zzz qqq vvv").mkString(" ")))
       mem.addData(rows: _*)
