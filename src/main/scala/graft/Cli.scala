@@ -74,6 +74,9 @@ object Cli {
         |  stream-neardup-verified <dir> <outDir>        streaming near-dup pairs, exact-Jaccard verified
         |  stream-scrub <dir> <outDir>                   stateless PII scrub as an incremental stream
         |  stream-quality <dir> <outDir>                 Gopher quality gates applied at stream ingest
+        |  stream-c4 <dir> <outDir>                      C4 page gates applied at stream ingest
+        |  stream-funnel <dir> <outDir>                  three-gate quality funnel at stream ingest
+        |  stream-perplexity <dir> <outDir>              unigram-LM scoring at stream ingest (snapshot-fit)
         |  kmeans <dir> <outDir> [iters]                 IVF centroid training (Lloyd, default 1 iteration)
         |  repetition <dir> <outDir>                     Gopher-style repetition quality signals
         |  gopher-filter <dir> <outDir>                  Gopher rule-set boolean quality gates
@@ -214,6 +217,18 @@ object Cli {
     * stable across runs — the checkpoint records source paths — and is
     * "_"-prefixed so batch reads of the sink skip it.
     */
+  /** Drain one streaming job to a parquet sink with AvailableNow —
+    * the shared tail of every doc-stream subcommand.
+    */
+  private def drainDocJob(df: DataFrame, out: String): Unit = {
+    val q = df.writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", s"$out/_checkpoint")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   private def stagedDocStream(spark: SparkSession, dir: String,
       out: String): DataFrame = {
     val schema = Tables.read(spark, dir, "documents").schema
@@ -726,6 +741,32 @@ object Cli {
     case "stream-scrub" :: dir :: out :: Nil =>
       runEventStream(spark, dir, out, streaming.StreamingJobs.scrub)
       println(s"""{"stream_scrub":"$out"}""")
+
+    // stateless C4 page gating at ingest — the batch p64 projection
+    // applied per micro-batch
+    case "stream-c4" :: dir :: out :: Nil =>
+      drainDocJob(streaming.StreamingJobs.c4Gate(
+        stagedDocStream(spark, dir, out)), out)
+      println(s"""{"stream_c4":"$out"}""")
+
+    // the full three-gate quality funnel (score + Gopher + C4) as a
+    // stateless ingest stream — the per-row stage of the batch p66
+    case "stream-funnel" :: dir :: out :: Nil =>
+      drainDocJob(streaming.StreamingJobs.ingestFunnel(
+        stagedDocStream(spark, dir, out)), out)
+      println(s"""{"stream_funnel":"$out"}""")
+
+    // unigram-LM perplexity scoring at ingest: cost tables fit on the
+    // static snapshot (the CCNet move), each micro-batch scored via a
+    // stream-static broadcast join. Tight watermark + minute windows
+    // so a one-shot drain closes (and emits) every populated window.
+    case "stream-perplexity" :: dir :: out :: Nil =>
+      val stream = stagedDocStream(spark, dir, out)
+      val snapshot = Tables.read(spark, dir, "documents")
+      drainDocJob(streaming.StreamingJobs.perplexityScore(stream,
+        snapshot, vocabSize = 500, watermarkDelay = "0 seconds",
+        windowDuration = "1 minute"), out)
+      println(s"""{"stream_perplexity":"$out"}""")
 
     // stateful sessionization as an incremental stream
     case "stream-sessionize" :: dir :: out :: Nil =>

@@ -398,6 +398,37 @@ object Curation {
         col("clean_fp")): _*)
   }
 
+  /** Per-document flags of the three-gate quality funnel — the shared
+    * per-row stage of the batch per-source rollup (p66) and the
+    * streaming ingest funnel
+    * ([[graft.streaming.StreamingJobs.ingestFunnel]]): the composite
+    * quality score (≥ 0.5), the Gopher rule set, and the C4 page
+    * gates (published thresholds), composed as one zero-exchange
+    * projection chain over a single scan. Output carries `score_keep`,
+    * the Gopher `keep`, and the C4 `page_keep` per document plus any
+    * `carry` columns.
+    */
+  def funnelFlags(df: DataFrame, idCol: String, textCol: String,
+      carry: Seq[String] = Nil): DataFrame = {
+    val gated = gopherGates(df, idCol, textCol, carry = textCol +: carry)
+    val toks = TF.tokens(col(textCol))
+    val scored = gated
+      .withColumn("mean_len",
+        aggregate(toks, lit(0L), (a, x) => a + length(x)).cast("double") /
+          col("n_toks").cast("double"))
+      .withColumn("punct_ratio",
+        TF.punctCount(col(textCol)).cast("double") /
+          length(col(textCol)).cast("double"))
+      .withColumn("stop_ratio",
+        TF.stopwordHits(toks, TF.stopwords.head._2).cast("double") /
+          col("n_toks").cast("double"))
+      .withColumn("score_keep",
+        when(TF.qualityScore(col("n_toks"), col("mean_len"),
+          col("punct_ratio"), col("stop_ratio")) >= 0.5, 1L).otherwise(0L))
+    c4PageGates(scored, idCol, textCol,
+      carry = carry ++ Seq("keep", "score_keep"))
+  }
+
   /** [[segmentDedup]]'s removal twin — the part of the C4 rule that
     * actually edits the corpus: every duplicated segment occurrence
     * (globally, in (doc, position) corpus order — within-document

@@ -443,27 +443,11 @@ object PipelineQueries {
     * is the source-count rollup (source-cardinality rows).
     */
   def p66QualityFunnel(s: SparkSession, dir: String): DataFrame = {
-    val gated = Curation.gopherGates(t(s, dir, "documents"), "doc_id",
-      "text", carry = Seq("source", "text"))
-    val toks = TF.tokens(col("text"))
-    val scored = gated
-      .withColumn("mean_len",
-        aggregate(toks, lit(0L), (a, x) => a + length(x)).cast("double") /
-          col("n_toks").cast("double"))
-      .withColumn("punct_ratio",
-        TF.punctCount(col("text")).cast("double") /
-          length(col("text")).cast("double"))
-      .withColumn("stop_ratio",
-        TF.stopwordHits(toks, TF.stopwords.head._2).cast("double") /
-          col("n_toks").cast("double"))
-      .withColumn("score_keep",
-        when(TF.qualityScore(col("n_toks"), col("mean_len"),
-          col("punct_ratio"), col("stop_ratio")) >= 0.5, 1L).otherwise(0L))
-    // The C4 page gate is the SAME projection p64 runs — chained onto
-    // the scored frame, so the whole funnel is still one scan with
-    // only the source-cardinality rollup exchanging rows.
-    val full = Curation.c4PageGates(scored, "doc_id", "text",
-      carry = Seq("source", "keep", "score_keep"))
+    // The per-row stage is the SHARED Curation.funnelFlags projection
+    // (the streaming ingest funnel runs it verbatim); the only
+    // exchange in the whole query is this source-cardinality rollup.
+    val full = Curation.funnelFlags(t(s, dir, "documents"), "doc_id",
+      "text", carry = Seq("source"))
     full.groupBy("source").agg(
         count(lit(1)).as("n_docs"),
         sum(col("score_keep")).as("n_score"),

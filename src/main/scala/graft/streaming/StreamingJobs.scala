@@ -66,6 +66,55 @@ object StreamingJobs {
   def qualityGate(docs: DataFrame): DataFrame =
     graft.pipeline.Curation.gopherGates(docs, "doc_id", "text")
 
+  /** Ingest-time C4 page gating — the streaming twin of the C4
+    * cleaner (p64). Shares the EXACT projection with the batch query
+    * ([[graft.pipeline.Curation.c4PageGates]], published thresholds),
+    * so stream and batch decisions cannot drift. Stateless — no
+    * watermark, no state store, emits every micro-batch.
+    */
+  def c4Gate(docs: DataFrame): DataFrame =
+    graft.pipeline.Curation.c4PageGates(docs, "doc_id", "text")
+
+  /** The full three-gate ingest funnel — the streaming twin of the
+    * per-document stage of the batch funnel (p66), sharing
+    * [[graft.pipeline.Curation.funnelFlags]] verbatim: composite
+    * score, Gopher rules, C4 page gates in one stateless projection.
+    * (The batch query's only exchange is its per-source rollup — a
+    * monitoring sink can run that same rollup over this output.)
+    */
+  def ingestFunnel(docs: DataFrame): DataFrame =
+    graft.pipeline.Curation.funnelFlags(docs, "doc_id", "text")
+      .select(col("doc_id"), col("score_keep"),
+        col("keep").as("gopher_keep"), col("page_keep"),
+        (col("score_keep") * col("keep") * col("page_keep")).as("admit"))
+
+  /** Ingest-time perplexity scoring — the streaming twin of the
+    * unigram-LM scorer (p68). The cost tables are fit IN BATCH over a
+    * reference corpus ([[graft.pipeline.Curation.unigramCostTables]] —
+    * the CCNet move: train on a snapshot, score the stream) and ride
+    * each micro-batch as broadcast static sides of a stream-static
+    * join; the scoring expressions are
+    * [[graft.pipeline.Curation.unigramScore]] verbatim, grouped by
+    * (event-time window, doc) instead of doc — the only difference
+    * from batch, and what lets Append mode emit each document's score
+    * when its window closes. State is bounded by open windows × docs
+    * per window; the static sides are vocab-sized and single-row.
+    */
+  def perplexityScore(docs: DataFrame, refCorpus: DataFrame,
+      vocabSize: Int, watermarkDelay: String = "1 hour",
+      windowDuration: String = "1 hour"): DataFrame = {
+    val C = graft.pipeline.Curation
+    val (cost, oov) = C.unigramCostTables(
+      C.tokenOccurrences(refCorpus, "doc_id", "text"), vocabSize)
+    val toks = docs.withWatermark("ts", watermarkDelay)
+      .select(col("doc_id"), col("ts"),
+        explode(graft.pipeline.TextFunctions.tokens(col("text"))).as("tok"))
+    C.unigramScore(toks,
+        Seq(window(col("ts"), windowDuration), col("doc_id")), cost, oov)
+      .select(unix_micros(col("window.start")).as("ws_us"), col("doc_id"),
+        col("n_tokens"), col("nll_micro"), col("avg_nll_micro"))
+  }
+
   /** Stream-static enrichment — the streaming twin of the
     * concept-name broadcast lookup (J2): each micro-batch left-joins
     * the static dimension, which Spark re-plans per batch (a

@@ -1,6 +1,7 @@
 package graft
 
-import org.apache.spark.sql.functions.{col, explode}
+import org.apache.spark.sql.functions.{col, explode, timestamp_micros,
+  unix_micros, window}
 
 class CliSpec extends SparkSpec {
 
@@ -240,6 +241,46 @@ class CliSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$out/ssess"))
     Cli.run(spark, List("stream-sessionize", sf0001, s"$out/ssess"))
     assert(spark.read.parquet(s"$out/ssess").count() > 0)
+
+    // the stateless ingest gates drain one row per document, and the
+    // funnel's flags match the batch per-row stage exactly
+    val nDocsAll = spark.read.parquet(s"$sf0001/documents.parquet").count()
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$out/sc4"))
+    Cli.run(spark, List("stream-c4", sf0001, s"$out/sc4"))
+    assert(spark.read.parquet(s"$out/sc4").count() == nDocsAll)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$out/sfun"))
+    Cli.run(spark, List("stream-funnel", sf0001, s"$out/sfun"))
+    val sfun = spark.read.parquet(s"$out/sfun")
+    assert(sfun.count() == nDocsAll)
+    val batchFlags = graft.pipeline.Curation.funnelFlags(
+        spark.read.parquet(s"$sf0001/documents.parquet"), "doc_id", "text")
+      .select(col("doc_id"), col("score_keep"),
+        col("keep").as("gopher_keep"), col("page_keep"))
+    assert(sfun.select("doc_id", "score_keep", "gopher_keep", "page_keep")
+      .exceptAll(batchFlags).count() == 0)
+
+    // stream-perplexity: a one-shot drain emits exactly the batch
+    // scores for every CLOSED window (the final watermark equals the
+    // max event time, so only the last minute's window stays open)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$out/sppl"))
+    Cli.run(spark, List("stream-perplexity", sf0001, s"$out/sppl"))
+    val sppl = spark.read.parquet(s"$out/sppl")
+      .select("ws_us", "doc_id", "n_tokens", "nll_micro", "avg_nll_micro")
+    val C = graft.pipeline.Curation
+    val docsTs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .withColumn("ts", timestamp_micros((col("doc_id") + 1) * 1000000L))
+    val (costT, oovT) = C.unigramCostTables(
+      C.tokenOccurrences(docsTs, "doc_id", "text"), vocabSize = 500)
+    val toksB = docsTs.select(col("doc_id"), col("ts"),
+      explode(graft.pipeline.TextFunctions.tokens(col("text"))).as("tok"))
+    val batchPpl = C.unigramScore(toksB,
+        Seq(window(col("ts"), "1 minute"), col("doc_id")), costT, oovT)
+      .filter(unix_micros(col("window.end")) <= nDocsAll * 1000000L)
+      .select(unix_micros(col("window.start")).as("ws_us"), col("doc_id"),
+        col("n_tokens"), col("nll_micro"), col("avg_nll_micro"))
+    assert(sppl.exceptAll(batchPpl).count() == 0 &&
+      batchPpl.exceptAll(sppl).count() == 0)
+    assert(sppl.count() > 0)
 
     // stream-neardup: one AvailableNow pass over the corpus emits
     // exactly the batch LSH candidate pair set

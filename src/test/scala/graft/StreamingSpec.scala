@@ -328,6 +328,112 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming C4 gate equals the batch page-gate projection on the same docs") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDF().toDF("doc_id", "text")
+    val q = StreamingJobs.c4Gate(docs)
+      .writeStream.format("memory").queryName("c4gate_s")
+      .outputMode("append").start()
+    try {
+      val rows = Seq(
+        (1L, "This line has five words.\nno\n" +
+          "Another keeper line sits here!\nShort tail?"),
+        (2L, "function f() { return 1; }"),
+        (3L, "a\nb\nc"))
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("c4gate_s")
+        .select("doc_id", "n_kept", "page_keep", "clean_fp")
+        .as[(Long, Long, Long, String)].collect().toSeq.sorted
+      assert(streamed.map(r => (r._1, r._2, r._3)) ==
+        Seq((1L, 2L, 1L), (2L, 0L, 0L), (3L, 0L, 0L)))
+      // bit-identical to the batch projection over the same rows
+      val batch = graft.pipeline.Curation.c4PageGates(
+          rows.toDF("doc_id", "text"), "doc_id", "text")
+        .select("doc_id", "n_kept", "page_keep", "clean_fp")
+        .as[(Long, Long, Long, String)].collect().toSeq.sorted
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
+  test("streaming ingest funnel equals the batch funnelFlags stage") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDF().toDF("doc_id", "text")
+    val q = StreamingJobs.ingestFunnel(docs)
+      .writeStream.format("memory").queryName("funnel_s")
+      .outputMode("append").start()
+    try {
+      val good = Seq.fill(3)("the quick brown fox jumps over the lazy " +
+        "dog and then some more words with that have been added here " +
+        "today okay fine").mkString(" ")
+      val rows = Seq(
+        (1L, good + "\nThis closing line has five words here okay now."),
+        (2L, "too short"),
+        (3L, Seq.fill(30)("zzz qqq vvv").mkString(" ")))
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("funnel_s")
+        .select("doc_id", "score_keep", "gopher_keep", "page_keep", "admit")
+        .as[(Long, Long, Long, Long, Long)].collect().toSeq.sorted
+      val batch = graft.pipeline.Curation.funnelFlags(
+          rows.toDF("doc_id", "text"), "doc_id", "text")
+        .select(col("doc_id"), col("score_keep"),
+          col("keep").as("gopher_keep"), col("page_keep"),
+          (col("score_keep") * col("keep") * col("page_keep")).as("admit"))
+        .as[(Long, Long, Long, Long, Long)].collect().toSeq.sorted
+      assert(streamed == batch)
+      assert(streamed.map(r => (r._1, r._3)) == // gopher verdicts
+        Seq((1L, 1L), (2L, 0L), (3L, 0L)))
+    } finally q.stop()
+  }
+
+  test("streaming perplexity equals batch unigramScore for closed windows") {
+    implicit val sqlCtx = spark.sqlContext
+    val C = graft.pipeline.Curation
+    // reference corpus the cost tables are fit on (static side)
+    val ref = Seq((100L, "aa bb aa cc"), (101L, "aa dd bb"))
+      .toDF("doc_id", "text")
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val docs = mem.toDF().toDF("doc_id", "text", "ts")
+    val q = StreamingJobs.perplexityScore(docs, ref, vocabSize = 3)
+      .writeStream.format("memory").queryName("ppl_s")
+      .outputMode("append").start()
+    try {
+      def ts(s: String) = Timestamp.valueOf(s)
+      val rows = Seq(
+        (1L, "aa bb zz", ts("2024-01-01 00:10:00")),   // one OOV (zz)
+        (2L, "cc cc cc aa", ts("2024-01-01 00:20:00")),
+        (3L, "qq", ts("2024-01-01 00:40:00")))          // all OOV
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      // sentinel far in the future closes the 00:00 window
+      mem.addData((99L, "aa", ts("2024-01-02 12:00:00")))
+      q.processAllAvailable()
+      val streamed = spark.table("ppl_s")
+        .select("ws_us", "doc_id", "n_tokens", "nll_micro", "avg_nll_micro")
+        .as[(Long, Long, Long, Long, Long)].collect().toSeq.sorted
+      // batch: the IDENTICAL scoring expressions over the same rows,
+      // grouped by the same window, restricted to the closed window
+      val (cost, oov) = C.unigramCostTables(
+        C.tokenOccurrences(ref, "doc_id", "text"), vocabSize = 3)
+      val batchToks = rows.toDF("doc_id", "text", "ts")
+        .select(col("doc_id"), col("ts"),
+          explode(graft.pipeline.TextFunctions.tokens(col("text"))).as("tok"))
+      val batch = C.unigramScore(batchToks,
+          Seq(window(col("ts"), "1 hour"), col("doc_id")), cost, oov)
+        .select(unix_micros(col("window.start")).as("ws_us"), col("doc_id"),
+          col("n_tokens"), col("nll_micro"), col("avg_nll_micro"))
+        .as[(Long, Long, Long, Long, Long)].collect().toSeq.sorted
+      assert(streamed == batch)
+      assert(streamed.map(_._2) == Seq(1L, 2L, 3L))
+      // the all-OOV doc is strictly costlier per token than the others
+      val avg = streamed.map(r => r._2 -> r._5).toMap
+      assert(avg(3L) > avg(1L) && avg(3L) > avg(2L))
+    } finally q.stop()
+  }
+
   test("streaming verified near-dup pairs equal batch minhashPairs incl. out-of-order") {
     implicit val sqlCtx = spark.sqlContext
     val base = (1 to 40).map(i => s"tok$i").mkString(" ")
