@@ -60,12 +60,16 @@ object Multimodal {
     require(img != null, s"media_id=$id: image magic but undecodable")
     val w = img.getWidth
     val h = img.getHeight
+    // bulk row reads, not per-pixel getRGB — one colormodel conversion
+    // per row keeps the raster pass linear in bytes, not API calls
+    val rowBuf = new Array[Int](w)
     var lumaSum = 0.0
     var y = 0
     while (y < h) {
+      img.getRGB(0, y, w, 1, rowBuf, 0, w)
       var x = 0
       while (x < w) {
-        val rgb = img.getRGB(x, y)
+        val rgb = rowBuf(x)
         lumaSum += (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) +
           (rgb & 0xff)) / 3.0
         x += 1
