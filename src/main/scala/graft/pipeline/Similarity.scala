@@ -715,6 +715,89 @@ object Similarity {
         m, dim / m),
       k)
 
+  /** IVF-PQ: the coarse quantizer COMPOSED with the compressed scan —
+    * the production index shape (FAISS's IVFPQ) that makes
+    * billion-vector ANN tractable. Corpus vectors land in coarse
+    * cells by the map-side argmax, carrying only their m-entry PQ
+    * codes into the exchange; queries probe their `nprobe` nearest
+    * cells; ADC distances run only inside probed cells, against the
+    * RAW query vector (asymmetric) through the constant-folded
+    * per-subspace lookup table.
+    *
+    * Scale shape: the corpus-side exchange moves (id, cell, m codes) —
+    * never vectors (the codes are computed in the scan projection,
+    * BEFORE the shuffle, and the argmax struct carries them through
+    * the partial agg); the probe join is an equi-join on the cell id;
+    * the ADC lookup resolves in whole-stage codegen;
+    * [[prunePartitionTopK]] bounds the ranking exchange. At 100 TB
+    * this is the difference between shuffling 4·dim bytes and m bytes
+    * per candidate, times the probed fraction of the corpus.
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, coarseFilter: Column, pqFilter: Column, m: Int,
+      dim: Int, k: Int, nprobe: Int): DataFrame = {
+    require(dim % m == 0, "m must divide dim")
+    require(nprobe >= 1, "nprobe must be >= 1")
+    val sub = dim / m
+    val books = subSlices(loadCodebook(corpus, idCol, vecCol, pqFilter),
+      m, sub)
+    val cents = broadcast(corpus.filter(coarseFilter)
+      .select(col(idCol).as("cent_id"), col(vecCol).as("ce"),
+        l2norm(col(vecCol)).as("ce_n")))
+    // corpus side: PQ codes fold into the scan projection, then the
+    // cell argmax partial-aggregates with the codes (not the vector)
+    // riding the struct — the exchange carries m ints per vector
+    val codesExpr = array((0 until m).map(s =>
+      pqArgmin(slice(col("cv"), s * sub + 1, sub), books(s))): _*)
+    val cellC = corpus
+      .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).as("cand_id"), col(vecCol).as("cv"),
+        l2norm(col(vecCol)).as("cn"))
+      .withColumn("codes", codesExpr)
+      .crossJoin(cents)
+      .withColumn("__sim",
+        cosinePre(dot(col("cv"), col("ce")), col("cn"), col("ce_n")))
+      .groupBy(col("cand_id"))
+      .agg(max(struct(col("__sim"), (-col("cent_id")).as("tie"),
+        col("cent_id"), col("codes"))).as("best"))
+      .select(col("cand_id"), col("best.cent_id").as("cent_id"),
+        col("best.codes").as("codes"))
+    // query side: bounded top-nprobe cell list (24-byte triples, never
+    // vectors), then one row per probed cell with the raw query vector
+    val cellQ = queries
+      .repartition(queries.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        l2norm(col(vecCol)).as("qn"))
+      .crossJoin(cents)
+      .withColumn("__sim",
+        cosinePre(dot(col("qv"), col("ce")), col("qn"), col("ce_n")))
+      .groupBy(col("query_id"))
+      .agg(
+        slice(reverse(array_sort(collect_list(struct(col("__sim"),
+          (-col("cent_id")).as("tie"), col("cent_id"))))), 1, nprobe)
+          .as("top"),
+        first(col("qv")).as("qv"))
+      .select(col("query_id"), col("qv"),
+        explode(col("top.cent_id")).as("cent_id"))
+    val adist = (0 until m).map { s =>
+      val lut = map(books(s).toIndexedSeq.flatMap { case (cid, ce) =>
+        Seq(lit(cid), array(ce.toIndexedSeq.map(lit(_)): _*))
+      }: _*)
+      dist2(slice(col("qv"), s * sub + 1, sub),
+        element_at(lut, col("codes").getItem(s)))
+    }.reduce(_ + _)
+    val scored = cellC.join(cellQ, Seq("cent_id"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"), (-adist).as("sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("cand_id").asc)
+    prunePartitionTopK(scored, k)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("cand_id"), col("rank").cast("long"),
+        floor(-col("sim") * 1e6).cast("long").as("adist_micro"))
+  }
+
   private def pqTopKWith(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, m: Int, dim: Int,
       books: IndexedSeq[Array[(Long, Array[Float])]], k: Int): DataFrame = {

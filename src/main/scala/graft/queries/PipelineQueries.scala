@@ -1176,6 +1176,21 @@ object PipelineQueries {
       centroidFilter = col("vec_id") % 25 === 0, k = 3, nprobe = 8)
   }
 
+  /** IVF-PQ compressed probe search ([[Similarity.ivfPqTopK]] — the
+    * FAISS-IVFPQ composition, the index shape of production
+    * billion-vector ANN): coarse cells from the p26 quantizer (one
+    * per 25 vectors), PQ codes from the p49 codebook (m=4 over dim
+    * 64), queries probe 4 of 20 cells, ADC top-5 inside probed cells
+    * only. The oracle replays coarse assignment, code assignment,
+    * probe set, and ADC ranking end to end.
+    */
+  def p74IvfPq(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 20), "vec_id",
+      "embedding", coarseFilter = col("vec_id") % 25 === 0,
+      pqFilter = col("vec_id") < 8, m = 4, dim = 64, k = 5, nprobe = 4)
+  }
+
   /** Stratified sample: exactly 10 docs per source in portable-hash
     * order — the seedless draw any engine reproduces row-for-row.
     */
@@ -1340,6 +1355,7 @@ object PipelineQueries {
     "p57_png_decode" -> p57PngDecode _,
     "p72_jpeg_decode" -> p72JpegDecode _,
     "p73_ivf_tuned" -> p73IvfTuned _,
+    "p74_ivfpq" -> p74IvfPq _,
     "p50_temp_mix" -> p50TempMix _,
     "p51_hard_negatives" -> p51HardNegatives _,
     "p52_ivf_trained" -> p52IvfTrained _,
@@ -1636,7 +1652,8 @@ object PipelineQueries {
       ("p26_ivf_nprobe", p26IvfNprobe(s, dir), 3),
       ("p49_pq_topk", p49PqTopK(s, dir), 5),
       ("p58_pq_trained_topk", p58PqTrainedTopK(s, dir), 5),
-      ("p73_ivf_tuned", p73IvfTuned(s, dir), 3))
+      ("p73_ivf_tuned", p73IvfTuned(s, dir), 3),
+      ("p74_ivfpq", p74IvfPq(s, dir), 5))
     methods.map { case (name, df, km) =>
       val truth = exact.filter(col("rank") <= km)
         .select("query_id", "cand_id")
@@ -1670,7 +1687,7 @@ object PipelineQueries {
        |FROM (
        |${Seq(("p06_ann_lsh", 3), ("p19_ivf", 3), ("p26_ivf_nprobe", 3),
               ("p49_pq_topk", 5), ("p58_pq_trained_topk", 5),
-              ("p73_ivf_tuned", 3))
+              ("p73_ivf_tuned", 3), ("p74_ivfpq", 5))
             .map((row _).tupled).mkString("\nUNION ALL\n")}
        |)""".stripMargin
   }
@@ -2318,6 +2335,73 @@ object PipelineQueries {
          |  JOIN cents e2 ON e2.cent_id = w.c2
          |  JOIN cents e3 ON e3.cent_id = w.c3
          |  CROSS JOIN q
+         |  WHERE q.query_id != w.vec_id)
+         |SELECT query_id, cand_id, CAST(rn AS BIGINT) AS rank,
+         |  CAST(FLOOR(adist * 1e6) AS BIGINT) AS adist_micro
+         |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |        ORDER BY adist ASC, cand_id ASC) AS rn FROM ad)
+         |WHERE rn <= 5""".stripMargin
+    },
+    "p74_ivfpq" -> {
+      def oDotAt(a: String, b: String, s: Int): String =
+        s"""list_sum(list_transform(generate_series(1, 16),
+           |        i -> CAST($a[${s * 16} + i] AS DOUBLE)
+           |             * CAST($b[${s * 16} + i] AS DOUBLE)))""".stripMargin
+      def oD2At(a: String, b: String, s: Int): String =
+        s"""(${oDotAt(a, a, s)}
+           |     - 2 * ${oDotAt(a, b, s)}
+           |     + ${oDotAt(b, b, s)})""".stripMargin
+      val terms = (0 until 4)
+        .map(s => oD2At("q.qv", s"e$s.ce", s)).mkString("\n    + ")
+      s"""WITH ccents AS (
+         |  SELECT vec_id AS cent_id, embedding AS ce FROM embeddings
+         |  WHERE vec_id % 25 = 0),
+         |assign AS (
+         |  SELECT e.vec_id, cent_id,
+         |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${oCos("e.embedding", "ce")} DESC, cent_id ASC) AS rn
+         |  FROM embeddings e, ccents),
+         |cells AS (SELECT vec_id, cent_id FROM assign WHERE rn = 1),
+         |probes AS (SELECT vec_id, cent_id FROM assign
+         |           WHERE rn <= 4 AND vec_id < 20),
+         |pcents AS (
+         |  SELECT vec_id AS cent_id, embedding AS ce FROM embeddings
+         |  WHERE vec_id < 8),
+         |subs AS (SELECT unnest(generate_series(0, 3)) AS s),
+         |scored AS (
+         |  SELECT e.vec_id, subs.s, c.cent_id,
+         |    ROW_NUMBER() OVER (PARTITION BY e.vec_id, subs.s ORDER BY
+         |      (list_sum(list_transform(generate_series(1, 16),
+         |         i -> CAST(e.embedding[subs.s*16 + i] AS DOUBLE)
+         |              * CAST(e.embedding[subs.s*16 + i] AS DOUBLE)))
+         |       - 2 * list_sum(list_transform(generate_series(1, 16),
+         |         i -> CAST(e.embedding[subs.s*16 + i] AS DOUBLE)
+         |              * CAST(c.ce[subs.s*16 + i] AS DOUBLE)))
+         |       + list_sum(list_transform(generate_series(1, 16),
+         |         i -> CAST(c.ce[subs.s*16 + i] AS DOUBLE)
+         |              * CAST(c.ce[subs.s*16 + i] AS DOUBLE)))) ASC,
+         |      c.cent_id ASC) AS rn
+         |  FROM embeddings e, pcents c, subs),
+         |codesw AS (
+         |  SELECT vec_id,
+         |    MAX(CASE WHEN s = 0 THEN cent_id END) AS c0,
+         |    MAX(CASE WHEN s = 1 THEN cent_id END) AS c1,
+         |    MAX(CASE WHEN s = 2 THEN cent_id END) AS c2,
+         |    MAX(CASE WHEN s = 3 THEN cent_id END) AS c3
+         |  FROM scored WHERE rn = 1 GROUP BY vec_id),
+         |q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+         |      WHERE vec_id < 20),
+         |ad AS (
+         |  SELECT q.query_id, w.vec_id AS cand_id,
+         |    ($terms) AS adist
+         |  FROM q
+         |  JOIN probes pr ON pr.vec_id = q.query_id
+         |  JOIN cells cc ON cc.cent_id = pr.cent_id
+         |  JOIN codesw w ON w.vec_id = cc.vec_id
+         |  JOIN pcents e0 ON e0.cent_id = w.c0
+         |  JOIN pcents e1 ON e1.cent_id = w.c1
+         |  JOIN pcents e2 ON e2.cent_id = w.c2
+         |  JOIN pcents e3 ON e3.cent_id = w.c3
          |  WHERE q.query_id != w.vec_id)
          |SELECT query_id, cand_id, CAST(rn AS BIGINT) AS rank,
          |  CAST(FLOOR(adist * 1e6) AS BIGINT) AS adist_micro

@@ -83,6 +83,17 @@ class PlansSpec extends SparkSpec {
     }
   }
 
+  test("IVF-PQ corpus exchange moves codes, not vectors (p74)") {
+    val p = plan(PipelineQueries.p74IvfPq(spark, sf0001))
+    // the cand-side cell argmax shuffles partial aggregates whose
+    // struct carries the m-entry codes; the raw vector column must be
+    // projected away before the exchange
+    val m = ("""\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]\n""" +
+      """Arguments: hashpartitioning\(cand_id#""").r.findFirstMatchIn(p)
+    assert(m.isDefined, p)
+    assert(!m.get.group(1).contains("cv#"), m.get.group(1))
+  }
+
   test("bpe pair counting is one shuffle + top-k, pair keys only (p62)") {
     val p = plan(PipelineQueries.p62BpePairs(spark, sf0001))
     val exchanges = """Exchange \(\d""".r.findAllIn(p).size
