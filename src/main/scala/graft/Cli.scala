@@ -87,6 +87,7 @@ object Cli {
         |  importance-sample <dir> <outDir>              quality-weighted acceptance sampling (portable hash)
         |  bpe-pairs <dir> <outDir>                      BPE merge-step adjacent-pair counts (top 20)
         |  bpe-train <dir> <outDir> [nMerges]            full BPE merge-loop training (default 3 merges)
+        |  bpe-encode <dir> <outDir> [nMerges]           train then tokenize the corpus with the merge table
         |  audio-features <dir> <outDir>                 peak/energy/zero-crossings from decoded WAV
         |  dup-clusters <dir> <outDir>                   connected-component near-dup clusters + keep flags
         |  scrub <dir> <outDir>                          PII/identifier redaction over event log lines
@@ -813,6 +814,17 @@ object Cli {
       val n = rest.headOption.map(_.toInt).getOrElse(3)
       write(pipeline.Bpe.train(
         core.Tables.read(spark, dir, "documents"), "text", n), out)
+
+    // train-then-tokenize: the merge table is the shipped artifact;
+    // encode replays it over the distinct-word table and tokenizes
+    // the corpus through the broadcast dictionary
+    case "bpe-encode" :: dir :: out :: rest if rest.size <= 1 =>
+      val n = rest.headOption.map(_.toInt).getOrElse(100)
+      val docs = core.Tables.read(spark, dir, "documents")
+      val merges = pipeline.Bpe.train(docs, "text", n)
+        .orderBy("it").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      write(pipeline.Bpe.encode(docs, "doc_id", "text", merges), out)
 
     case "audio-features" :: dir :: out :: Nil =>
       write(queries.PipelineQueries.p63AudioFeatures(spark, dir), out)

@@ -123,4 +123,42 @@ object Bpe {
     spark.createDataFrame(merges.result())
       .toDF("it", "lhs", "rhs", "pair_count")
   }
+
+  /** TOKENIZE with a trained merge table — the other half of the
+    * tokenizer lifecycle (train ships the merges; encode applies
+    * them). Merges are replayed in training order over the
+    * DISTINCT-WORD table (the same greedy left-to-right
+    * [[applyMerge]] the trainer segments with, so an in-vocab word
+    * encodes exactly as training left it), then documents tokenize by
+    * a broadcast dictionary join.
+    *
+    * Scale shape: the merge replay is |merges| vocab-sized
+    * zero-exchange jobs — each round eagerly `localCheckpoint`s and
+    * unpersists its predecessor, so at most two vocab-sized tables are
+    * ever live and the plan stays one `applyMerge` deep (the trainer's
+    * discipline). The corpus is touched exactly once, by the final
+    * dictionary join: segmentation costs distinct words, tokenization
+    * costs one broadcast-joined scan — the classic vocabulary-counted
+    * tokenizer decomposition.
+    *
+    * Output: one row per (doc, word position): `pos` is 0-based corpus
+    * order within the document, `tokens` the word's sub-word symbols.
+    */
+  def encode(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    var words = wordTable(docs, textCol).localCheckpoint()
+    for ((l, r) <- merges) {
+      val next = applyMerge(words, lit(l), lit(r)).localCheckpoint()
+      words.unpersist()
+      words = next
+    }
+    val dict = broadcast(words.select(col("word"), col("syms")))
+    docs
+      .select(col(idCol), posexplode(TF.tokens(col(textCol))).as(Seq("pos", "word")))
+      .where(length(col("word")) > 0)
+      .join(dict, "word")
+      .select(col(idCol), col("pos").cast("long").as("pos"),
+        size(col("syms")).cast("long").as("n_tokens"),
+        concat_ws(" ", col("syms")).as("tokens"))
+  }
 }

@@ -86,7 +86,19 @@ object PipelineQueries {
     * exhaustion yield an empty `win`, which the UNION ALL skips —
     * mirroring the trainer's early stop.
     */
-  private def oBpeTrain(n: Int): String = {
+  private def oBpeTrain(n: Int): String =
+    oBpeCtes(n) + "\n" + (1 to n).map(k =>
+      s"SELECT CAST($k AS BIGINT) AS it, l AS lhs, r AS rhs, " +
+        s"pc AS pair_count FROM win$k").mkString("\nUNION ALL\n")
+
+  /** The shared replay chain (w0..wN): each round counts pairs, picks
+    * the winner, and re-segments. `m$$k` LEFT-joins the (≤1-row)
+    * winner so rounds past pair exhaustion carry the word table
+    * through UNCHANGED (`mt` is 0 under a NULL winner) — the train
+    * replay reads the `win$$k`s, the encode replay reads the final
+    * `w$$N` segmentation.
+    */
+  private def oBpeCtes(n: Int): String = {
     val sb = new StringBuilder
     sb.append(
       s"""WITH w0 AS MATERIALIZED (
@@ -115,7 +127,7 @@ object PipelineQueries {
            |         AND syms[pos + 1] = win.r THEN 1 ELSE 0 END AS mt
            |  FROM (SELECT word, cnt, syms,
            |          unnest(generate_series(1, len(syms))) AS pos
-           |        FROM w$p), win$k win),
+           |        FROM w$p) b LEFT JOIN win$k win ON 1 = 1),
            |g$k AS MATERIALIZED (
            |  SELECT word, cnt, syms, pos,
            |    CASE WHEN mt = 1 AND (pos - MIN(pos) OVER (PARTITION BY word, grp))
@@ -131,11 +143,23 @@ object PipelineQueries {
            |          AS pa FROM g$k)
            |  WHERE pa = 0 GROUP BY word, cnt)""".stripMargin)
     }
-    sb.append("\n" + (1 to n).map(k =>
-      s"SELECT CAST($k AS BIGINT) AS it, l AS lhs, r AS rhs, " +
-        s"pc AS pair_count FROM win$k").mkString("\nUNION ALL\n"))
     sb.toString
   }
+
+  /** The encode replay: the same CTE chain, final segmentation joined
+    * back to every word position of every document.
+    */
+  private def oBpeEncode(n: Int): String =
+    s"""${oBpeCtes(n)}
+       |SELECT d.doc_id, CAST(d.pos - 1 AS BIGINT) AS pos,
+       |  CAST(len(w.syms) AS BIGINT) AS n_tokens,
+       |  array_to_string(w.syms, ' ') AS tokens
+       |FROM (SELECT doc_id, toks[pos] AS word, pos
+       |      FROM (SELECT doc_id, toks,
+       |              unnest(generate_series(1, len(toks))) AS pos
+       |            FROM (SELECT doc_id, $oToks AS toks FROM documents))
+       |      WHERE length(toks[pos]) > 0) d
+       |JOIN w$n w ON w.word = d.word""".stripMargin
 
   /** Exhaustive pair-Jaccard oracle shared by the dedup queries. */
   private def oJaccardPairs(k: Int, threshold: Double): String =
@@ -434,6 +458,22 @@ object PipelineQueries {
     */
   def p71BpeTrain(s: SparkSession, dir: String): DataFrame =
     Bpe.train(t(s, dir, "documents"), "text", nMerges = 100)
+
+  /** Tokenize the corpus with the p71-trained merge table
+    * ([[Bpe.encode]] — the tokenizer lifecycle's other half): train to
+    * exhaustion, replay the merges over the distinct-word table, and
+    * tokenize every document through the broadcast dictionary. The
+    * oracle replays the SAME training chain and joins the final
+    * segmentation back to every word position — train and encode
+    * certified together, per (doc, position).
+    */
+  def p75BpeEncode(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val merges = Bpe.train(docs, "text", nMerges = 100)
+      .orderBy("it").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    Bpe.encode(docs, "doc_id", "text", merges)
+  }
 
   /** Per-source quality funnel (the dataset-card view of the three
     * quality gates): for each source, how many documents survive the
@@ -1356,6 +1396,7 @@ object PipelineQueries {
     "p72_jpeg_decode" -> p72JpegDecode _,
     "p73_ivf_tuned" -> p73IvfTuned _,
     "p74_ivfpq" -> p74IvfPq _,
+    "p75_bpe_encode" -> p75BpeEncode _,
     "p50_temp_mix" -> p50TempMix _,
     "p51_hard_negatives" -> p51HardNegatives _,
     "p52_ivf_trained" -> p52IvfTrained _,
@@ -2513,6 +2554,7 @@ object PipelineQueries {
          |    AS n_dropped
          |FROM segs s JOIN owners o USING (h) GROUP BY s.doc_id""".stripMargin,
     "p71_bpe_train" -> oBpeTrain(100),
+    "p75_bpe_encode" -> oBpeEncode(100),
     "p72_jpeg_decode" ->
       """SELECT doc_id AS media_id,
         |  CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'image/jpeg' END AS mime,

@@ -517,6 +517,42 @@ class PipelineSpec extends SparkSpec {
     assert(got == exp)
   }
 
+  test("bpe encode reproduces the trainer's segmentation per word position") {
+    // brute single-node encode: apply the trained merges in order with
+    // the same greedy left-to-right rule
+    def mergeOnce(s: List[String], l: String, r: String): List[String] =
+      s match {
+        case a :: b :: rest if a == l && b == r =>
+          (a + b) :: mergeOnce(rest, l, r)
+        case a :: rest => a :: mergeOnce(rest, l, r)
+        case Nil => Nil
+      }
+    val corpus = Seq("low lower lowest", "low low low!", "",
+      "newer newest news", "wide wider widest", "low lows",
+      "tokenizer vocabulary segmentation training",
+      "tokenizer training tokenizer vocabulary")
+    val docs = corpus.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val merges = Bpe.train(docs, "text", nMerges = 40)
+      .orderBy("it").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(merges.size > 10) // trained deep enough to be interesting
+    val got = Bpe.encode(docs, "doc_id", "text", merges)
+      .as[(Long, Long, Long, String)].collect().toSeq.sorted
+    val exp = (for {
+      (text, i) <- corpus.zipWithIndex
+      (word, pos) <- text.trim.split("\\s+").filter(_.nonEmpty).zipWithIndex
+    } yield {
+      val syms = merges.foldLeft(word.map(_.toString).toList) {
+        case (s, (l, r)) => mergeOnce(s, l, r)
+      }
+      (i.toLong, pos.toLong, syms.size.toLong, syms.mkString(" "))
+    }).sorted
+    assert(got == exp)
+    // merges actually compressed something: some word became 1 token
+    assert(got.exists(r => r._3 == 1L && r._4.length > 1))
+  }
+
   test("audio features match closed forms on a decoded square wave") {
     val src = Seq((1L, 8000, 10, 5, 3), (2L, 8000, 7, 1, 1),
       (3L, 8000, 4, 29971, 10)).toDS()
