@@ -77,6 +77,7 @@ object Cli {
         |  stream-c4 <dir> <outDir>                      C4 page gates applied at stream ingest
         |  stream-funnel <dir> <outDir>                  three-gate quality funnel at stream ingest
         |  stream-perplexity <dir> <outDir>              unigram-LM scoring at stream ingest (snapshot-fit)
+        |  stream-embed-neardup <dir> <outDir>           embedding near-dup vs the corpus at stream ingest
         |  kmeans <dir> <outDir> [iters]                 IVF centroid training (Lloyd, default 1 iteration)
         |  repetition <dir> <outDir>                     Gopher-style repetition quality signals
         |  gopher-filter <dir> <outDir>                  Gopher rule-set boolean quality gates
@@ -228,6 +229,21 @@ object Cli {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+  }
+
+  /** [[stagedDocStream]] for the embeddings table (no event time —
+    * the consumers are stateless).
+    */
+  private def stagedEmbStream(spark: SparkSession, dir: String,
+      out: String): DataFrame = {
+    val schema = Tables.read(spark, dir, "embeddings").schema
+    val stage = java.nio.file.Paths.get(out, "_ingest")
+    java.nio.file.Files.createDirectories(stage)
+    if (!java.nio.file.Files.exists(stage.resolve("embeddings.parquet")))
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/embeddings.parquet"),
+        stage.resolve("embeddings.parquet"))
+    spark.readStream.schema(schema).parquet(stage.toString)
   }
 
   private def stagedDocStream(spark: SparkSession, dir: String,
@@ -756,6 +772,16 @@ object Cli {
       drainDocJob(streaming.StreamingJobs.ingestFunnel(
         stagedDocStream(spark, dir, out)), out)
       println(s"""{"stream_funnel":"$out"}""")
+
+    // embedding near-dup at ingest: each arriving vector probes its
+    // nearest IVF cells of the static corpus; neighbors >= the cosine
+    // threshold emit (stateless — no watermark, no state store)
+    case "stream-embed-neardup" :: dir :: out :: Nil =>
+      val stream = stagedEmbStream(spark, dir, out)
+      val corpus = Tables.read(spark, dir, "embeddings")
+      drainDocJob(streaming.StreamingJobs.embeddingNearDup(stream, corpus,
+        col("vec_id") % 25 === 0, nprobe = 3, thresholdMicro = 200000L), out)
+      println(s"""{"stream_embed_neardup":"$out"}""")
 
     // unigram-LM perplexity scoring at ingest: cost tables fit on the
     // static snapshot (the CCNet move), each micro-batch scored via a

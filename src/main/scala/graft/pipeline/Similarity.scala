@@ -715,6 +715,73 @@ object Similarity {
         m, dim / m),
       k)
 
+  /** Cell-bounded cosine pairs of an incoming vector batch against a
+    * static corpus — vector dedup at INGEST (admit an embedding only
+    * if no corpus neighbor clears the threshold). Works on a
+    * STREAMING incoming frame: the centroid values are collected once
+    * at plan time (centroid-sized — the [[kmeansTrain]] move) and
+    * folded into per-row expressions, so the incoming side is
+    * stateless projections only — per-row top-nprobe cell list (a
+    * sorted literal-scored array, never a groupBy), explode, then a
+    * stream-static equi-join on the cell id against the corpus's cell
+    * index, exact cosine on survivors, threshold filter. Append-mode
+    * safe with no watermark and no state store.
+    *
+    * Scale shape: the corpus cell index builds with the map-side
+    * argmax (one exchange of corpus rows, once — a static side Spark
+    * re-plans per micro-batch); incoming vectors fan out ×nprobe on
+    * an 8-byte cell key; the pair work is bounded by cell size, never
+    * corpus × batch.
+    */
+  def ivfProbePairs(incoming: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, centroidFilter: Column, nprobe: Int,
+      thresholdMicro: Long): DataFrame = {
+    require(nprobe >= 1, "nprobe must be >= 1")
+    val centRows = corpus.filter(centroidFilter)
+      .select(col(idCol).cast("long"), col(vecCol)).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    require(centRows.nonEmpty, "empty centroid set")
+    val cents = broadcast(corpus.filter(centroidFilter)
+      .select(col(idCol).as("cent_id"), col(vecCol).as("ce"),
+        l2norm(col(vecCol)).as("ce_n")))
+    val cellC = corpus
+      .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).as("cand_id"), col(vecCol).as("candv"),
+        l2norm(col(vecCol)).as("candn"))
+      .crossJoin(cents)
+      .withColumn("__sim",
+        cosinePre(dot(col("candv"), col("ce")), col("candn"), col("ce_n")))
+      .groupBy(col("cand_id"))
+      .agg(max(struct(col("__sim"), (-col("cent_id")).as("tie"),
+        col("cent_id"), col("candv"), col("candn"))).as("best"))
+      .select(col("cand_id"), col("best.cent_id").as("cent_id"),
+        col("best.candv").as("candv"), col("best.candn").as("candn"))
+    // literal-folded centroid scores: l2norm over a literal array
+    // constant-folds, dot runs in codegen per row — no aggregation on
+    // the incoming side, so a streaming frame passes through untouched
+    val scoredCells = array(centRows.map { case (cid, ce) =>
+      val arr = array(ce.toIndexedSeq.map(lit(_)): _*)
+      struct(
+        cosinePre(dot(col("qv"), arr), col("qn"), l2norm(arr)).as("sim"),
+        lit(-cid).as("tie"), lit(cid).as("cent_id"))
+    }.toIndexedSeq: _*)
+    val probe = incoming
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        l2norm(col(vecCol)).as("qn"))
+      .withColumn("cent_id",
+        explode(transform(
+          slice(reverse(array_sort(scoredCells)), 1, nprobe),
+          s => s.getField("cent_id"))))
+    probe.join(cellC, Seq("cent_id"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("sim",
+        cosinePre(dot(col("qv"), col("candv")), col("qn"), col("candn")))
+      .filter(floor(col("sim") * 1e6) >= thresholdMicro)
+      .select(col("query_id"), col("cand_id"),
+        floor(col("sim") * 1e6).cast("long").as("sim_micro"))
+  }
+
   /** IVF-PQ: the coarse quantizer COMPOSED with the compressed scan —
     * the production index shape (FAISS's IVFPQ) that makes
     * billion-vector ANN tractable. Corpus vectors land in coarse

@@ -1231,6 +1231,22 @@ object PipelineQueries {
       pqFilter = col("vec_id") < 8, m = 4, dim = 64, k = 5, nprobe = 4)
   }
 
+  /** Ingest-time embedding near-dup, batch view
+    * ([[Similarity.ivfProbePairs]] — the vector analogue of
+    * stream-neardup-verified): every 10th vector plays the incoming
+    * batch (vec_id % 10 = 7), probes 3 of the 20 corpus cells, and
+    * every corpus neighbor at cosine ≥ 0.2 emits. The streaming twin
+    * ([[graft.streaming.StreamingJobs.embeddingNearDup]]) runs the
+    * SAME plan per micro-batch — the incoming side is stateless by
+    * construction (plan-time-folded centroid scores, no groupBy).
+    */
+  def p76EmbedIngest(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.ivfProbePairs(emb.filter(col("vec_id") % 10 === 7), emb,
+      "vec_id", "embedding", centroidFilter = col("vec_id") % 25 === 0,
+      nprobe = 3, thresholdMicro = 200000L)
+  }
+
   /** Stratified sample: exactly 10 docs per source in portable-hash
     * order — the seedless draw any engine reproduces row-for-row.
     */
@@ -1397,6 +1413,7 @@ object PipelineQueries {
     "p73_ivf_tuned" -> p73IvfTuned _,
     "p74_ivfpq" -> p74IvfPq _,
     "p75_bpe_encode" -> p75BpeEncode _,
+    "p76_embed_ingest" -> p76EmbedIngest _,
     "p50_temp_mix" -> p50TempMix _,
     "p51_hard_negatives" -> p51HardNegatives _,
     "p52_ivf_trained" -> p52IvfTrained _,
@@ -2383,6 +2400,26 @@ object PipelineQueries {
          |        ORDER BY adist ASC, cand_id ASC) AS rn FROM ad)
          |WHERE rn <= 5""".stripMargin
     },
+    "p76_embed_ingest" ->
+      s"""WITH cents AS (
+         |  SELECT vec_id AS cent_id, embedding AS ce FROM embeddings
+         |  WHERE vec_id % 25 = 0),
+         |assign AS (
+         |  SELECT e.vec_id, cent_id,
+         |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${oCos("e.embedding", "ce")} DESC, cent_id ASC) AS rn
+         |  FROM embeddings e, cents),
+         |cells AS (SELECT vec_id, cent_id FROM assign WHERE rn = 1),
+         |probes AS (SELECT vec_id, cent_id FROM assign
+         |           WHERE rn <= 3 AND vec_id % 10 = 7)
+         |SELECT pr.vec_id AS query_id, cl.vec_id AS cand_id,
+         |  CAST(FLOOR(${oCos("q.embedding", "c.embedding")} * 1e6) AS BIGINT) AS sim_micro
+         |FROM probes pr
+         |JOIN embeddings q ON q.vec_id = pr.vec_id
+         |JOIN cells cl ON cl.cent_id = pr.cent_id
+         |JOIN embeddings c ON c.vec_id = cl.vec_id
+         |WHERE pr.vec_id != cl.vec_id
+         |  AND FLOOR(${oCos("q.embedding", "c.embedding")} * 1e6) >= 200000""".stripMargin,
     "p74_ivfpq" -> {
       def oDotAt(a: String, b: String, s: Int): String =
         s"""list_sum(list_transform(generate_series(1, 16),

@@ -115,6 +115,22 @@ object StreamingJobs {
         col("n_tokens"), col("nll_micro"), col("avg_nll_micro"))
   }
 
+  /** Vector near-dup at ingest — the embedding analogue of
+    * [[nearDupVerified]]: each incoming embedding probes its `nprobe`
+    * nearest IVF cells of the STATIC corpus and emits every corpus
+    * neighbor at or above the cosine threshold (admit the vector only
+    * if nothing emits). Shares
+    * [[graft.pipeline.Similarity.ivfProbePairs]] verbatim with the
+    * batch query (p76); the incoming side is stateless projections
+    * only (plan-time-folded centroid scores — no groupBy, no window),
+    * so Append mode needs no watermark and no state store.
+    */
+  def embeddingNearDup(stream: DataFrame, corpus: DataFrame,
+      centroidFilter: org.apache.spark.sql.Column, nprobe: Int,
+      thresholdMicro: Long): DataFrame =
+    graft.pipeline.Similarity.ivfProbePairs(stream, corpus, "vec_id",
+      "embedding", centroidFilter, nprobe, thresholdMicro)
+
   /** Stream-static enrichment — the streaming twin of the
     * concept-name broadcast lookup (J2): each micro-batch left-joins
     * the static dimension, which Spark re-plans per batch (a

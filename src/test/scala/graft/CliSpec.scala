@@ -282,6 +282,18 @@ class CliSpec extends SparkSpec {
       batchPpl.exceptAll(sppl).count() == 0)
     assert(sppl.count() > 0)
 
+    // stream-embed-neardup: a one-shot drain over the embeddings
+    // equals the batch probe-pair plan on the same rows
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$out/semb"))
+    Cli.run(spark, List("stream-embed-neardup", sf0001, s"$out/semb"))
+    val sembGot = spark.read.parquet(s"$out/semb")
+    val embAll = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val sembExp = graft.pipeline.Similarity.ivfProbePairs(embAll, embAll,
+      "vec_id", "embedding", col("vec_id") % 25 === 0,
+      nprobe = 3, thresholdMicro = 200000L)
+    assert(sembGot.exceptAll(sembExp).count() == 0 &&
+      sembExp.exceptAll(sembGot).count() == 0 && sembGot.count() > 0)
+
     // stream-neardup: one AvailableNow pass over the corpus emits
     // exactly the batch LSH candidate pair set
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$out/snd"))

@@ -434,6 +434,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming embedding near-dup equals the batch probe pairs") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),   // centroid A
+      (1L, Array(0f, 1f, 0f, 0f)),   // centroid B
+      (2L, Array(0.9f, 0.1f, 0f, 0f)),
+      (3L, Array(0.1f, 0.9f, 0f, 0f)),
+      (4L, Array(0.7f, 0.7f, 0f, 0f))).toDF("vec_id", "embedding")
+    val mem = MemoryStream[(Long, Array[Float])]
+    val vecs = mem.toDF().toDF("vec_id", "embedding")
+    val q = StreamingJobs.embeddingNearDup(vecs, corpus,
+        col("vec_id") <= 1, nprobe = 1, thresholdMicro = 500000L)
+      .writeStream.format("memory").queryName("embnd_s")
+      .outputMode("append").start()
+    try {
+      val incoming = Seq(
+        (100L, Array(0.95f, 0.05f, 0f, 0f)), // lands in cell A, 3 neighbors
+        (101L, Array(0f, 0f, 1f, 0f)))       // orthogonal: no neighbor clears
+      mem.addData(incoming: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("embnd_s")
+        .as[(Long, Long, Long)].collect().toSeq.sorted
+      // bit-identical to the batch plan over the same rows
+      val batch = graft.pipeline.Similarity.ivfProbePairs(
+          incoming.toDF("vec_id", "embedding"), corpus, "vec_id",
+          "embedding", col("vec_id") <= 1, nprobe = 1,
+          thresholdMicro = 500000L)
+        .as[(Long, Long, Long)].collect().toSeq.sorted
+      assert(streamed == batch)
+      assert(streamed.map(r => (r._1, r._2)) ==
+        Seq((100L, 0L), (100L, 2L), (100L, 4L)))
+    } finally q.stop()
+  }
+
   test("streaming verified near-dup pairs equal batch minhashPairs incl. out-of-order") {
     implicit val sqlCtx = spark.sqlContext
     val base = (1 to 40).map(i => s"tok$i").mkString(" ")
