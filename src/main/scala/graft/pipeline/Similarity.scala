@@ -731,7 +731,10 @@ object Similarity {
     * argmax (one exchange of corpus rows, once — a static side Spark
     * re-plans per micro-batch); incoming vectors fan out ×nprobe on
     * an 8-byte cell key; the pair work is bounded by cell size, never
-    * corpus × batch.
+    * corpus × batch. The folded-literal cell scorer is sized for
+    * centroid counts up to a few thousand (C·dim literals in the
+    * plan); past that, assign incoming cells with the broadcast-join
+    * argmax ([[ivfTopKWith]]'s shape) instead.
     */
   def ivfProbePairs(incoming: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, centroidFilter: Column, nprobe: Int,
