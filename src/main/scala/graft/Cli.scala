@@ -76,7 +76,10 @@ object Cli {
         |  stream-quality <dir> <outDir>                 Gopher quality gates applied at stream ingest
         |  stream-c4 <dir> <outDir>                      C4 page gates applied at stream ingest
         |  stream-funnel <dir> <outDir>                  three-gate quality funnel at stream ingest
-        |  stream-perplexity <dir> <outDir>              unigram-LM scoring at stream ingest (snapshot-fit)
+        |  stream-perplexity <dir> <outDir>              unigram-LM scoring at stream ingest (snapshot-fit;
+        |                                                Append mode emits CLOSED windows only — docs in the
+        |                                                final still-open event-time window are not scored
+        |                                                until a later event past the window arrives)
         |  stream-embed-neardup <dir> <outDir>           embedding near-dup vs the corpus at stream ingest
         |  kmeans <dir> <outDir> [iters]                 IVF centroid training (Lloyd, default 1 iteration)
         |  repetition <dir> <outDir>                     Gopher-style repetition quality signals

@@ -30,14 +30,20 @@ object Tables {
     * STREAMING events frame (no actions, schema-only inspection).
     */
   def normalizeEventTs(raw: DataFrame): DataFrame = {
-    import org.apache.spark.sql.types.{LongType, TimestampType}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     raw.schema("ts").dataType match {
       case LongType =>
         raw.withColumnRenamed("ts", "ts_ns")
           .withColumn("ts", timestamp_micros((col("ts_ns") / 1000L).cast("long")))
-      case _ => // TIMESTAMP / TIMESTAMP_NTZ (micros); session tz is UTC
+      case TimestampType | TimestampNTZType => // micros; session tz is UTC
         raw.withColumn("ts", col("ts").cast(TimestampType))
           .withColumn("ts_ns", unix_micros(col("ts")) * 1000L)
+      case other =>
+        // fail fast on schema drift: a silent cast from e.g. STRING or
+        // DOUBLE would fabricate nulls / wrong ts_ns downstream
+        throw new IllegalArgumentException(
+          s"events.ts arrived as $other; expected LONG (nanos), " +
+            "TIMESTAMP or TIMESTAMP_NTZ (micros)")
     }
   }
 }

@@ -96,32 +96,69 @@ object Bpe {
     * re-segmented word table is `localCheckpoint`ed each round (lazy:
     * the next round's argmax job materializes it), so the logical plan
     * stays FLAT — one `applyMerge` deep — at any merge count, instead
-    * of doubling per round. 10k-merge vocabularies are then bounded by
-    * 10k vocab-sized jobs, not by an O(2^n) plan.
+    * of doubling per round; and each round's argmax job, by
+    * materializing the current table, makes the superseded one
+    * unreachable, so it is unpersisted on the spot — at most two
+    * vocab-sized tables are ever live (BpeSpec pins the bound with a
+    * job-end listener). 10k-merge vocabularies are then bounded by
+    * 10k vocab-sized jobs, not by an O(2^n) plan or 10k pinned tables.
     */
   def train(docs: DataFrame, textCol: String, nMerges: Int): DataFrame = {
+    val (merges, words) = trainWithVocab(docs, textCol, nMerges)
+    releaseVocab(words)
+    merges
+  }
+
+  /** Drop the block-store storage behind a vocab table returned by
+    * [[trainWithVocab]] (or any superseded checkpoint round).
+    * `Dataset.unpersist()` does NOT do this — it only uncaches
+    * CacheManager entries, while a local checkpoint pins its RDD in
+    * the block store until the ContextCleaner happens to collect it.
+    * Only call after every plan reading the table has materialized.
+    */
+  def releaseVocab(vocab: DataFrame): Unit =
+    org.apache.spark.sql.graftbridge.CheckpointBridge
+      .releaseLocalCheckpoint(vocab)
+
+  /** [[train]], also returning the trainer's FINAL segmented word table
+    * `(word, cnt, syms)` — the tokenizer dictionary [[encodeWith]]
+    * joins against. Callers running the train→encode lifecycle in one
+    * job use this to avoid replaying every merge a second time; the
+    * caller owns the returned table's cache block (`unpersist()` it
+    * when done).
+    */
+  def trainWithVocab(docs: DataFrame, textCol: String,
+      nMerges: Int): (DataFrame, DataFrame) = {
     require(nMerges > 0, "nMerges must be positive")
     val spark = docs.sparkSession
     // eager: the one corpus-wide shuffle happens here, once
     var words = wordTable(docs, textCol).localCheckpoint()
+    var prev: DataFrame = null
     val merges = Seq.newBuilder[(Long, String, String, Long)]
     var it = 1
     var exhausted = false
     while (it <= nMerges && !exhausted) {
       val top = pairCounts(words)
         .orderBy(desc("pc"), asc("l"), asc("r")).limit(1).collect()
+      // that job materialized the current table's lazy checkpoint, so
+      // the superseded predecessor is no longer reachable: release it
+      if (prev != null) { releaseVocab(prev); prev = null }
       if (top.isEmpty) exhausted = true
       else {
         val (l, r, pc) =
           (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += ((it.toLong, l, r, pc))
+        prev = words
         words = applyMerge(words, lit(l), lit(r))
           .localCheckpoint(eager = false)
         it += 1
       }
     }
-    spark.createDataFrame(merges.result())
-      .toDF("it", "lhs", "rhs", "pair_count")
+    // hit nMerges with the final checkpoint still lazy: materialize it
+    // so the predecessor can be released before handing the table out
+    if (prev != null) { words.count(); releaseVocab(prev) }
+    (spark.createDataFrame(merges.result())
+      .toDF("it", "lhs", "rhs", "pair_count"), words)
   }
 
   /** TOKENIZE with a trained merge table — the other half of the
@@ -149,10 +186,21 @@ object Bpe {
     var words = wordTable(docs, textCol).localCheckpoint()
     for ((l, r) <- merges) {
       val next = applyMerge(words, lit(l), lit(r)).localCheckpoint()
-      words.unpersist()
+      releaseVocab(words)
       words = next
     }
-    val dict = broadcast(words.select(col("word"), col("syms")))
+    encodeWith(docs, idCol, textCol, words)
+  }
+
+  /** Tokenize against an ALREADY-SEGMENTED word table `(word, …,
+    * syms)` — [[trainWithVocab]]'s second return, or [[encode]]'s
+    * replayed dictionary. The corpus is touched exactly once, by the
+    * broadcast dictionary join; no merge replay happens here, so a
+    * train→encode lifecycle pays training exactly once.
+    */
+  def encodeWith(docs: DataFrame, idCol: String, textCol: String,
+      vocab: DataFrame): DataFrame = {
+    val dict = broadcast(vocab.select(col("word"), col("syms")))
     docs
       .select(col(idCol), posexplode(TF.tokens(col(textCol))).as(Seq("pos", "word")))
       .where(length(col("word")) > 0)

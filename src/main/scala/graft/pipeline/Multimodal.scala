@@ -37,27 +37,49 @@ object Multimodal {
   /** True when the payload's magic number marks a format `ImageIO`
     * decodes out of the box: PNG, JPEG, GIF, or BMP. The dispatch is
     * on CONTENT, not the mime column — a mislabeled payload still
-    * takes the right path.
+    * takes the right path. Signatures are checked in full (GIF's
+    * 6-byte `GIF87a`/`GIF89a`, BMP's 2-byte tag plus a known DIB
+    * header size) so ordinary text starting with "BM"/"GIF" is not
+    * misrouted into the decoder; [[tryDecodeImage]] backstops the
+    * residual false positives.
     */
   def isImagePayload(b: Array[Byte]): Boolean =
     (b.length >= 8 && (b(0) & 0xff) == 0x89 && b(1) == 'P' &&
       b(2) == 'N' && b(3) == 'G') ||
     (b.length >= 3 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8 &&
       (b(2) & 0xff) == 0xff) ||
-    (b.length >= 6 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F') ||
-    (b.length >= 2 && b(0) == 'B' && b(1) == 'M')
+    (b.length >= 6 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
+      b(3) == '8' && (b(4) == '7' || b(4) == '9') && b(5) == 'a') ||
+    (b.length >= 18 && b(0) == 'B' && b(1) == 'M' && {
+      // little-endian DIB header size at offset 14: one of the sizes
+      // any real BMP writer emits
+      val dib = (b(14) & 0xff) | ((b(15) & 0xff) << 8) |
+        ((b(16) & 0xff) << 16) | ((b(17) & 0xff) << 24)
+      dib == 12 || dib == 40 || dib == 52 || dib == 56 || dib == 64 ||
+        dib == 108 || dib == 124
+    })
 
-  /** REAL image decode for feature extraction: parse with `ImageIO`,
-    * then one pass over the raster for mean luma (per-pixel channel
-    * average, normalized to [0,1] — exact double math: channel sums
-    * are integers, so the division order below is reproducible by any
+  /** Magic-sniff + `ImageIO` parse in one guarded step: null when the
+    * payload is not an image OR the bytes fail to parse despite a
+    * magic hit (truncated file, lying prefix). Callers fall back to
+    * the stub path on null, so a payload that happens to start with
+    * an image signature degrades to stub features instead of
+    * crashing the whole job.
+    */
+  private def tryDecodeImage(b: Array[Byte]): java.awt.image.BufferedImage =
+    if (!isImagePayload(b)) null
+    else
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+      catch { case scala.util.control.NonFatal(_) => null }
+
+  /** REAL image decode for feature extraction: one pass over the
+    * decoded raster for mean luma (per-pixel channel average,
+    * normalized to [0,1] — exact double math: channel sums are
+    * integers, so the division order below is reproducible by any
     * engine computing the same closed form).
     */
   private def imageFeatures(id: Long, mime: String, bytes: Array[Byte],
-      digest: String): MediaFeatures = {
-    val img = javax.imageio.ImageIO.read(
-      new java.io.ByteArrayInputStream(bytes))
-    require(img != null, s"media_id=$id: image magic but undecodable")
+      digest: String, img: java.awt.image.BufferedImage): MediaFeatures = {
     val w = img.getWidth
     val h = img.getHeight
     // bulk row reads, not per-pixel getRGB — one colormodel conversion
@@ -106,7 +128,8 @@ object Multimodal {
         val bytes = row.content
         val digest = md.digest(bytes).map("%02x".format(_)).mkString
         md.reset()
-        if (isImagePayload(bytes)) imageFeatures(row.media_id, row.mime, bytes, digest)
+        val img = tryDecodeImage(bytes)
+        if (img != null) imageFeatures(row.media_id, row.mime, bytes, digest, img)
         else decodeOne(row.media_id, row.mime, bytes, digest)
       }
     }
@@ -155,11 +178,8 @@ object Multimodal {
         digest
       }
       it.flatMap { row =>
-        if (isImagePayload(row.content)) {
-          val img = javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(row.content))
-          require(img != null,
-            s"media_id=${row.media_id}: image magic but undecodable")
+        val img = tryDecodeImage(row.content)
+        if (img != null) {
           val key = s"${img.getWidth}x${img.getHeight}:" +
             s"${img.getRGB(0, 0) & 0xffffff}"
           Seq(FrameRow(row.media_id, 0L, fp(key.getBytes("UTF-8"))))
@@ -251,14 +271,10 @@ object Multimodal {
     import ds.sparkSession.implicits._
     ds.mapPartitions { it =>
       it.map { row =>
+        val img = tryDecodeImage(row.content)
         val (w, h) =
-          if (isImagePayload(row.content)) {
-            val img = javax.imageio.ImageIO.read(
-              new java.io.ByteArrayInputStream(row.content))
-            require(img != null,
-              s"media_id=${row.media_id}: image magic but undecodable")
-            (img.getWidth, img.getHeight)
-          } else {
+          if (img != null) (img.getWidth, img.getHeight)
+          else {
             val f = decodeOne(row.media_id, row.mime, row.content, "")
             (f.width, f.height)
           }

@@ -728,27 +728,47 @@ object Similarity {
     * safe with no watermark and no state store.
     *
     * Scale shape: the corpus cell index builds with the map-side
-    * argmax (one exchange of corpus rows, once — a static side Spark
-    * re-plans per micro-batch); incoming vectors fan out ×nprobe on
-    * an 8-byte cell key; the pair work is bounded by cell size, never
-    * corpus × batch. The folded-literal cell scorer is sized for
-    * centroid counts up to a few thousand (C·dim literals in the
-    * plan); past that, assign incoming cells with the broadcast-join
-    * argmax ([[ivfTopKWith]]'s shape) instead.
+    * argmax (one exchange of corpus rows — [[ivfCellIndex]]; a static
+    * side Spark re-plans per micro-batch, so streaming callers cache
+    * it); incoming vectors fan out ×nprobe on an 8-byte cell key; the
+    * pair work is bounded by cell size, never corpus × batch. The
+    * incoming-side cell scorer auto-switches on centroid count: up to
+    * [[FoldedCentroidLimit]] centroids fold into per-centroid codegen
+    * expressions (fastest per row); past that, the centroid matrix
+    * rides ONE array literal scored through a higher-order transform —
+    * plan size stays a single compact literal instead of C·dim
+    * expression nodes, and the incoming side remains stateless
+    * projections either way.
     */
   def ivfProbePairs(incoming: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, centroidFilter: Column, nprobe: Int,
-      thresholdMicro: Long): DataFrame = {
-    require(nprobe >= 1, "nprobe must be >= 1")
-    val centRows = corpus.filter(centroidFilter)
-      .select(col(idCol).cast("long"), col(vecCol)).collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-      .sortBy(_._1)
-    require(centRows.nonEmpty, "empty centroid set")
+      thresholdMicro: Long): DataFrame =
+    ivfProbePairsWith(incoming, corpus, idCol, vecCol, centroidFilter,
+      nprobe, thresholdMicro,
+      ivfCellIndex(corpus, idCol, vecCol, centroidFilter))
+
+  /** Past this many centroids, [[ivfProbePairsWith]] scores incoming
+    * cells through a single array-literal + higher-order transform
+    * instead of per-centroid folded expressions (whose plan would
+    * carry C·dim literal nodes — multi-megabyte past a few thousand
+    * centroids).
+    */
+  val FoldedCentroidLimit = 256
+
+  /** The static-corpus side of [[ivfProbePairs]]: every corpus vector
+    * assigned to its nearest centroid by the map-side argmax —
+    * `(cent_id, cand_id, candv, candn)`. Streaming callers build this
+    * ONCE and `persist()` it: it is a static side Spark re-plans per
+    * micro-batch, and caching turns each batch's O(|corpus|·C)
+    * assignment into a cache read (the caller owns the block's
+    * lifetime).
+    */
+  def ivfCellIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      centroidFilter: Column): DataFrame = {
     val cents = broadcast(corpus.filter(centroidFilter)
       .select(col(idCol).as("cent_id"), col(vecCol).as("ce"),
         l2norm(col(vecCol)).as("ce_n")))
-    val cellC = corpus
+    corpus
       .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol).as("cand_id"), col(vecCol).as("candv"),
         l2norm(col(vecCol)).as("candn"))
@@ -760,15 +780,52 @@ object Similarity {
         col("cent_id"), col("candv"), col("candn"))).as("best"))
       .select(col("cand_id"), col("best.cent_id").as("cent_id"),
         col("best.candv").as("candv"), col("best.candn").as("candn"))
-    // literal-folded centroid scores: l2norm over a literal array
-    // constant-folds, dot runs in codegen per row — no aggregation on
-    // the incoming side, so a streaming frame passes through untouched
-    val scoredCells = array(centRows.map { case (cid, ce) =>
-      val arr = array(ce.toIndexedSeq.map(lit(_)): _*)
-      struct(
-        cosinePre(dot(col("qv"), arr), col("qn"), l2norm(arr)).as("sim"),
-        lit(-cid).as("tie"), lit(cid).as("cent_id"))
-    }.toIndexedSeq: _*)
+  }
+
+  /** [[ivfProbePairs]] with the corpus cell index as an explicit input
+    * (see [[ivfCellIndex]] — pass a persisted index when `incoming` is
+    * a stream).
+    */
+  def ivfProbePairsWith(incoming: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, centroidFilter: Column, nprobe: Int,
+      thresholdMicro: Long, cellIndex: DataFrame): DataFrame = {
+    require(nprobe >= 1, "nprobe must be >= 1")
+    val centRows = corpus.filter(centroidFilter)
+      .select(col(idCol).cast("long"), col(vecCol)).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    require(centRows.nonEmpty, "empty centroid set")
+    val scoredCells =
+      if (centRows.length <= FoldedCentroidLimit) {
+        // literal-folded centroid scores: l2norm over a literal array
+        // constant-folds, dot runs in codegen per row — no aggregation
+        // on the incoming side, so a streaming frame passes through
+        // untouched
+        array(centRows.map { case (cid, ce) =>
+          val arr = array(ce.toIndexedSeq.map(lit(_)): _*)
+          struct(
+            cosinePre(dot(col("qv"), arr), col("qn"), l2norm(arr)).as("sim"),
+            lit(-cid).as("tie"), lit(cid).as("cent_id"))
+        }.toIndexedSeq: _*)
+      } else {
+        // compact-literal scorer: the whole centroid matrix is ONE
+        // nested-array literal; ids and driver-computed norms (same
+        // index-order double math as l2norm) ride parallel literals.
+        // Still per-row stateless projections — streaming-safe.
+        val centArr = typedLit(centRows.toSeq.map(_._2.toSeq))
+        val idArr = typedLit(centRows.toSeq.map(_._1))
+        val normArr = typedLit(centRows.toSeq.map { case (_, ce) =>
+          var s = 0.0
+          var i = 0
+          while (i < ce.length) { val v = ce(i).toDouble; s += v * v; i += 1 }
+          math.sqrt(s)
+        })
+        transform(centArr, (ce, i) => struct(
+          cosinePre(dot(col("qv"), ce), col("qn"),
+            element_at(normArr, i + 1)).as("sim"),
+          (-element_at(idArr, i + 1)).as("tie"),
+          element_at(idArr, i + 1).as("cent_id")))
+      }
     val probe = incoming
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
         l2norm(col(vecCol)).as("qn"))
@@ -776,7 +833,7 @@ object Similarity {
         explode(transform(
           slice(reverse(array_sort(scoredCells)), 1, nprobe),
           s => s.getField("cent_id"))))
-    probe.join(cellC, Seq("cent_id"))
+    probe.join(cellIndex, Seq("cent_id"))
       .filter(col("query_id") =!= col("cand_id"))
       .withColumn("sim",
         cosinePre(dot(col("qv"), col("candv")), col("qn"), col("candn")))

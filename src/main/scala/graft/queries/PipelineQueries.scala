@@ -460,19 +460,19 @@ object PipelineQueries {
     Bpe.train(t(s, dir, "documents"), "text", nMerges = 100)
 
   /** Tokenize the corpus with the p71-trained merge table
-    * ([[Bpe.encode]] — the tokenizer lifecycle's other half): train to
-    * exhaustion, replay the merges over the distinct-word table, and
-    * tokenize every document through the broadcast dictionary. The
-    * oracle replays the SAME training chain and joins the final
-    * segmentation back to every word position — train and encode
-    * certified together, per (doc, position).
+    * ([[Bpe.trainWithVocab]] + [[Bpe.encodeWith]] — the tokenizer
+    * lifecycle's other half): train to exhaustion, then tokenize every
+    * document through the trainer's OWN final segmentation as the
+    * broadcast dictionary — training runs exactly once, and encode
+    * costs one broadcast-joined corpus scan. The oracle replays the
+    * SAME training chain and joins the final segmentation back to
+    * every word position — train and encode certified together, per
+    * (doc, position).
     */
   def p75BpeEncode(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val merges = Bpe.train(docs, "text", nMerges = 100)
-      .orderBy("it").collect()
-      .map(r => (r.getString(1), r.getString(2))).toSeq
-    Bpe.encode(docs, "doc_id", "text", merges)
+    val (_, vocab) = Bpe.trainWithVocab(docs, "text", nMerges = 100)
+    Bpe.encodeWith(docs, "doc_id", "text", vocab)
   }
 
   /** Per-source quality funnel (the dataset-card view of the three

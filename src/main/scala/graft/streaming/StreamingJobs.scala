@@ -120,16 +120,24 @@ object StreamingJobs {
     * nearest IVF cells of the STATIC corpus and emits every corpus
     * neighbor at or above the cosine threshold (admit the vector only
     * if nothing emits). Shares
-    * [[graft.pipeline.Similarity.ivfProbePairs]] verbatim with the
+    * [[graft.pipeline.Similarity.ivfProbePairsWith]] verbatim with the
     * batch query (p76); the incoming side is stateless projections
     * only (plan-time-folded centroid scores — no groupBy, no window),
-    * so Append mode needs no watermark and no state store.
+    * so Append mode needs no watermark and no state store. The static
+    * corpus cell index is built once and PERSISTED here: Spark
+    * re-plans static sides per micro-batch, and without the cache
+    * every batch would redo the O(|corpus|·C) assignment (the block
+    * lives until the session ends or the caller unpersists it).
     */
   def embeddingNearDup(stream: DataFrame, corpus: DataFrame,
       centroidFilter: org.apache.spark.sql.Column, nprobe: Int,
-      thresholdMicro: Long): DataFrame =
-    graft.pipeline.Similarity.ivfProbePairs(stream, corpus, "vec_id",
-      "embedding", centroidFilter, nprobe, thresholdMicro)
+      thresholdMicro: Long): DataFrame = {
+    val S = graft.pipeline.Similarity
+    val cellIndex =
+      S.ivfCellIndex(corpus, "vec_id", "embedding", centroidFilter).persist()
+    S.ivfProbePairsWith(stream, corpus, "vec_id", "embedding",
+      centroidFilter, nprobe, thresholdMicro, cellIndex)
+  }
 
   /** Stream-static enrichment — the streaming twin of the
     * concept-name broadcast lookup (J2): each micro-batch left-joins

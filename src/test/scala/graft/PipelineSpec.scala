@@ -299,6 +299,69 @@ class PipelineSpec extends SparkSpec {
     assert(r(2L).scale_x_micro == 224000000L / 161L) // stub width
   }
 
+  test("ivfProbePairs auto-switches to the compact-literal scorer past the centroid limit") {
+    val dim = 4
+    val rnd = new scala.util.Random(7)
+    val corpus = (0L until 320L).map(i => (i, Array.fill(dim)(rnd.nextFloat())))
+    val incoming =
+      (1000L until 1010L).map(i => (i, Array.fill(dim)(rnd.nextFloat())))
+    val centFilter = col("vec_id") < 300 // 300 centroids, past the limit
+    assert(300 > Similarity.FoldedCentroidLimit)
+    val got = Similarity.ivfProbePairs(incoming.toDF("vec_id", "embedding"),
+      corpus.toDF("vec_id", "embedding"), "vec_id", "embedding",
+      centFilter, nprobe = 300, thresholdMicro = 900000L)
+    // sane plan: the centroid matrix is ONE literal, so expression node
+    // count must not scale with C·dim (the folded scorer would carry
+    // 300 dot kernels over 1200 element literals)
+    val nExpr = got.queryExecution.analyzed
+      .map(p => p.expressions.map(_.collect { case _ => 1 }.size).sum).sum
+    assert(nExpr < 1500, s"plan carries $nExpr expression nodes")
+    val gotPairs = got.as[(Long, Long, Long)].collect().toSeq.sorted
+    // probing every cell → exactly the brute-force pairs at/above the
+    // threshold, same fixed-point floor
+    def norm(v: Array[Float]) =
+      math.sqrt(v.map(x => x.toDouble * x.toDouble).sum)
+    val exp = (for {
+      (qid, qv) <- incoming
+      (cid, cv) <- corpus
+      d = qv.zip(cv).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      sim = math.floor(d / (norm(qv) * norm(cv)) * 1e6).toLong
+      if sim >= 900000L
+    } yield (qid, cid, sim)).sorted
+    assert(exp.nonEmpty && gotPairs == exp)
+  }
+
+  test("lying image prefixes fall back to the stub instead of crashing") {
+    val bmText = "BMW sales rose sharply this quarter".getBytes("UTF-8")
+    val gifText = "GIFs are a popular format on the web".getBytes("UTF-8")
+    // full 6-byte GIF magic but a garbage body: sniff hits, parse fails
+    val gifLie = "GIF89a".getBytes("UTF-8") ++ Array.fill(64)('x'.toByte)
+    assert(!Multimodal.isImagePayload(bmText)) // DIB header size rejects
+    assert(!Multimodal.isImagePayload(gifText)) // needs GIF87a/GIF89a
+    assert(Multimodal.isImagePayload(gifLie))
+    val media = Seq(
+      Multimodal.MediaRow(1L, bmText, "text/plain"),
+      Multimodal.MediaRow(2L, gifLie, "image/gif"),
+      Multimodal.MediaRow(3L, gifText, "text/plain")).toDS()
+    // none of the three crashes; all take the deterministic stub path
+    val f = Multimodal.extractFeatures(media).collect()
+      .map(r => r.media_id -> r).toMap
+    assert(f(1L).width == 64 + ('B'.toInt % 192))
+    assert(f(2L).width == 64 + ('G'.toInt % 192))
+    assert(f(3L).width == 64 + ('G'.toInt % 192))
+    val frames = Multimodal.sampleFrames(media, every = 2, maxFrames = 2)
+      .collect().groupBy(_.media_id)
+    // 70-byte lying payload → ONE stub frame, fingerprinted from the
+    // payload bytes (the image path would fingerprint a decoded raster)
+    assert(frames(2L).map(_.frame_idx).toSeq == Seq(0L))
+    val expFp = java.security.MessageDigest.getInstance("MD5")
+      .digest(gifLie ++ "#0".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(frames(2L).head.frame_checksum == expFp)
+    val r = Multimodal.resizePlan(media, 100, 100).collect()
+      .map(x => x.media_id -> x).toMap
+    assert(r(1L).scale_x_micro == 100000000L / (64 + 'B'.toInt % 192))
+  }
+
   test("JPEG codec round-trip: exact dims, solid-gray pixels within band") {
     val src = Seq((1L, 5, 3, 0x404040), (2L, 1, 7, 0xc8c8c8)).toDS()
     val out = Multimodal.decodePng(Multimodal.encodeImage(src, "jpg"))
@@ -515,6 +578,56 @@ class PipelineSpec extends SparkSpec {
     val exp = brute(corpus, 120)
     assert(exp.size > 25 && exp.size < 120) // really ran deep + exhausted
     assert(got == exp)
+  }
+
+  test("bpe trainer keeps at most two vocab tables live during a deep train") {
+    val corpus = Seq("low lower lowest", "low low low!", "",
+      "newer newest news", "wide wider widest", "low lows",
+      "tokenizer vocabulary segmentation training",
+      "internationalization localization hyperparameter",
+      "tokenizer training tokenizer vocabulary")
+    val docs = corpus.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val sc = spark.sparkContext
+    val baseline = sc.getPersistentRDDs.size
+    val maxLive = new java.util.concurrent.atomic.AtomicInteger(baseline)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobEnd(
+          e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+        val n = sc.getPersistentRDDs.size
+        maxLive.updateAndGet(m => math.max(m, n)); ()
+      }
+    }
+    sc.addSparkListener(listener)
+    val merges =
+      try Bpe.train(docs, "text", nMerges = 120)
+        .as[(Long, String, String, Long)].collect()
+      finally sc.removeSparkListener(listener)
+    assert(merges.length > 50) // deep enough that accretion would show
+    // during: current + superseded (+ the not-yet-materialized next,
+    // registered at persist time) — never one-per-round accretion
+    assert(maxLive.get() <= baseline + 3,
+      s"trainer accreted cached tables: peak ${maxLive.get()} vs baseline $baseline")
+    // after: train() releases even the final table
+    assert(sc.getPersistentRDDs.size <= baseline,
+      s"trainer left tables persisted: ${sc.getPersistentRDDs.size} vs baseline $baseline")
+  }
+
+  test("bpe encodeWith the trainer's vocab equals encode with its merge table") {
+    val corpus = Seq("low lower lowest", "low low low!",
+      "newer newest news", "wide wider widest", "low lows",
+      "tokenizer vocabulary segmentation training")
+    val docs = corpus.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val (mergeDf, vocab) = Bpe.trainWithVocab(docs, "text", nMerges = 40)
+    val merges = mergeDf.orderBy("it").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val viaVocab = Bpe.encodeWith(docs, "doc_id", "text", vocab)
+      .as[(Long, Long, Long, String)].collect().toSeq.sorted
+    val viaReplay = Bpe.encode(docs, "doc_id", "text", merges)
+      .as[(Long, Long, Long, String)].collect().toSeq.sorted
+    Bpe.releaseVocab(vocab)
+    assert(viaVocab.nonEmpty && viaVocab == viaReplay)
   }
 
   test("bpe encode reproduces the trainer's segmentation per word position") {
