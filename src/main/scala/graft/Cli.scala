@@ -81,6 +81,7 @@ object Cli {
         |                                                final still-open event-time window are not scored
         |                                                until a later event past the window arrives)
         |  stream-embed-neardup <dir> <outDir>           embedding near-dup vs the corpus at stream ingest
+        |  stream-tokenize <dir> <outDir>                BPE tokenization at stream ingest (snapshot-trained merges)
         |  kmeans <dir> <outDir> [iters]                 IVF centroid training (Lloyd, default 1 iteration)
         |  repetition <dir> <outDir>                     Gopher-style repetition quality signals
         |  gopher-filter <dir> <outDir>                  Gopher rule-set boolean quality gates
@@ -797,6 +798,15 @@ object Cli {
         snapshot, vocabSize = 500, watermarkDelay = "0 seconds",
         windowDuration = "1 minute"), out)
       println(s"""{"stream_perplexity":"$out"}""")
+
+    // BPE tokenization at ingest: merges trained in batch on the
+    // static snapshot, the stream tokenized through the broadcast
+    // dictionary (stateless — no watermark, no state store)
+    case "stream-tokenize" :: dir :: out :: Nil =>
+      val stream = stagedDocStream(spark, dir, out)
+      val snapshot = Tables.read(spark, dir, "documents")
+      drainDocJob(streaming.StreamingJobs.tokenize(stream, snapshot), out)
+      println(s"""{"stream_tokenize":"$out"}""")
 
     // stateful sessionization as an incremental stream
     case "stream-sessionize" :: dir :: out :: Nil =>

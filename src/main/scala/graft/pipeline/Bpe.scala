@@ -192,6 +192,61 @@ object Bpe {
     encodeWith(docs, idCol, textCol, words)
   }
 
+  /** Greedy left-to-right application of a trained merge table to ONE
+    * word — the single-word form of the [[applyMerge]] replay (same
+    * pass per merge, in training order), so it produces the identical
+    * segmentation for in-vocabulary AND unseen words. This is what an
+    * ingest tokenizer ships: the dictionary join ([[encodeWith]])
+    * covers only trained words, but a merge table applies to anything.
+    */
+  def encodeWord(word: String, merges: Seq[(String, String)]): List[String] = {
+    var syms: List[String] = word.map(_.toString).toList
+    for ((l, r) <- merges) {
+      val out = List.newBuilder[String]
+      var rest = syms
+      while (rest.nonEmpty) rest match {
+        case a :: b :: tail if a == l && b == r =>
+          out += (a + b); rest = tail
+        case a :: tail =>
+          out += a; rest = tail
+      }
+      syms = out.result()
+    }
+    syms
+  }
+
+  /** Tokenize ANY document frame — batch or STREAMING — by applying
+    * the trained merge table per word ([[encodeWord]]): zero-exchange
+    * (explode + per-partition map, no join, no aggregation), so a
+    * streaming frame passes through stateless, and out-of-vocabulary
+    * words segment correctly instead of dropping out of a dictionary
+    * join. The merge table rides the closure (it is vocab-sized); a
+    * per-partition memo makes repeated words pay the merge loop once.
+    * Output schema matches [[encode]]; BpeSpec pins row-for-row
+    * equality with the replay-based encode, OOV words included.
+    */
+  def encodeRows(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col(idCol).cast("long"),
+        posexplode(TF.tokens(col(textCol))).as(Seq("pos", "word")))
+      .where(length(col("word")) > 0)
+      .as[(Long, Int, String)]
+      .mapPartitions { it =>
+        val memo = scala.collection.mutable.HashMap[String, (Long, String)]()
+        it.map { case (id, pos, word) =>
+          val (n, toks) = memo.getOrElseUpdate(word, {
+            val syms = encodeWord(word, merges)
+            (syms.length.toLong, syms.mkString(" "))
+          })
+          (id, pos.toLong, n, toks)
+        }
+      }
+      .toDF(idCol, "pos", "n_tokens", "tokens")
+  }
+
   /** Tokenize against an ALREADY-SEGMENTED word table `(word, …,
     * syms)` — [[trainWithVocab]]'s second return, or [[encode]]'s
     * replayed dictionary. The corpus is touched exactly once, by the

@@ -214,6 +214,83 @@ object Curation {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Positional L-gram hashes of a document's token stream — one
+    * 60-bit hash per start position, `element_at(transform(array(…)))`
+    * -bound like [[winnowFpsHof]] so the token array is not re-split
+    * per window. The building block of exact-substring dedup: a token
+    * span of length ≥ L occurs twice in the corpus exactly when every
+    * L-window starting inside it is duplicated somewhere.
+    */
+  private[graft] def gramHashes(textCol: String, L: Int): Column = expr(
+    s"""element_at(transform(array(split(trim($textCol), '\\\\s+')), t ->
+        if(size(t) < $L, array(),
+          transform(sequence(1, size(t) - ${L - 1}),
+            i -> cast(conv(substring(md5(concat_ws(' ', slice(t, i, $L))), 1, 15), 16, 10) as bigint)))), 1)""")
+
+  /** Cross-document EXACT-substring dedup at arbitrary boundaries
+    * (the Lee et al. 2022 "Deduplicating Training Data Makes Language
+    * Models Better" semantics, token granularity): find every maximal
+    * token span in which each L-token window occurs at least twice
+    * corpus-wide — any position, any document, including twice within
+    * one document — going beyond [[segmentScrub]]' fixed
+    * segmentation. Output: one row per maximal duplicated span
+    * `(doc, start_tok, end_tok, span_tokens)`, 0-based inclusive.
+    *
+    * Shape: duplicated-window detection is a count over 8-byte gram
+    * hashes (never the text), the join back is on the same 8-byte
+    * key, and maximal spans are one gaps-and-islands window per doc —
+    * the suffix-array pass of the paper becomes three exchanges of
+    * compact keys. Token arrays never shuffle.
+    */
+  def exactSubstringSpans(df: DataFrame, idCol: String, textCol: String,
+      L: Int): DataFrame = {
+    require(L >= 2, "L must be at least 2")
+    val grams = df.select(col(idCol).as("doc"),
+      posexplode(gramHashes(textCol, L)).as(Seq("gpos", "gh")))
+    val dup = grams.groupBy("gh").agg(count(lit(1)).as("occ"))
+      .filter(col("occ") >= 2).select("gh")
+    val w = Window.partitionBy(col("doc")).orderBy(col("gpos"))
+    grams.join(dup, "gh")
+      .withColumn("grp", col("gpos") - row_number().over(w))
+      .groupBy(col("doc"), col("grp"))
+      .agg(min(col("gpos")).as("start_tok"),
+        (max(col("gpos")) + lit(L - 1)).as("end_tok"))
+      .select(col("doc"), col("start_tok").cast("long").as("start_tok"),
+        col("end_tok").cast("long").as("end_tok"),
+        (col("end_tok") - col("start_tok") + 1).cast("long").as("span_tokens"))
+  }
+
+  /** Removal twin of [[exactSubstringSpans]] with reconstruction
+    * certification (the [[segmentScrub]] contract): drop every token
+    * inside a duplicated span — all copies go, the paper's stricter
+    * variant — and emit per doc the span count, dropped-token count,
+    * and an md5 fingerprint of the kept-token reconstruction, so an
+    * oracle replaying the spans certifies the exact cut boundaries.
+    * The reconstruction is zero-exchange row-local HOFs over the
+    * span list (span lists are tiny; token arrays never shuffle).
+    */
+  def exactSubstringScrub(df: DataFrame, idCol: String, textCol: String,
+      L: Int): DataFrame = {
+    val spans = exactSubstringSpans(df, idCol, textCol, L)
+      .groupBy(col("doc"))
+      .agg(collect_list(struct(col("start_tok"), col("end_tok"))).as("spans"),
+        count(lit(1)).as("n_spans"),
+        sum(col("span_tokens")).as("dup_tokens"))
+    val noSpans = array().cast("array<struct<start_tok:bigint,end_tok:bigint>>")
+    val indexed = transform(expr(s"split(trim($textCol), '\\\\s+')"),
+      (tok, i) => struct(tok.as("tok"), i.cast("long").as("i")))
+    val alive = filter(indexed, p =>
+      !exists(coalesce(col("spans"), noSpans), s =>
+        p.getField("i").between(s.getField("start_tok"), s.getField("end_tok"))))
+    df.select(col(idCol).as("doc"), col(textCol))
+      .join(spans, Seq("doc"), "left")
+      .select(col("doc").as(idCol),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        substring(md5(concat_ws(" ",
+          transform(alive, p => p.getField("tok")))), 1, 16).as("clean_fp"))
+  }
+
   /** One scrub rule: redact every match of `regex` to `replacement`
     * and report the match count. Patterns stay in the RE2-compatible
     * subset (character classes, quantifiers, alternation — no

@@ -266,14 +266,30 @@ object Dedup {
     * a cross join. Exact for maxHamming < segments.
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+      bits: Int, segments: Int, maxHamming: Int): DataFrame =
+    hammingPairs(
+      spread(df).select(
+        col(idCol).as("doc"),
+        graft.functions.HashKernelFunctions.simhash(tokens(col(textCol)), bits)
+          .as("sim")),
+      "doc", "sim", bits, segments, maxHamming)
+
+  /** Segment-LSH pairs over a PRECOMPUTED `bits`-wide hash column —
+    * the banding + exact-Hamming verify behind [[simhashPairs]],
+    * reusable for any ≤64-bit fingerprint (perceptual image dHash,
+    * audio fingerprints). Exact for `maxHamming < segments` by the
+    * same pigeonhole; candidates are an equi-join on (segment index,
+    * segment value) — an 8-byte-keyed shuffle of id+hash rows, never
+    * an all-pairs comparison, and the verify is one codegen
+    * `bit_count` per candidate.
+    */
+  def hammingPairs(hashes: DataFrame, idCol: String, hashCol: String,
       bits: Int, segments: Int, maxHamming: Int): DataFrame = {
     require(bits % segments == 0, "segments must divide bits")
     require(maxHamming < segments, "segment LSH is exact only for maxHamming < segments")
     val segBits = bits / segments
     val mask = (1L << segBits) - 1
-    val docs = spread(df).select(
-      col(idCol).as("doc"),
-      graft.functions.HashKernelFunctions.simhash(tokens(col(textCol)), bits).as("sim"))
+    val docs = hashes.select(col(idCol).as("doc"), col(hashCol).as("sim"))
 
     val segRows = docs.select(
       col("doc"), col("sim"),

@@ -253,6 +253,140 @@ object Multimodal {
     }
   }
 
+  /** Per-cell luma levels (0..3) of the deterministic 9×8 test
+    * pattern for `seed` — a chained draw that NEVER repeats a level
+    * between horizontally adjacent cells, so every dHash comparison
+    * sits across a ≥64-count luma step: large enough that a lossy
+    * JPEG re-encode's block-mean error (a few counts) cannot flip the
+    * comparison, which is what makes a JPEG copy of a PNG land within
+    * the Hamming radius of its source. The draw mixes through a
+    * splitmix64-style finalizer — a LINEAR congruential mix would make
+    * every seed's step sequence a shift of one shared orbit (the
+    * sequence over cell index is an arithmetic progression, so seed
+    * deltas translate to index shifts) and collapse 2500 seeds onto
+    * ~800 distinct hashes; the oracle never replays the mix (it pins
+    * only the planted pair list), so only determinism matters here.
+    */
+  private[graft] def patternLevels(seed: Long): Array[Int] = {
+    def mix(i: Int): Long = {
+      var z = seed * 0x9E3779B97F4A7C15L + i.toLong * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    val out = new Array[Int](72)
+    out(0) = java.lang.Math.floorMod(mix(0), 4L).toInt
+    var i = 1
+    while (i < 72) {
+      out(i) = (out(i - 1) + 1 +
+        java.lang.Math.floorMod(mix(i), 3L).toInt) % 4
+      i += 1
+    }
+    out
+  }
+
+  /** Render the seed's 9×8 level pattern as a real image through an
+    * actual `ImageIO` codec, each pattern cell a `cell`×`cell` block
+    * of solid gray `32 + 64·level`. Same codec contract as
+    * [[encodeImage]]: genuine payload bytes, so PNG output decodes
+    * exactly and JPEG output is lossy — which is precisely the planted
+    * near-duplicate pair [[dHash]] + banded Hamming search must find.
+    * The default cell size of 8 aligns each pattern cell with exactly
+    * one JPEG 8×8 DCT block: a solid block is pure DC, so lossy
+    * quantization moves its mean by a few counts at most — far below
+    * the 64-count steps — and the JPEG copy's dHash matches its PNG
+    * source with zero flipped comparisons.
+    */
+  def encodePattern(ds: Dataset[(Long, Long)],
+      format: String, cell: Int = 8): Dataset[EncodedImage] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      val bos = new java.io.ByteArrayOutputStream()
+      it.map { case (id, seed) =>
+        val levels = patternLevels(seed)
+        val img = new java.awt.image.BufferedImage(
+          9 * cell, 8 * cell, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < 8 * cell) {
+          var x = 0
+          while (x < 9 * cell) {
+            val g = 32 + 64 * levels((y / cell) * 9 + (x / cell))
+            img.setRGB(x, y, g * 0x010101)
+            x += 1
+          }
+          y += 1
+        }
+        bos.reset()
+        javax.imageio.ImageIO.write(img, format, bos)
+        EncodedImage(id, bos.toByteArray)
+      }
+    }
+  }
+
+  case class ImageHash(media_id: Long, dhash: Long)
+
+  /** 64-bit difference hash of a decoded raster — the standard
+    * perceptual fingerprint (block-average the luma to a 9×8 grid,
+    * emit one bit per horizontally adjacent cell comparison). Robust
+    * to re-encoding and resizing because it survives anything that
+    * preserves coarse luma structure; bit `y*8+x` = cell (x+1,y)
+    * brighter than cell (x,y).
+    */
+  def dHash64(img: java.awt.image.BufferedImage): Long = {
+    val (gw, gh) = (9, 8)
+    val w = img.getWidth
+    val h = img.getHeight
+    val sums = new Array[Double](gw * gh)
+    val counts = new Array[Long](gw * gh)
+    val rowBuf = new Array[Int](w)
+    var y = 0
+    while (y < h) {
+      img.getRGB(0, y, w, 1, rowBuf, 0, w)
+      val gy = y * gh / h
+      var x = 0
+      while (x < w) {
+        val gx = x * gw / w
+        val rgb = rowBuf(x)
+        sums(gy * gw + gx) += (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) +
+          (rgb & 0xff)) / 3.0
+        counts(gy * gw + gx) += 1
+        x += 1
+      }
+      y += 1
+    }
+    var hash = 0L
+    var gy = 0
+    while (gy < gh) {
+      var gx = 0
+      while (gx < 8) {
+        val a = sums(gy * gw + gx) / counts(gy * gw + gx)
+        val b = sums(gy * gw + gx + 1) / counts(gy * gw + gx + 1)
+        if (b > a) hash |= 1L << (gy * 8 + gx)
+        gx += 1
+      }
+      gy += 1
+    }
+    hash
+  }
+
+  /** [[dHash64]] over a media corpus: decode each image payload
+    * (magic-sniffed, [[tryDecodeImage]]) and emit its perceptual
+    * hash; non-image / undecodable payloads are dropped — a
+    * perceptual hash of bytes that never decoded would be noise. Same
+    * partition-iterator shape as [[extractFeatures]]; the output is
+    * 16 bytes per row, which is what the downstream banded Hamming
+    * join shuffles instead of payloads.
+    */
+  def dHash(ds: Dataset[MediaRow]): Dataset[ImageHash] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.flatMap { row =>
+        val img = tryDecodeImage(row.content)
+        if (img == null) None else Some(ImageHash(row.media_id, dHash64(img)))
+      }
+    }
+  }
+
   case class ResizedMeta(
       media_id: Long,
       target_w: Int,

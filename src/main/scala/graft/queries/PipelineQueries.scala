@@ -604,6 +604,105 @@ object PipelineQueries {
           .as("px_ok"))
   }
 
+  /** Perceptual image near-dup: 64-bit dHash over each REALLY decoded
+    * raster ([[Multimodal.dHash]]), paired through the segment-LSH
+    * banded Hamming join ([[Dedup.hammingPairs]] — 4 segments,
+    * radius 3, exact by pigeonhole). The planted near-dups are actual
+    * lossy re-encodes: doc pair (2k, 2k+1) renders the SAME 9×8
+    * pattern, even ids through the real PNG writer and odd ids
+    * through the real JPEG writer, so the only way the pair lands
+    * within radius 3 is the decoder genuinely recovering the raster
+    * from both codecs. Distinct patterns sit ~32 bits apart (chained
+    * 4-level draw, [[Multimodal.patternLevels]]), so the oracle is the
+    * closed-form plant list — and any false pair, missed plant, or
+    * stubbed decode breaks the compare. The `hamming` column is
+    * dropped: a lossy codec's exact flip count is encoder-specific,
+    * never portable.
+    *
+    * Scale shape: payloads never shuffle — the hash pass is a
+    * zero-exchange partition map emitting 16-byte rows, candidates
+    * are an equi-join on (segment, value), and the verify is one
+    * codegen `bit_count` per candidate.
+    */
+  def p77ImageNearDup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = t(s, dir, "documents")
+    def src(parity: Int) = docs
+      .filter(pmod(col("doc_id"), lit(2)) === parity)
+      .select(col("doc_id"), floor(col("doc_id") / 2).cast("long"))
+      .as[(Long, Long)]
+    val corpus = Multimodal.encodePattern(src(0), "png")
+      .union(Multimodal.encodePattern(src(1), "jpg"))
+    val hashes = Multimodal.dHash(
+      corpus.map(e => Multimodal.MediaRow(e.media_id, e.png, "image/*"))).toDF()
+    Dedup.hammingPairs(hashes, "media_id", "dhash",
+        bits = 64, segments = 4, maxHamming = 3)
+      .select(col("doc_a"), col("doc_b"))
+  }
+
+  /** Deterministic 32-cluster mixture fixture, derived IN-PLAN from
+    * `vec_id` alone: component d = center(cluster, d) + noise(vec, d)
+    * with centers ±1000 and noise ±10 from the portable hash —
+    * integer-valued floats, so the oracle rebuilds the identical
+    * vectors from the same closed form. This is the cluster structure
+    * the parquet fixture lacks (its i.i.d. embeddings cap IVF recall
+    * at the probed mass — documented on p56/p73).
+    */
+  private def clusteredEmbeddings(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings").select(col("vec_id"),
+      transform(sequence(lit(1), lit(64)), d =>
+        ((TF.hash60(concat(lit("cc"),
+            pmod(col("vec_id"), lit(32)).cast("string"),
+            lit("_"), d.cast("string"))) % 2001 - 1000)
+          + (TF.hash60(concat(lit("cn"), col("vec_id").cast("string"),
+            lit("_"), d.cast("string"))) % 21 - 10))
+          .cast("float")).as("embedding"))
+
+  /** IVF recall at a PRODUCTION operating point, on clustered data —
+    * the row the i.i.d. corpus cannot demonstrate (p56/p73 document
+    * why: uniform embeddings make IVF recall track probed mass, so
+    * the tuned row tops out at ~72% @ nprobe 8). Over the 32-cluster
+    * fixture ([[clusteredEmbeddings]]) with nlist=32 (one seed member
+    * per cluster, `vec_id < 32`) and nprobe=1 and 2, recall@3 reaches
+    * 100% — cluster separation (±1000 centers) dominates the ±10
+    * noise, so a query's true neighbors share its cell. The scorecard
+    * row names the full config; truth is the exact scan over the same
+    * fixture, and the oracle replays fixture construction, cell
+    * assignment, probe sets, both rankings, and the recall division.
+    */
+  def p79ClusteredRecall(s: SparkSession, dir: String): DataFrame = {
+    val emb = clusteredEmbeddings(s, dir)
+    val queries = emb.filter(col("vec_id") < 20)
+    val exact = Similarity.topK(emb, queries, "vec_id", "embedding", 3)
+      .select("query_id", "cand_id")
+    def row(nprobe: Int): DataFrame =
+      Similarity.ivfTopK(emb, queries, "vec_id", "embedding",
+          centroidFilter = col("vec_id") < 32, k = 3, nprobe = nprobe)
+        .select("query_id", "cand_id")
+        .join(exact, Seq("query_id", "cand_id"))
+        .agg(count(lit(1)).as("n_hits"))
+        .crossJoin(exact.agg(count(lit(1)).as("n_truth")))
+        .select(lit(s"ivf_clustered_nlist32_nprobe$nprobe").as("method"),
+          col("n_hits"), col("n_truth"),
+          floor((col("n_hits") * lit(1e6)) / col("n_truth")).cast("long")
+            .as("recall_micro"))
+    row(1).unionByName(row(2))
+  }
+
+  /** Exact-substring dedup at ARBITRARY boundaries
+    * ([[Curation.exactSubstringScrub]], the Lee et al. 2022
+    * semantics): every maximal token span whose 8-token windows all
+    * occur at least twice corpus-wide is cut — beyond p65's fixed
+    * segmentation, which can only remove aligned 10-word segments.
+    * The oracle replays gram hashing, the duplicated-window set, the
+    * gaps-and-islands span merge, AND the md5 of every scrubbed
+    * reconstruction — a pass certifies the exact cut boundaries on
+    * every document.
+    */
+  def p78ExactSubstrings(s: SparkSession, dir: String): DataFrame =
+    Curation.exactSubstringScrub(t(s, dir, "documents"), "doc_id", "text",
+      L = 8)
+
   /** Resize planning over REAL decoded dimensions
     * ([[Multimodal.resizePlanPng]]): the p57 PNGs decoded by the actual
     * codec, scale factors to a 224×224 box from the decoded — not
@@ -1414,6 +1513,9 @@ object PipelineQueries {
     "p74_ivfpq" -> p74IvfPq _,
     "p75_bpe_encode" -> p75BpeEncode _,
     "p76_embed_ingest" -> p76EmbedIngest _,
+    "p77_image_neardup" -> p77ImageNearDup _,
+    "p78_exact_substrings" -> p78ExactSubstrings _,
+    "p79_clustered_recall" -> p79ClusteredRecall _,
     "p50_temp_mix" -> p50TempMix _,
     "p51_hard_negatives" -> p51HardNegatives _,
     "p52_ivf_trained" -> p52IvfTrained _,
@@ -1691,7 +1793,8 @@ object PipelineQueries {
     * query's own top cells are correlated with its neighbors'). On
     * embeddings with genuine cluster structure the same nprobe curve
     * rises far faster; the scorecard's job is to expose exactly this
-    * curve per corpus. The IVF-PQ row (p74) lands at 14% recall@5
+    * curve per corpus — [[p79ClusteredRecall]] demonstrates it: the
+    * in-plan 32-cluster fixture reaches 100% recall@3 at nprobe 1. The IVF-PQ row (p74) lands at 14% recall@5
     * touching 4/20 cells — above the full-corpus untrained PQ scan's
     * 10%, the compression+probe composition paying for itself.
     */
@@ -1752,6 +1855,59 @@ object PipelineQueries {
        |)""".stripMargin
   }
 
+  /** The p79 oracle: fixture construction, cell assignment, probe
+    * sets, the exact ranking, and the recall division — all replayed
+    * from the closed form.
+    */
+  private def oClusteredRecall: String = {
+    val ceDef = s"""SELECT vec_id,
+       |  list_transform(generate_series(1, 64), d ->
+       |    CAST((${oHash("'cc' || CAST(vec_id % 32 AS VARCHAR) || '_' || CAST(d AS VARCHAR)")} % 2001 - 1000
+       |        + ${oHash("'cn' || CAST(vec_id AS VARCHAR) || '_' || CAST(d AS VARCHAR)")} % 21 - 10) AS FLOAT)) AS embedding
+       |FROM embeddings""".stripMargin
+    def ivf(nprobe: Int) =
+      s"""SELECT query_id, cand_id FROM (
+         |  SELECT query_id, cand_id,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |                       ORDER BY sim DESC, cand_id ASC) AS rank
+         |  FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         |      ${oCos("q.embedding", "c.embedding")} AS sim
+         |    FROM (SELECT vec_id, embedding, cent_id FROM assign
+         |          WHERE rn <= $nprobe AND vec_id < 20) q
+         |    JOIN cells c ON q.cent_id = c.cent_id AND q.vec_id != c.vec_id))
+         |WHERE rank <= 3""".stripMargin
+    def row(nprobe: Int) =
+      s"""  SELECT 'ivf_clustered_nlist32_nprobe$nprobe' AS method,
+         |    CAST((SELECT COUNT(*) FROM (${ivf(nprobe)}) a
+         |          JOIN ex USING (query_id, cand_id)) AS BIGINT) AS n_hits,
+         |    CAST((SELECT COUNT(*) FROM ex) AS BIGINT) AS n_truth""".stripMargin
+    s"""WITH ce AS ($ceDef),
+       |cents AS (SELECT vec_id AS cent_id, embedding AS ce2 FROM ce
+       |          WHERE vec_id < 32),
+       |assign AS (
+       |  SELECT e.vec_id, e.embedding, cent_id,
+       |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${oCos("e.embedding", "ce2")} DESC, cent_id ASC) AS rn
+       |  FROM ce e, cents),
+       |cells AS (SELECT vec_id, embedding, cent_id FROM assign WHERE rn = 1),
+       |ex AS (
+       |  SELECT query_id, cand_id FROM (
+       |    SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${oCos("q.embedding", "c.embedding")} DESC,
+       |                 c.vec_id ASC) AS rank
+       |    FROM ce q JOIN ce c ON q.vec_id < 20 AND q.vec_id != c.vec_id)
+       |  WHERE rank <= 3)
+       |SELECT method, n_hits, n_truth,
+       |  CAST(FLOOR((n_hits * 1e6) / n_truth) AS BIGINT) AS recall_micro
+       |FROM (
+       |${row(1)}
+       |  UNION ALL
+       |${row(2)}
+       |)""".stripMargin
+  }
+
   /** The p66 oracle: the three gate oracles composed verbatim as
     * derived tables (the p56 pattern) — a funnel pass certifies every
     * gate's own replay AND the rollup.
@@ -1776,7 +1932,8 @@ object PipelineQueries {
 
   def oracle: Map[String, String] =
     oracle0 + ("p56_ann_recall" -> oAnnRecall) +
-      ("p66_quality_funnel" -> oQualityFunnel)
+      ("p66_quality_funnel" -> oQualityFunnel) +
+      ("p79_clustered_recall" -> oClusteredRecall)
 
   private lazy val oracle0: Map[String, String] = Map(
     "p01_exact_dedup" ->
@@ -2594,6 +2751,47 @@ object PipelineQueries {
          |FROM segs s JOIN owners o USING (h) GROUP BY s.doc_id""".stripMargin,
     "p71_bpe_train" -> oBpeTrain(100),
     "p75_bpe_encode" -> oBpeEncode(100),
+    // the plant list in closed form: (2k, 2k+1) share a pattern, and
+    // the operator side can only reproduce it by decoding both codecs
+    "p77_image_neardup" ->
+      """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        |WHERE a.doc_id % 2 = 0""".stripMargin,
+    "p78_exact_substrings" ->
+      s"""WITH t AS (SELECT doc_id, $oToks AS tk FROM documents),
+         |g0 AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(tk) < 8 THEN CAST([] AS STRUCT(gpos BIGINT, gh BIGINT)[])
+         |    ELSE list_transform(generate_series(1, len(tk) - 7),
+         |      i -> {'gpos': CAST(i - 1 AS BIGINT),
+         |            'gh': ${oHash("array_to_string(tk[i:i+7], ' ')")}})
+         |    END AS gs
+         |  FROM t),
+         |g AS (SELECT doc_id, u.gpos AS gpos, u.gh AS gh FROM (
+         |  SELECT doc_id, unnest(gs) AS u FROM g0)),
+         |dup AS (SELECT gh FROM g GROUP BY gh HAVING COUNT(*) >= 2),
+         |d AS (SELECT g.doc_id, g.gpos FROM g JOIN dup USING (gh)),
+         |isl AS (SELECT doc_id, gpos,
+         |  gpos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY gpos) AS grp FROM d),
+         |spans AS (SELECT doc_id, MIN(gpos) AS s, MAX(gpos) + 7 AS e
+         |  FROM isl GROUP BY doc_id, grp),
+         |agg AS (SELECT doc_id, COUNT(*) AS n_spans, SUM(e - s + 1) AS dup_tokens
+         |  FROM spans GROUP BY doc_id),
+         |tok AS (SELECT doc_id, u.i AS i, u.tok AS tok FROM (
+         |  SELECT doc_id, unnest(list_transform(generate_series(1, len(tk)),
+         |    i -> {'i': CAST(i - 1 AS BIGINT), 'tok': tk[i]})) AS u
+         |  FROM t)),
+         |kept AS (
+         |  SELECT tok.doc_id, string_agg(tok.tok, ' ' ORDER BY tok.i) AS clean
+         |  FROM tok
+         |  WHERE NOT EXISTS (SELECT 1 FROM spans sp
+         |    WHERE sp.doc_id = tok.doc_id AND tok.i BETWEEN sp.s AND sp.e)
+         |  GROUP BY tok.doc_id)
+         |SELECT t.doc_id,
+         |  CAST(COALESCE(a.n_spans, 0) AS BIGINT) AS n_spans,
+         |  CAST(COALESCE(a.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+         |  substr(md5(COALESCE(k.clean, '')), 1, 16) AS clean_fp
+         |FROM t LEFT JOIN agg a USING (doc_id) LEFT JOIN kept k USING (doc_id)""".stripMargin,
     "p72_jpeg_decode" ->
       """SELECT doc_id AS media_id,
         |  CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'image/jpeg' END AS mime,

@@ -115,6 +115,27 @@ object StreamingJobs {
         col("n_tokens"), col("nll_micro"), col("avg_nll_micro"))
   }
 
+  /** Ingest-time BPE tokenization — the streaming twin of the encode
+    * query (p75). The merge table is trained IN BATCH over a
+    * reference snapshot (train on the snapshot, tokenize the stream —
+    * the same move as [[perplexityScore]]'s cost tables) and applied
+    * per word by [[graft.pipeline.Bpe.encodeRows]], which BpeSpec
+    * pins row-for-row equal to the batch replay encode. Stateless:
+    * explode + per-partition map, no watermark, no state store — and
+    * unlike a dictionary join, out-of-vocabulary words arriving on
+    * the stream segment correctly instead of dropping out. The merge
+    * table is collected once at plan time (it is vocab-sized) and
+    * rides the closure into every micro-batch.
+    */
+  def tokenize(docs: DataFrame, refCorpus: DataFrame,
+      textCol: String = "text", nMerges: Int = 100): DataFrame = {
+    val B = graft.pipeline.Bpe
+    val merges = B.train(refCorpus, textCol, nMerges)
+      .orderBy("it").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    B.encodeRows(docs, "doc_id", textCol, merges)
+  }
+
   /** Vector near-dup at ingest — the embedding analogue of
     * [[nearDupVerified]]: each incoming embedding probes its `nprobe`
     * nearest IVF cells of the STATIC corpus and emits every corpus

@@ -294,6 +294,20 @@ class CliSpec extends SparkSpec {
     assert(sembGot.exceptAll(sembExp).count() == 0 &&
       sembExp.exceptAll(sembGot).count() == 0 && sembGot.count() > 0)
 
+    // stream-tokenize: a one-shot drain tokenizes exactly like the
+    // batch replay encode with the same snapshot-trained merges
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$out/stok"))
+    Cli.run(spark, List("stream-tokenize", sf0001, s"$out/stok"))
+    val stokGot = spark.read.parquet(s"$out/stok")
+    val snapDocs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val stokMerges = graft.pipeline.Bpe.train(snapDocs, "text", 100)
+      .orderBy("it").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val stokExp =
+      graft.pipeline.Bpe.encode(snapDocs, "doc_id", "text", stokMerges)
+    assert(stokGot.exceptAll(stokExp).count() == 0 &&
+      stokExp.exceptAll(stokGot).count() == 0 && stokGot.count() > 0)
+
     // stream-neardup: one AvailableNow pass over the corpus emits
     // exactly the batch LSH candidate pair set
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$out/snd"))

@@ -362,6 +362,113 @@ class PipelineSpec extends SparkSpec {
     assert(r(1L).scale_x_micro == 100000000L / (64 + 'B'.toInt % 192))
   }
 
+  test("exact-substring spans and scrub match a brute-force window scan") {
+    val shared = (1 to 12).map(i => s"s$i").mkString(" ")
+    val corpus = Seq(
+      (1L, s"alpha beta $shared gamma delta"),
+      (2L, s"zeta $shared eta theta iota kappa"),
+      (3L, "unique tokens only here nothing repeats at all in this doc"),
+      (4L, "rep rep rep rep rep rep rep rep rep"), // self-repeat, one doc
+      (5L, ""))
+    val L = 8
+    val df = corpus.toDF("doc_id", "text")
+    // brute force: start p is duplicated iff its L-gram occurs >= 2
+    // times corpus-wide; consecutive duplicated starts merge
+    val toks = corpus.map { case (id, t) => id -> t.trim.split("\\s+").toSeq }
+    val gramCount = scala.collection.mutable.Map[String, Int]()
+    for ((_, tk) <- toks; p <- 0 to tk.length - L)
+      gramCount.updateWith(tk.slice(p, p + L).mkString(" "))(c => Some(c.getOrElse(0) + 1))
+    val expSpans = (for ((id, tk) <- toks) yield {
+      val dup = (0 to tk.length - L)
+        .filter(p => gramCount(tk.slice(p, p + L).mkString(" ")) >= 2)
+      val runs = dup.foldLeft(List.empty[(Int, Int)]) {
+        case ((s, e) :: rest, p) if p == e + 1 => (s, p) :: rest
+        case (acc, p) => (p, p) :: acc
+      }
+      runs.reverse.map { case (s, e) =>
+        (id, s.toLong, (e + L - 1).toLong, (e + L - 1 - s + 1).toLong) }
+    }).flatten.sorted
+    val gotSpans = Curation.exactSubstringSpans(df, "doc_id", "text", L)
+      .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+    assert(expSpans.nonEmpty && gotSpans == expSpans)
+    // the shared run is cut at its exact boundaries in both docs
+    assert(gotSpans.contains((1L, 2L, 13L, 12L)))
+    assert(gotSpans.contains((2L, 1L, 12L, 12L)))
+    assert(gotSpans.contains((4L, 0L, 8L, 9L))) // whole self-repeating doc
+    // scrub: reconstruction md5 certifies the cut
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+    val gotScrub = Curation.exactSubstringScrub(df, "doc_id", "text", L)
+      .as[(Long, Long, Long, String)].collect().toSeq.sorted
+    val expScrub = (for ((id, tk) <- toks) yield {
+      val spans = expSpans.filter(_._1 == id)
+      val kept = tk.zipWithIndex.collect {
+        case (t, i) if !spans.exists(s => i >= s._2 && i <= s._3) => t }
+      (id, spans.size.toLong, spans.map(_._4).sum, md5hex(kept.mkString(" ")))
+    }).toSeq.sorted
+    assert(gotScrub == expScrub)
+    assert(gotScrub.find(_._1 == 4L).get._4 == md5hex("")) // fully scrubbed
+  }
+
+  test("perceptual dHash: PNG exact, JPEG copy within radius 3, distinct patterns far") {
+    val n = 600L
+    val pngSrc = (0L until n).map(i => (i, i)).toDS()
+    val jpgSrc = (0L until n).map(i => (i + 10000L, i)).toDS()
+    val hashes = Multimodal.dHash(
+        Multimodal.encodePattern(pngSrc, "png")
+          .union(Multimodal.encodePattern(jpgSrc, "jpg"))
+          .map(e => Multimodal.MediaRow(e.media_id, e.png, "image/*")))
+      .collect().map(h => h.media_id -> h.dhash).toMap
+    // closed-form dHash of the pattern (levels are monotone in luma)
+    def expected(seed: Long): Long = {
+      val l = Multimodal.patternLevels(seed)
+      var h = 0L
+      for (y <- 0 until 8; x <- 0 until 8)
+        if (l(y * 9 + x + 1) > l(y * 9 + x)) h |= 1L << (y * 8 + x)
+      h
+    }
+    // PNG is lossless: the decoded raster reproduces the pattern bit-for-bit
+    for (s <- 0L until n)
+      assert(hashes(s) == expected(s), s"png seed $s")
+    // lossy JPEG re-encode stays inside the banded search radius
+    val maxPlant = (0L until n)
+      .map(s => java.lang.Long.bitCount(hashes(s) ^ hashes(s + 10000L))).max
+    assert(maxPlant <= 3, s"lossy re-encode drifted $maxPlant bits")
+    // distinct patterns keep a margin outside the radius — checked
+    // closed-form across MORE seeds than sf0.1 uses (2500); with
+    // planted drift ≤ 1 bit per side, a cross pair needs
+    // minCross - 2 > 3 to stay out of radius 3
+    val exp = (0L until 2500L).map(expected).toArray
+    var minCross = 64
+    for (a <- exp.indices; b <- (a + 1) until exp.length)
+      minCross = math.min(minCross, java.lang.Long.bitCount(exp(a) ^ exp(b)))
+    assert(minCross > 5, s"distinct patterns came within $minCross bits")
+    assert(maxPlant <= 1, s"drift $maxPlant would erode the cross margin")
+  }
+
+  test("banded hamming join finds exactly the brute-force pairs at radius 3") {
+    val rnd = new scala.util.Random(11)
+    val base = (0L until 40L).map(i => (i, rnd.nextLong()))
+    // plant near-dups: ids 1000+i get a copy of hash i with ≤3 bits flipped
+    val plants = (0L until 40L).map { i =>
+      val flips = (0 until (i % 4).toInt)
+        .map(_ => 1L << rnd.nextInt(64)).fold(0L)(_ ^ _)
+      (1000L + i, base(i.toInt)._2 ^ flips)
+    }
+    val all = base ++ plants
+    val got = Dedup.hammingPairs(all.toDF("id", "h"), "id", "h",
+        bits = 64, segments = 4, maxHamming = 3)
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    val exp = (for {
+      a <- all.indices
+      b <- (a + 1) until all.length
+      ham = java.lang.Long.bitCount(all(a)._2 ^ all(b)._2)
+      if ham <= 3
+      ids = Seq(all(a)._1, all(b)._1).sorted
+    } yield (ids(0), ids(1), ham.toLong)).sorted
+    assert(exp.nonEmpty && got == exp)
+  }
+
   test("JPEG codec round-trip: exact dims, solid-gray pixels within band") {
     val src = Seq((1L, 5, 3, 0x404040), (2L, 1, 7, 0xc8c8c8)).toDS()
     val out = Multimodal.decodePng(Multimodal.encodeImage(src, "jpg"))
@@ -628,6 +735,31 @@ class PipelineSpec extends SparkSpec {
       .as[(Long, Long, Long, String)].collect().toSeq.sorted
     Bpe.releaseVocab(vocab)
     assert(viaVocab.nonEmpty && viaVocab == viaReplay)
+  }
+
+  test("bpe encodeRows equals the replay encode, out-of-vocabulary words included") {
+    val trainCorpus = Seq("low lower lowest", "low low low!",
+      "newer newest news", "wide wider widest", "low lows",
+      "tokenizer vocabulary segmentation training")
+    val merges = Bpe.train(trainCorpus.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text"),
+        "text", nMerges = 40)
+      .orderBy("it").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    // target corpus includes words the trainer NEVER saw (lowland,
+    // newsroom share merge pairs; zzz shares none)
+    val target = Seq((10L, "low lowland lowest"), (11L, "newsroom news zzz"),
+      (12L, ""), (13L, "training wider lowers"))
+      .toDF("doc_id", "text")
+    val viaRows = Bpe.encodeRows(target, "doc_id", "text", merges)
+      .as[(Long, Long, Long, String)].collect().toSeq.sorted
+    val viaReplay = Bpe.encode(target, "doc_id", "text", merges)
+      .as[(Long, Long, Long, String)].collect().toSeq.sorted
+    assert(viaRows.nonEmpty && viaRows == viaReplay)
+    // the unseen-but-related word ("lowland", doc 10 pos 1) really
+    // reused trained merges instead of staying character-split
+    val lowland = viaRows.find(r => r._1 == 10L && r._2 == 1L).get
+    assert(lowland._3 < "lowland".length, s"OOV word never compressed: $lowland")
   }
 
   test("bpe encode reproduces the trainer's segmentation per word position") {

@@ -150,6 +150,19 @@ class PlansSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("image near-dup candidates are a banded equi-join, never all-pairs (p77)") {
+    val p = plan(PipelineQueries.p77ImageNearDup(spark, sf0001))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("bit_count"), p) // the exact-Hamming verify is in-plan
+  }
+
+  test("exact-substring scrub shuffles gram hashes, never all-pairs (p78)") {
+    val p = plan(PipelineQueries.p78ExactSubstrings(spark, sf0001))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("id-map replacement does not force-broadcast the map") {
     // PK maps are fact-sized; replaceId must not carry a broadcast HINT
     // (at 100 TB the measurement map alone OOMs the driver). With

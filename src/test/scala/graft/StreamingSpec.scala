@@ -468,6 +468,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming tokenize equals batch encode, OOV words included") {
+    implicit val sqlCtx = spark.sqlContext
+    val snapshot = Seq((1L, "low lower lowest"), (2L, "low low lows"),
+      (3L, "newer newest news"), (4L, "tokenizer training tokenizer vocabulary"))
+      .toDF("doc_id", "text")
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingJobs.tokenize(
+        mem.toDF().toDF("doc_id", "text"), snapshot, nMerges = 30)
+      .writeStream.format("memory").queryName("tok_s")
+      .outputMode("append").start()
+    try {
+      // "lowland" is OOV for the snapshot — must still segment, in
+      // both triggers (stateless: each batch tokenizes independently)
+      mem.addData((10L, "low lower news"))
+      q.processAllAvailable()
+      mem.addData((11L, "training lowland"))
+      q.processAllAvailable()
+      val streamed = spark.table("tok_s")
+        .as[(Long, Long, Long, String)].collect().toSeq.sorted
+      val merges = graft.pipeline.Bpe.train(snapshot, "text", 30)
+        .orderBy("it").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val batch = graft.pipeline.Bpe.encode(
+          Seq((10L, "low lower news"), (11L, "training lowland"))
+            .toDF("doc_id", "text"), "doc_id", "text", merges)
+        .as[(Long, Long, Long, String)].collect().toSeq.sorted
+      assert(streamed.nonEmpty && streamed == batch)
+      assert(streamed.exists(r => r._1 == 11L && r._2 == 1L)) // OOV row emitted
+    } finally q.stop()
+  }
+
   test("streaming verified near-dup pairs equal batch minhashPairs incl. out-of-order") {
     implicit val sqlCtx = spark.sqlContext
     val base = (1 to 40).map(i => s"tok$i").mkString(" ")
