@@ -82,6 +82,7 @@ object Cli {
         |                                                until a later event past the window arrives)
         |  stream-embed-neardup <dir> <outDir>           embedding near-dup vs the corpus at stream ingest
         |  stream-tokenize <dir> <outDir>                BPE tokenization at stream ingest (snapshot-trained merges)
+        |  stream-image-neardup <dir> <outDir>           perceptual image near-dup vs the corpus at stream ingest
         |  kmeans <dir> <outDir> [iters]                 IVF centroid training (Lloyd, default 1 iteration)
         |  repetition <dir> <outDir>                     Gopher-style repetition quality signals
         |  gopher-filter <dir> <outDir>                  Gopher rule-set boolean quality gates
@@ -798,6 +799,29 @@ object Cli {
         snapshot, vocabSize = 500, watermarkDelay = "0 seconds",
         windowDuration = "1 minute"), out)
       println(s"""{"stream_perplexity":"$out"}""")
+
+    // perceptual image near-dup at ingest: odd docs arrive as lossy
+    // JPEG renders and probe the static even-doc PNG corpus through
+    // the persisted band index (stateless — the p77 plant pairs)
+    case "stream-image-neardup" :: dir :: out :: Nil =>
+      import spark.implicits._
+      def patternSrc(df: DataFrame, parity: Int) = df
+        .filter(pmod(col("doc_id"), lit(2)) === parity)
+        .select(col("doc_id"), floor(col("doc_id") / 2).cast("long"))
+        .as[(Long, Long)]
+      val corpusHashes = pipeline.Multimodal.dHash(
+        pipeline.Multimodal.encodePattern(
+            patternSrc(Tables.read(spark, dir, "documents"), 0), "png")
+          .map(e => pipeline.Multimodal.MediaRow(e.media_id, e.png, "image/png")))
+        .toDF()
+      val incomingHashes = pipeline.Multimodal.dHash(
+        pipeline.Multimodal.encodePattern(
+            patternSrc(stagedDocStream(spark, dir, out), 1), "jpg")
+          .map(e => pipeline.Multimodal.MediaRow(e.media_id, e.png, "image/jpeg")))
+        .toDF()
+      drainDocJob(streaming.StreamingJobs.imageNearDup(
+        incomingHashes, corpusHashes), out)
+      println(s"""{"stream_image_neardup":"$out"}""")
 
     // BPE tokenization at ingest: merges trained in batch on the
     // static snapshot, the stream tokenized through the broadcast

@@ -281,33 +281,86 @@ object Dedup {
     * same pigeonhole; candidates are an equi-join on (segment index,
     * segment value) — an 8-byte-keyed shuffle of id+hash rows, never
     * an all-pairs comparison, and the verify is one codegen
-    * `bit_count` per candidate.
+    * `bit_count` per candidate. A pair matching in several segments is
+    * emitted only from its FIRST equal segment — a pure row expression
+    * over the two hashes (the earliest zero band of their xor), so no
+    * dedup exchange is needed and the whole tail after the candidate
+    * join is stateless projections (what lets [[hammingPairsDelta]]
+    * run per micro-batch unchanged).
     */
   def hammingPairs(hashes: DataFrame, idCol: String, hashCol: String,
       bits: Int, segments: Int, maxHamming: Int): DataFrame = {
-    require(bits % segments == 0, "segments must divide bits")
-    require(maxHamming < segments, "segment LSH is exact only for maxHamming < segments")
-    val segBits = bits / segments
-    val mask = (1L << segBits) - 1
-    val docs = hashes.select(col(idCol).as("doc"), col(hashCol).as("sim"))
-
-    val segRows = docs.select(
-      col("doc"), col("sim"),
-      posexplode(array((0 until segments).map(sIdx =>
-        shiftright(col("sim"), sIdx * segBits).bitwiseAND(lit(mask))): _*)))
-      .toDF("doc", "sim", "seg", "segval")
-
-    val a = segRows.alias("a")
-    val b = segRows.alias("b")
+    require(maxHamming < segments,
+      "segment LSH is exact only for maxHamming < segments")
+    val segs = bandRows(hashes, idCol, hashCol, bits, segments)
+    val a = segs.alias("a")
+    val b = segs.alias("b")
     a.join(b,
         col("a.seg") === col("b.seg") && col("a.segval") === col("b.segval") &&
           col("a.doc") < col("b.doc"))
       .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
-        col("a.sim").as("sim_a"), col("b.sim").as("sim_b"))
-      .distinct()
+        col("a.sim").as("sim_a"), col("b.sim").as("sim_b"), col("a.seg"))
+      .transform(firstSegmentOnly(bits, segments))
       .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
       .filter(col("hamming") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming").cast("long").as("hamming"))
+  }
+
+  /** Delta-restricted [[hammingPairs]]: the incoming side (`delta`,
+    * which may be a STREAMING frame) banded against a static corpus
+    * hash table — the image-ingest analogue of [[winnowPairsDelta]].
+    * Orientation is kept (delta id first); everything after the
+    * stream-static equi-join is stateless row expressions, so Append
+    * mode needs no watermark and no state store. Streaming callers
+    * persist the banded corpus side ([[bandRows]]) once.
+    */
+  def hammingPairsDelta(corpusBands: DataFrame, delta: DataFrame,
+      idCol: String, hashCol: String, bits: Int, segments: Int,
+      maxHamming: Int): DataFrame = {
+    require(maxHamming < segments,
+      "segment LSH is exact only for maxHamming < segments")
+    bandRows(delta, idCol, hashCol, bits, segments)
+      .toDF("doc_a", "sim_a", "seg", "segval")
+      .join(corpusBands.toDF("doc_b", "sim_b", "seg", "segval"),
+        Seq("seg", "segval"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .transform(firstSegmentOnly(bits, segments))
+      .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming").cast("long").as("hamming"))
+  }
+
+  /** One row per (id, hash, segment index, segment value) — the banded
+    * index both Hamming joins build on. Exposed so streaming callers
+    * can compute the static corpus side once and `persist()` it.
+    */
+  def bandRows(hashes: DataFrame, idCol: String, hashCol: String,
+      bits: Int, segments: Int): DataFrame = {
+    require(bits % segments == 0, "segments must divide bits")
+    val segBits = bits / segments
+    val mask = (1L << segBits) - 1
+    hashes.select(col(idCol).as("doc"), col(hashCol).as("sim"))
+      .select(col("doc"), col("sim"),
+        posexplode(array((0 until segments).map(sIdx =>
+          shiftright(col("sim"), sIdx * segBits).bitwiseAND(lit(mask))): _*)))
+      .toDF("doc", "sim", "seg", "segval")
+  }
+
+  /** Keep a candidate row only when its segment is the pair's FIRST
+    * equal segment: the earliest band where `sim_a xor sim_b` is all
+    * zero, computed with static shifts — emits every qualifying pair
+    * exactly once without a distinct/groupBy exchange.
+    */
+  private def firstSegmentOnly(bits: Int, segments: Int)(
+      cand: DataFrame): DataFrame = {
+    val segBits = bits / segments
+    val mask = (1L << segBits) - 1
+    val x = col("sim_a").bitwiseXOR(col("sim_b"))
+    val firstEq = (0 until segments).map(s =>
+      when(shiftright(x, s * segBits).bitwiseAND(lit(mask)) === 0, lit(s))
+        .otherwise(lit(segments)))
+      .reduce(least(_, _))
+    cand.filter(col("seg") === firstEq).drop("seg")
   }
 
   /** n-gram-Jaccard pairs via inverted index: explode shingles into an

@@ -160,6 +160,27 @@ object StreamingJobs {
       centroidFilter, nprobe, thresholdMicro, cellIndex)
   }
 
+  /** Perceptual image near-dup at ingest — the streaming twin of the
+    * p77 pair search, taking PRECOMPUTED (media_id, dhash) frames
+    * (hash incoming payloads with [[graft.pipeline.Multimodal.dHash]]
+    * upstream — a zero-exchange partition map that runs per
+    * micro-batch). The static corpus band index is built once and
+    * PERSISTED; each batch is a band explode + stream-static
+    * equi-join + the first-equal-segment dedup and exact `bit_count`
+    * verify, all pure row expressions
+    * ([[graft.pipeline.Dedup.hammingPairsDelta]] verbatim with the
+    * batch path) — fully stateless, so Append mode needs no watermark
+    * and no state store.
+    */
+  def imageNearDup(incomingHashes: DataFrame, corpusHashes: DataFrame,
+      bits: Int = 64, segments: Int = 4, maxHamming: Int = 3): DataFrame = {
+    val D = graft.pipeline.Dedup
+    val bands =
+      D.bandRows(corpusHashes, "media_id", "dhash", bits, segments).persist()
+    D.hammingPairsDelta(bands, incomingHashes, "media_id", "dhash",
+      bits, segments, maxHamming)
+  }
+
   /** Stream-static enrichment — the streaming twin of the
     * concept-name broadcast lookup (J2): each micro-batch left-joins
     * the static dimension, which Spark re-plans per batch (a

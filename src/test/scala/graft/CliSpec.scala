@@ -308,6 +308,29 @@ class CliSpec extends SparkSpec {
     assert(stokGot.exceptAll(stokExp).count() == 0 &&
       stokExp.exceptAll(stokGot).count() == 0 && stokGot.count() > 0)
 
+    // stream-image-neardup: odd-doc JPEG renders probe the even-doc
+    // PNG corpus — the drain equals the batch delta Hamming pairs
+    {
+      import spark.implicits._
+      import org.apache.spark.sql.functions.{floor, lit, pmod}
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$out/simg"))
+      Cli.run(spark, List("stream-image-neardup", sf0001, s"$out/simg"))
+      val simgGot = spark.read.parquet(s"$out/simg")
+      def pSrc(parity: Int) = spark.read.parquet(s"$sf0001/documents.parquet")
+        .filter(pmod(col("doc_id"), lit(2)) === parity)
+        .select(col("doc_id"), floor(col("doc_id") / 2).cast("long"))
+        .as[(Long, Long)]
+      def hashes(parity: Int, fmt: String) = graft.pipeline.Multimodal.dHash(
+        graft.pipeline.Multimodal.encodePattern(pSrc(parity), fmt)
+          .map(e => graft.pipeline.Multimodal.MediaRow(e.media_id, e.png, "x")))
+        .toDF()
+      val simgExp = graft.pipeline.Dedup.hammingPairsDelta(
+        graft.pipeline.Dedup.bandRows(hashes(0, "png"), "media_id", "dhash", 64, 4),
+        hashes(1, "jpg"), "media_id", "dhash", 64, 4, 3)
+      assert(simgGot.exceptAll(simgExp).count() == 0 &&
+        simgExp.exceptAll(simgGot).count() == 0 && simgGot.count() > 0)
+    }
+
     // stream-neardup: one AvailableNow pass over the corpus emits
     // exactly the batch LSH candidate pair set
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$out/snd"))

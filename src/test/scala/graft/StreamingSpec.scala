@@ -468,6 +468,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming image near-dup equals the batch delta hamming pairs") {
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(5)
+    val corpus = (0L until 30L).map(i => (i, rnd.nextLong()))
+    val corpusDf = corpus.toDF("media_id", "dhash")
+    val mem = MemoryStream[(Long, Long)]
+    val q = StreamingJobs.imageNearDup(
+        mem.toDF().toDF("media_id", "dhash"), corpusDf)
+      .writeStream.format("memory").queryName("imgnd_s")
+      .outputMode("append").start()
+    try {
+      val incoming = Seq(
+        (100L, corpus(3)._2), // exact copy of corpus 3
+        (101L, corpus(7)._2 ^ (1L << 5) ^ (1L << 40)), // 2 bit flips
+        (102L, rnd.nextLong())) // unrelated
+      mem.addData(incoming: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("imgnd_s")
+        .as[(Long, Long, Long)].collect().toSeq.sorted
+      val batch = graft.pipeline.Dedup.hammingPairsDelta(
+          graft.pipeline.Dedup.bandRows(corpusDf, "media_id", "dhash", 64, 4),
+          incoming.toDF("media_id", "dhash"), "media_id", "dhash", 64, 4, 3)
+        .as[(Long, Long, Long)].collect().toSeq.sorted
+      assert(streamed == batch)
+      assert(streamed.contains((100L, 3L, 0L)))
+      assert(streamed.contains((101L, 7L, 2L)))
+    } finally q.stop()
+  }
+
   test("streaming tokenize equals batch encode, OOV words included") {
     implicit val sqlCtx = spark.sqlContext
     val snapshot = Seq((1L, "low lower lowest"), (2L, "low low lows"),
