@@ -91,6 +91,9 @@ object Cli {
         |  unigram-lm <dir> <outDir>                     self-trained unigram-LM NLL (perplexity filter) per doc
         |  cluster-best <dir> <outDir>                   near-dup clusters, highest-quality survivor per cluster
         |  importance-sample <dir> <outDir>              quality-weighted acceptance sampling (portable hash)
+        |  dedup-image <dir> <outDir>                    perceptual image near-dup pairs (dHash + banded Hamming)
+        |  dedup-audio <dir> <outDir>                    audio near-dup pairs (scale-invariant energy contour)
+        |  dedup-substrings <dir> <outDir>               exact-substring scrub at arbitrary boundaries (md5-certified)
         |  bpe-pairs <dir> <outDir>                      BPE merge-step adjacent-pair counts (top 20)
         |  bpe-train <dir> <outDir> [nMerges]            full BPE merge-loop training (default 3 merges)
         |  bpe-encode <dir> <outDir> [nMerges]           train then tokenize the corpus with the merge table
@@ -420,6 +423,15 @@ object Cli {
 
     case "dedup-exact" :: dir :: out :: Nil =>
       write(Dedup.exact(Tables.read(spark, dir, "documents"), "doc_id", "text"), out)
+
+    case "dedup-image" :: dir :: out :: Nil =>
+      write(queries.PipelineQueries.p77ImageNearDup(spark, dir), out)
+
+    case "dedup-audio" :: dir :: out :: Nil =>
+      write(queries.PipelineQueries.p80AudioNearDup(spark, dir), out)
+
+    case "dedup-substrings" :: dir :: out :: Nil =>
+      write(queries.PipelineQueries.p78ExactSubstrings(spark, dir), out)
 
     case "dedup-minhash" :: dir :: out :: Nil =>
       write(queries.PipelineQueries.p02MinhashLsh(spark, dir), out)
@@ -884,10 +896,11 @@ object Cli {
     case "bpe-encode" :: dir :: out :: rest if rest.size <= 1 =>
       val n = rest.headOption.map(_.toInt).getOrElse(100)
       val docs = core.Tables.read(spark, dir, "documents")
-      val merges = pipeline.Bpe.train(docs, "text", n)
-        .orderBy("it").collect()
-        .map(r => (r.getString(1), r.getString(2))).toSeq
-      write(pipeline.Bpe.encode(docs, "doc_id", "text", merges), out)
+      // single-train lifecycle: tokenize through the trainer's own
+      // final vocabulary, then release its checkpoint blocks
+      val (_, vocab) = pipeline.Bpe.trainWithVocab(docs, "text", n)
+      write(pipeline.Bpe.encodeWith(docs, "doc_id", "text", vocab), out)
+      pipeline.Bpe.releaseVocab(vocab)
 
     case "audio-features" :: dir :: out :: Nil =>
       write(queries.PipelineQueries.p63AudioFeatures(spark, dir), out)

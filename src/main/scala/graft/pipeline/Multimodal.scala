@@ -453,6 +453,86 @@ object Multimodal {
     }
   }
 
+  /** [[encodeWavSquare]] with a per-window amplitude CONTOUR from the
+    * seed's chained level draw ([[patternLevels]], first 65 of 72):
+    * 65 windows × 120 frames, window w a ±(1000 + 4000·level(w))·scale
+    * square wave — audio whose energy envelope carries structure, the
+    * waveform [[audioFingerprint]] hashes. `scale` produces a LOUDER
+    * copy of the same recording (every sample scales exactly), the
+    * audio analogue of p77's JPEG re-encode: a planted near-duplicate
+    * that differs in every byte but not in contour.
+    */
+  def encodeWavPattern(ds: Dataset[(Long, Long)],
+      scale: Int = 1): Dataset[EncodedAudio] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.map { case (id, seed) =>
+        val levels = patternLevels(seed)
+        val nFrames = 65 * 120
+        val pcm = new Array[Byte](nFrames * 2)
+        var i = 0
+        while (i < nFrames) {
+          val amp = (1000 + 4000 * levels(i / 120)) * scale
+          val s = if ((i / 4) % 2 == 0) amp else -amp
+          pcm(2 * i) = (s & 0xff).toByte
+          pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+          i += 1
+        }
+        val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        EncodedAudio(id, bos.toByteArray)
+      }
+    }
+  }
+
+  case class AudioHash(media_id: Long, afp: Long)
+
+  /** 64-bit energy-contour fingerprint over REALLY decoded PCM — the
+    * audio analogue of [[dHash64]]: split the frame stream into 65
+    * equal windows, take each window's mean |sample|, emit one bit
+    * per adjacent-window comparison. SCALE-INVARIANT by construction
+    * (a louder or quieter copy preserves every comparison exactly —
+    * integer sums scale linearly), so re-leveled copies of a
+    * recording land at Hamming distance 0 and feed the same banded
+    * [[graft.pipeline.Dedup.hammingPairs]] join as image dHashes.
+    * Zero-exchange: decode + hash per row, 16 bytes out.
+    */
+  def audioFingerprint(ds: Dataset[EncodedAudio]): Dataset[AudioHash] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.map { r =>
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(r.wav))
+        val bytes = ais.readAllBytes()
+        val n = bytes.length / 2
+        val sums = new Array[Long](65)
+        val counts = new Array[Long](65)
+        var i = 0
+        while (i < n) {
+          val s = ((bytes(2 * i) & 0xff) | (bytes(2 * i + 1) << 8)).toShort
+          val w = (i.toLong * 65 / n).toInt
+          sums(w) += math.abs(s.toLong)
+          counts(w) += 1
+          i += 1
+        }
+        var hash = 0L
+        var w = 0
+        while (w < 64) {
+          // mean comparison via cross-multiplied integer sums: exact,
+          // no double rounding
+          if (sums(w + 1) * counts(w) > sums(w) * counts(w + 1))
+            hash |= 1L << w
+          w += 1
+        }
+        AudioHash(r.media_id, hash)
+      }
+    }
+  }
+
   /** REAL WAV decode — no stub: `AudioSystem.getAudioInputStream`
     * parses the actual RIFF header (sample rate, channels, frame
     * count) and the PCM frames are read back for a peak-sample stat —

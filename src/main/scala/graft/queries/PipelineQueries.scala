@@ -703,6 +703,33 @@ object PipelineQueries {
     Curation.exactSubstringScrub(t(s, dir, "documents"), "doc_id", "text",
       L = 8)
 
+  /** Audio near-dup by energy contour
+    * ([[Multimodal.audioFingerprint]] + [[Dedup.hammingPairs]]): doc
+    * pair (2k, 2k+1) renders the SAME amplitude-contour recording
+    * through the real RIFF/WAVE codec, the odd twin at 2× gain —
+    * every payload byte differs, but the contour fingerprint is
+    * scale-invariant, so the planted pair lands at Hamming 0 while
+    * distinct contours sit far outside the radius (the p77 chained
+    * draw). Finding exactly the plant list requires genuinely parsing
+    * both WAVs and recovering identical contours from differently
+    * scaled PCM. Same banded equi-join shape as p77 — 16-byte hash
+    * rows shuffle, payloads never do.
+    */
+  def p80AudioNearDup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = t(s, dir, "documents")
+    def src(parity: Int) = docs
+      .filter(pmod(col("doc_id"), lit(2)) === parity)
+      .select(col("doc_id"), floor(col("doc_id") / 2).cast("long"))
+      .as[(Long, Long)]
+    val corpus = Multimodal.encodeWavPattern(src(0), scale = 1)
+      .union(Multimodal.encodeWavPattern(src(1), scale = 2))
+    val hashes = Multimodal.audioFingerprint(corpus).toDF()
+    Dedup.hammingPairs(hashes, "media_id", "afp",
+        bits = 64, segments = 4, maxHamming = 3)
+      .select(col("doc_a"), col("doc_b"))
+  }
+
   /** Resize planning over REAL decoded dimensions
     * ([[Multimodal.resizePlanPng]]): the p57 PNGs decoded by the actual
     * codec, scale factors to a 224×224 box from the decoded — not
@@ -1516,6 +1543,7 @@ object PipelineQueries {
     "p77_image_neardup" -> p77ImageNearDup _,
     "p78_exact_substrings" -> p78ExactSubstrings _,
     "p79_clustered_recall" -> p79ClusteredRecall _,
+    "p80_audio_neardup" -> p80AudioNearDup _,
     "p50_temp_mix" -> p50TempMix _,
     "p51_hard_negatives" -> p51HardNegatives _,
     "p52_ivf_trained" -> p52IvfTrained _,
@@ -2754,6 +2782,12 @@ object PipelineQueries {
     // the plant list in closed form: (2k, 2k+1) share a pattern, and
     // the operator side can only reproduce it by decoding both codecs
     "p77_image_neardup" ->
+      """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        |WHERE a.doc_id % 2 = 0""".stripMargin,
+    // same plant-list contract as p77: (2k, 2k+1) share a contour,
+    // recoverable only by decoding both differently-scaled WAVs
+    "p80_audio_neardup" ->
       """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
         |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
         |WHERE a.doc_id % 2 = 0""".stripMargin,

@@ -21,6 +21,16 @@ class CliSpec extends SparkSpec {
     assert(spark.read.parquet(s"$out/dedup").columns.toSet ==
       Set("fp", "keep_id", "n_copies"))
 
+    // the perceptual/substring dedup family: plant pairs and per-doc
+    // scrub rows come out non-empty on the tiny corpus
+    Cli.run(spark, List("dedup-image", sf0001, s"$out/dimg"))
+    assert(spark.read.parquet(s"$out/dimg").count() > 0)
+    Cli.run(spark, List("dedup-audio", sf0001, s"$out/daud"))
+    assert(spark.read.parquet(s"$out/daud").count() > 0)
+    Cli.run(spark, List("dedup-substrings", sf0001, s"$out/dsub"))
+    assert(spark.read.parquet(s"$out/dsub").count() ==
+      spark.read.parquet(s"$sf0001/documents.parquet").count())
+
     // the curation composite: monotone non-increasing counts through
     // the stages, shard-partitioned output, deterministic re-run
     Cli.run(spark, List("curate", sf0001, s"$out/curated"))

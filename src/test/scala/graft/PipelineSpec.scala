@@ -446,6 +446,35 @@ class PipelineSpec extends SparkSpec {
     assert(maxPlant <= 1, s"drift $maxPlant would erode the cross margin")
   }
 
+  test("audio fingerprint: scale-invariant, closed-form exact, distinct contours far") {
+    val n = 300L
+    val base = (0L until n).map(i => (i, i)).toDS()
+    val loud = (0L until n).map(i => (i + 10000L, i)).toDS()
+    val hashes = Multimodal.audioFingerprint(
+        Multimodal.encodeWavPattern(base, scale = 1)
+          .union(Multimodal.encodeWavPattern(loud, scale = 2)))
+      .collect().map(h => h.media_id -> h.afp).toMap
+    // closed form: bit w = level(w+1) > level(w) over the first 65
+    // chained levels (windows have equal counts, means exact)
+    def expected(seed: Long): Long = {
+      val l = Multimodal.patternLevels(seed)
+      var h = 0L
+      for (w <- 0 until 64) if (l(w + 1) > l(w)) h |= 1L << w
+      h
+    }
+    for (s <- 0L until n) {
+      assert(hashes(s) == expected(s), s"seed $s")
+      assert(hashes(s + 10000L) == hashes(s), s"2x copy drifted, seed $s")
+    }
+    // distinct contours keep a wide margin — checked closed-form over
+    // more seeds than sf0.1 uses
+    val exp = (0L until 2500L).map(expected).toArray
+    var minCross = 64
+    for (a <- exp.indices; b <- (a + 1) until exp.length)
+      minCross = math.min(minCross, java.lang.Long.bitCount(exp(a) ^ exp(b)))
+    assert(minCross > 5, s"distinct contours came within $minCross bits")
+  }
+
   test("banded hamming join finds exactly the brute-force pairs at radius 3") {
     val rnd = new scala.util.Random(11)
     val base = (0L until 40L).map(i => (i, rnd.nextLong()))
