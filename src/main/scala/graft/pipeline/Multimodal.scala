@@ -302,20 +302,23 @@ object Multimodal {
     import ds.sparkSession.implicits._
     ds.mapPartitions { it =>
       val bos = new java.io.ByteArrayOutputStream()
+      val w = 9 * cell
+      val h = 8 * cell
+      val px = new Array[Int](w * h) // reused across rows in the partition
       it.map { case (id, seed) =>
         val levels = patternLevels(seed)
-        val img = new java.awt.image.BufferedImage(
-          9 * cell, 8 * cell, java.awt.image.BufferedImage.TYPE_INT_RGB)
         var y = 0
-        while (y < 8 * cell) {
+        while (y < h) {
           var x = 0
-          while (x < 9 * cell) {
-            val g = 32 + 64 * levels((y / cell) * 9 + (x / cell))
-            img.setRGB(x, y, g * 0x010101)
+          while (x < w) {
+            px(y * w + x) = (32 + 64 * levels((y / cell) * 9 + (x / cell))) * 0x010101
             x += 1
           }
           y += 1
         }
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        img.setRGB(0, 0, w, h, px, 0, w) // one bulk write, no per-pixel calls
         bos.reset()
         javax.imageio.ImageIO.write(img, format, bos)
         EncodedImage(id, bos.toByteArray)
