@@ -80,6 +80,8 @@ object Cli {
         |                                                Append mode emits CLOSED windows only — docs in the
         |                                                final still-open event-time window are not scored
         |                                                until a later event past the window arrives)
+        |  stream-classify <dir> <outDir>                NB quality classification at stream ingest (snapshot-fit
+        |                                                model; same closed-window emission as stream-perplexity)
         |  stream-embed-neardup <dir> <outDir>           embedding near-dup vs the corpus at stream ingest
         |  stream-tokenize <dir> <outDir>                BPE tokenization at stream ingest (snapshot-trained merges)
         |  stream-image-neardup <dir> <outDir>           perceptual image near-dup vs the corpus at stream ingest
@@ -811,6 +813,17 @@ object Cli {
         snapshot, vocabSize = 500, watermarkDelay = "0 seconds",
         windowDuration = "1 minute"), out)
       println(s"""{"stream_perplexity":"$out"}""")
+
+    // NB quality classification at ingest: model fit on the funnel-
+    // labeled static snapshot, each micro-batch scored via broadcast
+    // LLR tables. Same drain/window discipline as stream-perplexity.
+    case "stream-classify" :: dir :: out :: Nil =>
+      val stream = stagedDocStream(spark, dir, out)
+      val snapshot = Tables.read(spark, dir, "documents")
+      drainDocJob(streaming.StreamingJobs.classify(stream,
+        snapshot, vocabSize = 500, watermarkDelay = "0 seconds",
+        windowDuration = "1 minute"), out)
+      println(s"""{"stream_classify":"$out"}""")
 
     // perceptual image near-dup at ingest: odd docs arrive as lossy
     // JPEG renders and probe the static even-doc PNG corpus through

@@ -700,4 +700,120 @@ object Curation {
           col(scoreMicroCol) * lit(1000000L)).cast("int"))
       .drop("max_score")
   }
+
+  // ------------------------------------------------- quality classifier
+
+  /** Per-document 0/1 training label from the three-gate quality
+    * funnel: a document is a positive example iff it passes the
+    * composite score, the Gopher rules, AND the C4 page gates — the
+    * same heuristic-gates-as-weak-labels move CCNet (Wenzek et al.
+    * 2020) and the LLaMA corpus recipe use to bootstrap a learned
+    * quality classifier from rule output. Zero-exchange projection
+    * chain over one scan ([[funnelFlags]]).
+    */
+  def funnelLabels(df: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    funnelFlags(df, idCol, textCol, carry = Seq(textCol))
+      .select(col(idCol), col(textCol),
+        (col("score_keep") * col("keep") * col("page_keep")).as("cls"))
+
+  /** Fit a multinomial Naive Bayes text classifier over a labeled
+    * occurrence stream (`idCol, tok, cls` with cls ∈ {0,1}): returns
+    * the vocab-sized per-token log-likelihood-ratio table (integer
+    * micro-nats, add-one smoothing over a top-`vocabSize` vocabulary
+    * plus one OOV slot) and a single-row (oov_llr, prior_llr) table.
+    * NB is the closed-form sibling of the fastText/logistic quality
+    * classifiers the CCNet-style pipelines train: fitting is pure
+    * counting, so it distributes as ONE token-count shuffle with
+    * map-side combine and needs no gradient iterations.
+    *
+    * Scale shape: one groupBy on 8-byte-ish token keys; the vocab
+    * table is `vocabSize` rows (broadcast side of every scorer);
+    * class totals and the prior are single-row aggregates. At 100 TB
+    * the classifier would be trained on a SAMPLE of labeled docs
+    * (the caller picks the sample — [[stratifiedSample]]) and scored
+    * over the full corpus by broadcast join, exactly like
+    * [[unigramCostTables]]/[[unigramScore]].
+    */
+  def nbCostTables(labeledToks: DataFrame, labels: DataFrame,
+      vocabSize: Int): (DataFrame, DataFrame) = {
+    require(vocabSize > 0, "vocabSize must be positive")
+    val counts = labeledToks.groupBy("tok").agg(
+      sum(col("cls")).as("c1"),
+      (count(lit(1)) - sum(col("cls"))).as("c0"),
+      count(lit(1)).as("c"))
+    val totals = counts.agg(sum("c1").as("t1"), sum("c0").as("t0"))
+    val d1 = (col("t1") + lit(vocabSize + 1)).cast("double")
+    val d0 = (col("t0") + lit(vocabSize + 1)).cast("double")
+    val llr = counts.orderBy(col("c").desc, col("tok")).limit(vocabSize)
+      .crossJoin(broadcast(totals))
+      .select(col("tok"),
+        floor((log((col("c1") + 1).cast("double") / d1) -
+          log((col("c0") + 1).cast("double") / d0)) * 1e6)
+          .cast("long").as("llr"))
+    val oovAndPrior = totals.crossJoin(
+      labels.agg(sum(col("cls")).as("n1"),
+        (count(lit(1)) - sum(col("cls"))).as("n0")))
+      .select(
+        floor((log(lit(1.0) / d1) - log(lit(1.0) / d0)) * 1e6)
+          .cast("long").as("oov_llr"),
+        floor(log((col("n1") + 1).cast("double") /
+          (col("n0") + 1).cast("double")) * 1e6)
+          .cast("long").as("prior_llr"))
+    (llr, oovAndPrior)
+  }
+
+  /** Score an occurrence stream against a fitted NB model: broadcast
+    * LLR lookup, OOV fallback, integer per-group sum plus the class
+    * prior; `pred` = 1 iff the posterior log-odds are positive.
+    * `groupCols` is the per-document key for the batch path and
+    * (window, doc) for the streaming twin — identical expressions
+    * either way, which is what pins stream ≡ batch.
+    */
+  def nbScore(toks: DataFrame, groupCols: Seq[Column], llr: DataFrame,
+      oovAndPrior: DataFrame): DataFrame =
+    toks.join(broadcast(llr), Seq("tok"), "left")
+      .crossJoin(broadcast(oovAndPrior))
+      .groupBy(groupCols: _*)
+      .agg(count(lit(1)).as("n_tokens"),
+        (first(col("prior_llr")) +
+          sum(coalesce(col("llr"), col("oov_llr")))).as("llr_micro"))
+      .withColumn("pred", when(col("llr_micro") > 0, 1L).otherwise(0L))
+
+  /** The whole classifier lifecycle as one plan: label every document
+    * by the funnel gates, fit NB on the labeled corpus, score the same
+    * corpus back, and report each document's gate label next to the
+    * model's verdict — i.e. the training-set confusion table a real
+    * curation run inspects before trusting the classifier on unlabeled
+    * data. Output: (doc_id, cls, n_tokens, llr_micro, pred).
+    *
+    * Scale shape: the token-occurrence stream is cache-bracketed (it
+    * feeds the count shuffle and the scoring join); everything else is
+    * vocab-sized or single-row broadcasts.
+    */
+  def nbClassifier(df: DataFrame, idCol: String, textCol: String,
+      vocabSize: Int): DataFrame = {
+    val labels = funnelLabels(df, idCol, textCol)
+    val toks = labels.select(col(idCol), col("cls"),
+      explode(TF.tokens(col(textCol))).as("tok"))
+    graft.core.Caching.withCached(toks)(nbClassifierPlan(toks, idCol,
+      vocabSize))
+  }
+
+  /** Lazy plan of [[nbClassifier]] over a prepared labeled-occurrence
+    * frame (split out so Bench can fingerprint it — the cache bracket
+    * returns an opaque LogicalRDD).
+    */
+  private[graft] def nbClassifierPlan(labeledToks: DataFrame,
+      idCol: String, vocabSize: Int): DataFrame = {
+    val labels = labeledToks.groupBy(col(idCol))
+      .agg(max(col("cls")).as("cls"))
+    val (llr, oovPrior) = nbCostTables(labeledToks, labels, vocabSize)
+    // cls rides the scoring groupBy key (it is functionally dependent
+    // on the doc id), so the verdict lands next to the gate label with
+    // no join back
+    nbScore(labeledToks, Seq(col(idCol), col("cls")), llr, oovPrior)
+      .select(col(idCol), col("cls"), col("n_tokens"), col("llr_micro"),
+        col("pred"))
+  }
 }

@@ -405,6 +405,21 @@ object PipelineQueries {
     Curation.unigramLogLoss(t(s, dir, "documents"), "doc_id", "text",
       vocabSize = 500)
 
+  /** Learned quality classifier (p81): weak-label every document by
+    * the three-gate funnel, fit a multinomial Naive Bayes model on the
+    * labeled corpus in closed form (one token-count shuffle — the
+    * distributed stand-in for CCNet's fastText classifier), and score
+    * the corpus back, reporting the gate label next to the model
+    * verdict — the training-set confusion table a curation run reads
+    * before trusting the model on unlabeled data. The oracle refits
+    * the whole model from scratch (labels, vocabulary cut, add-one
+    * LLRs, OOV fallback, class prior), so a pass certifies the
+    * arithmetic end to end in integer micro-nats.
+    */
+  def p81NbClassifier(s: SparkSession, dir: String): DataFrame =
+    Curation.nbClassifier(t(s, dir, "documents"), "doc_id", "text",
+      vocabSize = 500)
+
   /** Near-dup cluster canonical selection: the p37 clusters, but the
     * survivor is the HIGHEST-QUALITY member (p09 score, ties to the
     * smaller id) rather than the minimum id — keep-best, the policy a
@@ -1544,6 +1559,7 @@ object PipelineQueries {
     "p78_exact_substrings" -> p78ExactSubstrings _,
     "p79_clustered_recall" -> p79ClusteredRecall _,
     "p80_audio_neardup" -> p80AudioNearDup _,
+    "p81_nb_classifier" -> p81NbClassifier _,
     "p50_temp_mix" -> p50TempMix _,
     "p51_hard_negatives" -> p51HardNegatives _,
     "p52_ivf_trained" -> p52IvfTrained _,
@@ -1958,10 +1974,65 @@ object PipelineQueries {
        |JOIN q ON d.doc_id = q.doc_id
        |GROUP BY d.source ORDER BY d.source""".stripMargin
 
+  /** NB classifier refit from scratch: funnel labels via the p61/p64/
+    * p09 oracle CTEs, one-pass class-conditional counts, the same
+    * top-500 vocabulary cut / add-one smoothing / micro-nat floors as
+    * [[Curation.nbCostTables]], prior from doc labels.
+    */
+  private def oNbClassifier: String =
+    s"""WITH g AS (${oracle0("p61_gopher_rules")}),
+       |c AS (${oracle0("p64_c4_lines")}),
+       |q AS (${oracle0("p09_quality")}),
+       |lab AS (
+       |  SELECT d.doc_id,
+       |    CAST(CASE WHEN q.score >= 0.5 THEN 1 ELSE 0 END
+       |         * g.keep * c.page_keep AS BIGINT) AS cls
+       |  FROM documents d
+       |  JOIN g ON d.doc_id = g.doc_id
+       |  JOIN c ON d.doc_id = c.doc_id
+       |  JOIN q ON d.doc_id = q.doc_id),
+       |toks AS (SELECT doc_id, unnest($oToks) AS tok FROM documents),
+       |lt AS (
+       |  SELECT t.doc_id, t.tok, lab.cls
+       |  FROM toks t JOIN lab ON t.doc_id = lab.doc_id),
+       |cnt AS (
+       |  SELECT tok, SUM(cls) AS c1, COUNT(*) - SUM(cls) AS c0,
+       |    COUNT(*) AS cc
+       |  FROM lt GROUP BY tok),
+       |tot AS (SELECT SUM(c1) AS t1, SUM(c0) AS t0 FROM cnt),
+       |vocab AS (SELECT tok, c1, c0 FROM cnt ORDER BY cc DESC, tok LIMIT 500),
+       |costs AS (
+       |  SELECT tok,
+       |    CAST(FLOOR((ln((c1 + 1) / CAST(t1 + 501 AS DOUBLE))
+       |              - ln((c0 + 1) / CAST(t0 + 501 AS DOUBLE))) * 1e6)
+       |      AS BIGINT) AS llr
+       |  FROM vocab, tot),
+       |ov AS (
+       |  SELECT CAST(FLOOR((ln(1 / CAST(t1 + 501 AS DOUBLE))
+       |                   - ln(1 / CAST(t0 + 501 AS DOUBLE))) * 1e6)
+       |    AS BIGINT) AS oov_llr
+       |  FROM tot),
+       |pri AS (
+       |  SELECT CAST(FLOOR(ln((SUM(cls) + 1)
+       |    / CAST(COUNT(*) - SUM(cls) + 1 AS DOUBLE)) * 1e6) AS BIGINT)
+       |    AS prior_llr
+       |  FROM lab)
+       |SELECT lt.doc_id, lt.cls,
+       |  CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |  CAST(pri.prior_llr + SUM(COALESCE(costs.llr, ov.oov_llr))
+       |    AS BIGINT) AS llr_micro,
+       |  CAST(CASE WHEN pri.prior_llr
+       |         + SUM(COALESCE(costs.llr, ov.oov_llr)) > 0
+       |       THEN 1 ELSE 0 END AS BIGINT) AS pred
+       |FROM lt CROSS JOIN ov CROSS JOIN pri
+       |LEFT JOIN costs ON lt.tok = costs.tok
+       |GROUP BY lt.doc_id, lt.cls, pri.prior_llr""".stripMargin
+
   def oracle: Map[String, String] =
     oracle0 + ("p56_ann_recall" -> oAnnRecall) +
       ("p66_quality_funnel" -> oQualityFunnel) +
-      ("p79_clustered_recall" -> oClusteredRecall)
+      ("p79_clustered_recall" -> oClusteredRecall) +
+      ("p81_nb_classifier" -> oNbClassifier)
 
   private lazy val oracle0: Map[String, String] = Map(
     "p01_exact_dedup" ->

@@ -115,6 +115,34 @@ object StreamingJobs {
         col("n_tokens"), col("nll_micro"), col("avg_nll_micro"))
   }
 
+  /** Ingest-time quality classification — the streaming twin of the
+    * NB classifier (p81). The model is fit IN BATCH over a funnel-
+    * labeled reference snapshot
+    * ([[graft.pipeline.Curation.nbCostTables]] — train on the
+    * snapshot, score the stream, as [[perplexityScore]]) and its
+    * vocab-sized LLR table plus the single-row (oov, prior) ride each
+    * micro-batch as broadcast static sides; scoring is
+    * [[graft.pipeline.Curation.nbScore]] verbatim, grouped by
+    * (event-time window, doc). State is bounded by open windows ×
+    * docs per window.
+    */
+  def classify(docs: DataFrame, refCorpus: DataFrame, vocabSize: Int,
+      watermarkDelay: String = "1 hour",
+      windowDuration: String = "1 hour"): DataFrame = {
+    val C = graft.pipeline.Curation
+    val labels = C.funnelLabels(refCorpus, "doc_id", "text")
+    val labeledToks = labels.select(col("doc_id"), col("cls"),
+      explode(graft.pipeline.TextFunctions.tokens(col("text"))).as("tok"))
+    val (llr, oovPrior) = C.nbCostTables(labeledToks, labels, vocabSize)
+    val toks = docs.withWatermark("ts", watermarkDelay)
+      .select(col("doc_id"), col("ts"),
+        explode(graft.pipeline.TextFunctions.tokens(col("text"))).as("tok"))
+    C.nbScore(toks, Seq(window(col("ts"), windowDuration), col("doc_id")),
+        llr, oovPrior)
+      .select(unix_micros(col("window.start")).as("ws_us"), col("doc_id"),
+        col("n_tokens"), col("llr_micro"), col("pred"))
+  }
+
   /** Ingest-time BPE tokenization — the streaming twin of the encode
     * query (p75). The merge table is trained IN BATCH over a
     * reference snapshot (train on the snapshot, tokenize the stream —

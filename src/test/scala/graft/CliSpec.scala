@@ -292,6 +292,25 @@ class CliSpec extends SparkSpec {
       batchPpl.exceptAll(sppl).count() == 0)
     assert(sppl.count() > 0)
 
+    // stream-classify: same drain discipline as stream-perplexity,
+    // scores equal the batch NB model for every closed window
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$out/scls"))
+    Cli.run(spark, List("stream-classify", sf0001, s"$out/scls"))
+    val scls = spark.read.parquet(s"$out/scls")
+      .select("ws_us", "doc_id", "n_tokens", "llr_micro", "pred")
+    val labB = C.funnelLabels(docsTs, "doc_id", "text")
+    val labToksB = labB.select(col("doc_id"), col("cls"),
+      explode(graft.pipeline.TextFunctions.tokens(col("text"))).as("tok"))
+    val (llrT, opT) = C.nbCostTables(labToksB, labB, vocabSize = 500)
+    val batchCls = C.nbScore(toksB,
+        Seq(window(col("ts"), "1 minute"), col("doc_id")), llrT, opT)
+      .filter(unix_micros(col("window.end")) <= nDocsAll * 1000000L)
+      .select(unix_micros(col("window.start")).as("ws_us"), col("doc_id"),
+        col("n_tokens"), col("llr_micro"), col("pred"))
+    assert(scls.exceptAll(batchCls).count() == 0 &&
+      batchCls.exceptAll(scls).count() == 0)
+    assert(scls.count() > 0)
+
     // stream-embed-neardup: a one-shot drain over the embeddings
     // equals the batch probe-pair plan on the same rows
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$out/semb"))

@@ -878,6 +878,50 @@ class PipelineSpec extends SparkSpec {
     assert(empt == ((2L, 1L, 0L, fp(""))))
   }
 
+  test("nb classifier separates disjoint vocabularies and matches a hand model") {
+    // two gate-passing docs with distinctive vocabulary, two failing
+    val good = (w: String) => (Seq("the", "and", "that", "with", "have")
+      ++ Seq.fill(12)(Seq(w + "one", w + "two", w + "three", "time",
+        "know").mkString(" "))
+      :+ "This closing sentence has five good words here. Yes it does! Fine.")
+      .mkString(" ")
+    val docs = Seq(
+      (1L, good("alpha")), (2L, good("beta")),
+      (3L, "spam spam buy pills"), (4L, "zzz qqq buy pills")
+    ).toDF("doc_id", "text")
+    val out = Curation.nbClassifier(docs, "doc_id", "text", vocabSize = 100)
+      .orderBy("doc_id")
+      .select("doc_id", "cls", "n_tokens", "llr_micro", "pred")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out.map(_._1) == Seq(1L, 2L, 3L, 4L))
+    // gate labels: the long clean docs pass the funnel, the short ones fail
+    assert(out.map(_._2) == Seq(1L, 1L, 0L, 0L))
+    // trained on disjoint vocabularies the model reproduces its labels
+    assert(out.map(_._5) == Seq(1L, 1L, 0L, 0L))
+    // hand-check one LLR: "pills" occurs twice, only in class 0.
+    // vocab = all distinct tokens (< 100), add-one smoothing
+    val toks = (d: String) => d.trim.split("\\s+").toSeq
+    val all = Seq(good("alpha"), good("beta"), "spam spam buy pills",
+      "zzz qqq buy pills").flatMap(toks)
+    val t1 = toks(good("alpha")).size + toks(good("beta")).size
+    val t0 = all.size - t1
+    val v = all.distinct.size
+    assert(v < 100) // vocabulary cut not in play
+    val llrPills = math.floor((math.log(1.0 / (t1 + 101)) -
+      math.log(3.0 / (t0 + 101))) * 1e6).toLong
+    // recover the pills LLR from two scored docs differing only by it:
+    // doc3 = spam spam buy pills, doc4 = zzz qqq buy pills share counts
+    // except spam(2,cls0) vs zzz+qqq(1 each,cls0) — instead check the
+    // additive decomposition directly on doc 3's score
+    val labels = Curation.funnelLabels(docs, "doc_id", "text")
+    val labeledToks = labels.select(col("doc_id"), col("cls"),
+      explode(graft.pipeline.TextFunctions.tokens(col("text"))).as("tok"))
+    val (llr, _) = Curation.nbCostTables(labeledToks, labels, 100)
+    val got = llr.filter(col("tok") === "pills").select("llr")
+      .as[Long].head()
+    assert(got == llrPills)
+  }
+
   test("PolyMap dispatches by domain and leaves unmapped domains null") {
     val facts = Seq((1L, "a", 10L), (2L, "b", 10L), (3L, "c", 10L), (4L, "a", 99L))
       .toDF("id", "dom", "fk")

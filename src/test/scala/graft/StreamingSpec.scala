@@ -434,6 +434,60 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming NB classification equals batch nbScore for closed windows") {
+    implicit val sqlCtx = spark.sqlContext
+    val C = graft.pipeline.Curation
+    // reference snapshot the model is fit on: one gate-passing doc
+    // (funnel label 1) with distinctive vocabulary, two failing docs
+    val good = (Seq("the", "and", "for", "that", "with", "have", "this",
+      "from", "they", "will") ++ Seq.fill(5)(Seq("when", "make", "time",
+      "just", "know", "take", "into", "year", "good", "some").mkString(" "))
+      :+ "This closing sentence has five good words here. Yes it does! Fine.")
+      .mkString(" ")
+    val ref = Seq(
+      (100L, good),
+      (101L, "spam spam buy pills"),
+      (102L, "zzz qqq vvv www")).toDF("doc_id", "text")
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val docs = mem.toDF().toDF("doc_id", "text", "ts")
+    val q = StreamingJobs.classify(docs, ref, vocabSize = 50)
+      .writeStream.format("memory").queryName("cls_s")
+      .outputMode("append").start()
+    try {
+      def ts(s: String) = Timestamp.valueOf(s)
+      val rows = Seq(
+        (1L, "good time with some year", ts("2024-01-01 00:10:00")),
+        (2L, "spam pills zzz", ts("2024-01-01 00:20:00")),
+        (3L, "unseen words only", ts("2024-01-01 00:40:00")))
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      // sentinel far in the future closes the 00:00 window
+      mem.addData((99L, "the", ts("2024-01-02 12:00:00")))
+      q.processAllAvailable()
+      val streamed = spark.table("cls_s")
+        .select("ws_us", "doc_id", "n_tokens", "llr_micro", "pred")
+        .as[(Long, Long, Long, Long, Long)].collect().toSeq.sorted
+      // batch: IDENTICAL scoring expressions over the same rows
+      val labels = C.funnelLabels(ref, "doc_id", "text")
+      val labeledToks = labels.select(col("doc_id"), col("cls"),
+        explode(graft.pipeline.TextFunctions.tokens(col("text"))).as("tok"))
+      val (llr, oovPrior) = C.nbCostTables(labeledToks, labels, 50)
+      val batchToks = rows.toDF("doc_id", "text", "ts")
+        .select(col("doc_id"), col("ts"),
+          explode(graft.pipeline.TextFunctions.tokens(col("text"))).as("tok"))
+      val batch = C.nbScore(batchToks,
+          Seq(window(col("ts"), "1 hour"), col("doc_id")), llr, oovPrior)
+        .select(unix_micros(col("window.start")).as("ws_us"), col("doc_id"),
+          col("n_tokens"), col("llr_micro"), col("pred"))
+        .as[(Long, Long, Long, Long, Long)].collect().toSeq.sorted
+      assert(streamed == batch)
+      assert(streamed.map(_._2) == Seq(1L, 2L, 3L))
+      // good-vocabulary doc scores strictly above the spam-vocabulary doc
+      val score = streamed.map(r => r._2 -> r._4).toMap
+      assert(score(1L) > score(2L))
+    } finally q.stop()
+  }
+
   test("streaming embedding near-dup equals the batch probe pairs") {
     implicit val sqlCtx = spark.sqlContext
     val corpus = Seq(
