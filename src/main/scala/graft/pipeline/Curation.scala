@@ -701,6 +701,83 @@ object Curation {
       .drop("max_score")
   }
 
+  // ---------------------------------------------------- bigram LM
+
+  /** One row per token POSITION with its predecessor — the shared
+    * front of the bigram-LM family: `(idCol, prev, cur)` where `prev`
+    * is null at position 1. The predecessor comes from the token array
+    * itself (`element_at` at pos−1 before the explode), so extraction
+    * is a zero-exchange projection — no per-document window/lag
+    * shuffle just to sequence tokens.
+    */
+  def bigramOccurrences(df: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    df.withColumn("__toks", TF.tokens(col(textCol)))
+      .select(col(idCol), col("__toks"),
+        posexplode(col("__toks")).as(Seq("pos0", "cur")))
+      .select(col(idCol),
+        when(col("pos0") >= 1, element_at(col("__toks"), col("pos0")))
+          .as("prev"),
+        col("cur"))
+
+  /** Interpolated bigram language-model scoring — the KenLM-shaped
+    * step past [[unigramLogLoss]]: every document scored by
+    * −ln(0.5·P(cur|prev) + 0.5·P(cur)) per token in integer
+    * micro-nats, where P(cur|prev) is the raw bigram MLE (0 when the
+    * bigram is unseen — the unigram term absorbs it, Jelinek-Mercer
+    * interpolation with λ=0.5) and P(cur) is the add-one-smoothed
+    * top-`vocabSize` unigram of p68. Position 1 of each document is
+    * scored by the unigram alone. Self-trained on the corpus, like
+    * the unigram query — the streaming move would broadcast the same
+    * fitted tables.
+    *
+    * Scale shape: unigram/context/vocab tables are vocabulary-sized
+    * broadcasts; the one corpus-scale exchange beyond the count
+    * shuffles is the (prev, cur) bigram-table join, an equi-join on
+    * two tokens (AQE handles the skewed-head keys). `minBigramCount`
+    * prunes the bigram table for 100-TB corpora where distinct
+    * bigrams dwarf the vocabulary — context totals stay UNPRUNED so
+    * probabilities keep summing below 1.
+    */
+  def bigramLogLoss(df: DataFrame, idCol: String, textCol: String,
+      vocabSize: Int, minBigramCount: Long = 1L): DataFrame = {
+    val occ = bigramOccurrences(df, idCol, textCol)
+    graft.core.Caching.withCached(occ)(
+      bigramLogLossPlan(occ, idCol, vocabSize, minBigramCount))
+  }
+
+  /** Lazy plan of [[bigramLogLoss]] over a prepared occurrence frame
+    * (split out so Bench can fingerprint it).
+    */
+  private[graft] def bigramLogLossPlan(occ: DataFrame, idCol: String,
+      vocabSize: Int, minBigramCount: Long): DataFrame = {
+    require(vocabSize > 0, "vocabSize must be positive")
+    val bg = occ.filter(col("prev").isNotNull)
+      .groupBy("prev", "cur").agg(count(lit(1)).as("cbi"))
+    val ctx = bg.groupBy("prev").agg(sum("cbi").as("cctx"))
+    val uni = occ.groupBy("cur").agg(count(lit(1)).as("cu"))
+    val tot = uni.agg(sum("cu").as("t"))
+    val vocab = uni.orderBy(col("cu").desc, col("cur")).limit(vocabSize)
+    val denom = (col("t") + lit(vocabSize + 1)).cast("double")
+    val puni = (coalesce(col("cu"), lit(0L)) + 1).cast("double") / denom
+    val pbi = coalesce(
+      col("cbi").cast("double") / col("cctx").cast("double"), lit(0.0))
+    occ
+      .join(broadcast(vocab), Seq("cur"), "left")
+      .join(bg.filter(col("cbi") >= minBigramCount), Seq("prev", "cur"),
+        "left")
+      .join(broadcast(ctx), Seq("prev"), "left")
+      .crossJoin(broadcast(tot))
+      .withColumn("cost",
+        when(col("prev").isNull, floor(-log(puni) * 1e6))
+          .otherwise(
+            floor(-log(lit(0.5) * pbi + lit(0.5) * puni) * 1e6))
+          .cast("long"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("cost")).as("nll_micro"))
+      .withColumn("avg_nll_micro", expr("nll_micro div n_tokens"))
+  }
+
   // ------------------------------------------------- quality classifier
 
   /** Per-document 0/1 training label from the three-gate quality

@@ -420,6 +420,18 @@ object PipelineQueries {
     Curation.nbClassifier(t(s, dir, "documents"), "doc_id", "text",
       vocabSize = 500)
 
+  /** Interpolated bigram-LM perplexity (p82): the KenLM-shaped step
+    * past p68 — every document scored by the Jelinek-Mercer mix of
+    * the raw bigram MLE and the add-one unigram (λ=0.5) in integer
+    * micro-nats, position 1 by the unigram alone. The oracle refits
+    * both count tables and replays the interpolation arithmetic, so a
+    * pass certifies the zero-exchange predecessor extraction, the
+    * unpruned context totals, and the per-position cost mix.
+    */
+  def p82BigramLm(s: SparkSession, dir: String): DataFrame =
+    Curation.bigramLogLoss(t(s, dir, "documents"), "doc_id", "text",
+      vocabSize = 500)
+
   /** Near-dup cluster canonical selection: the p37 clusters, but the
     * survivor is the HIGHEST-QUALITY member (p09 score, ties to the
     * smaller id) rather than the minimum id — keep-best, the policy a
@@ -1560,6 +1572,7 @@ object PipelineQueries {
     "p79_clustered_recall" -> p79ClusteredRecall _,
     "p80_audio_neardup" -> p80AudioNearDup _,
     "p81_nb_classifier" -> p81NbClassifier _,
+    "p82_bigram_lm" -> p82BigramLm _,
     "p50_temp_mix" -> p50TempMix _,
     "p51_hard_negatives" -> p51HardNegatives _,
     "p52_ivf_trained" -> p52IvfTrained _,
@@ -2028,11 +2041,56 @@ object PipelineQueries {
        |LEFT JOIN costs ON lt.tok = costs.tok
        |GROUP BY lt.doc_id, lt.cls, pri.prior_llr""".stripMargin
 
+  /** Bigram LM refit from scratch: positional predecessor extraction,
+    * bigram/context/unigram count tables, and the same λ=0.5
+    * interpolation + micro-nat floors as [[Curation.bigramLogLoss]].
+    */
+  private def oBigramLm: String =
+    s"""WITH base AS (SELECT doc_id, $oToks AS toks FROM documents),
+       |occ AS (
+       |  SELECT doc_id, toks[i] AS cur,
+       |    CASE WHEN i > 1 THEN toks[i - 1] END AS prev
+       |  FROM (SELECT doc_id, toks,
+       |          unnest(generate_series(1, len(toks))) AS i
+       |        FROM base)),
+       |bg AS (
+       |  SELECT prev, cur, COUNT(*) AS cbi FROM occ
+       |  WHERE prev IS NOT NULL GROUP BY prev, cur),
+       |ctx AS (SELECT prev, SUM(cbi) AS cctx FROM bg GROUP BY prev),
+       |uni AS (SELECT cur, COUNT(*) AS cu FROM occ GROUP BY cur),
+       |tot AS (SELECT SUM(cu) AS t FROM uni),
+       |vocab AS (SELECT cur, cu FROM uni ORDER BY cu DESC, cur LIMIT 500)
+       |SELECT o.doc_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(CASE WHEN o.prev IS NULL THEN
+       |      FLOOR(-ln((COALESCE(v.cu, 0) + 1) / CAST(t + 501 AS DOUBLE)) * 1e6)
+       |    ELSE
+       |      FLOOR(-ln(0.5 * COALESCE(CAST(bg.cbi AS DOUBLE)
+       |                             / CAST(ctx.cctx AS DOUBLE), 0.0)
+       |        + 0.5 * ((COALESCE(v.cu, 0) + 1) / CAST(t + 501 AS DOUBLE)))
+       |        * 1e6)
+       |    END) AS BIGINT) AS nll_micro,
+       |  CAST(SUM(CASE WHEN o.prev IS NULL THEN
+       |      FLOOR(-ln((COALESCE(v.cu, 0) + 1) / CAST(t + 501 AS DOUBLE)) * 1e6)
+       |    ELSE
+       |      FLOOR(-ln(0.5 * COALESCE(CAST(bg.cbi AS DOUBLE)
+       |                             / CAST(ctx.cctx AS DOUBLE), 0.0)
+       |        + 0.5 * ((COALESCE(v.cu, 0) + 1) / CAST(t + 501 AS DOUBLE)))
+       |        * 1e6)
+       |    END) AS BIGINT) // COUNT(*) AS avg_nll_micro
+       |FROM occ o
+       |LEFT JOIN vocab v ON o.cur = v.cur
+       |LEFT JOIN bg ON o.prev = bg.prev AND o.cur = bg.cur
+       |LEFT JOIN ctx ON o.prev = ctx.prev
+       |CROSS JOIN tot
+       |GROUP BY o.doc_id""".stripMargin
+
   def oracle: Map[String, String] =
     oracle0 + ("p56_ann_recall" -> oAnnRecall) +
       ("p66_quality_funnel" -> oQualityFunnel) +
       ("p79_clustered_recall" -> oClusteredRecall) +
-      ("p81_nb_classifier" -> oNbClassifier)
+      ("p81_nb_classifier" -> oNbClassifier) +
+      ("p82_bigram_lm" -> oBigramLm)
 
   private lazy val oracle0: Map[String, String] = Map(
     "p01_exact_dedup" ->

@@ -922,6 +922,36 @@ class PipelineSpec extends SparkSpec {
     assert(got == llrPills)
   }
 
+  test("bigram LM interpolates bigram MLE with smoothed unigram; pruning keeps ctx") {
+    val docs = Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
+    // hand model: uni a:3 b:2 c:1 (T=6, denom=17 at V=10);
+    // bg (a,b):2 (b,a):1 (a,c):1; ctx a:3 b:1
+    val denom = 17.0
+    def pu(c: Long) = (c + 1) / denom
+    def cost(p: Double) = math.floor(-math.log(p) * 1e6).toLong
+    val d1 = cost(pu(3)) + cost(0.5 * (2.0 / 3.0) + 0.5 * pu(2)) +
+      cost(0.5 * (1.0 / 1.0) + 0.5 * pu(3)) +
+      cost(0.5 * (2.0 / 3.0) + 0.5 * pu(2))
+    val d2 = cost(pu(3)) + cost(0.5 * (1.0 / 3.0) + 0.5 * pu(1))
+    val out = Curation.bigramLogLoss(docs, "doc_id", "text", vocabSize = 10)
+      .orderBy("doc_id")
+      .select("doc_id", "n_tokens", "nll_micro", "avg_nll_micro")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 4L, d1, d1 / 4), (2L, 2L, d2, d2 / 2)))
+    // minBigramCount=2 prunes the singleton bigrams from the SCORING
+    // table but context totals stay unpruned: their bigram term drops
+    // to 0, the (a,b) bigram keeps its 2/3 MLE
+    val d1p = cost(pu(3)) + cost(0.5 * (2.0 / 3.0) + 0.5 * pu(2)) +
+      cost(0.5 * 0.0 + 0.5 * pu(3)) +
+      cost(0.5 * (2.0 / 3.0) + 0.5 * pu(2))
+    val d2p = cost(pu(3)) + cost(0.5 * 0.0 + 0.5 * pu(1))
+    val pruned = Curation.bigramLogLoss(docs, "doc_id", "text",
+        vocabSize = 10, minBigramCount = 2L)
+      .orderBy("doc_id").select("doc_id", "nll_micro")
+      .as[(Long, Long)].collect().toSeq
+    assert(pruned == Seq((1L, d1p), (2L, d2p)))
+  }
+
   test("PolyMap dispatches by domain and leaves unmapped domains null") {
     val facts = Seq((1L, "a", 10L), (2L, "b", 10L), (3L, "c", 10L), (4L, "a", 99L))
       .toDF("id", "dom", "fk")
