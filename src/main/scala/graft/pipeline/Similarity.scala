@@ -925,6 +925,48 @@ object Similarity {
         floor(-col("sim") * 1e6).cast("long").as("adist_micro"))
   }
 
+  /** IVF-PQ with an exact refine stage (FAISS's IVFPQ+refine): the
+    * compressed ADC pass produces a top-`rerank` SHORTLIST per query,
+    * and only those Q·rerank candidates are re-scored against their
+    * FULL vectors by exact cosine for the final top-`k`. This is the
+    * production answer to PQ's quantization error: recall of the wide
+    * compressed scan, precision of an exact pass whose cost is
+    * bounded by the shortlist, not the corpus.
+    *
+    * Scale shape: the ADC stage is [[ivfPqTopK]] verbatim (codes-only
+    * exchange). The refine stage BROADCASTS the Q·rerank shortlist
+    * (already joined with the raw query vectors — both bounded by
+    * design) against the corpus scan, so full vectors are never
+    * shuffled: the hash-join filter drops non-shortlist rows map-side
+    * and the exact cosine runs on the scan projection. Output carries
+    * `adc_rank` next to the exact rank so the reordering the refine
+    * pass exists to fix is visible.
+    */
+  def ivfPqRefineTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, coarseFilter: Column,
+      pqFilter: Column, m: Int, dim: Int, k: Int, nprobe: Int,
+      rerank: Int): DataFrame = {
+    require(rerank >= k, "rerank must be >= k")
+    val shortlist = ivfPqTopK(corpus, queries, idCol, vecCol,
+        coarseFilter, pqFilter, m, dim, rerank, nprobe)
+      .select(col("query_id"), col("cand_id"), col("rank").as("adc_rank"))
+    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      l2norm(col(vecCol)).as("qn"))
+    val cv = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cv"),
+      l2norm(col(vecCol)).as("cn"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("cand_id").asc)
+    broadcast(shortlist.join(qv, Seq("query_id")))
+      .join(cv, Seq("cand_id"))
+      .withColumn("sim",
+        cosinePre(dot(col("qv"), col("cv")), col("qn"), col("cn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long"), col("cand_id"),
+        floor(col("sim") * 1e6).cast("long").as("sim_micro"),
+        col("adc_rank"))
+  }
+
   private def pqTopKWith(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, m: Int, dim: Int,
       books: IndexedSeq[Array[(Long, Array[Float])]], k: Int): DataFrame = {

@@ -1384,6 +1384,22 @@ object PipelineQueries {
       pqFilter = col("vec_id") < 8, m = 4, dim = 64, k = 5, nprobe = 4)
   }
 
+  /** IVF-PQ with exact refine (p83 — FAISS's IVFPQ+refine): the p74
+    * compressed ADC pass widened to a top-20 shortlist, then ONLY
+    * those Q·20 candidates re-scored against their full vectors by
+    * exact cosine for the final top-5. `adc_rank` rides next to the
+    * exact rank, so the reordering the refine stage exists to fix is
+    * visible in the output. The oracle replays ADC shortlist AND
+    * exact re-rank end to end.
+    */
+  def p83IvfPqRefine(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.ivfPqRefineTopK(emb, emb.filter(col("vec_id") < 20),
+      "vec_id", "embedding", coarseFilter = col("vec_id") % 25 === 0,
+      pqFilter = col("vec_id") < 8, m = 4, dim = 64, k = 5, nprobe = 4,
+      rerank = 20)
+  }
+
   /** Ingest-time embedding near-dup, batch view
     * ([[Similarity.ivfProbePairs]] — the vector analogue of
     * stream-neardup-verified): every 10th vector plays the incoming
@@ -1573,6 +1589,7 @@ object PipelineQueries {
     "p80_audio_neardup" -> p80AudioNearDup _,
     "p81_nb_classifier" -> p81NbClassifier _,
     "p82_bigram_lm" -> p82BigramLm _,
+    "p83_ivfpq_refine" -> p83IvfPqRefine _,
     "p50_temp_mix" -> p50TempMix _,
     "p51_hard_negatives" -> p51HardNegatives _,
     "p52_ivf_trained" -> p52IvfTrained _,
@@ -1597,6 +1614,75 @@ object PipelineQueries {
     s"""(list_sum(list_transform(generate_series(1, 64), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))
        | / (sqrt(list_sum(list_transform(generate_series(1, 64), i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE))))
        |    * sqrt(list_sum(list_transform(generate_series(1, 64), i -> CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))))))""".stripMargin
+
+  /** The IVF-PQ ADC replay shared by p74 and p83: coarse assignment,
+    * per-subspace code assignment (m=4 over dim 64, codebook vec_id<8,
+    * coarse centroids vec_id%25=0), probe set (nprobe=4, queries
+    * vec_id<20) and the asymmetric distance of every in-probe
+    * candidate — the CTE chain ends at `ad(query_id, cand_id, adist)`.
+    */
+  private lazy val oIvfPqAd: String = {
+    def oDotAt(a: String, b: String, s: Int): String =
+      s"""list_sum(list_transform(generate_series(1, 16),
+         |        i -> CAST($a[${s * 16} + i] AS DOUBLE)
+         |             * CAST($b[${s * 16} + i] AS DOUBLE)))""".stripMargin
+    def oD2At(a: String, b: String, s: Int): String =
+      s"""(${oDotAt(a, a, s)}
+         |     - 2 * ${oDotAt(a, b, s)}
+         |     + ${oDotAt(b, b, s)})""".stripMargin
+    val terms = (0 until 4)
+      .map(s => oD2At("q.qv", s"e$s.ce", s)).mkString("\n    + ")
+    s"""WITH ccents AS (
+       |  SELECT vec_id AS cent_id, embedding AS ce FROM embeddings
+       |  WHERE vec_id % 25 = 0),
+       |assign AS (
+       |  SELECT e.vec_id, cent_id,
+       |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${oCos("e.embedding", "ce")} DESC, cent_id ASC) AS rn
+       |  FROM embeddings e, ccents),
+       |cells AS (SELECT vec_id, cent_id FROM assign WHERE rn = 1),
+       |probes AS (SELECT vec_id, cent_id FROM assign
+       |           WHERE rn <= 4 AND vec_id < 20),
+       |pcents AS (
+       |  SELECT vec_id AS cent_id, embedding AS ce FROM embeddings
+       |  WHERE vec_id < 8),
+       |subs AS (SELECT unnest(generate_series(0, 3)) AS s),
+       |scored AS (
+       |  SELECT e.vec_id, subs.s, c.cent_id,
+       |    ROW_NUMBER() OVER (PARTITION BY e.vec_id, subs.s ORDER BY
+       |      (list_sum(list_transform(generate_series(1, 16),
+       |         i -> CAST(e.embedding[subs.s*16 + i] AS DOUBLE)
+       |              * CAST(e.embedding[subs.s*16 + i] AS DOUBLE)))
+       |       - 2 * list_sum(list_transform(generate_series(1, 16),
+       |         i -> CAST(e.embedding[subs.s*16 + i] AS DOUBLE)
+       |              * CAST(c.ce[subs.s*16 + i] AS DOUBLE)))
+       |       + list_sum(list_transform(generate_series(1, 16),
+       |         i -> CAST(c.ce[subs.s*16 + i] AS DOUBLE)
+       |              * CAST(c.ce[subs.s*16 + i] AS DOUBLE)))) ASC,
+       |      c.cent_id ASC) AS rn
+       |  FROM embeddings e, pcents c, subs),
+       |codesw AS (
+       |  SELECT vec_id,
+       |    MAX(CASE WHEN s = 0 THEN cent_id END) AS c0,
+       |    MAX(CASE WHEN s = 1 THEN cent_id END) AS c1,
+       |    MAX(CASE WHEN s = 2 THEN cent_id END) AS c2,
+       |    MAX(CASE WHEN s = 3 THEN cent_id END) AS c3
+       |  FROM scored WHERE rn = 1 GROUP BY vec_id),
+       |q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+       |      WHERE vec_id < 20),
+       |ad AS (
+       |  SELECT q.query_id, w.vec_id AS cand_id,
+       |    ($terms) AS adist
+       |  FROM q
+       |  JOIN probes pr ON pr.vec_id = q.query_id
+       |  JOIN cells cc ON cc.cent_id = pr.cent_id
+       |  JOIN codesw w ON w.vec_id = cc.vec_id
+       |  JOIN pcents e0 ON e0.cent_id = w.c0
+       |  JOIN pcents e1 ON e1.cent_id = w.c1
+       |  JOIN pcents e2 ON e2.cent_id = w.c2
+       |  JOIN pcents e3 ON e3.cent_id = w.c3
+       |  WHERE q.query_id != w.vec_id)""".stripMargin
+  }
 
   /** The p21 Lloyd step chained `iters` times: each round assigns by
     * cosine (ties to the smaller centroid id), takes fixed-point
@@ -2736,73 +2822,32 @@ object PipelineQueries {
          |JOIN embeddings c ON c.vec_id = cl.vec_id
          |WHERE pr.vec_id != cl.vec_id
          |  AND FLOOR(${oCos("q.embedding", "c.embedding")} * 1e6) >= 200000""".stripMargin,
-    "p74_ivfpq" -> {
-      def oDotAt(a: String, b: String, s: Int): String =
-        s"""list_sum(list_transform(generate_series(1, 16),
-           |        i -> CAST($a[${s * 16} + i] AS DOUBLE)
-           |             * CAST($b[${s * 16} + i] AS DOUBLE)))""".stripMargin
-      def oD2At(a: String, b: String, s: Int): String =
-        s"""(${oDotAt(a, a, s)}
-           |     - 2 * ${oDotAt(a, b, s)}
-           |     + ${oDotAt(b, b, s)})""".stripMargin
-      val terms = (0 until 4)
-        .map(s => oD2At("q.qv", s"e$s.ce", s)).mkString("\n    + ")
-      s"""WITH ccents AS (
-         |  SELECT vec_id AS cent_id, embedding AS ce FROM embeddings
-         |  WHERE vec_id % 25 = 0),
-         |assign AS (
-         |  SELECT e.vec_id, cent_id,
-         |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
-         |      ORDER BY ${oCos("e.embedding", "ce")} DESC, cent_id ASC) AS rn
-         |  FROM embeddings e, ccents),
-         |cells AS (SELECT vec_id, cent_id FROM assign WHERE rn = 1),
-         |probes AS (SELECT vec_id, cent_id FROM assign
-         |           WHERE rn <= 4 AND vec_id < 20),
-         |pcents AS (
-         |  SELECT vec_id AS cent_id, embedding AS ce FROM embeddings
-         |  WHERE vec_id < 8),
-         |subs AS (SELECT unnest(generate_series(0, 3)) AS s),
-         |scored AS (
-         |  SELECT e.vec_id, subs.s, c.cent_id,
-         |    ROW_NUMBER() OVER (PARTITION BY e.vec_id, subs.s ORDER BY
-         |      (list_sum(list_transform(generate_series(1, 16),
-         |         i -> CAST(e.embedding[subs.s*16 + i] AS DOUBLE)
-         |              * CAST(e.embedding[subs.s*16 + i] AS DOUBLE)))
-         |       - 2 * list_sum(list_transform(generate_series(1, 16),
-         |         i -> CAST(e.embedding[subs.s*16 + i] AS DOUBLE)
-         |              * CAST(c.ce[subs.s*16 + i] AS DOUBLE)))
-         |       + list_sum(list_transform(generate_series(1, 16),
-         |         i -> CAST(c.ce[subs.s*16 + i] AS DOUBLE)
-         |              * CAST(c.ce[subs.s*16 + i] AS DOUBLE)))) ASC,
-         |      c.cent_id ASC) AS rn
-         |  FROM embeddings e, pcents c, subs),
-         |codesw AS (
-         |  SELECT vec_id,
-         |    MAX(CASE WHEN s = 0 THEN cent_id END) AS c0,
-         |    MAX(CASE WHEN s = 1 THEN cent_id END) AS c1,
-         |    MAX(CASE WHEN s = 2 THEN cent_id END) AS c2,
-         |    MAX(CASE WHEN s = 3 THEN cent_id END) AS c3
-         |  FROM scored WHERE rn = 1 GROUP BY vec_id),
-         |q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
-         |      WHERE vec_id < 20),
-         |ad AS (
-         |  SELECT q.query_id, w.vec_id AS cand_id,
-         |    ($terms) AS adist
-         |  FROM q
-         |  JOIN probes pr ON pr.vec_id = q.query_id
-         |  JOIN cells cc ON cc.cent_id = pr.cent_id
-         |  JOIN codesw w ON w.vec_id = cc.vec_id
-         |  JOIN pcents e0 ON e0.cent_id = w.c0
-         |  JOIN pcents e1 ON e1.cent_id = w.c1
-         |  JOIN pcents e2 ON e2.cent_id = w.c2
-         |  JOIN pcents e3 ON e3.cent_id = w.c3
-         |  WHERE q.query_id != w.vec_id)
+    "p74_ivfpq" ->
+      s"""$oIvfPqAd
          |SELECT query_id, cand_id, CAST(rn AS BIGINT) AS rank,
          |  CAST(FLOOR(adist * 1e6) AS BIGINT) AS adist_micro
          |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
          |        ORDER BY adist ASC, cand_id ASC) AS rn FROM ad)
-         |WHERE rn <= 5""".stripMargin
-    },
+         |WHERE rn <= 5""".stripMargin,
+    "p83_ivfpq_refine" ->
+      s"""$oIvfPqAd,
+         |sl AS (
+         |  SELECT query_id, cand_id, rn AS adc_rank
+         |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |          ORDER BY adist ASC, cand_id ASC) AS rn FROM ad)
+         |  WHERE rn <= 20),
+         |rer AS (
+         |  SELECT sl.query_id, sl.cand_id, sl.adc_rank,
+         |    ${oCos("qe.embedding", "ce.embedding")} AS sim
+         |  FROM sl
+         |  JOIN embeddings qe ON qe.vec_id = sl.query_id
+         |  JOIN embeddings ce ON ce.vec_id = sl.cand_id)
+         |SELECT query_id, CAST(rn AS BIGINT) AS rank, cand_id,
+         |  CAST(FLOOR(sim * 1e6) AS BIGINT) AS sim_micro,
+         |  CAST(adc_rank AS BIGINT) AS adc_rank
+         |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |        ORDER BY sim DESC, cand_id ASC) AS rn FROM rer)
+         |WHERE rn <= 5""".stripMargin,
     "p50_temp_mix" ->
       s"""WITH c AS (
          |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs

@@ -94,6 +94,18 @@ class PlansSpec extends SparkSpec {
     assert(!m.get.group(1).contains("cv#"), m.get.group(1))
   }
 
+  test("IVF-PQ refine broadcasts the shortlist; full vectors never shuffle (p83)") {
+    val p = plan(PipelineQueries.p83IvfPqRefine(spark, sf0001))
+    // the exact re-rank reaches the corpus scan through a broadcast of
+    // the Q·rerank shortlist — full vectors are filtered map-side and
+    // consumed by the cosine projection, never hash-partitioned
+    assert(p.contains("BroadcastHashJoin"), p)
+    val exIn = """\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]"""
+      .r.findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(exIn.nonEmpty, p)
+    exIn.foreach(in => assert(!in.contains("cv#"), in))
+  }
+
   test("bpe pair counting is one shuffle + top-k, pair keys only (p62)") {
     val p = plan(PipelineQueries.p62BpePairs(spark, sf0001))
     val exchanges = """Exchange \(\d""".r.findAllIn(p).size
