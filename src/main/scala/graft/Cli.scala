@@ -822,7 +822,8 @@ object Cli {
       val snapshot = Tables.read(spark, dir, "documents")
       drainDocJob(streaming.StreamingJobs.classify(stream,
         snapshot, vocabSize = 500, watermarkDelay = "0 seconds",
-        windowDuration = "1 minute"), out)
+        windowDuration = "1 minute",
+        profile = pipeline.Curation.GateProfile.wordSalad), out)
       println(s"""{"stream_classify":"$out"}""")
 
     // perceptual image near-dup at ingest: odd docs arrive as lossy

@@ -475,19 +475,40 @@ object Curation {
         col("clean_fp")): _*)
   }
 
+  /** Threshold bundle for the three-gate funnel. [[GateProfile.published]]
+    * is the literature defaults (Rae §A1.1 / Raffel §2.2 — what p61 and
+    * p64 pin); [[GateProfile.wordSalad]] is the documented corpus
+    * profile for punctuation-free synthetic text (the same knobs the
+    * CLI `curate` relaxes, and for the same reason: the published
+    * thresholds admit ZERO documents of such a corpus, which would
+    * degenerate any weak-label training on it). The gate EXPRESSIONS
+    * are identical either way — only thresholds move.
+    */
+  final case class GateProfile(minWords: Long, minStopwords: Long,
+      minLineWords: Int, requireTerminalPunct: Boolean, minSentences: Long)
+  object GateProfile {
+    val published: GateProfile = GateProfile(50, 2, 5,
+      requireTerminalPunct = true, 3)
+    val wordSalad: GateProfile = GateProfile(20, 1, 3,
+      requireTerminalPunct = false, 0)
+  }
+
   /** Per-document flags of the three-gate quality funnel — the shared
     * per-row stage of the batch per-source rollup (p66) and the
     * streaming ingest funnel
     * ([[graft.streaming.StreamingJobs.ingestFunnel]]): the composite
     * quality score (≥ 0.5), the Gopher rule set, and the C4 page
-    * gates (published thresholds), composed as one zero-exchange
+    * gates (published thresholds by default — see [[GateProfile]]),
+    * composed as one zero-exchange
     * projection chain over a single scan. Output carries `score_keep`,
     * the Gopher `keep`, and the C4 `page_keep` per document plus any
     * `carry` columns.
     */
   def funnelFlags(df: DataFrame, idCol: String, textCol: String,
-      carry: Seq[String] = Nil): DataFrame = {
-    val gated = gopherGates(df, idCol, textCol, carry = textCol +: carry)
+      carry: Seq[String] = Nil,
+      profile: GateProfile = GateProfile.published): DataFrame = {
+    val gated = gopherGates(df, idCol, textCol, carry = textCol +: carry,
+      minWords = profile.minWords, minStopwords = profile.minStopwords)
     val toks = TF.tokens(col(textCol))
     val scored = gated
       .withColumn("mean_len",
@@ -503,7 +524,10 @@ object Curation {
         when(TF.qualityScore(col("n_toks"), col("mean_len"),
           col("punct_ratio"), col("stop_ratio")) >= 0.5, 1L).otherwise(0L))
     c4PageGates(scored, idCol, textCol,
-      carry = carry ++ Seq("keep", "score_keep"))
+      carry = carry ++ Seq("keep", "score_keep"),
+      minLineWords = profile.minLineWords,
+      requireTerminalPunct = profile.requireTerminalPunct,
+      minSentences = profile.minSentences)
   }
 
   /** [[segmentDedup]]'s removal twin — the part of the C4 rule that
@@ -788,11 +812,12 @@ object Curation {
     * quality classifier from rule output. Zero-exchange projection
     * chain over one scan ([[funnelFlags]]).
     */
-  def funnelLabels(df: DataFrame, idCol: String,
-      textCol: String): DataFrame =
-    funnelFlags(df, idCol, textCol, carry = Seq(textCol))
-      .select(col(idCol), col(textCol),
-        (col("score_keep") * col("keep") * col("page_keep")).as("cls"))
+  def funnelLabels(df: DataFrame, idCol: String, textCol: String,
+      carry: Seq[String] = Nil,
+      profile: GateProfile = GateProfile.published): DataFrame =
+    funnelFlags(df, idCol, textCol, carry = textCol +: carry, profile)
+      .select(col(idCol) +: carry.map(col) ++: Seq(col(textCol),
+        (col("score_keep") * col("keep") * col("page_keep")).as("cls")): _*)
 
   /** Fit a multinomial Naive Bayes text classifier over a labeled
     * occurrence stream (`idCol, tok, cls` with cls ∈ {0,1}): returns
@@ -869,12 +894,13 @@ object Curation {
     * vocab-sized or single-row broadcasts.
     */
   def nbClassifier(df: DataFrame, idCol: String, textCol: String,
-      vocabSize: Int): DataFrame = {
-    val labels = funnelLabels(df, idCol, textCol)
-    val toks = labels.select(col(idCol), col("cls"),
-      explode(TF.tokens(col(textCol))).as("tok"))
+      vocabSize: Int, carry: Seq[String] = Nil,
+      profile: GateProfile = GateProfile.published): DataFrame = {
+    val labels = funnelLabels(df, idCol, textCol, carry, profile)
+    val toks = labels.select(col(idCol) +: carry.map(col) ++:
+      Seq(col("cls"), explode(TF.tokens(col(textCol))).as("tok")): _*)
     graft.core.Caching.withCached(toks)(nbClassifierPlan(toks, idCol,
-      vocabSize))
+      vocabSize, carry))
   }
 
   /** Lazy plan of [[nbClassifier]] over a prepared labeled-occurrence
@@ -882,15 +908,16 @@ object Curation {
     * returns an opaque LogicalRDD).
     */
   private[graft] def nbClassifierPlan(labeledToks: DataFrame,
-      idCol: String, vocabSize: Int): DataFrame = {
+      idCol: String, vocabSize: Int, carry: Seq[String] = Nil): DataFrame = {
     val labels = labeledToks.groupBy(col(idCol))
       .agg(max(col("cls")).as("cls"))
     val (llr, oovPrior) = nbCostTables(labeledToks, labels, vocabSize)
-    // cls rides the scoring groupBy key (it is functionally dependent
-    // on the doc id), so the verdict lands next to the gate label with
-    // no join back
-    nbScore(labeledToks, Seq(col(idCol), col("cls")), llr, oovPrior)
-      .select(col(idCol), col("cls"), col("n_tokens"), col("llr_micro"),
-        col("pred"))
+    // cls (and any carry column) rides the scoring groupBy key — all
+    // functionally dependent on the doc id — so the verdict lands next
+    // to the gate label with no join back
+    nbScore(labeledToks,
+        col(idCol) +: carry.map(col) :+ col("cls"), llr, oovPrior)
+      .select(col(idCol) +: carry.map(col) ++: Seq(col("cls"),
+        col("n_tokens"), col("llr_micro"), col("pred")): _*)
   }
 }

@@ -417,8 +417,34 @@ object PipelineQueries {
     * arithmetic end to end in integer micro-nats.
     */
   def p81NbClassifier(s: SparkSession, dir: String): DataFrame =
+    // wordSalad gate profile: the published thresholds admit zero
+    // documents of the punctuation-free synthetic corpus, which would
+    // train the model on all-negative labels (see GateProfile)
     Curation.nbClassifier(t(s, dir, "documents"), "doc_id", "text",
-      vocabSize = 500)
+      vocabSize = 500, profile = Curation.GateProfile.wordSalad)
+
+  /** Classifier-vs-gates audit (p84): per source, where the learned
+    * NB model and the heuristic funnel DISAGREE — `n_rescued` (gates
+    * reject, model keeps) and `n_rejected` (gates keep, model
+    * rejects) next to both keep counts. This is the table a curation
+    * team reads before swapping rule gates for the model. The source
+    * column rides the classifier's own scoring key (functionally
+    * dependent on the doc id), so the rollup adds one
+    * source-cardinality exchange and no join.
+    */
+  def p84ClassifierAudit(s: SparkSession, dir: String): DataFrame =
+    Curation.nbClassifier(t(s, dir, "documents"), "doc_id", "text",
+        vocabSize = 500, carry = Seq("source"),
+        profile = Curation.GateProfile.wordSalad)
+      .groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("cls")).as("n_gate_keep"),
+        sum(col("pred")).as("n_model_keep"),
+        sum(when(col("cls") === 0 && col("pred") === 1, 1L).otherwise(0L))
+          .as("n_rescued"),
+        sum(when(col("cls") === 1 && col("pred") === 0, 1L).otherwise(0L))
+          .as("n_rejected"))
+      .orderBy("source")
 
   /** Interpolated bigram-LM perplexity (p82): the KenLM-shaped step
     * past p68 — every document scored by the Jelinek-Mercer mix of
@@ -1590,6 +1616,7 @@ object PipelineQueries {
     "p81_nb_classifier" -> p81NbClassifier _,
     "p82_bigram_lm" -> p82BigramLm _,
     "p83_ivfpq_refine" -> p83IvfPqRefine _,
+    "p84_classifier_audit" -> p84ClassifierAudit _,
     "p50_temp_mix" -> p50TempMix _,
     "p51_hard_negatives" -> p51HardNegatives _,
     "p52_ivf_trained" -> p52IvfTrained _,
@@ -2073,14 +2100,100 @@ object PipelineQueries {
        |JOIN q ON d.doc_id = q.doc_id
        |GROUP BY d.source ORDER BY d.source""".stripMargin
 
+  /** The p61 Gopher oracle, parameterized on the [[Curation.GateProfile]]
+    * thresholds (the published defaults ARE the p61 entry).
+    */
+  private def oGopherRules(minWords: Int = 50, minStop: Int = 2): String = {
+    val stopCases = TF.gopherStopwords.map(w =>
+      s"CASE WHEN list_contains(lw, '$w') THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH base AS (
+       |  SELECT doc_id, text, $oToks AS toks,
+       |    string_split(text, chr(10)) AS lines
+       |  FROM documents),
+       |m AS (
+       |  SELECT doc_id,
+       |    CAST(len(toks) AS BIGINT) AS n_toks,
+       |    CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT) AS sum_len,
+       |    CAST(len(lines) AS BIGINT) AS n_lines,
+       |    CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) AS n_hash,
+       |    CAST(len(list_filter(lines, l -> rtrim(l) LIKE '%...')) AS BIGINT) AS n_ell,
+       |    CAST(len(list_filter(lines, l ->
+       |      substr(ltrim(l), 1, 1) IN ('-', '*', '•'))) AS BIGINT) AS n_bul,
+       |    CAST(len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
+       |    ($stopCases) AS n_stop
+       |  FROM (SELECT doc_id, text, toks, lines,
+       |          list_transform(toks, t -> lower(t)) AS lw FROM base)),
+       |f AS (
+       |  SELECT doc_id, n_toks,
+       |    CASE WHEN n_toks >= $minWords AND n_toks <= 100000 THEN 1 ELSE 0 END AS r_words,
+       |    CASE WHEN sum_len >= n_toks * 3 AND sum_len <= n_toks * 10 THEN 1 ELSE 0 END AS r_mean_len,
+       |    CASE WHEN n_hash * 10 <= n_toks THEN 1 ELSE 0 END AS r_hash,
+       |    CASE WHEN n_ell * 10 <= n_lines * 3 THEN 1 ELSE 0 END AS r_ellipsis,
+       |    CASE WHEN n_bul * 10 <= n_lines * 9 THEN 1 ELSE 0 END AS r_bullet,
+       |    CASE WHEN n_alpha * 5 >= n_toks * 4 THEN 1 ELSE 0 END AS r_alpha,
+       |    CASE WHEN n_stop >= $minStop THEN 1 ELSE 0 END AS r_stop
+       |  FROM m)
+       |SELECT doc_id, n_toks,
+       |  CAST(r_words AS BIGINT) AS r_words,
+       |  CAST(r_mean_len AS BIGINT) AS r_mean_len,
+       |  CAST(r_hash AS BIGINT) AS r_hash,
+       |  CAST(r_ellipsis AS BIGINT) AS r_ellipsis,
+       |  CAST(r_bullet AS BIGINT) AS r_bullet,
+       |  CAST(r_alpha AS BIGINT) AS r_alpha,
+       |  CAST(r_stop AS BIGINT) AS r_stop,
+       |  CAST(r_words * r_mean_len * r_hash * r_ellipsis * r_bullet
+       |       * r_alpha * r_stop AS BIGINT) AS keep
+       |FROM f""".stripMargin
+  }
+
+  /** The p64 C4 oracle, parameterized on the [[Curation.GateProfile]]
+    * thresholds (the published defaults ARE the p64 entry).
+    */
+  private def oC4Lines(minLineWords: Int = 5, requirePunct: Boolean = true,
+      minSentences: Int = 3): String = {
+    val punctCond =
+      if (requirePunct)
+        """AND substr(rtrim(l), -1, 1) IN ('.', '!', '?', '"')"""
+      else ""
+    s"""WITH base AS (
+       |  SELECT doc_id, text, string_split(text, chr(10)) AS lines,
+       |    list_filter(string_split(text, chr(10)),
+       |      l -> len(string_split_regex(trim(l), '\\s+')) >= $minLineWords
+       |           $punctCond) AS kept
+       |  FROM documents),
+       |m AS (
+       |  SELECT doc_id,
+       |    CAST(len(lines) AS BIGINT) AS n_lines,
+       |    CAST(len(kept) AS BIGINT) AS n_kept,
+       |    CAST(len(list_filter(lines, l ->
+       |      substr(rtrim(l), -1, 1) IN ('.', '!', '?', '"'))) AS BIGINT) AS n_punct_lines,
+       |    CAST(length(text) - length(regexp_replace(text, '[.!?]', '', 'g')) AS BIGINT) AS n_sentences,
+       |    CAST(CASE WHEN text LIKE '%{%' THEN 1 ELSE 0 END AS BIGINT) AS has_brace,
+       |    CAST(CASE WHEN lower(text) LIKE '%lorem ipsum%' THEN 1 ELSE 0 END AS BIGINT) AS has_lorem,
+       |    substr(md5(coalesce(array_to_string(kept, chr(10)), '')), 1, 16) AS clean_fp
+       |  FROM base)
+       |SELECT doc_id, n_lines, n_kept, n_punct_lines, n_sentences,
+       |  has_brace, has_lorem,
+       |  CAST(CASE WHEN has_brace = 0 AND has_lorem = 0
+       |    AND n_sentences >= $minSentences AND n_kept >= 1
+       |    THEN 1 ELSE 0 END AS BIGINT) AS page_keep,
+       |  clean_fp
+       |FROM m""".stripMargin
+  }
+
   /** NB classifier refit from scratch: funnel labels via the p61/p64/
-    * p09 oracle CTEs, one-pass class-conditional counts, the same
+    * p09 oracle CTEs at the wordSalad gate profile (the corpus is
+    * punctuation-free synthetic text — published thresholds would
+    * label every document negative; see [[Curation.GateProfile]]),
+    * one-pass class-conditional counts, the same
     * top-500 vocabulary cut / add-one smoothing / micro-nat floors as
     * [[Curation.nbCostTables]], prior from doc labels.
     */
   private def oNbClassifier: String =
-    s"""WITH g AS (${oracle0("p61_gopher_rules")}),
-       |c AS (${oracle0("p64_c4_lines")}),
+    s"""WITH g AS (${oGopherRules(minWords = 20, minStop = 1)}),
+       |c AS (${oC4Lines(minLineWords = 3, requirePunct = false,
+                minSentences = 0)}),
        |q AS (${oracle0("p09_quality")}),
        |lab AS (
        |  SELECT d.doc_id,
@@ -2176,7 +2289,19 @@ object PipelineQueries {
       ("p66_quality_funnel" -> oQualityFunnel) +
       ("p79_clustered_recall" -> oClusteredRecall) +
       ("p81_nb_classifier" -> oNbClassifier) +
-      ("p82_bigram_lm" -> oBigramLm)
+      ("p82_bigram_lm" -> oBigramLm) +
+      ("p84_classifier_audit" ->
+        s"""WITH nb AS (${oNbClassifier})
+           |SELECT d.source,
+           |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |  CAST(SUM(nb.cls) AS BIGINT) AS n_gate_keep,
+           |  CAST(SUM(nb.pred) AS BIGINT) AS n_model_keep,
+           |  CAST(SUM(CASE WHEN nb.cls = 0 AND nb.pred = 1
+           |           THEN 1 ELSE 0 END) AS BIGINT) AS n_rescued,
+           |  CAST(SUM(CASE WHEN nb.cls = 1 AND nb.pred = 0
+           |           THEN 1 ELSE 0 END) AS BIGINT) AS n_rejected
+           |FROM nb JOIN documents d ON nb.doc_id = d.doc_id
+           |GROUP BY d.source ORDER BY d.source""".stripMargin)
 
   private lazy val oracle0: Map[String, String] = Map(
     "p01_exact_dedup" ->
@@ -2302,74 +2427,8 @@ object PipelineQueries {
         |  CAST(100 + length(text) % 400 AS BIGINT) AS n_frames,
         |  CAST((doc_id % 1000) * 30 AS BIGINT) AS peak
         |FROM documents""".stripMargin,
-    "p61_gopher_rules" -> {
-      val stopCases = TF.gopherStopwords.map(w =>
-        s"CASE WHEN list_contains(lw, '$w') THEN 1 ELSE 0 END")
-        .mkString(" + ")
-      s"""WITH base AS (
-         |  SELECT doc_id, text, $oToks AS toks,
-         |    string_split(text, chr(10)) AS lines
-         |  FROM documents),
-         |m AS (
-         |  SELECT doc_id,
-         |    CAST(len(toks) AS BIGINT) AS n_toks,
-         |    CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT) AS sum_len,
-         |    CAST(len(lines) AS BIGINT) AS n_lines,
-         |    CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) AS n_hash,
-         |    CAST(len(list_filter(lines, l -> rtrim(l) LIKE '%...')) AS BIGINT) AS n_ell,
-         |    CAST(len(list_filter(lines, l ->
-         |      substr(ltrim(l), 1, 1) IN ('-', '*', '•'))) AS BIGINT) AS n_bul,
-         |    CAST(len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
-         |    ($stopCases) AS n_stop
-         |  FROM (SELECT doc_id, text, toks, lines,
-         |          list_transform(toks, t -> lower(t)) AS lw FROM base)),
-         |f AS (
-         |  SELECT doc_id, n_toks,
-         |    CASE WHEN n_toks >= 50 AND n_toks <= 100000 THEN 1 ELSE 0 END AS r_words,
-         |    CASE WHEN sum_len >= n_toks * 3 AND sum_len <= n_toks * 10 THEN 1 ELSE 0 END AS r_mean_len,
-         |    CASE WHEN n_hash * 10 <= n_toks THEN 1 ELSE 0 END AS r_hash,
-         |    CASE WHEN n_ell * 10 <= n_lines * 3 THEN 1 ELSE 0 END AS r_ellipsis,
-         |    CASE WHEN n_bul * 10 <= n_lines * 9 THEN 1 ELSE 0 END AS r_bullet,
-         |    CASE WHEN n_alpha * 5 >= n_toks * 4 THEN 1 ELSE 0 END AS r_alpha,
-         |    CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END AS r_stop
-         |  FROM m)
-         |SELECT doc_id, n_toks,
-         |  CAST(r_words AS BIGINT) AS r_words,
-         |  CAST(r_mean_len AS BIGINT) AS r_mean_len,
-         |  CAST(r_hash AS BIGINT) AS r_hash,
-         |  CAST(r_ellipsis AS BIGINT) AS r_ellipsis,
-         |  CAST(r_bullet AS BIGINT) AS r_bullet,
-         |  CAST(r_alpha AS BIGINT) AS r_alpha,
-         |  CAST(r_stop AS BIGINT) AS r_stop,
-         |  CAST(r_words * r_mean_len * r_hash * r_ellipsis * r_bullet
-         |       * r_alpha * r_stop AS BIGINT) AS keep
-         |FROM f""".stripMargin
-    },
-    "p64_c4_lines" ->
-      """WITH base AS (
-        |  SELECT doc_id, text, string_split(text, chr(10)) AS lines,
-        |    list_filter(string_split(text, chr(10)),
-        |      l -> len(string_split_regex(trim(l), '\s+')) >= 5
-        |           AND substr(rtrim(l), -1, 1) IN ('.', '!', '?', '"')) AS kept
-        |  FROM documents),
-        |m AS (
-        |  SELECT doc_id,
-        |    CAST(len(lines) AS BIGINT) AS n_lines,
-        |    CAST(len(kept) AS BIGINT) AS n_kept,
-        |    CAST(len(list_filter(lines, l ->
-        |      substr(rtrim(l), -1, 1) IN ('.', '!', '?', '"'))) AS BIGINT) AS n_punct_lines,
-        |    CAST(length(text) - length(regexp_replace(text, '[.!?]', '', 'g')) AS BIGINT) AS n_sentences,
-        |    CAST(CASE WHEN text LIKE '%{%' THEN 1 ELSE 0 END AS BIGINT) AS has_brace,
-        |    CAST(CASE WHEN lower(text) LIKE '%lorem ipsum%' THEN 1 ELSE 0 END AS BIGINT) AS has_lorem,
-        |    substr(md5(coalesce(array_to_string(kept, chr(10)), '')), 1, 16) AS clean_fp
-        |  FROM base)
-        |SELECT doc_id, n_lines, n_kept, n_punct_lines, n_sentences,
-        |  has_brace, has_lorem,
-        |  CAST(CASE WHEN has_brace = 0 AND has_lorem = 0
-        |    AND n_sentences >= 3 AND n_kept >= 1
-        |    THEN 1 ELSE 0 END AS BIGINT) AS page_keep,
-        |  clean_fp
-        |FROM m""".stripMargin,
+    "p61_gopher_rules" -> oGopherRules(),
+    "p64_c4_lines" -> oC4Lines(),
     "p62_bpe_pairs" ->
       s"""WITH toks AS (
          |  SELECT regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]') AS tk

@@ -128,9 +128,12 @@ object StreamingJobs {
     */
   def classify(docs: DataFrame, refCorpus: DataFrame, vocabSize: Int,
       watermarkDelay: String = "1 hour",
-      windowDuration: String = "1 hour"): DataFrame = {
+      windowDuration: String = "1 hour",
+      profile: graft.pipeline.Curation.GateProfile =
+        graft.pipeline.Curation.GateProfile.published): DataFrame = {
     val C = graft.pipeline.Curation
-    val labels = C.funnelLabels(refCorpus, "doc_id", "text")
+    val labels = C.funnelLabels(refCorpus, "doc_id", "text",
+      profile = profile)
     val labeledToks = labels.select(col("doc_id"), col("cls"),
       explode(graft.pipeline.TextFunctions.tokens(col("text"))).as("tok"))
     val (llr, oovPrior) = C.nbCostTables(labeledToks, labels, vocabSize)

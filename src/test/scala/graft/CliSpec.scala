@@ -298,7 +298,8 @@ class CliSpec extends SparkSpec {
     Cli.run(spark, List("stream-classify", sf0001, s"$out/scls"))
     val scls = spark.read.parquet(s"$out/scls")
       .select("ws_us", "doc_id", "n_tokens", "llr_micro", "pred")
-    val labB = C.funnelLabels(docsTs, "doc_id", "text")
+    val labB = C.funnelLabels(docsTs, "doc_id", "text",
+      profile = C.GateProfile.wordSalad)
     val labToksB = labB.select(col("doc_id"), col("cls"),
       explode(graft.pipeline.TextFunctions.tokens(col("text"))).as("tok"))
     val (llrT, opT) = C.nbCostTables(labToksB, labB, vocabSize = 500)
