@@ -80,6 +80,8 @@ object Cli {
         |                                                Append mode emits CLOSED windows only — docs in the
         |                                                final still-open event-time window are not scored
         |                                                until a later event past the window arrives)
+        |  stream-bigram <dir> <outDir>                  bigram-LM perplexity at stream ingest (snapshot-fit
+        |                                                model; same closed-window emission as stream-perplexity)
         |  stream-classify <dir> <outDir>                NB quality classification at stream ingest (snapshot-fit
         |                                                model; same closed-window emission as stream-perplexity)
         |  stream-embed-neardup <dir> <outDir>           embedding near-dup vs the corpus at stream ingest
@@ -813,6 +815,17 @@ object Cli {
         snapshot, vocabSize = 500, watermarkDelay = "0 seconds",
         windowDuration = "1 minute"), out)
       println(s"""{"stream_perplexity":"$out"}""")
+
+    // interpolated bigram-LM perplexity at ingest: BigramModel fit on
+    // the static snapshot, scored per micro-batch (stream-static
+    // joins). Same drain/window discipline as stream-perplexity.
+    case "stream-bigram" :: dir :: out :: Nil =>
+      val stream = stagedDocStream(spark, dir, out)
+      val snapshot = Tables.read(spark, dir, "documents")
+      drainDocJob(streaming.StreamingJobs.bigramPerplexity(stream,
+        snapshot, vocabSize = 500, watermarkDelay = "0 seconds",
+        windowDuration = "1 minute"), out)
+      println(s"""{"stream_bigram":"$out"}""")
 
     // NB quality classification at ingest: model fit on the funnel-
     // labeled static snapshot, each micro-batch scored via broadcast

@@ -734,15 +734,15 @@ object Curation {
     * is a zero-exchange projection — no per-document window/lag
     * shuffle just to sequence tokens.
     */
-  def bigramOccurrences(df: DataFrame, idCol: String,
-      textCol: String): DataFrame =
+  def bigramOccurrences(df: DataFrame, idCol: String, textCol: String,
+      carry: Seq[String] = Nil): DataFrame =
     df.withColumn("__toks", TF.tokens(col(textCol)))
-      .select(col(idCol), col("__toks"),
-        posexplode(col("__toks")).as(Seq("pos0", "cur")))
-      .select(col(idCol),
+      .select(col(idCol) +: carry.map(col) ++: Seq(col("__toks"),
+        posexplode(col("__toks")).as(Seq("pos0", "cur"))): _*)
+      .select(col(idCol) +: carry.map(col) ++: Seq(
         when(col("pos0") >= 1, element_at(col("__toks"), col("pos0")))
           .as("prev"),
-        col("cur"))
+        col("cur")): _*)
 
   /** Interpolated bigram language-model scoring — the KenLM-shaped
     * step past [[unigramLogLoss]]: every document scored by
@@ -774,7 +774,25 @@ object Curation {
     * (split out so Bench can fingerprint it).
     */
   private[graft] def bigramLogLossPlan(occ: DataFrame, idCol: String,
-      vocabSize: Int, minBigramCount: Long): DataFrame = {
+      vocabSize: Int, minBigramCount: Long): DataFrame =
+    bigramScore(occ, Seq(col(idCol)),
+      bigramModel(occ, vocabSize, minBigramCount))
+
+  /** The fitted interpolated-bigram model: pruned bigram counts,
+    * UNPRUNED context totals, top-`vocabSize` unigram counts and the
+    * single-row token total. These are the "model" a streaming scorer
+    * applies per micro-batch, exactly like [[unigramCostTables]].
+    */
+  final case class BigramModel(bg: DataFrame, ctx: DataFrame,
+      vocab: DataFrame, tot: DataFrame, vocabSize: Int)
+
+  /** Fit a [[BigramModel]] over a bigram-occurrence stream (see
+    * [[bigramOccurrences]]). One bigram-count shuffle with map-side
+    * combine, a context rollup over the (distinct-bigram-sized) count
+    * table, and the p68-style unigram tables.
+    */
+  def bigramModel(occ: DataFrame, vocabSize: Int,
+      minBigramCount: Long = 1L): BigramModel = {
     require(vocabSize > 0, "vocabSize must be positive")
     val bg = occ.filter(col("prev").isNotNull)
       .groupBy("prev", "cur").agg(count(lit(1)).as("cbi"))
@@ -782,22 +800,33 @@ object Curation {
     val uni = occ.groupBy("cur").agg(count(lit(1)).as("cu"))
     val tot = uni.agg(sum("cu").as("t"))
     val vocab = uni.orderBy(col("cu").desc, col("cur")).limit(vocabSize)
-    val denom = (col("t") + lit(vocabSize + 1)).cast("double")
+    BigramModel(bg.filter(col("cbi") >= minBigramCount), ctx, vocab, tot,
+      vocabSize)
+  }
+
+  /** Score a bigram-occurrence stream against a fitted model: λ=0.5
+    * Jelinek-Mercer mix of the bigram MLE and the add-one unigram in
+    * integer micro-nats, position 1 (null `prev`) unigram-only.
+    * `groupCols` is the per-document key in batch and (window, doc)
+    * in the streaming twin — identical expressions either way.
+    */
+  def bigramScore(occ: DataFrame, groupCols: Seq[Column],
+      model: BigramModel): DataFrame = {
+    val denom = (col("t") + lit(model.vocabSize + 1)).cast("double")
     val puni = (coalesce(col("cu"), lit(0L)) + 1).cast("double") / denom
     val pbi = coalesce(
       col("cbi").cast("double") / col("cctx").cast("double"), lit(0.0))
     occ
-      .join(broadcast(vocab), Seq("cur"), "left")
-      .join(bg.filter(col("cbi") >= minBigramCount), Seq("prev", "cur"),
-        "left")
-      .join(broadcast(ctx), Seq("prev"), "left")
-      .crossJoin(broadcast(tot))
+      .join(broadcast(model.vocab), Seq("cur"), "left")
+      .join(model.bg, Seq("prev", "cur"), "left")
+      .join(broadcast(model.ctx), Seq("prev"), "left")
+      .crossJoin(broadcast(model.tot))
       .withColumn("cost",
         when(col("prev").isNull, floor(-log(puni) * 1e6))
           .otherwise(
             floor(-log(lit(0.5) * pbi + lit(0.5) * puni) * 1e6))
           .cast("long"))
-      .groupBy(col(idCol))
+      .groupBy(groupCols: _*)
       .agg(count(lit(1)).as("n_tokens"), sum(col("cost")).as("nll_micro"))
       .withColumn("avg_nll_micro", expr("nll_micro div n_tokens"))
   }

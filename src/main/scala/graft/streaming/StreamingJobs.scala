@@ -115,6 +115,35 @@ object StreamingJobs {
         col("n_tokens"), col("nll_micro"), col("avg_nll_micro"))
   }
 
+  /** Ingest-time bigram perplexity — the streaming twin of the
+    * interpolated bigram scorer (p82), completing the LM family at
+    * ingest next to [[perplexityScore]]. The [[graft.pipeline.Curation.BigramModel]]
+    * is fit IN BATCH over a reference corpus; the stream's bigram
+    * occurrences come from the same zero-exchange array extraction
+    * (the predecessor token never needs a lag window, so the incoming
+    * side stays stateless projections until the windowed rollup). The
+    * vocab/context/total sides broadcast; the bigram count table is a
+    * stream-static equi-join on (prev, cur). Scoring expressions are
+    * [[graft.pipeline.Curation.bigramScore]] verbatim, grouped by
+    * (event-time window, doc).
+    */
+  def bigramPerplexity(docs: DataFrame, refCorpus: DataFrame,
+      vocabSize: Int, watermarkDelay: String = "1 hour",
+      windowDuration: String = "1 hour",
+      minBigramCount: Long = 1L): DataFrame = {
+    val C = graft.pipeline.Curation
+    val model = C.bigramModel(
+      C.bigramOccurrences(refCorpus, "doc_id", "text"), vocabSize,
+      minBigramCount)
+    val occ = C.bigramOccurrences(
+      docs.withWatermark("ts", watermarkDelay), "doc_id", "text",
+      carry = Seq("ts"))
+    C.bigramScore(occ,
+        Seq(window(col("ts"), windowDuration), col("doc_id")), model)
+      .select(unix_micros(col("window.start")).as("ws_us"), col("doc_id"),
+        col("n_tokens"), col("nll_micro"), col("avg_nll_micro"))
+  }
+
   /** Ingest-time quality classification — the streaming twin of the
     * NB classifier (p81). The model is fit IN BATCH over a funnel-
     * labeled reference snapshot

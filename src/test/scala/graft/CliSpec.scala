@@ -292,6 +292,24 @@ class CliSpec extends SparkSpec {
       batchPpl.exceptAll(sppl).count() == 0)
     assert(sppl.count() > 0)
 
+    // stream-bigram: same drain discipline, scores equal the batch
+    // BigramModel for every closed window
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$out/sbg"))
+    Cli.run(spark, List("stream-bigram", sf0001, s"$out/sbg"))
+    val sbg = spark.read.parquet(s"$out/sbg")
+      .select("ws_us", "doc_id", "n_tokens", "nll_micro", "avg_nll_micro")
+    val bgModel = C.bigramModel(
+      C.bigramOccurrences(docsTs, "doc_id", "text"), vocabSize = 500)
+    val batchBg = C.bigramScore(
+        C.bigramOccurrences(docsTs, "doc_id", "text", carry = Seq("ts")),
+        Seq(window(col("ts"), "1 minute"), col("doc_id")), bgModel)
+      .filter(unix_micros(col("window.end")) <= nDocsAll * 1000000L)
+      .select(unix_micros(col("window.start")).as("ws_us"), col("doc_id"),
+        col("n_tokens"), col("nll_micro"), col("avg_nll_micro"))
+    assert(sbg.exceptAll(batchBg).count() == 0 &&
+      batchBg.exceptAll(sbg).count() == 0)
+    assert(sbg.count() > 0)
+
     // stream-classify: same drain discipline as stream-perplexity,
     // scores equal the batch NB model for every closed window
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$out/scls"))
