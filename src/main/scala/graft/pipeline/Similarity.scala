@@ -925,6 +925,61 @@ object Similarity {
         floor(-col("sim") * 1e6).cast("long").as("adist_micro"))
   }
 
+  /** IVF index maintenance: per-cell occupancy with a deterministic
+    * split proposal for skewed cells — the re-balance report a
+    * production ANN index runs as vectors accumulate (FAISS surfaces
+    * the same imbalance via `imbalance_factor`). A cell is oversized
+    * when its member count exceeds `factorPct`% of the mean occupancy
+    * (decided by integer cross-multiplication — `n·n_cells·100 >
+    * factorPct·total` — so no engine rounds a ratio). For each oversized
+    * cell the proposal is one deterministic Lloyd seed-split: seeds =
+    * the cell's min- and max-id members, every member assigned to its
+    * nearer seed by cosine (ties to the min-id seed), reported as the
+    * two sub-cell sizes — the balance check a re-trainer would act on.
+    *
+    * Scale shape: the cell index is the [[ivfCellIndex]] map-side
+    * argmax; occupancy is one count shuffle on cell ids; seeds ride
+    * the SAME aggregate (min/max structs), so the split assignment is
+    * a broadcast of the (2·oversized-cells)-row seed table back onto
+    * the members — no second corpus shuffle beyond the sub-count
+    * rollup on cell ids.
+    */
+  def ivfOccupancy(corpus: DataFrame, idCol: String, vecCol: String,
+      centroidFilter: Column, factorPct: Long = 200L): DataFrame = {
+    val cells = ivfCellIndex(corpus, idCol, vecCol, centroidFilter)
+    val counts = cells.groupBy("cent_id").agg(
+      count(lit(1)).as("n_members"),
+      min(struct(col("cand_id"), col("candv"))).as("sa"),
+      max(struct(col("cand_id"), col("candv"))).as("sb"))
+    val totals = counts.agg(sum("n_members").as("total"),
+      count(lit(1)).as("n_cells"))
+    val flagged = counts.crossJoin(broadcast(totals))
+      .withColumn("oversized",
+        when(col("n_members") * col("n_cells") * lit(100L) >
+          lit(factorPct) * col("total"), 1L).otherwise(0L))
+      .select(col("cent_id"), col("n_members"), col("oversized"),
+        col("sa.cand_id").as("seed_a"), col("sa.candv").as("va"),
+        col("sb.cand_id").as("seed_b"), col("sb.candv").as("vb"))
+    val seeds = broadcast(flagged.filter(col("oversized") === 1)
+      .select(col("cent_id"), col("seed_a"), col("va"),
+        l2norm(col("va")).as("na"),
+        col("seed_b"), col("vb"), l2norm(col("vb")).as("nb")))
+    val subCounts = cells.join(seeds, Seq("cent_id"))
+      .withColumn("to_a",
+        when(cosinePre(dot(col("candv"), col("va")), col("candn"),
+            col("na")) >=
+          cosinePre(dot(col("candv"), col("vb")), col("candn"),
+            col("nb")), 1L).otherwise(0L))
+      .groupBy("cent_id")
+      .agg(sum(col("to_a")).as("n_a"),
+        (count(lit(1)) - sum(col("to_a"))).as("n_b"))
+    flagged.join(subCounts, Seq("cent_id"), "left")
+      .select(col("cent_id"), col("n_members"), col("oversized"),
+        when(col("oversized") === 1, col("seed_a")).as("seed_a"),
+        when(col("oversized") === 1, col("seed_b")).as("seed_b"),
+        col("n_a"), col("n_b"))
+  }
+
   /** IVF-PQ with an exact refine stage (FAISS's IVFPQ+refine): the
     * compressed ADC pass produces a top-`rerank` SHORTLIST per query,
     * and only those Q·rerank candidates are re-scored against their

@@ -1426,6 +1426,19 @@ object PipelineQueries {
       rerank = 20)
   }
 
+  /** IVF index maintenance (p85): per-cell occupancy with a
+    * deterministic seed-split proposal for every cell more than 30%
+    * over mean occupancy (integer cross-multiplied — no rounded
+    * ratios). The re-balance report a production ANN index runs as
+    * vectors accumulate; the oracle replays assignment, occupancy,
+    * the flag arithmetic, and the two sub-cell counts of each
+    * proposed split.
+    */
+  def p85IvfOccupancy(s: SparkSession, dir: String): DataFrame =
+    Similarity.ivfOccupancy(t(s, dir, "embeddings"), "vec_id",
+      "embedding", centroidFilter = col("vec_id") % 25 === 0,
+      factorPct = 130L)
+
   /** Ingest-time embedding near-dup, batch view
     * ([[Similarity.ivfProbePairs]] — the vector analogue of
     * stream-neardup-verified): every 10th vector plays the incoming
@@ -1617,6 +1630,7 @@ object PipelineQueries {
     "p82_bigram_lm" -> p82BigramLm _,
     "p83_ivfpq_refine" -> p83IvfPqRefine _,
     "p84_classifier_audit" -> p84ClassifierAudit _,
+    "p85_ivf_occupancy" -> p85IvfOccupancy _,
     "p50_temp_mix" -> p50TempMix _,
     "p51_hard_negatives" -> p51HardNegatives _,
     "p52_ivf_trained" -> p52IvfTrained _,
@@ -2920,6 +2934,47 @@ object PipelineQueries {
          |        ORDER BY adist ASC, cand_id ASC) AS rn FROM ad)
          |WHERE rn <= 5""".stripMargin,
     "p83_ivfpq_refine" -> oIvfPqRefineSql,
+    "p85_ivf_occupancy" ->
+      s"""WITH ccents AS (
+         |  SELECT vec_id AS cent_id, embedding AS ce FROM embeddings
+         |  WHERE vec_id % 25 = 0),
+         |assign AS (
+         |  SELECT e.vec_id, e.embedding, cent_id,
+         |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${oCos("e.embedding", "ce")} DESC, cent_id ASC) AS rn
+         |  FROM embeddings e, ccents),
+         |cells AS (SELECT vec_id, embedding, cent_id FROM assign WHERE rn = 1),
+         |counts AS (
+         |  SELECT cent_id, COUNT(*) AS n_members,
+         |    MIN(vec_id) AS seed_a, MAX(vec_id) AS seed_b
+         |  FROM cells GROUP BY cent_id),
+         |tot AS (SELECT SUM(n_members) AS total, COUNT(*) AS n_cells
+         |        FROM counts),
+         |flags AS (
+         |  SELECT c.*, CASE WHEN c.n_members * t.n_cells * 100
+         |                        > 130 * t.total
+         |              THEN 1 ELSE 0 END AS oversized
+         |  FROM counts c, tot t),
+         |sub AS (
+         |  SELECT m.cent_id,
+         |    SUM(CASE WHEN ${oCos("m.embedding", "a.embedding")}
+         |               >= ${oCos("m.embedding", "b.embedding")}
+         |        THEN 1 ELSE 0 END) AS n_a,
+         |    SUM(CASE WHEN ${oCos("m.embedding", "a.embedding")}
+         |               >= ${oCos("m.embedding", "b.embedding")}
+         |        THEN 0 ELSE 1 END) AS n_b
+         |  FROM cells m
+         |  JOIN flags f ON m.cent_id = f.cent_id AND f.oversized = 1
+         |  JOIN embeddings a ON a.vec_id = f.seed_a
+         |  JOIN embeddings b ON b.vec_id = f.seed_b
+         |  GROUP BY m.cent_id)
+         |SELECT f.cent_id,
+         |  CAST(f.n_members AS BIGINT) AS n_members,
+         |  CAST(f.oversized AS BIGINT) AS oversized,
+         |  CASE WHEN f.oversized = 1 THEN f.seed_a END AS seed_a,
+         |  CASE WHEN f.oversized = 1 THEN f.seed_b END AS seed_b,
+         |  CAST(s.n_a AS BIGINT) AS n_a, CAST(s.n_b AS BIGINT) AS n_b
+         |FROM flags f LEFT JOIN sub s ON f.cent_id = s.cent_id""".stripMargin,
     "p50_temp_mix" ->
       s"""WITH c AS (
          |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs

