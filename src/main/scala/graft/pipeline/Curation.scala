@@ -73,6 +73,30 @@ object Curation {
       .drop("__h")
   }
 
+  /** Shard export manifest — the integrity record a training job
+    * validates before reading a shard: per shard, document count,
+    * token count, and a deterministic content checksum covering BOTH
+    * membership and order. The checksum is the SUM of bounded per-doc
+    * terms `hash60(fp:pos) mod 2^28` — order is ENCODED (pos is
+    * hashed into each term) but the aggregate itself is commutative
+    * and constant-memory, so no engine ever materializes a shard's
+    * document list to hash it in order (an ordered string-agg would
+    * collect billions of fingerprints per shard at corpus scale).
+    * The 2^28 term bound keeps 10^10-doc shards below 2^63 — exact in
+    * 64-bit and in DuckDB's 128-bit SUM alike.
+    */
+  def shardManifest(df: DataFrame, idCol: String, textCol: String,
+      nShards: Int, salt: String = "shard"): DataFrame =
+    shardAssignments(df, idCol, nShards, salt)
+      .withColumn("fp", TF.fingerprint(TF.tokens(col(textCol))))
+      .withColumn("term",
+        pmod(TF.hash60(concat(col("fp"), lit(":"),
+          col("pos").cast("string"))), lit(268435456L)))
+      .groupBy("shard").agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(TF.tokens(col(textCol))).cast("long")).as("n_tokens"),
+        sum(col("term")).as("manifest_sum"))
+
   /** Concat-and-chunk sequence packing: walk each stratum in
     * portable-hash order, lay the token streams end to end, and cut
     * every `chunkToks` tokens — each document's placement is its

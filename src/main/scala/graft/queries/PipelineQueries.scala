@@ -1426,6 +1426,19 @@ object PipelineQueries {
       rerank = 20)
   }
 
+  /** Shard export manifest (p86): per shard, doc/token counts and a
+    * content checksum covering membership AND order — the record a
+    * training job validates before reading a shard. The checksum is a
+    * commutative sum of bounded per-doc `hash60(fp:pos)` terms, so it
+    * verifies ordering without any engine materializing a shard's
+    * fingerprint list (an ordered string-agg would collect billions
+    * of rows per shard at corpus scale). The oracle recomputes shard
+    * assignment, positions, fingerprints, and the modular sum.
+    */
+  def p86ShardManifest(s: SparkSession, dir: String): DataFrame =
+    Curation.shardManifest(t(s, dir, "documents"), "doc_id", "text",
+      nShards = 8)
+
   /** IVF index maintenance (p85): per-cell occupancy with a
     * deterministic seed-split proposal for every cell more than 30%
     * over mean occupancy (integer cross-multiplied — no rounded
@@ -1631,6 +1644,7 @@ object PipelineQueries {
     "p83_ivfpq_refine" -> p83IvfPqRefine _,
     "p84_classifier_audit" -> p84ClassifierAudit _,
     "p85_ivf_occupancy" -> p85IvfOccupancy _,
+    "p86_shard_manifest" -> p86ShardManifest _,
     "p50_temp_mix" -> p50TempMix _,
     "p51_hard_negatives" -> p51HardNegatives _,
     "p52_ivf_trained" -> p52IvfTrained _,
@@ -3296,6 +3310,24 @@ object PipelineQueries {
          |  CAST(ROW_NUMBER() OVER (PARTITION BY hh % 8 ORDER BY hh, doc_id)
          |    AS BIGINT) AS pos
          |FROM h""".stripMargin,
+    "p86_shard_manifest" ->
+      s"""WITH h AS (
+         |  SELECT doc_id,
+         |    ${oHash("'shard' || CAST(doc_id AS VARCHAR)")} AS hh,
+         |    substr(md5(array_to_string($oToks, ' ')), 1, 16) AS fp,
+         |    CAST(len($oToks) AS BIGINT) AS n_toks
+         |  FROM documents),
+         |sp AS (
+         |  SELECT hh % 8 AS shard, fp, n_toks,
+         |    ROW_NUMBER() OVER (PARTITION BY hh % 8 ORDER BY hh, doc_id)
+         |      AS pos
+         |  FROM h)
+         |SELECT CAST(shard AS BIGINT) AS shard,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(${oHash("fp || ':' || CAST(pos AS VARCHAR)")}
+         |           % 268435456) AS BIGINT) AS manifest_sum
+         |FROM sp GROUP BY shard""".stripMargin,
     "p32_seq_pack" ->
       s"""WITH h AS (
          |  SELECT doc_id, source, len($oToks) AS n_toks,
