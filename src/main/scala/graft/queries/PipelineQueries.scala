@@ -433,10 +433,12 @@ object PipelineQueries {
     * source-cardinality exchange and no join.
     */
   def p84ClassifierAudit(s: SparkSession, dir: String): DataFrame =
-    Curation.nbClassifier(t(s, dir, "documents"), "doc_id", "text",
-        vocabSize = 500, carry = Seq("source"),
-        profile = Curation.GateProfile.wordSalad)
-      .groupBy("source").agg(
+    classifierAuditRollup(Curation.nbClassifier(t(s, dir, "documents"),
+      "doc_id", "text", vocabSize = 500, carry = Seq("source"),
+      profile = Curation.GateProfile.wordSalad))
+
+  private def classifierAuditRollup(scored: DataFrame): DataFrame =
+    scored.groupBy("source").agg(
         count(lit(1)).as("n_docs"),
         sum(col("cls")).as("n_gate_keep"),
         sum(col("pred")).as("n_model_keep"),
@@ -1569,7 +1571,31 @@ object PipelineQueries {
     "p68_unigram_lm" -> ((s, dir) =>
       Curation.unigramLogLossPlan(
         Curation.tokenOccurrences(t(s, dir, "documents"), "doc_id", "text"),
-        "doc_id", vocabSize = 500)))
+        "doc_id", vocabSize = 500)),
+    "p81_nb_classifier" -> ((s, dir) => {
+      val labels = Curation.funnelLabels(t(s, dir, "documents"), "doc_id",
+        "text", profile = Curation.GateProfile.wordSalad)
+      Curation.nbClassifierPlan(
+        labels.select(col("doc_id"), col("cls"),
+          explode(graft.pipeline.TextFunctions.tokens(col("text")))
+            .as("tok")),
+        "doc_id", vocabSize = 500)
+    }),
+    "p82_bigram_lm" -> ((s, dir) =>
+      Curation.bigramLogLossPlan(
+        Curation.bigramOccurrences(t(s, dir, "documents"), "doc_id",
+          "text"),
+        "doc_id", vocabSize = 500, minBigramCount = 1L)),
+    "p84_classifier_audit" -> ((s, dir) => {
+      val labels = Curation.funnelLabels(t(s, dir, "documents"), "doc_id",
+        "text", carry = Seq("source"),
+        profile = Curation.GateProfile.wordSalad)
+      classifierAuditRollup(Curation.nbClassifierPlan(
+        labels.select(col("doc_id"), col("source"), col("cls"),
+          explode(graft.pipeline.TextFunctions.tokens(col("text")))
+            .as("tok")),
+        "doc_id", vocabSize = 500, carry = Seq("source")))
+    }))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_exact_dedup" -> p01ExactDedup _,
