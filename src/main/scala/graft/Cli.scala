@@ -88,6 +88,8 @@ object Cli {
         |  stream-tokenize <dir> <outDir>                BPE tokenization at stream ingest (snapshot-trained merges)
         |  stream-image-neardup <dir> <outDir>           perceptual image near-dup vs the corpus at stream ingest
         |  kmeans <dir> <outDir> [iters]                 IVF centroid training (Lloyd, default 1 iteration)
+        |  unigram-train <dir> <outDir> [iters]          unigram-LM tokenizer (SentencePiece-style hard-EM,
+        |                                                default 2 Viterbi rounds; per-word segmentation out)
         |  repetition <dir> <outDir>                     Gopher-style repetition quality signals
         |  gopher-filter <dir> <outDir>                  Gopher rule-set boolean quality gates
         |  c4-clean <dir> <outDir>                       C4 line filters + page gates + cleaned-text fp
@@ -887,6 +889,17 @@ object Cli {
       write(pipeline.Similarity.kmeansTrain(
         Tables.read(spark, dir, "embeddings"), "vec_id", "embedding",
         centroidFilter = col("vec_id") % 25 === 0, iters = iters), out)
+
+    // SentencePiece-style unigram tokenizer: seed vocabulary, hard-EM
+    // Viterbi rounds, final per-word segmentation (p87 semantics)
+    case "unigram-train" :: dir :: out :: rest if rest.lengthIs <= 1 =>
+      val iters = rest.headOption.map(_.toInt).getOrElse(2)
+      write(pipeline.Unigram.train(Tables.read(spark, dir, "documents"),
+          "text", vocabSize = 60, maxLen = 4, iters = iters)
+        .select(col("word"), col("freq"),
+          size(col("pieces")).cast("long").as("n_pieces"),
+          array_join(col("pieces"), " ").as("segmentation"),
+          col("cost_micro")), out)
 
     case "repetition" :: dir :: out :: Nil =>
       write(queries.PipelineQueries.p20Repetition(spark, dir), out)

@@ -1428,6 +1428,23 @@ object PipelineQueries {
       rerank = 20)
   }
 
+  /** SentencePiece-style unigram tokenizer (p87): seed a substring
+    * vocabulary (all single chars + top multi-char substrings), then
+    * two hard-EM rounds — Viterbi segmentation of every distinct word
+    * as a zero-exchange Catalyst HOF projection (the whole DP runs in
+    * expressions, no UDF), piece re-counting, add-one re-costing. The
+    * oracle replays the ENTIRE train: seed counts, vocabulary cut,
+    * micro-nat cost tables, both Viterbi passes (recursive-CTE DP +
+    * smallest-split backtrace), and the EM reweighting between them.
+    */
+  def p87UnigramTokenizer(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Unigram.train(t(s, dir, "documents"), "text",
+        vocabSize = 60, maxLen = 4, iters = 2)
+      .select(col("word"), col("freq"),
+        size(col("pieces")).cast("long").as("n_pieces"),
+        array_join(col("pieces"), " ").as("segmentation"),
+        col("cost_micro"))
+
   /** Shard export manifest (p86): per shard, doc/token counts and a
     * content checksum covering membership AND order — the record a
     * training job validates before reading a shard. The checksum is a
@@ -1671,6 +1688,7 @@ object PipelineQueries {
     "p84_classifier_audit" -> p84ClassifierAudit _,
     "p85_ivf_occupancy" -> p85IvfOccupancy _,
     "p86_shard_manifest" -> p86ShardManifest _,
+    "p87_unigram_tokenizer" -> p87UnigramTokenizer _,
     "p50_temp_mix" -> p50TempMix _,
     "p51_hard_negatives" -> p51HardNegatives _,
     "p52_ivf_trained" -> p52IvfTrained _,
@@ -1788,6 +1806,103 @@ object PipelineQueries {
        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
        |        ORDER BY sim DESC, cand_id ASC) AS rn FROM rer)
        |WHERE rn <= 5""".stripMargin
+
+  /** The p87 unigram-tokenizer replay: one Viterbi round = the pc
+    * matrix (per-word (start, len) cost slots in matrix order), a
+    * recursive-CTE DP carrying the cost vector as a list, and the
+    * smallest-split-point backtrace — chained twice with the EM
+    * recount/recost between rounds.
+    */
+  private def oUnigramTokenizer(vocabSize: Int, maxLen: Int): String = {
+    def rnd(n: Int, cost: String): String =
+      s"""mat$n AS (
+         |  SELECT w.word, w.freq,
+         |    list(CASE WHEN s.start + l.len - 1 <= length(w.word)
+         |         THEN c.cost END
+         |         ORDER BY s.start, l.len) AS pc
+         |  FROM wrd w
+         |  CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS start) s
+         |  CROSS JOIN (SELECT unnest(generate_series(1, $maxLen)) AS len) l
+         |  LEFT JOIN $cost c ON c.piece = substr(w.word, s.start, l.len)
+         |  WHERE s.start <= length(w.word)
+         |  GROUP BY w.word, w.freq),
+         |dp$n AS (
+         |  SELECT m.word, m.freq, m.pc, 0 AS i, [CAST(0 AS BIGINT)] AS costs
+         |  FROM mat$n m
+         |  UNION ALL
+         |  SELECT word, freq, pc, i + 1,
+         |    list_append(costs, (
+         |      SELECT MIN(costs[j + 1] + pc[j * $maxLen + (i + 1 - j)])
+         |      FROM (SELECT unnest(generate_series(
+         |              CASE WHEN i + 1 - $maxLen > 0
+         |              THEN i + 1 - $maxLen ELSE 0 END,
+         |              i)) AS j)
+         |      WHERE pc[j * $maxLen + (i + 1 - j)] IS NOT NULL))
+         |  FROM dp$n WHERE i < length(word)),
+         |dpf$n AS (SELECT word, freq, pc, costs FROM dp$n
+         |          WHERE i = length(word)),
+         |bt$n AS (
+         |  SELECT word, freq, pc, costs, length(word) AS pos,
+         |    CAST([] AS VARCHAR[]) AS pieces
+         |  FROM dpf$n
+         |  UNION ALL
+         |  SELECT word, freq, pc, costs, jstar,
+         |    list_prepend(substr(word, jstar + 1, pos - jstar), pieces)
+         |  FROM (
+         |    SELECT word, freq, pc, costs, pos, pieces, (
+         |      SELECT MIN(j)
+         |      FROM (SELECT unnest(generate_series(
+         |              CASE WHEN pos - $maxLen > 0
+         |              THEN pos - $maxLen ELSE 0 END,
+         |              pos - 1)) AS j)
+         |      WHERE pc[j * $maxLen + (pos - j)] IS NOT NULL
+         |        AND costs[j + 1] + pc[j * $maxLen + (pos - j)]
+         |            = costs[pos + 1]) AS jstar
+         |    FROM bt$n WHERE pos > 0) s),
+         |seg$n AS (
+         |  SELECT word, freq, pieces, costs[length(word) + 1] AS total
+         |  FROM bt$n WHERE pos = 0)""".stripMargin
+    s"""WITH RECURSIVE
+       |wrd AS (
+       |  SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS freq
+       |  FROM (SELECT unnest($oToks) AS w FROM documents)
+       |  WHERE length(w) > 0 GROUP BY w),
+       |grid AS (
+       |  SELECT substr(w.word, s.start, l.len) AS piece, w.freq
+       |  FROM wrd w
+       |  CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS start) s
+       |  CROSS JOIN (SELECT unnest(generate_series(1, $maxLen)) AS len) l
+       |  WHERE s.start + l.len - 1 <= length(w.word)),
+       |sp AS (SELECT piece, SUM(freq) AS c FROM grid GROUP BY piece),
+       |sing AS (SELECT piece, c FROM sp WHERE length(piece) = 1),
+       |mult AS (SELECT piece, c,
+       |           ROW_NUMBER() OVER (ORDER BY c DESC, piece) AS rn
+       |         FROM sp WHERE length(piece) > 1),
+       |voc AS (SELECT piece, c FROM sing
+       |        UNION ALL
+       |        SELECT piece, c FROM mult
+       |        WHERE rn <= $vocabSize - (SELECT COUNT(*) FROM sing)),
+       |cost0 AS (
+       |  SELECT piece, CAST(FLOOR(-ln((c + 1)
+       |    / CAST((SELECT SUM(c) FROM voc) + (SELECT COUNT(*) FROM voc)
+       |           AS DOUBLE)) * 1e6) AS BIGINT) AS cost
+       |  FROM voc),
+       |${rnd(0, "cost0")},
+       |cnt1 AS (
+       |  SELECT p AS piece, SUM(freq) AS c
+       |  FROM (SELECT unnest(pieces) AS p, freq FROM seg0) GROUP BY p),
+       |cost1 AS (
+       |  SELECT v.piece, CAST(FLOOR(-ln((COALESCE(c1.c, 0) + 1)
+       |    / CAST((SELECT COALESCE(SUM(c), 0) FROM cnt1)
+       |           + (SELECT COUNT(*) FROM voc) AS DOUBLE)) * 1e6)
+       |    AS BIGINT) AS cost
+       |  FROM voc v LEFT JOIN cnt1 c1 ON v.piece = c1.piece),
+       |${rnd(1, "cost1")}
+       |SELECT word, freq, CAST(len(pieces) AS BIGINT) AS n_pieces,
+       |  array_to_string(pieces, ' ') AS segmentation,
+       |  CAST(total AS BIGINT) AS cost_micro
+       |FROM seg1""".stripMargin
+  }
 
   /** The p21 Lloyd step chained `iters` times: each round assigns by
     * cosine (ties to the smaller centroid id), takes fixed-point
@@ -2374,6 +2489,8 @@ object PipelineQueries {
       ("p66_quality_funnel" -> oQualityFunnel) +
       ("p79_clustered_recall" -> oClusteredRecall) +
       ("p81_nb_classifier" -> oNbClassifier) +
+      ("p87_unigram_tokenizer" ->
+        oUnigramTokenizer(vocabSize = 60, maxLen = 4)) +
       ("p82_bigram_lm" -> oBigramLm) +
       ("p84_classifier_audit" ->
         s"""WITH nb AS (${oNbClassifier})

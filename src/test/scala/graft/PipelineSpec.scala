@@ -981,6 +981,54 @@ class PipelineSpec extends SparkSpec {
     assert(flagged._6.get >= 1L && flagged._7.get >= 1L)
   }
 
+  test("unigram tokenizer Viterbi equals a brute-force DP; EM reweights pieces") {
+    import graft.pipeline.Unigram
+    // brute force: min-cost segmentation, smallest-split-point ties
+    def brute(word: String, costs: Map[String, Long],
+        maxLen: Int): (Seq[String], Long) = {
+      val L = word.length
+      val dp = Array.fill(L + 1)(Long.MaxValue); dp(0) = 0L
+      for (i <- 1 to L; j <- math.max(0, i - maxLen) until i) {
+        costs.get(word.substring(j, i)).foreach { c =>
+          if (dp(j) != Long.MaxValue && dp(j) + c < dp(i)) dp(i) = dp(j) + c
+        }
+      }
+      // smallest j attaining the optimum (recompute, as the engine does)
+      def walk(i: Int): List[String] = if (i == 0) Nil else {
+        val j = (math.max(0, i - maxLen) until i).find(j =>
+          dp(j) != Long.MaxValue &&
+            costs.contains(word.substring(j, i)) &&
+            dp(j) + costs(word.substring(j, i)) == dp(i)).get
+        walk(j) :+ word.substring(j, i)
+      }
+      (walk(L), dp(L))
+    }
+    val docs = Seq((1L, "abab abab aba b cab"), (2L, "abab cab cab ba"))
+      .toDF("doc_id", "text")
+    val words = Unigram.wordCounts(docs, "text")
+    val seed = Unigram.seedCounts(words, maxLen = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val vocab = Unigram.fitVocab(seed, vocabSize = 8)
+    // all singles survive the cut
+    assert(vocab.count(_._1.length == 1) == 3) // a, b, c
+    val costs = Unigram.costTable(vocab)
+    val got = Unigram.segment(words, costs, maxLen = 3)
+      .select("word", "pieces", "cost_micro")
+      .as[(String, Seq[String], Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    for ((w, (pieces, cost)) <- got) {
+      val (bp, bc) = brute(w, costs, 3)
+      assert(pieces == bp, s"$w: $pieces vs $bp")
+      assert(cost == bc, s"$w: $cost vs $bc")
+    }
+    // full train runs EM and keeps every word segmentable
+    val seg = Unigram.train(docs, "text", vocabSize = 8, maxLen = 3,
+        iters = 2)
+      .select("word", "pieces").as[(String, Seq[String])].collect()
+    assert(seg.map(_._1).toSet == got.keySet)
+    seg.foreach { case (w, ps) => assert(ps.mkString("") == w) }
+  }
+
   test("PolyMap dispatches by domain and leaves unmapped domains null") {
     val facts = Seq((1L, "a", 10L), (2L, "b", 10L), (3L, "c", 10L), (4L, "a", 99L))
       .toDF("id", "dom", "fk")
