@@ -87,6 +87,8 @@ object Cli {
         |  stream-embed-neardup <dir> <outDir>           embedding near-dup vs the corpus at stream ingest
         |  stream-tokenize <dir> <outDir>                BPE tokenization at stream ingest (snapshot-trained merges)
         |  stream-image-neardup <dir> <outDir>           perceptual image near-dup vs the corpus at stream ingest
+        |  stream-unigram <dir> <outDir>                 unigram tokenization at stream ingest (snapshot-trained
+        |                                                cost map; stateless per-row Viterbi)
         |  kmeans <dir> <outDir> [iters]                 IVF centroid training (Lloyd, default 1 iteration)
         |  unigram-train <dir> <outDir> [iters]          unigram-LM tokenizer (SentencePiece-style hard-EM,
         |                                                default 2 Viterbi rounds; per-word segmentation out)
@@ -872,6 +874,16 @@ object Cli {
       val snapshot = Tables.read(spark, dir, "documents")
       drainDocJob(streaming.StreamingJobs.tokenize(stream, snapshot), out)
       println(s"""{"stream_tokenize":"$out"}""")
+
+    // unigram tokenization at ingest: cost map trained in batch on the
+    // static snapshot, the stream segmented by the stateless Viterbi
+    // projection (no watermark, no state store, no join)
+    case "stream-unigram" :: dir :: out :: Nil =>
+      val stream = stagedDocStream(spark, dir, out)
+      val snapshot = Tables.read(spark, dir, "documents")
+      drainDocJob(streaming.StreamingJobs.unigramTokenize(stream,
+        snapshot), out)
+      println(s"""{"stream_unigram":"$out"}""")
 
     // stateful sessionization as an incremental stream
     case "stream-sessionize" :: dir :: out :: Nil =>

@@ -37,6 +37,16 @@ import graft.pipeline.{TextFunctions => TF}
   */
 object Unigram {
 
+  /** Finite "infinite" cost marking a dead DP position: any word whose
+    * final [[segment]] `cost_micro` is at or above this contains a
+    * character the vocabulary cannot cover (impossible when the model
+    * is applied to its own training corpus — single-character coverage
+    * is unconditional — but reachable when a snapshot-trained model
+    * tokenizes a stream). Large enough to dwarf every real total, small
+    * enough that `sentinel + maxLen·pieceCost` cannot overflow.
+    */
+  val Unsegmentable: Long = Long.MaxValue / 4
+
   /** Distinct words with occurrence counts — the corpus's only pass. */
   def wordCounts(df: DataFrame, textCol: String): DataFrame =
     df.select(explode(TF.tokens(col(textCol))).as("word"))
@@ -117,13 +127,22 @@ object Unigram {
     val withPc = words.withColumn("__pc",
       pcMatrix(col("word"), cmap, maxLen))
     val pc = col("__pc")
-    // dp[i+1] = best cost of word[1..i]; dp[1] = 0
+    // dp[i+1] = best cost of word[1..i]; dp[1] = 0. Dead positions
+    // (no vocabulary piece reaches them) hold the finite
+    // [[Unsegmentable]] sentinel, NOT null: a null in the long array
+    // gets silently materialized as 0 when the accumulator's inferred
+    // element type is non-nullable (the aggregate takes its type from
+    // the constant-foldable zero), which would make an unsegmentable
+    // word score 0 instead of failing. The sentinel dwarfs any real
+    // total (≤ wordLen·ln(vocab)·1e6 ≈ 1e9), so dead paths never win
+    // a min, and `cost_micro >= Unsegmentable` is the caller's
+    // out-of-vocabulary test.
     val dp = aggregate(sequence(lit(1), L), array(lit(0L)), (acc, i) =>
-      concat(acc, array(array_min(filter(
+      concat(acc, array(coalesce(array_min(filter(
         transform(sequence(greatest(i - lit(maxLen), lit(0)), i - lit(1)),
           j => element_at(acc, (j + lit(1)).cast("int")) +
             element_at(pc, (j * lit(maxLen) + (i - j)).cast("int"))),
-        x => x.isNotNull)))))
+        x => x.isNotNull)), lit(Unsegmentable)))))
     val withDp = withPc.withColumn("__dp", dp)
     val dpc = col("__dp")
     // backtrace: L no-op-padded steps; at each live step take the
@@ -168,6 +187,21 @@ object Unigram {
     */
   def train(df: DataFrame, textCol: String, vocabSize: Int,
       maxLen: Int, iters: Int): DataFrame = {
+    val (costs, words) = trainedCosts(df, textCol, vocabSize, maxLen,
+      iters)
+    segment(words, costs, maxLen)
+  }
+
+  /** The trainer's model half: run the same EM loop and return the
+    * FINAL cost table (plus the checkpointed word table, so [[train]]
+    * segments without re-deriving it). This is what a streaming
+    * tokenizer broadcasts: the cost map is the entire model, and
+    * [[segment]]'s Viterbi is a stateless per-row projection — the
+    * train-on-snapshot / apply-per-micro-batch move of
+    * [[graft.streaming.StreamingJobs]].
+    */
+  def trainedCosts(df: DataFrame, textCol: String, vocabSize: Int,
+      maxLen: Int, iters: Int): (Map[String, Long], DataFrame) = {
     require(iters >= 1, "iters must be >= 1")
     val words = wordCounts(df, textCol).localCheckpoint()
     val seed = seedCounts(words, maxLen)
@@ -175,13 +209,11 @@ object Unigram {
     val vocab = fitVocab(seed, vocabSize)
     val keys = vocab.map(_._1)
     var costs = costTable(vocab)
-    var seg = segment(words, costs, maxLen)
     for (_ <- 1 until iters) {
-      val counted = segmentCounts(seg)
+      val counted = segmentCounts(segment(words, costs, maxLen))
         .collect().map(r => (r.getString(0), r.getLong(1))).toMap
       costs = costTable(keys.map(k => k -> counted.getOrElse(k, 0L)))
-      seg = segment(words, costs, maxLen)
     }
-    seg
+    (costs, words)
   }
 }

@@ -1445,6 +1445,27 @@ object PipelineQueries {
         array_join(col("pieces"), " ").as("segmentation"),
         col("cost_micro"))
 
+  /** Unigram-tokenizer corpus encode (p88 — the unigram sibling of
+    * p75's BPE encode): the trained segmentation table joins back to
+    * every corpus word position as a broadcast dictionary, so the
+    * corpus is touched once and the tokenization itself adds zero
+    * exchanges. The oracle replays the full train AND the positional
+    * join.
+    */
+  def p88UnigramEncode(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val seg = graft.pipeline.Unigram.train(docs, "text", vocabSize = 60,
+      maxLen = 4, iters = 2)
+    docs.select(col("doc_id"),
+        posexplode(graft.pipeline.TextFunctions.tokens(col("text")))
+          .as(Seq("pos", "word")))
+      .filter(length(col("word")) > 0)
+      .join(broadcast(seg.select(col("word"), col("pieces"))), Seq("word"))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        size(col("pieces")).cast("long").as("n_tokens"),
+        array_join(col("pieces"), " ").as("tokens"))
+  }
+
   /** Shard export manifest (p86): per shard, doc/token counts and a
     * content checksum covering membership AND order — the record a
     * training job validates before reading a shard. The checksum is a
@@ -1689,6 +1710,7 @@ object PipelineQueries {
     "p85_ivf_occupancy" -> p85IvfOccupancy _,
     "p86_shard_manifest" -> p86ShardManifest _,
     "p87_unigram_tokenizer" -> p87UnigramTokenizer _,
+    "p88_unigram_encode" -> p88UnigramEncode _,
     "p50_temp_mix" -> p50TempMix _,
     "p51_hard_negatives" -> p51HardNegatives _,
     "p52_ivf_trained" -> p52IvfTrained _,
@@ -1813,7 +1835,32 @@ object PipelineQueries {
     * smallest-split-point backtrace — chained twice with the EM
     * recount/recost between rounds.
     */
-  private def oUnigramTokenizer(vocabSize: Int, maxLen: Int): String = {
+  private def oUnigramTokenizer(vocabSize: Int, maxLen: Int): String =
+    s"""${oUnigramCtes(vocabSize, maxLen)}
+       |SELECT word, freq, CAST(len(pieces) AS BIGINT) AS n_pieces,
+       |  array_to_string(pieces, ' ') AS segmentation,
+       |  CAST(total AS BIGINT) AS cost_micro
+       |FROM seg1""".stripMargin
+
+  /** p88: the trained segmentation applied back to every corpus word
+    * position (the unigram sibling of [[oBpeEncode]]).
+    */
+  private def oUnigramEncode(vocabSize: Int, maxLen: Int): String =
+    s"""${oUnigramCtes(vocabSize, maxLen)}
+       |SELECT d.doc_id, CAST(d.pos - 1 AS BIGINT) AS pos,
+       |  CAST(len(w.pieces) AS BIGINT) AS n_tokens,
+       |  array_to_string(w.pieces, ' ') AS tokens
+       |FROM (SELECT doc_id, toks[pos] AS word, pos
+       |      FROM (SELECT doc_id, toks,
+       |              unnest(generate_series(1, len(toks))) AS pos
+       |            FROM (SELECT doc_id, $oToks AS toks FROM documents))
+       |      WHERE length(toks[pos]) > 0) d
+       |JOIN seg1 w ON w.word = d.word""".stripMargin
+
+  /** The shared p87/p88 replay chain, ending at
+    * `seg1(word, freq, pieces, total)`.
+    */
+  private def oUnigramCtes(vocabSize: Int, maxLen: Int): String = {
     def rnd(n: Int, cost: String): String =
       s"""mat$n AS (
          |  SELECT w.word, w.freq,
@@ -1897,11 +1944,7 @@ object PipelineQueries {
        |           + (SELECT COUNT(*) FROM voc) AS DOUBLE)) * 1e6)
        |    AS BIGINT) AS cost
        |  FROM voc v LEFT JOIN cnt1 c1 ON v.piece = c1.piece),
-       |${rnd(1, "cost1")}
-       |SELECT word, freq, CAST(len(pieces) AS BIGINT) AS n_pieces,
-       |  array_to_string(pieces, ' ') AS segmentation,
-       |  CAST(total AS BIGINT) AS cost_micro
-       |FROM seg1""".stripMargin
+       |${rnd(1, "cost1")}""".stripMargin
   }
 
   /** The p21 Lloyd step chained `iters` times: each round assigns by
@@ -2491,6 +2534,8 @@ object PipelineQueries {
       ("p81_nb_classifier" -> oNbClassifier) +
       ("p87_unigram_tokenizer" ->
         oUnigramTokenizer(vocabSize = 60, maxLen = 4)) +
+      ("p88_unigram_encode" ->
+        oUnigramEncode(vocabSize = 60, maxLen = 4)) +
       ("p82_bigram_lm" -> oBigramLm) +
       ("p84_classifier_audit" ->
         s"""WITH nb AS (${oNbClassifier})

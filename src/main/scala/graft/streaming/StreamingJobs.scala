@@ -196,6 +196,38 @@ object StreamingJobs {
     B.encodeRows(docs, "doc_id", textCol, merges)
   }
 
+  /** Ingest-time unigram tokenization — the streaming twin of the
+    * p88 encode, and the cleanest train-on-snapshot job in the
+    * engine: the model IS the cost map
+    * ([[graft.pipeline.Unigram.trainedCosts]], fit in batch over the
+    * reference corpus), and [[graft.pipeline.Unigram.segment]]'s
+    * whole Viterbi DP is a stateless per-row projection — so the
+    * stream needs no watermark, no state store, and not even a
+    * stream-static join: the cost map rides the plan as a literal.
+    * Out-of-vocabulary words (characters the snapshot never saw) fall
+    * back to a single unsplit piece instead of dropping out.
+    */
+  def unigramTokenize(docs: DataFrame, refCorpus: DataFrame,
+      vocabSize: Int = 60, maxLen: Int = 4, iters: Int = 2): DataFrame = {
+    val U = graft.pipeline.Unigram
+    val (costs, _) = U.trainedCosts(refCorpus, "text", vocabSize, maxLen,
+      iters)
+    val words = docs.select(col("doc_id"),
+        posexplode(graft.pipeline.TextFunctions.tokens(col("text")))
+          .as(Seq("pos", "word")))
+      .filter(length(col("word")) > 0)
+    // an unsegmentable word (unknown character) totals at least the
+    // Unsegmentable sentinel — key the fallback on that, not on the
+    // pieces array (the backtrace of a dead DP yields [null], not null)
+    U.segment(words, costs, maxLen)
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        when(col("cost_micro") >= U.Unsegmentable, array(col("word")))
+          .otherwise(col("pieces")).as("pieces"))
+      .select(col("doc_id"), col("pos"),
+        size(col("pieces")).cast("long").as("n_tokens"),
+        array_join(col("pieces"), " ").as("tokens"))
+  }
+
   /** Vector near-dup at ingest — the embedding analogue of
     * [[nearDupVerified]]: each incoming embedding probes its `nprobe`
     * nearest IVF cells of the STATIC corpus and emits every corpus

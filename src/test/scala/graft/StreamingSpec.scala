@@ -434,6 +434,50 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming unigram tokenize equals the batch segmentation, OOV falls back") {
+    implicit val sqlCtx = spark.sqlContext
+    val U = graft.pipeline.Unigram
+    val ref = Seq((100L, "abab abab aba b cab"), (101L, "abab cab cab ba"))
+      .toDF("doc_id", "text")
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDF().toDF("doc_id", "text")
+    val q = StreamingJobs.unigramTokenize(docs, ref, vocabSize = 8,
+        maxLen = 3)
+      .writeStream.format("memory").queryName("ut_s")
+      .outputMode("append").start()
+    try {
+      val rows = Seq((1L, "abab cab"), (2L, "zzq aba"))
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("ut_s")
+        .select("doc_id", "pos", "n_tokens", "tokens")
+        .as[(Long, Long, Long, String)].collect().toSeq.sorted
+      // batch: the same cost map over the same words
+      val (costs, _) = U.trainedCosts(ref, "text", 8, 3, 2)
+      val batch = U.segment(
+          rows.toDF("doc_id", "text").select(col("doc_id"),
+              posexplode(graft.pipeline.TextFunctions.tokens(col("text")))
+                .as(Seq("pos", "word")))
+            .filter(length(col("word")) > 0), costs, 3)
+        .select(col("doc_id"), col("pos").cast("long"),
+          when(col("cost_micro") >= U.Unsegmentable, array(col("word")))
+            .otherwise(col("pieces")).as("p"))
+        .select(col("doc_id"), col("pos"),
+          size(col("p")).cast("long"), array_join(col("p"), " "))
+        .as[(Long, Long, Long, String)].collect().toSeq.sorted
+      assert(streamed == batch)
+      // the OOV word (chars 'z','q' unseen in ref) fell back unsplit
+      val oov = streamed.find(r => r._1 == 2L && r._2 == 0L).get
+      assert(oov._3 == 1L && oov._4 == "zzq")
+      // a known word segments identically to the trained table
+      val known = streamed.find(r => r._1 == 2L && r._2 == 1L).get
+      val trained = U.train(ref, "text", 8, 3, 2)
+        .filter(col("word") === "aba")
+        .select(array_join(col("pieces"), " ")).as[String].head()
+      assert(known._4 == trained)
+    } finally q.stop()
+  }
+
   test("streaming bigram perplexity equals batch bigramScore for closed windows") {
     implicit val sqlCtx = spark.sqlContext
     val C = graft.pipeline.Curation
