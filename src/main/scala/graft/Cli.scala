@@ -82,6 +82,8 @@ object Cli {
         |                                                until a later event past the window arrives)
         |  stream-bigram <dir> <outDir>                  bigram-LM perplexity at stream ingest (snapshot-fit
         |                                                model; same closed-window emission as stream-perplexity)
+        |  stream-kn <dir> <outDir>                      Kneser-Ney bigram perplexity at stream ingest (snapshot-fit
+        |                                                model; same closed-window emission as stream-perplexity)
         |  stream-classify <dir> <outDir>                NB quality classification at stream ingest (snapshot-fit
         |                                                model; same closed-window emission as stream-perplexity)
         |  stream-embed-neardup <dir> <outDir>           embedding near-dup vs the corpus at stream ingest
@@ -830,6 +832,17 @@ object Cli {
         snapshot, vocabSize = 500, watermarkDelay = "0 seconds",
         windowDuration = "1 minute"), out)
       println(s"""{"stream_bigram":"$out"}""")
+
+    // Kneser-Ney perplexity at ingest: KnBigramModel fit on the static
+    // snapshot, scored per micro-batch. Same drain/window discipline
+    // as stream-perplexity.
+    case "stream-kn" :: dir :: out :: Nil =>
+      val stream = stagedDocStream(spark, dir, out)
+      val snapshot = Tables.read(spark, dir, "documents")
+      drainDocJob(streaming.StreamingJobs.knPerplexity(stream,
+        snapshot, vocabSize = 500, watermarkDelay = "0 seconds",
+        windowDuration = "1 minute"), out)
+      println(s"""{"stream_kn":"$out"}""")
 
     // NB quality classification at ingest: model fit on the funnel-
     // labeled static snapshot, each micro-batch scored via broadcast

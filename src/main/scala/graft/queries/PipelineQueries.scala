@@ -460,6 +460,19 @@ object PipelineQueries {
     Curation.bigramLogLoss(t(s, dir, "documents"), "doc_id", "text",
       vocabSize = 500)
 
+  /** Kneser-Ney bigram perplexity (p89): the refinement past p82's
+    * Jelinek-Mercer mix — absolute discounting (D=0.75) with
+    * continuation counts, the smoothing KenLM itself defaults to
+    * (Kneser & Ney 1995; Chen & Goodman 1998 §2.7). The oracle refits
+    * the bigram/context/continuation tables and replays the discount
+    * arithmetic, so a pass certifies the distinct-successor and
+    * distinct-predecessor statistics and the back-off routing at
+    * position-1/unseen-context tokens — the parts KN adds over p82.
+    */
+  def p89KnBigram(s: SparkSession, dir: String): DataFrame =
+    Curation.knBigramLogLoss(t(s, dir, "documents"), "doc_id", "text",
+      vocabSize = 500)
+
   /** Near-dup cluster canonical selection: the p37 clusters, but the
     * survivor is the HIGHEST-QUALITY member (p09 score, ties to the
     * smaller id) rather than the minimum id — keep-best, the policy a
@@ -1624,6 +1637,11 @@ object PipelineQueries {
         Curation.bigramOccurrences(t(s, dir, "documents"), "doc_id",
           "text"),
         "doc_id", vocabSize = 500, minBigramCount = 1L)),
+    "p89_kn_bigram" -> ((s, dir) =>
+      Curation.knBigramLogLossPlan(
+        Curation.bigramOccurrences(t(s, dir, "documents"), "doc_id",
+          "text"),
+        "doc_id", vocabSize = 500, minBigramCount = 1L)),
     "p84_classifier_audit" -> ((s, dir) => {
       val labels = Curation.funnelLabels(t(s, dir, "documents"), "doc_id",
         "text", carry = Seq("source"),
@@ -1711,6 +1729,7 @@ object PipelineQueries {
     "p86_shard_manifest" -> p86ShardManifest _,
     "p87_unigram_tokenizer" -> p87UnigramTokenizer _,
     "p88_unigram_encode" -> p88UnigramEncode _,
+    "p89_kn_bigram" -> p89KnBigram _,
     "p50_temp_mix" -> p50TempMix _,
     "p51_hard_negatives" -> p51HardNegatives _,
     "p52_ivf_trained" -> p52IvfTrained _,
@@ -2527,6 +2546,55 @@ object PipelineQueries {
        |CROSS JOIN tot
        |GROUP BY o.doc_id""".stripMargin
 
+  /** Kneser-Ney refit from scratch: the p82 count tables plus the
+    * distinct-successor (n1fwd), distinct-predecessor (n1p), and
+    * bigram-type-total (nbi) statistics, then the D=0.75 absolute
+    * discount replayed per position with continuation back-off at
+    * position 1 / unseen contexts. Mirrors [[Curation.knScore]].
+    */
+  private def oKnBigram: String = {
+    val pcont = "(COALESCE(ct.n1p, 0) + 1) / CAST(nbi + 501 AS DOUBLE)"
+    val pkn = "GREATEST(COALESCE(bg.cbi, 0) - 0.75, 0)" +
+      " / CAST(ctx.cctx AS DOUBLE)" +
+      s" + 0.75 * ctx.n1fwd / CAST(ctx.cctx AS DOUBLE) * ($pcont)"
+    s"""WITH base AS (SELECT doc_id, $oToks AS toks FROM documents),
+       |occ AS (
+       |  SELECT doc_id, toks[i] AS cur,
+       |    CASE WHEN i > 1 THEN toks[i - 1] END AS prev
+       |  FROM (SELECT doc_id, toks,
+       |          unnest(generate_series(1, len(toks))) AS i
+       |        FROM base)),
+       |bg AS (
+       |  SELECT prev, cur, COUNT(*) AS cbi FROM occ
+       |  WHERE prev IS NOT NULL GROUP BY prev, cur),
+       |ctx AS (
+       |  SELECT prev, SUM(cbi) AS cctx, COUNT(*) AS n1fwd
+       |  FROM bg GROUP BY prev),
+       |uni AS (SELECT cur, COUNT(*) AS cu FROM occ GROUP BY cur),
+       |vocab AS (SELECT cur, cu FROM uni ORDER BY cu DESC, cur LIMIT 500),
+       |ct AS (
+       |  SELECT v.cur, COALESCE(p.n1p, 0) AS n1p
+       |  FROM vocab v LEFT JOIN (
+       |    SELECT cur, COUNT(*) AS n1p FROM bg GROUP BY cur) p
+       |  ON v.cur = p.cur),
+       |nb AS (SELECT COUNT(*) AS nbi FROM bg)
+       |SELECT o.doc_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(CASE WHEN o.prev IS NULL OR ctx.cctx IS NULL THEN
+       |      FLOOR(-ln($pcont) * 1e6)
+       |    ELSE FLOOR(-ln($pkn) * 1e6) END) AS BIGINT) AS nll_micro,
+       |  CAST(SUM(CASE WHEN o.prev IS NULL OR ctx.cctx IS NULL THEN
+       |      FLOOR(-ln($pcont) * 1e6)
+       |    ELSE FLOOR(-ln($pkn) * 1e6) END) AS BIGINT) // COUNT(*)
+       |    AS avg_nll_micro
+       |FROM occ o
+       |LEFT JOIN ct ON o.cur = ct.cur
+       |LEFT JOIN bg ON o.prev = bg.prev AND o.cur = bg.cur
+       |LEFT JOIN ctx ON o.prev = ctx.prev
+       |CROSS JOIN nb
+       |GROUP BY o.doc_id""".stripMargin
+  }
+
   def oracle: Map[String, String] =
     oracle0 + ("p56_ann_recall" -> oAnnRecall) +
       ("p66_quality_funnel" -> oQualityFunnel) +
@@ -2537,6 +2605,7 @@ object PipelineQueries {
       ("p88_unigram_encode" ->
         oUnigramEncode(vocabSize = 60, maxLen = 4)) +
       ("p82_bigram_lm" -> oBigramLm) +
+      ("p89_kn_bigram" -> oKnBigram) +
       ("p84_classifier_audit" ->
         s"""WITH nb AS (${oNbClassifier})
            |SELECT d.source,

@@ -144,6 +144,32 @@ object StreamingJobs {
         col("n_tokens"), col("nll_micro"), col("avg_nll_micro"))
   }
 
+  /** Kneser-Ney perplexity at stream ingest — the streaming twin of
+    * p89, same snapshot-fit discipline as [[bigramPerplexity]]: the
+    * KN model (bigram counts, context fan-out, continuation counts,
+    * type total) is fit in batch over the reference corpus, its
+    * tables ride each micro-batch as broadcast static sides, and
+    * scoring is [[graft.pipeline.Curation.knScore]] verbatim grouped
+    * by (event-time window, doc). Stateless per row beyond the
+    * window aggregation; state bounded by open windows × docs.
+    */
+  def knPerplexity(docs: DataFrame, refCorpus: DataFrame,
+      vocabSize: Int, watermarkDelay: String = "1 hour",
+      windowDuration: String = "1 hour",
+      minBigramCount: Long = 1L): DataFrame = {
+    val C = graft.pipeline.Curation
+    val model = C.knBigramModel(
+      C.bigramOccurrences(refCorpus, "doc_id", "text"), vocabSize,
+      minBigramCount)
+    val occ = C.bigramOccurrences(
+      docs.withWatermark("ts", watermarkDelay), "doc_id", "text",
+      carry = Seq("ts"))
+    C.knScore(occ,
+        Seq(window(col("ts"), windowDuration), col("doc_id")), model)
+      .select(unix_micros(col("window.start")).as("ws_us"), col("doc_id"),
+        col("n_tokens"), col("nll_micro"), col("avg_nll_micro"))
+  }
+
   /** Ingest-time quality classification — the streaming twin of the
     * NB classifier (p81). The model is fit IN BATCH over a funnel-
     * labeled reference snapshot

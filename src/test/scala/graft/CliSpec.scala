@@ -310,6 +310,24 @@ class CliSpec extends SparkSpec {
       batchBg.exceptAll(sbg).count() == 0)
     assert(sbg.count() > 0)
 
+    // stream-kn: same drain discipline, scores equal the batch
+    // KnBigramModel for every closed window
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$out/skn"))
+    Cli.run(spark, List("stream-kn", sf0001, s"$out/skn"))
+    val skn = spark.read.parquet(s"$out/skn")
+      .select("ws_us", "doc_id", "n_tokens", "nll_micro", "avg_nll_micro")
+    val knModel = C.knBigramModel(
+      C.bigramOccurrences(docsTs, "doc_id", "text"), vocabSize = 500)
+    val batchKn = C.knScore(
+        C.bigramOccurrences(docsTs, "doc_id", "text", carry = Seq("ts")),
+        Seq(window(col("ts"), "1 minute"), col("doc_id")), knModel)
+      .filter(unix_micros(col("window.end")) <= nDocsAll * 1000000L)
+      .select(unix_micros(col("window.start")).as("ws_us"), col("doc_id"),
+        col("n_tokens"), col("nll_micro"), col("avg_nll_micro"))
+    assert(skn.exceptAll(batchKn).count() == 0 &&
+      batchKn.exceptAll(skn).count() == 0)
+    assert(skn.count() > 0)
+
     // stream-classify: same drain discipline as stream-perplexity,
     // scores equal the batch NB model for every closed window
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$out/scls"))

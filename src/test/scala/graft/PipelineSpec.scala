@@ -952,6 +952,38 @@ class PipelineSpec extends SparkSpec {
     assert(pruned == Seq((1L, d1p), (2L, d2p)))
   }
 
+  test("Kneser-Ney bigram discounts mass to continuation counts; backs off on unseen context") {
+    val docs = Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
+    // hand model: bg (a,b):2 (b,a):1 (a,c):1; ctx a:(3,2) b:(1,1);
+    // n1p a:1 b:1 c:1 (each follows exactly one distinct token);
+    // nbi=3 bigram types -> pcont = (1+1)/(3+11) for all of a,b,c
+    val pc = (1.0 + 1) / (3 + 11).toDouble
+    def pkn(cbi: Long, cctx: Long, n1fwd: Long) =
+      math.max(cbi - 0.75, 0.0) / cctx + 0.75 * n1fwd / cctx * pc
+    def cost(p: Double) = math.floor(-math.log(p) * 1e6).toLong
+    val d1 = cost(pc) + cost(pkn(2, 3, 2)) + cost(pkn(1, 1, 1)) +
+      cost(pkn(2, 3, 2))
+    val d2 = cost(pc) + cost(pkn(1, 3, 2))
+    val out = Curation.knBigramLogLoss(docs, "doc_id", "text", vocabSize = 10)
+      .orderBy("doc_id")
+      .select("doc_id", "n_tokens", "nll_micro", "avg_nll_micro")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 4L, d1, d1 / 4), (2L, 2L, d2, d2 / 2)))
+    // scoring fresh text against the fitted model: unseen context "z"
+    // and OOV cur "q" both route to the smoothed continuation
+    // distribution (n1p=0 -> (0+1)/14), never a null or a div-by-zero
+    val model = Curation.knBigramModel(
+      Curation.bigramOccurrences(docs, "doc_id", "text"), vocabSize = 10)
+    val fresh = Curation.knScore(
+      Curation.bigramOccurrences(Seq((9L, "z q")).toDF("doc_id", "text"),
+        "doc_id", "text"),
+      Seq(col("doc_id")), model)
+    val oov = (0.0 + 1) / (3 + 11).toDouble
+    val exp9 = cost(oov) * 2  // pos-1 z (OOV) + unseen-context (z,q)
+    assert(fresh.select("doc_id", "nll_micro").as[(Long, Long)]
+      .collect().toSeq == Seq((9L, exp9)))
+  }
+
   test("ivf occupancy flags skewed cells and proposes a deterministic seed split") {
     // 2 centroids on the axes; 5 vectors land with centroid 0, 1 with
     // centroid 1 -> cell 0 is 5/(6/2)=167% of mean, flagged at 130%

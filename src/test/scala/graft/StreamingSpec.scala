@@ -518,6 +518,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming Kneser-Ney perplexity equals batch knScore for closed windows") {
+    implicit val sqlCtx = spark.sqlContext
+    val C = graft.pipeline.Curation
+    val ref = Seq((100L, "aa bb aa cc"), (101L, "aa bb dd"))
+      .toDF("doc_id", "text")
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val docs = mem.toDF().toDF("doc_id", "text", "ts")
+    val q = StreamingJobs.knPerplexity(docs, ref, vocabSize = 3)
+      .writeStream.format("memory").queryName("kn_s")
+      .outputMode("append").start()
+    try {
+      def ts(s: String) = Timestamp.valueOf(s)
+      val rows = Seq(
+        (1L, "aa bb cc", ts("2024-01-01 00:10:00")),   // seen bigram aa→bb
+        (2L, "cc aa zz", ts("2024-01-01 00:20:00")),   // OOV + unseen bigrams
+        (3L, "bb", ts("2024-01-01 00:40:00")))         // single-token doc
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      mem.addData((99L, "aa", ts("2024-01-02 12:00:00")))
+      q.processAllAvailable()
+      val streamed = spark.table("kn_s")
+        .select("ws_us", "doc_id", "n_tokens", "nll_micro", "avg_nll_micro")
+        .as[(Long, Long, Long, Long, Long)].collect().toSeq.sorted
+      val model = C.knBigramModel(
+        C.bigramOccurrences(ref, "doc_id", "text"), vocabSize = 3)
+      val occB = C.bigramOccurrences(rows.toDF("doc_id", "text", "ts"),
+        "doc_id", "text", carry = Seq("ts"))
+      val batch = C.knScore(occB,
+          Seq(window(col("ts"), "1 hour"), col("doc_id")), model)
+        .select(unix_micros(col("window.start")).as("ws_us"), col("doc_id"),
+          col("n_tokens"), col("nll_micro"), col("avg_nll_micro"))
+        .as[(Long, Long, Long, Long, Long)].collect().toSeq.sorted
+      assert(streamed == batch)
+      assert(streamed.map(_._2) == Seq(1L, 2L, 3L))
+      // the discounted in-corpus doc still beats the OOV-heavy one
+      val avg = streamed.map(r => r._2 -> r._5).toMap
+      assert(avg(2L) > avg(1L))
+    } finally q.stop()
+  }
+
   test("streaming NB classification equals batch nbScore for closed windows") {
     implicit val sqlCtx = spark.sqlContext
     val C = graft.pipeline.Curation
