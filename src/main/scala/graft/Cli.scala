@@ -84,6 +84,8 @@ object Cli {
         |                                                model; same closed-window emission as stream-perplexity)
         |  stream-kn <dir> <outDir>                      Kneser-Ney bigram perplexity at stream ingest (snapshot-fit
         |                                                model; same closed-window emission as stream-perplexity)
+        |  stream-dsir <dir> <outDir>                    DSIR importance weights at stream ingest (snapshot-fit
+        |                                                bucket map; stateless per-row scoring, no window)
         |  stream-classify <dir> <outDir>                NB quality classification at stream ingest (snapshot-fit
         |                                                model; same closed-window emission as stream-perplexity)
         |  stream-embed-neardup <dir> <outDir>           embedding near-dup vs the corpus at stream ingest
@@ -843,6 +845,17 @@ object Cli {
         snapshot, vocabSize = 500, watermarkDelay = "0 seconds",
         windowDuration = "1 minute"), out)
       println(s"""{"stream_kn":"$out"}""")
+
+    // DSIR importance weights at ingest: llr map fit on the funnel-
+    // labeled static snapshot, stateless per-row HOF scoring — no
+    // window, so every ingested doc's weight emits immediately.
+    case "stream-dsir" :: dir :: out :: Nil =>
+      val stream = stagedDocStream(spark, dir, out)
+      val snapshot = Tables.read(spark, dir, "documents")
+      drainDocJob(streaming.StreamingJobs.dsirWeight(stream,
+        snapshot, buckets = 512,
+        profile = pipeline.Curation.GateProfile.wordSalad), out)
+      println(s"""{"stream_dsir":"$out"}""")
 
     // NB quality classification at ingest: model fit on the funnel-
     // labeled static snapshot, each micro-batch scored via broadcast

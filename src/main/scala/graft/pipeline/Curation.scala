@@ -1070,6 +1070,110 @@ object Curation {
       vocabSize, carry))
   }
 
+  // ------------------------------------------- DSIR data selection
+
+  /** Hashed n-gram feature buckets of one document — the DSIR feature
+    * map (Xie et al. 2023, "Data Selection for Language Models via
+    * Importance Resampling"): every unigram and every adjacent bigram
+    * hashed into `buckets` cells. Pure zero-exchange column ops: the
+    * bigram list is a `zip_with` over two slices of the token array
+    * (no per-document window/lag shuffle), each feature one md5 pass
+    * ([[TF.hash60]] `% buckets`).
+    */
+  private[graft] def dsirBuckets(textCol: Column, buckets: Int): Column = {
+    val toks = TF.tokens(textCol)
+    val uni = transform(toks, t => TF.hash60(t) % buckets)
+    val bi = zip_with(
+      slice(toks, lit(1), size(toks) - 1),
+      slice(toks, lit(2), size(toks) - 1),
+      (a, b) => TF.hash60(concat(a, lit(" "), b)) % buckets)
+    concat(uni, bi)
+  }
+
+  /** The fitted DSIR importance model: one row per OBSERVED bucket
+    * with the add-one-smoothed log-ratio of the target (funnel-pass)
+    * vs raw (whole corpus) hashed-n-gram distributions in integer
+    * micro-nats. At most `buckets` rows — a broadcast however large
+    * the corpus. Fit from a labeled feature-occurrence frame
+    * (`bucket`, `cls` ∈ {0,1}): target counts are `sum(cls)`, raw
+    * counts `count(*)`, so the corpus is touched once and the model
+    * drops out of the same B-bounded count shuffle.
+    */
+  def dsirLlrTable(labeledFeats: DataFrame, buckets: Int): DataFrame = {
+    val cnt = labeledFeats.groupBy("bucket")
+      .agg(sum(col("cls")).as("ct"), count(lit(1)).as("cr"))
+    val tot = cnt.agg(sum("ct").as("tt"), sum("cr").as("tr"))
+    cnt.crossJoin(broadcast(tot))
+      .select(col("bucket"),
+        floor((log((col("ct") + 1).cast("double") /
+            (col("tt") + lit(buckets)).cast("double")) -
+          log((col("cr") + 1).cast("double") /
+            (col("tr") + lit(buckets)).cast("double"))) * 1e6)
+          .cast("long").as("llr_micro"))
+  }
+
+  /** Per-document DSIR log importance weight: Σ llr(bucket) over the
+    * document's feature occurrences, in micro-nats. The bucket join
+    * is against the ≤`buckets`-row broadcast; the per-document rollup
+    * partial-aggregates map-side, so the one shuffle carries a row
+    * per (partition, doc). A bucket absent from the model (possible
+    * only for data the model was not fit on, e.g. a stream) scores 0.
+    */
+  def dsirScore(featOcc: DataFrame, groupCols: Seq[Column],
+      llr: DataFrame): DataFrame =
+    featOcc.join(broadcast(llr), Seq("bucket"), "left")
+      .groupBy(groupCols: _*)
+      .agg(count(lit(1)).as("n_feats"),
+        sum(coalesce(col("llr_micro"), lit(0L))).as("logw_micro"))
+
+  /** Gumbel top-k resampling over scored documents — sampling k docs
+    * without replacement with probability ∝ exp(logw), the DSIR
+    * selection step, made deterministic: the "noise" is
+    * g = −ln(−ln(u)) with u drawn from the seedless portable-hash
+    * draw of [[importanceSample]] (`hash60(salt‖id) mod 1e6`, shifted
+    * half a step off zero so u ∈ (0,1)). Top-k by (logw + g) is a
+    * `TakeOrderedAndProject` — per-partition heaps, no global sort.
+    */
+  def dsirResample(scored: DataFrame, idCol: String, k: Int,
+      salt: String = "dsir"): DataFrame = {
+    val u = (pmod(TF.hash60(concat(lit(salt), col(idCol).cast("string"))),
+      lit(1000000L)).cast("double") + 0.5) / 1e6
+    val ranked = scored
+      .withColumn("gumbel_micro", floor(-log(-log(u)) * 1e6).cast("long"))
+      .withColumn("key_micro", col("logw_micro") + col("gumbel_micro"))
+      .orderBy(col("key_micro").desc, col(idCol)).limit(k)
+    ranked.withColumn("rank", row_number().over(
+        Window.orderBy(col("key_micro").desc, col(idCol))).cast("long"))
+      .select(col("rank"), col(idCol), col("n_feats"), col("logw_micro"),
+        col("key_micro"))
+  }
+
+  /** End-to-end DSIR: funnel-pass documents are the target-domain
+    * proxy (the same heuristic-gates-as-weak-supervision move as the
+    * NB classifier), the whole corpus is the raw pool; fit the
+    * hashed-n-gram importance model, score every document, Gumbel
+    * top-k resample. Feature occurrences are cache-bracketed so the
+    * corpus tokenizes once across the fit and the scoring pass.
+    */
+  def dsir(df: DataFrame, idCol: String, textCol: String, buckets: Int,
+      k: Int, salt: String = "dsir",
+      profile: GateProfile = GateProfile.published): DataFrame = {
+    val labels = funnelLabels(df, idCol, textCol, profile = profile)
+    val feats = labels.select(col(idCol), col("cls"),
+      explode(dsirBuckets(col(textCol), buckets)).as("bucket"))
+    graft.core.Caching.withCached(feats)(
+      dsirPlan(feats, idCol, buckets, k, salt))
+  }
+
+  /** Lazy plan of [[dsir]] over a prepared labeled feature-occurrence
+    * frame (split out so Bench can fingerprint it).
+    */
+  private[graft] def dsirPlan(feats: DataFrame, idCol: String,
+      buckets: Int, k: Int, salt: String = "dsir"): DataFrame =
+    dsirResample(
+      dsirScore(feats, Seq(col(idCol)), dsirLlrTable(feats, buckets)),
+      idCol, k, salt)
+
   /** Lazy plan of [[nbClassifier]] over a prepared labeled-occurrence
     * frame (split out so Bench can fingerprint it — the cache bracket
     * returns an opaque LogicalRDD).

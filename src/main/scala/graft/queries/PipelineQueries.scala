@@ -473,6 +473,19 @@ object PipelineQueries {
     Curation.knBigramLogLoss(t(s, dir, "documents"), "doc_id", "text",
       vocabSize = 500)
 
+  /** DSIR data selection (p90): hashed unigram+bigram features (512
+    * buckets), importance model fit target-vs-raw where the target is
+    * the funnel-pass subset (wordSalad profile — see p81's note on why
+    * published thresholds admit zero synthetic docs), deterministic
+    * Gumbel top-100 resample. The oracle refits the bucket counts and
+    * replays the log-ratio + Gumbel-key arithmetic, so a pass
+    * certifies the feature hashing, the add-one model, and the
+    * without-replacement selection order (Xie et al. 2023).
+    */
+  def p90Dsir(s: SparkSession, dir: String): DataFrame =
+    Curation.dsir(t(s, dir, "documents"), "doc_id", "text",
+      buckets = 512, k = 100, profile = Curation.GateProfile.wordSalad)
+
   /** Near-dup cluster canonical selection: the p37 clusters, but the
     * survivor is the HIGHEST-QUALITY member (p09 score, ties to the
     * smaller id) rather than the minimum id — keep-best, the policy a
@@ -1642,6 +1655,14 @@ object PipelineQueries {
         Curation.bigramOccurrences(t(s, dir, "documents"), "doc_id",
           "text"),
         "doc_id", vocabSize = 500, minBigramCount = 1L)),
+    "p90_dsir" -> ((s, dir) => {
+      val labels = Curation.funnelLabels(t(s, dir, "documents"), "doc_id",
+        "text", profile = Curation.GateProfile.wordSalad)
+      Curation.dsirPlan(
+        labels.select(col("doc_id"), col("cls"),
+          explode(Curation.dsirBuckets(col("text"), 512)).as("bucket")),
+        "doc_id", buckets = 512, k = 100)
+    }),
     "p84_classifier_audit" -> ((s, dir) => {
       val labels = Curation.funnelLabels(t(s, dir, "documents"), "doc_id",
         "text", carry = Seq("source"),
@@ -1730,6 +1751,7 @@ object PipelineQueries {
     "p87_unigram_tokenizer" -> p87UnigramTokenizer _,
     "p88_unigram_encode" -> p88UnigramEncode _,
     "p89_kn_bigram" -> p89KnBigram _,
+    "p90_dsir" -> p90Dsir _,
     "p50_temp_mix" -> p50TempMix _,
     "p51_hard_negatives" -> p51HardNegatives _,
     "p52_ivf_trained" -> p52IvfTrained _,
@@ -2595,6 +2617,65 @@ object PipelineQueries {
        |GROUP BY o.doc_id""".stripMargin
   }
 
+  /** DSIR refit from scratch: the funnel label CTEs (wordSalad
+    * thresholds, as oNbClassifier), hashed unigram+bigram buckets,
+    * target-vs-raw add-one log-ratios, per-doc weight sums, and the
+    * deterministic Gumbel top-k key replayed bit-for-bit. Mirrors
+    * [[Curation.dsirPlan]].
+    */
+  private def oDsir: String = {
+    val draw = oHash("'dsir' || CAST(doc_id AS VARCHAR)") + " % 1000000"
+    s"""WITH g AS (${oGopherRules(minWords = 20, minStop = 1)}),
+       |c AS (${oC4Lines(minLineWords = 3, requirePunct = false,
+                minSentences = 0)}),
+       |q AS (${oracle0("p09_quality")}),
+       |lab AS (
+       |  SELECT d.doc_id,
+       |    CAST(CASE WHEN q.score >= 0.5 THEN 1 ELSE 0 END
+       |         * g.keep * c.page_keep AS BIGINT) AS cls
+       |  FROM documents d
+       |  JOIN g ON d.doc_id = g.doc_id
+       |  JOIN c ON d.doc_id = c.doc_id
+       |  JOIN q ON d.doc_id = q.doc_id),
+       |base AS (SELECT doc_id, $oToks AS toks FROM documents),
+       |feats AS (
+       |  SELECT doc_id, ${oHash("tok")} % 512 AS bucket
+       |  FROM (SELECT doc_id, unnest(toks) AS tok FROM base)
+       |  UNION ALL
+       |  SELECT doc_id, ${oHash("toks[i] || ' ' || toks[i + 1]")} % 512
+       |    AS bucket
+       |  FROM (SELECT doc_id, toks,
+       |          unnest(generate_series(1, len(toks) - 1)) AS i
+       |        FROM base)),
+       |lf AS (
+       |  SELECT f.doc_id, f.bucket, lab.cls
+       |  FROM feats f JOIN lab ON f.doc_id = lab.doc_id),
+       |cnt AS (
+       |  SELECT bucket, SUM(cls) AS ct, COUNT(*) AS cr
+       |  FROM lf GROUP BY bucket),
+       |tot AS (SELECT SUM(ct) AS tt, SUM(cr) AS tr FROM cnt),
+       |llr AS (
+       |  SELECT bucket,
+       |    CAST(FLOOR((ln((ct + 1) / CAST(tt + 512 AS DOUBLE))
+       |              - ln((cr + 1) / CAST(tr + 512 AS DOUBLE))) * 1e6)
+       |      AS BIGINT) AS llr_micro
+       |  FROM cnt, tot),
+       |sc AS (
+       |  SELECT f.doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
+       |    CAST(SUM(COALESCE(l.llr_micro, 0)) AS BIGINT) AS logw_micro
+       |  FROM feats f LEFT JOIN llr l ON f.bucket = l.bucket
+       |  GROUP BY f.doc_id),
+       |keyed AS (
+       |  SELECT doc_id, n_feats, logw_micro,
+       |    logw_micro + CAST(FLOOR(-ln(-ln((($draw) + 0.5) / 1e6)) * 1e6)
+       |      AS BIGINT) AS key_micro
+       |  FROM sc)
+       |SELECT CAST(ROW_NUMBER()
+       |    OVER (ORDER BY key_micro DESC, doc_id) AS BIGINT) AS rank,
+       |  doc_id, n_feats, logw_micro, key_micro
+       |FROM keyed ORDER BY key_micro DESC, doc_id LIMIT 100""".stripMargin
+  }
+
   def oracle: Map[String, String] =
     oracle0 + ("p56_ann_recall" -> oAnnRecall) +
       ("p66_quality_funnel" -> oQualityFunnel) +
@@ -2606,6 +2687,7 @@ object PipelineQueries {
         oUnigramEncode(vocabSize = 60, maxLen = 4)) +
       ("p82_bigram_lm" -> oBigramLm) +
       ("p89_kn_bigram" -> oKnBigram) +
+      ("p90_dsir" -> oDsir) +
       ("p84_classifier_audit" ->
         s"""WITH nb AS (${oNbClassifier})
            |SELECT d.source,

@@ -170,6 +170,39 @@ object StreamingJobs {
         col("n_tokens"), col("nll_micro"), col("avg_nll_micro"))
   }
 
+  /** DSIR importance weighting at stream ingest — the streaming twin
+    * of p90's scoring stage. The hashed-n-gram importance model is
+    * fit in batch over the funnel-labeled reference snapshot
+    * ([[graft.pipeline.Curation.dsirLlrTable]]) and collapsed to a
+    * ONE-ROW bucket→llr map riding the micro-batch as a broadcast
+    * static side, so scoring is a stateless per-row `aggregate` HOF
+    * over the document's feature buckets — no window, no watermark,
+    * no state store; every document's weight emits immediately.
+    * (The Gumbel top-k SELECTION stays batch-side: sampling without
+    * replacement is a global rank, not a streaming decision — the
+    * stream emits the weight, the periodic batch job draws.) Buckets
+    * unseen in the snapshot score 0, as in the batch scorer.
+    */
+  def dsirWeight(docs: DataFrame, refCorpus: DataFrame, buckets: Int,
+      profile: graft.pipeline.Curation.GateProfile =
+        graft.pipeline.Curation.GateProfile.published): DataFrame = {
+    val C = graft.pipeline.Curation
+    val labels = C.funnelLabels(refCorpus, "doc_id", "text",
+      profile = profile)
+    val feats = labels.select(col("doc_id"), col("cls"),
+      explode(C.dsirBuckets(col("text"), buckets)).as("bucket"))
+    val llrMap = C.dsirLlrTable(feats, buckets)
+      .agg(map_from_entries(
+        collect_list(struct(col("bucket"), col("llr_micro")))).as("m"))
+    docs.crossJoin(llrMap)
+      .withColumn("bks", C.dsirBuckets(col("text"), buckets))
+      .select(unix_micros(col("ts")).as("ts_us"), col("doc_id"),
+        size(col("bks")).cast("long").as("n_feats"),
+        aggregate(col("bks"), lit(0L),
+          (acc, b) => acc + coalesce(element_at(col("m"), b), lit(0L)))
+          .as("logw_micro"))
+  }
+
   /** Ingest-time quality classification — the streaming twin of the
     * NB classifier (p81). The model is fit IN BATCH over a funnel-
     * labeled reference snapshot

@@ -328,6 +328,25 @@ class CliSpec extends SparkSpec {
       batchKn.exceptAll(skn).count() == 0)
     assert(skn.count() > 0)
 
+    // stream-dsir: stateless per-row weights — every doc emits from
+    // one drain (no window tail), equal to the batch scorer
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$out/sdsir"))
+    Cli.run(spark, List("stream-dsir", sf0001, s"$out/sdsir"))
+    val sdsir = spark.read.parquet(s"$out/sdsir")
+      .select("doc_id", "n_feats", "logw_micro")
+    val labD = C.funnelLabels(docsTs, "doc_id", "text",
+      profile = C.GateProfile.wordSalad)
+    val featsD = labD.select(col("doc_id"), col("cls"),
+      explode(C.dsirBuckets(col("text"), 512)).as("bucket"))
+    val batchDsir = C.dsirScore(
+        docsTs.select(col("doc_id"),
+          explode(C.dsirBuckets(col("text"), 512)).as("bucket")),
+        Seq(col("doc_id")), C.dsirLlrTable(featsD, 512))
+      .select("doc_id", "n_feats", "logw_micro")
+    assert(sdsir.exceptAll(batchDsir).count() == 0 &&
+      batchDsir.exceptAll(sdsir).count() == 0)
+    assert(sdsir.count() == docsTs.count())  // nothing held back in a window
+
     // stream-classify: same drain discipline as stream-perplexity,
     // scores equal the batch NB model for every closed window
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$out/scls"))

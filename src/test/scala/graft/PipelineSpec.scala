@@ -984,6 +984,44 @@ class PipelineSpec extends SparkSpec {
       .collect().toSeq == Seq((9L, exp9)))
   }
 
+  test("DSIR hashes unigrams+bigrams, weights toward the target, resamples without replacement") {
+    // feature map: "a b c" -> 3 unigram + 2 bigram buckets
+    val nf = Seq((1L, "a b c"), (2L, "x"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"),
+        size(Curation.dsirBuckets(col("text"), 512)).as("nf"))
+      .as[(Long, Int)].collect().toMap
+    assert(nf == Map(1L -> 5, 2L -> 1))
+    // hand-fit model on synthetic labeled features: bucket 7 appears
+    // only in the target doc, bucket 9 only in a raw-only doc
+    val feats = Seq((1L, 1L, 7L), (1L, 1L, 3L), (2L, 0L, 9L),
+      (2L, 0L, 3L)).toDF("doc_id", "cls", "bucket")
+    val llr = Curation.dsirLlrTable(feats, buckets = 512)
+      .as[(Long, Long)].collect().toMap
+    def l(ct: Long, cr: Long) = math.floor((math.log((ct + 1) /
+      (2 + 512).toDouble) - math.log((cr + 1) / (4 + 512).toDouble)) *
+      1e6).toLong
+    assert(llr == Map(7L -> l(1, 1), 3L -> l(1, 2), 9L -> l(0, 1)))
+    assert(llr(7L) > 0 && llr(9L) < 0)  // target-only up, raw-only down
+    // scoring sums the per-bucket ratios; the target doc outranks
+    val scored = Curation.dsirScore(feats, Seq(col("doc_id")),
+      Curation.dsirLlrTable(feats, buckets = 512))
+    val byDoc = scored.select("doc_id", "n_feats", "logw_micro")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(byDoc(1L) == ((2L, l(1, 1) + l(1, 2))))
+    assert(byDoc(2L) == ((2L, l(0, 1) + l(1, 2))))
+    // Gumbel top-k: deterministic across runs, k >= n returns all rows
+    // ranked, k < n truncates the same prefix
+    val all = Curation.dsirResample(scored, "doc_id", k = 10)
+      .select("rank", "doc_id").as[(Long, Long)].collect().toSeq
+    val again = Curation.dsirResample(scored, "doc_id", k = 10)
+      .select("rank", "doc_id").as[(Long, Long)].collect().toSeq
+    assert(all == again && all.map(_._1) == Seq(1L, 2L))
+    val top1 = Curation.dsirResample(scored, "doc_id", k = 1)
+      .select("rank", "doc_id").as[(Long, Long)].collect().toSeq
+    assert(top1 == all.take(1))
+  }
+
   test("ivf occupancy flags skewed cells and proposes a deterministic seed split") {
     // 2 centroids on the axes; 5 vectors land with centroid 0, 1 with
     // centroid 1 -> cell 0 is 5/(6/2)=167% of mean, flagged at 130%

@@ -558,6 +558,54 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming DSIR weights equal batch dsirScore, emitted without a window") {
+    implicit val sqlCtx = spark.sqlContext
+    val C = graft.pipeline.Curation
+    // reference snapshot: one funnel-shaped doc (long, stopworded,
+    // punctuated) and one word-salad doc, so the wordSalad-profile
+    // labels split 1/0 and the llr map is non-degenerate
+    val good = ("the quick brown fox jumps over the lazy dog and then " +
+      "the dog naps in the warm sun all afternoon long today.")
+    val ref = Seq((100L, good), (101L, "zz qq kk"))
+      .toDF("doc_id", "text")
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val docs = mem.toDF().toDF("doc_id", "text", "ts")
+    val q = StreamingJobs.dsirWeight(docs, ref, buckets = 64,
+        profile = C.GateProfile.wordSalad)
+      .writeStream.format("memory").queryName("dsir_s")
+      .outputMode("append").start()
+    try {
+      def ts(s: String) = Timestamp.valueOf(s)
+      val rows = Seq(
+        (1L, "the quick brown fox", ts("2024-01-01 00:10:00")),
+        (2L, "zz qq", ts("2024-01-01 00:20:00")),
+        (3L, "never seen tokens here", ts("2024-01-01 00:40:00")))
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("dsir_s")
+        .select("ts_us", "doc_id", "n_feats", "logw_micro")
+        .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+      // no window: all three rows emit from one drain, ts passthrough
+      assert(streamed.map(_._2) == Seq(1L, 2L, 3L))
+      val labels = C.funnelLabels(ref, "doc_id", "text",
+        profile = C.GateProfile.wordSalad)
+      val refFeats = labels.select(col("doc_id"), col("cls"),
+        explode(C.dsirBuckets(col("text"), 64)).as("bucket"))
+      val llr = C.dsirLlrTable(refFeats, buckets = 64)
+      val batch = C.dsirScore(
+          rows.toDF("doc_id", "text", "ts")
+            .select(col("doc_id"), unix_micros(col("ts")).as("ts_us"),
+              explode(C.dsirBuckets(col("text"), 64)).as("bucket")),
+          Seq(col("ts_us"), col("doc_id")), llr)
+        .select("ts_us", "doc_id", "n_feats", "logw_micro")
+        .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+      assert(streamed == batch)
+      // target-flavored text outweighs the word-salad text
+      val w = streamed.map(r => r._2 -> r._4).toMap
+      assert(w(1L) > w(2L))
+    } finally q.stop()
+  }
+
   test("streaming NB classification equals batch nbScore for closed windows") {
     implicit val sqlCtx = spark.sqlContext
     val C = graft.pipeline.Curation
