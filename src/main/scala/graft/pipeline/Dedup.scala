@@ -67,6 +67,28 @@ object Dedup {
       .select(col("fp"), (-col("best.nid")).as("keep_id"),
         col("best.len").as("keep_len"), col("n_copies"))
 
+  /** [[exact]] under CCNet normalization
+    * ([[graft.pipeline.TextFunctions.ccnetNormalize]]): documents that
+    * differ only in case, digits, or punctuation share a fingerprint,
+    * so this catches the near-identical-scrape class that plain
+    * whitespace normalization misses — at exactly the same cost (the
+    * normalization is a zero-exchange codegen projection; the shuffle
+    * still moves 16-byte digests). Output adds `n_raw_distinct`, the
+    * number of distinct RAW fingerprints inside each normalized group
+    * — 1 means byte-identical copies, >1 means normalization did the
+    * collapsing.
+    */
+  def exactNormalized(df: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    spread(df).select(
+        col(idCol),
+        fingerprint(tokens(col(textCol))).as("raw_fp"),
+        substring(md5(graft.pipeline.TextFunctions
+          .ccnetNormalize(col(textCol))), 1, 16).as("fp"))
+      .groupBy(col("fp"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"),
+        countDistinct(col("raw_fp")).as("n_raw_distinct"))
+
   /** Shared prep: id, distinct k-shingle set (native kernel — one
     * compiled loop per document; semantics identical to the HOF
     * [[TextFunctions.shingles]], pinned by KernelEquivalenceSpec).

@@ -145,6 +145,23 @@ object TextFunctions {
   def fingerprint(toks: Column): Column =
     substring(md5(concat_ws(" ", toks)), 1, 16)
 
+  /** CCNet-style text normalization before hashing (Wenzek et al.
+    * 2020 §4.1: lowercase, map every digit to a placeholder, drop
+    * punctuation, collapse whitespace) — the canonical form under
+    * which "Call 555-0199 now!" and "call 555 0188 NOW" collide, so
+    * exact dedup catches the near-identical scrapes that differ only
+    * in case/digits/punctuation. Punctuation becomes a SPACE (not
+    * empty) so "555-0199" and "555 0199" canonicalize identically
+    * instead of gluing the runs, then the whitespace collapse absorbs
+    * the padding. Pure codegen projection: lower, two regexp passes,
+    * whitespace re-join. ASCII-scoped (no Unicode accent folding —
+    * the synthetic corpus and the DuckDB mirror are ASCII; a
+    * production corpus would widen the character classes).
+    */
+  def ccnetNormalize(text: Column): Column =
+    concat_ws(" ", tokens(regexp_replace(
+      regexp_replace(lower(text), "[0-9]", "0"), "[^a-z0-9\\s]", " ")))
+
   /** Repetition signal (the Gopher paper's duplicate-n-gram class of
     * quality filters): the fraction of word k-grams that repeat an
     * earlier k-gram — `1 − distinct/total`, 0 for docs shorter than k

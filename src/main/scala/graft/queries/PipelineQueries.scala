@@ -486,6 +486,15 @@ object PipelineQueries {
     Curation.dsir(t(s, dir, "documents"), "doc_id", "text",
       buckets = 512, k = 100, profile = Curation.GateProfile.wordSalad)
 
+  /** Normalized exact dedup (p91): [[Dedup.exactNormalized]] — CCNet
+    * canonicalization (lowercase, digit-fold, punctuation strip,
+    * whitespace collapse) before the 16-byte-digest groupBy, with
+    * `n_raw_distinct` certifying which groups normalization (not byte
+    * identity) collapsed.
+    */
+  def p91NormDedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactNormalized(t(s, dir, "documents"), "doc_id", "text")
+
   /** Near-dup cluster canonical selection: the p37 clusters, but the
     * survivor is the HIGHEST-QUALITY member (p09 score, ties to the
     * smaller id) rather than the minimum id — keep-best, the policy a
@@ -1752,6 +1761,7 @@ object PipelineQueries {
     "p88_unigram_encode" -> p88UnigramEncode _,
     "p89_kn_bigram" -> p89KnBigram _,
     "p90_dsir" -> p90Dsir _,
+    "p91_norm_dedup" -> p91NormDedup _,
     "p50_temp_mix" -> p50TempMix _,
     "p51_hard_negatives" -> p51HardNegatives _,
     "p52_ivf_trained" -> p52IvfTrained _,
@@ -2706,6 +2716,17 @@ object PipelineQueries {
       s"""SELECT substr(md5(array_to_string($oToks, ' ')), 1, 16) AS fp,
          |  MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
          |FROM documents GROUP BY 1""".stripMargin,
+    "p91_norm_dedup" ->
+      s"""WITH n AS (
+         |  SELECT doc_id,
+         |    substr(md5(array_to_string($oToks, ' ')), 1, 16) AS raw_fp,
+         |    substr(md5(array_to_string(string_split_regex(trim(
+         |      regexp_replace(regexp_replace(lower(text), '[0-9]', '0', 'g'),
+         |        '[^a-z0-9\\s]', ' ', 'g')), '\\s+'), ' ')), 1, 16) AS fp
+         |  FROM documents)
+         |SELECT fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies,
+         |  COUNT(DISTINCT raw_fp) AS n_raw_distinct
+         |FROM n GROUP BY fp""".stripMargin,
     "p02_minhash_lsh" -> oJaccardPairs(k = 3, threshold = 0.5),
     "p03_simhash" ->
       s"""WITH sims AS (

@@ -984,6 +984,24 @@ class PipelineSpec extends SparkSpec {
       .collect().toSeq == Seq((9L, exp9)))
   }
 
+  test("normalized exact dedup collapses case/digit/punct variants; raw-distinct counted") {
+    val docs = Seq(
+      (1L, "Call 555-0199 now!"),
+      (2L, "call 555 0188 NOW"),       // same after digit-fold + punct strip
+      (3L, "Call 555-0199 now!"),      // byte-identical to 1
+      (4L, "something else entirely")
+    ).toDF("doc_id", "text")
+    val norm = docs.select(
+        graft.pipeline.TextFunctions.ccnetNormalize(col("text")).as("n"))
+      .as[String].collect().toSeq
+    assert(norm.take(3).toSet == Set("call 000 0000 now"))
+    val out = Dedup.exactNormalized(docs, "doc_id", "text")
+      .select("keep_id", "n_copies", "n_raw_distinct")
+      .as[(Long, Long, Long)].collect().toSet
+    // group {1,2,3}: three copies, two distinct raw forms; {4}: alone
+    assert(out == Set((1L, 3L, 2L), (4L, 1L, 1L)))
+  }
+
   test("DSIR hashes unigrams+bigrams, weights toward the target, resamples without replacement") {
     // feature map: "a b c" -> 3 unigram + 2 bigram buckets
     val nf = Seq((1L, "a b c"), (2L, "x"))
