@@ -1174,6 +1174,62 @@ object Curation {
       dsirScore(feats, Seq(col(idCol)), dsirLlrTable(feats, buckets)),
       idCol, k, salt)
 
+  // --------------------------------------- domain mixture weights
+
+  /** Excess-loss domain reweighting — a one-shot static approximation
+    * of DoReMi's group-DRO loop (Xie et al. 2023, "DoReMi"): domains
+    * where the reference LM's per-token loss EXCEEDS the
+    * best-compressed domain get upweighted proportionally to
+    * exp(excess), starting from their token-share baseline. Here the
+    * reference LM is the self-trained Kneser-Ney bigram
+    * ([[knBigramModel]]); DoReMi proper iterates a trained proxy, but
+    * the fixed-point shape — baseline × exp(excess loss), normalized
+    * — is the paper's update rule applied once.
+    *
+    * Determinism across engines: per-domain losses are integer
+    * micro-nat sums; the only double steps are one division
+    * (token share), one exp, one multiply — each a single IEEE op on
+    * identical inputs — floored to integer BEFORE the cross-domain
+    * normalization, which is then exact integer arithmetic
+    * (`w·1e6 div Σw`). No cross-row double sum anywhere.
+    *
+    * Scale shape: the corpus-side work is [[knScore]] grouped by
+    * domain (partial-aggregated — the shuffle carries one row per
+    * (partition, domain)); everything after is domain-count-sized
+    * single-row broadcasts.
+    */
+  def domainMixWeights(df: DataFrame, idCol: String, textCol: String,
+      domainCol: String, vocabSize: Int): DataFrame = {
+    val occ = bigramOccurrences(df, idCol, textCol,
+      carry = Seq(domainCol))
+    val nDocs = df.groupBy(col(domainCol))
+      .agg(count(lit(1)).as("n_docs"))
+    graft.core.Caching.withCached(occ)(
+      domainMixWeightsPlan(occ, nDocs, domainCol, vocabSize))
+  }
+
+  /** Lazy plan of [[domainMixWeights]] over a prepared occurrence
+    * frame (split out so Bench can fingerprint it).
+    */
+  private[graft] def domainMixWeightsPlan(occ: DataFrame, nDocs: DataFrame,
+      domainCol: String, vocabSize: Int): DataFrame = {
+    val sc = knScore(occ, Seq(col(domainCol)),
+      knBigramModel(occ, vocabSize))
+    val mn = sc.agg(min(col("avg_nll_micro")).as("mn"))
+    val tot = sc.agg(sum(col("n_tokens")).as("ntot"))
+    val w = sc.crossJoin(broadcast(mn)).crossJoin(broadcast(tot))
+      .withColumn("excess_micro", col("avg_nll_micro") - col("mn"))
+      .withColumn("w_int",
+        floor((col("n_tokens") / col("ntot").cast("double")) *
+          exp(col("excess_micro") / lit(1e6)) * 1e6).cast("long"))
+    val sw = w.agg(sum(col("w_int")).as("s"))
+    w.crossJoin(broadcast(sw))
+      .join(broadcast(nDocs), Seq(domainCol))
+      .select(col(domainCol), col("n_docs"), col("n_tokens"),
+        col("avg_nll_micro"), col("excess_micro"),
+        expr("(w_int * 1000000) div s").as("weight_micro"))
+  }
+
   /** Lazy plan of [[nbClassifier]] over a prepared labeled-occurrence
     * frame (split out so Bench can fingerprint it — the cache bracket
     * returns an opaque LogicalRDD).

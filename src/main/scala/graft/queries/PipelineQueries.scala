@@ -495,6 +495,17 @@ object PipelineQueries {
   def p91NormDedup(s: SparkSession, dir: String): DataFrame =
     Dedup.exactNormalized(t(s, dir, "documents"), "doc_id", "text")
 
+  /** DoReMi-lite domain mixture weights (p92): per-source Kneser-Ney
+    * per-token loss, excess over the best-compressed source, weights
+    * = token-share × exp(excess) normalized in exact integer
+    * arithmetic. The oracle refits the KN model per source and
+    * replays the excess/weight chain, so a pass certifies the
+    * domain-grouped scoring and the deterministic normalization.
+    */
+  def p92DomainMix(s: SparkSession, dir: String): DataFrame =
+    Curation.domainMixWeights(t(s, dir, "documents"), "doc_id", "text",
+      "source", vocabSize = 500)
+
   /** Near-dup cluster canonical selection: the p37 clusters, but the
     * survivor is the HIGHEST-QUALITY member (p09 score, ties to the
     * smaller id) rather than the minimum id — keep-best, the policy a
@@ -1664,6 +1675,13 @@ object PipelineQueries {
         Curation.bigramOccurrences(t(s, dir, "documents"), "doc_id",
           "text"),
         "doc_id", vocabSize = 500, minBigramCount = 1L)),
+    "p92_domain_mix" -> ((s, dir) =>
+      Curation.domainMixWeightsPlan(
+        Curation.bigramOccurrences(t(s, dir, "documents"), "doc_id",
+          "text", carry = Seq("source")),
+        t(s, dir, "documents").groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs")),
+        "source", vocabSize = 500)),
     "p90_dsir" -> ((s, dir) => {
       val labels = Curation.funnelLabels(t(s, dir, "documents"), "doc_id",
         "text", profile = Curation.GateProfile.wordSalad)
@@ -1762,6 +1780,7 @@ object PipelineQueries {
     "p89_kn_bigram" -> p89KnBigram _,
     "p90_dsir" -> p90Dsir _,
     "p91_norm_dedup" -> p91NormDedup _,
+    "p92_domain_mix" -> p92DomainMix _,
     "p50_temp_mix" -> p50TempMix _,
     "p51_hard_negatives" -> p51HardNegatives _,
     "p52_ivf_trained" -> p52IvfTrained _,
@@ -2686,6 +2705,66 @@ object PipelineQueries {
        |FROM keyed ORDER BY key_micro DESC, doc_id LIMIT 100""".stripMargin
   }
 
+  /** DoReMi-lite refit: the KN tables of oKnBigram, scoring grouped
+    * by SOURCE, then the excess-loss weight chain — integer floors
+    * before the cross-domain normalization, `//` exact after.
+    * Mirrors [[Curation.domainMixWeightsPlan]].
+    */
+  private def oDomainMix: String = {
+    val pcont = "(COALESCE(ct.n1p, 0) + 1) / CAST(nbi + 501 AS DOUBLE)"
+    val pkn = "GREATEST(COALESCE(bg.cbi, 0) - 0.75, 0)" +
+      " / CAST(ctx.cctx AS DOUBLE)" +
+      s" + 0.75 * ctx.n1fwd / CAST(ctx.cctx AS DOUBLE) * ($pcont)"
+    val cost = s"""CASE WHEN o.prev IS NULL OR ctx.cctx IS NULL THEN
+       |      FLOOR(-ln($pcont) * 1e6)
+       |    ELSE FLOOR(-ln($pkn) * 1e6) END""".stripMargin
+    s"""WITH base AS (SELECT doc_id, source, $oToks AS toks FROM documents),
+       |occ AS (
+       |  SELECT doc_id, source, toks[i] AS cur,
+       |    CASE WHEN i > 1 THEN toks[i - 1] END AS prev
+       |  FROM (SELECT doc_id, source, toks,
+       |          unnest(generate_series(1, len(toks))) AS i
+       |        FROM base)),
+       |bg AS (
+       |  SELECT prev, cur, COUNT(*) AS cbi FROM occ
+       |  WHERE prev IS NOT NULL GROUP BY prev, cur),
+       |ctx AS (
+       |  SELECT prev, SUM(cbi) AS cctx, COUNT(*) AS n1fwd
+       |  FROM bg GROUP BY prev),
+       |uni AS (SELECT cur, COUNT(*) AS cu FROM occ GROUP BY cur),
+       |vocab AS (SELECT cur, cu FROM uni ORDER BY cu DESC, cur LIMIT 500),
+       |ct AS (
+       |  SELECT v.cur, COALESCE(p.n1p, 0) AS n1p
+       |  FROM vocab v LEFT JOIN (
+       |    SELECT cur, COUNT(*) AS n1p FROM bg GROUP BY cur) p
+       |  ON v.cur = p.cur),
+       |nb AS (SELECT COUNT(*) AS nbi FROM bg),
+       |sc AS (
+       |  SELECT o.source,
+       |    CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |    CAST(SUM($cost) AS BIGINT) // COUNT(*) AS avg_nll_micro
+       |  FROM occ o
+       |  LEFT JOIN ct ON o.cur = ct.cur
+       |  LEFT JOIN bg ON o.prev = bg.prev AND o.cur = bg.cur
+       |  LEFT JOIN ctx ON o.prev = ctx.prev
+       |  CROSS JOIN nb
+       |  GROUP BY o.source),
+       |nd AS (SELECT source, COUNT(*) AS n_docs FROM documents
+       |       GROUP BY source),
+       |mn AS (SELECT MIN(avg_nll_micro) AS mn FROM sc),
+       |tt AS (SELECT SUM(n_tokens) AS ntot FROM sc),
+       |w AS (
+       |  SELECT source, n_tokens, avg_nll_micro,
+       |    avg_nll_micro - mn AS excess_micro,
+       |    CAST(FLOOR((n_tokens / CAST(ntot AS DOUBLE))
+       |      * exp((avg_nll_micro - mn) / 1e6) * 1e6) AS BIGINT) AS w_int
+       |  FROM sc, mn, tt),
+       |sw AS (SELECT SUM(w_int) AS s FROM w)
+       |SELECT w.source, nd.n_docs, w.n_tokens, w.avg_nll_micro,
+       |  w.excess_micro, (w_int * 1000000) // s AS weight_micro
+       |FROM w JOIN nd ON w.source = nd.source, sw""".stripMargin
+  }
+
   def oracle: Map[String, String] =
     oracle0 + ("p56_ann_recall" -> oAnnRecall) +
       ("p66_quality_funnel" -> oQualityFunnel) +
@@ -2698,6 +2777,7 @@ object PipelineQueries {
       ("p82_bigram_lm" -> oBigramLm) +
       ("p89_kn_bigram" -> oKnBigram) +
       ("p90_dsir" -> oDsir) +
+      ("p92_domain_mix" -> oDomainMix) +
       ("p84_classifier_audit" ->
         s"""WITH nb AS (${oNbClassifier})
            |SELECT d.source,

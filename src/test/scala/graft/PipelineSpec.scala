@@ -1002,6 +1002,38 @@ class PipelineSpec extends SparkSpec {
     assert(out == Set((1L, 3L, 2L), (4L, 1L, 1L)))
   }
 
+  test("domain mix weights: zero excess for the best domain, hard domains upweighted past share") {
+    // source "easy": one sentence repeated -> the KN model compresses
+    // it well; source "hard": all-distinct tokens -> high loss
+    val docs = Seq(
+      (1L, "easy", "aa bb aa bb aa bb"),
+      (2L, "easy", "aa bb aa bb"),
+      (3L, "hard", "qq ww ee rr tt yy uu"),
+      (4L, "hard", "zz xx cc vv nn mm")
+    ).toDF("doc_id", "source", "text")
+    val out = Curation.domainMixWeights(docs, "doc_id", "text", "source",
+        vocabSize = 50)
+      .select("source", "n_docs", "n_tokens", "avg_nll_micro",
+        "excess_micro", "weight_micro")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out("easy")._2 == 2 && out("hard")._2 == 2)
+    assert(out("easy")._3 == 10 && out("hard")._3 == 13)
+    // the repeated-bigram domain is the best-compressed one
+    assert(out("easy")._4 < out("hard")._4)
+    assert(out("easy")._5 == 0L && out("hard")._5 > 0L)
+    // upweighting: hard's share of weight exceeds its share of tokens;
+    // weights normalize to 1e6 up to one floor per domain
+    val wSum = out.values.map(_._6).sum
+    assert(wSum <= 1000000L && wSum >= 1000000L - 2)
+    assert(out("hard")._6 * 23L > 1000000L * 13L)  // w_hard > 13/23
+    // deterministic across runs
+    val again = Curation.domainMixWeights(docs, "doc_id", "text", "source",
+        vocabSize = 50)
+      .select("source", "weight_micro").as[(String, Long)].collect().toMap
+    assert(again == out.map { case (k, v) => k -> v._6 })
+  }
+
   test("DSIR hashes unigrams+bigrams, weights toward the target, resamples without replacement") {
     // feature map: "a b c" -> 3 unigram + 2 bigram buckets
     val nf = Seq((1L, "a b c"), (2L, "x"))
