@@ -399,6 +399,66 @@ object Similarity {
         floor(col("sim") * 1e6).cast("long").as("sim_micro"))
   }
 
+  /** Multi-probe bucket list for a query vector (Lv et al. 2007,
+    * "Multi-Probe LSH", adapted to sign/hyperplane LSH): the base
+    * bucket plus `probes` perturbed buckets, each flipping the ONE
+    * plane whose margin |⟨v, w_p⟩| is smallest — a near-boundary sign
+    * is the likeliest to differ for a true neighbor, so probing those
+    * flips buys recall without more hash tables. Everything is one
+    * codegen projection: `planes` dot kernels (the same constant-
+    * folded weights as [[lshBucket]]), an `array_sort` over
+    * (|margin|, plane) structs (plane index breaks exact ties), and
+    * XOR against a literal power table.
+    */
+  def lshProbeBuckets(vec: Column, dim: Int, planes: Int,
+      probes: Int): Column = {
+    require(probes >= 0 && probes <= planes,
+      s"probes must be in [0, $planes]")
+    val ds = (0 until planes).map(p => dot(vec, typedLit(planeWeights(p, dim))))
+    val base = ds.zipWithIndex.map { case (d, p) =>
+      when(d > 0, lit(1L << p)).otherwise(lit(0L)) }.reduce(_ + _)
+    val margins = array(ds.zipWithIndex.map { case (d, p) =>
+      struct(abs(d).as("m"), lit(p).as("p")) }: _*)
+    val pows = typedLit((0 until planes).map(p => 1L << p).toArray)
+    concat(array(base),
+      transform(slice(array_sort(margins), 1, probes),
+        f => base.bitwiseXOR(element_at(pows, f.getField("p") + 1))))
+  }
+
+  /** [[lshTopK]] with multi-probe queries: the corpus is bucketed
+    * ONCE exactly as in the single-probe path; each query explodes to
+    * `probes`+1 candidate buckets and the same equi-join + exact
+    * cosine + top-k runs over the union. Probe buckets of one query
+    * are pairwise distinct and a corpus row lives in one bucket, so
+    * no (query, cand) pair is scored twice — no dedup exchange.
+    * Candidate mass (and so cost) scales by probes+1 while recall
+    * approaches multi-table LSH with ONE table's index footprint —
+    * the point of the technique at 100 TB, where each extra hash
+    * table is another full copy of the corpus index.
+    */
+  def lshMultiProbeTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, dim: Int, planes: Int, probes: Int,
+      k: Int): DataFrame = {
+    val cb = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cv"),
+      l2norm(col(vecCol)).as("cn"),
+      lshBucket(col(vecCol), dim, planes).as("bucket"))
+    val qb = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      l2norm(col(vecCol)).as("qn"),
+      explode(lshProbeBuckets(col(vecCol), dim, planes, probes))
+        .as("bucket"))
+    val scored = cb.join(qb, Seq("bucket"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("sim", cosinePre(dot(col("qv"), col("cv")), col("qn"), col("cn")))
+      .select(col("query_id"), col("cand_id"), col("sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("cand_id").asc)
+    prunePartitionTopK(scored, k)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("cand_id"), floor(col("sim") * 1e6).cast("long").as("sim_micro"))
+  }
+
   /** One Lloyd (k-means) centroid-update iteration for the IVF coarse
     * quantizer: assign every vector to its nearest centroid by cosine,
     * then per (centroid, dimension) emit the member count and the

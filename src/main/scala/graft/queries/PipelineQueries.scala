@@ -260,6 +260,19 @@ object PipelineQueries {
       dim = 64, planes = 4, k = 3)
   }
 
+  /** Multi-probe hyperplane LSH top-k (p93): p06's index, but each
+    * query also probes the `probes`=2 buckets reached by flipping its
+    * smallest-margin planes (Lv et al. 2007) — recall climbs toward
+    * multi-table LSH while the corpus keeps ONE bucket assignment.
+    * The oracle replays the margin sort and the perturbed-bucket
+    * join, so a pass certifies the probe-set construction end to end.
+    */
+  def p93LshMultiProbe(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.lshMultiProbeTopK(emb, emb.filter(col("vec_id") < 20),
+      "vec_id", "embedding", dim = 64, planes = 4, probes = 2, k = 3)
+  }
+
   /** Embedding-cosine near-dup pairs: all pairs with cosine ≥ 0.4.
     * Brute force at this SF; the LSH-bucketed path (p06) is the scale
     * variant.
@@ -1781,6 +1794,7 @@ object PipelineQueries {
     "p90_dsir" -> p90Dsir _,
     "p91_norm_dedup" -> p91NormDedup _,
     "p92_domain_mix" -> p92DomainMix _,
+    "p93_lsh_multiprobe" -> p93LshMultiProbe _,
     "p50_temp_mix" -> p50TempMix _,
     "p51_hard_negatives" -> p51HardNegatives _,
     "p52_ivf_trained" -> p52IvfTrained _,
@@ -2226,11 +2240,18 @@ object PipelineQueries {
   /** DuckDB hyperplane-LSH bucket, same hash-derived weights as
     * [[Similarity.lshBucket]] (4 planes over 64 dims).
     */
+  /** DuckDB rendering of one hyperplane dot ⟨vec, w_p⟩ — the same
+    * md5-derived weights as [[Similarity.planeWeights]]; `list_sum`
+    * folds left-to-right like the codegen dot kernel.
+    */
+  private def oPlaneDot(vec: String, p: Int): String =
+    s"""list_sum(list_transform(generate_series(1, 64),
+       |  i -> CAST($vec[i] AS DOUBLE) *
+       |       (${oHash(s"'hp${p}_' || CAST(i AS VARCHAR)")} % 2001 - 1000)))""".stripMargin
+
   private def oBucket(vec: String): String =
     (0 until 4).map { p =>
-      s"""(CASE WHEN list_sum(list_transform(generate_series(1, 64),
-         |  i -> CAST($vec[i] AS DOUBLE) *
-         |       (${oHash(s"'hp${p}_' || CAST(i AS VARCHAR)")} % 2001 - 1000)))
+      s"""(CASE WHEN ${oPlaneDot(vec, p)}
          |  > 0 THEN ${1L << p} ELSE 0 END)""".stripMargin
     }.mkString(" + ")
 
@@ -2297,7 +2318,8 @@ object PipelineQueries {
       ("p58_pq_trained_topk", p58PqTrainedTopK(s, dir), 5),
       ("p73_ivf_tuned", p73IvfTuned(s, dir), 3),
       ("p74_ivfpq", p74IvfPq(s, dir), 5),
-      ("p83_ivfpq_refine", p83IvfPqRefine(s, dir), 5))
+      ("p83_ivfpq_refine", p83IvfPqRefine(s, dir), 5),
+      ("p93_lsh_multiprobe", p93LshMultiProbe(s, dir), 3))
     methods.map { case (name, df, km) =>
       val truth = exact.filter(col("rank") <= km)
         .select("query_id", "cand_id")
@@ -2331,7 +2353,8 @@ object PipelineQueries {
        |FROM (
        |${(Seq(("p06_ann_lsh", 3), ("p19_ivf", 3), ("p26_ivf_nprobe", 3),
               ("p49_pq_topk", 5), ("p58_pq_trained_topk", 5),
-              ("p73_ivf_tuned", 3), ("p74_ivfpq", 5))
+              ("p73_ivf_tuned", 3), ("p74_ivfpq", 5),
+              ("p93_lsh_multiprobe", 3))
             .map { case (n, km) => row(n, oracle0(n), km) } :+
           row("p83_ivfpq_refine", oIvfPqRefineSql, 5))
             .mkString("\nUNION ALL\n")}
@@ -2851,6 +2874,43 @@ object PipelineQueries {
          |SELECT query_id, CAST(rank AS BIGINT) AS rank, cand_id,
          |  CAST(FLOOR(sim * 1e6) AS BIGINT) AS sim_micro
          |FROM ranked WHERE rank <= 3""".stripMargin,
+    "p93_lsh_multiprobe" -> {
+      val ds = (0 until 4)
+        .map(p => s"${oPlaneDot("embedding", p)} AS d$p")
+        .mkString(",\n    ")
+      val bucket = (0 until 4)
+        .map(p => s"(CASE WHEN d$p > 0 THEN ${1L << p} ELSE 0 END)")
+        .mkString(" + ")
+      val margins = (0 until 4)
+        .map(p => s"{'m': abs(d$p), 'p': $p}").mkString(", ")
+      s"""WITH d AS (
+         |  SELECT vec_id, embedding,
+         |    $ds
+         |  FROM embeddings),
+         |b AS (
+         |  SELECT vec_id, embedding, $bucket AS bucket,
+         |    [$margins] AS margins
+         |  FROM d),
+         |qp AS (
+         |  SELECT vec_id, embedding,
+         |    unnest(list_concat([bucket],
+         |      list_transform(list_sort(margins)[1:2],
+         |        s -> xor(bucket, ([1, 2, 4, 8])[s.p + 1])))) AS bucket
+         |  FROM b WHERE vec_id < 20),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         |    ${oCos("q.embedding", "c.embedding")} AS sim
+         |  FROM qp q JOIN b c ON q.bucket = c.bucket
+         |   AND q.vec_id != c.vec_id),
+         |ranked AS (
+         |  SELECT query_id, cand_id, sim,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |                       ORDER BY sim DESC, cand_id ASC) AS rank
+         |  FROM scored)
+         |SELECT query_id, CAST(rank AS BIGINT) AS rank, cand_id,
+         |  CAST(FLOOR(sim * 1e6) AS BIGINT) AS sim_micro
+         |FROM ranked WHERE rank <= 3""".stripMargin
+    },
     "p07_embed_near_dup" ->
       s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
          |  CAST(FLOOR(${oCos("a.embedding", "b.embedding")} * 1e6) AS BIGINT) AS sim_micro

@@ -247,6 +247,42 @@ class PipelineSpec extends SparkSpec {
     assert(b(0) + b(2) == 15L) // complementary 4-bit buckets
   }
 
+  test("multi-probe LSH probes distinct flipped buckets and never loses to single-probe") {
+    val vecs = (0L until 40L).map { i =>
+      (i, (1 to 64).map(d =>
+        (((i * 64 + d) * 2654435761L) % 2001L - 1000L).toFloat).toArray)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    // probe list shape: probes+1 entries, head = base bucket, all
+    // pairwise distinct, perturbed entries one bit-flip away
+    val rows = df.select(col("vec_id"),
+        Similarity.lshBucket(col("embedding"), 64, 4).as("base"),
+        Similarity.lshProbeBuckets(col("embedding"), 64, 4, 2).as("probes"))
+      .as[(Long, Long, Seq[Long])].collect()
+    rows.foreach { case (_, base, probes) =>
+      assert(probes.length == 3 && probes.head == base)
+      assert(probes.distinct.length == 3)
+      probes.tail.foreach { p =>
+        assert(java.lang.Long.bitCount(p ^ base) == 1)
+      }
+    }
+    // probes=0 degenerates to exactly the single-probe result
+    val q = df.filter(col("vec_id") < 8)
+    val single = Similarity.lshTopK(df, q, "vec_id", "embedding", 64, 4, 3)
+      .collect().map(_.toSeq).toSet
+    val zero = Similarity.lshMultiProbeTopK(df, q, "vec_id", "embedding",
+      64, 4, 0, 3).collect().map(_.toSeq).toSet
+    assert(zero == single)
+    // candidate coverage only grows with probes: every query's
+    // single-probe candidate set is contained in the multi-probe one
+    def cands(d: org.apache.spark.sql.DataFrame) =
+      d.select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+    val mp = Similarity.lshMultiProbeTopK(df, q, "vec_id", "embedding",
+      64, 4, 2, 40)
+    assert(cands(Similarity.lshTopK(df, q, "vec_id", "embedding", 64, 4, 40))
+      .subsetOf(cands(mp)))
+  }
+
   test("langId follows stopword-count argmax with list-order ties") {
     val df = Seq(
       "the cat of the house",  // en
