@@ -1230,6 +1230,38 @@ object Curation {
         expr("(w_int * 1000000) div s").as("weight_micro"))
   }
 
+  // ------------------------------------------- curriculum ordering
+
+  /** Deterministic curriculum training order (Bengio et al. 2009:
+    * present easy examples first): every document globally numbered
+    * by ascending model loss — the self-trained Kneser-Ney perplexity
+    * ([[knBigramLogLoss]]) as the difficulty signal — and banded into
+    * `nPhases` equal phases by integer rank arithmetic
+    * (`seq·nPhases div N`), not quantile interpolation, so any engine
+    * reproduces the same bands bit-for-bit. Equal-loss ties break by
+    * the seedless portable-hash draw (a deterministic shuffle within
+    * the tie class), then id.
+    *
+    * Scale shape: the global numbering is
+    * [[graft.operators.AssignIds]]'s two-phase range-partition +
+    * zipWithIndex — no single-partition window; N arrives as an
+    * in-plan single-row broadcast.
+    */
+  def curriculumOrder(df: DataFrame, idCol: String, textCol: String,
+      vocabSize: Int, nPhases: Int, salt: String = "curr"): DataFrame = {
+    require(nPhases >= 1, "nPhases must be positive")
+    val scored = knBigramLogLoss(df, idCol, textCol, vocabSize)
+      .withColumn("draw",
+        pmod(TF.hash60(concat(lit(salt), col(idCol).cast("string"))),
+          lit(1000000L)))
+    val seqd = graft.operators.AssignIds.assign(scored,
+      Seq("avg_nll_micro", "draw", idCol), "seq", start = 0L)
+    val n = seqd.agg(count(lit(1)).as("n"))
+    seqd.crossJoin(broadcast(n))
+      .select(col(idCol), expr(s"(seq * $nPhases) div n").as("phase"),
+        col("seq"), col("n_tokens"), col("avg_nll_micro"))
+  }
+
   /** Lazy plan of [[nbClassifier]] over a prepared labeled-occurrence
     * frame (split out so Bench can fingerprint it — the cache bracket
     * returns an opaque LogicalRDD).

@@ -519,6 +519,17 @@ object PipelineQueries {
     Curation.domainMixWeights(t(s, dir, "documents"), "doc_id", "text",
       "source", vocabSize = 500)
 
+  /** Curriculum training order (p94): global easy-to-hard numbering
+    * by self-trained KN perplexity with hash-draw tiebreaks, banded
+    * into 4 equal phases by integer rank arithmetic. The oracle
+    * replays the KN scoring, the total order, and the band division,
+    * so a pass certifies the two-phase global numbering against a
+    * window-function reference.
+    */
+  def p94Curriculum(s: SparkSession, dir: String): DataFrame =
+    Curation.curriculumOrder(t(s, dir, "documents"), "doc_id", "text",
+      vocabSize = 500, nPhases = 4)
+
   /** Near-dup cluster canonical selection: the p37 clusters, but the
     * survivor is the HIGHEST-QUALITY member (p09 score, ties to the
     * smaller id) rather than the minimum id — keep-best, the policy a
@@ -1795,6 +1806,7 @@ object PipelineQueries {
     "p91_norm_dedup" -> p91NormDedup _,
     "p92_domain_mix" -> p92DomainMix _,
     "p93_lsh_multiprobe" -> p93LshMultiProbe _,
+    "p94_curriculum" -> p94Curriculum _,
     "p50_temp_mix" -> p50TempMix _,
     "p51_hard_negatives" -> p51HardNegatives _,
     "p52_ivf_trained" -> p52IvfTrained _,
@@ -2801,6 +2813,22 @@ object PipelineQueries {
       ("p89_kn_bigram" -> oKnBigram) +
       ("p90_dsir" -> oDsir) +
       ("p92_domain_mix" -> oDomainMix) +
+      ("p94_curriculum" ->
+        s"""WITH kn AS (SELECT * FROM ($oKnBigram)),
+           |keyed AS (
+           |  SELECT doc_id, n_tokens, avg_nll_micro,
+           |    ${oHash("'curr' || CAST(doc_id AS VARCHAR)")} % 1000000
+           |      AS draw
+           |  FROM kn),
+           |sq AS (
+           |  SELECT doc_id, n_tokens, avg_nll_micro,
+           |    ROW_NUMBER() OVER (ORDER BY avg_nll_micro, draw, doc_id)
+           |      - 1 AS seq
+           |  FROM keyed),
+           |n AS (SELECT COUNT(*) AS n FROM sq)
+           |SELECT doc_id, (seq * 4) // n AS phase, CAST(seq AS BIGINT)
+           |  AS seq, n_tokens, avg_nll_micro
+           |FROM sq, n""".stripMargin) +
       ("p84_classifier_audit" ->
         s"""WITH nb AS (${oNbClassifier})
            |SELECT d.source,

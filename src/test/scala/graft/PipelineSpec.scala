@@ -1070,6 +1070,27 @@ class PipelineSpec extends SparkSpec {
     assert(again == out.map { case (k, v) => k -> v._6 })
   }
 
+  test("curriculum order: seq is a dense easy-to-hard permutation, phases band evenly") {
+    val docs = (1L to 10L).map { i =>
+      // doc i repeats a shared sentence i times -> loss falls with i
+      (i, Seq.fill(i.toInt)("aa bb cc").mkString(" ") + s" unique$i")
+    }.toDF("doc_id", "text")
+    val out = Curation.curriculumOrder(docs, "doc_id", "text",
+        vocabSize = 50, nPhases = 4)
+      .select("doc_id", "phase", "seq", "avg_nll_micro")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._3)
+    // dense 0..n-1 sequence; loss non-decreasing along it
+    assert(out.map(_._3).toSeq == (0L until 10L))
+    assert(out.sliding(2).forall(p => p(0)._4 <= p(1)._4))
+    // 10 docs into 4 phases by seq*4 div 10 -> sizes 3,2,3,2, in order
+    assert(out.map(_._2).toSeq == Seq(0L, 0, 0, 1, 1, 2, 2, 2, 3, 3))
+    // deterministic
+    val again = Curation.curriculumOrder(docs, "doc_id", "text",
+        vocabSize = 50, nPhases = 4)
+      .select("doc_id", "seq").as[(Long, Long)].collect().toMap
+    assert(again == out.map(r => r._1 -> r._3).toMap)
+  }
+
   test("DSIR hashes unigrams+bigrams, weights toward the target, resamples without replacement") {
     // feature map: "a b c" -> 3 unigram + 2 bigram buckets
     val nf = Seq((1L, "a b c"), (2L, "x"))
