@@ -357,6 +357,51 @@ object Curation {
     scrubbed._1.withColumn("clean", scrubbed._2)
   }
 
+  /** Luhn checksum validity of a separator-tolerant card-number
+    * candidate, as a pure Column predicate: strip non-digits, require
+    * 13–19 digits (the real PAN length range), and check the mod-10
+    * sum with every second digit FROM THE RIGHT doubled (9-fold on
+    * overflow) — ISO/IEC 7812. All HOF/codegen arithmetic, no UDF.
+    */
+  private[graft] def luhnValid(cand: Column): Column = {
+    val digits = regexp_replace(cand, "[^0-9]", "")
+    val n = length(digits)
+    val s = aggregate(sequence(lit(1), n), lit(0L), (acc, i) => {
+      val d = digits.substr(i, lit(1)).cast("long")
+      acc + when(pmod(n - i, lit(2)) === 1,
+        when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)).otherwise(d)
+    })
+    (n >= 13) && (n <= 19) && (pmod(s, lit(10)) === 0)
+  }
+
+  /** Checksum-validated card-number scrub — the step past regex-only
+    * PII redaction ([[scrubText]]'s digit rules): candidate digit
+    * runs (separator-tolerant: spaces/dashes between digits extend a
+    * run) are VALIDATED with the Luhn checksum and only validated
+    * numbers are redacted, so order amounts, timestamps, and account
+    * ids survive while real card numbers go. Per row: the digit-run
+    * count, the validated count, and the 16-hex md5 of the scrubbed
+    * text (the reconstruction certificate — compact however long the
+    * text). Zero-exchange codegen projection: extract-all, a filter
+    * HOF over the Luhn predicate, and a literal-replace fold of the
+    * validated candidates into the text.
+    *
+    * A maximal run can span two adjacent separated numbers ("12 34"
+    * is one candidate) — the standard cost of separator tolerance;
+    * such merges fail the length/checksum gate and are left alone.
+    */
+  def cardScrub(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val cands = regexp_extract_all(col(textCol),
+      lit("[0-9][0-9 -]*[0-9]"), lit(0))
+    val valids = filter(cands, c => luhnValid(c))
+    df.select(col(idCol),
+      size(cands).cast("long").as("n_digit_runs"),
+      size(valids).cast("long").as("n_luhn_valid"),
+      substring(md5(aggregate(valids, col(textCol),
+        (acc, v) => replace(acc, v, lit("<CARD>")))), 1, 16)
+        .as("clean_fp"))
+  }
+
   /** Global segment-level dedup (the C4 "remove duplicated lines
     * across the corpus" rule, over fixed word windows when the corpus
     * has no line structure): split each document's tokens into

@@ -1112,6 +1112,24 @@ object PipelineQueries {
         col("n_email"), col("n_phone"), col("n_id"))
   }
 
+  /** Luhn-validated card scrub (p95): synthesize one 16-digit
+    * payment-shaped number per event (deterministic from the ids, so
+    * ~10% pass the checksum by construction) and scrub ONLY the
+    * Luhn-valid ones — amounts and ids survive. The oracle replays
+    * candidate extraction, the checksum, and the literal-replace
+    * fold, certifying the scrubbed text by md5.
+    */
+  def p95CardScrub(s: SparkSession, dir: String): DataFrame = {
+    val lines = t(s, dir, "events").select(
+      col("event_id"),
+      concat(lit("pay "),
+        lpad(((col("user_id") % 100000L) * 2654435761L +
+          col("event_id") % 1000000L).cast("string"), 16, "0"),
+        lit(" amount "), floor(col("value") * 100).cast("string"),
+        lit(" ref "), col("event_type")).as("line"))
+    Curation.cardScrub(lines, "event_id", "line")
+  }
+
   /** C4-style global segment dedup over 10-word windows: a segment
     * survives only in the minimum-id document containing it; per-doc
     * kept/dropped counts.
@@ -1807,6 +1825,7 @@ object PipelineQueries {
     "p92_domain_mix" -> p92DomainMix _,
     "p93_lsh_multiprobe" -> p93LshMultiProbe _,
     "p94_curriculum" -> p94Curriculum _,
+    "p95_card_scrub" -> p95CardScrub _,
     "p50_temp_mix" -> p50TempMix _,
     "p51_hard_negatives" -> p51HardNegatives _,
     "p52_ivf_trained" -> p52IvfTrained _,
@@ -2813,6 +2832,48 @@ object PipelineQueries {
       ("p89_kn_bigram" -> oKnBigram) +
       ("p90_dsir" -> oDsir) +
       ("p92_domain_mix" -> oDomainMix) +
+      ("p95_card_scrub" ->
+        s"""WITH lines AS (
+           |  SELECT event_id,
+           |    'pay ' || lpad(CAST((user_id % 100000) * 2654435761
+           |        + event_id % 1000000 AS VARCHAR), 16, '0')
+           |      || ' amount '
+           |      || CAST(CAST(FLOOR(value * 100) AS BIGINT) AS VARCHAR)
+           |      || ' ref ' || event_type AS line
+           |  FROM events),
+           |c AS (
+           |  SELECT event_id, line,
+           |    regexp_extract_all(line, '[0-9][0-9 -]*[0-9]') AS cands
+           |  FROM lines),
+           |pos AS (
+           |  SELECT event_id, cands,
+           |    unnest(generate_series(1, len(cands))) AS i
+           |  FROM c),
+           |d AS (
+           |  SELECT event_id, i, cands[i] AS cand,
+           |    regexp_replace(cands[i], '[^0-9]', '', 'g') AS ds
+           |  FROM pos),
+           |lv AS (
+           |  SELECT event_id, i, cand,
+           |    (len(ds) BETWEEN 13 AND 19) AND
+           |    list_sum(list_transform(generate_series(1, len(ds)), j ->
+           |      CASE WHEN (len(ds) - j) % 2 = 1
+           |        THEN CASE WHEN 2 * CAST(ds[j] AS BIGINT) > 9
+           |                  THEN 2 * CAST(ds[j] AS BIGINT) - 9
+           |                  ELSE 2 * CAST(ds[j] AS BIGINT) END
+           |        ELSE CAST(ds[j] AS BIGINT) END)) % 10 = 0 AS ok
+           |  FROM d),
+           |vv AS (
+           |  SELECT event_id AS vid, list(cand ORDER BY i) AS valids,
+           |    COUNT(*) AS nv
+           |  FROM lv WHERE ok GROUP BY event_id)
+           |SELECT c.event_id,
+           |  CAST(len(c.cands) AS BIGINT) AS n_digit_runs,
+           |  CAST(COALESCE(vv.nv, 0) AS BIGINT) AS n_luhn_valid,
+           |  substr(md5(list_reduce(
+           |    list_concat([c.line], COALESCE(vv.valids, [])),
+           |    (acc, x) -> replace(acc, x, '<CARD>'))), 1, 16) AS clean_fp
+           |FROM c LEFT JOIN vv ON c.event_id = vv.vid""".stripMargin) +
       ("p94_curriculum" ->
         s"""WITH kn AS (SELECT * FROM ($oKnBigram)),
            |keyed AS (

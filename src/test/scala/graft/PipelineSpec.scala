@@ -1070,6 +1070,36 @@ class PipelineSpec extends SparkSpec {
     assert(again == out.map { case (k, v) => k -> v._6 })
   }
 
+  test("Luhn scrub redacts valid card numbers only; separators tolerated; amounts survive") {
+    // 4111111111111111 and 5500-0000-0000-0004 are the textbook valid
+    // PANs; flipping the last digit breaks the checksum
+    val docs = Seq(
+      (1L, "pay 4111111111111111 amount 9950"),
+      (2L, "pay 4111111111111112 amount 9950"),   // bad checksum
+      (3L, "card 5500-0000-0000-0004 ok"),
+      (4L, "card 5500 0000 0000 0004 ok"),        // space-separated
+      (5L, "id 123456789 short run"),             // <13 digits
+      (6L, "no digits at all")
+    ).toDF("doc_id", "text")
+    val out = Curation.cardScrub(docs, "doc_id", "text")
+      .select("doc_id", "n_digit_runs", "n_luhn_valid", "clean_fp")
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L)._1 == 2 && out(1L)._2 == 1)
+    assert(out(2L)._1 == 2 && out(2L)._2 == 0)
+    assert(out(3L)._2 == 1 && out(4L)._2 == 1)
+    assert(out(5L)._2 == 0 && out(6L) == ((0L, 0L, out(6L)._3)))
+    // the scrubbed text is exactly the literal replacement
+    def fp(s: String) = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString.take(16)
+    }
+    assert(out(1L)._3 == fp("pay <CARD> amount 9950"))
+    assert(out(2L)._3 == fp("pay 4111111111111112 amount 9950"))
+    assert(out(3L)._3 == fp("card <CARD> ok"))
+    assert(out(6L)._3 == fp("no digits at all"))
+  }
+
   test("curriculum order: seq is a dense easy-to-hard permutation, phases band evenly") {
     val docs = (1L to 10L).map { i =>
       // doc i repeats a shared sentence i times -> loss falls with i
