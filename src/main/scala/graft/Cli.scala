@@ -73,6 +73,9 @@ object Cli {
         |  stream-neardup <dir> <outDir>                 streaming LSH near-dup candidate pairs
         |  stream-neardup-verified <dir> <outDir>        streaming near-dup pairs, exact-Jaccard verified
         |  stream-scrub <dir> <outDir>                   stateless PII scrub as an incremental stream
+        |  stream-cardscrub <dir> <outDir>               Luhn-validated card scrub as an incremental stream
+        |  stream-normdedup <dir> <outDir>               normalized exact dedup at stream ingest (first-seen
+        |                                                doc per CCNet-normalized fingerprint admitted)
         |  stream-quality <dir> <outDir>                 Gopher quality gates applied at stream ingest
         |  stream-c4 <dir> <outDir>                      C4 page gates applied at stream ingest
         |  stream-funnel <dir> <outDir>                  three-gate quality funnel at stream ingest
@@ -787,6 +790,21 @@ object Cli {
     case "stream-scrub" :: dir :: out :: Nil =>
       runEventStream(spark, dir, out, streaming.StreamingJobs.scrub)
       println(s"""{"stream_scrub":"$out"}""")
+
+    // stateless Luhn-validated card scrub at ingest — the batch p95
+    // projection applied per micro-batch
+    case "stream-cardscrub" :: dir :: out :: Nil =>
+      runEventStream(spark, dir, out, streaming.StreamingJobs.cardScrub)
+      println(s"""{"stream_cardscrub":"$out"}""")
+
+    // normalized exact dedup at ingest: first-seen doc per
+    // CCNet-normalized fingerprint admitted, later variants dropped
+    // (watermark-bounded fingerprint state)
+    case "stream-normdedup" :: dir :: out :: Nil =>
+      val stream = stagedDocStream(spark, dir, out)
+      drainDocJob(streaming.StreamingJobs.normDedup(stream,
+        watermarkDelay = "0 seconds"), out)
+      println(s"""{"stream_normdedup":"$out"}""")
 
     // stateless C4 page gating at ingest — the batch p64 projection
     // applied per micro-batch

@@ -56,6 +56,42 @@ object StreamingJobs {
         col("n_email"), col("n_phone"), col("n_id"))
   }
 
+  /** Checksum-validated card scrub at ingest — the streaming twin of
+    * p95. The line synthesis mirrors the batch query's (CliSpec pins
+    * stream ≡ batch, so the two projections cannot drift) and the
+    * scrub itself is [[graft.pipeline.Curation.cardScrub]] verbatim —
+    * a stateless codegen projection: candidates, the Luhn HOF, the
+    * replace fold. No watermark, no state store.
+    */
+  def cardScrub(events: DataFrame): DataFrame = {
+    val lines = events.select(
+      col("event_id"),
+      concat(lit("pay "),
+        lpad(((col("user_id") % 100000L) * 2654435761L +
+          col("event_id") % 1000000L).cast("string"), 16, "0"),
+        lit(" amount "), floor(col("value") * 100).cast("string"),
+        lit(" ref "), col("event_type")).as("line"))
+    graft.pipeline.Curation.cardScrub(lines, "event_id", "line")
+  }
+
+  /** Normalized exact dedup at ingest — the streaming twin of p91:
+    * admit a document only if its CCNet-normalized fingerprint
+    * ([[graft.pipeline.TextFunctions.ccnetNormalize]]) has not been
+    * seen inside the watermark horizon, so case/digit/punctuation
+    * variants of an already-ingested page are dropped at the door.
+    * State is the fingerprint store, bounded by the watermark —
+    * 16-byte keys, no text retained.
+    */
+  def normDedup(docs: DataFrame,
+      watermarkDelay: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("fp", substring(
+        md5(graft.pipeline.TextFunctions.ccnetNormalize(col("text"))),
+        1, 16))
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("fp")
+      .select(unix_micros(col("ts")).as("ts_us"), col("doc_id"), col("fp"))
+
   /** Ingest-time quality gating — the streaming twin of the Gopher
     * rule-set query (p61), applied at admission so low-quality
     * documents never enter the corpus. Shares the EXACT projection

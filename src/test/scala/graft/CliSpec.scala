@@ -1,7 +1,7 @@
 package graft
 
-import org.apache.spark.sql.functions.{col, explode, timestamp_micros,
-  unix_micros, window}
+import org.apache.spark.sql.functions.{col, explode, md5, substring,
+  timestamp_micros, unix_micros, window}
 
 class CliSpec extends SparkSpec {
 
@@ -327,6 +327,32 @@ class CliSpec extends SparkSpec {
     assert(skn.exceptAll(batchKn).count() == 0 &&
       batchKn.exceptAll(skn).count() == 0)
     assert(skn.count() > 0)
+
+    // stream-cardscrub: stateless Luhn scrub, equal to the batch p95
+    // projection over the same synthesized lines
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$out/scard"))
+    Cli.run(spark, List("stream-cardscrub", sf0001, s"$out/scard"))
+    val scard = spark.read.parquet(s"$out/scard")
+      .select("event_id", "n_digit_runs", "n_luhn_valid", "clean_fp")
+    val batchCard = graft.queries.PipelineQueries.queries("p95_card_scrub")(
+      spark, sf0001)
+    assert(scard.exceptAll(batchCard).count() == 0 &&
+      batchCard.exceptAll(scard).count() == 0)
+    assert(scard.count() > 0)
+
+    // stream-normdedup: one admitted doc per CCNet-normalized
+    // fingerprint; the fp SET equals the batch normalized-dedup's
+    // (the surviving representative within one micro-batch is
+    // arbitrary, so only the key set is pinned)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$out/snd"))
+    Cli.run(spark, List("stream-normdedup", sf0001, s"$out/snd"))
+    val snd = spark.read.parquet(s"$out/snd")
+    val batchFps = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(substring(md5(
+        graft.pipeline.TextFunctions.ccnetNormalize(col("text"))), 1, 16)
+        .as("fp")).distinct()
+    assert(snd.count() == batchFps.count())
+    assert(snd.select("fp").exceptAll(batchFps).count() == 0)
 
     // stream-dsir: stateless per-row weights — every doc emits from
     // one drain (no window tail), equal to the batch scorer
