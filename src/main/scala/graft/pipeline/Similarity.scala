@@ -1004,22 +1004,33 @@ object Similarity {
     * the members — no second corpus shuffle beyond the sub-count
     * rollup on cell ids.
     */
-  def ivfOccupancy(corpus: DataFrame, idCol: String, vecCol: String,
-      centroidFilter: Column, factorPct: Long = 200L): DataFrame = {
-    val cells = ivfCellIndex(corpus, idCol, vecCol, centroidFilter)
+  /** Per-cell occupancy flags + deterministic split seeds — the
+    * stage shared by [[ivfOccupancy]] (the report) and
+    * [[ivfSplitExecute]] (the act), so the executed split is exactly
+    * the proposed one. One count shuffle; seed vectors ride the same
+    * aggregate as (id, vector) struct extrema.
+    */
+  private def occupancyFlags(cells: DataFrame,
+      factorPct: Long): DataFrame = {
     val counts = cells.groupBy("cent_id").agg(
       count(lit(1)).as("n_members"),
       min(struct(col("cand_id"), col("candv"))).as("sa"),
       max(struct(col("cand_id"), col("candv"))).as("sb"))
     val totals = counts.agg(sum("n_members").as("total"),
       count(lit(1)).as("n_cells"))
-    val flagged = counts.crossJoin(broadcast(totals))
+    counts.crossJoin(broadcast(totals))
       .withColumn("oversized",
         when(col("n_members") * col("n_cells") * lit(100L) >
           lit(factorPct) * col("total"), 1L).otherwise(0L))
       .select(col("cent_id"), col("n_members"), col("oversized"),
         col("sa.cand_id").as("seed_a"), col("sa.candv").as("va"),
         col("sb.cand_id").as("seed_b"), col("sb.candv").as("vb"))
+  }
+
+  def ivfOccupancy(corpus: DataFrame, idCol: String, vecCol: String,
+      centroidFilter: Column, factorPct: Long = 200L): DataFrame = {
+    val cells = ivfCellIndex(corpus, idCol, vecCol, centroidFilter)
+    val flagged = occupancyFlags(cells, factorPct)
     val seeds = broadcast(flagged.filter(col("oversized") === 1)
       .select(col("cent_id"), col("seed_a"), col("va"),
         l2norm(col("va")).as("na"),
@@ -1038,6 +1049,45 @@ object Similarity {
         when(col("oversized") === 1, col("seed_a")).as("seed_a"),
         when(col("oversized") === 1, col("seed_b")).as("seed_b"),
         col("n_a"), col("n_b"))
+  }
+
+  /** Execute [[ivfOccupancy]]'s split proposals: every oversized cell
+    * is replaced by TWO centroids — the fixed-point element means of
+    * its seed-split halves (one Lloyd update restricted to the cell,
+    * seeded by the same deterministic (min-id, max-id) pair the
+    * report proposed, via the shared [[occupancyFlags]] stage so the
+    * executed split is exactly the audited one). Output is one row
+    * per (split cell, sub ∈ {a, b}, dimension) in [[kmeansUpdate]]'s
+    * exact mean arithmetic — floor(x·1e6) integers summed, one floor
+    * of the exact quotient — so [[centroidsFromMeans]] assembles the
+    * new centroids bit-reproducibly and healthy cells (not emitted)
+    * keep their existing ones.
+    *
+    * Scale shape: one cell-index pass; the vector explode runs ONLY
+    * over oversized cells' members (the broadcast seed join drops the
+    * rest map-side), then a (cell, sub, dim)-keyed partial-aggregated
+    * shuffle of integer pairs.
+    */
+  def ivfSplitExecute(corpus: DataFrame, idCol: String, vecCol: String,
+      centroidFilter: Column, factorPct: Long = 200L): DataFrame = {
+    val cells = ivfCellIndex(corpus, idCol, vecCol, centroidFilter)
+    val seeds = broadcast(occupancyFlags(cells, factorPct)
+      .filter(col("oversized") === 1)
+      .select(col("cent_id"), col("va"), l2norm(col("va")).as("na"),
+        col("vb"), l2norm(col("vb")).as("nb")))
+    cells.join(seeds, Seq("cent_id"))
+      .withColumn("sub",
+        when(cosinePre(dot(col("candv"), col("va")), col("candn"),
+            col("na")) >=
+          cosinePre(dot(col("candv"), col("vb")), col("candn"),
+            col("nb")), lit("a")).otherwise(lit("b")))
+      .select(col("cent_id"), col("sub"),
+        posexplode(col("candv")).as(Seq("dim", "x")))
+      .groupBy(col("cent_id"), col("sub"), col("dim"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("x").cast("double") * 1e6)).as("sx"))
+      .select(col("cent_id"), col("sub"), col("dim").cast("long").as("dim"),
+        col("n"), floor(col("sx") / col("n")).cast("long").as("mean_fixed"))
   }
 
   /** IVF-PQ with an exact refine stage (FAISS's IVFPQ+refine): the

@@ -1580,6 +1580,18 @@ object PipelineQueries {
       "embedding", centroidFilter = col("vec_id") % 25 === 0,
       factorPct = 130L)
 
+  /** IVF split execution (p96): act on p85's occupancy proposals —
+    * every cell flagged at the 130% factor is replaced by the two
+    * fixed-point mean centroids of its deterministic seed split. The
+    * oracle replays assignment, flagging, the sub-split, and the
+    * exact mean arithmetic, so a pass certifies the executed split
+    * equals the audited proposal.
+    */
+  def p96IvfSplit(s: SparkSession, dir: String): DataFrame =
+    Similarity.ivfSplitExecute(t(s, dir, "embeddings"), "vec_id",
+      "embedding", centroidFilter = col("vec_id") % 25 === 0,
+      factorPct = 130L)
+
   /** Ingest-time embedding near-dup, batch view
     * ([[Similarity.ivfProbePairs]] — the vector analogue of
     * stream-neardup-verified): every 10th vector plays the incoming
@@ -1826,6 +1838,7 @@ object PipelineQueries {
     "p93_lsh_multiprobe" -> p93LshMultiProbe _,
     "p94_curriculum" -> p94Curriculum _,
     "p95_card_scrub" -> p95CardScrub _,
+    "p96_ivf_split" -> p96IvfSplit _,
     "p50_temp_mix" -> p50TempMix _,
     "p51_hard_negatives" -> p51HardNegatives _,
     "p52_ivf_trained" -> p52IvfTrained _,
@@ -3578,6 +3591,48 @@ object PipelineQueries {
          |  CASE WHEN f.oversized = 1 THEN f.seed_b END AS seed_b,
          |  CAST(s.n_a AS BIGINT) AS n_a, CAST(s.n_b AS BIGINT) AS n_b
          |FROM flags f LEFT JOIN sub s ON f.cent_id = s.cent_id""".stripMargin,
+    "p96_ivf_split" ->
+      s"""WITH ccents AS (
+         |  SELECT vec_id AS cent_id, embedding AS ce FROM embeddings
+         |  WHERE vec_id % 25 = 0),
+         |assign AS (
+         |  SELECT e.vec_id, e.embedding, cent_id,
+         |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${oCos("e.embedding", "ce")} DESC, cent_id ASC) AS rn
+         |  FROM embeddings e, ccents),
+         |cells AS (SELECT vec_id, embedding, cent_id FROM assign WHERE rn = 1),
+         |counts AS (
+         |  SELECT cent_id, COUNT(*) AS n_members,
+         |    MIN(vec_id) AS seed_a, MAX(vec_id) AS seed_b
+         |  FROM cells GROUP BY cent_id),
+         |tot AS (SELECT SUM(n_members) AS total, COUNT(*) AS n_cells
+         |        FROM counts),
+         |flags AS (
+         |  SELECT c.*, CASE WHEN c.n_members * t.n_cells * 100
+         |                        > 130 * t.total
+         |              THEN 1 ELSE 0 END AS oversized
+         |  FROM counts c, tot t),
+         |sv AS (
+         |  SELECT f.cent_id, a.embedding AS va, b.embedding AS vb
+         |  FROM flags f
+         |  JOIN embeddings a ON a.vec_id = f.seed_a
+         |  JOIN embeddings b ON b.vec_id = f.seed_b
+         |  WHERE f.oversized = 1),
+         |mem AS (
+         |  SELECT m.cent_id, m.embedding,
+         |    CASE WHEN ${oCos("m.embedding", "sv.va")}
+         |           >= ${oCos("m.embedding", "sv.vb")}
+         |    THEN 'a' ELSE 'b' END AS sub
+         |  FROM cells m JOIN sv ON m.cent_id = sv.cent_id),
+         |expl AS (
+         |  SELECT cent_id, sub, i - 1 AS dim,
+         |    FLOOR(CAST(embedding[i] AS DOUBLE) * 1e6) AS fx
+         |  FROM mem
+         |  CROSS JOIN (SELECT UNNEST(generate_series(1, 64)) AS i) s)
+         |SELECT cent_id, sub, CAST(dim AS BIGINT) AS dim,
+         |  CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(FLOOR(SUM(fx) / COUNT(*)) AS BIGINT) AS mean_fixed
+         |FROM expl GROUP BY 1, 2, 3""".stripMargin,
     "p50_temp_mix" ->
       s"""WITH c AS (
          |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs

@@ -1186,6 +1186,39 @@ class PipelineSpec extends SparkSpec {
     // pin totals: the two sub-cells partition the 5 members
     assert(flagged._6.get + flagged._7.get == 5L)
     assert(flagged._6.get >= 1L && flagged._7.get >= 1L)
+
+    // executing the split emits means ONLY for the flagged cell —
+    // 2 subs x 4 dims — with sub counts equal to the proposal's and
+    // mean_fixed matching the hand arithmetic of each sub's members
+    val split = graft.pipeline.Similarity.ivfSplitExecute(emb, "vec_id",
+        "embedding", centroidFilter = col("vec_id") < 2,
+        factorPct = 130L)
+      .select("cent_id", "sub", "dim", "n", "mean_fixed")
+      .as[(Long, String, Long, Long, Long)].collect().toSeq
+    assert(split.map(_._1).toSet == Set(0L) && split.length == 8)
+    val bySub = split.groupBy(_._2)
+    assert(bySub("a").head._4 == flagged._6.get)
+    assert(bySub("b").head._4 == flagged._7.get)
+    // recompute one mean by hand: members of each sub via the same
+    // nearer-seed rule over the fixture vectors
+    val members = Map(0L -> v(1, 0), 2L -> v(0.9f, 0.1f),
+      3L -> v(0.8f, 0.2f), 4L -> v(0.95f, 0.05f), 5L -> v(0.7f, 0.3f))
+    def cos(a: Array[Float], b: Array[Float]) = {
+      def d(x: Array[Float], y: Array[Float]) =
+        x.zip(y).map { case (p, q) => p.toDouble * q.toDouble }.sum
+      d(a, b) / (math.sqrt(d(a, a)) * math.sqrt(d(b, b)))
+    }
+    val (sa, sb) = (members(0L), members(5L))
+    val subOf = members.view.mapValues(m =>
+      if (cos(m, sa) >= cos(m, sb)) "a" else "b").toMap
+    for (sub <- Seq("a", "b"); dim <- 0 until 4) {
+      val xs = members.collect {
+        case (id, m) if subOf(id) == sub =>
+          math.floor(m(dim).toDouble * 1e6).toLong
+      }.toSeq
+      val exp = math.floor(xs.sum.toDouble / xs.size).toLong
+      assert(split.find(r => r._2 == sub && r._3 == dim).get._5 == exp)
+    }
   }
 
   test("unigram tokenizer Viterbi equals a brute-force DP; EM reweights pieces") {
