@@ -359,6 +359,43 @@ object Similarity {
       when(d > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** Deterministic signed permutation of 1..dim — the cheapest
+    * orthogonal transform: `perm` is the argsort of md5-derived keys
+    * (index tiebreak), `signs` ±1 per output slot. Shared by
+    * [[rotateVec]] and the oracle generator so both engines apply the
+    * identical transform.
+    */
+  private[graft] def signedPerm(dim: Int,
+      salt: String): (Seq[Int], Seq[Int]) = {
+    def h(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    val perm = (1 to dim).sortBy(i => (h(s"rp${salt}_$i"), i))
+    val signs = (1 to dim).map(i => if (h(s"rs${salt}_$i") % 2 == 0) 1 else -1)
+    (perm, signs)
+  }
+
+  /** Random-rotation-lite before product quantization: re-express
+    * every vector through a deterministic SIGNED PERMUTATION
+    * (v'_j = ±v_perm(j)) — an exactly orthogonal transform, so
+    * cosines/distances are preserved to the bit (±1 multiplication is
+    * exact in IEEE), while each PQ subspace now sees a hash-random
+    * subset of the original dimensions instead of a contiguous block.
+    * This is the zero-cost member of the rotation family OPQ (Ge et
+    * al. 2013) optimizes over: when energy concentrates in a dim
+    * range (learned embeddings usually front-load it), contiguous
+    * slicing starves some sub-quantizers; the permutation
+    * redistributes the energy. Pure codegen projection — `dim`
+    * `element_at`s and sign flips, no shuffle.
+    */
+  def rotateVec(vec: Column, dim: Int, salt: String): Column = {
+    val (perm, signs) = signedPerm(dim, salt)
+    array((0 until dim).map(j =>
+      (element_at(vec, perm(j)) * lit(signs(j).toFloat)).cast("float")): _*)
+  }
+
   /** Random-projection dimensionality reduction: project a `dim`-wide
     * vector onto `outDim` deterministic hyperplanes (the same
     * constant-folded [[planeWeights]] family as [[lshBucket]]) —

@@ -1592,6 +1592,27 @@ object PipelineQueries {
       "embedding", centroidFilter = col("vec_id") % 25 === 0,
       factorPct = 130L)
 
+  /** Rotated PQ (p97): p49's full compressed scan over vectors
+    * re-expressed through the deterministic signed permutation
+    * ([[Similarity.rotateVec]]) — each subspace quantizes a
+    * hash-random subset of the original dims instead of a contiguous
+    * block, the zero-cost member of the OPQ rotation family. The
+    * oracle applies the identical literal permutation and replays the
+    * same ADC chain; the scorecard row measures recall against the
+    * UNROTATED exact truth (valid because the transform is exactly
+    * orthogonal). On the i.i.d. synthetic fixture the row lands at
+    * PARITY with p49 by construction — uniform coordinates have no
+    * energy concentration to redistribute (same cap as p73's recall
+    * note); the operator earns its keep on learned embeddings.
+    */
+  def p97RotPq(s: SparkSession, dir: String): DataFrame = {
+    val rot = t(s, dir, "embeddings").select(col("vec_id"),
+      Similarity.rotateVec(col("embedding"), 64, "q97").as("embedding"))
+    Similarity.pqTopK(rot, rot.filter(col("vec_id") < 20), "vec_id",
+      "embedding", m = 4, dim = 64, centroidFilter = col("vec_id") < 8,
+      k = 5)
+  }
+
   /** Ingest-time embedding near-dup, batch view
     * ([[Similarity.ivfProbePairs]] — the vector analogue of
     * stream-neardup-verified): every 10th vector plays the incoming
@@ -1839,6 +1860,7 @@ object PipelineQueries {
     "p94_curriculum" -> p94Curriculum _,
     "p95_card_scrub" -> p95CardScrub _,
     "p96_ivf_split" -> p96IvfSplit _,
+    "p97_rot_pq" -> p97RotPq _,
     "p50_temp_mix" -> p50TempMix _,
     "p51_hard_negatives" -> p51HardNegatives _,
     "p52_ivf_trained" -> p52IvfTrained _,
@@ -2293,6 +2315,79 @@ object PipelineQueries {
        |  i -> CAST($vec[i] AS DOUBLE) *
        |       (${oHash(s"'hp${p}_' || CAST(i AS VARCHAR)")} % 2001 - 1000)))""".stripMargin
 
+  /** The p49 PQ/ADC replay, parameterized over the vector source so
+    * the rotated twin (p97) reuses it verbatim: `lead` is an optional
+    * extra leading CTE (e.g. the rotated-embedding projection) and
+    * `src` the relation providing (vec_id, embedding).
+    */
+  private def oPqTopKSql(lead: String, src: String): String = {
+    // fixed-offset index-order dot over subspace s (a literal here,
+    // unlike p48's correlated subs.s)
+    def oDotAt(a: String, b: String, s: Int): String =
+      s"""list_sum(list_transform(generate_series(1, 16),
+         |        i -> CAST($a[${s * 16} + i] AS DOUBLE)
+         |             * CAST($b[${s * 16} + i] AS DOUBLE)))""".stripMargin
+    def oD2At(a: String, b: String, s: Int): String =
+      s"""(${oDotAt(a, a, s)}
+         |     - 2 * ${oDotAt(a, b, s)}
+         |     + ${oDotAt(b, b, s)})""".stripMargin
+    val terms = (0 until 4)
+      .map(s => oD2At("q.qv", s"e$s.ce", s)).mkString("\n    + ")
+    s"""WITH ${lead}cents AS (
+       |  SELECT vec_id AS cent_id, embedding AS ce FROM $src
+       |  WHERE vec_id < 8),
+       |subs AS (SELECT unnest(generate_series(0, 3)) AS s),
+       |scored AS (
+       |  SELECT e.vec_id, subs.s, c.cent_id,
+       |    ROW_NUMBER() OVER (PARTITION BY e.vec_id, subs.s ORDER BY
+       |      (list_sum(list_transform(generate_series(1, 16),
+       |         i -> CAST(e.embedding[subs.s*16 + i] AS DOUBLE)
+       |              * CAST(e.embedding[subs.s*16 + i] AS DOUBLE)))
+       |       - 2 * list_sum(list_transform(generate_series(1, 16),
+       |         i -> CAST(e.embedding[subs.s*16 + i] AS DOUBLE)
+       |              * CAST(c.ce[subs.s*16 + i] AS DOUBLE)))
+       |       + list_sum(list_transform(generate_series(1, 16),
+       |         i -> CAST(c.ce[subs.s*16 + i] AS DOUBLE)
+       |              * CAST(c.ce[subs.s*16 + i] AS DOUBLE)))) ASC,
+       |      c.cent_id ASC) AS rn
+       |  FROM $src e, cents c, subs),
+       |codesw AS (
+       |  SELECT vec_id,
+       |    MAX(CASE WHEN s = 0 THEN cent_id END) AS c0,
+       |    MAX(CASE WHEN s = 1 THEN cent_id END) AS c1,
+       |    MAX(CASE WHEN s = 2 THEN cent_id END) AS c2,
+       |    MAX(CASE WHEN s = 3 THEN cent_id END) AS c3
+       |  FROM scored WHERE rn = 1 GROUP BY vec_id),
+       |q AS (SELECT vec_id AS query_id, embedding AS qv FROM $src
+       |      WHERE vec_id < 20),
+       |ad AS (
+       |  SELECT q.query_id, w.vec_id AS cand_id,
+       |    ($terms) AS adist
+       |  FROM codesw w
+       |  JOIN cents e0 ON e0.cent_id = w.c0
+       |  JOIN cents e1 ON e1.cent_id = w.c1
+       |  JOIN cents e2 ON e2.cent_id = w.c2
+       |  JOIN cents e3 ON e3.cent_id = w.c3
+       |  CROSS JOIN q
+       |  WHERE q.query_id != w.vec_id)
+       |SELECT query_id, cand_id, CAST(rn AS BIGINT) AS rank,
+       |  CAST(FLOOR(adist * 1e6) AS BIGINT) AS adist_micro
+       |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |        ORDER BY adist ASC, cand_id ASC) AS rn FROM ad)
+       |WHERE rn <= 5""".stripMargin
+  }
+
+  /** DuckDB rendering of [[Similarity.rotateVec]]: the signed
+    * permutation embedded as literal lists, computed by the SAME
+    * [[Similarity.signedPerm]] at SQL-generation time.
+    */
+  private def oRotate(vec: String, salt: String): String = {
+    val (perm, signs) = graft.pipeline.Similarity.signedPerm(64, salt)
+    s"""list_transform(generate_series(1, 64),
+       |      j -> CAST($vec[([${perm.mkString(", ")}])[j]]
+       |           * (([${signs.mkString(", ")}])[j]) AS FLOAT))""".stripMargin
+  }
+
   private def oBucket(vec: String): String =
     (0 until 4).map { p =>
       s"""(CASE WHEN ${oPlaneDot(vec, p)}
@@ -2363,7 +2458,8 @@ object PipelineQueries {
       ("p73_ivf_tuned", p73IvfTuned(s, dir), 3),
       ("p74_ivfpq", p74IvfPq(s, dir), 5),
       ("p83_ivfpq_refine", p83IvfPqRefine(s, dir), 5),
-      ("p93_lsh_multiprobe", p93LshMultiProbe(s, dir), 3))
+      ("p93_lsh_multiprobe", p93LshMultiProbe(s, dir), 3),
+      ("p97_rot_pq", p97RotPq(s, dir), 5))
     methods.map { case (name, df, km) =>
       val truth = exact.filter(col("rank") <= km)
         .select("query_id", "cand_id")
@@ -2398,7 +2494,7 @@ object PipelineQueries {
        |${(Seq(("p06_ann_lsh", 3), ("p19_ivf", 3), ("p26_ivf_nprobe", 3),
               ("p49_pq_topk", 5), ("p58_pq_trained_topk", 5),
               ("p73_ivf_tuned", 3), ("p74_ivfpq", 5),
-              ("p93_lsh_multiprobe", 3))
+              ("p93_lsh_multiprobe", 3), ("p97_rot_pq", 5))
             .map { case (n, km) => row(n, oracle0(n), km) } :+
           row("p83_ivfpq_refine", oIvfPqRefineSql, 5))
             .mkString("\nUNION ALL\n")}
@@ -3466,62 +3562,12 @@ object PipelineQueries {
     },
     "p55_pq_trained" -> oPqTrained(iters = 2),
     "p58_pq_trained_topk" -> oPqTrainedTopK(iters = 2, k = 5),
-    "p49_pq_topk" -> {
-      // fixed-offset index-order dot over subspace s (a literal here,
-      // unlike p48's correlated subs.s)
-      def oDotAt(a: String, b: String, s: Int): String =
-        s"""list_sum(list_transform(generate_series(1, 16),
-           |        i -> CAST($a[${s * 16} + i] AS DOUBLE)
-           |             * CAST($b[${s * 16} + i] AS DOUBLE)))""".stripMargin
-      def oD2At(a: String, b: String, s: Int): String =
-        s"""(${oDotAt(a, a, s)}
-           |     - 2 * ${oDotAt(a, b, s)}
-           |     + ${oDotAt(b, b, s)})""".stripMargin
-      val terms = (0 until 4)
-        .map(s => oD2At("q.qv", s"e$s.ce", s)).mkString("\n    + ")
-      s"""WITH cents AS (
-         |  SELECT vec_id AS cent_id, embedding AS ce FROM embeddings
-         |  WHERE vec_id < 8),
-         |subs AS (SELECT unnest(generate_series(0, 3)) AS s),
-         |scored AS (
-         |  SELECT e.vec_id, subs.s, c.cent_id,
-         |    ROW_NUMBER() OVER (PARTITION BY e.vec_id, subs.s ORDER BY
-         |      (list_sum(list_transform(generate_series(1, 16),
-         |         i -> CAST(e.embedding[subs.s*16 + i] AS DOUBLE)
-         |              * CAST(e.embedding[subs.s*16 + i] AS DOUBLE)))
-         |       - 2 * list_sum(list_transform(generate_series(1, 16),
-         |         i -> CAST(e.embedding[subs.s*16 + i] AS DOUBLE)
-         |              * CAST(c.ce[subs.s*16 + i] AS DOUBLE)))
-         |       + list_sum(list_transform(generate_series(1, 16),
-         |         i -> CAST(c.ce[subs.s*16 + i] AS DOUBLE)
-         |              * CAST(c.ce[subs.s*16 + i] AS DOUBLE)))) ASC,
-         |      c.cent_id ASC) AS rn
-         |  FROM embeddings e, cents c, subs),
-         |codesw AS (
-         |  SELECT vec_id,
-         |    MAX(CASE WHEN s = 0 THEN cent_id END) AS c0,
-         |    MAX(CASE WHEN s = 1 THEN cent_id END) AS c1,
-         |    MAX(CASE WHEN s = 2 THEN cent_id END) AS c2,
-         |    MAX(CASE WHEN s = 3 THEN cent_id END) AS c3
-         |  FROM scored WHERE rn = 1 GROUP BY vec_id),
-         |q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
-         |      WHERE vec_id < 20),
-         |ad AS (
-         |  SELECT q.query_id, w.vec_id AS cand_id,
-         |    ($terms) AS adist
-         |  FROM codesw w
-         |  JOIN cents e0 ON e0.cent_id = w.c0
-         |  JOIN cents e1 ON e1.cent_id = w.c1
-         |  JOIN cents e2 ON e2.cent_id = w.c2
-         |  JOIN cents e3 ON e3.cent_id = w.c3
-         |  CROSS JOIN q
-         |  WHERE q.query_id != w.vec_id)
-         |SELECT query_id, cand_id, CAST(rn AS BIGINT) AS rank,
-         |  CAST(FLOOR(adist * 1e6) AS BIGINT) AS adist_micro
-         |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-         |        ORDER BY adist ASC, cand_id ASC) AS rn FROM ad)
-         |WHERE rn <= 5""".stripMargin
-    },
+    "p49_pq_topk" -> oPqTopKSql("", "embeddings"),
+    "p97_rot_pq" -> oPqTopKSql(
+      s"""rotemb AS (
+         |  SELECT vec_id, ${oRotate("embedding", "q97")} AS embedding
+         |  FROM embeddings),
+         |""".stripMargin, "rotemb"),
     "p76_embed_ingest" ->
       s"""WITH cents AS (
          |  SELECT vec_id AS cent_id, embedding AS ce FROM embeddings

@@ -247,6 +247,36 @@ class PipelineSpec extends SparkSpec {
     assert(b(0) + b(2) == 15L) // complementary 4-bit buckets
   }
 
+  test("signed-perm rotation is orthogonal: perm valid, signs flip back, norms preserved") {
+    val (perm, signs) = graft.pipeline.Similarity.signedPerm(64, "q97")
+    assert(perm.sorted == (1 to 64) && signs.forall(s => s == 1 || s == -1))
+    assert(signs.contains(-1) && signs.contains(1)) // not the identity
+    val vecs = (0L until 5L).map { i =>
+      (i, (1 to 64).map(d => ((i * 64 + d) % 37 - 18).toFloat / 7f).toArray)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val rot = df.select(col("vec_id"),
+        graft.pipeline.Similarity.rotateVec(col("embedding"), 64, "q97")
+          .as("r"))
+      .as[(Long, Array[Float])].collect().toMap
+    val orig = vecs.toMap
+    // inverse transform recovers the original EXACTLY (bit-for-bit:
+    // ±1 multiplication is exact), and the multiset of |values| is
+    // unchanged -> orthogonality at zero cost
+    for ((id, v) <- orig) {
+      val r = rot(id)
+      val back = new Array[Float](64)
+      for (j <- 0 until 64) back(perm(j) - 1) = r(j) * signs(j)
+      assert(back.toSeq == v.toSeq)
+      assert(r.map(math.abs).sorted.toSeq == v.map(math.abs).sorted.toSeq)
+    }
+    // deterministic across invocations
+    val again = df.select(graft.pipeline.Similarity
+        .rotateVec(col("embedding"), 64, "q97")).as[Array[Float]]
+      .collect().map(_.toSeq)
+    assert(again.toSeq == (0L until 5L).map(rot(_).toSeq))
+  }
+
   test("multi-probe LSH probes distinct flipped buckets and never loses to single-probe") {
     val vecs = (0L until 40L).map { i =>
       (i, (1 to 64).map(d =>
