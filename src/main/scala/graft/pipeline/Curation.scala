@@ -97,6 +97,39 @@ object Curation {
         sum(size(TF.tokens(col(textCol))).cast("long")).as("n_tokens"),
         sum(col("term")).as("manifest_sum"))
 
+  /** Tokenized-shard offset index — the random-access `.idx` a
+    * training loader needs beside a packed binary token file
+    * (Megatron-style .bin/.idx): for every document, its shard, its
+    * position in shard order, and the TOKEN OFFSET where it starts
+    * when the shard's documents are laid end to end with `eosTokens`
+    * separator tokens after each. One cumulative window per shard
+    * over the same deterministic (hash, id) order as
+    * [[shardAssignments]], so index and manifest ([[shardManifest]])
+    * describe the identical layout. Offsets are exact integer sums —
+    * any engine reproduces the index bit-for-bit.
+    *
+    * Scale shape: one shuffle partitioned by shard with an in-
+    * partition sort; shards are the training job's parallel unit, so
+    * `nShards` grows with the corpus and no partition outgrows its
+    * reader.
+    */
+  def shardOffsets(df: DataFrame, idCol: String, textCol: String,
+      nShards: Int, salt: String = "shard",
+      eosTokens: Int = 1): DataFrame = {
+    val wo = Window.partitionBy(col("shard")).orderBy(col("__h"), col(idCol))
+    val wsum = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__h",
+        TF.hash60(concat(lit(salt), col(idCol).cast("string"))))
+      .withColumn("shard", (col("__h") % nShards).cast("long"))
+      .withColumn("n_tokens", size(TF.tokens(col(textCol))).cast("long"))
+      .withColumn("pos", row_number().over(wo).cast("long"))
+      .withColumn("token_offset",
+        sum(col("n_tokens") + lit(eosTokens.toLong)).over(wsum) -
+          (col("n_tokens") + lit(eosTokens.toLong)))
+      .select(col("shard"), col("pos"), col(idCol), col("n_tokens"),
+        col("token_offset"))
+  }
+
   /** Concat-and-chunk sequence packing: walk each stratum in
     * portable-hash order, lay the token streams end to end, and cut
     * every `chunkToks` tokens — each document's placement is its

@@ -1592,6 +1592,16 @@ object PipelineQueries {
       "embedding", centroidFilter = col("vec_id") % 25 === 0,
       factorPct = 130L)
 
+  /** Tokenized-shard offset index (p98): the Megatron-style `.idx`
+    * beside p86's manifest — per document its shard, in-shard
+    * position, and exact token offset under end-to-end layout with
+    * one EOS per doc. Same deterministic shard order as p31/p86, so
+    * a pass certifies index ≡ manifest layout.
+    */
+  def p98ShardOffsets(s: SparkSession, dir: String): DataFrame =
+    Curation.shardOffsets(t(s, dir, "documents"), "doc_id", "text",
+      nShards = 8)
+
   /** Rotated PQ (p97): p49's full compressed scan over vectors
     * re-expressed through the deterministic signed permutation
     * ([[Similarity.rotateVec]]) — each subspace quantizes a
@@ -1861,6 +1871,7 @@ object PipelineQueries {
     "p95_card_scrub" -> p95CardScrub _,
     "p96_ivf_split" -> p96IvfSplit _,
     "p97_rot_pq" -> p97RotPq _,
+    "p98_shard_offsets" -> p98ShardOffsets _,
     "p50_temp_mix" -> p50TempMix _,
     "p51_hard_negatives" -> p51HardNegatives _,
     "p52_ivf_trained" -> p52IvfTrained _,
@@ -3999,6 +4010,20 @@ object PipelineQueries {
          |SELECT doc_id, CAST(hh % 8 AS BIGINT) AS shard,
          |  CAST(ROW_NUMBER() OVER (PARTITION BY hh % 8 ORDER BY hh, doc_id)
          |    AS BIGINT) AS pos
+         |FROM h""".stripMargin,
+    "p98_shard_offsets" ->
+      s"""WITH h AS (
+         |  SELECT doc_id,
+         |    ${oHash("'shard' || CAST(doc_id AS VARCHAR)")} AS hh,
+         |    CAST(len($oToks) AS BIGINT) AS n_tokens
+         |  FROM documents)
+         |SELECT CAST(hh % 8 AS BIGINT) AS shard,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY hh % 8 ORDER BY hh, doc_id)
+         |    AS BIGINT) AS pos,
+         |  doc_id, n_tokens,
+         |  CAST(SUM(n_tokens + 1) OVER (PARTITION BY hh % 8
+         |      ORDER BY hh, doc_id ROWS UNBOUNDED PRECEDING)
+         |    - (n_tokens + 1) AS BIGINT) AS token_offset
          |FROM h""".stripMargin,
     "p86_shard_manifest" ->
       s"""WITH h AS (

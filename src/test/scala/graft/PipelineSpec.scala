@@ -247,6 +247,35 @@ class PipelineSpec extends SparkSpec {
     assert(b(0) + b(2) == 15L) // complementary 4-bit buckets
   }
 
+  test("shard offset index is contiguous per shard and agrees with the manifest totals") {
+    val docs = (1L to 30L)
+      .map(i => (i, Seq.fill((i % 5 + 1).toInt)(s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val idx = Curation.shardOffsets(docs, "doc_id", "text", nShards = 4)
+      .select("shard", "pos", "doc_id", "n_tokens", "token_offset")
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    for ((_, rows) <- idx) {
+      assert(rows.head._2 == 1L && rows.head._5 == 0L)
+      rows.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b._2 == a._2 + 1)                   // dense positions
+          assert(b._5 == a._5 + a._4 + 1)            // prev offset + toks + EOS
+        case _ =>
+      }
+    }
+    // totals line up with the manifest's per-shard token counts
+    val man = Curation.shardManifest(docs, "doc_id", "text", nShards = 4)
+      .select("shard", "n_docs", "n_tokens")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    for ((shard, rows) <- idx) {
+      assert(man(shard)._1 == rows.length)
+      assert(man(shard)._2 == rows.map(_._4).sum)
+      val last = rows.last
+      assert(last._5 + last._4 + 1 == rows.map(_._4 + 1).sum) // file length
+    }
+  }
+
   test("signed-perm rotation is orthogonal: perm valid, signs flip back, norms preserved") {
     val (perm, signs) = graft.pipeline.Similarity.signedPerm(64, "q97")
     assert(perm.sorted == (1 to 64) && signs.forall(s => s == 1 || s == -1))
