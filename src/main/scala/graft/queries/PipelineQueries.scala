@@ -1592,6 +1592,50 @@ object PipelineQueries {
       "embedding", centroidFilter = col("vec_id") % 25 === 0,
       factorPct = 130L)
 
+  /** Tokenizer fertility scorecard (p99): chars-per-token by
+    * (tokenizer, language) for the whitespace splitter, the BPE-ish
+    * regex pre-tokenizer, and the TRAINED unigram tokenizer (p87's
+    * vocab via the p88 dictionary join) — the standard fertility
+    * audit run before committing a tokenizer to a corpus mix (a
+    * tokenizer that fragments one language inflates its effective
+    * cost). Exact integer arithmetic: `chars·1e6 div tokens`. The
+    * oracle replays the full unigram train for its row family.
+    */
+  def p99TokenizerFertility(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    def base(name: String,
+        tokCount: org.apache.spark.sql.Column): DataFrame =
+      docs.groupBy(col("lang")).agg(
+          count(lit(1)).as("n_docs"),
+          sum(length(col("text")).cast("long")).as("n_chars"),
+          sum(tokCount.cast("long")).as("n_tokens"))
+        .select(lit(name).as("tokenizer"), col("lang"), col("n_docs"),
+          col("n_chars"), col("n_tokens"),
+          expr("(n_chars * 1000000) div n_tokens").as("fertility_micro"))
+    val ws = base("whitespace",
+      size(graft.pipeline.TextFunctions.tokens(col("text"))))
+    val bp = base("bpe_pre",
+      size(graft.pipeline.TextFunctions.bpeTokens(col("text"))))
+    val seg = graft.pipeline.Unigram.train(docs, "text", vocabSize = 60,
+      maxLen = 4, iters = 2)
+    val uniTok = docs
+      .select(col("lang"),
+        explode(graft.pipeline.TextFunctions.tokens(col("text")))
+          .as("word"))
+      .filter(length(col("word")) > 0)
+      .join(broadcast(seg.select(col("word"),
+        size(col("pieces")).cast("long").as("np"))), Seq("word"))
+      .groupBy(col("lang")).agg(sum(col("np")).as("n_tokens"))
+    val uni = docs.groupBy(col("lang")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(length(col("text")).cast("long")).as("n_chars"))
+      .join(uniTok, Seq("lang"))
+      .select(lit("unigram").as("tokenizer"), col("lang"), col("n_docs"),
+        col("n_chars"), col("n_tokens"),
+        expr("(n_chars * 1000000) div n_tokens").as("fertility_micro"))
+    ws.unionByName(bp).unionByName(uni)
+  }
+
   /** Tokenized-shard offset index (p98): the Megatron-style `.idx`
     * beside p86's manifest — per document its shard, in-shard
     * position, and exact token offset under end-to-end layout with
@@ -1872,6 +1916,7 @@ object PipelineQueries {
     "p96_ivf_split" -> p96IvfSplit _,
     "p97_rot_pq" -> p97RotPq _,
     "p98_shard_offsets" -> p98ShardOffsets _,
+    "p99_tokenizer_fertility" -> p99TokenizerFertility _,
     "p50_temp_mix" -> p50TempMix _,
     "p51_hard_negatives" -> p51HardNegatives _,
     "p52_ivf_trained" -> p52IvfTrained _,
@@ -2948,6 +2993,42 @@ object PipelineQueries {
         oUnigramTokenizer(vocabSize = 60, maxLen = 4)) +
       ("p88_unigram_encode" ->
         oUnigramEncode(vocabSize = 60, maxLen = 4)) +
+      ("p99_tokenizer_fertility" ->
+        s"""${oUnigramCtes(vocabSize = 60, maxLen = 4)},
+           |ws AS (
+           |  SELECT 'whitespace' AS tokenizer, lang, COUNT(*) AS n_docs,
+           |    SUM(length(text)) AS n_chars,
+           |    SUM(len($oToks)) AS n_tokens
+           |  FROM documents GROUP BY lang),
+           |bp AS (
+           |  SELECT 'bpe_pre' AS tokenizer, lang, COUNT(*) AS n_docs,
+           |    SUM(length(text)) AS n_chars,
+           |    SUM(len(regexp_extract_all(lower(text),
+           |      '[a-z]+|[0-9]+|[^a-z0-9\\s]'))) AS n_tokens
+           |  FROM documents GROUP BY lang),
+           |uw AS (
+           |  SELECT d.lang, SUM(len(w.pieces)) AS n_tokens
+           |  FROM (SELECT lang, toks[pos] AS word
+           |        FROM (SELECT lang, toks,
+           |                unnest(generate_series(1, len(toks))) AS pos
+           |              FROM (SELECT lang, $oToks AS toks FROM documents))
+           |        WHERE length(toks[pos]) > 0) d
+           |  JOIN seg1 w ON w.word = d.word
+           |  GROUP BY d.lang),
+           |un AS (
+           |  SELECT 'unigram' AS tokenizer, b.lang, b.n_docs, b.n_chars,
+           |    uw.n_tokens
+           |  FROM (SELECT lang, COUNT(*) AS n_docs,
+           |          SUM(length(text)) AS n_chars
+           |        FROM documents GROUP BY lang) b
+           |  JOIN uw ON b.lang = uw.lang)
+           |SELECT tokenizer, lang, CAST(n_docs AS BIGINT) AS n_docs,
+           |  CAST(n_chars AS BIGINT) AS n_chars,
+           |  CAST(n_tokens AS BIGINT) AS n_tokens,
+           |  (CAST(n_chars AS BIGINT) * 1000000)
+           |    // CAST(n_tokens AS BIGINT) AS fertility_micro
+           |FROM (SELECT * FROM ws UNION ALL SELECT * FROM bp
+           |      UNION ALL SELECT * FROM un)""".stripMargin) +
       ("p82_bigram_lm" -> oBigramLm) +
       ("p89_kn_bigram" -> oKnBigram) +
       ("p90_dsir" -> oDsir) +
