@@ -359,6 +359,44 @@ object Similarity {
       when(d > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** Feature-hashed document vectors (Weinberger et al. 2009,
+    * "Feature Hashing for Large Scale Multitask Learning"): every
+    * feature from `feats` (an array-of-strings column — tokens,
+    * shingles, whatever discriminates the corpus) lands in
+    * `hash(f) mod dim` with a ±1 sign from an independent second
+    * hash, and the document's vector is the signed COUNT sum per
+    * bucket — a dense `dim`-wide embedding from text alone, no
+    * model. Sums are exact integers (any engine reproduces them
+    * bit-for-bit; the only float op is the final cast), so the whole
+    * ANN family — brute cosine, LSH, IVF, PQ — composes on top of
+    * the output as on any embedding column. Feature choice matters:
+    * on a small shared vocabulary, unigram features make every pair
+    * of documents collinear — word k-shingles keep the dedup signal
+    * (the same reason the MinHash family shingles first).
+    *
+    * Scale shape: two partial-aggregated shuffles — (id, bucket)
+    * integer sums, then an id-keyed rollup of ≤`dim` entries pivoted
+    * through a map; no corpus-scale wide rows ever move.
+    */
+  def hashedDocVectors(df: DataFrame, idCol: String, feats: Column,
+      dim: Int): DataFrame = {
+    val TF = graft.pipeline.TextFunctions
+    df.select(col(idCol), explode(feats).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .select(col(idCol),
+        (TF.hash60(col("tok")) % dim).as("bucket"),
+        when(TF.hash60(concat(lit("fs"), col("tok"))) % 2 === 0, 1L)
+          .otherwise(-1L).as("sgn"))
+      .groupBy(col(idCol), col("bucket")).agg(sum(col("sgn")).as("v"))
+      .groupBy(col(idCol))
+      .agg(map_from_entries(collect_list(struct(col("bucket"), col("v"))))
+        .as("m"))
+      .select(col(idCol),
+        transform(sequence(lit(0), lit(dim - 1)),
+          j => coalesce(element_at(col("m"), j), lit(0L)).cast("float"))
+          .as("embedding"))
+  }
+
   /** Deterministic signed permutation of 1..dim — the cheapest
     * orthogonal transform: `perm` is the argsort of md5-derived keys
     * (index tiebreak), `signs` ±1 per output slot. Shared by

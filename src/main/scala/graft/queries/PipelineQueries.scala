@@ -1592,6 +1592,38 @@ object PipelineQueries {
       "embedding", centroidFilter = col("vec_id") % 25 === 0,
       factorPct = 130L)
 
+  /** Embedding-free near-dup (p100): feature-hashed 128-dim document
+    * vectors over word 3-SHINGLES ([[Similarity.hashedDocVectors]] —
+    * exact integer signed counts; unigram features would be useless
+    * on this 31-token shared vocabulary, where median pairwise
+    * token-set Jaccard is 0.63) scored pairwise by cosine at ≥ 0.5 —
+    * semantic-ish dedup over the documents table with NO embedding
+    * model, the p07 twin on derived vectors. The threshold cleanly
+    * separates the planted near-dups (all ≥ 0.9) from the background
+    * (p99 ≈ 0.21). Zero-norm (shorter than one shingle) docs are
+    * excluded before any division. Brute force at this SF; the
+    * vectors are an ordinary embedding column, so the banded/LSH/IVF
+    * family is the scale path.
+    */
+  def p100HashedNearDup(s: SparkSession, dir: String): DataFrame = {
+    val TFx = graft.pipeline.TextFunctions
+    val v = Similarity.hashedDocVectors(t(s, dir, "documents"), "doc_id",
+      TFx.shingles(TFx.tokens(col("text")), 3), dim = 128)
+    val a = v.repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id").as("doc_a"), col("embedding").as("ea"),
+        Similarity.l2norm(col("embedding")).as("na"))
+      .filter(col("na") > 0)
+    val b = v.select(col("doc_id").as("doc_b"), col("embedding").as("eb"),
+        Similarity.l2norm(col("embedding")).as("nb"))
+      .filter(col("nb") > 0)
+    a.join(b, col("doc_a") < col("doc_b"))
+      .withColumn("sim", Similarity.dotOverNorms(col("ea"), col("eb"),
+        col("na"), col("nb")))
+      .filter(col("sim") >= 0.5)
+      .select(col("doc_a"), col("doc_b"),
+        floor(col("sim") * 1e6).cast("long").as("sim_micro"))
+  }
+
   /** Tokenizer fertility scorecard (p99): chars-per-token by
     * (tokenizer, language) for the whitespace splitter, the BPE-ish
     * regex pre-tokenizer, and the TRAINED unigram tokenizer (p87's
@@ -1917,6 +1949,7 @@ object PipelineQueries {
     "p97_rot_pq" -> p97RotPq _,
     "p98_shard_offsets" -> p98ShardOffsets _,
     "p99_tokenizer_fertility" -> p99TokenizerFertility _,
+    "p100_hashed_neardup" -> p100HashedNearDup _,
     "p50_temp_mix" -> p50TempMix _,
     "p51_hard_negatives" -> p51HardNegatives _,
     "p52_ivf_trained" -> p52IvfTrained _,
@@ -3660,6 +3693,39 @@ object PipelineQueries {
          |  SELECT vec_id, ${oRotate("embedding", "q97")} AS embedding
          |  FROM embeddings),
          |""".stripMargin, "rotemb"),
+    "p100_hashed_neardup" -> {
+      def c128(a: String, b: String): String =
+        s"""(list_sum(list_transform(generate_series(1, 128), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))
+           | / (sqrt(list_sum(list_transform(generate_series(1, 128), i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE))))
+           |    * sqrt(list_sum(list_transform(generate_series(1, 128), i -> CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))))))""".stripMargin
+      s"""WITH t AS (SELECT doc_id, $oToks AS toks FROM documents),
+         |occ AS (
+         |  SELECT doc_id, unnest(${oShingles(3)}) AS tok FROM t),
+         |bk AS (
+         |  SELECT doc_id, ${oHash("tok")} % 128 AS bucket,
+         |    CASE WHEN ${oHash("'fs' || tok")} % 2 = 0 THEN 1 ELSE -1 END
+         |      AS sgn
+         |  FROM occ WHERE length(tok) > 0),
+         |sv AS (
+         |  SELECT doc_id, bucket, CAST(SUM(sgn) AS BIGINT) AS v
+         |  FROM bk GROUP BY 1, 2),
+         |vec AS (SELECT doc_id, map(list(bucket), list(v)) AS m
+         |        FROM sv GROUP BY 1),
+         |emb AS (
+         |  SELECT doc_id, list_transform(generate_series(0, 127),
+         |    j -> CAST(COALESCE(m[j][1], 0) AS FLOAT)) AS embedding
+         |  FROM vec),
+         |nz AS (
+         |  SELECT doc_id, embedding FROM emb
+         |  WHERE sqrt(list_sum(list_transform(generate_series(1, 128),
+         |    i -> CAST(embedding[i] AS DOUBLE)
+         |         * CAST(embedding[i] AS DOUBLE)))) > 0)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(FLOOR(${c128("a.embedding", "b.embedding")} * 1e6)
+         |    AS BIGINT) AS sim_micro
+         |FROM nz a JOIN nz b ON a.doc_id < b.doc_id
+         |WHERE ${c128("a.embedding", "b.embedding")} >= 0.5""".stripMargin
+    },
     "p76_embed_ingest" ->
       s"""WITH cents AS (
          |  SELECT vec_id AS cent_id, embedding AS ce FROM embeddings

@@ -247,6 +247,35 @@ class PipelineSpec extends SparkSpec {
     assert(b(0) + b(2) == 15L) // complementary 4-bit buckets
   }
 
+  test("hashed doc vectors: integer signed sums, copies collide, short docs zero out") {
+    val TFx = graft.pipeline.TextFunctions
+    val docs = Seq(
+      (1L, "aa bb cc dd ee"),
+      (2L, "aa bb cc dd ee"),      // identical -> identical vector
+      (3L, "pp qq rr ss tt"),      // disjoint shingles
+      (4L, "xx yy")                // < 3 tokens -> no shingles -> zero
+    ).toDF("doc_id", "text")
+    val v = graft.pipeline.Similarity.hashedDocVectors(docs, "doc_id",
+        TFx.shingles(TFx.tokens(col("text")), 3), dim = 32)
+      .as[(Long, Array[Float])].collect().toMap
+    assert(v(1L).toSeq == v(2L).toSeq)
+    assert(v(1L).exists(_ != 0f) && v(3L).exists(_ != 0f))
+    assert(!v.contains(4L))  // no feature rows -> no vector row at all
+    // exact integers: every component is a whole number and the sum of
+    // |components| equals the shingle count (3 shingles, no collisions
+    // at this sparsity... unless two shingles collide; allow <=)
+    assert(v(1L).forall(x => x == math.rint(x)))
+    assert(v(1L).map(math.abs).sum <= 3f)
+    // vectors compose with the ANN kernels: cosine(1,2)=1, |cos(1,3)|<1
+    def cos(a: Array[Float], b: Array[Float]) = {
+      def d(x: Array[Float], y: Array[Float]) =
+        x.zip(y).map { case (p, q) => p.toDouble * q.toDouble }.sum
+      d(a, b) / (math.sqrt(d(a, a)) * math.sqrt(d(b, b)))
+    }
+    assert(math.abs(cos(v(1L), v(2L)) - 1.0) < 1e-12)
+    assert(cos(v(1L), v(3L)) < 0.99)
+  }
+
   test("shard offset index is contiguous per shard and agrees with the manifest totals") {
     val docs = (1L to 30L)
       .map(i => (i, Seq.fill((i % 5 + 1).toInt)(s"w$i").mkString(" ")))
