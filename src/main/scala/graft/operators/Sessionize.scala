@@ -45,4 +45,48 @@ object Sessionize {
         min(col(tsCol)).as("session_start"),
         max(col(tsCol)).as("session_end"),
         count(lit(1)).as("n_events"))
+
+  /** Ordered conversion funnel: for the stage sequence
+    * s₁ → s₂ → … → sₙ, a user reaches stage i when an sᵢ event exists
+    * STRICTLY AFTER their earliest qualifying sᵢ₋₁ event (earliest-
+    * completion semantics: tᵢ = min ts of sᵢ with ts > tᵢ₋₁ — the
+    * standard greedy funnel, which maximizes the number of users
+    * counted at every stage). Output is one row per stage with the
+    * user count and exact integer conversion rates from the first
+    * stage and from the previous one.
+    *
+    * Scale shape: one (user)-keyed min-aggregation per stage, each a
+    * partial-aggregated shuffle of the stage's FILTERED events joined
+    * to the (shrinking) reached-user table on the same key — n stages
+    * = n co-keyed exchanges, no windows, no per-user event lists. The
+    * final counts are single-row aggregates unioned stage-wise.
+    */
+  def funnel(events: DataFrame, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val ev = events.select(col("user_id"), col("event_type"),
+      expr("ts_ns div 1000").as("ts_us"))
+    val first = ev.filter(col("event_type") === stages.head)
+      .groupBy("user_id").agg(min(col("ts_us")).as("t1"))
+    val times = stages.zipWithIndex.drop(1)
+      .foldLeft(first) { case (acc, (st, i)) =>
+        val nxt = ev.filter(col("event_type") === st)
+          .join(acc.select(col("user_id"), col(s"t$i")), Seq("user_id"))
+          .filter(col("ts_us") > col(s"t$i"))
+          .groupBy("user_id").agg(min(col("ts_us")).as(s"t${i + 1}"))
+        acc.join(nxt, Seq("user_id"), "left")
+      }
+    val counts = times.agg(
+      sum(when(col("t1").isNotNull, 1L).otherwise(0L)).as("n1"),
+      stages.indices.drop(1).map(i =>
+        sum(when(col(s"t${i + 1}").isNotNull, 1L).otherwise(0L))
+          .as(s"n${i + 1}")): _*)
+    stages.zipWithIndex.map { case (st, i) =>
+      val n = s"n${i + 1}"
+      val prev = if (i == 0) "n1" else s"n$i"
+      counts.select(lit((i + 1).toLong).as("stage"),
+        lit(st).as("event_type"), col(n).as("n_users"),
+        expr(s"($n * 1000000) div n1").as("pct_of_start_micro"),
+        expr(s"($n * 1000000) div $prev").as("pct_of_prev_micro"))
+    }.reduce(_ unionByName _)
+  }
 }

@@ -1592,6 +1592,16 @@ object PipelineQueries {
       "embedding", centroidFilter = col("vec_id") % 25 === 0,
       factorPct = 130L)
 
+  /** Event conversion funnel (p101): signup → view → click → purchase
+    * in strict event-time order with earliest-completion semantics
+    * ([[graft.operators.Sessionize.funnel]]); one row per stage with
+    * the reached-user count and exact integer conversion rates. The
+    * oracle replays the stage-wise min-after-previous chain.
+    */
+  def p101Funnel(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sessionize.funnel(Tables.events(s, dir),
+      Seq("signup", "view", "click", "purchase"))
+
   /** Embedding-free near-dup (p100): feature-hashed 128-dim document
     * vectors over word 3-SHINGLES ([[Similarity.hashedDocVectors]] —
     * exact integer signed counts; unigram features would be useless
@@ -1950,6 +1960,7 @@ object PipelineQueries {
     "p98_shard_offsets" -> p98ShardOffsets _,
     "p99_tokenizer_fertility" -> p99TokenizerFertility _,
     "p100_hashed_neardup" -> p100HashedNearDup _,
+    "p101_funnel" -> p101Funnel _,
     "p50_temp_mix" -> p50TempMix _,
     "p51_hard_negatives" -> p51HardNegatives _,
     "p52_ivf_trained" -> p52IvfTrained _,
@@ -3336,6 +3347,34 @@ object PipelineQueries {
         |  CAST(1 + length(text) % 16 AS BIGINT) AS height,
         |  CAST((doc_id % 256) * 65793 AS BIGINT) AS px00
         |FROM documents""".stripMargin,
+    "p101_funnel" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        |t1 AS (SELECT user_id, MIN(ts_us) AS t1 FROM ev
+        |       WHERE event_type = 'signup' GROUP BY 1),
+        |t2 AS (SELECT e.user_id, MIN(ts_us) AS t2 FROM ev e
+        |       JOIN t1 ON e.user_id = t1.user_id
+        |       WHERE event_type = 'view' AND ts_us > t1 GROUP BY 1),
+        |t3 AS (SELECT e.user_id, MIN(ts_us) AS t3 FROM ev e
+        |       JOIN t2 ON e.user_id = t2.user_id
+        |       WHERE event_type = 'click' AND ts_us > t2 GROUP BY 1),
+        |t4 AS (SELECT e.user_id, MIN(ts_us) AS t4 FROM ev e
+        |       JOIN t3 ON e.user_id = t3.user_id
+        |       WHERE event_type = 'purchase' AND ts_us > t3 GROUP BY 1),
+        |c AS (SELECT (SELECT COUNT(*) FROM t1) AS n1,
+        |             (SELECT COUNT(*) FROM t2) AS n2,
+        |             (SELECT COUNT(*) FROM t3) AS n3,
+        |             (SELECT COUNT(*) FROM t4) AS n4)
+        |SELECT CAST(1 AS BIGINT) AS stage, 'signup' AS event_type,
+        |  n1 AS n_users,
+        |  (n1 * 1000000) // n1 AS pct_of_start_micro,
+        |  (n1 * 1000000) // n1 AS pct_of_prev_micro FROM c
+        |UNION ALL SELECT 2, 'view', n2, (n2 * 1000000) // n1,
+        |  (n2 * 1000000) // n1 FROM c
+        |UNION ALL SELECT 3, 'click', n3, (n3 * 1000000) // n1,
+        |  (n3 * 1000000) // n2 FROM c
+        |UNION ALL SELECT 4, 'purchase', n4, (n4 * 1000000) // n1,
+        |  (n4 * 1000000) // n3 FROM c""".stripMargin,
     "p13_sessionize" ->
       """WITH e AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),

@@ -247,6 +247,33 @@ class PipelineSpec extends SparkSpec {
     assert(b(0) + b(2) == 15L) // complementary 4-bit buckets
   }
 
+  test("event funnel: strict ordering, earliest-completion, exact drop-off rates") {
+    def ev(u: Long, t: String, us: Long) = (u, t, us * 1000L)
+    val events = Seq(
+      // user 1 completes in order
+      ev(1, "view", 10), ev(1, "click", 20), ev(1, "purchase", 30),
+      // user 2: purchase BEFORE click -> reaches stage 2 only
+      ev(2, "view", 10), ev(2, "purchase", 15), ev(2, "click", 20),
+      // user 3: view only
+      ev(3, "view", 10),
+      // user 4: click/purchase but never viewed -> not even stage 1
+      ev(4, "click", 5), ev(4, "purchase", 6),
+      // user 5: earliest-completion — the LATER second view must not
+      // reset the chain; click after first view counts
+      ev(5, "view", 10), ev(5, "click", 12), ev(5, "view", 50),
+      ev(5, "purchase", 60)
+    ).toDF("user_id", "event_type", "ts_ns")
+    val out = graft.operators.Sessionize.funnel(events,
+        Seq("view", "click", "purchase"))
+      .select("stage", "event_type", "n_users", "pct_of_start_micro",
+        "pct_of_prev_micro")
+      .as[(Long, String, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      (1L, "view", 4L, 1000000L, 1000000L),
+      (2L, "click", 3L, 750000L, 750000L),
+      (3L, "purchase", 2L, 500000L, 666666L)))
+  }
+
   test("hashed doc vectors: integer signed sums, copies collide, short docs zero out") {
     val TFx = graft.pipeline.TextFunctions
     val docs = Seq(
