@@ -61,6 +61,37 @@ object Sessionize {
     * = n co-keyed exchanges, no windows, no per-user event lists. The
     * final counts are single-row aggregates unioned stage-wise.
     */
+  /** Weekly retention cohorts — the classic activity triangle: users
+    * are cohorted by the epoch week of their FIRST event; each later
+    * week they appear in contributes one active row at offset
+    * k = week − cohort_week, and retention is the exact integer
+    * fraction of the cohort still active at offset k (k=0 is the
+    * cohort itself, retention 1.0 by construction). Epoch weeks are
+    * integer `ts_us div 604800000000` — no calendar/timezone
+    * arithmetic, so every engine buckets identically.
+    *
+    * Scale shape: one (user, week) distinct shuffle, a user-keyed min
+    * for the cohort, one co-keyed join back, and two small grouped
+    * aggregations — all partial-aggregated; no windows.
+    */
+  def retentionCohorts(events: DataFrame): DataFrame = {
+    val uw = events
+      .select(col("user_id"),
+        expr("(ts_ns div 1000) div 604800000000").as("week"))
+      .distinct()
+    val cohort = uw.groupBy("user_id").agg(min(col("week")).as("cohort_week"))
+    val sizes = cohort.groupBy("cohort_week")
+      .agg(count(lit(1)).as("n_cohort"))
+    uw.join(cohort, Seq("user_id"))
+      .withColumn("k", col("week") - col("cohort_week"))
+      .groupBy(col("cohort_week"), col("k"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(sizes, Seq("cohort_week"))
+      .select(col("cohort_week"), col("k"), col("n_active"),
+        col("n_cohort"),
+        expr("(n_active * 1000000) div n_cohort").as("retention_micro"))
+  }
+
   def funnel(events: DataFrame, stages: Seq[String]): DataFrame = {
     require(stages.nonEmpty, "funnel needs at least one stage")
     val ev = events.select(col("user_id"), col("event_type"),

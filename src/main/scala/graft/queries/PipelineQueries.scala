@@ -1592,6 +1592,14 @@ object PipelineQueries {
       "embedding", centroidFilter = col("vec_id") % 25 === 0,
       factorPct = 130L)
 
+  /** Weekly retention cohorts (p102): users cohorted by first-event
+    * epoch week, exact integer retention at each week offset
+    * ([[graft.operators.Sessionize.retentionCohorts]]). The oracle
+    * replays the bucketing, cohort min, and rate arithmetic.
+    */
+  def p102Retention(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sessionize.retentionCohorts(Tables.events(s, dir))
+
   /** Event conversion funnel (p101): signup → view → click → purchase
     * in strict event-time order with earliest-completion semantics
     * ([[graft.operators.Sessionize.funnel]]); one row per stage with
@@ -1961,6 +1969,7 @@ object PipelineQueries {
     "p99_tokenizer_fertility" -> p99TokenizerFertility _,
     "p100_hashed_neardup" -> p100HashedNearDup _,
     "p101_funnel" -> p101Funnel _,
+    "p102_retention" -> p102Retention _,
     "p50_temp_mix" -> p50TempMix _,
     "p51_hard_negatives" -> p51HardNegatives _,
     "p52_ivf_trained" -> p52IvfTrained _,
@@ -3347,6 +3356,23 @@ object PipelineQueries {
         |  CAST(1 + length(text) % 16 AS BIGINT) AS height,
         |  CAST((doc_id % 256) * 65793 AS BIGINT) AS px00
         |FROM documents""".stripMargin,
+    "p102_retention" ->
+      """WITH uw AS (
+        |  SELECT DISTINCT user_id,
+        |    epoch_us(ts) // 604800000000 AS week
+        |  FROM events),
+        |cohort AS (SELECT user_id, MIN(week) AS cohort_week
+        |           FROM uw GROUP BY 1),
+        |sizes AS (SELECT cohort_week, COUNT(*) AS n_cohort
+        |          FROM cohort GROUP BY 1),
+        |act AS (
+        |  SELECT c.cohort_week, uw.week - c.cohort_week AS k,
+        |    COUNT(*) AS n_active
+        |  FROM uw JOIN cohort c ON uw.user_id = c.user_id
+        |  GROUP BY 1, 2)
+        |SELECT a.cohort_week, a.k, a.n_active, s.n_cohort,
+        |  (a.n_active * 1000000) // s.n_cohort AS retention_micro
+        |FROM act a JOIN sizes s ON a.cohort_week = s.cohort_week""".stripMargin,
     "p101_funnel" ->
       """WITH ev AS (
         |  SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),

@@ -247,6 +247,29 @@ class PipelineSpec extends SparkSpec {
     assert(b(0) + b(2) == 15L) // complementary 4-bit buckets
   }
 
+  test("retention cohorts: first-week cohorting, churn visible, k=0 always full") {
+    val WK = 604800000000L
+    def ev(u: Long, week: Long) = (u, week * WK * 1000L + u) // ns, unique
+    val events = Seq(
+      // cohort week 0: users 1,2,3; user 1 active weeks 0,1,2;
+      // user 2 active weeks 0,2; user 3 week 0 only
+      ev(1, 0), ev(1, 1), ev(1, 2),
+      ev(2, 0), ev(2, 2),
+      ev(3, 0),
+      // cohort week 1: user 4 active weeks 1,2
+      ev(4, 1), ev(4, 2)
+    ).toDF("user_id", "ts_ns")
+    val out = graft.operators.Sessionize.retentionCohorts(events)
+      .select("cohort_week", "k", "n_active", "n_cohort", "retention_micro")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(out == Set(
+      (0L, 0L, 3L, 3L, 1000000L),
+      (0L, 1L, 1L, 3L, 333333L),
+      (0L, 2L, 2L, 3L, 666666L),
+      (1L, 0L, 1L, 1L, 1000000L),
+      (1L, 1L, 1L, 1L, 1000000L)))
+  }
+
   test("event funnel: strict ordering, earliest-completion, exact drop-off rates") {
     def ev(u: Long, t: String, us: Long) = (u, t, us * 1000L)
     val events = Seq(
