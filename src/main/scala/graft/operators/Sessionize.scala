@@ -92,13 +92,19 @@ object Sessionize {
         expr("(n_active * 1000000) div n_cohort").as("retention_micro"))
   }
 
-  def funnel(events: DataFrame, stages: Seq[String]): DataFrame = {
+  /** Per-user stage-completion times of [[funnel]]'s greedy chain:
+    * one row per stage-1 user with nullable `t1..tn` micro-epochs.
+    * Shared by the stage-count rollup ([[funnel]]) and the
+    * time-to-convert quantiles ([[funnelTiming]]).
+    */
+  private[graft] def funnelTimes(events: DataFrame,
+      stages: Seq[String]): DataFrame = {
     require(stages.nonEmpty, "funnel needs at least one stage")
     val ev = events.select(col("user_id"), col("event_type"),
       expr("ts_ns div 1000").as("ts_us"))
     val first = ev.filter(col("event_type") === stages.head)
       .groupBy("user_id").agg(min(col("ts_us")).as("t1"))
-    val times = stages.zipWithIndex.drop(1)
+    stages.zipWithIndex.drop(1)
       .foldLeft(first) { case (acc, (st, i)) =>
         val nxt = ev.filter(col("event_type") === st)
           .join(acc.select(col("user_id"), col(s"t$i")), Seq("user_id"))
@@ -106,6 +112,10 @@ object Sessionize {
           .groupBy("user_id").agg(min(col("ts_us")).as(s"t${i + 1}"))
         acc.join(nxt, Seq("user_id"), "left")
       }
+  }
+
+  def funnel(events: DataFrame, stages: Seq[String]): DataFrame = {
+    val times = funnelTimes(events, stages)
     val counts = times.agg(
       sum(when(col("t1").isNotNull, 1L).otherwise(0L)).as("n1"),
       stages.indices.drop(1).map(i =>
@@ -119,5 +129,37 @@ object Sessionize {
         expr(s"($n * 1000000) div n1").as("pct_of_start_micro"),
         expr(s"($n * 1000000) div $prev").as("pct_of_prev_micro"))
     }.reduce(_ unionByName _)
+  }
+
+  /** Time-to-convert quantiles per funnel transition: exact
+    * nearest-rank p25/p50/p75 of tᵢ − tᵢ₋₁ over the users who reached
+    * stage i, one row per (stage, quantile) — the latency companion
+    * to [[funnel]]'s counts, sharing [[funnelTimes]] so both describe
+    * the identical greedy chain. Same nearest-rank construction as
+    * the per-source length quantiles (p43): rank = ⌈cnt·q/100⌉ via a
+    * per-stage ranking window — exact, engine-portable integers. The
+    * window partitions by stage (a handful of partitions holding
+    * converted-user counts); at corpus scale swap in an approximate
+    * sketch if a stage's converters outgrow one partition's sort.
+    */
+  def funnelTiming(events: DataFrame, stages: Seq[String]): DataFrame = {
+    require(stages.length >= 2, "timing needs at least two stages")
+    val times = funnelTimes(events, stages)
+    val deltas = stages.indices.drop(1).map { i =>
+      times.filter(col(s"t${i + 1}").isNotNull)
+        .select(lit((i + 1).toLong).as("stage"),
+          lit(stages(i)).as("event_type"),
+          (col(s"t${i + 1}") - col(s"t$i")).as("delta_us"))
+    }.reduce(_ unionByName _)
+    val part = Window.partitionBy("stage")
+    val ranked = deltas
+      .withColumn("rn", row_number().over(part.orderBy(col("delta_us"))))
+      .withColumn("cnt", count(lit(1)).over(part))
+    val qs = events.sparkSession.range(1)
+      .select(explode(array(lit(25L), lit(50L), lit(75L))).as("q"))
+    ranked.crossJoin(broadcast(qs))
+      .filter(col("rn") ===
+        floor((col("cnt") * col("q") + lit(99)) / lit(100.0)).cast("long"))
+      .select(col("stage"), col("event_type"), col("q"), col("delta_us"))
   }
 }

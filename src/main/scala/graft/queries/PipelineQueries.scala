@@ -1592,6 +1592,15 @@ object PipelineQueries {
       "embedding", centroidFilter = col("vec_id") % 25 === 0,
       factorPct = 130L)
 
+  /** Funnel time-to-convert quantiles (p103): exact nearest-rank
+    * p25/p50/p75 of each stage transition's latency over converted
+    * users, sharing p101's greedy chain
+    * ([[graft.operators.Sessionize.funnelTiming]]).
+    */
+  def p103FunnelTiming(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sessionize.funnelTiming(Tables.events(s, dir),
+      Seq("signup", "view", "click", "purchase"))
+
   /** Weekly retention cohorts (p102): users cohorted by first-event
     * epoch week, exact integer retention at each week offset
     * ([[graft.operators.Sessionize.retentionCohorts]]). The oracle
@@ -1970,6 +1979,7 @@ object PipelineQueries {
     "p100_hashed_neardup" -> p100HashedNearDup _,
     "p101_funnel" -> p101Funnel _,
     "p102_retention" -> p102Retention _,
+    "p103_funnel_timing" -> p103FunnelTiming _,
     "p50_temp_mix" -> p50TempMix _,
     "p51_hard_negatives" -> p51HardNegatives _,
     "p52_ivf_trained" -> p52IvfTrained _,
@@ -3356,6 +3366,38 @@ object PipelineQueries {
         |  CAST(1 + length(text) % 16 AS BIGINT) AS height,
         |  CAST((doc_id % 256) * 65793 AS BIGINT) AS px00
         |FROM documents""".stripMargin,
+    "p103_funnel_timing" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        |t1 AS (SELECT user_id, MIN(ts_us) AS t1 FROM ev
+        |       WHERE event_type = 'signup' GROUP BY 1),
+        |t2 AS (SELECT e.user_id, MIN(ts_us) AS t2 FROM ev e
+        |       JOIN t1 ON e.user_id = t1.user_id
+        |       WHERE event_type = 'view' AND ts_us > t1 GROUP BY 1),
+        |t3 AS (SELECT e.user_id, MIN(ts_us) AS t3 FROM ev e
+        |       JOIN t2 ON e.user_id = t2.user_id
+        |       WHERE event_type = 'click' AND ts_us > t2 GROUP BY 1),
+        |t4 AS (SELECT e.user_id, MIN(ts_us) AS t4 FROM ev e
+        |       JOIN t3 ON e.user_id = t3.user_id
+        |       WHERE event_type = 'purchase' AND ts_us > t3 GROUP BY 1),
+        |dd AS (
+        |  SELECT 2 AS stage, 'view' AS event_type, t2.t2 - t1.t1 AS delta_us
+        |  FROM t2 JOIN t1 ON t2.user_id = t1.user_id
+        |  UNION ALL
+        |  SELECT 3, 'click', t3.t3 - t2.t2
+        |  FROM t3 JOIN t2 ON t3.user_id = t2.user_id
+        |  UNION ALL
+        |  SELECT 4, 'purchase', t4.t4 - t3.t3
+        |  FROM t4 JOIN t3 ON t4.user_id = t3.user_id),
+        |r AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY stage
+        |      ORDER BY delta_us) AS rn,
+        |    COUNT(*) OVER (PARTITION BY stage) AS cnt
+        |  FROM dd)
+        |SELECT CAST(stage AS BIGINT) AS stage, event_type, q, delta_us
+        |FROM r CROSS JOIN
+        |  (SELECT CAST(UNNEST([25, 50, 75]) AS BIGINT) AS q) s
+        |WHERE rn = CAST(FLOOR((cnt * q + 99) / 100.0) AS BIGINT)""".stripMargin,
     "p102_retention" ->
       """WITH uw AS (
         |  SELECT DISTINCT user_id,
