@@ -73,6 +73,9 @@ object Cli {
         |  stream-neardup <dir> <outDir>                 streaming LSH near-dup candidate pairs
         |  stream-neardup-verified <dir> <outDir>        streaming near-dup pairs, exact-Jaccard verified
         |  stream-scrub <dir> <outDir>                   stateless PII scrub as an incremental stream
+        |  stream-conversion <dir> <outDir>              per-user conversion-funnel advances at stream ingest
+        |                                                (event-time stage machine; two drains — the second,
+        |                                                after a sentinel lands, flushes the final horizon)
         |  stream-cardscrub <dir> <outDir>               Luhn-validated card scrub as an incremental stream
         |  stream-normdedup <dir> <outDir>               normalized exact dedup at stream ingest (first-seen
         |                                                doc per CCNet-normalized fingerprint admitted)
@@ -790,6 +793,64 @@ object Cli {
     case "stream-scrub" :: dir :: out :: Nil =>
       runEventStream(spark, dir, out, streaming.StreamingJobs.scrub)
       println(s"""{"stream_scrub":"$out"}""")
+
+    // streaming conversion funnel: per-user event-time stage machine
+    // (flatMapGroupsWithState). TWO drains against one checkpoint:
+    // the first processes the real events (advances stay buffered
+    // until the watermark passes them — only the trailing no-data
+    // batch's watermark is available), then a far-future sentinel
+    // event lands in the staging dir and the second drain resumes
+    // from the checkpoint, moving the watermark past every real
+    // event so the remaining advances flush.
+    case "stream-conversion" :: dir :: out :: Nil =>
+      import org.apache.spark.sql.{Encoders, Row}
+      import scala.jdk.CollectionConverters._
+      val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
+      val stage = java.nio.file.Paths.get(out, "_ingest")
+      java.nio.file.Files.createDirectories(stage)
+      if (!java.nio.file.Files.exists(stage.resolve("events.parquet")))
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$dir/events.parquet"),
+          stage.resolve("events.parquet"))
+      def drain(): Unit = {
+        val stream = Tables.normalizeEventTs(
+          spark.readStream.schema(rawSchema).parquet(stage.toString))
+        val fe = stream.select(col("user_id"), col("event_type"), col("ts"))
+          .as(Encoders.product[streaming.StreamingJobs.FunnelEvent])
+        drainDocJob(streaming.StreamingJobs.funnelProgress(fe,
+          Seq("signup", "view", "click", "purchase"),
+          watermarkDelay = "0 seconds").toDF, out)
+      }
+      drain()
+      val sentinel = stage.resolve("zz_sentinel.parquet")
+      if (!java.nio.file.Files.exists(sentinel)) {
+        val maxNs = Tables.events(spark, dir)
+          .agg(max(col("ts_ns"))).head.getLong(0)
+        val vals = rawSchema.fields.map { f =>
+          (f.name, f.dataType.typeName) match {
+            case ("event_id", _) => -1L
+            case ("user_id", _) => -1L
+            case ("ts", "long") => maxNs + 3600L * 1000000000L
+            case ("ts", "timestamp_ntz") =>
+              java.time.LocalDateTime.ofEpochSecond(
+                maxNs / 1000000000L + 3600L, 0, java.time.ZoneOffset.UTC)
+            case ("ts", _) => new java.sql.Timestamp(
+              maxNs / 1000000L + 3600L * 1000L)
+            case ("event_type", _) => "__sentinel"
+            case ("value", _) => 0.0
+            case _ => null
+          }
+        }
+        val tmp = java.nio.file.Paths.get(out, "_sentinel_tmp")
+        spark.createDataFrame(
+            java.util.Arrays.asList(Row.fromSeq(vals.toSeq)), rawSchema)
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = java.nio.file.Files.list(tmp).iterator().asScala
+          .find(_.getFileName.toString.endsWith(".parquet")).get
+        java.nio.file.Files.move(part, sentinel)
+      }
+      drain()
+      println(s"""{"stream_conversion":"$out"}""")
 
     // stateless Luhn-validated card scrub at ingest — the batch p95
     // projection applied per micro-batch

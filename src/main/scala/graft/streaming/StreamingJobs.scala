@@ -452,6 +452,73 @@ object StreamingJobs {
       }
   }
 
+  case class FunnelEvent(user_id: Long, event_type: String,
+      ts: java.sql.Timestamp)
+  case class FunnelBufState(stage: Int, tPrev: Long,
+      buf: List[(Long, String)])
+  case class FunnelAdvance(user_id: Long, stage: Long, event_type: String,
+      ts_us: Long, delta_us: Long)
+
+  /** Streaming conversion funnel — the incremental twin of
+    * [[graft.operators.Sessionize.funnel]]'s greedy chain, emitting
+    * one [[FunnelAdvance]] row the moment a user's stage advance
+    * becomes WATERMARK-FINAL. Event-time correct under out-of-order
+    * arrival: per user the state buffers events still inside the
+    * watermark horizon and runs the stage machine only over the
+    * ≤-watermark prefix in (ts, type) order — exactly the batch
+    * semantics, because "earliest stage-i event after tᵢ₋₁" is final
+    * once no earlier event can arrive. Stage-1 advances carry
+    * delta_us = 0; later stages the transition latency.
+    *
+    * State bounds: the buffer holds one user's events inside the
+    * watermark horizon; a timeout at the buffered maximum flushes
+    * users who go quiet, and a fully-converted user with an empty
+    * buffer drops their state entirely. Events at or before the
+    * watermark on arrival are dropped as late (the watermark
+    * contract). As with the other event-time jobs, advances in the
+    * final still-open horizon emit only once later data (or a
+    * sentinel) moves the watermark past them.
+    */
+  def funnelProgress(events: Dataset[FunnelEvent], stages: Seq[String],
+      watermarkDelay: String = "1 hour"): Dataset[FunnelAdvance] = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    import events.sparkSession.implicits._
+    def tsUs(t: java.sql.Timestamp): Long =
+      t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelBufState, FunnelAdvance](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, rows: Iterator[FunnelEvent],
+            state: GroupState[FunnelBufState]) =>
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val st0 = state.getOption.getOrElse(FunnelBufState(0, -1L, Nil))
+          val buf = st0.buf ++
+            rows.map(e => (tsUs(e.ts), e.event_type)).filter(_._1 > wmUs)
+          val (ready, pending) = buf.partition(_._1 <= wmUs)
+          var stage = st0.stage
+          var tPrev = st0.tPrev
+          val out = List.newBuilder[FunnelAdvance]
+          ready.sorted.foreach { case (t, ty) =>
+            if (stage < stages.length && ty == stages(stage) &&
+                (stage == 0 || t > tPrev)) {
+              val delta = if (stage == 0) 0L else t - tPrev
+              stage += 1
+              tPrev = t
+              out += FunnelAdvance(uid, stage.toLong, ty, t, delta)
+            }
+          }
+          if (pending.isEmpty && stage >= stages.length) state.remove()
+          else {
+            state.update(FunnelBufState(stage, tPrev, pending))
+            if (pending.nonEmpty)
+              state.setTimeoutTimestamp(pending.map(_._1).max / 1000L + 1)
+          }
+          out.result().iterator
+      }
+  }
+
   case class AsOfEvent(user_id: Long, event_id: Long, side: String,
       ts: java.sql.Timestamp)
   case class AsOfState(lefts: List[(Long, Long)], rights: List[(Long, Long)])

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.functions.{col, explode, md5, substring,
+import org.apache.spark.sql.functions.{col, explode, lit, md5, substring,
   timestamp_micros, unix_micros, window}
 
 class CliSpec extends SparkSpec {
@@ -327,6 +327,28 @@ class CliSpec extends SparkSpec {
     assert(skn.exceptAll(batchKn).count() == 0 &&
       batchKn.exceptAll(skn).count() == 0)
     assert(skn.count() > 0)
+
+    // stream-funnel: the two-drain sentinel cycle flushes every real
+    // advance; stage times equal the batch greedy chain's
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$out/sfnl"))
+    Cli.run(spark, List("stream-conversion", sf0001, s"$out/sfnl"))
+    val sfnl = spark.read.parquet(s"$out/sfnl")
+      .filter(col("user_id") >= 0)  // sentinel user never advances
+      .select("user_id", "stage", "event_type", "ts_us", "delta_us")
+    val bt = graft.operators.Sessionize.funnelTimes(
+      graft.core.Tables.events(spark, sf0001),
+      Seq("signup", "view", "click", "purchase"))
+    val stagesB = Seq("signup", "view", "click", "purchase")
+    val batchAdv = stagesB.indices.map { i =>
+      val t = s"t${i + 1}"
+      bt.filter(col(t).isNotNull)
+        .select(col("user_id"), lit((i + 1).toLong).as("stage"),
+          lit(stagesB(i)).as("event_type"), col(t).as("ts_us"),
+          (if (i == 0) lit(0L) else col(t) - col(s"t$i")).as("delta_us"))
+    }.reduce(_ unionByName _)
+    assert(sfnl.exceptAll(batchAdv).count() == 0 &&
+      batchAdv.exceptAll(sfnl).count() == 0)
+    assert(sfnl.count() > 0)
 
     // stream-cardscrub: stateless Luhn scrub, equal to the batch p95
     // projection over the same synthesized lines

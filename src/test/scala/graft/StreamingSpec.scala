@@ -90,6 +90,71 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming funnel emits watermark-final advances equal to the batch greedy chain") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamingJobs.FunnelEvent]
+    val out = StreamingJobs.funnelProgress(mem.toDS(),
+      Seq("view", "click", "purchase"), watermarkDelay = "0 seconds")
+    val q = out.writeStream.format("memory").queryName("funnel_s")
+      .outputMode("append").start()
+    try {
+      def fe(u: Long, ty: String, sec: Long) =
+        StreamingJobs.FunnelEvent(u, ty, new Timestamp(sec * 1000L))
+      // same shape as the batch spec fixture — arrival order scrambled
+      // inside the batch to prove the buffer re-sorts by event time
+      mem.addData(
+        fe(5, "click", 12), fe(1, "purchase", 30), fe(2, "view", 10),
+        fe(1, "view", 10), fe(2, "purchase", 15), fe(1, "click", 20),
+        fe(3, "view", 10), fe(4, "click", 5), fe(4, "purchase", 6),
+        fe(5, "view", 10), fe(5, "view", 50), fe(5, "purchase", 60),
+        fe(2, "click", 20))
+      q.processAllAvailable()
+      // the trailing no-data batch advances the watermark to 60s and
+      // flushes users whose buffers are final; user 5 (who holds the
+      // 60s maximum) stays buffered — its timeout sits 1ms past the
+      // watermark, so nothing of user 5 is emitted yet
+      val early = spark.table("funnel_s")
+        .as[StreamingJobs.FunnelAdvance].collect()
+      assert(!early.exists(_.user_id == 5L) && early.length == 6)
+      // a later unrelated event moves the watermark past 60s -> the
+      // rest of the fixture becomes final and flushes
+      mem.addData(fe(99, "view", 100000))
+      q.processAllAvailable()
+      mem.addData(fe(99, "click", 200000))
+      q.processAllAvailable()
+      val got = spark.table("funnel_s")
+        .as[StreamingJobs.FunnelAdvance].collect().toSet
+      def us(sec: Long) = sec * 1000000L
+      val expected = Set(
+        StreamingJobs.FunnelAdvance(1L, 1L, "view", us(10), 0L),
+        StreamingJobs.FunnelAdvance(1L, 2L, "click", us(20), us(10)),
+        StreamingJobs.FunnelAdvance(1L, 3L, "purchase", us(30), us(10)),
+        StreamingJobs.FunnelAdvance(2L, 1L, "view", us(10), 0L),
+        StreamingJobs.FunnelAdvance(2L, 2L, "click", us(20), us(10)),
+        StreamingJobs.FunnelAdvance(3L, 1L, "view", us(10), 0L),
+        StreamingJobs.FunnelAdvance(5L, 1L, "view", us(10), 0L),
+        StreamingJobs.FunnelAdvance(5L, 2L, "click", us(12), us(2)),
+        StreamingJobs.FunnelAdvance(5L, 3L, "purchase", us(60), us(48)),
+        StreamingJobs.FunnelAdvance(99L, 1L, "view", us(100000), 0L))
+      assert(got == expected)
+      // and the per-stage reach counts equal the batch funnel's over
+      // the same users (user 99 excluded — still inside the horizon)
+      val batch = graft.operators.Sessionize.funnel(
+        Seq((5L, "click", 12L), (1L, "purchase", 30L), (2L, "view", 10L),
+          (1L, "view", 10L), (2L, "purchase", 15L), (1L, "click", 20L),
+          (3L, "view", 10L), (4L, "click", 5L), (4L, "purchase", 6L),
+          (5L, "view", 10L), (5L, "view", 50L), (5L, "purchase", 60L),
+          (2L, "click", 20L))
+          .map { case (u, ty, sec) => (u, ty, sec * 1000000000L) }
+          .toDF("user_id", "event_type", "ts_ns"),
+        Seq("view", "click", "purchase"))
+        .select("stage", "n_users").as[(Long, Long)].collect().toMap
+      val streamedCounts = got.filter(_.user_id != 99L)
+        .groupBy(_.stage).view.mapValues(_.size.toLong).toMap
+      assert(streamedCounts == batch.filter(_._2 > 0))
+    } finally q.stop()
+  }
+
   test("streaming sessionize emits closed sessions across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[StreamingJobs.Event]
