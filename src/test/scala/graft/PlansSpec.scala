@@ -204,6 +204,65 @@ class PlansSpec extends SparkSpec {
     assert(!p.contains("md5"), p)
   }
 
+  test("multi-probe LSH stays an equi-join, probe list codegen-only (p93)") {
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    // the probe-bucket expression must be constant-folded like the
+    // base bucket: no md5/conv at row time
+    val expr = org.apache.spark.sql.graftbridge.ColumnBridge
+      .expression(graft.pipeline.Similarity
+        .lshProbeBuckets(col("embedding"), 64, 4, 2)).toString
+    assert(!expr.contains("md5") && !expr.contains("conv"), expr)
+    val p = plan(graft.pipeline.Similarity.lshMultiProbeTopK(emb,
+      emb.filter(col("vec_id") < 20), "vec_id", "embedding", 64, 4, 2, 3))
+    // candidate generation is the bucket equi-join — no nested loop,
+    // and no dedup exchange (probe buckets are pairwise distinct)
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p)
+    assert(!p.contains("Deduplicate") && !p.contains("Distinct"), p)
+  }
+
+  test("DSIR: llr broadcast onto features, Gumbel top-k is TakeOrdered (p90)") {
+    import org.apache.spark.sql.functions.{col, explode}
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val labels = graft.pipeline.Curation.funnelLabels(docs, "doc_id",
+      "text", profile = graft.pipeline.Curation.GateProfile.wordSalad)
+    val feats = labels.select(col("doc_id"), col("cls"),
+      explode(graft.pipeline.Curation.dsirBuckets(col("text"), 512))
+        .as("bucket"))
+    val p = plan(graft.pipeline.Curation.dsirPlan(feats, "doc_id",
+      buckets = 512, k = 100))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("IVF split execution broadcasts seeds; explode only after the seed join (p96)") {
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val p = plan(graft.pipeline.Similarity.ivfSplitExecute(emb, "vec_id",
+      "embedding", centroidFilter = col("vec_id") % 25 === 0,
+      factorPct = 130L))
+    // the oversized-seed table joins broadcast (the only nested-loop
+    // joins are the house single-row total crossJoins); members of
+    // healthy cells drop in the seed hash-join BEFORE the explode
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    val gen = p.indexOf("Generate")
+    val bhj = p.indexOf("BroadcastHashJoin")
+    assert(gen >= 0 && bhj >= 0 && gen < bhj, p)
+  }
+
+  test("card scrub and ccnet normalization are zero-exchange projections (p95, p91 map side)") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val p = plan(graft.pipeline.Curation.cardScrub(docs, "doc_id", "text"))
+    assert(!p.contains("Exchange"), p)
+    val p2 = plan(docs.select(graft.pipeline.TextFunctions
+      .ccnetNormalize(col("text"))))
+    assert(!p2.contains("Exchange"), p2)
+  }
+
   test("ngram-Jaccard inverted index joins on 8-byte hash keys (p04)") {
     val docs = graft.pipeline.Dedup.shingled(
       spark.read.parquet(s"$sf0001/documents.parquet"), "doc_id", "text", k = 4)
