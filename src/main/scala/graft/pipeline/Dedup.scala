@@ -165,6 +165,67 @@ object Dedup {
     verifyJaccard(cand, docs, threshold)
   }
 
+  /** b-bit minhash Jaccard estimation (Li & König 2010, "b-Bit
+    * Minwise Hashing"): keep only the lowest `b` bits of each minhash
+    * value — a 2^b-fold storage cut per hash — and estimate Jaccard
+    * from the fraction of matching truncated values, corrected for
+    * the 1/2^b random-collision floor:
+    * Ĵ = (m·2^b − n) / (n·(2^b − 1)), clamped at 0. Candidates come
+    * from the SAME full-width banding as [[minhashPairs]] (banding is
+    * index-side; truncation is what rides the wire/storage), and
+    * every emitted pair carries the estimate NEXT TO the exact
+    * verified Jaccard plus the absolute error — the calibration
+    * report a pipeline consults before committing to compressed
+    * sketches. All integer arithmetic after the match count; the
+    * estimator floor is exact `div`.
+    */
+  def bbitMinhashEstimate(df: DataFrame, idCol: String, textCol: String,
+      k: Int, numHashes: Int, bands: Int, b: Int,
+      threshold: Double): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    require(b >= 1 && b <= 16, "b must be in [1, 16]")
+    val docs = minhashDocs(df, idCol, textCol, k, numHashes)
+    Caching.withCached(docs)(
+      bbitPlan(docs, numHashes, bands, numHashes / bands, b, threshold))
+  }
+
+  /** Lazy plan of [[bbitMinhashEstimate]] over a prepared
+    * (doc, sh, sig) frame (split out for plan tests / Bench).
+    */
+  private[graft] def bbitPlan(docs: DataFrame, numHashes: Int, bands: Int,
+      rows: Int, b: Int, threshold: Double): DataFrame = {
+    val bandRows = docs.select(
+      col("doc"),
+      explode(bandKeyArray(col("sig"), bands, rows)).as("key"))
+    val l = bandRows.alias("a")
+    val r = bandRows.alias("b")
+    val cand = l.join(r,
+        col("a.key") === col("b.key") && col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+      .distinct()
+    val mod = 1L << b
+    val sa = docs.select(col("doc").as("doc_a"), col("sig").as("sig_a"),
+      col("sh").as("sh_a"))
+    val sb = docs.select(col("doc").as("doc_b"), col("sig").as("sig_b"),
+      col("sh").as("sh_b"))
+    cand.join(sa, "doc_a").join(sb, "doc_b")
+      .withColumn("n_match",
+        aggregate(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => when(pmod(x, lit(mod)) === pmod(y, lit(mod)), 1L)
+            .otherwise(0L)), lit(0L), (acc, v) => acc + v))
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .withColumn("est_micro", expr(
+        s"(greatest(n_match * $mod - $numHashes, 0) * 1000000)" +
+          s" div (${numHashes.toLong * (mod - 1)})"))
+      .withColumn("exact_micro", floor(col("jaccard") * 1e6).cast("long"))
+      .select(col("doc_a"), col("doc_b"), col("n_match"),
+        col("est_micro"), col("exact_micro"),
+        abs(col("est_micro") - col("exact_micro")).as("abs_err_micro"))
+  }
+
   /** Hashed-shingle inverted index (doc, h): explode each doc's
     * distinct shingles into postings keyed by the 60-bit shingle hash
     * (an 8-byte shuffle key), optionally dropping postings whose key

@@ -1619,6 +1619,18 @@ object PipelineQueries {
     graft.operators.Sessionize.funnel(Tables.events(s, dir),
       Seq("signup", "view", "click", "purchase"))
 
+  /** b-bit minhash calibration (p104): p02's index and verify, but
+    * each pair also carries the Jaccard ESTIMATE from 2-bit truncated
+    * minhashes and its absolute error vs the exact value
+    * ([[Dedup.bbitMinhashEstimate]]) — 30× sketch compression audited
+    * in place. The oracle replays the signatures, the banded
+    * candidates, the truncated match count, and the collision-floor
+    * correction.
+    */
+  def p104BbitMinhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.bbitMinhashEstimate(t(s, dir, "documents"), "doc_id", "text",
+      k = 3, numHashes = 12, bands = 6, b = 2, threshold = 0.5)
+
   /** Embedding-free near-dup (p100): feature-hashed 128-dim document
     * vectors over word 3-SHINGLES ([[Similarity.hashedDocVectors]] —
     * exact integer signed counts; unigram features would be useless
@@ -1980,6 +1992,7 @@ object PipelineQueries {
     "p101_funnel" -> p101Funnel _,
     "p102_retention" -> p102Retention _,
     "p103_funnel_timing" -> p103FunnelTiming _,
+    "p104_bbit_minhash" -> p104BbitMinhash _,
     "p50_temp_mix" -> p50TempMix _,
     "p51_hard_negatives" -> p51HardNegatives _,
     "p52_ivf_trained" -> p52IvfTrained _,
@@ -3800,6 +3813,45 @@ object PipelineQueries {
          |  SELECT vec_id, ${oRotate("embedding", "q97")} AS embedding
          |  FROM embeddings),
          |""".stripMargin, "rotemb"),
+    "p104_bbit_minhash" -> {
+      val P = 2147483647L
+      val sigs = TF.minhashSeeds(12).map { case (a, bb) =>
+        s"COALESCE(list_min(list_transform(bh, h -> ($a * h + $bb) % $P)), $P)"
+      }.mkString(",\n         |      ").stripMargin
+      val bandEq = (0 until 6).map { bd =>
+        val lo = bd * 2 + 1
+        val hi = bd * 2 + 2
+        s"a.sig[$lo:$hi] = b.sig[$lo:$hi]"
+      }.mkString("\n         |     OR ").stripMargin
+      s"""WITH t AS (SELECT doc_id, $oToks AS toks FROM documents),
+         |shs AS (SELECT doc_id, ${oShingles(3)} AS sh FROM t),
+         |hh AS (SELECT doc_id, sh,
+         |  list_transform(sh, s -> ${oHash("s")} % $P) AS bh FROM shs),
+         |sg AS (SELECT doc_id, sh, [
+         |      $sigs] AS sig FROM hh),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM sg a JOIN sg b ON a.doc_id < b.doc_id
+         |  WHERE $bandEq),
+         |m AS (
+         |  SELECT c.doc_a, c.doc_b, a.sh AS sh_a, b.sh AS sh_b,
+         |    CAST(list_sum(list_transform(generate_series(1, 12),
+         |      i -> CASE WHEN a.sig[i] % 4 = b.sig[i] % 4
+         |           THEN 1 ELSE 0 END)) AS BIGINT) AS n_match
+         |  FROM cand c
+         |  JOIN sg a ON a.doc_id = c.doc_a
+         |  JOIN sg b ON b.doc_id = c.doc_b),
+         |j AS (
+         |  SELECT *, len(list_intersect(sh_a, sh_b))
+         |    / CAST(len(list_distinct(list_concat(sh_a, sh_b))) AS DOUBLE)
+         |    AS jac FROM m)
+         |SELECT doc_a, doc_b, n_match,
+         |  (GREATEST(n_match * 4 - 12, 0) * 1000000) // 36 AS est_micro,
+         |  CAST(FLOOR(jac * 1e6) AS BIGINT) AS exact_micro,
+         |  ABS((GREATEST(n_match * 4 - 12, 0) * 1000000) // 36
+         |    - CAST(FLOOR(jac * 1e6) AS BIGINT)) AS abs_err_micro
+         |FROM j WHERE jac >= 0.5""".stripMargin
+    },
     "p100_hashed_neardup" -> {
       def c128(a: String, b: String): String =
         s"""(list_sum(list_transform(generate_series(1, 128), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))

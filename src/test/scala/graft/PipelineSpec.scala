@@ -247,6 +247,33 @@ class PipelineSpec extends SparkSpec {
     assert(b(0) + b(2) == 15L) // complementary 4-bit buckets
   }
 
+  test("b-bit minhash: exact copies estimate 1.0, estimator follows the collision-floor formula") {
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = Seq(
+      (1L, base), (2L, base),                     // identical
+      (3L, base + " with a small tail change"),   // near-dup
+      (4L, "completely different words in every single position here")
+    ).toDF("doc_id", "text")
+    val out = Dedup.bbitMinhashEstimate(docs, "doc_id", "text",
+        k = 3, numHashes = 12, bands = 6, b = 2, threshold = 0.3)
+      .select("doc_a", "doc_b", "n_match", "est_micro", "exact_micro",
+        "abs_err_micro")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    val byPair = out.map(r => (r._1, r._2) -> r).toMap
+    // identical docs: all truncated values match, estimate saturates
+    val id = byPair((1L, 2L))
+    assert(id._3 == 12L && id._4 == 1000000L && id._5 == 1000000L &&
+      id._6 == 0L)
+    // every row obeys the closed-form estimator and error definition
+    out.foreach { r =>
+      assert(r._4 == math.max(r._3 * 4 - 12, 0) * 1000000L / 36L)
+      assert(r._6 == math.abs(r._4 - r._5))
+    }
+    // the near-dup pair surfaces; the disjoint doc never pairs
+    assert(byPair.contains((1L, 3L)) || byPair.contains((2L, 3L)))
+    assert(!out.exists(r => r._1 == 4L || r._2 == 4L))
+  }
+
   test("retention cohorts: first-week cohorting, churn visible, k=0 always full") {
     val WK = 604800000000L
     def ev(u: Long, week: Long) = (u, week * WK * 1000L + u) // ns, unique
