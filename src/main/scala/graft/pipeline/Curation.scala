@@ -317,6 +317,39 @@ object Curation {
         (col("end_tok") - col("start_tok") + 1).cast("long").as("span_tokens"))
   }
 
+  /** Per-document memorization-risk score — the doc-level summary of
+    * the [[exactSubstringSpans]] machinery: the fraction of a
+    * document's L-token windows that occur at least twice
+    * corpus-wide (Lee et al. 2022's analysis axis — high duplicated-
+    * window mass predicts verbatim memorization, so this is the
+    * column a curation pipeline thresholds or reports before
+    * training). One row per document, including documents too short
+    * to have any window (zero windows, zero risk).
+    *
+    * Shape: gram hashing is zero-exchange; the duplicated-window
+    * count is one 8-byte-key aggregation joined back on the same
+    * key; the per-doc rollup partial-aggregates. Token arrays never
+    * shuffle.
+    */
+  def memorizationRisk(df: DataFrame, idCol: String, textCol: String,
+      L: Int): DataFrame = {
+    require(L >= 2, "L must be at least 2")
+    val grams = df.select(col(idCol).as("doc"),
+      posexplode(gramHashes(textCol, L)).as(Seq("gpos", "gh")))
+    val occ = grams.groupBy("gh").agg(count(lit(1)).as("occ"))
+    val per = grams.join(occ, "gh")
+      .groupBy("doc")
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("occ") >= 2, 1L).otherwise(0L)).as("n_dup_windows"))
+    df.select(col(idCol).as("doc"))
+      .join(per, Seq("doc"), "left")
+      .select(col("doc").as(idCol),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        coalesce(expr("(n_dup_windows * 1000000) div n_windows"), lit(0L))
+          .as("dup_frac_micro"))
+  }
+
   /** Removal twin of [[exactSubstringSpans]] with reconstruction
     * certification (the [[segmentScrub]] contract): drop every token
     * inside a duplicated span — all copies go, the paper's stricter

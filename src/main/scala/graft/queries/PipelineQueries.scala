@@ -1619,6 +1619,16 @@ object PipelineQueries {
     graft.operators.Sessionize.funnel(Tables.events(s, dir),
       Seq("signup", "view", "click", "purchase"))
 
+  /** Memorization risk per document (p105): duplicated-8-gram-window
+    * fraction corpus-wide ([[Curation.memorizationRisk]]) — the
+    * doc-level report over p78's gram machinery. The oracle replays
+    * gram hashing, the corpus-wide occurrence counts, and the exact
+    * fraction.
+    */
+  def p105MemorizationRisk(s: SparkSession, dir: String): DataFrame =
+    Curation.memorizationRisk(t(s, dir, "documents"), "doc_id", "text",
+      L = 8)
+
   /** b-bit minhash calibration (p104): p02's index and verify, but
     * each pair also carries the Jaccard ESTIMATE from 2-bit truncated
     * minhashes and its absolute error vs the exact value
@@ -1993,6 +2003,7 @@ object PipelineQueries {
     "p102_retention" -> p102Retention _,
     "p103_funnel_timing" -> p103FunnelTiming _,
     "p104_bbit_minhash" -> p104BbitMinhash _,
+    "p105_memorization_risk" -> p105MemorizationRisk _,
     "p50_temp_mix" -> p50TempMix _,
     "p51_hard_negatives" -> p51HardNegatives _,
     "p52_ivf_trained" -> p52IvfTrained _,
@@ -3813,6 +3824,27 @@ object PipelineQueries {
          |  SELECT vec_id, ${oRotate("embedding", "q97")} AS embedding
          |  FROM embeddings),
          |""".stripMargin, "rotemb"),
+    "p105_memorization_risk" ->
+      s"""WITH t AS (SELECT doc_id, $oToks AS tk FROM documents),
+         |g0 AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(tk) < 8 THEN CAST([] AS BIGINT[])
+         |    ELSE list_transform(generate_series(1, len(tk) - 7),
+         |      i -> ${oHash("array_to_string(tk[i:i+7], ' ')")})
+         |    END AS gs
+         |  FROM t),
+         |g AS (SELECT doc_id, unnest(gs) AS gh FROM g0),
+         |occ AS (SELECT gh, COUNT(*) AS occ FROM g GROUP BY gh),
+         |per AS (
+         |  SELECT g.doc_id, COUNT(*) AS n_windows,
+         |    SUM(CASE WHEN occ.occ >= 2 THEN 1 ELSE 0 END) AS n_dup
+         |  FROM g JOIN occ ON g.gh = occ.gh GROUP BY g.doc_id)
+         |SELECT d.doc_id,
+         |  CAST(COALESCE(per.n_windows, 0) AS BIGINT) AS n_windows,
+         |  CAST(COALESCE(per.n_dup, 0) AS BIGINT) AS n_dup_windows,
+         |  CAST(COALESCE((per.n_dup * 1000000) // per.n_windows, 0)
+         |    AS BIGINT) AS dup_frac_micro
+         |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id""".stripMargin,
     "p104_bbit_minhash" -> {
       val P = 2147483647L
       val sigs = TF.minhashSeeds(12).map { case (a, bb) =>

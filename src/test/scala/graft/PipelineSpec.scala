@@ -247,6 +247,29 @@ class PipelineSpec extends SparkSpec {
     assert(b(0) + b(2) == 15L) // complementary 4-bit buckets
   }
 
+  test("memorization risk: duplicated-window fraction, short docs zero, self-repeats count") {
+    val eight = "a b c d e f g h"              // exactly one 8-gram window
+    val docs = Seq(
+      (1L, eight),                             // duplicated in doc 2
+      (2L, eight + " x y z"),                  // windows 1..4, first is the dup
+      (3L, "p q r s t u v w"),                 // unique window
+      (4L, "too short"),                       // no window at all
+      (5L, eight + " " + eight)                // self-repeat: window 0 == window 9
+    ).toDF("doc_id", "text")
+    val out = Curation.memorizationRisk(docs, "doc_id", "text", L = 8)
+      .select("doc_id", "n_windows", "n_dup_windows", "dup_frac_micro")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 1L, 1L, 1000000L)))
+    assert(out(2L)._2 == 4L && out(2L)._3 == 1L &&
+      out(2L)._4 == 250000L)
+    assert(out(3L) == ((3L, 1L, 0L, 0L)))
+    assert(out(4L) == ((4L, 0L, 0L, 0L)))
+    // doc 5: 9 windows; window 0 and window 8 are the same 8-gram
+    // (occurs 2x in doc 5 alone + docs 1/2 -> >=2 corpus-wide); the
+    // straddling windows 1..7 are unique
+    assert(out(5L)._2 == 9L && out(5L)._3 == 2L)
+  }
+
   test("b-bit minhash: exact copies estimate 1.0, estimator follows the collision-floor formula") {
     val base = "the quick brown fox jumps over the lazy dog again and again"
     val docs = Seq(
