@@ -77,6 +77,8 @@ object Cli {
         |                                                (event-time stage machine; two drains — the second,
         |                                                after a sentinel lands, flushes the final horizon)
         |  stream-cardscrub <dir> <outDir>               Luhn-validated card scrub as an incremental stream
+        |  stream-text-neardup <dir> <outDir>            embedding-free text near-dup at stream ingest (per-row
+        |                                                feature-hash vectors vs the corpus cell index)
         |  stream-normdedup <dir> <outDir>               normalized exact dedup at stream ingest (first-seen
         |                                                doc per CCNet-normalized fingerprint admitted)
         |  stream-quality <dir> <outDir>                 Gopher quality gates applied at stream ingest
@@ -857,6 +859,15 @@ object Cli {
     case "stream-cardscrub" :: dir :: out :: Nil =>
       runEventStream(spark, dir, out, streaming.StreamingJobs.cardScrub)
       println(s"""{"stream_cardscrub":"$out"}""")
+
+    // embedding-free text near-dup at ingest: per-row feature-hash
+    // vectors probed against the persisted hashed-vector corpus index
+    case "stream-text-neardup" :: dir :: out :: Nil =>
+      val stream = stagedDocStream(spark, dir, out)
+      val snapshot = Tables.read(spark, dir, "documents")
+      drainDocJob(streaming.StreamingJobs.textNearDup(stream,
+        snapshot, nprobe = 3, thresholdMicro = 500000L), out)
+      println(s"""{"stream_text_neardup":"$out"}""")
 
     // normalized exact dedup at ingest: first-seen doc per
     // CCNet-normalized fingerprint admitted, later variants dropped

@@ -397,6 +397,32 @@ object Similarity {
           .as("embedding"))
   }
 
+  /** Per-ROW variant of [[hashedDocVectors]] for streaming ingest:
+    * the same signed feature-hash vector built entirely inside one
+    * row — no groupBy, no state — so a document's embedding exists
+    * the moment it arrives. Two chained projections: the first
+    * materializes each feature's (bucket, sign) once (two md5 per
+    * feature, not per feature×dimension), the second folds them into
+    * the `dim`-wide integer sums. Bit-identical to the batch
+    * aggregation (exact integer sums are order-free), so stream-side
+    * vectors join corpus-side batch vectors with no drift.
+    */
+  def withHashedDocVector(df: DataFrame, feats: Column, dim: Int,
+      out: String = "embedding"): DataFrame = {
+    val TF = graft.pipeline.TextFunctions
+    val bs = transform(filter(feats, f => length(f) > 0), f =>
+      struct((TF.hash60(f) % dim).as("b"),
+        when(TF.hash60(concat(lit("fs"), f)) % 2 === 0, 1L)
+          .otherwise(-1L).as("s")))
+    df.withColumn("__bs", bs)
+      .withColumn(out,
+        transform(sequence(lit(0), lit(dim - 1)), j =>
+          aggregate(col("__bs"), lit(0L), (acc, x) =>
+            acc + when(x.getField("b") === j, x.getField("s"))
+              .otherwise(0L)).cast("float")))
+      .drop("__bs")
+  }
+
   /** Deterministic signed permutation of 1..dim — the cheapest
     * orthogonal transform: `perm` is the argsort of md5-derived keys
     * (index tiebreak), `signs` ±1 per output slot. Shared by

@@ -1629,6 +1629,24 @@ object PipelineQueries {
     Curation.memorizationRisk(t(s, dir, "documents"), "doc_id", "text",
       L = 8)
 
+  /** Embedding-free near-dup at scale (p106): the IVF probe path
+    * over p100's derived vectors — every 10th document plays the
+    * incoming batch, probes 3 of the hashed-vector corpus cells, and
+    * emits corpus neighbors at cosine ≥ 0.5. The full text→vector→
+    * cell-bounded-pair chain with no embedding model and no
+    * all-pairs scan; the streaming twin runs the identical plan per
+    * micro-batch with per-ROW vector construction.
+    */
+  def p106TextNearDup(s: SparkSession, dir: String): DataFrame = {
+    val TFx = graft.pipeline.TextFunctions
+    val vecs = Similarity.hashedDocVectors(t(s, dir, "documents"),
+        "doc_id", TFx.shingles(TFx.tokens(col("text")), 3), dim = 128)
+      .filter(Similarity.l2norm(col("embedding")) > 0)
+    Similarity.ivfProbePairs(vecs.filter(col("doc_id") % 10 === 7), vecs,
+      "doc_id", "embedding", centroidFilter = col("doc_id") % 25 === 0,
+      nprobe = 3, thresholdMicro = 500000L)
+  }
+
   /** b-bit minhash calibration (p104): p02's index and verify, but
     * each pair also carries the Jaccard ESTIMATE from 2-bit truncated
     * minhashes and its absolute error vs the exact value
@@ -2004,6 +2022,7 @@ object PipelineQueries {
     "p103_funnel_timing" -> p103FunnelTiming _,
     "p104_bbit_minhash" -> p104BbitMinhash _,
     "p105_memorization_risk" -> p105MemorizationRisk _,
+    "p106_text_neardup" -> p106TextNearDup _,
     "p50_temp_mix" -> p50TempMix _,
     "p51_hard_negatives" -> p51HardNegatives _,
     "p52_ivf_trained" -> p52IvfTrained _,
@@ -2449,6 +2468,44 @@ object PipelineQueries {
   /** DuckDB hyperplane-LSH bucket, same hash-derived weights as
     * [[Similarity.lshBucket]] (4 planes over 64 dims).
     */
+  /** DuckDB rendering of cosine over `dim`-wide float lists —
+    * index-order double accumulation like the codegen kernels.
+    */
+  private def oCosN(a: String, b: String, dim: Int): String =
+    s"""(list_sum(list_transform(generate_series(1, $dim), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))
+       | / (sqrt(list_sum(list_transform(generate_series(1, $dim), i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE))))
+       |    * sqrt(list_sum(list_transform(generate_series(1, $dim), i -> CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))))))""".stripMargin
+
+  /** The feature-hashed doc-vector replay shared by p100 and p106:
+    * word 3-shingle features, signed hashing into 128 buckets, the
+    * map pivot to a dense vector, ending at `nz(doc_id, embedding)`
+    * with zero-norm docs excluded. Mirrors
+    * [[Similarity.hashedDocVectors]].
+    */
+  private def oHashedVecCtes(): String =
+    s"""WITH t AS (SELECT doc_id, $oToks AS toks FROM documents),
+       |occ AS (
+       |  SELECT doc_id, unnest(${oShingles(3)}) AS tok FROM t),
+       |bk AS (
+       |  SELECT doc_id, ${oHash("tok")} % 128 AS bucket,
+       |    CASE WHEN ${oHash("'fs' || tok")} % 2 = 0 THEN 1 ELSE -1 END
+       |      AS sgn
+       |  FROM occ WHERE length(tok) > 0),
+       |sv AS (
+       |  SELECT doc_id, bucket, CAST(SUM(sgn) AS BIGINT) AS v
+       |  FROM bk GROUP BY 1, 2),
+       |vec AS (SELECT doc_id, map(list(bucket), list(v)) AS m
+       |        FROM sv GROUP BY 1),
+       |emb AS (
+       |  SELECT doc_id, list_transform(generate_series(0, 127),
+       |    j -> CAST(COALESCE(m[j][1], 0) AS FLOAT)) AS embedding
+       |  FROM vec),
+       |nz AS (
+       |  SELECT doc_id, embedding FROM emb
+       |  WHERE sqrt(list_sum(list_transform(generate_series(1, 128),
+       |    i -> CAST(embedding[i] AS DOUBLE)
+       |         * CAST(embedding[i] AS DOUBLE)))) > 0)""".stripMargin
+
   /** DuckDB rendering of one hyperplane dot ⟨vec, w_p⟩ — the same
     * md5-derived weights as [[Similarity.planeWeights]]; `list_sum`
     * folds left-to-right like the codegen dot kernel.
@@ -3884,39 +3941,37 @@ object PipelineQueries {
          |    - CAST(FLOOR(jac * 1e6) AS BIGINT)) AS abs_err_micro
          |FROM j WHERE jac >= 0.5""".stripMargin
     },
-    "p100_hashed_neardup" -> {
-      def c128(a: String, b: String): String =
-        s"""(list_sum(list_transform(generate_series(1, 128), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))
-           | / (sqrt(list_sum(list_transform(generate_series(1, 128), i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE))))
-           |    * sqrt(list_sum(list_transform(generate_series(1, 128), i -> CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))))))""".stripMargin
-      s"""WITH t AS (SELECT doc_id, $oToks AS toks FROM documents),
-         |occ AS (
-         |  SELECT doc_id, unnest(${oShingles(3)}) AS tok FROM t),
-         |bk AS (
-         |  SELECT doc_id, ${oHash("tok")} % 128 AS bucket,
-         |    CASE WHEN ${oHash("'fs' || tok")} % 2 = 0 THEN 1 ELSE -1 END
-         |      AS sgn
-         |  FROM occ WHERE length(tok) > 0),
-         |sv AS (
-         |  SELECT doc_id, bucket, CAST(SUM(sgn) AS BIGINT) AS v
-         |  FROM bk GROUP BY 1, 2),
-         |vec AS (SELECT doc_id, map(list(bucket), list(v)) AS m
-         |        FROM sv GROUP BY 1),
-         |emb AS (
-         |  SELECT doc_id, list_transform(generate_series(0, 127),
-         |    j -> CAST(COALESCE(m[j][1], 0) AS FLOAT)) AS embedding
-         |  FROM vec),
-         |nz AS (
-         |  SELECT doc_id, embedding FROM emb
-         |  WHERE sqrt(list_sum(list_transform(generate_series(1, 128),
-         |    i -> CAST(embedding[i] AS DOUBLE)
-         |         * CAST(embedding[i] AS DOUBLE)))) > 0)
+    "p100_hashed_neardup" ->
+      s"""${oHashedVecCtes()}
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |  CAST(FLOOR(${c128("a.embedding", "b.embedding")} * 1e6)
+         |  CAST(FLOOR(${oCosN("a.embedding", "b.embedding", 128)} * 1e6)
          |    AS BIGINT) AS sim_micro
          |FROM nz a JOIN nz b ON a.doc_id < b.doc_id
-         |WHERE ${c128("a.embedding", "b.embedding")} >= 0.5""".stripMargin
-    },
+         |WHERE ${oCosN("a.embedding", "b.embedding", 128)} >= 0.5""".stripMargin,
+    "p106_text_neardup" ->
+      s"""${oHashedVecCtes()},
+         |cents AS (
+         |  SELECT doc_id AS cent_id, embedding AS ce FROM nz
+         |  WHERE doc_id % 25 = 0),
+         |assign AS (
+         |  SELECT e.doc_id, cent_id,
+         |    ROW_NUMBER() OVER (PARTITION BY e.doc_id
+         |      ORDER BY ${oCosN("e.embedding", "ce", 128)} DESC,
+         |        cent_id ASC) AS rn
+         |  FROM nz e, cents),
+         |cells AS (SELECT doc_id, cent_id FROM assign WHERE rn = 1),
+         |probes AS (SELECT doc_id, cent_id FROM assign
+         |           WHERE rn <= 3 AND doc_id % 10 = 7)
+         |SELECT pr.doc_id AS query_id, cl.doc_id AS cand_id,
+         |  CAST(FLOOR(${oCosN("q.embedding", "c.embedding", 128)} * 1e6)
+         |    AS BIGINT) AS sim_micro
+         |FROM probes pr
+         |JOIN nz q ON q.doc_id = pr.doc_id
+         |JOIN cells cl ON cl.cent_id = pr.cent_id
+         |JOIN nz c ON c.doc_id = cl.doc_id
+         |WHERE pr.doc_id != cl.doc_id
+         |  AND FLOOR(${oCosN("q.embedding", "c.embedding", 128)} * 1e6)
+         |    >= 500000""".stripMargin,
     "p76_embed_ingest" ->
       s"""WITH cents AS (
          |  SELECT vec_id AS cent_id, embedding AS ce FROM embeddings

@@ -347,6 +347,33 @@ object StreamingJobs {
       centroidFilter, nprobe, thresholdMicro, cellIndex)
   }
 
+  /** Embedding-free text near-dup at ingest — the streaming twin of
+    * p106, closing the text→vector→cell-bounded-pair chain with no
+    * embedding model anywhere: incoming documents get their signed
+    * feature-hash vector PER ROW
+    * ([[graft.pipeline.Similarity.withHashedDocVector]] — two chained
+    * projections, no groupBy, bit-identical to the batch vectors
+    * because integer sums are order-free), then probe the persisted
+    * hashed-vector corpus cell index exactly like
+    * [[embeddingNearDup]]. Fully stateless in Append mode.
+    */
+  def textNearDup(docs: DataFrame, corpusDocs: DataFrame, nprobe: Int,
+      thresholdMicro: Long, dim: Int = 128): DataFrame = {
+    val S = graft.pipeline.Similarity
+    val TFx = graft.pipeline.TextFunctions
+    def feats(c: org.apache.spark.sql.Column) =
+      TFx.shingles(TFx.tokens(c), 3)
+    val corpusVecs = S.hashedDocVectors(corpusDocs, "doc_id",
+        feats(col("text")), dim)
+      .filter(S.l2norm(col("embedding")) > 0)
+      .withColumnRenamed("doc_id", "vec_id")
+    val streamVecs = S.withHashedDocVector(docs, feats(col("text")), dim)
+      .filter(S.l2norm(col("embedding")) > 0)
+      .select(col("doc_id").as("vec_id"), col("embedding"))
+    embeddingNearDup(streamVecs, corpusVecs,
+      centroidFilter = col("vec_id") % 25 === 0, nprobe, thresholdMicro)
+  }
+
   /** Perceptual image near-dup at ingest — the streaming twin of the
     * p77 pair search, taking PRECOMPUTED (media_id, dhash) frames
     * (hash incoming payloads with [[graft.pipeline.Multimodal.dHash]]

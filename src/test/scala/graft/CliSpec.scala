@@ -362,6 +362,25 @@ class CliSpec extends SparkSpec {
       batchCard.exceptAll(scard).count() == 0)
     assert(scard.count() > 0)
 
+    // stream-text-neardup: per-row vectors against the corpus cell
+    // index equal the batch IVF probe with every doc incoming
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$out/stnd"))
+    Cli.run(spark, List("stream-text-neardup", sf0001, s"$out/stnd"))
+    val stnd = spark.read.parquet(s"$out/stnd")
+    val SIM = graft.pipeline.Similarity
+    val TFX = graft.pipeline.TextFunctions
+    val allVecs = SIM.hashedDocVectors(
+        spark.read.parquet(s"$sf0001/documents.parquet"), "doc_id",
+        TFX.shingles(TFX.tokens(col("text")), 3), dim = 128)
+      .filter(SIM.l2norm(col("embedding")) > 0)
+      .withColumnRenamed("doc_id", "vec_id")
+    val batchTnd = SIM.ivfProbePairs(allVecs, allVecs, "vec_id",
+      "embedding", centroidFilter = col("vec_id") % 25 === 0,
+      nprobe = 3, thresholdMicro = 500000L)
+    assert(stnd.exceptAll(batchTnd).count() == 0 &&
+      batchTnd.exceptAll(stnd).count() == 0)
+    assert(stnd.count() > 0)
+
     // stream-normdedup: one admitted doc per CCNet-normalized
     // fingerprint; the fp SET equals the batch normalized-dedup's
     // (the surviving representative within one micro-batch is

@@ -347,6 +347,26 @@ class PipelineSpec extends SparkSpec {
       (3L, "purchase", 2L, 500000L, 666666L)))
   }
 
+  test("per-row hashed vector equals the batch aggregation bit-for-bit") {
+    val TFx = graft.pipeline.TextFunctions
+    val docs = Seq(
+      (1L, "aa bb cc dd ee ff gg"),
+      (2L, "zz yy xx ww vv"),
+      (3L, "aa bb cc dd ee ff gg"),
+      (4L, "x")  // no shingle -> zero row-vector, absent batch row
+    ).toDF("doc_id", "text")
+    def feats = TFx.shingles(TFx.tokens(col("text")), 3)
+    val batch = graft.pipeline.Similarity
+      .hashedDocVectors(docs, "doc_id", feats, dim = 32)
+      .as[(Long, Array[Float])].collect().toMap
+    val perRow = graft.pipeline.Similarity
+      .withHashedDocVector(docs, feats, dim = 32)
+      .select(col("doc_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().toMap
+    for ((id, v) <- batch) assert(perRow(id).toSeq == v.toSeq)
+    assert(perRow(4L).forall(_ == 0f) && !batch.contains(4L))
+  }
+
   test("hashed doc vectors: integer signed sums, copies collide, short docs zero out") {
     val TFx = graft.pipeline.TextFunctions
     val docs = Seq(
