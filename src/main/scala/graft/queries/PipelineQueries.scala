@@ -1629,6 +1629,40 @@ object PipelineQueries {
     Curation.memorizationRisk(t(s, dir, "documents"), "doc_id", "text",
       L = 8)
 
+  /** Dedup impact card (p107): the dataset-card rollup of the p37
+    * clustering — per cluster-size bucket (2, 3-4, 5-8, 9+), how many
+    * clusters exist, how many documents they hold, how many docs and
+    * how many TOKENS min-id canonicalization removes. The number a
+    * curation run reports before committing the dedup ("X% of tokens
+    * were near-duplicate mass"). Rides the p37 pair join + the
+    * logarithmic star contraction; the token counts join on the
+    * cluster members only.
+    */
+  def p107DedupImpact(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      k = 4, threshold = 0.4, maxShingleFreqFrac = Some(0.1))
+    val dec = ConnectedComponents.dedupDecisions(
+      pairs.select(col("doc_a").as("u"), col("doc_b").as("v")))
+    val toks = docs.select(col("doc_id"),
+      size(TF.tokens(col("text"))).cast("long").as("n_toks"))
+    val per = dec.join(toks, col("node") === col("doc_id"))
+      .groupBy(col("component"))
+      .agg(count(lit(1)).as("cluster_size"),
+        sum(when(col("keep") === 0, col("n_toks")).otherwise(0L))
+          .as("toks_removed"))
+    per.withColumn("bucket",
+        when(col("cluster_size") === 2, "2")
+          .when(col("cluster_size") <= 4, "3-4")
+          .when(col("cluster_size") <= 8, "5-8")
+          .otherwise("9+"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("cluster_size")).as("n_docs"),
+        sum(col("cluster_size") - 1).as("n_docs_removed"),
+        sum(col("toks_removed")).as("toks_removed"))
+  }
+
   /** Embedding-free near-dup at scale (p106): the IVF probe path
     * over p100's derived vectors — every 10th document plays the
     * incoming batch, probes 3 of the hashed-vector corpus cells, and
@@ -2023,6 +2057,7 @@ object PipelineQueries {
     "p104_bbit_minhash" -> p104BbitMinhash _,
     "p105_memorization_risk" -> p105MemorizationRisk _,
     "p106_text_neardup" -> p106TextNearDup _,
+    "p107_dedup_impact" -> p107DedupImpact _,
     "p50_temp_mix" -> p50TempMix _,
     "p51_hard_negatives" -> p51HardNegatives _,
     "p52_ivf_trained" -> p52IvfTrained _,
@@ -3806,6 +3841,44 @@ object PipelineQueries {
          |SELECT u AS doc_id, MIN(v) AS cluster_id,
          |  CAST(u = MIN(v) AS INT) AS keep
          |FROM reach GROUP BY u""".stripMargin,
+    "p107_dedup_impact" ->
+      s"""WITH RECURSIVE sh AS (
+         |  SELECT doc_id, ${oShingles(4)} AS sh
+         |  FROM (SELECT doc_id, $oToks AS toks FROM documents)),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE len(list_intersect(a.sh, b.sh))
+         |      / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE)
+         |      >= 0.4),
+         |edges AS (
+         |  SELECT doc_a AS u, doc_b AS v FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(u, v) AS (
+         |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+         |dec AS (
+         |  SELECT u AS doc_id, MIN(v) AS component,
+         |    CASE WHEN u = MIN(v) THEN 1 ELSE 0 END AS keep
+         |  FROM reach GROUP BY u),
+         |tk AS (SELECT doc_id, CAST(len($oToks) AS BIGINT) AS n_toks
+         |       FROM documents),
+         |per AS (
+         |  SELECT d.component, COUNT(*) AS cluster_size,
+         |    SUM(CASE WHEN d.keep = 0 THEN tk.n_toks ELSE 0 END)
+         |      AS toks_removed
+         |  FROM dec d JOIN tk ON d.doc_id = tk.doc_id
+         |  GROUP BY d.component)
+         |SELECT CASE WHEN cluster_size = 2 THEN '2'
+         |            WHEN cluster_size <= 4 THEN '3-4'
+         |            WHEN cluster_size <= 8 THEN '5-8'
+         |            ELSE '9+' END AS bucket,
+         |  CAST(COUNT(*) AS BIGINT) AS n_clusters,
+         |  CAST(SUM(cluster_size) AS BIGINT) AS n_docs,
+         |  CAST(SUM(cluster_size - 1) AS BIGINT) AS n_docs_removed,
+         |  CAST(SUM(toks_removed) AS BIGINT) AS toks_removed
+         |FROM per GROUP BY 1""".stripMargin,
     "p46_merge_clusters" ->
       s"""WITH RECURSIVE toks AS (SELECT doc_id, $oToks AS toks FROM documents),
          |h AS (
