@@ -226,6 +226,56 @@ object Dedup {
         abs(col("est_micro") - col("exact_micro")).as("abs_err_micro"))
   }
 
+  /** LSH candidate recall sweep — the text-dedup analogue of the ANN
+    * scorecard: for each Jaccard threshold, how much of the
+    * EXHAUSTIVE truth the banded candidate generation catches. The
+    * theory curve for banding is P(caught) = 1 − (1 − J^rows)^bands;
+    * this measures the real curve on the real corpus, which is what
+    * decides (bands, rows) before a production run. Truth is the
+    * brute-force pair scan (this is a calibration query — run at
+    * sample scale); candidates ride the standard band equi-join.
+    * Threshold comparison is exact integer micro (`jm ≥ t·10⁴` ⟺
+    * J ≥ t%, since floor(x) ≥ k ⟺ x ≥ k for integer k).
+    */
+  def lshRecallSweep(df: DataFrame, idCol: String, textCol: String,
+      k: Int, numHashes: Int, bands: Int,
+      thresholdsPct: Seq[Int]): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val docs = minhashDocs(df, idCol, textCol, k, numHashes)
+    Caching.withCached(docs) {
+      val bandRows = docs.select(col("doc"),
+        explode(bandKeyArray(col("sig"), bands, rows)).as("key"))
+      val cand = bandRows.alias("a").join(bandRows.alias("b"),
+          col("a.key") === col("b.key") && col("a.doc") < col("b.doc"))
+        .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+        .distinct()
+        .withColumn("caught", lit(1L))
+      val sa = docs
+        .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+        .select(col("doc").as("doc_a"), col("sh").as("sh_a"))
+      val sb = docs.select(col("doc").as("doc_b"), col("sh").as("sh_b"))
+      val truth = sa.join(sb, col("doc_a") < col("doc_b"))
+        .filter(size(array_union(col("sh_a"), col("sh_b"))) > 0)
+        .select(col("doc_a"), col("doc_b"),
+          floor(size(array_intersect(col("sh_a"), col("sh_b")))
+            .cast("double") /
+            size(array_union(col("sh_a"), col("sh_b"))).cast("double") *
+            1e6).cast("long").as("jm"))
+      val thr = docs.sparkSession.range(1).select(
+        explode(array(thresholdsPct.map(t => lit(t.toLong)): _*)).as("t"))
+      truth.join(cand, Seq("doc_a", "doc_b"), "left")
+        .crossJoin(broadcast(thr))
+        .filter(col("jm") >= col("t") * 10000L)
+        .groupBy(col("t"))
+        .agg(count(lit(1)).as("n_truth"),
+          sum(coalesce(col("caught"), lit(0L))).as("n_caught"))
+        .select(col("t").as("threshold_pct"), col("n_truth"),
+          col("n_caught"),
+          expr("(n_caught * 1000000) div n_truth").as("recall_micro"))
+    }
+  }
+
   /** Hashed-shingle inverted index (doc, h): explode each doc's
     * distinct shingles into postings keyed by the 60-bit shingle hash
     * (an 8-byte shuffle key), optionally dropping postings whose key

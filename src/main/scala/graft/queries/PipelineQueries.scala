@@ -1629,6 +1629,18 @@ object PipelineQueries {
     Curation.memorizationRisk(t(s, dir, "documents"), "doc_id", "text",
       L = 8)
 
+  /** LSH recall sweep (p108): banded-candidate recall vs the
+    * exhaustive Jaccard truth at thresholds 30–70%
+    * ([[Dedup.lshRecallSweep]]) — the measured curve behind the
+    * 1−(1−J^r)^b theory that picks (bands, rows) before a production
+    * dedup. The oracle replays signatures, banding, truth, and the
+    * per-threshold division.
+    */
+  def p108LshRecallSweep(s: SparkSession, dir: String): DataFrame =
+    Dedup.lshRecallSweep(t(s, dir, "documents"), "doc_id", "text",
+      k = 3, numHashes = 12, bands = 6,
+      thresholdsPct = Seq(30, 40, 50, 60, 70))
+
   /** Dedup impact card (p107): the dataset-card rollup of the p37
     * clustering — per cluster-size bucket (2, 3-4, 5-8, 9+), how many
     * clusters exist, how many documents they hold, how many docs and
@@ -2058,6 +2070,7 @@ object PipelineQueries {
     "p105_memorization_risk" -> p105MemorizationRisk _,
     "p106_text_neardup" -> p106TextNearDup _,
     "p107_dedup_impact" -> p107DedupImpact _,
+    "p108_lsh_recall_sweep" -> p108LshRecallSweep _,
     "p50_temp_mix" -> p50TempMix _,
     "p51_hard_negatives" -> p51HardNegatives _,
     "p52_ivf_trained" -> p52IvfTrained _,
@@ -2503,6 +2516,34 @@ object PipelineQueries {
   /** DuckDB hyperplane-LSH bucket, same hash-derived weights as
     * [[Similarity.lshBucket]] (4 planes over 64 dims).
     */
+  /** MinHash signature replay shared by p104 and p108: the
+    * [[TF.minhashSeeds]] family applied to 60-bit shingle hashes mod
+    * P, empty-shingle docs getting the P sentinel — ending at
+    * `sg(doc_id, sh, sig)`. Mirrors the native minhash kernel.
+    */
+  private def oMinhashSigCtes(k: Int = 3, numHashes: Int = 12): String = {
+    val P = 2147483647L
+    val sigs = TF.minhashSeeds(numHashes).map { case (a, bb) =>
+      s"COALESCE(list_min(list_transform(bh, h -> ($a * h + $bb) % $P)), $P)"
+    }.mkString(",\n      ")
+    s"""WITH t AS (SELECT doc_id, $oToks AS toks FROM documents),
+       |shs AS (SELECT doc_id, ${oShingles(k)} AS sh FROM t),
+       |hh AS (SELECT doc_id, sh,
+       |  list_transform(sh, s -> ${oHash("s")} % $P) AS bh FROM shs),
+       |sg AS (SELECT doc_id, sh, [
+       |      $sigs] AS sig FROM hh)""".stripMargin
+  }
+
+  /** The 6-band × 2-row LSH band-equality predicate over `a.sig` /
+    * `b.sig` (mirrors [[graft.pipeline.Dedup.bandKeyArray]]).
+    */
+  private def oBandEq(bands: Int = 6, rows: Int = 2): String =
+    (0 until bands).map { bd =>
+      val lo = bd * rows + 1
+      val hi = (bd + 1) * rows
+      s"a.sig[$lo:$hi] = b.sig[$lo:$hi]"
+    }.mkString("\n     OR ")
+
   /** DuckDB rendering of cosine over `dim`-wide float lists —
     * index-order double accumulation like the codegen kernels.
     */
@@ -3975,26 +4016,12 @@ object PipelineQueries {
          |  CAST(COALESCE((per.n_dup * 1000000) // per.n_windows, 0)
          |    AS BIGINT) AS dup_frac_micro
          |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id""".stripMargin,
-    "p104_bbit_minhash" -> {
-      val P = 2147483647L
-      val sigs = TF.minhashSeeds(12).map { case (a, bb) =>
-        s"COALESCE(list_min(list_transform(bh, h -> ($a * h + $bb) % $P)), $P)"
-      }.mkString(",\n         |      ").stripMargin
-      val bandEq = (0 until 6).map { bd =>
-        val lo = bd * 2 + 1
-        val hi = bd * 2 + 2
-        s"a.sig[$lo:$hi] = b.sig[$lo:$hi]"
-      }.mkString("\n         |     OR ").stripMargin
-      s"""WITH t AS (SELECT doc_id, $oToks AS toks FROM documents),
-         |shs AS (SELECT doc_id, ${oShingles(3)} AS sh FROM t),
-         |hh AS (SELECT doc_id, sh,
-         |  list_transform(sh, s -> ${oHash("s")} % $P) AS bh FROM shs),
-         |sg AS (SELECT doc_id, sh, [
-         |      $sigs] AS sig FROM hh),
+    "p104_bbit_minhash" ->
+      s"""${oMinhashSigCtes()},
          |cand AS (
          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |  FROM sg a JOIN sg b ON a.doc_id < b.doc_id
-         |  WHERE $bandEq),
+         |  WHERE ${oBandEq()}),
          |m AS (
          |  SELECT c.doc_a, c.doc_b, a.sh AS sh_a, b.sh AS sh_b,
          |    CAST(list_sum(list_transform(generate_series(1, 12),
@@ -4012,8 +4039,32 @@ object PipelineQueries {
          |  CAST(FLOOR(jac * 1e6) AS BIGINT) AS exact_micro,
          |  ABS((GREATEST(n_match * 4 - 12, 0) * 1000000) // 36
          |    - CAST(FLOOR(jac * 1e6) AS BIGINT)) AS abs_err_micro
-         |FROM j WHERE jac >= 0.5""".stripMargin
-    },
+         |FROM j WHERE jac >= 0.5""".stripMargin,
+    "p108_lsh_recall_sweep" ->
+      s"""${oMinhashSigCtes()},
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM sg a JOIN sg b ON a.doc_id < b.doc_id
+         |  WHERE ${oBandEq()}),
+         |truth AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    CAST(FLOOR(len(list_intersect(a.sh, b.sh))
+         |      / CAST(len(list_distinct(list_concat(a.sh, b.sh)))
+         |             AS DOUBLE) * 1e6) AS BIGINT) AS jm
+         |  FROM sg a JOIN sg b ON a.doc_id < b.doc_id
+         |  WHERE len(list_distinct(list_concat(a.sh, b.sh))) > 0),
+         |th AS (SELECT CAST(UNNEST([30, 40, 50, 60, 70]) AS BIGINT) AS t)
+         |SELECT t AS threshold_pct,
+         |  CAST(COUNT(*) AS BIGINT) AS n_truth,
+         |  CAST(SUM(CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_caught,
+         |  (SUM(CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END)
+         |    * 1000000) // COUNT(*) AS recall_micro
+         |FROM truth tr
+         |CROSS JOIN th
+         |LEFT JOIN cand c ON tr.doc_a = c.doc_a AND tr.doc_b = c.doc_b
+         |WHERE tr.jm >= t * 10000
+         |GROUP BY t""".stripMargin,
     "p100_hashed_neardup" ->
       s"""${oHashedVecCtes()}
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
