@@ -1341,6 +1341,43 @@ object Curation {
         expr("(w_int * 1000000) div s").as("weight_micro"))
   }
 
+  // ------------------------------------------------- corpus statistics
+
+  /** Least-squares Zipf fit over the top-`topK` vocabulary:
+    * slope/intercept/R² of ln(freq) vs ln(rank) — the dataset-card
+    * statistic that flags synthetic or templated corpora (natural
+    * language sits near slope −1). Determinism: log points floor to
+    * MILLI-nat integers first (bounds keep n·Σxy < 2⁶³), all sums
+    * are exact int64, and the three divisions are single IEEE double
+    * ops on identical integers — no cross-row double accumulation.
+    */
+  def zipfFit(df: DataFrame, textCol: String, topK: Int): DataFrame = {
+    val occ = df.select(explode(TF.tokens(col(textCol))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("n"))
+    val ranked = occ
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("n").desc, col("tok"))))
+      .filter(col("rank") <= topK)
+      .select(
+        floor(log(col("rank").cast("double")) * 1e3).cast("long").as("x"),
+        floor(log(col("n").cast("double")) * 1e3).cast("long").as("y"))
+    val sums = ranked.agg(count(lit(1)).as("np"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"))
+    val num = (col("np") * col("sxy") - col("sx") * col("sy")).cast("double")
+    val den = (col("np") * col("sxx") - col("sx") * col("sx")).cast("double")
+    val dyy = (col("np") * col("syy") - col("sy") * col("sy")).cast("double")
+    val xbar = col("sx").cast("double") / 1000.0 / col("np")
+    val ybar = col("sy").cast("double") / 1000.0 / col("np")
+    sums.select(col("np").as("n_points"),
+      floor(num / den * 1e6).cast("long").as("slope_micro"),
+      floor((ybar - num / den * xbar) * 1e6).cast("long")
+        .as("intercept_micro"),
+      floor(num * num / (den * dyy) * 1e6).cast("long").as("r2_micro"))
+  }
+
   // ------------------------------------------- curriculum ordering
 
   /** Deterministic curriculum training order (Bengio et al. 2009:

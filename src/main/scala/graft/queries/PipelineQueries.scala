@@ -1629,6 +1629,19 @@ object PipelineQueries {
     Curation.memorizationRisk(t(s, dir, "documents"), "doc_id", "text",
       L = 8)
 
+  /** Zipf fit (p109): least-squares slope/intercept/R² of
+    * ln(freq) vs ln(rank) over the top-500 vocabulary — the
+    * dataset-card statistic that flags synthetic or templated corpora
+    * (natural language sits near slope −1; this 31-token fixture will
+    * not, which is exactly the point of reporting it). Determinism:
+    * the log points are floored to MILLI-nat integers first, all
+    * sums are exact int64 (bounds chosen so n·Σxy stays < 2⁶³), and
+    * the slope/intercept/R² divisions are single IEEE double ops on
+    * identical integers — no cross-row double accumulation anywhere.
+    */
+  def p109ZipfFit(s: SparkSession, dir: String): DataFrame =
+    Curation.zipfFit(t(s, dir, "documents"), "text", topK = 500)
+
   /** LSH recall sweep (p108): banded-candidate recall vs the
     * exhaustive Jaccard truth at thresholds 30–70%
     * ([[Dedup.lshRecallSweep]]) — the measured curve behind the
@@ -2071,6 +2084,7 @@ object PipelineQueries {
     "p106_text_neardup" -> p106TextNearDup _,
     "p107_dedup_impact" -> p107DedupImpact _,
     "p108_lsh_recall_sweep" -> p108LshRecallSweep _,
+    "p109_zipf_fit" -> p109ZipfFit _,
     "p50_temp_mix" -> p50TempMix _,
     "p51_hard_negatives" -> p51HardNegatives _,
     "p52_ivf_trained" -> p52IvfTrained _,
@@ -4040,6 +4054,38 @@ object PipelineQueries {
          |  ABS((GREATEST(n_match * 4 - 12, 0) * 1000000) // 36
          |    - CAST(FLOOR(jac * 1e6) AS BIGINT)) AS abs_err_micro
          |FROM j WHERE jac >= 0.5""".stripMargin,
+    "p109_zipf_fit" ->
+      s"""WITH c AS (
+         |  SELECT tok, COUNT(*) AS n
+         |  FROM (SELECT unnest($oToks) AS tok FROM documents)
+         |  GROUP BY tok),
+         |r AS (
+         |  SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, tok) AS rank
+         |  FROM c),
+         |p AS (
+         |  SELECT CAST(FLOOR(ln(CAST(rank AS DOUBLE)) * 1e3) AS BIGINT)
+         |      AS x,
+         |    CAST(FLOOR(ln(CAST(n AS DOUBLE)) * 1e3) AS BIGINT) AS y
+         |  FROM r WHERE rank <= 500),
+         |s AS (
+         |  SELECT COUNT(*) AS np, SUM(x) AS sx, SUM(y) AS sy,
+         |    SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+         |  FROM p)
+         |SELECT CAST(np AS BIGINT) AS n_points,
+         |  CAST(FLOOR(CAST(np * sxy - sx * sy AS DOUBLE)
+         |    / CAST(np * sxx - sx * sx AS DOUBLE) * 1e6) AS BIGINT)
+         |    AS slope_micro,
+         |  CAST(FLOOR((CAST(sy AS DOUBLE) / 1000.0 / np
+         |    - CAST(np * sxy - sx * sy AS DOUBLE)
+         |      / CAST(np * sxx - sx * sx AS DOUBLE)
+         |      * (CAST(sx AS DOUBLE) / 1000.0 / np)) * 1e6) AS BIGINT)
+         |    AS intercept_micro,
+         |  CAST(FLOOR(CAST(np * sxy - sx * sy AS DOUBLE)
+         |    * CAST(np * sxy - sx * sy AS DOUBLE)
+         |    / (CAST(np * sxx - sx * sx AS DOUBLE)
+         |       * CAST(np * syy - sy * sy AS DOUBLE)) * 1e6) AS BIGINT)
+         |    AS r2_micro
+         |FROM s""".stripMargin,
     "p108_lsh_recall_sweep" ->
       s"""${oMinhashSigCtes()},
          |cand AS (

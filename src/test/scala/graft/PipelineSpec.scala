@@ -247,6 +247,26 @@ class PipelineSpec extends SparkSpec {
     assert(b(0) + b(2) == 15L) // complementary 4-bit buckets
   }
 
+  test("Zipf fit recovers slope -1 on a constructed Zipfian corpus, R^2 near 1") {
+    // token w_r appears floor(2000/r) times, r = 1..30 -> ln n vs
+    // ln r is a near-perfect line of slope -1
+    val text = (1 to 30).flatMap(r =>
+      Seq.fill(2000 / r)(f"w$r%02d")).mkString(" ")
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val out = Curation.zipfFit(docs, "text", topK = 500)
+      .select("n_points", "slope_micro", "r2_micro")
+      .as[(Long, Long, Long)].head()
+    assert(out._1 == 30L)
+    assert(out._2 > -1050000L && out._2 < -950000L, out)
+    assert(out._3 > 990000L, out)
+    // flat corpus: every token equally frequent -> slope 0
+    val flat = Seq((1L, (1 to 30).map(r => f"w$r%02d").mkString(" ")))
+      .toDF("doc_id", "text")
+    val f = Curation.zipfFit(flat, "text", topK = 500)
+      .select("slope_micro").as[Long].head()
+    assert(f == 0L)
+  }
+
   test("memorization risk: duplicated-window fraction, short docs zero, self-repeats count") {
     val eight = "a b c d e f g h"              // exactly one 8-gram window
     val docs = Seq(
