@@ -251,10 +251,19 @@ object Dedup {
         .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
         .distinct()
         .withColumn("caught", lit(1L))
+      // truth compares 60-bit-mod-P HASH sets, not string sets — long
+      // equality beats string equality across the O(n²) scan and the
+      // quantity is exactly what the minhash signatures estimate
+      // (hash-set Jaccard; identical to string Jaccard absent
+      // collisions)
       val sa = docs
         .repartition(docs.sparkSession.sparkContext.defaultParallelism)
-        .select(col("doc").as("doc_a"), col("sh").as("sh_a"))
-      val sb = docs.select(col("doc").as("doc_b"), col("sh").as("sh_b"))
+        .select(col("doc").as("doc_a"),
+          array_distinct(graft.pipeline.TextFunctions
+            .shingleHashes(col("sh"))).as("sh_a"))
+      val sb = docs.select(col("doc").as("doc_b"),
+        array_distinct(graft.pipeline.TextFunctions
+          .shingleHashes(col("sh"))).as("sh_b"))
       val truth = sa.join(sb, col("doc_a") < col("doc_b"))
         .filter(size(array_union(col("sh_a"), col("sh_b"))) > 0)
         .select(col("doc_a"), col("doc_b"),

@@ -1650,8 +1650,13 @@ object PipelineQueries {
     * per-threshold division.
     */
   def p108LshRecallSweep(s: SparkSession, dir: String): DataFrame =
-    Dedup.lshRecallSweep(t(s, dir, "documents"), "doc_id", "text",
-      k = 3, numHashes = 12, bands = 6,
+    // calibration runs on a deterministic quarter-sample: the truth
+    // side is a brute-force pair scan, so the sample bounds its cost
+    // while `doc_id % 4 < 2` keeps the planted (2k, 2k+1) near-dup
+    // pairs whose recall the sweep exists to measure
+    Dedup.lshRecallSweep(
+      t(s, dir, "documents").filter(col("doc_id") % 4 < 2),
+      "doc_id", "text", k = 3, numHashes = 12, bands = 6,
       thresholdsPct = Seq(30, 40, 50, 60, 70))
 
   /** Dedup impact card (p107): the dataset-card rollup of the p37
@@ -2535,12 +2540,13 @@ object PipelineQueries {
     * P, empty-shingle docs getting the P sentinel — ending at
     * `sg(doc_id, sh, sig)`. Mirrors the native minhash kernel.
     */
-  private def oMinhashSigCtes(k: Int = 3, numHashes: Int = 12): String = {
+  private def oMinhashSigCtes(k: Int = 3, numHashes: Int = 12,
+      where: String = ""): String = {
     val P = 2147483647L
     val sigs = TF.minhashSeeds(numHashes).map { case (a, bb) =>
       s"COALESCE(list_min(list_transform(bh, h -> ($a * h + $bb) % $P)), $P)"
     }.mkString(",\n      ")
-    s"""WITH t AS (SELECT doc_id, $oToks AS toks FROM documents),
+    s"""WITH t AS (SELECT doc_id, $oToks AS toks FROM documents$where),
        |shs AS (SELECT doc_id, ${oShingles(k)} AS sh FROM t),
        |hh AS (SELECT doc_id, sh,
        |  list_transform(sh, s -> ${oHash("s")} % $P) AS bh FROM shs),
@@ -4087,18 +4093,19 @@ object PipelineQueries {
          |    AS r2_micro
          |FROM s""".stripMargin,
     "p108_lsh_recall_sweep" ->
-      s"""${oMinhashSigCtes()},
+      s"""${oMinhashSigCtes(where = " WHERE doc_id % 4 < 2")},
          |cand AS (
          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |  FROM sg a JOIN sg b ON a.doc_id < b.doc_id
          |  WHERE ${oBandEq()}),
+         |hd AS (SELECT doc_id, list_distinct(bh) AS hs FROM hh),
          |truth AS (
          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |    CAST(FLOOR(len(list_intersect(a.sh, b.sh))
-         |      / CAST(len(list_distinct(list_concat(a.sh, b.sh)))
+         |    CAST(FLOOR(len(list_intersect(a.hs, b.hs))
+         |      / CAST(len(list_distinct(list_concat(a.hs, b.hs)))
          |             AS DOUBLE) * 1e6) AS BIGINT) AS jm
-         |  FROM sg a JOIN sg b ON a.doc_id < b.doc_id
-         |  WHERE len(list_distinct(list_concat(a.sh, b.sh))) > 0),
+         |  FROM hd a JOIN hd b ON a.doc_id < b.doc_id
+         |  WHERE len(list_distinct(list_concat(a.hs, b.hs))) > 0),
          |th AS (SELECT CAST(UNNEST([30, 40, 50, 60, 70]) AS BIGINT) AS t)
          |SELECT t AS threshold_pct,
          |  CAST(COUNT(*) AS BIGINT) AS n_truth,
