@@ -1341,6 +1341,49 @@ object Curation {
         expr("(w_int * 1000000) div s").as("weight_micro"))
   }
 
+  /** One ITERATION of the DoReMi update on top of
+    * [[domainMixWeights]]: the round-1 weights become per-domain
+    * acceptance rates (weight/share capped at 1 — hard domains keep
+    * everything, easy domains thin deterministically by the portable
+    * hash draw), the reference LM refits on the resampled corpus,
+    * and the round-2 weights are reported NEXT TO round 1 — the
+    * direction of the paper's fixed point made visible
+    * (excess₂ ≤ excess₁ for the upweighted domains as their mass
+    * grows). All rate arithmetic is exact integer micro; the
+    * resample is the seedless portable-hash acceptance, so any
+    * engine draws the identical corpus.
+    *
+    * Scale shape: two [[domainMixWeights]] passes (each one
+    * partial-aggregated corpus exchange) plus a broadcast rate join;
+    * the resample never shuffles.
+    */
+  def domainMixIterate(df: DataFrame, idCol: String, textCol: String,
+      domainCol: String, vocabSize: Int,
+      salt: String = "dr2"): DataFrame = {
+    val r1 = domainMixWeights(df, idCol, textCol, domainCol, vocabSize)
+    val rates = r1.crossJoin(broadcast(r1.agg(sum("n_tokens").as("ntot"))))
+      .withColumn("share_micro", expr("(n_tokens * 1000000) div ntot"))
+      .withColumn("rate_micro",
+        least(lit(1000000L),
+          expr("(weight_micro * 1000000) div share_micro")))
+      .select(col(domainCol), col("weight_micro").as("w1_micro"),
+        col("excess_micro").as("excess1_micro"), col("rate_micro"))
+    val kept = df.join(broadcast(rates.select(col(domainCol),
+        col("rate_micro"))), Seq(domainCol))
+      .filter(pmod(TF.hash60(concat(lit(salt), col(idCol).cast("string"))),
+        lit(1000000L)) < col("rate_micro"))
+      .drop("rate_micro")
+    val r2 = domainMixWeights(kept, idCol, textCol, domainCol, vocabSize)
+    rates.join(r2.select(col(domainCol), col("n_docs").as("n_docs_kept"),
+        col("weight_micro").as("w2_micro"),
+        col("excess_micro").as("excess2_micro")),
+        Seq(domainCol), "left")
+      .select(col(domainCol), col("w1_micro"), col("excess1_micro"),
+        col("rate_micro"),
+        coalesce(col("n_docs_kept"), lit(0L)).as("n_docs_kept"),
+        col("w2_micro"), col("excess2_micro"))
+  }
+
   // ------------------------------------------------- corpus statistics
 
   /** Least-squares Zipf fit over the top-`topK` vocabulary:

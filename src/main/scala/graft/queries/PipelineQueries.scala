@@ -1629,6 +1629,17 @@ object PipelineQueries {
     Curation.memorizationRisk(t(s, dir, "documents"), "doc_id", "text",
       L = 8)
 
+  /** Iterated DoReMi (p110): the p92 update applied once more —
+    * round-1 weights become capped acceptance rates, the corpus
+    * resamples deterministically, the KN reference refits, and
+    * round-2 weights land next to round 1
+    * ([[Curation.domainMixIterate]]). The oracle replays BOTH refits
+    * and the resample in one statement via the prefixed CTE chain.
+    */
+  def p110DomainMixIter(s: SparkSession, dir: String): DataFrame =
+    Curation.domainMixIterate(t(s, dir, "documents"), "doc_id", "text",
+      "source", vocabSize = 500)
+
   /** Zipf fit (p109): least-squares slope/intercept/R² of
     * ln(freq) vs ln(rank) over the top-500 vocabulary — the
     * dataset-card statistic that flags synthetic or templated corpora
@@ -2090,6 +2101,7 @@ object PipelineQueries {
     "p107_dedup_impact" -> p107DedupImpact _,
     "p108_lsh_recall_sweep" -> p108LshRecallSweep _,
     "p109_zipf_fit" -> p109ZipfFit _,
+    "p110_domain_mix_iter" -> p110DomainMixIter _,
     "p50_temp_mix" -> p50TempMix _,
     "p51_hard_negatives" -> p51HardNegatives _,
     "p52_ivf_trained" -> p52IvfTrained _,
@@ -3169,60 +3181,73 @@ object PipelineQueries {
     * before the cross-domain normalization, `//` exact after.
     * Mirrors [[Curation.domainMixWeightsPlan]].
     */
-  private def oDomainMix: String = {
-    val pcont = "(COALESCE(ct.n1p, 0) + 1) / CAST(nbi + 501 AS DOUBLE)"
-    val pkn = "GREATEST(COALESCE(bg.cbi, 0) - 0.75, 0)" +
-      " / CAST(ctx.cctx AS DOUBLE)" +
-      s" + 0.75 * ctx.n1fwd / CAST(ctx.cctx AS DOUBLE) * ($pcont)"
-    val cost = s"""CASE WHEN o.prev IS NULL OR ctx.cctx IS NULL THEN
+  /** The p92 refit as a PREFIXED CTE chain over an arbitrary source
+    * relation (must expose doc_id, source, text), ending at
+    * `${p}res(source, n_docs, n_tokens, avg_nll_micro, excess_micro,
+    * weight_micro)` — so the iterated query (p110) can run the whole
+    * chain twice in one statement.
+    */
+  private def oDomainMixCtes(p: String, src: String): String = {
+    val pcont = s"(COALESCE(${p}ct.n1p, 0) + 1) / CAST(nbi + 501 AS DOUBLE)"
+    val pkn = s"GREATEST(COALESCE(${p}bg.cbi, 0) - 0.75, 0)" +
+      s" / CAST(${p}ctx.cctx AS DOUBLE)" +
+      s" + 0.75 * ${p}ctx.n1fwd / CAST(${p}ctx.cctx AS DOUBLE) * ($pcont)"
+    val cost = s"""CASE WHEN o.prev IS NULL OR ${p}ctx.cctx IS NULL THEN
        |      FLOOR(-ln($pcont) * 1e6)
        |    ELSE FLOOR(-ln($pkn) * 1e6) END""".stripMargin
-    s"""WITH base AS (SELECT doc_id, source, $oToks AS toks FROM documents),
-       |occ AS (
+    s"""${p}base AS (SELECT doc_id, source, $oToks AS toks FROM $src),
+       |${p}occ AS (
        |  SELECT doc_id, source, toks[i] AS cur,
        |    CASE WHEN i > 1 THEN toks[i - 1] END AS prev
        |  FROM (SELECT doc_id, source, toks,
        |          unnest(generate_series(1, len(toks))) AS i
-       |        FROM base)),
-       |bg AS (
-       |  SELECT prev, cur, COUNT(*) AS cbi FROM occ
+       |        FROM ${p}base)),
+       |${p}bg AS (
+       |  SELECT prev, cur, COUNT(*) AS cbi FROM ${p}occ
        |  WHERE prev IS NOT NULL GROUP BY prev, cur),
-       |ctx AS (
+       |${p}ctx AS (
        |  SELECT prev, SUM(cbi) AS cctx, COUNT(*) AS n1fwd
-       |  FROM bg GROUP BY prev),
-       |uni AS (SELECT cur, COUNT(*) AS cu FROM occ GROUP BY cur),
-       |vocab AS (SELECT cur, cu FROM uni ORDER BY cu DESC, cur LIMIT 500),
-       |ct AS (
-       |  SELECT v.cur, COALESCE(p.n1p, 0) AS n1p
-       |  FROM vocab v LEFT JOIN (
-       |    SELECT cur, COUNT(*) AS n1p FROM bg GROUP BY cur) p
-       |  ON v.cur = p.cur),
-       |nb AS (SELECT COUNT(*) AS nbi FROM bg),
-       |sc AS (
+       |  FROM ${p}bg GROUP BY prev),
+       |${p}uni AS (SELECT cur, COUNT(*) AS cu FROM ${p}occ GROUP BY cur),
+       |${p}vocab AS (SELECT cur, cu FROM ${p}uni
+       |              ORDER BY cu DESC, cur LIMIT 500),
+       |${p}ct AS (
+       |  SELECT v.cur, COALESCE(q.n1p, 0) AS n1p
+       |  FROM ${p}vocab v LEFT JOIN (
+       |    SELECT cur, COUNT(*) AS n1p FROM ${p}bg GROUP BY cur) q
+       |  ON v.cur = q.cur),
+       |${p}nb AS (SELECT COUNT(*) AS nbi FROM ${p}bg),
+       |${p}sc AS (
        |  SELECT o.source,
        |    CAST(COUNT(*) AS BIGINT) AS n_tokens,
        |    CAST(SUM($cost) AS BIGINT) // COUNT(*) AS avg_nll_micro
-       |  FROM occ o
-       |  LEFT JOIN ct ON o.cur = ct.cur
-       |  LEFT JOIN bg ON o.prev = bg.prev AND o.cur = bg.cur
-       |  LEFT JOIN ctx ON o.prev = ctx.prev
-       |  CROSS JOIN nb
+       |  FROM ${p}occ o
+       |  LEFT JOIN ${p}ct ON o.cur = ${p}ct.cur
+       |  LEFT JOIN ${p}bg ON o.prev = ${p}bg.prev AND o.cur = ${p}bg.cur
+       |  LEFT JOIN ${p}ctx ON o.prev = ${p}ctx.prev
+       |  CROSS JOIN ${p}nb
        |  GROUP BY o.source),
-       |nd AS (SELECT source, COUNT(*) AS n_docs FROM documents
+       |${p}nd AS (SELECT source, COUNT(*) AS n_docs FROM $src
        |       GROUP BY source),
-       |mn AS (SELECT MIN(avg_nll_micro) AS mn FROM sc),
-       |tt AS (SELECT SUM(n_tokens) AS ntot FROM sc),
-       |w AS (
+       |${p}mn AS (SELECT MIN(avg_nll_micro) AS mn FROM ${p}sc),
+       |${p}tt AS (SELECT SUM(n_tokens) AS ntot FROM ${p}sc),
+       |${p}w AS (
        |  SELECT source, n_tokens, avg_nll_micro,
        |    avg_nll_micro - mn AS excess_micro,
        |    CAST(FLOOR((n_tokens / CAST(ntot AS DOUBLE))
        |      * exp((avg_nll_micro - mn) / 1e6) * 1e6) AS BIGINT) AS w_int
-       |  FROM sc, mn, tt),
-       |sw AS (SELECT SUM(w_int) AS s FROM w)
-       |SELECT w.source, nd.n_docs, w.n_tokens, w.avg_nll_micro,
-       |  w.excess_micro, (w_int * 1000000) // s AS weight_micro
-       |FROM w JOIN nd ON w.source = nd.source, sw""".stripMargin
+       |  FROM ${p}sc, ${p}mn, ${p}tt),
+       |${p}sw AS (SELECT SUM(w_int) AS s FROM ${p}w),
+       |${p}res AS (
+       |  SELECT w.source, nd.n_docs, w.n_tokens, w.avg_nll_micro,
+       |    w.excess_micro, (w_int * 1000000) // s AS weight_micro
+       |  FROM ${p}w w JOIN ${p}nd nd ON w.source = nd.source, ${p}sw)"""
+      .stripMargin
   }
+
+  private def oDomainMix: String =
+    s"""WITH ${oDomainMixCtes("", "documents")}
+       |SELECT * FROM res""".stripMargin
 
   def oracle: Map[String, String] =
     oracle0 + ("p56_ann_recall" -> oAnnRecall) +
@@ -3273,6 +3298,26 @@ object PipelineQueries {
       ("p89_kn_bigram" -> oKnBigram) +
       ("p90_dsir" -> oDsir) +
       ("p92_domain_mix" -> oDomainMix) +
+      ("p110_domain_mix_iter" ->
+        s"""WITH ${oDomainMixCtes("a_", "documents")},
+           |rates AS (
+           |  SELECT r.source, r.weight_micro AS w1_micro,
+           |    r.excess_micro AS excess1_micro,
+           |    LEAST(1000000, (r.weight_micro * 1000000)
+           |      // ((r.n_tokens * 1000000) // t.ntot)) AS rate_micro
+           |  FROM a_res r, (SELECT SUM(n_tokens) AS ntot FROM a_res) t),
+           |kept AS (
+           |  SELECT d.doc_id, d.source, d.text
+           |  FROM documents d JOIN rates r ON d.source = r.source
+           |  WHERE ${oHash("'dr2' || CAST(doc_id AS VARCHAR)")} % 1000000
+           |    < r.rate_micro),
+           |${oDomainMixCtes("b_", "kept")}
+           |SELECT r.source, r.w1_micro, r.excess1_micro, r.rate_micro,
+           |  CAST(COALESCE(b.n_docs, 0) AS BIGINT) AS n_docs_kept,
+           |  b.weight_micro AS w2_micro,
+           |  b.excess_micro AS excess2_micro
+           |FROM rates r LEFT JOIN b_res b ON r.source = b.source"""
+          .stripMargin) +
       ("p95_card_scrub" ->
         s"""WITH lines AS (
            |  SELECT event_id,

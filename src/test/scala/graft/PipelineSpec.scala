@@ -1349,6 +1349,33 @@ class PipelineSpec extends SparkSpec {
     assert(again == out.map(r => r._1 -> r._3).toMap)
   }
 
+  test("iterated DoReMi: hard domains keep everything, easy domains thin, round-2 reported") {
+    val docs = (1L to 12L).map { i =>
+      if (i <= 6) (i, "easy", "aa bb aa bb aa bb aa bb")
+      else (i, "hard", s"q$i w$i e$i r$i t$i y$i u$i")
+    }.toDF("doc_id", "source", "text")
+    val out = Curation.domainMixIterate(docs, "doc_id", "text", "source",
+        vocabSize = 50)
+      .select("source", "w1_micro", "excess1_micro", "rate_micro",
+        "n_docs_kept", "w2_micro")
+      .as[(String, Long, Long, Long, Long, Option[Long])].collect()
+      .map(r => r._1 -> r).toMap
+    // the hard domain carries the excess -> acceptance rate caps at 1,
+    // every doc kept; the easy domain's rate is strictly below 1
+    assert(out("hard")._3 > 0L && out("hard")._4 == 1000000L)
+    assert(out("hard")._5 == 6L)
+    assert(out("easy")._3 == 0L && out("easy")._4 < 1000000L)
+    assert(out("easy")._5 <= 6L)
+    // round 2 exists for any domain that kept documents
+    assert(out("hard")._6.isDefined)
+    // deterministic end to end
+    val again = Curation.domainMixIterate(docs, "doc_id", "text",
+        "source", vocabSize = 50)
+      .select("source", "n_docs_kept", "w2_micro")
+      .as[(String, Long, Option[Long])].collect().toSet
+    assert(again == out.values.map(r => (r._1, r._5, r._6)).toSet)
+  }
+
   test("DSIR hashes unigrams+bigrams, weights toward the target, resamples without replacement") {
     // feature map: "a b c" -> 3 unigram + 2 bigram buckets
     val nf = Seq((1L, "a b c"), (2L, "x"))
