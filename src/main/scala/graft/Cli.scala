@@ -77,6 +77,8 @@ object Cli {
         |                                                (event-time stage machine; two drains — the second,
         |                                                after a sentinel lands, flushes the final horizon)
         |  stream-cardscrub <dir> <outDir>               Luhn-validated card scrub as an incremental stream
+        |  stream-novelty <dir> <outDir>                 window-level novelty vs the corpus gram set at ingest
+        |                                                (closed-window emission, as stream-perplexity)
         |  stream-text-neardup <dir> <outDir>            embedding-free text near-dup at stream ingest (per-row
         |                                                feature-hash vectors vs the corpus cell index)
         |  stream-normdedup <dir> <outDir>               normalized exact dedup at stream ingest (first-seen
@@ -859,6 +861,17 @@ object Cli {
     case "stream-cardscrub" :: dir :: out :: Nil =>
       runEventStream(spark, dir, out, streaming.StreamingJobs.cardScrub)
       println(s"""{"stream_cardscrub":"$out"}""")
+
+    // window-level novelty at ingest: arriving docs' grams probe the
+    // snapshot's distinct gram set; same drain/window discipline as
+    // stream-perplexity
+    case "stream-novelty" :: dir :: out :: Nil =>
+      val stream = stagedDocStream(spark, dir, out)
+      val snapshot = Tables.read(spark, dir, "documents")
+      drainDocJob(streaming.StreamingJobs.noveltyScore(stream,
+        snapshot, L = 8, watermarkDelay = "0 seconds",
+        windowDuration = "1 minute"), out)
+      println(s"""{"stream_novelty":"$out"}""")
 
     // embedding-free text near-dup at ingest: per-row feature-hash
     // vectors probed against the persisted hashed-vector corpus index

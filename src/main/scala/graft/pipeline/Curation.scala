@@ -350,6 +350,43 @@ object Curation {
           .as("dup_frac_micro"))
   }
 
+  /** Cross-corpus novelty score — the ingest-side complement of
+    * [[memorizationRisk]]: for each incoming document, the fraction
+    * of its L-token windows NOT already present in a reference
+    * corpus. The admission signal a pipeline thresholds when new
+    * data arrives ("is this scrape actually new text, or a re-crawl
+    * of what we have"), and the window-level generalization of the
+    * bloom-gated exact-ingest check. One row per incoming doc,
+    * zero-window docs scoring novelty 1 (nothing matched, nothing to
+    * match).
+    *
+    * Shape: both sides reduce to 8-byte gram keys; the reference
+    * side is a DISTINCT gram set (one aggregation), the probe is an
+    * equi-join on the key, and the rollup partial-aggregates. Text
+    * never shuffles.
+    */
+  def noveltyScore(incoming: DataFrame, reference: DataFrame,
+      idCol: String, textCol: String, L: Int): DataFrame = {
+    require(L >= 2, "L must be at least 2")
+    val inGrams = incoming.select(col(idCol).as("doc"),
+      posexplode(gramHashes(textCol, L)).as(Seq("gpos", "gh")))
+    val refGrams = reference
+      .select(explode(gramHashes(textCol, L)).as("gh")).distinct()
+      .withColumn("seen", lit(1L))
+    val per = inGrams.join(refGrams, Seq("gh"), "left")
+      .groupBy("doc")
+      .agg(count(lit(1)).as("n_windows"),
+        sum(coalesce(col("seen"), lit(0L))).as("n_seen"))
+    incoming.select(col(idCol).as("doc"))
+      .join(per, Seq("doc"), "left")
+      .select(col("doc").as(idCol),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("n_seen"), lit(0L)).as("n_seen"),
+        coalesce(
+          expr("((n_windows - n_seen) * 1000000) div n_windows"),
+          lit(1000000L)).as("novelty_micro"))
+  }
+
   /** Removal twin of [[exactSubstringSpans]] with reconstruction
     * certification (the [[segmentScrub]] contract): drop every token
     * inside a duplicated span — all copies go, the paper's stricter

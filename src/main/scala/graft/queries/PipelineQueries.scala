@@ -1629,6 +1629,19 @@ object PipelineQueries {
     Curation.memorizationRisk(t(s, dir, "documents"), "doc_id", "text",
       L = 8)
 
+  /** Cross-corpus novelty (p111): every 10th document plays an
+    * incoming batch scored against the REST of the corpus as the
+    * reference ([[Curation.noveltyScore]]) — fraction of 8-token
+    * windows not already present, the window-level admission signal.
+    * The oracle replays gram hashing, the reference distinct set, and
+    * the fraction.
+    */
+  def p111Novelty(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    Curation.noveltyScore(docs.filter(col("doc_id") % 10 === 7),
+      docs.filter(col("doc_id") % 10 =!= 7), "doc_id", "text", L = 8)
+  }
+
   /** Iterated DoReMi (p110): the p92 update applied once more —
     * round-1 weights become capped acceptance rates, the corpus
     * resamples deterministically, the KN reference refits, and
@@ -2102,6 +2115,7 @@ object PipelineQueries {
     "p108_lsh_recall_sweep" -> p108LshRecallSweep _,
     "p109_zipf_fit" -> p109ZipfFit _,
     "p110_domain_mix_iter" -> p110DomainMixIter _,
+    "p111_novelty" -> p111Novelty _,
     "p50_temp_mix" -> p50TempMix _,
     "p51_hard_negatives" -> p51HardNegatives _,
     "p52_ivf_trained" -> p52IvfTrained _,
@@ -4060,6 +4074,31 @@ object PipelineQueries {
          |  SELECT vec_id, ${oRotate("embedding", "q97")} AS embedding
          |  FROM embeddings),
          |""".stripMargin, "rotemb"),
+    "p111_novelty" ->
+      s"""WITH t AS (SELECT doc_id, $oToks AS tk FROM documents),
+         |g0 AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(tk) < 8 THEN CAST([] AS BIGINT[])
+         |    ELSE list_transform(generate_series(1, len(tk) - 7),
+         |      i -> ${oHash("array_to_string(tk[i:i+7], ' ')")})
+         |    END AS gs
+         |  FROM t),
+         |ing AS (SELECT doc_id, unnest(gs) AS gh FROM g0
+         |        WHERE doc_id % 10 = 7),
+         |ref AS (SELECT DISTINCT unnest(gs) AS gh FROM g0
+         |        WHERE doc_id % 10 != 7),
+         |per AS (
+         |  SELECT i.doc_id, COUNT(*) AS n_windows,
+         |    SUM(CASE WHEN r.gh IS NOT NULL THEN 1 ELSE 0 END) AS n_seen
+         |  FROM ing i LEFT JOIN ref r ON i.gh = r.gh
+         |  GROUP BY i.doc_id)
+         |SELECT d.doc_id,
+         |  CAST(COALESCE(per.n_windows, 0) AS BIGINT) AS n_windows,
+         |  CAST(COALESCE(per.n_seen, 0) AS BIGINT) AS n_seen,
+         |  CAST(COALESCE(((per.n_windows - per.n_seen) * 1000000)
+         |    // per.n_windows, 1000000) AS BIGINT) AS novelty_micro
+         |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 7) d
+         |LEFT JOIN per ON d.doc_id = per.doc_id""".stripMargin,
     "p105_memorization_risk" ->
       s"""WITH t AS (SELECT doc_id, $oToks AS tk FROM documents),
          |g0 AS (

@@ -347,6 +347,37 @@ object StreamingJobs {
       centroidFilter, nprobe, thresholdMicro, cellIndex)
   }
 
+  /** Window-level novelty at ingest — the streaming twin of p111's
+    * [[graft.pipeline.Curation.noveltyScore]]: each arriving
+    * document's 8-token windows probe the snapshot corpus's DISTINCT
+    * gram set (a static side of 8-byte keys, joined stream-static on
+    * the key), and the per-(event-time window, doc) rollup emits the
+    * fraction of windows not already present — the "is this scrape
+    * new text" admission signal, scored before the document enters
+    * the corpus. Same closed-window emission discipline as the LM
+    * scorers; documents with zero windows (shorter than one gram)
+    * produce no row (the batch query reports them as fully novel).
+    */
+  def noveltyScore(docs: DataFrame, refCorpus: DataFrame, L: Int = 8,
+      watermarkDelay: String = "1 hour",
+      windowDuration: String = "1 hour"): DataFrame = {
+    val C = graft.pipeline.Curation
+    val refGrams = refCorpus
+      .select(explode(C.gramHashes("text", L)).as("gh")).distinct()
+      .withColumn("seen", lit(1L))
+    docs.withWatermark("ts", watermarkDelay)
+      .select(col("ts"), col("doc_id"),
+        explode(C.gramHashes("text", L)).as("gh"))
+      .join(refGrams, Seq("gh"), "left")
+      .groupBy(window(col("ts"), windowDuration), col("doc_id"))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(coalesce(col("seen"), lit(0L))).as("n_seen"))
+      .select(unix_micros(col("window.start")).as("ws_us"), col("doc_id"),
+        col("n_windows"), col("n_seen"),
+        expr("((n_windows - n_seen) * 1000000) div n_windows")
+          .as("novelty_micro"))
+  }
+
   /** Embedding-free text near-dup at ingest — the streaming twin of
     * p106, closing the text→vector→cell-bounded-pair chain with no
     * embedding model anywhere: incoming documents get their signed

@@ -362,6 +362,36 @@ class CliSpec extends SparkSpec {
       batchCard.exceptAll(scard).count() == 0)
     assert(scard.count() > 0)
 
+    // stream-novelty: window-level gram probe vs the snapshot equals
+    // the batch rollup for every closed window
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$out/snov"))
+    Cli.run(spark, List("stream-novelty", sf0001, s"$out/snov"))
+    val snov = spark.read.parquet(s"$out/snov")
+      .select("ws_us", "doc_id", "n_windows", "n_seen", "novelty_micro")
+    val CU = graft.pipeline.Curation
+    val refG = docsTs.select(explode(CU.gramHashes("text", 8)).as("gh"))
+      .distinct().withColumn("seen", lit(1L))
+    val batchNov = docsTs
+      .select(col("ts"), col("doc_id"),
+        explode(CU.gramHashes("text", 8)).as("gh"))
+      .join(refG, Seq("gh"), "left")
+      .groupBy(window(col("ts"), "1 minute"), col("doc_id"))
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("n_windows"),
+        org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.coalesce(col("seen"), lit(0L)))
+          .as("n_seen"))
+      .filter(unix_micros(col("window.end")) <= nDocsAll * 1000000L)
+      .select(unix_micros(col("window.start")).as("ws_us"), col("doc_id"),
+        col("n_windows"), col("n_seen"),
+        org.apache.spark.sql.functions.expr(
+          "((n_windows - n_seen) * 1000000) div n_windows")
+          .as("novelty_micro"))
+    assert(snov.exceptAll(batchNov).count() == 0 &&
+      batchNov.exceptAll(snov).count() == 0)
+    // self-snapshot reference: every window already exists -> novelty 0
+    assert(snov.filter(col("novelty_micro") =!= 0L).count() == 0)
+    assert(snov.count() > 0)
+
     // stream-text-neardup: per-row vectors against the corpus cell
     // index equal the batch IVF probe with every doc incoming
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$out/stnd"))

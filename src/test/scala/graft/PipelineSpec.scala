@@ -290,6 +290,24 @@ class PipelineSpec extends SparkSpec {
     assert(out(5L)._2 == 9L && out(5L)._3 == 2L)
   }
 
+  test("novelty score: re-crawled text scores 0, fresh text 1, partial overlap exact") {
+    val eight = "a b c d e f g h"
+    val ref = Seq((100L, eight), (101L, "p q r s t u v w x")).toDF("doc_id", "text")
+    val incoming = Seq(
+      (1L, eight),                         // verbatim re-crawl
+      (2L, "n o v e l t y z"),             // fully fresh
+      (3L, eight + " z"),                  // window 0 seen, window 1 not
+      (4L, "too short")                    // no window -> fully novel
+    ).toDF("doc_id", "text")
+    val out = Curation.noveltyScore(incoming, ref, "doc_id", "text", L = 8)
+      .select("doc_id", "n_windows", "n_seen", "novelty_micro")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 1L, 1L, 0L)))
+    assert(out(2L) == ((2L, 1L, 0L, 1000000L)))
+    assert(out(3L) == ((3L, 2L, 1L, 500000L)))
+    assert(out(4L) == ((4L, 0L, 0L, 1000000L)))
+  }
+
   test("b-bit minhash: exact copies estimate 1.0, estimator follows the collision-floor formula") {
     val base = "the quick brown fox jumps over the lazy dog again and again"
     val docs = Seq(
