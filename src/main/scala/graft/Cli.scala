@@ -461,6 +461,20 @@ object Cli {
     case "ann" :: dir :: out :: Nil =>
       write(queries.PipelineQueries.p05CosineTopK(spark, dir), out)
 
+    // lexical retrieval + classifier-evaluation layer (round 10)
+    case "search" :: dir :: out :: Nil =>
+      write(queries.PipelineQueries.p112Bm25(spark, dir), out)
+    case "classifier-auc" :: dir :: out :: Nil =>
+      write(queries.PipelineQueries.p113Auc(spark, dir), out)
+    case "ppl-buckets" :: dir :: out :: Nil =>
+      write(queries.PipelineQueries.p114PplBuckets(spark, dir), out)
+    case "domain-cap" :: dir :: out :: Nil =>
+      write(queries.PipelineQueries.p115DomainCap(spark, dir), out)
+    case "collocations" :: dir :: out :: Nil =>
+      write(queries.PipelineQueries.p116Pmi(spark, dir), out)
+    case "train-classifier" :: dir :: out :: Nil =>
+      write(queries.PipelineQueries.p117LrClassifier(spark, dir), out)
+
     // bloom-prefiltered idempotent ingest: the zero-shuffle scale path
     // of ingest-dedup. The sketch is sized from input FILE BYTES, not a
     // corpus count pass: sizing only tunes the sketch (positives are
@@ -1003,6 +1017,21 @@ object Cli {
       val snapshot = Tables.read(spark, dir, "documents")
       drainDocJob(streaming.StreamingJobs.tokenize(stream, snapshot), out)
       println(s"""{"stream_tokenize":"$out"}""")
+
+    // BM25 search at ingest: arriving docs play queries against the
+    // static corpus through the PERSISTED impact-scored index (corpus
+    // work happens once at index build, never per micro-batch); same
+    // drain/window discipline as stream-perplexity. Top-k ranking is
+    // a trivial batch sort downstream of the emitted scores.
+    case "stream-search" :: dir :: out :: Nil =>
+      val stream = stagedDocStream(spark, dir, out)
+      val snapshot = Tables.read(spark, dir, "documents")
+      val index = pipeline.Retrieval.impactIndex(snapshot, "doc_id",
+        "text").persist()
+      try drainDocJob(streaming.StreamingJobs.bm25Search(stream, index,
+        watermarkDelay = "0 seconds", windowDuration = "1 minute"), out)
+      finally index.unpersist()
+      println(s"""{"stream_search":"$out"}""")
 
     // unigram tokenization at ingest: cost map trained in batch on the
     // static snapshot, the stream segmented by the stateless Viterbi

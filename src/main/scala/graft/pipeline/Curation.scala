@@ -1507,4 +1507,286 @@ object Curation {
       .select(col(idCol) +: carry.map(col) ++: Seq(col("cls"),
         col("n_tokens"), col("llr_micro"), col("pred")): _*)
   }
+
+  // --------------------------------------------- classifier evaluation
+
+  /** Exact ROC-AUC of a scored, binary-labeled table via the
+    * Mann-Whitney U statistic — the number a curation run reports to
+    * certify that a quality scorer actually separates good from bad
+    * documents before its threshold gates a 100-TB corpus.
+    *
+    * AUC = P(score⁺ > score⁻) + ½·P(score⁺ = score⁻); with integer
+    * scores this is exact rational arithmetic: group rows by score
+    * (one shuffle, distinct-score-sized output), order the groups
+    * once, and accumulate U₂ = Σ_s n⁺_s · (2·cumNeg(<s) + n⁻_s) —
+    * twice the U statistic, an exact int64. The output is one row
+    * (`auc_micro = U₂·10⁶ div 2n⁺n⁻`); the only ordered window runs
+    * over the DISTINCT SCORES, not the corpus, so at 100 TB the sort
+    * input is bounded by score cardinality (≤10⁶ for micro-floored
+    * scores in [0, 1]).
+    */
+  def rocAuc(scored: DataFrame, scoreCol: String,
+      clsCol: String): DataFrame = {
+    val byScore = scored.groupBy(col(scoreCol).as("s"))
+      .agg(sum(col(clsCol)).as("np"),
+        (count(lit(1)) - sum(col(clsCol))).as("nn"))
+    val w = Window.orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byScore
+      .withColumn("cum_nn", sum(col("nn")).over(w) - col("nn"))
+      .agg(sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"),
+        sum(col("np") * (col("cum_nn") * 2 + col("nn"))).as("u2"))
+      .select(col("n_pos"), col("n_neg"), col("u2"),
+        expr("(u2 * 1000000) div (2 * n_pos * n_neg)").as("auc_micro"))
+  }
+
+  // ------------------------------------------- perplexity partition
+
+  /** CCNet's head/middle/tail perplexity partition (Wenzek et al.
+    * 2020 §4.3): within each language, rank documents by their
+    * self-trained Kneser-Ney bigram perplexity and cut into terciles
+    * — "head" is the most-fluent third a pretraining run keeps
+    * outright, "tail" the third it drops or down-samples. Returns the
+    * per-(group, bucket) rollup (doc/token mass and the perplexity
+    * range) — the dataset-card view of the partition.
+    *
+    * The tercile is rank-based (`ntile` over (nll, id) — fully
+    * ordered, so deterministic), not threshold-based: identical
+    * semantics in any engine, no quantile-interpolation drift. Scale
+    * shape: scoring is [[knBigramLogLoss]] (vocab-sized broadcasts +
+    * one bigram join); the ntile window shuffles one compact row per
+    * document keyed by language — the rollup shares that exchange.
+    */
+  def perplexityBuckets(df: DataFrame, idCol: String, textCol: String,
+      groupCol: String, vocabSize: Int): DataFrame =
+    perplexityBucketsPlan(knBigramLogLoss(df, idCol, textCol, vocabSize),
+      df.select(col(idCol), col(groupCol)), idCol, groupCol)
+
+  /** Lazy rollup of [[perplexityBuckets]] over a prepared per-document
+    * KN score frame (split out so Bench can fingerprint the full
+    * shape past the checkpointed scorer).
+    */
+  private[graft] def perplexityBucketsPlan(kn: DataFrame,
+      groups: DataFrame, idCol: String, groupCol: String): DataFrame = {
+    val nt = ntile(3).over(Window.partitionBy(col(groupCol))
+      .orderBy(col("avg_nll_micro"), col(idCol)))
+    kn.join(groups, Seq(idCol))
+      .withColumn("bucket",
+        when(nt === 1, "head").when(nt === 2, "middle")
+          .otherwise("tail"))
+      .groupBy(col(groupCol), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        min(col("avg_nll_micro")).as("min_nll_micro"),
+        max(col("avg_nll_micro")).as("max_nll_micro"))
+  }
+
+  // ------------------------------------------------- per-domain caps
+
+  /** Per-domain document caps — RefinedWeb/Dolma-style source
+    * balancing: within each source, rank documents by
+    * (quality DESC, id) and keep at most `cap`, so no single domain
+    * dominates the mixture however large its crawl. Returns the
+    * per-source rollup (docs and token mass kept vs dropped) — the
+    * number the card reports, with the kept set recoverable as
+    * `rank <= cap`.
+    *
+    * Scale shape: one window shuffle keyed by source over compact
+    * (id, score, n_toks) rows — the rollup shares the exchange. A
+    * skewed mega-domain is exactly the case [[graft.operators.Skew]]
+    * salts; at 100 TB the rank would ride a pre-bucketed source
+    * layout.
+    */
+  def domainCap(df: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, cap: Int,
+      scoreMicro: Column): DataFrame = {
+    require(cap > 0, "cap must be positive")
+    val ranked = df.select(col(idCol), col(sourceCol),
+        size(TF.tokens(col(textCol))).cast("long").as("n_toks"),
+        scoreMicro.as("score_micro"))
+      .withColumn("rank", row_number().over(Window
+        .partitionBy(col(sourceCol))
+        .orderBy(col("score_micro").desc, col(idCol))))
+    ranked.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("rank") <= cap, 1L).otherwise(0L)).as("n_kept"),
+        sum(col("n_toks")).as("toks_total"),
+        sum(when(col("rank") <= cap, col("n_toks")).otherwise(0L))
+          .as("toks_kept"))
+  }
+
+  // ------------------------------------------------- collocations
+
+  /** Top bigram collocations by pointwise mutual information —
+    * corpus phrase mining (Church & Hanks 1990): PMI(x,y) =
+    * ln( (c_xy/B) / ((c_x/T)·(c_y/T)) ) over adjacent token pairs,
+    * with a minimum pair count to suppress the low-count PMI
+    * explosion. The standard first look at what multi-word units a
+    * tokenizer should keep whole.
+    *
+    * Determinism: all counts are exact int64; the PMI is ONE
+    * fixed-order double expression per surviving pair, floored to
+    * micro-nats; ranking ties break on the pair itself. Scale shape:
+    * one bigram-count shuffle (map-side combined) + a unigram count
+    * joined twice (token-keyed equi-joins, AQE handles head-word
+    * skew); the single-row totals broadcast; top-k is a
+    * TakeOrderedAndProject, not a global sort.
+    */
+  def pmiCollocations(df: DataFrame, idCol: String, textCol: String,
+      minCount: Long, topK: Int): DataFrame = {
+    val occ = bigramOccurrences(df, idCol, textCol)
+    graft.core.Caching.withCached(occ)(
+      pmiCollocationsPlan(occ, minCount, topK))
+  }
+
+  /** Lazy plan of [[pmiCollocations]] over a prepared bigram
+    * occurrence frame (which feeds the unigram, bigram, and total
+    * counts — hence the cache bracket in the public entry). Split out
+    * so Bench can fingerprint it.
+    */
+  private[graft] def pmiCollocationsPlan(occ: DataFrame,
+      minCount: Long, topK: Int): DataFrame = {
+    val uni = occ.groupBy(col("cur").as("tok"))
+      .agg(count(lit(1)).as("cu"))
+    val tot = uni.agg(sum("cu").as("t"))
+    val bg = occ.filter(col("prev").isNotNull)
+      .groupBy("prev", "cur").agg(count(lit(1)).as("cxy"))
+      .filter(col("cxy") >= minCount)
+    val btot = occ.filter(col("prev").isNotNull)
+      .agg(count(lit(1)).as("bt"))
+    val pmi = log(
+      (col("cxy").cast("double") / col("bt").cast("double")) /
+        ((col("cx").cast("double") / col("t").cast("double")) *
+          (col("cy").cast("double") / col("t").cast("double"))))
+    val scored = bg
+      .join(uni.select(col("tok").as("prev"), col("cu").as("cx")),
+        Seq("prev"))
+      .join(uni.select(col("tok").as("cur"), col("cu").as("cy")),
+        Seq("cur"))
+      .crossJoin(broadcast(tot)).crossJoin(broadcast(btot))
+      .select(col("prev").as("tok_a"), col("cur").as("tok_b"),
+        col("cxy").as("n_pair"),
+        floor(pmi * lit(1e6)).cast("long").as("pmi_micro"))
+      .orderBy(col("pmi_micro").desc, col("tok_a"), col("tok_b"))
+      .limit(topK)
+    scored.withColumn("rank", row_number().over(Window
+        .orderBy(col("pmi_micro").desc, col("tok_a"), col("tok_b")))
+        .cast("long"))
+      .select(col("rank"), col("tok_a"), col("tok_b"), col("n_pair"),
+        col("pmi_micro"))
+  }
+
+  // -------------------------------------- logistic-regression scorer
+
+  /** Integer floor-division helper mirrored exactly by the oracle's
+    * `(a - ((a % m) + m) % m) // m`: floor semantics for negative
+    * numerators in BOTH engines (Spark `div` truncates, DuckDB `//`
+    * floors only sometimes — so neither raw operator is portable).
+    * The subtraction makes the numerator exactly divisible, after
+    * which any division semantics agree.
+    */
+  private def floorDiv(a: Column, m: Column): Column =
+    ((a - pmod(a, m)) / m).cast("long")
+
+  /** Logistic-regression quality classifier trained by `iters` rounds
+    * of full-batch gradient descent over hashed binary unigram
+    * features, with the three-gate funnel as weak labels — the
+    * gradient-trained sibling of [[nbClassifier]] (the fastText-style
+    * learned filter of the LLaMA/CCNet recipes, linearized). Returns
+    * one row per document: (id, cls, n_feats, z_micro, pred).
+    *
+    * Every quantity that crosses rows is an exact integer, so the
+    * whole trajectory replays bit-for-bit in any engine: weights live
+    * in micro units (int64); per-document margins are integer sums of
+    * weights; the sigmoid is ONE scalar double op per document whose
+    * residual is floored back to micro before the gradient sum; the
+    * weight update is an exact floor-division by (n·`lrDen`)
+    * (learning rate 1/`lrDen`, starting from w = 0).
+    *
+    * Scale shape: the weight vector (≤`buckets` rows of exact ints)
+    * lives ON THE DRIVER between rounds — the [[Similarity]] k-means
+    * move — so every round is an INDEPENDENT flat plan of two
+    * shuffles: the gradient rollup keyed by bucket (≤`buckets` rows
+    * out, map-side combined, weight-sized collect) and the margin
+    * rollup keyed by document (int payloads only, against the
+    * literal-weight broadcast). Chaining rounds as one lazy plan
+    * would re-derive every earlier round once per use — the
+    * exponential-lineage trap the BPE trainer documents. The doc
+    * count rides the gradient plan as a single-row broadcast (no
+    * driver `count()` pre-pass). At 100 TB the fit would run on a
+    * label sample ([[stratifiedSample]]) and the final
+    * broadcast-scoring pass over the full corpus, exactly like
+    * [[nbCostTables]].
+    */
+  def logisticRegression(df: DataFrame, idCol: String, textCol: String,
+      buckets: Int, iters: Int, lrDen: Int = 4,
+      profile: GateProfile = GateProfile.published): DataFrame = {
+    val labeled = funnelLabels(df, idCol, textCol, profile = profile)
+      .select(col(idCol), col("cls"),
+        explode(array_distinct(transform(TF.tokens(col(textCol)),
+          t => TF.hash60(t) % buckets))).as("bucket"))
+    graft.core.Caching.withCached(labeled)(
+      logisticRegressionPlan(labeled, idCol, iters, lrDen))
+  }
+
+  /** The trained weight table of [[logisticRegression]]: runs the
+    * gradient rounds EAGERLY (one weight-sized collect per round,
+    * driver-held state between rounds) over a prepared labeled
+    * feature-presence frame and returns (bucket, w) in micro units.
+    */
+  private[graft] def lrWeights(labeled: DataFrame, idCol: String,
+      iters: Int, lrDen: Int): Seq[(Long, Long)] = {
+    require(iters > 0, "iters must be positive")
+    val spark = labeled.sparkSession
+    import spark.implicits._
+    val lab = labeled.groupBy(col(idCol)).agg(max(col("cls")).as("cls"))
+    val feats = labeled.select(col(idCol), col("bucket"))
+    val m = lab.agg((count(lit(1)) * lrDen).as("m"))
+    // residual at w = 0: sigmoid(0) − cls, in micro units
+    var resid = lab.select(col(idCol),
+      (lit(500000L) - col("cls") * lit(1000000L)).as("r"))
+    var w = Map.empty[Long, Long]
+    for (t <- 1 to iters) {
+      val grad = feats.join(resid, Seq(idCol))
+        .groupBy(col("bucket")).agg(sum(col("r")).as("g"))
+      val delta = grad.crossJoin(broadcast(m))
+        .select(col("bucket"), (-floorDiv(col("g"), col("m"))).as("d"))
+        .as[(Long, Long)].collect()
+      w = delta.foldLeft(w) { case (acc, (b, d)) =>
+        acc + (b -> (acc.getOrElse(b, 0L) + d))
+      }
+      if (t < iters) {
+        val wDf = w.toSeq.sortBy(_._1).toDF("bucket", "w")
+        val z = feats.join(broadcast(wDf), Seq("bucket"))
+          .groupBy(col(idCol)).agg(sum(col("w")).as("z"))
+        val sigma = lit(1.0) /
+          (lit(1.0) + exp(-(col("z").cast("double") / lit(1e6))))
+        resid = lab.join(z, Seq(idCol)).select(col(idCol),
+          floor((sigma - col("cls").cast("double")) * 1e6)
+            .cast("long").as("r"))
+      }
+    }
+    w.toSeq.sortBy(_._1)
+  }
+
+  /** Scoring plan of [[logisticRegression]]: trains via [[lrWeights]]
+    * (eager, weight-sized collects) and returns the LAZY final
+    * broadcast-scoring pass over the literal trained weights — the
+    * plan Bench fingerprints.
+    */
+  private[graft] def logisticRegressionPlan(labeled: DataFrame,
+      idCol: String, iters: Int, lrDen: Int): DataFrame = {
+    val spark = labeled.sparkSession
+    import spark.implicits._
+    val wDf = lrWeights(labeled, idCol, iters, lrDen)
+      .toDF("bucket", "w")
+    val lab = labeled.groupBy(col(idCol)).agg(max(col("cls")).as("cls"))
+    val zf = labeled.select(col(idCol), col("bucket"))
+      .join(broadcast(wDf), Seq("bucket"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_feats"), sum(col("w")).as("z_micro"))
+    lab.join(zf, Seq(idCol))
+      .select(col(idCol), col("cls"), col("n_feats"), col("z_micro"),
+        when(col("z_micro") > 0, 1L).otherwise(0L).as("pred"))
+  }
 }

@@ -1,0 +1,193 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{TextFunctions => TF}
+
+/** Full-text retrieval over the document corpus: a distributed
+  * inverted index and Okapi BM25 ranking (Robertson & Zaragoza 2009,
+  * with Lucene's non-negative `ln(1 + (N - df + 0.5)/(df + 0.5))`
+  * idf). This is the text-side sibling of the embedding ANN stack in
+  * [[Similarity]]: where ANN retrieves by dense cosine, BM25 retrieves
+  * by sparse lexical match — the first stage of every
+  * retrieval-augmented data pipeline (nearest-neighbor decontamination
+  * by lexical overlap, hard-negative mining for embedding training,
+  * corpus search behind an annotation UI).
+  *
+  * Determinism across engines (the oracle contract): document
+  * frequencies, term frequencies, and document lengths are exact
+  * integers; `idf` and the length-normalized tf part are computed in
+  * ONE fixed operation order as scalar doubles from those integers;
+  * each (query, term, doc) contribution is floored to integer
+  * micro-points BEFORE the per-(query, doc) sum, so the score is an
+  * exact int64 accumulation — no cross-row double sums anywhere. Ties
+  * in the top-k window break on `doc_id`.
+  *
+  * Scale shape (the 100-TB story):
+  *  - the inverted index is ONE token-count shuffle with map-side
+  *    combine (`postings`: tok → (doc, tf)); at scale it would be
+  *    written bucketed BY tok so query joins co-locate without a
+  *    further exchange;
+  *  - query terms are a (|Q|·terms)-row table — broadcast onto the
+  *    postings scan, so candidate generation is a map-side semi-join
+  *    (no corpus-side exchange keyed by anything but tok);
+  *  - per-term document frequencies are computed AFTER the query-term
+  *    prune, so the df table is bounded by the query vocabulary, not
+  *    the corpus vocabulary;
+  *  - corpus stats (N, Σdl) are a single-row broadcast, never a
+  *    driver-side collect;
+  *  - the only corpus-candidate-scale exchange is the final
+  *    per-(query, doc) score rollup + per-query top-k window, keyed by
+  *    query_id — one shuffle, both steps share it.
+  */
+object Retrieval {
+
+  /** BM25 free parameters; defaults are the Robertson/Lucene
+    * standards (k1=1.2 saturation, b=0.75 length normalization).
+    */
+  final case class Bm25Params(k1: Double = 1.2, b: Double = 0.75)
+
+  /** The fitted index: `postings(tok, doc_id, tf)`,
+    * `doclen(doc_id, dl)`, single-row `stats(nd, sdl)`.
+    */
+  final case class Bm25Index(postings: DataFrame, doclen: DataFrame,
+      stats: DataFrame)
+
+  /** Build the inverted index from a document table. One shuffle for
+    * the postings (map-side combined token counts), one single-row
+    * aggregate for the corpus stats; document lengths are a
+    * zero-exchange projection over the same scan.
+    */
+  def bm25Index(docs: DataFrame, idCol: String, textCol: String): Bm25Index = {
+    val doclen = docs.select(col(idCol).as("doc_id"),
+      size(TF.tokens(col(textCol))).cast("long").as("dl"))
+    val postings = docs
+      .select(col(idCol).as("doc_id"),
+        explode(TF.tokens(col(textCol))).as("tok"))
+      .groupBy("tok", "doc_id").agg(count(lit(1)).as("tf"))
+    val stats = doclen.agg(count(lit(1)).as("nd"), sum("dl").as("sdl"))
+    Bm25Index(postings, doclen, stats)
+  }
+
+  /** Distinct (query_id, tok) pairs from a query table — the
+    * broadcast side of the candidate join. Repeated query terms count
+    * once (standard bag-of-words BM25 with binary query tf).
+    */
+  def queryTerms(queries: DataFrame, qidCol: String,
+      qtextCol: String): DataFrame =
+    queries.select(col(qidCol).as("query_id"),
+        explode(TF.tokens(col(qtextCol))).as("tok"))
+      .distinct()
+
+  /** Per-(query, doc) BM25 scores in integer micro-points.
+    *
+    * The candidate join broadcasts the query-term table onto the
+    * postings; df is counted over the PRUNED postings (exact — the
+    * prune is by term, and df is a per-term count), so the df/idf
+    * side stays query-vocabulary-sized and broadcasts back onto the
+    * candidates.
+    */
+  def bm25Scores(index: Bm25Index, qTerms: DataFrame,
+      p: Bm25Params = Bm25Params()): DataFrame = {
+    val hits = index.postings.join(
+      broadcast(qTerms.select("tok").distinct()), Seq("tok"))
+    bm25ScoresFromHits(index, hits, qTerms, p)
+  }
+
+  /** The per-(term, doc) BM25 contribution in integer micro-points,
+    * over in-scope `tf, df, dl, nd, sdl` columns — ONE fixed
+    * operation order, shared by the batch scorer and the
+    * [[impactIndex]] so their floors agree bit-for-bit.
+    */
+  private def contribMicro(p: Bm25Params): Column = {
+    val avgdl = col("sdl").cast("double") / col("nd").cast("double")
+    val idf = log(lit(1.0) +
+      (col("nd").cast("double") - col("df").cast("double") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5)))
+    val norm = col("tf").cast("double") * lit(p.k1 + 1) /
+      (col("tf").cast("double") +
+        lit(p.k1) * (lit(1 - p.b) +
+          lit(p.b) * (col("dl").cast("double") / avgdl)))
+    floor(idf * norm * lit(1e6)).cast("long")
+  }
+
+  /** [[bm25Scores]] over a prepared candidate-hit frame. `hits` feeds
+    * BOTH the df rollup and the scoring join, so eager callers
+    * bracket it with [[graft.core.Caching.withCached]] — otherwise
+    * the postings shuffle runs twice.
+    *
+    * df is counted over the PRUNED postings — exact, because the
+    * prune is per-term and df is a per-term count — so the idf side
+    * stays query-vocabulary-sized.
+    */
+  private[graft] def bm25ScoresFromHits(index: Bm25Index,
+      hits: DataFrame, qTerms: DataFrame, p: Bm25Params): DataFrame = {
+    val df = hits.groupBy("tok")
+      .agg(count(lit(1)).as("df"))
+    hits
+      .join(broadcast(qTerms), Seq("tok"))
+      .join(broadcast(df), Seq("tok"))
+      .join(index.doclen, Seq("doc_id"))
+      .crossJoin(broadcast(index.stats))
+      .withColumn("contrib_micro", contribMicro(p))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("contrib_micro")).as("score_micro"))
+  }
+
+  /** The impact-scored inverted index: every (tok, doc_id) with its
+    * FULL precomputed BM25 contribution — the impact-ordered-index
+    * move (Anh & Moffat 2006; Lucene's impacts): since idf and length
+    * normalization are query-independent, the whole per-term score is
+    * baked into the index, and serving a query reduces to an equi-join
+    * on its terms plus an integer sum. This is the static side the
+    * streaming search twin joins each micro-batch against — corpus
+    * work happens ONCE at index build (the caller persists the
+    * result; see [[graft.streaming.StreamingJobs.bm25Search]]), never
+    * per batch.
+    */
+  def impactIndex(docs: DataFrame, idCol: String, textCol: String,
+      p: Bm25Params = Bm25Params()): DataFrame = {
+    val index = bm25Index(docs, idCol, textCol)
+    val df = index.postings.groupBy("tok").agg(count(lit(1)).as("df"))
+    index.postings
+      .join(df, Seq("tok"))
+      .join(index.doclen, Seq("doc_id"))
+      .crossJoin(broadcast(index.stats))
+      .select(col("tok"), col("doc_id"),
+        contribMicro(p).as("contrib_micro"))
+  }
+
+  /** Per-query top-k ranking over a score frame; the window shares
+    * the score rollup's query-keyed exchange.
+    */
+  private[graft] def rankTopK(scored: DataFrame, k: Int): DataFrame =
+    scored
+      .withColumn("rank", row_number().over(Window
+          .partitionBy(col("query_id"))
+          .orderBy(col("score_micro").desc, col("doc_id")))
+        .cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        col("n_terms"), col("score_micro"))
+
+  /** End-to-end BM25 search: index the corpus, score every query
+    * against it, keep the top `k` documents per query by
+    * (score DESC, doc_id). The candidate-hit frame is cache-bracketed
+    * (it feeds the df rollup and the scoring join), so the postings
+    * shuffle runs ONCE.
+    */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, qidCol: String, qtextCol: String, k: Int,
+      p: Bm25Params = Bm25Params()): DataFrame = {
+    require(k > 0, "k must be positive")
+    val index = bm25Index(docs, idCol, textCol)
+    val qTerms = queryTerms(queries, qidCol, qtextCol)
+    val hits = index.postings.join(
+      broadcast(qTerms.select("tok").distinct()), Seq("tok"))
+    graft.core.Caching.withCached(hits)(
+      rankTopK(bm25ScoresFromHits(index, hits, qTerms, p), k))
+  }
+}

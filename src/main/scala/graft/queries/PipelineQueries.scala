@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Tables
 import graft.operators.{ConnectedComponents, Sessionize}
-import graft.pipeline.{Bpe, Curation, Dedup, Ingest, Multimodal, Similarity, TextFunctions => TF}
+import graft.pipeline.{Bpe, Curation, Dedup, Ingest, Multimodal, Retrieval, Similarity, TextFunctions => TF}
 
 /** Beyond-reference data-pipeline queries (dedup, similarity search,
   * text analysis, multimodal, event sessionization) over the driver's
@@ -1642,6 +1642,81 @@ object PipelineQueries {
       docs.filter(col("doc_id") % 10 =!= 7), "doc_id", "text", L = 8)
   }
 
+  /** BM25 top-10 retrieval (p112): every 40th document's first four
+    * tokens play a query batch against the full corpus through the
+    * distributed inverted index ([[Retrieval.bm25TopK]]) — the
+    * sparse-lexical sibling of the p05 dense top-k. The oracle refits
+    * the index (postings, df over query terms, corpus stats) and
+    * replays idf, length normalization, the per-term micro floors,
+    * and the ranking window.
+    */
+  def p112Bm25(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val queries = docs.filter(col("doc_id") % 40 === 0)
+      .select(col("doc_id").as("query_id"),
+        concat_ws(" ", slice(TF.tokens(col("text")), 1, 4)).as("qtext"))
+    Retrieval.bm25TopK(docs, "doc_id", "text",
+      queries, "query_id", "qtext", k = 10)
+  }
+
+  /** Classifier ROC-AUC (p113): exact Mann-Whitney AUC of the p81
+    * Naive-Bayes scorer's margin against its own funnel training
+    * labels ([[Curation.rocAuc]]) — the one-row separation
+    * certificate a curation run reads before the classifier's
+    * threshold gates a corpus. The oracle refits the classifier and
+    * replays the U-statistic accumulation over score groups.
+    */
+  def p113Auc(s: SparkSession, dir: String): DataFrame =
+    Curation.rocAuc(
+      Curation.nbClassifier(t(s, dir, "documents"), "doc_id", "text",
+        vocabSize = 500, profile = Curation.GateProfile.wordSalad),
+      "llr_micro", "cls")
+
+  /** CCNet perplexity partition (p114): per-language head/middle/tail
+    * terciles by self-trained Kneser-Ney perplexity
+    * ([[Curation.perplexityBuckets]]) — the Wenzek et al. 2020 bucket
+    * assignment as a dataset-card rollup. The oracle replays the KN
+    * scoring and the rank-based ntile.
+    */
+  def p114PplBuckets(s: SparkSession, dir: String): DataFrame =
+    Curation.perplexityBuckets(t(s, dir, "documents"), "doc_id", "text",
+      "lang", vocabSize = 500)
+
+  /** Per-domain caps (p115): RefinedWeb-style source balancing — keep
+    * the top 15 documents per source by (p09 quality DESC, id),
+    * reported as the per-source kept/dropped doc and token mass
+    * ([[Curation.domainCap]]). The oracle replays the score, the
+    * per-source ranking window, and the rollup.
+    */
+  def p115DomainCap(s: SparkSession, dir: String): DataFrame =
+    Curation.domainCap(scoredDocs(t(s, dir, "documents")), "doc_id",
+      "text", "source", cap = 15, col("score_micro"))
+
+  /** PMI collocations (p116): top-100 adjacent-pair collocations by
+    * pointwise mutual information at pair count ≥ 5
+    * ([[Curation.pmiCollocations]]) — corpus phrase mining over the
+    * p82 bigram machinery. The oracle replays the count tables and
+    * the fixed-order PMI floor.
+    */
+  def p116Pmi(s: SparkSession, dir: String): DataFrame =
+    Curation.pmiCollocations(t(s, dir, "documents"), "doc_id", "text",
+      minCount = 5L, topK = 100)
+
+  /** Logistic-regression quality classifier (p117): twelve rounds of
+    * exact-integer full-batch gradient descent over 64 hashed binary
+    * unigram features, funnel weak labels, unit learning rate
+    * ([[Curation.logisticRegression]]) — the gradient-trained sibling
+    * of p81, reaching ~0.89 label agreement vs the 0.64 base rate at
+    * both sf0.001 and sf0.01 (hyperparameters picked by replaying the
+    * exact integer trajectory offline). The oracle replays the whole
+    * trajectory (residuals, gradients, floor-division weight updates)
+    * iteration by iteration.
+    */
+  def p117LrClassifier(s: SparkSession, dir: String): DataFrame =
+    Curation.logisticRegression(t(s, dir, "documents"), "doc_id",
+      "text", buckets = 64, iters = 12, lrDen = 1,
+      profile = Curation.GateProfile.wordSalad)
+
   /** Iterated DoReMi (p110): the p92 update applied once more —
     * round-1 weights become capped acceptance rates, the corpus
     * resamples deterministically, the KN reference refits, and
@@ -2015,6 +2090,52 @@ object PipelineQueries {
           explode(graft.pipeline.TextFunctions.tokens(col("text")))
             .as("tok")),
         "doc_id", vocabSize = 500, carry = Seq("source")))
+    }),
+    "p112_bm25" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val queries = docs.filter(col("doc_id") % 40 === 0)
+        .select(col("doc_id").as("query_id"),
+          concat_ws(" ", slice(TF.tokens(col("text")), 1, 4)).as("qtext"))
+      val index = Retrieval.bm25Index(docs, "doc_id", "text")
+      val qT = Retrieval.queryTerms(queries, "query_id", "qtext")
+      val hits = index.postings.join(
+        broadcast(qT.select("tok").distinct()), Seq("tok"))
+      Retrieval.rankTopK(
+        Retrieval.bm25ScoresFromHits(index, hits, qT,
+          Retrieval.Bm25Params()), k = 10)
+    }),
+    "p113_auc" -> ((s, dir) => {
+      val labels = Curation.funnelLabels(t(s, dir, "documents"), "doc_id",
+        "text", profile = Curation.GateProfile.wordSalad)
+      Curation.rocAuc(Curation.nbClassifierPlan(
+        labels.select(col("doc_id"), col("cls"),
+          explode(graft.pipeline.TextFunctions.tokens(col("text")))
+            .as("tok")),
+        "doc_id", vocabSize = 500), "llr_micro", "cls")
+    }),
+    "p114_ppl_buckets" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Curation.perplexityBucketsPlan(
+        Curation.knBigramLogLossPlan(
+          Curation.bigramOccurrences(docs, "doc_id", "text"),
+          "doc_id", vocabSize = 500, minBigramCount = 1L),
+        docs.select(col("doc_id"), col("lang")), "doc_id", "lang")
+    }),
+    "p116_pmi" -> ((s, dir) =>
+      Curation.pmiCollocationsPlan(
+        Curation.bigramOccurrences(t(s, dir, "documents"), "doc_id",
+          "text"),
+        minCount = 5L, topK = 100)),
+    "p117_lr_classifier" -> ((s, dir) => {
+      val labels = Curation.funnelLabels(t(s, dir, "documents"), "doc_id",
+        "text", profile = Curation.GateProfile.wordSalad)
+      Curation.logisticRegressionPlan(
+        labels.select(col("doc_id"), col("cls"),
+          explode(array_distinct(transform(
+            graft.pipeline.TextFunctions.tokens(col("text")),
+            tk => graft.pipeline.TextFunctions.hash60(tk) % 64)))
+            .as("bucket")),
+        "doc_id", iters = 12, lrDen = 1)
     }))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2116,6 +2237,12 @@ object PipelineQueries {
     "p109_zipf_fit" -> p109ZipfFit _,
     "p110_domain_mix_iter" -> p110DomainMixIter _,
     "p111_novelty" -> p111Novelty _,
+    "p112_bm25" -> p112Bm25 _,
+    "p113_auc" -> p113Auc _,
+    "p114_ppl_buckets" -> p114PplBuckets _,
+    "p115_domain_cap" -> p115DomainCap _,
+    "p116_pmi" -> p116Pmi _,
+    "p117_lr_classifier" -> p117LrClassifier _,
     "p50_temp_mix" -> p50TempMix _,
     "p51_hard_negatives" -> p51HardNegatives _,
     "p52_ivf_trained" -> p52IvfTrained _,
@@ -3263,6 +3390,133 @@ object PipelineQueries {
     s"""WITH ${oDomainMixCtes("", "documents")}
        |SELECT * FROM res""".stripMargin
 
+  /** BM25 refit from scratch: postings/doclen/stats, query terms from
+    * every `everyNth` document's first `qTerms` tokens, df over the
+    * query-pruned postings, and the exact micro-floored per-term
+    * contributions of [[Retrieval.bm25Scores]] — same operation order
+    * as the Spark expressions, so the floors agree bit-for-bit.
+    */
+  private def oBm25(k1: Double, b: Double, everyNth: Int, qTerms: Int,
+      topK: Int): String = {
+    val avgdl = "(CAST(st.sdl AS DOUBLE) / CAST(st.nd AS DOUBLE))"
+    val idf = "ln(1.0 + (CAST(st.nd AS DOUBLE) - CAST(f.df AS DOUBLE)" +
+      " + 0.5) / (CAST(f.df AS DOUBLE) + 0.5))"
+    val norm = s"(CAST(p.tf AS DOUBLE) * ${k1 + 1}" +
+      s" / (CAST(p.tf AS DOUBLE) + $k1 * (${1 - b}" +
+      s" + $b * (CAST(d.dl AS DOUBLE) / $avgdl))))"
+    s"""WITH base AS (SELECT doc_id, $oToks AS toks FROM documents),
+       |dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl
+       |       FROM base),
+       |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd,
+       |         CAST(SUM(dl) AS BIGINT) AS sdl FROM dl),
+       |post AS (
+       |  SELECT tok, doc_id, COUNT(*) AS tf
+       |  FROM (SELECT doc_id, unnest(toks) AS tok FROM base)
+       |  GROUP BY tok, doc_id),
+       |qt AS (
+       |  SELECT doc_id AS query_id, toks[i] AS tok
+       |  FROM (SELECT doc_id, toks,
+       |          unnest(generate_series(1, least(len(toks), $qTerms)))
+       |            AS i
+       |        FROM base WHERE doc_id % $everyNth = 0)
+       |  GROUP BY 1, 2),
+       |dfq AS (
+       |  SELECT p.tok, COUNT(*) AS df FROM post p
+       |  WHERE p.tok IN (SELECT DISTINCT tok FROM qt)
+       |  GROUP BY p.tok),
+       |sc AS (
+       |  SELECT q.query_id, p.doc_id, COUNT(*) AS n_terms,
+       |    SUM(CAST(FLOOR($idf * $norm * 1000000.0) AS BIGINT))
+       |      AS score_micro
+       |  FROM post p
+       |  JOIN qt q ON p.tok = q.tok
+       |  JOIN dfq f ON p.tok = f.tok
+       |  JOIN dl d ON p.doc_id = d.doc_id
+       |  CROSS JOIN st
+       |  GROUP BY q.query_id, p.doc_id),
+       |rk AS (
+       |  SELECT query_id, doc_id, n_terms, score_micro,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY score_micro DESC, doc_id) AS rank
+       |  FROM sc)
+       |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id,
+       |  CAST(n_terms AS BIGINT) AS n_terms, score_micro
+       |FROM rk WHERE rank <= $topK""".stripMargin
+  }
+
+  /** Logistic-regression trajectory replay: the funnel-label CTEs (as
+    * oNbClassifier), distinct hashed feature presences, and `iters`
+    * generated rounds of (gradient, floor-division weight update,
+    * margin, floored sigmoid residual) — mirroring
+    * [[Curation.logisticRegressionPlan]] round for round. All
+    * cross-row arithmetic is int64; the `(g - ((g % m) + m) % m) // m`
+    * dance makes the division exact so truncating and flooring
+    * engines agree.
+    */
+  private def oLrClassifier(buckets: Int, iters: Int,
+      lrDen: Int): String = {
+    def sigma(z: String) =
+      s"1.0 / (1.0 + exp(-(CAST($z AS DOUBLE) / 1000000.0)))"
+    def fdiv(g: String) =
+      s"(($g - ((($g) % nd.m) + nd.m) % nd.m) // nd.m)"
+    val sb = new StringBuilder
+    sb.append(s"""WITH g AS (${oGopherRules(minWords = 20, minStop = 1)}),
+      |c AS (${oC4Lines(minLineWords = 3, requirePunct = false,
+               minSentences = 0)}),
+      |q AS (${oracle0("p09_quality")}),
+      |lab AS MATERIALIZED (
+      |  SELECT d.doc_id,
+      |    CAST(CASE WHEN q.score >= 0.5 THEN 1 ELSE 0 END
+      |         * g.keep * c.page_keep AS BIGINT) AS cls
+      |  FROM documents d
+      |  JOIN g ON d.doc_id = g.doc_id
+      |  JOIN c ON d.doc_id = c.doc_id
+      |  JOIN q ON d.doc_id = q.doc_id),
+      |feats AS MATERIALIZED (
+      |  SELECT DISTINCT doc_id, ${oHash("tok")} % $buckets AS bucket
+      |  FROM (SELECT doc_id, unnest($oToks) AS tok FROM documents)),
+      |nd AS MATERIALIZED (SELECT COUNT(*) * $lrDen AS m FROM lab),
+      |r0 AS MATERIALIZED (SELECT doc_id, 500000 - cls * 1000000 AS r
+      |  FROM lab)""")
+    for (t <- 1 to iters) {
+      sb.append(s""",
+        |g$t AS MATERIALIZED (
+        |  SELECT f.bucket, SUM(r.r) AS g
+        |  FROM feats f JOIN r${t - 1} r ON f.doc_id = r.doc_id
+        |  GROUP BY f.bucket),""")
+      if (t == 1)
+        sb.append(s"""
+          |w1 AS MATERIALIZED (
+          |  SELECT bucket, -${fdiv("g")} AS w FROM g1, nd)""")
+      else
+        sb.append(s"""
+          |w$t AS MATERIALIZED (
+          |  SELECT w.bucket, w.w - ${fdiv("g.g")} AS w
+          |  FROM w${t - 1} w JOIN g$t g ON w.bucket = g.bucket, nd)""")
+      if (t < iters)
+        sb.append(s""",
+          |z$t AS MATERIALIZED (
+          |  SELECT f.doc_id, SUM(w.w) AS z
+          |  FROM feats f JOIN w$t w ON f.bucket = w.bucket
+          |  GROUP BY f.doc_id),
+          |r$t AS MATERIALIZED (
+          |  SELECT l.doc_id,
+          |    CAST(FLOOR((${sigma("z.z")} - l.cls) * 1000000)
+          |      AS BIGINT) AS r
+          |  FROM lab l JOIN z$t z ON l.doc_id = z.doc_id)""")
+    }
+    sb.append(s"""
+      |SELECT l.doc_id, l.cls, CAST(COUNT(*) AS BIGINT) AS n_feats,
+      |  CAST(SUM(w.w) AS BIGINT) AS z_micro,
+      |  CAST(CASE WHEN SUM(w.w) > 0 THEN 1 ELSE 0 END AS BIGINT)
+      |    AS pred
+      |FROM feats f
+      |JOIN w$iters w ON f.bucket = w.bucket
+      |JOIN lab l ON f.doc_id = l.doc_id
+      |GROUP BY l.doc_id, l.cls""")
+    sb.toString.stripMargin
+  }
+
   def oracle: Map[String, String] =
     oracle0 + ("p56_ann_recall" -> oAnnRecall) +
       ("p66_quality_funnel" -> oQualityFunnel) +
@@ -3401,7 +3655,98 @@ object PipelineQueries {
            |  CAST(SUM(CASE WHEN nb.cls = 1 AND nb.pred = 0
            |           THEN 1 ELSE 0 END) AS BIGINT) AS n_rejected
            |FROM nb JOIN documents d ON nb.doc_id = d.doc_id
-           |GROUP BY d.source ORDER BY d.source""".stripMargin)
+           |GROUP BY d.source ORDER BY d.source""".stripMargin) +
+      ("p112_bm25" -> oBm25(k1 = 1.2, b = 0.75, everyNth = 40,
+        qTerms = 4, topK = 10)) +
+      ("p113_auc" ->
+        s"""WITH nb AS (${oNbClassifier}),
+           |bys AS (
+           |  SELECT llr_micro AS s, SUM(cls) AS np,
+           |    COUNT(*) - SUM(cls) AS nn
+           |  FROM nb GROUP BY llr_micro),
+           |cm AS (
+           |  SELECT s, np, nn,
+           |    SUM(nn) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED
+           |      PRECEDING AND CURRENT ROW) - nn AS cum_nn
+           |  FROM bys),
+           |ag AS (
+           |  SELECT SUM(np) AS n_pos, SUM(nn) AS n_neg,
+           |    SUM(np * (cum_nn * 2 + nn)) AS u2
+           |  FROM cm)
+           |SELECT CAST(n_pos AS BIGINT) AS n_pos,
+           |  CAST(n_neg AS BIGINT) AS n_neg, CAST(u2 AS BIGINT) AS u2,
+           |  (u2 * 1000000) // (2 * n_pos * n_neg) AS auc_micro
+           |FROM ag""".stripMargin) +
+      ("p114_ppl_buckets" ->
+        s"""WITH kn AS (SELECT * FROM ($oKnBigram)),
+           |j AS (
+           |  SELECT kn.doc_id, kn.n_tokens, kn.avg_nll_micro, d.lang,
+           |    NTILE(3) OVER (PARTITION BY d.lang
+           |      ORDER BY kn.avg_nll_micro, kn.doc_id) AS nt
+           |  FROM kn JOIN documents d ON kn.doc_id = d.doc_id)
+           |SELECT lang,
+           |  CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+           |    ELSE 'tail' END AS bucket,
+           |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           |  CAST(MIN(avg_nll_micro) AS BIGINT) AS min_nll_micro,
+           |  CAST(MAX(avg_nll_micro) AS BIGINT) AS max_nll_micro
+           |FROM j GROUP BY lang, bucket""".stripMargin) +
+      ("p115_domain_cap" ->
+        s"""WITH $oScoreCtes,
+           |nt AS (
+           |  SELECT doc_id, source, CAST(len($oToks) AS BIGINT)
+           |    AS n_toks
+           |  FROM documents),
+           |r AS (
+           |  SELECT n.source, n.n_toks, q.score_micro,
+           |    ROW_NUMBER() OVER (PARTITION BY n.source
+           |      ORDER BY q.score_micro DESC, n.doc_id) AS rank
+           |  FROM nt n JOIN q ON n.doc_id = q.doc_id)
+           |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |  CAST(SUM(CASE WHEN rank <= 15 THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_kept,
+           |  CAST(SUM(n_toks) AS BIGINT) AS toks_total,
+           |  CAST(SUM(CASE WHEN rank <= 15 THEN n_toks ELSE 0 END)
+           |    AS BIGINT) AS toks_kept
+           |FROM r GROUP BY source""".stripMargin) +
+      ("p116_pmi" ->
+        s"""WITH base AS (SELECT doc_id, $oToks AS toks FROM documents),
+           |occ AS (
+           |  SELECT doc_id, toks[i] AS cur,
+           |    CASE WHEN i > 1 THEN toks[i - 1] END AS prev
+           |  FROM (SELECT doc_id, toks,
+           |          unnest(generate_series(1, len(toks))) AS i
+           |        FROM base)),
+           |uni AS (SELECT cur AS tok, COUNT(*) AS cu FROM occ
+           |        GROUP BY cur),
+           |tot AS (SELECT SUM(cu) AS t FROM uni),
+           |bg AS (
+           |  SELECT prev, cur, COUNT(*) AS cxy FROM occ
+           |  WHERE prev IS NOT NULL GROUP BY prev, cur
+           |  HAVING COUNT(*) >= 5),
+           |bt AS (SELECT COUNT(*) AS bt FROM occ
+           |       WHERE prev IS NOT NULL),
+           |sc AS (
+           |  SELECT b.prev AS tok_a, b.cur AS tok_b, b.cxy AS n_pair,
+           |    CAST(FLOOR(ln(
+           |      (CAST(b.cxy AS DOUBLE) / CAST(bt.bt AS DOUBLE))
+           |      / ((CAST(ux.cu AS DOUBLE) / CAST(tot.t AS DOUBLE))
+           |         * (CAST(uy.cu AS DOUBLE) / CAST(tot.t AS DOUBLE))))
+           |      * 1000000.0) AS BIGINT) AS pmi_micro
+           |  FROM bg b
+           |  JOIN uni ux ON b.prev = ux.tok
+           |  JOIN uni uy ON b.cur = uy.tok
+           |  CROSS JOIN tot CROSS JOIN bt),
+           |rk AS (
+           |  SELECT sc.*, ROW_NUMBER() OVER (ORDER BY pmi_micro DESC,
+           |    tok_a, tok_b) AS rank
+           |  FROM sc)
+           |SELECT CAST(rank AS BIGINT) AS rank, tok_a, tok_b, n_pair,
+           |  pmi_micro
+           |FROM rk WHERE rank <= 100""".stripMargin) +
+      ("p117_lr_classifier" ->
+        oLrClassifier(buckets = 64, iters = 12, lrDen = 1))
 
   private lazy val oracle0: Map[String, String] = Map(
     "p01_exact_dedup" ->

@@ -206,6 +206,41 @@ object StreamingJobs {
         col("n_tokens"), col("nll_micro"), col("avg_nll_micro"))
   }
 
+  /** BM25 search at stream ingest — the streaming twin of p112:
+    * queries arrive as a document stream (`doc_id` plays the query
+    * id, `text` the query) and retrieve from a STATIC corpus through
+    * the impact-scored inverted index
+    * ([[graft.pipeline.Retrieval.impactIndex]] — per-(term, doc)
+    * contributions fully precomputed, the Lucene-impacts move). Each
+    * micro-batch explodes the query's distinct terms, stream-static
+    * equi-joins the index on the term, and sums exact integer
+    * contributions per (event-time window, query, doc) — identical
+    * arithmetic to the batch scorer, so results are bit-equal.
+    *
+    * `index` must be the PERSISTED impact index: it is a static side
+    * Spark re-plans per micro-batch, and persisting turns the
+    * per-batch corpus scan into a cache read (the caller owns the
+    * block — the CLI drain unpersists after the run). Top-k ranking
+    * stays batch-side: a per-query rank is a global decision within
+    * the window, cheap downstream of the emitted scores.
+    */
+  def bm25Search(queries: DataFrame, index: DataFrame,
+      watermarkDelay: String = "1 hour",
+      windowDuration: String = "1 hour"): DataFrame = {
+    val TF = graft.pipeline.TextFunctions
+    val qt = queries.withWatermark("ts", watermarkDelay)
+      .select(col("ts"), col("doc_id").as("query_id"),
+        explode(array_distinct(TF.tokens(col("text")))).as("tok"))
+    qt.join(index, Seq("tok"))
+      .groupBy(window(col("ts"), windowDuration), col("query_id"),
+        col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("contrib_micro")).as("score_micro"))
+      .select(unix_micros(col("window.start")).as("ws_us"),
+        col("query_id"), col("doc_id"), col("n_terms"),
+        col("score_micro"))
+  }
+
   /** DSIR importance weighting at stream ingest — the streaming twin
     * of p90's scoring stage. The hashed-n-gram importance model is
     * fit in batch over the funnel-labeled reference snapshot

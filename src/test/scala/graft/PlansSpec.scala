@@ -450,4 +450,39 @@ class PlansSpec extends SparkSpec {
     assert(exchangeLines.nonEmpty, p)
     assert(!exchangeLines.exists(_.contains("seg#")), exchangeLines.mkString("\n"))
   }
+
+  test("bm25 broadcasts the query side; candidates never cross-join (p112)") {
+    // fingerprint the lazy twin (the public query checkpoints the
+    // cache-bracketed hit frame)
+    val p = plan(SparkEntry.benchPlans("p112_bm25")(spark, sf0001))
+    // query terms, df, and the corpus-stats single row all broadcast;
+    // the only BNLJ is the single-row stats crossJoin
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert("""\(\d+\) BroadcastNestedLoopJoin""".r.findAllIn(p).size <= 1, p)
+    // per-query ranking limits inside the window exchange
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("LR scoring joins the literal trained weights broadcast (p117)") {
+    val p = plan(SparkEntry.benchPlans("p117_lr_classifier")(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("ROC-AUC's ordered window runs over score groups, not the corpus (p113)") {
+    val p = plan(SparkEntry.benchPlans("p113_auc")(spark, sf0001))
+    // the single-partition sort feeds from the score-grouped
+    // aggregate: a Window whose child chain contains HashAggregate
+    val idx = p.indexOf("Window")
+    assert(idx >= 0, p)
+    assert(p.indexOf("HashAggregate", idx) > idx,
+      "window input is not the score-grouped aggregate\n" + p)
+  }
+
+  test("PMI top-k is per-partition heaps, not a global sort (p116)") {
+    val p = plan(SparkEntry.benchPlans("p116_pmi")(spark, sf0001))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }

@@ -1,0 +1,176 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{Curation, Retrieval}
+
+/** Functional checks for the round-10 retrieval/evaluation layer:
+  * BM25 search, exact ROC-AUC, perplexity terciles, per-domain caps,
+  * PMI collocations, and the gradient-trained LR quality classifier.
+  */
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ------------------------------------------------------------- BM25
+
+  test("bm25: rarer terms dominate, exact self-doc tops a disjoint corpus") {
+    // two disjoint vocabularies: a query drawn from doc 1 must rank
+    // docs 1,2 (its vocabulary) above 3,4 and score doc 1 highest —
+    // doc 1 holds MORE distinct query terms than doc 2
+    val docs = Seq(
+      (1L, "apple banana cherry durian"),
+      (2L, "apple banana plum plum plum plum plum plum"),
+      (3L, "wolf fox bear lynx"),
+      (4L, "wolf fox otter otter")).toDF("doc_id", "text")
+    val qs = Seq((1L, "apple banana cherry durian")).toDF("qid", "qtext")
+    val top = Retrieval.bm25TopK(docs, "doc_id", "text", qs, "qid",
+        "qtext", k = 10)
+      .orderBy("rank").select("doc_id", "score_micro")
+      .as[(Long, Long)].collect()
+    assert(top.map(_._1).toSeq == Seq(1L, 2L),
+      s"expected docs 1,2 only, got ${top.toSeq}")
+    assert(top(0)._2 > top(1)._2, "4/4 term match must outscore 2/4")
+  }
+
+  test("bm25: length normalization demotes the padded copy of an equal match") {
+    // same tf for the query term, one doc padded with filler: the
+    // longer document must score LOWER (b = 0.75)
+    val docs = Seq(
+      (1L, "target alpha"),
+      (2L, "target alpha filler filler filler filler filler filler"))
+      .toDF("doc_id", "text")
+    val qs = Seq((1L, "target")).toDF("qid", "qtext")
+    val top = Retrieval.bm25TopK(docs, "doc_id", "text", qs, "qid",
+        "qtext", k = 2)
+      .orderBy("rank").select("doc_id").as[Long].collect()
+    assert(top.toSeq == Seq(1L, 2L), top.toSeq.toString)
+  }
+
+  test("bm25 on the corpus: ranks contiguous, scores non-increasing, ties on id") {
+    val out = graft.queries.PipelineQueries.p112Bm25(spark, sf0001)
+      .collect().groupBy(_.getLong(0))
+    assert(out.nonEmpty)
+    for ((_, rows) <- out) {
+      val sorted = rows.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).toSeq == (1L to sorted.length).toSeq)
+      val scores = sorted.map(_.getLong(4))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+      // deterministic tie-break: equal scores ordered by doc_id
+      sorted.zip(sorted.tail).foreach { case (a, b) =>
+        if (a.getLong(4) == b.getLong(4))
+          assert(a.getLong(2) < b.getLong(2))
+      }
+    }
+  }
+
+  // ---------------------------------------------------------- ROC-AUC
+
+  test("rocAuc matches hand-computed U on separable, tied, and anti cases") {
+    def auc(rows: Seq[(Long, Long)]): (Long, Long, Long, Long) =
+      Curation.rocAuc(rows.toDF("score_micro", "cls"), "score_micro",
+          "cls")
+        .as[(Long, Long, Long, Long)].collect().head
+    // perfect separation: AUC 1
+    assert(auc(Seq((3L, 1L), (2L, 1L), (1L, 0L)))._4 == 1000000L)
+    // one inversion among 2x1 pairs: U = 1 -> AUC 0.5
+    assert(auc(Seq((3L, 1L), (2L, 0L), (1L, 1L)))._4 == 500000L)
+    // all tied: AUC exactly 0.5 via the half-credit term
+    assert(auc(Seq((5L, 1L), (5L, 0L), (5L, 1L), (5L, 0L)))._4 == 500000L)
+    // anti-separation: AUC 0
+    assert(auc(Seq((1L, 1L), (2L, 0L)))._4 == 0L)
+  }
+
+  test("nb classifier AUC on the corpus is strong (the p113 certificate)") {
+    val row = graft.queries.PipelineQueries.p113Auc(spark, sf0001)
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(row._1 > 0 && row._2 > 0)
+    assert(row._4 > 900000L, s"NB training AUC collapsed: ${row._4}")
+  }
+
+  // ----------------------------------------------- perplexity buckets
+
+  test("perplexity terciles partition each language into near-equal thirds") {
+    val docs = graft.core.Tables.read(spark, sf0001, "documents")
+    val out = Curation.perplexityBuckets(docs, "doc_id", "text", "lang",
+      vocabSize = 500)
+    val perLang = out.groupBy("lang")
+      .agg(sum("n_docs").as("n"), count(lit(1)).as("k"),
+        max("n_docs").as("mx"), min("n_docs").as("mn"))
+      .as[(String, Long, Long, Long, Long)].collect()
+    val langTotals = docs.groupBy("lang").count()
+      .as[(String, Long)].collect().toMap
+    for ((lang, n, k, mx, mn) <- perLang) {
+      assert(n == langTotals(lang), s"$lang lost docs")
+      assert(k == 3, s"$lang has $k buckets")
+      assert(mx - mn <= 1, s"$lang terciles uneven: $mn..$mx")
+    }
+    // head is the low-perplexity side: its max <= tail's min per lang
+    val byLang = out.collect().groupBy(_.getString(0))
+    for ((lang, rows) <- byLang) {
+      val m = rows.map(r => r.getString(1) -> r.getLong(5)).toMap
+      val mn = rows.map(r => r.getString(1) -> r.getLong(4)).toMap
+      assert(m("head") <= mn("tail"), s"$lang buckets out of order")
+    }
+  }
+
+  // ------------------------------------------------------ domain caps
+
+  test("domain cap keeps min(cap, n) docs and the highest-quality token mass") {
+    val docs = Seq(
+      (1L, "s1", "good good good", 900000L),
+      (2L, "s1", "bad", 100000L),
+      (3L, "s1", "mid mid", 500000L),
+      (4L, "s2", "only", 700000L)).toDF("doc_id", "source", "text", "sc")
+    val out = Curation.domainCap(docs, "doc_id", "text", "source",
+        cap = 2, col("sc"))
+      .orderBy("source")
+      .as[(String, Long, Long, Long, Long)].collect()
+    // s1: keeps docs 1 (3 toks) and 3 (2 toks), drops doc 2
+    assert(out(0) == (("s1", 3L, 2L, 6L, 5L)), out(0).toString)
+    // s2: under cap, everything kept
+    assert(out(1) == (("s2", 1L, 1L, 1L, 1L)), out(1).toString)
+  }
+
+  // ----------------------------------------------------- collocations
+
+  test("PMI surfaces a planted collocation above independent co-occurrence") {
+    // "rio grande" always adjacent (pair count = unigram count); the
+    // five fillers spread over four rotating slots, so their pair
+    // counts stay well below their unigram counts
+    val rows = (0 until 40).map { i =>
+      val f = (k: Int) => s"f$k"
+      (i.toLong, Seq("rio", "grande", f(i % 5), f((i * 3 + 1) % 5),
+        "rio", "grande", f((i * 7 + 2) % 5), f((i + 3) % 5))
+        .mkString(" "))
+    }
+    val out = Curation.pmiCollocations(rows.toDF("doc_id", "text"),
+        "doc_id", "text", minCount = 5L, topK = 10)
+      .orderBy("rank")
+      .select("tok_a", "tok_b").as[(String, String)].collect()
+    assert(out.head == (("rio", "grande")), out.toSeq.toString)
+  }
+
+  // -------------------------------------------- LR quality classifier
+
+  test("LR classifier beats the base rate against its own labels (p117)") {
+    val out = graft.queries.PipelineQueries.p117LrClassifier(spark, sf0001)
+      .select("cls", "pred").as[(Long, Long)].collect()
+    val acc = out.count { case (c, p) => c == p }.toDouble / out.length
+    val base = math.max(out.count(_._1 == 1L), out.count(_._1 == 0L))
+      .toDouble / out.length
+    assert(acc > base + 0.05, f"acc $acc%.3f vs base $base%.3f")
+    assert(out.forall { case (_, p) => p == 0L || p == 1L })
+  }
+
+  test("LR training leaves no cache entries and is deterministic") {
+    val docs = graft.core.Tables.read(spark, sf0001, "documents")
+    def run() = Curation.logisticRegression(docs, "doc_id", "text",
+        buckets = 64, iters = 4, lrDen = 1,
+        profile = Curation.GateProfile.wordSalad)
+      .orderBy("doc_id").select("z_micro").as[Long].collect().toSeq
+    val a = run()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "LR left persisted intermediates behind")
+    assert(a == run(), "LR trajectory is not deterministic")
+  }
+}

@@ -895,4 +895,44 @@ class StreamingSpec extends SparkSpec {
       assert(pairs == Set((1L, 2L)), s"got $pairs")
     } finally q.stop()
   }
+
+  test("streaming BM25 search equals batch scores through the impact index") {
+    implicit val sqlCtx = spark.sqlContext
+    val R = graft.pipeline.Retrieval
+    val ref = Seq(
+      (100L, "apple banana cherry"),
+      (101L, "apple banana plum plum plum plum"),
+      (102L, "wolf fox bear")).toDF("doc_id", "text")
+    val index = R.impactIndex(ref, "doc_id", "text").persist()
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val queries = mem.toDF().toDF("doc_id", "text", "ts")
+    val q = StreamingJobs.bm25Search(queries, index)
+      .writeStream.format("memory").queryName("bm25_s")
+      .outputMode("append").start()
+    try {
+      def ts(s: String) = Timestamp.valueOf(s)
+      val rows = Seq(
+        (1L, "apple banana", ts("2024-01-01 00:10:00")),
+        (2L, "wolf wolf banana", ts("2024-01-01 00:20:00")),  // dup query term counts once
+        (3L, "zz unseen", ts("2024-01-01 00:40:00")))         // no hits -> no rows
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      mem.addData((99L, "apple", ts("2024-01-02 12:00:00")))  // closes the window
+      q.processAllAvailable()
+      val streamed = spark.table("bm25_s")
+        .select("query_id", "doc_id", "n_terms", "score_micro")
+        .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+      // batch twin through the OTHER path: df-pruned scoring
+      val batch = R.bm25Scores(R.bm25Index(ref, "doc_id", "text"),
+          R.queryTerms(rows.toDF("query_id", "text", "ts"),
+            "query_id", "text"))
+        .select("query_id", "doc_id", "n_terms", "score_micro")
+        .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+      assert(streamed == batch, s"\n$streamed\nvs\n$batch")
+      assert(streamed.map(_._1).distinct == Seq(1L, 2L), "doc 3 must miss")
+      // doc 101 is longer: for query 1 the shorter 100 must outscore it
+      val q1 = streamed.filter(_._1 == 1L).map(r => r._2 -> r._4).toMap
+      assert(q1(100L) > q1(101L))
+    } finally { q.stop(); index.unpersist() }
+  }
 }
