@@ -161,6 +161,65 @@ object Bpe {
       .toDF("it", "lhs", "rhs", "pair_count"), words)
   }
 
+  /** WordPiece merge training (Schuster & Nakajima 2012; the BERT
+    * tokenizer's rule): identical greedy merge machinery to
+    * [[trainWithVocab]], but each round's winner maximizes the
+    * LIKELIHOOD RATIO count(lr) / (count(l)·count(r)) instead of the
+    * raw pair count — merging the pair that most exceeds its
+    * independence expectation. The ratio is compared as the exact
+    * integer `pc·10¹² div (c_l·c_r)` (ties break on the pair), so the
+    * whole trajectory replays bit-for-bit in the oracle; at a corpus
+    * scale where `pc·10¹²` could overflow int64 (pc ≳ 9·10⁶ — recall
+    * pc is bounded by corpus TOKEN count, so a 100-TB run trains on
+    * a [[Curation.stratifiedSample]] like every tokenizer trainer),
+    * the quotient would move to a double with documented tie
+    * semantics.
+    *
+    * Per round, beyond the BPE pair count: one vocab-sized symbol
+    * rollup (explode + sum) joined twice onto the pair table — all
+    * zero-corpus-exchange jobs over the checkpointed word table, with
+    * the same two-live-tables checkpoint discipline as the BPE
+    * trainer. Output adds the winning `score_q12` per round.
+    */
+  def trainWordPiece(docs: DataFrame, textCol: String,
+      nMerges: Int): DataFrame = {
+    require(nMerges > 0, "nMerges must be positive")
+    val spark = docs.sparkSession
+    var words = wordTable(docs, textCol).localCheckpoint()
+    var prev: DataFrame = null
+    val merges = Seq.newBuilder[(Long, String, String, Long, Long)]
+    var it = 1
+    var exhausted = false
+    while (it <= nMerges && !exhausted) {
+      val sc = words
+        .select(explode(col("syms")).as("sym"), col("cnt"))
+        .groupBy("sym").agg(sum(col("cnt")).as("sc"))
+      val top = pairCounts(words)
+        .join(sc.select(col("sym").as("l"), col("sc").as("cl")), Seq("l"))
+        .join(sc.select(col("sym").as("r"), col("sc").as("cr")), Seq("r"))
+        .withColumn("score",
+          expr("pc * 1000000000000 div (cl * cr)"))
+        .orderBy(desc("score"), asc("l"), asc("r"))
+        .select(col("l"), col("r"), col("pc"), col("score"))
+        .limit(1).collect()
+      if (prev != null) { releaseVocab(prev); prev = null }
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r, pc, s) = (top(0).getString(0), top(0).getString(1),
+          top(0).getLong(2), top(0).getLong(3))
+        merges += ((it.toLong, l, r, pc, s))
+        prev = words
+        words = applyMerge(words, lit(l), lit(r))
+          .localCheckpoint(eager = false)
+        it += 1
+      }
+    }
+    if (prev != null) { words.count(); releaseVocab(prev) }
+    releaseVocab(words)
+    spark.createDataFrame(merges.result())
+      .toDF("it", "lhs", "rhs", "pair_count", "score_q12")
+  }
+
   /** TOKENIZE with a trained merge table — the other half of the
     * tokenizer lifecycle (train ships the merges; encode applies
     * them). Merges are replayed in training order over the

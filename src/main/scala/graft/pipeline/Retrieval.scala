@@ -173,6 +173,45 @@ object Retrieval {
       .select(col("query_id"), col("rank"), col("doc_id"),
         col("n_terms"), col("score_micro"))
 
+  /** Reciprocal-rank fusion of two ranked candidate lists (Cormack,
+    * Clarke & Buettcher 2009): rrf(d) = Σ 1/(k₀ + rankᵢ(d)) over the
+    * systems that retrieved d — the standard way to combine sparse
+    * (BM25) and dense (embedding) retrieval without score
+    * calibration, since only RANKS enter the fusion. Contributions
+    * are the exact integers `10⁶ div (k₀ + rank)` (a document missing
+    * from one list contributes 0, its reported rank is 0), so the
+    * fused ordering replays exactly in any engine; ties break on the
+    * doc id.
+    *
+    * Scale shape: both inputs are already top-k'd per query —
+    * query-cardinality-sized, NOT corpus-sized — so the full-outer
+    * join and the fusion window share one exchange keyed by query.
+    */
+  def rrfFuse(sparse: DataFrame, dense: DataFrame, k0: Int,
+      topK: Int): DataFrame = {
+    require(k0 > 0 && topK > 0, "k0 and topK must be positive")
+    val s = sparse.select(col("query_id"), col("doc_id"),
+      col("rank").as("rank_sparse"))
+    val d = dense.select(col("query_id"), col("doc_id"),
+      col("rank").as("rank_dense"))
+    val fused = s.join(d, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf_micro",
+        (when(col("rank_sparse").isNull, 0L)
+          .otherwise(expr(s"1000000 div ($k0 + rank_sparse)"))) +
+        (when(col("rank_dense").isNull, 0L)
+          .otherwise(expr(s"1000000 div ($k0 + rank_dense)"))))
+    fused
+      .withColumn("rank", row_number().over(Window
+          .partitionBy(col("query_id"))
+          .orderBy(col("rrf_micro").desc, col("doc_id")))
+        .cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        coalesce(col("rank_sparse"), lit(0L)).as("rank_sparse"),
+        coalesce(col("rank_dense"), lit(0L)).as("rank_dense"),
+        col("rrf_micro"))
+  }
+
   /** End-to-end BM25 search: index the corpus, score every query
     * against it, keep the top `k` documents per query by
     * (score DESC, doc_id). The candidate-hit frame is cache-bracketed

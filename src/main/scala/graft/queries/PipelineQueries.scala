@@ -91,6 +91,15 @@ object PipelineQueries {
       s"SELECT CAST($k AS BIGINT) AS it, l AS lhs, r AS rhs, " +
         s"pc AS pair_count FROM win$k").mkString("\nUNION ALL\n")
 
+  /** [[oBpeTrain]] with the WordPiece winner rule (likelihood-ratio
+    * argmax) — the p118 trajectory replay.
+    */
+  private def oWordPieceTrain(n: Int): String =
+    oBpeCtes(n, wordPiece = true) + "\n" + (1 to n).map(k =>
+      s"SELECT CAST($k AS BIGINT) AS it, l AS lhs, r AS rhs, " +
+        s"pc AS pair_count, score AS score_q12 FROM win$k")
+      .mkString("\nUNION ALL\n")
+
   /** The shared replay chain (w0..wN): each round counts pairs, picks
     * the winner, and re-segments. `m$$k` LEFT-joins the (≤1-row)
     * winner so rounds past pair exhaustion carry the word table
@@ -98,7 +107,7 @@ object PipelineQueries {
     * replay reads the `win$$k`s, the encode replay reads the final
     * `w$$N` segmentation.
     */
-  private def oBpeCtes(n: Int): String = {
+  private def oBpeCtes(n: Int, wordPiece: Boolean = false): String = {
     val sb = new StringBuilder
     sb.append(
       s"""WITH w0 AS MATERIALIZED (
@@ -110,6 +119,24 @@ object PipelineQueries {
          |  GROUP BY word)""".stripMargin)
     for (k <- 1 to n) {
       val p = k - 1
+      // winner rule: BPE takes the raw pair-count argmax; WordPiece
+      // normalizes by the symbol counts (likelihood ratio, exact
+      // integer quotient) — the only difference between the replays
+      val winner =
+        if (wordPiece)
+          s"""sc$k AS MATERIALIZED (
+             |  SELECT sym, CAST(SUM(cnt) AS BIGINT) AS sc FROM (
+             |    SELECT cnt, unnest(syms) AS sym FROM w$p)
+             |  GROUP BY sym),
+             |win$k AS MATERIALIZED (
+             |  SELECT l, r, pc,
+             |    (pc * 1000000000000) // (a.sc * b.sc) AS score
+             |  FROM c$k JOIN sc$k a ON l = a.sym JOIN sc$k b ON r = b.sym
+             |  ORDER BY score DESC, l, r LIMIT 1),""".stripMargin
+        else
+          s"""win$k AS MATERIALIZED (
+             |  SELECT l, r, pc FROM c$k ORDER BY pc DESC, l, r LIMIT 1),"""
+            .stripMargin
       sb.append(
         s""",
            |c$k AS MATERIALIZED (
@@ -119,8 +146,7 @@ object PipelineQueries {
            |        unnest(generate_series(1, len(syms) - 1)) AS pos
            |      FROM w$p WHERE len(syms) >= 2))
            |  GROUP BY l, r),
-           |win$k AS MATERIALIZED (
-           |  SELECT l, r, pc FROM c$k ORDER BY pc DESC, l, r LIMIT 1),
+           |$winner
            |m$k AS MATERIALIZED (
            |  SELECT word, cnt, syms, pos,
            |    CASE WHEN pos < len(syms) AND syms[pos] = win.l
@@ -1717,6 +1743,34 @@ object PipelineQueries {
       "text", buckets = 64, iters = 12, lrDen = 1,
       profile = Curation.GateProfile.wordSalad)
 
+  /** WordPiece merge training (p118): the BERT tokenizer's
+    * likelihood-ratio merge rule run to pair exhaustion over the same
+    * machinery as the p71 BPE trainer ([[Bpe.trainWordPiece]]) —
+    * completing the tokenizer-family set (BPE p71/p75, unigram
+    * p87/p88, WordPiece here). The oracle replays the whole
+    * trajectory with the normalized winner rule, so a pass certifies
+    * every merge decision AND its exact-integer score.
+    */
+  def p118Wordpiece(s: SparkSession, dir: String): DataFrame =
+    Bpe.trainWordPiece(t(s, dir, "documents"), "text", nMerges = 100)
+
+  /** Hybrid retrieval (p119): the p112 BM25 top-10 fused with the
+    * dense cosine top-10 over the SAME query ids (doc_id ↔ vec_id) by
+    * reciprocal-rank fusion at k₀ = 60 ([[Retrieval.rrfFuse]]) — the
+    * modern sparse+dense serving stack as one plan. The oracle
+    * replays both retrievers AND the exact-integer fusion.
+    */
+  def p119HybridRrf(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val sparse = p112Bm25(s, dir)
+      .select(col("query_id"), col("doc_id"), col("rank"))
+    val dense = Similarity.topK(emb,
+        emb.filter(col("vec_id") % 40 === 0), "vec_id", "embedding",
+        k = 10)
+      .select(col("query_id"), col("cand_id").as("doc_id"), col("rank"))
+    Retrieval.rrfFuse(sparse, dense, k0 = 60, topK = 10)
+  }
+
   /** Iterated DoReMi (p110): the p92 update applied once more —
     * round-1 weights become capped acceptance rates, the corpus
     * resamples deterministically, the KN reference refits, and
@@ -2243,6 +2297,8 @@ object PipelineQueries {
     "p115_domain_cap" -> p115DomainCap _,
     "p116_pmi" -> p116Pmi _,
     "p117_lr_classifier" -> p117LrClassifier _,
+    "p118_wordpiece" -> p118Wordpiece _,
+    "p119_hybrid_rrf" -> p119HybridRrf _,
     "p50_temp_mix" -> p50TempMix _,
     "p51_hard_negatives" -> p51HardNegatives _,
     "p52_ivf_trained" -> p52IvfTrained _,
@@ -3397,7 +3453,17 @@ object PipelineQueries {
     * as the Spark expressions, so the floors agree bit-for-bit.
     */
   private def oBm25(k1: Double, b: Double, everyNth: Int, qTerms: Int,
-      topK: Int): String = {
+      topK: Int): String =
+    s"""${oBm25Ctes(k1, b, everyNth, qTerms)}
+       |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id,
+       |  CAST(n_terms AS BIGINT) AS n_terms, score_micro
+       |FROM rk WHERE rank <= $topK""".stripMargin
+
+  /** The [[oBm25]] chain up to the ranked candidates (`rk`) — shared
+    * with the p119 fusion oracle.
+    */
+  private def oBm25Ctes(k1: Double, b: Double, everyNth: Int,
+      qTerms: Int): String = {
     val avgdl = "(CAST(st.sdl AS DOUBLE) / CAST(st.nd AS DOUBLE))"
     val idf = "ln(1.0 + (CAST(st.nd AS DOUBLE) - CAST(f.df AS DOUBLE)" +
       " + 0.5) / (CAST(f.df AS DOUBLE) + 0.5))"
@@ -3438,10 +3504,7 @@ object PipelineQueries {
        |  SELECT query_id, doc_id, n_terms, score_micro,
        |    ROW_NUMBER() OVER (PARTITION BY query_id
        |      ORDER BY score_micro DESC, doc_id) AS rank
-       |  FROM sc)
-       |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id,
-       |  CAST(n_terms AS BIGINT) AS n_terms, score_micro
-       |FROM rk WHERE rank <= $topK""".stripMargin
+       |  FROM sc)""".stripMargin
   }
 
   /** Logistic-regression trajectory replay: the funnel-label CTEs (as
@@ -3746,7 +3809,45 @@ object PipelineQueries {
            |  pmi_micro
            |FROM rk WHERE rank <= 100""".stripMargin) +
       ("p117_lr_classifier" ->
-        oLrClassifier(buckets = 64, iters = 12, lrDen = 1))
+        oLrClassifier(buckets = 64, iters = 12, lrDen = 1)) +
+      ("p118_wordpiece" -> oWordPieceTrain(100)) +
+      ("p119_hybrid_rrf" ->
+        s"""${oBm25Ctes(k1 = 1.2, b = 0.75, everyNth = 40, qTerms = 4)},
+           |bm AS (SELECT query_id, doc_id, rank FROM rk
+           |       WHERE rank <= 10),
+           |qv AS (SELECT vec_id AS query_id, embedding AS qe
+           |       FROM embeddings WHERE vec_id % 40 = 0),
+           |cscored AS (
+           |  SELECT query_id, e.vec_id AS cand_id,
+           |    ${oCos("qe", "e.embedding")} AS sim
+           |  FROM embeddings e, qv WHERE e.vec_id != query_id),
+           |dn AS (
+           |  SELECT query_id, doc_id, rank FROM (
+           |    SELECT query_id, cand_id AS doc_id,
+           |      ROW_NUMBER() OVER (PARTITION BY query_id
+           |        ORDER BY sim DESC, cand_id ASC) AS rank
+           |    FROM cscored)
+           |  WHERE rank <= 10),
+           |f AS (
+           |  SELECT COALESCE(b.query_id, d.query_id) AS query_id,
+           |    COALESCE(b.doc_id, d.doc_id) AS doc_id,
+           |    COALESCE(b.rank, 0) AS rank_sparse,
+           |    COALESCE(d.rank, 0) AS rank_dense,
+           |    (CASE WHEN b.rank IS NULL THEN 0
+           |          ELSE 1000000 // (60 + b.rank) END)
+           |    + (CASE WHEN d.rank IS NULL THEN 0
+           |            ELSE 1000000 // (60 + d.rank) END) AS rrf_micro
+           |  FROM bm b FULL OUTER JOIN dn d
+           |    ON b.query_id = d.query_id AND b.doc_id = d.doc_id),
+           |rk2 AS (
+           |  SELECT f.*, ROW_NUMBER() OVER (PARTITION BY query_id
+           |    ORDER BY rrf_micro DESC, doc_id) AS rank
+           |  FROM f)
+           |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id,
+           |  CAST(rank_sparse AS BIGINT) AS rank_sparse,
+           |  CAST(rank_dense AS BIGINT) AS rank_dense,
+           |  CAST(rrf_micro AS BIGINT) AS rrf_micro
+           |FROM rk2 WHERE rank <= 10""".stripMargin)
 
   private lazy val oracle0: Map[String, String] = Map(
     "p01_exact_dedup" ->

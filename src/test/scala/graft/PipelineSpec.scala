@@ -998,6 +998,60 @@ class PipelineSpec extends SparkSpec {
     assert(got == exp)
   }
 
+  test("wordpiece trainer matches a brute-force likelihood-ratio loop") {
+    // single-node reference: same pair counting, winner maximizes the
+    // exact integer pc*1e12 / (c_l * c_r) with (l, r) tie-break
+    def brute(corpus: Seq[String],
+        n: Int): Seq[(Long, String, String, Long, Long)] = {
+      var words: Map[List[String], Long] = corpus
+        .flatMap(_.trim.split("\\s+")).filter(_.nonEmpty)
+        .groupBy(identity).map { case (w, ws) =>
+          (w.map(_.toString).toList, ws.size.toLong) }
+      val out = Seq.newBuilder[(Long, String, String, Long, Long)]
+      var it = 1L
+      var stop = false
+      while (it <= n && !stop) {
+        val pc = scala.collection.mutable.Map[(String, String), Long]()
+        val sc = scala.collection.mutable.Map[String, Long]()
+        for ((syms, c) <- words) {
+          for (p <- syms.zip(syms.tail)) pc(p) = pc.getOrElse(p, 0L) + c
+          for (sym <- syms) sc(sym) = sc.getOrElse(sym, 0L) + c
+        }
+        if (pc.isEmpty) stop = true
+        else {
+          val scored = pc.map { case ((l, r), c) =>
+            ((l, r), c, c * 1000000000000L / (sc(l) * sc(r))) }
+          val ((l, r), c, q) = scored.minBy { case ((l, r), _, q) =>
+            (-q, l, r) }
+          out += ((it, l, r, c, q))
+          def merge(s: List[String]): List[String] = s match {
+            case a :: b :: rest if a == l && b == r => (a + b) :: merge(rest)
+            case a :: rest => a :: merge(rest)
+            case Nil => Nil
+          }
+          words = words.groupMapReduce { case (s, _) => merge(s) }(_._2)(_ + _)
+          it += 1
+        }
+      }
+      out.result()
+    }
+    val corpus = Seq("low lower lowest", "low low low!", "", "   ",
+      "newer newest news", "wide wider widest", "low lows",
+      "tokenizer vocabulary segmentation training",
+      "tokenizer training tokenizer vocabulary")
+    val docs = corpus.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val got = Bpe.trainWordPiece(docs, "text", nMerges = 40)
+      .as[(Long, String, String, Long, Long)].collect().toSeq.sortBy(_._1)
+    val exp = brute(corpus, 40)
+    assert(exp.size > 20)
+    assert(got == exp)
+    // the likelihood-ratio rule actually diverges from raw-count BPE
+    val bpe = Bpe.train(docs, "text", nMerges = 40)
+      .as[(Long, String, String, Long)].collect().toSeq.sortBy(_._1)
+    assert(got.map(m => (m._2, m._3)) != bpe.map(m => (m._2, m._3)))
+  }
+
   test("bpe trainer keeps at most two vocab tables live during a deep train") {
     val corpus = Seq("low lower lowest", "low low low!", "",
       "newer newest news", "wide wider widest", "low lows",

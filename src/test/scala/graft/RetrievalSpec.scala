@@ -63,6 +63,20 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("rrf fusion: overlap wins, single-list docs carry rank 0 on the other side") {
+    val sparse = Seq((1L, 10L, 1L), (1L, 20L, 2L)).toDF("query_id", "doc_id", "rank")
+    val dense = Seq((1L, 20L, 1L), (1L, 30L, 2L)).toDF("query_id", "doc_id", "rank")
+    val out = graft.pipeline.Retrieval.rrfFuse(sparse, dense, k0 = 60,
+        topK = 10)
+      .orderBy("rank")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    // d20 in both lists: 1e6/62 + 1e6/61; d10 sparse-only 1e6/61; d30 dense-only 1e6/62
+    assert(out == Seq(
+      (1L, 1L, 20L, 2L, 1L, 16129L + 16393L),
+      (1L, 2L, 10L, 1L, 0L, 16393L),
+      (1L, 3L, 30L, 0L, 2L, 16129L)), out.toString)
+  }
+
   // ---------------------------------------------------------- ROC-AUC
 
   test("rocAuc matches hand-computed U on separable, tied, and anti cases") {
