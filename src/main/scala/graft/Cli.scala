@@ -474,6 +474,14 @@ object Cli {
       write(queries.PipelineQueries.p116Pmi(spark, dir), out)
     case "train-classifier" :: dir :: out :: Nil =>
       write(queries.PipelineQueries.p117LrClassifier(spark, dir), out)
+    case "wordpiece-train" :: dir :: out :: Nil =>
+      write(queries.PipelineQueries.p118Wordpiece(spark, dir), out)
+    case "hybrid-search" :: dir :: out :: Nil =>
+      write(queries.PipelineQueries.p119HybridRrf(spark, dir), out)
+    case "prf-search" :: dir :: out :: Nil =>
+      write(queries.PipelineQueries.p120Prf(spark, dir), out)
+    case "entropy" :: dir :: out :: Nil =>
+      write(queries.PipelineQueries.p121Entropy(spark, dir), out)
 
     // bloom-prefiltered idempotent ingest: the zero-shuffle scale path
     // of ingest-dedup. The sketch is sized from input FILE BYTES, not a

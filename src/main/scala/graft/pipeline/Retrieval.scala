@@ -173,6 +173,53 @@ object Retrieval {
       .select(col("query_id"), col("rank"), col("doc_id"),
         col("n_terms"), col("score_micro"))
 
+  /** Two-pass BM25 with pseudo-relevance feedback (Rocchio 1971 /
+    * the RM-style expansion every classic IR stack ships): pass 1
+    * retrieves `fbDocs` documents per query; the terms of those
+    * documents — minus the original query terms — are ranked by
+    * their summed term frequency across the feedback set and the top
+    * `fbTerms` join the query; pass 2 re-retrieves with the expanded
+    * term set. All selection is exact-integer (tf sums, (score DESC,
+    * tok) ties), so the oracle replays both passes and the expansion
+    * choice.
+    *
+    * Scale shape: everything rides the machinery of [[bm25TopK]] —
+    * the one new exchange is feedback-term extraction, a broadcast
+    * semi-join of the postings against the (|Q|·fbDocs)-row feedback
+    * list (the "forward index" lookup), grouped on (query, term).
+    * Both candidate-hit frames are cache-bracketed.
+    */
+  def bm25Prf(docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, qidCol: String, qtextCol: String,
+      fbDocs: Int, fbTerms: Int, k: Int,
+      p: Bm25Params = Bm25Params()): DataFrame = {
+    require(fbDocs > 0 && fbTerms > 0 && k > 0,
+      "fbDocs, fbTerms, k must be positive")
+    val index = bm25Index(docs, idCol, textCol)
+    val qT = queryTerms(queries, qidCol, qtextCol)
+    val hits1 = index.postings.join(
+      broadcast(qT.select("tok").distinct()), Seq("tok"))
+    val pass1 = graft.core.Caching.withCached(hits1)(
+      rankTopK(bm25ScoresFromHits(index, hits1, qT, p), fbDocs))
+    val fbTermScores = index.postings
+      .join(broadcast(pass1.select(col("query_id"), col("doc_id"))),
+        Seq("doc_id"))
+      .join(qT, Seq("query_id", "tok"), "left_anti")
+      .groupBy(col("query_id"), col("tok"))
+      .agg(sum(col("tf")).as("fbscore"))
+    val expansion = fbTermScores
+      .withColumn("r", row_number().over(Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("fbscore").desc, col("tok"))))
+      .filter(col("r") <= fbTerms)
+      .select(col("query_id"), col("tok"))
+    val qT2 = qT.union(expansion).distinct()
+    val hits2 = index.postings.join(
+      broadcast(qT2.select("tok").distinct()), Seq("tok"))
+    graft.core.Caching.withCached(hits2)(
+      rankTopK(bm25ScoresFromHits(index, hits2, qT2, p), k))
+  }
+
   /** Reciprocal-rank fusion of two ranked candidate lists (Cormack,
     * Clarke & Buettcher 2009): rrf(d) = Σ 1/(k₀ + rankᵢ(d)) over the
     * systems that retrieved d — the standard way to combine sparse

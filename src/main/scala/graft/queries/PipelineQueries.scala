@@ -1771,6 +1771,30 @@ object PipelineQueries {
     Retrieval.rrfFuse(sparse, dense, k0 = 60, topK = 10)
   }
 
+  /** Pseudo-relevance-feedback retrieval (p120): the p112 queries run
+    * twice through [[Retrieval.bm25Prf]] — pass 1's top-3 documents
+    * donate their 5 highest-tf non-query terms, pass 2 retrieves with
+    * the expanded queries. The oracle replays both passes and the
+    * exact-integer expansion choice.
+    */
+  def p120Prf(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val queries = docs.filter(col("doc_id") % 40 === 0)
+      .select(col("doc_id").as("query_id"),
+        concat_ws(" ", slice(TF.tokens(col("text")), 1, 4)).as("qtext"))
+    Retrieval.bm25Prf(docs, "doc_id", "text", queries, "query_id",
+      "qtext", fbDocs = 3, fbTerms = 5, k = 10)
+  }
+
+  /** Entropy quality signals (p121): per-document character- and
+    * token-level Shannon entropy in micro-floored integer nats
+    * ([[Curation.entropyStats]]) — the gibberish/boilerplate band
+    * filter. The oracle replays both distributions and the per-term
+    * floors.
+    */
+  def p121Entropy(s: SparkSession, dir: String): DataFrame =
+    Curation.entropyStats(t(s, dir, "documents"), "doc_id", "text")
+
   /** Iterated DoReMi (p110): the p92 update applied once more —
     * round-1 weights become capped acceptance rates, the corpus
     * resamples deterministically, the KN reference refits, and
@@ -2299,6 +2323,8 @@ object PipelineQueries {
     "p117_lr_classifier" -> p117LrClassifier _,
     "p118_wordpiece" -> p118Wordpiece _,
     "p119_hybrid_rrf" -> p119HybridRrf _,
+    "p120_prf" -> p120Prf _,
+    "p121_entropy" -> p121Entropy _,
     "p50_temp_mix" -> p50TempMix _,
     "p51_hard_negatives" -> p51HardNegatives _,
     "p52_ivf_trained" -> p52IvfTrained _,
@@ -3811,6 +3837,77 @@ object PipelineQueries {
       ("p117_lr_classifier" ->
         oLrClassifier(buckets = 64, iters = 12, lrDen = 1)) +
       ("p118_wordpiece" -> oWordPieceTrain(100)) +
+      ("p120_prf" -> {
+        val idf2 = "ln(1.0 + (CAST(st.nd AS DOUBLE) - CAST(f.df" +
+          " AS DOUBLE) + 0.5) / (CAST(f.df AS DOUBLE) + 0.5))"
+        val norm2 = "(CAST(p.tf AS DOUBLE) * 2.2 / (CAST(p.tf AS" +
+          " DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(d.dl AS DOUBLE)" +
+          " / (CAST(st.sdl AS DOUBLE) / CAST(st.nd AS DOUBLE))))))"
+        s"""${oBm25Ctes(k1 = 1.2, b = 0.75, everyNth = 40, qTerms = 4)},
+           |fbdocs AS (SELECT query_id, doc_id FROM rk WHERE rank <= 3),
+           |fbt AS (
+           |  SELECT fd.query_id, p.tok, SUM(p.tf) AS fbscore
+           |  FROM fbdocs fd JOIN post p ON fd.doc_id = p.doc_id
+           |  WHERE NOT EXISTS (SELECT 1 FROM qt
+           |    WHERE qt.query_id = fd.query_id AND qt.tok = p.tok)
+           |  GROUP BY fd.query_id, p.tok),
+           |expn AS (
+           |  SELECT query_id, tok FROM (
+           |    SELECT query_id, tok, ROW_NUMBER() OVER (
+           |      PARTITION BY query_id
+           |      ORDER BY fbscore DESC, tok) AS r
+           |    FROM fbt)
+           |  WHERE r <= 5),
+           |qt2 AS (SELECT query_id, tok FROM qt
+           |        UNION SELECT query_id, tok FROM expn),
+           |dfq2 AS (
+           |  SELECT p.tok, COUNT(*) AS df FROM post p
+           |  WHERE p.tok IN (SELECT DISTINCT tok FROM qt2)
+           |  GROUP BY p.tok),
+           |sc2 AS (
+           |  SELECT q.query_id, p.doc_id, COUNT(*) AS n_terms,
+           |    SUM(CAST(FLOOR($idf2 * $norm2 * 1000000.0) AS BIGINT))
+           |      AS score_micro
+           |  FROM post p
+           |  JOIN qt2 q ON p.tok = q.tok
+           |  JOIN dfq2 f ON p.tok = f.tok
+           |  JOIN dl d ON p.doc_id = d.doc_id
+           |  CROSS JOIN st
+           |  GROUP BY q.query_id, p.doc_id),
+           |rkx AS (
+           |  SELECT query_id, doc_id, n_terms, score_micro,
+           |    ROW_NUMBER() OVER (PARTITION BY query_id
+           |      ORDER BY score_micro DESC, doc_id) AS rank
+           |  FROM sc2)
+           |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id,
+           |  CAST(n_terms AS BIGINT) AS n_terms, score_micro
+           |FROM rkx WHERE rank <= 10""".stripMargin
+      }) +
+      ("p121_entropy" -> {
+        def branch(explodeSql: String, out: String) =
+          s"""SELECT doc_id, MAX(n) AS n_$out,
+             |  SUM(CAST(FLOOR(-((CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+             |    * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)))
+             |    * 1000000.0) AS BIGINT)) AS ${out}_entropy_micro
+             |FROM (
+             |  SELECT doc_id, c, SUM(c) OVER (PARTITION BY doc_id) AS n
+             |  FROM (SELECT doc_id, sym, COUNT(*) AS c
+             |        FROM (SELECT doc_id, unnest($explodeSql) AS sym
+             |              FROM documents)
+             |        GROUP BY doc_id, sym))
+             |GROUP BY doc_id""".stripMargin
+        val charsExplode = "list_transform(generate_series(1, " +
+          "length(text)), i -> substr(text, i, 1))"
+        s"""WITH ch AS (${branch(charsExplode, "chars")}),
+           |tk AS (${branch(oToks, "toks")})
+           |SELECT ch.doc_id, CAST(ch.n_chars AS BIGINT) AS n_chars,
+           |  CAST(ch.chars_entropy_micro AS BIGINT)
+           |    AS chars_entropy_micro,
+           |  CAST(tk.n_toks AS BIGINT) AS n_toks,
+           |  CAST(tk.toks_entropy_micro AS BIGINT)
+           |    AS toks_entropy_micro
+           |FROM ch JOIN tk ON ch.doc_id = tk.doc_id""".stripMargin
+      }) +
       ("p119_hybrid_rrf" ->
         s"""${oBm25Ctes(k1 = 1.2, b = 0.75, everyNth = 40, qTerms = 4)},
            |bm AS (SELECT query_id, doc_id, rank FROM rk

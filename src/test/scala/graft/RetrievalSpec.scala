@@ -77,6 +77,39 @@ class RetrievalSpec extends SparkSpec {
       (1L, 3L, 30L, 0L, 2L, 16129L)), out.toString)
   }
 
+  test("PRF expansion retrieves feedback-vocabulary docs plain BM25 misses") {
+    val docs = Seq(
+      (1L, "alpha beta beta"),
+      (2L, "beta beta beta gamma"),          // no query term
+      (3L, "delta epsilon zeta")).toDF("doc_id", "text")
+    val qs = Seq((1L, "alpha")).toDF("qid", "qtext")
+    val plain = Retrieval.bm25TopK(docs, "doc_id", "text", qs, "qid",
+        "qtext", k = 10)
+      .select("doc_id").as[Long].collect().toSet
+    assert(plain == Set(1L), plain.toString)
+    val prf = Retrieval.bm25Prf(docs, "doc_id", "text", qs, "qid",
+        "qtext", fbDocs = 1, fbTerms = 2, k = 10)
+      .select("doc_id").as[Long].collect().toSet
+    // doc 1's feedback donates "beta" -> doc 2 becomes retrievable
+    assert(prf == Set(1L, 2L), prf.toString)
+  }
+
+  test("entropy stats match hand-computed micro-floored values") {
+    val docs = Seq(
+      (1L, "aa"),                 // one char type, one token: both 0
+      (2L, "ab"),                 // two chars p=1/2 each
+      (3L, "x y")).toDF("doc_id", "text")
+    val out = Curation.entropyStats(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    val half = math.floor(-(0.5 * math.log(0.5)) * 1e6).toLong  // 346573
+    assert(out(0) == ((1L, 2L, 0L, 1L, 0L)), out(0).toString)
+    assert(out(1) == ((2L, 2L, 2 * half, 1L, 0L)), out(1).toString)
+    // "x y": 3 chars each p=1/3; 2 distinct tokens p=1/2
+    val third = math.floor(-((1.0 / 3) * math.log(1.0 / 3)) * 1e6).toLong
+    assert(out(2) == ((3L, 3L, 3 * third, 2L, 2 * half)), out(2).toString)
+  }
+
   // ---------------------------------------------------------- ROC-AUC
 
   test("rocAuc matches hand-computed U on separable, tied, and anti cases") {
