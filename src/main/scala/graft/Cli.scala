@@ -1026,6 +1026,13 @@ object Cli {
       drainDocJob(streaming.StreamingJobs.tokenize(stream, snapshot), out)
       println(s"""{"stream_tokenize":"$out"}""")
 
+    // entropy gate at ingest: stateless per-row HOF, bit-equal to the
+    // batch p121 groupBy path
+    case "stream-entropy" :: dir :: out :: Nil =>
+      val stream = stagedDocStream(spark, dir, out)
+      drainDocJob(streaming.StreamingJobs.entropyGate(stream), out)
+      println(s"""{"stream_entropy":"$out"}""")
+
     // BM25 search at ingest: arriving docs play queries against the
     // static corpus through the PERSISTED impact-scored index (corpus
     // work happens once at index build, never per micro-batch); same

@@ -281,7 +281,16 @@ object Dedup {
           sum(coalesce(col("caught"), lit(0L))).as("n_caught"))
         .select(col("t").as("threshold_pct"), col("n_truth"),
           col("n_caught"),
-          expr("(n_caught * 1000000) div n_truth").as("recall_micro"))
+          expr("(n_caught * 1000000) div n_truth").as("recall_micro"),
+          // banding theory beside the measurement: the capture
+          // probability 1 − (1 − J^r)^b AT the threshold — a floor for
+          // the measured recall (pairs above the threshold only catch
+          // more easily), so measured < theory flags a broken index
+          floor((lit(1.0) - pow(
+              lit(1.0) - pow(col("t").cast("double") / 100.0,
+                lit(rows.toDouble)),
+              lit(bands.toDouble))) * 1e6)
+            .cast("long").as("theory_floor_micro"))
     }
   }
 

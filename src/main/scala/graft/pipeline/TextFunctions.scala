@@ -162,6 +162,22 @@ object TextFunctions {
     concat_ws(" ", tokens(regexp_replace(
       regexp_replace(lower(text), "[0-9]", "0"), "[^a-z0-9\\s]", " ")))
 
+  /** Per-ROW micro-floored Shannon entropy of a symbol array — the
+    * stateless twin of [[Curation.entropyStats]]'s grouped branch:
+    * identical per-term floors (`floor(−(c/n)·ln(c/n)·10⁶)`) and an
+    * order-independent integer sum, so the HOF and the groupBy paths
+    * are bit-equal. O(distinct·len) per row — the right shape for a
+    * STREAM (no shuffle at all); the grouped batch path stays the
+    * scale shape for corpus-wide runs.
+    */
+  def entropyMicroHof(syms: Column): Column = {
+    val n = size(syms).cast("double")
+    aggregate(array_distinct(syms), lit(0L), (acc, d) => {
+      val c = size(filter(syms, x => x === d)).cast("double")
+      acc + floor(-((c / n) * log(c / n)) * 1e6).cast("long")
+    })
+  }
+
   /** Repetition signal (the Gopher paper's duplicate-n-gram class of
     * quality filters): the fraction of word k-grams that repeat an
     * earlier k-gram — `1 − distinct/total`, 0 for docs shorter than k

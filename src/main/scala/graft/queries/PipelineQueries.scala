@@ -4739,7 +4739,10 @@ object PipelineQueries {
          |  CAST(SUM(CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END)
          |    AS BIGINT) AS n_caught,
          |  (SUM(CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END)
-         |    * 1000000) // COUNT(*) AS recall_micro
+         |    * 1000000) // COUNT(*) AS recall_micro,
+         |  CAST(FLOOR((1.0 - pow(1.0
+         |    - pow(CAST(t AS DOUBLE) / 100.0, 2.0), 6.0)) * 1000000.0)
+         |    AS BIGINT) AS theory_floor_micro
          |FROM truth tr
          |CROSS JOIN th
          |LEFT JOIN cand c ON tr.doc_a = c.doc_a AND tr.doc_b = c.doc_b

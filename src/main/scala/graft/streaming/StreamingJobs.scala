@@ -111,6 +111,30 @@ object StreamingJobs {
   def c4Gate(docs: DataFrame): DataFrame =
     graft.pipeline.Curation.c4PageGates(docs, "doc_id", "text")
 
+  /** Ingest-time entropy gate — the streaming twin of p121: per-doc
+    * character- and token-level Shannon entropy as a STATELESS
+    * per-row projection ([[graft.pipeline.TextFunctions
+    * .entropyMicroHof]] — no shuffle, no watermark, no state store),
+    * bit-equal to the batch groupBy path because both floor each
+    * distribution term to micro-nats before an order-independent
+    * integer sum. The gibberish/boilerplate band check applied as
+    * documents arrive.
+    */
+  def entropyGate(docs: DataFrame): DataFrame = {
+    val TF = graft.pipeline.TextFunctions
+    val text = col("text")
+    val chars = when(length(text) > 0,
+      transform(sequence(lit(1), length(text)),
+        i => text.substr(i, lit(1))))
+      .otherwise(array())
+    val toks = TF.tokens(text)
+    docs.select(col("doc_id"),
+      size(chars).cast("long").as("n_chars"),
+      TF.entropyMicroHof(chars).as("chars_entropy_micro"),
+      size(toks).cast("long").as("n_toks"),
+      TF.entropyMicroHof(toks).as("toks_entropy_micro"))
+  }
+
   /** The full three-gate ingest funnel — the streaming twin of the
     * per-document stage of the batch funnel (p66), sharing
     * [[graft.pipeline.Curation.funnelFlags]] verbatim: composite

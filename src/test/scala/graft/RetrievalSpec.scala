@@ -197,6 +197,17 @@ class RetrievalSpec extends SparkSpec {
     assert(out.head == (("rio", "grande")), out.toSeq.toString)
   }
 
+  test("per-row entropy HOF is bit-equal to the batch groupBy path") {
+    val docs = graft.core.Tables.read(spark, sf0001, "documents")
+    val batch = Curation.entropyStats(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    val hof = graft.streaming.StreamingJobs.entropyGate(docs)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(batch == hof)
+  }
+
   // -------------------------------------------- LR quality classifier
 
   test("LR classifier beats the base rate against its own labels (p117)") {
