@@ -1086,6 +1086,153 @@ object Similarity {
         floor(-col("sim") * 1e6).cast("long").as("adist_micro"))
   }
 
+  /** Index-order dot over DOUBLE arrays as a HOF — the residual-space
+    * sibling of [[dot]] (whose native kernel is typed to float
+    * arrays); documented-equivalent accumulation order, so driver
+    * doubles, this HOF, and the oracle's `list_sum(list_transform)`
+    * all agree bit-for-bit.
+    */
+  private def dotD(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** Squared L2 over double arrays in [[dist2]]'s expanded op order. */
+  private def dist2D(a: Column, b: Column): Column =
+    dotD(a, a) - lit(2.0) * dotD(a, b) + dotD(b, b)
+
+  private def litD(a: Array[Double]): Column =
+    array(a.toIndexedSeq.map(lit(_)): _*)
+
+  /** [[pqArgmin]] over a residual-space (double) codebook. */
+  private def pqArgminD(vslice: Column,
+      entries: Array[(Long, Array[Double])]): Column = {
+    require(entries.nonEmpty, "empty subspace codebook")
+    val scored = entries.map { case (cid, ce) =>
+      struct((-dist2D(vslice, litD(ce))).as("negd"),
+        lit(-cid).as("tie"), lit(cid).as("cent_id"))
+    }
+    (if (scored.length == 1) scored.head else greatest(scored.toIndexedSeq: _*))
+      .getField("cent_id")
+  }
+
+  /** Residual IVF-PQ — FAISS's actual IVFPQ encoding: each vector's
+    * PQ codes quantize its RESIDUAL v − c(v) against its coarse
+    * centroid, not the raw vector, so the codebook spends its entries
+    * on within-cell structure instead of re-describing cell centers;
+    * ADC compares the query's residual against the probed cell to the
+    * same residual-space entries. On clustered data this is the
+    * difference between a codebook wasted on cluster offsets and one
+    * that resolves neighbors (the p122 scorecard row measures it).
+    *
+    * Determinism: residuals are exact — `CAST(v AS DOUBLE) − CAST(c
+    * AS DOUBLE)` loses nothing for float inputs — and every distance
+    * is the expanded `a·a − 2a·b + b·b` over index-order double sums,
+    * so codes, probes, and ADC ranks replay bit-for-bit. The
+    * residual-space codebook is the `pqFilter` rows' OWN residuals
+    * (assigned by the same nearest-cell rule), computed on the driver
+    * in the identical operation order.
+    *
+    * Scale shape — stronger than [[ivfPqTopK]]: coarse centroids AND
+    * the codebook fold into the scan as literals, so cell assignment,
+    * residual, and code assignment are ALL zero-exchange per-row
+    * projections (no centroid crossJoin, no argmax groupBy — the
+    * [[ivfProbePairsWith]] folded-scorer move, subject to the same
+    * [[FoldedCentroidLimit]] plan-size bound); the probe join
+    * broadcasts the (|Q|·nprobe)-row probe set onto the corpus scan,
+    * ADC resolves in codegen, and [[prunePartitionTopK]] bounds the
+    * only exchange — the final ranking window's.
+    */
+  def ivfResidualPqTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, coarseFilter: Column,
+      pqFilter: Column, m: Int, dim: Int, k: Int,
+      nprobe: Int): DataFrame = {
+    require(dim % m == 0, "m must divide dim")
+    require(nprobe >= 1, "nprobe must be >= 1")
+    val sub = dim / m
+    val centRows = corpus.filter(coarseFilter)
+      .select(col(idCol).cast("long"), col(vecCol)).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    require(centRows.nonEmpty, "empty coarse centroid set")
+    require(centRows.length <= FoldedCentroidLimit,
+      s"coarse set exceeds the folded-literal bound $FoldedCentroidLimit")
+    // driver-side mirror of the folded scorer's exact double math
+    def dotJ(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    def normJ(a: Array[Float]): Double = math.sqrt(dotJ(a, a))
+    def bestCellJ(v: Array[Float]): (Long, Array[Float]) =
+      centRows.map { case (cid, ce) =>
+        (dotJ(v, ce) / (normJ(v) * normJ(ce)), -cid, cid, ce)
+      }.max(Ordering.by((t: (Double, Long, Long, Array[Float])) =>
+        (t._1, t._2))) match { case (_, _, cid, ce) => (cid, ce) }
+    // residual-space codebook: pqFilter rows' own residuals
+    val bookRows: Array[(Long, Array[Double])] = corpus.filter(pqFilter)
+      .select(col(idCol).cast("long"), col(vecCol)).collect()
+      .map { r =>
+        val v = r.getSeq[Float](1).toArray
+        val (_, ce) = bestCellJ(v)
+        (r.getLong(0),
+          v.indices.map(i => v(i).toDouble - ce(i).toDouble).toArray)
+      }.sortBy(_._1)
+    val books: IndexedSeq[Array[(Long, Array[Double])]] =
+      (0 until m).map(s => bookRows.map { case (cid, e) =>
+        (cid, e.slice(s * sub, (s + 1) * sub)) })
+    // folded nearest-cell scorer (per-row, zero exchange)
+    def scoredCells(v: Column, vn: Column) =
+      array(centRows.map { case (cid, ce) =>
+        val arr = array(ce.toIndexedSeq.map(lit(_)): _*)
+        struct(cosinePre(dot(v, arr), vn, l2norm(arr)).as("sim"),
+          lit(-cid).as("tie"), lit(cid).as("cent_id"))
+      }.toIndexedSeq: _*)
+    val centVecMap = map(centRows.toIndexedSeq.flatMap { case (cid, ce) =>
+      Seq(lit(cid), array(ce.toIndexedSeq.map(lit(_)): _*))
+    }: _*)
+    def residual(v: Column, ce: Column): Column =
+      zip_with(v, ce, (a, b) => a.cast("double") - b.cast("double"))
+    // corpus: assign cell, residualize, code — all in the scan
+    val codesExpr = array((0 until m).map(s =>
+      pqArgminD(slice(col("rv"), s * sub + 1, sub), books(s))): _*)
+    val cellC = corpus
+      .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).as("cand_id"), col(vecCol).as("cv"),
+        l2norm(col(vecCol)).as("cn"))
+      .withColumn("cent_id",
+        element_at(reverse(array_sort(scoredCells(col("cv"), col("cn")))), 1)
+          .getField("cent_id"))
+      .withColumn("rv", residual(col("cv"), element_at(centVecMap, col("cent_id"))))
+      .select(col("cand_id"), col("cent_id"), codesExpr.as("codes"))
+    // queries: top-nprobe cells per row, residual per probed cell
+    val cellQ = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        l2norm(col(vecCol)).as("qn"))
+      .withColumn("cent_id",
+        explode(transform(
+          slice(reverse(array_sort(scoredCells(col("qv"), col("qn")))), 1,
+            nprobe),
+          s => s.getField("cent_id"))))
+      .withColumn("rq", residual(col("qv"), element_at(centVecMap, col("cent_id"))))
+      .select(col("query_id"), col("rq"), col("cent_id"))
+    val adist = (0 until m).map { s =>
+      val lut = map(books(s).toIndexedSeq.flatMap { case (cid, e) =>
+        Seq(lit(cid), litD(e))
+      }: _*)
+      dist2D(slice(col("rq"), s * sub + 1, sub),
+        element_at(lut, col("codes").getItem(s)))
+    }.reduce(_ + _)
+    val scored = cellC.join(broadcast(cellQ), Seq("cent_id"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"), (-adist).as("sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("cand_id").asc)
+    prunePartitionTopK(scored, k)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("cand_id"), col("rank").cast("long"),
+        floor(-col("sim") * 1e6).cast("long").as("adist_micro"))
+  }
+
   /** IVF index maintenance: per-cell occupancy with a deterministic
     * split proposal for skewed cells — the re-balance report a
     * production ANN index runs as vectors accumulate (FAISS surfaces

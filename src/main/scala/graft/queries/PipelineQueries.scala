@@ -809,6 +809,29 @@ object PipelineQueries {
             lit("_"), d.cast("string"))) % 21 - 10))
           .cast("float")).as("embedding"))
 
+  /** Hierarchically clustered embedding fixture for p122: 8 coarse
+    * clusters (centers ±1000) × 4 within-cluster offset PROTOTYPES
+    * (±100) + per-vector jitter (±5), all from the portable hash —
+    * the two-level structure real embedding spaces have and residual
+    * coding exists to exploit: a vector's true neighbors share its
+    * (cluster, prototype) pair, invisible to a raw-vector codebook
+    * (every same-cell candidate codes to the same entry) but exactly
+    * what the residual codebook resolves.
+    */
+  private def hierEmbeddings(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings").select(col("vec_id"),
+      transform(sequence(lit(1), lit(64)), d =>
+        ((TF.hash60(concat(lit("hc"),
+            pmod(col("vec_id"), lit(8)).cast("string"),
+            lit("_"), d.cast("string"))) % 2001 - 1000)
+          + (TF.hash60(concat(lit("hp"),
+            pmod(floor(col("vec_id") / 8).cast("long"), lit(4))
+              .cast("string"),
+            lit("_"), d.cast("string"))) % 201 - 100)
+          + (TF.hash60(concat(lit("hj"), col("vec_id").cast("string"),
+            lit("_"), d.cast("string"))) % 11 - 5))
+          .cast("float")).as("embedding"))
+
   /** IVF recall at a PRODUCTION operating point, on clustered data —
     * the row the i.i.d. corpus cannot demonstrate (p56/p73 document
     * why: uniform embeddings make IVF recall track probed mass, so
@@ -1786,6 +1809,44 @@ object PipelineQueries {
       "qtext", fbDocs = 3, fbTerms = 5, k = 10)
   }
 
+  /** Residual IVF-PQ recall (p122): FAISS's actual IVFPQ encoding —
+    * codes quantize the residual v − c(v), ADC compares query
+    * residuals — measured against the raw-vector-coded [[p74IvfPq]]
+    * composition on the CLUSTERED fixture, where the difference is
+    * visible: a raw codebook wastes its entries re-describing cluster
+    * centers, the residual codebook resolves within-cluster
+    * neighbors ([[Similarity.ivfResidualPqTopK]]). Same config both
+    * rows: nlist=32 (the 32 cluster seeds), codebook rows vec_id<8,
+    * m=4, k=3, nprobe=1. The oracle replays the fixture, BOTH
+    * pipelines (cells, residuals, codes, probes, ADC), the exact
+    * truth, and the recall divisions.
+    */
+  def p122ResidualPq(s: SparkSession, dir: String): DataFrame = {
+    val emb = hierEmbeddings(s, dir)
+    val queries = emb.filter(col("vec_id") < 20)
+    val exact = Similarity.topK(emb, queries, "vec_id", "embedding", 10)
+      .select("query_id", "cand_id")
+    // codebook rows: cluster 0's four prototype representatives
+    // (0, 8, 16, 24) — residualized they span the prototype set
+    val pqRows = col("vec_id") < 32 && col("vec_id") % 8 === 0
+    def row(method: String, ann: DataFrame): DataFrame =
+      ann.select("query_id", "cand_id")
+        .join(exact, Seq("query_id", "cand_id"))
+        .agg(count(lit(1)).as("n_hits"))
+        .crossJoin(exact.agg(count(lit(1)).as("n_truth")))
+        .select(lit(method).as("method"), col("n_hits"), col("n_truth"),
+          floor((col("n_hits") * lit(1e6)) / col("n_truth")).cast("long")
+            .as("recall_micro"))
+    row("ivfpq_raw_hier",
+      Similarity.ivfPqTopK(emb, queries, "vec_id", "embedding",
+        coarseFilter = col("vec_id") < 8, pqFilter = pqRows,
+        m = 4, dim = 64, k = 10, nprobe = 1))
+      .unionByName(row("ivfpq_residual_hier",
+        Similarity.ivfResidualPqTopK(emb, queries, "vec_id", "embedding",
+          coarseFilter = col("vec_id") < 8, pqFilter = pqRows,
+          m = 4, dim = 64, k = 10, nprobe = 1)))
+  }
+
   /** Entropy quality signals (p121): per-document character- and
     * token-level Shannon entropy in micro-floored integer nats
     * ([[Curation.entropyStats]]) — the gibberish/boilerplate band
@@ -2325,6 +2386,7 @@ object PipelineQueries {
     "p119_hybrid_rrf" -> p119HybridRrf _,
     "p120_prf" -> p120Prf _,
     "p121_entropy" -> p121Entropy _,
+    "p122_residual_pq" -> p122ResidualPq _,
     "p50_temp_mix" -> p50TempMix _,
     "p51_hard_negatives" -> p51HardNegatives _,
     "p52_ivf_trained" -> p52IvfTrained _,
@@ -3085,6 +3147,128 @@ object PipelineQueries {
        |)""".stripMargin
   }
 
+  /** The p122 replay: hierarchical fixture, coarse assignment,
+    * residuals, BOTH codebooks (raw vectors / residuals of the same
+    * rows), both per-subspace code assignments, nprobe=1 probe sets,
+    * both ADC rankings, the exact truth, and the recall divisions.
+    */
+  private def oResidualPq: String = {
+    def oDotAt(a: String, b: String, s: Int): String =
+      s"""list_sum(list_transform(generate_series(1, 16),
+         |        i -> CAST($a[${s * 16} + i] AS DOUBLE)
+         |             * CAST($b[${s * 16} + i] AS DOUBLE)))""".stripMargin
+    def oD2At(a: String, b: String, s: Int): String =
+      s"""(${oDotAt(a, a, s)}
+         |     - 2 * ${oDotAt(a, b, s)}
+         |     + ${oDotAt(b, b, s)})""".stripMargin
+    def codesCtes(prefix: String, vecs: String, vcol: String,
+        bookTable: String, bcol: String): String =
+      s"""${prefix}scored AS (
+         |  SELECT v.vec_id, subs.s, b.code_id,
+         |    ROW_NUMBER() OVER (PARTITION BY v.vec_id, subs.s ORDER BY
+         |      (list_sum(list_transform(generate_series(1, 16),
+         |         i -> CAST(v.$vcol[subs.s*16 + i] AS DOUBLE)
+         |              * CAST(v.$vcol[subs.s*16 + i] AS DOUBLE)))
+         |       - 2 * list_sum(list_transform(generate_series(1, 16),
+         |         i -> CAST(v.$vcol[subs.s*16 + i] AS DOUBLE)
+         |              * CAST(b.$bcol[subs.s*16 + i] AS DOUBLE)))
+         |       + list_sum(list_transform(generate_series(1, 16),
+         |         i -> CAST(b.$bcol[subs.s*16 + i] AS DOUBLE)
+         |              * CAST(b.$bcol[subs.s*16 + i] AS DOUBLE)))) ASC,
+         |      b.code_id ASC) AS rn
+         |  FROM $vecs v, $bookTable b, subs),
+         |${prefix}codes AS (
+         |  SELECT vec_id,
+         |    MAX(CASE WHEN s = 0 THEN code_id END) AS c0,
+         |    MAX(CASE WHEN s = 1 THEN code_id END) AS c1,
+         |    MAX(CASE WHEN s = 2 THEN code_id END) AS c2,
+         |    MAX(CASE WHEN s = 3 THEN code_id END) AS c3
+         |  FROM ${prefix}scored WHERE rn = 1 GROUP BY vec_id)"""
+        .stripMargin
+    def adCtes(prefix: String, qTable: String, qcol: String,
+        codes: String, bookTable: String, bcol: String): String = {
+      val terms = (0 until 4)
+        .map(s => oD2At(s"q.$qcol", s"e$s.$bcol", s)).mkString("\n    + ")
+      val joins = (0 until 4)
+        .map(s => s"JOIN $bookTable e$s ON e$s.code_id = w.c$s")
+        .mkString("\n  ")
+      s"""${prefix}ad AS (
+         |  SELECT q.query_id, w.vec_id AS cand_id,
+         |    ($terms) AS adist
+         |  FROM $qTable q
+         |  JOIN cells cc ON cc.cent_id = q.cent_id
+         |  JOIN $codes w ON w.vec_id = cc.vec_id
+         |  $joins
+         |  WHERE q.query_id != w.vec_id),
+         |${prefix}top AS (
+         |  SELECT query_id, cand_id FROM (
+         |    SELECT query_id, cand_id, ROW_NUMBER() OVER (
+         |      PARTITION BY query_id
+         |      ORDER BY adist ASC, cand_id ASC) AS rank
+         |    FROM ${prefix}ad)
+         |  WHERE rank <= 10)""".stripMargin
+    }
+    def recallRow(method: String, top: String): String =
+      s"""  SELECT '$method' AS method,
+         |    CAST((SELECT COUNT(*) FROM $top a
+         |          JOIN ex USING (query_id, cand_id)) AS BIGINT)
+         |      AS n_hits,
+         |    CAST((SELECT COUNT(*) FROM ex) AS BIGINT) AS n_truth"""
+        .stripMargin
+    s"""WITH ce AS (
+       |  SELECT vec_id,
+       |    list_transform(generate_series(1, 64), d ->
+       |      CAST((${oHash("'hc' || CAST(vec_id % 8 AS VARCHAR) || '_' || CAST(d AS VARCHAR)")} % 2001 - 1000
+       |          + ${oHash("'hp' || CAST((vec_id // 8) % 4 AS VARCHAR) || '_' || CAST(d AS VARCHAR)")} % 201 - 100
+       |          + ${oHash("'hj' || CAST(vec_id AS VARCHAR) || '_' || CAST(d AS VARCHAR)")} % 11 - 5) AS FLOAT))
+       |      AS embedding
+       |  FROM embeddings),
+       |cents AS (SELECT vec_id AS cent_id, embedding AS cv FROM ce
+       |          WHERE vec_id < 8),
+       |assign AS (
+       |  SELECT e.vec_id, e.embedding, cent_id,
+       |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${oCos("e.embedding", "cv")} DESC, cent_id ASC)
+       |      AS rn
+       |  FROM ce e, cents),
+       |cells AS (SELECT vec_id, embedding, cent_id FROM assign
+       |          WHERE rn = 1),
+       |rcells AS (
+       |  SELECT c.vec_id, c.cent_id,
+       |    list_transform(generate_series(1, 64), i ->
+       |      CAST(c.embedding[i] AS DOUBLE) - CAST(ct.cv[i] AS DOUBLE))
+       |      AS rv
+       |  FROM cells c JOIN cents ct ON c.cent_id = ct.cent_id),
+       |subs AS (SELECT unnest(generate_series(0, 3)) AS s),
+       |pbook AS (SELECT vec_id AS code_id, embedding AS bv FROM ce
+       |          WHERE vec_id < 32 AND vec_id % 8 = 0),
+       |rbook AS (SELECT vec_id AS code_id, rv AS bv FROM rcells
+       |          WHERE vec_id < 32 AND vec_id % 8 = 0),
+       |${codesCtes("p_", "cells", "embedding", "pbook", "bv")},
+       |${codesCtes("r_", "rcells", "rv", "rbook", "bv")},
+       |qraw AS (SELECT vec_id AS query_id, cent_id, embedding AS qv
+       |         FROM cells WHERE vec_id < 20),
+       |qres AS (SELECT vec_id AS query_id, cent_id, rv AS qv
+       |         FROM rcells WHERE vec_id < 20),
+       |${adCtes("p_", "qraw", "qv", "p_codes", "pbook", "bv")},
+       |${adCtes("r_", "qres", "qv", "r_codes", "rbook", "bv")},
+       |ex AS (
+       |  SELECT query_id, cand_id FROM (
+       |    SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${oCos("q.embedding", "c.embedding")} DESC,
+       |                 c.vec_id ASC) AS rank
+       |    FROM ce q JOIN ce c ON q.vec_id < 20 AND q.vec_id != c.vec_id)
+       |  WHERE rank <= 10)
+       |SELECT method, n_hits, n_truth,
+       |  CAST(FLOOR((n_hits * 1e6) / n_truth) AS BIGINT) AS recall_micro
+       |FROM (
+       |${recallRow("ivfpq_raw_hier", "p_top")}
+       |  UNION ALL
+       |${recallRow("ivfpq_residual_hier", "r_top")}
+       |)""".stripMargin
+  }
+
   /** The p66 oracle: the three gate oracles composed verbatim as
     * derived tables (the p56 pattern) — a funnel pass certifies every
     * gate's own replay AND the rollup.
@@ -3837,6 +4021,7 @@ object PipelineQueries {
       ("p117_lr_classifier" ->
         oLrClassifier(buckets = 64, iters = 12, lrDen = 1)) +
       ("p118_wordpiece" -> oWordPieceTrain(100)) +
+      ("p122_residual_pq" -> oResidualPq) +
       ("p120_prf" -> {
         val idf2 = "ln(1.0 + (CAST(st.nd AS DOUBLE) - CAST(f.df" +
           " AS DOUBLE) + 0.5) / (CAST(f.df AS DOUBLE) + 0.5))"

@@ -485,4 +485,22 @@ class PlansSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("residual IVF-PQ: folded index path, corpus exchanges bounded (p122)") {
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val p = plan(graft.pipeline.Similarity.ivfResidualPqTopK(
+      emb, emb.filter(col("vec_id") < 20), "vec_id", "embedding",
+      coarseFilter = col("vec_id") < 8,
+      pqFilter = col("vec_id") < 32 && col("vec_id") % 8 === 0,
+      m = 4, dim = 64, k = 10, nprobe = 1))
+    // cell assignment, residual, and code assignment are per-row
+    // folded-literal projections: no centroid crossJoin, no argmax
+    // groupBy on the corpus side — the only exchanges are the spread
+    // repartition and the ranking window; the probe set broadcasts
+    val exchanges = """[+:]- Exchange \(\d""".r.findAllIn(p).size
+    assert(exchanges <= 2, s"expected <=2 exchanges, got $exchanges\n$p")
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
 }

@@ -208,6 +208,14 @@ class RetrievalSpec extends SparkSpec {
     assert(batch == hof)
   }
 
+  test("residual coding beats raw-vector IVF-PQ on hierarchical structure (p122)") {
+    val recall = graft.queries.PipelineQueries.p122ResidualPq(spark, sf0001)
+      .as[(String, Long, Long, Long)].collect()
+      .map { case (m, _, _, r) => m -> r }.toMap
+    assert(recall("ivfpq_residual_hier") > recall("ivfpq_raw_hier") + 100000L,
+      recall.toString)
+  }
+
   // -------------------------------------------- LR quality classifier
 
   test("LR classifier beats the base rate against its own labels (p117)") {
