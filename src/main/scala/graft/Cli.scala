@@ -482,6 +482,10 @@ object Cli {
       write(queries.PipelineQueries.p120Prf(spark, dir), out)
     case "entropy" :: dir :: out :: Nil =>
       write(queries.PipelineQueries.p121Entropy(spark, dir), out)
+    case "residual-pq" :: dir :: out :: Nil =>
+      write(queries.PipelineQueries.p122ResidualPq(spark, dir), out)
+    case "doc-features" :: dir :: out :: Nil =>
+      write(queries.PipelineQueries.p123DocFeatures(spark, dir), out)
 
     // bloom-prefiltered idempotent ingest: the zero-shuffle scale path
     // of ingest-dedup. The sketch is sized from input FILE BYTES, not a

@@ -1856,6 +1856,39 @@ object PipelineQueries {
   def p121Entropy(s: SparkSession, dir: String): DataFrame =
     Curation.entropyStats(t(s, dir, "documents"), "doc_id", "text")
 
+  /** Document feature store (p123): ONE wide row per document joining
+    * every per-doc quality signal the engine computes — composite
+    * score, predicted language, repetition fractions, char/token
+    * entropy, KN perplexity, memorization risk — the materialized
+    * feature table a curation run writes once and every downstream
+    * policy (gates, caps, mixtures, curricula) reads instead of
+    * re-deriving its own signals. Each branch keeps its own optimal
+    * plan (broadcast model tables, gram-hash shuffles, zero-exchange
+    * projections); the assembly is doc-id equi-joins that AQE
+    * co-plans. The oracle composes the component replays as CTEs, so
+    * a pass re-certifies every signal AND the join.
+    */
+  def p123DocFeatures(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    docs.select(col("doc_id"), col("lang"), col("source"))
+      .join(scoredDocs(docs).select(col("doc_id"),
+        col("n_toks").cast("long").as("n_toks"), col("score_micro")),
+        Seq("doc_id"))
+      .join(p08LangId(s, dir).select(col("doc_id"), col("lang_pred")),
+        Seq("doc_id"))
+      .join(p20Repetition(s, dir).select(col("doc_id"),
+        col("dup_3gram_frac"), col("top_word_frac")), Seq("doc_id"))
+      .join(Curation.entropyStats(docs, "doc_id", "text")
+        .select(col("doc_id"), col("chars_entropy_micro"),
+          col("toks_entropy_micro")), Seq("doc_id"))
+      .join(Curation.knBigramLogLoss(docs, "doc_id", "text",
+          vocabSize = 500)
+        .select(col("doc_id"), col("avg_nll_micro")), Seq("doc_id"))
+      .join(Curation.memorizationRisk(docs, "doc_id", "text", L = 8)
+        .select(col("doc_id"),
+          col("dup_frac_micro").as("mem_risk_micro")), Seq("doc_id"))
+  }
+
   /** Iterated DoReMi (p110): the p92 update applied once more —
     * round-1 weights become capped acceptance rates, the corpus
     * resamples deterministically, the KN reference refits, and
@@ -2387,6 +2420,7 @@ object PipelineQueries {
     "p120_prf" -> p120Prf _,
     "p121_entropy" -> p121Entropy _,
     "p122_residual_pq" -> p122ResidualPq _,
+    "p123_doc_features" -> p123DocFeatures _,
     "p50_temp_mix" -> p50TempMix _,
     "p51_hard_negatives" -> p51HardNegatives _,
     "p52_ivf_trained" -> p52IvfTrained _,
@@ -3146,6 +3180,36 @@ object PipelineQueries {
        |${row(2)}
        |)""".stripMargin
   }
+
+  /** The p121 replay — split out so the p123 feature-store oracle
+    * can reuse it as a CTE.
+    */
+  private lazy val oEntropy: String = {
+
+        def branch(explodeSql: String, out: String) =
+          s"""SELECT doc_id, MAX(n) AS n_$out,
+             |  SUM(CAST(FLOOR(-((CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+             |    * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)))
+             |    * 1000000.0) AS BIGINT)) AS ${out}_entropy_micro
+             |FROM (
+             |  SELECT doc_id, c, SUM(c) OVER (PARTITION BY doc_id) AS n
+             |  FROM (SELECT doc_id, sym, COUNT(*) AS c
+             |        FROM (SELECT doc_id, unnest($explodeSql) AS sym
+             |              FROM documents)
+             |        GROUP BY doc_id, sym))
+             |GROUP BY doc_id""".stripMargin
+        val charsExplode = "list_transform(generate_series(1, " +
+          "length(text)), i -> substr(text, i, 1))"
+        s"""WITH ch AS (${branch(charsExplode, "chars")}),
+           |tk AS (${branch(oToks, "toks")})
+           |SELECT ch.doc_id, CAST(ch.n_chars AS BIGINT) AS n_chars,
+           |  CAST(ch.chars_entropy_micro AS BIGINT)
+           |    AS chars_entropy_micro,
+           |  CAST(tk.n_toks AS BIGINT) AS n_toks,
+           |  CAST(tk.toks_entropy_micro AS BIGINT)
+           |    AS toks_entropy_micro
+           |FROM ch JOIN tk ON ch.doc_id = tk.doc_id""".stripMargin
+        }
 
   /** The p122 replay: hierarchical fixture, coarse assignment,
     * residuals, BOTH codebooks (raw vectors / residuals of the same
@@ -4022,6 +4086,26 @@ object PipelineQueries {
         oLrClassifier(buckets = 64, iters = 12, lrDen = 1)) +
       ("p118_wordpiece" -> oWordPieceTrain(100)) +
       ("p122_residual_pq" -> oResidualPq) +
+      ("p123_doc_features" ->
+        s"""WITH $oScoreCtes,
+           |l AS (SELECT * FROM (${oracle0("p08_lang_id")})),
+           |r AS (SELECT * FROM (${oracle0("p20_repetition")})),
+           |e AS (SELECT * FROM ($oEntropy)),
+           |kn AS (SELECT * FROM ($oKnBigram)),
+           |mr AS (SELECT * FROM (${oracle0("p105_memorization_risk")}))
+           |SELECT d.doc_id, d.lang, d.source, qm.n_toks, q.score_micro,
+           |  l.lang_pred, r.dup_3gram_frac, r.top_word_frac,
+           |  e.chars_entropy_micro, e.toks_entropy_micro,
+           |  kn.avg_nll_micro,
+           |  mr.dup_frac_micro AS mem_risk_micro
+           |FROM documents d
+           |JOIN qm ON d.doc_id = qm.doc_id
+           |JOIN q ON d.doc_id = q.doc_id
+           |JOIN l ON d.doc_id = l.doc_id
+           |JOIN r ON d.doc_id = r.doc_id
+           |JOIN e ON d.doc_id = e.doc_id
+           |JOIN kn ON d.doc_id = kn.doc_id
+           |JOIN mr ON d.doc_id = mr.doc_id""".stripMargin) +
       ("p120_prf" -> {
         val idf2 = "ln(1.0 + (CAST(st.nd AS DOUBLE) - CAST(f.df" +
           " AS DOUBLE) + 0.5) / (CAST(f.df AS DOUBLE) + 0.5))"
@@ -4068,31 +4152,7 @@ object PipelineQueries {
            |  CAST(n_terms AS BIGINT) AS n_terms, score_micro
            |FROM rkx WHERE rank <= 10""".stripMargin
       }) +
-      ("p121_entropy" -> {
-        def branch(explodeSql: String, out: String) =
-          s"""SELECT doc_id, MAX(n) AS n_$out,
-             |  SUM(CAST(FLOOR(-((CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
-             |    * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)))
-             |    * 1000000.0) AS BIGINT)) AS ${out}_entropy_micro
-             |FROM (
-             |  SELECT doc_id, c, SUM(c) OVER (PARTITION BY doc_id) AS n
-             |  FROM (SELECT doc_id, sym, COUNT(*) AS c
-             |        FROM (SELECT doc_id, unnest($explodeSql) AS sym
-             |              FROM documents)
-             |        GROUP BY doc_id, sym))
-             |GROUP BY doc_id""".stripMargin
-        val charsExplode = "list_transform(generate_series(1, " +
-          "length(text)), i -> substr(text, i, 1))"
-        s"""WITH ch AS (${branch(charsExplode, "chars")}),
-           |tk AS (${branch(oToks, "toks")})
-           |SELECT ch.doc_id, CAST(ch.n_chars AS BIGINT) AS n_chars,
-           |  CAST(ch.chars_entropy_micro AS BIGINT)
-           |    AS chars_entropy_micro,
-           |  CAST(tk.n_toks AS BIGINT) AS n_toks,
-           |  CAST(tk.toks_entropy_micro AS BIGINT)
-           |    AS toks_entropy_micro
-           |FROM ch JOIN tk ON ch.doc_id = tk.doc_id""".stripMargin
-      }) +
+      ("p121_entropy" -> oEntropy) +
       ("p119_hybrid_rrf" ->
         s"""${oBm25Ctes(k1 = 1.2, b = 0.75, everyNth = 40, qTerms = 4)},
            |bm AS (SELECT query_id, doc_id, rank FROM rk
