@@ -1676,6 +1676,36 @@ object Curation {
         col("pmi_micro"))
   }
 
+  /** Calibration report for a margin-scored binary classifier — the
+    * reliability diagram as a table: rows are fixed margin buckets
+    * (z_micro in steps of `bucketMicro`, floor-bucketed so the edges
+    * are exact integers), columns the predicted probability at the
+    * bucket's center vs the EMPIRICAL positive rate inside it. The
+    * check a curation run reads before trusting the classifier's
+    * scores as sampling weights rather than just its argmax (NB's
+    * margins are famously overconfident; this makes that visible).
+    *
+    * Determinism: bucket ids are exact integer floor-divisions of the
+    * micro margin; the predicted probability is ONE sigmoid per
+    * bucket evaluated at the exact integer center; empirical rates
+    * are exact integer divisions. One count shuffle keyed by bucket
+    * (map-side combined, ≤ margin-range/bucketMicro rows out).
+    */
+  def calibrationReport(scored: DataFrame, scoreCol: String,
+      clsCol: String, bucketMicro: Long): DataFrame = {
+    require(bucketMicro > 0, "bucketMicro must be positive")
+    val b = col(scoreCol) - pmod(col(scoreCol), lit(bucketMicro))
+    val center = (col("bucket") + lit(bucketMicro / 2)).cast("double") /
+      lit(1e6)
+    scored
+      .groupBy(b.as("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col(clsCol)).as("n_pos"))
+      .select(col("bucket"), col("n_docs"), col("n_pos"),
+        floor(lit(1e6) / (lit(1.0) + exp(-center))).cast("long")
+          .as("pred_pos_micro"),
+        expr("(n_pos * 1000000) div n_docs").as("emp_pos_micro"))
+  }
+
   // ------------------------------------------------- entropy signals
 
   /** Per-document character- and token-level Shannon entropy — the

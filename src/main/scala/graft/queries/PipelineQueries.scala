@@ -1856,6 +1856,22 @@ object PipelineQueries {
   def p121Entropy(s: SparkSession, dir: String): DataFrame =
     Curation.entropyStats(t(s, dir, "documents"), "doc_id", "text")
 
+  /** Classifier calibration (p124): the reliability diagram for the
+    * p117 logistic-regression scorer — fixed 0.4-logit margin buckets,
+    * the predicted probability at each bucket center vs the empirical
+    * positive rate inside it ([[Curation.calibrationReport]]). The
+    * check before classifier margins become SAMPLING WEIGHTS rather
+    * than an argmax. The oracle refits the classifier trajectory and
+    * replays the bucketing, the single sigmoid per bucket, and the
+    * exact rates.
+    */
+  def p124Calibration(s: SparkSession, dir: String): DataFrame =
+    Curation.calibrationReport(
+      Curation.logisticRegression(t(s, dir, "documents"), "doc_id",
+        "text", buckets = 64, iters = 12, lrDen = 1,
+        profile = Curation.GateProfile.wordSalad),
+      "z_micro", "cls", bucketMicro = 400000L)
+
   /** Document feature store (p123): ONE wide row per document joining
     * every per-doc quality signal the engine computes — composite
     * score, predicted language, repetition fractions, char/token
@@ -2308,6 +2324,19 @@ object PipelineQueries {
             tk => graft.pipeline.TextFunctions.hash60(tk) % 64)))
             .as("bucket")),
         "doc_id", iters = 12, lrDen = 1)
+    }),
+    "p124_calibration" -> ((s, dir) => {
+      val labels = Curation.funnelLabels(t(s, dir, "documents"), "doc_id",
+        "text", profile = Curation.GateProfile.wordSalad)
+      Curation.calibrationReport(
+        Curation.logisticRegressionPlan(
+          labels.select(col("doc_id"), col("cls"),
+            explode(array_distinct(transform(
+              graft.pipeline.TextFunctions.tokens(col("text")),
+              tk => graft.pipeline.TextFunctions.hash60(tk) % 64)))
+              .as("bucket")),
+          "doc_id", iters = 12, lrDen = 1),
+        "z_micro", "cls", bucketMicro = 400000L)
     }))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2421,6 +2450,7 @@ object PipelineQueries {
     "p121_entropy" -> p121Entropy _,
     "p122_residual_pq" -> p122ResidualPq _,
     "p123_doc_features" -> p123DocFeatures _,
+    "p124_calibration" -> p124Calibration _,
     "p50_temp_mix" -> p50TempMix _,
     "p51_hard_negatives" -> p51HardNegatives _,
     "p52_ivf_trained" -> p52IvfTrained _,
@@ -4084,6 +4114,18 @@ object PipelineQueries {
            |FROM rk WHERE rank <= 100""".stripMargin) +
       ("p117_lr_classifier" ->
         oLrClassifier(buckets = 64, iters = 12, lrDen = 1)) +
+      ("p124_calibration" ->
+        s"""WITH lr AS (${oLrClassifier(buckets = 64, iters = 12,
+              lrDen = 1)})
+           |SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |  CAST(SUM(cls) AS BIGINT) AS n_pos,
+           |  CAST(FLOOR(1000000.0 / (1.0 + exp(-(CAST(bucket + 200000
+           |    AS DOUBLE) / 1000000.0)))) AS BIGINT) AS pred_pos_micro,
+           |  (SUM(cls) * 1000000) // COUNT(*) AS emp_pos_micro
+           |FROM (SELECT cls, z_micro
+           |        - ((z_micro % 400000) + 400000) % 400000 AS bucket
+           |      FROM lr)
+           |GROUP BY bucket""".stripMargin) +
       ("p118_wordpiece" -> oWordPieceTrain(100)) +
       ("p122_residual_pq" -> oResidualPq) +
       ("p123_doc_features" ->

@@ -228,6 +228,21 @@ class RetrievalSpec extends SparkSpec {
     assert(out.forall { case (_, p) => p == 0L || p == 1L })
   }
 
+  test("calibration report: exact buckets, single-sigmoid centers, exact rates") {
+    val rows = Seq(
+      (100000L, 1L), (900000L, 0L),            // bucket 0, center 0.5
+      (-300000L, 0L), (-999999L, 1L))          // bucket -1e6, center -0.5
+      .toDF("z_micro", "cls")
+    val out = Curation.calibrationReport(rows, "z_micro", "cls",
+        bucketMicro = 1000000L)
+      .orderBy("bucket")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    val sig = (x: Double) => math.floor(1e6 / (1.0 + math.exp(-x))).toLong
+    assert(out == Seq(
+      (-1000000L, 2L, 1L, sig(-0.5), 500000L),
+      (0L, 2L, 1L, sig(0.5), 500000L)), out.toString)
+  }
+
   test("LR training leaves no cache entries and is deterministic") {
     val docs = graft.core.Tables.read(spark, sf0001, "documents")
     def run() = Curation.logisticRegression(docs, "doc_id", "text",
