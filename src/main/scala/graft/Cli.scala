@@ -488,6 +488,8 @@ object Cli {
       write(queries.PipelineQueries.p123DocFeatures(spark, dir), out)
     case "calibration" :: dir :: out :: Nil =>
       write(queries.PipelineQueries.p124Calibration(spark, dir), out)
+    case "dedup-sweep" :: dir :: out :: Nil =>
+      write(queries.PipelineQueries.p125DedupSweep(spark, dir), out)
 
     // bloom-prefiltered idempotent ingest: the zero-shuffle scale path
     // of ingest-dedup. The sketch is sized from input FILE BYTES, not a

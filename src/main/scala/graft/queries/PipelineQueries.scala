@@ -1856,6 +1856,43 @@ object PipelineQueries {
   def p121Entropy(s: SparkSession, dir: String): DataFrame =
     Curation.entropyStats(t(s, dir, "documents"), "doc_id", "text")
 
+  /** Dedup threshold sweep (p125): the tuning card a curation run
+    * reads BEFORE committing a near-dup threshold — for J ∈ {0.40,
+    * 0.90, 0.96, 0.98} (the planted pairs cluster above 0.88, so the
+    * high band is where this corpus's curve bends), the surviving
+    * pair count, cluster count, and
+    * doc/token mass min-id canonicalization would remove. The
+    * expensive work happens ONCE: the exact-scored pair set at the
+    * loosest threshold (p04's proven-prune configuration) feeds every
+    * row; per threshold only a filter + star-contraction closure over
+    * the (tiny) qualifying edge set runs. The oracle replays the
+    * exhaustive pair scan and FOUR recursive-CTE closures.
+    */
+  def p125DedupSweep(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", k = 4,
+      threshold = 0.4, maxShingleFreqFrac = Some(0.1))
+    val toks = docs.select(col("doc_id"),
+      size(TF.tokens(col("text"))).cast("long").as("n_toks"))
+    def row(tPct: Int): DataFrame = {
+      val keep = pairs.filter(col("jaccard_micro") >= tPct * 10000L)
+      val dec = ConnectedComponents.dedupDecisions(
+        keep.select(col("doc_a").as("u"), col("doc_b").as("v")))
+      dec.join(toks, col("node") === col("doc_id"))
+        .agg(count(lit(1)).as("n_docs_in_clusters"),
+          sum(col("keep")).as("n_clusters"),
+          sum(when(col("keep") === 0, 1L).otherwise(0L))
+            .as("n_docs_removed"),
+          sum(when(col("keep") === 0, col("n_toks")).otherwise(0L))
+            .as("toks_removed"))
+        .crossJoin(broadcast(keep.agg(count(lit(1)).as("n_pairs"))))
+        .select(lit(tPct.toLong).as("threshold_pct"), col("n_pairs"),
+          col("n_clusters"), col("n_docs_in_clusters"),
+          col("n_docs_removed"), col("toks_removed"))
+    }
+    Seq(40, 90, 96, 98).map(row).reduce(_.unionByName(_))
+  }
+
   /** Classifier calibration (p124): the reliability diagram for the
     * p117 logistic-regression scorer — fixed 0.4-logit margin buckets,
     * the predicted probability at each bucket center vs the empirical
@@ -2451,6 +2488,7 @@ object PipelineQueries {
     "p122_residual_pq" -> p122ResidualPq _,
     "p123_doc_features" -> p123DocFeatures _,
     "p124_calibration" -> p124Calibration _,
+    "p125_dedup_sweep" -> p125DedupSweep _,
     "p50_temp_mix" -> p50TempMix _,
     "p51_hard_negatives" -> p51HardNegatives _,
     "p52_ivf_trained" -> p52IvfTrained _,
@@ -4128,6 +4166,53 @@ object PipelineQueries {
            |GROUP BY bucket""".stripMargin) +
       ("p118_wordpiece" -> oWordPieceTrain(100)) +
       ("p122_residual_pq" -> oResidualPq) +
+      ("p125_dedup_sweep" -> {
+        def tcte(t: Int) =
+          s"""e$t(u, v) AS (
+             |  SELECT doc_a, doc_b FROM allp WHERE j >= ${t / 100.0}
+             |  UNION SELECT doc_b, doc_a FROM allp WHERE j >= ${t / 100.0}),
+             |r$t(u, v) AS (
+             |  SELECT u, u FROM (SELECT DISTINCT u FROM e$t)
+             |  UNION
+             |  SELECT r.u, e2.v FROM r$t r JOIN e$t e2 ON r.v = e2.u),
+             |c$t AS (SELECT u AS doc_id, MIN(v) AS cluster_id
+             |        FROM r$t GROUP BY u),
+             |s$t AS (
+             |  SELECT CAST($t AS BIGINT) AS threshold_pct,
+             |    (SELECT COUNT(*) FROM allp WHERE j >= ${t / 100.0})
+             |      AS n_pairs,
+             |    SUM(CASE WHEN c.doc_id = c.cluster_id THEN 1 ELSE 0 END)
+             |      AS n_clusters,
+             |    COUNT(*) AS n_docs_in_clusters,
+             |    SUM(CASE WHEN c.doc_id != c.cluster_id THEN 1 ELSE 0 END)
+             |      AS n_docs_removed,
+             |    SUM(CASE WHEN c.doc_id != c.cluster_id THEN tk.n_toks
+             |        ELSE 0 END) AS toks_removed
+             |  FROM c$t c JOIN tk ON c.doc_id = tk.doc_id)""".stripMargin
+        s"""WITH RECURSIVE sh AS (
+           |  SELECT doc_id, ${oShingles(4)} AS sh
+           |  FROM (SELECT doc_id, $oToks AS toks FROM documents)),
+           |allp AS (
+           |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |    len(list_intersect(a.sh, b.sh))
+           |      / CAST(len(list_distinct(list_concat(a.sh, b.sh)))
+           |             AS DOUBLE) AS j
+           |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           |  WHERE len(list_intersect(a.sh, b.sh))
+           |      / CAST(len(list_distinct(list_concat(a.sh, b.sh)))
+           |             AS DOUBLE) >= 0.4),
+           |tk AS (SELECT doc_id, CAST(len($oToks) AS BIGINT) AS n_toks
+           |       FROM documents),
+           |${Seq(40, 90, 96, 98).map(tcte).mkString(",\n")}
+           |SELECT threshold_pct, CAST(n_pairs AS BIGINT) AS n_pairs,
+           |  CAST(n_clusters AS BIGINT) AS n_clusters,
+           |  CAST(n_docs_in_clusters AS BIGINT) AS n_docs_in_clusters,
+           |  CAST(n_docs_removed AS BIGINT) AS n_docs_removed,
+           |  CAST(toks_removed AS BIGINT) AS toks_removed
+           |FROM (SELECT * FROM s40 UNION ALL SELECT * FROM s90
+           |      UNION ALL SELECT * FROM s96 UNION ALL SELECT * FROM s98)
+           |""".stripMargin
+      }) +
       ("p123_doc_features" ->
         s"""WITH $oScoreCtes,
            |l AS (SELECT * FROM (${oracle0("p08_lang_id")})),
