@@ -1034,6 +1034,13 @@ object Cli {
       drainDocJob(streaming.StreamingJobs.tokenize(stream, snapshot), out)
       println(s"""{"stream_tokenize":"$out"}""")
 
+    // stateless feature projection at ingest: the no-model slice of
+    // the p123 feature store, per-row and bit-equal to batch
+    case "stream-features" :: dir :: out :: Nil =>
+      val stream = stagedDocStream(spark, dir, out)
+      drainDocJob(streaming.StreamingJobs.featureGate(stream), out)
+      println(s"""{"stream_features":"$out"}""")
+
     // entropy gate at ingest: stateless per-row HOF, bit-equal to the
     // batch p121 groupBy path
     case "stream-entropy" :: dir :: out :: Nil =>

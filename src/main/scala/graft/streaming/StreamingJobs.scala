@@ -111,6 +111,41 @@ object StreamingJobs {
   def c4Gate(docs: DataFrame): DataFrame =
     graft.pipeline.Curation.c4PageGates(docs, "doc_id", "text")
 
+  /** Ingest-time feature projection — the stateless slice of the p123
+    * document feature store: composite quality score, predicted
+    * language, repetition fractions, and char/token entropy, all
+    * per-row Column expressions (no shuffle, no watermark, no state),
+    * each sharing its batch twin's exact arithmetic so values are
+    * bit-equal to the corresponding p123 columns. The model-backed
+    * signals (KN perplexity, memorization risk) stay in their own
+    * snapshot-fit streaming jobs ([[knPerplexity]], [[noveltyScore]])
+    * — they need broadcast model tables, not row state.
+    */
+  def featureGate(docs: DataFrame): DataFrame = {
+    val TF = graft.pipeline.TextFunctions
+    val text = col("text")
+    val toks = TF.tokens(text)
+    val nToks = size(toks)
+    val meanLen = aggregate(toks, lit(0L), (a, x) => a + length(x))
+      .cast("double") / nToks.cast("double")
+    val punct = TF.punctCount(text).cast("double") /
+      length(text).cast("double")
+    val stop = TF.stopwordHits(toks, TF.stopwords.head._2).cast("double") /
+      nToks.cast("double")
+    val chars = when(length(text) > 0,
+      transform(sequence(lit(1), length(text)),
+        i => text.substr(i, lit(1))))
+      .otherwise(array())
+    docs.select(col("doc_id"),
+      nToks.cast("long").as("n_toks"),
+      floor(TF.qualityScore(nToks, meanLen, punct, stop) * 1e6)
+        .cast("long").as("score_micro"),
+      TF.langId(toks).as("lang_pred"),
+      TF.dupShingleFraction(toks, 3).as("dup_3gram_frac"),
+      TF.entropyMicroHof(chars).as("chars_entropy_micro"),
+      TF.entropyMicroHof(toks).as("toks_entropy_micro"))
+  }
+
   /** Ingest-time entropy gate — the streaming twin of p121: per-doc
     * character- and token-level Shannon entropy as a STATELESS
     * per-row projection ([[graft.pipeline.TextFunctions

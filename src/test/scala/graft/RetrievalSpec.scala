@@ -197,6 +197,21 @@ class RetrievalSpec extends SparkSpec {
     assert(out.head == (("rio", "grande")), out.toSeq.toString)
   }
 
+  test("stream feature projection matches the p123 feature-store columns") {
+    val batch = graft.queries.PipelineQueries.p123DocFeatures(spark, sf0001)
+      .select("doc_id", "n_toks", "score_micro", "lang_pred",
+        "dup_3gram_frac", "chars_entropy_micro", "toks_entropy_micro")
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String, Double, Long, Long)].collect().toSeq
+    val stream = graft.streaming.StreamingJobs.featureGate(
+        graft.core.Tables.read(spark, sf0001, "documents"))
+      .select("doc_id", "n_toks", "score_micro", "lang_pred",
+        "dup_3gram_frac", "chars_entropy_micro", "toks_entropy_micro")
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String, Double, Long, Long)].collect().toSeq
+    assert(batch == stream)
+  }
+
   test("per-row entropy HOF is bit-equal to the batch groupBy path") {
     val docs = graft.core.Tables.read(spark, sf0001, "documents")
     val batch = Curation.entropyStats(docs, "doc_id", "text")
