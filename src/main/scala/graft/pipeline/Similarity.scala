@@ -1380,6 +1380,39 @@ object Similarity {
         col("adc_rank"))
   }
 
+  /** [[ivfPqRefineTopK]] over the RESIDUAL encoding — the full FAISS
+    * production composition (IVFPQ + residual + refine): the residual
+    * ADC pass ([[ivfResidualPqTopK]]) produces the top-`rerank`
+    * shortlist, exact cosine on the raw vectors re-ranks it to the
+    * final top-`k`. Same refine scale shape as the raw path: the
+    * Q·rerank shortlist broadcasts onto the corpus scan, full vectors
+    * never shuffle, `adc_rank` rides beside the exact rank.
+    */
+  def ivfResidualPqRefineTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, coarseFilter: Column,
+      pqFilter: Column, m: Int, dim: Int, k: Int, nprobe: Int,
+      rerank: Int): DataFrame = {
+    require(rerank >= k, "rerank must be >= k")
+    val shortlist = ivfResidualPqTopK(corpus, queries, idCol, vecCol,
+        coarseFilter, pqFilter, m, dim, rerank, nprobe)
+      .select(col("query_id"), col("cand_id"), col("rank").as("adc_rank"))
+    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      l2norm(col(vecCol)).as("qn"))
+    val cv = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cv"),
+      l2norm(col(vecCol)).as("cn"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("cand_id").asc)
+    broadcast(shortlist.join(qv, Seq("query_id")))
+      .join(cv, Seq("cand_id"))
+      .withColumn("sim",
+        cosinePre(dot(col("qv"), col("cv")), col("qn"), col("cn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long"), col("cand_id"),
+        floor(col("sim") * 1e6).cast("long").as("sim_micro"),
+        col("adc_rank"))
+  }
+
   private def pqTopKWith(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, m: Int, dim: Int,
       books: IndexedSeq[Array[(Long, Array[Float])]], k: Int): DataFrame = {

@@ -1845,6 +1845,11 @@ object PipelineQueries {
         Similarity.ivfResidualPqTopK(emb, queries, "vec_id", "embedding",
           coarseFilter = col("vec_id") < 8, pqFilter = pqRows,
           m = 4, dim = 64, k = 10, nprobe = 1)))
+      .unionByName(row("ivfpq_residual_refine_hier",
+        Similarity.ivfResidualPqRefineTopK(emb, queries, "vec_id",
+          "embedding", coarseFilter = col("vec_id") < 8,
+          pqFilter = pqRows, m = 4, dim = 64, k = 10, nprobe = 1,
+          rerank = 30)))
   }
 
   /** Entropy quality signals (p121): per-document character- and
@@ -3384,6 +3389,23 @@ object PipelineQueries {
        |         FROM rcells WHERE vec_id < 20),
        |${adCtes("p_", "qraw", "qv", "p_codes", "pbook", "bv")},
        |${adCtes("r_", "qres", "qv", "r_codes", "rbook", "bv")},
+       |rr_sl AS (
+       |  SELECT query_id, cand_id FROM (
+       |    SELECT query_id, cand_id, ROW_NUMBER() OVER (
+       |      PARTITION BY query_id
+       |      ORDER BY adist ASC, cand_id ASC) AS rank
+       |    FROM r_ad)
+       |  WHERE rank <= 30),
+       |rr_top AS (
+       |  SELECT query_id, cand_id FROM (
+       |    SELECT s.query_id, s.cand_id, ROW_NUMBER() OVER (
+       |      PARTITION BY s.query_id
+       |      ORDER BY ${oCos("q.embedding", "c.embedding")} DESC,
+       |               s.cand_id ASC) AS rank
+       |    FROM rr_sl s
+       |    JOIN ce q ON s.query_id = q.vec_id
+       |    JOIN ce c ON s.cand_id = c.vec_id)
+       |  WHERE rank <= 10),
        |ex AS (
        |  SELECT query_id, cand_id FROM (
        |    SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
@@ -3398,6 +3420,8 @@ object PipelineQueries {
        |${recallRow("ivfpq_raw_hier", "p_top")}
        |  UNION ALL
        |${recallRow("ivfpq_residual_hier", "r_top")}
+       |  UNION ALL
+       |${recallRow("ivfpq_residual_refine_hier", "rr_top")}
        |)""".stripMargin
   }
 

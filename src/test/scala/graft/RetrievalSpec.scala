@@ -229,6 +229,10 @@ class RetrievalSpec extends SparkSpec {
       .map { case (m, _, _, r) => m -> r }.toMap
     assert(recall("ivfpq_residual_hier") > recall("ivfpq_raw_hier") + 100000L,
       recall.toString)
+    // the exact refine over the residual shortlist closes the gap
+    assert(recall("ivfpq_residual_refine_hier") >
+      recall("ivfpq_residual_hier"), recall.toString)
+    assert(recall("ivfpq_residual_refine_hier") >= 950000L, recall.toString)
   }
 
   // -------------------------------------------- LR quality classifier
