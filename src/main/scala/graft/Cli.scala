@@ -490,6 +490,8 @@ object Cli {
       write(queries.PipelineQueries.p124Calibration(spark, dir), out)
     case "dedup-sweep" :: dir :: out :: Nil =>
       write(queries.PipelineQueries.p125DedupSweep(spark, dir), out)
+    case "domain-drift" :: dir :: out :: Nil =>
+      write(queries.PipelineQueries.p126DomainDrift(spark, dir), out)
 
     // bloom-prefiltered idempotent ingest: the zero-shuffle scale path
     // of ingest-dedup. The sketch is sized from input FILE BYTES, not a

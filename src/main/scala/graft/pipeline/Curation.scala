@@ -1676,6 +1676,49 @@ object Curation {
         col("pmi_micro"))
   }
 
+  /** Per-domain distribution drift — for each source, the KL
+    * divergence of its add-one-smoothed unigram distribution from the
+    * corpus-wide one, in integer nano-nats: the dataset-card number
+    * that ranks domains by how far their token mix sits from the
+    * mixture (near-zero = generic; high = distinctive vocabulary —
+    * the signal behind domain-weighting and drift monitors between
+    * snapshots). Each token's term `p_s·ln(p_s/p_c)` is ONE
+    * fixed-order double floored to nano-nats BEFORE the per-source
+    * integer sum (terms are ±10⁻⁴-scale, hence nano not micro), so
+    * any engine replays the sum exactly.
+    *
+    * Scale shape: one (source, token) count shuffle with map-side
+    * combine; the corpus-wide count table is vocabulary-sized and
+    * broadcasts back onto it; per-source totals ride a window over
+    * the grouped counts. Absent tokens (in the corpus, not the
+    * source) contribute nothing to THIS direction of the KL — the
+    * smoothed p_s over the shared vocabulary keeps the sum
+    * well-defined without materializing the source×vocab product.
+    */
+  def domainDrift(df: DataFrame, idCol: String, textCol: String,
+      sourceCol: String): DataFrame = {
+    val occ = df.select(col(sourceCol).as("src"),
+      explode(TF.tokens(col(textCol))).as("tok"))
+    val sc = occ.groupBy(col("src"), col("tok"))
+      .agg(count(lit(1)).as("cs"))
+    val cc = occ.groupBy(col("tok")).agg(count(lit(1)).as("cv"))
+    val v = cc.agg(count(lit(1)).as("v"), sum(col("cv")).as("tc"))
+    val ts = sum(col("cs")).over(Window.partitionBy(col("src")))
+    val ps = (col("cs") + 1).cast("double") /
+      (col("ts") + col("v")).cast("double")
+    val pc = (col("cv") + 1).cast("double") /
+      (col("tc") + col("v")).cast("double")
+    sc.withColumn("ts", ts)
+      .join(broadcast(cc), Seq("tok"))
+      .crossJoin(broadcast(v))
+      .withColumn("term_nano",
+        floor(ps * log(ps / pc) * 1e9).cast("long"))
+      .groupBy(col("src").as(sourceCol))
+      .agg(max(col("ts")).as("n_toks"),
+        count(lit(1)).as("n_types"),
+        sum(col("term_nano")).as("kl_nano"))
+  }
+
   /** Calibration report for a margin-scored binary classifier — the
     * reliability diagram as a table: rows are fixed margin buckets
     * (z_micro in steps of `bucketMicro`, floor-bucketed so the edges

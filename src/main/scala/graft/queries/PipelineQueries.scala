@@ -1861,6 +1861,18 @@ object PipelineQueries {
   def p121Entropy(s: SparkSession, dir: String): DataFrame =
     Curation.entropyStats(t(s, dir, "documents"), "doc_id", "text")
 
+  /** Domain drift (p126): per-source KL divergence of the smoothed
+    * unigram distribution from the corpus-wide mixture in integer
+    * nano-nats ([[Curation.domainDrift]]) — the card that ranks
+    * domains by vocabulary distinctiveness, the signal behind domain
+    * weighting and snapshot drift monitors. The oracle replays the
+    * count tables, the shared smoothing, and the per-term nano
+    * floors.
+    */
+  def p126DomainDrift(s: SparkSession, dir: String): DataFrame =
+    Curation.domainDrift(t(s, dir, "documents"), "doc_id", "text",
+      "source")
+
   /** Dedup threshold sweep (p125): the tuning card a curation run
     * reads BEFORE committing a near-dup threshold — for J ∈ {0.40,
     * 0.90, 0.96, 0.98} (the planted pairs cluster above 0.88, so the
@@ -2494,6 +2506,7 @@ object PipelineQueries {
     "p123_doc_features" -> p123DocFeatures _,
     "p124_calibration" -> p124Calibration _,
     "p125_dedup_sweep" -> p125DedupSweep _,
+    "p126_domain_drift" -> p126DomainDrift _,
     "p50_temp_mix" -> p50TempMix _,
     "p51_hard_negatives" -> p51HardNegatives _,
     "p52_ivf_trained" -> p52IvfTrained _,
@@ -4190,6 +4203,27 @@ object PipelineQueries {
            |GROUP BY bucket""".stripMargin) +
       ("p118_wordpiece" -> oWordPieceTrain(100)) +
       ("p122_residual_pq" -> oResidualPq) +
+      ("p126_domain_drift" ->
+        s"""WITH occ AS (
+           |  SELECT source AS src, unnest($oToks) AS tok
+           |  FROM documents),
+           |sc AS (
+           |  SELECT src, tok, COUNT(*) AS cs FROM occ GROUP BY src, tok),
+           |cc AS (SELECT tok, COUNT(*) AS cv FROM occ GROUP BY tok),
+           |v AS (SELECT COUNT(*) AS v, SUM(cv) AS tc FROM cc),
+           |st AS (
+           |  SELECT sc.src, sc.tok, sc.cs, cc.cv,
+           |    SUM(sc.cs) OVER (PARTITION BY sc.src) AS ts
+           |  FROM sc JOIN cc ON sc.tok = cc.tok)
+           |SELECT src AS source, CAST(MAX(ts) AS BIGINT) AS n_toks,
+           |  CAST(COUNT(*) AS BIGINT) AS n_types,
+           |  CAST(SUM(CAST(FLOOR(
+           |    (CAST(cs + 1 AS DOUBLE) / CAST(ts + v.v AS DOUBLE))
+           |    * ln((CAST(cs + 1 AS DOUBLE) / CAST(ts + v.v AS DOUBLE))
+           |         / (CAST(cv + 1 AS DOUBLE) / CAST(tc + v.v AS DOUBLE)))
+           |    * 1000000000.0) AS BIGINT)) AS BIGINT) AS kl_nano
+           |FROM st, v
+           |GROUP BY src""".stripMargin) +
       ("p125_dedup_sweep" -> {
         def tcte(t: Int) =
           s"""e$t(u, v) AS (

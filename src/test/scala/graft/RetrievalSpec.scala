@@ -247,6 +247,20 @@ class RetrievalSpec extends SparkSpec {
     assert(out.forall { case (_, p) => p == 0L || p == 1L })
   }
 
+  test("domain drift: distinctive vocabulary scores high, shared scores near zero") {
+    val docs = Seq(
+      (1L, "sA", "alpha beta gamma delta"),
+      (2L, "sA", "alpha beta gamma delta"),
+      (3L, "sB", "alpha beta gamma delta"),
+      (4L, "sC", "omega psi chi phi")).toDF("doc_id", "source", "text")
+    val out = Curation.domainDrift(docs, "doc_id", "text", "source")
+      .select("source", "kl_nano").as[(String, Long)].collect().toMap
+    // sA and sB share the corpus-dominant vocabulary (their KL is
+    // pure smoothing noise, differing only by source size); sC's
+    // vocabulary is disjoint from the mixture
+    assert(out("sC") > math.max(out("sA"), out("sB")) * 5, out.toString)
+  }
+
   test("calibration report: exact buckets, single-sigmoid centers, exact rates") {
     val rows = Seq(
       (100000L, 1L), (900000L, 0L),            // bucket 0, center 0.5
