@@ -492,6 +492,10 @@ object Cli {
       write(queries.PipelineQueries.p125DedupSweep(spark, dir), out)
     case "domain-drift" :: dir :: out :: Nil =>
       write(queries.PipelineQueries.p126DomainDrift(spark, dir), out)
+    case "countmin" :: dir :: out :: Nil =>
+      write(queries.PipelineQueries.p127CountMin(spark, dir), out)
+    case "hll" :: dir :: out :: Nil =>
+      write(queries.PipelineQueries.p128Hll(spark, dir), out)
 
     // bloom-prefiltered idempotent ingest: the zero-shuffle scale path
     // of ingest-dedup. The sketch is sized from input FILE BYTES, not a

@@ -1676,6 +1676,107 @@ object Curation {
         col("pmi_micro"))
   }
 
+  /** Count-min sketch calibration — the heavy-hitter sketch audited
+    * in place (the p104 move for frequency instead of similarity):
+    * build a d×w count-min sketch over the token stream (Cormode &
+    * Muthukrishnan 2005), then report, for the top-`topK` tokens by
+    * EXACT count, the sketch estimate beside the truth. CMS never
+    * underestimates, so `est ≥ exact` is a hard invariant (spec- and
+    * oracle-checked), and the overshoot column shows the collision
+    * noise a 100-TB run would accept in exchange for fixed memory:
+    * the sketch is d·w integers regardless of vocabulary size, built
+    * in ONE shuffle of (row, bucket) keys with map-side combine.
+    * Hash rows use the portable seeded hash, so any engine rebuilds
+    * the identical sketch.
+    */
+  def countMinCalibration(df: DataFrame, idCol: String, textCol: String,
+      d: Int, w: Int, topK: Int): DataFrame = {
+    require(d > 0 && w > 0 && topK > 0, "d, w, topK must be positive")
+    val occ = tokenOccurrences(df, idCol, textCol)
+    graft.core.Caching.withCached(occ) {
+      val cells = occ.select(explode(array((0 until d).map(r =>
+          struct(lit(r).as("r"),
+            (TF.hash60(concat(lit(s"cm${r}_"), col("tok"))) % w)
+              .as("b"))): _*)).as("cell"))
+        .select(col("cell.r"), col("cell.b"))
+        .groupBy(col("r"), col("b")).agg(count(lit(1)).as("c"))
+      val top = occ.groupBy(col("tok")).agg(count(lit(1)).as("exact"))
+        .orderBy(col("exact").desc, col("tok")).limit(topK)
+      val probes = top.select(col("tok"), col("exact"),
+        explode(array((0 until d).map(r =>
+          struct(lit(r).as("r"),
+            (TF.hash60(concat(lit(s"cm${r}_"), col("tok"))) % w)
+              .as("b"))): _*)).as("cell"))
+        .select(col("tok"), col("exact"), col("cell.r"), col("cell.b"))
+      val est = probes.join(broadcast(cells), Seq("r", "b"))
+        .groupBy(col("tok"), col("exact"))
+        .agg(min(col("c")).as("est"))
+      est
+        .withColumn("rank", row_number().over(Window
+          .orderBy(col("exact").desc, col("tok"))).cast("long"))
+        .select(col("rank"), col("tok"), col("exact"), col("est"),
+          (col("est") - col("exact")).as("overshoot"))
+    }
+  }
+
+  /** HyperLogLog calibration — the distinct-count sketch audited in
+    * place: per source, a 64-register HLL (Flajolet et al. 2007) over
+    * the 3-gram hash stream beside the EXACT distinct count. The
+    * register update is one (source, register) max-shuffle (64 rows
+    * per source however large the stream — the whole point at
+    * 100 TB); the estimate is the harmonic mean, computed EXACTLY:
+    * Σ 2^(−M_j) is scaled by 2⁵⁵ into an integer sum (absent
+    * registers contribute 2⁵⁵ each), and the only double op is the
+    * final α·m²·2⁵⁵ / S division. The rank-of-first-one-bit ρ uses a
+    * comparison chain, not floating log₂ — bit-exact in any engine
+    * (a `floor(log2)` would misround at exact powers of two). The
+    * small-range linear-counting correction engages below 2.5·m when
+    * empty registers remain, as in the paper.
+    */
+  def hllCalibration(df: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, k: Int = 3): DataFrame = {
+    val m = 64
+    val alpha = 0.7213 / (1 + 1.079 / m)
+    // α·m²·2⁵⁵ as one driver-folded constant (the oracle embeds the
+    // identical round-tripped double literal)
+    val numer = alpha * (m.toDouble * m) * math.pow(2.0, 55)
+    val grams = df.select(col(sourceCol).as("src"),
+        explode(TF.shingles(TF.tokens(col(textCol)), k)).as("sh"))
+      .select(col("src"), TF.hash60(col("sh")).as("h"))
+    graft.core.Caching.withCached(grams) {
+      val rest = expr("h div 64")
+      // bit length of the 54-bit remainder by comparison chain
+      val bitlen = greatest((0 until 54).map(b =>
+        when(rest >= math.pow(2.0, b).toLong, b + 1).otherwise(0)): _*)
+      val regs = grams
+        .select(col("src"), pmod(col("h"), lit(64L)).as("j"),
+          (lit(55) - bitlen).as("rho"))
+        .groupBy(col("src"), col("j")).agg(max(col("rho")).as("mj"))
+      val sums = regs.groupBy(col("src"))
+        .agg(count(lit(1)).as("n_regs"),
+          sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(55 - mj AS INT))"))
+            .as("s_present"))
+        .select(col("src"), (lit(m.toLong) - col("n_regs")).as("v_zero"),
+          (col("s_present") +
+            (lit(m.toLong) - col("n_regs")) * lit(1L << 55)).as("s"))
+      val exact = grams.groupBy(col("src"))
+        .agg(count(lit(1)).as("n_grams"),
+          countDistinct(col("h")).as("exact_distinct"))
+      val estRaw = floor(lit(numer) / col("s").cast("double"))
+        .cast("long")
+      val linear = floor(lit(m.toDouble) *
+        log(lit(m.toDouble) / col("v_zero").cast("double"))).cast("long")
+      sums.join(exact, Seq("src"))
+        .withColumn("est",
+          when(estRaw <= lit((2.5 * m).toLong) && col("v_zero") > 0,
+            linear).otherwise(estRaw))
+        .select(col("src").as(sourceCol), col("n_grams"),
+          col("exact_distinct"), col("v_zero"), col("est"),
+          expr("abs(est - exact_distinct) * 1000000 div exact_distinct")
+            .as("err_micro"))
+    }
+  }
+
   /** Per-domain distribution drift — for each source, the KL
     * divergence of its add-one-smoothed unigram distribution from the
     * corpus-wide one, in integer nano-nats: the dataset-card number

@@ -1861,6 +1861,29 @@ object PipelineQueries {
   def p121Entropy(s: SparkSession, dir: String): DataFrame =
     Curation.entropyStats(t(s, dir, "documents"), "doc_id", "text")
 
+  /** Count-min calibration (p127): a 4×64 count-min sketch over the
+    * token stream, audited against exact counts for the top-30 tokens
+    * ([[Curation.countMinCalibration]]) — fixed-memory heavy-hitter
+    * counting with its collision overshoot made visible (est ≥ exact
+    * is a hard invariant both sides check). The oracle rebuilds the
+    * sketch from the same seeded hashes and replays the min-probe.
+    */
+  def p127CountMin(s: SparkSession, dir: String): DataFrame =
+    Curation.countMinCalibration(t(s, dir, "documents"), "doc_id",
+      "text", d = 4, w = 64, topK = 30)
+
+  /** HyperLogLog calibration (p128): per-source 64-register HLL over
+    * the 3-gram hash stream beside the exact distinct count
+    * ([[Curation.hllCalibration]]) — constant-memory cardinality with
+    * its error audited in place. The harmonic mean is an EXACT
+    * integer sum (2⁵⁵-scaled), ρ comes from a comparison chain (no
+    * floating log₂), so the oracle rebuilds the identical registers
+    * and estimate.
+    */
+  def p128Hll(s: SparkSession, dir: String): DataFrame =
+    Curation.hllCalibration(t(s, dir, "documents"), "doc_id", "text",
+      "source", k = 3)
+
   /** Domain drift (p126): per-source KL divergence of the smoothed
     * unigram distribution from the corpus-wide mixture in integer
     * nano-nats ([[Curation.domainDrift]]) — the card that ranks
@@ -2507,6 +2530,8 @@ object PipelineQueries {
     "p124_calibration" -> p124Calibration _,
     "p125_dedup_sweep" -> p125DedupSweep _,
     "p126_domain_drift" -> p126DomainDrift _,
+    "p127_countmin" -> p127CountMin _,
+    "p128_hll" -> p128Hll _,
     "p50_temp_mix" -> p50TempMix _,
     "p51_hard_negatives" -> p51HardNegatives _,
     "p52_ivf_trained" -> p52IvfTrained _,
@@ -4203,6 +4228,73 @@ object PipelineQueries {
            |GROUP BY bucket""".stripMargin) +
       ("p118_wordpiece" -> oWordPieceTrain(100)) +
       ("p122_residual_pq" -> oResidualPq) +
+      ("p128_hll" -> {
+        val m = 64
+        val alpha = 0.7213 / (1 + 1.079 / m)
+        val numer = alpha * (m.toDouble * m) * math.pow(2.0, 55)
+        val bitlen = (0 until 54).map(b =>
+          s"CASE WHEN rest >= ${1L << b} THEN ${b + 1} ELSE 0 END")
+          .mkString("GREATEST(", ",\n    ", ")")
+        s"""WITH grams AS (
+           |  SELECT source AS src, ${oHash("sh")} AS h FROM (
+           |    SELECT source, unnest(sh) AS sh FROM (
+           |      SELECT source, ${oShingles(3)} AS sh
+           |      FROM (SELECT source, $oToks AS toks FROM documents)))),
+           |rho AS (
+           |  SELECT src, h % 64 AS j,
+           |    55 - $bitlen AS rho
+           |  FROM (SELECT src, h, h // 64 AS rest FROM grams)),
+           |regs AS (SELECT src, j, MAX(rho) AS mj FROM rho
+           |         GROUP BY src, j),
+           |sums AS (
+           |  SELECT src, 64 - COUNT(*) AS v_zero,
+           |    SUM(1::BIGINT << CAST(55 - mj AS INT))
+           |      + (64 - COUNT(*)) * (1::BIGINT << 55) AS s
+           |  FROM regs GROUP BY src),
+           |ex AS (
+           |  SELECT src, COUNT(*) AS n_grams,
+           |    COUNT(DISTINCT h) AS exact_distinct
+           |  FROM grams GROUP BY src),
+           |est AS (
+           |  SELECT s.src, ex.n_grams, ex.exact_distinct, s.v_zero,
+           |    CASE WHEN CAST(FLOOR($numer / CAST(s.s AS DOUBLE))
+           |        AS BIGINT) <= ${(2.5 * m).toLong} AND s.v_zero > 0
+           |      THEN CAST(FLOOR(64.0 * ln(64.0
+           |        / CAST(s.v_zero AS DOUBLE))) AS BIGINT)
+           |      ELSE CAST(FLOOR($numer / CAST(s.s AS DOUBLE))
+           |        AS BIGINT) END AS est
+           |  FROM sums s JOIN ex ON s.src = ex.src)
+           |SELECT src AS source, CAST(n_grams AS BIGINT) AS n_grams,
+           |  CAST(exact_distinct AS BIGINT) AS exact_distinct,
+           |  CAST(v_zero AS BIGINT) AS v_zero, est,
+           |  (abs(est - exact_distinct) * 1000000) // exact_distinct
+           |    AS err_micro
+           |FROM est""".stripMargin
+      }) +
+      ("p127_countmin" ->
+        s"""WITH occ AS (SELECT unnest($oToks) AS tok FROM documents),
+           |rs AS (SELECT unnest(generate_series(0, 3)) AS r),
+           |cells AS (
+           |  SELECT r, ${oHash(
+                  "'cm' || CAST(r AS VARCHAR) || '_' || tok")} % 64 AS b,
+           |    COUNT(*) AS c
+           |  FROM occ, rs GROUP BY 1, 2),
+           |top AS (
+           |  SELECT tok, COUNT(*) AS exact FROM occ GROUP BY tok
+           |  ORDER BY exact DESC, tok LIMIT 30),
+           |probes AS (
+           |  SELECT tok, exact, r, ${oHash(
+                  "'cm' || CAST(r AS VARCHAR) || '_' || tok")} % 64 AS b
+           |  FROM top, rs),
+           |est AS (
+           |  SELECT p.tok, p.exact, MIN(c.c) AS est
+           |  FROM probes p JOIN cells c ON p.r = c.r AND p.b = c.b
+           |  GROUP BY p.tok, p.exact)
+           |SELECT ROW_NUMBER() OVER (ORDER BY exact DESC, tok) AS rank,
+           |  tok, CAST(exact AS BIGINT) AS exact,
+           |  CAST(est AS BIGINT) AS est,
+           |  CAST(est - exact AS BIGINT) AS overshoot
+           |FROM est""".stripMargin) +
       ("p126_domain_drift" ->
         s"""WITH occ AS (
            |  SELECT source AS src, unnest($oToks) AS tok

@@ -247,6 +247,29 @@ class RetrievalSpec extends SparkSpec {
     assert(out.forall { case (_, p) => p == 0L || p == 1L })
   }
 
+  test("count-min never underestimates; collisions only inflate (p127)") {
+    val rows = graft.queries.PipelineQueries.p127CountMin(spark, sf0001)
+      .select("exact", "est").as[(Long, Long)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (exact, est) => est >= exact },
+      "CMS underestimated a count")
+  }
+
+  test("HLL estimate lands within the sketch's error regime (p128)") {
+    val rows = graft.queries.PipelineQueries.p128Hll(spark, sf0001)
+      .select("exact_distinct", "est").as[(Long, Long)].collect()
+    assert(rows.nonEmpty)
+    // 64 registers -> ~13% std error; allow 4 sigma per source
+    rows.foreach { case (exact, est) =>
+      assert(math.abs(est - exact).toDouble / exact < 0.52,
+        s"exact $exact est $est")
+    }
+    // and the fleet-level mean error is tight
+    val meanErr = rows.map { case (e, s) =>
+      math.abs(s - e).toDouble / e }.sum / rows.length
+    assert(meanErr < 0.20, s"mean err $meanErr")
+  }
+
   test("domain drift: distinctive vocabulary scores high, shared scores near zero") {
     val docs = Seq(
       (1L, "sA", "alpha beta gamma delta"),
