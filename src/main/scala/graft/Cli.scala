@@ -1040,6 +1040,14 @@ object Cli {
       drainDocJob(streaming.StreamingJobs.tokenize(stream, snapshot), out)
       println(s"""{"stream_tokenize":"$out"}""")
 
+    // HLL registers at ingest: cardinality tracking per event-time
+    // window; registers merge across runs by max (HLL union)
+    case "stream-hll" :: dir :: out :: Nil =>
+      val stream = stagedDocStream(spark, dir, out)
+      drainDocJob(streaming.StreamingJobs.hllRegisters(stream,
+        watermarkDelay = "0 seconds", windowDuration = "1 minute"), out)
+      println(s"""{"stream_hll":"$out"}""")
+
     // stateless feature projection at ingest: the no-model slice of
     // the p123 feature store, per-row and bit-equal to batch
     case "stream-features" :: dir :: out :: Nil =>

@@ -111,6 +111,37 @@ object StreamingJobs {
   def c4Gate(docs: DataFrame): DataFrame =
     graft.pipeline.Curation.c4PageGates(docs, "doc_id", "text")
 
+  /** HyperLogLog registers at stream ingest — cardinality tracking as
+    * documents arrive: the same gram hashing, register bucketing, and
+    * comparison-chain ρ as the batch calibration
+    * ([[graft.pipeline.Curation.hllCalibration]]), aggregated as
+    * `max(ρ)` per (event-time window, source, register). Register max
+    * is exactly the state a streaming sketch keeps — 64 small ints
+    * per (window, source) however many documents arrive — and the
+    * window's registers merge with any other run's by a further max,
+    * the HLL union property. The estimate itself is a trivial
+    * register-table rollup downstream (one aggregation per query is
+    * the Append-mode limit; the registers ARE the sketch).
+    */
+  def hllRegisters(docs: DataFrame,
+      watermarkDelay: String = "1 hour",
+      windowDuration: String = "1 hour", k: Int = 3): DataFrame = {
+    val TF = graft.pipeline.TextFunctions
+    val rest = expr("h div 64")
+    val bitlen = greatest((0 until 54).map(b =>
+      when(rest >= (1L << b), b + 1).otherwise(0)): _*)
+    docs.withWatermark("ts", watermarkDelay)
+      .select(col("ts"), col("source").as("src"),
+        explode(TF.shingles(TF.tokens(col("text")), k)).as("sh"))
+      .select(col("ts"), col("src"), TF.hash60(col("sh")).as("h"))
+      .select(col("ts"), col("src"), pmod(col("h"), lit(64L)).as("j"),
+        (lit(55) - bitlen).as("rho"))
+      .groupBy(window(col("ts"), windowDuration), col("src"), col("j"))
+      .agg(max(col("rho")).as("mj"))
+      .select(unix_micros(col("window.start")).as("ws_us"),
+        col("src"), col("j"), col("mj"))
+  }
+
   /** Ingest-time feature projection — the stateless slice of the p123
     * document feature store: composite quality score, predicted
     * language, repetition fractions, and char/token entropy, all

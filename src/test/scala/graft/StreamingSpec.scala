@@ -896,6 +896,49 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming HLL registers equal the batch sketch and merge by max") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, String, Timestamp)]
+    val docs = mem.toDF().toDF("doc_id", "source", "text", "ts")
+    val q = StreamingJobs.hllRegisters(docs)
+      .writeStream.format("memory").queryName("hll_s")
+      .outputMode("append").start()
+    try {
+      def ts(s: String) = Timestamp.valueOf(s)
+      val rows = Seq(
+        (1L, "sA", "aa bb cc dd ee", ts("2024-01-01 00:10:00")),
+        (2L, "sA", "ff gg hh ii jj", ts("2024-01-01 00:20:00")),
+        (3L, "sB", "aa bb cc dd ee", ts("2024-01-01 00:30:00")))
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      mem.addData((99L, "sA", "zz yy xx", ts("2024-01-02 12:00:00")))
+      q.processAllAvailable()
+      val streamed = spark.table("hll_s")
+        .select("src", "j", "mj")
+        .as[(String, Long, Int)].collect().toSeq.sorted
+      // batch twin: same projection, grouped without the window
+      val TF = graft.pipeline.TextFunctions
+      import org.apache.spark.sql.functions.{expr => e}
+      val rest = e("h div 64")
+      val bitlen = greatest((0 until 54).map(b =>
+        when(rest >= (1L << b), b + 1).otherwise(0)): _*)
+      val batch = rows.toDF("doc_id", "source", "text", "ts")
+        .select(col("source").as("src"),
+          explode(TF.shingles(TF.tokens(col("text")), 3)).as("sh"))
+        .select(col("src"), TF.hash60(col("sh")).as("h"))
+        .select(col("src"), pmod(col("h"), lit(64L)).as("j"),
+          (lit(55) - bitlen).as("rho"))
+        .groupBy("src", "j").agg(max(col("rho")).as("mj"))
+        .as[(String, Long, Int)].collect().toSeq.sorted
+      assert(streamed == batch, s"\n$streamed\nvs\n$batch")
+      // sB ingested only sA's first document, so every sB register is
+      // dominated by sA's (register max = HLL union monotonicity)
+      val byS = streamed.groupBy(_._1)
+      val sa = byS("sA").map(t => t._2 -> t._3).toMap
+      assert(byS("sB").forall { case (_, j, mj) => sa(j) >= mj })
+    } finally q.stop()
+  }
+
   test("streaming BM25 search equals batch scores through the impact index") {
     implicit val sqlCtx = spark.sqlContext
     val R = graft.pipeline.Retrieval
