@@ -1040,6 +1040,14 @@ object Cli {
       drainDocJob(streaming.StreamingJobs.tokenize(stream, snapshot), out)
       println(s"""{"stream_tokenize":"$out"}""")
 
+    // count-min cells at ingest: frequency sketch per event-time
+    // window; cells merge across runs by addition (CMS union)
+    case "stream-countmin" :: dir :: out :: Nil =>
+      val stream = stagedDocStream(spark, dir, out)
+      drainDocJob(streaming.StreamingJobs.countMinCells(stream,
+        watermarkDelay = "0 seconds", windowDuration = "1 minute"), out)
+      println(s"""{"stream_countmin":"$out"}""")
+
     // HLL registers at ingest: cardinality tracking per event-time
     // window; registers merge across runs by max (HLL union)
     case "stream-hll" :: dir :: out :: Nil =>

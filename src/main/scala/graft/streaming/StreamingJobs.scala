@@ -142,6 +142,36 @@ object StreamingJobs {
         col("src"), col("j"), col("mj"))
   }
 
+  /** Count-min cells at stream ingest — the frequency-sketch sibling
+    * of [[hllRegisters]]: token occurrences hash into the same d×w
+    * cells as the batch calibration
+    * ([[graft.pipeline.Curation.countMinCalibration]]) and aggregate
+    * as COUNTS per (event-time window, row, bucket) — d·w small ints
+    * per window however many documents arrive, and windows merge with
+    * any other run's cells by ADDITION (the CMS union property; HLL
+    * merges by max, CMS by sum). Point estimates are the min over a
+    * token's d cells, a trivial probe downstream of the emitted
+    * table.
+    */
+  def countMinCells(docs: DataFrame,
+      watermarkDelay: String = "1 hour",
+      windowDuration: String = "1 hour", d: Int = 4,
+      w: Int = 64): DataFrame = {
+    val TF = graft.pipeline.TextFunctions
+    docs.withWatermark("ts", watermarkDelay)
+      .select(col("ts"),
+        explode(TF.tokens(col("text"))).as("tok"))
+      .select(col("ts"), explode(array((0 until d).map(r =>
+        struct(lit(r).as("r"),
+          (TF.hash60(concat(lit(s"cm${r}_"), col("tok"))) % w)
+            .as("b"))): _*)).as("cell"))
+      .groupBy(window(col("ts"), windowDuration), col("cell.r"),
+        col("cell.b"))
+      .agg(count(lit(1)).as("c"))
+      .select(unix_micros(col("window.start")).as("ws_us"),
+        col("r"), col("b"), col("c"))
+  }
+
   /** Ingest-time feature projection — the stateless slice of the p123
     * document feature store: composite quality score, predicted
     * language, repetition fractions, and char/token entropy, all

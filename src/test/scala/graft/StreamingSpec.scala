@@ -896,6 +896,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming count-min cells equal the batch sketch; totals conserved") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val docs = mem.toDF().toDF("doc_id", "text", "ts")
+    val q = StreamingJobs.countMinCells(docs)
+      .writeStream.format("memory").queryName("cm_s")
+      .outputMode("append").start()
+    try {
+      def ts(s: String) = Timestamp.valueOf(s)
+      val rows = Seq(
+        (1L, "aa bb aa cc", ts("2024-01-01 00:10:00")),
+        (2L, "bb bb dd", ts("2024-01-01 00:20:00")))
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      mem.addData((99L, "zz", ts("2024-01-02 12:00:00")))
+      q.processAllAvailable()
+      val streamed = spark.table("cm_s")
+        .select("r", "b", "c").as[(Int, Long, Long)].collect().toSeq.sorted
+      val TF = graft.pipeline.TextFunctions
+      val batch = rows.toDF("doc_id", "text", "ts")
+        .select(explode(TF.tokens(col("text"))).as("tok"))
+        .select(explode(array((0 until 4).map(r =>
+          struct(lit(r).as("r"),
+            (TF.hash60(concat(lit(s"cm${r}_"), col("tok"))) % 64)
+              .as("b"))): _*)).as("cell"))
+        .groupBy(col("cell.r"), col("cell.b"))
+        .agg(count(lit(1)).as("c"))
+        .as[(Int, Long, Long)].collect().toSeq.sorted
+      assert(streamed == batch, s"\n$streamed\nvs\n$batch")
+      // every sketch row holds the full token mass (7 occurrences)
+      (0 until 4).foreach { r =>
+        assert(streamed.filter(_._1 == r).map(_._3).sum == 7L)
+      }
+    } finally q.stop()
+  }
+
   test("streaming HLL registers equal the batch sketch and merge by max") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String, String, Timestamp)]
