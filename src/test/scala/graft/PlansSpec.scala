@@ -486,6 +486,20 @@ class PlansSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("domain drift: corpus-wide counts broadcast onto one source-token shuffle (p126)") {
+    val p = plan(PipelineQueries.p126DomainDrift(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("HLL registers: sketch state is a grouped max, no corpus-wide sort (p128)") {
+    val p = plan(PipelineQueries.p128Hll(spark, sf0001))
+    // the estimate path is register-table-sized aggregations; the only
+    // heavy structure is the (src, register) max groupBy
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window "), "no window should touch the gram stream\n" + p)
+  }
+
   test("residual IVF-PQ: folded index path, corpus exchanges bounded (p122)") {
     import org.apache.spark.sql.functions.col
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
