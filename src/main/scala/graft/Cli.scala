@@ -464,6 +464,8 @@ object Cli {
     // lexical retrieval + classifier-evaluation layer (round 10)
     case "search" :: dir :: out :: Nil =>
       write(queries.PipelineQueries.p112Bm25(spark, dir), out)
+    case "ql-search" :: dir :: out :: Nil =>
+      write(queries.PipelineQueries.p129Ql(spark, dir), out)
     case "classifier-auc" :: dir :: out :: Nil =>
       write(queries.PipelineQueries.p113Auc(spark, dir), out)
     case "ppl-buckets" :: dir :: out :: Nil =>

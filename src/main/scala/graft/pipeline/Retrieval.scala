@@ -220,6 +220,62 @@ object Retrieval {
       rankTopK(bm25ScoresFromHits(index, hits2, qT2, p), k))
   }
 
+  /** Dirichlet-smoothed query-likelihood ranking (Zhai & Lafferty
+    * 2001) — the language-modeling member of the classic ranking pair
+    * next to BM25: score(q, d) = Σ_t ln((tf + μ·P(t|C)) / (dl + μ)),
+    * decomposed so candidates are the SAME sparse postings join as
+    * BM25 (docs sharing no query term are excluded — the
+    * sparse-candidate convention):
+    * Σ_matched ln((tf + μP_t)/(μP_t)) + Σ_t ln(μP_t) − |q|·ln(dl + μ).
+    * Every ln is floored to integer micro independently (matched
+    * deltas per (q, term, doc); the query-constant per term; the
+    * length term once per (q, d)), so the score is an exact int64
+    * composition any engine replays. Collection statistics (cf, Σdl)
+    * are computed over the query-pruned postings — exact, as in
+    * [[bm25ScoresFromHits]].
+    *
+    * Scale shape identical to [[bm25TopK]]: one postings shuffle,
+    * query-vocabulary-sized broadcast sides, one query-keyed ranking
+    * exchange; the candidate-hit frame is cache-bracketed.
+    */
+  def qlTopK(docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, qidCol: String, qtextCol: String, k: Int,
+      mu: Double = 100.0): DataFrame = {
+    require(k > 0, "k must be positive")
+    val index = bm25Index(docs, idCol, textCol)
+    val qTerms = queryTerms(queries, qidCol, qtextCol)
+    val hits = index.postings.join(
+      broadcast(qTerms.select("tok").distinct()), Seq("tok"))
+    graft.core.Caching.withCached(hits) {
+      val cf = hits.groupBy("tok").agg(sum(col("tf")).as("cf"))
+      val muP = lit(mu) *
+        (col("cf").cast("double") / col("sdl").cast("double"))
+      // per-query constants: known terms only (inner join on cf)
+      val qstats = qTerms.join(broadcast(cf), Seq("tok"))
+        .crossJoin(broadcast(index.stats))
+        .withColumn("aq_term", floor(log(muP) * lit(1e6)).cast("long"))
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("nq"), sum(col("aq_term")).as("aq"))
+      val scored = hits
+        .join(broadcast(qTerms), Seq("tok"))
+        .join(broadcast(cf), Seq("tok"))
+        .crossJoin(broadcast(index.stats))
+        .withColumn("delta_micro",
+          floor(log((col("tf").cast("double") + muP) / muP) * lit(1e6))
+            .cast("long"))
+        .groupBy(col("query_id"), col("doc_id"))
+        .agg(count(lit(1)).as("n_terms"),
+          sum(col("delta_micro")).as("dsum"))
+        .join(index.doclen, Seq("doc_id"))
+        .join(broadcast(qstats), Seq("query_id"))
+        .select(col("query_id"), col("doc_id"), col("n_terms"),
+          (col("dsum") + col("aq") - col("nq") *
+            floor(log(col("dl").cast("double") + lit(mu)) * lit(1e6))
+              .cast("long")).as("score_micro"))
+      rankTopK(scored, k)
+    }
+  }
+
   /** Reciprocal-rank fusion of two ranked candidate lists (Cormack,
     * Clarke & Buettcher 2009): rrf(d) = Σ 1/(k₀ + rankᵢ(d)) over the
     * systems that retrieved d — the standard way to combine sparse

@@ -1872,6 +1872,22 @@ object PipelineQueries {
     Curation.countMinCalibration(t(s, dir, "documents"), "doc_id",
       "text", d = 4, w = 64, topK = 30)
 
+  /** Query-likelihood retrieval (p129): the p112 queries ranked by
+    * Dirichlet-smoothed language-model likelihood (μ=100, matched to
+    * the ~60-token documents) — the LM member of the classic ranking
+    * pair beside BM25 ([[Retrieval.qlTopK]]). The oracle refits the
+    * collection statistics and replays the three floored score
+    * components per candidate.
+    */
+  def p129Ql(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val queries = docs.filter(col("doc_id") % 40 === 0)
+      .select(col("doc_id").as("query_id"),
+        concat_ws(" ", slice(TF.tokens(col("text")), 1, 4)).as("qtext"))
+    Retrieval.qlTopK(docs, "doc_id", "text", queries, "query_id",
+      "qtext", k = 10, mu = 100.0)
+  }
+
   /** HyperLogLog calibration (p128): per-source 64-register HLL over
     * the 3-gram hash stream beside the exact distinct count
     * ([[Curation.hllCalibration]]) — constant-memory cardinality with
@@ -2532,6 +2548,7 @@ object PipelineQueries {
     "p126_domain_drift" -> p126DomainDrift _,
     "p127_countmin" -> p127CountMin _,
     "p128_hll" -> p128Hll _,
+    "p129_ql" -> p129Ql _,
     "p50_temp_mix" -> p50TempMix _,
     "p51_hard_negatives" -> p51HardNegatives _,
     "p52_ivf_trained" -> p52IvfTrained _,
@@ -4228,6 +4245,45 @@ object PipelineQueries {
            |GROUP BY bucket""".stripMargin) +
       ("p118_wordpiece" -> oWordPieceTrain(100)) +
       ("p122_residual_pq" -> oResidualPq) +
+      ("p129_ql" -> {
+        val muP = "(100.0 * (CAST(c.cf AS DOUBLE)" +
+          " / CAST(st.sdl AS DOUBLE)))"
+        s"""${oBm25Ctes(k1 = 1.2, b = 0.75, everyNth = 40, qTerms = 4)},
+           |cfq AS (
+           |  SELECT p.tok, SUM(p.tf) AS cf FROM post p
+           |  WHERE p.tok IN (SELECT DISTINCT tok FROM qt)
+           |  GROUP BY p.tok),
+           |qs AS (
+           |  SELECT q.query_id, COUNT(*) AS nq,
+           |    SUM(CAST(FLOOR(ln($muP) * 1000000.0) AS BIGINT)) AS aq
+           |  FROM qt q JOIN cfq c ON q.tok = c.tok CROSS JOIN st
+           |  GROUP BY q.query_id),
+           |qsc AS (
+           |  SELECT q.query_id, p.doc_id, COUNT(*) AS n_terms,
+           |    SUM(CAST(FLOOR(ln((CAST(p.tf AS DOUBLE) + $muP)
+           |      / $muP) * 1000000.0) AS BIGINT)) AS dsum
+           |  FROM post p
+           |  JOIN qt q ON p.tok = q.tok
+           |  JOIN cfq c ON p.tok = c.tok
+           |  CROSS JOIN st
+           |  GROUP BY q.query_id, p.doc_id),
+           |qfin AS (
+           |  SELECT s.query_id, s.doc_id, s.n_terms,
+           |    s.dsum + qs.aq - qs.nq * CAST(FLOOR(
+           |      ln(CAST(d.dl AS DOUBLE) + 100.0) * 1000000.0)
+           |      AS BIGINT) AS score_micro
+           |  FROM qsc s
+           |  JOIN dl d ON s.doc_id = d.doc_id
+           |  JOIN qs ON s.query_id = qs.query_id),
+           |qrk AS (
+           |  SELECT query_id, doc_id, n_terms, score_micro,
+           |    ROW_NUMBER() OVER (PARTITION BY query_id
+           |      ORDER BY score_micro DESC, doc_id) AS rank
+           |  FROM qfin)
+           |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id,
+           |  CAST(n_terms AS BIGINT) AS n_terms, score_micro
+           |FROM qrk WHERE rank <= 10""".stripMargin
+      }) +
       ("p128_hll" -> {
         val m = 64
         val alpha = 0.7213 / (1 + 1.079 / m)

@@ -77,6 +77,23 @@ class RetrievalSpec extends SparkSpec {
       (1L, 3L, 30L, 0L, 2L, 16129L)), out.toString)
   }
 
+  test("query likelihood: exact match tops, padding demotes, BM25 agreement") {
+    val docs = Seq(
+      (1L, "apple banana cherry"),
+      (2L, "apple banana filler filler filler filler"),
+      (3L, "wolf fox bear")).toDF("doc_id", "text")
+    val qs = Seq((1L, "apple banana")).toDF("qid", "qtext")
+    val ql = Retrieval.qlTopK(docs, "doc_id", "text", qs, "qid",
+        "qtext", k = 10)
+      .orderBy("rank").select("doc_id").as[Long].collect().toSeq
+    // doc 3 shares no term -> excluded; doc 1 is shorter at equal tf
+    assert(ql == Seq(1L, 2L), ql.toString)
+    val bm = Retrieval.bm25TopK(docs, "doc_id", "text", qs, "qid",
+        "qtext", k = 10)
+      .orderBy("rank").select("doc_id").as[Long].collect().toSeq
+    assert(ql == bm, "the ranking pair disagrees on the clear-cut case")
+  }
+
   test("PRF expansion retrieves feedback-vocabulary docs plain BM25 misses") {
     val docs = Seq(
       (1L, "alpha beta beta"),
