@@ -3858,7 +3858,8 @@ object PipelineQueries {
        |${p}sw AS (SELECT SUM(w_int) AS s FROM ${p}w),
        |${p}res AS (
        |  SELECT w.source, nd.n_docs, w.n_tokens, w.avg_nll_micro,
-       |    w.excess_micro, (w_int * 1000000) // s AS weight_micro
+       |    w.excess_micro,
+       |    CAST((w_int * 1000000) // s AS BIGINT) AS weight_micro
        |  FROM ${p}w w JOIN ${p}nd nd ON w.source = nd.source, ${p}sw)"""
       .stripMargin
   }
@@ -3913,8 +3914,8 @@ object PipelineQueries {
        |  GROUP BY p.tok),
        |sc AS (
        |  SELECT q.query_id, p.doc_id, COUNT(*) AS n_terms,
-       |    SUM(CAST(FLOOR($idf * $norm * 1000000.0) AS BIGINT))
-       |      AS score_micro
+       |    CAST(SUM(CAST(FLOOR($idf * $norm * 1000000.0) AS BIGINT))
+       |      AS BIGINT) AS score_micro
        |  FROM post p
        |  JOIN qt q ON p.tok = q.tok
        |  JOIN dfq f ON p.tok = f.tok
@@ -4057,7 +4058,9 @@ object PipelineQueries {
            |    r.excess_micro AS excess1_micro,
            |    LEAST(1000000, (r.weight_micro * 1000000)
            |      // ((r.n_tokens * 1000000) // t.ntot)) AS rate_micro
-           |  FROM a_res r, (SELECT SUM(n_tokens) AS ntot FROM a_res) t),
+           |  FROM a_res r,
+           |    (SELECT CAST(SUM(n_tokens) AS BIGINT) AS ntot
+           |     FROM a_res) t),
            |kept AS (
            |  SELECT d.doc_id, d.source, d.text
            |  FROM documents d JOIN rates r ON d.source = r.source
@@ -4159,7 +4162,8 @@ object PipelineQueries {
            |  FROM cm)
            |SELECT CAST(n_pos AS BIGINT) AS n_pos,
            |  CAST(n_neg AS BIGINT) AS n_neg, CAST(u2 AS BIGINT) AS u2,
-           |  (u2 * 1000000) // (2 * n_pos * n_neg) AS auc_micro
+           |  CAST((u2 * 1000000) // (2 * n_pos * n_neg) AS BIGINT)
+           |    AS auc_micro
            |FROM ag""".stripMargin) +
       ("p114_ppl_buckets" ->
         s"""WITH kn AS (SELECT * FROM ($oKnBigram)),
@@ -4238,7 +4242,8 @@ object PipelineQueries {
            |  CAST(SUM(cls) AS BIGINT) AS n_pos,
            |  CAST(FLOOR(1000000.0 / (1.0 + exp(-(CAST(bucket + 200000
            |    AS DOUBLE) / 1000000.0)))) AS BIGINT) AS pred_pos_micro,
-           |  (SUM(cls) * 1000000) // COUNT(*) AS emp_pos_micro
+           |  CAST((SUM(cls) * 1000000) // COUNT(*) AS BIGINT)
+           |    AS emp_pos_micro
            |FROM (SELECT cls, z_micro
            |        - ((z_micro % 400000) + 400000) % 400000 AS bucket
            |      FROM lr)
@@ -4255,13 +4260,14 @@ object PipelineQueries {
            |  GROUP BY p.tok),
            |qs AS (
            |  SELECT q.query_id, COUNT(*) AS nq,
-           |    SUM(CAST(FLOOR(ln($muP) * 1000000.0) AS BIGINT)) AS aq
+           |    CAST(SUM(CAST(FLOOR(ln($muP) * 1000000.0) AS BIGINT))
+           |      AS BIGINT) AS aq
            |  FROM qt q JOIN cfq c ON q.tok = c.tok CROSS JOIN st
            |  GROUP BY q.query_id),
            |qsc AS (
            |  SELECT q.query_id, p.doc_id, COUNT(*) AS n_terms,
-           |    SUM(CAST(FLOOR(ln((CAST(p.tf AS DOUBLE) + $muP)
-           |      / $muP) * 1000000.0) AS BIGINT)) AS dsum
+           |    CAST(SUM(CAST(FLOOR(ln((CAST(p.tf AS DOUBLE) + $muP)
+           |      / $muP) * 1000000.0) AS BIGINT)) AS BIGINT) AS dsum
            |  FROM post p
            |  JOIN qt q ON p.tok = q.tok
            |  JOIN cfq c ON p.tok = c.tok
@@ -4468,8 +4474,8 @@ object PipelineQueries {
            |  GROUP BY p.tok),
            |sc2 AS (
            |  SELECT q.query_id, p.doc_id, COUNT(*) AS n_terms,
-           |    SUM(CAST(FLOOR($idf2 * $norm2 * 1000000.0) AS BIGINT))
-           |      AS score_micro
+           |    CAST(SUM(CAST(FLOOR($idf2 * $norm2 * 1000000.0)
+           |      AS BIGINT)) AS BIGINT) AS score_micro
            |  FROM post p
            |  JOIN qt2 q ON p.tok = q.tok
            |  JOIN dfq2 f ON p.tok = f.tok
@@ -5316,8 +5322,8 @@ object PipelineQueries {
          |  CAST(COUNT(*) AS BIGINT) AS n_truth,
          |  CAST(SUM(CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END)
          |    AS BIGINT) AS n_caught,
-         |  (SUM(CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END)
-         |    * 1000000) // COUNT(*) AS recall_micro,
+         |  CAST((SUM(CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END)
+         |    * 1000000) // COUNT(*) AS BIGINT) AS recall_micro,
          |  CAST(FLOOR((1.0 - pow(1.0
          |    - pow(CAST(t AS DOUBLE) / 100.0, 2.0), 6.0)) * 1000000.0)
          |    AS BIGINT) AS theory_floor_micro

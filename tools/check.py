@@ -4,6 +4,22 @@
 Runs graft.Verify output against DuckDB executing SparkEntry.oracleSql over
 the same parquet tables, compares row counts, sorted-column names, and
 value hashes. Usage: tools/check.py <sfDir> <verifyOutDir> [query ...]
+
+Two properties keep this gate at least as strict as the driver's:
+
+* dtype-faithful hashing: a float cell always renders with a float
+  marker (``1000000.0``), so an int64 Spark column vs a float64 oracle
+  column (e.g. DuckDB HUGEINT materialized by pandas) FAILS here the
+  same way it fails the driver — the old ``:.10g``-only format
+  collapsed ``1000000.0`` to ``1000000`` and masked that class.
+* oracle type sweep: every oracle SQL is ``DESCRIBE``d before running
+  and any output column whose DuckDB type is outside the portable set
+  (BIGINT / VARCHAR / DOUBLE / DATE / TIMESTAMP) is a hard failure.
+  DuckDB silently widens SUM(BIGINT) and mixed ``//`` to HUGEINT; the
+  sweep turns that into a local failure before the driver ever sees it.
+
+``tools/check.py --sweep`` runs the type sweep alone over every oracle
+(no Verify output needed).
 """
 import json, sys, glob, os
 import duckdb
@@ -12,13 +28,24 @@ import pandas as pd
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
+# DuckDB output types that round-trip through pandas with the same
+# canonical rendering Spark's parquet output gets. The int family is
+# safe (pandas int32/int64 render identically); the widening types
+# (HUGEINT, DECIMAL) materialize as float64/object and re-render.
+ALLOWED_TYPES = {"BIGINT", "INTEGER", "SMALLINT", "TINYINT",
+                 "VARCHAR", "DOUBLE", "DATE", "TIMESTAMP"}
+
 
 def norm(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     # canonicalize cell values for hashing
     def cell(v):
         if isinstance(v, float):
-            return f"{v:.10g}"
+            s = f"{v:.10g}"
+            # keep the float marker: int-vs-float dtype drift must FAIL
+            if s.replace("-", "").isdigit():
+                s += ".0"
+            return s
         s = str(v)
         # DuckDB DATE -> pandas datetime64 renders a spurious midnight;
         # normalize so date-valued cells compare equal across engines
@@ -29,18 +56,57 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns)).reset_index(drop=True)
 
 
-def main():
-    sf_dir, out_dir = sys.argv[1], sys.argv[2]
-    only = set(sys.argv[3:])
+def bad_types(con, sql):
+    """Columns of this oracle whose DuckDB type is outside ALLOWED_TYPES."""
+    desc = con.execute(f"DESCRIBE {sql}").df()
+    return [(r["column_name"], r["column_type"])
+            for _, r in desc.iterrows()
+            if r["column_type"] not in ALLOWED_TYPES]
+
+
+def connect(sf_dir):
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    return con
+
+
+def sweep(sf_dir, oracle_path):
+    con = connect(sf_dir)
+    oracle = json.load(open(oracle_path))
+    n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            bad = bad_types(con, sql)
+        except Exception as e:
+            print(f"FAIL {name}: describe error {e}")
+            n_fail += 1
+            continue
+        if bad:
+            print(f"FAIL {name}: non-portable oracle types {bad}")
+            n_fail += 1
+    print(f"== sweep: {n_fail} oracle(s) with non-portable types")
+    sys.exit(1 if n_fail else 0)
+
+
+def main():
+    if sys.argv[1] == "--sweep":
+        sweep(sys.argv[2], sys.argv[3])
+        return
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    con = connect(sf_dir)
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         if only and name not in only:
+            continue
+        bad = bad_types(con, sql)
+        if bad:
+            print(f"FAIL {name}: non-portable oracle types {bad}")
+            n_fail += 1
             continue
         spark_files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not spark_files:
