@@ -226,16 +226,54 @@ object Dedup {
         abs(col("est_micro") - col("exact_micro")).as("abs_err_micro"))
   }
 
+  /** Absolute-budget, content-keyed calibration sample for
+    * brute-force truth scans.
+    *
+    * A fixed FRACTION sample keeps a quadratic truth scan quadratic —
+    * at 10× the corpus the pair count grows 100×. This keeps it
+    * CONSTANT: the modulus is derived from the corpus count in-plan
+    * (single-row aggregate, broadcast into the filter — no
+    * driver-side count()), so the sample holds ≈`budgetDocs` rows at
+    * any SF and truth cost is ~budget² forever.
+    *
+    * The sample key is an INDEPENDENT MinHash of the document
+    * (permutation 13, outside the 12-seed signature family the sweep
+    * measures): near-identical docs share their min hash with
+    * probability = their Jaccard, so a J-similar pair survives the
+    * sample together at rate ≈ J/m — an id-keyed stride would keep it
+    * only at 1/m² (≈ never), because near-dup pairs land on arbitrary
+    * id pairs. Independence from the signature seeds keeps the recall
+    * estimate unbiased: surviving the sample says nothing about being
+    * caught by the bands. At a corpus below the budget the modulus is
+    * 1 and the sample is the whole corpus.
+    */
+  def boundedCalibrationSample(df: DataFrame, idCol: String,
+      textCol: String, k: Int, budgetDocs: Int): DataFrame = {
+    val (a, b) = minhashSeeds(13).last
+    val m = df.agg(expr(
+      s"greatest(cast(1 as bigint), (count(1) + ${budgetDocs - 1})" +
+        s" div $budgetDocs)").as("stride_m"))
+    val key = coalesce(array_min(transform(
+      shingleHashes(graft.functions.HashKernelFunctions.shingles(
+        tokens(col(textCol)), k)),
+      h => (lit(a) * h + lit(b)) % lit(P))), lit(P))
+    df.crossJoin(broadcast(m))
+      .filter(key % col("stride_m") === 0)
+      .drop("stride_m")
+  }
+
   /** LSH candidate recall sweep — the text-dedup analogue of the ANN
     * scorecard: for each Jaccard threshold, how much of the
     * EXHAUSTIVE truth the banded candidate generation catches. The
     * theory curve for banding is P(caught) = 1 − (1 − J^rows)^bands;
     * this measures the real curve on the real corpus, which is what
     * decides (bands, rows) before a production run. Truth is the
-    * brute-force pair scan (this is a calibration query — run at
-    * sample scale); candidates ride the standard band equi-join.
-    * Threshold comparison is exact integer micro (`jm ≥ t·10⁴` ⟺
-    * J ≥ t%, since floor(x) ≥ k ⟺ x ≥ k for integer k).
+    * brute-force pair scan — callers MUST pre-bound the input with
+    * [[boundedCalibrationSample]] (absolute budget, so truth cost
+    * stays constant as the corpus grows); candidates ride the
+    * standard band equi-join. Threshold comparison is exact integer micro
+    * (`jm ≥ t·10⁴` ⟺ J ≥ t%, since floor(x) ≥ k ⟺ x ≥ k for
+    * integer k).
     */
   def lshRecallSweep(df: DataFrame, idCol: String, textCol: String,
       k: Int, numHashes: Int, bands: Int,

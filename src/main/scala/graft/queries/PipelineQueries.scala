@@ -2030,12 +2030,15 @@ object PipelineQueries {
     * per-threshold division.
     */
   def p108LshRecallSweep(s: SparkSession, dir: String): DataFrame =
-    // calibration runs on a deterministic quarter-sample: the truth
-    // side is a brute-force pair scan, so the sample bounds its cost
-    // while `doc_id % 4 < 2` keeps the planted (2k, 2k+1) near-dup
-    // pairs whose recall the sweep exists to measure
+    // calibration runs on an ABSOLUTE-budget sample (≈256 docs at any
+    // SF): the truth side is a brute-force pair scan, so a fixed
+    // fraction would grow quadratically with the corpus while the
+    // bounded sample keeps truth cost constant; content-keyed
+    // (independent-MinHash) striding keeps near-dup pairs together at
+    // rate ∝ J/m — the pairs whose recall the sweep exists to measure
     Dedup.lshRecallSweep(
-      t(s, dir, "documents").filter(col("doc_id") % 4 < 2),
+      Dedup.boundedCalibrationSample(t(s, dir, "documents"), "doc_id",
+        "text", k = 3, budgetDocs = 256),
       "doc_id", "text", k = 3, numHashes = 12, bands = 6,
       thresholdsPct = Seq(30, 40, 50, 60, 70))
 
@@ -2998,17 +3001,39 @@ object PipelineQueries {
     * [[TF.minhashSeeds]] family applied to 60-bit shingle hashes mod
     * P, empty-shingle docs getting the P sentinel — ending at
     * `sg(doc_id, sh, sig)`. Mirrors the native minhash kernel.
+    * `sampleBudget` replays
+    * [[graft.pipeline.Dedup.boundedCalibrationSample]]: keep docs
+    * whose independent MinHash (permutation 13) lands on bucket 0 of
+    * a corpus-count-derived modulus.
     */
   private def oMinhashSigCtes(k: Int = 3, numHashes: Int = 12,
-      where: String = ""): String = {
+      sampleBudget: Option[Int] = None): String = {
     val P = 2147483647L
     val sigs = TF.minhashSeeds(numHashes).map { case (a, bb) =>
       s"COALESCE(list_min(list_transform(bh, h -> ($a * h + $bb) % $P)), $P)"
     }.mkString(",\n      ")
-    s"""WITH t AS (SELECT doc_id, $oToks AS toks FROM documents$where),
+    val hhCtes = sampleBudget match {
+      case None =>
+        s"""hh AS (SELECT doc_id, sh,
+           |  list_transform(sh, s -> ${oHash("s")} % $P) AS bh
+           |  FROM shs)""".stripMargin
+      case Some(budget) =>
+        val (sa, sb) = TF.minhashSeeds(13).last
+        s"""hh0 AS (SELECT doc_id, sh,
+           |  list_transform(sh, s -> ${oHash("s")} % $P) AS bh
+           |  FROM shs),
+           |hh AS (
+           |  SELECT hh0.doc_id, hh0.sh, hh0.bh FROM hh0,
+           |    (SELECT GREATEST(CAST(1 AS BIGINT),
+           |       (COUNT(*) + ${budget - 1}) // $budget) AS m
+           |     FROM documents) sm
+           |  WHERE COALESCE(list_min(list_transform(bh,
+           |      h -> ($sa * h + $sb) % $P)), $P) % sm.m = 0)"""
+          .stripMargin
+    }
+    s"""WITH t AS (SELECT doc_id, $oToks AS toks FROM documents),
        |shs AS (SELECT doc_id, ${oShingles(k)} AS sh FROM t),
-       |hh AS (SELECT doc_id, sh,
-       |  list_transform(sh, s -> ${oHash("s")} % $P) AS bh FROM shs),
+       |$hhCtes,
        |sg AS (SELECT doc_id, sh, [
        |      $sigs] AS sig FROM hh)""".stripMargin
   }
@@ -5304,7 +5329,7 @@ object PipelineQueries {
          |    AS r2_micro
          |FROM s""".stripMargin,
     "p108_lsh_recall_sweep" ->
-      s"""${oMinhashSigCtes(where = " WHERE doc_id % 4 < 2")},
+      s"""${oMinhashSigCtes(sampleBudget = Some(256))},
          |cand AS (
          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |  FROM sg a JOIN sg b ON a.doc_id < b.doc_id

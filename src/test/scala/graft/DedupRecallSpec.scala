@@ -96,4 +96,32 @@ class DedupRecallSpec extends SparkSpec {
       assert((runC(Some(10)) -- wantC).isEmpty, s"containment cap seed=$seed")
     }
   }
+
+  test("bounded calibration sample: absolute budget, pair-preserving") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.read(spark, sf001, "documents")
+    val n = docs.count()
+    // corpus below the budget → modulus 1 → identity
+    val all = Dedup.boundedCalibrationSample(docs, "doc_id", "text",
+      k = 3, budgetDocs = 10000)
+    assert(all.count() == n)
+    // budget caps the sample (±2×: the modulus is a ceiling division,
+    // and the content-hash residue is only approximately uniform)
+    val s = Dedup.boundedCalibrationSample(docs, "doc_id", "text",
+      k = 3, budgetDocs = 100)
+    val c = s.count()
+    assert(c > 0 && c <= 2 * 100, s"sample size $c vs budget 100")
+    // content keying keeps at least one near-identical pair TOGETHER —
+    // the property an id-stride sample lacks (near-dup pairs land on
+    // arbitrary id pairs, surviving only at 1/m²)
+    val sh = Dedup.shingled(s, "doc_id", "text", k = 3)
+    val a = sh.select(col("doc").as("da"), col("sh").as("sa"))
+    val b = sh.select(col("doc").as("db"), col("sh").as("sb"))
+    val nearDup = a.join(b, col("da") < col("db"))
+      .filter(size(array_union(col("sa"), col("sb"))) > 0)
+      .filter(size(array_intersect(col("sa"), col("sb"))).cast("double") /
+        size(array_union(col("sa"), col("sb"))) >= 0.3)
+      .count()
+    assert(nearDup > 0, "sample kept no near-dup pair to calibrate on")
+  }
 }
