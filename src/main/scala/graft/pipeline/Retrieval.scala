@@ -315,6 +315,55 @@ object Retrieval {
         col("rrf_micro"))
   }
 
+  /** nDCG discount table: floor(10⁶ / log₂(rank+1)) for ranks
+    * 1..maxRank, computed ONCE on the driver and embedded as literals
+    * into both the Spark plan and the generated oracle SQL. Both
+    * engines replay IDENTICAL constants, so no cross-engine libm
+    * disagreement can flip a floor — the folded-literal discipline
+    * applied to the one transcendental the scorecard needs.
+    */
+  def dcgMicroTable(maxRank: Int): Seq[(Int, Long)] =
+    (1 to maxRank).map(r =>
+      r -> math.floor(1e6 * math.log(2.0) / math.log(r + 1.0)).toLong)
+
+  /** Ranking-quality scorecard against a planted relevance set: the
+    * evaluation layer the retrieval stack reports to (the text-side
+    * sibling of the ANN recall scorecard). The relevance convention is
+    * the planted-prefix one the p112 query family establishes — each
+    * query is a prefix of its source document, so the KNOWN-relevant
+    * doc for `query_id` is the document with that id. With a single
+    * relevant doc per query the metrics collapse to exact closed
+    * forms: MRR contribution = 10⁶ div rank (exact integer), nDCG@k
+    * contribution = 1/log₂(rank+1) via [[dcgMicroTable]] literals,
+    * both summed as int64 and divided by the query count with integer
+    * `div` — bit-stable in any engine. A ranking regression (the
+    * source doc slipping down or out of the top k) moves these
+    * numbers, which is the whole point.
+    *
+    * Scale shape: the input is already top-k'd — |Q|·k rows, never
+    * corpus-sized — and the scorecard is one partially-aggregated
+    * reduction to a single row; the planted truth means NO join is
+    * needed to mark relevance.
+    */
+  def rankingScorecard(ranked: DataFrame, method: String,
+      topK: Int): DataFrame = {
+    val dcg = dcgMicroTable(topK).reverse
+      .foldLeft(lit(0L): Column) { case (els, (r, v)) =>
+        when(col("rank") === r, lit(v)).otherwise(els) }
+    ranked
+      .select(col("query_id"), col("rank"), col("doc_id"))
+      .withColumn("hit", (col("doc_id") === col("query_id")).cast("long"))
+      .agg(
+        countDistinct(col("query_id")).as("n_queries"),
+        sum(col("hit")).as("n_hits"),
+        sum(when(col("hit") === 1L, expr("1000000 div rank"))
+          .otherwise(0L)).as("rr_sum"),
+        sum(when(col("hit") === 1L, dcg).otherwise(0L)).as("dcg_sum"))
+      .select(lit(method).as("method"), col("n_queries"), col("n_hits"),
+        expr("rr_sum div n_queries").as("mrr_micro"),
+        expr("dcg_sum div n_queries").as("ndcg_micro"))
+  }
+
   /** End-to-end BM25 search: index the corpus, score every query
     * against it, keep the top `k` documents per query by
     * (score DESC, doc_id). The candidate-hit frame is cache-bracketed

@@ -1888,6 +1888,26 @@ object PipelineQueries {
       "qtext", k = 10, mu = 100.0)
   }
 
+  /** Retrieval-quality scorecard (p130): nDCG@10 / MRR / hit count of
+    * all four rankers — BM25 (p112), query-likelihood (p129), PRF
+    * (p120), RRF fusion (p119) — against the planted-prefix relevance
+    * set ([[Retrieval.rankingScorecard]]): each query IS the first 4
+    * tokens of its source document, so the known-relevant answer for
+    * query q is document q itself. One row per method; a ranking
+    * regression in any of the four pipelines moves its row. The
+    * oracle replays all four rankers and the exact integer metric
+    * arithmetic (nDCG discounts are driver-computed literals shared
+    * with the Spark plan).
+    */
+  def p130RetrievalScorecard(s: SparkSession, dir: String): DataFrame =
+    Seq(
+      "bm25" -> p112Bm25(s, dir),
+      "ql" -> p129Ql(s, dir),
+      "prf" -> p120Prf(s, dir),
+      "rrf" -> p119HybridRrf(s, dir))
+    .map { case (m, df) => Retrieval.rankingScorecard(df, m, topK = 10) }
+    .reduce(_.unionByName(_))
+
   /** HyperLogLog calibration (p128): per-source 64-register HLL over
     * the 3-gram hash stream beside the exact distinct count
     * ([[Curation.hllCalibration]]) — constant-memory cardinality with
@@ -2552,6 +2572,7 @@ object PipelineQueries {
     "p127_countmin" -> p127CountMin _,
     "p128_hll" -> p128Hll _,
     "p129_ql" -> p129Ql _,
+    "p130_retrieval_scorecard" -> p130RetrievalScorecard _,
     "p50_temp_mix" -> p50TempMix _,
     "p51_hard_negatives" -> p51HardNegatives _,
     "p52_ivf_trained" -> p52IvfTrained _,
@@ -4275,46 +4296,7 @@ object PipelineQueries {
            |GROUP BY bucket""".stripMargin) +
       ("p118_wordpiece" -> oWordPieceTrain(100)) +
       ("p122_residual_pq" -> oResidualPq) +
-      ("p129_ql" -> {
-        val muP = "(100.0 * (CAST(c.cf AS DOUBLE)" +
-          " / CAST(st.sdl AS DOUBLE)))"
-        s"""${oBm25Ctes(k1 = 1.2, b = 0.75, everyNth = 40, qTerms = 4)},
-           |cfq AS (
-           |  SELECT p.tok, SUM(p.tf) AS cf FROM post p
-           |  WHERE p.tok IN (SELECT DISTINCT tok FROM qt)
-           |  GROUP BY p.tok),
-           |qs AS (
-           |  SELECT q.query_id, COUNT(*) AS nq,
-           |    CAST(SUM(CAST(FLOOR(ln($muP) * 1000000.0) AS BIGINT))
-           |      AS BIGINT) AS aq
-           |  FROM qt q JOIN cfq c ON q.tok = c.tok CROSS JOIN st
-           |  GROUP BY q.query_id),
-           |qsc AS (
-           |  SELECT q.query_id, p.doc_id, COUNT(*) AS n_terms,
-           |    CAST(SUM(CAST(FLOOR(ln((CAST(p.tf AS DOUBLE) + $muP)
-           |      / $muP) * 1000000.0) AS BIGINT)) AS BIGINT) AS dsum
-           |  FROM post p
-           |  JOIN qt q ON p.tok = q.tok
-           |  JOIN cfq c ON p.tok = c.tok
-           |  CROSS JOIN st
-           |  GROUP BY q.query_id, p.doc_id),
-           |qfin AS (
-           |  SELECT s.query_id, s.doc_id, s.n_terms,
-           |    s.dsum + qs.aq - qs.nq * CAST(FLOOR(
-           |      ln(CAST(d.dl AS DOUBLE) + 100.0) * 1000000.0)
-           |      AS BIGINT) AS score_micro
-           |  FROM qsc s
-           |  JOIN dl d ON s.doc_id = d.doc_id
-           |  JOIN qs ON s.query_id = qs.query_id),
-           |qrk AS (
-           |  SELECT query_id, doc_id, n_terms, score_micro,
-           |    ROW_NUMBER() OVER (PARTITION BY query_id
-           |      ORDER BY score_micro DESC, doc_id) AS rank
-           |  FROM qfin)
-           |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id,
-           |  CAST(n_terms AS BIGINT) AS n_terms, score_micro
-           |FROM qrk WHERE rank <= 10""".stripMargin
-      }) +
+      ("p129_ql" -> oQlTopK) +
       ("p128_hll" -> {
         val m = 64
         val alpha = 0.7213 / (1 + 1.079 / m)
@@ -4470,90 +4452,183 @@ object PipelineQueries {
            |JOIN e ON d.doc_id = e.doc_id
            |JOIN kn ON d.doc_id = kn.doc_id
            |JOIN mr ON d.doc_id = mr.doc_id""".stripMargin) +
-      ("p120_prf" -> {
-        val idf2 = "ln(1.0 + (CAST(st.nd AS DOUBLE) - CAST(f.df" +
-          " AS DOUBLE) + 0.5) / (CAST(f.df AS DOUBLE) + 0.5))"
-        val norm2 = "(CAST(p.tf AS DOUBLE) * 2.2 / (CAST(p.tf AS" +
-          " DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(d.dl AS DOUBLE)" +
-          " / (CAST(st.sdl AS DOUBLE) / CAST(st.nd AS DOUBLE))))))"
-        s"""${oBm25Ctes(k1 = 1.2, b = 0.75, everyNth = 40, qTerms = 4)},
-           |fbdocs AS (SELECT query_id, doc_id FROM rk WHERE rank <= 3),
-           |fbt AS (
-           |  SELECT fd.query_id, p.tok, SUM(p.tf) AS fbscore
-           |  FROM fbdocs fd JOIN post p ON fd.doc_id = p.doc_id
-           |  WHERE NOT EXISTS (SELECT 1 FROM qt
-           |    WHERE qt.query_id = fd.query_id AND qt.tok = p.tok)
-           |  GROUP BY fd.query_id, p.tok),
-           |expn AS (
-           |  SELECT query_id, tok FROM (
-           |    SELECT query_id, tok, ROW_NUMBER() OVER (
-           |      PARTITION BY query_id
-           |      ORDER BY fbscore DESC, tok) AS r
-           |    FROM fbt)
-           |  WHERE r <= 5),
-           |qt2 AS (SELECT query_id, tok FROM qt
-           |        UNION SELECT query_id, tok FROM expn),
-           |dfq2 AS (
-           |  SELECT p.tok, COUNT(*) AS df FROM post p
-           |  WHERE p.tok IN (SELECT DISTINCT tok FROM qt2)
-           |  GROUP BY p.tok),
-           |sc2 AS (
-           |  SELECT q.query_id, p.doc_id, COUNT(*) AS n_terms,
-           |    CAST(SUM(CAST(FLOOR($idf2 * $norm2 * 1000000.0)
-           |      AS BIGINT)) AS BIGINT) AS score_micro
-           |  FROM post p
-           |  JOIN qt2 q ON p.tok = q.tok
-           |  JOIN dfq2 f ON p.tok = f.tok
-           |  JOIN dl d ON p.doc_id = d.doc_id
-           |  CROSS JOIN st
-           |  GROUP BY q.query_id, p.doc_id),
-           |rkx AS (
-           |  SELECT query_id, doc_id, n_terms, score_micro,
-           |    ROW_NUMBER() OVER (PARTITION BY query_id
-           |      ORDER BY score_micro DESC, doc_id) AS rank
-           |  FROM sc2)
-           |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id,
-           |  CAST(n_terms AS BIGINT) AS n_terms, score_micro
-           |FROM rkx WHERE rank <= 10""".stripMargin
-      }) +
+      ("p120_prf" -> oPrf) +
       ("p121_entropy" -> oEntropy) +
-      ("p119_hybrid_rrf" ->
-        s"""${oBm25Ctes(k1 = 1.2, b = 0.75, everyNth = 40, qTerms = 4)},
-           |bm AS (SELECT query_id, doc_id, rank FROM rk
-           |       WHERE rank <= 10),
-           |qv AS (SELECT vec_id AS query_id, embedding AS qe
-           |       FROM embeddings WHERE vec_id % 40 = 0),
-           |cscored AS (
-           |  SELECT query_id, e.vec_id AS cand_id,
-           |    ${oCos("qe", "e.embedding")} AS sim
-           |  FROM embeddings e, qv WHERE e.vec_id != query_id),
-           |dn AS (
-           |  SELECT query_id, doc_id, rank FROM (
-           |    SELECT query_id, cand_id AS doc_id,
-           |      ROW_NUMBER() OVER (PARTITION BY query_id
-           |        ORDER BY sim DESC, cand_id ASC) AS rank
-           |    FROM cscored)
-           |  WHERE rank <= 10),
-           |f AS (
-           |  SELECT COALESCE(b.query_id, d.query_id) AS query_id,
-           |    COALESCE(b.doc_id, d.doc_id) AS doc_id,
-           |    COALESCE(b.rank, 0) AS rank_sparse,
-           |    COALESCE(d.rank, 0) AS rank_dense,
-           |    (CASE WHEN b.rank IS NULL THEN 0
-           |          ELSE 1000000 // (60 + b.rank) END)
-           |    + (CASE WHEN d.rank IS NULL THEN 0
-           |            ELSE 1000000 // (60 + d.rank) END) AS rrf_micro
-           |  FROM bm b FULL OUTER JOIN dn d
-           |    ON b.query_id = d.query_id AND b.doc_id = d.doc_id),
-           |rk2 AS (
-           |  SELECT f.*, ROW_NUMBER() OVER (PARTITION BY query_id
-           |    ORDER BY rrf_micro DESC, doc_id) AS rank
-           |  FROM f)
-           |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id,
-           |  CAST(rank_sparse AS BIGINT) AS rank_sparse,
-           |  CAST(rank_dense AS BIGINT) AS rank_dense,
-           |  CAST(rrf_micro AS BIGINT) AS rrf_micro
-           |FROM rk2 WHERE rank <= 10""".stripMargin)
+      ("p119_hybrid_rrf" -> oRrf) +
+      ("p130_retrieval_scorecard" ->
+        s"""WITH bmr AS (SELECT * FROM (${oBm25(k1 = 1.2, b = 0.75,
+              everyNth = 40, qTerms = 4, topK = 10)})),
+           |qlr AS (SELECT * FROM ($oQlTopK)),
+           |pfr AS (SELECT * FROM ($oPrf)),
+           |rfr AS (SELECT * FROM ($oRrf))
+           |${oScorecardRow("bmr", "bm25")}
+           |UNION ALL
+           |${oScorecardRow("qlr", "ql")}
+           |UNION ALL
+           |${oScorecardRow("pfr", "prf")}
+           |UNION ALL
+           |${oScorecardRow("rfr", "rrf")}""".stripMargin)
+
+  /** Dirichlet query-likelihood replay (p129; reused by the p130
+    * scorecard): the [[oBm25Ctes]] postings chain plus the three
+    * floored score components of [[Retrieval.qlTopK]].
+    */
+  private def oQlTopK: String = {
+    val muP = "(100.0 * (CAST(c.cf AS DOUBLE)" +
+      " / CAST(st.sdl AS DOUBLE)))"
+    s"""${oBm25Ctes(k1 = 1.2, b = 0.75, everyNth = 40, qTerms = 4)},
+       |cfq AS (
+       |  SELECT p.tok, SUM(p.tf) AS cf FROM post p
+       |  WHERE p.tok IN (SELECT DISTINCT tok FROM qt)
+       |  GROUP BY p.tok),
+       |qs AS (
+       |  SELECT q.query_id, COUNT(*) AS nq,
+       |    CAST(SUM(CAST(FLOOR(ln($muP) * 1000000.0) AS BIGINT))
+       |      AS BIGINT) AS aq
+       |  FROM qt q JOIN cfq c ON q.tok = c.tok CROSS JOIN st
+       |  GROUP BY q.query_id),
+       |qsc AS (
+       |  SELECT q.query_id, p.doc_id, COUNT(*) AS n_terms,
+       |    CAST(SUM(CAST(FLOOR(ln((CAST(p.tf AS DOUBLE) + $muP)
+       |      / $muP) * 1000000.0) AS BIGINT)) AS BIGINT) AS dsum
+       |  FROM post p
+       |  JOIN qt q ON p.tok = q.tok
+       |  JOIN cfq c ON p.tok = c.tok
+       |  CROSS JOIN st
+       |  GROUP BY q.query_id, p.doc_id),
+       |qfin AS (
+       |  SELECT s.query_id, s.doc_id, s.n_terms,
+       |    s.dsum + qs.aq - qs.nq * CAST(FLOOR(
+       |      ln(CAST(d.dl AS DOUBLE) + 100.0) * 1000000.0)
+       |      AS BIGINT) AS score_micro
+       |  FROM qsc s
+       |  JOIN dl d ON s.doc_id = d.doc_id
+       |  JOIN qs ON s.query_id = qs.query_id),
+       |qrk AS (
+       |  SELECT query_id, doc_id, n_terms, score_micro,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY score_micro DESC, doc_id) AS rank
+       |  FROM qfin)
+       |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id,
+       |  CAST(n_terms AS BIGINT) AS n_terms, score_micro
+       |FROM qrk WHERE rank <= 10""".stripMargin
+  }
+
+  /** Two-pass PRF replay (p120; reused by the p130 scorecard):
+    * pass-1 top-3 feedback docs donate their 5 best non-query terms,
+    * pass 2 rescores with the expanded term set.
+    */
+  private def oPrf: String = {
+    val idf2 = "ln(1.0 + (CAST(st.nd AS DOUBLE) - CAST(f.df" +
+      " AS DOUBLE) + 0.5) / (CAST(f.df AS DOUBLE) + 0.5))"
+    val norm2 = "(CAST(p.tf AS DOUBLE) * 2.2 / (CAST(p.tf AS" +
+      " DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(d.dl AS DOUBLE)" +
+      " / (CAST(st.sdl AS DOUBLE) / CAST(st.nd AS DOUBLE))))))"
+    s"""${oBm25Ctes(k1 = 1.2, b = 0.75, everyNth = 40, qTerms = 4)},
+       |fbdocs AS (SELECT query_id, doc_id FROM rk WHERE rank <= 3),
+       |fbt AS (
+       |  SELECT fd.query_id, p.tok, SUM(p.tf) AS fbscore
+       |  FROM fbdocs fd JOIN post p ON fd.doc_id = p.doc_id
+       |  WHERE NOT EXISTS (SELECT 1 FROM qt
+       |    WHERE qt.query_id = fd.query_id AND qt.tok = p.tok)
+       |  GROUP BY fd.query_id, p.tok),
+       |expn AS (
+       |  SELECT query_id, tok FROM (
+       |    SELECT query_id, tok, ROW_NUMBER() OVER (
+       |      PARTITION BY query_id
+       |      ORDER BY fbscore DESC, tok) AS r
+       |    FROM fbt)
+       |  WHERE r <= 5),
+       |qt2 AS (SELECT query_id, tok FROM qt
+       |        UNION SELECT query_id, tok FROM expn),
+       |dfq2 AS (
+       |  SELECT p.tok, COUNT(*) AS df FROM post p
+       |  WHERE p.tok IN (SELECT DISTINCT tok FROM qt2)
+       |  GROUP BY p.tok),
+       |sc2 AS (
+       |  SELECT q.query_id, p.doc_id, COUNT(*) AS n_terms,
+       |    CAST(SUM(CAST(FLOOR($idf2 * $norm2 * 1000000.0)
+       |      AS BIGINT)) AS BIGINT) AS score_micro
+       |  FROM post p
+       |  JOIN qt2 q ON p.tok = q.tok
+       |  JOIN dfq2 f ON p.tok = f.tok
+       |  JOIN dl d ON p.doc_id = d.doc_id
+       |  CROSS JOIN st
+       |  GROUP BY q.query_id, p.doc_id),
+       |rkx AS (
+       |  SELECT query_id, doc_id, n_terms, score_micro,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY score_micro DESC, doc_id) AS rank
+       |  FROM sc2)
+       |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id,
+       |  CAST(n_terms AS BIGINT) AS n_terms, score_micro
+       |FROM rkx WHERE rank <= 10""".stripMargin
+  }
+
+  /** Sparse+dense RRF fusion replay (p119; reused by the p130
+    * scorecard): BM25 top-10 and brute-force cosine top-10 fused by
+    * exact-integer reciprocal ranks.
+    */
+  private def oRrf: String =
+    s"""${oBm25Ctes(k1 = 1.2, b = 0.75, everyNth = 40, qTerms = 4)},
+       |bm AS (SELECT query_id, doc_id, rank FROM rk
+       |       WHERE rank <= 10),
+       |qv AS (SELECT vec_id AS query_id, embedding AS qe
+       |       FROM embeddings WHERE vec_id % 40 = 0),
+       |cscored AS (
+       |  SELECT query_id, e.vec_id AS cand_id,
+       |    ${oCos("qe", "e.embedding")} AS sim
+       |  FROM embeddings e, qv WHERE e.vec_id != query_id),
+       |dn AS (
+       |  SELECT query_id, doc_id, rank FROM (
+       |    SELECT query_id, cand_id AS doc_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id
+       |        ORDER BY sim DESC, cand_id ASC) AS rank
+       |    FROM cscored)
+       |  WHERE rank <= 10),
+       |f AS (
+       |  SELECT COALESCE(b.query_id, d.query_id) AS query_id,
+       |    COALESCE(b.doc_id, d.doc_id) AS doc_id,
+       |    COALESCE(b.rank, 0) AS rank_sparse,
+       |    COALESCE(d.rank, 0) AS rank_dense,
+       |    (CASE WHEN b.rank IS NULL THEN 0
+       |          ELSE 1000000 // (60 + b.rank) END)
+       |    + (CASE WHEN d.rank IS NULL THEN 0
+       |            ELSE 1000000 // (60 + d.rank) END) AS rrf_micro
+       |  FROM bm b FULL OUTER JOIN dn d
+       |    ON b.query_id = d.query_id AND b.doc_id = d.doc_id),
+       |rk2 AS (
+       |  SELECT f.*, ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY rrf_micro DESC, doc_id) AS rank
+       |  FROM f)
+       |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id,
+       |  CAST(rank_sparse AS BIGINT) AS rank_sparse,
+       |  CAST(rank_dense AS BIGINT) AS rank_dense,
+       |  CAST(rrf_micro AS BIGINT) AS rrf_micro
+       |FROM rk2 WHERE rank <= 10""".stripMargin
+
+  /** One p130 scorecard row over a ranked relation `rel(query_id,
+    * rank, doc_id, ...)`: planted relevance (doc_id = query_id),
+    * exact-integer MRR and nDCG@10 — the discount literals come from
+    * [[Retrieval.dcgMicroTable]], the SAME driver-computed constants
+    * the Spark plan folds in, so no cross-engine libm floor risk.
+    */
+  private def oScorecardRow(rel: String, method: String): String = {
+    val dcgCase = graft.pipeline.Retrieval.dcgMicroTable(10)
+      .map { case (r, v) => s"WHEN $r THEN $v" }.mkString(" ")
+    s"""SELECT '$method' AS method,
+       |  CAST(COUNT(DISTINCT query_id) AS BIGINT) AS n_queries,
+       |  CAST(SUM(CASE WHEN doc_id = query_id THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_hits,
+       |  CAST(CAST(SUM(CASE WHEN doc_id = query_id
+       |      THEN 1000000 // rank ELSE 0 END) AS BIGINT)
+       |    // COUNT(DISTINCT query_id) AS BIGINT) AS mrr_micro,
+       |  CAST(CAST(SUM(CASE WHEN doc_id = query_id
+       |      THEN CASE rank $dcgCase ELSE 0 END ELSE 0 END)
+       |      AS BIGINT)
+       |    // COUNT(DISTINCT query_id) AS BIGINT) AS ndcg_micro
+       |FROM $rel""".stripMargin
+  }
 
   private lazy val oracle0: Map[String, String] = Map(
     "p01_exact_dedup" ->

@@ -316,6 +316,28 @@ class RetrievalSpec extends SparkSpec {
       (0L, 2L, 1L, sig(0.5), 500000L)), out.toString)
   }
 
+  test("ranking scorecard: exact closed-form MRR and nDCG on a fixture") {
+    // 3 queries: q1 hits its source doc at rank 1, q2 at rank 3,
+    // q3 never (its top-10 misses doc 3)
+    val ranked = Seq(
+      (1L, 1L, 1L), (1L, 2L, 9L),
+      (2L, 1L, 8L), (2L, 2L, 7L), (2L, 3L, 2L),
+      (3L, 1L, 5L), (3L, 2L, 6L))
+      .toDF("query_id", "rank", "doc_id")
+    val out = Retrieval.rankingScorecard(ranked, "m", topK = 10)
+      .as[(String, Long, Long, Long, Long)].collect().head
+    val dcg = Retrieval.dcgMicroTable(10).toMap
+    // per-query MRR micro: 10⁶/1 and 10⁶ div 3; mean over 3 queries
+    val mrr = (1000000L + 1000000L / 3L) / 3L
+    val ndcg = (dcg(1) + dcg(3)) / 3L
+    assert(out == ("m", 3L, 2L, mrr, ndcg), out.toString)
+    // discount table sanity: rank 1 is exactly 1.0, strictly
+    // decreasing, rank 3 is 1/log2(4) = 0.5 exactly
+    assert(dcg(1) == 1000000L && dcg(3) == 500000L)
+    assert(Retrieval.dcgMicroTable(10).map(_._2).sliding(2)
+      .forall(p => p(0) > p(1)))
+  }
+
   test("LR training leaves no cache entries and is deterministic") {
     val docs = graft.core.Tables.read(spark, sf0001, "documents")
     def run() = Curation.logisticRegression(docs, "doc_id", "text",
