@@ -197,8 +197,14 @@ object Bpe {
       val top = pairCounts(words)
         .join(sc.select(col("sym").as("l"), col("sc").as("cl")), Seq("l"))
         .join(sc.select(col("sym").as("r"), col("sc").as("cr")), Seq("r"))
+        // q12 scale overflows int64 past pc ≈ 9.2e6; fail loudly
+        // instead of silently wrapping and corrupting the trajectory
         .withColumn("score",
-          expr("pc * 1000000000000 div (cl * cr)"))
+          when(col("pc") > lit(Long.MaxValue / 1000000000000L),
+            raise_error(concat(
+              lit("wordpiece pair count overflows q12 scoring: "),
+              col("pc").cast("string"))).cast("long"))
+          .otherwise(expr("pc * 1000000000000 div (cl * cr)")))
         .orderBy(desc("score"), asc("l"), asc("r"))
         .select(col("l"), col("r"), col("pc"), col("score"))
         .limit(1).collect()

@@ -1900,10 +1900,12 @@ object Curation {
     * numerators in BOTH engines (Spark `div` truncates, DuckDB `//`
     * floors only sometimes — so neither raw operator is portable).
     * The subtraction makes the numerator exactly divisible, after
-    * which any division semantics agree.
+    * which any division semantics agree. The division itself is
+    * integer `div` — int64 end-to-end, exact at ANY magnitude (a
+    * double division would silently lose exactness past 2⁵³).
     */
   private def floorDiv(a: Column, m: Column): Column =
-    ((a - pmod(a, m)) / m).cast("long")
+    call_function("div", a - pmod(a, m), m)
 
   /** Logistic-regression quality classifier trained by `iters` rounds
     * of full-batch gradient descent over hashed binary unigram

@@ -101,7 +101,13 @@ object Retrieval {
     * operation order, shared by the batch scorer and the
     * [[impactIndex]] so their floors agree bit-for-bit.
     */
-  private def contribMicro(p: Bm25Params): Column = {
+  /** The pre-floor double of [[contribMicro]] (idf · norm · 10⁶) —
+    * exposed so the guard-band audit (GuardBandSpec) can measure how
+    * far every produced value sits from its floor boundary: Java and
+    * DuckDB libm `log` may differ by 1 ulp, and a value within ~1e-9
+    * of an integer could floor differently across engines.
+    */
+  private[graft] def contribDouble(p: Bm25Params): Column = {
     val avgdl = col("sdl").cast("double") / col("nd").cast("double")
     val idf = log(lit(1.0) +
       (col("nd").cast("double") - col("df").cast("double") + lit(0.5)) /
@@ -110,8 +116,11 @@ object Retrieval {
       (col("tf").cast("double") +
         lit(p.k1) * (lit(1 - p.b) +
           lit(p.b) * (col("dl").cast("double") / avgdl)))
-    floor(idf * norm * lit(1e6)).cast("long")
+    idf * norm * lit(1e6)
   }
+
+  private def contribMicro(p: Bm25Params): Column =
+    floor(contribDouble(p)).cast("long")
 
   /** [[bm25Scores]] over a prepared candidate-hit frame. `hits` feeds
     * BOTH the df rollup and the scoring join, so eager callers
@@ -238,6 +247,21 @@ object Retrieval {
     * query-vocabulary-sized broadcast sides, one query-keyed ranking
     * exchange; the candidate-hit frame is cache-bracketed.
     */
+  /** The three pre-floor doubles of [[qlTopK]] (each × 10⁶), keyed by
+    * component — exposed for the guard-band audit (GuardBandSpec):
+    * `aq_term` over (tok → cf, sdl), `delta` over (tf, cf, sdl),
+    * `len` over (dl).
+    */
+  private[graft] def qlFloorDoubles(mu: Double): Map[String, Column] = {
+    val muP = lit(mu) *
+      (col("cf").cast("double") / col("sdl").cast("double"))
+    Map(
+      "aq_term" -> (log(muP) * lit(1e6)),
+      "delta" -> (log((col("tf").cast("double") + muP) / muP) *
+        lit(1e6)),
+      "len" -> (log(col("dl").cast("double") + lit(mu)) * lit(1e6)))
+  }
+
   def qlTopK(docs: DataFrame, idCol: String, textCol: String,
       queries: DataFrame, qidCol: String, qtextCol: String, k: Int,
       mu: Double = 100.0): DataFrame = {
@@ -248,21 +272,18 @@ object Retrieval {
       broadcast(qTerms.select("tok").distinct()), Seq("tok"))
     graft.core.Caching.withCached(hits) {
       val cf = hits.groupBy("tok").agg(sum(col("tf")).as("cf"))
-      val muP = lit(mu) *
-        (col("cf").cast("double") / col("sdl").cast("double"))
+      val fd = qlFloorDoubles(mu)
       // per-query constants: known terms only (inner join on cf)
       val qstats = qTerms.join(broadcast(cf), Seq("tok"))
         .crossJoin(broadcast(index.stats))
-        .withColumn("aq_term", floor(log(muP) * lit(1e6)).cast("long"))
+        .withColumn("aq_term", floor(fd("aq_term")).cast("long"))
         .groupBy(col("query_id"))
         .agg(count(lit(1)).as("nq"), sum(col("aq_term")).as("aq"))
       val scored = hits
         .join(broadcast(qTerms), Seq("tok"))
         .join(broadcast(cf), Seq("tok"))
         .crossJoin(broadcast(index.stats))
-        .withColumn("delta_micro",
-          floor(log((col("tf").cast("double") + muP) / muP) * lit(1e6))
-            .cast("long"))
+        .withColumn("delta_micro", floor(fd("delta")).cast("long"))
         .groupBy(col("query_id"), col("doc_id"))
         .agg(count(lit(1)).as("n_terms"),
           sum(col("delta_micro")).as("dsum"))
@@ -270,8 +291,7 @@ object Retrieval {
         .join(broadcast(qstats), Seq("query_id"))
         .select(col("query_id"), col("doc_id"), col("n_terms"),
           (col("dsum") + col("aq") - col("nq") *
-            floor(log(col("dl").cast("double") + lit(mu)) * lit(1e6))
-              .cast("long")).as("score_micro"))
+            floor(fd("len")).cast("long")).as("score_micro"))
       rankTopK(scored, k)
     }
   }

@@ -1816,8 +1816,9 @@ object PipelineQueries {
     * visible: a raw codebook wastes its entries re-describing cluster
     * centers, the residual codebook resolves within-cluster
     * neighbors ([[Similarity.ivfResidualPqTopK]]). Same config both
-    * rows: nlist=32 (the 32 cluster seeds), codebook rows vec_id<8,
-    * m=4, k=3, nprobe=1. The oracle replays the fixture, BOTH
+    * rows: nlist=8 coarse centroids (vec_id<8), codebook rows
+    * (0, 8, 16, 24), m=4, k=10, nprobe=1. The oracle replays the
+    * fixture, BOTH
     * pipelines (cells, residuals, codes, probes, ADC), the exact
     * truth, and the recall divisions.
     */
