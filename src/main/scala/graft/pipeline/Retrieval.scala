@@ -335,6 +335,59 @@ object Retrieval {
         col("rrf_micro"))
   }
 
+  /** Phrase-boosted re-ranking: BM25 candidates post-checked for
+    * EXACT phrase containment, phrase hits ranked first (the standard
+    * phrase-query upgrade of a bag-of-words retriever — Lucene's
+    * PhraseQuery semantics, realized positionally through gram
+    * hashing rather than position lists). A document "contains the
+    * phrase" iff the full query string appears as a contiguous token
+    * 4-gram, checked by joining the candidates' 4-gram 60-bit hashes
+    * (the [[TextFunctions.shingleHashes]] convention the dedup stack
+    * already uses — `Curation.exactSubstringSpans` is the positional
+    * sibling) against the query-phrase hash. Queries longer or
+    * shorter than 4 tokens simply never match a 4-gram — identical
+    * semantics in both engines.
+    *
+    * Scale shape: the corpus-scale work is all inside [[bm25TopK]].
+    * The phrase check explodes grams ONLY for candidate documents — a
+    * semi-join prune to ≤|Q|·k docs — and matches on an 8-byte hash
+    * key; the final re-rank window shares the query-keyed exchange
+    * the top-k already produced.
+    */
+  def phraseRerank(docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, qidCol: String, qtextCol: String, k: Int,
+      p: Bm25Params = Bm25Params()): DataFrame = {
+    val base = bm25TopK(docs, idCol, textCol, queries, qidCol,
+      qtextCol, k, p)
+    val cand = base.select(col("query_id"), col("doc_id"),
+      col("score_micro"))
+    val qPhrase = queries.select(col(qidCol).as("query_id"),
+      (TF.hash60(col(qtextCol)) % TF.P).as("ph"))
+    val candTexts = docs
+      .select(col(idCol).as("doc_id"), col(textCol).as("text"))
+      .join(broadcast(cand.select("doc_id").distinct()), Seq("doc_id"),
+        "left_semi")
+    val grams = candTexts.select(col("doc_id"),
+      explode(TF.shingleHashes(graft.functions.HashKernelFunctions
+        .shingles(TF.tokens(col("text")), 4))).as("g"))
+    val hits = grams
+      .join(broadcast(cand.join(qPhrase, Seq("query_id"))
+        .select(col("query_id"), col("doc_id"), col("ph"))),
+        Seq("doc_id"))
+      .filter(col("g") === col("ph"))
+      .select(col("query_id"), col("doc_id")).distinct()
+      .withColumn("phrase_hit", lit(1L))
+    cand.join(hits, Seq("query_id", "doc_id"), "left")
+      .withColumn("phrase_hit", coalesce(col("phrase_hit"), lit(0L)))
+      .withColumn("rank", row_number().over(Window
+          .partitionBy(col("query_id"))
+          .orderBy(col("phrase_hit").desc, col("score_micro").desc,
+            col("doc_id")))
+        .cast("long"))
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        col("phrase_hit"), col("score_micro"))
+  }
+
   /** nDCG discount table: floor(10⁶ / log₂(rank+1)) for ranks
     * 1..maxRank, computed ONCE on the driver and embedded as literals
     * into both the Spark plan and the generated oracle SQL. Both

@@ -22,6 +22,31 @@ import org.apache.spark.sql.functions._
   *    cost O(|corpus|·d) to bucket + per-query bucket scans. The
   *    hyperplanes are derived from the portable hash, not an RNG, so
   *    plans are deterministic and reproducible across runs/engines.
+  *
+  * ==Why IVF/PQ and not a graph index (HNSW)==
+  *
+  * HNSW-class graph search is the single-node serving default in
+  * FAISS/Lucene/Vespa, and it is deliberately NOT implemented here.
+  * Graph ANN is sequential pointer-chasing over a mutable neighbor
+  * list: each hop reads the previous hop's result, so a search is a
+  * data-dependent chain of random lookups — the exact access pattern
+  * a distributed, scan-oriented, whole-stage-codegen engine is worst
+  * at. Expressed on Spark it would be either a per-hop shuffle join
+  * (latency ∝ graph depth × shuffle latency) or a driver/executor
+  * local in-memory graph (abandoning the DataFrame execution and the
+  * oracle's replayability). The IVF family, by contrast, maps onto
+  * the engine's native strengths: centroids are driver-trained and
+  * broadcast as folded literals, cell assignment is a codegen'd
+  * argmin projection, probing is an equi-join on a cell key, and PQ
+  * codes shrink the shuffled payload to a few bytes per vector —
+  * every stage is a set-oriented scan the optimizer can push into.
+  * At 100 TB the index BUILD is the dominant cost and is itself a
+  * distributed scan here; serving hot queries at sub-millisecond
+  * latency is a single-node concern, and exporting the IVF-PQ
+  * artifacts (centroids + codes) to such a server is the intended
+  * hand-off. The recall ladder (flat → IVF → IVF-PQ → residual
+  * IVF-PQ → refine, p56/p122) quantifies exactly what that trade
+  * costs in recall at each rung.
   */
 object Similarity {
 

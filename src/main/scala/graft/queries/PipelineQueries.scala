@@ -1909,6 +1909,23 @@ object PipelineQueries {
     .map { case (m, df) => Retrieval.rankingScorecard(df, m, topK = 10) }
     .reduce(_.unionByName(_))
 
+  /** Phrase-boosted retrieval (p131): the p112 BM25 candidates
+    * re-ranked with exact-phrase containment first
+    * ([[Retrieval.phraseRerank]]) — each query is a verbatim 4-token
+    * prefix of its source document, so the source doc (and any doc
+    * quoting the same 4-gram) carries `phrase_hit = 1` and jumps the
+    * bag-of-words ranking. The oracle replays the BM25 chain, the
+    * 4-gram hash containment, and the re-rank window.
+    */
+  def p131PhraseRerank(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val queries = docs.filter(col("doc_id") % 40 === 0)
+      .select(col("doc_id").as("query_id"),
+        concat_ws(" ", slice(TF.tokens(col("text")), 1, 4)).as("qtext"))
+    Retrieval.phraseRerank(docs, "doc_id", "text", queries, "query_id",
+      "qtext", k = 10)
+  }
+
   /** HyperLogLog calibration (p128): per-source 64-register HLL over
     * the 3-gram hash stream beside the exact distinct count
     * ([[Curation.hllCalibration]]) — constant-memory cardinality with
@@ -2574,6 +2591,7 @@ object PipelineQueries {
     "p128_hll" -> p128Hll _,
     "p129_ql" -> p129Ql _,
     "p130_retrieval_scorecard" -> p130RetrievalScorecard _,
+    "p131_phrase_rerank" -> p131PhraseRerank _,
     "p50_temp_mix" -> p50TempMix _,
     "p51_hard_negatives" -> p51HardNegatives _,
     "p52_ivf_trained" -> p52IvfTrained _,
@@ -4468,7 +4486,41 @@ object PipelineQueries {
            |UNION ALL
            |${oScorecardRow("pfr", "prf")}
            |UNION ALL
-           |${oScorecardRow("rfr", "rrf")}""".stripMargin)
+           |${oScorecardRow("rfr", "rrf")}""".stripMargin) +
+      ("p131_phrase_rerank" ->
+        s"""${oBm25Ctes(k1 = 1.2, b = 0.75, everyNth = 40, qTerms = 4)},
+           |cand AS (SELECT query_id, doc_id, score_micro FROM rk
+           |         WHERE rank <= 10),
+           |phq AS (SELECT doc_id AS query_id,
+           |    ${oHash("array_to_string(toks[1:4], ' ')")}
+           |      % 2147483647 AS ph
+           |  FROM base WHERE doc_id % 40 = 0),
+           |gr AS (
+           |  SELECT b.doc_id,
+           |    unnest(list_transform(${oShingles(4)},
+           |      s -> ${oHash("s")} % 2147483647)) AS g
+           |  FROM base b
+           |  JOIN (SELECT DISTINCT doc_id FROM cand) cd
+           |    ON b.doc_id = cd.doc_id),
+           |hits AS (
+           |  SELECT DISTINCT c.query_id, c.doc_id
+           |  FROM cand c
+           |  JOIN phq ON c.query_id = phq.query_id
+           |  JOIN gr ON gr.doc_id = c.doc_id AND gr.g = phq.ph),
+           |fin AS (
+           |  SELECT c.query_id, c.doc_id, c.score_micro,
+           |    CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END
+           |      AS phrase_hit
+           |  FROM cand c LEFT JOIN hits h
+           |    ON c.query_id = h.query_id AND c.doc_id = h.doc_id),
+           |rr AS (
+           |  SELECT fin.*, ROW_NUMBER() OVER (PARTITION BY query_id
+           |    ORDER BY phrase_hit DESC, score_micro DESC, doc_id)
+           |    AS rank
+           |  FROM fin)
+           |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id,
+           |  CAST(phrase_hit AS BIGINT) AS phrase_hit, score_micro
+           |FROM rr""".stripMargin)
 
   /** Dirichlet query-likelihood replay (p129; reused by the p130
     * scorecard): the [[oBm25Ctes]] postings chain plus the three

@@ -316,6 +316,26 @@ class RetrievalSpec extends SparkSpec {
       (0L, 2L, 1L, sig(0.5), 500000L)), out.toString)
   }
 
+  test("phrase rerank: verbatim phrase beats a scrambled bag-of-words") {
+    // doc 2 repeats the query words (higher bm25 score) but never in
+    // order; doc 1 contains the exact phrase once — after the phrase
+    // boost doc 1 must rank first
+    val docs = Seq(
+      (1L, "intro alpha beta gamma delta outro filler filler"),
+      (2L, "alpha alpha beta beta gamma gamma delta delta alpha beta"),
+      (3L, "unrelated words entirely different topic here"))
+      .toDF("doc_id", "text")
+    val qs = Seq((7L, "alpha beta gamma delta")).toDF("qid", "qtext")
+    val out = Retrieval.phraseRerank(docs, "doc_id", "text", qs,
+        "qid", "qtext", k = 10)
+      .orderBy("rank")
+      .select("rank", "doc_id", "phrase_hit")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out.head == (1L, 1L, 1L), out.toString) // phrase doc first
+    assert(out.tail.forall(_._3 == 0L), out.toString)
+    assert(out.map(_._2).contains(2L)) // scrambled doc still retrieved
+  }
+
   test("ranking scorecard: exact closed-form MRR and nDCG on a fixture") {
     // 3 queries: q1 hits its source doc at rank 1, q2 at rank 3,
     // q3 never (its top-10 misses doc 3)
