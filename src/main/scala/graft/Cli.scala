@@ -152,6 +152,32 @@ object Cli {
         |  unpartition <partDir> <outDir>                flatten a partitioned layout
         |  id-transform <dir> <table> <key> <store> <outDir>  extend durable id map + rewrite key
         |  create-id-maps <dir> <table> <storeDir>       seed a store from a table's existing pk
+        |  search <dir> <outDir>                         BM25 top-10 for the prefix query batch
+        |  ql-search <dir> <outDir>                      Dirichlet query-likelihood top-10
+        |  prf-search <dir> <outDir>                     two-pass pseudo-relevance-feedback BM25
+        |  hybrid-search <dir> <outDir>                  sparse+dense reciprocal-rank fusion
+        |  phrase-search <dir> <outDir>                  BM25 re-ranked by exact-phrase containment
+        |  bm25f-search <dir> <outDir>                   fielded BM25F (title x3 / body x1)
+        |  retrieval-scorecard <dir> <outDir>            nDCG@10/MRR/hits of all five rankers
+        |  classifier-auc <dir> <outDir>                 exact Mann-Whitney ROC-AUC of the NB scorer
+        |  ppl-buckets <dir> <outDir>                    CCNet head/middle/tail perplexity terciles
+        |  domain-cap <dir> <outDir>                     per-domain top-N quality caps
+        |  collocations <dir> <outDir>                   PMI collocation top-100
+        |  train-classifier <dir> <outDir>               12-round integer-exact LR quality classifier
+        |  wordpiece-train <dir> <outDir>                WordPiece merge training (likelihood-ratio rule)
+        |  entropy <dir> <outDir>                        per-doc char/token Shannon entropy
+        |  residual-pq <dir> <outDir>                    residual IVF-PQ recall ladder on the fixture
+        |  doc-features <dir> <outDir>                   wide per-doc feature-store row
+        |  calibration <dir> <outDir>                    LR reliability diagram (exact integers)
+        |  dedup-sweep <dir> <outDir>                    near-dup threshold sweep card
+        |  domain-drift <dir> <outDir>                   per-source KL drift in nano-nats
+        |  countmin <dir> <outDir>                       audited count-min sketch calibration
+        |  hll <dir> <outDir>                            audited HyperLogLog calibration
+        |  stream-search <dir> <outDir>                  BM25 serving off the persisted impact index
+        |  stream-entropy <dir> <outDir>                 entropy signals at stream ingest
+        |  stream-features <dir> <outDir>                stateless feature-store slice at stream ingest
+        |  stream-hll <dir> <outDir>                     windowed HLL registers at stream ingest
+        |  stream-countmin <dir> <outDir>                windowed count-min cells at stream ingest
         |(reference main.py snake_case subcommand names are accepted as aliases)
         |""".stripMargin)
     sys.exit(2)
@@ -498,6 +524,14 @@ object Cli {
       write(queries.PipelineQueries.p127CountMin(spark, dir), out)
     case "hll" :: dir :: out :: Nil =>
       write(queries.PipelineQueries.p128Hll(spark, dir), out)
+
+    // retrieval quality + phrase/fielded queries (round 11)
+    case "retrieval-scorecard" :: dir :: out :: Nil =>
+      write(queries.PipelineQueries.p130RetrievalScorecard(spark, dir), out)
+    case "phrase-search" :: dir :: out :: Nil =>
+      write(queries.PipelineQueries.p131PhraseRerank(spark, dir), out)
+    case "bm25f-search" :: dir :: out :: Nil =>
+      write(queries.PipelineQueries.p132Bm25f(spark, dir), out)
 
     // bloom-prefiltered idempotent ingest: the zero-shuffle scale path
     // of ingest-dedup. The sketch is sized from input FILE BYTES, not a

@@ -71,6 +71,58 @@ object Retrieval {
     Bm25Index(postings, doclen, stats)
   }
 
+  /** Simple BM25F weighted-field index (Robertson & Zaragoza 2009
+    * §6, the "simple BM25F" variant): term frequencies and document
+    * lengths are per-field values combined with INTEGER field weights
+    * — tf̃(t,d) = Σ_f w_f·tf_f(t,d), dl̃(d) = Σ_f w_f·dl_f(d) — after
+    * which the plain BM25 saturation/normalization applies unchanged,
+    * so the whole [[bm25ScoresFromHits]]/[[rankTopK]] stack serves
+    * fielded retrieval as-is. Integer weights keep every combined tf
+    * and dl an exact int64, preserving the oracle contract. Document
+    * frequency falls out correctly: the combined postings hold one
+    * row per (term, doc) that matches in ANY field.
+    *
+    * Scale shape identical to [[bm25Index]] — one map-side-combined
+    * postings shuffle per field unioned into one combine (Spark
+    * merges the union into a single exchange), a zero-exchange
+    * weighted-length projection, and a single-row stats aggregate.
+    *
+    * @param fields (tokenArrayColumn, weight) per field; weights must
+    *               be positive integers
+    */
+  def bm25fIndex(docs: DataFrame, idCol: String,
+      fields: Seq[(Column, Long)]): Bm25Index = {
+    require(fields.nonEmpty && fields.forall(_._2 > 0),
+      "fields must be non-empty with positive integer weights")
+    val doclen = docs.select(col(idCol).as("doc_id"),
+      fields.map { case (f, w) => size(f).cast("long") * lit(w) }
+        .reduce(_ + _).as("dl"))
+    val postings = fields.map { case (f, w) =>
+        docs.select(col(idCol).as("doc_id"), explode(f).as("tok"),
+          lit(w).as("w"))
+      }.reduce(_.unionByName(_))
+      .groupBy("tok", "doc_id").agg(sum(col("w")).as("tf"))
+    val stats = doclen.agg(count(lit(1)).as("nd"), sum("dl").as("sdl"))
+    Bm25Index(postings, doclen, stats)
+  }
+
+  /** End-to-end BM25F search over weighted fields — [[bm25fIndex]]
+    * plus the standard scoring/ranking stack; cache bracket as in
+    * [[bm25TopK]].
+    */
+  def bm25fTopK(docs: DataFrame, idCol: String,
+      fields: Seq[(Column, Long)], queries: DataFrame, qidCol: String,
+      qtextCol: String, k: Int,
+      p: Bm25Params = Bm25Params()): DataFrame = {
+    require(k > 0, "k must be positive")
+    val index = bm25fIndex(docs, idCol, fields)
+    val qTerms = queryTerms(queries, qidCol, qtextCol)
+    val hits = index.postings.join(
+      broadcast(qTerms.select("tok").distinct()), Seq("tok"))
+    graft.core.Caching.withCached(hits)(
+      rankTopK(bm25ScoresFromHits(index, hits, qTerms, p), k))
+  }
+
   /** Distinct (query_id, tok) pairs from a query table — the
     * broadcast side of the candidate join. Repeated query terms count
     * once (standard bag-of-words BM25 with binary query tf).

@@ -1903,11 +1903,32 @@ object PipelineQueries {
   def p130RetrievalScorecard(s: SparkSession, dir: String): DataFrame =
     Seq(
       "bm25" -> p112Bm25(s, dir),
+      "bm25f" -> p132Bm25f(s, dir),
       "ql" -> p129Ql(s, dir),
       "prf" -> p120Prf(s, dir),
       "rrf" -> p119HybridRrf(s, dir))
     .map { case (m, df) => Retrieval.rankingScorecard(df, m, topK = 10) }
     .reduce(_.unionByName(_))
+
+  /** Fielded BM25F retrieval (p132): the p112 queries ranked with the
+    * simple-BM25F weighted-field index ([[Retrieval.bm25fIndex]]) —
+    * title = the first 8 tokens at weight 3, body = the rest at
+    * weight 1. The prefix queries live in the title region, so
+    * up-weighting it sharpens the source-doc ranking (visible in the
+    * p130 card's bm25f row). The oracle rebuilds the weighted
+    * postings/lengths and replays the shared scoring formula.
+    */
+  def p132Bm25f(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val toks = TF.tokens(col("text"))
+    val queries = docs.filter(col("doc_id") % 40 === 0)
+      .select(col("doc_id").as("query_id"),
+        concat_ws(" ", slice(toks, 1, 4)).as("qtext"))
+    Retrieval.bm25fTopK(docs, "doc_id",
+      Seq((slice(toks, 1, 8), 3L),
+        (slice(toks, lit(9), size(toks)), 1L)),
+      queries, "query_id", "qtext", k = 10)
+  }
 
   /** Phrase-boosted retrieval (p131): the p112 BM25 candidates
     * re-ranked with exact-phrase containment first
@@ -2426,6 +2447,21 @@ object PipelineQueries {
         Retrieval.bm25ScoresFromHits(index, hits, qT,
           Retrieval.Bm25Params()), k = 10)
     }),
+    "p132_bm25f" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val toks = TF.tokens(col("text"))
+      val queries = docs.filter(col("doc_id") % 40 === 0)
+        .select(col("doc_id").as("query_id"),
+          concat_ws(" ", slice(toks, 1, 4)).as("qtext"))
+      val index = Retrieval.bm25fIndex(docs, "doc_id",
+        Seq((slice(toks, 1, 8), 3L), (slice(toks, lit(9), size(toks)), 1L)))
+      val qT = Retrieval.queryTerms(queries, "query_id", "qtext")
+      val hits = index.postings.join(
+        broadcast(qT.select("tok").distinct()), Seq("tok"))
+      Retrieval.rankTopK(
+        Retrieval.bm25ScoresFromHits(index, hits, qT,
+          Retrieval.Bm25Params()), k = 10)
+    }),
     "p113_auc" -> ((s, dir) => {
       val labels = Curation.funnelLabels(t(s, dir, "documents"), "doc_id",
         "text", profile = Curation.GateProfile.wordSalad)
@@ -2592,6 +2628,7 @@ object PipelineQueries {
     "p129_ql" -> p129Ql _,
     "p130_retrieval_scorecard" -> p130RetrievalScorecard _,
     "p131_phrase_rerank" -> p131PhraseRerank _,
+    "p132_bm25f" -> p132Bm25f _,
     "p50_temp_mix" -> p50TempMix _,
     "p51_hard_negatives" -> p51HardNegatives _,
     "p52_ivf_trained" -> p52IvfTrained _,
@@ -4479,14 +4516,18 @@ object PipelineQueries {
               everyNth = 40, qTerms = 4, topK = 10)})),
            |qlr AS (SELECT * FROM ($oQlTopK)),
            |pfr AS (SELECT * FROM ($oPrf)),
-           |rfr AS (SELECT * FROM ($oRrf))
+           |rfr AS (SELECT * FROM ($oRrf)),
+           |bff AS (SELECT * FROM ($oBm25f))
            |${oScorecardRow("bmr", "bm25")}
+           |UNION ALL
+           |${oScorecardRow("bff", "bm25f")}
            |UNION ALL
            |${oScorecardRow("qlr", "ql")}
            |UNION ALL
            |${oScorecardRow("pfr", "prf")}
            |UNION ALL
            |${oScorecardRow("rfr", "rrf")}""".stripMargin) +
+      ("p132_bm25f" -> oBm25f) +
       ("p131_phrase_rerank" ->
         s"""${oBm25Ctes(k1 = 1.2, b = 0.75, everyNth = 40, qTerms = 4)},
            |cand AS (SELECT query_id, doc_id, score_micro FROM rk
@@ -4659,6 +4700,62 @@ object PipelineQueries {
        |  CAST(rank_dense AS BIGINT) AS rank_dense,
        |  CAST(rrf_micro AS BIGINT) AS rrf_micro
        |FROM rk2 WHERE rank <= 10""".stripMargin
+
+  /** Simple-BM25F replay (p132; reused by the p130 scorecard):
+    * weighted-field postings and lengths (title = toks[1:8] at weight
+    * 3, body = toks[9:] at weight 1), then the shared BM25 scoring
+    * formula (k1 = 1.2, b = 0.75) over the combined exact-integer
+    * tf/dl — mirroring [[Retrieval.bm25fIndex]].
+    */
+  private def oBm25f: String = {
+    val avgdl = "(CAST(st.sdl AS DOUBLE) / CAST(st.nd AS DOUBLE))"
+    val idf = "ln(1.0 + (CAST(st.nd AS DOUBLE) - CAST(f.df AS DOUBLE)" +
+      " + 0.5) / (CAST(f.df AS DOUBLE) + 0.5))"
+    val norm = s"(CAST(p.tf AS DOUBLE) * 2.2" +
+      s" / (CAST(p.tf AS DOUBLE) + 1.2 * (0.25" +
+      s" + 0.75 * (CAST(d.dl AS DOUBLE) / $avgdl))))"
+    s"""WITH fb AS (SELECT doc_id, $oToks AS toks FROM documents),
+       |ff AS (SELECT doc_id, toks[1:8] AS tt, toks[9:] AS bt, toks
+       |       FROM fb),
+       |fdl AS (SELECT doc_id,
+       |    CAST(3 * len(tt) + len(bt) AS BIGINT) AS dl FROM ff),
+       |fst AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd,
+       |    CAST(SUM(dl) AS BIGINT) AS sdl FROM fdl),
+       |fpost AS (
+       |  SELECT tok, doc_id, CAST(SUM(w) AS BIGINT) AS tf FROM (
+       |    SELECT doc_id, unnest(tt) AS tok, 3 AS w FROM ff
+       |    UNION ALL
+       |    SELECT doc_id, unnest(bt) AS tok, 1 AS w FROM ff)
+       |  GROUP BY tok, doc_id),
+       |fqt AS (
+       |  SELECT doc_id AS query_id, toks[i] AS tok
+       |  FROM (SELECT doc_id, toks,
+       |          unnest(generate_series(1, least(len(toks), 4))) AS i
+       |        FROM fb WHERE doc_id % 40 = 0)
+       |  GROUP BY 1, 2),
+       |fdf AS (
+       |  SELECT p.tok, COUNT(*) AS df FROM fpost p
+       |  WHERE p.tok IN (SELECT DISTINCT tok FROM fqt)
+       |  GROUP BY p.tok),
+       |fsc AS (
+       |  SELECT q.query_id, p.doc_id, COUNT(*) AS n_terms,
+       |    CAST(SUM(CAST(FLOOR($idf * $norm * 1000000.0) AS BIGINT))
+       |      AS BIGINT) AS score_micro
+       |  FROM fpost p
+       |  JOIN fqt q ON p.tok = q.tok
+       |  JOIN fdf f ON p.tok = f.tok
+       |  JOIN fdl d ON p.doc_id = d.doc_id
+       |  CROSS JOIN fst st
+       |  GROUP BY q.query_id, p.doc_id),
+       |frk AS (
+       |  SELECT query_id, doc_id, n_terms, score_micro,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY score_micro DESC, doc_id) AS rank
+       |  FROM fsc)
+       |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id,
+       |  CAST(n_terms AS BIGINT) AS n_terms, score_micro
+       |FROM frk WHERE rank <= 10""".stripMargin
+  }
 
   /** One p130 scorecard row over a ranked relation `rel(query_id,
     * rank, doc_id, ...)`: planted relevance (doc_id = query_id),

@@ -464,6 +464,24 @@ class PlansSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("bm25f weighted-field index keeps the p112 plan shape (p132)") {
+    val p = plan(SparkEntry.benchPlans("p132_bm25f")(spark, sf0001))
+    // the per-field posting union collapses into one combine; query
+    // terms/df/stats broadcast exactly as in the single-field index
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert("""\(\d+\) BroadcastNestedLoopJoin""".r.findAllIn(p).size <= 1, p)
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("phrase rerank adds only candidate-pruned joins over bm25 (p131)") {
+    val p = plan(PipelineQueries.p131PhraseRerank(spark, sf0001))
+    // the gram side is semi-join-pruned to candidate docs and the
+    // phrase key matches via broadcast — no all-pairs anywhere
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("LR scoring joins the literal trained weights broadcast (p117)") {
     val p = plan(SparkEntry.benchPlans("p117_lr_classifier")(spark, sf0001))
     assert(p.contains("BroadcastHashJoin"), p)

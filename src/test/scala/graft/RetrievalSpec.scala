@@ -336,6 +336,25 @@ class RetrievalSpec extends SparkSpec {
     assert(out.map(_._2).contains(2L)) // scrambled doc still retrieved
   }
 
+  test("bm25f: a title match outranks the same match in the body") {
+    // same term once per doc, same doc lengths — only the FIELD
+    // differs, so plain BM25 ties them and the field weight decides
+    val docs = Seq(
+      (1L, "target alpha beta gamma delta epsilon zeta eta pad pad pad pad"),
+      (2L, "alpha beta gamma delta epsilon zeta eta pad target pad pad pad"),
+      (3L, "noise words only nothing shared here at all pad pad pad pad"))
+      .toDF("doc_id", "text")
+    val toks = graft.pipeline.TextFunctions.tokens(col("text"))
+    val qs = Seq((9L, "target")).toDF("qid", "qtext")
+    val out = Retrieval.bm25fTopK(docs, "doc_id",
+        Seq((slice(toks, 1, 8), 3L), (slice(toks, lit(9), size(toks)), 1L)),
+        qs, "qid", "qtext", k = 10)
+      .orderBy("rank").select("doc_id").as[Long].collect().toSeq
+    // doc 1 holds "target" in the weighted title field (tf 3 vs 1);
+    // both docs have identical weighted lengths, so doc 1 wins
+    assert(out == Seq(1L, 2L), out.toString)
+  }
+
   test("ranking scorecard: exact closed-form MRR and nDCG on a fixture") {
     // 3 queries: q1 hits its source doc at rank 1, q2 at rank 3,
     // q3 never (its top-10 misses doc 3)
