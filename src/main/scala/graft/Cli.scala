@@ -174,6 +174,7 @@ object Cli {
         |  countmin <dir> <outDir>                       audited count-min sketch calibration
         |  hll <dir> <outDir>                            audited HyperLogLog calibration
         |  stream-search <dir> <outDir>                  BM25 serving off the persisted impact index
+        |  stream-phrase-search <dir> <outDir>           phrase-aware BM25 at ingest (impact + gram indexes)
         |  stream-entropy <dir> <outDir>                 entropy signals at stream ingest
         |  stream-features <dir> <outDir>                stateless feature-store slice at stream ingest
         |  stream-hll <dir> <outDir>                     windowed HLL registers at stream ingest
@@ -1120,6 +1121,22 @@ object Cli {
         watermarkDelay = "0 seconds", windowDuration = "1 minute"), out)
       finally index.unpersist()
       println(s"""{"stream_search":"$out"}""")
+
+    // phrase-aware search at ingest: both static sides (impact index,
+    // gram-hash index) persist once; each micro-batch is two
+    // equi-joins + an integer sum
+    case "stream-phrase-search" :: dir :: out :: Nil =>
+      val stream = stagedDocStream(spark, dir, out)
+      val snapshot = Tables.read(spark, dir, "documents")
+      val index = pipeline.Retrieval.impactIndex(snapshot, "doc_id",
+        "text").persist()
+      val grams = pipeline.Retrieval.gramIndex(snapshot, "doc_id",
+        "text", k = 4).persist()
+      try drainDocJob(streaming.StreamingJobs.phraseSearch(stream,
+        index, grams, phraseLen = 4,
+        watermarkDelay = "0 seconds", windowDuration = "1 minute"), out)
+      finally { index.unpersist(); grams.unpersist() }
+      println(s"""{"stream_phrase_search":"$out"}""")
 
     // unigram tokenization at ingest: cost map trained in batch on the
     // static snapshot, the stream segmented by the stateless Viterbi

@@ -440,6 +440,18 @@ object Retrieval {
         col("phrase_hit"), col("score_micro"))
   }
 
+  /** Distinct token k-gram hash postings `(gdoc, g)` — the static
+    * side streaming phrase search joins each micro-batch against
+    * ([[graft.streaming.StreamingJobs.phraseSearch]]); the batch
+    * [[phraseRerank]] derives the same hashes inline over its pruned
+    * candidate set. 8-byte keys, one row per distinct gram per doc.
+    */
+  def gramIndex(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame =
+    docs.select(col(idCol).as("gdoc"),
+      explode(TF.shingleHashes(graft.functions.HashKernelFunctions
+        .shingles(TF.tokens(col(textCol)), k))).as("g"))
+
   /** nDCG discount table: floor(10⁶ / log₂(rank+1)) for ranks
     * 1..maxRank, computed ONCE on the driver and embedded as literals
     * into both the Spark plan and the generated oracle SQL. Both

@@ -361,6 +361,45 @@ object StreamingJobs {
         col("score_micro"))
   }
 
+  /** Phrase-aware BM25 search at stream ingest — the streaming twin
+    * of the p131 scoring+marking stages. Each arriving document's
+    * first `phraseLen` tokens are the query (the p131 prefix
+    * convention); retrieval runs through the persisted impact index
+    * exactly as [[bm25Search]], and every (query, doc) result carries
+    * `phrase_hit` — whether the doc contains the query verbatim as a
+    * contiguous `phraseLen`-gram — checked against the PERSISTED
+    * static gram-hash index ([[graft.pipeline.Retrieval.gramIndex]])
+    * by a STATELESS stream-static equi-join after the windowed score
+    * rollup (the phrase key is functionally dependent on the query
+    * id, so it rides the groupBy for free). Per-query ranking stays
+    * batch-side, as in bm25Search.
+    */
+  def phraseSearch(queries: DataFrame, index: DataFrame,
+      grams: DataFrame, phraseLen: Int = 4,
+      watermarkDelay: String = "1 hour",
+      windowDuration: String = "1 hour"): DataFrame = {
+    val TF = graft.pipeline.TextFunctions
+    val q = queries.withWatermark("ts", watermarkDelay)
+      .select(col("ts"), col("doc_id").as("query_id"),
+        concat_ws(" ", slice(TF.tokens(col("text")), 1, phraseLen))
+          .as("qtext"))
+      .withColumn("ph", TF.hash60(col("qtext")) % TF.P)
+    val qt = q.select(col("ts"), col("query_id"), col("ph"),
+      explode(array_distinct(TF.tokens(col("qtext")))).as("tok"))
+    qt.join(index, Seq("tok"))
+      .groupBy(window(col("ts"), windowDuration), col("query_id"),
+        col("ph"), col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("contrib_micro")).as("score_micro"))
+      .join(grams, col("gdoc") === col("doc_id") &&
+        col("g") === col("ph"), "left")
+      .select(unix_micros(col("window.start")).as("ws_us"),
+        col("query_id"), col("doc_id"), col("n_terms"),
+        col("score_micro"),
+        when(col("g").isNotNull, lit(1L)).otherwise(lit(0L))
+          .as("phrase_hit"))
+  }
+
   /** DSIR importance weighting at stream ingest — the streaming twin
     * of p90's scoring stage. The hashed-n-gram importance model is
     * fit in batch over the funnel-labeled reference snapshot

@@ -975,6 +975,48 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming phrase search marks verbatim grams, scores equal batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val R = graft.pipeline.Retrieval
+    val TF = graft.pipeline.TextFunctions
+    val ref = Seq(
+      (100L, "apple banana cherry pad"),
+      (101L, "banana apple plum plum"),   // both words, wrong order
+      (102L, "wolf fox bear lynx")).toDF("doc_id", "text")
+    val index = R.impactIndex(ref, "doc_id", "text").persist()
+    val grams = R.gramIndex(ref, "doc_id", "text", k = 2).persist()
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val q = StreamingJobs.phraseSearch(mem.toDF()
+        .toDF("doc_id", "text", "ts"), index, grams, phraseLen = 2)
+      .writeStream.format("memory").queryName("phrase_s")
+      .outputMode("append").start()
+    try {
+      def ts(s: String) = Timestamp.valueOf(s)
+      mem.addData((1L, "apple banana trailing ignored",
+        ts("2024-01-01 00:10:00")))
+      q.processAllAvailable()
+      mem.addData((99L, "apple", ts("2024-01-02 12:00:00")))
+      q.processAllAvailable()
+      val streamed = spark.table("phrase_s")
+        .select("query_id", "doc_id", "n_terms", "score_micro",
+          "phrase_hit")
+        .as[(Long, Long, Long, Long, Long)].collect().toSeq.sorted
+      // doc 100 holds "apple banana" contiguously; 101 only scrambled
+      val hits = streamed.filter(_._1 == 1L)
+        .map(r => r._2 -> r._5).toMap
+      assert(hits == Map(100L -> 1L, 101L -> 0L), streamed.toString)
+      // scores equal the batch scorer over the same 2-token prefix
+      val batch = R.bm25Scores(R.bm25Index(ref, "doc_id", "text"),
+          R.queryTerms(Seq((1L, "apple banana"))
+            .toDF("query_id", "qtext"), "query_id", "qtext"))
+        .select("query_id", "doc_id", "n_terms", "score_micro")
+        .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+      assert(streamed.filter(_._1 == 1L).map(r =>
+        (r._1, r._2, r._3, r._4)).sorted == batch,
+        s"\n$streamed\nvs\n$batch")
+    } finally { q.stop(); index.unpersist(); grams.unpersist() }
+  }
+
   test("streaming BM25 search equals batch scores through the impact index") {
     implicit val sqlCtx = spark.sqlContext
     val R = graft.pipeline.Retrieval
