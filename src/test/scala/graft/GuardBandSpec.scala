@@ -155,6 +155,85 @@ class GuardBandSpec extends SparkSpec {
     assert(dCal > EPS, s"calibration sigmoid within $dCal of a boundary")
   }
 
+  test("entropy / zipf / pmi / drift log floors sit far from boundaries") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.read(spark, sf001, "documents")
+    val toks = TF.tokens(col("text"))
+
+    // entropy (p121): −(c/n)·ln(c/n)·10⁶ per (doc, symbol), both the
+    // token and character branches — counts rebuilt exactly as
+    // Curation.entropyStats builds them
+    def entropyDist(sym: Column): Double = {
+      val counts = docs.select(col("doc_id"), explode(sym).as("sym"))
+        .groupBy(col("doc_id"), col("sym")).agg(count(lit(1)).as("c"))
+      val withN = counts.withColumn("n",
+        sum(col("c")).over(Window.partitionBy(col("doc_id"))))
+      val pr = col("c").cast("double") / col("n").cast("double")
+      minBoundaryDist(withN, -(pr * log(pr)) * 1e6)
+    }
+    val chars = when(length(col("text")) > 0,
+      transform(sequence(lit(1), length(col("text"))),
+        i => col("text").substr(i, lit(1))))
+      .otherwise(array())
+    val dTok = entropyDist(toks)
+    assert(dTok > EPS, s"token entropy within $dTok of a boundary")
+    val dChar = entropyDist(chars)
+    assert(dChar > EPS, s"char entropy within $dChar of a boundary")
+
+    // zipf (p109): ln(rank)·10³ and ln(count)·10³ over the top-500
+    val zc = docs.select(explode(toks).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("n"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("n").desc, col("tok"))))
+      .filter(col("rank") <= 500)
+    val dZr = minBoundaryDist(zc, log(col("rank").cast("double")) * 1e3)
+    assert(dZr > EPS, s"zipf ln(rank) within $dZr of a boundary")
+    val dZn = minBoundaryDist(zc, log(col("n").cast("double")) * 1e3)
+    assert(dZn > EPS, s"zipf ln(n) within $dZn of a boundary")
+
+    // PMI (p116): the fixed-order ratio log over ALL pairs surviving
+    // the min-count gate (the floor also decides the top-k ordering)
+    val occ = Curation.bigramOccurrences(docs, "doc_id", "text")
+    val uni = occ.groupBy(col("cur").as("tok"))
+      .agg(count(lit(1)).as("cu"))
+    val tot = uni.agg(sum("cu").as("t"))
+    val bg = occ.filter(col("prev").isNotNull)
+      .groupBy("prev", "cur").agg(count(lit(1)).as("cxy"))
+      .filter(col("cxy") >= 5)
+    val btot = occ.filter(col("prev").isNotNull)
+      .agg(count(lit(1)).as("bt"))
+    val pmiRows = bg
+      .join(uni.select(col("tok").as("prev"), col("cu").as("cx")),
+        Seq("prev"))
+      .join(uni.select(col("tok").as("cur"), col("cu").as("cy")),
+        Seq("cur"))
+      .crossJoin(broadcast(tot)).crossJoin(broadcast(btot))
+    val pmiY = log(
+      (col("cxy").cast("double") / col("bt").cast("double")) /
+        ((col("cx").cast("double") / col("t").cast("double")) *
+          (col("cy").cast("double") / col("t").cast("double")))) * lit(1e6)
+    val dPmi = minBoundaryDist(pmiRows, pmiY)
+    assert(dPmi > EPS, s"pmi within $dPmi of a boundary")
+
+    // domain drift (p126): p_s·ln(p_s/p_c)·10⁹ per (source, token)
+    val occ2 = docs.select(col("source").as("src"),
+      explode(toks).as("tok"))
+    val sc2 = occ2.groupBy(col("src"), col("tok"))
+      .agg(count(lit(1)).as("cs"))
+    val cc2 = occ2.groupBy(col("tok")).agg(count(lit(1)).as("cv"))
+    val v2 = cc2.agg(count(lit(1)).as("v"), sum(col("cv")).as("tc"))
+    val drift = sc2.withColumn("ts",
+        sum(col("cs")).over(Window.partitionBy(col("src"))))
+      .join(broadcast(cc2), Seq("tok"))
+      .crossJoin(broadcast(v2))
+    val ps = (col("cs") + 1).cast("double") /
+      (col("ts") + col("v")).cast("double")
+    val pc = (col("cv") + 1).cast("double") /
+      (col("tc") + col("v")).cast("double")
+    val dDrift = minBoundaryDist(drift, ps * log(ps / pc) * 1e9)
+    assert(dDrift > EPS, s"drift within $dDrift of a boundary")
+  }
+
   test("banding-theory pow floors sit far from their boundaries") {
     // the p108 theory curve: (1 − (1 − (t/100)²)⁶) · 10⁶ at the five
     // swept thresholds — a data-independent constant set
