@@ -39,4 +39,17 @@ object Caching {
     try build.localCheckpoint(eager = true)
     finally intermediates.foreach(_.unpersist())
   }
+
+  /** [[withCached]] for SEVERAL results sharing the same persisted
+    * intermediates: each result materializes off the shared blocks,
+    * then the intermediates release once. The scorecard-style
+    * composites use this to pay for an expensive shared frame (a
+    * candidate-hit join) exactly once across sibling pipelines.
+    */
+  def withCachedMulti(intermediates: DataFrame*)(
+      build: => Seq[DataFrame]): Seq[DataFrame] = {
+    intermediates.foreach(_.persist())
+    try build.map(_.localCheckpoint(eager = true))
+    finally intermediates.foreach(_.unpersist())
+  }
 }

@@ -262,9 +262,21 @@ object Retrieval {
       broadcast(qT.select("tok").distinct()), Seq("tok"))
     val pass1 = graft.core.Caching.withCached(hits1)(
       rankTopK(bm25ScoresFromHits(index, hits1, qT, p), fbDocs))
+    prfFromPass1(index, qT,
+      pass1.select(col("query_id"), col("doc_id")), fbTerms, k, p)
+  }
+
+  /** The second half of [[bm25Prf]] over an already-ranked feedback
+    * set `pass1(query_id, doc_id)` — split out so composites that
+    * ALREADY hold a top-k of the same queries (the scorecard: pass 1
+    * at fbDocs=3 is a rank-filter of the bm25 top-10) can skip the
+    * redundant first pass.
+    */
+  private[graft] def prfFromPass1(index: Bm25Index, qT: DataFrame,
+      pass1: DataFrame, fbTerms: Int, k: Int,
+      p: Bm25Params): DataFrame = {
     val fbTermScores = index.postings
-      .join(broadcast(pass1.select(col("query_id"), col("doc_id"))),
-        Seq("doc_id"))
+      .join(broadcast(pass1), Seq("doc_id"))
       .join(qT, Seq("query_id", "tok"), "left_anti")
       .groupBy(col("query_id"), col("tok"))
       .agg(sum(col("tf")).as("fbscore"))
@@ -322,30 +334,39 @@ object Retrieval {
     val qTerms = queryTerms(queries, qidCol, qtextCol)
     val hits = index.postings.join(
       broadcast(qTerms.select("tok").distinct()), Seq("tok"))
-    graft.core.Caching.withCached(hits) {
-      val cf = hits.groupBy("tok").agg(sum(col("tf")).as("cf"))
-      val fd = qlFloorDoubles(mu)
-      // per-query constants: known terms only (inner join on cf)
-      val qstats = qTerms.join(broadcast(cf), Seq("tok"))
-        .crossJoin(broadcast(index.stats))
-        .withColumn("aq_term", floor(fd("aq_term")).cast("long"))
-        .groupBy(col("query_id"))
-        .agg(count(lit(1)).as("nq"), sum(col("aq_term")).as("aq"))
-      val scored = hits
-        .join(broadcast(qTerms), Seq("tok"))
-        .join(broadcast(cf), Seq("tok"))
-        .crossJoin(broadcast(index.stats))
-        .withColumn("delta_micro", floor(fd("delta")).cast("long"))
-        .groupBy(col("query_id"), col("doc_id"))
-        .agg(count(lit(1)).as("n_terms"),
-          sum(col("delta_micro")).as("dsum"))
-        .join(index.doclen, Seq("doc_id"))
-        .join(broadcast(qstats), Seq("query_id"))
-        .select(col("query_id"), col("doc_id"), col("n_terms"),
-          (col("dsum") + col("aq") - col("nq") *
-            floor(fd("len")).cast("long")).as("score_micro"))
-      rankTopK(scored, k)
-    }
+    graft.core.Caching.withCached(hits)(
+      qlRankFromHits(index, hits, qTerms, k, mu))
+  }
+
+  /** The [[qlTopK]] ranking over a prepared candidate-hit frame —
+    * split out (like [[bm25ScoresFromHits]]) so composites can share
+    * ONE hit materialization across the bm25 and ql pipelines; eager
+    * callers bracket `hits` themselves.
+    */
+  private[graft] def qlRankFromHits(index: Bm25Index, hits: DataFrame,
+      qTerms: DataFrame, k: Int, mu: Double): DataFrame = {
+    val cf = hits.groupBy("tok").agg(sum(col("tf")).as("cf"))
+    val fd = qlFloorDoubles(mu)
+    // per-query constants: known terms only (inner join on cf)
+    val qstats = qTerms.join(broadcast(cf), Seq("tok"))
+      .crossJoin(broadcast(index.stats))
+      .withColumn("aq_term", floor(fd("aq_term")).cast("long"))
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("nq"), sum(col("aq_term")).as("aq"))
+    val scored = hits
+      .join(broadcast(qTerms), Seq("tok"))
+      .join(broadcast(cf), Seq("tok"))
+      .crossJoin(broadcast(index.stats))
+      .withColumn("delta_micro", floor(fd("delta")).cast("long"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("delta_micro")).as("dsum"))
+      .join(index.doclen, Seq("doc_id"))
+      .join(broadcast(qstats), Seq("query_id"))
+      .select(col("query_id"), col("doc_id"), col("n_terms"),
+        (col("dsum") + col("aq") - col("nq") *
+          floor(fd("len")).cast("long")).as("score_micro"))
+    rankTopK(scored, k)
   }
 
   /** Reciprocal-rank fusion of two ranked candidate lists (Cormack,

@@ -1900,15 +1900,47 @@ object PipelineQueries {
     * arithmetic (nDCG discounts are driver-computed literals shared
     * with the Spark plan).
     */
-  def p130RetrievalScorecard(s: SparkSession, dir: String): DataFrame =
-    Seq(
-      "bm25" -> p112Bm25(s, dir),
-      "bm25f" -> p132Bm25f(s, dir),
-      "ql" -> p129Ql(s, dir),
-      "prf" -> p120Prf(s, dir),
-      "rrf" -> p119HybridRrf(s, dir))
-    .map { case (m, df) => Retrieval.rankingScorecard(df, m, topK = 10) }
-    .reduce(_.unionByName(_))
+  def p130RetrievalScorecard(s: SparkSession, dir: String): DataFrame = {
+    // ONE index build and ONE candidate-hit materialization feed the
+    // bm25, ql, prf, and rrf-sparse rows (naively composing the five
+    // standalone queries rebuilds the same index four times and the
+    // bm25 ranking twice — this was the slowest bench query before
+    // the sharing). Only bm25f (weighted index) and prf pass 2
+    // (expanded terms) need further corpus passes; prf pass 1 at
+    // fbDocs=3 is exactly a rank-filter of the shared bm25 top-10.
+    // Row values are IDENTICAL to the standalone queries' — same
+    // arithmetic, fewer rebuilds.
+    val docs = t(s, dir, "documents")
+    val queries = docs.filter(col("doc_id") % 40 === 0)
+      .select(col("doc_id").as("query_id"),
+        concat_ws(" ", slice(TF.tokens(col("text")), 1, 4)).as("qtext"))
+    val index = Retrieval.bm25Index(docs, "doc_id", "text")
+    val qT = Retrieval.queryTerms(queries, "query_id", "qtext")
+    val hits = index.postings.join(
+      broadcast(qT.select("tok").distinct()), Seq("tok"))
+    val shared = graft.core.Caching.withCachedMulti(hits)(Seq(
+      Retrieval.rankTopK(Retrieval.bm25ScoresFromHits(index, hits, qT,
+        Retrieval.Bm25Params()), 10),
+      Retrieval.qlRankFromHits(index, hits, qT, k = 10, mu = 100.0)))
+    val bm = shared(0)
+    val ql = shared(1)
+    val prf = Retrieval.prfFromPass1(index, qT,
+      bm.filter(col("rank") <= 3).select(col("query_id"), col("doc_id")),
+      fbTerms = 5, k = 10, Retrieval.Bm25Params())
+    val emb = t(s, dir, "embeddings")
+    val dense = Similarity.topK(emb,
+        emb.filter(col("vec_id") % 40 === 0), "vec_id", "embedding",
+        k = 10)
+      .select(col("query_id"), col("cand_id").as("doc_id"), col("rank"))
+    val rrf = Retrieval.rrfFuse(
+      bm.select(col("query_id"), col("doc_id"), col("rank")), dense,
+      k0 = 60, topK = 10)
+    Seq("bm25" -> bm, "bm25f" -> p132Bm25f(s, dir), "ql" -> ql,
+      "prf" -> prf, "rrf" -> rrf)
+      .map { case (m, df) =>
+        Retrieval.rankingScorecard(df, m, topK = 10) }
+      .reduce(_.unionByName(_))
+  }
 
   /** Fielded BM25F retrieval (p132): the p112 queries ranked with the
     * simple-BM25F weighted-field index ([[Retrieval.bm25fIndex]]) —
