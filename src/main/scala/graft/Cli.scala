@@ -158,6 +158,7 @@ object Cli {
         |  hybrid-search <dir> <outDir>                  sparse+dense reciprocal-rank fusion
         |  phrase-search <dir> <outDir>                  BM25 re-ranked by exact-phrase containment
         |  bm25f-search <dir> <outDir>                   fielded BM25F (title x3 / body x1)
+        |  snippets <dir> <outDir>                       best-matching 8-token window per result
         |  retrieval-scorecard <dir> <outDir>            nDCG@10/MRR/hits of all five rankers
         |  classifier-auc <dir> <outDir>                 exact Mann-Whitney ROC-AUC of the NB scorer
         |  ppl-buckets <dir> <outDir>                    CCNet head/middle/tail perplexity terciles
@@ -533,6 +534,8 @@ object Cli {
       write(queries.PipelineQueries.p131PhraseRerank(spark, dir), out)
     case "bm25f-search" :: dir :: out :: Nil =>
       write(queries.PipelineQueries.p132Bm25f(spark, dir), out)
+    case "snippets" :: dir :: out :: Nil =>
+      write(queries.PipelineQueries.p133Snippets(spark, dir), out)
 
     // bloom-prefiltered idempotent ingest: the zero-shuffle scale path
     // of ingest-dedup. The sketch is sized from input FILE BYTES, not a

@@ -461,6 +461,61 @@ object Retrieval {
         col("phrase_hit"), col("score_micro"))
   }
 
+  /** Snippet extraction for a ranked result set — the display stage
+    * of a search stack: for each retrieved (query, doc) pair, the
+    * `windowTokens`-token window of the document holding the MOST
+    * query-term occurrences (ties to the earliest start), with its
+    * 1-based start position and matched-term count. Deterministic and
+    * purely positional: match positions come from the token sequence,
+    * the window count is a range frame over positions, and the argmax
+    * is integer — any engine replays it exactly. An optimal window
+    * always starts at a match position, so only match positions are
+    * scored.
+    *
+    * Scale shape: tokens are exploded ONLY for candidate documents
+    * (semi-join prune to the ≤|Q|·topDocs result set); the window
+    * count and argmax share one (query, doc)-keyed exchange; the
+    * snippet text is sliced from the token array in a final
+    * broadcast-sized join — the corpus is never scanned beyond the
+    * candidate prune.
+    */
+  def snippets(docs: DataFrame, idCol: String, textCol: String,
+      ranked: DataFrame, queries: DataFrame, qidCol: String,
+      qtextCol: String, topDocs: Int, windowTokens: Int): DataFrame = {
+    require(topDocs > 0 && windowTokens > 0,
+      "topDocs and windowTokens must be positive")
+    val cand = ranked.filter(col("rank") <= topDocs)
+      .select(col("query_id"), col("doc_id"))
+    val qT = queryTerms(queries, qidCol, qtextCol)
+    val toks = docs.select(col(idCol).as("doc_id"),
+        TF.tokens(col(textCol)).as("toks"))
+      .join(broadcast(cand.select("doc_id").distinct()), Seq("doc_id"),
+        "left_semi")
+    val pos = toks
+      .select(col("doc_id"), posexplode(col("toks")))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
+        col("col").as("tok"))
+    val matches = pos
+      .join(broadcast(cand), Seq("doc_id"))
+      .join(broadcast(qT), Seq("query_id", "tok"))
+    val frame = Window.partitionBy(col("query_id"), col("doc_id"))
+      .orderBy(col("pos"))
+      .rangeBetween(Window.currentRow, windowTokens - 1)
+    val best = matches
+      .withColumn("n_matched", count(lit(1)).over(frame))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("query_id"), col("doc_id"))
+          .orderBy(col("n_matched").desc, col("pos"))))
+      .filter(col("rn") === 1)
+      .select(col("query_id"), col("doc_id"),
+        col("pos").as("start_pos"), col("n_matched"))
+    best.join(toks, Seq("doc_id"))
+      .select(col("query_id"), col("doc_id"), col("start_pos"),
+        col("n_matched"),
+        concat_ws(" ", slice(col("toks"), col("start_pos"),
+          lit(windowTokens))).as("snippet"))
+  }
+
   /** Distinct token k-gram hash postings `(gdoc, g)` — the static
     * side streaming phrase search joins each micro-batch against
     * ([[graft.streaming.StreamingJobs.phraseSearch]]); the batch

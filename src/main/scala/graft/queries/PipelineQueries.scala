@@ -1942,6 +1942,25 @@ object PipelineQueries {
       .reduce(_.unionByName(_))
   }
 
+  /** Search snippets (p133): for each query's BM25 top-3 documents,
+    * the 8-token window holding the most query-term occurrences
+    * ([[Retrieval.snippets]]) — the display stage of the search
+    * stack, and the purely positional consumer of the token sequence
+    * (start positions, a range-frame window count, an integer
+    * argmax). The oracle replays the candidate prune, the positional
+    * match join, the window count, and the tie-broken argmax.
+    */
+  def p133Snippets(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val queries = docs.filter(col("doc_id") % 40 === 0)
+      .select(col("doc_id").as("query_id"),
+        concat_ws(" ", slice(TF.tokens(col("text")), 1, 4)).as("qtext"))
+    val ranked = Retrieval.bm25TopK(docs, "doc_id", "text", queries,
+      "query_id", "qtext", k = 10)
+    Retrieval.snippets(docs, "doc_id", "text", ranked, queries,
+      "query_id", "qtext", topDocs = 3, windowTokens = 8)
+  }
+
   /** Fielded BM25F retrieval (p132): the p112 queries ranked with the
     * simple-BM25F weighted-field index ([[Retrieval.bm25fIndex]]) —
     * title = the first 8 tokens at weight 3, body = the rest at
@@ -2661,6 +2680,7 @@ object PipelineQueries {
     "p130_retrieval_scorecard" -> p130RetrievalScorecard _,
     "p131_phrase_rerank" -> p131PhraseRerank _,
     "p132_bm25f" -> p132Bm25f _,
+    "p133_snippets" -> p133Snippets _,
     "p50_temp_mix" -> p50TempMix _,
     "p51_hard_negatives" -> p51HardNegatives _,
     "p52_ivf_trained" -> p52IvfTrained _,
@@ -4560,6 +4580,42 @@ object PipelineQueries {
            |UNION ALL
            |${oScorecardRow("rfr", "rrf")}""".stripMargin) +
       ("p132_bm25f" -> oBm25f) +
+      ("p133_snippets" ->
+        s"""${oBm25Ctes(k1 = 1.2, b = 0.75, everyNth = 40, qTerms = 4)},
+           |scand AS (SELECT query_id, doc_id FROM rk WHERE rank <= 3),
+           |stoks AS (
+           |  SELECT b.doc_id, b.toks FROM base b
+           |  JOIN (SELECT DISTINCT doc_id FROM scand) cd
+           |    ON b.doc_id = cd.doc_id),
+           |spos AS (
+           |  SELECT doc_id, i AS pos, toks[i] AS tok
+           |  FROM (SELECT doc_id, toks,
+           |          unnest(generate_series(1, len(toks))) AS i
+           |        FROM stoks)),
+           |sm AS (
+           |  SELECT c.query_id, c.doc_id, p.pos
+           |  FROM scand c
+           |  JOIN spos p ON p.doc_id = c.doc_id
+           |  JOIN qt q ON q.query_id = c.query_id AND q.tok = p.tok),
+           |sw AS (
+           |  SELECT query_id, doc_id, pos,
+           |    COUNT(*) OVER (PARTITION BY query_id, doc_id
+           |      ORDER BY pos
+           |      RANGE BETWEEN CURRENT ROW AND 7 FOLLOWING)
+           |      AS n_matched
+           |  FROM sm),
+           |sb AS (
+           |  SELECT query_id, doc_id, pos AS start_pos, n_matched,
+           |    ROW_NUMBER() OVER (PARTITION BY query_id, doc_id
+           |      ORDER BY n_matched DESC, pos) AS rn
+           |  FROM sw)
+           |SELECT s.query_id, s.doc_id,
+           |  CAST(s.start_pos AS BIGINT) AS start_pos,
+           |  CAST(s.n_matched AS BIGINT) AS n_matched,
+           |  array_to_string(t.toks[s.start_pos:s.start_pos + 7], ' ')
+           |    AS snippet
+           |FROM sb s JOIN stoks t ON s.doc_id = t.doc_id
+           |WHERE s.rn = 1""".stripMargin) +
       ("p131_phrase_rerank" ->
         s"""${oBm25Ctes(k1 = 1.2, b = 0.75, everyNth = 40, qTerms = 4)},
            |cand AS (SELECT query_id, doc_id, score_micro FROM rk

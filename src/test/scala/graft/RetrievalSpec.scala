@@ -355,6 +355,22 @@ class RetrievalSpec extends SparkSpec {
     assert(out == Seq(1L, 2L), out.toString)
   }
 
+  test("snippets: the densest window wins, ties to the earliest start") {
+    val docs = Seq(
+      // matches at positions 2,3 (dense) and 9 (lone): window [2..5]
+      // holds 2 matches and must win over any window holding 1
+      (1L, "pad alpha beta pad pad pad pad pad alpha pad pad pad"),
+      (2L, "unrelated content here entirely pad pad pad pad pad pad"))
+      .toDF("doc_id", "text")
+    val qs = Seq((7L, "alpha beta")).toDF("qid", "qtext")
+    val ranked = Seq((7L, 1L, 1L)).toDF("query_id", "rank", "doc_id")
+    val out = Retrieval.snippets(docs, "doc_id", "text", ranked, qs,
+        "qid", "qtext", topDocs = 3, windowTokens = 4)
+      .as[(Long, Long, Long, Long, String)].collect().toSeq
+    assert(out == Seq((7L, 1L, 2L, 2L, "alpha beta pad pad")),
+      out.toString)
+  }
+
   test("ranking scorecard: exact closed-form MRR and nDCG on a fixture") {
     // 3 queries: q1 hits its source doc at rank 1, q2 at rank 3,
     // q3 never (its top-10 misses doc 3)
