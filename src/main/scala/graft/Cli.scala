@@ -159,6 +159,8 @@ object Cli {
         |  phrase-search <dir> <outDir>                  BM25 re-ranked by exact-phrase containment
         |  bm25f-search <dir> <outDir>                   fielded BM25F (title x3 / body x1)
         |  snippets <dir> <outDir>                       best-matching 8-token window per result
+        |  proximity-search <dir> <outDir>               BM25 + pairwise term-proximity boost
+        |  spell-suggest <dir> <outDir>                  vocabulary "did you mean" (bigram-index Levenshtein)
         |  retrieval-scorecard <dir> <outDir>            nDCG@10/MRR/hits of all five rankers
         |  classifier-auc <dir> <outDir>                 exact Mann-Whitney ROC-AUC of the NB scorer
         |  ppl-buckets <dir> <outDir>                    CCNet head/middle/tail perplexity terciles
@@ -536,6 +538,10 @@ object Cli {
       write(queries.PipelineQueries.p132Bm25f(spark, dir), out)
     case "snippets" :: dir :: out :: Nil =>
       write(queries.PipelineQueries.p133Snippets(spark, dir), out)
+    case "proximity-search" :: dir :: out :: Nil =>
+      write(queries.PipelineQueries.p134Proximity(spark, dir), out)
+    case "spell-suggest" :: dir :: out :: Nil =>
+      write(queries.PipelineQueries.p135SpellSuggest(spark, dir), out)
 
     // bloom-prefiltered idempotent ingest: the zero-shuffle scale path
     // of ingest-dedup. The sketch is sized from input FILE BYTES, not a

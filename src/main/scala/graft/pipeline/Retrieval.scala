@@ -461,6 +461,64 @@ object Retrieval {
         col("phrase_hit"), col("score_micro"))
   }
 
+  /** Proximity-boosted re-ranking — the term-proximity factor classic
+    * IR adds on top of bag-of-words scores (Rasolofo & Savoy 2003
+    * pairwise form): documents whose DISTINCT matched query terms
+    * occur close together are boosted by `10⁶ div (minDist + k₀)`,
+    * where minDist is the smallest positional distance between
+    * occurrences of two different query terms (a verbatim-adjacent
+    * pair gives the maximal boost; single-term matches get 0). The
+    * boost and the combined score are exact integers, so ranking
+    * replays in any engine; ties break on the doc id.
+    *
+    * Scale shape: the corpus-scale work is all inside the base
+    * ranking. The pair scan runs ONLY inside (query, candidate-doc)
+    * groups — match positions per candidate are query-length-bounded,
+    * so the self-join is quadratic only in per-doc match count, never
+    * in corpus or document length; the re-rank window shares the
+    * query-keyed exchange.
+    */
+  def proximityRerank(docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, qidCol: String, qtextCol: String, k: Int,
+      k0: Int = 4, p: Bm25Params = Bm25Params()): DataFrame = {
+    require(k > 0 && k0 >= 0, "k must be positive, k0 non-negative")
+    val base = bm25TopK(docs, idCol, textCol, queries, qidCol,
+      qtextCol, k, p)
+    val cand = base.select(col("query_id"), col("doc_id"),
+      col("score_micro"))
+    val qT = queryTerms(queries, qidCol, qtextCol)
+    val pos = docs.select(col(idCol).as("doc_id"),
+        posexplode(TF.tokens(col(textCol))))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
+        col("col").as("tok"))
+      .join(broadcast(cand.select("doc_id").distinct()), Seq("doc_id"),
+        "left_semi")
+    val m = pos
+      .join(broadcast(cand.select("query_id", "doc_id")), Seq("doc_id"))
+      .join(broadcast(qT), Seq("query_id", "tok"))
+    val a = m.select(col("query_id"), col("doc_id"),
+      col("pos").as("pa"), col("tok").as("ta"))
+    val b = m.select(col("query_id"), col("doc_id"),
+      col("pos").as("pb"), col("tok").as("tb"))
+    val minDist = a.join(b, Seq("query_id", "doc_id"))
+      .filter(col("ta") =!= col("tb"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(min(abs(col("pa") - col("pb"))).as("min_pair_dist"))
+    cand.join(minDist, Seq("query_id", "doc_id"), "left")
+      .withColumn("prox_micro",
+        when(col("min_pair_dist").isNull, lit(0L))
+          .otherwise(expr(s"1000000 div (min_pair_dist + $k0)")))
+      .withColumn("combined_micro",
+        col("score_micro") + col("prox_micro"))
+      .withColumn("rank", row_number().over(Window
+          .partitionBy(col("query_id"))
+          .orderBy(col("combined_micro").desc, col("doc_id")))
+        .cast("long"))
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        coalesce(col("min_pair_dist"), lit(0L)).as("min_pair_dist"),
+        col("prox_micro"), col("score_micro"), col("combined_micro"))
+  }
+
   /** Snippet extraction for a ranked result set — the display stage
     * of a search stack: for each retrieved (query, doc) pair, the
     * `windowTokens`-token window of the document holding the MOST
@@ -514,6 +572,57 @@ object Retrieval {
         col("n_matched"),
         concat_ws(" ", slice(col("toks"), col("start_pos"),
           lit(windowTokens))).as("snippet"))
+  }
+
+  /** Spell suggestion over the corpus vocabulary — the query-repair
+    * stage of a search stack ("did you mean"): each probe string gets
+    * the closest vocabulary token by exact Levenshtein distance
+    * (Spark's and DuckDB's built-ins implement the same unit-cost
+    * edit distance, so the oracle replays it), candidates generated
+    * through a character-bigram inverted index so no probe ever scans
+    * the whole vocabulary. Ties break on (distance, candidate);
+    * probes that ARE vocabulary tokens still get their nearest
+    * non-identical neighbor (distance 0 is excluded).
+    *
+    * Scale shape: the bigram index is VOCABULARY-sized (not corpus),
+    * built from one token-count shuffle; probes explode to bigrams
+    * and equi-join it on 2-char keys; the edit-distance verify runs
+    * only on candidates sharing a bigram. At web-scale vocabularies
+    * the hottest bigrams would get a frequency cap exactly like the
+    * shingle index's stopword cap — same prefilter-never-drops
+    * argument, since a ≤2-edit neighbor of a ≥4-char token always
+    * shares at least one uncapped bigram in realistic distributions.
+    */
+  def spellSuggest(docs: DataFrame, idCol: String, textCol: String,
+      probes: DataFrame, probeCol: String, minCount: Long,
+      maxDist: Int): DataFrame = {
+    require(maxDist > 0, "maxDist must be positive")
+    def bigrams(c: Column) = array_distinct(transform(
+      sequence(lit(1), length(c) - 1), i => c.substr(i, lit(2))))
+    val vocab = docs.select(explode(TF.tokens(col(textCol))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount && length(col("tok")) >= 3)
+    // two projection stages: exploding a bigram array derived from a
+    // same-select alias trips LateralColumnAliasReference resolution
+    val inv = vocab.select(col("tok").as("cand"))
+      .withColumn("bg", explode(bigrams(col("cand"))))
+    val pb = probes.select(col(probeCol).as("probe"))
+      .withColumn("bg", explode(bigrams(col("probe"))))
+    val cands = pb.join(inv, Seq("bg"))
+      .select("probe", "cand").distinct()
+    val scored = cands
+      .withColumn("dist",
+        levenshtein(col("probe"), col("cand")).cast("long"))
+      .filter(col("dist") <= maxDist && col("dist") > 0)
+    scored
+      .withColumn("n_cands",
+        count(lit(1)).over(Window.partitionBy(col("probe"))))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("probe"))
+          .orderBy(col("dist"), col("cand"))))
+      .filter(col("rn") === 1)
+      .select(col("probe"), col("cand").as("suggestion"), col("dist"),
+        col("n_cands"))
   }
 
   /** Distinct token k-gram hash postings `(gdoc, g)` — the static

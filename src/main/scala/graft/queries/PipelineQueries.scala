@@ -1961,6 +1961,44 @@ object PipelineQueries {
       "query_id", "qtext", topDocs = 3, windowTokens = 8)
   }
 
+  /** Proximity-boosted retrieval (p134): the p112 BM25 top-10
+    * re-ranked with the pairwise term-proximity factor
+    * ([[Retrieval.proximityRerank]]) — `10⁶ div (minPairDist + 4)`
+    * for the closest pair of DISTINCT matched query terms, added to
+    * the bm25 score; adjacent phrase-like occurrences float to the
+    * top without requiring a verbatim phrase (the soft sibling of
+    * p131's exact-phrase boost). The oracle replays the positional
+    * pair scan and the integer combination.
+    */
+  def p134Proximity(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val queries = docs.filter(col("doc_id") % 40 === 0)
+      .select(col("doc_id").as("query_id"),
+        concat_ws(" ", slice(TF.tokens(col("text")), 1, 4)).as("qtext"))
+    Retrieval.proximityRerank(docs, "doc_id", "text", queries,
+      "query_id", "qtext", k = 10, k0 = 4)
+  }
+
+  /** Spell suggestion (p135): deterministic misspellings (second
+    * character deleted from every 5th-by-hash frequent token) repaired
+    * against the corpus vocabulary by exact Levenshtein over
+    * char-bigram-index candidates ([[Retrieval.spellSuggest]]) — the
+    * "did you mean" stage. The oracle rebuilds the probes, the bigram
+    * index, and the tie-broken argmin with its own levenshtein.
+    */
+  def p135SpellSuggest(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val probes = docs.select(explode(TF.tokens(col("text"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 20 && length(col("tok")) >= 4 &&
+        TF.hash60(col("tok")) % 5 === 0)
+      .select(concat(substring(col("tok"), 1, 1),
+        expr("substring(tok, 3)")).as("probe"))
+      .distinct()
+    Retrieval.spellSuggest(docs, "doc_id", "text", probes, "probe",
+      minCount = 5, maxDist = 2)
+  }
+
   /** Fielded BM25F retrieval (p132): the p112 queries ranked with the
     * simple-BM25F weighted-field index ([[Retrieval.bm25fIndex]]) —
     * title = the first 8 tokens at weight 3, body = the rest at
@@ -2681,6 +2719,8 @@ object PipelineQueries {
     "p131_phrase_rerank" -> p131PhraseRerank _,
     "p132_bm25f" -> p132Bm25f _,
     "p133_snippets" -> p133Snippets _,
+    "p134_proximity" -> p134Proximity _,
+    "p135_spell" -> p135SpellSuggest _,
     "p50_temp_mix" -> p50TempMix _,
     "p51_hard_negatives" -> p51HardNegatives _,
     "p52_ivf_trained" -> p52IvfTrained _,
@@ -4580,6 +4620,88 @@ object PipelineQueries {
            |UNION ALL
            |${oScorecardRow("rfr", "rrf")}""".stripMargin) +
       ("p132_bm25f" -> oBm25f) +
+      ("p135_spell" ->
+        s"""WITH vt AS (
+           |  SELECT tok, COUNT(*) AS cnt
+           |  FROM (SELECT unnest($oToks) AS tok FROM documents)
+           |  GROUP BY tok),
+           |vocab AS (SELECT tok FROM vt
+           |          WHERE cnt >= 5 AND length(tok) >= 3),
+           |probes AS (
+           |  SELECT DISTINCT substr(tok, 1, 1) || substr(tok, 3)
+           |    AS probe
+           |  FROM vt WHERE cnt >= 20 AND length(tok) >= 4
+           |    AND ${oHash("tok")} % 5 = 0),
+           |vb AS (
+           |  SELECT tok AS cand,
+           |    unnest(list_distinct(list_transform(
+           |      generate_series(1, length(tok) - 1),
+           |      i -> substr(tok, i, 2)))) AS bg
+           |  FROM vocab),
+           |pb AS (
+           |  SELECT probe,
+           |    unnest(list_distinct(list_transform(
+           |      generate_series(1, length(probe) - 1),
+           |      i -> substr(probe, i, 2)))) AS bg
+           |  FROM probes),
+           |cnd AS (SELECT DISTINCT probe, cand
+           |        FROM pb JOIN vb ON pb.bg = vb.bg),
+           |scd AS (
+           |  SELECT probe, cand,
+           |    CAST(levenshtein(probe, cand) AS BIGINT) AS dist
+           |  FROM cnd
+           |  WHERE levenshtein(probe, cand) <= 2
+           |    AND levenshtein(probe, cand) > 0),
+           |fin AS (
+           |  SELECT probe, cand, dist,
+           |    COUNT(*) OVER (PARTITION BY probe) AS n_cands,
+           |    ROW_NUMBER() OVER (PARTITION BY probe
+           |      ORDER BY dist, cand) AS rn
+           |  FROM scd)
+           |SELECT probe, cand AS suggestion, dist,
+           |  CAST(n_cands AS BIGINT) AS n_cands
+           |FROM fin WHERE rn = 1""".stripMargin) +
+      ("p134_proximity" ->
+        s"""${oBm25Ctes(k1 = 1.2, b = 0.75, everyNth = 40, qTerms = 4)},
+           |xcand AS (SELECT query_id, doc_id, score_micro FROM rk
+           |          WHERE rank <= 10),
+           |xpos AS (
+           |  SELECT b.doc_id, b.i AS pos, b.toks[b.i] AS tok
+           |  FROM (SELECT doc_id, toks,
+           |          unnest(generate_series(1, len(toks))) AS i
+           |        FROM base) b
+           |  JOIN (SELECT DISTINCT doc_id FROM xcand) cd
+           |    ON b.doc_id = cd.doc_id),
+           |xm AS (
+           |  SELECT c.query_id, c.doc_id, p.pos, p.tok
+           |  FROM xcand c
+           |  JOIN xpos p ON p.doc_id = c.doc_id
+           |  JOIN qt q ON q.query_id = c.query_id AND q.tok = p.tok),
+           |xd AS (
+           |  SELECT a.query_id, a.doc_id,
+           |    MIN(ABS(a.pos - b.pos)) AS min_pair_dist
+           |  FROM xm a JOIN xm b ON a.query_id = b.query_id
+           |    AND a.doc_id = b.doc_id AND a.tok != b.tok
+           |  GROUP BY a.query_id, a.doc_id),
+           |xf AS (
+           |  SELECT c.query_id, c.doc_id, c.score_micro,
+           |    CAST(COALESCE(d.min_pair_dist, 0) AS BIGINT)
+           |      AS min_pair_dist,
+           |    CAST(CASE WHEN d.min_pair_dist IS NULL THEN 0
+           |         ELSE 1000000 // (d.min_pair_dist + 4) END
+           |      AS BIGINT) AS prox_micro
+           |  FROM xcand c LEFT JOIN xd d
+           |    ON c.query_id = d.query_id AND c.doc_id = d.doc_id),
+           |xr AS (
+           |  SELECT xf.*,
+           |    score_micro + prox_micro AS combined_micro,
+           |    ROW_NUMBER() OVER (PARTITION BY query_id
+           |      ORDER BY score_micro + prox_micro DESC, doc_id)
+           |      AS rank
+           |  FROM xf)
+           |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id,
+           |  min_pair_dist, prox_micro, score_micro, combined_micro
+           |FROM xr""".stripMargin) +
       ("p133_snippets" ->
         s"""${oBm25Ctes(k1 = 1.2, b = 0.75, everyNth = 40, qTerms = 4)},
            |scand AS (SELECT query_id, doc_id FROM rk WHERE rank <= 3),

@@ -355,6 +355,41 @@ class RetrievalSpec extends SparkSpec {
     assert(out == Seq(1L, 2L), out.toString)
   }
 
+  test("proximity: adjacent terms outrank the same terms far apart") {
+    // identical term sets and counts — only positions differ, so the
+    // bm25 scores tie and the proximity boost decides
+    val docs = Seq(
+      (1L, "alpha pad pad pad pad pad pad pad pad pad beta pad"),
+      (2L, "pad pad pad pad alpha beta pad pad pad pad pad pad"),
+      (3L, "nothing shared here pad pad pad pad pad pad pad pad pad"))
+      .toDF("doc_id", "text")
+    val qs = Seq((7L, "alpha beta")).toDF("qid", "qtext")
+    val out = Retrieval.proximityRerank(docs, "doc_id", "text", qs,
+        "qid", "qtext", k = 10, k0 = 4)
+      .orderBy("rank")
+      .select("doc_id", "min_pair_dist", "prox_micro")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out.map(_._1) == Seq(2L, 1L), out.toString)
+    assert(out == Seq((2L, 1L, 200000L), (1L, 10L, 71428L)),
+      out.toString)
+  }
+
+  test("spell suggest: nearest vocab token wins, identity excluded") {
+    val docs = Seq(
+      (1L, ("filter " * 6) + ("filler " * 6) + ("join " * 6)),
+      (2L, ("filter " * 6) + ("group " * 6) + ("join " * 6)))
+      .toDF("doc_id", "text")
+    val probes = Seq("fliter", "join").toDF("probe")
+    val out = Retrieval.spellSuggest(docs, "doc_id", "text", probes,
+        "probe", minCount = 5, maxDist = 2)
+      .orderBy("probe")
+      .as[(String, String, Long, Long)].collect().toSeq
+    // "fliter" repairs to "filter" (transposition = 2 edits beats
+    // "filler" at 3); "join" IS in vocab — identity excluded, and no
+    // other token sits within 2 edits, so it yields no row
+    assert(out == Seq(("fliter", "filter", 2L, 1L)), out.toString)
+  }
+
   test("snippets: the densest window wins, ties to the earliest start") {
     val docs = Seq(
       // matches at positions 2,3 (dense) and 9 (lone): window [2..5]
