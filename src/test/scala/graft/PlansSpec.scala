@@ -482,6 +482,21 @@ class PlansSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("proximity pair scan stays inside candidate groups (p134)") {
+    val p = plan(PipelineQueries.p134Proximity(spark, sf0001))
+    // the match self-join keys on (query_id, doc_id) — an equi-join,
+    // never a cross product; candidate prunes broadcast
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("spell suggestion joins the bigram index, never all-pairs (p135)") {
+    val p = plan(PipelineQueries.p135SpellSuggest(spark, sf0001))
+    // probe×vocab contact happens only through the 2-char bigram key
+    assert(!p.contains("CartesianProduct"), p)
+    assert("""\(\d+\) BroadcastNestedLoopJoin""".r.findAllIn(p).size == 0, p)
+  }
+
   test("LR scoring joins the literal trained weights broadcast (p117)") {
     val p = plan(SparkEntry.benchPlans("p117_lr_classifier")(spark, sf0001))
     assert(p.contains("BroadcastHashJoin"), p)
