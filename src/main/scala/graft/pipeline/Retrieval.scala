@@ -574,6 +574,63 @@ object Retrieval {
           lit(windowTokens))).as("snippet"))
   }
 
+  /** Per-query nDCG metric for a ranked frame under the planted
+    * relevance convention: one row per QUERY (not per result) with
+    * the [[dcgMicroTable]] discount of the source doc's rank, or 0 if
+    * it missed the top k — the per-query vector the significance test
+    * consumes. Integer-exact like [[rankingScorecard]].
+    */
+  def perQueryNdcg(ranked: DataFrame, queryIds: DataFrame,
+      topK: Int): DataFrame = {
+    val dcg = dcgMicroTable(topK).reverse
+      .foldLeft(lit(0L): Column) { case (els, (r, v)) =>
+        when(col("rank") === r, lit(v)).otherwise(els) }
+    queryIds.select(col("query_id"))
+      .join(ranked.filter(col("doc_id") === col("query_id"))
+        .select(col("query_id"), dcg.as("m0")), Seq("query_id"), "left")
+      .select(col("query_id"), coalesce(col("m0"), lit(0L)).as("m"))
+  }
+
+  /** Paired sign-flip randomization test (Smucker, Allan & Carterette
+    * 2007 — the recommended significance test for IR metric
+    * differences): given per-query metrics of two systems, the
+    * observed statistic is T = Σ_q (m_a − m_b); each of `nPerms`
+    * permutations flips the sign of each query's difference by an
+    * independent coin and the p-value is the fraction of permutations
+    * with |T_i| ≥ |T| (two-sided). The coins are the engine's
+    * portable-hash draws — `hash60(salt ‖ perm ‖ query) % 2` — so the
+    * whole test is deterministic and the oracle replays every
+    * permutation exactly; all sums are int64 micro.
+    *
+    * Scale shape: the permutation table is an in-plan explode of the
+    * per-query differences (|Q|·nPerms rows of three integers), one
+    * perm-keyed partial-aggregated shuffle, and single-row
+    * broadcasts — no driver loop, no RNG state.
+    */
+  def pairedSignificance(perQuery: DataFrame, method: String,
+      nPerms: Int, salt: String): DataFrame = {
+    require(nPerms > 0, "nPerms must be positive")
+    val d = perQuery.select(col("query_id"),
+      (col("m_a") - col("m_b")).as("d"))
+    val obs = d.agg(sum(col("d")).as("t_obs"))
+    val perms = d
+      .select(col("query_id"), col("d"),
+        explode(sequence(lit(1), lit(nPerms))).as("perm"))
+      .withColumn("sd", when(
+        TF.hash60(concat(lit(salt), col("perm").cast("string"),
+          lit("_"), col("query_id").cast("string"))) % 2 === 0,
+        -col("d")).otherwise(col("d")))
+      .groupBy(col("perm")).agg(sum(col("sd")).as("t"))
+    perms.crossJoin(broadcast(obs))
+      .agg(count(lit(1)).as("n_perms"),
+        sum(when(abs(col("t")) >= abs(col("t_obs")), 1L)
+          .otherwise(0L)).as("n_ge"))
+      .crossJoin(broadcast(obs))
+      .select(lit(method).as("method"),
+        col("t_obs").as("t_obs_micro"), col("n_perms"), col("n_ge"),
+        expr("(n_ge * 1000000) div n_perms").as("p_micro"))
+  }
+
   /** Spell suggestion over the corpus vocabulary — the query-repair
     * stage of a search stack ("did you mean"): each probe string gets
     * the closest vocabulary token by exact Levenshtein distance

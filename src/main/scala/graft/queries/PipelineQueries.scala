@@ -1900,16 +1900,20 @@ object PipelineQueries {
     * arithmetic (nDCG discounts are driver-computed literals shared
     * with the Spark plan).
     */
-  def p130RetrievalScorecard(s: SparkSession, dir: String): DataFrame = {
-    // ONE index build and ONE candidate-hit materialization feed the
-    // bm25, ql, prf, and rrf-sparse rows (naively composing the five
-    // standalone queries rebuilds the same index four times and the
-    // bm25 ranking twice — this was the slowest bench query before
-    // the sharing). Only bm25f (weighted index) and prf pass 2
-    // (expanded terms) need further corpus passes; prf pass 1 at
-    // fbDocs=3 is exactly a rank-filter of the shared bm25 top-10.
-    // Row values are IDENTICAL to the standalone queries' — same
-    // arithmetic, fewer rebuilds.
+  /** All five production rankings over the standard prefix-query
+    * batch, built with ONE index and ONE candidate-hit
+    * materialization (naively composing the five standalone queries
+    * rebuilds the same index four times and the bm25 ranking twice —
+    * that made p130 the slowest bench query before the sharing).
+    * Only bm25f (weighted index) and prf pass 2 (expanded terms) need
+    * further corpus passes; prf pass 1 at fbDocs=3 is exactly a
+    * rank-filter of the shared bm25 top-10. Values are IDENTICAL to
+    * the standalone p112/p132/p129/p120/p119 queries' — same
+    * arithmetic, fewer rebuilds. Shared by the p130 scorecard and the
+    * p136 significance test.
+    */
+  private def sharedRankings(s: SparkSession,
+      dir: String): Seq[(String, DataFrame)] = {
     val docs = t(s, dir, "documents")
     val queries = docs.filter(col("doc_id") % 40 === 0)
       .select(col("doc_id").as("query_id"),
@@ -1937,9 +1941,35 @@ object PipelineQueries {
       k0 = 60, topK = 10)
     Seq("bm25" -> bm, "bm25f" -> p132Bm25f(s, dir), "ql" -> ql,
       "prf" -> prf, "rrf" -> rrf)
+  }
+
+  def p130RetrievalScorecard(s: SparkSession, dir: String): DataFrame =
+    sharedRankings(s, dir)
       .map { case (m, df) =>
         Retrieval.rankingScorecard(df, m, topK = 10) }
       .reduce(_.unionByName(_))
+
+  /** Ranking significance (p136): the paired sign-flip randomization
+    * test ([[Retrieval.pairedSignificance]], 200 portable-hash
+    * permutations) of bm25f — the p130 card's best ranker — against
+    * each of bm25/ql/prf/rrf on per-query nDCG@10. The card that says
+    * whether the fielded upgrade's win is statistically real or a
+    * 13-query accident; every permutation replays in the oracle. One
+    * row per comparison.
+    */
+  def p136Significance(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val qIds = docs.filter(col("doc_id") % 40 === 0)
+      .select(col("doc_id").as("query_id"))
+    val ranked = sharedRankings(s, dir).toMap
+    val base = Retrieval.perQueryNdcg(ranked("bm25f"), qIds, topK = 10)
+      .select(col("query_id"), col("m").as("m_a"))
+    Seq("bm25", "ql", "prf", "rrf").map { meth =>
+      val other = Retrieval.perQueryNdcg(ranked(meth), qIds, topK = 10)
+        .select(col("query_id"), col("m").as("m_b"))
+      Retrieval.pairedSignificance(base.join(other, Seq("query_id")),
+        s"bm25f_vs_$meth", nPerms = 200, salt = "sig")
+    }.reduce(_.unionByName(_))
   }
 
   /** Search snippets (p133): for each query's BM25 top-3 documents,
@@ -2721,6 +2751,7 @@ object PipelineQueries {
     "p133_snippets" -> p133Snippets _,
     "p134_proximity" -> p134Proximity _,
     "p135_spell" -> p135SpellSuggest _,
+    "p136_significance" -> p136Significance _,
     "p50_temp_mix" -> p50TempMix _,
     "p51_hard_negatives" -> p51HardNegatives _,
     "p52_ivf_trained" -> p52IvfTrained _,
@@ -4620,6 +4651,27 @@ object PipelineQueries {
            |UNION ALL
            |${oScorecardRow("rfr", "rrf")}""".stripMargin) +
       ("p132_bm25f" -> oBm25f) +
+      ("p136_significance" ->
+        s"""WITH qids AS (SELECT doc_id AS query_id FROM documents
+           |  WHERE doc_id % 40 = 0),
+           |rbm AS (SELECT * FROM (${oBm25(k1 = 1.2, b = 0.75,
+              everyNth = 40, qTerms = 4, topK = 10)})),
+           |rbf AS (SELECT * FROM ($oBm25f)),
+           |rql AS (SELECT * FROM ($oQlTopK)),
+           |rpf AS (SELECT * FROM ($oPrf)),
+           |rrfx AS (SELECT * FROM ($oRrf)),
+           |${oSigMetric("rbf", "xf")},
+           |${oSigMetric("rbm", "xb")},
+           |${oSigMetric("rql", "xq")},
+           |${oSigMetric("rpf", "xp")},
+           |${oSigMetric("rrfx", "xr")},
+           |${oSigBlock("bm25f_vs_bm25", "xb")},
+           |${oSigBlock("bm25f_vs_ql", "xq")},
+           |${oSigBlock("bm25f_vs_prf", "xp")},
+           |${oSigBlock("bm25f_vs_rrf", "xr")}
+           |SELECT * FROM sxb UNION ALL SELECT * FROM sxq
+           |UNION ALL SELECT * FROM sxp
+           |UNION ALL SELECT * FROM sxr""".stripMargin) +
       ("p135_spell" ->
         s"""WITH vt AS (
            |  SELECT tok, COUNT(*) AS cnt
@@ -4967,6 +5019,51 @@ object PipelineQueries {
        |FROM frk WHERE rank <= 10""".stripMargin
   }
 
+  /** The shared nDCG discount CASE over an in-scope `rank` — the
+    * [[Retrieval.dcgMicroTable]] literals, identical to the ones the
+    * Spark plans fold in.
+    */
+  private def oDcgCase: String = graft.pipeline.Retrieval
+    .dcgMicroTable(10)
+    .map { case (r, v) => s"WHEN $r THEN $v" }.mkString(" ")
+
+  /** Per-query nDCG metric CTE `m$sfx(query_id, m)` over a ranked
+    * relation (p136) — planted relevance, 0 for misses.
+    */
+  private def oSigMetric(rel: String, sfx: String): String =
+    s"""m$sfx AS (
+       |  SELECT q.query_id, CAST(COALESCE(h.m0, 0) AS BIGINT) AS m
+       |  FROM qids q LEFT JOIN (
+       |    SELECT query_id, CASE rank $oDcgCase ELSE 0 END AS m0
+       |    FROM $rel WHERE doc_id = query_id) h
+       |    ON q.query_id = h.query_id)""".stripMargin
+
+  /** One sign-flip test block (p136): diffs of `mxf` (the bm25f base)
+    * vs `m$sfx`, 200 hash-drawn permutations, two-sided p — ending at
+    * `s$sfx(method, t_obs_micro, n_perms, n_ge, p_micro)`.
+    */
+  private def oSigBlock(label: String, sfx: String): String = {
+    val coin = oHash(
+      "'sig' || CAST(perm AS VARCHAR) || '_' || CAST(query_id AS VARCHAR)")
+    s"""d$sfx AS (SELECT a.query_id, a.m - b.m AS d
+       |  FROM mxf a JOIN m$sfx b ON a.query_id = b.query_id),
+       |p$sfx AS (
+       |  SELECT perm, CAST(SUM(CASE WHEN $coin % 2 = 0
+       |      THEN -d ELSE d END) AS BIGINT) AS t
+       |  FROM d$sfx, (SELECT unnest(generate_series(1, 200)) AS perm)
+       |  GROUP BY perm),
+       |o$sfx AS (SELECT CAST(SUM(d) AS BIGINT) AS t_obs FROM d$sfx),
+       |s$sfx AS (
+       |  SELECT '$label' AS method, o.t_obs AS t_obs_micro,
+       |    CAST(COUNT(*) AS BIGINT) AS n_perms,
+       |    CAST(SUM(CASE WHEN ABS(t) >= ABS(o.t_obs)
+       |        THEN 1 ELSE 0 END) AS BIGINT) AS n_ge,
+       |    CAST((SUM(CASE WHEN ABS(t) >= ABS(o.t_obs)
+       |        THEN 1 ELSE 0 END) * 1000000) // COUNT(*) AS BIGINT)
+       |      AS p_micro
+       |  FROM p$sfx, o$sfx o GROUP BY o.t_obs)""".stripMargin
+  }
+
   /** One p130 scorecard row over a ranked relation `rel(query_id,
     * rank, doc_id, ...)`: planted relevance (doc_id = query_id),
     * exact-integer MRR and nDCG@10 — the discount literals come from
@@ -4974,8 +5071,7 @@ object PipelineQueries {
     * the Spark plan folds in, so no cross-engine libm floor risk.
     */
   private def oScorecardRow(rel: String, method: String): String = {
-    val dcgCase = graft.pipeline.Retrieval.dcgMicroTable(10)
-      .map { case (r, v) => s"WHEN $r THEN $v" }.mkString(" ")
+    val dcgCase = oDcgCase
     s"""SELECT '$method' AS method,
        |  CAST(COUNT(DISTINCT query_id) AS BIGINT) AS n_queries,
        |  CAST(SUM(CASE WHEN doc_id = query_id THEN 1 ELSE 0 END)

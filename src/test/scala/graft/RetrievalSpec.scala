@@ -428,6 +428,24 @@ class RetrievalSpec extends SparkSpec {
       .forall(p => p(0) > p(1)))
   }
 
+  test("sign-flip test: identical systems p = 1, a uniform sweep is extreme") {
+    val same = Seq((1L, 10L, 10L), (2L, 5L, 5L), (3L, 0L, 0L))
+      .toDF("query_id", "m_a", "m_b")
+    val r1 = Retrieval.pairedSignificance(same, "same", nPerms = 100,
+        salt = "s")
+      .as[(String, Long, Long, Long, Long)].collect().head
+    // every difference is 0 → every permutation ties the observed 0
+    assert(r1 == (("same", 0L, 100L, 100L, 1000000L)), r1.toString)
+    // 12 uniform wins: |T_i| >= |T| only when all 12 coins agree —
+    // probability 2/2^12, so the p-value must be far below 5%
+    val win = (1L to 12L).map(q => (q, 1000000L, 0L))
+      .toDF("query_id", "m_a", "m_b")
+    val r2 = Retrieval.pairedSignificance(win, "win", nPerms = 200,
+        salt = "s")
+      .as[(String, Long, Long, Long, Long)].collect().head
+    assert(r2._2 == 12000000L && r2._5 < 50000L, r2.toString)
+  }
+
   test("LR training leaves no cache entries and is deterministic") {
     val docs = graft.core.Tables.read(spark, sf0001, "documents")
     def run() = Curation.logisticRegression(docs, "doc_id", "text",
