@@ -162,6 +162,7 @@ object Cli {
         |  proximity-search <dir> <outDir>               BM25 + pairwise term-proximity boost
         |  spell-suggest <dir> <outDir>                  vocabulary "did you mean" (bigram-index Levenshtein)
         |  ranking-significance <dir> <outDir>           paired sign-flip test of bm25f vs each ranker
+        |  wordpiece-encode <dir> <outDir>               train WordPiece then tokenize the corpus
         |  retrieval-scorecard <dir> <outDir>            nDCG@10/MRR/hits of all five rankers
         |  classifier-auc <dir> <outDir>                 exact Mann-Whitney ROC-AUC of the NB scorer
         |  ppl-buckets <dir> <outDir>                    CCNet head/middle/tail perplexity terciles
@@ -545,6 +546,8 @@ object Cli {
       write(queries.PipelineQueries.p135SpellSuggest(spark, dir), out)
     case "ranking-significance" :: dir :: out :: Nil =>
       write(queries.PipelineQueries.p136Significance(spark, dir), out)
+    case "wordpiece-encode" :: dir :: out :: Nil =>
+      write(queries.PipelineQueries.p137WordpieceEncode(spark, dir), out)
 
     // bloom-prefiltered idempotent ingest: the zero-shuffle scale path
     // of ingest-dedup. The sketch is sized from input FILE BYTES, not a

@@ -183,6 +183,18 @@ object Bpe {
     */
   def trainWordPiece(docs: DataFrame, textCol: String,
       nMerges: Int): DataFrame = {
+    val (merges, vocab) = trainWordPieceWithVocab(docs, textCol, nMerges)
+    releaseVocab(vocab)
+    merges
+  }
+
+  /** [[trainWordPiece]] that ALSO hands out the final per-word
+    * segmentation table — the encode-side dictionary, exactly as
+    * [[trainWithVocab]] does for BPE. The caller owns the returned
+    * vocab's cache block.
+    */
+  def trainWordPieceWithVocab(docs: DataFrame, textCol: String,
+      nMerges: Int): (DataFrame, DataFrame) = {
     require(nMerges > 0, "nMerges must be positive")
     val spark = docs.sparkSession
     var words = wordTable(docs, textCol).localCheckpoint()
@@ -221,9 +233,8 @@ object Bpe {
       }
     }
     if (prev != null) { words.count(); releaseVocab(prev) }
-    releaseVocab(words)
-    spark.createDataFrame(merges.result())
-      .toDF("it", "lhs", "rhs", "pair_count", "score_q12")
+    (spark.createDataFrame(merges.result())
+      .toDF("it", "lhs", "rhs", "pair_count", "score_q12"), words)
   }
 
   /** TOKENIZE with a trained merge table — the other half of the

@@ -175,8 +175,8 @@ object PipelineQueries {
   /** The encode replay: the same CTE chain, final segmentation joined
     * back to every word position of every document.
     */
-  private def oBpeEncode(n: Int): String =
-    s"""${oBpeCtes(n)}
+  private def oBpeEncode(n: Int, wordPiece: Boolean = false): String =
+    s"""${oBpeCtes(n, wordPiece)}
        |SELECT d.doc_id, CAST(d.pos - 1 AS BIGINT) AS pos,
        |  CAST(len(w.syms) AS BIGINT) AS n_tokens,
        |  array_to_string(w.syms, ' ') AS tokens
@@ -1957,6 +1957,21 @@ object PipelineQueries {
     * 13-query accident; every permutation replays in the oracle. One
     * row per comparison.
     */
+  /** WordPiece encode (p137): tokenize the corpus with the p118
+    * WordPiece-trained merge table — completing the train+encode
+    * matrix across all three tokenizer families (BPE p71/p75, unigram
+    * p87/p88, WordPiece p118/p137). Encoding is the same broadcast
+    * dictionary join as BPE's ([[Bpe.encodeWith]]); the oracle replays
+    * the training trajectory with the likelihood-ratio winner and
+    * joins the final segmentation back to every word position.
+    */
+  def p137WordpieceEncode(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val (_, vocab) = Bpe.trainWordPieceWithVocab(docs, "text",
+      nMerges = 100)
+    Bpe.encodeWith(docs, "doc_id", "text", vocab)
+  }
+
   def p136Significance(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     val qIds = docs.filter(col("doc_id") % 40 === 0)
@@ -2752,6 +2767,7 @@ object PipelineQueries {
     "p134_proximity" -> p134Proximity _,
     "p135_spell" -> p135SpellSuggest _,
     "p136_significance" -> p136Significance _,
+    "p137_wordpiece_encode" -> p137WordpieceEncode _,
     "p50_temp_mix" -> p50TempMix _,
     "p51_hard_negatives" -> p51HardNegatives _,
     "p52_ivf_trained" -> p52IvfTrained _,
@@ -6135,6 +6151,7 @@ object PipelineQueries {
          |FROM segs s JOIN owners o USING (h) GROUP BY s.doc_id""".stripMargin,
     "p71_bpe_train" -> oBpeTrain(100),
     "p75_bpe_encode" -> oBpeEncode(100),
+    "p137_wordpiece_encode" -> oBpeEncode(100, wordPiece = true),
     // the plant list in closed form: (2k, 2k+1) share a pattern, and
     // the operator side can only reproduce it by decoding both codecs
     "p77_image_neardup" ->
