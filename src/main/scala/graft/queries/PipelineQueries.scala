@@ -187,6 +187,39 @@ object PipelineQueries {
        |      WHERE length(toks[pos]) > 0) d
        |JOIN w$n w ON w.word = d.word""".stripMargin
 
+  /** p138 replay: exhaustive-pair near-dup edges, out-degrees, and
+    * `iters` MATERIALIZED rounds of the integer PageRank recurrence —
+    * the same `((pr·850000) div 10⁶) div outdeg` share order and
+    * 150000 teleport as [[graft.operators.PageRank]].
+    */
+  private def oPagerank(iters: Int): String = {
+    val rounds = (1 to iters).map { k =>
+      val p = k - 1
+      s"""pr$k AS MATERIALIZED (
+         |  SELECT n.node, CAST(150000 + COALESCE(SUM(s.share), 0)
+         |      AS BIGINT) AS pr
+         |  FROM gn n LEFT JOIN (
+         |    SELECT e.dst, ((p.pr * 850000) // 1000000) // d.outdeg
+         |        AS share
+         |    FROM ge e JOIN gd d ON e.src = d.src
+         |    JOIN pr$p p ON e.src = p.node) s ON s.dst = n.node
+         |  GROUP BY n.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH gp AS MATERIALIZED (SELECT doc_a, doc_b FROM
+       |  (${oJaccardPairs(4, 0.4)})),
+       |ge AS MATERIALIZED (
+       |  SELECT doc_a AS src, doc_b AS dst FROM gp
+       |  UNION SELECT doc_b AS src, doc_a AS dst FROM gp),
+       |gd AS MATERIALIZED (SELECT src, COUNT(*) AS outdeg FROM ge
+       |  GROUP BY src),
+       |gn AS (SELECT doc_id AS node FROM documents),
+       |pr0 AS MATERIALIZED (SELECT node, CAST(1000000 AS BIGINT) AS pr
+       |  FROM gn),
+       |$rounds
+       |SELECT node AS doc_id, pr AS pr_micro FROM pr$iters"""
+      .stripMargin
+  }
+
   /** Exhaustive pair-Jaccard oracle shared by the dedup queries. */
   private def oJaccardPairs(k: Int, threshold: Double): String =
     s"""WITH sh AS (
@@ -1957,6 +1990,28 @@ object PipelineQueries {
     * 13-query accident; every permutation replays in the oracle. One
     * row per comparison.
     */
+  /** Near-dup hub centrality (p138): integer-exact damped PageRank
+    * ([[graft.operators.PageRank]], 8 rounds) over the p04 near-dup
+    * graph (4-gram Jaccard ≥ 0.4, both directions) — high-centrality
+    * documents are template/boilerplate hubs, the triage signal for
+    * survivor choice before a dedup cut; isolated docs hold exactly
+    * the 150000 teleport mass. The oracle replays the exhaustive pair
+    * scan and all 8 materialized rounds of the integer recurrence.
+    */
+  def p138PagerankHubs(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", k = 4,
+        threshold = 0.4, maxShingleFreqFrac = Some(0.1))
+      .select(col("doc_a"), col("doc_b"))
+    val edges = pairs
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs
+        .select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    graft.operators.PageRank.pagerank(edges,
+        docs.select(col("doc_id").as("node")), iters = 8)
+      .select(col("node").as("doc_id"), col("pr").as("pr_micro"))
+  }
+
   /** WordPiece encode (p137): tokenize the corpus with the p118
     * WordPiece-trained merge table — completing the train+encode
     * matrix across all three tokenizer families (BPE p71/p75, unigram
@@ -2768,6 +2823,7 @@ object PipelineQueries {
     "p135_spell" -> p135SpellSuggest _,
     "p136_significance" -> p136Significance _,
     "p137_wordpiece_encode" -> p137WordpieceEncode _,
+    "p138_pagerank_hubs" -> p138PagerankHubs _,
     "p50_temp_mix" -> p50TempMix _,
     "p51_hard_negatives" -> p51HardNegatives _,
     "p52_ivf_trained" -> p52IvfTrained _,
@@ -4667,6 +4723,7 @@ object PipelineQueries {
            |UNION ALL
            |${oScorecardRow("rfr", "rrf")}""".stripMargin) +
       ("p132_bm25f" -> oBm25f) +
+      ("p138_pagerank_hubs" -> oPagerank(8)) +
       ("p136_significance" ->
         s"""WITH qids AS (SELECT doc_id AS query_id FROM documents
            |  WHERE doc_id % 40 = 0),
