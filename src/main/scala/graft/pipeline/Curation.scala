@@ -1852,6 +1852,50 @@ object Curation {
 
   // ------------------------------------------------- entropy signals
 
+  /** Cohen's kappa agreement between two binary classifiers over the
+    * same documents — chance-corrected agreement, the standard check
+    * before swapping one quality filter for another (raw agreement is
+    * inflated when both classifiers mostly say "keep"). One row:
+    * counts, observed/expected agreement, and kappa, ALL exact
+    * integer micro — the divisions use the portable floor dance
+    * (`(x − ((x mod m) + m) mod m) div m`) because kappa's numerator
+    * can be negative and Spark `div` truncates where DuckDB `//`
+    * floors. pe = 1 (both classifiers constant and equal) maps to
+    * kappa = 1 by convention, avoiding the 0/0.
+    *
+    * Scale shape: one id-keyed equi-join of the two prediction
+    * frames and a single partially-aggregated reduction. The n²
+    * expected-agreement product stays in int64 up to n ≈ 3·10⁹ docs;
+    * past that the rates would be pre-scaled — noted, not needed at
+    * any current SF.
+    */
+  def classifierAgreement(a: DataFrame, predA: String, b: DataFrame,
+      predB: String, idCol: String): DataFrame = {
+    def fdiv(x: Column, m: Column): Column =
+      call_function("div", x - pmod(pmod(x, m) + m, m), m)
+    val j = a.select(col(idCol), col(predA).cast("long").as("pa"))
+      .join(b.select(col(idCol), col(predB).cast("long").as("pb")),
+        Seq(idCol))
+    val agg = j.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("pa") === col("pb"), 1L).otherwise(0L)).as("agree"),
+      sum(col("pa")).as("pos_a"),
+      sum(col("pb")).as("pos_b"))
+    val po = fdiv(col("agree") * lit(1000000L), col("n"))
+    val pe = fdiv((col("pos_a") * col("pos_b") +
+        (col("n") - col("pos_a")) * (col("n") - col("pos_b"))) *
+      lit(1000000L), col("n") * col("n"))
+    agg
+      .withColumn("po_micro", po)
+      .withColumn("pe_micro", pe)
+      .select(col("n"), col("agree"), col("pos_a"), col("pos_b"),
+        col("po_micro"), col("pe_micro"),
+        when(col("pe_micro") === 1000000L, lit(1000000L))
+          .otherwise(fdiv(
+            (col("po_micro") - col("pe_micro")) * lit(1000000L),
+            lit(1000000L) - col("pe_micro"))).as("kappa_micro"))
+  }
+
   /** Per-document character- and token-level Shannon entropy — the
     * gibberish/boilerplate signal quality pipelines cut on: natural
     * text sits in a characteristic band; random noise scores high,

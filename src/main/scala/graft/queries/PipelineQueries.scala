@@ -1990,6 +1990,22 @@ object PipelineQueries {
     * 13-query accident; every permutation replays in the oracle. One
     * row per comparison.
     */
+  /** Classifier agreement (p139): Cohen's kappa between the NB (p81)
+    * and LR (p117) quality classifiers over the same corpus
+    * ([[Curation.classifierAgreement]]) — the chance-corrected
+    * swap-safety check, one exact-integer row. The oracle refits BOTH
+    * classifiers and replays the portable floor-division kappa.
+    */
+  def p139ClassifierAgreement(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val nb = Curation.nbClassifier(docs, "doc_id", "text",
+      vocabSize = 500, profile = Curation.GateProfile.wordSalad)
+    val lr = Curation.logisticRegression(docs, "doc_id", "text",
+      buckets = 64, iters = 12, lrDen = 1,
+      profile = Curation.GateProfile.wordSalad)
+    Curation.classifierAgreement(nb, "pred", lr, "pred", "doc_id")
+  }
+
   /** Near-dup hub centrality (p138): integer-exact damped PageRank
     * ([[graft.operators.PageRank]], 8 rounds) over the p04 near-dup
     * graph (4-gram Jaccard ≥ 0.4, both directions) — high-centrality
@@ -2824,6 +2840,7 @@ object PipelineQueries {
     "p136_significance" -> p136Significance _,
     "p137_wordpiece_encode" -> p137WordpieceEncode _,
     "p138_pagerank_hubs" -> p138PagerankHubs _,
+    "p139_classifier_agreement" -> p139ClassifierAgreement _,
     "p50_temp_mix" -> p50TempMix _,
     "p51_hard_negatives" -> p51HardNegatives _,
     "p52_ivf_trained" -> p52IvfTrained _,
@@ -4724,6 +4741,30 @@ object PipelineQueries {
            |${oScorecardRow("rfr", "rrf")}""".stripMargin) +
       ("p132_bm25f" -> oBm25f) +
       ("p138_pagerank_hubs" -> oPagerank(8)) +
+      ("p139_classifier_agreement" -> {
+        def fd(x: String, m: String) =
+          s"(($x) - ((($x) % ($m)) + ($m)) % ($m)) // ($m)"
+        s"""WITH nb AS (${oNbClassifier}),
+           |lr AS (${oLrClassifier(buckets = 64, iters = 12,
+              lrDen = 1)}),
+           |jj AS (SELECT nb.pred AS pa, lr.pred AS pb
+           |       FROM nb JOIN lr ON nb.doc_id = lr.doc_id),
+           |ag AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           |  CAST(SUM(CASE WHEN pa = pb THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS agree,
+           |  CAST(SUM(pa) AS BIGINT) AS pos_a,
+           |  CAST(SUM(pb) AS BIGINT) AS pos_b FROM jj),
+           |r AS (SELECT n, agree, pos_a, pos_b,
+           |  ${fd("agree * 1000000", "n")} AS po_micro,
+           |  ${fd("(pos_a * pos_b + (n - pos_a) * (n - pos_b))" +
+                " * 1000000", "n * n")} AS pe_micro
+           |  FROM ag)
+           |SELECT n, agree, pos_a, pos_b, po_micro, pe_micro,
+           |  CASE WHEN pe_micro = 1000000 THEN 1000000
+           |       ELSE ${fd("(po_micro - pe_micro) * 1000000",
+                "1000000 - pe_micro")} END AS kappa_micro
+           |FROM r""".stripMargin
+      }) +
       ("p136_significance" ->
         s"""WITH qids AS (SELECT doc_id AS query_id FROM documents
            |  WHERE doc_id % 40 = 0),

@@ -446,6 +446,23 @@ class RetrievalSpec extends SparkSpec {
     assert(r2._2 == 12000000L && r2._5 < 50000L, r2.toString)
   }
 
+  test("classifier kappa: perfect, chance, and inverse agreement exact") {
+    def run(pairs: Seq[(Long, Long, Long)]) =
+      Curation.classifierAgreement(
+        pairs.map(p => (p._1, p._2)).toDF("doc_id", "pred"), "pred",
+        pairs.map(p => (p._1, p._3)).toDF("doc_id", "pred"), "pred",
+        "doc_id")
+        .select("kappa_micro").as[Long].collect().head
+    // identical non-constant predictions: kappa = 1 exactly
+    assert(run(Seq((1L, 1L, 1L), (2L, 0L, 0L), (3L, 1L, 1L)))
+      == 1000000L)
+    // both constant-and-equal: pe = 1 → kappa = 1 by convention
+    assert(run(Seq((1L, 1L, 1L), (2L, 1L, 1L))) == 1000000L)
+    // perfect inverse on a balanced pair: kappa = −1 exactly — the
+    // negative branch must FLOOR identically in both engines
+    assert(run(Seq((1L, 1L, 0L), (2L, 0L, 1L))) == -1000000L)
+  }
+
   test("LR training leaves no cache entries and is deterministic") {
     val docs = graft.core.Tables.read(spark, sf0001, "documents")
     def run() = Curation.logisticRegression(docs, "doc_id", "text",
