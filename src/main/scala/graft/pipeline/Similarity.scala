@@ -1466,4 +1466,76 @@ object Similarity {
       .select(col("query_id"), col("cand_id"), col("rank").cast("long"),
         floor(-col("sim") * 1e6).cast("long").as("adist_micro"))
   }
+
+  /** Clustering-quality card (the elbow/validation card a k selection
+    * needs): for each seed modulus in `moduli`, train k-means
+    * ([[kmeansTrain]], `iters` Lloyd rounds), assign every vector to
+    * its trained centroid, and emit ONE exact-integer row —
+    *
+    *  - `inertia_micro`: Σ per-vector cosine distance to the assigned
+    *    centroid, each distance floored to micro BEFORE the sum
+    *    (integer sums are order-insensitive; double sums are not);
+    *  - `silhouette_micro`: mean SIMPLIFIED silhouette (Hruschka et
+    *    al. 2004) — per vector `(b−a)·10⁶ fdiv max(a,b)` with `a` the
+    *    micro distance to its own centroid and `b` the micro distance
+    *    to the nearest OTHER centroid; centroid distances stand in
+    *    for the classic silhouette's O(n²) mean pairwise distances,
+    *    which is exactly what keeps the metric computable at corpus
+    *    scale — then floor-divided once more for the mean;
+    *  - `n_cells`: trained cells actually holding vectors.
+    *
+    * Scale shape: per modulus the train is [[kmeansTrain]]'s
+    * two-shuffle-per-round plan; the final assignment scores
+    * |corpus|·k pairs against BROADCAST centroids and
+    * [[prunePartitionTopK]] keeps only each vector's best + runner-up
+    * cells map-side, so the ranking shuffle moves 2·|corpus| rows,
+    * never the product. The card itself is a scalar aggregate.
+    *
+    * Determinism: assignment ties to the smaller cent_id (the ranking
+    * window's order), distances floor to micro per pair, and both
+    * divisions are the portable floor-division (`a − pmod(a,m)` then
+    * integer `div` — int64-exact), so the oracle reproduces the card
+    * bit-for-bit by replaying the same op order.
+    */
+  def clusterQualityCard(corpus: DataFrame, idCol: String, vecCol: String,
+      moduli: Seq[Int], iters: Int): DataFrame = {
+    def fd(a: Column, m: Column): Column =
+      call_function("div", a - pmod(a, m), m)
+    moduli.map { m =>
+      val means = kmeansTrain(corpus, idCol, vecCol,
+        col(idCol) % m === 0, iters)
+      val cents = broadcast(centroidsFromMeans(means)
+        .select(col("cent_id").as("cand_id"), col("ce"),
+          l2norm(col("ce")).as("cn")))
+      val base = corpus.select(col(idCol).as("query_id"),
+        col(vecCol).as("v"), l2norm(col(vecCol)).as("vn"))
+      val scored = base.crossJoin(cents)
+        .withColumn("sim",
+          cosinePre(dot(col("v"), col("ce")), col("vn"), col("cn")))
+        .select(col("query_id"), col("cand_id"), col("sim"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("sim").desc, col("cand_id").asc)
+      val ranked = prunePartitionTopK(scored, 2)
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 2)
+        .withColumn("d_micro",
+          lit(1000000L) - floor(col("sim") * 1e6).cast("long"))
+      val ab = ranked.groupBy(col("query_id"))
+        .agg(
+          max(when(col("rank") === 1, col("d_micro"))).as("a"),
+          max(when(col("rank") === 1, col("cand_id"))).as("cell"),
+          max(when(col("rank") === 2, col("d_micro"))).as("b"))
+        .withColumn("s_micro",
+          when(greatest(col("a"), col("b")) === 0, lit(0L))
+            .otherwise(fd((col("b") - col("a")) * lit(1000000L),
+              greatest(col("a"), col("b")))))
+      ab.agg(
+          count(lit(1)).as("n_vecs"),
+          countDistinct(col("cell")).as("n_cells"),
+          sum(col("a")).as("inertia_micro"),
+          fd(sum(col("s_micro")), count(lit(1))).as("silhouette_micro"))
+        .select(lit(m.toLong).as("modulus"), col("n_vecs"),
+          col("n_cells"), col("inertia_micro"), col("silhouette_micro"))
+    }.reduce(_.unionByName(_))
+  }
 }

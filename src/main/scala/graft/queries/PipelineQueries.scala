@@ -2028,6 +2028,18 @@ object PipelineQueries {
       .select(col("node").as("doc_id"), col("pr").as("pr_micro"))
   }
 
+  /** Clustering quality (p140): the elbow card — exact-integer
+    * inertia, mean simplified silhouette, and occupied-cell count for
+    * three k-means fits of the embedding corpus at k ≈ n/50, n/25,
+    * n/10 ([[Similarity.clusterQualityCard]], 2 Lloyd rounds each) —
+    * the card a curator reads before committing a semantic-dedup or
+    * domain-clustering k. The oracle refits all three k-means chains
+    * and replays the integer metrics bit-for-bit.
+    */
+  def p140ClusterQuality(s: SparkSession, dir: String): DataFrame =
+    Similarity.clusterQualityCard(t(s, dir, "embeddings"), "vec_id",
+      "embedding", moduli = Seq(50, 25, 10), iters = 2)
+
   /** WordPiece encode (p137): tokenize the corpus with the p118
     * WordPiece-trained merge table — completing the train+encode
     * matrix across all three tokenizer families (BPE p71/p75, unigram
@@ -2841,6 +2853,7 @@ object PipelineQueries {
     "p137_wordpiece_encode" -> p137WordpieceEncode _,
     "p138_pagerank_hubs" -> p138PagerankHubs _,
     "p139_classifier_agreement" -> p139ClassifierAgreement _,
+    "p140_cluster_quality" -> p140ClusterQuality _,
     "p50_temp_mix" -> p50TempMix _,
     "p51_hard_negatives" -> p51HardNegatives _,
     "p52_ivf_trained" -> p52IvfTrained _,
@@ -3111,6 +3124,70 @@ object PipelineQueries {
        |SELECT cent_id, CAST(dim AS BIGINT) AS dim, n, mean_fixed
        |FROM means${iters - 1}""".stripMargin
     sb.toString
+  }
+
+  /** Per-modulus k-means quality replay: the [[oKmeansTrain]] chain
+    * (CTEs suffixed per modulus so all fits share one WITH), final
+    * centroid assignment ranked to best + runner-up cell, per-vector
+    * micro distances, the simplified-silhouette floor-division, then
+    * one card row per modulus — the p140 oracle.
+    */
+  private def oClusterQuality(moduli: Seq[Int], iters: Int): String = {
+    def fd(x: String, m: String) =
+      s"(($x) - ((($x) % ($m)) + ($m)) % ($m)) // ($m)"
+    val blocks = moduli.map { m =>
+      val sb = new StringBuilder(
+        s"""c${m}_cents0 AS (
+           |  SELECT vec_id AS cent_id, embedding AS ce FROM embeddings
+           |  WHERE vec_id % $m = 0)""".stripMargin)
+      for (it <- 0 until iters) {
+        sb ++= s""",
+           |c${m}_assign$it AS (
+           |  SELECT e.vec_id, e.embedding, cent_id,
+           |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+           |      ORDER BY ${oCos("e.embedding", "ce")} DESC, cent_id ASC) AS rn
+           |  FROM embeddings e, c${m}_cents$it),
+           |c${m}_means$it AS (
+           |  SELECT cent_id, i - 1 AS dim, CAST(COUNT(*) AS BIGINT) AS n,
+           |    CAST(FLOOR(SUM(FLOOR(CAST(embedding[i] AS DOUBLE) * 1e6)) / COUNT(*)) AS BIGINT) AS mean_fixed
+           |  FROM (SELECT * FROM c${m}_assign$it WHERE rn = 1)
+           |  CROSS JOIN (SELECT UNNEST(generate_series(1, 64)) AS i) s
+           |  GROUP BY 1, 2),
+           |c${m}_cents${it + 1} AS (
+           |  SELECT cent_id,
+           |    list(CAST(CAST(mean_fixed AS DOUBLE) / 1000000.0 AS FLOAT) ORDER BY dim) AS ce
+           |  FROM c${m}_means$it GROUP BY cent_id)""".stripMargin
+      }
+      sb ++= s""",
+         |c${m}_rank AS (
+         |  SELECT e.vec_id, cent_id,
+         |    1000000 - CAST(FLOOR(${oCos("e.embedding", "ce")} * 1e6) AS BIGINT) AS d,
+         |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${oCos("e.embedding", "ce")} DESC, cent_id ASC) AS rn
+         |  FROM embeddings e, c${m}_cents$iters),
+         |c${m}_ab AS (
+         |  SELECT vec_id,
+         |    MAX(CASE WHEN rn = 1 THEN d END) AS a,
+         |    MAX(CASE WHEN rn = 1 THEN cent_id END) AS cell,
+         |    MAX(CASE WHEN rn = 2 THEN d END) AS b
+         |  FROM c${m}_rank WHERE rn <= 2 GROUP BY vec_id),
+         |c${m}_s AS (
+         |  SELECT vec_id, a, cell,
+         |    CASE WHEN GREATEST(a, b) = 0 THEN 0
+         |         ELSE ${fd("(b - a) * 1000000", "GREATEST(a, b)")} END AS s
+         |  FROM c${m}_ab),
+         |c${m}_card AS (
+         |  SELECT CAST($m AS BIGINT) AS modulus,
+         |    CAST(COUNT(*) AS BIGINT) AS n_vecs,
+         |    CAST(COUNT(DISTINCT cell) AS BIGINT) AS n_cells,
+         |    CAST(SUM(a) AS BIGINT) AS inertia_micro,
+         |    CAST(${fd("CAST(SUM(s) AS BIGINT)", "COUNT(*)")} AS BIGINT) AS silhouette_micro
+         |  FROM c${m}_s)""".stripMargin
+      sb.toString
+    }
+    s"""WITH ${blocks.mkString(",\n")}
+       |${moduli.map(m => s"SELECT * FROM c${m}_card")
+          .mkString("\nUNION ALL\n")}""".stripMargin
   }
 
   /** [[oKmeansTrain]]'s iteration chain, continued into a full IVF
@@ -4741,6 +4818,7 @@ object PipelineQueries {
            |${oScorecardRow("rfr", "rrf")}""".stripMargin) +
       ("p132_bm25f" -> oBm25f) +
       ("p138_pagerank_hubs" -> oPagerank(8)) +
+      ("p140_cluster_quality" -> oClusterQuality(Seq(50, 25, 10), 2)) +
       ("p139_classifier_agreement" -> {
         def fd(x: String, m: String) =
           s"(($x) - ((($x) % ($m)) + ($m)) % ($m)) // ($m)"

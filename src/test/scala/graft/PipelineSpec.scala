@@ -202,6 +202,34 @@ class PipelineSpec extends SparkSpec {
     assert(a0 == (1000000L + math.floor(0.9f.toDouble * 1e6).toLong) / 2)
   }
 
+  test("clusterQualityCard: matched k separates clusters; over-split k scores lower") {
+    // two tight 4-vector clusters on orthogonal axes; modulus 4 seeds
+    // {0, 4} = one centroid per true cluster, modulus 2 seeds
+    // {0, 2, 4, 6} = each true cluster split in two
+    val df = (0L until 8L).map { i =>
+      val base = if (i < 4) Array(1f, 0f, 0f) else Array(0f, 1f, 0f)
+      val eps = 0.01f * (i % 4)
+      (i, Array(base(0) + eps, base(1) + eps, eps))
+    }.toDF("vec_id", "embedding")
+    val card = Similarity.clusterQualityCard(df, "vec_id", "embedding",
+        moduli = Seq(4, 2), iters = 1)
+      .select($"modulus", $"n_vecs", $"n_cells", $"inertia_micro",
+        $"silhouette_micro")
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(card.keySet == Set(4L, 2L))
+    val m4 = card(4L); val m2 = card(2L)
+    assert(m4._2 == 8L && m2._2 == 8L)           // every vector assigned
+    assert(m4._3 == 2L)                          // one cell per true cluster
+    assert(m2._3 == 4L)                          // over-split uses all seeds
+    // the matched k wins on silhouette; more cells can only cut inertia
+    assert(m4._5 > m2._5, s"silhouette m4=${m4._5} m2=${m2._5}")
+    assert(m2._4 <= m4._4, s"inertia m2=${m2._4} m4=${m4._4}")
+    // bounds: silhouette in [-1e6, 1e6], inertia non-negative
+    assert(card.values.forall(r => r._5 >= -1000000L && r._5 <= 1000000L))
+    assert(card.values.forall(_._4 >= 0L))
+  }
+
   test("native minhash/simhash kernels equal the HOF reference forms") {
     val df = Seq("alpha beta gamma delta epsilon zeta", "x", "")
       .toDF("text")
