@@ -220,6 +220,34 @@ object PipelineQueries {
       .stripMargin
   }
 
+  /** Triangle replay over the p138 edge set: exhaustive pairs, the
+    * (degree, id) compact-forward orientation, wedge-close joins, and
+    * the per-node roll-up — the p141 oracle.
+    */
+  private lazy val oTriangles: String =
+    s"""WITH gp AS MATERIALIZED (SELECT doc_a, doc_b FROM
+       |  (${oJaccardPairs(4, 0.4)})),
+       |deg AS MATERIALIZED (SELECT n, CAST(COUNT(*) AS BIGINT) AS d FROM
+       |  (SELECT doc_a AS n FROM gp UNION ALL SELECT doc_b AS n FROM gp)
+       |  GROUP BY n),
+       |o AS MATERIALIZED (
+       |  SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND gp.doc_a < gp.doc_b)
+       |              THEN gp.doc_a ELSE gp.doc_b END AS src,
+       |         CASE WHEN da.d < db.d OR (da.d = db.d AND gp.doc_a < gp.doc_b)
+       |              THEN gp.doc_b ELSE gp.doc_a END AS dst
+       |  FROM gp JOIN deg da ON gp.doc_a = da.n
+       |          JOIN deg db ON gp.doc_b = db.n),
+       |tri AS MATERIALIZED (
+       |  SELECT o1.src AS a, o1.dst AS b, o2.dst AS c
+       |  FROM o o1 JOIN o o2 ON o1.dst = o2.src
+       |  JOIN o o3 ON o3.src = o1.src AND o3.dst = o2.dst),
+       |tc AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS t FROM
+       |  (SELECT a AS n FROM tri UNION ALL SELECT b AS n FROM tri
+       |   UNION ALL SELECT c AS n FROM tri) GROUP BY n)
+       |SELECT deg.n AS doc_id, deg.d AS degree,
+       |  COALESCE(tc.t, CAST(0 AS BIGINT)) AS tri_count
+       |FROM deg LEFT JOIN tc ON deg.n = tc.n""".stripMargin
+
   /** Exhaustive pair-Jaccard oracle shared by the dedup queries. */
   private def oJaccardPairs(k: Int, threshold: Double): String =
     s"""WITH sh AS (
@@ -2028,6 +2056,24 @@ object PipelineQueries {
       .select(col("node").as("doc_id"), col("pr").as("pr_micro"))
   }
 
+  /** Near-dup clique structure (p141): degree-ordered triangle
+    * counting ([[graft.operators.Triangles]]) over the p04/p138
+    * near-dup graph — a high-triangle neighborhood is a mutual-copy
+    * template family (every member resembles every other: safe to
+    * collapse to one survivor), a zero-triangle star is one hub doc
+    * with many unrelated partial overlaps (the shape to review before
+    * a cut). One row per non-isolated doc: (doc_id, degree,
+    * tri_count). The oracle replays the exhaustive pair scan, the
+    * (degree, id) orientation, and the wedge-close joins.
+    */
+  def p141Triangles(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", k = 4,
+      threshold = 0.4, maxShingleFreqFrac = Some(0.1))
+    graft.operators.Triangles.perNode(pairs, "doc_a", "doc_b")
+      .select(col("node").as("doc_id"), col("degree"), col("tri_count"))
+  }
+
   /** Clustering quality (p140): the elbow card — exact-integer
     * inertia, mean simplified silhouette, and occupied-cell count for
     * three k-means fits of the embedding corpus at k ≈ n/50, n/25,
@@ -2854,6 +2900,7 @@ object PipelineQueries {
     "p138_pagerank_hubs" -> p138PagerankHubs _,
     "p139_classifier_agreement" -> p139ClassifierAgreement _,
     "p140_cluster_quality" -> p140ClusterQuality _,
+    "p141_triangles" -> p141Triangles _,
     "p50_temp_mix" -> p50TempMix _,
     "p51_hard_negatives" -> p51HardNegatives _,
     "p52_ivf_trained" -> p52IvfTrained _,
@@ -4819,6 +4866,7 @@ object PipelineQueries {
       ("p132_bm25f" -> oBm25f) +
       ("p138_pagerank_hubs" -> oPagerank(8)) +
       ("p140_cluster_quality" -> oClusterQuality(Seq(50, 25, 10), 2)) +
+      ("p141_triangles" -> oTriangles) +
       ("p139_classifier_agreement" -> {
         def fd(x: String, m: String) =
           s"(($x) - ((($x) % ($m)) + ($m)) % ($m)) // ($m)"

@@ -34,4 +34,50 @@ class PageRankSpec extends SparkSpec {
     assert(spark.sharedState.cacheManager.isEmpty,
       "pagerank left persisted intermediates behind")
   }
+
+  test("triangles: one triangle plus a pendant edge, hand-counted") {
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L))
+      .toDF("doc_a", "doc_b")
+    val out = graft.operators.Triangles.perNode(pairs, "doc_a", "doc_b")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3))
+      .toMap
+    assert(out == Map(1L -> (2L, 1L), 2L -> (2L, 1L), 3L -> (3L, 1L),
+      4L -> (1L, 0L)), out.toString)
+  }
+
+  test("triangles: a 4-clique counts C(3,2)=3 per node, once per triangle") {
+    val nodes = (1L to 4L)
+    val pairs = (for {
+      a <- nodes; b <- nodes if a < b
+    } yield (a, b)).toDF("doc_a", "doc_b")
+    val out = graft.operators.Triangles.perNode(pairs, "doc_a", "doc_b")
+      .as[(Long, Long, Long)].collect()
+    assert(out.forall { case (_, d, t) => d == 3L && t == 3L },
+      out.toSeq.toString)
+  }
+
+  test("triangles match the brute-force closed-wedge count on a pseudo-random graph") {
+    // deterministic pseudo-random graph on 12 nodes: edge {a,b} iff
+    // (a*31 + b*17) % 3 == 0 — dense enough to hold many triangles
+    val nodes = (0L until 12L)
+    val edges = for {
+      a <- nodes; b <- nodes
+      if a < b && (a * 31 + b * 17) % 3 == 0
+    } yield (a, b)
+    val es = edges.toSet
+    def adj(x: Long, y: Long) =
+      es.contains((math.min(x, y), math.max(x, y)))
+    val expect = nodes.map { n =>
+      n -> (for {
+        x <- nodes; y <- nodes
+        if x < y && x != n && y != n && adj(n, x) && adj(n, y) && adj(x, y)
+      } yield 1).size.toLong
+    }.toMap
+    val out = graft.operators.Triangles
+      .perNode(edges.toDF("doc_a", "doc_b"), "doc_a", "doc_b")
+      .as[(Long, Long, Long)].collect()
+    out.foreach { case (n, _, t) =>
+      assert(t == expect(n), s"node $n: got $t want ${expect(n)}")
+    }
+  }
 }
