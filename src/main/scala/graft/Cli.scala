@@ -167,6 +167,7 @@ object Cli {
         |  classifier-agreement <dir> <outDir>           Cohen's kappa between the NB and LR classifiers
         |  cluster-quality <dir> <outDir>                k-means elbow card (inertia + silhouette per k)
         |  dedup-triangles <dir> <outDir>                near-dup graph triangle counts (clique vs star)
+        |  detector-agreement <dir> <outDir>             ARI between the Jaccard and SimHash partitions
         |  retrieval-scorecard <dir> <outDir>            nDCG@10/MRR/hits of all five rankers
         |  classifier-auc <dir> <outDir>                 exact Mann-Whitney ROC-AUC of the NB scorer
         |  ppl-buckets <dir> <outDir>                    CCNet head/middle/tail perplexity terciles
@@ -560,6 +561,8 @@ object Cli {
       write(queries.PipelineQueries.p140ClusterQuality(spark, dir), out)
     case "dedup-triangles" :: dir :: out :: Nil =>
       write(queries.PipelineQueries.p141Triangles(spark, dir), out)
+    case "detector-agreement" :: dir :: out :: Nil =>
+      write(queries.PipelineQueries.p142DetectorAgreement(spark, dir), out)
 
     // bloom-prefiltered idempotent ingest: the zero-shuffle scale path
     // of ingest-dedup. The sketch is sized from input FILE BYTES, not a

@@ -220,6 +220,67 @@ object PipelineQueries {
       .stripMargin
   }
 
+  /** ARI replay for p142: both exhaustive near-dup pair scans (4-gram
+    * Jaccard and SimHash), both recursive min-id closures, singleton
+    * fill-in over the full corpus, and the exact pair-count sums with
+    * the single double division at the end.
+    */
+  private lazy val oDetectorAgreement: String =
+    s"""WITH RECURSIVE sh AS (
+       |  SELECT doc_id, ${oShingles(4)} AS sh
+       |  FROM (SELECT doc_id, $oToks AS toks FROM documents)),
+       |jp AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |  WHERE len(list_intersect(a.sh, b.sh))
+       |      / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE)
+       |      >= 0.4),
+       |je AS (SELECT doc_a AS u, doc_b AS v FROM jp
+       |       UNION SELECT doc_b, doc_a FROM jp),
+       |jreach(u, v) AS (
+       |  SELECT u, u FROM (SELECT DISTINCT u FROM je)
+       |  UNION
+       |  SELECT r.u, e.v FROM jreach r JOIN je e ON r.v = e.u),
+       |ja AS (SELECT u AS doc_id, MIN(v) AS cl FROM jreach GROUP BY u),
+       |sims AS (
+       |  SELECT doc_id, $oSimhash AS sim
+       |  FROM (SELECT doc_id,
+       |          list_transform($oToks, t -> ${oHash("t")}) AS hl
+       |        FROM documents)),
+       |sp AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.sim, b.sim)) <= 2),
+       |se AS (SELECT doc_a AS u, doc_b AS v FROM sp
+       |       UNION SELECT doc_b, doc_a FROM sp),
+       |sreach(u, v) AS (
+       |  SELECT u, u FROM (SELECT DISTINCT u FROM se)
+       |  UNION
+       |  SELECT r.u, e.v FROM sreach r JOIN se e ON r.v = e.u),
+       |sa2 AS (SELECT u AS doc_id, MIN(v) AS cl FROM sreach GROUP BY u),
+       |pa AS (SELECT d.doc_id, COALESCE(ja.cl, d.doc_id) AS ca
+       |       FROM documents d LEFT JOIN ja ON d.doc_id = ja.doc_id),
+       |pb AS (SELECT d.doc_id, COALESCE(sa2.cl, d.doc_id) AS cb
+       |       FROM documents d LEFT JOIN sa2 ON d.doc_id = sa2.doc_id),
+       |cells AS (SELECT ca, cb, CAST(COUNT(*) AS BIGINT) AS nij
+       |          FROM pa JOIN pb ON pa.doc_id = pb.doc_id GROUP BY ca, cb),
+       |t1 AS (SELECT CAST(SUM((nij * (nij - 1)) // 2) AS BIGINT) AS sij,
+       |              CAST(SUM(nij) AS BIGINT) AS n FROM cells),
+       |t2 AS (SELECT CAST(SUM((ai * (ai - 1)) // 2) AS BIGINT) AS sa FROM
+       |  (SELECT CAST(SUM(nij) AS BIGINT) AS ai FROM cells GROUP BY ca)),
+       |t3 AS (SELECT CAST(SUM((bj * (bj - 1)) // 2) AS BIGINT) AS sb FROM
+       |  (SELECT CAST(SUM(nij) AS BIGINT) AS bj FROM cells GROUP BY cb)),
+       |f AS (SELECT n, sij, sa, sb, (n * (n - 1)) // 2 AS cn2
+       |      FROM t1, t2, t3)
+       |SELECT n, sij AS sum_nij_c2, sa AS sum_a_c2, sb AS sum_b_c2,
+       |  CASE WHEN (cn2 * (sa + sb) - 2 * sa * sb) = 0
+       |       THEN CAST(1000000 AS BIGINT)
+       |       ELSE CAST(FLOOR(
+       |         CAST(2 * cn2 * sij - 2 * sa * sb AS DOUBLE)
+       |           / CAST(cn2 * (sa + sb) - 2 * sa * sb AS DOUBLE) * 1e6)
+       |         AS BIGINT) END AS ari_micro
+       |FROM f""".stripMargin
+
   /** Triangle replay over the p138 edge set: exhaustive pairs, the
     * (degree, id) compact-forward orientation, wedge-close joins, and
     * the per-node roll-up — the p141 oracle.
@@ -2056,6 +2117,34 @@ object PipelineQueries {
       .select(col("node").as("doc_id"), col("pr").as("pr_micro"))
   }
 
+  /** Detector agreement (p142): Adjusted Rand Index
+    * ([[graft.operators.RandIndex]]) between the two text near-dup
+    * detectors' dedup partitions — 4-gram-Jaccard connected
+    * components (p37) vs SimHash components (p03 pairs closed the
+    * same way), with every unclustered doc a singleton. The
+    * partition-level answer to "would swapping detectors change the
+    * dedup decisions", chance-corrected; ARI 10⁶ = identical
+    * partitions, 0 = chance. The oracle replays both exhaustive pair
+    * scans, both recursive closures, and the exact pair-count sums.
+    */
+  def p142DetectorAgreement(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val ids = docs.select(col("doc_id"))
+    def partition(pairs: DataFrame): DataFrame = {
+      val cc = graft.operators.ConnectedComponents.components(
+        pairs.select(col("doc_a").as("u"), col("doc_b").as("v")))
+      ids.join(cc, ids("doc_id") === cc("node"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("cluster"))
+    }
+    val pa = partition(Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      k = 4, threshold = 0.4, maxShingleFreqFrac = Some(0.1)))
+    val pb = partition(Dedup.simhashPairs(docs, "doc_id", "text",
+      bits = 64, segments = 4, maxHamming = 2))
+    graft.operators.RandIndex.adjustedRand(pa, "doc_id", "cluster",
+      pb, "doc_id", "cluster")
+  }
+
   /** Near-dup clique structure (p141): degree-ordered triangle
     * counting ([[graft.operators.Triangles]]) over the p04/p138
     * near-dup graph — a high-triangle neighborhood is a mutual-copy
@@ -2901,6 +2990,7 @@ object PipelineQueries {
     "p139_classifier_agreement" -> p139ClassifierAgreement _,
     "p140_cluster_quality" -> p140ClusterQuality _,
     "p141_triangles" -> p141Triangles _,
+    "p142_detector_agreement" -> p142DetectorAgreement _,
     "p50_temp_mix" -> p50TempMix _,
     "p51_hard_negatives" -> p51HardNegatives _,
     "p52_ivf_trained" -> p52IvfTrained _,
@@ -4867,6 +4957,7 @@ object PipelineQueries {
       ("p138_pagerank_hubs" -> oPagerank(8)) +
       ("p140_cluster_quality" -> oClusterQuality(Seq(50, 25, 10), 2)) +
       ("p141_triangles" -> oTriangles) +
+      ("p142_detector_agreement" -> oDetectorAgreement) +
       ("p139_classifier_agreement" -> {
         def fd(x: String, m: String) =
           s"(($x) - ((($x) % ($m)) + ($m)) % ($m)) // ($m)"

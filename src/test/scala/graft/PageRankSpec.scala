@@ -56,6 +56,26 @@ class PageRankSpec extends SparkSpec {
       out.toSeq.toString)
   }
 
+  test("adjustedRand: identical, chance-level, and the classic hand example") {
+    import graft.operators.RandIndex
+    def part(xs: (Long, Long)*) = xs.toDF("id", "cl")
+    def ari(a: org.apache.spark.sql.DataFrame,
+        b: org.apache.spark.sql.DataFrame) =
+      RandIndex.adjustedRand(a, "id", "cl", b, "id", "cl")
+        .select($"ari_micro").as[Long].head()
+    val two = part(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L)
+    assert(ari(two, two) == 1000000L)
+    // all-singletons vs all-singletons: den2 = 0 -> identical by convention
+    val singles = part(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L)
+    assert(ari(singles, singles) == 1000000L)
+    // one big cluster vs all singletons: exactly chance level
+    val one = part(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 0L)
+    assert(ari(one, singles) == 0L)
+    // [0,0,1,1] vs [0,0,1,2]: ARI = 8/14 = 0.571428...
+    val split = part(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 2L)
+    assert(ari(two, split) == 571428L)
+  }
+
   test("triangles match the brute-force closed-wedge count on a pseudo-random graph") {
     // deterministic pseudo-random graph on 12 nodes: edge {a,b} iff
     // (a*31 + b*17) % 3 == 0 — dense enough to hold many triangles
