@@ -1896,6 +1896,71 @@ object Curation {
             lit(1000000L) - col("pe_micro"))).as("kappa_micro"))
   }
 
+  /** Chi-square feature selection for the quality classifier (Manning
+    * et al., IR §13.5): for every token, the 2×2 association between
+    * token PRESENCE and the funnel label over the whole corpus, ranked
+    * by the χ² statistic — the tokens a trimmed-vocabulary classifier
+    * (fastText-style, [[nbClassifier]]/[[logisticRegression]]) should
+    * keep first, and the audit card showing WHICH surface features the
+    * weak labels actually key on.
+    *
+    * Arithmetic: the four contingency cells and both χ² factors are
+    * exact int64 (`d = n11·n00 − n10·n01`,
+    * `den = df·(N−df)·N₊·N₋`); the statistic is then
+    * `N·d²/den` evaluated in double with ONE fixed op order
+    * (`((N·d)·d)/den·10⁶`, all inputs exact integers, no
+    * transcendental — IEEE multiply/divide are bit-specified, so any
+    * engine reproduces the floor). Rank ties break on the token.
+    *
+    * Scale shape: one distinct-presence explode (doc, token), one
+    * token-keyed count shuffle with map-side combine, a broadcast
+    * single-row totals join, and a vocab-sized top-k window — the
+    * p116-PMI shape. At 100 TB the cells stay exact; `d²` leaves
+    * int64-exact double territory past N ≈ 9·10⁷ labeled docs, where
+    * the statistic (not the cells) picks up one-ulp-scale rounding —
+    * still deterministic, since both engines perform the identical
+    * IEEE ops.
+    */
+  def chiSquareFeatures(df: DataFrame, idCol: String, textCol: String,
+      topK: Int, profile: GateProfile = GateProfile.published): DataFrame =
+    chiSquareFromLabels(
+      funnelLabels(df, idCol, textCol, profile = profile),
+      idCol, textCol, "cls", topK)
+
+  /** [[chiSquareFeatures]] over caller-supplied binary labels
+    * (`clsCol` ∈ {0,1}) — the funnel-free core, also the unit-test
+    * seam.
+    */
+  def chiSquareFromLabels(labeledDf: DataFrame, idCol: String,
+      textCol: String, clsCol: String, topK: Int): DataFrame = {
+    val labeled = labeledDf
+      .select(col(idCol).as("id"), col(textCol).as("txt"),
+        col(clsCol).as("cls"))
+    val toks = labeled.select(col("id"), col("cls"),
+      explode(array_distinct(TF.tokens(col("txt")))).as("tok"))
+    val totals = labeled.agg(count(lit(1)).as("n"),
+      sum(col("cls")).as("npos"))
+    val cells = toks.groupBy("tok").agg(
+      sum(col("cls")).as("n11"),
+      sum(lit(1L) - col("cls")).as("n10"))
+    val sc = cells.crossJoin(broadcast(totals))
+      .withColumn("n01", col("npos") - col("n11"))
+      .withColumn("n00", col("n") - col("npos") - col("n10"))
+      .withColumn("d", col("n11") * col("n00") - col("n10") * col("n01"))
+      .withColumn("den",
+        (col("n11") + col("n10")) * (col("n01") + col("n00"))
+          * col("npos") * (col("n") - col("npos")))
+      .withColumn("chi2_micro", when(col("den") === 0, lit(0L))
+        .otherwise(floor(col("n").cast("double") * col("d").cast("double")
+          * col("d").cast("double") / col("den").cast("double") * lit(1e6))
+          .cast("long")))
+    val w = Window.orderBy(col("chi2_micro").desc, col("tok").asc)
+    sc.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("rank").cast("long").as("rank"), col("tok").as("token"),
+        col("n11"), col("n10"), col("chi2_micro"))
+  }
+
   /** Per-document character- and token-level Shannon entropy — the
     * gibberish/boilerplate signal quality pipelines cut on: natural
     * text sits in a characteristic band; random noise scores high,

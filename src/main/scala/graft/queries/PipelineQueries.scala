@@ -220,6 +220,49 @@ object PipelineQueries {
       .stripMargin
   }
 
+  /** χ² feature-selection replay for p143: the funnel-label CTEs (as
+    * [[oNbClassifier]]), distinct token presences, exact int64
+    * contingency cells, and the single fixed-order double ratio.
+    */
+  private lazy val oChiSquare: String =
+    s"""WITH g AS (${oGopherRules(minWords = 20, minStop = 1)}),
+       |c AS (${oC4Lines(minLineWords = 3, requirePunct = false,
+              minSentences = 0)}),
+       |q AS (${oracle0("p09_quality")}),
+       |lab AS (
+       |  SELECT d.doc_id,
+       |    CAST(CASE WHEN q.score >= 0.5 THEN 1 ELSE 0 END
+       |         * g.keep * c.page_keep AS BIGINT) AS cls
+       |  FROM documents d
+       |  JOIN g ON d.doc_id = g.doc_id
+       |  JOIN c ON d.doc_id = c.doc_id
+       |  JOIN q ON d.doc_id = q.doc_id),
+       |pres AS (SELECT DISTINCT doc_id, tok FROM
+       |  (SELECT doc_id, unnest($oToks) AS tok FROM documents)),
+       |lt AS (SELECT p.tok, lab.cls
+       |       FROM pres p JOIN lab ON p.doc_id = lab.doc_id),
+       |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |               CAST(SUM(cls) AS BIGINT) AS npos FROM lab),
+       |cells AS (SELECT tok, CAST(SUM(cls) AS BIGINT) AS n11,
+       |                 CAST(COUNT(*) - SUM(cls) AS BIGINT) AS n10
+       |          FROM lt GROUP BY tok),
+       |sc AS (SELECT tok, n11, n10, npos - n11 AS n01,
+       |              n - npos - n10 AS n00, n, npos FROM cells, tot),
+       |x AS (SELECT tok, n11, n10,
+       |  CASE WHEN ((n11 + n10) * (n01 + n00) * npos * (n - npos)) = 0
+       |       THEN CAST(0 AS BIGINT)
+       |       ELSE CAST(FLOOR(CAST(n AS DOUBLE)
+       |         * CAST(n11 * n00 - n10 * n01 AS DOUBLE)
+       |         * CAST(n11 * n00 - n10 * n01 AS DOUBLE)
+       |         / CAST((n11 + n10) * (n01 + n00) * npos * (n - npos)
+       |                AS DOUBLE) * 1e6) AS BIGINT) END AS chi2_micro
+       |  FROM sc),
+       |r AS (SELECT *, ROW_NUMBER() OVER
+       |        (ORDER BY chi2_micro DESC, tok ASC) AS rank FROM x)
+       |SELECT CAST(rank AS BIGINT) AS rank, tok AS token, n11, n10,
+       |  chi2_micro
+       |FROM r WHERE rank <= 50""".stripMargin
+
   /** ARI replay for p142: both exhaustive near-dup pair scans (4-gram
     * Jaccard and SimHash), both recursive min-id closures, singleton
     * fill-in over the full corpus, and the exact pair-count sums with
@@ -2117,6 +2160,19 @@ object PipelineQueries {
       .select(col("node").as("doc_id"), col("pr").as("pr_micro"))
   }
 
+  /** Feature selection (p143): per-token χ² association between token
+    * presence and the funnel label ([[Curation.chiSquareFeatures]],
+    * wordSalad profile as p81/p117/p139), top-50 — which surface
+    * features the weak labels key on, and the order a trimmed-vocab
+    * classifier should admit tokens in. Pure rational arithmetic (no
+    * libm): cells and both χ² factors exact int64, one fixed-order
+    * IEEE double ratio at the end. The oracle replays the funnel, the
+    * presence counts, and the same op order.
+    */
+  def p143ChiSquare(s: SparkSession, dir: String): DataFrame =
+    Curation.chiSquareFeatures(t(s, dir, "documents"), "doc_id", "text",
+      topK = 50, profile = Curation.GateProfile.wordSalad)
+
   /** Detector agreement (p142): Adjusted Rand Index
     * ([[graft.operators.RandIndex]]) between the two text near-dup
     * detectors' dedup partitions — 4-gram-Jaccard connected
@@ -2991,6 +3047,7 @@ object PipelineQueries {
     "p140_cluster_quality" -> p140ClusterQuality _,
     "p141_triangles" -> p141Triangles _,
     "p142_detector_agreement" -> p142DetectorAgreement _,
+    "p143_chi_square" -> p143ChiSquare _,
     "p50_temp_mix" -> p50TempMix _,
     "p51_hard_negatives" -> p51HardNegatives _,
     "p52_ivf_trained" -> p52IvfTrained _,
@@ -4958,6 +5015,7 @@ object PipelineQueries {
       ("p140_cluster_quality" -> oClusterQuality(Seq(50, 25, 10), 2)) +
       ("p141_triangles" -> oTriangles) +
       ("p142_detector_agreement" -> oDetectorAgreement) +
+      ("p143_chi_square" -> oChiSquare) +
       ("p139_classifier_agreement" -> {
         def fd(x: String, m: String) =
           s"(($x) - ((($x) % ($m)) + ($m)) % ($m)) // ($m)"

@@ -189,4 +189,22 @@ class CurationSpec extends SparkSpec {
     val (_, d3, a3) = out(2)
     assert((if (d3 * 1000000L < 500000L * 1000000L) 1 else 0) == a3)
   }
+
+  test("chiSquareFromLabels matches the 2x2 hand computation, ties break on token") {
+    val labeled = Seq(
+      (1L, "apple banana", 1L), (2L, "apple cherry", 1L),
+      (3L, "banana cherry", 0L), (4L, "cherry date", 0L))
+      .toDF("doc_id", "text", "cls")
+    val out = Curation.chiSquareFromLabels(labeled, "doc_id", "text",
+        "cls", topK = 10)
+      .select("rank", "token", "n11", "n10", "chi2_micro")
+      .as[(Long, String, Long, Long, Long)].collect().sortBy(_._1)
+    // apple: perfect separator, chi2 = N = 4; cherry/date: chi2 = 4/3
+    // (tie -> cherry first alphabetically); banana: independent, chi2 0
+    assert(out.toSeq == Seq(
+      (1L, "apple", 2L, 0L, 4000000L),
+      (2L, "cherry", 1L, 2L, 1333333L),
+      (3L, "date", 0L, 1L, 1333333L),
+      (4L, "banana", 1L, 1L, 0L)), out.toSeq.toString)
+  }
 }
