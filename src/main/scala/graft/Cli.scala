@@ -169,6 +169,7 @@ object Cli {
         |  dedup-triangles <dir> <outDir>                near-dup graph triangle counts (clique vs star)
         |  detector-agreement <dir> <outDir>             ARI between the Jaccard and SimHash partitions
         |  chi-square <dir> <outDir>                     top-50 tokens by label association (feature selection)
+        |  pmi-expansion <dir> <outDir>                  thesaurus-expanded BM25 vs flat, scorecarded
         |  retrieval-scorecard <dir> <outDir>            nDCG@10/MRR/hits of all five rankers
         |  classifier-auc <dir> <outDir>                 exact Mann-Whitney ROC-AUC of the NB scorer
         |  ppl-buckets <dir> <outDir>                    CCNet head/middle/tail perplexity terciles
@@ -566,6 +567,8 @@ object Cli {
       write(queries.PipelineQueries.p142DetectorAgreement(spark, dir), out)
     case "chi-square" :: dir :: out :: Nil =>
       write(queries.PipelineQueries.p143ChiSquare(spark, dir), out)
+    case "pmi-expansion" :: dir :: out :: Nil =>
+      write(queries.PipelineQueries.p144PmiExpansion(spark, dir), out)
 
     // bloom-prefiltered idempotent ingest: the zero-shuffle scale path
     // of ingest-dedup. The sketch is sized from input FILE BYTES, not a

@@ -760,4 +760,56 @@ object Retrieval {
     graft.core.Caching.withCached(hits)(
       rankTopK(bm25ScoresFromHits(index, hits, qTerms, p), k))
   }
+
+  /** PMI query expansion (automatic-thesaurus expansion, Church-Hanks
+    * collocates as the expansion source): each original query term
+    * scores with integer weight 2, and the top-PMI right-collocate of
+    * each query term — drawn from a `collocations` table of
+    * `(tok_a, tok_b, pmi_micro)` rows, e.g.
+    * [[graft.pipeline.Curation.pmiCollocations]]'s top-k — joins the
+    * query with weight 1 (a collocate already in the query keeps
+    * weight 2). Weights multiply AFTER the per-term micro floor, so
+    * scores stay exact int64 and the unexpanded ranking is invariant
+    * under the uniform ×2.
+    *
+    * Scale shape: the collocation table is top-k-sized and broadcast
+    * twice (top-1 window, then the expansion join); everything else
+    * is [[bm25TopK]]'s plan — ONE postings shuffle against the
+    * (slightly wider) query vocabulary, broadcast df, one query-keyed
+    * rank exchange.
+    */
+  def bm25PmiExpandedTopK(docs: DataFrame, idCol: String,
+      textCol: String, queries: DataFrame, qidCol: String,
+      qtextCol: String, collocations: DataFrame, k: Int,
+      p: Bm25Params = Bm25Params()): DataFrame = {
+    require(k > 0, "k must be positive")
+    val index = bm25Index(docs, idCol, textCol)
+    val qT = queryTerms(queries, qidCol, qtextCol)
+    val top1 = collocations
+      .withColumn("r", row_number().over(Window.partitionBy(col("tok_a"))
+        .orderBy(col("pmi_micro").desc, col("tok_b").asc)))
+      .filter(col("r") === 1)
+      .select(col("tok_a"), col("tok_b"))
+    val exp = qT.join(broadcast(top1), qT("tok") === top1("tok_a"))
+      .select(col("query_id"), col("tok_b").as("tok"))
+    val wTerms = qT.select(col("query_id"), col("tok"), lit(2L).as("w"))
+      .unionByName(exp.select(col("query_id"), col("tok"),
+        lit(1L).as("w")))
+      .groupBy("query_id", "tok").agg(max(col("w")).as("w"))
+    val hits = index.postings.join(
+      broadcast(wTerms.select("tok").distinct()), Seq("tok"))
+    graft.core.Caching.withCached(hits) {
+      val df = hits.groupBy("tok").agg(count(lit(1)).as("df"))
+      val scored = hits
+        .join(broadcast(wTerms), Seq("tok"))
+        .join(broadcast(df), Seq("tok"))
+        .join(index.doclen, Seq("doc_id"))
+        .crossJoin(broadcast(index.stats))
+        .withColumn("contrib_micro", contribMicro(p) * col("w"))
+        .groupBy(col("query_id"), col("doc_id"))
+        .agg(count(lit(1)).as("n_terms"),
+          sum(col("contrib_micro")).as("score_micro"))
+      rankTopK(scored, k)
+    }
+  }
 }

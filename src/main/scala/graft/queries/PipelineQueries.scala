@@ -220,6 +220,95 @@ object PipelineQueries {
       .stripMargin
   }
 
+  /** Expanded-BM25 replay for p144: the [[oBm25Ctes]] postings/stat
+    * tables, the p116 PMI chain, the per-term top-1 collocate window
+    * over the top-100 table, MAX-merged integer weights, and the
+    * weighted score — final select is the ranked top-10.
+    */
+  private lazy val oBm25PmiExpanded: String = {
+    val k1 = 1.2; val b = 0.75
+    val avgdl = "(CAST(st.sdl AS DOUBLE) / CAST(st.nd AS DOUBLE))"
+    val idf = "ln(1.0 + (CAST(st.nd AS DOUBLE) - CAST(f.df AS DOUBLE)" +
+      " + 0.5) / (CAST(f.df AS DOUBLE) + 0.5))"
+    val norm = s"(CAST(p.tf AS DOUBLE) * ${k1 + 1}" +
+      s" / (CAST(p.tf AS DOUBLE) + $k1 * (${1 - b}" +
+      s" + $b * (CAST(d.dl AS DOUBLE) / $avgdl))))"
+    s"""WITH base AS (SELECT doc_id, $oToks AS toks FROM documents),
+       |dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM base),
+       |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd,
+       |         CAST(SUM(dl) AS BIGINT) AS sdl FROM dl),
+       |post AS (
+       |  SELECT tok, doc_id, COUNT(*) AS tf
+       |  FROM (SELECT doc_id, unnest(toks) AS tok FROM base)
+       |  GROUP BY tok, doc_id),
+       |qt AS (
+       |  SELECT doc_id AS query_id, toks[i] AS tok
+       |  FROM (SELECT doc_id, toks,
+       |          unnest(generate_series(1, least(len(toks), 4))) AS i
+       |        FROM base WHERE doc_id % 40 = 0)
+       |  GROUP BY 1, 2),
+       |occ AS (
+       |  SELECT toks[i] AS cur,
+       |    CASE WHEN i > 1 THEN toks[i - 1] END AS prev
+       |  FROM (SELECT doc_id, toks,
+       |          unnest(generate_series(1, len(toks))) AS i FROM base)),
+       |uni AS (SELECT cur AS tok, COUNT(*) AS cu FROM occ GROUP BY cur),
+       |tot AS (SELECT SUM(cu) AS t FROM uni),
+       |bg AS (SELECT prev, cur, COUNT(*) AS cxy FROM occ
+       |       WHERE prev IS NOT NULL GROUP BY prev, cur
+       |       HAVING COUNT(*) >= 5),
+       |bt AS (SELECT COUNT(*) AS bt FROM occ WHERE prev IS NOT NULL),
+       |pmisc AS (
+       |  SELECT b.prev AS tok_a, b.cur AS tok_b,
+       |    CAST(FLOOR(ln(
+       |      (CAST(b.cxy AS DOUBLE) / CAST(bt.bt AS DOUBLE))
+       |      / ((CAST(ux.cu AS DOUBLE) / CAST(tot.t AS DOUBLE))
+       |         * (CAST(uy.cu AS DOUBLE) / CAST(tot.t AS DOUBLE))))
+       |      * 1000000.0) AS BIGINT) AS pmi_micro
+       |  FROM bg b JOIN uni ux ON b.prev = ux.tok
+       |  JOIN uni uy ON b.cur = uy.tok CROSS JOIN tot CROSS JOIN bt),
+       |coll AS (
+       |  SELECT tok_a, tok_b, pmi_micro,
+       |    ROW_NUMBER() OVER (ORDER BY pmi_micro DESC, tok_a, tok_b)
+       |      AS rank
+       |  FROM pmisc),
+       |top1 AS (
+       |  SELECT tok_a, tok_b FROM (
+       |    SELECT tok_a, tok_b,
+       |      ROW_NUMBER() OVER (PARTITION BY tok_a
+       |        ORDER BY pmi_micro DESC, tok_b ASC) AS r
+       |    FROM coll WHERE rank <= 100)
+       |  WHERE r = 1),
+       |wq AS (
+       |  SELECT query_id, tok, MAX(w) AS w FROM (
+       |    SELECT query_id, tok, 2 AS w FROM qt
+       |    UNION ALL
+       |    SELECT q.query_id, t.tok_b AS tok, 1 AS w
+       |    FROM qt q JOIN top1 t ON q.tok = t.tok_a)
+       |  GROUP BY query_id, tok),
+       |dfq AS (
+       |  SELECT p.tok, COUNT(*) AS df FROM post p
+       |  WHERE p.tok IN (SELECT DISTINCT tok FROM wq)
+       |  GROUP BY p.tok),
+       |sc AS (
+       |  SELECT q.query_id, p.doc_id, COUNT(*) AS n_terms,
+       |    CAST(SUM(CAST(FLOOR($idf * $norm * 1000000.0) AS BIGINT)
+       |             * q.w) AS BIGINT) AS score_micro
+       |  FROM post p
+       |  JOIN wq q ON p.tok = q.tok
+       |  JOIN dfq f ON p.tok = f.tok
+       |  JOIN dl d ON p.doc_id = d.doc_id
+       |  CROSS JOIN st
+       |  GROUP BY q.query_id, p.doc_id),
+       |rk AS (
+       |  SELECT query_id, doc_id, n_terms, score_micro,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY score_micro DESC, doc_id) AS rank
+       |  FROM sc)
+       |SELECT query_id, doc_id, rank FROM rk WHERE rank <= 10"""
+      .stripMargin
+  }
+
   /** χ² feature-selection replay for p143: the funnel-label CTEs (as
     * [[oNbClassifier]]), distinct token presences, exact int64
     * contingency cells, and the single fixed-order double ratio.
@@ -2160,6 +2249,38 @@ object PipelineQueries {
       .select(col("node").as("doc_id"), col("pr").as("pr_micro"))
   }
 
+  /** PMI query expansion (p144): BM25 with each query term's top-PMI
+    * right-collocate added at half weight
+    * ([[Retrieval.bm25PmiExpandedTopK]], expansion source = the p116
+    * top-100 collocation table), graded beside flat BM25 on the
+    * planted-prefix relevance set — the scorecard answer to "does
+    * automatic thesaurus expansion help or hurt on this corpus". One
+    * row per method. On the synthetic corpus the card shows the
+    * CLASSIC query-drift failure (the reason IR moved from thesaurus
+    * expansion to weighted PRF): min-count-5 PMI favors RARE pairs,
+    * so expansion terms carry far higher idf than the common prefix
+    * terms they ride along with, and documents holding the collocate
+    * leapfrog the source doc (MRR 0.136 → 0 at sf0.01, source docs
+    * landing at ranks 17–216) — a regression in either direction
+    * moves the card, which is the point. The oracle replays the PMI
+    * table, the top-1 collocate window, the weighted score, and both
+    * scorecards.
+    */
+  def p144PmiExpansion(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val queries = docs.filter(col("doc_id") % 40 === 0)
+      .select(col("doc_id").as("query_id"),
+        concat_ws(" ", slice(TF.tokens(col("text")), 1, 4)).as("qtext"))
+    val coll = Curation.pmiCollocations(docs, "doc_id", "text",
+      minCount = 5L, topK = 100)
+    val base = Retrieval.bm25TopK(docs, "doc_id", "text", queries,
+      "query_id", "qtext", k = 10)
+    val expd = Retrieval.bm25PmiExpandedTopK(docs, "doc_id", "text",
+      queries, "query_id", "qtext", coll, k = 10)
+    Retrieval.rankingScorecard(base, "bm25", 10)
+      .unionByName(Retrieval.rankingScorecard(expd, "bm25_pmi", 10))
+  }
+
   /** Feature selection (p143): per-token χ² association between token
     * presence and the funnel label ([[Curation.chiSquareFeatures]],
     * wordSalad profile as p81/p117/p139), top-50 — which surface
@@ -3048,6 +3169,7 @@ object PipelineQueries {
     "p141_triangles" -> p141Triangles _,
     "p142_detector_agreement" -> p142DetectorAgreement _,
     "p143_chi_square" -> p143ChiSquare _,
+    "p144_pmi_expansion" -> p144PmiExpansion _,
     "p50_temp_mix" -> p50TempMix _,
     "p51_hard_negatives" -> p51HardNegatives _,
     "p52_ivf_trained" -> p52IvfTrained _,
@@ -5016,6 +5138,13 @@ object PipelineQueries {
       ("p141_triangles" -> oTriangles) +
       ("p142_detector_agreement" -> oDetectorAgreement) +
       ("p143_chi_square" -> oChiSquare) +
+      ("p144_pmi_expansion" ->
+        s"""WITH rb AS (SELECT * FROM (${oBm25(k1 = 1.2, b = 0.75,
+              everyNth = 40, qTerms = 4, topK = 10)})),
+           |rx AS (SELECT * FROM ($oBm25PmiExpanded))
+           |${oScorecardRow("rb", "bm25")}
+           |UNION ALL
+           |${oScorecardRow("rx", "bm25_pmi")}""".stripMargin) +
       ("p139_classifier_agreement" -> {
         def fd(x: String, m: String) =
           s"(($x) - ((($x) % ($m)) + ($m)) % ($m)) // ($m)"

@@ -63,6 +63,37 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("pmi expansion: empty table is rank-invariant; a collocate retrieves new docs") {
+    val docs = Seq(
+      (1L, "apple banana"),
+      (2L, "apple cherry"),
+      (3L, "durian durian durian"),
+      (4L, "plum wolf")).toDF("doc_id", "text")
+    val qs = Seq((1L, "apple")).toDF("qid", "qtext")
+    val empty = Seq.empty[(String, String, Long)]
+      .toDF("tok_a", "tok_b", "pmi_micro")
+    val plain = Retrieval.bm25TopK(docs, "doc_id", "text", qs, "qid",
+        "qtext", k = 10)
+      .orderBy("rank").select("doc_id", "rank", "score_micro")
+      .as[(Long, Long, Long)].collect().toSeq
+    val noExp = Retrieval.bm25PmiExpandedTopK(docs, "doc_id", "text",
+        qs, "qid", "qtext", empty, k = 10)
+      .orderBy("rank").select("doc_id", "rank", "score_micro")
+      .as[(Long, Long, Long)].collect().toSeq
+    // no expansion terms: same candidates, same order, scores exactly 2x
+    assert(noExp.map(t => (t._1, t._2)) == plain.map(t => (t._1, t._2)))
+    assert(noExp.map(_._3) == plain.map(_._3 * 2), (plain, noExp).toString)
+    // a planted apple->durian collocate pulls doc 3 (no query term)
+    // into the candidate set at weight 1
+    val coll = Seq(("apple", "durian", 500000L))
+      .toDF("tok_a", "tok_b", "pmi_micro")
+    val exp = Retrieval.bm25PmiExpandedTopK(docs, "doc_id", "text",
+        qs, "qid", "qtext", coll, k = 10)
+      .select("doc_id").as[Long].collect().toSet
+    assert(exp.contains(3L), s"expansion must retrieve doc 3: $exp")
+    assert(!plain.map(_._1).contains(3L))
+  }
+
   test("rrf fusion: overlap wins, single-list docs carry rank 0 on the other side") {
     val sparse = Seq((1L, 10L, 1L), (1L, 20L, 2L)).toDF("query_id", "doc_id", "rank")
     val dense = Seq((1L, 20L, 1L), (1L, 30L, 2L)).toDF("query_id", "doc_id", "rank")
