@@ -170,6 +170,7 @@ object Cli {
         |  detector-agreement <dir> <outDir>             ARI between the Jaccard and SimHash partitions
         |  chi-square <dir> <outDir>                     top-50 tokens by label association (feature selection)
         |  pmi-expansion <dir> <outDir>                  thesaurus-expanded BM25 vs flat, scorecarded
+        |  packing-efficiency <dir> <outDir>             packed vs padded chunk bill per source
         |  retrieval-scorecard <dir> <outDir>            nDCG@10/MRR/hits of all five rankers
         |  classifier-auc <dir> <outDir>                 exact Mann-Whitney ROC-AUC of the NB scorer
         |  ppl-buckets <dir> <outDir>                    CCNet head/middle/tail perplexity terciles
@@ -569,6 +570,8 @@ object Cli {
       write(queries.PipelineQueries.p143ChiSquare(spark, dir), out)
     case "pmi-expansion" :: dir :: out :: Nil =>
       write(queries.PipelineQueries.p144PmiExpansion(spark, dir), out)
+    case "packing-efficiency" :: dir :: out :: Nil =>
+      write(queries.PipelineQueries.p145PackingEfficiency(spark, dir), out)
 
     // bloom-prefiltered idempotent ingest: the zero-shuffle scale path
     // of ingest-dedup. The sketch is sized from input FILE BYTES, not a

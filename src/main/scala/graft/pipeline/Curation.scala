@@ -151,6 +151,48 @@ object Curation {
       .drop("__h", "start_tok")
   }
 
+  /** Packing-efficiency audit — the card that justifies
+    * [[packAssignments]]: per stratum, how many `chunkToks`-token
+    * training chunks concat-and-chunk packing needs versus the naive
+    * one-doc-per-chunk padding baseline (each doc padded up to the
+    * next chunk boundary), and how many pad tokens each strategy
+    * burns. Packed chunks = ⌈Σtoks / C⌉ (documents straddle
+    * boundaries, so only the final partial chunk pads); naive chunks
+    * = Σ⌈toksᵢ / C⌉. The savings column is the fraction of the naive
+    * chunk bill that packing deletes — at pretraining scale this is
+    * directly GPU-hours.
+    *
+    * Pure integer arithmetic (⌈a/C⌉ as `(a + C − 1) div C`, savings
+    * via the portable floor-division), ONE map-side-combined groupBy
+    * over per-doc token counts — no exchange beyond the stratum
+    * rollup.
+    */
+  def packingEfficiency(df: DataFrame, stratumCol: String,
+      textCol: String, chunkToks: Long): DataFrame = {
+    require(chunkToks > 0, "chunkToks must be positive")
+    val c = lit(chunkToks)
+    def ceilDiv(a: Column): Column =
+      call_function("div", a + c - lit(1L), c)
+    df.select(col(stratumCol).as("source"),
+        size(TF.tokens(col(textCol))).cast("long").as("n_toks"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("total_toks"),
+        sum(ceilDiv(col("n_toks"))).as("naive_chunks"))
+      .withColumn("packed_chunks", ceilDiv(col("total_toks")))
+      .select(col("source"), col("n_docs"), col("total_toks"),
+        col("packed_chunks"),
+        (col("packed_chunks") * c - col("total_toks"))
+          .as("packed_pad_toks"),
+        col("naive_chunks"),
+        (col("naive_chunks") * c - col("total_toks"))
+          .as("naive_pad_toks"),
+        when(col("naive_chunks") === 0, lit(0L))
+          .otherwise(call_function("div",
+            (col("naive_chunks") - col("packed_chunks")) * lit(1000000L),
+            col("naive_chunks"))).as("saved_chunks_pct_micro"))
+  }
+
   /** Rare-token ratio — the OOV/rarity quality signal: per document,
     * the fraction of token OCCURRENCES whose corpus document frequency
     * is at or below `maxDf`. Pure integer counting (exact in any

@@ -2249,6 +2249,16 @@ object PipelineQueries {
       .select(col("node").as("doc_id"), col("pr").as("pr_micro"))
   }
 
+  /** Packing efficiency (p145): per-source chunk bill of
+    * concat-and-chunk packing vs naive pad-per-doc at 2048 tokens
+    * ([[Curation.packingEfficiency]]) — the audit card that turns the
+    * p32 packing choice into a number (saved chunks = saved GPU
+    * hours). Exact integer ceilings and the portable floor-division.
+    */
+  def p145PackingEfficiency(s: SparkSession, dir: String): DataFrame =
+    Curation.packingEfficiency(t(s, dir, "documents"), "source", "text",
+      chunkToks = 2048L)
+
   /** PMI query expansion (p144): BM25 with each query term's top-PMI
     * right-collocate added at half weight
     * ([[Retrieval.bm25PmiExpandedTopK]], expansion source = the p116
@@ -3170,6 +3180,7 @@ object PipelineQueries {
     "p142_detector_agreement" -> p142DetectorAgreement _,
     "p143_chi_square" -> p143ChiSquare _,
     "p144_pmi_expansion" -> p144PmiExpansion _,
+    "p145_packing_efficiency" -> p145PackingEfficiency _,
     "p50_temp_mix" -> p50TempMix _,
     "p51_hard_negatives" -> p51HardNegatives _,
     "p52_ivf_trained" -> p52IvfTrained _,
@@ -5138,6 +5149,25 @@ object PipelineQueries {
       ("p141_triangles" -> oTriangles) +
       ("p142_detector_agreement" -> oDetectorAgreement) +
       ("p143_chi_square" -> oChiSquare) +
+      ("p145_packing_efficiency" ->
+        s"""WITH tk AS (SELECT source,
+           |    CAST(len($oToks) AS BIGINT) AS n_toks FROM documents),
+           |ag AS (
+           |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |    CAST(SUM(n_toks) AS BIGINT) AS total_toks,
+           |    CAST(SUM((n_toks + 2047) // 2048) AS BIGINT)
+           |      AS naive_chunks
+           |  FROM tk GROUP BY source),
+           |pk AS (SELECT *, (total_toks + 2047) // 2048
+           |         AS packed_chunks FROM ag)
+           |SELECT source, n_docs, total_toks, packed_chunks,
+           |  packed_chunks * 2048 - total_toks AS packed_pad_toks,
+           |  naive_chunks,
+           |  naive_chunks * 2048 - total_toks AS naive_pad_toks,
+           |  CASE WHEN naive_chunks = 0 THEN CAST(0 AS BIGINT)
+           |       ELSE ((naive_chunks - packed_chunks) * 1000000)
+           |            // naive_chunks END AS saved_chunks_pct_micro
+           |FROM pk""".stripMargin) +
       ("p144_pmi_expansion" ->
         s"""WITH rb AS (SELECT * FROM (${oBm25(k1 = 1.2, b = 0.75,
               everyNth = 40, qTerms = 4, topK = 10)})),

@@ -190,6 +190,25 @@ class CurationSpec extends SparkSpec {
     assert((if (d3 * 1000000L < 500000L * 1000000L) 1 else 0) == a3)
   }
 
+  test("packingEfficiency: hand-computed chunk bills and savings") {
+    // chunk size 4: source s1 holds docs of 5 and 3 tokens
+    // naive = ceil(5/4) + ceil(3/4) = 3 chunks; packed = ceil(8/4) = 2
+    val docs = Seq(
+      (1L, "s1", "a b c d e"), (2L, "s1", "f g h"),
+      (3L, "s2", "x y")).toDF("doc_id", "source", "text")
+    val out = Curation.packingEfficiency(docs, "source", "text",
+        chunkToks = 4L)
+      .select("source", "n_docs", "total_toks", "packed_chunks",
+        "packed_pad_toks", "naive_chunks", "naive_pad_toks",
+        "saved_chunks_pct_micro")
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(out("s1") == ("s1", 2L, 8L, 2L, 0L, 3L, 4L, 333333L),
+      out("s1").toString)
+    assert(out("s2") == ("s2", 1L, 2L, 1L, 2L, 1L, 2L, 0L),
+      out("s2").toString)
+  }
+
   test("chiSquareFromLabels matches the 2x2 hand computation, ties break on token") {
     val labeled = Seq(
       (1L, "apple banana", 1L), (2L, "apple cherry", 1L),
