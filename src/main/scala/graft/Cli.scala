@@ -171,6 +171,7 @@ object Cli {
         |  chi-square <dir> <outDir>                     top-50 tokens by label association (feature selection)
         |  pmi-expansion <dir> <outDir>                  thesaurus-expanded BM25 vs flat, scorecarded
         |  packing-efficiency <dir> <outDir>             packed vs padded chunk bill per source
+        |  bootstrap-ci <dir> <outDir>                   bootstrap percentile CI for BM25's MRR
         |  retrieval-scorecard <dir> <outDir>            nDCG@10/MRR/hits of all five rankers
         |  classifier-auc <dir> <outDir>                 exact Mann-Whitney ROC-AUC of the NB scorer
         |  ppl-buckets <dir> <outDir>                    CCNet head/middle/tail perplexity terciles
@@ -572,6 +573,8 @@ object Cli {
       write(queries.PipelineQueries.p144PmiExpansion(spark, dir), out)
     case "packing-efficiency" :: dir :: out :: Nil =>
       write(queries.PipelineQueries.p145PackingEfficiency(spark, dir), out)
+    case "bootstrap-ci" :: dir :: out :: Nil =>
+      write(queries.PipelineQueries.p146BootstrapCi(spark, dir), out)
 
     // bloom-prefiltered idempotent ingest: the zero-shuffle scale path
     // of ingest-dedup. The sketch is sized from input FILE BYTES, not a

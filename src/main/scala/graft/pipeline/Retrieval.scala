@@ -631,6 +631,68 @@ object Retrieval {
         expr("(n_ge * 1000000) div n_perms").as("p_micro"))
   }
 
+  /** Bootstrap percentile confidence interval for MRR (Efron's
+    * nonparametric bootstrap): `nBoot` resamples of the query set
+    * WITH replacement, each resample's MRR computed over the planted
+    * relevance, and the 5th/95th-percentile order statistics of the
+    * resampled MRRs reported beside the point estimate — the error
+    * bar a 13-query scorecard needs before anyone trusts a
+    * difference (the companion to [[pairedSignificance]]: that says
+    * whether a DIFFERENCE is real, this says how wide ONE system's
+    * estimate is).
+    *
+    * Determinism: the j-th draw of resample b is query index
+    * `hash60(salt‖b‖_‖j) mod n` — the engine's portable hash, no
+    * RNG state — so the oracle replays every resample exactly; all
+    * MRR arithmetic is int64 micro with integer division (the
+    * scorecard's convention), and the CI bounds are exact order
+    * statistics (rank ⌊B/20⌋ and B−⌊B/20⌋ of the sorted resample
+    * MRRs, ties broken by resample id).
+    *
+    * Scale shape: per-query reciprocal ranks are |Q| rows; the
+    * resample grid is an in-plan explode of B·|Q| integer triples
+    * feeding one b-keyed partial-aggregated shuffle — no driver
+    * loop. B and |Q| are evaluation-sized, never corpus-sized.
+    */
+  def bootstrapMrrCi(ranked: DataFrame, queryIds: DataFrame,
+      method: String, nBoot: Int, salt: String): DataFrame = {
+    require(nBoot >= 20, "nBoot must be >= 20 for a 5th percentile")
+    val rr = queryIds.select(col("query_id"))
+      .join(ranked.filter(col("doc_id") === col("query_id"))
+        .select(col("query_id"), expr("1000000 div rank").as("rr0")),
+        Seq("query_id"), "left")
+      .select(col("query_id"), coalesce(col("rr0"), lit(0L)).as("rr"))
+    val idx = rr.withColumn("idx",
+      row_number().over(Window.orderBy(col("query_id")))
+        .cast("long") - 1)
+    val nq = broadcast(idx.agg(count(lit(1)).as("nq")))
+    val grid = nq
+      .select(explode(sequence(lit(1), lit(nBoot))).as("b"), col("nq"))
+      .select(col("b"), col("nq"),
+        explode(sequence(lit(0L), col("nq") - 1)).as("j"))
+      .withColumn("idx",
+        TF.hash60(concat(lit(salt), col("b").cast("string"), lit("_"),
+          col("j").cast("string"))) % col("nq"))
+    val boot = grid.join(idx.select(col("idx"), col("rr")), Seq("idx"))
+      .groupBy(col("b"), col("nq")).agg(sum(col("rr")).as("s"))
+      .select(col("b"),
+        call_function("div", col("s"), col("nq")).as("mrr"))
+    val rn = boot.withColumn("rn",
+      row_number().over(Window.orderBy(col("mrr").asc, col("b").asc)))
+    val lo = nBoot / 20
+    val hi = nBoot - nBoot / 20
+    val obs = rr.agg(count(lit(1)).as("n_queries"),
+      call_function("div", sum(col("rr")), count(lit(1)))
+        .as("mrr_micro"))
+    val ci = rn.agg(
+      max(when(col("rn") === lo, col("mrr"))).as("ci_lo_micro"),
+      max(when(col("rn") === hi, col("mrr"))).as("ci_hi_micro"))
+    obs.crossJoin(broadcast(ci))
+      .select(lit(method).as("method"), col("n_queries"),
+        lit(nBoot.toLong).as("n_boot"), col("mrr_micro"),
+        col("ci_lo_micro"), col("ci_hi_micro"))
+  }
+
   /** Spell suggestion over the corpus vocabulary — the query-repair
     * stage of a search stack ("did you mean"): each probe string gets
     * the closest vocabulary token by exact Levenshtein distance

@@ -2249,6 +2249,24 @@ object PipelineQueries {
       .select(col("node").as("doc_id"), col("pr").as("pr_micro"))
   }
 
+  /** Bootstrap CI (p146): Efron percentile confidence interval for
+    * BM25's MRR on the planted relevance
+    * ([[Retrieval.bootstrapMrrCi]], 200 portable-hash resamples) —
+    * the error bar that says how much to trust a 13-query scorecard
+    * number, companion to the p136 significance test. The oracle
+    * replays every resample draw and both order statistics.
+    */
+  def p146BootstrapCi(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val queries = docs.filter(col("doc_id") % 40 === 0)
+      .select(col("doc_id").as("query_id"),
+        concat_ws(" ", slice(TF.tokens(col("text")), 1, 4)).as("qtext"))
+    val ranked = Retrieval.bm25TopK(docs, "doc_id", "text", queries,
+      "query_id", "qtext", k = 10)
+    Retrieval.bootstrapMrrCi(ranked, queries.select(col("query_id")),
+      "bm25", nBoot = 200, salt = "boot")
+  }
+
   /** Packing efficiency (p145): per-source chunk bill of
     * concat-and-chunk packing vs naive pad-per-doc at 2048 tokens
     * ([[Curation.packingEfficiency]]) — the audit card that turns the
@@ -3181,6 +3199,7 @@ object PipelineQueries {
     "p143_chi_square" -> p143ChiSquare _,
     "p144_pmi_expansion" -> p144PmiExpansion _,
     "p145_packing_efficiency" -> p145PackingEfficiency _,
+    "p146_bootstrap_ci" -> p146BootstrapCi _,
     "p50_temp_mix" -> p50TempMix _,
     "p51_hard_negatives" -> p51HardNegatives _,
     "p52_ivf_trained" -> p52IvfTrained _,
@@ -5149,6 +5168,44 @@ object PipelineQueries {
       ("p141_triangles" -> oTriangles) +
       ("p142_detector_agreement" -> oDetectorAgreement) +
       ("p143_chi_square" -> oChiSquare) +
+      ("p146_bootstrap_ci" ->
+        s"""WITH rb AS (SELECT * FROM (${oBm25(k1 = 1.2, b = 0.75,
+              everyNth = 40, qTerms = 4, topK = 10)})),
+           |qs AS (SELECT doc_id AS query_id FROM documents
+           |       WHERE doc_id % 40 = 0),
+           |rr AS (SELECT q.query_id, COALESCE(h.rr0, 0) AS rr
+           |  FROM qs q LEFT JOIN
+           |    (SELECT query_id, 1000000 // rank AS rr0 FROM rb
+           |     WHERE doc_id = query_id) h
+           |  ON q.query_id = h.query_id),
+           |ix AS (SELECT query_id, rr,
+           |    ROW_NUMBER() OVER (ORDER BY query_id) - 1 AS idx FROM rr),
+           |nqt AS (SELECT CAST(COUNT(*) AS BIGINT) AS nq FROM ix),
+           |grid AS (
+           |  SELECT b, j, nqt.nq,
+           |    ${oHash("'boot' || CAST(b AS VARCHAR) || '_' ||" +
+                " CAST(j AS VARCHAR)")} % nqt.nq AS idx
+           |  FROM (SELECT unnest(generate_series(1, 200)) AS b),
+           |       (SELECT unnest(generate_series(0,
+           |          (SELECT nq FROM nqt) - 1)) AS j), nqt),
+           |boot AS (
+           |  SELECT g.b, CAST(SUM(ix.rr) AS BIGINT) // g.nq AS mrr
+           |  FROM grid g JOIN ix ON g.idx = ix.idx
+           |  GROUP BY g.b, g.nq),
+           |rn AS (SELECT b, mrr,
+           |    ROW_NUMBER() OVER (ORDER BY mrr ASC, b ASC) AS rn
+           |  FROM boot),
+           |ci AS (SELECT
+           |    MAX(CASE WHEN rn = 10 THEN mrr END) AS ci_lo_micro,
+           |    MAX(CASE WHEN rn = 190 THEN mrr END) AS ci_hi_micro
+           |  FROM rn),
+           |ob AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+           |    CAST(SUM(rr) AS BIGINT) // COUNT(*) AS mrr_micro
+           |  FROM rr)
+           |SELECT 'bm25' AS method, n_queries,
+           |  CAST(200 AS BIGINT) AS n_boot, mrr_micro,
+           |  ci_lo_micro, ci_hi_micro
+           |FROM ob, ci""".stripMargin) +
       ("p145_packing_efficiency" ->
         s"""WITH tk AS (SELECT source,
            |    CAST(len($oToks) AS BIGINT) AS n_toks FROM documents),

@@ -94,6 +94,29 @@ class RetrievalSpec extends SparkSpec {
     assert(!plain.map(_._1).contains(3L))
   }
 
+  test("bootstrapMrrCi: degenerate resamples collapse, mixed case orders lo<=hi") {
+    import graft.pipeline.Retrieval
+    val qids = (1L to 8L).toDF("query_id")
+    // every query hits at rank 1: all resample MRRs are exactly 1e6
+    val perfect = (1L to 8L).map(q => (q, q, 1L))
+      .toDF("query_id", "doc_id", "rank")
+    val p = Retrieval.bootstrapMrrCi(perfect, qids, "m", nBoot = 40,
+        salt = "t")
+      .select("n_queries", "n_boot", "mrr_micro", "ci_lo_micro",
+        "ci_hi_micro")
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(p == ((8L, 40L, 1000000L, 1000000L, 1000000L)), p.toString)
+    // half hit at rank 2: CI bounds ordered around a 250000-ish point
+    val half = (1L to 4L).map(q => (q, q, 2L))
+      .toDF("query_id", "doc_id", "rank")
+    val h = Retrieval.bootstrapMrrCi(half, qids, "m", nBoot = 40,
+        salt = "t")
+      .select("mrr_micro", "ci_lo_micro", "ci_hi_micro")
+      .as[(Long, Long, Long)].head()
+    assert(h._1 == 250000L, h.toString)
+    assert(h._2 <= h._3 && h._2 >= 0L && h._3 <= 500000L, h.toString)
+  }
+
   test("rrf fusion: overlap wins, single-list docs carry rank 0 on the other side") {
     val sparse = Seq((1L, 10L, 1L), (1L, 20L, 2L)).toDF("query_id", "doc_id", "rank")
     val dense = Seq((1L, 20L, 1L), (1L, 30L, 2L)).toDF("query_id", "doc_id", "rank")
