@@ -99,6 +99,7 @@ object Cli {
         |  stream-classify <dir> <outDir>                NB quality classification at stream ingest (snapshot-fit
         |                                                model; same closed-window emission as stream-perplexity)
         |  stream-embed-neardup <dir> <outDir>           embedding near-dup vs the corpus at stream ingest
+        |  stream-cluster-assign <dir> <outDir>          online k-means cell routing at stream ingest
         |  stream-tokenize <dir> <outDir>                BPE tokenization at stream ingest (snapshot-trained merges)
         |  stream-image-neardup <dir> <outDir>           perceptual image near-dup vs the corpus at stream ingest
         |  stream-unigram <dir> <outDir>                 unigram tokenization at stream ingest (snapshot-trained
@@ -1029,6 +1030,16 @@ object Cli {
       drainDocJob(streaming.StreamingJobs.embeddingNearDup(stream, corpus,
         col("vec_id") % 25 === 0, nprobe = 3, thresholdMicro = 200000L), out)
       println(s"""{"stream_embed_neardup":"$out"}""")
+
+    // online cluster routing: k-means trained once on the snapshot,
+    // arriving vectors assigned to trained cells as a stateless
+    // folded-literal projection (zero per-batch corpus work)
+    case "stream-cluster-assign" :: dir :: out :: Nil =>
+      val stream = stagedEmbStream(spark, dir, out)
+      val corpus = Tables.read(spark, dir, "embeddings")
+      drainDocJob(streaming.StreamingJobs.clusterAssign(stream, corpus,
+        col("vec_id") % 25 === 0, iters = 2), out)
+      println(s"""{"stream_cluster_assign":"$out"}""")
 
     // unigram-LM perplexity scoring at ingest: cost tables fit on the
     // static snapshot (the CCNet move), each micro-batch scored via a

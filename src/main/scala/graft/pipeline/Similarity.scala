@@ -1467,6 +1467,25 @@ object Similarity {
         floor(-col("sim") * 1e6).cast("long").as("adist_micro"))
   }
 
+  /** Nearest-trained-centroid assignment as a ZERO-exchange projection
+    * over folded centroid literals — the serving form of
+    * [[kmeansTrain]]'s assignment step (centroids are driver state;
+    * folding them as literals keeps the argmax inside whole-stage
+    * codegen, the same move as the PQ lookup tables). Returns the
+    * winning `struct(sim, tie, cell)` — the caller projects the
+    * fields it needs. Tie rule matches the Lloyd step exactly:
+    * max by (sim, −cent_id), i.e. ties to the smaller cell id.
+    */
+  def centroidAssignExpr(cents: Seq[(Long, Seq[Float])],
+      vec: Column): Column = {
+    require(cents.nonEmpty, "need at least one centroid")
+    val structs = cents.sortBy(_._1).map { case (id, ce) =>
+      struct(cosine(vec, array(ce.map(lit(_)): _*)).as("sim"),
+        lit(-id).as("tie"), lit(id).as("cell"))
+    }
+    if (structs.size == 1) structs.head else greatest(structs: _*)
+  }
+
   /** Clustering-quality card (the elbow/validation card a k selection
     * needs): for each seed modulus in `moduli`, train k-means
     * ([[kmeansTrain]], `iters` Lloyd rounds), assign every vector to

@@ -541,6 +541,30 @@ object StreamingJobs {
       centroidFilter, nprobe, thresholdMicro, cellIndex)
   }
 
+  /** Online cluster routing at ingest — the serving half of a k-means
+    * fit (the p140 elbow card picks k; this routes traffic): train
+    * once on the snapshot corpus at job start, fold the trained
+    * centroids as literals, and assign every arriving embedding to
+    * its nearest cell as a STATELESS zero-exchange projection
+    * ([[graft.pipeline.Similarity.centroidAssignExpr]] — whole-stage
+    * codegen per row, no state store, no watermark, no per-batch
+    * corpus work). Emits (vec_id, cell, sim_micro); bit-equal to the
+    * batch Lloyd assignment, StreamingSpec-pinned.
+    */
+  def clusterAssign(stream: DataFrame, corpus: DataFrame,
+      centroidFilter: org.apache.spark.sql.Column,
+      iters: Int): DataFrame = {
+    val S = graft.pipeline.Similarity
+    val cents = S.centroidsFromMeans(
+        S.kmeansTrain(corpus, "vec_id", "embedding", centroidFilter,
+          iters))
+      .collect().toSeq
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val best = S.centroidAssignExpr(cents, col("embedding"))
+    stream.select(col("vec_id"), best.getField("cell").as("cell"),
+      floor(best.getField("sim") * 1e6).cast("long").as("sim_micro"))
+  }
+
   /** Window-level novelty at ingest — the streaming twin of p111's
     * [[graft.pipeline.Curation.noveltyScore]]: each arriving
     * document's 8-token windows probe the snapshot corpus's DISTINCT

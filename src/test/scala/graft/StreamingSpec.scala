@@ -725,6 +725,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming cluster assignment equals the batch Lloyd argmax") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),   // seed centroid A
+      (1L, Array(0f, 1f, 0f, 0f)),   // seed centroid B
+      (2L, Array(0.9f, 0.1f, 0f, 0f)),
+      (3L, Array(0.1f, 0.9f, 0f, 0f))).toDF("vec_id", "embedding")
+    val mem = MemoryStream[(Long, Array[Float])]
+    val vecs = mem.toDF().toDF("vec_id", "embedding")
+    val q = StreamingJobs.clusterAssign(vecs, corpus,
+        col("vec_id") <= 1, iters = 2)
+      .writeStream.format("memory").queryName("classign_s")
+      .outputMode("append").start()
+    try {
+      val incoming = Seq(
+        (100L, Array(0.95f, 0.05f, 0f, 0f)),  // cell A
+        (101L, Array(0.05f, 0.95f, 0f, 0f)),  // cell B
+        (102L, Array(0.7f, 0.7f, 0f, 0f)))    // tie-ish: smaller id wins
+      mem.addData(incoming: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("classign_s")
+        .as[(Long, Long, Long)].collect().toSeq.sorted
+      // the batch twin: the same folded-literal projection over a
+      // batch frame (shared expression, so bit-equality is structural)
+      val cents = graft.pipeline.Similarity.centroidsFromMeans(
+          graft.pipeline.Similarity.kmeansTrain(corpus, "vec_id",
+            "embedding", col("vec_id") <= 1, iters = 2))
+        .collect().toSeq.map(r => (r.getLong(0), r.getSeq[Float](1)))
+      val best = graft.pipeline.Similarity.centroidAssignExpr(cents,
+        col("embedding"))
+      val batch = incoming.toDF("vec_id", "embedding")
+        .select(col("vec_id"), best.getField("cell").as("cell"),
+          floor(best.getField("sim") * 1e6).cast("long").as("sim_micro"))
+        .as[(Long, Long, Long)].collect().toSeq.sorted
+      assert(streamed == batch)
+      assert(streamed.map(r => (r._1, r._2)) ==
+        Seq((100L, 0L), (101L, 1L), (102L, 0L)), streamed.toString)
+    } finally q.stop()
+  }
+
   test("streaming embedding near-dup equals the batch probe pairs") {
     implicit val sqlCtx = spark.sqlContext
     val corpus = Seq(
