@@ -173,6 +173,7 @@ object Cli {
         |  pmi-expansion <dir> <outDir>                  thesaurus-expanded BM25 vs flat, scorecarded
         |  packing-efficiency <dir> <outDir>             packed vs padded chunk bill per source
         |  bootstrap-ci <dir> <outDir>                   bootstrap percentile CI for BM25's MRR
+        |  vocab-growth <dir> <outDir>                   Heaps-law card over hash-nested subcorpora
         |  retrieval-scorecard <dir> <outDir>            nDCG@10/MRR/hits of all five rankers
         |  classifier-auc <dir> <outDir>                 exact Mann-Whitney ROC-AUC of the NB scorer
         |  ppl-buckets <dir> <outDir>                    CCNet head/middle/tail perplexity terciles
@@ -576,6 +577,8 @@ object Cli {
       write(queries.PipelineQueries.p145PackingEfficiency(spark, dir), out)
     case "bootstrap-ci" :: dir :: out :: Nil =>
       write(queries.PipelineQueries.p146BootstrapCi(spark, dir), out)
+    case "vocab-growth" :: dir :: out :: Nil =>
+      write(queries.PipelineQueries.p147VocabGrowth(spark, dir), out)
 
     // bloom-prefiltered idempotent ingest: the zero-shuffle scale path
     // of ingest-dedup. The sketch is sized from input FILE BYTES, not a

@@ -193,6 +193,60 @@ object Curation {
             col("naive_chunks"))).as("saved_chunks_pct_micro"))
   }
 
+  /** Vocabulary-growth (Heaps-law) card: distinct-type and token-
+    * occurrence counts of nested random subcorpora at 1/16, 2/16, …,
+    * 16/16 of the corpus — the curve that sizes a tokenizer
+    * vocabulary (how fast do new types keep arriving?) and flags
+    * template corpora (vocab that saturates early). The type/token
+    * ratio per checkpoint is the classic lexical-diversity statistic;
+    * under Heaps' law it falls as the sample grows.
+    *
+    * Subcorpora are HASH-nested, not prefix-nested: doc d belongs to
+    * checkpoint c iff `hash60(salt‖d) mod 16 < c`, so each checkpoint
+    * is a uniform random sample CONTAINING every smaller one — the
+    * property the growth curve needs — and the whole card is two
+    * map-side-combined shuffles (per-token min bucket; per-bucket doc
+    * stats) plus a 16-row rollup. NO global window, no sort: the
+    * prefix formulation would need a total order over the corpus
+    * (single-partition row_number or a two-phase rank), while the
+    * hash formulation scales to any corpus unchanged — at 100 TB this
+    * is the difference between a card and a job.
+    *
+    * Pure integer arithmetic; TTR via the portable floor-division.
+    */
+  def vocabGrowth(df: DataFrame, idCol: String, textCol: String,
+      salt: String = "vg"): DataFrame = {
+    val checkpoints = Seq(1, 2, 4, 8, 16)
+    val docs = df.select(col(idCol).as("id"),
+      TF.tokens(col(textCol)).as("toks"),
+      (TF.hash60(concat(lit(salt), col(idCol).cast("string"))) % 16)
+        .as("b"))
+    val occ = docs.select(col("b"), explode(col("toks")).as("tok"))
+    val tokMin = occ.groupBy("tok").agg(min(col("b")).as("mb"))
+    val docAgg = docs.groupBy("b").agg(count(lit(1)).as("nd"),
+      sum(size(col("toks")).cast("long")).as("occ"))
+    val dExprs = checkpoints.flatMap(c => Seq(
+      coalesce(sum(when(col("b") < c, col("nd"))), lit(0L))
+        .as(s"nd_$c"),
+      coalesce(sum(when(col("b") < c, col("occ"))), lit(0L))
+        .as(s"occ_$c")))
+    val dAgg = docAgg.agg(dExprs.head, dExprs.tail: _*)
+    val vExprs = checkpoints.map(c =>
+      coalesce(sum(when(col("mb") < c, lit(1L))), lit(0L)).as(s"v_$c"))
+    val vAgg = tokMin.agg(vExprs.head, vExprs.tail: _*)
+    dAgg.crossJoin(broadcast(vAgg))
+      .select(explode(array(checkpoints.map(c => struct(
+        lit(c.toLong).as("sixteenths"),
+        col(s"nd_$c").as("n_docs"),
+        col(s"occ_$c").as("n_occurrences"),
+        col(s"v_$c").as("vocab"))): _*)).as("r"))
+      .select(col("r.sixteenths"), col("r.n_docs"),
+        col("r.n_occurrences"), col("r.vocab"),
+        when(col("r.n_occurrences") === 0, lit(0L))
+          .otherwise(call_function("div", col("r.vocab") * lit(1000000L),
+            col("r.n_occurrences"))).as("ttr_micro"))
+  }
+
   /** Rare-token ratio — the OOV/rarity quality signal: per document,
     * the fraction of token OCCURRENCES whose corpus document frequency
     * is at or below `maxDf`. Pure integer counting (exact in any

@@ -2249,6 +2249,16 @@ object PipelineQueries {
       .select(col("node").as("doc_id"), col("pr").as("pr_micro"))
   }
 
+  /** Vocabulary growth (p147): the Heaps-law card — types, token
+    * occurrences, and type/token ratio over hash-nested random
+    * subcorpora at 1..16 sixteenths ([[Curation.vocabGrowth]]) — the
+    * curve that sizes a tokenizer vocabulary and flags saturated
+    * template corpora. The oracle replays the bucket hash, the
+    * per-token min bucket, and every checkpoint sum.
+    */
+  def p147VocabGrowth(s: SparkSession, dir: String): DataFrame =
+    Curation.vocabGrowth(t(s, dir, "documents"), "doc_id", "text")
+
   /** Bootstrap CI (p146): Efron percentile confidence interval for
     * BM25's MRR on the planted relevance
     * ([[Retrieval.bootstrapMrrCi]], 200 portable-hash resamples) —
@@ -3200,6 +3210,7 @@ object PipelineQueries {
     "p144_pmi_expansion" -> p144PmiExpansion _,
     "p145_packing_efficiency" -> p145PackingEfficiency _,
     "p146_bootstrap_ci" -> p146BootstrapCi _,
+    "p147_vocab_growth" -> p147VocabGrowth _,
     "p50_temp_mix" -> p50TempMix _,
     "p51_hard_negatives" -> p51HardNegatives _,
     "p52_ivf_trained" -> p52IvfTrained _,
@@ -5168,6 +5179,31 @@ object PipelineQueries {
       ("p141_triangles" -> oTriangles) +
       ("p142_detector_agreement" -> oDetectorAgreement) +
       ("p143_chi_square" -> oChiSquare) +
+      ("p147_vocab_growth" ->
+        s"""WITH d AS (SELECT doc_id, $oToks AS toks,
+           |    ${oHash("'vg' || CAST(doc_id AS VARCHAR)")} % 16 AS b
+           |  FROM documents),
+           |occ AS (SELECT b, unnest(toks) AS tok FROM d),
+           |tm AS (SELECT tok, MIN(b) AS mb FROM occ GROUP BY tok),
+           |da AS (SELECT b, COUNT(*) AS nd, SUM(len(toks)) AS occ
+           |       FROM d GROUP BY b),
+           |cp AS (SELECT unnest([1, 2, 4, 8, 16]) AS c),
+           |ds AS (SELECT cp.c,
+           |    CAST(COALESCE(SUM(CASE WHEN da.b < cp.c THEN da.nd END),
+           |      0) AS BIGINT) AS n_docs,
+           |    CAST(COALESCE(SUM(CASE WHEN da.b < cp.c THEN da.occ END),
+           |      0) AS BIGINT) AS n_occurrences
+           |  FROM cp LEFT JOIN da ON 1=1 GROUP BY cp.c),
+           |vs AS (SELECT cp.c,
+           |    CAST(COALESCE(SUM(CASE WHEN tm.mb < cp.c THEN 1 END),
+           |      0) AS BIGINT) AS vocab
+           |  FROM cp LEFT JOIN tm ON 1=1 GROUP BY cp.c)
+           |SELECT CAST(ds.c AS BIGINT) AS sixteenths, n_docs,
+           |  n_occurrences, vs.vocab,
+           |  CASE WHEN n_occurrences = 0 THEN CAST(0 AS BIGINT)
+           |       ELSE (vs.vocab * 1000000) // n_occurrences
+           |  END AS ttr_micro
+           |FROM ds JOIN vs ON ds.c = vs.c""".stripMargin) +
       ("p146_bootstrap_ci" ->
         s"""WITH rb AS (SELECT * FROM (${oBm25(k1 = 1.2, b = 0.75,
               everyNth = 40, qTerms = 4, topK = 10)})),

@@ -190,6 +190,24 @@ class CurationSpec extends SparkSpec {
     assert((if (d3 * 1000000L < 500000L * 1000000L) 1 else 0) == a3)
   }
 
+  test("vocabGrowth: nested checkpoints are monotone and the full one is exact") {
+    val docs = (1L to 40L).map(i =>
+      (i, s"shared tok$i")).toDF("doc_id", "text")
+    val out = Curation.vocabGrowth(docs, "doc_id", "text")
+      .select("sixteenths", "n_docs", "n_occurrences", "vocab",
+        "ttr_micro")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 4L, 8L, 16L))
+    // nesting: every stat is monotone non-decreasing in the checkpoint
+    assert(out.sliding(2).forall { case Array(a, b) =>
+      a._2 <= b._2 && a._3 <= b._3 && a._4 <= b._4 })
+    // the full checkpoint sees everything exactly
+    val full = out.last
+    assert(full == ((16L, 40L, 80L, 41L, 512500L)), full.toString)
+    // vocab = docs-in-sample + 1 ("shared" plus one unique type each)
+    out.foreach { c => assert(c._4 == (if (c._2 == 0) 0 else c._2 + 1)) }
+  }
+
   test("packingEfficiency: hand-computed chunk bills and savings") {
     // chunk size 4: source s1 holds docs of 5 and 3 tokens
     // naive = ceil(5/4) + ceil(3/4) = 3 chunks; packed = ceil(8/4) = 2
