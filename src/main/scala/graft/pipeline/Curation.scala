@@ -193,6 +193,86 @@ object Curation {
             col("naive_chunks"))).as("saved_chunks_pct_micro"))
   }
 
+  /** HDR-histogram quantile calibration — the QUANTILE member of the
+    * audited-sketch triad (count-min = frequency p127, HLL =
+    * cardinality p128, this = percentiles): doc token counts stream
+    * into an HdrHistogram-style bucket table (identity below 2^p,
+    * then 2^p log-spaced sub-buckets per octave — bucket index
+    * `(e−p)·2^p + (v >> (e−p))`, exactly HdrHistogram's formula), and
+    * for each requested percentile the sketch answer (upper bound of
+    * the first bucket whose cumulative count clears ⌈q·N⌉) is
+    * reported beside the EXACT inverted-CDF percentile. The
+    * first-clearing bucket always CONTAINS the exact percentile, so
+    * `est ≥ exact` is a hard invariant (spec- and oracle-checked) and
+    * the relative error is bounded by 2^−p — the precision/memory
+    * dial a 100-TB run turns.
+    *
+    * Fully integer end-to-end: floor-log2 by comparison chain (the
+    * HLL ρ move — no floating log), shifts as exact powers of two,
+    * thresholds via ⌈·⌉ integer arithmetic. Scale shape: one
+    * map-side-combined groupBy onto the BUCKET table (≤ a few
+    * hundred rows at ANY corpus size — the sketch property; its
+    * cumulative window is sketch-sized, not data-sized) and, for the
+    * audit only, the same rollup onto distinct VALUES (bounded by
+    * the value domain; the sketch alone is what a production run
+    * keeps). Buckets are mergeable by addition — the streaming/
+    * multi-shard story is the count-min one.
+    */
+  def hdrQuantileCalibration(df: DataFrame, idCol: String,
+      textCol: String, pBits: Int = 3,
+      pcts: Seq[Int] = Seq(50, 90, 99)): DataFrame = {
+    require(pBits >= 1 && pBits <= 10, "pBits in [1, 10]")
+    require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100),
+      "pcts in [1, 100]")
+    val base = lit(1L << pBits)
+    val vals = df.select(
+      size(TF.tokens(col(textCol))).cast("long").as("v"))
+    graft.core.Caching.withCached(vals) {
+      // floor(log2 v) by comparison chain; only consulted when v >= 2^p
+      val e = greatest((0 until 40).map(b =>
+        when(col("v") >= (1L << b), lit(b)).otherwise(lit(0))): _*)
+      val shift = expr(s"shiftleft(CAST(1 AS BIGINT), e - $pBits)")
+      val withB = vals.withColumn("e", e)
+        .withColumn("bid",
+          when(col("v") < base, col("v"))
+            .otherwise((col("e") - pBits) * base +
+              call_function("div", col("v"), shift)))
+        .withColumn("ub",
+          when(col("v") < base, col("v"))
+            .otherwise((call_function("div", col("v"), shift) + 1)
+              * shift - 1))
+      val buckets = withB.groupBy("bid", "ub")
+        .agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum(col("c")).over(Window.orderBy(col("bid"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val exactCum = vals.groupBy("v").agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum(col("c")).over(Window.orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val n = vals.agg(count(lit(1)).as("n"))
+      def t(pct: Int): Column =
+        call_function("div", lit(pct.toLong) * col("n") + 99, lit(100L))
+      val eAgg = exactCum.crossJoin(broadcast(n)).agg(pcts.map(p =>
+        min(when(col("cum") >= t(p), col("v"))).as(s"x_$p")).head,
+        pcts.tail.map(p =>
+          min(when(col("cum") >= t(p), col("v"))).as(s"x_$p")): _*)
+      val sAgg = buckets.crossJoin(broadcast(n)).agg(pcts.map(p =>
+        min(when(col("cum") >= t(p), col("ub"))).as(s"u_$p")).head,
+        pcts.tail.map(p =>
+          min(when(col("cum") >= t(p), col("ub"))).as(s"u_$p")): _*)
+      eAgg.crossJoin(broadcast(sAgg)).crossJoin(broadcast(n))
+        .select(explode(array(pcts.map(p => struct(
+          lit(p.toLong).as("pct"), col("n").as("n_values"),
+          col(s"x_$p").as("exact"), col(s"u_$p").as("est"))): _*))
+          .as("r"))
+        .select(col("r.pct"), col("r.n_values"), col("r.exact"),
+          col("r.est"), (col("r.est") - col("r.exact")).as("overshoot"),
+          when(col("r.exact") === 0, lit(0L))
+            .otherwise(call_function("div",
+              (col("r.est") - col("r.exact")) * lit(1000000L),
+              col("r.exact"))).as("rel_err_micro"))
+    }
+  }
+
   /** Vocabulary-growth (Heaps-law) card: distinct-type and token-
     * occurrence counts of nested random subcorpora at 1/16, 2/16, …,
     * 16/16 of the corpus — the curve that sizes a tokenizer

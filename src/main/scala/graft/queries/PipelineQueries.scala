@@ -2249,6 +2249,18 @@ object PipelineQueries {
       .select(col("node").as("doc_id"), col("pr").as("pr_micro"))
   }
 
+  /** HDR quantiles (p148): the quantile member of the audited-sketch
+    * triad ([[Curation.hdrQuantileCalibration]], p=3 → ≤12.5%
+    * relative error) — doc-length p50/p90/p99 from HdrHistogram-style
+    * log buckets beside the exact inverted-CDF percentiles, with
+    * `est ≥ exact` a hard invariant. Fully integer (comparison-chain
+    * log2, exact shifts); the oracle replays buckets, cumulative
+    * sums, and thresholds.
+    */
+  def p148HdrQuantiles(s: SparkSession, dir: String): DataFrame =
+    Curation.hdrQuantileCalibration(t(s, dir, "documents"), "doc_id",
+      "text")
+
   /** Vocabulary growth (p147): the Heaps-law card — types, token
     * occurrences, and type/token ratio over hash-nested random
     * subcorpora at 1..16 sixteenths ([[Curation.vocabGrowth]]) — the
@@ -3211,6 +3223,7 @@ object PipelineQueries {
     "p145_packing_efficiency" -> p145PackingEfficiency _,
     "p146_bootstrap_ci" -> p146BootstrapCi _,
     "p147_vocab_growth" -> p147VocabGrowth _,
+    "p148_hdr_quantiles" -> p148HdrQuantiles _,
     "p50_temp_mix" -> p50TempMix _,
     "p51_hard_negatives" -> p51HardNegatives _,
     "p52_ivf_trained" -> p52IvfTrained _,
@@ -5179,6 +5192,51 @@ object PipelineQueries {
       ("p141_triangles" -> oTriangles) +
       ("p142_detector_agreement" -> oDetectorAgreement) +
       ("p143_chi_square" -> oChiSquare) +
+      ("p148_hdr_quantiles" -> {
+        val p = 3
+        val eChain = (0 until 40).map(b =>
+          s"CASE WHEN v >= ${1L << b} THEN $b ELSE 0 END")
+          .mkString("GREATEST(", ", ", ")")
+        s"""WITH vals AS (SELECT CAST(len($oToks) AS BIGINT) AS v
+           |  FROM documents),
+           |ve AS (SELECT v, $eChain AS e FROM vals),
+           |vb AS (SELECT v,
+           |    CASE WHEN v < 8 THEN v
+           |         ELSE (e - $p) * 8
+           |              + v // (CAST(1 AS BIGINT) << (e - $p)) END
+           |      AS bid,
+           |    CASE WHEN v < 8 THEN v
+           |         ELSE (v // (CAST(1 AS BIGINT) << (e - $p)) + 1)
+           |              * (CAST(1 AS BIGINT) << (e - $p)) - 1 END
+           |      AS ub
+           |  FROM ve),
+           |bk AS (SELECT bid, ub, CAST(COUNT(*) AS BIGINT) AS c
+           |       FROM vb GROUP BY bid, ub),
+           |bc AS (SELECT bid, ub, c,
+           |    CAST(SUM(c) OVER (ORDER BY bid ROWS UNBOUNDED PRECEDING)
+           |      AS BIGINT) AS cum FROM bk),
+           |xc AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS c
+           |       FROM vals GROUP BY v),
+           |xcc AS (SELECT v,
+           |    CAST(SUM(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+           |      AS BIGINT) AS cum FROM xc),
+           |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM vals),
+           |cp AS (SELECT unnest([50, 90, 99]) AS pct),
+           |th AS (SELECT pct, (CAST(pct AS BIGINT) * nn.n + 99) // 100
+           |         AS t, nn.n FROM cp, nn),
+           |ex AS (SELECT th.pct, th.n,
+           |    MIN(CASE WHEN xcc.cum >= th.t THEN xcc.v END) AS exact
+           |  FROM th, xcc GROUP BY th.pct, th.n),
+           |es AS (SELECT th.pct,
+           |    MIN(CASE WHEN bc.cum >= th.t THEN bc.ub END) AS est
+           |  FROM th, bc GROUP BY th.pct)
+           |SELECT CAST(ex.pct AS BIGINT) AS pct, ex.n AS n_values,
+           |  ex.exact, es.est, es.est - ex.exact AS overshoot,
+           |  CASE WHEN ex.exact = 0 THEN CAST(0 AS BIGINT)
+           |       ELSE ((es.est - ex.exact) * 1000000) // ex.exact
+           |  END AS rel_err_micro
+           |FROM ex JOIN es ON ex.pct = es.pct""".stripMargin
+      }) +
       ("p147_vocab_growth" ->
         s"""WITH d AS (SELECT doc_id, $oToks AS toks,
            |    ${oHash("'vg' || CAST(doc_id AS VARCHAR)")} % 16 AS b

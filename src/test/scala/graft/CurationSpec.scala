@@ -190,6 +190,27 @@ class CurationSpec extends SparkSpec {
     assert((if (d3 * 1000000L < 500000L * 1000000L) 1 else 0) == a3)
   }
 
+  test("hdrQuantileCalibration: identity region exact, log region bounded overshoot") {
+    def doc(n: Int) = (1 to n).map(i => s"t$i").mkString(" ")
+    val docs = Seq((1L, doc(2)), (2L, doc(4)), (3L, doc(8)),
+      (4L, doc(20))).toDF("doc_id", "text")
+    val out = Curation.hdrQuantileCalibration(docs, "doc_id", "text")
+      .select("pct", "n_values", "exact", "est", "overshoot",
+        "rel_err_micro")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // p50: t=2 -> exact 4, in a shift-1 bucket -> sketch exact too
+    assert(out(50L) == ((50L, 4L, 4L, 4L, 0L, 0L)), out(50L).toString)
+    // p90/p99: t=4 -> exact 20; bucket [20,21] (e=4, shift 2) -> est 21
+    assert(out(90L) == ((90L, 4L, 20L, 21L, 1L, 50000L)),
+      out(90L).toString)
+    assert(out(99L) == out(90L).copy(_1 = 99L))
+    // hard invariant: est >= exact, relative error <= 2^-3
+    out.values.foreach { r =>
+      assert(r._4 >= r._3 && r._6 <= 125000L, r.toString)
+    }
+  }
+
   test("vocabGrowth: nested checkpoints are monotone and the full one is exact") {
     val docs = (1L to 40L).map(i =>
       (i, s"shared tok$i")).toDF("doc_id", "text")
