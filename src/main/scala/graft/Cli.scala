@@ -196,6 +196,7 @@ object Cli {
         |  stream-features <dir> <outDir>                stateless feature-store slice at stream ingest
         |  stream-hll <dir> <outDir>                     windowed HLL registers at stream ingest
         |  stream-countmin <dir> <outDir>                windowed count-min cells at stream ingest
+        |  stream-hdr <dir> <outDir>                     windowed HDR quantile buckets at stream ingest
         |(reference main.py snake_case subcommand names are accepted as aliases)
         |""".stripMargin)
     sys.exit(2)
@@ -1143,6 +1144,14 @@ object Cli {
       drainDocJob(streaming.StreamingJobs.countMinCells(stream,
         watermarkDelay = "0 seconds", windowDuration = "1 minute"), out)
       println(s"""{"stream_countmin":"$out"}""")
+
+    // HDR quantile buckets at ingest: doc-length distribution cells
+    // per event-time window, mergeable by addition (the CMS property)
+    case "stream-hdr" :: dir :: out :: Nil =>
+      val stream = stagedDocStream(spark, dir, out)
+      drainDocJob(streaming.StreamingJobs.hdrBuckets(stream,
+        watermarkDelay = "0 seconds", windowDuration = "1 minute"), out)
+      println(s"""{"stream_hdr":"$out"}""")
 
     // HLL registers at ingest: cardinality tracking per event-time
     // window; registers merge across runs by max (HLL union)

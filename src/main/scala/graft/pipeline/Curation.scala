@@ -218,29 +218,38 @@ object Curation {
     * keeps). Buckets are mergeable by addition — the streaming/
     * multi-shard story is the count-min one.
     */
+  /** HDR bucket id and inclusive upper bound for a non-negative long
+    * column `v` — identity below 2^p, then `(e−p)·2^p + (v >> (e−p))`
+    * with e = floor(log2 v) by comparison chain. Shared by
+    * [[hdrQuantileCalibration]] and the streaming twin so the two
+    * sketches are bit-identical.
+    */
+  private[graft] def hdrBuckets(vals: DataFrame, pBits: Int): DataFrame = {
+    val base = lit(1L << pBits)
+    val e = greatest((0 until 40).map(b =>
+      when(col("v") >= (1L << b), lit(b)).otherwise(lit(0))): _*)
+    val shift = expr(s"shiftleft(CAST(1 AS BIGINT), e - $pBits)")
+    vals.withColumn("e", e)
+      .withColumn("bid",
+        when(col("v") < base, col("v"))
+          .otherwise((col("e") - pBits) * base +
+            call_function("div", col("v"), shift)))
+      .withColumn("ub",
+        when(col("v") < base, col("v"))
+          .otherwise((call_function("div", col("v"), shift) + 1)
+            * shift - 1))
+  }
+
   def hdrQuantileCalibration(df: DataFrame, idCol: String,
       textCol: String, pBits: Int = 3,
       pcts: Seq[Int] = Seq(50, 90, 99)): DataFrame = {
     require(pBits >= 1 && pBits <= 10, "pBits in [1, 10]")
     require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100),
       "pcts in [1, 100]")
-    val base = lit(1L << pBits)
     val vals = df.select(
       size(TF.tokens(col(textCol))).cast("long").as("v"))
     graft.core.Caching.withCached(vals) {
-      // floor(log2 v) by comparison chain; only consulted when v >= 2^p
-      val e = greatest((0 until 40).map(b =>
-        when(col("v") >= (1L << b), lit(b)).otherwise(lit(0))): _*)
-      val shift = expr(s"shiftleft(CAST(1 AS BIGINT), e - $pBits)")
-      val withB = vals.withColumn("e", e)
-        .withColumn("bid",
-          when(col("v") < base, col("v"))
-            .otherwise((col("e") - pBits) * base +
-              call_function("div", col("v"), shift)))
-        .withColumn("ub",
-          when(col("v") < base, col("v"))
-            .otherwise((call_function("div", col("v"), shift) + 1)
-              * shift - 1))
+      val withB = hdrBuckets(vals, pBits)
       val buckets = withB.groupBy("bid", "ub")
         .agg(count(lit(1)).as("c"))
         .withColumn("cum", sum(col("c")).over(Window.orderBy(col("bid"))

@@ -172,6 +172,31 @@ object StreamingJobs {
         col("r"), col("b"), col("c"))
   }
 
+  /** HDR-histogram buckets at stream ingest — the quantile-sketch
+    * sibling of [[hllRegisters]]/[[countMinCells]], completing the
+    * audited-sketch triad's streaming story: arriving doc lengths
+    * drop into the SAME HdrHistogram-style log buckets as the batch
+    * calibration ([[graft.pipeline.Curation.hdrQuantileCalibration]]
+    * — shared bucket expression, so cells are bit-identical) and
+    * aggregate as counts per (event-time window, bucket). Like CMS,
+    * windows merge with any other run's cells by ADDITION; quantile
+    * probes (first bucket whose cumulative count clears the
+    * threshold) run downstream of the emitted table.
+    */
+  def hdrBuckets(docs: DataFrame,
+      watermarkDelay: String = "1 hour",
+      windowDuration: String = "1 hour", pBits: Int = 3): DataFrame = {
+    val TF = graft.pipeline.TextFunctions
+    val vals = docs.withWatermark("ts", watermarkDelay)
+      .select(col("ts"),
+        size(TF.tokens(col("text"))).cast("long").as("v"))
+    graft.pipeline.Curation.hdrBuckets(vals, pBits)
+      .groupBy(window(col("ts"), windowDuration), col("bid"), col("ub"))
+      .agg(count(lit(1)).as("c"))
+      .select(unix_micros(col("window.start")).as("ws_us"),
+        col("bid"), col("ub"), col("c"))
+  }
+
   /** Ingest-time feature projection — the stateless slice of the p123
     * document feature store: composite quality score, predicted
     * language, repetition fractions, and char/token entropy, all

@@ -972,6 +972,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming HDR buckets equal the batch sketch; counts conserved") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val docs = mem.toDF().toDF("doc_id", "text", "ts")
+    val q = StreamingJobs.hdrBuckets(docs)
+      .writeStream.format("memory").queryName("hdr_s")
+      .outputMode("append").start()
+    try {
+      def ts(s: String) = Timestamp.valueOf(s)
+      def doc(n: Int) = (1 to n).map(i => s"t$i").mkString(" ")
+      val rows = Seq(
+        (1L, doc(2), ts("2024-01-01 00:10:00")),
+        (2L, doc(8), ts("2024-01-01 00:20:00")),
+        (3L, doc(20), ts("2024-01-01 00:30:00")))
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      // advance the watermark so the first window closes and emits
+      mem.addData((99L, doc(1), ts("2024-01-02 12:00:00")))
+      q.processAllAvailable()
+      val streamed = spark.table("hdr_s")
+        .select("bid", "ub", "c").as[(Long, Long, Long)]
+        .collect().toSeq.sorted
+      val TF = graft.pipeline.TextFunctions
+      val batch = graft.pipeline.Curation.hdrBuckets(
+          rows.toDF("doc_id", "text", "ts")
+            .select(size(TF.tokens(col("text"))).cast("long").as("v")),
+          pBits = 3)
+        .groupBy("bid", "ub").agg(count(lit(1)).as("c"))
+        .as[(Long, Long, Long)].collect().toSeq.sorted
+      assert(streamed == batch, s"\n$streamed\nvs\n$batch")
+      // one doc per bucket here: 2 -> [2,2], 8 -> [8,8], 20 -> [20,21]
+      assert(streamed == Seq((2L, 2L, 1L), (8L, 8L, 1L), (18L, 21L, 1L)),
+        streamed.toString)
+      assert(streamed.map(_._3).sum == rows.size.toLong)
+    } finally q.stop()
+  }
+
   test("streaming HLL registers equal the batch sketch and merge by max") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String, String, Timestamp)]
