@@ -642,4 +642,65 @@ object Dedup {
           .as("containment_micro"))
     aInB.unionByName(bInA)
   }
+
+  /** Survivor-policy comparison card: close the near-dup `pairs` into
+    * clusters and evaluate, side by side, the three standard survivor
+    * rules a dedup cut can apply — `min_id` (the reproducible default
+    * every CC-based dedup here uses), `keep_longest` (max token
+    * count — the text-preserving rule), and `keep_best_quality` (max
+    * quality score — the training-value rule; ties always to the
+    * smaller id). One row per policy: cluster count, docs dropped,
+    * token mass removed, quality mass retained by the survivors, and
+    * how many clusters change survivor vs `min_id` — the card that
+    * turns "which rule?" from taste into numbers before a cut.
+    *
+    * `feat` must carry (idCol, nToksCol, scoreCol). All arithmetic is
+    * exact int64; per-cluster winners are `max(struct(metric, −id))`
+    * argmaxes (one map-side-combined groupBy — no window over the
+    * corpus), and the card is a 3-row explode of a single aggregate.
+    */
+  def survivorPolicyCard(feat: DataFrame, idCol: String,
+      nToksCol: String, scoreCol: String, pairs: DataFrame): DataFrame = {
+    val cc = graft.operators.ConnectedComponents.components(
+      pairs.select(col("doc_a").as("u"), col("doc_b").as("v")))
+    val f = feat.select(col(idCol).cast("long").as("node"),
+      col(nToksCol).cast("long").as("n_toks"),
+      col(scoreCol).cast("long").as("score_micro"))
+    val per = cc.join(f, Seq("node"))
+      .groupBy("component")
+      .agg(count(lit(1)).as("sz"),
+        sum(col("n_toks")).as("toks_all"),
+        min(col("node")).as("s_min"),
+        min(struct(col("node"), col("n_toks"), col("score_micro")))
+          .as("w_min"),
+        max(struct(col("n_toks"), (-col("node")).as("t"), col("node"),
+          col("score_micro"))).as("w_long"),
+        max(struct(col("score_micro"), (-col("node")).as("t"),
+          col("node"), col("n_toks"))).as("w_qual"))
+    val aggd = per.agg(
+      count(lit(1)).as("n_clusters"),
+      sum(col("sz") - 1).as("n_dropped"),
+      sum(col("toks_all") - col("w_min.n_toks")).as("tr_min"),
+      sum(col("w_min.score_micro")).as("qk_min"),
+      sum(col("toks_all") - col("w_long.n_toks")).as("tr_long"),
+      sum(col("w_long.score_micro")).as("qk_long"),
+      sum(when(col("w_long.node") =!= col("s_min"), 1L).otherwise(0L))
+        .as("ch_long"),
+      sum(col("toks_all") - col("w_qual.n_toks")).as("tr_qual"),
+      sum(col("w_qual.score_micro")).as("qk_qual"),
+      sum(when(col("w_qual.node") =!= col("s_min"), 1L).otherwise(0L))
+        .as("ch_qual"))
+    def row(name: String, tr: String, qk: String, ch: Column) =
+      struct(lit(name).as("policy"), col("n_clusters"),
+        col("n_dropped"), col(tr).as("toks_removed"),
+        col(qk).as("quality_kept_micro"), ch.as("changed_vs_min_id"))
+    aggd.select(explode(array(
+        row("min_id", "tr_min", "qk_min", lit(0L)),
+        row("keep_longest", "tr_long", "qk_long", col("ch_long")),
+        row("keep_best_quality", "tr_qual", "qk_qual", col("ch_qual"))))
+        .as("r"))
+      .select(col("r.policy"), col("r.n_clusters"), col("r.n_dropped"),
+        col("r.toks_removed"), col("r.quality_kept_micro"),
+        col("r.changed_vs_min_id"))
+  }
 }

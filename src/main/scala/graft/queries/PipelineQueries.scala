@@ -2249,6 +2249,24 @@ object PipelineQueries {
       .select(col("node").as("doc_id"), col("pr").as("pr_micro"))
   }
 
+  /** Survivor policies (p149): close the p04 near-dup pairs into
+    * clusters and compare the three survivor rules side by side
+    * ([[Dedup.survivorPolicyCard]]) — min-id (reproducible default),
+    * keep-longest (text-preserving), keep-best-quality
+    * (training-value) — reporting dropped docs, token mass removed,
+    * survivor quality mass, and how many clusters change survivor vs
+    * min-id. The decision card before committing a dedup cut. The
+    * oracle replays the closure, the three per-cluster argmaxes, and
+    * every rollup.
+    */
+  def p149SurvivorPolicies(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", k = 4,
+      threshold = 0.4, maxShingleFreqFrac = Some(0.1))
+    Dedup.survivorPolicyCard(scoredDocs(docs), "doc_id", "n_toks",
+      "score_micro", pairs)
+  }
+
   /** HDR quantiles (p148): the quantile member of the audited-sketch
     * triad ([[Curation.hdrQuantileCalibration]], p=3 → ≤12.5%
     * relative error) — doc-length p50/p90/p99 from HdrHistogram-style
@@ -3224,6 +3242,7 @@ object PipelineQueries {
     "p146_bootstrap_ci" -> p146BootstrapCi _,
     "p147_vocab_growth" -> p147VocabGrowth _,
     "p148_hdr_quantiles" -> p148HdrQuantiles _,
+    "p149_survivor_policies" -> p149SurvivorPolicies _,
     "p50_temp_mix" -> p50TempMix _,
     "p51_hard_negatives" -> p51HardNegatives _,
     "p52_ivf_trained" -> p52IvfTrained _,
@@ -5192,6 +5211,69 @@ object PipelineQueries {
       ("p141_triangles" -> oTriangles) +
       ("p142_detector_agreement" -> oDetectorAgreement) +
       ("p143_chi_square" -> oChiSquare) +
+      ("p149_survivor_policies" ->
+        s"""WITH RECURSIVE sh AS (
+           |  SELECT doc_id, ${oShingles(4)} AS sh
+           |  FROM (SELECT doc_id, $oToks AS toks FROM documents)),
+           |pairs AS (
+           |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           |  WHERE len(list_intersect(a.sh, b.sh))
+           |      / CAST(len(list_distinct(list_concat(a.sh, b.sh)))
+           |             AS DOUBLE) >= 0.4),
+           |edges AS (
+           |  SELECT doc_a AS u, doc_b AS v FROM pairs
+           |  UNION SELECT doc_b, doc_a FROM pairs),
+           |reach(u, v) AS (
+           |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+           |  UNION
+           |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+           |dec AS (SELECT u AS doc_id, MIN(v) AS comp
+           |        FROM reach GROUP BY u),
+           |$oScoreCtes,
+           |m AS (SELECT dec.doc_id, dec.comp, qm.n_toks, q.score_micro
+           |      FROM dec JOIN qm ON dec.doc_id = qm.doc_id
+           |               JOIN q ON dec.doc_id = q.doc_id),
+           |mw AS (SELECT *,
+           |    ROW_NUMBER() OVER (PARTITION BY comp ORDER BY doc_id)
+           |      AS r_min,
+           |    ROW_NUMBER() OVER (PARTITION BY comp
+           |      ORDER BY n_toks DESC, doc_id) AS r_long,
+           |    ROW_NUMBER() OVER (PARTITION BY comp
+           |      ORDER BY score_micro DESC, doc_id) AS r_qual
+           |  FROM m),
+           |per AS (SELECT comp, CAST(COUNT(*) AS BIGINT) AS sz,
+           |    CAST(SUM(n_toks) AS BIGINT) AS toks_all,
+           |    MIN(doc_id) AS s_min,
+           |    MAX(CASE WHEN r_min = 1 THEN n_toks END) AS t_min,
+           |    MAX(CASE WHEN r_min = 1 THEN score_micro END) AS q_min,
+           |    MAX(CASE WHEN r_long = 1 THEN doc_id END) AS s_long,
+           |    MAX(CASE WHEN r_long = 1 THEN n_toks END) AS t_long,
+           |    MAX(CASE WHEN r_long = 1 THEN score_micro END) AS q_long,
+           |    MAX(CASE WHEN r_qual = 1 THEN doc_id END) AS s_qual,
+           |    MAX(CASE WHEN r_qual = 1 THEN n_toks END) AS t_qual,
+           |    MAX(CASE WHEN r_qual = 1 THEN score_micro END) AS q_qual
+           |  FROM mw GROUP BY comp)
+           |SELECT 'min_id' AS policy,
+           |  CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           |  CAST(SUM(sz - 1) AS BIGINT) AS n_dropped,
+           |  CAST(SUM(toks_all - t_min) AS BIGINT) AS toks_removed,
+           |  CAST(SUM(q_min) AS BIGINT) AS quality_kept_micro,
+           |  CAST(0 AS BIGINT) AS changed_vs_min_id FROM per
+           |UNION ALL
+           |SELECT 'keep_longest', CAST(COUNT(*) AS BIGINT),
+           |  CAST(SUM(sz - 1) AS BIGINT),
+           |  CAST(SUM(toks_all - t_long) AS BIGINT),
+           |  CAST(SUM(q_long) AS BIGINT),
+           |  CAST(SUM(CASE WHEN s_long <> s_min THEN 1 ELSE 0 END)
+           |    AS BIGINT) FROM per
+           |UNION ALL
+           |SELECT 'keep_best_quality', CAST(COUNT(*) AS BIGINT),
+           |  CAST(SUM(sz - 1) AS BIGINT),
+           |  CAST(SUM(toks_all - t_qual) AS BIGINT),
+           |  CAST(SUM(q_qual) AS BIGINT),
+           |  CAST(SUM(CASE WHEN s_qual <> s_min THEN 1 ELSE 0 END)
+           |    AS BIGINT) FROM per""".stripMargin) +
       ("p148_hdr_quantiles" -> {
         val p = 3
         val eChain = (0 until 40).map(b =>

@@ -124,4 +124,34 @@ class DedupRecallSpec extends SparkSpec {
       .count()
     assert(nearDup > 0, "sample kept no near-dup pair to calibrate on")
   }
+
+  test("survivorPolicyCard: hand-built clusters, policies pick the right survivors") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // cluster {1,2,3}: doc 2 longest, doc 3 best quality; cluster
+    // {10,11}: doc 10 wins everything (policies agree with min_id)
+    val feat = Seq(
+      (1L, 5L, 100L), (2L, 9L, 200L), (3L, 7L, 900L),
+      (10L, 8L, 500L), (11L, 2L, 400L),
+      (99L, 50L, 50L) // isolated: not in any pair -> not in the card
+    ).toDF("doc_id", "n_toks", "score_micro")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L))
+      .toDF("doc_a", "doc_b")
+    val out = Dedup.survivorPolicyCard(feat, "doc_id", "n_toks",
+        "score_micro", pairs)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // min_id: survivors 1 (toks 5, q 100) and 10 (toks 8, q 500)
+    assert(out("min_id") ==
+      (("min_id", 2L, 3L, (9L + 7L) + 2L, 600L, 0L)),
+      out("min_id").toString)
+    // keep_longest: survivors 2 (9, 200) and 10 -> one cluster changed
+    assert(out("keep_longest") ==
+      (("keep_longest", 2L, 3L, (5L + 7L) + 2L, 700L, 1L)),
+      out("keep_longest").toString)
+    // keep_best_quality: survivors 3 (7, 900) and 10
+    assert(out("keep_best_quality") ==
+      (("keep_best_quality", 2L, 3L, (5L + 9L) + 2L, 1400L, 1L)),
+      out("keep_best_quality").toString)
+  }
 }
