@@ -176,6 +176,7 @@ object Cli {
         |  vocab-growth <dir> <outDir>                   Heaps-law card over hash-nested subcorpora
         |  hdr-quantiles <dir> <outDir>                  audited HDR-histogram quantile sketch
         |  survivor-policies <dir> <outDir>              min-id vs longest vs best-quality survivor card
+        |  rate-spikes <dir> <outDir>                    median+3MAD hourly event-rate anomalies
         |  retrieval-scorecard <dir> <outDir>            nDCG@10/MRR/hits of all five rankers
         |  classifier-auc <dir> <outDir>                 exact Mann-Whitney ROC-AUC of the NB scorer
         |  ppl-buckets <dir> <outDir>                    CCNet head/middle/tail perplexity terciles
@@ -586,6 +587,8 @@ object Cli {
       write(queries.PipelineQueries.p148HdrQuantiles(spark, dir), out)
     case "survivor-policies" :: dir :: out :: Nil =>
       write(queries.PipelineQueries.p149SurvivorPolicies(spark, dir), out)
+    case "rate-spikes" :: dir :: out :: Nil =>
+      write(queries.PipelineQueries.p150RateSpikes(spark, dir), out)
 
     // bloom-prefiltered idempotent ingest: the zero-shuffle scale path
     // of ingest-dedup. The sketch is sized from input FILE BYTES, not a

@@ -162,4 +162,50 @@ object Sessionize {
         floor((col("cnt") * col("q") + lit(99)) / lit(100.0)).cast("long"))
       .select(col("stage"), col("event_type"), col("q"), col("delta_us"))
   }
+
+  /** Event-rate spike detection — the robust data-quality monitor an
+    * ingest pipeline runs over its own telemetry: hourly event counts
+    * per type, flagged where the count exceeds
+    * `median + mult·MAD` of that type's hourly history (median ±
+    * median-absolute-deviation — the robust location/scale pair:
+    * unlike mean/stddev, one broken hour cannot drag the threshold
+    * toward itself). A scraper gone hot, a retry storm, a stuck
+    * producer all surface as `spike = 1` rows.
+    *
+    * Exact integer end-to-end: both medians are inverted-CDF order
+    * statistics (rank ⌈n/2⌉ under (value, window-start) order — the
+    * tie rule that makes the statistic deterministic), deviations are
+    * absolute integer differences, and the flag is an integer
+    * comparison. Scale shape: one (type, hour) count shuffle with
+    * map-side combine; the median windows run PER TYPE over that
+    * type's hourly rows (time-bounded however large the corpus — the
+    * sketch-sized-window argument), and the deviation pass reuses the
+    * same type-keyed exchange.
+    */
+  def rateSpikes(events: DataFrame, tsCol: String, typeCol: String,
+      mult: Long = 3L): DataFrame = {
+    val hourly = events
+      .groupBy(window(col(tsCol), "1 hour"), col(typeCol))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_micros(col("window.start")).as("ws_us"),
+        col(typeCol).as("event_type"), col("n"))
+    val part = Window.partitionBy("event_type")
+    def medianOf(df: DataFrame, valueCol: String,
+        out: String): DataFrame =
+      df.withColumn("rn", row_number().over(
+          part.orderBy(col(valueCol), col("ws_us"))))
+        .withColumn("cnt", count(lit(1)).over(part))
+        .filter(col("rn") ===
+          call_function("div", col("cnt") + 1, lit(2L)))
+        .select(col("event_type"), col(valueCol).as(out))
+    val med = medianOf(hourly, "n", "median_n")
+    val dev = hourly.join(med, Seq("event_type"))
+      .withColumn("ad", abs(col("n") - col("median_n")))
+    val mad = medianOf(dev, "ad", "mad_n")
+    dev.join(mad, Seq("event_type"))
+      .select(col("event_type"), col("ws_us"), col("n"),
+        col("median_n"), col("mad_n"),
+        when(col("n") > col("median_n") + lit(mult) * col("mad_n"), 1L)
+          .otherwise(0L).as("spike"))
+  }
 }

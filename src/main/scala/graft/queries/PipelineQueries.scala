@@ -2249,6 +2249,18 @@ object PipelineQueries {
       .select(col("node").as("doc_id"), col("pr").as("pr_micro"))
   }
 
+  /** Rate spikes (p150): robust event-rate anomaly detection over the
+    * ingest telemetry ([[graft.operators.Sessionize.rateSpikes]]) —
+    * hourly counts per event type flagged beyond median + 3·MAD of
+    * that type's history, both medians exact inverted-CDF order
+    * statistics. The monitor that catches a scraper gone hot or a
+    * retry storm before it poisons the corpus. The oracle replays the
+    * hourly counts, both medians, and the flag.
+    */
+  def p150RateSpikes(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sessionize.rateSpikes(Tables.events(s, dir), "ts",
+      "event_type")
+
   /** Survivor policies (p149): close the p04 near-dup pairs into
     * clusters and compare the three survivor rules side by side
     * ([[Dedup.survivorPolicyCard]]) — min-id (reproducible default),
@@ -3243,6 +3255,7 @@ object PipelineQueries {
     "p147_vocab_growth" -> p147VocabGrowth _,
     "p148_hdr_quantiles" -> p148HdrQuantiles _,
     "p149_survivor_policies" -> p149SurvivorPolicies _,
+    "p150_rate_spikes" -> p150RateSpikes _,
     "p50_temp_mix" -> p50TempMix _,
     "p51_hard_negatives" -> p51HardNegatives _,
     "p52_ivf_trained" -> p52IvfTrained _,
@@ -5211,6 +5224,32 @@ object PipelineQueries {
       ("p141_triangles" -> oTriangles) +
       ("p142_detector_agreement" -> oDetectorAgreement) +
       ("p143_chi_square" -> oChiSquare) +
+      ("p150_rate_spikes" ->
+        """WITH hourly AS (
+          |  SELECT CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT)
+          |      AS ws_us,
+          |    event_type, CAST(COUNT(*) AS BIGINT) AS n
+          |  FROM events GROUP BY 1, 2),
+          |m1 AS (SELECT event_type, n AS median_n FROM (
+          |    SELECT event_type, n, ws_us,
+          |      ROW_NUMBER() OVER (PARTITION BY event_type
+          |        ORDER BY n, ws_us) AS rn,
+          |      COUNT(*) OVER (PARTITION BY event_type) AS cnt
+          |    FROM hourly) WHERE rn = (cnt + 1) // 2),
+          |dev AS (SELECT h.event_type, h.ws_us, h.n, m1.median_n,
+          |    ABS(h.n - m1.median_n) AS ad
+          |  FROM hourly h JOIN m1 USING (event_type)),
+          |m2 AS (SELECT event_type, ad AS mad_n FROM (
+          |    SELECT event_type, ad, ws_us,
+          |      ROW_NUMBER() OVER (PARTITION BY event_type
+          |        ORDER BY ad, ws_us) AS rn,
+          |      COUNT(*) OVER (PARTITION BY event_type) AS cnt
+          |    FROM dev) WHERE rn = (cnt + 1) // 2)
+          |SELECT d.event_type, d.ws_us, d.n, d.median_n, m2.mad_n,
+          |  CASE WHEN d.n > d.median_n + 3 * m2.mad_n
+          |       THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT)
+          |  END AS spike
+          |FROM dev d JOIN m2 USING (event_type)""".stripMargin) +
       ("p149_survivor_policies" ->
         s"""WITH RECURSIVE sh AS (
            |  SELECT doc_id, ${oShingles(4)} AS sh

@@ -363,6 +363,29 @@ class PipelineSpec extends SparkSpec {
     assert(!out.exists(r => r._1 == 4L || r._2 == 4L))
   }
 
+  test("rateSpikes: median+3MAD flags only the hot hour, constant types never flag") {
+    import java.sql.Timestamp
+    def rows(tp: String, hour: Int, n: Int) = (1 to n).map(_ =>
+      (tp, Timestamp.valueOf(f"2024-01-01 $hour%02d:30:00")))
+    // type a: counts [2,3,3,4,3,2,20] -> median 3, MAD 1, cut 6
+    val aCounts = Seq(2, 3, 3, 4, 3, 2, 20)
+    val events = (aCounts.zipWithIndex.flatMap { case (c, h) =>
+      rows("a", h, c)
+    } ++ (0 until 4).flatMap(h => rows("b", h, 5)))
+      .toDF("event_type", "ts")
+    val out = graft.operators.Sessionize.rateSpikes(events, "ts",
+        "event_type")
+      .select("event_type", "n", "median_n", "mad_n", "spike")
+      .as[(String, Long, Long, Long, Long)].collect()
+    val a = out.filter(_._1 == "a")
+    assert(a.forall(r => r._3 == 3L && r._4 == 1L), a.toSeq.toString)
+    assert(a.filter(_._5 == 1L).map(_._2).toSeq == Seq(20L),
+      a.toSeq.toString)
+    val b = out.filter(_._1 == "b")
+    assert(b.forall(r => r._3 == 5L && r._4 == 0L && r._5 == 0L),
+      b.toSeq.toString)
+  }
+
   test("retention cohorts: first-week cohorting, churn visible, k=0 always full") {
     val WK = 604800000000L
     def ev(u: Long, week: Long) = (u, week * WK * 1000L + u) // ns, unique
