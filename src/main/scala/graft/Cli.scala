@@ -177,6 +177,8 @@ object Cli {
         |  hdr-quantiles <dir> <outDir>                  audited HDR-histogram quantile sketch
         |  survivor-policies <dir> <outDir>              min-id vs longest vs best-quality survivor card
         |  rate-spikes <dir> <outDir>                    median+3MAD hourly event-rate anomalies
+        |  source-dup-rates <dir> <outDir>               per-source near-dup pollution card
+        |  split-leakage <dir> <outDir>                  near-dup clusters straddling train/valid/test
         |  retrieval-scorecard <dir> <outDir>            nDCG@10/MRR/hits of all five rankers
         |  classifier-auc <dir> <outDir>                 exact Mann-Whitney ROC-AUC of the NB scorer
         |  ppl-buckets <dir> <outDir>                    CCNet head/middle/tail perplexity terciles
@@ -589,6 +591,10 @@ object Cli {
       write(queries.PipelineQueries.p149SurvivorPolicies(spark, dir), out)
     case "rate-spikes" :: dir :: out :: Nil =>
       write(queries.PipelineQueries.p150RateSpikes(spark, dir), out)
+    case "source-dup-rates" :: dir :: out :: Nil =>
+      write(queries.PipelineQueries.p151SourceDupRates(spark, dir), out)
+    case "split-leakage" :: dir :: out :: Nil =>
+      write(queries.PipelineQueries.p152SplitLeakage(spark, dir), out)
 
     // bloom-prefiltered idempotent ingest: the zero-shuffle scale path
     // of ingest-dedup. The sketch is sized from input FILE BYTES, not a

@@ -2249,6 +2249,82 @@ object PipelineQueries {
       .select(col("node").as("doc_id"), col("pr").as("pr_micro"))
   }
 
+  /** Source dup rates (p151): which sources are template mills —
+    * per source, how many docs sit in a near-dup cluster (p04 pairs
+    * closed by CC) and how many a min-id cut would drop, with the
+    * dup token mass. The triage card that points the crawler team at
+    * the polluted feed instead of the whole corpus. Exact integers;
+    * the oracle replays the closure and the per-source rollup.
+    */
+  def p151SourceDupRates(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", k = 4,
+      threshold = 0.4, maxShingleFreqFrac = Some(0.1))
+    val cc = graft.operators.ConnectedComponents.dedupDecisions(
+      pairs.select(col("doc_a").as("u"), col("doc_b").as("v")))
+    docs.select(col("doc_id"), col("source"),
+        size(TF.tokens(col("text"))).cast("long").as("n_toks"))
+      .join(cc.select(col("node").as("doc_id"), col("keep")),
+        Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep").isNotNull, 1L).otherwise(0L))
+          .as("n_clustered"),
+        sum(when(col("keep") === 0, 1L).otherwise(0L)).as("n_dropped"),
+        sum(when(col("keep") === 0, col("n_toks")).otherwise(0L))
+          .as("toks_dropped"))
+      .withColumn("dup_rate_micro", call_function("div",
+        col("n_clustered") * lit(1000000L), col("n_docs")))
+  }
+
+  /** Split leakage (p152): the dedup-before-split audit — near-dup
+    * clusters (p04 pairs closed by CC) crossed with the p16
+    * train/valid/test hash split; a cluster straddling two splits
+    * leaks training text into evaluation. Reports, per split pair,
+    * the straddling pair count, plus the cluster-level summary row
+    * (`splits = 'ANY'`). The check every pretraining pipeline runs
+    * AFTER splitting and BEFORE training. Exact integers; the oracle
+    * replays the closure, the split hash, and both rollups.
+    */
+  def p152SplitLeakage(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", k = 4,
+        threshold = 0.4, maxShingleFreqFrac = Some(0.1))
+      .select(col("doc_a"), col("doc_b"))
+    val split = docs.select(col("doc_id"),
+      (TF.hash60(concat(lit("split"), col("doc_id").cast("string")))
+        % 100).as("h"))
+      .select(col("doc_id"),
+        when(col("h") < 80, "train").when(col("h") < 90, "valid")
+          .otherwise("test").as("split"))
+    val sp = pairs
+      .join(split.select(col("doc_id").as("doc_a"),
+        col("split").as("sa")), Seq("doc_a"))
+      .join(split.select(col("doc_id").as("doc_b"),
+        col("split").as("sb")), Seq("doc_b"))
+      .select(least(col("sa"), col("sb")).as("s1"),
+        greatest(col("sa"), col("sb")).as("s2"))
+    val byPair = sp.groupBy("s1", "s2")
+      .agg(count(lit(1)).as("n"))
+      .select(concat(col("s1"), lit("|"), col("s2")).as("bucket"),
+        col("n"))
+    val cc = graft.operators.ConnectedComponents.components(
+      pairs.select(col("doc_a").as("u"), col("doc_b").as("v")))
+    val summary = cc.join(split.select(col("doc_id").as("node"),
+        col("split")), Seq("node"))
+      .groupBy("component")
+      .agg(countDistinct(col("split")).as("n_splits"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(when(col("n_splits") > 1, 1L).otherwise(0L))
+          .as("n_straddling"))
+    byPair.unionByName(summary.select(explode(array(
+        struct(lit("clusters_total").as("bucket"),
+          col("n_clusters").as("n")),
+        struct(lit("clusters_straddling").as("bucket"),
+          col("n_straddling").as("n")))).as("r"))
+      .select(col("r.bucket"), col("r.n")))
+  }
+
   /** Rate spikes (p150): robust event-rate anomaly detection over the
     * ingest telemetry ([[graft.operators.Sessionize.rateSpikes]]) —
     * hourly counts per event type flagged beyond median + 3·MAD of
@@ -3256,6 +3332,8 @@ object PipelineQueries {
     "p148_hdr_quantiles" -> p148HdrQuantiles _,
     "p149_survivor_policies" -> p149SurvivorPolicies _,
     "p150_rate_spikes" -> p150RateSpikes _,
+    "p151_source_dup_rates" -> p151SourceDupRates _,
+    "p152_split_leakage" -> p152SplitLeakage _,
     "p50_temp_mix" -> p50TempMix _,
     "p51_hard_negatives" -> p51HardNegatives _,
     "p52_ivf_trained" -> p52IvfTrained _,
@@ -5224,6 +5302,81 @@ object PipelineQueries {
       ("p141_triangles" -> oTriangles) +
       ("p142_detector_agreement" -> oDetectorAgreement) +
       ("p143_chi_square" -> oChiSquare) +
+      ("p151_source_dup_rates" ->
+        s"""WITH RECURSIVE sh AS (
+           |  SELECT doc_id, ${oShingles(4)} AS sh
+           |  FROM (SELECT doc_id, $oToks AS toks FROM documents)),
+           |pairs AS (
+           |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           |  WHERE len(list_intersect(a.sh, b.sh))
+           |      / CAST(len(list_distinct(list_concat(a.sh, b.sh)))
+           |             AS DOUBLE) >= 0.4),
+           |edges AS (
+           |  SELECT doc_a AS u, doc_b AS v FROM pairs
+           |  UNION SELECT doc_b, doc_a FROM pairs),
+           |reach(u, v) AS (
+           |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+           |  UNION
+           |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+           |dec AS (SELECT u AS doc_id,
+           |    CASE WHEN u = MIN(v) THEN 1 ELSE 0 END AS keep
+           |  FROM reach GROUP BY u),
+           |nt AS (SELECT doc_id, source,
+           |    CAST(len($oToks) AS BIGINT) AS n_toks FROM documents)
+           |SELECT nt.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |  CAST(SUM(CASE WHEN dec.doc_id IS NOT NULL THEN 1 ELSE 0
+           |    END) AS BIGINT) AS n_clustered,
+           |  CAST(SUM(CASE WHEN dec.keep = 0 THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_dropped,
+           |  CAST(SUM(CASE WHEN dec.keep = 0 THEN nt.n_toks ELSE 0
+           |    END) AS BIGINT) AS toks_dropped,
+           |  (CAST(SUM(CASE WHEN dec.doc_id IS NOT NULL THEN 1 ELSE 0
+           |    END) AS BIGINT) * 1000000) // CAST(COUNT(*) AS BIGINT)
+           |    AS dup_rate_micro
+           |FROM nt LEFT JOIN dec ON nt.doc_id = dec.doc_id
+           |GROUP BY nt.source""".stripMargin) +
+      ("p152_split_leakage" ->
+        s"""WITH RECURSIVE sh AS (
+           |  SELECT doc_id, ${oShingles(4)} AS sh
+           |  FROM (SELECT doc_id, $oToks AS toks FROM documents)),
+           |pairs AS (
+           |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           |  WHERE len(list_intersect(a.sh, b.sh))
+           |      / CAST(len(list_distinct(list_concat(a.sh, b.sh)))
+           |             AS DOUBLE) >= 0.4),
+           |edges AS (
+           |  SELECT doc_a AS u, doc_b AS v FROM pairs
+           |  UNION SELECT doc_b, doc_a FROM pairs),
+           |reach(u, v) AS (
+           |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+           |  UNION
+           |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+           |dec AS (SELECT u AS doc_id, MIN(v) AS comp
+           |        FROM reach GROUP BY u),
+           |sp AS (SELECT doc_id,
+           |    CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'valid'
+           |         ELSE 'test' END AS split
+           |  FROM (SELECT doc_id,
+           |    ${oHash("'split' || CAST(doc_id AS VARCHAR)")} % 100
+           |      AS h FROM documents)),
+           |pr AS (SELECT LEAST(a.split, b.split) AS s1,
+           |    GREATEST(a.split, b.split) AS s2
+           |  FROM pairs p JOIN sp a ON p.doc_a = a.doc_id
+           |  JOIN sp b ON p.doc_b = b.doc_id),
+           |bp AS (SELECT s1 || '|' || s2 AS bucket,
+           |    CAST(COUNT(*) AS BIGINT) AS n FROM pr GROUP BY s1, s2),
+           |cl AS (SELECT dec.comp, COUNT(DISTINCT sp.split) AS ns
+           |  FROM dec JOIN sp ON dec.doc_id = sp.doc_id
+           |  GROUP BY dec.comp),
+           |sm AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           |    CAST(SUM(CASE WHEN ns > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS n_straddling FROM cl)
+           |SELECT bucket, n FROM bp
+           |UNION ALL SELECT 'clusters_total', n_clusters FROM sm
+           |UNION ALL SELECT 'clusters_straddling', n_straddling
+           |FROM sm""".stripMargin) +
       ("p150_rate_spikes" ->
         """WITH hourly AS (
           |  SELECT CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT)
