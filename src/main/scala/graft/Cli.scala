@@ -68,6 +68,7 @@ object Cli {
         |  grant-permissions                             no-op (PostgreSQL GRANTs; storage-layer ACLs in Spark)
         |  vocab-indexes                                 no-op (btree DDL; layout-write covers the Spark analogue)
         |  stream-window <dir> <outDir>                  windowed agg as an incremental stream over events
+        |  stream-rate-spikes <dir> <outDir>             snapshot-fit median+3MAD flags at stream ingest
         |  stream-dedup <dir> <outDir>                   streaming exact dedup (watermark-bounded state)
         |  stream-sessionize <dir> <outDir>              stateful sessionization as an incremental stream
         |  stream-neardup <dir> <outDir>                 streaming LSH near-dup candidate pairs
@@ -874,6 +875,14 @@ object Cli {
     case "stream-window" :: dir :: out :: Nil =>
       runEventStream(spark, dir, out, streaming.StreamingJobs.windowedAgg)
       println(s"""{"stream_window":"$out"}""")
+
+    // rate-spike monitoring at ingest: per-type median+3MAD thresholds
+    // fit on the snapshot history, each closed hourly window flagged
+    case "stream-rate-spikes" :: dir :: out :: Nil =>
+      val snapshot = Tables.events(spark, dir)
+      runEventStream(spark, dir, out,
+        streaming.StreamingJobs.rateSpikeFlags(_, snapshot))
+      println(s"""{"stream_rate_spikes":"$out"}""")
 
     // streaming exact dedup run incrementally: re-deliveries of the
     // same (user_id, event_id) within the watermark horizon are

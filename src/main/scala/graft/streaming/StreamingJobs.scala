@@ -566,6 +566,35 @@ object StreamingJobs {
       centroidFilter, nprobe, thresholdMicro, cellIndex)
   }
 
+  /** Rate-spike flags at ingest — the monitoring half of
+    * [[graft.operators.Sessionize.rateSpikes]]: per-type
+    * median + mult·MAD thresholds are fit ONCE on the snapshot
+    * corpus's hourly history (the robust pair one broken hour cannot
+    * drag) and broadcast into each micro-batch; arriving events
+    * aggregate per (event-time window, type) and every closed window
+    * emits its count beside the integer spike flag. Stream-side work
+    * per batch is one windowed count + a broadcast equi-join — no
+    * per-batch history scan, the snapshot-fit discipline of
+    * [[perplexityScore]]/[[classify]].
+    */
+  def rateSpikeFlags(events: DataFrame, snapshot: DataFrame,
+      mult: Long = 3L, watermarkDelay: String = "1 hour",
+      windowDuration: String = "1 hour"): DataFrame = {
+    val th = graft.operators.Sessionize
+      .rateSpikes(snapshot, "ts", "event_type", mult)
+      .select(col("event_type"), col("median_n"), col("mad_n"))
+      .distinct()
+    events.withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowDuration), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_micros(col("window.start")).as("ws_us"),
+        col("event_type"), col("n"))
+      .join(broadcast(th), Seq("event_type"))
+      .withColumn("spike",
+        when(col("n") > col("median_n") + lit(mult) * col("mad_n"), 1L)
+          .otherwise(0L))
+  }
+
   /** Online cluster routing at ingest — the serving half of a k-means
     * fit (the p140 elbow card picks k; this routes traffic): train
     * once on the snapshot corpus at job start, fold the trained

@@ -972,6 +972,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming rate-spike flags apply the snapshot thresholds per window") {
+    implicit val sqlCtx = spark.sqlContext
+    import java.sql.Timestamp
+    // snapshot history for type a: counts [2,3,3,4,3,2,20]
+    // -> median 3, MAD 1, cut 6 (the batch spec's fixture)
+    def rows(tp: String, day: Int, hour: Int, n: Int) = (1 to n).map(_ =>
+      (tp, Timestamp.valueOf(f"2024-01-0$day $hour%02d:30:00")))
+    val snapshot = Seq(2, 3, 3, 4, 3, 2, 20).zipWithIndex
+      .flatMap { case (c, h) => rows("a", 1, h, c) }
+      .toDF("event_type", "ts")
+    val mem = MemoryStream[(String, Timestamp)]
+    val q = StreamingJobs.rateSpikeFlags(
+        mem.toDF().toDF("event_type", "ts"), snapshot)
+      .writeStream.format("memory").queryName("spike_s")
+      .outputMode("append").start()
+    try {
+      // day 2: hour 0 normal (4 <= 6), hour 1 hot (9 > 6)
+      mem.addData(rows("a", 2, 0, 4) ++ rows("a", 2, 1, 9): _*)
+      q.processAllAvailable()
+      mem.addData(rows("a", 3, 12, 1): _*) // advance the watermark
+      q.processAllAvailable()
+      val out = spark.table("spike_s")
+        .select("event_type", "n", "median_n", "mad_n", "spike")
+        .as[(String, Long, Long, Long, Long)].collect().toSeq.sortBy(_._2)
+      assert(out == Seq(("a", 4L, 3L, 1L, 0L), ("a", 9L, 3L, 1L, 1L)),
+        out.toString)
+    } finally q.stop()
+  }
+
   test("streaming HDR buckets equal the batch sketch; counts conserved") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String, Timestamp)]
