@@ -550,4 +550,38 @@ class PlansSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
     assert(p.contains("BroadcastHashJoin"), p)
   }
+
+  test("cluster-quality card broadcasts centroids and prunes map-side (p140)") {
+    val p = plan(PipelineQueries.p140ClusterQuality(spark, sf0001))
+    // trained centroids ride a broadcast crossJoin; distances stay in
+    // the codegen kernel; the ranking shuffle is preceded by the
+    // partial top-k mapPartitions so only 2 rows per vector move
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("dot_product_f"), p)
+    assert(p.contains("MapPartitions"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("chi-square features: one token shuffle, totals broadcast (p143)") {
+    val p = plan(PipelineQueries.p143ChiSquare(spark, sf0001))
+    // the single-row totals frame must broadcast onto the vocab-sized
+    // cell table — a sort-merge join here would shuffle the corpus
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("vocab growth: two count shuffles, no sort-merge join, no cartesian (p147)") {
+    val p = plan(PipelineQueries.p147VocabGrowth(spark, sf0001))
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // hash-nested checkpoints: NO global sort/window over the corpus
+    assert(!p.contains("Window"), p)
+  }
+
+  test("hdr quantile sketch: bucket window is sketch-sized, no cartesian (p148)") {
+    val p = plan(PipelineQueries.p148HdrQuantiles(spark, sf0001))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }
