@@ -180,6 +180,7 @@ object Cli {
         |  rate-spikes <dir> <outDir>                    median+3MAD hourly event-rate anomalies
         |  source-dup-rates <dir> <outDir>               per-source near-dup pollution card
         |  split-leakage <dir> <outDir>                  near-dup clusters straddling train/valid/test
+        |  epoch-schedule <dir> <outDir>                 per-source epochs under the 4-epoch ceiling
         |  retrieval-scorecard <dir> <outDir>            nDCG@10/MRR/hits of all five rankers
         |  classifier-auc <dir> <outDir>                 exact Mann-Whitney ROC-AUC of the NB scorer
         |  ppl-buckets <dir> <outDir>                    CCNet head/middle/tail perplexity terciles
@@ -596,6 +597,8 @@ object Cli {
       write(queries.PipelineQueries.p151SourceDupRates(spark, dir), out)
     case "split-leakage" :: dir :: out :: Nil =>
       write(queries.PipelineQueries.p152SplitLeakage(spark, dir), out)
+    case "epoch-schedule" :: dir :: out :: Nil =>
+      write(queries.PipelineQueries.p153EpochSchedule(spark, dir), out)
 
     // bloom-prefiltered idempotent ingest: the zero-shuffle scale path
     // of ingest-dedup. The sketch is sized from input FILE BYTES, not a

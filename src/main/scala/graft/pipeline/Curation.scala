@@ -193,6 +193,47 @@ object Curation {
             col("naive_chunks"))).as("saved_chunks_pct_micro"))
   }
 
+  /** Epoch-repetition schedule — the data-constrained scaling card
+    * (Muennighoff et al. 2023: repeating data beyond ~4 epochs yields
+    * rapidly diminishing returns): given a token budget of
+    * `budgetNumer/budgetDenom × corpus total` split UNIFORMLY across
+    * strata (the p44 mix target), report per stratum how many epochs
+    * its share demands, the token mass actually deliverable under a
+    * `capEpochs` repetition ceiling, and the deficit the mix planner
+    * must re-allocate. The card that says which "equal share" is a
+    * fiction before a run wastes compute discovering it.
+    *
+    * Exact integers throughout (budget and shares via integer
+    * division of in-plan totals — no driver count() pre-pass, the
+    * single-row totals broadcast). One stratum-keyed count shuffle.
+    */
+  def epochSchedule(df: DataFrame, stratumCol: String, textCol: String,
+      budgetNumer: Long, budgetDenom: Long,
+      capEpochs: Long): DataFrame = {
+    require(budgetNumer > 0 && budgetDenom > 0 && capEpochs > 0,
+      "budget and cap must be positive")
+    def fd(a: Column, m: Column): Column =
+      call_function("div", a, m)
+    val per = df.select(col(stratumCol).as("source"),
+        size(TF.tokens(col(textCol))).cast("long").as("n"))
+      .groupBy("source").agg(sum(col("n")).as("avail_toks"))
+    val tot = per.agg(sum(col("avail_toks")).as("total"),
+      count(lit(1)).as("ns"))
+    per.crossJoin(broadcast(tot))
+      .withColumn("target_toks",
+        fd(col("total") * lit(budgetNumer),
+          col("ns") * lit(budgetDenom)))
+      .withColumn("epochs_micro",
+        fd(col("target_toks") * lit(1000000L), col("avail_toks")))
+      .withColumn("effective_toks",
+        least(col("target_toks"), lit(capEpochs) * col("avail_toks")))
+      .select(col("source"), col("avail_toks"), col("target_toks"),
+        col("epochs_micro"), col("effective_toks"),
+        (col("target_toks") - col("effective_toks")).as("deficit_toks"),
+        when(col("epochs_micro") > lit(capEpochs) * 1000000L, 1L)
+          .otherwise(0L).as("over_cap"))
+  }
+
   /** HDR-histogram quantile calibration — the QUANTILE member of the
     * audited-sketch triad (count-min = frequency p127, HLL =
     * cardinality p128, this = percentiles): doc token counts stream

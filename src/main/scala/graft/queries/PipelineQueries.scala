@@ -2249,6 +2249,17 @@ object PipelineQueries {
       .select(col("node").as("doc_id"), col("pr").as("pr_micro"))
   }
 
+  /** Epoch schedule (p153): the data-constrained scaling card
+    * ([[Curation.epochSchedule]]) — a 4× corpus budget split
+    * uniformly across sources, per-source epochs demanded, tokens
+    * deliverable under the 4-epoch repetition ceiling, and the
+    * deficit to re-allocate. Exact integers; the oracle replays the
+    * in-plan totals and every division.
+    */
+  def p153EpochSchedule(s: SparkSession, dir: String): DataFrame =
+    Curation.epochSchedule(t(s, dir, "documents"), "source", "text",
+      budgetNumer = 4L, budgetDenom = 1L, capEpochs = 4L)
+
   /** Source dup rates (p151): which sources are template mills —
     * per source, how many docs sit in a near-dup cluster (p04 pairs
     * closed by CC) and how many a min-id cut would drop, with the
@@ -3334,6 +3345,7 @@ object PipelineQueries {
     "p150_rate_spikes" -> p150RateSpikes _,
     "p151_source_dup_rates" -> p151SourceDupRates _,
     "p152_split_leakage" -> p152SplitLeakage _,
+    "p153_epoch_schedule" -> p153EpochSchedule _,
     "p50_temp_mix" -> p50TempMix _,
     "p51_hard_negatives" -> p51HardNegatives _,
     "p52_ivf_trained" -> p52IvfTrained _,
@@ -5302,6 +5314,25 @@ object PipelineQueries {
       ("p141_triangles" -> oTriangles) +
       ("p142_detector_agreement" -> oDetectorAgreement) +
       ("p143_chi_square" -> oChiSquare) +
+      ("p153_epoch_schedule" ->
+        s"""WITH per AS (SELECT source,
+           |    CAST(SUM(len($oToks)) AS BIGINT) AS avail_toks
+           |  FROM documents GROUP BY source),
+           |tot AS (SELECT CAST(SUM(avail_toks) AS BIGINT) AS total,
+           |    CAST(COUNT(*) AS BIGINT) AS ns FROM per),
+           |x AS (SELECT source, avail_toks,
+           |    (tot.total * 4) // (tot.ns * 1) AS target_toks
+           |  FROM per, tot),
+           |y AS (SELECT source, avail_toks, target_toks,
+           |    (target_toks * 1000000) // avail_toks AS epochs_micro,
+           |    LEAST(target_toks, 4 * avail_toks) AS effective_toks
+           |  FROM x)
+           |SELECT source, avail_toks, target_toks, epochs_micro,
+           |  effective_toks,
+           |  target_toks - effective_toks AS deficit_toks,
+           |  CASE WHEN epochs_micro > 4000000 THEN CAST(1 AS BIGINT)
+           |       ELSE CAST(0 AS BIGINT) END AS over_cap
+           |FROM y""".stripMargin) +
       ("p151_source_dup_rates" ->
         s"""WITH RECURSIVE sh AS (
            |  SELECT doc_id, ${oShingles(4)} AS sh

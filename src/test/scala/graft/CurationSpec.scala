@@ -190,6 +190,21 @@ class CurationSpec extends SparkSpec {
     assert((if (d3 * 1000000L < 500000L * 1000000L) 1 else 0) == a3)
   }
 
+  test("epochSchedule: uniform shares, the 4-epoch cap, and the deficit") {
+    def doc(n: Int) = (1 to n).map(i => s"t$i").mkString(" ")
+    // s1 holds 10 tokens, s2 holds 30; budget 4x40=160, target 80 each
+    val docs = Seq((1L, "s1", doc(10)), (2L, "s2", doc(30)))
+      .toDF("doc_id", "source", "text")
+    val out = Curation.epochSchedule(docs, "source", "text",
+        budgetNumer = 4L, budgetDenom = 1L, capEpochs = 4L)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out("s1") == (("s1", 10L, 80L, 8000000L, 40L, 40L, 1L)),
+      out("s1").toString)
+    assert(out("s2") == (("s2", 30L, 80L, 2666666L, 80L, 0L, 0L)),
+      out("s2").toString)
+  }
+
   test("hdrQuantileCalibration: identity region exact, log region bounded overshoot") {
     def doc(n: Int) = (1 to n).map(i => s"t$i").mkString(" ")
     val docs = Seq((1L, doc(2)), (2L, doc(4)), (3L, doc(8)),
