@@ -169,6 +169,8 @@ object Cli {
         |  classifier-agreement <dir> <outDir>           Cohen's kappa between the NB and LR classifiers
         |  cluster-quality <dir> <outDir>                k-means elbow card (inertia + silhouette per k)
         |  dedup-triangles <dir> <outDir>                near-dup graph triangle counts (clique vs star)
+        |  dedup-kcore <dir> <outDir>                    near-dup graph k-core peel (cohesion cut depth)
+        |  dedup-retrieval-impact <dir> <outDir>         BM25 quality card before vs after the dedup cut
         |  detector-agreement <dir> <outDir>             ARI between the Jaccard and SimHash partitions
         |  chi-square <dir> <outDir>                     top-50 tokens by label association (feature selection)
         |  pmi-expansion <dir> <outDir>                  thesaurus-expanded BM25 vs flat, scorecarded
@@ -183,6 +185,7 @@ object Cli {
         |  epoch-schedule <dir> <outDir>                 per-source epochs under the 4-epoch ceiling
         |  retrieval-scorecard <dir> <outDir>            nDCG@10/MRR/hits of all five rankers
         |  classifier-auc <dir> <outDir>                 exact Mann-Whitney ROC-AUC of the NB scorer
+        |  classifier-pr-auc <dir> <outDir>              exact average precision (PR-AUC) vs prevalence
         |  ppl-buckets <dir> <outDir>                    CCNet head/middle/tail perplexity terciles
         |  domain-cap <dir> <outDir>                     per-domain top-N quality caps
         |  collocations <dir> <outDir>                   PMI collocation top-100
@@ -517,6 +520,8 @@ object Cli {
       write(queries.PipelineQueries.p112Bm25(spark, dir), out)
     case "ql-search" :: dir :: out :: Nil =>
       write(queries.PipelineQueries.p129Ql(spark, dir), out)
+    case "classifier-pr-auc" :: dir :: out :: Nil =>
+      write(queries.PipelineQueries.p155PrAuc(spark, dir), out)
     case "classifier-auc" :: dir :: out :: Nil =>
       write(queries.PipelineQueries.p113Auc(spark, dir), out)
     case "ppl-buckets" :: dir :: out :: Nil =>
@@ -575,6 +580,10 @@ object Cli {
       write(queries.PipelineQueries.p140ClusterQuality(spark, dir), out)
     case "dedup-triangles" :: dir :: out :: Nil =>
       write(queries.PipelineQueries.p141Triangles(spark, dir), out)
+    case "dedup-kcore" :: dir :: out :: Nil =>
+      write(queries.PipelineQueries.p154KCore(spark, dir), out)
+    case "dedup-retrieval-impact" :: dir :: out :: Nil =>
+      write(queries.PipelineQueries.p156DedupRetrievalImpact(spark, dir), out)
     case "detector-agreement" :: dir :: out :: Nil =>
       write(queries.PipelineQueries.p142DetectorAgreement(spark, dir), out)
     case "chi-square" :: dir :: out :: Nil =>

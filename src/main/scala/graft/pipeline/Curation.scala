@@ -1766,6 +1766,54 @@ object Curation {
         expr("(u2 * 1000000) div (2 * n_pos * n_neg)").as("auc_micro"))
   }
 
+  /** Exact average precision (the PR-curve area) — the
+    * class-imbalance-honest companion to [[rocAuc]]: ROC-AUC stays
+    * optimistic when negatives dominate (a quality gate's usual
+    * regime, where most of a raw crawl is negative), while AP scores
+    * the ranking by the precision actually seen at each recall step.
+    *
+    * Definition (the step-wise sum sklearn uses, ties as one block):
+    * over score groups in DESCENDING order,
+    * `AP = Σ_g (tp_g / P) · (cumTP_g / cum_g)` — each group
+    * contributes its recall increment times the precision at its
+    * threshold. With integer scores every term is rational; each is
+    * floored to micro by ONE integer division
+    * (`tp·cumTP·10⁶ div (cum·P)`, all factors non-negative int64)
+    * BEFORE the cross-group sum, the house floor-then-sum rule, so
+    * any engine replaying the groups gets the identical integer.
+    * `prevalence_micro` (= random-classifier AP) rides along as the
+    * baseline the card is read against. int64 bound: the term
+    * numerator is ≤ P·N·10⁶ — fine to ~3·10⁶ positives at corpus
+    * row counts; beyond that, rescale scores upstream.
+    *
+    * Scale shape: identical to [[rocAuc]] — one map-side-combined
+    * groupBy on the score, then the ordered window runs over DISTINCT
+    * SCORES only (bounded by score resolution, not corpus size), and
+    * the totals ride a single-row broadcast.
+    */
+  def averagePrecision(scored: DataFrame, scoreCol: String,
+      clsCol: String): DataFrame = {
+    val byScore = scored.groupBy(col(scoreCol).as("s"))
+      .agg(sum(col(clsCol)).as("tp"),
+        (count(lit(1)) - sum(col(clsCol))).as("fp"))
+    val w = Window.orderBy(col("s").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = byScore.agg(sum(col("tp")).as("n_pos"),
+      sum(col("fp")).as("n_neg"))
+    byScore
+      .withColumn("cum_tp", sum(col("tp")).over(w))
+      .withColumn("cum", sum(col("tp") + col("fp")).over(w))
+      .crossJoin(broadcast(tot))
+      .withColumn("term_micro", call_function("div",
+        col("tp") * col("cum_tp") * lit(1000000L),
+        col("cum") * col("n_pos")))
+      .agg(max(col("n_pos")).as("n_pos"), max(col("n_neg")).as("n_neg"),
+        sum(col("term_micro")).as("ap_micro"))
+      .select(col("n_pos"), col("n_neg"), col("ap_micro"),
+        expr("(n_pos * 1000000) div (n_pos + n_neg)")
+          .as("prevalence_micro"))
+  }
+
   // ------------------------------------------- perplexity partition
 
   /** CCNet's head/middle/tail perplexity partition (Wenzek et al.

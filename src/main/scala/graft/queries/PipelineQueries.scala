@@ -441,6 +441,118 @@ object PipelineQueries {
        |  COALESCE(tc.t, CAST(0 AS BIGINT)) AS tri_count
        |FROM deg LEFT JOIN tc ON deg.n = tc.n""".stripMargin
 
+  /** k-core replay over the p138 edge set: exhaustive pairs, then for
+    * each k the full sequence of simultaneous peel rounds as
+    * materialized CTEs (degree count, survivor filter, edge
+    * restriction) — the p154 oracle.
+    */
+  private def oKCore(ks: Seq[Int], rounds: Int): String = {
+    def peel(tag: String, k: Int): String =
+      (1 to rounds).map { r =>
+        val prev = if (r == 1) "ge0" else s"${tag}e${r - 1}"
+        s"""${tag}a$r AS MATERIALIZED (SELECT src FROM $prev
+           |  GROUP BY src HAVING COUNT(*) >= $k),
+           |${tag}e$r AS MATERIALIZED (
+           |  SELECT e.src, e.dst FROM $prev e
+           |  JOIN ${tag}a$r s ON e.src = s.src
+           |  JOIN ${tag}a$r d ON e.dst = d.src)""".stripMargin
+      }.mkString(",\n")
+    val peels = ks.map(k => peel(s"k$k", k)).mkString(",\n")
+    val selects = ks.map { k =>
+      s"""SELECT CAST($k AS BIGINT) AS k, src AS doc_id,
+         |  CAST(COUNT(*) AS BIGINT) AS core_deg
+         |FROM k${k}e$rounds GROUP BY src""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH gp AS MATERIALIZED (SELECT doc_a, doc_b FROM
+       |  (${oJaccardPairs(4, 0.4)})),
+       |ge0 AS MATERIALIZED (
+       |  SELECT doc_a AS src, doc_b AS dst FROM gp
+       |  UNION SELECT doc_b AS src, doc_a AS dst FROM gp),
+       |$peels
+       |$selects""".stripMargin
+  }
+
+  /** p156 replay: the exhaustive near-dup pair scan and recursive
+    * closure (the p151 decision CTEs), then the ENTIRE BM25 scoring
+    * chain built twice — once from the full corpus, once from the
+    * min-id-cut survivor set — against the one shared planted-prefix
+    * query table, each chain ending in its scorecard row.
+    */
+  private lazy val oDedupRetrievalImpact: String = {
+    val k1 = 1.2; val b = 0.75
+    val avgdl = "(CAST(st.sdl AS DOUBLE) / CAST(st.nd AS DOUBLE))"
+    val idf = "ln(1.0 + (CAST(st.nd AS DOUBLE) - CAST(f.df AS DOUBLE)" +
+      " + 0.5) / (CAST(f.df AS DOUBLE) + 0.5))"
+    val norm = s"(CAST(p.tf AS DOUBLE) * ${k1 + 1}" +
+      s" / (CAST(p.tf AS DOUBLE) + $k1 * (${1 - b}" +
+      s" + $b * (CAST(d.dl AS DOUBLE) / $avgdl))))"
+    def chain(px: String, baseRel: String): String =
+      s"""${px}dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl
+         |  FROM $baseRel),
+         |${px}st AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd,
+         |  CAST(SUM(dl) AS BIGINT) AS sdl FROM ${px}dl),
+         |${px}post AS (
+         |  SELECT tok, doc_id, COUNT(*) AS tf
+         |  FROM (SELECT doc_id, unnest(toks) AS tok FROM $baseRel)
+         |  GROUP BY tok, doc_id),
+         |${px}dfq AS (
+         |  SELECT p.tok, COUNT(*) AS df FROM ${px}post p
+         |  WHERE p.tok IN (SELECT DISTINCT tok FROM qt)
+         |  GROUP BY p.tok),
+         |${px}sc AS (
+         |  SELECT q.query_id, p.doc_id,
+         |    CAST(SUM(CAST(FLOOR($idf * $norm * 1000000.0) AS BIGINT))
+         |      AS BIGINT) AS score_micro
+         |  FROM ${px}post p
+         |  JOIN qt q ON p.tok = q.tok
+         |  JOIN ${px}dfq f ON p.tok = f.tok
+         |  JOIN ${px}dl d ON p.doc_id = d.doc_id
+         |  CROSS JOIN ${px}st st
+         |  GROUP BY q.query_id, p.doc_id),
+         |${px}rk10 AS (
+         |  SELECT query_id, doc_id, rank FROM (
+         |    SELECT query_id, doc_id,
+         |      ROW_NUMBER() OVER (PARTITION BY query_id
+         |        ORDER BY score_micro DESC, doc_id) AS rank
+         |    FROM ${px}sc)
+         |  WHERE rank <= 10)""".stripMargin
+    s"""WITH RECURSIVE alldocs AS (
+       |  SELECT doc_id, $oToks AS toks FROM documents),
+       |sh AS (SELECT doc_id, ${oShingles(4)} AS sh FROM alldocs),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |  WHERE len(list_intersect(a.sh, b.sh))
+       |      / CAST(len(list_distinct(list_concat(a.sh, b.sh)))
+       |             AS DOUBLE) >= 0.4),
+       |edges AS (
+       |  SELECT doc_a AS u, doc_b AS v FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs),
+       |reach(u, v) AS (
+       |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+       |  UNION
+       |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+       |dec AS (SELECT u AS doc_id,
+       |    CASE WHEN u = MIN(v) THEN 1 ELSE 0 END AS keep
+       |  FROM reach GROUP BY u),
+       |qt AS (
+       |  SELECT doc_id AS query_id, toks[i] AS tok
+       |  FROM (SELECT doc_id, toks,
+       |          unnest(generate_series(1, least(len(toks), 4))) AS i
+       |        FROM alldocs WHERE doc_id % 40 = 0)
+       |  GROUP BY 1, 2),
+       |fbase AS (SELECT * FROM alldocs),
+       |dbase AS (
+       |  SELECT a.* FROM alldocs a
+       |  LEFT JOIN dec ON a.doc_id = dec.doc_id
+       |  WHERE COALESCE(dec.keep, 1) = 1),
+       |${chain("f", "fbase")},
+       |${chain("d", "dbase")}
+       |${oScorecardRow("frk10", "full")}
+       |UNION ALL
+       |${oScorecardRow("drk10", "dedup_minid")}""".stripMargin
+  }
+
   /** Exhaustive pair-Jaccard oracle shared by the dedup queries. */
   private def oJaccardPairs(k: Int, threshold: Double): String =
     s"""WITH sh AS (
@@ -2260,6 +2372,81 @@ object PipelineQueries {
     Curation.epochSchedule(t(s, dir, "documents"), "source", "text",
       budgetNumer = 4L, budgetDenom = 1L, capEpochs = 4L)
 
+  /** Near-dup cohesion cores (p154): k-core peeling
+    * ([[graft.operators.KCore]], 6 simultaneous rounds — fixpoint on
+    * this graph, asserted by KCoreSpec) of the p04/p138 near-dup
+    * graph at k = 2 and 3. A node surviving the 3-core sits in a
+    * densely MUTUAL template family (≥3 in-core near-copies — safe to
+    * collapse aggressively); a node the 2-core already strips is
+    * pendant/star periphery that deserves review before a cut — the
+    * cohesion cut-depth card next to p141's triangle view. One row
+    * per (k, surviving doc): (k, doc_id, core_deg). The pair
+    * detector's checkpointed output feeds both peels, so the
+    * exhaustive-scan replay cost is paid once; the oracle replays
+    * every peel round as a materialized CTE.
+    */
+  def p154KCore(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", k = 4,
+        threshold = 0.4, maxShingleFreqFrac = Some(0.1))
+      .select(col("doc_a"), col("doc_b"))
+    Seq(2L, 3L).map { kk =>
+      graft.operators.KCore.core(pairs, "doc_a", "doc_b",
+          k = kk.toInt, rounds = 6)
+        .select(lit(kk).as("k"), col("node").as("doc_id"),
+          col("core_deg"))
+    }.reduce(_.unionByName(_))
+  }
+
+  /** Exact PR-AUC (p155): average precision of the NB quality
+    * classifier's LLR ranking against the funnel labels
+    * ([[Curation.averagePrecision]]) — the class-imbalance-honest
+    * twin of p113's ROC-AUC, read against the prevalence baseline
+    * that rides the same row. Same scored frame as p113, so the two
+    * cards disagree exactly when negatives dominate — the regime a
+    * crawl-quality gate lives in. The oracle refits the classifier
+    * and replays the descending score-group accumulation with the
+    * identical floor-then-sum integer terms.
+    */
+  def p155PrAuc(s: SparkSession, dir: String): DataFrame =
+    Curation.averagePrecision(
+      Curation.nbClassifier(t(s, dir, "documents"), "doc_id", "text",
+        vocabSize = 500, profile = Curation.GateProfile.wordSalad),
+      "llr_micro", "cls")
+
+  /** Dedup → retrieval impact (p156): the p130 ranking card computed
+    * TWICE — once over the full corpus, once after the min-id
+    * near-dup cut (p04 pairs closed by CC, the p151 decision set) —
+    * against the SAME planted-prefix query set. The before/after card
+    * answers the question every curation team argues about: does
+    * deduplicating the corpus help or hurt retrieval quality? (Near
+    * copies crowd the top-k, so cutting them usually lifts MRR — and
+    * a query whose own source doc was dropped shows the cost side.)
+    * Both variants rebuild the BM25 index from scratch (corpus stats
+    * nd/avgdl/df legitimately shift under the cut — that shift IS the
+    * measured effect); queries come from the FULL corpus so the
+    * denominator is comparable. The oracle replays the closure, both
+    * index builds, and both scorecards.
+    */
+  def p156DedupRetrievalImpact(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val queries = docs.filter(col("doc_id") % 40 === 0)
+      .select(col("doc_id").as("query_id"),
+        concat_ws(" ", slice(TF.tokens(col("text")), 1, 4)).as("qtext"))
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", k = 4,
+      threshold = 0.4, maxShingleFreqFrac = Some(0.1))
+    val dropped = graft.operators.ConnectedComponents.dedupDecisions(
+        pairs.select(col("doc_a").as("u"), col("doc_b").as("v")))
+      .filter(col("keep") === 0).select(col("node").as("doc_id"))
+    val deduped = docs.join(dropped, Seq("doc_id"), "left_anti")
+    def card(tag: String, corpus: DataFrame) =
+      Retrieval.rankingScorecard(
+        Retrieval.bm25TopK(corpus, "doc_id", "text",
+          queries, "query_id", "qtext", k = 10),
+        tag, topK = 10)
+    card("full", docs).unionByName(card("dedup_minid", deduped))
+  }
+
   /** Source dup rates (p151): which sources are template mills —
     * per source, how many docs sit in a near-dup cluster (p04 pairs
     * closed by CC) and how many a min-id cut would drop, with the
@@ -3167,6 +3354,15 @@ object PipelineQueries {
             .as("tok")),
         "doc_id", vocabSize = 500), "llr_micro", "cls")
     }),
+    "p155_pr_auc" -> ((s, dir) => {
+      val labels = Curation.funnelLabels(t(s, dir, "documents"), "doc_id",
+        "text", profile = Curation.GateProfile.wordSalad)
+      Curation.averagePrecision(Curation.nbClassifierPlan(
+        labels.select(col("doc_id"), col("cls"),
+          explode(graft.pipeline.TextFunctions.tokens(col("text")))
+            .as("tok")),
+        "doc_id", vocabSize = 500), "llr_micro", "cls")
+    }),
     "p114_ppl_buckets" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       Curation.perplexityBucketsPlan(
@@ -3346,6 +3542,9 @@ object PipelineQueries {
     "p151_source_dup_rates" -> p151SourceDupRates _,
     "p152_split_leakage" -> p152SplitLeakage _,
     "p153_epoch_schedule" -> p153EpochSchedule _,
+    "p154_kcore" -> p154KCore _,
+    "p155_pr_auc" -> p155PrAuc _,
+    "p156_dedup_retrieval" -> p156DedupRetrievalImpact _,
     "p50_temp_mix" -> p50TempMix _,
     "p51_hard_negatives" -> p51HardNegatives _,
     "p52_ivf_trained" -> p52IvfTrained _,
@@ -5312,6 +5511,33 @@ object PipelineQueries {
       ("p138_pagerank_hubs" -> oPagerank(8)) +
       ("p140_cluster_quality" -> oClusterQuality(Seq(50, 25, 10), 2)) +
       ("p141_triangles" -> oTriangles) +
+      ("p154_kcore" -> oKCore(Seq(2, 3), 6)) +
+      ("p156_dedup_retrieval" -> oDedupRetrievalImpact) +
+      ("p155_pr_auc" ->
+        s"""WITH nb AS (${oNbClassifier}),
+           |bys AS (
+           |  SELECT llr_micro AS s, SUM(cls) AS tp,
+           |    COUNT(*) - SUM(cls) AS fp
+           |  FROM nb GROUP BY llr_micro),
+           |cm AS (
+           |  SELECT s, tp, fp,
+           |    SUM(tp) OVER (ORDER BY s DESC ROWS BETWEEN UNBOUNDED
+           |      PRECEDING AND CURRENT ROW) AS cum_tp,
+           |    SUM(tp + fp) OVER (ORDER BY s DESC ROWS BETWEEN UNBOUNDED
+           |      PRECEDING AND CURRENT ROW) AS cum
+           |  FROM bys),
+           |tot AS (SELECT CAST(SUM(tp) AS BIGINT) AS n_pos,
+           |  CAST(SUM(fp) AS BIGINT) AS n_neg FROM bys),
+           |terms AS (
+           |  SELECT CAST((cm.tp * cm.cum_tp * 1000000)
+           |      // (cm.cum * tot.n_pos) AS BIGINT) AS term_micro
+           |  FROM cm, tot)
+           |SELECT tot.n_pos, tot.n_neg,
+           |  CAST((SELECT SUM(term_micro) FROM terms) AS BIGINT)
+           |    AS ap_micro,
+           |  CAST((tot.n_pos * 1000000) // (tot.n_pos + tot.n_neg)
+           |    AS BIGINT) AS prevalence_micro
+           |FROM tot""".stripMargin) +
       ("p142_detector_agreement" -> oDetectorAgreement) +
       ("p143_chi_square" -> oChiSquare) +
       ("p153_epoch_schedule" ->

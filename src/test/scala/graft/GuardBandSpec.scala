@@ -75,6 +75,32 @@ class GuardBandSpec extends SparkSpec {
     assert(dLen > EPS, s"ql len within $dLen of a floor boundary")
   }
 
+  test("dedup-variant bm25 floors sit far from their boundaries (p156)") {
+    // the p156 card rebuilds the index over the min-id survivor set:
+    // nd/avgdl/df all shift, so its floor inputs are NEW values the
+    // full-corpus audit above never saw — audit them the same way
+    val docs = Tables.read(spark, sf001, "documents")
+    val queries = docs.filter(col("doc_id") % 40 === 0)
+      .select(col("doc_id").as("query_id"),
+        concat_ws(" ", slice(TF.tokens(col("text")), 1, 4)).as("qtext"))
+    val pairs = graft.pipeline.Dedup.ngramJaccardPairs(docs, "doc_id",
+      "text", k = 4, threshold = 0.4, maxShingleFreqFrac = Some(0.1))
+    val dropped = graft.operators.ConnectedComponents.dedupDecisions(
+        pairs.select(col("doc_a").as("u"), col("doc_b").as("v")))
+      .filter(col("keep") === 0).select(col("node").as("doc_id"))
+    val deduped = docs.join(dropped, Seq("doc_id"), "left_anti")
+    val idx = Retrieval.bm25Index(deduped, "doc_id", "text")
+    val qT = Retrieval.queryTerms(queries, "query_id", "qtext")
+    val hits = idx.postings
+      .join(qT.select("tok").distinct(), Seq("tok"))
+    val dfc = hits.groupBy("tok").agg(count(lit(1)).as("df"))
+    val cand = hits.join(dfc, Seq("tok"))
+      .join(idx.doclen, Seq("doc_id")).crossJoin(idx.stats)
+    val dBm = minBoundaryDist(cand,
+      Retrieval.contribDouble(Retrieval.Bm25Params()))
+    assert(dBm > EPS, s"dedup bm25 contrib within $dBm of a floor boundary")
+  }
+
   test("domain-mix exp floors sit far from their boundaries") {
     val docs = Tables.read(spark, sf001, "documents")
     // same operation order as domainMixWeightsPlan's w_int, replayed

@@ -76,6 +76,57 @@ class PageRankSpec extends SparkSpec {
     assert(ari(two, split) == 571428L)
   }
 
+  test("kcore: triangle + pendant chain peels to the hand result") {
+    import graft.operators.KCore
+    // triangle {1,2,3}, chain 3—4—5: the 2-core is exactly the
+    // triangle (4 and 5 peel in two rounds); the 3-core is empty
+    // (each triangle node has in-core degree 2 < 3)
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("doc_a", "doc_b")
+    val two = KCore.core(pairs, "doc_a", "doc_b", k = 2, rounds = 6)
+      .as[(Long, Long)].collect().toMap
+    assert(two == Map(1L -> 2L, 2L -> 2L, 3L -> 2L), two.toString)
+    val three = KCore.core(pairs, "doc_a", "doc_b", k = 3, rounds = 6)
+      .count()
+    assert(three == 0L)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "kcore left persisted intermediates behind")
+  }
+
+  test("kcore matches brute-force peeling to fixpoint on a pseudo-random graph") {
+    import graft.operators.KCore
+    // same deterministic graph family as the triangle property below
+    val nodes = (0L until 14L)
+    val edges = (for {
+      a <- nodes; b <- nodes
+      if a < b && (a * 29 + b * 13) % 4 == 0
+    } yield (a, b)).toSeq
+    def brute(k: Int): Map[Long, Long] = {
+      var es = edges
+      var changed = true
+      while (changed) {
+        val deg = es.flatMap(e => Seq(e._1, e._2))
+          .groupBy(identity).map { case (n, xs) => n -> xs.size.toLong }
+        val alive = deg.filter(_._2 >= k).keySet
+        val next = es.filter(e => alive(e._1) && alive(e._2))
+        changed = next.size != es.size
+        es = next
+      }
+      es.flatMap(e => Seq(e._1, e._2)).groupBy(identity)
+        .map { case (n, xs) => n -> xs.size.toLong }
+    }
+    val df = edges.toDF("doc_a", "doc_b")
+    for (k <- 2 to 4) {
+      val got = KCore.core(df, "doc_a", "doc_b", k = k, rounds = 8)
+        .as[(Long, Long)].collect().toMap
+      assert(got == brute(k), s"k=$k: got $got want ${brute(k)}")
+      // the round bound reaches the fixpoint: two more rounds change nothing
+      val more = KCore.core(df, "doc_a", "doc_b", k = k, rounds = 10)
+        .as[(Long, Long)].collect().toMap
+      assert(more == got, s"k=$k not at fixpoint after 8 rounds")
+    }
+  }
+
   test("triangles match the brute-force closed-wedge count on a pseudo-random graph") {
     // deterministic pseudo-random graph on 12 nodes: edge {a,b} iff
     // (a*31 + b*17) % 3 == 0 — dense enough to hold many triangles

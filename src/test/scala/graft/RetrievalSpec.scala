@@ -198,6 +198,59 @@ class RetrievalSpec extends SparkSpec {
     assert(auc(Seq((1L, 1L), (2L, 0L)))._4 == 0L)
   }
 
+  test("dedup cut lifts MRR when a shorter near-copy crowds out the source") {
+    // doc 11 is a shorter near-copy of doc 10 (shared shingle J = 5/9
+    // ≥ 0.4): BM25 length normalization ranks the COPY first, so the
+    // full-corpus card scores the planted query at rank 2 (RR ½);
+    // the min-id cut drops the copy and the source returns to rank 1
+    // — the exact before/after story the p156 card exists to tell
+    val docs = Seq(
+      (10L, "a b c d e f g h i j k l"),
+      (11L, "a b c d e f g h"),
+      (12L, "z y x w v u t s")).toDF("doc_id", "text")
+    val queries = Seq((10L, "a b c d")).toDF("query_id", "qtext")
+    val pairs = graft.pipeline.Dedup.ngramJaccardPairs(docs, "doc_id",
+      "text", k = 4, threshold = 0.4)
+    val dropped = graft.operators.ConnectedComponents.dedupDecisions(
+        pairs.select(col("doc_a").as("u"), col("doc_b").as("v")))
+      .filter(col("keep") === 0).select(col("node").as("doc_id"))
+    assert(dropped.as[Long].collect().toSeq == Seq(11L))
+    def mrr(corpus: org.apache.spark.sql.DataFrame): Long =
+      Retrieval.rankingScorecard(
+          Retrieval.bm25TopK(corpus, "doc_id", "text", queries,
+            "query_id", "qtext", k = 10), "x", topK = 10)
+        .select($"mrr_micro").as[Long].head()
+    assert(mrr(docs) == 500000L, "copy must crowd the source to rank 2")
+    assert(mrr(docs.join(dropped, Seq("doc_id"), "left_anti")) ==
+      1000000L, "cut corpus must rank the source first")
+  }
+
+  test("averagePrecision matches hand-computed AP on ranked, tied, and anti cases") {
+    def ap(rows: Seq[(Long, Long)]): (Long, Long, Long, Long) =
+      Curation.averagePrecision(rows.toDF("score_micro", "cls"),
+          "score_micro", "cls")
+        .as[(Long, Long, Long, Long)].collect().head
+    // perfect ranking: AP 1
+    assert(ap(Seq((3L, 1L), (2L, 1L), (1L, 0L)))._3 == 1000000L)
+    // positives at ranks 1 and 3 of 3 (scores 3,2,1; cls 1,0,1):
+    // AP = 1/2·(1/1) + 1/2·(2/3) = 5/6 -> floor terms 500000+333333
+    assert(ap(Seq((3L, 1L), (2L, 0L), (1L, 1L)))._3 == 833333L)
+    // all tied: one block, AP = precision = prevalence
+    val t = ap(Seq((5L, 1L), (5L, 0L), (5L, 1L), (5L, 0L)))
+    assert(t._3 == 500000L && t._4 == 500000L, t.toString)
+    // anti-ranking: single positive last of 2 -> AP = 1/2
+    assert(ap(Seq((1L, 1L), (2L, 0L)))._3 == 500000L)
+  }
+
+  test("nb classifier AP beats prevalence on the corpus (the p155 certificate)") {
+    val row = graft.queries.PipelineQueries.p155PrAuc(spark, sf0001)
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(row._1 > 0 && row._2 > 0)
+    assert(row._3 > row._4,
+      s"NB ranking no better than random: AP ${row._3} vs prevalence ${row._4}")
+    assert(row._3 > 900000L, s"NB training AP collapsed: ${row._3}")
+  }
+
   test("nb classifier AUC on the corpus is strong (the p113 certificate)") {
     val row = graft.queries.PipelineQueries.p113Auc(spark, sf0001)
       .as[(Long, Long, Long, Long)].collect().head
