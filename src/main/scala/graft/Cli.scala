@@ -186,6 +186,8 @@ object Cli {
         |  retrieval-scorecard <dir> <outDir>            nDCG@10/MRR/hits of all five rankers
         |  classifier-auc <dir> <outDir>                 exact Mann-Whitney ROC-AUC of the NB scorer
         |  classifier-pr-auc <dir> <outDir>              exact average precision (PR-AUC) vs prevalence
+        |  operating-points <dir> <outDir>               precision/recall/F1 per candidate LLR threshold
+        |  repetition-signals <dir> <outDir>             Gopher repetition signals (top/dup n-gram fracs)
         |  ppl-buckets <dir> <outDir>                    CCNet head/middle/tail perplexity terciles
         |  domain-cap <dir> <outDir>                     per-domain top-N quality caps
         |  collocations <dir> <outDir>                   PMI collocation top-100
@@ -522,6 +524,10 @@ object Cli {
       write(queries.PipelineQueries.p129Ql(spark, dir), out)
     case "classifier-pr-auc" :: dir :: out :: Nil =>
       write(queries.PipelineQueries.p155PrAuc(spark, dir), out)
+    case "operating-points" :: dir :: out :: Nil =>
+      write(queries.PipelineQueries.p157OperatingPoints(spark, dir), out)
+    case "repetition-signals" :: dir :: out :: Nil =>
+      write(queries.PipelineQueries.p158Repetition(spark, dir), out)
     case "classifier-auc" :: dir :: out :: Nil =>
       write(queries.PipelineQueries.p113Auc(spark, dir), out)
     case "ppl-buckets" :: dir :: out :: Nil =>

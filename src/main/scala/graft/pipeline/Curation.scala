@@ -824,6 +824,87 @@ object Curation {
         flags.map { case (n, _) => col(n) }.reduce(_ * _).as("keep"): _*)
   }
 
+  /** Within-document repetition signals — the OTHER half of Gopher's
+    * quality battery ([[gopherGates]] covers Rae et al. 2021 §A1.1;
+    * these are the §A1.2 repetition filters): per document,
+    * - `top${topN}_frac_micro`: characters attributable to the most
+    *   frequent token `topN`-gram (count × gram char length — the
+    *   common reimplementation convention; overlapping occurrences
+    *   are NOT coalesced, so heavy loops can exceed 10⁶), and
+    * - `dup${dupN}_frac_micro`: characters COVERED by `dupN`-grams
+    *   that occur more than once (positional coverage — each token
+    *   position counted once no matter how many duplicated grams
+    *   touch it), both against the document's total token characters.
+    * High values mark boilerplate/loop documents that the word-count
+    * gates pass but a pretraining run should drop.
+    *
+    * Determinism: counts and char lengths are exact integers; each
+    * fraction is ONE integer division. The top gram ties break on
+    * (count DESC, gram ASC).
+    *
+    * Scale shape: positional grams explode to ~L rows per document
+    * but immediately partial-aggregate on (doc, gram); the coverage
+    * pass shuffles (doc, position) pairs bounded by dup occurrences
+    * × dupN. Everything keys on the doc id or (doc, gram) — no
+    * corpus-global state, so the plan partitions like its scan.
+    */
+  def repetitionSignals(df: DataFrame, idCol: String, textCol: String,
+      topN: Int = 2, dupN: Int = 5): DataFrame = {
+    require(topN >= 1 && dupN >= 1, "n-gram sizes must be positive")
+    val base = df.select(col(idCol), TF.tokens(col(textCol)).as("toks"))
+      .withColumn("n_toks", size(col("toks")).cast("long"))
+      .withColumn("n_chars",
+        aggregate(col("toks"), lit(0L), (a, x) => a + length(x)))
+    def gramRows(n: Int): DataFrame = base
+      .filter(col("n_toks") >= n)
+      .select(col(idCol), explode(transform(
+        sequence(lit(1), (col("n_toks") - (n - 1)).cast("int")),
+        i => struct(i.cast("long").as("p"),
+          concat_ws(" ", slice(col("toks"), i, lit(n))).as("g"),
+          aggregate(slice(col("toks"), i, lit(n)), lit(0L),
+            (a, x) => a + length(x)).as("gc")))).as("o"))
+      .select(col(idCol), col("o.p").as("p"), col("o.g").as("g"),
+        col("o.gc").as("gc"))
+    val topCnt = gramRows(topN)
+      .groupBy(col(idCol), col("g"))
+      .agg(count(lit(1)).as("cnt"), max(col("gc")).as("gc"))
+    val top = topCnt
+      .withColumn("rn", row_number().over(Window.partitionBy(col(idCol))
+        .orderBy(col("cnt").desc, col("g"))))
+      .filter(col("rn") === 1)
+      .select(col(idCol), col("cnt").as("top_cnt"),
+        (col("cnt") * col("gc")).as("top_chars"))
+    val dg = gramRows(dupN)
+    val dupPos = graft.core.Caching.withCached(dg) {
+      dg.join(
+          dg.groupBy(col(idCol), col("g")).agg(count(lit(1)).as("c"))
+            .filter(col("c") >= 2).select(col(idCol), col("g")),
+          Seq(idCol, "g"))
+        .select(col(idCol),
+          explode(sequence(col("p"), col("p") + (dupN - 1))).as("cp"))
+        .distinct()
+    }
+    val posLen = base
+      .select(col(idCol), posexplode(col("toks")).as(Seq("i", "tk")))
+      .select(col(idCol), (col("i") + 1).cast("long").as("cp"),
+        length(col("tk")).cast("long").as("len"))
+    val dupChars = dupPos.join(posLen, Seq(idCol, "cp"))
+      .groupBy(col(idCol)).agg(sum(col("len")).as("dup_chars"))
+    base.select(col(idCol), col("n_toks"), col("n_chars"))
+      .join(top, Seq(idCol), "left")
+      .join(dupChars, Seq(idCol), "left")
+      .select(col(idCol), col("n_toks"), col("n_chars"),
+        coalesce(col("top_cnt"), lit(0L)).as("top_cnt"),
+        when(col("n_chars") === 0L, 0L)
+          .otherwise(call_function("div",
+            coalesce(col("top_chars"), lit(0L)) * lit(1000000L),
+            col("n_chars"))).as(s"top${topN}_frac_micro"),
+        when(col("n_chars") === 0L, 0L)
+          .otherwise(call_function("div",
+            coalesce(col("dup_chars"), lit(0L)) * lit(1000000L),
+            col("n_chars"))).as(s"dup${dupN}_frac_micro"))
+  }
+
   /** C4-style line-and-page cleaning (Raffel et al. 2020, §2.2) as a
     * reusable projection — shared verbatim by the batch query (p64),
     * the per-source funnel (p66), and the streaming ingest twin
@@ -1812,6 +1893,50 @@ object Curation {
       .select(col("n_pos"), col("n_neg"), col("ap_micro"),
         expr("(n_pos * 1000000) div (n_pos + n_neg)")
           .as("prevalence_micro"))
+  }
+
+  /** Operating-point sweep — the card that turns [[rocAuc]]/
+    * [[averagePrecision]]'s threshold-free rankings into the decision
+    * a production gate actually makes: for each candidate threshold
+    * τ, the confusion counts of `score ≥ τ` against the labels and
+    * the exact precision / recall / F1. F1 is computed in its direct
+    * integer form `2·tp·10⁶ div (2·tp + fp + fn)` — one division,
+    * no rational-of-rationals; precision is 0 by convention when
+    * nothing is predicted positive. One row per threshold.
+    *
+    * Scale shape: the scored frame crosses a BROADCAST literal
+    * threshold list (|τ| rows), and the confusion counts partially
+    * aggregate map-side — the shuffle carries |partitions|·|τ| rows,
+    * never the corpus.
+    */
+  def classifierOperatingPoints(scored: DataFrame, scoreCol: String,
+      clsCol: String, thresholds: Seq[Long]): DataFrame = {
+    require(thresholds.nonEmpty, "need at least one threshold")
+    val s = scored.sparkSession
+    import s.implicits._
+    val taus = broadcast(thresholds.toDF("tau"))
+    scored.select(col(scoreCol).as("s"), col(clsCol).as("y"))
+      .crossJoin(taus)
+      .groupBy(col("tau"))
+      .agg(
+        sum(when(col("s") >= col("tau") && col("y") === 1L, 1L)
+          .otherwise(0L)).as("tp"),
+        sum(when(col("s") >= col("tau") && col("y") === 0L, 1L)
+          .otherwise(0L)).as("fp"),
+        sum(when(col("s") < col("tau") && col("y") === 1L, 1L)
+          .otherwise(0L)).as("fn"),
+        sum(when(col("s") < col("tau") && col("y") === 0L, 1L)
+          .otherwise(0L)).as("tn"))
+      .select(col("tau"), col("tp"), col("fp"), col("fn"), col("tn"),
+        when(col("tp") + col("fp") === 0L, 0L)
+          .otherwise(call_function("div", col("tp") * lit(1000000L),
+            col("tp") + col("fp"))).as("precision_micro"),
+        when(col("tp") + col("fn") === 0L, 0L)
+          .otherwise(call_function("div", col("tp") * lit(1000000L),
+            col("tp") + col("fn"))).as("recall_micro"),
+        when(col("tp") * 2 + col("fp") + col("fn") === 0L, 0L)
+          .otherwise(call_function("div", col("tp") * lit(2000000L),
+            col("tp") * 2 + col("fp") + col("fn"))).as("f1_micro"))
   }
 
   // ------------------------------------------- perplexity partition

@@ -2447,6 +2447,38 @@ object PipelineQueries {
     card("full", docs).unionByName(card("dedup_minid", deduped))
   }
 
+  /** Classifier operating points (p157): precision / recall / F1 of
+    * the NB quality classifier at five LLR thresholds
+    * ([[Curation.classifierOperatingPoints]]) — the card that turns
+    * p113/p155's threshold-free rankings into the cut a production
+    * gate actually deploys. Exact confusion integers, F1 in its
+    * direct `2tp div (2tp+fp+fn)` form. The oracle refits the
+    * classifier and replays every threshold's counts.
+    */
+  def p157OperatingPoints(s: SparkSession, dir: String): DataFrame =
+    Curation.classifierOperatingPoints(
+      Curation.nbClassifier(t(s, dir, "documents"), "doc_id", "text",
+        vocabSize = 500, profile = Curation.GateProfile.wordSalad),
+      "llr_micro", "cls",
+      // the corpus LLR mass spans ~[-0.8M, 13.6M] (median ~4M): these
+      // five cuts trace the whole precision/recall tradeoff curve
+      thresholds = Seq(0L, 2000000L, 4000000L, 6000000L, 10000000L))
+
+  /** Within-doc repetition signals (p158): the Gopher §A1.2 half of
+    * the quality battery ([[Curation.repetitionSignals]]) — per
+    * document, the top-2-gram character fraction and the
+    * duplicated-3-gram character COVERAGE fraction, the signals that
+    * catch boilerplate/loop documents the word-count gates pass.
+    * (Gopher audits dup n-grams up to n = 10; the short synthetic
+    * documents hold ZERO duplicated 5-grams, so n = 3 is the largest
+    * n this corpus actually exercises — the operator takes any n.)
+    * The oracle replays the positional grams, the (count DESC, gram)
+    * argmax, and the distinct-position coverage sum.
+    */
+  def p158Repetition(s: SparkSession, dir: String): DataFrame =
+    Curation.repetitionSignals(t(s, dir, "documents"), "doc_id", "text",
+      topN = 2, dupN = 3)
+
   /** Source dup rates (p151): which sources are template mills —
     * per source, how many docs sit in a near-dup cluster (p04 pairs
     * closed by CC) and how many a min-id cut would drop, with the
@@ -3545,6 +3577,8 @@ object PipelineQueries {
     "p154_kcore" -> p154KCore _,
     "p155_pr_auc" -> p155PrAuc _,
     "p156_dedup_retrieval" -> p156DedupRetrievalImpact _,
+    "p157_operating_points" -> p157OperatingPoints _,
+    "p158_repetition" -> p158Repetition _,
     "p50_temp_mix" -> p50TempMix _,
     "p51_hard_negatives" -> p51HardNegatives _,
     "p52_ivf_trained" -> p52IvfTrained _,
@@ -5513,6 +5547,88 @@ object PipelineQueries {
       ("p141_triangles" -> oTriangles) +
       ("p154_kcore" -> oKCore(Seq(2, 3), 6)) +
       ("p156_dedup_retrieval" -> oDedupRetrievalImpact) +
+      ("p157_operating_points" ->
+        s"""WITH nb AS (${oNbClassifier}),
+           |taus AS (SELECT CAST(tau AS BIGINT) AS tau FROM (VALUES
+           |  (0), (2000000), (4000000), (6000000), (10000000)) v(tau)),
+           |cf AS (
+           |  SELECT t.tau,
+           |    CAST(SUM(CASE WHEN nb.llr_micro >= t.tau AND nb.cls = 1
+           |      THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+           |    CAST(SUM(CASE WHEN nb.llr_micro >= t.tau AND nb.cls = 0
+           |      THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+           |    CAST(SUM(CASE WHEN nb.llr_micro < t.tau AND nb.cls = 1
+           |      THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+           |    CAST(SUM(CASE WHEN nb.llr_micro < t.tau AND nb.cls = 0
+           |      THEN 1 ELSE 0 END) AS BIGINT) AS tn
+           |  FROM nb CROSS JOIN taus t GROUP BY t.tau)
+           |SELECT tau, tp, fp, fn, tn,
+           |  CASE WHEN tp + fp = 0 THEN CAST(0 AS BIGINT)
+           |    ELSE CAST((tp * 1000000) // (tp + fp) AS BIGINT)
+           |  END AS precision_micro,
+           |  CASE WHEN tp + fn = 0 THEN CAST(0 AS BIGINT)
+           |    ELSE CAST((tp * 1000000) // (tp + fn) AS BIGINT)
+           |  END AS recall_micro,
+           |  CASE WHEN tp * 2 + fp + fn = 0 THEN CAST(0 AS BIGINT)
+           |    ELSE CAST((tp * 2000000) // (tp * 2 + fp + fn) AS BIGINT)
+           |  END AS f1_micro
+           |FROM cf""".stripMargin) +
+      ("p158_repetition" ->
+        s"""WITH base AS (SELECT doc_id, $oToks AS toks FROM documents),
+           |bs AS (SELECT doc_id, toks,
+           |    CAST(len(toks) AS BIGINT) AS n_toks,
+           |    CAST(COALESCE(list_sum(list_transform(toks,
+           |      t -> length(t))), 0) AS BIGINT) AS n_chars
+           |  FROM base),
+           |g2 AS (
+           |  SELECT doc_id, CAST(i AS BIGINT) AS p,
+           |    array_to_string(toks[i:i+1], ' ') AS g,
+           |    CAST(list_sum(list_transform(toks[i:i+1],
+           |      t -> length(t))) AS BIGINT) AS gc
+           |  FROM (SELECT doc_id, toks,
+           |          unnest(generate_series(1, len(toks) - 1)) AS i
+           |        FROM bs WHERE n_toks >= 2)),
+           |c2 AS (SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS cnt,
+           |    MAX(gc) AS gc
+           |  FROM g2 GROUP BY doc_id, g),
+           |t2 AS (SELECT doc_id, cnt AS top_cnt, cnt * gc AS top_chars
+           |  FROM (SELECT doc_id, g, cnt, gc, ROW_NUMBER() OVER (
+           |      PARTITION BY doc_id ORDER BY cnt DESC, g) AS rn
+           |    FROM c2)
+           |  WHERE rn = 1),
+           |g5 AS (
+           |  SELECT doc_id, CAST(i AS BIGINT) AS p,
+           |    array_to_string(toks[i:i+2], ' ') AS g
+           |  FROM (SELECT doc_id, toks,
+           |          unnest(generate_series(1, len(toks) - 2)) AS i
+           |        FROM bs WHERE n_toks >= 3)),
+           |c5 AS (SELECT doc_id, g FROM g5
+           |  GROUP BY doc_id, g HAVING COUNT(*) >= 2),
+           |d5 AS (SELECT DISTINCT doc_id, cp FROM (
+           |  SELECT g5.doc_id,
+           |    unnest(generate_series(g5.p, g5.p + 2)) AS cp
+           |  FROM g5 JOIN c5 ON g5.doc_id = c5.doc_id AND g5.g = c5.g)),
+           |pl AS (SELECT doc_id, CAST(i AS BIGINT) AS cp,
+           |    CAST(length(toks[i]) AS BIGINT) AS len
+           |  FROM (SELECT doc_id, toks,
+           |          unnest(generate_series(1, len(toks))) AS i
+           |        FROM bs)),
+           |dc AS (SELECT d5.doc_id, CAST(SUM(pl.len) AS BIGINT)
+           |    AS dup_chars
+           |  FROM d5 JOIN pl ON d5.doc_id = pl.doc_id AND d5.cp = pl.cp
+           |  GROUP BY d5.doc_id)
+           |SELECT bs.doc_id, bs.n_toks, bs.n_chars,
+           |  COALESCE(t2.top_cnt, CAST(0 AS BIGINT)) AS top_cnt,
+           |  CASE WHEN bs.n_chars = 0 THEN CAST(0 AS BIGINT)
+           |    ELSE CAST((COALESCE(t2.top_chars, 0) * 1000000)
+           |      // bs.n_chars AS BIGINT)
+           |  END AS top2_frac_micro,
+           |  CASE WHEN bs.n_chars = 0 THEN CAST(0 AS BIGINT)
+           |    ELSE CAST((COALESCE(dc.dup_chars, 0) * 1000000)
+           |      // bs.n_chars AS BIGINT)
+           |  END AS dup3_frac_micro
+           |FROM bs LEFT JOIN t2 ON bs.doc_id = t2.doc_id
+           |LEFT JOIN dc ON bs.doc_id = dc.doc_id""".stripMargin) +
       ("p155_pr_auc" ->
         s"""WITH nb AS (${oNbClassifier}),
            |bys AS (

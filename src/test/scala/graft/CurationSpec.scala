@@ -280,4 +280,39 @@ class CurationSpec extends SparkSpec {
       (3L, "date", 0L, 1L, 1333333L),
       (4L, "banana", 1L, 1L, 0L)), out.toSeq.toString)
   }
+
+  test("operating points: hand confusion tables at every threshold") {
+    val scored = Seq((10L, 1L), (5L, 0L), (3L, 1L), (1L, 0L))
+      .toDF("score", "cls")
+    val out = Curation.classifierOperatingPoints(scored, "score", "cls",
+        thresholds = Seq(0L, 4L, 6L, 20L))
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      // tau, tp, fp, fn, tn, precision, recall, f1
+      (0L, 2L, 2L, 0L, 0L, 500000L, 1000000L, 666666L),
+      (4L, 1L, 1L, 1L, 1L, 500000L, 500000L, 500000L),
+      (6L, 1L, 0L, 1L, 2L, 1000000L, 500000L, 666666L),
+      (20L, 0L, 0L, 2L, 2L, 0L, 0L, 0L)), out.toString)
+  }
+
+  test("repetition signals: loops, exact repeats, and gram-free docs by hand") {
+    val d = Seq(
+      (1L, "x y x y x y"),            // top "x y" x3 covers all chars
+      (2L, "a b c d e a b c d e"),    // 5-gram repeats -> full coverage
+      (3L, "p q r"),                  // no 5-grams, 2-gram tie -> "p q"
+      (4L, "z")                       // no 2-grams at all
+    ).toDF("doc_id", "text")
+    val out = Curation.repetitionSignals(d, "doc_id", "text",
+        topN = 2, dupN = 5)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    assert(out(1L) == ((6L, 6L, 3L, 1000000L, 0L)), out(1L).toString)
+    assert(out(2L) == ((10L, 10L, 2L, 400000L, 1000000L)),
+      out(2L).toString)
+    assert(out(3L) == ((3L, 3L, 1L, 666666L, 0L)), out(3L).toString)
+    assert(out(4L) == ((1L, 1L, 0L, 0L, 0L)), out(4L).toString)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "repetitionSignals left persisted intermediates behind")
+  }
 }
