@@ -182,6 +182,7 @@ object Cli {
         |  rate-spikes <dir> <outDir>                    median+3MAD hourly event-rate anomalies
         |  source-dup-rates <dir> <outDir>               per-source near-dup pollution card
         |  split-leakage <dir> <outDir>                  near-dup clusters straddling train/valid/test
+        |  split-repair <dir> <outDir>                   cluster-routed split migration matrix (the fix)
         |  epoch-schedule <dir> <outDir>                 per-source epochs under the 4-epoch ceiling
         |  retrieval-scorecard <dir> <outDir>            nDCG@10/MRR/hits of all five rankers
         |  classifier-auc <dir> <outDir>                 exact Mann-Whitney ROC-AUC of the NB scorer
@@ -528,6 +529,8 @@ object Cli {
       write(queries.PipelineQueries.p157OperatingPoints(spark, dir), out)
     case "repetition-signals" :: dir :: out :: Nil =>
       write(queries.PipelineQueries.p158Repetition(spark, dir), out)
+    case "split-repair" :: dir :: out :: Nil =>
+      write(queries.PipelineQueries.p159SplitRepair(spark, dir), out)
     case "classifier-auc" :: dir :: out :: Nil =>
       write(queries.PipelineQueries.p113Auc(spark, dir), out)
     case "ppl-buckets" :: dir :: out :: Nil =>

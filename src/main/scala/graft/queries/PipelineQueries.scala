@@ -2479,6 +2479,38 @@ object PipelineQueries {
     Curation.repetitionSignals(t(s, dir, "documents"), "doc_id", "text",
       topN = 2, dupN = 3)
 
+  /** Split repair (p159): the FIX for the leakage p152 audits — every
+    * near-dup cluster is routed whole to the split of its cluster
+    * head (the min-id member, which IS the component id), so no
+    * cluster can straddle train/valid/test after the move
+    * (PipelineSpec asserts the zero-straddle invariant). Output is
+    * the migration matrix: (from_split, to_split, n_docs) over the
+    * clustered docs — off-diagonal rows are the docs that MUST move
+    * to close the leak, the cost a data lead signs off on. Scale
+    * shape: beyond the detector + closure this is two broadcast-sized
+    * joins against the split projection, keyed on node/component.
+    */
+  def p159SplitRepair(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", k = 4,
+        threshold = 0.4, maxShingleFreqFrac = Some(0.1))
+      .select(col("doc_a"), col("doc_b"))
+    val split = docs.select(col("doc_id"),
+      (TF.hash60(concat(lit("split"), col("doc_id").cast("string")))
+        % 100).as("h"))
+      .select(col("doc_id"),
+        when(col("h") < 80, "train").when(col("h") < 90, "valid")
+          .otherwise("test").as("split"))
+    val cc = graft.operators.ConnectedComponents.components(
+      pairs.select(col("doc_a").as("u"), col("doc_b").as("v")))
+    cc.join(split.select(col("doc_id").as("node"),
+        col("split").as("from_split")), Seq("node"))
+      .join(split.select(col("doc_id").as("component"),
+        col("split").as("to_split")), Seq("component"))
+      .groupBy("from_split", "to_split")
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
   /** Source dup rates (p151): which sources are template mills —
     * per source, how many docs sit in a near-dup cluster (p04 pairs
     * closed by CC) and how many a min-id cut would drop, with the
@@ -3579,6 +3611,7 @@ object PipelineQueries {
     "p156_dedup_retrieval" -> p156DedupRetrievalImpact _,
     "p157_operating_points" -> p157OperatingPoints _,
     "p158_repetition" -> p158Repetition _,
+    "p159_split_repair" -> p159SplitRepair _,
     "p50_temp_mix" -> p50TempMix _,
     "p51_hard_negatives" -> p51HardNegatives _,
     "p52_ivf_trained" -> p52IvfTrained _,
@@ -5750,6 +5783,37 @@ object PipelineQueries {
            |UNION ALL SELECT 'clusters_total', n_clusters FROM sm
            |UNION ALL SELECT 'clusters_straddling', n_straddling
            |FROM sm""".stripMargin) +
+      ("p159_split_repair" ->
+        s"""WITH RECURSIVE sh AS (
+           |  SELECT doc_id, ${oShingles(4)} AS sh
+           |  FROM (SELECT doc_id, $oToks AS toks FROM documents)),
+           |pairs AS (
+           |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           |  WHERE len(list_intersect(a.sh, b.sh))
+           |      / CAST(len(list_distinct(list_concat(a.sh, b.sh)))
+           |             AS DOUBLE) >= 0.4),
+           |edges AS (
+           |  SELECT doc_a AS u, doc_b AS v FROM pairs
+           |  UNION SELECT doc_b, doc_a FROM pairs),
+           |reach(u, v) AS (
+           |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+           |  UNION
+           |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+           |dec AS (SELECT u AS doc_id, MIN(v) AS comp
+           |        FROM reach GROUP BY u),
+           |sp AS (SELECT doc_id,
+           |    CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'valid'
+           |         ELSE 'test' END AS split
+           |  FROM (SELECT doc_id,
+           |    ${oHash("'split' || CAST(doc_id AS VARCHAR)")} % 100
+           |      AS h FROM documents))
+           |SELECT f.split AS from_split, t.split AS to_split,
+           |  CAST(COUNT(*) AS BIGINT) AS n_docs
+           |FROM dec
+           |JOIN sp f ON dec.doc_id = f.doc_id
+           |JOIN sp t ON dec.comp = t.doc_id
+           |GROUP BY f.split, t.split""".stripMargin) +
       ("p150_rate_spikes" ->
         """WITH hourly AS (
           |  SELECT CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT)

@@ -1647,6 +1647,34 @@ class PipelineSpec extends SparkSpec {
     seg.foreach { case (w, ps) => assert(ps.mkString("") == w) }
   }
 
+  test("split repair closes every leak: no near-dup pair straddles after routing") {
+    val docs = graft.core.Tables.read(spark, sf0001, "documents")
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", k = 4,
+        threshold = 0.4, maxShingleFreqFrac = Some(0.1))
+      .select(col("doc_a"), col("doc_b"))
+    val cc = graft.operators.ConnectedComponents.components(
+      pairs.select(col("doc_a").as("u"), col("doc_b").as("v")))
+    // the migration matrix accounts for every clustered doc exactly once
+    val out = graft.queries.PipelineQueries.p159SplitRepair(spark, sf0001)
+    assert(out.agg(sum(col("n_docs"))).as[Long].head() == cc.count())
+    // post-repair split of a doc = split of its cluster head: both
+    // endpoints of EVERY near-dup pair must now agree
+    val headSplit = docs.select(col("doc_id"),
+      (TextFunctions.hash60(concat(lit("split"),
+        col("doc_id").cast("string"))) % 100).as("h"))
+      .select(col("doc_id"),
+        when(col("h") < 80, "train").when(col("h") < 90, "valid")
+          .otherwise("test").as("split"))
+    val repaired = cc.join(headSplit.select(col("doc_id").as("component"),
+        col("split").as("to")), Seq("component"))
+      .select(col("node"), col("to"))
+    val leaked = pairs
+      .join(repaired.toDF("doc_a", "sa"), Seq("doc_a"))
+      .join(repaired.toDF("doc_b", "sb"), Seq("doc_b"))
+      .filter(col("sa") =!= col("sb")).count()
+    assert(leaked == 0L, s"$leaked near-dup pairs still straddle splits")
+  }
+
   test("PolyMap dispatches by domain and leaves unmapped domains null") {
     val facts = Seq((1L, "a", 10L), (2L, "b", 10L), (3L, "c", 10L), (4L, "a", 99L))
       .toDF("id", "dom", "fk")
