@@ -205,6 +205,7 @@ object Cli {
         |  stream-search <dir> <outDir>                  BM25 serving off the persisted impact index
         |  stream-phrase-search <dir> <outDir>           phrase-aware BM25 at ingest (impact + gram indexes)
         |  stream-entropy <dir> <outDir>                 entropy signals at stream ingest
+        |  stream-repetition <dir> <outDir>              Gopher repetition signals at stream ingest
         |  stream-features <dir> <outDir>                stateless feature-store slice at stream ingest
         |  stream-hll <dir> <outDir>                     windowed HLL registers at stream ingest
         |  stream-countmin <dir> <outDir>                windowed count-min cells at stream ingest
@@ -1209,6 +1210,13 @@ object Cli {
       val stream = stagedDocStream(spark, dir, out)
       drainDocJob(streaming.StreamingJobs.featureGate(stream), out)
       println(s"""{"stream_features":"$out"}""")
+
+    // repetition gate at ingest: stateless per-row HOF, bit-equal to
+    // the batch p158 (doc, gram)-shuffle path
+    case "stream-repetition" :: dir :: out :: Nil =>
+      val stream = stagedDocStream(spark, dir, out)
+      drainDocJob(streaming.StreamingJobs.repetitionGate(stream), out)
+      println(s"""{"stream_repetition":"$out"}""")
 
     // entropy gate at ingest: stateless per-row HOF, bit-equal to the
     // batch p121 groupBy path

@@ -151,6 +151,99 @@ object Curation {
       .drop("__h", "start_tok")
   }
 
+  /** Global shard manifest — [[packAssignments]] without a stratum:
+    * the whole corpus laid end to end in one deterministic
+    * portable-hash shuffle order and cut into `shardToks`-token
+    * training shards. A naive global placement is
+    * `sum(n) OVER (ORDER BY h)` — a single-partition window, a
+    * non-starter at 100 TB — so the prefix sum runs in two levels
+    * (the classic distributed scan):
+    *
+    *   1. hash-prefix buckets: `bucket = h div 2⁶⁰/B` is MONOTONE in
+    *      `h`, so (bucket, h, id) is the global order and each
+    *      bucket's rows cumulate independently in parallel;
+    *   2. a B-row bucket-total frame (one map-side-combined groupBy)
+    *      gets its own prefix sum — bounded by the CONSTANT B, not
+    *      the data — and broadcasts back as per-bucket offsets.
+    *
+    * Every document's global start offset is exact int64
+    * (`offset + within − n`); shard index and intra-shard offset
+    * follow by integer division, and a document may straddle a shard
+    * boundary exactly as in [[packAssignments]] (GPT-style packing —
+    * the trainer reads it across the two shards). The oracle replays
+    * the flat `SUM OVER (ORDER BY h, id)` — bit-equal because the
+    * two-level scan is just an associativity regrouping of the same
+    * integer sum.
+    */
+  def globalShardManifest(df: DataFrame, idCol: String, textCol: String,
+      shardToks: Long, salt: String = "shard",
+      buckets: Int = 256): DataFrame = {
+    require(shardToks > 0, "shardToks must be positive")
+    require(buckets > 0, "buckets must be positive")
+    val bucketWidth = lit((1L << 60) / buckets + 1L)
+    val within = Window.partitionBy(col("__b"))
+      .orderBy(col("__h"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val base = df
+      .withColumn("__h",
+        TF.hash60(concat(lit(salt), col(idCol).cast("string"))))
+      .withColumn("__b", call_function("div", col("__h"), bucketWidth))
+      .withColumn("n_toks", size(TF.tokens(col(textCol))).cast("long"))
+    val offsets = base.groupBy(col("__b"))
+      .agg(sum(col("n_toks")).as("__t"))
+      .withColumn("__off", coalesce(sum(col("__t")).over(Window
+          .orderBy(col("__b"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__b"), col("__off"))
+    base
+      .join(broadcast(offsets), Seq("__b"))
+      .withColumn("start_tok",
+        col("__off") + sum(col("n_toks")).over(within) - col("n_toks"))
+      .select(col(idCol), col("n_toks"),
+        call_function("div", col("start_tok"), lit(shardToks))
+          .as("chunk_idx"),
+        (col("start_tok") % shardToks).as("chunk_off"))
+  }
+
+  /** Distinct-n diversity card (the distinct-1/2/3 corpus-diversity
+    * metric of Li et al. 2016, "A Diversity-Promoting Objective
+    * Function"): per stratum and n-gram order, the distinct and total
+    * positional n-gram counts and their exact ratio in integer micro
+    * — low distinct-n marks template-mill sources whose individual
+    * documents pass every quality gate. Complements the corpus-level
+    * Heaps curve (vocabulary vs corpus SIZE) with a per-source,
+    * per-order diversity number.
+    *
+    * Scale shape: one exploded (stratum, n, gram) shuffle per order
+    * with map-side combine on the gram key, collapsing to a
+    * stratum-sized rollup; the union of the per-order frames merges
+    * into parallel stages of one job. No corpus-global state.
+    */
+  def distinctNgramCard(df: DataFrame, stratumCol: String,
+      textCol: String, ns: Seq[Int]): DataFrame = {
+    require(ns.nonEmpty && ns.forall(_ >= 1), "orders must be >= 1")
+    val toks = TF.tokens(col(textCol))
+    val perN = ns.map { n =>
+      val grams = when(size(toks) >= n,
+        transform(sequence(lit(1), size(toks) - (n - 1)),
+          i => concat_ws(" ", slice(toks, i, lit(n)))))
+        .otherwise(array().cast("array<string>"))
+      df.select(col(stratumCol).as("source"), explode(grams).as("g"))
+        .groupBy(col("source"), col("g"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("distinct_grams"),
+          sum(col("c")).as("total_grams"))
+        .select(col("source"), lit(n.toLong).as("n"),
+          col("distinct_grams"), col("total_grams"),
+          when(col("total_grams") === 0L, 0L)
+            .otherwise(call_function("div",
+              col("distinct_grams") * lit(1000000L),
+              col("total_grams"))).as("distinct_frac_micro"))
+    }
+    perN.reduce(_.unionByName(_))
+  }
+
   /** Packing-efficiency audit — the card that justifies
     * [[packAssignments]]: per stratum, how many `chunkToks`-token
     * training chunks concat-and-chunk packing needs versus the naive
@@ -848,6 +941,92 @@ object Curation {
     * × dupN. Everything keys on the doc id or (doc, gram) — no
     * corpus-global state, so the plan partitions like its scan.
     */
+  /** Per-row HOF twin of [[repetitionSignals]] — the same five output
+    * columns as pure Column expressions over one document's token
+    * array, for the STREAMING ingest gate (no shuffle, no watermark,
+    * no state store). Two disciplines keep this viable in Catalyst's
+    * INTERPRETED lambda evaluator (higher-order functions never enter
+    * whole-stage codegen):
+    *
+    *   1. ''Bind once'': any lambda-body reference to a non-trivial
+    *      Column re-evaluates its whole subtree per element, so the
+    *      token array, each gram array, and the gram-count array pass
+    *      through [[once]] (`transform(array(x), a => f(a))`), which
+    *      evaluates the value a single time and hands `f` a bound
+    *      lambda variable — O(1) per reference afterwards.
+    *   2. ''Interval merge, not per-position scan'': duplicated-gram
+    *      coverage walks the gram indices ONCE in ascending order,
+    *      merging each duplicated gram's covered span `[p, p+n-1]`
+    *      against the last covered position, instead of re-testing
+    *      every token position against every overlapping gram.
+    *
+    * Total work is O(G²) gram comparisons per document (G = gram
+    * count) — the same order as the batch path's per-doc group sizes,
+    * with zero exchanges. The top tie-break ((count DESC, gram ASC)),
+    * the coverage-union rule, and every integer floor are IDENTICAL
+    * to the batch operator; CurationSpec pins bit-equality over the
+    * gate corpus and a hand fixture.
+    */
+  def repetitionRowCols(textCol: Column, topN: Int = 2,
+      dupN: Int = 3): Seq[Column] = {
+    // evaluate `arr` once, expose it to `f` as a bound lambda var
+    def once(arr: Column)(f: Column => Column): Column =
+      element_at(transform(array(arr), a => f(a)), 1)
+    def gramsOf(tk: Column, n: Int): Column =
+      when(size(tk) >= n,
+        transform(sequence(lit(1), size(tk) - (n - 1)),
+          i => concat_ws(" ", slice(tk, i, lit(n)))))
+        .otherwise(array().cast("array<string>"))
+    val toks = TF.tokens(textCol)
+    val nToks = size(toks).cast("long")
+    val nChars = aggregate(toks, lit(0L), (a, x) => a + length(x))
+    val best = once(toks) { tk =>
+      once(gramsOf(tk, topN)) { g2 =>
+        aggregate(g2,
+          struct(lit(0L).as("c"), lit("").as("g")),
+          (acc, x) => {
+            val cx = size(filter(g2, e => e === x)).cast("long")
+            when(cx > acc.getField("c") ||
+                (cx === acc.getField("c") && x < acc.getField("g")),
+              struct(cx.as("c"), x.as("g"))).otherwise(acc)
+          })
+      }
+    }
+    val topCnt = best.getField("c")
+    val topChars = topCnt * (length(best.getField("g")) - (topN - 1))
+    val dupChars = once(toks) { tk =>
+      once(gramsOf(tk, dupN)) { gd =>
+        once(transform(gd, x => size(filter(gd, y => y === x)))) { cnts =>
+          aggregate(
+            transform(cnts, (c, i) => struct(c.as("c"), (i + 1).as("p"))),
+            struct(lit(0L).as("chars"), lit(0).as("last")),
+            (acc, e) => {
+              val p = e.getField("p")
+              val lo = greatest(p, acc.getField("last") + 1)
+              val hi = p + (dupN - 1)
+              when(e.getField("c") >= 2,
+                struct((acc.getField("chars") +
+                  aggregate(sequence(lo, hi), lit(0L),
+                    (a, q) => a + length(element_at(tk, q)))).as("chars"),
+                  hi.as("last")))
+                .otherwise(acc)
+            },
+            acc => acc.getField("chars"))
+        }
+      }
+    }
+    Seq(
+      nToks.as("n_toks"),
+      nChars.as("n_chars"),
+      topCnt.as("top_cnt"),
+      when(nChars === 0L, 0L)
+        .otherwise(call_function("div", topChars * lit(1000000L),
+          nChars)).as(s"top${topN}_frac_micro"),
+      when(nChars === 0L, 0L)
+        .otherwise(call_function("div", dupChars * lit(1000000L),
+          nChars)).as(s"dup${dupN}_frac_micro"))
+  }
+
   def repetitionSignals(df: DataFrame, idCol: String, textCol: String,
       topN: Int = 2, dupN: Int = 5): DataFrame = {
     require(topN >= 1 && dupN >= 1, "n-gram sizes must be positive")

@@ -823,6 +823,41 @@ object Retrieval {
       rankTopK(bm25ScoresFromHits(index, hits, qTerms, p), k))
   }
 
+  /** Hard-negative mining for retrieval-model training data (the
+    * BM25-negatives recipe of DPR — Karpukhin et al. 2020 §3.2: the
+    * strongest training signal comes from top-ranked lexical matches
+    * that are NOT the answer): for each query, score the corpus with
+    * [[bm25ScoresFromHits]], anti-join the known positives away, and
+    * keep the top `k` survivors re-ranked 1..k — the (query,
+    * hard-negative) pairs an embedding-model contrastive batch
+    * consumes. Positives are removed BEFORE the ranking window, so
+    * every query yields k true negatives (a post-rank filter would
+    * silently under-fill).
+    *
+    * Scale shape: identical to [[bm25TopK]] — one map-side-combined
+    * postings shuffle, broadcast query/df sides — plus a BROADCAST
+    * anti-join against the positives (query-set-sized by definition)
+    * ahead of the single query-keyed rank exchange.
+    *
+    * @param positives (query_id, doc_id) pairs to exclude
+    */
+  def bm25HardNegatives(docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, qidCol: String, qtextCol: String,
+      positives: DataFrame, k: Int,
+      p: Bm25Params = Bm25Params()): DataFrame = {
+    require(k > 0, "k must be positive")
+    val index = bm25Index(docs, idCol, textCol)
+    val qTerms = queryTerms(queries, qidCol, qtextCol)
+    val hits = index.postings.join(
+      broadcast(qTerms.select("tok").distinct()), Seq("tok"))
+    graft.core.Caching.withCached(hits)(
+      rankTopK(
+        bm25ScoresFromHits(index, hits, qTerms, p)
+          .join(broadcast(positives.select(col("query_id"),
+            col("doc_id"))), Seq("query_id", "doc_id"), "left_anti"),
+        k))
+  }
+
   /** PMI query expansion (automatic-thesaurus expansion, Church-Hanks
     * collocates as the expansion source): each original query term
     * scores with integer weight 2, and the top-PMI right-collocate of

@@ -1,0 +1,53 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+
+/** Session-scoped registry of trained tokenizer artifacts — the
+  * "model store" between a tokenizer's train and encode halves.
+  *
+  * A production corpus trains its tokenizer ONCE per release and then
+  * encodes every shard against the frozen artifact; re-running the
+  * 100-round merge trajectory for each downstream encode job would
+  * multiply the most expensive sequential computation in the pipeline
+  * by the number of consumers. This store gives the same economics
+  * inside one driver JVM: the first caller for a given
+  * (family, corpus, column, size) key pays the full training
+  * trajectory; every later caller gets the SAME driver-held merge
+  * table and checkpoint-backed vocab back in O(1).
+  *
+  * Determinism is untouched — training runs bit-identically exactly
+  * once, and both returned tables are immutable (the merge table is
+  * driver-local data, the vocab a materialized local checkpoint).
+  * Keys carry the owning SparkSession's identity, so artifacts never
+  * leak across sessions (a checkpoint block belongs to the session
+  * that wrote it; test suites with their own sessions each train
+  * their own copy). Entries are never evicted: at most a handful of
+  * vocab-sized checkpoints per session, held exactly as long as a
+  * single train-and-encode job would hold them.
+  */
+object TokenizerStore {
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, (DataFrame, DataFrame)]()
+
+  private def key(family: String, docs: DataFrame, corpusKey: String,
+      textCol: String, nMerges: Int): String =
+    s"$family|${System.identityHashCode(docs.sparkSession)}|" +
+      s"$corpusKey|$textCol|$nMerges"
+
+  /** [[Bpe.trainWithVocab]] memoized per (session, corpus, column,
+    * nMerges): (merge trajectory, final segmentation dictionary).
+    * `corpusKey` names the corpus (the table directory); the caller
+    * must NOT release the returned vocab — the store owns it.
+    */
+  def bpe(docs: DataFrame, corpusKey: String, textCol: String,
+      nMerges: Int): (DataFrame, DataFrame) =
+    cache.computeIfAbsent(key("bpe", docs, corpusKey, textCol, nMerges),
+      _ => Bpe.trainWithVocab(docs, textCol, nMerges))
+
+  /** [[Bpe.trainWordPieceWithVocab]] memoized the same way. */
+  def wordPiece(docs: DataFrame, corpusKey: String, textCol: String,
+      nMerges: Int): (DataFrame, DataFrame) =
+    cache.computeIfAbsent(
+      key("wordpiece", docs, corpusKey, textCol, nMerges),
+      _ => Bpe.trainWordPieceWithVocab(docs, textCol, nMerges))
+}

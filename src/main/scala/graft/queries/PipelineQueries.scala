@@ -2511,6 +2511,49 @@ object PipelineQueries {
       .agg(count(lit(1)).as("n_docs"))
   }
 
+  /** Global shard manifest (p160): the whole corpus in one
+    * deterministic hash-shuffled order, cut into 4096-token training
+    * shards by the two-level distributed prefix sum
+    * ([[Curation.globalShardManifest]]) — the step that turns a curated
+    * corpus into the ordered shard files a trainer streams. The
+    * oracle replays the flat `SUM OVER (ORDER BY h, doc_id)`
+    * placement, which the bucketed scan regroups associatively.
+    */
+  def p160ShardManifest(s: SparkSession, dir: String): DataFrame =
+    Curation.globalShardManifest(t(s, dir, "documents"), "doc_id",
+      "text", shardToks = 4096L)
+
+  /** BM25 hard negatives (p161): the p112 query batch mined for
+    * contrastive training pairs ([[Retrieval.bm25HardNegatives]]) —
+    * top-5 lexical matches per query with the planted positive
+    * (query_id = source doc) anti-joined away BEFORE the ranking
+    * window, so each query yields five true negatives. The oracle
+    * replays the full BM25 chain, the positive removal, and the
+    * re-ranking.
+    */
+  def p161HardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val queries = docs.filter(col("doc_id") % 40 === 0)
+      .select(col("doc_id").as("query_id"),
+        concat_ws(" ", slice(TF.tokens(col("text")), 1, 4)).as("qtext"))
+    Retrieval.bm25HardNegatives(docs, "doc_id", "text",
+      queries, "query_id", "qtext",
+      positives = queries.select(col("query_id"),
+        col("query_id").as("doc_id")),
+      k = 5)
+  }
+
+  /** Distinct-n diversity card (p162): per source, the distinct-1/2/3
+    * positional n-gram ratios ([[Curation.distinctNgramCard]]) — the
+    * Li et al. 2016 diversity metric as a per-source card; the
+    * template-mill signal that survives when each individual document
+    * looks fine. The oracle replays the gram explode and both counts
+    * per order.
+    */
+  def p162DistinctN(s: SparkSession, dir: String): DataFrame =
+    Curation.distinctNgramCard(t(s, dir, "documents"), "source",
+      "text", ns = Seq(1, 2, 3))
+
   /** Source dup rates (p151): which sources are template mills —
     * per source, how many docs sit in a near-dup cluster (p04 pairs
     * closed by CC) and how many a min-id cut would drop, with the
@@ -3612,6 +3655,9 @@ object PipelineQueries {
     "p157_operating_points" -> p157OperatingPoints _,
     "p158_repetition" -> p158Repetition _,
     "p159_split_repair" -> p159SplitRepair _,
+    "p160_shard_manifest" -> p160ShardManifest _,
+    "p161_hard_negatives" -> p161HardNegatives _,
+    "p162_distinct_n" -> p162DistinctN _,
     "p50_temp_mix" -> p50TempMix _,
     "p51_hard_negatives" -> p51HardNegatives _,
     "p52_ivf_trained" -> p52IvfTrained _,
@@ -5814,6 +5860,56 @@ object PipelineQueries {
            |JOIN sp f ON dec.doc_id = f.doc_id
            |JOIN sp t ON dec.comp = t.doc_id
            |GROUP BY f.split, t.split""".stripMargin) +
+      ("p160_shard_manifest" ->
+        s"""WITH n AS (SELECT doc_id,
+           |    CAST(len($oToks) AS BIGINT) AS n_toks,
+           |    ${oHash("'shard' || CAST(doc_id AS VARCHAR)")} AS h
+           |  FROM documents),
+           |c AS (SELECT doc_id, n_toks,
+           |    CAST(SUM(n_toks) OVER (ORDER BY h, doc_id
+           |      ROWS UNBOUNDED PRECEDING) - n_toks AS BIGINT)
+           |      AS start_tok
+           |  FROM n)
+           |SELECT doc_id, n_toks,
+           |  CAST(start_tok // 4096 AS BIGINT) AS chunk_idx,
+           |  CAST(start_tok % 4096 AS BIGINT) AS chunk_off
+           |FROM c""".stripMargin) +
+      ("p161_hard_negatives" ->
+        s"""${oBm25Ctes(k1 = 1.2, b = 0.75, everyNth = 40, qTerms = 4)},
+           |neg AS (
+           |  SELECT query_id, doc_id, n_terms, score_micro,
+           |    ROW_NUMBER() OVER (PARTITION BY query_id
+           |      ORDER BY score_micro DESC, doc_id) AS rank
+           |  FROM sc WHERE doc_id <> query_id)
+           |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id,
+           |  CAST(n_terms AS BIGINT) AS n_terms, score_micro
+           |FROM neg WHERE rank <= 5""".stripMargin) +
+      ("p162_distinct_n" ->
+        s"""WITH base AS (SELECT source, $oToks AS toks FROM documents),
+           |g AS (
+           |  SELECT source, 1 AS n, toks[i] AS g
+           |  FROM (SELECT source, toks,
+           |          unnest(generate_series(1, len(toks))) AS i
+           |        FROM base WHERE len(toks) >= 1)
+           |  UNION ALL
+           |  SELECT source, 2 AS n, array_to_string(toks[i:i+1], ' ')
+           |  FROM (SELECT source, toks,
+           |          unnest(generate_series(1, len(toks) - 1)) AS i
+           |        FROM base WHERE len(toks) >= 2)
+           |  UNION ALL
+           |  SELECT source, 3 AS n, array_to_string(toks[i:i+2], ' ')
+           |  FROM (SELECT source, toks,
+           |          unnest(generate_series(1, len(toks) - 2)) AS i
+           |        FROM base WHERE len(toks) >= 3)),
+           |c AS (SELECT source, n, g, COUNT(*) AS cnt
+           |  FROM g GROUP BY source, n, g)
+           |SELECT source, CAST(n AS BIGINT) AS n,
+           |  CAST(COUNT(*) AS BIGINT) AS distinct_grams,
+           |  CAST(SUM(cnt) AS BIGINT) AS total_grams,
+           |  CASE WHEN SUM(cnt) = 0 THEN CAST(0 AS BIGINT)
+           |    ELSE CAST((COUNT(*) * 1000000) // SUM(cnt) AS BIGINT)
+           |  END AS distinct_frac_micro
+           |FROM c GROUP BY source, n""".stripMargin) +
       ("p150_rate_spikes" ->
         """WITH hourly AS (
           |  SELECT CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT)

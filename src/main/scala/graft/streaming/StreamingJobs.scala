@@ -232,6 +232,20 @@ object StreamingJobs {
       TF.entropyMicroHof(toks).as("toks_entropy_micro"))
   }
 
+  /** Ingest-time repetition gate — the streaming twin of p158: the
+    * Gopher §A1.2 repetition signals (top-2-gram char fraction,
+    * duplicated-3-gram coverage fraction) as a STATELESS per-row
+    * projection ([[graft.pipeline.Curation.repetitionRowCols]] — gram
+    * counting via nested HOF lambdas, no shuffle, no watermark, no
+    * state store), bit-equal to the batch (doc, gram)-shuffle path
+    * because the tie-break, coverage rule, and integer floors are
+    * shared. The boilerplate/loop check applied as documents arrive.
+    */
+  def repetitionGate(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id") +:
+      graft.pipeline.Curation.repetitionRowCols(col("text"),
+        topN = 2, dupN = 3): _*)
+
   /** Ingest-time entropy gate — the streaming twin of p121: per-doc
     * character- and token-level Shannon entropy as a STATELESS
     * per-row projection ([[graft.pipeline.TextFunctions

@@ -315,4 +315,27 @@ class CurationSpec extends SparkSpec {
     assert(spark.sharedState.cacheManager.isEmpty,
       "repetitionSignals left persisted intermediates behind")
   }
+
+  test("per-row repetition HOF is bit-equal to the batch shuffle path") {
+    val corpus = graft.core.Tables.read(spark,
+      "/root/testdata/sf0.001", "documents")
+    val batch = Curation.repetitionSignals(corpus, "doc_id", "text",
+        topN = 2, dupN = 3)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    val hof = graft.streaming.StreamingJobs.repetitionGate(corpus)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(batch == hof)
+    // and on the hand fixture including the gram-free short docs
+    val d = Seq((1L, "x y x y x y"), (2L, "a b c d e a b c d e"),
+      (3L, "p q r"), (4L, "z")).toDF("doc_id", "text")
+    val b2 = Curation.repetitionSignals(d, "doc_id", "text", 2, 3)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    val h2 = graft.streaming.StreamingJobs.repetitionGate(d)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(b2 == h2)
+  }
 }
