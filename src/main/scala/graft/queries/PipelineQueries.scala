@@ -974,21 +974,26 @@ object PipelineQueries {
     * have blown the plan long before the end.
     */
   def p71BpeTrain(s: SparkSession, dir: String): DataFrame =
-    Bpe.train(t(s, dir, "documents"), "text", nMerges = 100)
+    graft.pipeline.TokenizerStore
+      .bpe(t(s, dir, "documents"), dir, "text", nMerges = 100)._1
 
   /** Tokenize the corpus with the p71-trained merge table
-    * ([[Bpe.trainWithVocab]] + [[Bpe.encodeWith]] — the tokenizer
-    * lifecycle's other half): train to exhaustion, then tokenize every
-    * document through the trainer's OWN final segmentation as the
-    * broadcast dictionary — training runs exactly once, and encode
-    * costs one broadcast-joined corpus scan. The oracle replays the
+    * ([[graft.pipeline.TokenizerStore]] + [[Bpe.encodeWith]] — the
+    * tokenizer lifecycle's other half): train to exhaustion, then
+    * tokenize every document through the trainer's OWN final
+    * segmentation as the broadcast dictionary — the trained artifact
+    * comes from the session's model registry, so training runs
+    * exactly once per corpus no matter how many encode consumers run
+    * (production tokenizer economics), and encode costs one
+    * broadcast-joined corpus scan. The oracle replays the
     * SAME training chain and joins the final segmentation back to
     * every word position — train and encode certified together, per
     * (doc, position).
     */
   def p75BpeEncode(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val (_, vocab) = Bpe.trainWithVocab(docs, "text", nMerges = 100)
+    val (_, vocab) = graft.pipeline.TokenizerStore
+      .bpe(docs, dir, "text", nMerges = 100)
     Bpe.encodeWith(docs, "doc_id", "text", vocab)
   }
 
@@ -2141,7 +2146,8 @@ object PipelineQueries {
     * every merge decision AND its exact-integer score.
     */
   def p118Wordpiece(s: SparkSession, dir: String): DataFrame =
-    Bpe.trainWordPiece(t(s, dir, "documents"), "text", nMerges = 100)
+    graft.pipeline.TokenizerStore
+      .wordPiece(t(s, dir, "documents"), dir, "text", nMerges = 100)._1
 
   /** Hybrid retrieval (p119): the p112 BM25 top-10 fused with the
     * dense cosine top-10 over the SAME query ids (doc_id ↔ vec_id) by
@@ -2817,14 +2823,16 @@ object PipelineQueries {
     * WordPiece-trained merge table — completing the train+encode
     * matrix across all three tokenizer families (BPE p71/p75, unigram
     * p87/p88, WordPiece p118/p137). Encoding is the same broadcast
-    * dictionary join as BPE's ([[Bpe.encodeWith]]); the oracle replays
+    * dictionary join as BPE's ([[Bpe.encodeWith]]), against the
+    * [[graft.pipeline.TokenizerStore]]-registered artifact (trained
+    * once per session, never per consumer); the oracle replays
     * the training trajectory with the likelihood-ratio winner and
     * joins the final segmentation back to every word position.
     */
   def p137WordpieceEncode(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val (_, vocab) = Bpe.trainWordPieceWithVocab(docs, "text",
-      nMerges = 100)
+    val (_, vocab) = graft.pipeline.TokenizerStore
+      .wordPiece(docs, dir, "text", nMerges = 100)
     Bpe.encodeWith(docs, "doc_id", "text", vocab)
   }
 

@@ -1675,6 +1675,29 @@ class PipelineSpec extends SparkSpec {
     assert(leaked == 0L, s"$leaked near-dup pairs still straddle splits")
   }
 
+  test("tokenizer store trains once per key and hands back the same artifact") {
+    val docs = Seq((1L, "low lower lowest"), (2L, "low low newer"),
+      (3L, "newer newest")).toDF("doc_id", "text")
+    val a = TokenizerStore.bpe(docs, "store-fixture", "text", nMerges = 10)
+    val b = TokenizerStore.bpe(docs, "store-fixture", "text", nMerges = 10)
+    // the memo returns the SAME driver objects — zero retraining
+    assert((a._1 eq b._1) && (a._2 eq b._2))
+    // and the artifact is bit-equal to a direct train
+    val (m, v) = Bpe.trainWithVocab(docs, "text", nMerges = 10)
+    assert(a._1.collect().toSeq.sortBy(_.getLong(0)) ==
+      m.collect().toSeq.sortBy(_.getLong(0)))
+    assert(a._2.orderBy("word").collect().toSeq ==
+      v.orderBy("word").collect().toSeq)
+    Bpe.releaseVocab(v)
+    // a different size is a different artifact
+    val c = TokenizerStore.bpe(docs, "store-fixture", "text", nMerges = 3)
+    assert(!(c._1 eq a._1))
+    // wordpiece keys do not collide with bpe keys of the same shape
+    val w = TokenizerStore.wordPiece(docs, "store-fixture", "text",
+      nMerges = 10)
+    assert(!(w._1 eq a._1))
+  }
+
   test("PolyMap dispatches by domain and leaves unmapped domains null") {
     val facts = Seq((1L, "a", 10L), (2L, "b", 10L), (3L, "c", 10L), (4L, "a", 99L))
       .toDF("id", "dom", "fk")
