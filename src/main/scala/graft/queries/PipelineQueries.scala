@@ -2549,6 +2549,25 @@ object PipelineQueries {
       k = 5)
   }
 
+  /** Mixture-interleave manifest (p163): the corpus laid out by
+    * stride-scheduled virtual time ([[Curation.mixtureInterleave]])
+    * under the p50 temperature weights (α = 0.5, T5-style), cut into
+    * 4096-token shards — the last mile between mixture weights and
+    * shard files: every prefix of the order holds the target domain
+    * mix within O(1) documents, so the trainer sees the mixture at
+    * every read-ahead scale. The oracle replays the weight formula,
+    * the flat per-domain ROW_NUMBER, the integer virtual times, and
+    * the flat global token window, all equal to the two-level scans
+    * by associativity.
+    */
+  def p163MixInterleave(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val w = p50TempMix(s, dir)
+      .select(col("source"), col("p_micro").as("weight_micro"))
+    Curation.mixtureInterleave(docs, "doc_id", "text", "source", w,
+      shardToks = 4096L)
+  }
+
   /** Distinct-n diversity card (p162): per source, the distinct-1/2/3
     * positional n-gram ratios ([[Curation.distinctNgramCard]]) — the
     * Li et al. 2016 diversity metric as a per-source card; the
@@ -3666,6 +3685,7 @@ object PipelineQueries {
     "p160_shard_manifest" -> p160ShardManifest _,
     "p161_hard_negatives" -> p161HardNegatives _,
     "p162_distinct_n" -> p162DistinctN _,
+    "p163_mix_interleave" -> p163MixInterleave _,
     "p50_temp_mix" -> p50TempMix _,
     "p51_hard_negatives" -> p51HardNegatives _,
     "p52_ivf_trained" -> p52IvfTrained _,
@@ -5892,6 +5912,29 @@ object PipelineQueries {
            |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id,
            |  CAST(n_terms AS BIGINT) AS n_terms, score_micro
            |FROM neg WHERE rank <= 5""".stripMargin) +
+      ("p163_mix_interleave" ->
+        s"""WITH c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+           |  FROM documents GROUP BY 1),
+           |d AS (SELECT list_sum(list_sort(list(sqrt(CAST(n_docs
+           |    AS DOUBLE))))) AS denom FROM c),
+           |w AS (SELECT source, CAST(FLOOR(sqrt(CAST(n_docs AS DOUBLE))
+           |    / denom * 1e6) AS BIGINT) AS weight_micro FROM c, d),
+           |n AS (SELECT doc_id, source,
+           |    CAST(len($oToks) AS BIGINT) AS n_toks,
+           |    ${oHash("'mix' || CAST(doc_id AS VARCHAR)")} AS h
+           |  FROM documents),
+           |k AS (SELECT doc_id, n.source, n_toks,
+           |    CAST((ROW_NUMBER() OVER (PARTITION BY n.source
+           |        ORDER BY h, doc_id) * 1000000000) // weight_micro
+           |      AS BIGINT) AS vtime
+           |  FROM n JOIN w ON n.source = w.source),
+           |st AS (SELECT *, CAST(SUM(n_toks) OVER (ORDER BY vtime,
+           |      source, doc_id ROWS UNBOUNDED PRECEDING) - n_toks
+           |    AS BIGINT) AS start_tok FROM k)
+           |SELECT doc_id, source, n_toks, vtime,
+           |  CAST(start_tok // 4096 AS BIGINT) AS chunk_idx,
+           |  CAST(start_tok % 4096 AS BIGINT) AS chunk_off
+           |FROM st""".stripMargin) +
       ("p162_distinct_n" ->
         s"""WITH base AS (SELECT source, $oToks AS toks FROM documents),
            |g AS (

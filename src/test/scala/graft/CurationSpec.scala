@@ -2,7 +2,10 @@ package graft
 
 import org.apache.spark.sql.functions._
 
+import org.apache.spark.sql.expressions.Window
+
 import graft.pipeline.Curation
+import graft.pipeline.{TextFunctions => TF}
 
 class CurationSpec extends SparkSpec {
   import spark.implicits._
@@ -314,6 +317,57 @@ class CurationSpec extends SparkSpec {
     assert(out(4L) == ((1L, 1L, 0L, 0L, 0L)), out(4L).toString)
     assert(spark.sharedState.cacheManager.isEmpty,
       "repetitionSignals left persisted intermediates behind")
+  }
+
+  test("mixture interleave holds the target mix in every prefix") {
+    // domains a:b:c weighted 2:1:1 — every prefix must carry a at
+    // half its length within one stride
+    val docs = (1L to 16L).map(i => (i, "tok " * 3,
+      Seq("a", "b", "a", "c")((i % 4).toInt))).toDF("doc_id", "text", "dom")
+    val w = Seq(("a", 500000L), ("b", 250000L), ("c", 250000L))
+      .toDF("dom", "weight_micro")
+    val order = Curation.mixtureInterleave(docs, "doc_id", "text",
+        "dom", w, shardToks = 8L)
+      .orderBy("vtime", "dom", "doc_id")
+      .select("dom").as[String].collect().toSeq
+    assert(order.size == 16)
+    for (k <- 1 to 16) {
+      val counts = order.take(k).groupBy(identity).view.mapValues(_.size)
+      assert(math.abs(counts.getOrElse("a", 0) - k / 2.0) <= 1.0,
+        s"prefix $k: ${counts.toMap}")
+      assert(math.abs(counts.getOrElse("b", 0) - k / 4.0) <= 1.0)
+    }
+  }
+
+  test("mixture interleave two-level scans equal the flat windows") {
+    val docs = graft.core.Tables.read(spark, "/root/testdata/sf0.001",
+      "documents")
+    val w = docs.groupBy("source").agg(count(lit(1)).as("n"))
+      .select(col("source"), (col("n") * 1000L).as("weight_micro"))
+    val got = Curation.mixtureInterleave(docs, "doc_id", "text",
+        "source", w, shardToks = 512L)
+      .orderBy("doc_id")
+      .as[(Long, String, Long, Long, Long, Long)].collect().toSeq
+    // flat reference: single-partition windows, tiny data only
+    val h = TF.hash60(concat(lit("mix"), col("doc_id").cast("string")))
+    val flat = docs
+      .withColumn("__h", h)
+      .withColumn("n_toks", size(TF.tokens(col("text"))).cast("long"))
+      .withColumn("__i", row_number().over(Window.partitionBy("source")
+        .orderBy(col("__h"), col("doc_id"))).cast("long"))
+      .join(w, Seq("source"))
+      .withColumn("vtime", expr("__i * 1000000000 div weight_micro"))
+      .withColumn("start_tok",
+        sum(col("n_toks")).over(Window.orderBy(col("vtime"),
+            col("source"), col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          - col("n_toks"))
+      .select(col("doc_id"), col("source"), col("n_toks"), col("vtime"),
+        expr("start_tok div 512").as("chunk_idx"),
+        (col("start_tok") % 512L).as("chunk_off"))
+      .orderBy("doc_id")
+      .as[(Long, String, Long, Long, Long, Long)].collect().toSeq
+    assert(got == flat)
   }
 
   test("per-row repetition HOF is bit-equal to the batch shuffle path") {
