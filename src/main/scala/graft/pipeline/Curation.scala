@@ -298,6 +298,54 @@ object Curation {
         (col("start_tok") % shardToks).as("chunk_off"))
   }
 
+  /** Contrastive positive-pair generator — the independent-cropping
+    * recipe of Contriever (Izacard et al. 2022 §3.1, descending from
+    * the inverse cloze task): per document with at least `minToks`
+    * tokens, two deterministic pseudo-random token crops of the SAME
+    * document, the (anchor, positive) pairs a contrastive embedding
+    * model trains on — completing the pair factory beside the BM25
+    * hard negatives ([[Retrieval.bm25HardNegatives]]). Crop lengths
+    * draw from 40–70% of the document and start positions are
+    * portable-hash draws, so any engine regenerates identical pairs
+    * with zero RNG state; `overlap_toks` (tokens shared by the two
+    * crop intervals) is the pair-difficulty signal — low overlap =
+    * hard positive, exactly the axis Contriever ablates.
+    *
+    * Scale shape: a zero-exchange per-row projection (token-array
+    * slices, four hash draws, integer interval arithmetic) — the
+    * plan partitions like its scan.
+    */
+  def contrastiveCrops(df: DataFrame, idCol: String, textCol: String,
+      minToks: Int = 8, salt: String = "crop"): DataFrame = {
+    require(minToks >= 2, "minToks must be at least 2")
+    def draw(tag: String): Column =
+      TF.hash60(concat(lit(salt + tag), col(idCol).cast("string")))
+    def len(tag: String): Column = greatest(lit(1L),
+      call_function("div",
+        col("__n") * (lit(40L) + draw("l" + tag) % 31L), lit(100L)))
+    def start(tag: String, lenCol: Column): Column =
+      lit(1L) + draw("s" + tag) % (col("__n") - lenCol + 1L)
+    df.withColumn("__toks", TF.tokens(col(textCol)))
+      .withColumn("__n", size(col("__toks")).cast("long"))
+      .filter(col("__n") >= minToks.toLong)
+      .withColumn("a_len", len("a"))
+      .withColumn("b_len", len("b"))
+      .withColumn("a_start", start("a", col("a_len")))
+      .withColumn("b_start", start("b", col("b_len")))
+      .select(col(idCol), col("__n").as("n_toks"),
+        col("a_start"), col("a_len"), col("b_start"), col("b_len"),
+        greatest(lit(0L),
+          least(col("a_start") + col("a_len"),
+            col("b_start") + col("b_len"))
+            - greatest(col("a_start"), col("b_start"))).as("overlap_toks"),
+        concat_ws(" ", slice(col("__toks"),
+          col("a_start").cast("int"), col("a_len").cast("int")))
+          .as("crop_a"),
+        concat_ws(" ", slice(col("__toks"),
+          col("b_start").cast("int"), col("b_len").cast("int")))
+          .as("crop_b"))
+  }
+
   /** Distinct-n diversity card (the distinct-1/2/3 corpus-diversity
     * metric of Li et al. 2016, "A Diversity-Promoting Objective
     * Function"): per stratum and n-gram order, the distinct and total

@@ -2568,6 +2568,18 @@ object PipelineQueries {
       shardToks = 4096L)
   }
 
+  /** Contrastive crop pairs (p164): two deterministic pseudo-random
+    * token crops per document ([[Curation.contrastiveCrops]],
+    * Contriever's independent cropping) — the (anchor, positive)
+    * training pairs beside p161's hard negatives, with the interval
+    * overlap as the pair-difficulty signal. Zero-exchange per-row
+    * projection; the oracle replays the hash draws, both slices, and
+    * the interval arithmetic.
+    */
+  def p164CropPairs(s: SparkSession, dir: String): DataFrame =
+    Curation.contrastiveCrops(t(s, dir, "documents"), "doc_id", "text",
+      minToks = 8)
+
   /** Distinct-n diversity card (p162): per source, the distinct-1/2/3
     * positional n-gram ratios ([[Curation.distinctNgramCard]]) — the
     * Li et al. 2016 diversity metric as a per-source card; the
@@ -3686,6 +3698,7 @@ object PipelineQueries {
     "p161_hard_negatives" -> p161HardNegatives _,
     "p162_distinct_n" -> p162DistinctN _,
     "p163_mix_interleave" -> p163MixInterleave _,
+    "p164_crop_pairs" -> p164CropPairs _,
     "p50_temp_mix" -> p50TempMix _,
     "p51_hard_negatives" -> p51HardNegatives _,
     "p52_ivf_trained" -> p52IvfTrained _,
@@ -5912,6 +5925,32 @@ object PipelineQueries {
            |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id,
            |  CAST(n_terms AS BIGINT) AS n_terms, score_micro
            |FROM neg WHERE rank <= 5""".stripMargin) +
+      ("p164_crop_pairs" ->
+        s"""WITH d AS (SELECT doc_id, $oToks AS toks,
+           |    CAST(len($oToks) AS BIGINT) AS n FROM documents),
+           |f AS (SELECT * FROM d WHERE n >= 8),
+           |c AS (SELECT doc_id, toks, n,
+           |    GREATEST(1, CAST((n * (40 +
+           |      ${oHash("'cropla' || CAST(doc_id AS VARCHAR)")} % 31))
+           |      // 100 AS BIGINT)) AS a_len,
+           |    GREATEST(1, CAST((n * (40 +
+           |      ${oHash("'croplb' || CAST(doc_id AS VARCHAR)")} % 31))
+           |      // 100 AS BIGINT)) AS b_len
+           |  FROM f),
+           |p AS (SELECT doc_id, toks, n, a_len, b_len,
+           |    1 + ${oHash("'cropsa' || CAST(doc_id AS VARCHAR)")}
+           |      % (n - a_len + 1) AS a_start,
+           |    1 + ${oHash("'cropsb' || CAST(doc_id AS VARCHAR)")}
+           |      % (n - b_len + 1) AS b_start
+           |  FROM c)
+           |SELECT doc_id, n AS n_toks, a_start, a_len, b_start, b_len,
+           |  GREATEST(0, LEAST(a_start + a_len, b_start + b_len)
+           |    - GREATEST(a_start, b_start)) AS overlap_toks,
+           |  array_to_string(toks[a_start:a_start + a_len - 1], ' ')
+           |    AS crop_a,
+           |  array_to_string(toks[b_start:b_start + b_len - 1], ' ')
+           |    AS crop_b
+           |FROM p""".stripMargin) +
       ("p163_mix_interleave" ->
         s"""WITH c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
            |  FROM documents GROUP BY 1),

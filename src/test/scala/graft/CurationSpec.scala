@@ -319,6 +319,36 @@ class CurationSpec extends SparkSpec {
       "repetitionSignals left persisted intermediates behind")
   }
 
+  test("contrastive crops are in-document slices with exact overlap") {
+    val texts = Map(
+      1L -> (1 to 20).map("t" + _).mkString(" "),
+      2L -> "a b c",
+      3L -> (1 to 8).map("w" + _).mkString(" "))
+    val docs = texts.toSeq.toDF("doc_id", "text")
+    val got = Curation.contrastiveCrops(docs, "doc_id", "text",
+      minToks = 8).orderBy("doc_id").collect()
+    // the 3-token doc is below minToks
+    assert(got.map(_.getLong(0)).toSeq == Seq(1L, 3L))
+    for (r <- got) {
+      val toks = texts(r.getLong(0)).split(" ")
+      val n = r.getLong(1)
+      assert(n == toks.length)
+      for ((s, l, crop) <- Seq(
+          (r.getLong(2), r.getLong(3), r.getString(7)),
+          (r.getLong(4), r.getLong(5), r.getString(8)))) {
+        assert(l >= math.max(1L, n * 40 / 100) && l <= n * 70 / 100)
+        assert(s >= 1L && s + l - 1 <= n)
+        assert(crop ==
+          toks.slice(s.toInt - 1, (s + l).toInt - 1).mkString(" "))
+      }
+      val (as_, al, bs, bl) = (r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))
+      val expOv = math.max(0L,
+        math.min(as_ + al, bs + bl) - math.max(as_, bs))
+      assert(r.getLong(6) == expOv)
+    }
+  }
+
   test("mixture interleave holds the target mix in every prefix") {
     // domains a:b:c weighted 2:1:1 — every prefix must carry a at
     // half its length within one stride
