@@ -184,6 +184,11 @@ object Cli {
         |  split-leakage <dir> <outDir>                  near-dup clusters straddling train/valid/test
         |  split-repair <dir> <outDir>                   cluster-routed split migration matrix (the fix)
         |  epoch-schedule <dir> <outDir>                 per-source epochs under the 4-epoch ceiling
+        |  global-shard-manifest <dir> <outDir>          whole-corpus token placement into training shards
+        |  bm25-hard-negatives <dir> <outDir>            DPR-style lexical hard negatives per query
+        |  distinct-n <dir> <outDir>                     per-source distinct-1/2/3 diversity ratios
+        |  mix-interleave <dir> <outDir>                 stride-scheduled mixture-order shard manifest
+        |  crop-pairs <dir> <outDir>                     contrastive anchor/positive crop pairs
         |  retrieval-scorecard <dir> <outDir>            nDCG@10/MRR/hits of all five rankers
         |  classifier-auc <dir> <outDir>                 exact Mann-Whitney ROC-AUC of the NB scorer
         |  classifier-pr-auc <dir> <outDir>              exact average precision (PR-AUC) vs prevalence
@@ -618,6 +623,16 @@ object Cli {
       write(queries.PipelineQueries.p152SplitLeakage(spark, dir), out)
     case "epoch-schedule" :: dir :: out :: Nil =>
       write(queries.PipelineQueries.p153EpochSchedule(spark, dir), out)
+    case "global-shard-manifest" :: dir :: out :: Nil =>
+      write(queries.PipelineQueries.p160ShardManifest(spark, dir), out)
+    case "bm25-hard-negatives" :: dir :: out :: Nil =>
+      write(queries.PipelineQueries.p161HardNegatives(spark, dir), out)
+    case "distinct-n" :: dir :: out :: Nil =>
+      write(queries.PipelineQueries.p162DistinctN(spark, dir), out)
+    case "mix-interleave" :: dir :: out :: Nil =>
+      write(queries.PipelineQueries.p163MixInterleave(spark, dir), out)
+    case "crop-pairs" :: dir :: out :: Nil =>
+      write(queries.PipelineQueries.p164CropPairs(spark, dir), out)
 
     // bloom-prefiltered idempotent ingest: the zero-shuffle scale path
     // of ingest-dedup. The sketch is sized from input FILE BYTES, not a
