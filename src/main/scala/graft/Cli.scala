@@ -211,6 +211,7 @@ object Cli {
         |  stream-phrase-search <dir> <outDir>           phrase-aware BM25 at ingest (impact + gram indexes)
         |  stream-entropy <dir> <outDir>                 entropy signals at stream ingest
         |  stream-repetition <dir> <outDir>              Gopher repetition signals at stream ingest
+        |  stream-crop-pairs <dir> <outDir>              contrastive anchor/positive crops at stream ingest
         |  stream-features <dir> <outDir>                stateless feature-store slice at stream ingest
         |  stream-hll <dir> <outDir>                     windowed HLL registers at stream ingest
         |  stream-countmin <dir> <outDir>                windowed count-min cells at stream ingest
@@ -1232,6 +1233,13 @@ object Cli {
       val stream = stagedDocStream(spark, dir, out)
       drainDocJob(streaming.StreamingJobs.repetitionGate(stream), out)
       println(s"""{"stream_repetition":"$out"}""")
+
+    // contrastive pair factory at ingest: stateless per-row slices,
+    // the same projection as the batch p164
+    case "stream-crop-pairs" :: dir :: out :: Nil =>
+      val stream = stagedDocStream(spark, dir, out)
+      drainDocJob(streaming.StreamingJobs.cropGate(stream), out)
+      println(s"""{"stream_crop_pairs":"$out"}""")
 
     // entropy gate at ingest: stateless per-row HOF, bit-equal to the
     // batch p121 groupBy path

@@ -35,6 +35,33 @@ object PipelineQueries {
 
   private val oToks = """string_split_regex(trim(text), '\s+')"""
 
+  /** Shared CTE chain of the p163/p165 oracles: p50 temperature
+    * weights → per-domain hash-ordered sequence → stride virtual
+    * times → flat global token prefix sum (the single-window form the
+    * two-level scans regroup associatively). Exposes `w (source,
+    * weight_micro)` and `st (doc_id, source, n_toks, vtime,
+    * start_tok)`.
+    */
+  private lazy val oMixInterleaveCtes: String =
+    s"""WITH c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+       |  FROM documents GROUP BY 1),
+       |d AS (SELECT list_sum(list_sort(list(sqrt(CAST(n_docs
+       |    AS DOUBLE))))) AS denom FROM c),
+       |w AS (SELECT source, CAST(FLOOR(sqrt(CAST(n_docs AS DOUBLE))
+       |    / denom * 1e6) AS BIGINT) AS weight_micro FROM c, d),
+       |n AS (SELECT doc_id, source,
+       |    CAST(len($oToks) AS BIGINT) AS n_toks,
+       |    ${oHash("'mix' || CAST(doc_id AS VARCHAR)")} AS h
+       |  FROM documents),
+       |k AS (SELECT doc_id, n.source, n_toks,
+       |    CAST((ROW_NUMBER() OVER (PARTITION BY n.source
+       |        ORDER BY h, doc_id) * 1000000000) // weight_micro
+       |      AS BIGINT) AS vtime
+       |  FROM n JOIN w ON n.source = w.source),
+       |st AS (SELECT *, CAST(SUM(n_toks) OVER (ORDER BY vtime,
+       |      source, doc_id ROWS UNBOUNDED PRECEDING) - n_toks
+       |    AS BIGINT) AS start_tok FROM k)""".stripMargin
+
   /** DuckDB rendering of [[TF.shingles]] over an in-scope `toks`. */
   private def oShingles(k: Int): String = {
     val cat = (0 until k).map(j => if (j == 0) "toks[i]" else s"toks[i+$j]")
@@ -2568,6 +2595,39 @@ object PipelineQueries {
       shardToks = 4096L)
   }
 
+  /** Shard mixture audit (p165): the QA card over the p163 manifest —
+    * per (shard, domain): document and token counts, the shard's
+    * observed domain share, the target share from the same p50
+    * weights, and the absolute deviation, all in integer micro. The
+    * card that PROVES the stride interleave delivers the mixture at
+    * shard granularity (not just in a spec): deviations stay O(1/shard
+    * size) on every full shard. One rollup exchange over the manifest;
+    * the oracle replays manifest + rollup + the integer share
+    * arithmetic.
+    */
+  def p165ShardMix(s: SparkSession, dir: String): DataFrame = {
+    val manifest = p163MixInterleave(s, dir)
+    val w = p50TempMix(s, dir)
+      .select(col("source"), col("p_micro").as("w"))
+    val totalW = w.agg(sum(col("w")).as("tw"))
+    val shardTotals = manifest.groupBy("chunk_idx")
+      .agg(count(lit(1)).as("shard_docs"))
+    // shardTotals is shard-count-sized (corpus tokens / shardToks) —
+    // unbounded at 100 TB, so it joins co-keyed on chunk_idx, never
+    // broadcast; the domain-sized weight frames do broadcast
+    manifest.groupBy(col("chunk_idx"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_toks"))
+      .join(shardTotals, Seq("chunk_idx"))
+      .join(broadcast(w), Seq("source"))
+      .crossJoin(broadcast(totalW))
+      .select(col("chunk_idx"), col("source"), col("n_docs"),
+        col("n_toks"),
+        expr("n_docs * 1000000 div shard_docs").as("share_micro"),
+        expr("w * 1000000 div tw").as("target_micro"),
+        abs(expr("n_docs * 1000000 div shard_docs")
+          - expr("w * 1000000 div tw")).as("abs_dev_micro"))
+  }
+
   /** Contrastive crop pairs (p164): two deterministic pseudo-random
     * token crops per document ([[Curation.contrastiveCrops]],
     * Contriever's independent cropping) — the (anchor, positive)
@@ -3699,6 +3759,7 @@ object PipelineQueries {
     "p162_distinct_n" -> p162DistinctN _,
     "p163_mix_interleave" -> p163MixInterleave _,
     "p164_crop_pairs" -> p164CropPairs _,
+    "p165_shard_mix" -> p165ShardMix _,
     "p50_temp_mix" -> p50TempMix _,
     "p51_hard_negatives" -> p51HardNegatives _,
     "p52_ivf_trained" -> p52IvfTrained _,
@@ -5952,28 +6013,32 @@ object PipelineQueries {
            |    AS crop_b
            |FROM p""".stripMargin) +
       ("p163_mix_interleave" ->
-        s"""WITH c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
-           |  FROM documents GROUP BY 1),
-           |d AS (SELECT list_sum(list_sort(list(sqrt(CAST(n_docs
-           |    AS DOUBLE))))) AS denom FROM c),
-           |w AS (SELECT source, CAST(FLOOR(sqrt(CAST(n_docs AS DOUBLE))
-           |    / denom * 1e6) AS BIGINT) AS weight_micro FROM c, d),
-           |n AS (SELECT doc_id, source,
-           |    CAST(len($oToks) AS BIGINT) AS n_toks,
-           |    ${oHash("'mix' || CAST(doc_id AS VARCHAR)")} AS h
-           |  FROM documents),
-           |k AS (SELECT doc_id, n.source, n_toks,
-           |    CAST((ROW_NUMBER() OVER (PARTITION BY n.source
-           |        ORDER BY h, doc_id) * 1000000000) // weight_micro
-           |      AS BIGINT) AS vtime
-           |  FROM n JOIN w ON n.source = w.source),
-           |st AS (SELECT *, CAST(SUM(n_toks) OVER (ORDER BY vtime,
-           |      source, doc_id ROWS UNBOUNDED PRECEDING) - n_toks
-           |    AS BIGINT) AS start_tok FROM k)
+        s"""$oMixInterleaveCtes
            |SELECT doc_id, source, n_toks, vtime,
            |  CAST(start_tok // 4096 AS BIGINT) AS chunk_idx,
            |  CAST(start_tok % 4096 AS BIGINT) AS chunk_off
            |FROM st""".stripMargin) +
+      ("p165_shard_mix" ->
+        s"""$oMixInterleaveCtes,
+           |m AS (SELECT doc_id, source, n_toks,
+           |    CAST(start_tok // 4096 AS BIGINT) AS chunk_idx FROM st),
+           |sh AS (SELECT chunk_idx, CAST(COUNT(*) AS BIGINT)
+           |    AS shard_docs FROM m GROUP BY 1),
+           |tw AS (SELECT CAST(SUM(weight_micro) AS BIGINT) AS tw FROM w),
+           |g AS (SELECT chunk_idx, source,
+           |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |    CAST(SUM(n_toks) AS BIGINT) AS n_toks
+           |  FROM m GROUP BY 1, 2)
+           |SELECT g.chunk_idx, g.source, n_docs, n_toks,
+           |  CAST(n_docs * 1000000 // shard_docs AS BIGINT)
+           |    AS share_micro,
+           |  CAST(weight_micro * 1000000 // tw AS BIGINT)
+           |    AS target_micro,
+           |  CAST(ABS(n_docs * 1000000 // shard_docs
+           |    - weight_micro * 1000000 // tw) AS BIGINT)
+           |    AS abs_dev_micro
+           |FROM g JOIN sh USING (chunk_idx)
+           |JOIN w ON g.source = w.source, tw""".stripMargin) +
       ("p162_distinct_n" ->
         s"""WITH base AS (SELECT source, $oToks AS toks FROM documents),
            |g AS (

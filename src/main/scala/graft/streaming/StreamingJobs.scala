@@ -246,6 +246,18 @@ object StreamingJobs {
       graft.pipeline.Curation.repetitionRowCols(col("text"),
         topN = 2, dupN = 3): _*)
 
+  /** Ingest-time contrastive pair factory — the streaming twin of
+    * p164: [[graft.pipeline.Curation.contrastiveCrops]] is a
+    * stateless per-row projection (portable-hash draws + token-array
+    * slices — no shuffle, no watermark, no state store), so the SAME
+    * function runs unchanged on the ingest stream and (anchor,
+    * positive) pairs are ready for the contrastive trainer as
+    * documents arrive.
+    */
+  def cropGate(docs: DataFrame): DataFrame =
+    graft.pipeline.Curation.contrastiveCrops(docs, "doc_id", "text",
+      minToks = 8)
+
   /** Ingest-time entropy gate — the streaming twin of p121: per-doc
     * character- and token-level Shannon entropy as a STATELESS
     * per-row projection ([[graft.pipeline.TextFunctions

@@ -369,6 +369,23 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("mixture interleave delivers the exact mix on every full shard") {
+    // 3-token docs, 12-token shards -> 4 docs per shard; weights 2:1:1
+    // mean every full shard holds exactly (2 a, 1 b, 1 c)
+    val docs = (1L to 16L).map(i => (i, "tok " * 3,
+      Seq("a", "b", "a", "c")((i % 4).toInt))).toDF("doc_id", "text", "dom")
+    val w = Seq(("a", 500000L), ("b", 250000L), ("c", 250000L))
+      .toDF("dom", "weight_micro")
+    val perShard = Curation.mixtureInterleave(docs, "doc_id", "text",
+        "dom", w, shardToks = 12L)
+      .groupBy("chunk_idx", "dom").count()
+      .as[(Long, String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => r._2 -> r._3).toMap)
+    for ((shard, counts) <- perShard if shard < 4)
+      assert(counts == Map("a" -> 2L, "b" -> 1L, "c" -> 1L),
+        s"shard $shard: $counts")
+  }
+
   test("mixture interleave two-level scans equal the flat windows") {
     val docs = graft.core.Tables.read(spark, "/root/testdata/sf0.001",
       "documents")
