@@ -212,6 +212,7 @@ object Cli {
         |  stream-entropy <dir> <outDir>                 entropy signals at stream ingest
         |  stream-repetition <dir> <outDir>              Gopher repetition signals at stream ingest
         |  stream-crop-pairs <dir> <outDir>              contrastive anchor/positive crops at stream ingest
+        |  stream-mix-schedule <dir> <outDir>            online stride-mixture slots at stream ingest (stateful)
         |  stream-features <dir> <outDir>                stateless feature-store slice at stream ingest
         |  stream-hll <dir> <outDir>                     windowed HLL registers at stream ingest
         |  stream-countmin <dir> <outDir>                windowed count-min cells at stream ingest
@@ -1240,6 +1241,19 @@ object Cli {
       val stream = stagedDocStream(spark, dir, out)
       drainDocJob(streaming.StreamingJobs.cropGate(stream), out)
       println(s"""{"stream_crop_pairs":"$out"}""")
+
+    // online mixture scheduler at ingest: snapshot-fit p50 weights,
+    // per-domain stride counters in the state store
+    case "stream-mix-schedule" :: dir :: out :: Nil =>
+      val weights = queries.PipelineQueries.p50TempMix(spark, dir)
+        .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+      val stream = stagedDocStream(spark, dir, out)
+      import spark.implicits._
+      drainDocJob(streaming.StreamingJobs.mixtureSchedule(
+        stream.select(col("doc_id"), col("source"), col("ts"))
+          .as[streaming.StreamingJobs.DocArrival],
+        weights).toDF(), out)
+      println(s"""{"stream_mix_schedule":"$out"}""")
 
     // entropy gate at ingest: stateless per-row HOF, bit-equal to the
     // batch p121 groupBy path

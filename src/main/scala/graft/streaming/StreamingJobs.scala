@@ -258,6 +258,52 @@ object StreamingJobs {
     graft.pipeline.Curation.contrastiveCrops(docs, "doc_id", "text",
       minToks = 8)
 
+  case class DocArrival(doc_id: Long, source: String,
+      ts: java.sql.Timestamp)
+  case class MixSeq(i: Long)
+  case class MixSlot(doc_id: Long, source: String, seq: Long,
+      vtime: Long)
+
+  /** Online mixture scheduler — the stateful streaming twin of the
+    * p163 stride interleave: per-domain arrival counters live in the
+    * state store and every arriving document gets its stride slot
+    * `vtime = i·10⁹ div w_d` the moment it lands, so a downstream
+    * writer consuming in vtime order materializes the target mixture
+    * continuously instead of waiting for a corpus-wide batch layout.
+    * Weights are snapshot-fit (the [[perplexityScore]]/[[classify]]
+    * discipline) and ride into the lambda as a driver map; within a
+    * micro-batch each group re-sorts by (event time, id) so replays
+    * are deterministic, and the spec pins equality with the batch
+    * `row_number OVER (PARTITION BY domain ORDER BY ts, id)` form
+    * including counter continuity ACROSS batches. State is one int64
+    * counter per domain — constant memory on an unbounded stream, no
+    * timeout to manage.
+    */
+  def mixtureSchedule(docs: Dataset[DocArrival],
+      weights: Map[String, Long]): Dataset[MixSlot] = {
+    import docs.sparkSession.implicits._
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "mixture weights must be positive")
+    docs.groupByKey(_.source)
+      .flatMapGroupsWithState[MixSeq, MixSlot](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (dom: String, rows: Iterator[DocArrival], state: GroupState[MixSeq]) =>
+          val w = weights.getOrElse(dom, throw new IllegalArgumentException(
+            s"mixtureSchedule: no weight for domain $dom"))
+          var i = state.getOption.map(_.i).getOrElse(0L)
+          val out = rows.toSeq
+            .sortBy(r => (r.ts.getTime, r.doc_id))
+            .map { r =>
+              i += 1
+              require(i <= Long.MaxValue / 1000000000L,
+                s"mixtureSchedule: sequence $i overflows the stride scale")
+              MixSlot(r.doc_id, dom, i, i * 1000000000L / w)
+            }
+          state.update(MixSeq(i))
+          out.iterator
+      }
+  }
+
   /** Ingest-time entropy gate — the streaming twin of p121: per-doc
     * character- and token-level Shannon entropy as a STATELESS
     * per-row projection ([[graft.pipeline.TextFunctions

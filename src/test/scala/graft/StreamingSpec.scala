@@ -90,6 +90,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("online mixture scheduler equals the batch stride form across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamingJobs.DocArrival]
+    val out = StreamingJobs.mixtureSchedule(mem.toDS(),
+      Map("a" -> 500000L, "b" -> 250000L))
+    val q = out.writeStream.format("memory").queryName("mix_s")
+      .outputMode("append").start()
+    try {
+      def d(id: Long, s: String) =
+        StreamingJobs.DocArrival(id, s, new Timestamp(id * 1000L))
+      // arrival order scrambled inside the batch: the group re-sorts
+      // by event time, so doc 1 takes seq 1 ahead of doc 3
+      mem.addData(d(3, "a"), d(1, "a"), d(2, "b"))
+      q.processAllAvailable()
+      // a second batch continues the per-domain counters from state
+      mem.addData(d(5, "a"), d(4, "b"))
+      q.processAllAvailable()
+      val got = spark.table("mix_s").as[StreamingJobs.MixSlot]
+        .collect().toSeq.sortBy(r => (r.source, r.seq))
+      val exp = Seq(
+        StreamingJobs.MixSlot(1L, "a", 1L, 2000L),
+        StreamingJobs.MixSlot(3L, "a", 2L, 4000L),
+        StreamingJobs.MixSlot(5L, "a", 3L, 6000L),
+        StreamingJobs.MixSlot(2L, "b", 1L, 4000L),
+        StreamingJobs.MixSlot(4L, "b", 2L, 8000L))
+      assert(got == exp)
+      // and the vtime order interleaves a twice as densely as b —
+      // the batch p163 stride property, delivered online
+      val order = got.sortBy(r => (r.vtime, r.source)).map(_.source)
+      assert(order == Seq("a", "a", "b", "a", "b"))
+    } finally q.stop()
+  }
+
   test("streaming funnel emits watermark-final advances equal to the batch greedy chain") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[StreamingJobs.FunnelEvent]
