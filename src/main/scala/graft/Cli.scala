@@ -189,6 +189,7 @@ object Cli {
         |  distinct-n <dir> <outDir>                     per-source distinct-1/2/3 diversity ratios
         |  mix-interleave <dir> <outDir>                 stride-scheduled mixture-order shard manifest
         |  crop-pairs <dir> <outDir>                     contrastive anchor/positive crop pairs
+        |  epoch-decorrelation <dir> <outDir>            shared adjacent pairs across epoch reshuffles
         |  retrieval-scorecard <dir> <outDir>            nDCG@10/MRR/hits of all five rankers
         |  classifier-auc <dir> <outDir>                 exact Mann-Whitney ROC-AUC of the NB scorer
         |  classifier-pr-auc <dir> <outDir>              exact average precision (PR-AUC) vs prevalence
@@ -635,6 +636,8 @@ object Cli {
       write(queries.PipelineQueries.p163MixInterleave(spark, dir), out)
     case "crop-pairs" :: dir :: out :: Nil =>
       write(queries.PipelineQueries.p164CropPairs(spark, dir), out)
+    case "epoch-decorrelation" :: dir :: out :: Nil =>
+      write(queries.PipelineQueries.p166EpochDecorrelation(spark, dir), out)
 
     // bloom-prefiltered idempotent ingest: the zero-shuffle scale path
     // of ingest-dedup. The sketch is sized from input FILE BYTES, not a

@@ -298,6 +298,62 @@ object Curation {
         (col("start_tok") % shardToks).as("chunk_off"))
   }
 
+  /** Epoch-order decorrelation audit — multi-epoch training reshuffles
+    * the corpus per epoch (epoch-salted hash order) so no two
+    * documents are seen back-to-back twice; this card counts, for
+    * every epoch pair, the ordered adjacent pairs the two orders
+    * SHARE. Expected value is ~1 for independent orders (n adjacent
+    * slots × 1/n chance each repeats — the birthday bound); a spike
+    * means the reshuffle is broken and the same local gradient
+    * correlations replay every epoch.
+    *
+    * Scale shape, per epoch: global ranks from the two-level count
+    * scan (per-bucket `row_number` + a B-row bucket-count offset
+    * frame — no single-partition window), successors from a co-keyed
+    * self-join on `rank + 1` (EXACT — a lag-within-bucket form would
+    * silently drop the B bucket-boundary adjacencies); epoch pairs
+    * then join on the compact (pred, succ) key. The oracle replays
+    * flat `ROW_NUMBER` + `LEAD` per epoch.
+    */
+  def epochDecorrelation(df: DataFrame, idCol: String, epochs: Int = 3,
+      salt: String = "epoch", buckets: Int = 256): DataFrame = {
+    require(epochs >= 2, "need at least two epochs to compare")
+    require(buckets > 0, "buckets must be positive")
+    val bucketWidth = lit((1L << 60) / buckets + 1L)
+    def pairsOf(e: Int): DataFrame = {
+      val base = df.select(col(idCol))
+        .withColumn("__h",
+          TF.hash60(concat(lit(s"$salt$e|"), col(idCol).cast("string"))))
+        .withColumn("__b", call_function("div", col("__h"), bucketWidth))
+      val offsets = base.groupBy(col("__b"))
+        .agg(count(lit(1)).as("__c"))
+        .withColumn("__off", coalesce(sum(col("__c")).over(Window
+            .orderBy(col("__b"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("__b"), col("__off"))
+      val ranks = base.join(broadcast(offsets), Seq("__b"))
+        .withColumn("r", col("__off") + row_number().over(Window
+          .partitionBy(col("__b")).orderBy(col("__h"), col(idCol)))
+          .cast("long"))
+        .select(col(idCol), col("r"))
+      ranks.select(col(idCol).as("pred"), (col("r") + 1L).as("r"))
+        .join(ranks.select(col(idCol).as("succ"), col("r")), Seq("r"))
+        .select(col("pred"), col("succ"))
+    }
+    val nPairs = df.agg((count(lit(1)) - 1L).cast("long").as("n_pairs"))
+    val allPairs = (1 to epochs).map(e => e -> pairsOf(e))
+    (for {
+      (ea, pa) <- allPairs; (eb, pb) <- allPairs if ea < eb
+    } yield pa.join(pb, Seq("pred", "succ"))
+      .agg(count(lit(1)).cast("long").as("repeated_adjacent"))
+      .select(lit(ea.toLong).as("epoch_a"), lit(eb.toLong).as("epoch_b"),
+        col("repeated_adjacent"))
+      .crossJoin(broadcast(nPairs)))
+      .reduce(_.unionByName(_))
+      .select(col("epoch_a"), col("epoch_b"), col("n_pairs"),
+        col("repeated_adjacent"))
+  }
+
   /** Contrastive positive-pair generator — the independent-cropping
     * recipe of Contriever (Izacard et al. 2022 §3.1, descending from
     * the inverse cloze task): per document with at least `minToks`

@@ -2628,6 +2628,18 @@ object PipelineQueries {
           - expr("w * 1000000 div tw")).as("abs_dev_micro"))
   }
 
+  /** Epoch decorrelation audit (p166): shared ordered-adjacent pairs
+    * between the three epoch-salted shuffle orders
+    * ([[Curation.epochDecorrelation]]) — proof the per-epoch reshuffle
+    * actually decorrelates local data order (expected ~1 shared pair
+    * by the birthday bound; a spike means every epoch replays the same
+    * gradient neighborhoods). The oracle replays flat ROW_NUMBER +
+    * LEAD per epoch and the pair intersections.
+    */
+  def p166EpochDecorrelation(s: SparkSession, dir: String): DataFrame =
+    Curation.epochDecorrelation(t(s, dir, "documents"), "doc_id",
+      epochs = 3)
+
   /** Contrastive crop pairs (p164): two deterministic pseudo-random
     * token crops per document ([[Curation.contrastiveCrops]],
     * Contriever's independent cropping) — the (anchor, positive)
@@ -3760,6 +3772,7 @@ object PipelineQueries {
     "p163_mix_interleave" -> p163MixInterleave _,
     "p164_crop_pairs" -> p164CropPairs _,
     "p165_shard_mix" -> p165ShardMix _,
+    "p166_epoch_decorrelation" -> p166EpochDecorrelation _,
     "p50_temp_mix" -> p50TempMix _,
     "p51_hard_negatives" -> p51HardNegatives _,
     "p52_ivf_trained" -> p52IvfTrained _,
@@ -5986,6 +5999,30 @@ object PipelineQueries {
            |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id,
            |  CAST(n_terms AS BIGINT) AS n_terms, score_micro
            |FROM neg WHERE rank <= 5""".stripMargin) +
+      ("p166_epoch_decorrelation" -> {
+        def rankCte(e: Int) =
+          s"""r$e AS (SELECT doc_id,
+             |    ROW_NUMBER() OVER (ORDER BY
+             |      ${oHash(s"'epoch$e|' || CAST(doc_id AS VARCHAR)")},
+             |      doc_id) AS r
+             |  FROM documents),
+             |p$e AS (SELECT doc_id AS pred,
+             |    LEAD(doc_id) OVER (ORDER BY r) AS succ
+             |  FROM r$e QUALIFY succ IS NOT NULL)""".stripMargin
+        def row(a: Int, b: Int) =
+          s"""SELECT CAST($a AS BIGINT) AS epoch_a,
+             |  CAST($b AS BIGINT) AS epoch_b,
+             |  (SELECT CAST(COUNT(*) - 1 AS BIGINT) FROM documents)
+             |    AS n_pairs,
+             |  (SELECT CAST(COUNT(*) AS BIGINT)
+             |   FROM p$a JOIN p$b USING (pred, succ))
+             |    AS repeated_adjacent""".stripMargin
+        s"""WITH ${rankCte(1)},
+           |${rankCte(2)},
+           |${rankCte(3)}
+           |${row(1, 2)} UNION ALL ${row(1, 3)} UNION ALL ${row(2, 3)}"""
+          .stripMargin
+      }) +
       ("p164_crop_pairs" ->
         s"""WITH d AS (SELECT doc_id, $oToks AS toks,
            |    CAST(len($oToks) AS BIGINT) AS n FROM documents),

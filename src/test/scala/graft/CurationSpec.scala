@@ -319,6 +319,32 @@ class CurationSpec extends SparkSpec {
       "repetitionSignals left persisted intermediates behind")
   }
 
+  test("epoch decorrelation equals the flat-window reference") {
+    val docs = graft.core.Tables.read(spark, "/root/testdata/sf0.001",
+      "documents")
+    val got = Curation.epochDecorrelation(docs, "doc_id", epochs = 3)
+      .orderBy("epoch_a", "epoch_b")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    def pairs(e: Int) = {
+      val w = Window.orderBy(col("__h"), col("doc_id"))
+      docs.select(col("doc_id"))
+        .withColumn("__h", TF.hash60(concat(lit(s"epoch$e|"),
+          col("doc_id").cast("string"))))
+        .select(col("doc_id").as("pred"),
+          lead(col("doc_id"), 1).over(w).as("succ"))
+        .filter(col("succ").isNotNull)
+        .as[(Long, Long)].collect().toSet
+    }
+    val p = (1 to 3).map(e => e -> pairs(e)).toMap
+    val n = docs.count() - 1
+    val exp = for ((a, b) <- Seq((1, 2), (1, 3), (2, 3)))
+      yield (a.toLong, b.toLong, n, (p(a) & p(b)).size.toLong)
+    assert(got == exp)
+    assert(p(1).size == n && p(2).size == n)
+    // independent orders share almost nothing
+    assert(got.forall(_._4 <= 3), s"epochs correlate: $got")
+  }
+
   test("contrastive crops are in-document slices with exact overlap") {
     val texts = Map(
       1L -> (1 to 20).map("t" + _).mkString(" "),
