@@ -190,6 +190,7 @@ object Cli {
         |  mix-interleave <dir> <outDir>                 stride-scheduled mixture-order shard manifest
         |  crop-pairs <dir> <outDir>                     contrastive anchor/positive crop pairs
         |  epoch-decorrelation <dir> <outDir>            shared adjacent pairs across epoch reshuffles
+        |  shard-mix <dir> <outDir>                      per-shard observed vs target mixture audit
         |  retrieval-scorecard <dir> <outDir>            nDCG@10/MRR/hits of all five rankers
         |  classifier-auc <dir> <outDir>                 exact Mann-Whitney ROC-AUC of the NB scorer
         |  classifier-pr-auc <dir> <outDir>              exact average precision (PR-AUC) vs prevalence
@@ -638,6 +639,8 @@ object Cli {
       write(queries.PipelineQueries.p164CropPairs(spark, dir), out)
     case "epoch-decorrelation" :: dir :: out :: Nil =>
       write(queries.PipelineQueries.p166EpochDecorrelation(spark, dir), out)
+    case "shard-mix" :: dir :: out :: Nil =>
+      write(queries.PipelineQueries.p165ShardMix(spark, dir), out)
 
     // bloom-prefiltered idempotent ingest: the zero-shuffle scale path
     // of ingest-dedup. The sketch is sized from input FILE BYTES, not a
