@@ -217,7 +217,12 @@ object Curation {
     * by (vtime, domain, id). Every length-k prefix then carries
     * domain d at `k·w_d/Σw ± O(1)` documents — the mixture holds at
     * every scale of read-ahead, not just in expectation, with zero
-    * randomness to reconcile across engines.
+    * randomness to reconcile across engines. The guarantee holds
+    * while every domain still has supply: a FINITE corpus whose
+    * per-domain counts don't match the weights necessarily drifts
+    * toward the surplus domains in its tail (square supply with
+    * demand first — the p153 epoch-repetition schedule and p115
+    * domain caps exist for exactly that).
     *
     * Both order statistics avoid single-partition windows at 100 TB
     * by the [[globalShardManifest]] two-level scan:

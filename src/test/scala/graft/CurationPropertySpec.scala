@@ -83,4 +83,79 @@ class CurationPropertySpec extends SparkSpec {
       SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
     assert(result.passed, result.status.toString)
   }
+
+  test("mixtureInterleave: permutation, exact token accounting, prefix mix") {
+    val gen = for {
+      nDoms <- Gen.chooseNum(2, 4)
+      doms = (0 until nDoms).map(d => s"d$d")
+      ws <- Gen.listOfN(nDoms, Gen.chooseNum(1000L, 1000000L))
+      n <- Gen.chooseNum(8, 24)
+      assign <- Gen.listOfN(n, Gen.oneOf(doms))
+      texts <- Gen.listOfN(n, doc)
+    } yield (doms.zip(ws), assign.zip(texts))
+    val prop = Prop.forAll(gen) { case (ws, rows) =>
+      val docs = rows.zipWithIndex
+        .map { case ((d, t), i) => (i.toLong, t, d) }
+        .toDF("doc_id", "text", "dom")
+      val w = ws.toDF("dom", "weight_micro")
+      val out = Curation.mixtureInterleave(docs, "doc_id", "text",
+          "dom", w, shardToks = 16L)
+        .orderBy("vtime", "dom", "doc_id")
+        .as[(Long, String, Long, Long, Long, Long)].collect().toSeq
+      // a permutation of the corpus
+      val perm = out.map(_._1).toSet == rows.indices.map(_.toLong).toSet
+      // exact token accounting: chunk placement decodes to the
+      // cumulative start offsets in interleave order
+      var run = 0L
+      val accounting = out.forall { r =>
+        val ok = r._5 * 16L + r._6 == run; run += r._3; ok
+      }
+      // stride guarantee: each prefix holds each domain's target share
+      // within 2 documents — WHILE every domain still has supply (a
+      // finite corpus's tail necessarily drifts toward the surplus
+      // domains once a domain runs out)
+      val total = ws.map(_._2).sum.toDouble
+      val domTotals = out.groupBy(_._2).view.mapValues(_.size).toMap
+      val mix = out.indices.forall { k =>
+        val pre = out.take(k + 1)
+        val exhausted = ws.exists { case (d, _) =>
+          pre.count(_._2 == d) >= domTotals.getOrElse(d, 0) }
+        exhausted || ws.forall { case (d, wd) =>
+          math.abs(pre.count(_._2 == d) - (k + 1) * wd / total) <= 2.0
+        }
+      }
+      perm && accounting && mix
+    }
+    val result = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(15), prop)
+    assert(result.passed, result.status.toString)
+  }
+
+  test("contrastiveCrops: bounds, in-document slices, exact overlap") {
+    val prop = Prop.forAll(Gen.listOfN(10, doc)) { texts =>
+      val corpus = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val out = Curation.contrastiveCrops(corpus, "doc_id", "text",
+        minToks = 4).collect()
+      val toksOf = texts.map(_.split("\\s+").toSeq)
+      val expected = toksOf.zipWithIndex.count(_._1.size >= 4)
+      out.length == expected && out.forall { r =>
+        val toks = toksOf(r.getLong(0).toInt)
+        val n = r.getLong(1)
+        val slices = Seq(
+          (r.getLong(2), r.getLong(3), r.getString(7)),
+          (r.getLong(4), r.getLong(5), r.getString(8)))
+        n == toks.size && slices.forall { case (s, l, crop) =>
+          l >= math.max(1L, n * 40 / 100) && l <= n * 70 / 100 &&
+            s >= 1 && s + l - 1 <= n &&
+            crop == toks.slice(s.toInt - 1, (s + l).toInt - 1).mkString(" ")
+        } && r.getLong(6) == math.max(0L,
+          math.min(r.getLong(2) + r.getLong(3), r.getLong(4) + r.getLong(5))
+            - math.max(r.getLong(2), r.getLong(4)))
+      }
+    }
+    val result = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(result.passed, result.status.toString)
+  }
 }
