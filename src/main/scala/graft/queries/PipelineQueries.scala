@@ -2613,11 +2613,13 @@ object PipelineQueries {
     val shardTotals = manifest.groupBy("chunk_idx")
       .agg(count(lit(1)).as("shard_docs"))
     // shardTotals is shard-count-sized (corpus tokens / shardToks) —
-    // unbounded at 100 TB, so it joins co-keyed on chunk_idx, never
-    // broadcast; the domain-sized weight frames do broadcast
+    // unbounded at 100 TB, so it joins co-keyed on chunk_idx with an
+    // explicit merge hint (never broadcast, whatever the planner's
+    // size estimate says at test SF); the domain-sized weight frames
+    // do broadcast
     manifest.groupBy(col("chunk_idx"), col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_toks"))
-      .join(shardTotals, Seq("chunk_idx"))
+      .join(shardTotals.hint("merge"), Seq("chunk_idx"))
       .join(broadcast(w), Seq("source"))
       .crossJoin(broadcast(totalW))
       .select(col("chunk_idx"), col("source"), col("n_docs"),

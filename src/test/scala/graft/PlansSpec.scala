@@ -584,4 +584,35 @@ class PlansSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  test("crop pairs are a zero-exchange per-row projection (p164)") {
+    val p = plan(PipelineQueries.p164CropPairs(spark, sf0001))
+    val exchanges = """Exchange \(\d""".r.findAllIn(p).size
+    assert(exchanges == 0, s"expected 0 exchanges, got $exchanges\n$p")
+  }
+
+  test("mixture interleave: offset frames broadcast, text never shuffles (p163)") {
+    val p = plan(PipelineQueries.p163MixInterleave(spark, sf0001))
+    // the bucket-offset and weight frames come back as broadcasts
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the corpus exchanges carry ids/hashes/counts, never document text
+    val shuffleLines = p.linesIterator
+      .filter(l => l.contains("Arguments: hashpartitioning")).toSeq
+    assert(shuffleLines.nonEmpty, p)
+    assert(!shuffleLines.exists(_.contains("text")),
+      shuffleLines.mkString("\n"))
+  }
+
+  test("shard mix audit never broadcasts the shard totals (p165)") {
+    // the shard-count frame is corpus-tokens/shardToks rows, unbounded
+    // at 100 TB — its join carries an explicit merge hint so the
+    // chunk_idx join is a shuffle join at ANY size estimate, while
+    // the domain-sized weight frames keep their broadcasts
+    val p = plan(PipelineQueries.p165ShardMix(spark, sf0001))
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+      s"shard-totals join must be a shuffle join on chunk_idx\n$p")
+    assert("""Left keys \[1\]: \[chunk_idx""".r.findAllIn(p).nonEmpty, p)
+    assert(p.contains("BroadcastHashJoin"), p) // hinted weights survive
+  }
 }
