@@ -23,6 +23,27 @@ import graft.functions.{DotProductF, L2NormF, MonthsInInterval}
   * spark-submit users pass `--conf spark.sql.extensions=
   * graft.core.GraftExtensions` (the class-name form Spark instantiates
   * reflectively).
+  *
+  * ==Why no custom Strategy / SparkPlan==
+  *
+  * The extension ladder's last rung — a custom `LogicalPlan` +
+  * `Rule[LogicalPlan]` + planner `Strategy` + `SparkPlan` — is
+  * deliberately unused. Every operator in this engine, reference-side
+  * and pipeline-side, decomposes into Catalyst-optimizable relational
+  * algebra: the as-of join is a tolerance-bucketed equi-join plus an
+  * argmin (`operators.AsOfJoin`), eras are windows over one shared
+  * partitioning, global order statistics are two-level scans (bucket
+  * windows + constant-size offset frames), and ANN/dedup candidate
+  * generation is always an equi-join on a compact key. Expressed this
+  * way, AQE (skew splitting, exchange reuse, runtime join re-planning)
+  * and whole-stage codegen apply for free; a bespoke physical operator
+  * would opt out of all three unless it reimplemented them, and its
+  * inputs/outputs would be opaque to every downstream rule. Where the
+  * built-ins genuinely end — scalar kernels with cross-engine
+  * determinism contracts — the engine drops exactly one rung, to
+  * native codegen expressions ([[graft.functions.MonthsInInterval]],
+  * [[graft.functions.DotProductF]], the hash kernels), which stay
+  * INSIDE whole-stage codegen rather than around it.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
