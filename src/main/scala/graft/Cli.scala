@@ -191,6 +191,7 @@ object Cli {
         |  crop-pairs <dir> <outDir>                     contrastive anchor/positive crop pairs
         |  epoch-decorrelation <dir> <outDir>            shared adjacent pairs across epoch reshuffles
         |  shard-mix <dir> <outDir>                      per-shard observed vs target mixture audit
+        |  export-jsonl <dir> <outDir> [gzip|zstd]       export documents as JSONL (corpus interchange)
         |  retrieval-scorecard <dir> <outDir>            nDCG@10/MRR/hits of all five rankers
         |  classifier-auc <dir> <outDir>                 exact Mann-Whitney ROC-AUC of the NB scorer
         |  classifier-pr-auc <dir> <outDir>              exact average precision (PR-AUC) vs prevalence
@@ -641,6 +642,11 @@ object Cli {
       write(queries.PipelineQueries.p166EpochDecorrelation(spark, dir), out)
     case "shard-mix" :: dir :: out :: Nil =>
       write(queries.PipelineQueries.p165ShardMix(spark, dir), out)
+    // corpus interchange: parquet -> JSONL export (optionally gzip)
+    case "export-jsonl" :: dir :: out :: rest if rest.lengthIs <= 1 =>
+      pipeline.Jsonl.write(
+        Tables.read(spark, dir, "documents"), out, rest.headOption)
+      println(s"""{"export_jsonl":"$out"}""")
 
     // bloom-prefiltered idempotent ingest: the zero-shuffle scale path
     // of ingest-dedup. The sketch is sized from input FILE BYTES, not a

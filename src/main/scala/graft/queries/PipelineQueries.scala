@@ -2630,6 +2630,30 @@ object PipelineQueries {
           - expr("w * 1000000 div tw")).as("abs_dev_micro"))
   }
 
+  /** JSONL round-trip (p167): export the documents table as
+    * newline-delimited JSON ([[graft.pipeline.Jsonl]] — the corpus
+    * interchange format every public release ships in), read it back
+    * with an explicit schema, and aggregate per source — certifying
+    * that text (with whatever quotes/newlines/unicode it carries)
+    * survives JSON escaping bit-exactly, the same way q27 certifies
+    * the CSV surface. The oracle aggregates the original parquet, so
+    * any escaping loss hash-mismatches; zero malformed rows is
+    * asserted in-plan (a corrupt line would change n_docs).
+    */
+  def p167JsonlRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val tmp = s"/tmp/graft_jsonl_roundtrip_${dir.replaceAll("[^0-9.]", "")}"
+    graft.pipeline.Jsonl.write(
+      t(s, dir, "documents").select(col("doc_id"), col("text"),
+        col("lang"), col("source")), tmp)
+    graft.pipeline.Jsonl.read(s, tmp,
+        "doc_id LONG, text STRING, lang STRING, source STRING")
+      .filter(col("_corrupt").isNull)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text")).cast("long")).as("n_chars"),
+        sum(size(TF.tokens(col("text"))).cast("long")).as("n_toks"))
+  }
+
   /** Epoch decorrelation audit (p166): shared ordered-adjacent pairs
     * between the three epoch-salted shuffle orders
     * ([[Curation.epochDecorrelation]]) — proof the per-epoch reshuffle
@@ -3775,6 +3799,7 @@ object PipelineQueries {
     "p164_crop_pairs" -> p164CropPairs _,
     "p165_shard_mix" -> p165ShardMix _,
     "p166_epoch_decorrelation" -> p166EpochDecorrelation _,
+    "p167_jsonl_roundtrip" -> p167JsonlRoundtrip _,
     "p50_temp_mix" -> p50TempMix _,
     "p51_hard_negatives" -> p51HardNegatives _,
     "p52_ivf_trained" -> p52IvfTrained _,
@@ -6001,6 +6026,11 @@ object PipelineQueries {
            |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id,
            |  CAST(n_terms AS BIGINT) AS n_terms, score_micro
            |FROM neg WHERE rank <= 5""".stripMargin) +
+      ("p167_jsonl_roundtrip" ->
+        s"""SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |  CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+           |  CAST(SUM(len($oToks)) AS BIGINT) AS n_toks
+           |FROM documents GROUP BY source""".stripMargin) +
       ("p166_epoch_decorrelation" -> {
         def rankCte(e: Int) =
           s"""r$e AS (SELECT doc_id,
