@@ -2630,6 +2630,28 @@ object PipelineQueries {
           - expr("w * 1000000 div tw")).as("abs_dev_micro"))
   }
 
+  /** k-anonymity audit (p168): the re-identification-risk card a
+    * privacy review runs BESIDE the PII scrubs (p38/p95 remove direct
+    * identifiers; this measures the QUASI-identifier — Sweeney's
+    * k-anonymity over each user's behavioral signature, the sorted
+    * set of event types they emit). For every anonymity level k:
+    * how many distinct signatures and users sit in classes of exactly
+    * k users — the k=1 row is the population a linkage attack
+    * re-identifies outright. Two map-side-combined exchanges (user
+    * rollup, signature rollup) plus a k-sized rollup; signatures move
+    * as strings of type names, never raw events. The oracle replays
+    * the sorted-distinct signature and both rollups.
+    */
+  def p168KAnonymity(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(concat_ws("|",
+        sort_array(collect_set(col("event_type")))).as("sig"))
+      .groupBy(col("sig")).agg(count(lit(1)).as("k"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_signatures"),
+        sum(col("k")).as("n_users"))
+
   /** JSONL round-trip (p167): export the documents table as
     * newline-delimited JSON ([[graft.pipeline.Jsonl]] — the corpus
     * interchange format every public release ships in), read it back
@@ -3800,6 +3822,7 @@ object PipelineQueries {
     "p165_shard_mix" -> p165ShardMix _,
     "p166_epoch_decorrelation" -> p166EpochDecorrelation _,
     "p167_jsonl_roundtrip" -> p167JsonlRoundtrip _,
+    "p168_k_anonymity" -> p168KAnonymity _,
     "p50_temp_mix" -> p50TempMix _,
     "p51_hard_negatives" -> p51HardNegatives _,
     "p52_ivf_trained" -> p52IvfTrained _,
@@ -6026,6 +6049,17 @@ object PipelineQueries {
            |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id,
            |  CAST(n_terms AS BIGINT) AS n_terms, score_micro
            |FROM neg WHERE rank <= 5""".stripMargin) +
+      ("p168_k_anonymity" ->
+        """WITH u AS (
+          |  SELECT user_id,
+          |    array_to_string(list_sort(list(DISTINCT event_type)), '|')
+          |      AS sig
+          |  FROM events GROUP BY user_id),
+          |c AS (SELECT sig, CAST(COUNT(*) AS BIGINT) AS k
+          |  FROM u GROUP BY sig)
+          |SELECT k, CAST(COUNT(*) AS BIGINT) AS n_signatures,
+          |  CAST(SUM(k) AS BIGINT) AS n_users
+          |FROM c GROUP BY k""".stripMargin) +
       ("p167_jsonl_roundtrip" ->
         s"""SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
            |  CAST(SUM(length(text)) AS BIGINT) AS n_chars,

@@ -1698,6 +1698,23 @@ class PipelineSpec extends SparkSpec {
     assert(!(w._1 eq a._1))
   }
 
+  test("k-anonymity histogram counts signature equivalence classes") {
+    // users 1,2 share signature {a,b}; user 3 is unique {a}; user 4
+    // unique {a,b,c} -> k=2 has 1 signature / 2 users, k=1 has 2 / 2
+    val ev = Seq((1L, "a"), (1L, "b"), (1L, "a"),
+      (2L, "b"), (2L, "a"),
+      (3L, "a"),
+      (4L, "a"), (4L, "b"), (4L, "c")).toDF("user_id", "event_type")
+    val got = ev.groupBy(col("user_id"))
+      .agg(concat_ws("|",
+        sort_array(collect_set(col("event_type")))).as("sig"))
+      .groupBy(col("sig")).agg(count(lit(1)).as("k"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_signatures"), sum(col("k")).as("n_users"))
+      .orderBy("k").as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L, 2L), (2L, 1L, 2L)))
+  }
+
   test("jsonl round-trip is bit-exact; corrupt lines surface, not vanish") {
     val docs = Seq(
       (1L, "plain text", "en"),
