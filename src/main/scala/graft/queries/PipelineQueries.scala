@@ -2630,6 +2630,41 @@ object PipelineQueries {
           - expr("w * 1000000 div tw")).as("abs_dev_micro"))
   }
 
+  /** kNN label probe (p169): the standard embedding-quality
+    * evaluation — leave-self-out 10-NN cosine classification over the
+    * labeled embeddings, majority vote (ties to the smaller label),
+    * per-class accuracy in integer micro. The first consumer of the
+    * embeddings table's `label` column: a collapsing embedding space
+    * shows up here as falling probe accuracy long before any
+    * downstream model does. Reuses the exact-cosine top-k machinery
+    * (broadcast query side, index-order kernel dot products,
+    * partial top-k before the single rank exchange); the vote argmax
+    * is a map-side `max(struct)`. The oracle replays scoring,
+    * ranking, voting, and the tie rule.
+    */
+  def p169KnnProbe(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val nn = Similarity.topK(emb, emb.filter(col("vec_id") % 20 === 0),
+      "vec_id", "embedding", k = 10)
+    val pred = nn
+      .join(emb.select(col("vec_id").as("cand_id"),
+        col("label").as("nl")), Seq("cand_id"))
+      .groupBy(col("query_id"), col("nl"))
+      .agg(count(lit(1)).as("votes"))
+      .groupBy(col("query_id"))
+      .agg(max(struct(col("votes"), (-col("nl")).as("negl"))).as("m"))
+      .select(col("query_id"), (-col("m.negl")).as("pred"))
+    pred
+      .join(emb.select(col("vec_id").as("query_id"),
+        col("label").as("true_label")), Seq("query_id"))
+      .groupBy(col("true_label"))
+      .agg(count(lit(1)).as("n_queries"),
+        sum(when(col("pred") === col("true_label"), 1L).otherwise(0L))
+          .as("n_correct"))
+      .select(col("true_label"), col("n_queries"), col("n_correct"),
+        expr("n_correct * 1000000 div n_queries").as("accuracy_micro"))
+  }
+
   /** k-anonymity audit (p168): the re-identification-risk card a
     * privacy review runs BESIDE the PII scrubs (p38/p95 remove direct
     * identifiers; this measures the QUASI-identifier — Sweeney's
@@ -3823,6 +3858,7 @@ object PipelineQueries {
     "p166_epoch_decorrelation" -> p166EpochDecorrelation _,
     "p167_jsonl_roundtrip" -> p167JsonlRoundtrip _,
     "p168_k_anonymity" -> p168KAnonymity _,
+    "p169_knn_probe" -> p169KnnProbe _,
     "p50_temp_mix" -> p50TempMix _,
     "p51_hard_negatives" -> p51HardNegatives _,
     "p52_ivf_trained" -> p52IvfTrained _,
@@ -6049,6 +6085,32 @@ object PipelineQueries {
            |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id,
            |  CAST(n_terms AS BIGINT) AS n_terms, score_micro
            |FROM neg WHERE rank <= 5""".stripMargin) +
+      ("p169_knn_probe" ->
+        s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv,
+           |    CAST(label AS BIGINT) AS true_label
+           |  FROM embeddings WHERE vec_id % 20 = 0),
+           |sc AS (SELECT query_id, e.vec_id AS cand_id,
+           |    CAST(e.label AS BIGINT) AS nl,
+           |    ${oCos("qv", "e.embedding")} AS sim
+           |  FROM embeddings e, q WHERE e.vec_id != query_id),
+           |r AS (SELECT query_id, nl,
+           |    ROW_NUMBER() OVER (PARTITION BY query_id
+           |      ORDER BY sim DESC, cand_id) AS rank
+           |  FROM sc),
+           |v AS (SELECT query_id, nl, COUNT(*) AS votes
+           |  FROM r WHERE rank <= 10 GROUP BY 1, 2),
+           |p AS (SELECT query_id, nl AS pred,
+           |    ROW_NUMBER() OVER (PARTITION BY query_id
+           |      ORDER BY votes DESC, nl ASC) AS vr
+           |  FROM v),
+           |j AS (SELECT q.true_label, p.pred
+           |  FROM p JOIN q USING (query_id) WHERE vr = 1)
+           |SELECT true_label, CAST(COUNT(*) AS BIGINT) AS n_queries,
+           |  CAST(SUM(CASE WHEN pred = true_label THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_correct,
+           |  CAST((SUM(CASE WHEN pred = true_label THEN 1 ELSE 0 END)
+           |    * 1000000) // COUNT(*) AS BIGINT) AS accuracy_micro
+           |FROM j GROUP BY 1""".stripMargin) +
       ("p168_k_anonymity" ->
         """WITH u AS (
           |  SELECT user_id,
