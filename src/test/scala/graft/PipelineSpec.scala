@@ -1733,6 +1733,14 @@ class PipelineSpec extends SparkSpec {
       assert(back.select("doc_id", "text", "lang").orderBy("doc_id")
         .collect().toSeq == docs.orderBy("doc_id").collect().toSeq)
     } finally back.unpersist()
+    // gzip interchange round-trips identically
+    val tmpGz = "/tmp/graft_jsonl_spec_gz"
+    Jsonl.write(docs, tmpGz, Some("gzip"))
+    val backGz = Jsonl.read(spark, tmpGz,
+      "doc_id LONG, text STRING, lang STRING").cache()
+    try assert(backGz.select("doc_id", "text", "lang").orderBy("doc_id")
+      .collect().toSeq == docs.orderBy("doc_id").collect().toSeq)
+    finally backGz.unpersist()
     // a malformed line lands in _corrupt instead of silently dropping
     java.nio.file.Files.write(
       java.nio.file.Paths.get(tmp, "extra.json"),
