@@ -194,6 +194,7 @@ object Cli {
         |  export-jsonl <dir> <outDir> [gzip|zstd]       export documents as JSONL (corpus interchange)
         |  k-anonymity <dir> <outDir>                    behavioral-signature k-anonymity histogram
         |  knn-probe <dir> <outDir>                      kNN label-probe accuracy over the embeddings
+        |  quantization-probe <dir> <outDir>             probe accuracy raw vs int8-quantized vectors
         |  retrieval-scorecard <dir> <outDir>            nDCG@10/MRR/hits of all five rankers
         |  classifier-auc <dir> <outDir>                 exact Mann-Whitney ROC-AUC of the NB scorer
         |  classifier-pr-auc <dir> <outDir>              exact average precision (PR-AUC) vs prevalence
@@ -648,6 +649,8 @@ object Cli {
       write(queries.PipelineQueries.p168KAnonymity(spark, dir), out)
     case "knn-probe" :: dir :: out :: Nil =>
       write(queries.PipelineQueries.p169KnnProbe(spark, dir), out)
+    case "quantization-probe" :: dir :: out :: Nil =>
+      write(queries.PipelineQueries.p170QuantizationProbe(spark, dir), out)
     // corpus interchange: parquet -> JSONL export (optionally gzip)
     case "export-jsonl" :: dir :: out :: rest if rest.lengthIs <= 1 =>
       pipeline.Jsonl.write(

@@ -2642,8 +2642,13 @@ object PipelineQueries {
     * is a map-side `max(struct)`. The oracle replays scoring,
     * ranking, voting, and the tie rule.
     */
-  def p169KnnProbe(s: SparkSession, dir: String): DataFrame = {
-    val emb = t(s, dir, "embeddings")
+  def p169KnnProbe(s: SparkSession, dir: String): DataFrame =
+    knnProbeOver(t(s, dir, "embeddings"))
+
+  /** The 10-NN vote-and-score chain shared by p169 (raw vectors) and
+    * p170 (quantized vectors swapped in upstream).
+    */
+  private def knnProbeOver(emb: DataFrame): DataFrame = {
     val nn = Similarity.topK(emb, emb.filter(col("vec_id") % 20 === 0),
       "vec_id", "embedding", k = 10)
     val pred = nn
@@ -2663,6 +2668,30 @@ object PipelineQueries {
           .as("n_correct"))
       .select(col("true_label"), col("n_queries"), col("n_correct"),
         expr("n_correct * 1000000 div n_queries").as("accuracy_micro"))
+  }
+
+  /** Quantization probe (p170): the p169 kNN label probe run on RAW
+    * float vectors and on their int8 quantizations side by side — the
+    * evaluation every compressed vector store needs: how much probe
+    * accuracy does 4× memory/IO compression cost? Cosine is computed
+    * DIRECTLY on the integer vectors (the per-vector scale cancels in
+    * cosine, and |q| ≤ 127 is float-exact in both engines, so no
+    * dequantization doubles enter the comparison). One row per
+    * (method, class). The oracle replays quantization (floor —
+    * engine-portable, unlike round), both scoring chains, and the
+    * vote rule.
+    */
+  def p170QuantizationProbe(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val int8 = emb.select(col("vec_id"),
+      transform(
+        Similarity.quantize(col("embedding"),
+          Similarity.quantScale(col("embedding"))),
+        x => x.cast("float")).as("embedding"),
+      col("label"))
+    knnProbeOver(emb).select(lit("raw").as("method"), col("*"))
+      .unionByName(
+        knnProbeOver(int8).select(lit("int8").as("method"), col("*")))
   }
 
   /** k-anonymity audit (p168): the re-identification-risk card a
@@ -3859,6 +3888,7 @@ object PipelineQueries {
     "p167_jsonl_roundtrip" -> p167JsonlRoundtrip _,
     "p168_k_anonymity" -> p168KAnonymity _,
     "p169_knn_probe" -> p169KnnProbe _,
+    "p170_quantization_probe" -> p170QuantizationProbe _,
     "p50_temp_mix" -> p50TempMix _,
     "p51_hard_negatives" -> p51HardNegatives _,
     "p52_ivf_trained" -> p52IvfTrained _,
@@ -6085,6 +6115,50 @@ object PipelineQueries {
            |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id,
            |  CAST(n_terms AS BIGINT) AS n_terms, score_micro
            |FROM neg WHERE rank <= 5""".stripMargin) +
+      ("p170_quantization_probe" -> {
+        // the p169 chain, parameterized over (tag, relation, vector col)
+        def chain(tag: String, rel: String, vcol: String) =
+          s"""q$tag AS (SELECT vec_id AS query_id, $vcol AS qv,
+             |    CAST(label AS BIGINT) AS true_label
+             |  FROM $rel WHERE vec_id % 20 = 0),
+             |sc$tag AS (SELECT query_id, e.vec_id AS cand_id,
+             |    CAST(e.label AS BIGINT) AS nl,
+             |    ${oCos("qv", s"e.$vcol")} AS sim
+             |  FROM $rel e, q$tag WHERE e.vec_id != query_id),
+             |r$tag AS (SELECT query_id, nl,
+             |    ROW_NUMBER() OVER (PARTITION BY query_id
+             |      ORDER BY sim DESC, cand_id) AS rank
+             |  FROM sc$tag),
+             |v$tag AS (SELECT query_id, nl, COUNT(*) AS votes
+             |  FROM r$tag WHERE rank <= 10 GROUP BY 1, 2),
+             |p$tag AS (SELECT query_id, nl AS pred,
+             |    ROW_NUMBER() OVER (PARTITION BY query_id
+             |      ORDER BY votes DESC, nl ASC) AS vr
+             |  FROM v$tag),
+             |j$tag AS (SELECT q$tag.true_label, p$tag.pred
+             |  FROM p$tag JOIN q$tag USING (query_id) WHERE vr = 1)"""
+            .stripMargin
+        def sel(tag: String, method: String) =
+          s"""SELECT '$method' AS method, true_label,
+             |  CAST(COUNT(*) AS BIGINT) AS n_queries,
+             |  CAST(SUM(CASE WHEN pred = true_label THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_correct,
+             |  CAST((SUM(CASE WHEN pred = true_label THEN 1 ELSE 0 END)
+             |    * 1000000) // COUNT(*) AS BIGINT) AS accuracy_micro
+             |FROM j$tag GROUP BY true_label""".stripMargin
+        s"""WITH sq AS (SELECT vec_id, label,
+           |    127.0 / list_max(list_transform(embedding,
+           |      y -> abs(CAST(y AS DOUBLE)))) AS s, embedding
+           |  FROM embeddings),
+           |e8 AS (SELECT vec_id, label,
+           |    list_transform(embedding,
+           |      x -> FLOOR(CAST(x AS DOUBLE) * s)) AS emb8
+           |  FROM sq),
+           |${chain("a", "embeddings", "embedding")},
+           |${chain("b", "e8", "emb8")}
+           |${sel("a", "raw")} UNION ALL ${sel("b", "int8")}"""
+          .stripMargin
+      }) +
       ("p169_knn_probe" ->
         s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv,
            |    CAST(label AS BIGINT) AS true_label
