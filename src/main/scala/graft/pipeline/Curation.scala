@@ -2118,14 +2118,21 @@ object Curation {
     * MILLI-nat integers first (bounds keep n·Σxy < 2⁶³), all sums
     * are exact int64, and the three divisions are single IEEE double
     * ops on identical integers — no cross-row double accumulation.
+    * Scale shape: one token-count shuffle with map-side combine, then
+    * a TakeOrderedAndProject top-k — the regression sums run over
+    * `topK` rows, never the vocabulary.
     */
   def zipfFit(df: DataFrame, textCol: String, topK: Int): DataFrame = {
     val occ = df.select(explode(TF.tokens(col(textCol))).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("n"))
+    // top-k via TakeOrderedAndProject (per-partition heaps), THEN rank
+    // the <=topK survivors — a global row_number window here would
+    // sort the ENTIRE distinct vocabulary on one partition
+    // (the [[pmiCollocationsPlan]] pattern).
     val ranked = occ
+      .orderBy(col("n").desc, col("tok")).limit(topK)
       .withColumn("rank",
         row_number().over(Window.orderBy(col("n").desc, col("tok"))))
-      .filter(col("rank") <= topK)
       .select(
         floor(log(col("rank").cast("double")) * 1e3).cast("long").as("x"),
         floor(log(col("n").cast("double")) * 1e3).cast("long").as("y"))
@@ -2266,9 +2273,14 @@ object Curation {
       .withColumn("cum_tp", sum(col("tp")).over(w))
       .withColumn("cum", sum(col("tp") + col("fp")).over(w))
       .crossJoin(broadcast(tot))
-      .withColumn("term_micro", call_function("div",
-        col("tp") * col("cum_tp") * lit(1000000L),
-        col("cum") * col("n_pos")))
+      // n_pos = 0 would make every term div(0, 0) -> NULL; a corpus
+      // whose funnel labels nothing positive gets the defined
+      // degenerate card (ap 0, prevalence 0) instead — rocAuc's
+      // degenerate-class convention.
+      .withColumn("term_micro", when(col("n_pos") === 0L, lit(0L))
+        .otherwise(call_function("div",
+          col("tp") * col("cum_tp") * lit(1000000L),
+          col("cum") * col("n_pos"))))
       .agg(max(col("n_pos")).as("n_pos"), max(col("n_neg")).as("n_neg"),
         sum(col("term_micro")).as("ap_micro"))
       .select(col("n_pos"), col("n_neg"), col("ap_micro"),
@@ -2644,10 +2656,12 @@ object Curation {
     * kappa = 1 by convention, avoiding the 0/0.
     *
     * Scale shape: one id-keyed equi-join of the two prediction
-    * frames and a single partially-aggregated reduction. The n²
-    * expected-agreement product stays in int64 up to n ≈ 3·10⁹ docs;
-    * past that the rates would be pre-scaled — noted, not needed at
-    * any current SF.
+    * frames and a single partially-aggregated reduction. The pe
+    * numerator `(pos_a·pos_b + (n−pos_a)·(n−pos_b))·10⁶` is bounded
+    * by n²·10⁶, which overflows int64 at n ≈ 3·10⁶ joined docs — an
+    * in-plan raise_error guard fails loudly there instead of letting
+    * Spark wrap silently where the oracle errors; past that bound the
+    * rates would be pre-scaled to micro before multiplying.
     */
   def classifierAgreement(a: DataFrame, predA: String, b: DataFrame,
       predB: String, idCol: String): DataFrame = {
@@ -2656,11 +2670,21 @@ object Curation {
     val j = a.select(col(idCol), col(predA).cast("long").as("pa"))
       .join(b.select(col(idCol), col(predB).cast("long").as("pb")),
         Seq(idCol))
+    // n²·10⁶ ≤ 2⁶³ ⟺ n ≤ 3,037,000 — the exact int64 safe bound for
+    // the pe numerator below (pos products are each ≤ n², their sum
+    // ≤ n² since (pos_a, n−pos_a) partitions n).
+    val nGuard = when(col("n") > 3000000L,
+      raise_error(concat(
+        lit("classifierAgreement: n = "), col("n").cast("string"),
+        lit(" joined docs overflows the int64 pe numerator "),
+        lit("(safe bound ~3e6); pre-scale the rates")))
+        .cast("long")).otherwise(col("n"))
     val agg = j.agg(
       count(lit(1)).as("n"),
       sum(when(col("pa") === col("pb"), 1L).otherwise(0L)).as("agree"),
       sum(col("pa")).as("pos_a"),
       sum(col("pb")).as("pos_b"))
+      .withColumn("n", nGuard)
     val po = fdiv(col("agree") * lit(1000000L), col("n"))
     val pe = fdiv((col("pos_a") * col("pos_b") +
         (col("n") - col("pos_a")) * (col("n") - col("pos_b"))) *
@@ -2684,22 +2708,24 @@ object Curation {
     * keep first, and the audit card showing WHICH surface features the
     * weak labels actually key on.
     *
-    * Arithmetic: the four contingency cells and both χ² factors are
-    * exact int64 (`d = n11·n00 − n10·n01`,
-    * `den = df·(N−df)·N₊·N₋`); the statistic is then
-    * `N·d²/den` evaluated in double with ONE fixed op order
-    * (`((N·d)·d)/den·10⁶`, all inputs exact integers, no
-    * transcendental — IEEE multiply/divide are bit-specified, so any
-    * engine reproduces the floor). Rank ties break on the token.
+    * Arithmetic: the four contingency cells and `d = n11·n00 −
+    * n10·n01` are exact int64; `den = df·(N−df)·N₊·N₋` is a DOUBLE
+    * product (left-assoc, one fixed IEEE order) because its int64
+    * form overflows around 10⁵ labeled docs for common tokens —
+    * Spark would wrap silently where DuckDB errors. The statistic is
+    * `N·d²/den` in double with ONE fixed op order
+    * (`((N·d)·d)/den·10⁶`, no transcendental — IEEE multiply/divide
+    * are bit-specified, so any engine reproduces the floor). Rank
+    * ties break on the token.
     *
     * Scale shape: one distinct-presence explode (doc, token), one
     * token-keyed count shuffle with map-side combine, a broadcast
-    * single-row totals join, and a vocab-sized top-k window — the
-    * p116-PMI shape. At 100 TB the cells stay exact; `d²` leaves
-    * int64-exact double territory past N ≈ 9·10⁷ labeled docs, where
-    * the statistic (not the cells) picks up one-ulp-scale rounding —
-    * still deterministic, since both engines perform the identical
-    * IEEE ops.
+    * single-row totals join, and a TakeOrderedAndProject top-k
+    * (per-partition heaps — never a global sort of the vocabulary).
+    * Past N ≈ 9·10⁷ labeled docs `d²` (and past ~10⁵, den) leave
+    * int64-exact double territory and the statistic (not the cells)
+    * picks up one-ulp-scale rounding — still deterministic, since
+    * both engines perform the identical IEEE ops.
     */
   def chiSquareFeatures(df: DataFrame, idCol: String, textCol: String,
       topK: Int, profile: GateProfile = GateProfile.published): DataFrame =
@@ -2723,20 +2749,34 @@ object Curation {
     val cells = toks.groupBy("tok").agg(
       sum(col("cls")).as("n11"),
       sum(lit(1L) - col("cls")).as("n10"))
+    // den multiplies its four factors IN DOUBLE (left-assoc, one fixed
+    // IEEE order mirrored by the oracle): the int64 product overflows
+    // silently past ~10^5 labeled docs for common tokens (worst case
+    // n^4/16 > 2^63) while DuckDB would error — doubles keep both
+    // engines on the identical bit pattern at any corpus size. The
+    // zero test stays exact: a product of non-negative integers is
+    // 0.0 iff some factor is 0.
     val sc = cells.crossJoin(broadcast(totals))
       .withColumn("n01", col("npos") - col("n11"))
       .withColumn("n00", col("n") - col("npos") - col("n10"))
       .withColumn("d", col("n11") * col("n00") - col("n10") * col("n01"))
       .withColumn("den",
-        (col("n11") + col("n10")) * (col("n01") + col("n00"))
-          * col("npos") * (col("n") - col("npos")))
-      .withColumn("chi2_micro", when(col("den") === 0, lit(0L))
+        (col("n11") + col("n10")).cast("double")
+          * (col("n01") + col("n00")).cast("double")
+          * col("npos").cast("double")
+          * (col("n") - col("npos")).cast("double"))
+      .withColumn("chi2_micro", when(col("den") === 0.0, lit(0L))
         .otherwise(floor(col("n").cast("double") * col("d").cast("double")
-          * col("d").cast("double") / col("den").cast("double") * lit(1e6))
+          * col("d").cast("double") / col("den") * lit(1e6))
           .cast("long")))
-    val w = Window.orderBy(col("chi2_micro").desc, col("tok").asc)
-    sc.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= topK)
+    // top-k via TakeOrderedAndProject (per-partition heaps), THEN rank
+    // the <=topK survivors — a global row_number window here would
+    // sort the ENTIRE distinct vocabulary on one partition
+    // (the [[pmiCollocationsPlan]] pattern).
+    val top = sc.orderBy(col("chi2_micro").desc, col("tok").asc)
+      .limit(topK)
+    top.withColumn("rank", row_number().over(
+        Window.orderBy(col("chi2_micro").desc, col("tok").asc)))
       .select(col("rank").cast("long").as("rank"), col("tok").as("token"),
         col("n11"), col("n10"), col("chi2_micro"))
   }

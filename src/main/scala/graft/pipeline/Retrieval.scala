@@ -716,8 +716,14 @@ object Retrieval {
       probes: DataFrame, probeCol: String, minCount: Long,
       maxDist: Int): DataFrame = {
     require(maxDist > 0, "maxDist must be positive")
-    def bigrams(c: Column) = array_distinct(transform(
-      sequence(lit(1), length(c) - 1), i => c.substr(i, lit(2))))
+    // 1-char probes guard against Spark's descending sequence(1, 0)
+    // (start > stop infers step -1 -> substr(0, 2) garbage bigrams);
+    // a single character has no bigrams — the TextFunctions.shingles
+    // convention.
+    def bigrams(c: Column) = when(length(c) >= 2,
+      array_distinct(transform(
+        sequence(lit(1), length(c) - 1), i => c.substr(i, lit(2)))))
+      .otherwise(array().cast("array<string>"))
     val vocab = docs.select(explode(TF.tokens(col(textCol))).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= minCount && length(col("tok")) >= 3)

@@ -365,13 +365,15 @@ object PipelineQueries {
        |sc AS (SELECT tok, n11, n10, npos - n11 AS n01,
        |              n - npos - n10 AS n00, n, npos FROM cells, tot),
        |x AS (SELECT tok, n11, n10,
-       |  CASE WHEN ((n11 + n10) * (n01 + n00) * npos * (n - npos)) = 0
+       |  CASE WHEN (CAST(n11 + n10 AS DOUBLE) * CAST(n01 + n00 AS DOUBLE)
+       |             * CAST(npos AS DOUBLE) * CAST(n - npos AS DOUBLE)) = 0
        |       THEN CAST(0 AS BIGINT)
        |       ELSE CAST(FLOOR(CAST(n AS DOUBLE)
        |         * CAST(n11 * n00 - n10 * n01 AS DOUBLE)
        |         * CAST(n11 * n00 - n10 * n01 AS DOUBLE)
-       |         / CAST((n11 + n10) * (n01 + n00) * npos * (n - npos)
-       |                AS DOUBLE) * 1e6) AS BIGINT) END AS chi2_micro
+       |         / (CAST(n11 + n10 AS DOUBLE) * CAST(n01 + n00 AS DOUBLE)
+       |            * CAST(npos AS DOUBLE) * CAST(n - npos AS DOUBLE))
+       |         * 1e6) AS BIGINT) END AS chi2_micro
        |  FROM sc),
        |r AS (SELECT *, ROW_NUMBER() OVER
        |        (ORDER BY chi2_micro DESC, tok ASC) AS rank FROM x)
@@ -2727,7 +2729,16 @@ object PipelineQueries {
     * asserted in-plan (a corrupt line would change n_docs).
     */
   def p167JsonlRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val tmp = s"/tmp/graft_jsonl_roundtrip_${dir.replaceAll("[^0-9.]", "")}"
+    // temp dir keyed on a hash of the FULL corpus path plus the Spark
+    // application id: two corpora sharing the same digits (or two
+    // concurrent runs on the same SF) must not overwrite each other's
+    // export mid-read. Driver-side path derivation only — the query
+    // result never sees it.
+    val dirKey = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(8)
+      .map(b => f"${b & 0xff}%02x").mkString
+    val tmp = "/tmp/graft_jsonl_roundtrip_" + dirKey + "_" +
+      s.sparkContext.applicationId
     graft.pipeline.Jsonl.write(
       t(s, dir, "documents").select(col("doc_id"), col("text"),
         col("lang"), col("source")), tmp)

@@ -115,6 +115,25 @@ class PlansSpec extends SparkSpec {
     assert(p.contains("HashAggregate"), p)
   }
 
+  test("vocab rankings take top-k via heaps, never a global-sort window (p109, p143)") {
+    // zipfFit / chiSquareFeatures rank the DISTINCT VOCABULARY: a
+    // row_number window over it would sort ~10^8-10^9 rows on one
+    // partition at web scale. The plan must cut to topK through
+    // TakeOrderedAndProject (per-partition heaps) FIRST; the ranking
+    // window then runs over <=topK survivors (its parent position in
+    // the formatted tree — parents print before children — proves it
+    // consumes the limit, not the vocabulary).
+    for (df <- Seq(PipelineQueries.p109ZipfFit(spark, sf0001),
+        PipelineQueries.p143ChiSquare(spark, sf0001))) {
+      val p = plan(df)
+      val take = p.indexOf("TakeOrderedAndProject")
+      assert(take >= 0, p)
+      val win = p.indexOf("Window")
+      assert(win < 0 || win < take,
+        s"window below the top-k cut — sorting the vocabulary\n$p")
+    }
+  }
+
   test("segment scrub's winner shuffle moves hashes and ids, not text (p65)") {
     val p = plan(PipelineQueries.p65SegmentScrub(spark, sf0001))
     val m = ("""\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]\n""" +

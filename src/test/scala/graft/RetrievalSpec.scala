@@ -240,6 +240,10 @@ class RetrievalSpec extends SparkSpec {
     assert(t._3 == 500000L && t._4 == 500000L, t.toString)
     // anti-ranking: single positive last of 2 -> AP = 1/2
     assert(ap(Seq((1L, 1L), (2L, 0L)))._3 == 500000L)
+    // zero positives: defined degenerate card (ap 0, prevalence 0),
+    // NOT NULL from div(0, 0) — a funnel that labels nothing positive
+    // must not break the integer contract
+    assert(ap(Seq((3L, 0L), (1L, 0L))) == ((0L, 2L, 0L, 0L)))
   }
 
   test("nb classifier AP beats prevalence on the corpus (the p155 certificate)") {
@@ -495,6 +499,19 @@ class RetrievalSpec extends SparkSpec {
     // "filler" at 3); "join" IS in vocab — identity excluded, and no
     // other token sits within 2 edits, so it yields no row
     assert(out == Seq(("fliter", "filter", 2L, 1L)), out.toString)
+  }
+
+  test("spell suggest: a 1-char probe has no bigrams, not garbage ones") {
+    // sequence(1, length-1) on a 1-char probe would DESCEND [1, 0] in
+    // Spark (substr(0, 2) garbage) — the guard yields an empty bigram
+    // array, so the probe simply matches nothing; longer probes in the
+    // same batch are untouched
+    val docs = Seq((1L, ("alpha " * 6) + ("a " * 6))).toDF("doc_id", "text")
+    val probes = Seq("x", "alpha", "alpah").toDF("probe")
+    val out = Retrieval.spellSuggest(docs, "doc_id", "text", probes,
+        "probe", minCount = 5, maxDist = 2)
+      .as[(String, String, Long, Long)].collect().toSeq
+    assert(out == Seq(("alpah", "alpha", 2L, 1L)), out.toString)
   }
 
   test("snippets: the densest window wins, ties to the earliest start") {
