@@ -44,6 +44,47 @@ import graft.pipeline.{TextFunctions => TF}
   */
 object Retrieval {
 
+  /** Rows sampled by id-stride under an ABSOLUTE budget: keep
+    * `id % ceil(N/budget) == 0` with the stride derived from the
+    * corpus count IN-PLAN (single-row aggregate broadcast into the
+    * filter — no driver count()), so the sample holds ≈`budget` rows
+    * at ANY scale factor.
+    *
+    * This is the evaluation-fixture rule for every planted-query
+    * card: a fixed FRACTION (`id % 40`) grows |Q| linearly with the
+    * corpus, so each eval card's broadcast query set and per-query
+    * work scale with N — at 100× data the broadcast fails and the
+    * card costs 100× more than the statistic needs. An absolute
+    * budget keeps eval cost constant forever. (The content-keyed
+    * sibling for DEDUP calibration, where near-dup pairs must survive
+    * sampling together, is `Dedup.boundedCalibrationSample`; planted
+    * retrieval queries need no pair survival, so the cheaper
+    * id-stride is right here.)
+    */
+  def plantedSample(df: DataFrame, idCol: String,
+      budget: Int = 128): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val m = df.agg(expr(
+      s"greatest(cast(1 as bigint), (count(1) + ${budget - 1})" +
+        s" div $budget)").as("__q_stride"))
+    df.crossJoin(broadcast(m))
+      .filter(col(idCol) % col("__q_stride") === 0)
+      .drop("__q_stride")
+  }
+
+  /** The standard planted evaluation queries: every budget-strided
+    * document contributes its first four tokens as a query whose
+    * known-relevant document is itself (`query_id` = source doc id) —
+    * the self-retrieval fixture behind the retrieval scorecards,
+    * significance tests, and hard-negative mining. |Q| is constant in
+    * the corpus size ([[plantedSample]]).
+    */
+  def plantedQueries(docs: DataFrame, idCol: String, textCol: String,
+      budget: Int = 128): DataFrame =
+    plantedSample(docs, idCol, budget)
+      .select(col(idCol).as("query_id"),
+        concat_ws(" ", slice(TF.tokens(col(textCol)), 1, 4)).as("qtext"))
+
   /** BM25 free parameters; defaults are the Robertson/Lucene
     * standards (k1=1.2 saturation, b=0.75 length normalization).
     */

@@ -35,6 +35,15 @@ object PipelineQueries {
 
   private val oToks = """string_split_regex(trim(text), '\s+')"""
 
+  /** In-plan absolute planted-query stride — the oracle twin of
+    * [[graft.pipeline.Retrieval.plantedSample]]: ceil(count(rel) /
+    * budget), so the planted evaluation-query count is ≈`budget` at
+    * ANY scale factor instead of a fixed corpus fraction.
+    */
+  private def oQStride(rel: String, budget: Int = 128): String =
+    s"(SELECT GREATEST(CAST(1 AS BIGINT), (COUNT(*) + ${budget - 1})" +
+      s" // $budget) FROM $rel)"
+
   /** Shared CTE chain of the p163/p165 oracles: p50 temperature
     * weights → per-domain hash-ordered sequence → stride virtual
     * times → flat global token prefix sum (the single-window form the
@@ -272,7 +281,7 @@ object PipelineQueries {
        |  SELECT doc_id AS query_id, toks[i] AS tok
        |  FROM (SELECT doc_id, toks,
        |          unnest(generate_series(1, least(len(toks), 4))) AS i
-       |        FROM base WHERE doc_id % 40 = 0)
+       |        FROM base WHERE doc_id % ${oQStride("base")} = 0)
        |  GROUP BY 1, 2),
        |occ AS (
        |  SELECT toks[i] AS cur,
@@ -568,7 +577,7 @@ object PipelineQueries {
        |  SELECT doc_id AS query_id, toks[i] AS tok
        |  FROM (SELECT doc_id, toks,
        |          unnest(generate_series(1, least(len(toks), 4))) AS i
-       |        FROM alldocs WHERE doc_id % 40 = 0)
+       |        FROM alldocs WHERE doc_id % ${oQStride("alldocs")} = 0)
        |  GROUP BY 1, 2),
        |fbase AS (SELECT * FROM alldocs),
        |dbase AS (
@@ -2101,9 +2110,7 @@ object PipelineQueries {
     */
   def p112Bm25(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val queries = docs.filter(col("doc_id") % 40 === 0)
-      .select(col("doc_id").as("query_id"),
-        concat_ws(" ", slice(TF.tokens(col("text")), 1, 4)).as("qtext"))
+    val queries = Retrieval.plantedQueries(docs, "doc_id", "text")
     Retrieval.bm25TopK(docs, "doc_id", "text",
       queries, "query_id", "qtext", k = 10)
   }
@@ -2189,7 +2196,7 @@ object PipelineQueries {
     val sparse = p112Bm25(s, dir)
       .select(col("query_id"), col("doc_id"), col("rank"))
     val dense = Similarity.topK(emb,
-        emb.filter(col("vec_id") % 40 === 0), "vec_id", "embedding",
+        Retrieval.plantedSample(emb, "vec_id"), "vec_id", "embedding",
         k = 10)
       .select(col("query_id"), col("cand_id").as("doc_id"), col("rank"))
     Retrieval.rrfFuse(sparse, dense, k0 = 60, topK = 10)
@@ -2203,9 +2210,7 @@ object PipelineQueries {
     */
   def p120Prf(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val queries = docs.filter(col("doc_id") % 40 === 0)
-      .select(col("doc_id").as("query_id"),
-        concat_ws(" ", slice(TF.tokens(col("text")), 1, 4)).as("qtext"))
+    val queries = Retrieval.plantedQueries(docs, "doc_id", "text")
     Retrieval.bm25Prf(docs, "doc_id", "text", queries, "query_id",
       "qtext", fbDocs = 3, fbTerms = 5, k = 10)
   }
@@ -2283,9 +2288,7 @@ object PipelineQueries {
     */
   def p129Ql(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val queries = docs.filter(col("doc_id") % 40 === 0)
-      .select(col("doc_id").as("query_id"),
-        concat_ws(" ", slice(TF.tokens(col("text")), 1, 4)).as("qtext"))
+    val queries = Retrieval.plantedQueries(docs, "doc_id", "text")
     Retrieval.qlTopK(docs, "doc_id", "text", queries, "query_id",
       "qtext", k = 10, mu = 100.0)
   }
@@ -2316,9 +2319,7 @@ object PipelineQueries {
   private def sharedRankings(s: SparkSession,
       dir: String): Seq[(String, DataFrame)] = {
     val docs = t(s, dir, "documents")
-    val queries = docs.filter(col("doc_id") % 40 === 0)
-      .select(col("doc_id").as("query_id"),
-        concat_ws(" ", slice(TF.tokens(col("text")), 1, 4)).as("qtext"))
+    val queries = Retrieval.plantedQueries(docs, "doc_id", "text")
     val index = Retrieval.bm25Index(docs, "doc_id", "text")
     val qT = Retrieval.queryTerms(queries, "query_id", "qtext")
     val hits = index.postings.join(
@@ -2334,7 +2335,7 @@ object PipelineQueries {
       fbTerms = 5, k = 10, Retrieval.Bm25Params())
     val emb = t(s, dir, "embeddings")
     val dense = Similarity.topK(emb,
-        emb.filter(col("vec_id") % 40 === 0), "vec_id", "embedding",
+        Retrieval.plantedSample(emb, "vec_id"), "vec_id", "embedding",
         k = 10)
       .select(col("query_id"), col("cand_id").as("doc_id"), col("rank"))
     val rrf = Retrieval.rrfFuse(
@@ -2465,9 +2466,7 @@ object PipelineQueries {
     */
   def p156DedupRetrievalImpact(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val queries = docs.filter(col("doc_id") % 40 === 0)
-      .select(col("doc_id").as("query_id"),
-        concat_ws(" ", slice(TF.tokens(col("text")), 1, 4)).as("qtext"))
+    val queries = Retrieval.plantedQueries(docs, "doc_id", "text")
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", k = 4,
       threshold = 0.4, maxShingleFreqFrac = Some(0.1))
     val dropped = graft.operators.ConnectedComponents.dedupDecisions(
@@ -2568,9 +2567,7 @@ object PipelineQueries {
     */
   def p161HardNegatives(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val queries = docs.filter(col("doc_id") % 40 === 0)
-      .select(col("doc_id").as("query_id"),
-        concat_ws(" ", slice(TF.tokens(col("text")), 1, 4)).as("qtext"))
+    val queries = Retrieval.plantedQueries(docs, "doc_id", "text")
     Retrieval.bm25HardNegatives(docs, "doc_id", "text",
       queries, "query_id", "qtext",
       positives = queries.select(col("query_id"),
@@ -2923,9 +2920,7 @@ object PipelineQueries {
     */
   def p146BootstrapCi(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val queries = docs.filter(col("doc_id") % 40 === 0)
-      .select(col("doc_id").as("query_id"),
-        concat_ws(" ", slice(TF.tokens(col("text")), 1, 4)).as("qtext"))
+    val queries = Retrieval.plantedQueries(docs, "doc_id", "text")
     val ranked = Retrieval.bm25TopK(docs, "doc_id", "text", queries,
       "query_id", "qtext", k = 10)
     Retrieval.bootstrapMrrCi(ranked, queries.select(col("query_id")),
@@ -2961,9 +2956,7 @@ object PipelineQueries {
     */
   def p144PmiExpansion(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val queries = docs.filter(col("doc_id") % 40 === 0)
-      .select(col("doc_id").as("query_id"),
-        concat_ws(" ", slice(TF.tokens(col("text")), 1, 4)).as("qtext"))
+    val queries = Retrieval.plantedQueries(docs, "doc_id", "text")
     val coll = Curation.pmiCollocations(docs, "doc_id", "text",
       minCount = 5L, topK = 100)
     val base = Retrieval.bm25TopK(docs, "doc_id", "text", queries,
@@ -3064,7 +3057,7 @@ object PipelineQueries {
 
   def p136Significance(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val qIds = docs.filter(col("doc_id") % 40 === 0)
+    val qIds = Retrieval.plantedSample(docs, "doc_id")
       .select(col("doc_id").as("query_id"))
     val ranked = sharedRankings(s, dir).toMap
     val base = Retrieval.perQueryNdcg(ranked("bm25f"), qIds, topK = 10)
@@ -3087,9 +3080,7 @@ object PipelineQueries {
     */
   def p133Snippets(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val queries = docs.filter(col("doc_id") % 40 === 0)
-      .select(col("doc_id").as("query_id"),
-        concat_ws(" ", slice(TF.tokens(col("text")), 1, 4)).as("qtext"))
+    val queries = Retrieval.plantedQueries(docs, "doc_id", "text")
     val ranked = Retrieval.bm25TopK(docs, "doc_id", "text", queries,
       "query_id", "qtext", k = 10)
     Retrieval.snippets(docs, "doc_id", "text", ranked, queries,
@@ -3107,9 +3098,7 @@ object PipelineQueries {
     */
   def p134Proximity(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val queries = docs.filter(col("doc_id") % 40 === 0)
-      .select(col("doc_id").as("query_id"),
-        concat_ws(" ", slice(TF.tokens(col("text")), 1, 4)).as("qtext"))
+    val queries = Retrieval.plantedQueries(docs, "doc_id", "text")
     Retrieval.proximityRerank(docs, "doc_id", "text", queries,
       "query_id", "qtext", k = 10, k0 = 4)
   }
@@ -3145,9 +3134,7 @@ object PipelineQueries {
   def p132Bm25f(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     val toks = TF.tokens(col("text"))
-    val queries = docs.filter(col("doc_id") % 40 === 0)
-      .select(col("doc_id").as("query_id"),
-        concat_ws(" ", slice(toks, 1, 4)).as("qtext"))
+    val queries = Retrieval.plantedQueries(docs, "doc_id", "text")
     Retrieval.bm25fTopK(docs, "doc_id",
       Seq((slice(toks, 1, 8), 3L),
         (slice(toks, lit(9), size(toks)), 1L)),
@@ -3164,9 +3151,7 @@ object PipelineQueries {
     */
   def p131PhraseRerank(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val queries = docs.filter(col("doc_id") % 40 === 0)
-      .select(col("doc_id").as("query_id"),
-        concat_ws(" ", slice(TF.tokens(col("text")), 1, 4)).as("qtext"))
+    val queries = Retrieval.plantedQueries(docs, "doc_id", "text")
     Retrieval.phraseRerank(docs, "doc_id", "text", queries, "query_id",
       "qtext", k = 10)
   }
@@ -3660,9 +3645,7 @@ object PipelineQueries {
     }),
     "p112_bm25" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val queries = docs.filter(col("doc_id") % 40 === 0)
-        .select(col("doc_id").as("query_id"),
-          concat_ws(" ", slice(TF.tokens(col("text")), 1, 4)).as("qtext"))
+      val queries = Retrieval.plantedQueries(docs, "doc_id", "text")
       val index = Retrieval.bm25Index(docs, "doc_id", "text")
       val qT = Retrieval.queryTerms(queries, "query_id", "qtext")
       val hits = index.postings.join(
@@ -3674,9 +3657,7 @@ object PipelineQueries {
     "p132_bm25f" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val toks = TF.tokens(col("text"))
-      val queries = docs.filter(col("doc_id") % 40 === 0)
-        .select(col("doc_id").as("query_id"),
-          concat_ws(" ", slice(toks, 1, 4)).as("qtext"))
+      val queries = Retrieval.plantedQueries(docs, "doc_id", "text")
       val index = Retrieval.bm25fIndex(docs, "doc_id",
         Seq((slice(toks, 1, 8), 3L), (slice(toks, lit(9), size(toks)), 1L)))
       val qT = Retrieval.queryTerms(queries, "query_id", "qtext")
@@ -5306,14 +5287,15 @@ object PipelineQueries {
        |SELECT * FROM res""".stripMargin
 
   /** BM25 refit from scratch: postings/doclen/stats, query terms from
-    * every `everyNth` document's first `qTerms` tokens, df over the
+    * every budget-strided document's first `qTerms` tokens
+    * ([[oQStride]] — absolute |Q| at any SF), df over the
     * query-pruned postings, and the exact micro-floored per-term
     * contributions of [[Retrieval.bm25Scores]] — same operation order
     * as the Spark expressions, so the floors agree bit-for-bit.
     */
-  private def oBm25(k1: Double, b: Double, everyNth: Int, qTerms: Int,
+  private def oBm25(k1: Double, b: Double, qTerms: Int,
       topK: Int): String =
-    s"""${oBm25Ctes(k1, b, everyNth, qTerms)}
+    s"""${oBm25Ctes(k1, b, qTerms)}
        |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id,
        |  CAST(n_terms AS BIGINT) AS n_terms, score_micro
        |FROM rk WHERE rank <= $topK""".stripMargin
@@ -5321,7 +5303,7 @@ object PipelineQueries {
   /** The [[oBm25]] chain up to the ranked candidates (`rk`) — shared
     * with the p119 fusion oracle.
     */
-  private def oBm25Ctes(k1: Double, b: Double, everyNth: Int,
+  private def oBm25Ctes(k1: Double, b: Double,
       qTerms: Int): String = {
     val avgdl = "(CAST(st.sdl AS DOUBLE) / CAST(st.nd AS DOUBLE))"
     val idf = "ln(1.0 + (CAST(st.nd AS DOUBLE) - CAST(f.df AS DOUBLE)" +
@@ -5343,7 +5325,7 @@ object PipelineQueries {
        |  FROM (SELECT doc_id, toks,
        |          unnest(generate_series(1, least(len(toks), $qTerms)))
        |            AS i
-       |        FROM base WHERE doc_id % $everyNth = 0)
+       |        FROM base WHERE doc_id % ${oQStride("base")} = 0)
        |  GROUP BY 1, 2),
        |dfq AS (
        |  SELECT p.tok, COUNT(*) AS df FROM post p
@@ -5580,7 +5562,7 @@ object PipelineQueries {
            |           THEN 1 ELSE 0 END) AS BIGINT) AS n_rejected
            |FROM nb JOIN documents d ON nb.doc_id = d.doc_id
            |GROUP BY d.source ORDER BY d.source""".stripMargin) +
-      ("p112_bm25" -> oBm25(k1 = 1.2, b = 0.75, everyNth = 40,
+      ("p112_bm25" -> oBm25(k1 = 1.2, b = 0.75,
         qTerms = 4, topK = 10)) +
       ("p113_auc" ->
         s"""WITH nb AS (${oNbClassifier}),
@@ -5848,7 +5830,7 @@ object PipelineQueries {
       ("p119_hybrid_rrf" -> oRrf) +
       ("p130_retrieval_scorecard" ->
         s"""WITH bmr AS (SELECT * FROM (${oBm25(k1 = 1.2, b = 0.75,
-              everyNth = 40, qTerms = 4, topK = 10)})),
+              qTerms = 4, topK = 10)})),
            |qlr AS (SELECT * FROM ($oQlTopK)),
            |pfr AS (SELECT * FROM ($oPrf)),
            |rfr AS (SELECT * FROM ($oRrf)),
@@ -6117,7 +6099,7 @@ object PipelineQueries {
            |  CAST(start_tok % 4096 AS BIGINT) AS chunk_off
            |FROM c""".stripMargin) +
       ("p161_hard_negatives" ->
-        s"""${oBm25Ctes(k1 = 1.2, b = 0.75, everyNth = 40, qTerms = 4)},
+        s"""${oBm25Ctes(k1 = 1.2, b = 0.75, qTerms = 4)},
            |neg AS (
            |  SELECT query_id, doc_id, n_terms, score_micro,
            |    ROW_NUMBER() OVER (PARTITION BY query_id
@@ -6476,9 +6458,9 @@ object PipelineQueries {
            |FROM ds JOIN vs ON ds.c = vs.c""".stripMargin) +
       ("p146_bootstrap_ci" ->
         s"""WITH rb AS (SELECT * FROM (${oBm25(k1 = 1.2, b = 0.75,
-              everyNth = 40, qTerms = 4, topK = 10)})),
+              qTerms = 4, topK = 10)})),
            |qs AS (SELECT doc_id AS query_id FROM documents
-           |       WHERE doc_id % 40 = 0),
+           |       WHERE doc_id % ${oQStride("documents")} = 0),
            |rr AS (SELECT q.query_id, COALESCE(h.rr0, 0) AS rr
            |  FROM qs q LEFT JOIN
            |    (SELECT query_id, 1000000 // rank AS rr0 FROM rb
@@ -6533,7 +6515,7 @@ object PipelineQueries {
            |FROM pk""".stripMargin) +
       ("p144_pmi_expansion" ->
         s"""WITH rb AS (SELECT * FROM (${oBm25(k1 = 1.2, b = 0.75,
-              everyNth = 40, qTerms = 4, topK = 10)})),
+              qTerms = 4, topK = 10)})),
            |rx AS (SELECT * FROM ($oBm25PmiExpanded))
            |${oScorecardRow("rb", "bm25")}
            |UNION ALL
@@ -6564,9 +6546,9 @@ object PipelineQueries {
       }) +
       ("p136_significance" ->
         s"""WITH qids AS (SELECT doc_id AS query_id FROM documents
-           |  WHERE doc_id % 40 = 0),
+           |  WHERE doc_id % ${oQStride("documents")} = 0),
            |rbm AS (SELECT * FROM (${oBm25(k1 = 1.2, b = 0.75,
-              everyNth = 40, qTerms = 4, topK = 10)})),
+              qTerms = 4, topK = 10)})),
            |rbf AS (SELECT * FROM ($oBm25f)),
            |rql AS (SELECT * FROM ($oQlTopK)),
            |rpf AS (SELECT * FROM ($oPrf)),
@@ -6625,7 +6607,7 @@ object PipelineQueries {
            |  CAST(n_cands AS BIGINT) AS n_cands
            |FROM fin WHERE rn = 1""".stripMargin) +
       ("p134_proximity" ->
-        s"""${oBm25Ctes(k1 = 1.2, b = 0.75, everyNth = 40, qTerms = 4)},
+        s"""${oBm25Ctes(k1 = 1.2, b = 0.75, qTerms = 4)},
            |xcand AS (SELECT query_id, doc_id, score_micro FROM rk
            |          WHERE rank <= 10),
            |xpos AS (
@@ -6666,7 +6648,7 @@ object PipelineQueries {
            |  min_pair_dist, prox_micro, score_micro, combined_micro
            |FROM xr""".stripMargin) +
       ("p133_snippets" ->
-        s"""${oBm25Ctes(k1 = 1.2, b = 0.75, everyNth = 40, qTerms = 4)},
+        s"""${oBm25Ctes(k1 = 1.2, b = 0.75, qTerms = 4)},
            |scand AS (SELECT query_id, doc_id FROM rk WHERE rank <= 3),
            |stoks AS (
            |  SELECT b.doc_id, b.toks FROM base b
@@ -6702,13 +6684,13 @@ object PipelineQueries {
            |FROM sb s JOIN stoks t ON s.doc_id = t.doc_id
            |WHERE s.rn = 1""".stripMargin) +
       ("p131_phrase_rerank" ->
-        s"""${oBm25Ctes(k1 = 1.2, b = 0.75, everyNth = 40, qTerms = 4)},
+        s"""${oBm25Ctes(k1 = 1.2, b = 0.75, qTerms = 4)},
            |cand AS (SELECT query_id, doc_id, score_micro FROM rk
            |         WHERE rank <= 10),
            |phq AS (SELECT doc_id AS query_id,
            |    ${oHash("array_to_string(toks[1:4], ' ')")}
            |      % 2147483647 AS ph
-           |  FROM base WHERE doc_id % 40 = 0),
+           |  FROM base WHERE doc_id % ${oQStride("base")} = 0),
            |gr AS (
            |  SELECT b.doc_id,
            |    unnest(list_transform(${oShingles(4)},
@@ -6743,7 +6725,7 @@ object PipelineQueries {
   private def oQlTopK: String = {
     val muP = "(100.0 * (CAST(c.cf AS DOUBLE)" +
       " / CAST(st.sdl AS DOUBLE)))"
-    s"""${oBm25Ctes(k1 = 1.2, b = 0.75, everyNth = 40, qTerms = 4)},
+    s"""${oBm25Ctes(k1 = 1.2, b = 0.75, qTerms = 4)},
        |cfq AS (
        |  SELECT p.tok, SUM(p.tf) AS cf FROM post p
        |  WHERE p.tok IN (SELECT DISTINCT tok FROM qt)
@@ -6791,7 +6773,7 @@ object PipelineQueries {
     val norm2 = "(CAST(p.tf AS DOUBLE) * 2.2 / (CAST(p.tf AS" +
       " DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(d.dl AS DOUBLE)" +
       " / (CAST(st.sdl AS DOUBLE) / CAST(st.nd AS DOUBLE))))))"
-    s"""${oBm25Ctes(k1 = 1.2, b = 0.75, everyNth = 40, qTerms = 4)},
+    s"""${oBm25Ctes(k1 = 1.2, b = 0.75, qTerms = 4)},
        |fbdocs AS (SELECT query_id, doc_id FROM rk WHERE rank <= 3),
        |fbt AS (
        |  SELECT fd.query_id, p.tok, SUM(p.tf) AS fbscore
@@ -6837,11 +6819,11 @@ object PipelineQueries {
     * exact-integer reciprocal ranks.
     */
   private def oRrf: String =
-    s"""${oBm25Ctes(k1 = 1.2, b = 0.75, everyNth = 40, qTerms = 4)},
+    s"""${oBm25Ctes(k1 = 1.2, b = 0.75, qTerms = 4)},
        |bm AS (SELECT query_id, doc_id, rank FROM rk
        |       WHERE rank <= 10),
        |qv AS (SELECT vec_id AS query_id, embedding AS qe
-       |       FROM embeddings WHERE vec_id % 40 = 0),
+       |       FROM embeddings WHERE vec_id % ${oQStride("embeddings")} = 0),
        |cscored AS (
        |  SELECT query_id, e.vec_id AS cand_id,
        |    ${oCos("qe", "e.embedding")} AS sim
@@ -6904,7 +6886,7 @@ object PipelineQueries {
        |  SELECT doc_id AS query_id, toks[i] AS tok
        |  FROM (SELECT doc_id, toks,
        |          unnest(generate_series(1, least(len(toks), 4))) AS i
-       |        FROM fb WHERE doc_id % 40 = 0)
+       |        FROM fb WHERE doc_id % ${oQStride("fb")} = 0)
        |  GROUP BY 1, 2),
        |fdf AS (
        |  SELECT p.tok, COUNT(*) AS df FROM fpost p

@@ -501,6 +501,23 @@ class RetrievalSpec extends SparkSpec {
     assert(out == Seq(("fliter", "filter", 2L, 1L)), out.toString)
   }
 
+  test("plantedSample holds ~budget rows at ANY corpus size (absolute, not fractional)") {
+    def n(rows: Long, budget: Int): Long =
+      Retrieval.plantedSample(
+        spark.range(rows).toDF("doc_id"), "doc_id", budget).count()
+    // below budget: stride 1, whole corpus
+    assert(n(100L, 128) == 100L)
+    // 10x the corpus must NOT mean 10x the sample: ceil(N/b) stride
+    // keeps the count in [b/2, b] for any N >= b
+    for (rows <- Seq(500L, 5000L, 50000L)) {
+      val c = n(rows, 128)
+      assert(c >= 64L && c <= 128L, s"rows=$rows -> $c")
+    }
+    // the gate fixture: 5000 docs at budget 128 -> stride 40 (the
+    // historical % 40 fixture at sf0.1, now derived instead of fixed)
+    assert(n(5000L, 128) == 125L)
+  }
+
   test("spell suggest: a 1-char probe has no bigrams, not garbage ones") {
     // sequence(1, length-1) on a 1-char probe would DESCEND [1, 0] in
     // Spark (substr(0, 2) garbage) — the guard yields an empty bigram
