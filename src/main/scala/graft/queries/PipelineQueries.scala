@@ -2635,11 +2635,20 @@ object PipelineQueries {
     * per-class accuracy in integer micro. The first consumer of the
     * embeddings table's `label` column: a collapsing embedding space
     * shows up here as falling probe accuracy long before any
-    * downstream model does. Reuses the exact-cosine top-k machinery
-    * (broadcast query side, index-order kernel dot products,
-    * partial top-k before the single rank exchange); the vote argmax
-    * is a map-side `max(struct)`. The oracle replays scoring,
-    * ranking, voting, and the tie rule.
+    * downstream model does.
+    *
+    * Scale shape: the probe is an EVALUATION CARD, so it needs
+    * neither exhaustive truth nor a corpus-fraction query set — the
+    * query side is an absolute ~256-row budget
+    * ([[Retrieval.plantedSample]], stride in-plan from the corpus
+    * count) and neighbors come through the IVF cell index
+    * ([[Similarity.ivfTopKWith]], ~32 budget-strided seed centroids,
+    * nprobe 2): assignment is N·C broadcast work and probing
+    * shuffles on cell ids, so probe cost grows linearly with the
+    * corpus where the old broadcast brute-force scan grew as N²/20
+    * and its query broadcast grew with N (the p108 downgrade class).
+    * The oracle replays assignment, probing, scoring, voting, and
+    * the tie rule.
     */
   def p169KnnProbe(s: SparkSession, dir: String): DataFrame =
     knnProbeOver(t(s, dir, "embeddings"))
@@ -2648,8 +2657,11 @@ object PipelineQueries {
     * p170 (quantized vectors swapped in upstream).
     */
   private def knnProbeOver(emb: DataFrame): DataFrame = {
-    val nn = Similarity.topK(emb, emb.filter(col("vec_id") % 20 === 0),
-      "vec_id", "embedding", k = 10)
+    val queries = Retrieval.plantedSample(emb, "vec_id", budget = 256)
+    val cents = Retrieval.plantedSample(emb, "vec_id", budget = 32)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
+    val nn = Similarity.ivfTopKWith(emb, queries, "vec_id", "embedding",
+      cents, k = 10, nprobe = 2)
     val pred = nn
       .join(emb.select(col("vec_id").as("cand_id"),
         col("label").as("nl")), Seq("cand_id"))
@@ -6109,15 +6121,29 @@ object PipelineQueries {
            |  CAST(n_terms AS BIGINT) AS n_terms, score_micro
            |FROM neg WHERE rank <= 5""".stripMargin) +
       ("p170_quantization_probe" -> {
-        // the p169 chain, parameterized over (tag, relation, vector col)
+        // the p169 chain, parameterized over (tag, relation, vector
+        // col): budget-strided queries probe nprobe=2 IVF cells over
+        // budget-strided seed centroids — the oracle twin of
+        // Similarity.ivfTopKWith's assignment and tie rules
         def chain(tag: String, rel: String, vcol: String) =
-          s"""q$tag AS (SELECT vec_id AS query_id, $vcol AS qv,
-             |    CAST(label AS BIGINT) AS true_label
-             |  FROM $rel WHERE vec_id % 20 = 0),
-             |sc$tag AS (SELECT query_id, e.vec_id AS cand_id,
-             |    CAST(e.label AS BIGINT) AS nl,
-             |    ${oCos("qv", s"e.$vcol")} AS sim
-             |  FROM $rel e, q$tag WHERE e.vec_id != query_id),
+          s"""ct$tag AS (SELECT vec_id AS cent_id, $vcol AS ce
+             |  FROM $rel WHERE vec_id % ${oQStride(rel, 32)} = 0),
+             |as$tag AS (SELECT e.vec_id, e.$vcol AS v,
+             |    CAST(e.label AS BIGINT) AS lab, cent_id,
+             |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             |      ORDER BY ${oCos(s"e.$vcol", "ce")} DESC,
+             |        cent_id ASC) AS crn
+             |  FROM $rel e, ct$tag),
+             |cl$tag AS (SELECT vec_id, v, lab, cent_id
+             |  FROM as$tag WHERE crn = 1),
+             |q$tag AS (SELECT vec_id AS query_id, v AS qv, lab
+             |    AS true_label, cent_id
+             |  FROM as$tag
+             |  WHERE crn <= 2 AND vec_id % ${oQStride(rel, 256)} = 0),
+             |sc$tag AS (SELECT query_id, c.vec_id AS cand_id,
+             |    c.lab AS nl, ${oCos("qv", "c.v")} AS sim
+             |  FROM q$tag q JOIN cl$tag c ON q.cent_id = c.cent_id
+             |    AND c.vec_id != q.query_id),
              |r$tag AS (SELECT query_id, nl,
              |    ROW_NUMBER() OVER (PARTITION BY query_id
              |      ORDER BY sim DESC, cand_id) AS rank
@@ -6128,8 +6154,10 @@ object PipelineQueries {
              |    ROW_NUMBER() OVER (PARTITION BY query_id
              |      ORDER BY votes DESC, nl ASC) AS vr
              |  FROM v$tag),
-             |j$tag AS (SELECT q$tag.true_label, p$tag.pred
-             |  FROM p$tag JOIN q$tag USING (query_id) WHERE vr = 1)"""
+             |ql$tag AS (SELECT DISTINCT query_id, true_label
+             |  FROM q$tag),
+             |j$tag AS (SELECT ql$tag.true_label, p$tag.pred
+             |  FROM p$tag JOIN ql$tag USING (query_id) WHERE vr = 1)"""
             .stripMargin
         def sel(tag: String, method: String) =
           s"""SELECT '$method' AS method, true_label,
@@ -6153,13 +6181,29 @@ object PipelineQueries {
           .stripMargin
       }) +
       ("p169_knn_probe" ->
-        s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv,
-           |    CAST(label AS BIGINT) AS true_label
-           |  FROM embeddings WHERE vec_id % 20 = 0),
-           |sc AS (SELECT query_id, e.vec_id AS cand_id,
-           |    CAST(e.label AS BIGINT) AS nl,
-           |    ${oCos("qv", "e.embedding")} AS sim
-           |  FROM embeddings e, q WHERE e.vec_id != query_id),
+        // the IVF probe chain: budget-strided queries over nprobe=2
+        // cells on budget-strided seed centroids (the p170 `chain`
+        // shape over the raw relation only)
+        s"""WITH ct AS (SELECT vec_id AS cent_id, embedding AS ce
+           |  FROM embeddings
+           |  WHERE vec_id % ${oQStride("embeddings", 32)} = 0),
+           |asg AS (SELECT e.vec_id, e.embedding AS v,
+           |    CAST(e.label AS BIGINT) AS lab, cent_id,
+           |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+           |      ORDER BY ${oCos("e.embedding", "ce")} DESC,
+           |        cent_id ASC) AS crn
+           |  FROM embeddings e, ct),
+           |cl AS (SELECT vec_id, v, lab, cent_id
+           |  FROM asg WHERE crn = 1),
+           |q AS (SELECT vec_id AS query_id, v AS qv,
+           |    lab AS true_label, cent_id
+           |  FROM asg
+           |  WHERE crn <= 2
+           |    AND vec_id % ${oQStride("embeddings", 256)} = 0),
+           |sc AS (SELECT query_id, c.vec_id AS cand_id, c.lab AS nl,
+           |    ${oCos("qv", "c.v")} AS sim
+           |  FROM q JOIN cl c ON q.cent_id = c.cent_id
+           |    AND c.vec_id != q.query_id),
            |r AS (SELECT query_id, nl,
            |    ROW_NUMBER() OVER (PARTITION BY query_id
            |      ORDER BY sim DESC, cand_id) AS rank
@@ -6170,8 +6214,9 @@ object PipelineQueries {
            |    ROW_NUMBER() OVER (PARTITION BY query_id
            |      ORDER BY votes DESC, nl ASC) AS vr
            |  FROM v),
-           |j AS (SELECT q.true_label, p.pred
-           |  FROM p JOIN q USING (query_id) WHERE vr = 1)
+           |ql AS (SELECT DISTINCT query_id, true_label FROM q),
+           |j AS (SELECT ql.true_label, p.pred
+           |  FROM p JOIN ql USING (query_id) WHERE vr = 1)
            |SELECT true_label, CAST(COUNT(*) AS BIGINT) AS n_queries,
            |  CAST(SUM(CASE WHEN pred = true_label THEN 1 ELSE 0 END)
            |    AS BIGINT) AS n_correct,

@@ -134,6 +134,27 @@ class PlansSpec extends SparkSpec {
     }
   }
 
+  test("knn/quantization probes ride IVF cells — no corpus-fraction broadcast scan (p169, p170)") {
+    // the r11 scale-killer: a vec_id % 20 query side (5% OF THE
+    // CORPUS) broadcast into Similarity.topK's exhaustive scan. Now:
+    // absolute ~256-query budget, candidates through the cent_id
+    // equi-join. The probe plan must carry NO BroadcastNestedLoopJoin
+    // that scores queries against the whole corpus (topK's
+    // `query_id != cand_id` condition is its signature; the remaining
+    // BNLJ blocks are the single-row stride and ~32-row centroid
+    // broadcasts, which carry no cand_id).
+    for (df <- Seq(PipelineQueries.p169KnnProbe(spark, sf0001),
+        PipelineQueries.p170QuantizationProbe(spark, sf0001))) {
+      val p = plan(df)
+      assert(p.contains("SortMergeJoin"), p)
+      val bnlj = p.split("""\(\d+\) """)
+        .filter(_.startsWith("BroadcastNestedLoopJoin"))
+      assert(bnlj.nonEmpty, p)
+      bnlj.foreach(b => assert(!b.contains("cand_id"),
+        s"brute-force scoring BNLJ back in the probe plan:\n$b"))
+    }
+  }
+
   test("segment scrub's winner shuffle moves hashes and ids, not text (p65)") {
     val p = plan(PipelineQueries.p65SegmentScrub(spark, sf0001))
     val m = ("""\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]\n""" +
