@@ -49,9 +49,7 @@ class GuardBandSpec extends SparkSpec {
 
   test("bm25 and ql log floors sit far from their boundaries") {
     val docs = Tables.read(spark, sf001, "documents")
-    val queries = docs.filter(col("doc_id") % 40 === 0)
-      .select(col("doc_id").as("query_id"),
-        concat_ws(" ", slice(TF.tokens(col("text")), 1, 4)).as("qtext"))
+    val queries = Retrieval.plantedQueries(docs, "doc_id", "text")
     val idx = Retrieval.bm25Index(docs, "doc_id", "text")
     val qT = Retrieval.queryTerms(queries, "query_id", "qtext")
     val hits = idx.postings
@@ -80,9 +78,7 @@ class GuardBandSpec extends SparkSpec {
     // nd/avgdl/df all shift, so its floor inputs are NEW values the
     // full-corpus audit above never saw — audit them the same way
     val docs = Tables.read(spark, sf001, "documents")
-    val queries = docs.filter(col("doc_id") % 40 === 0)
-      .select(col("doc_id").as("query_id"),
-        concat_ws(" ", slice(TF.tokens(col("text")), 1, 4)).as("qtext"))
+    val queries = Retrieval.plantedQueries(docs, "doc_id", "text")
     val pairs = graft.pipeline.Dedup.ngramJaccardPairs(docs, "doc_id",
       "text", k = 4, threshold = 0.4, maxShingleFreqFrac = Some(0.1))
     val dropped = graft.operators.ConnectedComponents.dedupDecisions(
@@ -99,6 +95,30 @@ class GuardBandSpec extends SparkSpec {
     val dBm = minBoundaryDist(cand,
       Retrieval.contribDouble(Retrieval.Bm25Params()))
     assert(dBm > EPS, s"dedup bm25 contrib within $dBm of a floor boundary")
+  }
+
+  test("probe cosine floors sit far from their boundaries (p169, p170)") {
+    // the kNN/quantization probes floor cosine to micro inside the
+    // IVF ranking; the dot/norm kernels are index-order-deterministic
+    // in both engines, but the margin check is cheap insurance. Audit
+    // the SUPERSET of all (planted query x corpus) cosines — whatever
+    // cells the IVF probe selects, its floored pairs are among these.
+    val emb = Tables.read(spark, sf001, "embeddings")
+    def audit(frame: DataFrame, tag: String): Unit = {
+      val q = Retrieval.plantedSample(frame, "vec_id", 256)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val pairs = frame
+        .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+        .crossJoin(broadcast(q)).filter(col("qid") =!= col("cid"))
+      val d = minBoundaryDist(pairs,
+        graft.pipeline.Similarity.cosine(col("qv"), col("cv")) * 1e6)
+      assert(d > EPS, s"$tag probe cosine within $d of a floor boundary")
+    }
+    audit(emb, "raw")
+    audit(emb.select(col("vec_id"),
+      transform(graft.pipeline.Similarity.quantize(col("embedding"),
+          graft.pipeline.Similarity.quantScale(col("embedding"))),
+        x => x.cast("float")).as("embedding")), "int8")
   }
 
   test("domain-mix exp floors sit far from their boundaries") {
