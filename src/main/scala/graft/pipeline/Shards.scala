@@ -1,0 +1,114 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Shard-file materialization — the LAST MILE of the corpus-release
+  * family: [[Curation.globalShardManifest]] / mixtureInterleave
+  * compute exact (doc → chunk_idx, chunk_off) placements, and a
+  * trainer consumes FILES, not manifests. This sink writes the corpus
+  * as one JSONL directory per shard, rows physically ordered by their
+  * manifested offset, and [[certify]] proves the written files carry
+  * exactly the manifested membership, content, and order.
+  *
+  * Scale shape: one shuffle keyed by `chunk_idx` (hash-distributed —
+  * a shard never outgrows one writer task because `shardToks` bounds
+  * it by construction), an in-partition sort on (chunk, offset), and
+  * a `partitionBy` directory split. No driver-side loop, no global
+  * sort: the manifest already IS the global order, so materializing
+  * it needs only per-shard locality. The JSONL surface is
+  * [[Jsonl]]'s (C4/Pile/RedPajama interchange); uncompressed and
+  * zstd shards stay splittable.
+  *
+  * A document that straddles a shard boundary is written to the
+  * shard where it STARTS (GPT-style packing — the trainer reads it
+  * across the boundary), exactly the manifest's semantics.
+  */
+object Shards {
+
+  /** Write `docs` as ordered JSONL shard files under `path`, one
+    * `chunk_idx=N` directory per shard, rows in `chunk_off` order.
+    * `manifest` must carry (idCol, chunk_idx, chunk_off) — any
+    * placement frame from the manifest family works.
+    */
+  def write(docs: DataFrame, idCol: String, textCol: String,
+      manifest: DataFrame, path: String,
+      compression: Option[String] = None): Unit = {
+    val rows = docs
+      .select(col(idCol).as("doc_id"), col(textCol).as("text"))
+      .join(manifest.select(col(idCol).as("doc_id"), col("chunk_idx"),
+        col("chunk_off")), Seq("doc_id"))
+      .repartition(col("chunk_idx"))
+      .sortWithinPartitions(col("chunk_idx"), col("chunk_off"),
+        col("doc_id"))
+    val w = rows.write.mode("overwrite").partitionBy("chunk_idx")
+    compression.fold(w)(c => w.option("compression", c)).json(path)
+  }
+
+  /** Read shard files back. The explicit schema names the in-file
+    * payload; `chunk_idx` comes from the directory structure and is
+    * pinned LONG here (partition-column inference would make it INT).
+    * Malformed lines surface as `_corrupt` ([[Jsonl.read]] contract).
+    */
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .schema("doc_id LONG, text STRING, chunk_off LONG, " +
+        "chunk_idx LONG, _corrupt STRING")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .json(path)
+
+  /** Per-read-partition physical-order audit: the number of adjacent
+    * same-shard row pairs whose `chunk_off` DECREASES in read order.
+    * Zero certifies the files stream in manifest order — the property
+    * a sequential trainer depends on and the one thing a stored
+    * column cannot prove (a scrambled file would still carry correct
+    * offsets). mapPartitions is the honest tool here: the quantity IS
+    * the physical iterator order, which no declarative plan observes;
+    * the scan stays zero-shuffle and emits one row per partition.
+    */
+  def orderInversions(back: DataFrame): DataFrame = {
+    val s = back.sparkSession
+    import s.implicits._
+    back.select(col("chunk_idx"), col("chunk_off"))
+      .filter(col("chunk_idx").isNotNull && col("chunk_off").isNotNull)
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        var inv = 0L
+        var prev: Option[(Long, Long)] = None
+        for (cur <- it) {
+          if (prev.exists(p => p._1 == cur._1 && p._2 > cur._2)) inv += 1
+          prev = Some(cur)
+        }
+        Iterator.single(inv)
+      }
+      .toDF("inv")
+      .agg(coalesce(sum(col("inv")), lit(0L)).as("order_inversions"))
+  }
+
+  /** Certify written shards against their manifest: per shard, the
+    * doc/token counts and the order-covering checksum
+    * (Σ hash60(fingerprint:chunk_off) mod 2²⁸ — the [[p86]]-style
+    * commutative sum, positional through the manifested offset), all
+    * recomputed FROM THE FILES, plus the global physical-order
+    * inversion count (broadcast single row, structurally zero for a
+    * faithful write). The oracle recomputes the same quantities from
+    * the source corpus, so any loss of membership, content, offset,
+    * or row order hash-mismatches the gate.
+    */
+  def certify(back: DataFrame): DataFrame = {
+    val clean = back.filter(col("_corrupt").isNull)
+    val sums = clean
+      .withColumn("fp", TextFunctions.fingerprint(
+        TextFunctions.tokens(col("text"))))
+      .withColumn("term",
+        pmod(TextFunctions.hash60(concat(col("fp"), lit(":"),
+          col("chunk_off").cast("string"))), lit(268435456L)))
+      .groupBy(col("chunk_idx"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(TextFunctions.tokens(col("text"))).cast("long"))
+          .as("n_toks"),
+        sum(col("term")).as("shard_sum"))
+    sums.crossJoin(broadcast(orderInversions(back)))
+  }
+}

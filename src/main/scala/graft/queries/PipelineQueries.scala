@@ -2737,17 +2737,46 @@ object PipelineQueries {
     * any escaping loss hash-mismatches; zero malformed rows is
     * asserted in-plan (a corrupt line would change n_docs).
     */
-  def p167JsonlRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    // temp dir keyed on a hash of the FULL corpus path plus the Spark
-    // application id: two corpora sharing the same digits (or two
-    // concurrent runs on the same SF) must not overwrite each other's
-    // export mid-read. Driver-side path derivation only — the query
-    // result never sees it.
+  /** Scratch export dir keyed on a hash of the FULL corpus path plus
+    * the Spark application id: two corpora sharing the same digits
+    * (or two concurrent runs on the same SF) must not overwrite each
+    * other's export mid-read. Driver-side path derivation only — no
+    * query result ever sees it.
+    */
+  private def scratchDir(s: SparkSession, dir: String,
+      tag: String): String = {
     val dirKey = java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).take(8)
       .map(b => f"${b & 0xff}%02x").mkString
-    val tmp = "/tmp/graft_jsonl_roundtrip_" + dirKey + "_" +
-      s.sparkContext.applicationId
+    s"/tmp/graft_${tag}_${dirKey}_" + s.sparkContext.applicationId
+  }
+
+  /** Shard-file materialization (p171): the corpus WRITTEN as actual
+    * training shards in p160's manifest order
+    * ([[graft.pipeline.Shards.write]] — one JSONL directory per
+    * 4096-token chunk, rows physically sorted by manifested offset),
+    * then read back and certified: per shard, doc/token counts and
+    * the order-covering checksum Σ hash60(fingerprint:chunk_off)
+    * mod 2²⁸ recomputed FROM THE FILES, plus the physical-order
+    * inversion count (structurally zero for a faithful write,
+    * asserted by the oracle's literal). The oracle recomputes every
+    * quantity from the source parquet, so any loss of membership,
+    * content, offset, or row order in the written shards
+    * hash-mismatches — the last mile between p160's manifest and the
+    * files a trainer streams, certified the way p167 certifies the
+    * flat JSONL surface.
+    */
+  def p171ShardFiles(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val man = Curation.globalShardManifest(docs, "doc_id", "text",
+      shardToks = 4096L)
+    val tmp = scratchDir(s, dir, "shard_files")
+    graft.pipeline.Shards.write(docs, "doc_id", "text", man, tmp)
+    graft.pipeline.Shards.certify(graft.pipeline.Shards.read(s, tmp))
+  }
+
+  def p167JsonlRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val tmp = scratchDir(s, dir, "jsonl_roundtrip")
     graft.pipeline.Jsonl.write(
       t(s, dir, "documents").select(col("doc_id"), col("text"),
         col("lang"), col("source")), tmp)
@@ -3890,6 +3919,7 @@ object PipelineQueries {
     "p165_shard_mix" -> p165ShardMix _,
     "p166_epoch_decorrelation" -> p166EpochDecorrelation _,
     "p167_jsonl_roundtrip" -> p167JsonlRoundtrip _,
+    "p171_shard_files" -> p171ShardFiles _,
     "p168_k_anonymity" -> p168KAnonymity _,
     "p169_knn_probe" -> p169KnnProbe _,
     "p170_quantization_probe" -> p170QuantizationProbe _,
@@ -6096,6 +6126,30 @@ object PipelineQueries {
            |JOIN sp f ON dec.doc_id = f.doc_id
            |JOIN sp t ON dec.comp = t.doc_id
            |GROUP BY f.split, t.split""".stripMargin) +
+      ("p171_shard_files" ->
+        // p160's manifest replay + per-shard rollup with the p86-style
+        // positional checksum; order_inversions is the literal 0 the
+        // Spark side must reproduce from the PHYSICAL file order
+        s"""WITH n AS (SELECT doc_id, text,
+           |    CAST(len($oToks) AS BIGINT) AS n_toks,
+           |    ${oHash("'shard' || CAST(doc_id AS VARCHAR)")} AS h
+           |  FROM documents),
+           |c AS (SELECT doc_id, text, n_toks,
+           |    CAST(SUM(n_toks) OVER (ORDER BY h, doc_id
+           |      ROWS UNBOUNDED PRECEDING) - n_toks AS BIGINT)
+           |      AS start_tok
+           |  FROM n),
+           |m AS (SELECT doc_id, n_toks,
+           |    CAST(start_tok // 4096 AS BIGINT) AS chunk_idx,
+           |    CAST(start_tok % 4096 AS BIGINT) AS chunk_off,
+           |    substr(md5(array_to_string($oToks, ' ')), 1, 16) AS fp
+           |  FROM c)
+           |SELECT chunk_idx, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |  CAST(SUM(n_toks) AS BIGINT) AS n_toks,
+           |  CAST(SUM(${oHash("fp || ':' || CAST(chunk_off AS VARCHAR)")}
+           |           % 268435456) AS BIGINT) AS shard_sum,
+           |  CAST(0 AS BIGINT) AS order_inversions
+           |FROM m GROUP BY chunk_idx""".stripMargin) +
       ("p160_shard_manifest" ->
         s"""WITH n AS (SELECT doc_id,
            |    CAST(len($oToks) AS BIGINT) AS n_toks,

@@ -1753,6 +1753,51 @@ class PipelineSpec extends SparkSpec {
     } finally bad.unpersist()
   }
 
+  test("shard files: written corpus reads back complete, ordered, checksum-faithful") {
+    val docs = graft.core.Tables.read(spark, sf0001, "documents")
+    val man = Curation.globalShardManifest(docs, "doc_id", "text",
+      shardToks = 4096L)
+    val tmp = "/tmp/graft_shards_spec_" + spark.sparkContext.applicationId
+    Shards.write(docs, "doc_id", "text", man, tmp)
+    val back = Shards.read(spark, tmp).cache()
+    try {
+      // complete and uncorrupted
+      assert(back.filter(col("_corrupt").isNotNull).count() == 0)
+      assert(back.count() == docs.count())
+      val cert = Shards.certify(back).cache()
+      try {
+        // physical row order matches the manifest order
+        assert(cert.agg(max("order_inversions")).as[Long].head() == 0L)
+        // shards are contiguous 0..max and token mass is conserved
+        val chunks = cert.select("chunk_idx").as[Long].collect().sorted
+        assert(chunks.head == 0L && chunks.last == chunks.length - 1L)
+        val totToks = docs
+          .agg(sum(size(TextFunctions.tokens(col("text")))))
+          .as[Long].head()
+        assert(cert.agg(sum("n_toks")).as[Long].head() == totToks)
+        // every doc sits in the shard where its manifest placed it
+        val misplaced = back
+          .join(man.select(col("doc_id"), col("chunk_idx").as("want"),
+            col("chunk_off").as("want_off")), Seq("doc_id"))
+          .filter(col("chunk_idx") =!= col("want") ||
+            col("chunk_off") =!= col("want_off"))
+          .count()
+        assert(misplaced == 0L)
+      } finally cert.unpersist()
+    } finally back.unpersist()
+  }
+
+  test("shard order audit counts inversions — a scrambled shard is caught") {
+    // one partition, offsets deliberately out of order within chunk 0;
+    // chunk 1 ordered — exactly one adjacent same-chunk decrease
+    val scrambled = Seq((0L, 5L), (0L, 2L), (1L, 0L), (1L, 3L))
+      .toDF("chunk_idx", "chunk_off").coalesce(1)
+    assert(Shards.orderInversions(scrambled).as[Long].head() == 1L)
+    val ordered = Seq((0L, 2L), (0L, 5L), (1L, 0L), (1L, 3L))
+      .toDF("chunk_idx", "chunk_off").coalesce(1)
+    assert(Shards.orderInversions(ordered).as[Long].head() == 0L)
+  }
+
   test("PolyMap dispatches by domain and leaves unmapped domains null") {
     val facts = Seq((1L, "a", 10L), (2L, "b", 10L), (3L, "c", 10L), (4L, "a", 99L))
       .toDF("id", "dom", "fk")
