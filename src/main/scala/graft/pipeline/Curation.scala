@@ -248,7 +248,57 @@ object Curation {
     */
   def mixtureInterleave(df: DataFrame, idCol: String, textCol: String,
       domainCol: String, weights: DataFrame, shardToks: Long,
-      salt: String = "mix", buckets: Int = 256): DataFrame = {
+      salt: String = "mix", buckets: Int = 256): DataFrame =
+    mixturePlace(df, idCol, textCol, domainCol, weights, shardToks,
+      salt, buckets, seqBase = None, tokBase = None)
+
+  /** Incremental manifest append — the batch twin of the streaming
+    * stride scheduler ([[graft.streaming.StreamingJobs
+    * .mixtureSchedule]]): a batch of admitted delta documents joins an
+    * EXISTING [[mixtureInterleave]] manifest without recomputing one
+    * byte of the existing placement. Each delta document's per-domain
+    * sequence number continues from the persisted count (the dense
+    * `i` invariant: a domain's max sequence IS its row count, so the
+    * resumed state is one map-side-combined groupBy of the manifest,
+    * never a stored side-channel), its vtime is the same
+    * `i·10⁹ div w_d` stride finish time the stream would assign, and
+    * its tokens are laid after the persisted token mass in delta
+    * (vtime, domain, id) order — exactly the arrival-order semantics
+    * of the stateful stream processing this delta as its next
+    * micro-batch (StreamingSpec pins the equivalence). Weights must
+    * be the base manifest's; the stride mixture guarantee holds
+    * WITHIN each appended batch — append never reshuffles history,
+    * the same trade the stream makes.
+    *
+    * Scale shape: resumed state is |domains| + 1 broadcast rows; the
+    * delta rides the identical two-level scans as the full build, so
+    * appending Δ docs costs O(Δ), not O(corpus).
+    */
+  def mixtureAppend(existing: DataFrame, delta: DataFrame,
+      idCol: String, textCol: String, domainCol: String,
+      weights: DataFrame, shardToks: Long, salt: String = "mix",
+      buckets: Int = 256): DataFrame = {
+    val cols = Seq(col(idCol), col(domainCol), col("n_toks"),
+      col("vtime"), col("chunk_idx"), col("chunk_off"))
+    val seqBase = existing.groupBy(col(domainCol))
+      .agg(count(lit(1)).as("__i0"))
+    val tokBase = existing
+      .agg(coalesce(sum(col("n_toks")), lit(0L)).as("__tok0"))
+    existing.select(cols: _*).unionByName(
+      mixturePlace(delta, idCol, textCol, domainCol, weights,
+        shardToks, salt, buckets, Some(seqBase), Some(tokBase))
+        .select(cols: _*))
+  }
+
+  /** The placement core shared by [[mixtureInterleave]] (no resumed
+    * state — both bases fold to literal zero, leaving the full
+    * build's plan untouched) and [[mixtureAppend]] (per-domain
+    * sequence base + global token base, broadcast).
+    */
+  private def mixturePlace(df: DataFrame, idCol: String,
+      textCol: String, domainCol: String, weights: DataFrame,
+      shardToks: Long, salt: String, buckets: Int,
+      seqBase: Option[DataFrame], tokBase: Option[DataFrame]): DataFrame = {
     require(shardToks > 0, "shardToks must be positive")
     require(buckets > 0, "buckets must be positive")
     val hBucketWidth = lit((1L << 60) / buckets + 1L)
@@ -266,10 +316,16 @@ object Curation {
           .partitionBy(col(domainCol)).orderBy(col("__hb"))
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col(domainCol), col("__hb"), col("__coff"))
-    val keyed = base
-      .join(broadcast(domOffsets), Seq(domainCol, "__hb"))
-      .withColumn("__i",
-        col("__coff") + row_number().over(withinDom).cast("long"))
+    val seqd = seqBase.fold(
+      base.join(broadcast(domOffsets), Seq(domainCol, "__hb")))(sb =>
+      base.join(broadcast(domOffsets), Seq(domainCol, "__hb"))
+        .join(broadcast(sb), Seq(domainCol), "left"))
+    val iExpr = seqBase.fold(
+      col("__coff") + row_number().over(withinDom).cast("long"))(_ =>
+      coalesce(col("__i0"), lit(0L)) + col("__coff") +
+        row_number().over(withinDom).cast("long"))
+    val keyed = seqd
+      .withColumn("__i", iExpr)
       .join(broadcast(weights), Seq(domainCol))
       .withColumn("vtime",
         when(col("weight_micro") <= 0L, raise_error(concat(
@@ -294,9 +350,15 @@ object Curation {
           .orderBy(col("__vb"))
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col("__vb"), col("__off"))
-    vb.join(broadcast(vOffsets), Seq("__vb"))
+    val placed = tokBase.fold(
+      vb.join(broadcast(vOffsets), Seq("__vb")))(tb =>
+      vb.join(broadcast(vOffsets), Seq("__vb"))
+        .crossJoin(broadcast(tb)))
+    val tok0 = tokBase.fold(lit(0L))(_ => col("__tok0"))
+    placed
       .withColumn("start_tok",
-        col("__off") + sum(col("n_toks")).over(withinV) - col("n_toks"))
+        tok0 + col("__off") + sum(col("n_toks")).over(withinV)
+          - col("n_toks"))
       .select(col(idCol), col(domainCol), col("n_toks"), col("vtime"),
         call_function("div", col("start_tok"), lit(shardToks))
           .as("chunk_idx"),

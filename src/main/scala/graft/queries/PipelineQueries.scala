@@ -2594,6 +2594,31 @@ object PipelineQueries {
       shardToks = 4096L)
   }
 
+  /** Incremental manifest append (p172): two thirds of the corpus
+    * build a p163 mixture manifest; the remaining third arrives as an
+    * admitted delta batch and is APPENDED ([[Curation.mixtureAppend]])
+    * — per-domain stride sequences resume from the persisted counts,
+    * delta tokens are laid after the persisted token mass, and not
+    * one existing row is recomputed (the batch twin of the streaming
+    * stride scheduler's state continuity; StreamingSpec pins the
+    * equivalence, this query pins the arithmetic). The output is the
+    * full post-append manifest; the oracle replays the base build,
+    * the resumed counters, and the delta placement, so any
+    * perturbation of an existing row or misplacement of a delta row
+    * hash-mismatches.
+    */
+  def p172ManifestAppend(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val w = p50TempMix(s, dir)
+      .select(col("source"), col("p_micro").as("weight_micro"))
+    val base = docs.filter(col("doc_id") % 3 =!= 0)
+    val delta = docs.filter(col("doc_id") % 3 === 0)
+    val existing = Curation.mixtureInterleave(base, "doc_id", "text",
+      "source", w, shardToks = 4096L)
+    Curation.mixtureAppend(existing, delta, "doc_id", "text", "source",
+      w, shardToks = 4096L)
+  }
+
   /** Shard mixture audit (p165): the QA card over the p163 manifest —
     * per (shard, domain): document and token counts, the shard's
     * observed domain share, the target share from the same p50
@@ -3915,6 +3940,7 @@ object PipelineQueries {
     "p161_hard_negatives" -> p161HardNegatives _,
     "p162_distinct_n" -> p162DistinctN _,
     "p163_mix_interleave" -> p163MixInterleave _,
+    "p172_manifest_append" -> p172ManifestAppend _,
     "p164_crop_pairs" -> p164CropPairs _,
     "p165_shard_mix" -> p165ShardMix _,
     "p166_epoch_decorrelation" -> p166EpochDecorrelation _,
@@ -6349,6 +6375,57 @@ object PipelineQueries {
            |  CAST(start_tok // 4096 AS BIGINT) AS chunk_idx,
            |  CAST(start_tok % 4096 AS BIGINT) AS chunk_off
            |FROM st""".stripMargin) +
+      ("p172_manifest_append" ->
+        // base build over doc_id % 3 != 0 (weights stay full-corpus,
+        // as in p163), resumed per-domain counters = base row counts,
+        // delta laid after the base token mass in delta (vtime,
+        // domain, id) order — Curation.mixtureAppend's arithmetic
+        s"""WITH c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+           |  FROM documents GROUP BY 1),
+           |d AS (SELECT list_sum(list_sort(list(sqrt(CAST(n_docs
+           |    AS DOUBLE))))) AS denom FROM c),
+           |w AS (SELECT source, CAST(FLOOR(sqrt(CAST(n_docs AS DOUBLE))
+           |    / denom * 1e6) AS BIGINT) AS weight_micro FROM c, d),
+           |nb AS (SELECT doc_id, source,
+           |    CAST(len($oToks) AS BIGINT) AS n_toks,
+           |    ${oHash("'mix' || CAST(doc_id AS VARCHAR)")} AS h
+           |  FROM documents WHERE doc_id % 3 != 0),
+           |kb AS (SELECT doc_id, nb.source, n_toks,
+           |    CAST((ROW_NUMBER() OVER (PARTITION BY nb.source
+           |        ORDER BY h, doc_id) * 1000000000) // weight_micro
+           |      AS BIGINT) AS vtime
+           |  FROM nb JOIN w ON nb.source = w.source),
+           |stb AS (SELECT *, CAST(SUM(n_toks) OVER (ORDER BY vtime,
+           |      source, doc_id ROWS UNBOUNDED PRECEDING) - n_toks
+           |    AS BIGINT) AS start_tok FROM kb),
+           |i0 AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS base_i
+           |  FROM nb GROUP BY source),
+           |t0 AS (SELECT CAST(COALESCE(SUM(n_toks), 0) AS BIGINT)
+           |    AS tok0 FROM nb),
+           |nd AS (SELECT doc_id, source,
+           |    CAST(len($oToks) AS BIGINT) AS n_toks,
+           |    ${oHash("'mix' || CAST(doc_id AS VARCHAR)")} AS h
+           |  FROM documents WHERE doc_id % 3 = 0),
+           |kd AS (SELECT doc_id, nd.source, n_toks,
+           |    CAST(((ROW_NUMBER() OVER (PARTITION BY nd.source
+           |          ORDER BY h, doc_id) + COALESCE(base_i, 0))
+           |        * 1000000000) // weight_micro
+           |      AS BIGINT) AS vtime
+           |  FROM nd JOIN w ON nd.source = w.source
+           |  LEFT JOIN i0 ON nd.source = i0.source),
+           |std AS (SELECT kd.*, CAST(SUM(n_toks) OVER (ORDER BY vtime,
+           |      source, doc_id ROWS UNBOUNDED PRECEDING) - n_toks
+           |      + tok0 AS BIGINT) AS start_tok
+           |  FROM kd, t0)
+           |SELECT doc_id, source, n_toks, vtime,
+           |  CAST(start_tok // 4096 AS BIGINT) AS chunk_idx,
+           |  CAST(start_tok % 4096 AS BIGINT) AS chunk_off
+           |FROM stb
+           |UNION ALL
+           |SELECT doc_id, source, n_toks, vtime,
+           |  CAST(start_tok // 4096 AS BIGINT) AS chunk_idx,
+           |  CAST(start_tok % 4096 AS BIGINT) AS chunk_off
+           |FROM std""".stripMargin) +
       ("p165_shard_mix" ->
         s"""$oMixInterleaveCtes,
            |m AS (SELECT doc_id, source, n_toks,

@@ -90,6 +90,64 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("batch mixtureAppend equals the streaming scheduler's resumed state") {
+    // the equivalence the p172 card claims: appending a delta batch
+    // to an existing manifest assigns exactly the vtimes the stateful
+    // stream would, and leaves every existing row byte-identical
+    implicit val sqlCtx = spark.sqlContext
+    val texts = Map(1L -> "x y z", 2L -> "x y", 3L -> "x", 4L -> "x y z w",
+      5L -> "x", 6L -> "x y", 7L -> "x y z", 8L -> "x")
+    val doms = Map(1L -> "a", 2L -> "b", 3L -> "a", 4L -> "a",
+      5L -> "b", 6L -> "a", 7L -> "b", 8L -> "a")
+    val all = texts.keys.toSeq.sorted
+      .map(id => (id, doms(id), texts(id))).toDF("doc_id", "source", "text")
+    val (baseIds, deltaIds) = (Seq(1L, 2L, 3L, 4L), Seq(5L, 6L, 7L, 8L))
+    val wDf = Seq(("a", 500000L), ("b", 250000L))
+      .toDF("source", "weight_micro")
+    val existing = graft.pipeline.Curation.mixtureInterleave(
+      all.filter(col("doc_id").isin(baseIds: _*)), "doc_id", "text",
+      "source", wDf, shardToks = 4L)
+    val appended = graft.pipeline.Curation.mixtureAppend(existing,
+      all.filter(col("doc_id").isin(deltaIds: _*)), "doc_id", "text",
+      "source", wDf, shardToks = 4L).cache()
+    try {
+      // existing rows pass through byte-identical
+      val before = existing.orderBy("doc_id").collect().toSeq
+      val after = appended.filter(col("doc_id").isin(baseIds: _*))
+        .orderBy("doc_id").collect().toSeq
+      assert(before == after)
+      // the stream processes the same two batches; within each batch
+      // arrivals are fed in the batch build's (hash, id) domain order
+      // via the event-time sort the scheduler applies
+      val hashOrder = all
+        .select(col("doc_id"), graft.pipeline.TextFunctions.hash60(
+          concat(lit("mix"), col("doc_id").cast("string"))).as("h"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      def arrivals(ids: Seq[Long]) = ids
+        .sortBy(id => (hashOrder(id), id)).zipWithIndex
+        .map { case (id, k) => StreamingJobs.DocArrival(id, doms(id),
+          new Timestamp(k * 1000L)) }
+      val mem = MemoryStream[StreamingJobs.DocArrival]
+      val out = StreamingJobs.mixtureSchedule(mem.toDS(),
+        Map("a" -> 500000L, "b" -> 250000L))
+      val q = out.writeStream.format("memory").queryName("mix_eq")
+        .outputMode("append").start()
+      try {
+        mem.addData(arrivals(baseIds): _*)
+        q.processAllAvailable()
+        mem.addData(arrivals(deltaIds): _*)
+        q.processAllAvailable()
+        val streamed = spark.table("mix_eq")
+          .as[StreamingJobs.MixSlot].collect()
+          .map(r => r.doc_id -> r.vtime).toMap
+        val batch = appended.select("doc_id", "vtime").collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(streamed == batch,
+          s"stream $streamed vs batch append $batch")
+      } finally q.stop()
+    } finally appended.unpersist()
+  }
+
   test("online mixture scheduler equals the batch stride form across batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[StreamingJobs.DocArrival]
