@@ -468,13 +468,15 @@ object Retrieval {
     * key; the final re-rank window shares the query-keyed exchange
     * the top-k already produced.
     */
-  def phraseRerank(docs: DataFrame, idCol: String, textCol: String,
-      queries: DataFrame, qidCol: String, qtextCol: String, k: Int,
-      p: Bm25Params = Bm25Params()): DataFrame = {
-    val base = bm25TopK(docs, idCol, textCol, queries, qidCol,
-      qtextCol, k, p)
-    val cand = base.select(col("query_id"), col("doc_id"),
-      col("score_micro"))
+  /** Exact-phrase containment feature over a candidate set: one row
+    * per (query, doc) whose document contains the query text as a
+    * verbatim 4-token phrase (`phrase_hit = 1`) — the containment
+    * test [[phraseRerank]] boosts on, exposed so feature consumers
+    * (the p173 learning-to-rank head) share the plan.
+    */
+  private[pipeline] def phraseFeature(docs: DataFrame, idCol: String,
+      textCol: String, cand: DataFrame, queries: DataFrame,
+      qidCol: String, qtextCol: String): DataFrame = {
     val qPhrase = queries.select(col(qidCol).as("query_id"),
       (TF.hash60(col(qtextCol)) % TF.P).as("ph"))
     val candTexts = docs
@@ -484,13 +486,24 @@ object Retrieval {
     val grams = candTexts.select(col("doc_id"),
       explode(TF.shingleHashes(graft.functions.HashKernelFunctions
         .shingles(TF.tokens(col("text")), 4))).as("g"))
-    val hits = grams
+    grams
       .join(broadcast(cand.join(qPhrase, Seq("query_id"))
         .select(col("query_id"), col("doc_id"), col("ph"))),
         Seq("doc_id"))
       .filter(col("g") === col("ph"))
       .select(col("query_id"), col("doc_id")).distinct()
       .withColumn("phrase_hit", lit(1L))
+  }
+
+  def phraseRerank(docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, qidCol: String, qtextCol: String, k: Int,
+      p: Bm25Params = Bm25Params()): DataFrame = {
+    val base = bm25TopK(docs, idCol, textCol, queries, qidCol,
+      qtextCol, k, p)
+    val cand = base.select(col("query_id"), col("doc_id"),
+      col("score_micro"))
+    val hits = phraseFeature(docs, idCol, textCol, cand, queries,
+      qidCol, qtextCol)
     cand.join(hits, Seq("query_id", "doc_id"), "left")
       .withColumn("phrase_hit", coalesce(col("phrase_hit"), lit(0L)))
       .withColumn("rank", row_number().over(Window
@@ -519,15 +532,13 @@ object Retrieval {
     * in corpus or document length; the re-rank window shares the
     * query-keyed exchange.
     */
-  def proximityRerank(docs: DataFrame, idCol: String, textCol: String,
-      queries: DataFrame, qidCol: String, qtextCol: String, k: Int,
-      k0: Int = 4, p: Bm25Params = Bm25Params()): DataFrame = {
-    require(k > 0 && k0 >= 0, "k must be positive, k0 non-negative")
-    val base = bm25TopK(docs, idCol, textCol, queries, qidCol,
-      qtextCol, k, p)
-    val cand = base.select(col("query_id"), col("doc_id"),
-      col("score_micro"))
-    val qT = queryTerms(queries, qidCol, qtextCol)
+  /** Minimum distinct-term pair distance over a candidate set — the
+    * positional feature [[proximityRerank]] boosts on, exposed so
+    * feature consumers (the p173 learning-to-rank head) share the
+    * plan. One row per (query, doc) holding ≥2 distinct query terms.
+    */
+  private[pipeline] def proximityFeature(docs: DataFrame, idCol: String,
+      textCol: String, cand: DataFrame, qT: DataFrame): DataFrame = {
     val pos = docs.select(col(idCol).as("doc_id"),
         posexplode(TF.tokens(col(textCol))))
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
@@ -541,10 +552,22 @@ object Retrieval {
       col("pos").as("pa"), col("tok").as("ta"))
     val b = m.select(col("query_id"), col("doc_id"),
       col("pos").as("pb"), col("tok").as("tb"))
-    val minDist = a.join(b, Seq("query_id", "doc_id"))
+    a.join(b, Seq("query_id", "doc_id"))
       .filter(col("ta") =!= col("tb"))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(min(abs(col("pa") - col("pb"))).as("min_pair_dist"))
+  }
+
+  def proximityRerank(docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, qidCol: String, qtextCol: String, k: Int,
+      k0: Int = 4, p: Bm25Params = Bm25Params()): DataFrame = {
+    require(k > 0 && k0 >= 0, "k must be positive, k0 non-negative")
+    val base = bm25TopK(docs, idCol, textCol, queries, qidCol,
+      qtextCol, k, p)
+    val cand = base.select(col("query_id"), col("doc_id"),
+      col("score_micro"))
+    val qT = queryTerms(queries, qidCol, qtextCol)
+    val minDist = proximityFeature(docs, idCol, textCol, cand, qT)
     cand.join(minDist, Seq("query_id", "doc_id"), "left")
       .withColumn("prox_micro",
         when(col("min_pair_dist").isNull, lit(0L))

@@ -2594,6 +2594,38 @@ object PipelineQueries {
       shardToks = 4096L)
   }
 
+  /** Learning-to-rank head (p173): the trained consumer that closes
+    * the retrieval loop — the pipeline's own artifacts (planted
+    * positives = the self-retrieval fixture, hard negatives = every
+    * other BM25 top-10 candidate, p161's recipe) train a pointwise
+    * logistic combination of the engine's ranking features (BM25,
+    * proximity, phrase containment; [[graft.pipeline.Ltr]], the p117
+    * integer-GD discipline), and the card scores base BM25 vs the
+    * trained re-ranker on the p130 MRR/nDCG scorecard. On this corpus
+    * the learner discovers the phrase-containment signal (large
+    * positive w3) and roughly 2.5×'s the planted-relevance MRR —
+    * proof the mined training data actually trains something that
+    * moves the eval harness. The oracle replays feature extraction,
+    * all twelve GD rounds (materialized weight CTEs), the re-rank,
+    * and both scorecard rows.
+    */
+  def p173LtrRerank(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val queries = Retrieval.plantedQueries(docs, "doc_id", "text")
+    val feats = graft.pipeline.Ltr.rankFeatures(docs, "doc_id", "text",
+      queries, "query_id", "qtext", k = 10)
+    graft.core.Caching.withCached(feats) {
+      val w = graft.pipeline.Ltr.ltrWeights(feats, iters = 12,
+        lrNum = 50L)
+      Retrieval.rankingScorecard(
+          feats.select(col("query_id"), col("rank"), col("doc_id")),
+          "bm25", topK = 10)
+        .unionByName(Retrieval.rankingScorecard(
+          graft.pipeline.Ltr.rerank(feats, w), "ltr_trained",
+          topK = 10))
+    }
+  }
+
   /** Incremental manifest append (p172): two thirds of the corpus
     * build a p163 mixture manifest; the remaining third arrives as an
     * admitted delta batch and is APPENDED ([[Curation.mixtureAppend]])
@@ -3629,6 +3661,18 @@ object PipelineQueries {
     * regression signal, not an executed-exchange count.
     */
   def benchPlans: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p173_ltr_rerank" -> ((s, dir) => {
+      // lazy twin: the feature plan + scorecard with fixed weights
+      // (the public query checkpoints the feature frame and trains
+      // eagerly; plan SHAPE is what the fingerprint needs)
+      val docs = t(s, dir, "documents")
+      val queries = Retrieval.plantedQueries(docs, "doc_id", "text")
+      val feats = graft.pipeline.Ltr.rankFeatures(docs, "doc_id",
+        "text", queries, "query_id", "qtext", k = 10)
+      Retrieval.rankingScorecard(
+        graft.pipeline.Ltr.rerank(feats, (0L, 0L, 0L, 0L)), "ltr",
+        topK = 10)
+    }),
     "p02_minhash_lsh" -> ((s, dir) => {
       val docs = Dedup.minhashDocs(t(s, dir, "documents"), "doc_id",
         "text", k = 3, numHashes = 12)
@@ -3941,6 +3985,7 @@ object PipelineQueries {
     "p162_distinct_n" -> p162DistinctN _,
     "p163_mix_interleave" -> p163MixInterleave _,
     "p172_manifest_append" -> p172ManifestAppend _,
+    "p173_ltr_rerank" -> p173LtrRerank _,
     "p164_crop_pairs" -> p164CropPairs _,
     "p165_shard_mix" -> p165ShardMix _,
     "p166_epoch_decorrelation" -> p166EpochDecorrelation _,
@@ -6375,6 +6420,7 @@ object PipelineQueries {
            |  CAST(start_tok // 4096 AS BIGINT) AS chunk_idx,
            |  CAST(start_tok % 4096 AS BIGINT) AS chunk_off
            |FROM st""".stripMargin) +
+      ("p173_ltr_rerank" -> oLtrRerank(iters = 12, lrNum = 50L)) +
       ("p172_manifest_append" ->
         // base build over doc_id % 3 != 0 (weights stay full-corpus,
         // as in p163), resumed per-domain counters = base row counts,
@@ -7086,6 +7132,107 @@ object PipelineQueries {
        |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id,
        |  CAST(n_terms AS BIGINT) AS n_terms, score_micro
        |FROM frk WHERE rank <= 10""".stripMargin
+  }
+
+  /** Learning-to-rank replay (p173): the feature chain (BM25
+    * candidates + proximity + phrase containment, lifted from the
+    * p134/p131 oracles), twelve MATERIALIZED GD weight rounds
+    * mirroring [[graft.pipeline.Ltr.ltrWeights]] floor for floor
+    * (the exact `(x − ((x mod m)+m) mod m) // m` dance — DuckDB `//`
+    * and Spark `div` only agree after the subtraction makes the
+    * numerator exactly divisible), the trained re-rank, and both
+    * scorecard rows.
+    */
+  private def oLtrRerank(iters: Int, lrNum: Long): String = {
+    def fd(x: String, m: String) =
+      s"(($x - ((($x) % ($m)) + ($m)) % ($m)) // ($m))"
+    def zExpr(w: String) =
+      s"${fd(s"$w.w1 * x1", "1000000")} + ${fd(s"$w.w2 * x2", "1000000")}" +
+        s" + ${fd(s"$w.w3 * x3", "1000000")} + $w.b"
+    val rounds = (1 to iters).map { t =>
+      val pw = s"w${t - 1}"
+      s"""g$t AS MATERIALIZED (
+         |  SELECT CAST(SUM(${fd("r * x1", "1000000")}) AS BIGINT) AS g1,
+         |    CAST(SUM(${fd("r * x2", "1000000")}) AS BIGINT) AS g2,
+         |    CAST(SUM(${fd("r * x3", "1000000")}) AS BIGINT) AS g3,
+         |    CAST(SUM(r) AS BIGINT) AS gb
+         |  FROM (SELECT x1, x2, x3,
+         |      CAST(FLOOR((1.0 / (1.0 + exp(-(CAST(${zExpr(pw)}
+         |          AS DOUBLE) / 1000000.0))) - y) * 1e6) AS BIGINT)
+         |        AS r
+         |    FROM ft, $pw)),
+         |w$t AS MATERIALIZED (
+         |  SELECT CAST($pw.w1 - ${fd(s"g1 * $lrNum", "nn.n")} AS BIGINT)
+         |      AS w1,
+         |    CAST($pw.w2 - ${fd(s"g2 * $lrNum", "nn.n")} AS BIGINT) AS w2,
+         |    CAST($pw.w3 - ${fd(s"g3 * $lrNum", "nn.n")} AS BIGINT) AS w3,
+         |    CAST($pw.b - ${fd(s"gb * $lrNum", "nn.n")} AS BIGINT) AS b
+         |  FROM $pw, g$t, nn)""".stripMargin
+    }.mkString(",\n")
+    s"""${oBm25Ctes(k1 = 1.2, b = 0.75, qTerms = 4)},
+       |ltc AS (SELECT query_id, doc_id, rank, score_micro FROM rk
+       |        WHERE rank <= 10),
+       |ltp AS (
+       |  SELECT b.doc_id, b.i AS pos, b.toks[b.i] AS tok
+       |  FROM (SELECT doc_id, toks,
+       |          unnest(generate_series(1, len(toks))) AS i
+       |        FROM base) b
+       |  JOIN (SELECT DISTINCT doc_id FROM ltc) cd
+       |    ON b.doc_id = cd.doc_id),
+       |ltm AS (
+       |  SELECT c.query_id, c.doc_id, p.pos, p.tok
+       |  FROM ltc c
+       |  JOIN ltp p ON p.doc_id = c.doc_id
+       |  JOIN qt q ON q.query_id = c.query_id AND q.tok = p.tok),
+       |ltd AS (
+       |  SELECT a.query_id, a.doc_id,
+       |    MIN(ABS(a.pos - b.pos)) AS min_pair_dist
+       |  FROM ltm a JOIN ltm b ON a.query_id = b.query_id
+       |    AND a.doc_id = b.doc_id AND a.tok != b.tok
+       |  GROUP BY a.query_id, a.doc_id),
+       |ltq AS (SELECT doc_id AS query_id,
+       |    ${oHash("array_to_string(toks[1:4], ' ')")}
+       |      % 2147483647 AS ph
+       |  FROM base WHERE doc_id % ${oQStride("base")} = 0),
+       |ltg AS (
+       |  SELECT b.doc_id,
+       |    unnest(list_transform(${oShingles(4)},
+       |      s -> ${oHash("s")} % 2147483647)) AS g
+       |  FROM base b
+       |  JOIN (SELECT DISTINCT doc_id FROM ltc) cd
+       |    ON b.doc_id = cd.doc_id),
+       |lth AS (
+       |  SELECT DISTINCT c.query_id, c.doc_id
+       |  FROM ltc c
+       |  JOIN ltq ON c.query_id = ltq.query_id
+       |  JOIN ltg ON ltg.doc_id = c.doc_id AND ltg.g = ltq.ph),
+       |ft AS MATERIALIZED (
+       |  SELECT c.query_id, c.doc_id, c.rank,
+       |    CAST(c.score_micro // 10 AS BIGINT) AS x1,
+       |    CAST(CASE WHEN d.min_pair_dist IS NULL THEN 0
+       |         ELSE 1000000 // (d.min_pair_dist + 4) END
+       |      AS BIGINT) AS x2,
+       |    CAST(CASE WHEN h.doc_id IS NOT NULL THEN 1000000 ELSE 0 END
+       |      AS BIGINT) AS x3,
+       |    CAST(CASE WHEN c.query_id = c.doc_id THEN 1 ELSE 0 END
+       |      AS BIGINT) AS y
+       |  FROM ltc c
+       |  LEFT JOIN ltd d ON c.query_id = d.query_id
+       |    AND c.doc_id = d.doc_id
+       |  LEFT JOIN lth h ON c.query_id = h.query_id
+       |    AND c.doc_id = h.doc_id),
+       |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM ft),
+       |w0 AS (SELECT CAST(0 AS BIGINT) AS w1, CAST(0 AS BIGINT) AS w2,
+       |       CAST(0 AS BIGINT) AS w3, CAST(0 AS BIGINT) AS b),
+       |$rounds,
+       |ltrr AS (
+       |  SELECT query_id, doc_id,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY ${zExpr(s"w$iters")} DESC, doc_id) AS rank
+       |  FROM ft, w$iters)
+       |${oScorecardRow("ltc", "bm25")}
+       |UNION ALL
+       |${oScorecardRow("ltrr", "ltr_trained")}""".stripMargin
   }
 
   /** The shared nDCG discount CASE over an in-scope `rank` — the

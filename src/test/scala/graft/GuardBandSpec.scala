@@ -97,6 +97,29 @@ class GuardBandSpec extends SparkSpec {
     assert(dBm > EPS, s"dedup bm25 contrib within $dBm of a floor boundary")
   }
 
+  test("LTR sigmoid floors sit far from their boundaries, every round (p173)") {
+    // the p173 head floors (sigma(z) - y)*1e6 per row per GD round;
+    // exp is libm, so each round's pre-floor values ride the same
+    // margin audit as the LR classifier's — against the EXACT weight
+    // states the production trajectory visits
+    val docs = Tables.read(spark, sf001, "documents")
+    val queries = Retrieval.plantedQueries(docs, "doc_id", "text")
+    val feats0 = graft.pipeline.Ltr.rankFeatures(docs, "doc_id",
+      "text", queries, "query_id", "qtext", k = 10)
+    val feats = graft.core.Caching.withCached(feats0)(feats0)
+    val traj = graft.pipeline.Ltr.ltrTrajectory(feats, iters = 12,
+      lrNum = 50L)
+    // audit the states each round EVALUATES (all but the final one)
+    val dmin = traj.dropRight(1).map { w =>
+      val z = graft.pipeline.Ltr.marginMicro(w)
+      val sigma = lit(1.0) /
+        (lit(1.0) + exp(-(z.cast("double") / lit(1e6))))
+      minBoundaryDist(feats,
+        (sigma - col("y").cast("double")) * 1e6)
+    }.min
+    assert(dmin > EPS, s"LTR sigmoid within $dmin of a floor boundary")
+  }
+
   test("probe cosine floors sit far from their boundaries (p169, p170)") {
     // the kNN/quantization probes floor cosine to micro inside the
     // IVF ranking; the dot/norm kernels are index-order-deterministic

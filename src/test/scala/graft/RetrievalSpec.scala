@@ -587,6 +587,30 @@ class RetrievalSpec extends SparkSpec {
     assert(r2._2 == 12000000L && r2._5 < 50000L, r2.toString)
   }
 
+  test("LTR head: trained re-ranker beats base BM25 on the planted card (p173)") {
+    val card = graft.queries.PipelineQueries.p173LtrRerank(spark, sf0001)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val (bq, bh, bmrr, bndcg) = card("bm25")
+    val (tq, th, tmrr, tndcg) = card("ltr_trained")
+    // same queries, same candidate pool, same hit count — only the
+    // ORDER changes, and training must improve it decisively
+    assert(bq == tq && bh == th, card.toString)
+    assert(tmrr > bmrr * 2, s"trained MRR $tmrr vs base $bmrr")
+    assert(tndcg > bndcg, s"trained nDCG $tndcg vs base $bndcg")
+    // the learner must discover the phrase-containment signal — the
+    // feature the p131 rerank showed sharpens the planted ranking
+    val docs = graft.core.Tables.read(spark, sf0001, "documents")
+    val queries = Retrieval.plantedQueries(docs, "doc_id", "text")
+    val feats = graft.pipeline.Ltr.rankFeatures(docs, "doc_id", "text",
+      queries, "query_id", "qtext", k = 10)
+    val f = graft.core.Caching.withCached(feats)(feats)
+    val w = graft.pipeline.Ltr.ltrWeights(f, iters = 12, lrNum = 50L)
+    assert(w._3 > 0, s"phrase weight not positive: $w")
+    assert(w._3 > w._1.abs && w._3 > w._2.abs,
+      s"phrase weight does not dominate: $w")
+  }
+
   test("classifier kappa: perfect, chance, and inverse agreement exact") {
     def run(pairs: Seq[(Long, Long, Long)]) =
       Curation.classifierAgreement(
