@@ -195,6 +195,9 @@ object Cli {
         |  k-anonymity <dir> <outDir>                    behavioral-signature k-anonymity histogram
         |  knn-probe <dir> <outDir>                      kNN label-probe accuracy over the embeddings
         |  quantization-probe <dir> <outDir>             probe accuracy raw vs int8-quantized vectors
+        |  export-shards <dir> <shardDir> <outDir>       write ordered JSONL shard files + certify
+        |  manifest-append <dir> <outDir>                append a delta batch to a mixture manifest
+        |  ltr-rerank <dir> <outDir>                     train + score the learning-to-rank head
         |  retrieval-scorecard <dir> <outDir>            nDCG@10/MRR/hits of all five rankers
         |  classifier-auc <dir> <outDir>                 exact Mann-Whitney ROC-AUC of the NB scorer
         |  classifier-pr-auc <dir> <outDir>              exact average precision (PR-AUC) vs prevalence
@@ -651,6 +654,19 @@ object Cli {
       write(queries.PipelineQueries.p169KnnProbe(spark, dir), out)
     case "quantization-probe" :: dir :: out :: Nil =>
       write(queries.PipelineQueries.p170QuantizationProbe(spark, dir), out)
+    // corpus release: write ordered JSONL shard files in p160 manifest
+    // order and print the read-back certification card
+    case "export-shards" :: dir :: shardDir :: out :: Nil =>
+      val docs = Tables.read(spark, dir, "documents")
+      val man = pipeline.Curation.globalShardManifest(docs, "doc_id",
+        "text", shardToks = 4096L)
+      pipeline.Shards.write(docs, "doc_id", "text", man, shardDir)
+      write(pipeline.Shards.certify(
+        pipeline.Shards.read(spark, shardDir)), out)
+    case "manifest-append" :: dir :: out :: Nil =>
+      write(queries.PipelineQueries.p172ManifestAppend(spark, dir), out)
+    case "ltr-rerank" :: dir :: out :: Nil =>
+      write(queries.PipelineQueries.p173LtrRerank(spark, dir), out)
     // corpus interchange: parquet -> JSONL export (optionally gzip)
     case "export-jsonl" :: dir :: out :: rest if rest.lengthIs <= 1 =>
       pipeline.Jsonl.write(

@@ -547,6 +547,16 @@ class CliSpec extends SparkSpec {
       .count() == 0)
   }
 
+  test("export-shards writes certified ordered shard directories") {
+    val out = "/tmp/graft_cli_shards"
+    Cli.run(spark, List("export-shards", sf0001, s"$out/files", s"$out/cert"))
+    val cert = spark.read.parquet(s"$out/cert")
+    assert(cert.count() > 0)
+    assert(cert.filter(col("order_inversions") =!= 0L).count() == 0L)
+    assert(new java.io.File(s"$out/files").listFiles()
+      .exists(f => f.isDirectory && f.getName.startsWith("chunk_idx=")))
+  }
+
   test("ingest-loop: one chained cycle equals a from-scratch re-cluster") {
     import org.apache.spark.sql.functions._
     val out = "/tmp/graft_cli_loop"
