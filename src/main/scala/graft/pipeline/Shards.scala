@@ -97,7 +97,14 @@ object Shards {
     * or row order hash-mismatches the gate.
     */
   def certify(back: DataFrame): DataFrame = {
-    val clean = back.filter(col("_corrupt").isNull)
+    // the clean-row filter ALSO anchors on a data column: under
+    // aggressive column pruning (e.g. a bare count() over this card)
+    // a filter referencing only `_corrupt` leaves the JSON scan with
+    // nothing but the internal corrupt column, which Spark rejects
+    // (QUERY_ONLY_CORRUPT_RECORD_COLUMN); a well-formed shard row
+    // always carries its offset, so the predicate is equivalent.
+    val clean = back.filter(col("chunk_off").isNotNull &&
+      col("_corrupt").isNull)
     val sums = clean
       .withColumn("fp", TextFunctions.fingerprint(
         TextFunctions.tokens(col("text"))))

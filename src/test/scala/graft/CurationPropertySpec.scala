@@ -131,6 +131,60 @@ class CurationPropertySpec extends SparkSpec {
     assert(result.passed, result.status.toString)
   }
 
+  test("mixtureAppend: chained appends keep history frozen and invariants exact") {
+    val gen = for {
+      nDoms <- Gen.chooseNum(2, 3)
+      doms = (0 until nDoms).map(d => s"d$d")
+      ws <- Gen.listOfN(nDoms, Gen.chooseNum(1000L, 1000000L))
+      n <- Gen.chooseNum(9, 18)
+      assign <- Gen.listOfN(n, Gen.oneOf(doms))
+      texts <- Gen.listOfN(n, doc)
+    } yield (doms.zip(ws), assign.zip(texts))
+    val prop = Prop.forAll(gen) { case (ws, rows) =>
+      val all = rows.zipWithIndex
+        .map { case ((d, t), i) => (i.toLong, t, d) }
+      val w = ws.toDF("dom", "weight_micro")
+      def df(s: Seq[(Long, String, String)]) =
+        s.toDF("doc_id", "text", "dom")
+      val (b0, rest) = all.splitAt(all.size / 3)
+      val (d1, d2) = rest.splitAt(rest.size / 2)
+      val base = Curation.mixtureInterleave(df(b0), "doc_id", "text",
+        "dom", w, shardToks = 16L)
+      val a1 = Curation.mixtureAppend(base, df(d1), "doc_id", "text",
+        "dom", w, shardToks = 16L)
+      val a2 = Curation.mixtureAppend(a1, df(d2), "doc_id", "text",
+        "dom", w, shardToks = 16L)
+      val baseRows = base
+        .as[(Long, String, Long, Long, Long, Long)].collect().toSet
+      val a1Rows = a1
+        .as[(Long, String, Long, Long, Long, Long)].collect().toSet
+      val a2Rows = a2
+        .as[(Long, String, Long, Long, Long, Long)].collect().toSeq
+      // history is FROZEN: every prior row survives byte-identical
+      val frozen = baseRows.subsetOf(a1Rows) &&
+        a1Rows.subsetOf(a2Rows.toSet)
+      // permutation of the full corpus, no duplicates
+      val perm = a2Rows.map(_._1).sorted == all.map(_._1).sorted
+      // exact token accounting still holds over the APPENDED manifest
+      // in (vtime, dom, id)-within-batch order = chunk offset order
+      val ordered = a2Rows.sortBy(r => (r._5 * 16L + r._6))
+      var run = 0L
+      val accounting = ordered.forall { r =>
+        val ok = r._5 * 16L + r._6 == run; run += r._3; ok
+      }
+      // dense-i invariant after appends: replaying vtime from each
+      // domain's row count reproduces the maximum assigned vtime
+      val wMap = ws.toMap
+      val dense = a2Rows.groupBy(_._2).forall { case (d, rs) =>
+        rs.map(_._4).max == rs.size.toLong * 1000000000L / wMap(d)
+      }
+      frozen && perm && accounting && dense
+    }
+    val result = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(result.passed, result.status.toString)
+  }
+
   test("contrastiveCrops: bounds, in-document slices, exact overlap") {
     val prop = Prop.forAll(Gen.listOfN(10, doc)) { texts =>
       val corpus = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
