@@ -197,6 +197,7 @@ object Cli {
         |  quantization-probe <dir> <outDir>             probe accuracy raw vs int8-quantized vectors
         |  export-shards <dir> <shardDir> <outDir>       write ordered JSONL shard files + certify
         |  manifest-append <dir> <outDir>                append a delta batch to a mixture manifest
+        |  append-shards <dir> <outDir>                  extend a shard release in place + certify
         |  ltr-rerank <dir> <outDir>                     train + score the learning-to-rank head
         |  retrieval-scorecard <dir> <outDir>            nDCG@10/MRR/hits of all five rankers
         |  classifier-auc <dir> <outDir>                 exact Mann-Whitney ROC-AUC of the NB scorer
@@ -663,6 +664,8 @@ object Cli {
       pipeline.Shards.write(docs, "doc_id", "text", man, shardDir)
       write(pipeline.Shards.certify(
         pipeline.Shards.read(spark, shardDir)), out)
+    case "append-shards" :: dir :: out :: Nil =>
+      write(queries.PipelineQueries.p174ShardAppend(spark, dir), out)
     case "manifest-append" :: dir :: out :: Nil =>
       write(queries.PipelineQueries.p172ManifestAppend(spark, dir), out)
     case "ltr-rerank" :: dir :: out :: Nil =>

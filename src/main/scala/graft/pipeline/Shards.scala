@@ -45,6 +45,44 @@ object Shards {
     compression.fold(w)(c => w.option("compression", c)).json(path)
   }
 
+  /** Incrementally extend a shard directory after a manifest append
+    * ([[Curation.mixtureAppend]]): rewrite ONLY the chunk directories
+    * the delta touches — every chunk at or past the delta's first
+    * chunk (the boundary chunk already holds committed base rows, so
+    * its directory is rewritten whole; strictly-earlier chunks are
+    * untouched on disk). Dynamic partition overwrite replaces exactly
+    * the directories present in the written frame, so an appended
+    * release costs O(Δ + one boundary chunk), never a corpus rewrite
+    * — and the result is byte-identical to a full [[write]] of the
+    * appended manifest (spec-pinned).
+    *
+    * `manifest` is the FULL post-append manifest; `deltaManifest` is
+    * the appended rows' placement (any frame carrying the delta's
+    * `chunk_idx`). The cut is derived in-plan (single-row min,
+    * broadcast) — no driver-side collect.
+    */
+  def writeAppend(docs: DataFrame, idCol: String, textCol: String,
+      manifest: DataFrame, deltaManifest: DataFrame, path: String,
+      compression: Option[String] = None): Unit = {
+    val cut = deltaManifest.agg(
+      min(col("chunk_idx")).as("__first_new"))
+    val affected = manifest
+      .crossJoin(broadcast(cut))
+      .filter(col("chunk_idx") >= col("__first_new"))
+      .drop("__first_new")
+    val rows = docs
+      .select(col(idCol).as("doc_id"), col(textCol).as("text"))
+      .join(affected.select(col(idCol).as("doc_id"), col("chunk_idx"),
+        col("chunk_off")), Seq("doc_id"))
+      .repartition(col("chunk_idx"))
+      .sortWithinPartitions(col("chunk_idx"), col("chunk_off"),
+        col("doc_id"))
+    val w = rows.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("chunk_idx")
+    compression.fold(w)(c => w.option("compression", c)).json(path)
+  }
+
   /** Read shard files back. The explicit schema names the in-file
     * payload; `chunk_idx` comes from the directory structure and is
     * pinned LONG here (partition-column inference would make it INT).

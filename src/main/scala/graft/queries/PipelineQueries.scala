@@ -44,6 +44,52 @@ object PipelineQueries {
     s"(SELECT GREATEST(CAST(1 AS BIGINT), (COUNT(*) + ${budget - 1})" +
       s" // $budget) FROM $rel)"
 
+  /** Shared CTE chain of the p172/p174 oracles — the append fixture:
+    * full-corpus temperature weights, base manifest over
+    * doc_id % 3 != 0 (`stb`), resumed per-domain counters, and the
+    * delta placement after the base token mass (`std`) —
+    * Curation.mixtureAppend's arithmetic in flat-window form.
+    */
+  private lazy val oAppendManifestCtes: String =
+    s"""WITH c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+           |  FROM documents GROUP BY 1),
+           |d AS (SELECT list_sum(list_sort(list(sqrt(CAST(n_docs
+           |    AS DOUBLE))))) AS denom FROM c),
+           |w AS (SELECT source, CAST(FLOOR(sqrt(CAST(n_docs AS DOUBLE))
+           |    / denom * 1e6) AS BIGINT) AS weight_micro FROM c, d),
+           |nb AS (SELECT doc_id, source,
+           |    CAST(len($oToks) AS BIGINT) AS n_toks,
+           |    ${oHash("'mix' || CAST(doc_id AS VARCHAR)")} AS h
+           |  FROM documents WHERE doc_id % 3 != 0),
+           |kb AS (SELECT doc_id, nb.source, n_toks,
+           |    CAST((ROW_NUMBER() OVER (PARTITION BY nb.source
+           |        ORDER BY h, doc_id) * 1000000000) // weight_micro
+           |      AS BIGINT) AS vtime
+           |  FROM nb JOIN w ON nb.source = w.source),
+           |stb AS (SELECT *, CAST(SUM(n_toks) OVER (ORDER BY vtime,
+           |      source, doc_id ROWS UNBOUNDED PRECEDING) - n_toks
+           |    AS BIGINT) AS start_tok FROM kb),
+           |i0 AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS base_i
+           |  FROM nb GROUP BY source),
+           |t0 AS (SELECT CAST(COALESCE(SUM(n_toks), 0) AS BIGINT)
+           |    AS tok0 FROM nb),
+           |nd AS (SELECT doc_id, source,
+           |    CAST(len($oToks) AS BIGINT) AS n_toks,
+           |    ${oHash("'mix' || CAST(doc_id AS VARCHAR)")} AS h
+           |  FROM documents WHERE doc_id % 3 = 0),
+           |kd AS (SELECT doc_id, nd.source, n_toks,
+           |    CAST(((ROW_NUMBER() OVER (PARTITION BY nd.source
+           |          ORDER BY h, doc_id) + COALESCE(base_i, 0))
+           |        * 1000000000) // weight_micro
+           |      AS BIGINT) AS vtime
+           |  FROM nd JOIN w ON nd.source = w.source
+           |  LEFT JOIN i0 ON nd.source = i0.source),
+           |std AS (SELECT kd.*, CAST(SUM(n_toks) OVER (ORDER BY vtime,
+           |      source, doc_id ROWS UNBOUNDED PRECEDING) - n_toks
+           |      + tok0 AS BIGINT) AS start_tok
+           |  FROM kd, t0)"""
+      .stripMargin
+
   /** Shared CTE chain of the p163/p165 oracles: p50 temperature
     * weights → per-domain hash-ordered sequence → stride virtual
     * times → flat global token prefix sum (the single-window form the
@@ -2639,7 +2685,16 @@ object PipelineQueries {
     * perturbation of an existing row or misplacement of a delta row
     * hash-mismatches.
     */
-  def p172ManifestAppend(s: SparkSession, dir: String): DataFrame = {
+  def p172ManifestAppend(s: SparkSession, dir: String): DataFrame =
+    appendFixture(s, dir)._2
+
+  /** The shared p172/p174 append fixture: base manifest over
+    * doc_id % 3 != 0, the remaining third appended
+    * ([[Curation.mixtureAppend]]). Returns (delta docs, the full
+    * post-append manifest).
+    */
+  private def appendFixture(s: SparkSession,
+      dir: String): (DataFrame, DataFrame) = {
     val docs = t(s, dir, "documents")
     val w = p50TempMix(s, dir)
       .select(col("source"), col("p_micro").as("weight_micro"))
@@ -2647,8 +2702,39 @@ object PipelineQueries {
     val delta = docs.filter(col("doc_id") % 3 === 0)
     val existing = Curation.mixtureInterleave(base, "doc_id", "text",
       "source", w, shardToks = 4096L)
-    Curation.mixtureAppend(existing, delta, "doc_id", "text", "source",
-      w, shardToks = 4096L)
+    (delta, Curation.mixtureAppend(existing, delta, "doc_id", "text",
+      "source", w, shardToks = 4096L))
+  }
+
+  /** Incremental shard-file release (p174): the end of the
+    * incremental-release chain (bloom admission p47 → manifest append
+    * p172 → THIS): the base corpus is materialized as ordered shard
+    * files, the appended delta extends the directory through
+    * [[graft.pipeline.Shards.writeAppend]] — dynamic partition
+    * overwrite rewrites ONLY the chunks at or past the delta's first
+    * chunk, so an appended release costs O(Δ + one boundary chunk),
+    * never a corpus rewrite — and the whole directory is read back
+    * and certified exactly as p171 certifies a full write (per-shard
+    * counts, the order-covering checksum, the physical-order
+    * inversion audit pinned at 0). The oracle replays the append
+    * manifest and the checksum rollup from the source parquet, so a
+    * stale boundary chunk, a lost base row, or a misplaced delta row
+    * hash-mismatches.
+    */
+  def p174ShardAppend(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val (delta, appended) = appendFixture(s, dir)
+    val tmp = scratchDir(s, dir, "shard_append")
+    val base = docs.filter(col("doc_id") % 3 =!= 0)
+    // the committed base release...
+    graft.pipeline.Shards.write(base, "doc_id", "text",
+      appended.join(base.select("doc_id"), Seq("doc_id"), "left_semi"),
+      tmp)
+    // ...extended in place by the delta batch
+    graft.pipeline.Shards.writeAppend(docs, "doc_id", "text", appended,
+      appended.join(delta.select("doc_id"), Seq("doc_id"), "left_semi"),
+      tmp)
+    graft.pipeline.Shards.certify(graft.pipeline.Shards.read(s, tmp))
   }
 
   /** Shard mixture audit (p165): the QA card over the p163 manifest —
@@ -3986,6 +4072,7 @@ object PipelineQueries {
     "p163_mix_interleave" -> p163MixInterleave _,
     "p172_manifest_append" -> p172ManifestAppend _,
     "p173_ltr_rerank" -> p173LtrRerank _,
+    "p174_shard_append" -> p174ShardAppend _,
     "p164_crop_pairs" -> p164CropPairs _,
     "p165_shard_mix" -> p165ShardMix _,
     "p166_epoch_decorrelation" -> p166EpochDecorrelation _,
@@ -6421,48 +6508,33 @@ object PipelineQueries {
            |  CAST(start_tok % 4096 AS BIGINT) AS chunk_off
            |FROM st""".stripMargin) +
       ("p173_ltr_rerank" -> oLtrRerank(iters = 12, lrNum = 50L)) +
+      ("p174_shard_append" ->
+        // the p172 append manifest + the p171 checksum rollup: the
+        // incrementally-extended shard directory must certify exactly
+        // as a full write of the appended manifest would
+        s"""$oAppendManifestCtes,
+           |um AS (
+           |  SELECT doc_id, n_toks,
+           |    CAST(start_tok // 4096 AS BIGINT) AS chunk_idx,
+           |    CAST(start_tok % 4096 AS BIGINT) AS chunk_off
+           |  FROM stb
+           |  UNION ALL
+           |  SELECT doc_id, n_toks,
+           |    CAST(start_tok // 4096 AS BIGINT) AS chunk_idx,
+           |    CAST(start_tok % 4096 AS BIGINT) AS chunk_off
+           |  FROM std),
+           |mf AS (
+           |  SELECT um.chunk_idx, um.chunk_off, um.n_toks,
+           |    substr(md5(array_to_string($oToks, ' ')), 1, 16) AS fp
+           |  FROM um JOIN documents d ON um.doc_id = d.doc_id)
+           |SELECT chunk_idx, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |  CAST(SUM(n_toks) AS BIGINT) AS n_toks,
+           |  CAST(SUM(${oHash("fp || ':' || CAST(chunk_off AS VARCHAR)")}
+           |           % 268435456) AS BIGINT) AS shard_sum,
+           |  CAST(0 AS BIGINT) AS order_inversions
+           |FROM mf GROUP BY chunk_idx""".stripMargin) +
       ("p172_manifest_append" ->
-        // base build over doc_id % 3 != 0 (weights stay full-corpus,
-        // as in p163), resumed per-domain counters = base row counts,
-        // delta laid after the base token mass in delta (vtime,
-        // domain, id) order — Curation.mixtureAppend's arithmetic
-        s"""WITH c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
-           |  FROM documents GROUP BY 1),
-           |d AS (SELECT list_sum(list_sort(list(sqrt(CAST(n_docs
-           |    AS DOUBLE))))) AS denom FROM c),
-           |w AS (SELECT source, CAST(FLOOR(sqrt(CAST(n_docs AS DOUBLE))
-           |    / denom * 1e6) AS BIGINT) AS weight_micro FROM c, d),
-           |nb AS (SELECT doc_id, source,
-           |    CAST(len($oToks) AS BIGINT) AS n_toks,
-           |    ${oHash("'mix' || CAST(doc_id AS VARCHAR)")} AS h
-           |  FROM documents WHERE doc_id % 3 != 0),
-           |kb AS (SELECT doc_id, nb.source, n_toks,
-           |    CAST((ROW_NUMBER() OVER (PARTITION BY nb.source
-           |        ORDER BY h, doc_id) * 1000000000) // weight_micro
-           |      AS BIGINT) AS vtime
-           |  FROM nb JOIN w ON nb.source = w.source),
-           |stb AS (SELECT *, CAST(SUM(n_toks) OVER (ORDER BY vtime,
-           |      source, doc_id ROWS UNBOUNDED PRECEDING) - n_toks
-           |    AS BIGINT) AS start_tok FROM kb),
-           |i0 AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS base_i
-           |  FROM nb GROUP BY source),
-           |t0 AS (SELECT CAST(COALESCE(SUM(n_toks), 0) AS BIGINT)
-           |    AS tok0 FROM nb),
-           |nd AS (SELECT doc_id, source,
-           |    CAST(len($oToks) AS BIGINT) AS n_toks,
-           |    ${oHash("'mix' || CAST(doc_id AS VARCHAR)")} AS h
-           |  FROM documents WHERE doc_id % 3 = 0),
-           |kd AS (SELECT doc_id, nd.source, n_toks,
-           |    CAST(((ROW_NUMBER() OVER (PARTITION BY nd.source
-           |          ORDER BY h, doc_id) + COALESCE(base_i, 0))
-           |        * 1000000000) // weight_micro
-           |      AS BIGINT) AS vtime
-           |  FROM nd JOIN w ON nd.source = w.source
-           |  LEFT JOIN i0 ON nd.source = i0.source),
-           |std AS (SELECT kd.*, CAST(SUM(n_toks) OVER (ORDER BY vtime,
-           |      source, doc_id ROWS UNBOUNDED PRECEDING) - n_toks
-           |      + tok0 AS BIGINT) AS start_tok
-           |  FROM kd, t0)
+        s"""$oAppendManifestCtes
            |SELECT doc_id, source, n_toks, vtime,
            |  CAST(start_tok // 4096 AS BIGINT) AS chunk_idx,
            |  CAST(start_tok % 4096 AS BIGINT) AS chunk_off

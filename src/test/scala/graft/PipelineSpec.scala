@@ -1787,6 +1787,60 @@ class PipelineSpec extends SparkSpec {
     } finally back.unpersist()
   }
 
+  test("writeAppend rewrites only chunks at or past the delta's first chunk") {
+    val docs = graft.core.Tables.read(spark, sf0001, "documents")
+    val weights = docs.groupBy("source").count()
+      .select(col("source"), (col("count") * 1000L).as("weight_micro"))
+    val base = docs.filter(col("doc_id") % 3 =!= 0)
+    val delta = docs.filter(col("doc_id") % 3 === 0)
+    val existing = Curation.mixtureInterleave(base, "doc_id", "text",
+      "source", weights, shardToks = 2048L)
+    val appended = Curation.mixtureAppend(existing, delta, "doc_id",
+      "text", "source", weights, shardToks = 2048L)
+    val deltaMan = appended.join(delta.select("doc_id"), Seq("doc_id"),
+      "left_semi")
+    val inc = "/tmp/graft_shards_inc_" + spark.sparkContext.applicationId
+    val full = "/tmp/graft_shards_full_" + spark.sparkContext.applicationId
+    Shards.write(base, "doc_id", "text", existing, inc)
+    // snapshot every data file before the append
+    def files(root: String): Map[String, (Long, Long)] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+        else Seq(f)
+      walk(new java.io.File(root))
+        .filter(_.getName.endsWith(".json"))
+        .map(f => f.getPath -> (f.length(), f.lastModified())).toMap
+    }
+    val before = files(inc)
+    Shards.writeAppend(docs, "doc_id", "text", appended, deltaMan, inc)
+    val after = files(inc)
+    val firstNew = deltaMan.agg(min("chunk_idx")).as[Long].head()
+    def chunkOf(path: String): Long =
+      "chunk_idx=(\\d+)".r.findFirstMatchIn(path).get.group(1).toLong
+    // strictly-earlier chunks: byte-for-byte the committed files
+    val untouched = before.filter { case (p, _) => chunkOf(p) < firstNew }
+    assert(untouched.nonEmpty, s"fixture degenerate: firstNew=$firstNew")
+    untouched.foreach { case (p, sig) =>
+      assert(after.get(p).contains(sig), s"rewrote committed chunk: $p")
+    }
+    // at-or-past chunks exist and were rewritten this pass
+    assert(after.keys.exists(p => chunkOf(p) >= firstNew))
+    // and the extended directory equals a FULL write of the appended
+    // manifest: same rows, same certification card
+    Shards.write(docs, "doc_id", "text", appended, full)
+    val incRows = Shards.read(spark, inc)
+      .select("doc_id", "text", "chunk_idx", "chunk_off")
+    val fullRows = Shards.read(spark, full)
+      .select("doc_id", "text", "chunk_idx", "chunk_off")
+    assert(incRows.except(fullRows).isEmpty &&
+      fullRows.except(incRows).isEmpty)
+    val ci = Shards.certify(Shards.read(spark, inc)).orderBy("chunk_idx")
+      .collect().toSeq
+    val cf = Shards.certify(Shards.read(spark, full)).orderBy("chunk_idx")
+      .collect().toSeq
+    assert(ci == cf)
+  }
+
   test("shard order audit counts inversions — a scrambled shard is caught") {
     // one partition, offsets deliberately out of order within chunk 0;
     // chunk 1 ordered — exactly one adjacent same-chunk decrease
