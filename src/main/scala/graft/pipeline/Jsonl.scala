@@ -17,15 +17,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     instead of failing the job — a web-scale JSONL drop always
   *     contains a few broken lines, and dropping them silently
   *     (DROPMALFORMED) would make ingest counts irreproducible;
-  *   - uncompressed and zstd output stay splittable; gzip is
-  *     supported for interchange but each `.gz` file is ONE input
-  *     split, so parallelism = file count (the shard-manifest
-  *     operators exist to make that count right).
+  *   - only UNCOMPRESSED output is splittable; a compressed JSONL
+  *     file (`.gz`, `.zst`) is ONE input split, so parallelism =
+  *     file count — the shard-manifest operators exist to make that
+  *     count right. gzip ships with every Hadoop; zstd additionally
+  *     needs the Hadoop native codec (absent in this runtime — the
+  *     option passes through to deployments that carry it, gzip is
+  *     the tested interchange path).
   */
 object Jsonl {
 
-  /** Write `df` as JSONL. `compression`: None (splittable), or
-    * "gzip"/"zstd" for interchange.
+  /** Write `df` as JSONL. `compression`: None (splittable), or a
+    * Hadoop codec name ("gzip"; "zstd" where the native codec is
+    * deployed) for interchange.
     */
   def write(df: DataFrame, path: String,
       compression: Option[String] = None): Unit = {

@@ -17,8 +17,9 @@ import org.apache.spark.sql.functions._
   * a `partitionBy` directory split. No driver-side loop, no global
   * sort: the manifest already IS the global order, so materializing
   * it needs only per-shard locality. The JSONL surface is
-  * [[Jsonl]]'s (C4/Pile/RedPajama interchange); uncompressed and
-  * zstd shards stay splittable.
+  * [[Jsonl]]'s (C4/Pile/RedPajama interchange); uncompressed shards
+  * stay splittable, compressed ones are one split per file
+  * (shard sizing makes that the right parallel unit anyway).
   *
   * A document that straddles a shard boundary is written to the
   * shard where it STARTS (GPT-style packing — the trainer reads it

@@ -1787,6 +1787,30 @@ class PipelineSpec extends SparkSpec {
     } finally back.unpersist()
   }
 
+  test("gzip shard files certify identically to uncompressed ones") {
+    // the interchange codec path: same rows, same order, same
+    // checksum card through the compressed write (zstd needs the
+    // Hadoop native codec, absent in this runtime — gzip is the
+    // tested path; see the Jsonl scaladoc)
+    val docs = graft.core.Tables.read(spark, sf0001, "documents")
+    val man = Curation.globalShardManifest(docs, "doc_id", "text",
+      shardToks = 4096L)
+    val plain = "/tmp/graft_shards_plain_" +
+      spark.sparkContext.applicationId
+    val gz = "/tmp/graft_shards_gz_" +
+      spark.sparkContext.applicationId
+    Shards.write(docs, "doc_id", "text", man, plain)
+    Shards.write(docs, "doc_id", "text", man, gz, Some("gzip"))
+    assert(new java.io.File(gz).listFiles()
+      .filter(_.isDirectory).flatMap(_.listFiles())
+      .exists(_.getName.endsWith(".json.gz")))
+    val cp = Shards.certify(Shards.read(spark, plain))
+      .orderBy("chunk_idx").collect().toSeq
+    val cz = Shards.certify(Shards.read(spark, gz))
+      .orderBy("chunk_idx").collect().toSeq
+    assert(cp == cz && cp.nonEmpty)
+  }
+
   test("writeAppend rewrites only chunks at or past the delta's first chunk") {
     val docs = graft.core.Tables.read(spark, sf0001, "documents")
     val weights = docs.groupBy("source").count()
