@@ -198,6 +198,7 @@ object Cli {
         |  export-shards <dir> <shardDir> <outDir>       write ordered JSONL shard files + certify
         |  manifest-append <dir> <outDir>                append a delta batch to a mixture manifest
         |  append-shards <dir> <outDir>                  extend a shard release in place + certify
+        |  release-diff <dir> <outDir>                   added/removed/modified card between releases
         |  ltr-rerank <dir> <outDir>                     train + score the learning-to-rank head
         |  retrieval-scorecard <dir> <outDir>            nDCG@10/MRR/hits of all five rankers
         |  classifier-auc <dir> <outDir>                 exact Mann-Whitney ROC-AUC of the NB scorer
@@ -664,6 +665,8 @@ object Cli {
       pipeline.Shards.write(docs, "doc_id", "text", man, shardDir)
       write(pipeline.Shards.certify(
         pipeline.Shards.read(spark, shardDir)), out)
+    case "release-diff" :: dir :: out :: Nil =>
+      write(queries.PipelineQueries.p175ReleaseDiff(spark, dir), out)
     case "append-shards" :: dir :: out :: Nil =>
       write(queries.PipelineQueries.p174ShardAppend(spark, dir), out)
     case "manifest-append" :: dir :: out :: Nil =>

@@ -2171,6 +2171,49 @@ object Curation {
         col("w2_micro"), col("excess2_micro"))
   }
 
+  /** Release diff card — the change log between two corpus releases
+    * (the FineWeb/Dolma version-bump artifact): per (source, status)
+    * with status ∈ {added, removed, modified, unchanged}, document
+    * counts and token mass on each side. "Modified" means the same
+    * document id with a different content fingerprint
+    * ([[TF.fingerprint]] of the token stream — whitespace-insensitive
+    * content identity, the dedup family's key). The card a release
+    * reviewer reads before publishing: a silent mass-removal, a
+    * source whose documents all mutated, or a token-count explosion
+    * shows up as one row.
+    *
+    * Scale shape: each side reduces to (id, fingerprint, n_toks,
+    * group) map-side — text never survives past the projection — then
+    * ONE id-keyed full-outer sort-merge join and a partially
+    * aggregated rollup. No state, no windows; 100 TB a side is two
+    * scans and one co-keyed shuffle.
+    */
+  def releaseDiff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
+      textCol: String, groupCol: String): DataFrame = {
+    def side(df: DataFrame, sfx: String): DataFrame =
+      df.select(col(idCol).as("id"),
+        TF.fingerprint(TF.tokens(col(textCol))).as(s"fp$sfx"),
+        size(TF.tokens(col(textCol))).cast("long").as(s"nt$sfx"),
+        col(groupCol).as(s"g$sfx"))
+    side(oldDf, "_o")
+      .join(side(newDf, "_n"), Seq("id"), "full_outer")
+      .select(
+        coalesce(col("g_n"), col("g_o")).as("grp"),
+        when(col("fp_o").isNull, "added")
+          .when(col("fp_n").isNull, "removed")
+          .when(col("fp_o") =!= col("fp_n"), "modified")
+          .otherwise("unchanged").as("status"),
+        coalesce(col("nt_o"), lit(0L)).as("nt_o"),
+        coalesce(col("nt_n"), lit(0L)).as("nt_n"))
+      .groupBy(col("grp"), col("status"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nt_o")).as("n_toks_old"),
+        sum(col("nt_n")).as("n_toks_new"))
+      .select(col("grp").as(groupCol), col("status"), col("n_docs"),
+        col("n_toks_old"), col("n_toks_new"),
+        (col("n_toks_new") - col("n_toks_old")).as("tok_delta"))
+  }
+
   // ------------------------------------------------- corpus statistics
 
   /** Least-squares Zipf fit over the top-`topK` vocabulary:

@@ -2706,6 +2706,31 @@ object PipelineQueries {
       "source", w, shardToks = 4096L))
   }
 
+  /** Release diff card (p175): the change log between two corpus
+    * releases ([[Curation.releaseDiff]] — per (source, status ∈
+    * added/removed/modified/unchanged), doc counts and token mass
+    * both sides). Release 2 is derived deterministically from the
+    * corpus: every doc_id % 7 == 2 removed, % 7 == 3 gets its text
+    * amended, and % 7 == 4 additionally ships a NEW document (id +
+    * 10⁶). One full-outer id join + rollup; "modified" keys on the
+    * content fingerprint, so a whitespace-only change doesn't count.
+    * The oracle replays release construction, the fingerprint
+    * comparison, and the rollup.
+    */
+  def p175ReleaseDiff(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val rel2 = docs.filter(col("doc_id") % 7 =!= 2)
+      .select(col("doc_id"), col("source"),
+        when(col("doc_id") % 7 === 3,
+          concat(col("text"), lit(" release2 amendment")))
+          .otherwise(col("text")).as("text"))
+      .unionByName(docs.filter(col("doc_id") % 7 === 4)
+        .select(col("doc_id") + lit(1000000L), col("source"),
+          concat(col("text"), lit(" brand new document")).as("text"))
+        .toDF("doc_id", "source", "text"))
+    Curation.releaseDiff(docs, rel2, "doc_id", "text", "source")
+  }
+
   /** Incremental shard-file release (p174): the end of the
     * incremental-release chain (bloom admission p47 → manifest append
     * p172 → THIS): the base corpus is materialized as ordered shard
@@ -4073,6 +4098,7 @@ object PipelineQueries {
     "p172_manifest_append" -> p172ManifestAppend _,
     "p173_ltr_rerank" -> p173LtrRerank _,
     "p174_shard_append" -> p174ShardAppend _,
+    "p175_release_diff" -> p175ReleaseDiff _,
     "p164_crop_pairs" -> p164CropPairs _,
     "p165_shard_mix" -> p165ShardMix _,
     "p166_epoch_decorrelation" -> p166EpochDecorrelation _,
@@ -6508,6 +6534,40 @@ object PipelineQueries {
            |  CAST(start_tok % 4096 AS BIGINT) AS chunk_off
            |FROM st""".stripMargin) +
       ("p173_ltr_rerank" -> oLtrRerank(iters = 12, lrNum = 50L)) +
+      ("p175_release_diff" ->
+        s"""WITH oldr AS (
+           |  SELECT doc_id, source,
+           |    substr(md5(array_to_string($oToks, ' ')), 1, 16) AS fp,
+           |    CAST(len($oToks) AS BIGINT) AS nt
+           |  FROM documents),
+           |r2 AS (
+           |  SELECT doc_id, source,
+           |    CASE WHEN doc_id % 7 = 3
+           |         THEN text || ' release2 amendment' ELSE text END
+           |      AS text
+           |  FROM documents WHERE doc_id % 7 != 2
+           |  UNION ALL
+           |  SELECT doc_id + 1000000, source,
+           |    text || ' brand new document' AS text
+           |  FROM documents WHERE doc_id % 7 = 4),
+           |newr AS (
+           |  SELECT doc_id, source,
+           |    substr(md5(array_to_string($oToks, ' ')), 1, 16) AS fp,
+           |    CAST(len($oToks) AS BIGINT) AS nt
+           |  FROM r2),
+           |j AS (
+           |  SELECT COALESCE(n.source, o.source) AS source,
+           |    CASE WHEN o.fp IS NULL THEN 'added'
+           |         WHEN n.fp IS NULL THEN 'removed'
+           |         WHEN o.fp != n.fp THEN 'modified'
+           |         ELSE 'unchanged' END AS status,
+           |    COALESCE(o.nt, 0) AS nt_o, COALESCE(n.nt, 0) AS nt_n
+           |  FROM oldr o FULL OUTER JOIN newr n ON o.doc_id = n.doc_id)
+           |SELECT source, status, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |  CAST(SUM(nt_o) AS BIGINT) AS n_toks_old,
+           |  CAST(SUM(nt_n) AS BIGINT) AS n_toks_new,
+           |  CAST(SUM(nt_n) - SUM(nt_o) AS BIGINT) AS tok_delta
+           |FROM j GROUP BY source, status""".stripMargin) +
       ("p174_shard_append" ->
         // the p172 append manifest + the p171 checksum rollup: the
         // incrementally-extended shard directory must certify exactly

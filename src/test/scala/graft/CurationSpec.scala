@@ -266,6 +266,25 @@ class CurationSpec extends SparkSpec {
       out("s2").toString)
   }
 
+  test("releaseDiff classifies added/removed/modified/unchanged exactly") {
+    val old = Seq((1L, "a", "same text"), (2L, "a", "will change"),
+      (3L, "b", "goes away"), (4L, "b", "stays put"))
+      .toDF("doc_id", "source", "text")
+    val neu = Seq((1L, "a", "same text"), (2L, "a", "has changed now"),
+      (4L, "b", "stays  put"), // whitespace-only: same fingerprint
+      (5L, "b", "brand new"))
+      .toDF("doc_id", "source", "text")
+    val out = Curation.releaseDiff(old, neu, "doc_id", "text", "source")
+      .orderBy("source", "status")
+      .as[(String, String, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      ("a", "modified", 1L, 2L, 3L, 1L),
+      ("a", "unchanged", 1L, 2L, 2L, 0L),
+      ("b", "added", 1L, 0L, 2L, 2L),
+      ("b", "removed", 1L, 2L, 0L, -2L),
+      ("b", "unchanged", 1L, 2L, 2L, 0L)), out.toString)
+  }
+
   test("chiSquareFromLabels matches the 2x2 hand computation, ties break on token") {
     val labeled = Seq(
       (1L, "apple banana", 1L), (2L, "apple cherry", 1L),
