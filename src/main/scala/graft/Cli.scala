@@ -199,6 +199,7 @@ object Cli {
         |  manifest-append <dir> <outDir>                append a delta batch to a mixture manifest
         |  append-shards <dir> <outDir>                  extend a shard release in place + certify
         |  release-diff <dir> <outDir>                   added/removed/modified card between releases
+        |  chunk-docs <dir> <outDir>                     overlapping-window RAG chunks with provenance
         |  ltr-rerank <dir> <outDir>                     train + score the learning-to-rank head
         |  retrieval-scorecard <dir> <outDir>            nDCG@10/MRR/hits of all five rankers
         |  classifier-auc <dir> <outDir>                 exact Mann-Whitney ROC-AUC of the NB scorer
@@ -665,6 +666,8 @@ object Cli {
       pipeline.Shards.write(docs, "doc_id", "text", man, shardDir)
       write(pipeline.Shards.certify(
         pipeline.Shards.read(spark, shardDir)), out)
+    case "chunk-docs" :: dir :: out :: Nil =>
+      write(queries.PipelineQueries.p176DocChunks(spark, dir), out)
     case "release-diff" :: dir :: out :: Nil =>
       write(queries.PipelineQueries.p175ReleaseDiff(spark, dir), out)
     case "append-shards" :: dir :: out :: Nil =>

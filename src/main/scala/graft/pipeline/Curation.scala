@@ -2171,6 +2171,44 @@ object Curation {
         col("w2_micro"), col("excess2_micro"))
   }
 
+  /** Overlapping-window document chunking — the RAG-ingestion /
+    * long-document splitting primitive: each document's token stream
+    * cut into `chunkToks`-token windows starting every `strideToks`
+    * tokens (stride < chunk ⇒ overlap, the retrieval-context hedge
+    * against boundary-straddling facts). The window-start rule emits
+    * starts 0, s, 2s, … up to the SMALLEST multiple of s with
+    * start + chunkToks ≥ n — full coverage, never a redundant tail
+    * window already contained in its predecessor. One row per chunk
+    * with provenance (doc, sequence number, start token, length).
+    *
+    * Scale shape: a zero-exchange per-row projection (tokenize,
+    * integer window count, explode, slice) — no shuffle at any
+    * corpus size, and the natural stateless streaming twin. Empty
+    * documents yield no chunks.
+    */
+  def chunkDocuments(df: DataFrame, idCol: String, textCol: String,
+      chunkToks: Int, strideToks: Int): DataFrame = {
+    require(chunkToks > 0 && strideToks > 0 && strideToks <= chunkToks,
+      "need 0 < strideToks <= chunkToks")
+    val toks = TF.tokens(col(textCol))
+    val n = size(toks).cast("long")
+    val nW = when(n <= chunkToks, lit(1L))
+      .otherwise(call_function("div",
+        n - chunkToks + strideToks - 1, lit(strideToks.toLong)) + 1L)
+    df.select(col(idCol), toks.as("__toks"), n.as("__n"), nW.as("__w"))
+      .filter(col("__n") > 0)
+      .select(col(idCol), col("__toks"), col("__n"),
+        explode(sequence(lit(0L), col("__w") - 1L)).as("chunk_seq"))
+      .select(col(idCol), col("chunk_seq"),
+        (col("chunk_seq") * strideToks).as("start_tok"),
+        least(lit(chunkToks.toLong),
+          col("__n") - col("chunk_seq") * strideToks)
+          .as("n_chunk_toks"),
+        concat_ws(" ", slice(col("__toks"),
+          (col("chunk_seq") * strideToks + 1L).cast("int"),
+          lit(chunkToks))).as("chunk_text"))
+  }
+
   /** Release diff card — the change log between two corpus releases
     * (the FineWeb/Dolma version-bump artifact): per (source, status)
     * with status ∈ {added, removed, modified, unchanged}, document

@@ -2706,6 +2706,16 @@ object PipelineQueries {
       "source", w, shardToks = 4096L))
   }
 
+  /** Document chunking (p176): the RAG-ingestion / long-document
+    * splitting primitive ([[Curation.chunkDocuments]] — 32-token
+    * windows every 24 tokens, 25% overlap) with full provenance.
+    * Zero-exchange projection; the oracle replays the window-start
+    * rule, the slices, and the tail-length arithmetic.
+    */
+  def p176DocChunks(s: SparkSession, dir: String): DataFrame =
+    Curation.chunkDocuments(t(s, dir, "documents"), "doc_id", "text",
+      chunkToks = 32, strideToks = 24)
+
   /** Release diff card (p175): the change log between two corpus
     * releases ([[Curation.releaseDiff]] — per (source, status ∈
     * added/removed/modified/unchanged), doc counts and token mass
@@ -4099,6 +4109,7 @@ object PipelineQueries {
     "p173_ltr_rerank" -> p173LtrRerank _,
     "p174_shard_append" -> p174ShardAppend _,
     "p175_release_diff" -> p175ReleaseDiff _,
+    "p176_doc_chunks" -> p176DocChunks _,
     "p164_crop_pairs" -> p164CropPairs _,
     "p165_shard_mix" -> p165ShardMix _,
     "p166_epoch_decorrelation" -> p166EpochDecorrelation _,
@@ -6534,6 +6545,24 @@ object PipelineQueries {
            |  CAST(start_tok % 4096 AS BIGINT) AS chunk_off
            |FROM st""".stripMargin) +
       ("p173_ltr_rerank" -> oLtrRerank(iters = 12, lrNum = 50L)) +
+      ("p176_doc_chunks" ->
+        s"""WITH d AS (SELECT doc_id, $oToks AS toks FROM documents),
+           |n AS (SELECT doc_id, toks,
+           |    CAST(len(toks) AS BIGINT) AS n FROM d),
+           |w AS (SELECT doc_id, toks, n,
+           |    CASE WHEN n <= 32 THEN 1
+           |         ELSE (n - 32 + 23) // 24 + 1 END AS nw
+           |  FROM n WHERE n > 0),
+           |x AS (SELECT doc_id, toks, n,
+           |    unnest(generate_series(0, nw - 1)) AS chunk_seq
+           |  FROM w)
+           |SELECT doc_id, CAST(chunk_seq AS BIGINT) AS chunk_seq,
+           |  CAST(chunk_seq * 24 AS BIGINT) AS start_tok,
+           |  CAST(LEAST(32, n - chunk_seq * 24) AS BIGINT)
+           |    AS n_chunk_toks,
+           |  array_to_string(toks[chunk_seq * 24 + 1 :
+           |    chunk_seq * 24 + 32], ' ') AS chunk_text
+           |FROM x""".stripMargin) +
       ("p175_release_diff" ->
         s"""WITH oldr AS (
            |  SELECT doc_id, source,

@@ -266,6 +266,35 @@ class CurationSpec extends SparkSpec {
       out("s2").toString)
   }
 
+  test("chunkDocuments: coverage, overlap, no redundant tail, short docs") {
+    def chunks(text: String, c: Int, s: Int): Seq[(Long, Long, Long, String)] =
+      Curation.chunkDocuments(Seq((1L, text)).toDF("doc_id", "text"),
+          "doc_id", "text", c, s)
+        .orderBy("chunk_seq")
+        .select("chunk_seq", "start_tok", "n_chunk_toks", "chunk_text")
+        .as[(Long, Long, Long, String)].collect().toSeq
+    val ten = (1 to 10).map(i => s"t$i").mkString(" ")
+    // n=10, c=8, s=4: last start is the smallest multiple of 4 with
+    // start+8 >= 10 -> starts {0, 4}, never a redundant {8} tail
+    assert(chunks(ten, 8, 4) == Seq(
+      (0L, 0L, 8L, (1 to 8).map(i => s"t$i").mkString(" ")),
+      (1L, 4L, 6L, (5 to 10).map(i => s"t$i").mkString(" "))))
+    // short doc: one whole-doc chunk; exact-fit: one chunk
+    assert(chunks("a b c", 8, 4) == Seq((0L, 0L, 3L, "a b c")))
+    assert(chunks(ten, 10, 5) == Seq((0L, 0L, 10L, ten)))
+    // n = c+1 forces a second window even at stride = c (no overlap)
+    assert(chunks(ten, 9, 9).map(r => (r._2, r._3)) ==
+      Seq((0L, 9L), (9L, 1L)))
+    // overlap coverage: every token index appears in some chunk
+    val cov = chunks(ten, 4, 3)
+    assert(cov.map(r => r._2 until (r._2 + r._3))
+      .flatten.toSet == (0 until 10).toSet)
+    // empty text: the house tokenizer yields one empty token (same in
+    // DuckDB's string_split_regex), so one empty chunk comes out —
+    // engine-consistent, and real corpora carry no empty documents
+    assert(chunks("", 8, 4) == Seq((0L, 0L, 1L, "")))
+  }
+
   test("releaseDiff classifies added/removed/modified/unchanged exactly") {
     val old = Seq((1L, "a", "same text"), (2L, "a", "will change"),
       (3L, "b", "goes away"), (4L, "b", "stays put"))
