@@ -200,6 +200,7 @@ object Cli {
         |  append-shards <dir> <outDir>                  extend a shard release in place + certify
         |  release-diff <dir> <outDir>                   added/removed/modified card between releases
         |  chunk-docs <dir> <outDir>                     overlapping-window RAG chunks with provenance
+        |  passage-retrieval <dir> <outDir>              MaxP chunk retrieval vs whole-doc BM25 card
         |  ltr-rerank <dir> <outDir>                     train + score the learning-to-rank head
         |  retrieval-scorecard <dir> <outDir>            nDCG@10/MRR/hits of all five rankers
         |  classifier-auc <dir> <outDir>                 exact Mann-Whitney ROC-AUC of the NB scorer
@@ -666,6 +667,8 @@ object Cli {
       pipeline.Shards.write(docs, "doc_id", "text", man, shardDir)
       write(pipeline.Shards.certify(
         pipeline.Shards.read(spark, shardDir)), out)
+    case "passage-retrieval" :: dir :: out :: Nil =>
+      write(queries.PipelineQueries.p177PassageRetrieval(spark, dir), out)
     case "chunk-docs" :: dir :: out :: Nil =>
       write(queries.PipelineQueries.p176DocChunks(spark, dir), out)
     case "release-diff" :: dir :: out :: Nil =>

@@ -2716,6 +2716,58 @@ object PipelineQueries {
     Curation.chunkDocuments(t(s, dir, "documents"), "doc_id", "text",
       chunkToks = 32, strideToks = 24)
 
+  /** Passage retrieval card (p177): the MaxP evidence-aggregation
+    * pattern (Dai & Callan 2019) over p176's chunks — documents
+    * ranked by their BEST chunk's BM25 score versus whole-document
+    * BM25, both scored on the planted self-retrieval relevance
+    * through the p130 scorecard. The chunk index scores 32-token
+    * passages, so a short query's match isn't diluted by document
+    * length — the reason RAG stacks retrieve passages and aggregate
+    * to documents. (On this corpus's ~60-token documents there is
+    * little length dilution to remove, so the comparison lands within
+    * noise of even — a small lift at sf0.01, a small cost at sf0.1;
+    * the operator's value is on long-document corpora, and the card
+    * IS the measurement either way.) Chunk ids pack (doc, seq) as
+    * doc_id·10⁴ + seq
+    * with an in-plan overflow guard (a 10⁴-chunk document is a
+    * ~240k-token outlier a pipeline should reject loudly). The
+    * oracle replays chunking, BOTH index builds, the MaxP rollup,
+    * and both scorecard rows.
+    */
+  def p177PassageRetrieval(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val queries = Retrieval.plantedQueries(docs, "doc_id", "text")
+    val chunks = Curation.chunkDocuments(docs, "doc_id", "text",
+      chunkToks = 32, strideToks = 24)
+      .select(
+        when(col("chunk_seq") >= 10000L,
+          raise_error(concat(lit("p177: document "),
+            col("doc_id").cast("string"),
+            lit(" exceeds 10^4 chunks — widen the chunk-id packing"))))
+          .otherwise(col("doc_id") * 10000L + col("chunk_seq"))
+          .as("chunk_id"),
+        col("chunk_text"))
+    val docRank = Retrieval.bm25TopK(docs, "doc_id", "text", queries,
+      "query_id", "qtext", k = 10)
+    val chunkRank = Retrieval.bm25TopK(chunks, "chunk_id", "chunk_text",
+      queries, "query_id", "qtext", k = 10)
+    val maxp = chunkRank
+      .select(col("query_id"),
+        call_function("div", col("doc_id"), lit(10000L)).as("doc_id"),
+        col("score_micro"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(max(col("score_micro")).as("best_micro"))
+      .withColumn("rank", row_number().over(Window
+          .partitionBy(col("query_id"))
+          .orderBy(col("best_micro").desc, col("doc_id")))
+        .cast("long"))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("rank"), col("doc_id"))
+    Retrieval.rankingScorecard(docRank, "doc_bm25", topK = 10)
+      .unionByName(
+        Retrieval.rankingScorecard(maxp, "chunk_maxp", topK = 10))
+  }
+
   /** Release diff card (p175): the change log between two corpus
     * releases ([[Curation.releaseDiff]] — per (source, status ∈
     * added/removed/modified/unchanged), doc counts and token mass
@@ -4110,6 +4162,7 @@ object PipelineQueries {
     "p174_shard_append" -> p174ShardAppend _,
     "p175_release_diff" -> p175ReleaseDiff _,
     "p176_doc_chunks" -> p176DocChunks _,
+    "p177_passage_retrieval" -> p177PassageRetrieval _,
     "p164_crop_pairs" -> p164CropPairs _,
     "p165_shard_mix" -> p165ShardMix _,
     "p166_epoch_decorrelation" -> p166EpochDecorrelation _,
@@ -6545,6 +6598,64 @@ object PipelineQueries {
            |  CAST(start_tok % 4096 AS BIGINT) AS chunk_off
            |FROM st""".stripMargin) +
       ("p173_ltr_rerank" -> oLtrRerank(iters = 12, lrNum = 50L)) +
+      ("p177_passage_retrieval" -> {
+        val cavgdl = "(CAST(cst.sdl AS DOUBLE) / CAST(cst.nd AS DOUBLE))"
+        val cidf = "ln(1.0 + (CAST(cst.nd AS DOUBLE) - CAST(f.df" +
+          " AS DOUBLE) + 0.5) / (CAST(f.df AS DOUBLE) + 0.5))"
+        val cnorm = s"(CAST(p.tf AS DOUBLE) * 2.2" +
+          s" / (CAST(p.tf AS DOUBLE) + 1.2 * (0.25" +
+          s" + 0.75 * (CAST(d.dl AS DOUBLE) / $cavgdl))))"
+        s"""${oBm25Ctes(k1 = 1.2, b = 0.75, qTerms = 4)},
+           |cw AS (SELECT doc_id, toks,
+           |    CASE WHEN len(toks) <= 32 THEN 1
+           |         ELSE (len(toks) - 32 + 23) // 24 + 1 END AS nw
+           |  FROM base WHERE len(toks) > 0),
+           |ctk AS (SELECT doc_id * 10000 + seq AS cid,
+           |    toks[seq * 24 + 1 : seq * 24 + 32] AS ct
+           |  FROM (SELECT doc_id, toks,
+           |          unnest(generate_series(0, nw - 1)) AS seq
+           |        FROM cw)),
+           |cdl AS (SELECT cid, CAST(len(ct) AS BIGINT) AS dl FROM ctk),
+           |cst AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd,
+           |    CAST(SUM(dl) AS BIGINT) AS sdl FROM cdl),
+           |cpost AS (
+           |  SELECT tok, cid, COUNT(*) AS tf
+           |  FROM (SELECT cid, unnest(ct) AS tok FROM ctk)
+           |  GROUP BY tok, cid),
+           |cdfq AS (
+           |  SELECT p.tok, COUNT(*) AS df FROM cpost p
+           |  WHERE p.tok IN (SELECT DISTINCT tok FROM qt)
+           |  GROUP BY p.tok),
+           |csc AS (
+           |  SELECT q.query_id, p.cid,
+           |    CAST(SUM(CAST(FLOOR($cidf * $cnorm * 1000000.0)
+           |      AS BIGINT)) AS BIGINT) AS score_micro
+           |  FROM cpost p
+           |  JOIN qt q ON p.tok = q.tok
+           |  JOIN cdfq f ON p.tok = f.tok
+           |  JOIN cdl d ON p.cid = d.cid
+           |  CROSS JOIN cst
+           |  GROUP BY q.query_id, p.cid),
+           |crk AS (
+           |  SELECT query_id, cid, score_micro,
+           |    ROW_NUMBER() OVER (PARTITION BY query_id
+           |      ORDER BY score_micro DESC, cid) AS rank
+           |  FROM csc),
+           |mp AS (SELECT query_id, cid // 10000 AS doc_id,
+           |    MAX(score_micro) AS ms
+           |  FROM crk WHERE rank <= 10 GROUP BY 1, 2),
+           |mrk AS (SELECT query_id, doc_id,
+           |    ROW_NUMBER() OVER (PARTITION BY query_id
+           |      ORDER BY ms DESC, doc_id) AS rank
+           |  FROM mp)
+           |${oScorecardRow(
+              "(SELECT query_id, doc_id, rank FROM rk WHERE rank <= 10)",
+              "doc_bm25")}
+           |UNION ALL
+           |${oScorecardRow(
+              "(SELECT query_id, doc_id, rank FROM mrk WHERE rank <= 10)",
+              "chunk_maxp")}""".stripMargin
+      }) +
       ("p176_doc_chunks" ->
         s"""WITH d AS (SELECT doc_id, $oToks AS toks FROM documents),
            |n AS (SELECT doc_id, toks,

@@ -120,6 +120,27 @@ class GuardBandSpec extends SparkSpec {
     assert(dmin > EPS, s"LTR sigmoid within $dmin of a floor boundary")
   }
 
+  test("chunk-index bm25 floors sit far from their boundaries (p177)") {
+    // the passage index scores 32-token chunks: nd/avgdl/df/dl are
+    // all NEW floor inputs the document-corpus audit never saw
+    val docs = Tables.read(spark, sf001, "documents")
+    val queries = Retrieval.plantedQueries(docs, "doc_id", "text")
+    val chunks = graft.pipeline.Curation.chunkDocuments(docs, "doc_id",
+        "text", chunkToks = 32, strideToks = 24)
+      .select((col("doc_id") * 10000L + col("chunk_seq")).as("cid"),
+        col("chunk_text"))
+    val idx = Retrieval.bm25Index(chunks, "cid", "chunk_text")
+    val qT = Retrieval.queryTerms(queries, "query_id", "qtext")
+    val hits = idx.postings
+      .join(qT.select("tok").distinct(), Seq("tok"))
+    val dfc = hits.groupBy("tok").agg(count(lit(1)).as("df"))
+    val cand = hits.join(dfc, Seq("tok"))
+      .join(idx.doclen, Seq("doc_id")).crossJoin(idx.stats)
+    val d = minBoundaryDist(cand,
+      Retrieval.contribDouble(Retrieval.Bm25Params()))
+    assert(d > EPS, s"chunk bm25 contrib within $d of a floor boundary")
+  }
+
   test("probe cosine floors sit far from their boundaries (p169, p170)") {
     // the kNN/quantization probes floor cosine to micro inside the
     // IVF ranking; the dot/norm kernels are index-order-deterministic
