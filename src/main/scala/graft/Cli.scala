@@ -201,6 +201,7 @@ object Cli {
         |  release-diff <dir> <outDir>                   added/removed/modified card between releases
         |  chunk-docs <dir> <outDir>                     overlapping-window RAG chunks with provenance
         |  passage-retrieval <dir> <outDir>              MaxP chunk retrieval vs whole-doc BM25 card
+        |  export-index <dir> <indexDir> <outDir>        write IVF-PQ serving artifacts + certify
         |  ltr-rerank <dir> <outDir>                     train + score the learning-to-rank head
         |  retrieval-scorecard <dir> <outDir>            nDCG@10/MRR/hits of all five rankers
         |  classifier-auc <dir> <outDir>                 exact Mann-Whitney ROC-AUC of the NB scorer
@@ -667,6 +668,12 @@ object Cli {
       pipeline.Shards.write(docs, "doc_id", "text", man, shardDir)
       write(pipeline.Shards.certify(
         pipeline.Shards.read(spark, shardDir)), out)
+    case "export-index" :: dir :: indexDir :: out :: Nil =>
+      pipeline.Similarity.exportServingIndex(
+        Tables.read(spark, dir, "embeddings"), "vec_id", "embedding",
+        coarseFilter = col("vec_id") % 25 === 0,
+        pqFilter = col("vec_id") < 8, m = 4, dim = 64, indexDir)
+      write(pipeline.Similarity.certifyServingIndex(spark, indexDir), out)
     case "passage-retrieval" :: dir :: out :: Nil =>
       write(queries.PipelineQueries.p177PassageRetrieval(spark, dir), out)
     case "chunk-docs" :: dir :: out :: Nil =>

@@ -314,6 +314,81 @@ object Similarity {
         col("best.cent_id").as("cent_id"))
   }
 
+  /** Export the IVF-PQ SERVING ARTIFACTS — the hand-off this module's
+    * header promises instead of a graph index: a single-node
+    * low-latency server needs exactly three relations, written here
+    * as parquet under `path`:
+    *
+    *   - `centroids/ (cent_id, ce)` — the coarse quantizer;
+    *   - `codebook/ (cid, entry)` — the PQ codebook rows;
+    *   - `codes/ (vec_id, cent_id, subspace, code)` — the compressed
+    *     corpus: each vector's cell plus its m sub-quantizer codes,
+    *     a few ints per vector instead of 4·dim bytes.
+    *
+    * Build cost is the engine's native distributed scan (broadcast
+    * centroid assignment + codegen'd code argmin — the ivfPqTopK
+    * corpus side); the artifacts are then small enough to load into
+    * any serving runtime. [[certifyServingIndex]] reads them back and
+    * emits per-artifact row counts and integer content checksums
+    * (floats enter the checksum as exact micro floors — cast and
+    * multiply are IEEE-identical in any engine, no libm), so the
+    * export is oracle-certifiable end to end (p178).
+    */
+  def exportServingIndex(corpus: DataFrame, idCol: String,
+      vecCol: String, coarseFilter: Column, pqFilter: Column, m: Int,
+      dim: Int, path: String): Unit = {
+    require(dim % m == 0, "m must divide dim")
+    corpus.filter(coarseFilter)
+      .select(col(idCol).as("cent_id"), col(vecCol).as("ce"))
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    corpus.filter(pqFilter)
+      .select(col(idCol).as("cid"), col(vecCol).as("entry"))
+      .write.mode("overwrite").parquet(s"$path/codebook")
+    semanticCells(corpus, idCol, vecCol, coarseFilter)
+      .select(col("vid").as("vec_id"), col("cent_id"))
+      .join(pqCodes(corpus, idCol, vecCol, m, dim, pqFilter),
+        Seq("vec_id"))
+      .select(col("vec_id"), col("cent_id"), col("subspace"),
+        col("code"))
+      .write.mode("overwrite").parquet(s"$path/codes")
+  }
+
+  /** Read an [[exportServingIndex]] directory back and certify it:
+    * one row per artifact with its row count and an order-free
+    * integer checksum (Σ hash60(canonical integer row string)
+    * mod 2²⁸ — vector elements enter as exact micro floors). The
+    * oracle recomputes every quantity from the source table, so a
+    * missing row, a perturbed float, or a swapped code
+    * hash-mismatches.
+    */
+  def certifyServingIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    val TF = graft.pipeline.TextFunctions
+    val M = lit(268435456L)
+    def vecSum(df: DataFrame, idName: String, vName: String,
+        tag: String): DataFrame =
+      df.select(col(idName).as("id"), posexplode(col(vName)))
+        .select(lit(tag).as("artifact"), col("id"), col("pos"),
+          floor(col("col").cast("double") * 1e6).cast("long").as("q"))
+        .groupBy(col("artifact"))
+        .agg(countDistinct(col("id")).as("n_rows"),
+          sum(pmod(TF.hash60(concat_ws(":",
+            col("id").cast("string"), col("pos").cast("string"),
+            col("q").cast("string"))), M)).as("checksum"))
+    val cents = vecSum(spark.read.parquet(s"$path/centroids"),
+      "cent_id", "ce", "centroids")
+    val book = vecSum(spark.read.parquet(s"$path/codebook"),
+      "cid", "entry", "codebook")
+    val codes = spark.read.parquet(s"$path/codes")
+      .select(lit("codes").as("artifact"),
+        pmod(TF.hash60(concat_ws(":", col("vec_id").cast("string"),
+          col("cent_id").cast("string"), col("subspace").cast("string"),
+          col("code").cast("string"))), M).as("term"))
+      .groupBy(col("artifact"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("term")).as("checksum"))
+    cents.unionByName(book).unionByName(codes)
+  }
+
   /** Within-cell pair detection + transitive closure + keep decision
     * over a prepared [[semanticCells]] frame. NOTE: building this plan
     * runs the closure's star-contraction jobs eagerly (ConnectedComponents

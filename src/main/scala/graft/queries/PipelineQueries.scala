@@ -2716,6 +2716,27 @@ object PipelineQueries {
     Curation.chunkDocuments(t(s, dir, "documents"), "doc_id", "text",
       chunkToks = 32, strideToks = 24)
 
+  /** Serving-index export (p178): the IVF-PQ hand-off the ANN module
+    * header promises made REAL ([[Similarity.exportServingIndex]]) —
+    * coarse centroids, PQ codebook, and the compressed corpus
+    * (cell + m codes per vector, the p74 config) written as parquet
+    * artifacts, read back, and certified: per artifact, row count
+    * and an order-free integer checksum with floats entering as
+    * exact micro floors. The oracle recomputes centroid membership,
+    * cell assignment, and every PQ code from the source table, so a
+    * missing vector, a perturbed float, or a swapped code in the
+    * exported artifacts hash-mismatches — the certificate a serving
+    * node validates before loading the index.
+    */
+  def p178IndexExport(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val tmp = scratchDir(s, dir, "serving_index")
+    Similarity.exportServingIndex(emb, "vec_id", "embedding",
+      coarseFilter = col("vec_id") % 25 === 0,
+      pqFilter = col("vec_id") < 8, m = 4, dim = 64, tmp)
+    Similarity.certifyServingIndex(s, tmp)
+  }
+
   /** Passage retrieval card (p177): the MaxP evidence-aggregation
     * pattern (Dai & Callan 2019) over p176's chunks — documents
     * ranked by their BEST chunk's BM25 score versus whole-document
@@ -4163,6 +4184,7 @@ object PipelineQueries {
     "p175_release_diff" -> p175ReleaseDiff _,
     "p176_doc_chunks" -> p176DocChunks _,
     "p177_passage_retrieval" -> p177PassageRetrieval _,
+    "p178_index_export" -> p178IndexExport _,
     "p164_crop_pairs" -> p164CropPairs _,
     "p165_shard_mix" -> p165ShardMix _,
     "p166_epoch_decorrelation" -> p166EpochDecorrelation _,
@@ -6598,6 +6620,64 @@ object PipelineQueries {
            |  CAST(start_tok % 4096 AS BIGINT) AS chunk_off
            |FROM st""".stripMargin) +
       ("p173_ltr_rerank" -> oLtrRerank(iters = 12, lrNum = 50L)) +
+      ("p178_index_export" -> {
+        def vecRow(tag: String, pred: String, idc: String) =
+          s"""SELECT '$tag' AS artifact,
+             |  CAST(COUNT(DISTINCT $idc) AS BIGINT) AS n_rows,
+             |  CAST(SUM(${oHash(
+                s"CAST($idc AS VARCHAR) || ':' || CAST(i - 1 AS VARCHAR)" +
+                  " || ':' || CAST(CAST(FLOOR(CAST(embedding[i] AS DOUBLE)" +
+                  " * 1e6) AS BIGINT) AS VARCHAR)")}
+             |    % 268435456) AS BIGINT) AS checksum
+             |FROM embeddings,
+             |  (SELECT unnest(generate_series(1, 64)) AS i)
+             |WHERE $pred""".stripMargin
+        s"""WITH ccents AS (
+           |  SELECT vec_id AS cent_id, embedding AS ce FROM embeddings
+           |  WHERE vec_id % 25 = 0),
+           |asg AS (
+           |  SELECT e.vec_id, cent_id,
+           |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+           |      ORDER BY ${oCos("e.embedding", "ce")} DESC,
+           |        cent_id ASC) AS rn
+           |  FROM embeddings e, ccents),
+           |cells AS (SELECT vec_id, cent_id FROM asg WHERE rn = 1),
+           |pcents AS (
+           |  SELECT vec_id AS cent_id, embedding AS ce FROM embeddings
+           |  WHERE vec_id < 8),
+           |subs AS (SELECT unnest(generate_series(0, 3)) AS s),
+           |pq AS (
+           |  SELECT e.vec_id, subs.s, c.cent_id,
+           |    ROW_NUMBER() OVER (PARTITION BY e.vec_id, subs.s ORDER BY
+           |      (list_sum(list_transform(generate_series(1, 16),
+           |         i -> CAST(e.embedding[subs.s*16 + i] AS DOUBLE)
+           |              * CAST(e.embedding[subs.s*16 + i] AS DOUBLE)))
+           |       - 2 * list_sum(list_transform(generate_series(1, 16),
+           |         i -> CAST(e.embedding[subs.s*16 + i] AS DOUBLE)
+           |              * CAST(c.ce[subs.s*16 + i] AS DOUBLE)))
+           |       + list_sum(list_transform(generate_series(1, 16),
+           |         i -> CAST(c.ce[subs.s*16 + i] AS DOUBLE)
+           |              * CAST(c.ce[subs.s*16 + i] AS DOUBLE)))) ASC,
+           |      c.cent_id ASC) AS rn
+           |  FROM embeddings e, pcents c, subs),
+           |codes AS (
+           |  SELECT p.vec_id, cl.cent_id, p.s AS subspace,
+           |    p.cent_id AS code
+           |  FROM pq p JOIN cells cl ON p.vec_id = cl.vec_id
+           |  WHERE p.rn = 1)
+           |${vecRow("centroids", "vec_id % 25 = 0", "vec_id")}
+           |UNION ALL
+           |${vecRow("codebook", "vec_id < 8", "vec_id")}
+           |UNION ALL
+           |SELECT 'codes' AS artifact,
+           |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+           |  CAST(SUM(${oHash(
+                "CAST(vec_id AS VARCHAR) || ':' || CAST(cent_id AS VARCHAR)" +
+                  " || ':' || CAST(subspace AS VARCHAR) || ':' ||" +
+                  " CAST(code AS VARCHAR)")}
+           |    % 268435456) AS BIGINT) AS checksum
+           |FROM codes""".stripMargin
+      }) +
       ("p177_passage_retrieval" -> {
         val cavgdl = "(CAST(cst.sdl AS DOUBLE) / CAST(cst.nd AS DOUBLE))"
         val cidf = "ln(1.0 + (CAST(cst.nd AS DOUBLE) - CAST(f.df" +
