@@ -1150,9 +1150,18 @@ object Similarity {
         col("cent_id"), col("codes"))).as("best"))
       .select(col("cand_id"), col("best.cent_id").as("cent_id"),
         col("best.codes").as("codes"))
-    // query side: bounded top-nprobe cell list (24-byte triples, never
-    // vectors), then one row per probed cell with the raw query vector
-    val cellQ = queries
+    adcRank(cellC, probeCellsQ(queries, idCol, vecCol, cents, nprobe),
+      books, m, sub, k)
+  }
+
+  /** The query-side probe builder shared by [[ivfPqTopK]] and
+    * [[ivfPqTopKFromArtifacts]]: bounded top-nprobe cell list
+    * (24-byte triples, never vectors), then one row per probed cell
+    * with the raw query vector.
+    */
+  private def probeCellsQ(queries: DataFrame, idCol: String,
+      vecCol: String, cents: DataFrame, nprobe: Int): DataFrame =
+    queries
       .repartition(queries.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
         l2norm(col(vecCol)).as("qn"))
@@ -1167,6 +1176,14 @@ object Similarity {
         first(col("qv")).as("qv"))
       .select(col("query_id"), col("qv"),
         explode(col("top.cent_id")).as("cent_id"))
+
+  /** The ADC scoring tail shared by [[ivfPqTopK]] and
+    * [[ivfPqTopKFromArtifacts]]: per-subspace folded-LUT distances,
+    * cell equi-join, partial top-k, exact ranking window.
+    */
+  private def adcRank(cellC: DataFrame, cellQ: DataFrame,
+      books: IndexedSeq[Array[(Long, Array[Float])]], m: Int, sub: Int,
+      k: Int): DataFrame = {
     val adist = (0 until m).map { s =>
       val lut = map(books(s).toIndexedSeq.flatMap { case (cid, ce) =>
         Seq(lit(cid), array(ce.toIndexedSeq.map(lit(_)): _*))
@@ -1184,6 +1201,38 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("cand_id"), col("rank").cast("long"),
         floor(-col("sim") * 1e6).cast("long").as("adist_micro"))
+  }
+
+  /** [[ivfPqTopK]] served FROM an [[exportServingIndex]] directory —
+    * the proof the exported artifacts are a COMPLETE index, not just
+    * checksummed bytes: centroids broadcast from `centroids/`, the
+    * codebook collected from `codebook/` (parquet round-trips floats
+    * bit-exactly, so the folded LUTs are the literal same), and the
+    * compressed corpus scanned from `codes/` — no raw corpus vector
+    * is ever read. Output is bit-identical to the in-memory
+    * [[ivfPqTopK]] over the source table (spec-pinned), which is
+    * exactly the serving-node contract.
+    */
+  def ivfPqTopKFromArtifacts(spark: org.apache.spark.sql.SparkSession,
+      path: String, queries: DataFrame, idCol: String, vecCol: String,
+      m: Int, dim: Int, k: Int, nprobe: Int): DataFrame = {
+    require(dim % m == 0, "m must divide dim")
+    require(nprobe >= 1, "nprobe must be >= 1")
+    val sub = dim / m
+    val book = spark.read.parquet(s"$path/codebook")
+      .select(col("cid"), col("entry")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    val books = subSlices(book, m, sub)
+    val cents = broadcast(spark.read.parquet(s"$path/centroids")
+      .select(col("cent_id"), col("ce"), l2norm(col("ce")).as("ce_n")))
+    val cellC = spark.read.parquet(s"$path/codes")
+      .groupBy(col("vec_id"), col("cent_id"))
+      .agg(transform(array_sort(collect_list(struct(col("subspace"),
+        col("code")))), x => x.getField("code")).as("codes"))
+      .select(col("vec_id").as("cand_id"), col("cent_id"), col("codes"))
+    adcRank(cellC, probeCellsQ(queries, idCol, vecCol, cents, nprobe),
+      books, m, sub, k)
   }
 
   /** Index-order dot over DOUBLE arrays as a HOF — the residual-space

@@ -1787,6 +1787,28 @@ class PipelineSpec extends SparkSpec {
     } finally back.unpersist()
   }
 
+  test("exported serving index answers queries bit-identically to the in-memory path") {
+    // the p178 artifacts must be a COMPLETE index: probe + ADC over
+    // the parquet round-trip (no raw corpus vector read) reproduces
+    // ivfPqTopK exactly — ranks, ids, and micro distances
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val tmp = "/tmp/graft_serving_idx_" + spark.sparkContext.applicationId
+    Similarity.exportServingIndex(emb, "vec_id", "embedding",
+      coarseFilter = col("vec_id") % 25 === 0,
+      pqFilter = col("vec_id") < 8, m = 4, dim = 64, tmp)
+    val queries = emb.filter(col("vec_id") < 20)
+    val direct = Similarity.ivfPqTopK(emb, queries, "vec_id",
+        "embedding", coarseFilter = col("vec_id") % 25 === 0,
+        pqFilter = col("vec_id") < 8, m = 4, dim = 64, k = 3,
+        nprobe = 4)
+      .collect().map(_.toSeq).toSet
+    val served = Similarity.ivfPqTopKFromArtifacts(spark, tmp, queries,
+        "vec_id", "embedding", m = 4, dim = 64, k = 3, nprobe = 4)
+      .collect().map(_.toSeq).toSet
+    assert(direct.nonEmpty && served == direct,
+      s"served ${served.size} rows vs direct ${direct.size}")
+  }
+
   test("gzip shard files certify identically to uncompressed ones") {
     // the interchange codec path: same rows, same order, same
     // checksum card through the compressed write (zstd needs the
