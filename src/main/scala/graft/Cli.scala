@@ -226,6 +226,7 @@ object Cli {
         |  stream-entropy <dir> <outDir>                 entropy signals at stream ingest
         |  stream-repetition <dir> <outDir>              Gopher repetition signals at stream ingest
         |  stream-crop-pairs <dir> <outDir>              contrastive anchor/positive crops at stream ingest
+        |  stream-chunk-docs <dir> <outDir>              RAG chunking at stream ingest (p176 twin)
         |  stream-mix-schedule <dir> <outDir>            online stride-mixture slots at stream ingest (stateful)
         |  stream-features <dir> <outDir>                stateless feature-store slice at stream ingest
         |  stream-hll <dir> <outDir>                     windowed HLL registers at stream ingest
@@ -1297,6 +1298,12 @@ object Cli {
       val stream = stagedDocStream(spark, dir, out)
       drainDocJob(streaming.StreamingJobs.cropGate(stream), out)
       println(s"""{"stream_crop_pairs":"$out"}""")
+
+    // RAG passages at ingest: the stateless p176 projection unchanged
+    case "stream-chunk-docs" :: dir :: out :: Nil =>
+      val stream = stagedDocStream(spark, dir, out)
+      drainDocJob(streaming.StreamingJobs.chunkGate(stream), out)
+      println(s"""{"stream_chunk_docs":"$out"}""")
 
     // online mixture scheduler at ingest: snapshot-fit p50 weights,
     // per-domain stride counters in the state store

@@ -258,6 +258,16 @@ object StreamingJobs {
     graft.pipeline.Curation.contrastiveCrops(docs, "doc_id", "text",
       minToks = 8)
 
+  /** Ingest-time chunking — the streaming twin of p176:
+    * [[graft.pipeline.Curation.chunkDocuments]] is a stateless
+    * per-row projection (window count + explode + slices — no
+    * shuffle, no watermark, no state store), so RAG passages are
+    * ready, with provenance, as documents arrive.
+    */
+  def chunkGate(docs: DataFrame): DataFrame =
+    graft.pipeline.Curation.chunkDocuments(docs, "doc_id", "text",
+      chunkToks = 32, strideToks = 24)
+
   case class DocArrival(doc_id: Long, source: String,
       ts: java.sql.Timestamp)
   case class MixSeq(i: Long)

@@ -816,6 +816,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming chunk gate equals the batch p176 projection") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDF().toDF("doc_id", "text")
+    val q = StreamingJobs.chunkGate(docs)
+      .writeStream.format("memory").queryName("chunk_s")
+      .outputMode("append").start()
+    try {
+      // 40 tokens -> two windows at chunk 32 / stride 24; 3 tokens ->
+      // one short chunk
+      val rows = Seq(
+        (1L, (1 to 40).map(i => s"w$i").mkString(" ")),
+        (2L, "a b c"))
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("chunk_s")
+        .as[(Long, Long, Long, Long, String)].collect().toSeq.sorted
+      val batch = graft.pipeline.Curation.chunkDocuments(
+          rows.toDF("doc_id", "text"), "doc_id", "text",
+          chunkToks = 32, strideToks = 24)
+        .as[(Long, Long, Long, Long, String)].collect().toSeq.sorted
+      assert(streamed == batch && streamed.size == 3)
+    } finally q.stop()
+  }
+
   test("streaming cluster assignment equals the batch Lloyd argmax") {
     implicit val sqlCtx = spark.sqlContext
     val corpus = Seq(
