@@ -3958,6 +3958,27 @@ object PipelineQueries {
         Retrieval.bm25ScoresFromHits(index, hits, qT,
           Retrieval.Bm25Params()), k = 10)
     }),
+    "p177_passage_retrieval" -> ((s, dir) => {
+      // lazy twin of the chunk-index MaxP side (the public query's two
+      // bm25TopK calls checkpoint their hit frames)
+      val docs = t(s, dir, "documents")
+      val queries = Retrieval.plantedQueries(docs, "doc_id", "text")
+      val chunks = Curation.chunkDocuments(docs, "doc_id", "text",
+          chunkToks = 32, strideToks = 24)
+        .select((col("doc_id") * 10000L + col("chunk_seq"))
+          .as("chunk_id"), col("chunk_text"))
+      val index = Retrieval.bm25Index(chunks, "chunk_id", "chunk_text")
+      val qT = Retrieval.queryTerms(queries, "query_id", "qtext")
+      val hits = index.postings.join(
+        broadcast(qT.select("tok").distinct()), Seq("tok"))
+      val ranked = Retrieval.rankTopK(
+        Retrieval.bm25ScoresFromHits(index, hits, qT,
+          Retrieval.Bm25Params()), k = 10)
+      Retrieval.rankingScorecard(ranked
+        .select(col("query_id"), col("rank"),
+          call_function("div", col("doc_id"), lit(10000L)).as("doc_id")),
+        "chunk_maxp_lazy", topK = 10)
+    }),
     "p132_bm25f" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val toks = TF.tokens(col("text"))
