@@ -1379,7 +1379,7 @@ object Cli {
 
     case "kmeans" :: dir :: out :: rest if rest.lengthIs <= 1 =>
       val iters = rest.headOption.map(_.toInt).getOrElse(1)
-      write(pipeline.Similarity.kmeansTrain(
+      write(pipeline.TrainedIndexStore.kmeansMeans(
         Tables.read(spark, dir, "embeddings"), "vec_id", "embedding",
         centroidFilter = col("vec_id") % 25 === 0, iters = iters), out)
 

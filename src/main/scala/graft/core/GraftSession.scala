@@ -33,6 +33,17 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       // era/as-of plans union wide lineages; keep broadcast autonomy on
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      // HotSpot refuses to JIT methods past 8000 bytecode bytes
+      // (-XX:DontCompileHugeMethods), so a fused whole-stage method
+      // bigger than that runs in the bytecode INTERPRETER forever —
+      // measured 4x slower than Spark's interpreted-expression path on
+      // the folded-literal ANN scans (PQ argmin trees compile to ~12 KB).
+      // Spark's default fallback threshold (65535) only protects against
+      // the JVM's hard 64 KB limit; align it with the JIT limit so any
+      // stage the JIT would abandon falls back to interpreted expressions
+      // instead. Same reasoning holds on a 1000-executor cluster: an
+      // interpreter-stuck hot loop is a throughput bug at any scale.
+      .config("spark.sql.codegen.hugeMethodLimit", "8000")
       // the synthetic events table carries parquet TIMESTAMP(NANOS); Spark
       // has no nanos TimestampType, so surface them as raw Long nanos and
       // convert explicitly at the read site (see Tables.events).

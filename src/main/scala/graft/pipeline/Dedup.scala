@@ -149,13 +149,40 @@ object Dedup {
     array((0 until bands).map(b =>
       concat_ws("_", lit(b), slice(sig, b * rows + 1, rows))): _*)
 
+  /** Per-bucket candidate bound for the LSH band self-joins. A
+    * degenerate bucket — B identical boilerplate documents landing in
+    * one band bucket — would emit B²/2 candidate rows before verify;
+    * past this size the join degrades to STAR EDGES against the
+    * bucket's minimum doc id (O(B) rows), which still connects every
+    * true-duplicate cluster member under the transitive closure the
+    * dedup consumers apply (identical docs verify at J = 1 against any
+    * member). Buckets at or under the cap keep exact all-pairs
+    * semantics; individual NEAR-identical (non-equal) pairs inside an
+    * oversized bucket may surface only via their star edges or another
+    * band. [[lshBucketAudit]] surfaces how often the cap binds — the
+    * no-silent-caps rule.
+    */
+  val LshBucketCap = 1024
+
   private[graft] def minhashPlan(docs: DataFrame, bands: Int, rows: Int,
-      threshold: Double): DataFrame = {
+      threshold: Double, bucketCap: Int = LshBucketCap): DataFrame = {
     val bandRows = docs.select(
       col("doc"),
       explode(bandKeyArray(col("sig"), bands, rows)).as("key"))
 
-    val a = bandRows.alias("a")
+    // Skew guard: the LEFT side of the band self-join keeps, for any
+    // bucket past `bucketCap`, only the bucket's min doc id — so an
+    // oversized bucket contributes O(B) star edges instead of B²/2
+    // pairs, while buckets at or under the cap are exact all-pairs
+    // (the a-side filter is the only change; the b-side is untouched,
+    // and a.doc < b.doc makes the bucket min always the a side).
+    val sizes = bandRows.groupBy("key")
+      .agg(count(lit(1)).as("__bn"), min(col("doc")).as("__bmin"))
+    val aSide = bandRows.join(sizes, "key")
+      .filter(col("__bn") <= bucketCap || col("doc") === col("__bmin"))
+      .select("doc", "key")
+
+    val a = aSide.alias("a")
     val b = bandRows.alias("b")
     val cand = a.join(b,
         col("a.key") === col("b.key") && col("a.doc") < col("b.doc"))
@@ -163,6 +190,47 @@ object Dedup {
       .distinct()
 
     verifyJaccard(cand, docs, threshold)
+  }
+
+  /** LSH band-bucket skew audit — the no-silent-caps companion of
+    * [[LshBucketCap]]: one row per band with its bucket-population
+    * shape and exactly how many candidate pairs the star-edge guard
+    * replaces. `pairs_exact` is the uncapped self-join's Σ n·(n−1)/2;
+    * `pairs_capped` substitutes the O(B) star count (n−1) for every
+    * bucket past the cap. A release manager reads `n_oversized` > 0 as
+    * "the guard engaged — near-identical (non-equal) pairs inside
+    * those buckets may only surface via their cluster representative".
+    *
+    * Scale shape: one band-key count shuffle (the same key the
+    * candidate join shuffles on) + a `bands`-row aggregate. Pair
+    * counts are int64-exact for buckets under ~3·10⁹ docs; an in-plan
+    * guard raises past that rather than wrapping silently.
+    */
+  def lshBucketAudit(df: DataFrame, idCol: String, textCol: String,
+      k: Int, numHashes: Int, bands: Int,
+      bucketCap: Int = LshBucketCap): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val docs = minhashDocs(df, idCol, textCol, k, numHashes)
+    val bandRows = docs.select(
+      col("doc"),
+      posexplode(bandKeyArray(col("sig"), bands, rows))
+        .as(Seq("band", "key")))
+    val n = col("count")
+    val guarded = when(n > 3000000000L,
+        raise_error(lit("lshBucketAudit: bucket exceeds int64 pair bound")))
+      .otherwise(n)
+    // n·(n−1) is even, so the halving is exact integer division
+    val bucketPairs = call_function("div", guarded * (n - 1L), lit(2L))
+    bandRows.groupBy(col("band"), col("key")).count()
+      .groupBy(col("band").cast("long").as("band"))
+      .agg(
+        count(lit(1)).as("n_buckets"),
+        max(n).as("max_bucket"),
+        sum(when(n > bucketCap, 1L).otherwise(0L)).as("n_oversized"),
+        sum(bucketPairs).as("pairs_exact"),
+        sum(when(n > bucketCap, n - 1L).otherwise(bucketPairs))
+          .as("pairs_capped"))
   }
 
   /** b-bit minhash Jaccard estimation (Li & König 2010, "b-Bit
@@ -478,11 +546,22 @@ object Dedup {
     * run per micro-batch unchanged).
     */
   def hammingPairs(hashes: DataFrame, idCol: String, hashCol: String,
-      bits: Int, segments: Int, maxHamming: Int): DataFrame = {
+      bits: Int, segments: Int, maxHamming: Int,
+      bucketCap: Int = LshBucketCap): DataFrame = {
     require(maxHamming < segments,
       "segment LSH is exact only for maxHamming < segments")
     val segs = bandRows(hashes, idCol, hashCol, bits, segments)
-    val a = segs.alias("a")
+    // Skew guard (see [[LshBucketCap]]): oversized (seg, segval)
+    // buckets contribute only star edges from the bucket-min id. An
+    // identical-fingerprint cluster has first-equal segment 0 for
+    // every pair, so its stars all survive [[firstSegmentOnly]] and
+    // the closure still merges the cluster in O(B) rows.
+    val sizes = segs.groupBy("seg", "segval")
+      .agg(count(lit(1)).as("__bn"), min(col("doc")).as("__bmin"))
+    val aSide = segs.join(sizes, Seq("seg", "segval"))
+      .filter(col("__bn") <= bucketCap || col("doc") === col("__bmin"))
+      .select("doc", "sim", "seg", "segval")
+    val a = aSide.alias("a")
     val b = segs.alias("b")
     a.join(b,
         col("a.seg") === col("b.seg") && col("a.segval") === col("b.segval") &&
@@ -505,12 +584,24 @@ object Dedup {
     */
   def hammingPairsDelta(corpusBands: DataFrame, delta: DataFrame,
       idCol: String, hashCol: String, bits: Int, segments: Int,
-      maxHamming: Int): DataFrame = {
+      maxHamming: Int, bucketCap: Int = LshBucketCap): DataFrame = {
     require(maxHamming < segments,
       "segment LSH is exact only for maxHamming < segments")
+    // Skew guard on the STATIC side (see [[LshBucketCap]]): an
+    // oversized corpus bucket keeps only its min id, so an arriving
+    // duplicate of a B-doc boilerplate cluster emits one edge to the
+    // cluster representative instead of B candidate rows per batch.
+    // The aggregation is static-side only; the (possibly streaming)
+    // delta passes through stateless as before.
+    val cb = corpusBands.toDF("doc_b", "sim_b", "seg", "segval")
+    val sizes = cb.groupBy("seg", "segval")
+      .agg(count(lit(1)).as("__bn"), min(col("doc_b")).as("__bmin"))
+    val cbCapped = cb.join(sizes, Seq("seg", "segval"))
+      .filter(col("__bn") <= bucketCap || col("doc_b") === col("__bmin"))
+      .select("doc_b", "sim_b", "seg", "segval")
     bandRows(delta, idCol, hashCol, bits, segments)
       .toDF("doc_a", "sim_a", "seg", "segval")
-      .join(corpusBands.toDF("doc_b", "sim_b", "seg", "segval"),
+      .join(cbCapped,
         Seq("seg", "segval"))
       .filter(col("doc_a") =!= col("doc_b"))
       .transform(firstSegmentOnly(bits, segments))

@@ -861,10 +861,8 @@ object Similarity {
     */
   def pqTrainedCodes(corpus: DataFrame, idCol: String, vecCol: String,
       m: Int, dim: Int, centroidFilter: Column, iters: Int): DataFrame = {
-    val books = booksFromMeans(
-      pqTrainMeans(corpus, idCol, vecCol, m, dim, centroidFilter, iters)
-        .collect(),
-      m, dim / m)
+    val books = TrainedIndexStore.pqBooks(corpus, idCol, vecCol, m, dim,
+      centroidFilter, iters)
     pqCodeArray(corpus, idCol, vecCol, m, dim, books)
       .select(col("vec_id"), posexplode(col("codes")))
       .toDF("vec_id", "subspace", "code")
@@ -894,8 +892,8 @@ object Similarity {
     * (subspace, code, dim, n, mean_fixed) rows — the element rebuild is
     * the [[kmeansTrain]] driver step per subspace.
     */
-  private def booksFromMeans(rows: Array[org.apache.spark.sql.Row], m: Int,
-      sub: Int): IndexedSeq[Array[(Long, Array[Float])]] = {
+  private[pipeline] def booksFromMeans(rows: Array[org.apache.spark.sql.Row],
+      m: Int, sub: Int): IndexedSeq[Array[(Long, Array[Float])]] = {
     val bySub = rows.groupBy(_.getLong(0))
     (0 until m).map { s =>
       bySub.getOrElse(s.toLong, Array.empty)
@@ -970,10 +968,8 @@ object Similarity {
       vecCol: String, m: Int, dim: Int, centroidFilter: Column,
       iters: Int, k: Int): DataFrame =
     pqTopKWith(corpus, queries, idCol, vecCol, m, dim,
-      booksFromMeans(
-        pqTrainMeans(corpus, idCol, vecCol, m, dim, centroidFilter, iters)
-          .collect(),
-        m, dim / m),
+      TrainedIndexStore.pqBooks(corpus, idCol, vecCol, m, dim,
+        centroidFilter, iters),
       k)
 
   /** Cell-bounded cosine pairs of an incoming vector batch against a
@@ -1645,7 +1641,7 @@ object Similarity {
     def fd(a: Column, m: Column): Column =
       call_function("div", a - pmod(a, m), m)
     moduli.map { m =>
-      val means = kmeansTrain(corpus, idCol, vecCol,
+      val means = TrainedIndexStore.kmeansMeans(corpus, idCol, vecCol,
         col(idCol) % m === 0, iters)
       val cents = broadcast(centroidsFromMeans(means)
         .select(col("cent_id").as("cand_id"), col("ce"),

@@ -723,8 +723,9 @@ object PipelineQueries {
     */
   def p52IvfTrained(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
-    val means = Similarity.kmeansTrain(emb, "vec_id", "embedding",
-      centroidFilter = col("vec_id") % 25 === 0, iters = 2)
+    val means = graft.pipeline.TrainedIndexStore.kmeansMeans(emb,
+      "vec_id", "embedding", centroidFilter = col("vec_id") % 25 === 0,
+      iters = 2)
     Similarity.ivfTopKWith(emb, emb.filter(col("vec_id") < 20), "vec_id",
       "embedding", Similarity.centroidsFromMeans(means), k = 3, nprobe = 2)
   }
@@ -1528,12 +1529,16 @@ object PipelineQueries {
       centroidFilter = col("vec_id") % 25 === 0)
 
   /** Full k-means training loop: three Lloyd iterations from the p19
-    * seed centroids, driver-held centroid state between steps.
+    * seed centroids, driver-held centroid state between steps. Served
+    * from [[graft.pipeline.TrainedIndexStore]] — the session trains
+    * this quantizer once and every consumer (this card, the streaming
+    * assigner, any scorecard row) reuses the frozen means.
     */
   val kmeansIters = 3
   def p22KmeansTrain(s: SparkSession, dir: String): DataFrame =
-    Similarity.kmeansTrain(t(s, dir, "embeddings"), "vec_id", "embedding",
-      centroidFilter = col("vec_id") % 25 === 0, iters = kmeansIters)
+    graft.pipeline.TrainedIndexStore.kmeansMeans(t(s, dir, "embeddings"),
+      "vec_id", "embedding", centroidFilter = col("vec_id") % 25 === 0,
+      iters = kmeansIters)
 
   /** Shuffle-shard export assignment across 8 shards. */
   def p31ShardExport(s: SparkSession, dir: String): DataFrame =
@@ -2715,6 +2720,18 @@ object PipelineQueries {
   def p176DocChunks(s: SparkSession, dir: String): DataFrame =
     Curation.chunkDocuments(t(s, dir, "documents"), "doc_id", "text",
       chunkToks = 32, strideToks = 24)
+
+  /** LSH band-bucket skew audit (p179): the no-silent-caps card next
+    * to p02 — per band, the bucket-population shape and exactly how
+    * many candidate rows [[Dedup.LshBucketCap]]'s star-edge guard
+    * would replace at the default cap. The oracle replays signatures,
+    * band keys, and both pair sums, so the guard's accounting is
+    * certified, not just logged. `n_oversized` = 0 at these SFs — the
+    * binding case is exercised by the planted-cluster property tests.
+    */
+  def p179LshBucketAudit(s: SparkSession, dir: String): DataFrame =
+    Dedup.lshBucketAudit(t(s, dir, "documents"), "doc_id", "text",
+      k = 3, numHashes = 12, bands = 6)
 
   /** Serving-index export (p178): the IVF-PQ hand-off the ANN module
     * header promises made REAL ([[Similarity.exportServingIndex]]) —
@@ -4206,6 +4223,7 @@ object PipelineQueries {
     "p176_doc_chunks" -> p176DocChunks _,
     "p177_passage_retrieval" -> p177PassageRetrieval _,
     "p178_index_export" -> p178IndexExport _,
+    "p179_lsh_bucket_audit" -> p179LshBucketAudit _,
     "p164_crop_pairs" -> p164CropPairs _,
     "p165_shard_mix" -> p165ShardMix _,
     "p166_epoch_decorrelation" -> p166EpochDecorrelation _,
@@ -7692,6 +7710,21 @@ object PipelineQueries {
          |  COUNT(DISTINCT raw_fp) AS n_raw_distinct
          |FROM n GROUP BY fp""".stripMargin,
     "p02_minhash_lsh" -> oJaccardPairs(k = 3, threshold = 0.5),
+    "p179_lsh_bucket_audit" ->
+      s"""${oMinhashSigCtes()},
+         |bk AS (
+         |  SELECT b.band, sg.sig[b.band * 2 + 1 : b.band * 2 + 2] AS key
+         |  FROM sg, (SELECT unnest(generate_series(0, 5)) AS band) b),
+         |bc AS (SELECT band, key, COUNT(*) AS n FROM bk GROUP BY band, key)
+         |SELECT CAST(band AS BIGINT) AS band,
+         |  CAST(COUNT(*) AS BIGINT) AS n_buckets,
+         |  CAST(MAX(n) AS BIGINT) AS max_bucket,
+         |  CAST(SUM(CASE WHEN n > 1024 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_oversized,
+         |  CAST(SUM(n * (n - 1) // 2) AS BIGINT) AS pairs_exact,
+         |  CAST(SUM(CASE WHEN n > 1024 THEN n - 1 ELSE n * (n - 1) // 2 END)
+         |    AS BIGINT) AS pairs_capped
+         |FROM bc GROUP BY band""".stripMargin,
     "p03_simhash" ->
       s"""WITH sims AS (
          |  SELECT doc_id, $oSimhash AS sim

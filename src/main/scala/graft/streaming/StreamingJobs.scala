@@ -692,8 +692,8 @@ object StreamingJobs {
       iters: Int): DataFrame = {
     val S = graft.pipeline.Similarity
     val cents = S.centroidsFromMeans(
-        S.kmeansTrain(corpus, "vec_id", "embedding", centroidFilter,
-          iters))
+        graft.pipeline.TrainedIndexStore.kmeansMeans(corpus, "vec_id",
+          "embedding", centroidFilter, iters))
       .collect().toSeq
       .map(r => (r.getLong(0), r.getSeq[Float](1)))
     val best = S.centroidAssignExpr(cents, col("embedding"))

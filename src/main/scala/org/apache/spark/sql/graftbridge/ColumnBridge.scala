@@ -11,4 +11,12 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Deterministic structural rendering of an (unresolved) Column —
+    * the node tree with `Origin`s stripped (`normalized`), so two
+    * Columns built by the same code render identically. Raw
+    * `Expression.toString` is NOT usable as a cache key: every node
+    * carries an `Origin(... StackTraceElement@identityHash ...)`.
+    */
+  def structuralKey(c: Column): String = c.node.normalized.toString
 }

@@ -40,6 +40,66 @@ class DedupRecallSpec extends SparkSpec {
       abs.exceptAll(frac).count() == 0L)
   }
 
+  test("LSH bucket cap: planted identical cluster emits O(B) star pairs") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // 300 byte-identical docs land in ONE bucket per band; with the cap
+    // binding the all-pairs join must degrade to star edges — B-1 rows,
+    // every member connected to the cluster min — never B(B-1)/2
+    val boiler = (1L to 300L).map(i => (i, "lorem ipsum dolor sit amet " +
+      "consectetur adipiscing elit sed do eiusmod tempor"))
+    val distinctDocs = Seq(
+      (900L, "completely different text about spark catalyst planning"),
+      (901L, "another unrelated document mentioning parquet readers"))
+    val df = (boiler ++ distinctDocs).toDF("doc_id", "text")
+    val docs = Dedup.minhashDocs(df, "doc_id", "text", k = 3, numHashes = 12)
+    val pairs = Dedup.minhashPlan(docs, bands = 6, rows = 2,
+      threshold = 0.5, bucketCap = 8).collect()
+    assert(pairs.length == 299, s"expected 299 star pairs, got ${pairs.length}")
+    assert(pairs.forall(r => r.getLong(0) == 1L),
+      "every star pair must anchor at the cluster min id")
+    // the audit card accounts for exactly the replaced pairs
+    val audit = Dedup.lshBucketAudit(df, "doc_id", "text", k = 3,
+      numHashes = 12, bands = 6, bucketCap = 8).collect()
+    assert(audit.forall(_.getAs[Long]("n_oversized") >= 1L))
+    assert(audit.forall(r => r.getAs[Long]("pairs_exact") >= 300L * 299 / 2))
+    assert(audit.forall(r => r.getAs[Long]("pairs_capped") <=
+      r.getAs[Long]("pairs_exact")))
+  }
+
+  test("LSH bucket cap: non-degenerate corpus is pair-identical to uncapped") {
+    val docs = Dedup.minhashDocs(Tables.read(spark, sf001, "documents"),
+      "doc_id", "text", k = 3, numHashes = 12)
+    val capped = Dedup.minhashPlan(docs, bands = 6, rows = 2,
+      threshold = 0.5)
+    val uncapped = Dedup.minhashPlan(docs, bands = 6, rows = 2,
+      threshold = 0.5, bucketCap = Int.MaxValue)
+    assert(capped.exceptAll(uncapped).count() == 0L &&
+      uncapped.exceptAll(capped).count() == 0L)
+  }
+
+  test("Hamming bucket cap: identical fingerprints collapse to star edges") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val cluster = (1L to 200L).map(i => (i, 0x0123456789abcdL))
+    val others = Seq((500L, 0x0123456789abceL), // hamming 2 from cluster
+      (501L, 0x7fffffffffffffL))
+    val hashes = (cluster ++ others).toDF("doc", "sim")
+    val pairs = Dedup.hammingPairs(hashes, "doc", "sim", bits = 56,
+      segments = 8, maxHamming = 3, bucketCap = 8).collect()
+    // stars within the cluster: 199 rows anchored at doc 1; the
+    // near-identical outsider may only surface via the cluster min
+    val inCluster = pairs.filter(r => r.getLong(1) <= 200L)
+    assert(inCluster.length == 199, s"got ${inCluster.length}")
+    assert(inCluster.forall(_.getLong(0) == 1L))
+    // uncapped parity on the non-degenerate part
+    val nonDegenerate = others.toDF("doc", "sim")
+    val a = Dedup.hammingPairs(nonDegenerate, "doc", "sim", 56, 8, 3)
+    val b = Dedup.hammingPairs(nonDegenerate, "doc", "sim", 56, 8, 3,
+      bucketCap = Int.MaxValue)
+    assert(a.exceptAll(b).count() == 0L && b.exceptAll(a).count() == 0L)
+  }
+
   test("count-bound prefilter never drops a qualifying pair (random corpora)") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

@@ -1698,6 +1698,40 @@ class PipelineSpec extends SparkSpec {
     assert(!(w._1 eq a._1))
   }
 
+  test("trained-index store trains once per key across fresh reads") {
+    // TWO INDEPENDENT reads of the same table must share one artifact:
+    // the key is the canonicalized plan + resolved input files, not the
+    // DataFrame reference (every query builds its own read)
+    val embA = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val embB = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val f = col("vec_id") % 25 === 0
+    val a = TrainedIndexStore.kmeansMeans(embA, "vec_id", "embedding", f, 2)
+    val b = TrainedIndexStore.kmeansMeans(embB, "vec_id", "embedding", f, 2)
+    assert(a eq b, "fresh reads of the same table must share the artifact")
+    // bit-equal to a direct train
+    val direct = Similarity.kmeansTrain(embA, "vec_id", "embedding", f, 2)
+      .collect().sortBy(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(a.collect().sortBy(r => (r.getLong(0), r.getLong(1))).toSeq
+      == direct)
+    // different iteration counts / filters are different artifacts
+    val c = TrainedIndexStore.kmeansMeans(embA, "vec_id", "embedding", f, 1)
+    assert(!(c eq a))
+    val d = TrainedIndexStore.kmeansMeans(embA, "vec_id", "embedding",
+      col("vec_id") % 50 === 0, 2)
+    assert(!(d eq a))
+    // a DIFFERENT directory with the same plan shape must NOT collide
+    val other = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val e = TrainedIndexStore.kmeansMeans(other, "vec_id", "embedding", f, 2)
+    assert(!(e eq a))
+    assert(e.count() != a.count() || e.collect().toSet != a.collect().toSet)
+    // PQ books memoize the same way
+    val p = TrainedIndexStore.pqBooks(embA, "vec_id", "embedding", 4, 64,
+      col("vec_id") < 8, 2)
+    val q = TrainedIndexStore.pqBooks(embB, "vec_id", "embedding", 4, 64,
+      col("vec_id") < 8, 2)
+    assert(p eq q)
+  }
+
   test("k-anonymity histogram counts signature equivalence classes") {
     // users 1,2 share signature {a,b}; user 3 is unique {a}; user 4
     // unique {a,b,c} -> k=2 has 1 signature / 2 users, k=1 has 2 / 2

@@ -392,11 +392,19 @@ class PlansSpec extends SparkSpec {
   test("kmeans training keeps every iteration a two-shuffle plan (p22)") {
     // centroid state lives on the driver between iterations, so the
     // FINAL iteration's plan is the same shape as a single update —
-    // no lineage deepening with the iteration count
-    val p = plan(PipelineQueries.p22KmeansTrain(spark, sf0001))
+    // no lineage deepening with the iteration count (pin the RAW
+    // primitive; the public p22 serves from TrainedIndexStore below)
+    val p = plan(graft.pipeline.Similarity.kmeansTrain(
+      spark.read.parquet(s"$sf0001/embeddings.parquet"), "vec_id",
+      "embedding",
+      org.apache.spark.sql.functions.col("vec_id") % 25 === 0, iters = 2))
     assert(!p.contains("Window"), p)
     val exchanges = """[+:]- Exchange \(""".r.findAllIn(p).size
     assert(exchanges <= 2, s"expected <=2 shuffle exchanges, got $exchanges\n$p")
+    // the SERVED means are a centroid-sized local relation: zero
+    // exchanges, zero corpus scans for every consumer after the first
+    val served = plan(PipelineQueries.p22KmeansTrain(spark, sf0001))
+    assert(!served.contains("Exchange"), served)
   }
 
   test("shard export and sequence packing are single-exchange window plans (p31, p32)") {
