@@ -1155,6 +1155,37 @@ object Cli {
         col("vec_id") % 25 === 0, nprobe = 3, thresholdMicro = 200000L), out)
       println(s"""{"stream_embed_neardup":"$out"}""")
 
+    // ANN serving at ingest: the exported IVF-PQ artifacts (the p178
+    // hand-off) answer each arriving query micro-batch through the
+    // SAME batch serving plan (`ivfPqTopKFromArtifacts`), run per
+    // batch via foreachBatch — the idiomatic Spark shape for serving
+    // work whose ranking window is illegal in a continuous append
+    // stream but perfectly legal inside a bounded micro-batch. The
+    // artifacts are exported once from the snapshot; each batch's
+    // plan is stateless (no state store, no watermark), so results
+    // are bit-identical to the batch scan over the same query rows.
+    case "stream-ann" :: dir :: out :: Nil =>
+      val corpus = Tables.read(spark, dir, "embeddings")
+      val artifacts = s"$out/_artifacts"
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(artifacts)))
+        pipeline.Similarity.exportServingIndex(corpus, "vec_id",
+          "embedding", coarseFilter = col("vec_id") % 25 === 0,
+          pqFilter = col("vec_id") < 8, m = 4, dim = 64, artifacts)
+      val annStream = stagedEmbStream(spark, dir, out)
+        .filter(col("vec_id") < 20)
+      val annQ = annStream.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          pipeline.Similarity.ivfPqTopKFromArtifacts(spark, artifacts,
+              batch, "vec_id", "embedding", m = 4, dim = 64, k = 5,
+              nprobe = 4)
+            .write.mode("append").parquet(out)
+        }
+        .option("checkpointLocation", s"$out/_checkpoint")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      annQ.awaitTermination()
+      println(s"""{"stream_ann":"$out"}""")
+
     // online cluster routing: k-means trained once on the snapshot,
     // arriving vectors assigned to trained cells as a stateless
     // folded-literal projection (zero per-batch corpus work)

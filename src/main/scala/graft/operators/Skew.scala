@@ -9,6 +9,34 @@ import org.apache.spark.sql.functions._
   * patients have 1000× the facts) serialize a whole shuffle partition
   * at 100 TB.
   *
+  * ==Why the hot production joins do NOT route through this==
+  *
+  * The person-keyed production paths (the id-map join
+  * [[IdMapping.replaceId]], era input prep, the as-of pairing) rely
+  * on AQE instead, deliberately:
+  *
+  *  - AQE's skew-join splitting handles sort-merge/shuffled-hash JOIN
+  *    skew at runtime with no plan-time knowledge of which keys are
+  *    hot — [[graft.SkewSpec]] pins this with a planted hot person in
+  *    the exact `replaceId` join shape (the executed plan carries
+  *    `skew=true`). A hand-salted join, by contrast, pays the salt
+  *    fan-out on EVERY run, hot keys or not, and bakes a guessed
+  *    factor into the plan.
+  *  - count/sum/min/max AGGREGATION skew is already flattened by
+  *    partial aggregation (map-side combine): the reduce side sees at
+  *    most one row per (key, map partition), so a hot group key
+  *    cannot serialize a reducer. [[saltedCountSum]] only wins for
+  *    non-combining aggregates (collect_list-class), which the
+  *    production paths avoid on person keys.
+  *  - WINDOW partitions (era gaps-and-islands) are not salvageable by
+  *    salting at all — the semantics need every row of the person in
+  *    one place; the bound there is per-person fact count, documented
+  *    at the operator.
+  *
+  * This object is the documented escape hatch for the remaining
+  * cases: non-combining aggregations over hot keys, and environments
+  * running with AQE disabled.
+  *
   * Pattern: append a salt in [0, factor) to the BIG side's key
   * (spreading one hot key over `factor` partitions) and replicate the
   * SMALL side once per salt value, so the equi-join still matches every

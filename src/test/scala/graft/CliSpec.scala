@@ -476,6 +476,26 @@ class CliSpec extends SparkSpec {
     assert(sembGot.exceptAll(sembExp).count() == 0 &&
       sembExp.exceptAll(sembGot).count() == 0 && sembGot.count() > 0)
 
+    // stream-ann: arriving query batches answered FROM the exported
+    // serving artifacts, bit-identical to the batch artifact scan
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$out/sann"))
+    Cli.run(spark, List("stream-ann", sf0001, s"$out/sann"))
+    val sannGot = spark.read.parquet(s"$out/sann")
+    val sannEmb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val sannExp = graft.pipeline.Similarity.ivfPqTopKFromArtifacts(spark,
+      s"$out/sann/_artifacts", sannEmb.filter(col("vec_id") < 20),
+      "vec_id", "embedding", m = 4, dim = 64, k = 5, nprobe = 4)
+    assert(sannGot.exceptAll(sannExp).count() == 0 &&
+      sannExp.exceptAll(sannGot).count() == 0 && sannGot.count() > 0)
+    // and the artifact scan itself matches the in-memory index (the
+    // p178 contract), so stream == batch == in-memory, transitively
+    val sannMem = graft.pipeline.Similarity.ivfPqTopK(sannEmb,
+      sannEmb.filter(col("vec_id") < 20), "vec_id", "embedding",
+      coarseFilter = col("vec_id") % 25 === 0,
+      pqFilter = col("vec_id") < 8, m = 4, dim = 64, k = 5, nprobe = 4)
+    assert(sannGot.exceptAll(sannMem).count() == 0 &&
+      sannMem.exceptAll(sannGot).count() == 0)
+
     // stream-tokenize: a one-shot drain tokenizes exactly like the
     // batch replay encode with the same snapshot-trained merges
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$out/stok"))

@@ -121,24 +121,34 @@ class GuardBandSpec extends SparkSpec {
   }
 
   test("chunk-index bm25 floors sit far from their boundaries (p177)") {
-    // the passage index scores 32-token chunks: nd/avgdl/df/dl are
-    // all NEW floor inputs the document-corpus audit never saw
-    val docs = Tables.read(spark, sf001, "documents")
-    val queries = Retrieval.plantedQueries(docs, "doc_id", "text")
+    // the passage index scores 32-token chunks over the LONG-DOC
+    // fixture (filler-padded documents): nd/avgdl/df/dl are all NEW
+    // floor inputs the document-corpus audit never saw — audit BOTH
+    // the chunk index and the padded whole-document index p177 ranks
+    val base = Tables.read(spark, sf001, "documents")
+    val docs = graft.queries.PipelineQueries.longDocFixture(base)
+    // p177's own 8-token planted queries (see its scaladoc)
+    val queries = Retrieval.plantedSample(base, "doc_id")
+      .select(col("doc_id").as("query_id"),
+        concat_ws(" ", slice(graft.pipeline.TextFunctions.tokens(
+          col("text")), 1, 8)).as("qtext"))
+    val qT = Retrieval.queryTerms(queries, "query_id", "qtext")
     val chunks = graft.pipeline.Curation.chunkDocuments(docs, "doc_id",
         "text", chunkToks = 32, strideToks = 24)
       .select((col("doc_id") * 10000L + col("chunk_seq")).as("cid"),
         col("chunk_text"))
-    val idx = Retrieval.bm25Index(chunks, "cid", "chunk_text")
-    val qT = Retrieval.queryTerms(queries, "query_id", "qtext")
-    val hits = idx.postings
-      .join(qT.select("tok").distinct(), Seq("tok"))
-    val dfc = hits.groupBy("tok").agg(count(lit(1)).as("df"))
-    val cand = hits.join(dfc, Seq("tok"))
-      .join(idx.doclen, Seq("doc_id")).crossJoin(idx.stats)
-    val d = minBoundaryDist(cand,
-      Retrieval.contribDouble(Retrieval.Bm25Params()))
-    assert(d > EPS, s"chunk bm25 contrib within $d of a floor boundary")
+    for ((tag, idx) <- Seq(
+        "chunk" -> Retrieval.bm25Index(chunks, "cid", "chunk_text"),
+        "paddedDoc" -> Retrieval.bm25Index(docs, "doc_id", "text"))) {
+      val hits = idx.postings
+        .join(qT.select("tok").distinct(), Seq("tok"))
+      val dfc = hits.groupBy("tok").agg(count(lit(1)).as("df"))
+      val cand = hits.join(dfc, Seq("tok"))
+        .join(idx.doclen, Seq("doc_id")).crossJoin(idx.stats)
+      val d = minBoundaryDist(cand,
+        Retrieval.contribDouble(Retrieval.Bm25Params()))
+      assert(d > EPS, s"$tag bm25 contrib within $d of a floor boundary")
+    }
   }
 
   test("probe cosine floors sit far from their boundaries (p169, p170)") {

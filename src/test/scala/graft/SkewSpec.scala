@@ -25,6 +25,46 @@ class SkewSpec extends SparkSpec {
     assert(saltedLeft == plainLeft)
   }
 
+  test("AQE splits a planted hot person in the id-map join shape") {
+    // the justification for NOT hand-salting the production id-map
+    // join (see Skew's scaladoc): plant one person carrying ~all the
+    // facts, run the exact replaceId join shape un-broadcast, and pin
+    // that AQE's runtime skew handling engaged (skew=true in the
+    // executed sort-merge join) while the result stays exact
+    val prev = spark.conf.get("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
+    val prevF = spark.conf.get("spark.sql.adaptive.skewJoin.skewedPartitionFactor")
+    val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevC = spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    try {
+      // thresholds low enough that the planted skew trips them on a
+      // test-sized frame (production defaults need multi-GB partitions)
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "20KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "10KB")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val hot = (1 to 60000).map(i =>
+        (1L, i.toLong, "payloadpayloadpayloadpayloadpayload"))
+      val tail = (1 to 200).map(i => ((i % 50 + 2).toLong, i.toLong, "x"))
+      val facts = (hot ++ tail).toDF("person_id", "fact_id", "payload")
+      val idMap = (1L to 60L).map(p => (p, p + 9000L))
+        .toDF("site_id", "dcc_id")
+      val joined = graft.operators.IdMapping.replaceId(
+        facts, "person_id", idMap, nullable = false)
+      // execute THIS Dataset's own plan (a count() builds a separate
+      // QueryExecution and would leave this one un-adapted), then read
+      // the final adaptive plan
+      assert(joined.collect().length == 60200)
+      val executed = joined.queryExecution.executedPlan.toString
+      assert(executed.contains("skew=true"),
+        s"expected AQE skew-split in the executed join:\n$executed")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", prev)
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", prevF)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", prevC)
+    }
+  }
+
   test("salted aggregation equals the plain aggregation") {
     val df = ((1 to 1000).map(i => (1L, i.toLong)) ++
       (1 to 50).map(i => (2L, i.toLong))).toDF("k", "v")

@@ -95,47 +95,69 @@ def main():
     if sys.argv[1] == "--sweep":
         sweep(sys.argv[2], sys.argv[3])
         return
-    sf_dir, out_dir = sys.argv[1], sys.argv[2]
-    only = set(sys.argv[3:])
+    # --json-out FILE: write a durable per-query verdict artifact (the
+    # committed CORRECTNESS_local_r{N}.json the round close checks in).
+    # An empty result set is a FAILURE: round 12 shipped with an empty
+    # driver artifact, and this flag exists so that can never look green.
+    args = sys.argv[1:]
+    json_out = None
+    if "--json-out" in args:
+        i = args.index("--json-out")
+        json_out = args[i + 1]
+        args = args[:i] + args[i + 2:]
+    sf_dir, out_dir = args[0], args[1]
+    only = set(args[2:])
     con = connect(sf_dir)
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
+    results = {}
+    def fail(name, msg):
+        print(f"FAIL {name}: {msg}")
+        results[name] = f"fail: {msg.splitlines()[0][:160]}"
     for name, sql in sorted(oracle.items()):
         if only and name not in only:
             continue
         bad = bad_types(con, sql)
         if bad:
-            print(f"FAIL {name}: non-portable oracle types {bad}")
+            fail(name, f"non-portable oracle types {bad}")
             n_fail += 1
             continue
         spark_files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not spark_files:
-            print(f"FAIL {name}: no spark output")
+            fail(name, "no spark output")
             n_fail += 1
             continue
         got = norm(pd.concat([pd.read_parquet(f) for f in spark_files]))
         try:
             exp = norm(con.execute(sql).df())
         except Exception as e:
-            print(f"FAIL {name}: oracle error {e}")
+            fail(name, f"oracle error {e}")
             n_fail += 1
             continue
         if list(got.columns) != list(exp.columns):
-            print(f"FAIL {name}: columns {list(got.columns)} != {list(exp.columns)}")
+            fail(name, f"columns {list(got.columns)} != {list(exp.columns)}")
             n_fail += 1
         elif len(got) != len(exp):
-            print(f"FAIL {name}: rows {len(got)} != {len(exp)}")
+            fail(name, f"rows {len(got)} != {len(exp)}")
             n_fail += 1
         elif not got.equals(exp):
             diff = (got != exp).any(axis=1)
             i = diff.idxmax()
-            print(f"FAIL {name}: value mismatch at row {i}:\n  spark={got.loc[i].to_dict()}\n  duck ={exp.loc[i].to_dict()}")
+            fail(name, f"value mismatch at row {i}:\n  spark={got.loc[i].to_dict()}\n  duck ={exp.loc[i].to_dict()}")
             n_fail += 1
         else:
             print(f"PASS {name} ({len(got)} rows)")
+            results[name] = "pass"
             n_pass += 1
     print(f"== {n_pass} pass, {n_fail} fail")
-    sys.exit(1 if n_fail else 0)
+    ok = n_fail == 0 and n_pass > 0
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump({"sf_dir": sf_dir, "n_pass": n_pass, "n_fail": n_fail,
+                       "green": ok, "queries": results}, f, indent=1,
+                      sort_keys=True)
+        print(f"== wrote {json_out} (green={ok})")
+    sys.exit(0 if ok else 1)
 
 
 if __name__ == "__main__":
