@@ -667,8 +667,7 @@ object Cli {
       val man = pipeline.Curation.globalShardManifest(docs, "doc_id",
         "text", shardToks = 4096L)
       pipeline.Shards.write(docs, "doc_id", "text", man, shardDir)
-      write(pipeline.Shards.certify(
-        pipeline.Shards.read(spark, shardDir)), out)
+      write(pipeline.Shards.certify(spark, shardDir), out)
     case "export-index" :: dir :: indexDir :: out :: Nil =>
       pipeline.Similarity.exportServingIndex(
         Tables.read(spark, dir, "embeddings"), "vec_id", "embedding",

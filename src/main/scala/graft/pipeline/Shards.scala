@@ -67,9 +67,16 @@ object Shards {
       compression: Option[String] = None): Unit = {
     val cut = deltaManifest.agg(
       min(col("chunk_idx")).as("__first_new"))
+    // an EMPTY delta would make the min NULL, the >= comparison drop
+    // every row, and the append silently no-op — a mis-wired delta
+    // frame must fail loudly instead (in-plan, no driver-side count)
+    val firstNew = when(col("__first_new").isNull,
+        raise_error(lit(
+          "writeAppend: deltaManifest is empty — nothing to append")))
+      .otherwise(col("__first_new"))
     val affected = manifest
       .crossJoin(broadcast(cut))
-      .filter(col("chunk_idx") >= col("__first_new"))
+      .filter(col("chunk_idx") >= firstNew)
       .drop("__first_new")
     val rows = docs
       .select(col(idCol).as("doc_id"), col(textCol).as("text"))
@@ -97,31 +104,51 @@ object Shards {
       .option("columnNameOfCorruptRecord", "_corrupt")
       .json(path)
 
-  /** Per-read-partition physical-order audit: the number of adjacent
-    * same-shard row pairs whose `chunk_off` DECREASES in read order.
+  /** Physical-order audit: the number of adjacent row pairs WITHIN A
+    * SHARD FILE whose `chunk_off` decreases in the file's byte order.
     * Zero certifies the files stream in manifest order — the property
     * a sequential trainer depends on and the one thing a stored
     * column cannot prove (a scrambled file would still carry correct
-    * offsets). mapPartitions is the honest tool here: the quantity IS
-    * the physical iterator order, which no declarative plan observes;
-    * the scan stays zero-shuffle and emits one row per partition.
+    * offsets).
+    *
+    * Each file is read WHOLE (`wholeTextFiles` is non-splittable by
+    * construction): a DataFrame scan over a file larger than
+    * `maxPartitionBytes` splits it across read partitions, and an
+    * adjacent-pairs count inside partitions would never see an
+    * out-of-order pair straddling the split boundary — the audit
+    * could pass on a corrupted file. The audited contract is
+    * per-file order (a chunk directory holds one part file per
+    * write; if several coexisted, their interleaving at read time is
+    * reader-chosen and not a file property). Lines that fail to
+    * parse are skipped here — [[certify]]'s clean-row counts surface
+    * corruption separately. Imperative parsing is the honest tool:
+    * the quantity IS the physical byte order, which no declarative
+    * plan observes; one task per file, zero shuffles, one row each.
     */
-  def orderInversions(back: DataFrame): DataFrame = {
-    val s = back.sparkSession
-    import s.implicits._
-    back.select(col("chunk_idx"), col("chunk_off"))
-      .filter(col("chunk_idx").isNotNull && col("chunk_off").isNotNull)
-      .as[(Long, Long)]
-      .mapPartitions { it =>
+  def orderInversions(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val invs = spark.sparkContext
+      .wholeTextFiles(s"$path/chunk_idx=*")
+      .map { case (_, content) =>
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
         var inv = 0L
-        var prev: Option[(Long, Long)] = None
-        for (cur <- it) {
-          if (prev.exists(p => p._1 == cur._1 && p._2 > cur._2)) inv += 1
-          prev = Some(cur)
+        var prev = Long.MinValue
+        for (line <- content.split('\n').iterator if line.nonEmpty) {
+          val off =
+            try {
+              val n = mapper.readTree(line)
+              val f = if (n == null) null else n.get("chunk_off")
+              if (f == null || !f.canConvertToLong) Long.MinValue
+              else f.asLong()
+            } catch { case _: Exception => Long.MinValue }
+          if (off != Long.MinValue) {
+            if (off < prev) inv += 1
+            prev = off
+          }
         }
-        Iterator.single(inv)
+        inv
       }
-      .toDF("inv")
+    spark.createDataset(invs).toDF("inv")
       .agg(coalesce(sum(col("inv")), lit(0L)).as("order_inversions"))
   }
 
@@ -135,7 +162,8 @@ object Shards {
     * the source corpus, so any loss of membership, content, offset,
     * or row order hash-mismatches the gate.
     */
-  def certify(back: DataFrame): DataFrame = {
+  def certify(spark: SparkSession, path: String): DataFrame = {
+    val back = read(spark, path)
     // the clean-row filter ALSO anchors on a data column: under
     // aggressive column pruning (e.g. a bare count() over this card)
     // a filter referencing only `_corrupt` leaves the JSON scan with
@@ -155,6 +183,6 @@ object Shards {
         sum(size(TextFunctions.tokens(col("text"))).cast("long"))
           .as("n_toks"),
         sum(col("term")).as("shard_sum"))
-    sums.crossJoin(broadcast(orderInversions(back)))
+    sums.crossJoin(broadcast(orderInversions(spark, path)))
   }
 }

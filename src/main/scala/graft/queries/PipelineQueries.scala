@@ -2872,21 +2872,130 @@ object PipelineQueries {
     * added/removed/modified/unchanged), doc counts and token mass
     * both sides). Release 2 is derived deterministically from the
     * corpus: every doc_id % 7 == 2 removed, % 7 == 3 gets its text
-    * amended, and % 7 == 4 additionally ships a NEW document (id +
-    * 10⁶). One full-outer id join + rollup; "modified" keys on the
+    * amended, and % 7 == 4 additionally ships a NEW document (id
+    * offset past the in-plan max id, so new ids never collide with
+    * real ones at any corpus size). One full-outer id join + rollup;
+    * "modified" keys on the
     * content fingerprint, so a whitespace-only change doesn't count.
     * The oracle replays release construction, the fingerprint
     * comparison, and the rollup.
     */
+  /** Release sign-off composite (p180): the ONE long-format table a
+    * release manager reads before committing a corpus release — every
+    * row is (section, item, metric, value):
+    *
+    *  - `dedup_impact`: p107's cluster-size buckets (what min-id
+    *    canonicalization removes),
+    *  - `threshold_sweep`: qualifying pair counts at the p125
+    *    thresholds (how sensitive the cut is),
+    *  - `source_dup`: p151's per-source dup triage,
+    *  - `retrieval`: p156's full-vs-deduped BM25 scorecard (what the
+    *    cut costs/buys downstream),
+    *  - `release_diff`: p175's version change log.
+    *
+    * The sharing discipline (p130's): the expensive near-dup PAIR set
+    * and its transitive-closure DECISIONS materialize exactly ONCE
+    * and feed the first four sections — standalone, those queries
+    * each rebuild both. Values are bit-identical to the standalone
+    * cards; the oracle certifies that by replaying each section
+    * through the standalone oracles, melted to the same long format.
+    */
+  def p180ReleaseSignoff(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    def melt(df: DataFrame, section: String,
+        item: org.apache.spark.sql.Column,
+        metrics: Seq[String]): DataFrame =
+      df.select(lit(section).as("section"),
+          item.cast("string").as("item"),
+          explode(map(metrics.flatMap(m =>
+            Seq(lit(m), col(m).cast("long"))): _*)).as(Seq("metric", "value")))
+    val pairs0 = Dedup.ngramJaccardPairs(docs, "doc_id", "text", k = 4,
+      threshold = 0.4, maxShingleFreqFrac = Some(0.1))
+    val parts = graft.core.Caching.withCachedMulti(pairs0) {
+      val dec0 = ConnectedComponents.dedupDecisions(
+        pairs0.select(col("doc_a").as("u"), col("doc_b").as("v")))
+      graft.core.Caching.withCachedMulti(dec0) {
+        val toks = docs.select(col("doc_id"),
+          size(TF.tokens(col("text"))).cast("long").as("n_toks"))
+        // p107's bucket rollup, off the shared decisions
+        val impact = dec0.join(toks, col("node") === col("doc_id"))
+          .groupBy(col("component"))
+          .agg(count(lit(1)).as("cluster_size"),
+            sum(when(col("keep") === 0, col("n_toks")).otherwise(0L))
+              .as("toks_removed"))
+          .withColumn("bucket",
+            when(col("cluster_size") === 2, "2")
+              .when(col("cluster_size") <= 4, "3-4")
+              .when(col("cluster_size") <= 8, "5-8")
+              .otherwise("9+"))
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n_clusters"),
+            sum(col("cluster_size")).as("n_docs"),
+            sum(col("cluster_size") - 1).as("n_docs_removed"),
+            sum(col("toks_removed")).as("toks_removed"))
+        // pair counts at the p125 thresholds, off the shared pairs
+        val sweep = Seq(40, 90, 96, 98).map { tPct =>
+          pairs0.filter(col("jaccard_micro") >= tPct * 10000L)
+            .agg(count(lit(1)).as("n_pairs"))
+            .select(lit(tPct.toLong).as("threshold_pct"), col("n_pairs"))
+        }.reduce(_.unionByName(_))
+        // p151's per-source triage, off the shared decisions
+        val bySource = docs.select(col("doc_id"), col("source"),
+            size(TF.tokens(col("text"))).cast("long").as("n_toks"))
+          .join(dec0.select(col("node").as("doc_id"), col("keep")),
+            Seq("doc_id"), "left")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("keep").isNotNull, 1L).otherwise(0L))
+              .as("n_clustered"),
+            sum(when(col("keep") === 0, 1L).otherwise(0L)).as("n_dropped"),
+            sum(when(col("keep") === 0, col("n_toks")).otherwise(0L))
+              .as("toks_dropped"))
+          .withColumn("dup_rate_micro", call_function("div",
+            col("n_clustered") * lit(1000000L), col("n_docs")))
+        // p156's retrieval impact, drop set off the shared decisions
+        val queries = Retrieval.plantedQueries(docs, "doc_id", "text")
+        val dropped = dec0.filter(col("keep") === 0)
+          .select(col("node").as("doc_id"))
+        val deduped = docs.join(dropped, Seq("doc_id"), "left_anti")
+        def card(tag: String, corpus: DataFrame) =
+          Retrieval.rankingScorecard(
+            Retrieval.bm25TopK(corpus, "doc_id", "text",
+              queries, "query_id", "qtext", k = 10),
+            tag, topK = 10)
+        val retrieval = card("full", docs)
+          .unionByName(card("dedup_minid", deduped))
+        Seq(
+          melt(impact, "dedup_impact", col("bucket"),
+            Seq("n_clusters", "n_docs", "n_docs_removed", "toks_removed")),
+          melt(sweep, "threshold_sweep", col("threshold_pct"),
+            Seq("n_pairs")),
+          melt(bySource, "source_dup", col("source"),
+            Seq("n_docs", "n_clustered", "n_dropped", "toks_dropped",
+              "dup_rate_micro")),
+          melt(retrieval, "retrieval", col("method"),
+            Seq("n_queries", "n_hits", "mrr_micro", "ndcg_micro")))
+      }
+    }
+    val releaseDiff = melt(p175ReleaseDiff(s, dir), "release_diff",
+      concat(col("source"), lit("|"), col("status")),
+      Seq("n_docs", "n_toks_old", "n_toks_new"))
+    (parts :+ releaseDiff).reduce(_.unionByName(_))
+  }
+
   def p175ReleaseDiff(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
+    // new-document ids sit PAST the in-plan max(doc_id) (single-row
+    // broadcast): a fixed +10^6 offset would collide with real ids at
+    // corpora of a million documents, duplicating full-outer join keys
+    val mx = broadcast(docs.agg(max(col("doc_id")).as("__max_id")))
     val rel2 = docs.filter(col("doc_id") % 7 =!= 2)
       .select(col("doc_id"), col("source"),
         when(col("doc_id") % 7 === 3,
           concat(col("text"), lit(" release2 amendment")))
           .otherwise(col("text")).as("text"))
-      .unionByName(docs.filter(col("doc_id") % 7 === 4)
-        .select(col("doc_id") + lit(1000000L), col("source"),
+      .unionByName(docs.filter(col("doc_id") % 7 === 4).crossJoin(mx)
+        .select(col("doc_id") + col("__max_id") + lit(1L), col("source"),
           concat(col("text"), lit(" brand new document")).as("text"))
         .toDF("doc_id", "source", "text"))
     Curation.releaseDiff(docs, rel2, "doc_id", "text", "source")
@@ -2920,7 +3029,7 @@ object PipelineQueries {
     graft.pipeline.Shards.writeAppend(docs, "doc_id", "text", appended,
       appended.join(delta.select("doc_id"), Seq("doc_id"), "left_semi"),
       tmp)
-    graft.pipeline.Shards.certify(graft.pipeline.Shards.read(s, tmp))
+    graft.pipeline.Shards.certify(s, tmp)
   }
 
   /** Shard mixture audit (p165): the QA card over the p163 manifest —
@@ -3072,12 +3181,21 @@ object PipelineQueries {
     * other's export mid-read. Driver-side path derivation only — no
     * query result ever sees it.
     */
+  private val scratchNonce = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Per-INVOCATION scratch path: (tag, corpus dir, application) name
+    * the workload; the nonce isolates concurrent or repeated
+    * invocations of the same query inside one application (parallel
+    * test/bench runs would otherwise interleave overwrite-while-read
+    * on a shared /tmp path).
+    */
   private def scratchDir(s: SparkSession, dir: String,
       tag: String): String = {
     val dirKey = java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).take(8)
       .map(b => f"${b & 0xff}%02x").mkString
-    s"/tmp/graft_${tag}_${dirKey}_" + s.sparkContext.applicationId
+    s"/tmp/graft_${tag}_${dirKey}_" + s.sparkContext.applicationId +
+      s"_n${scratchNonce.getAndIncrement()}"
   }
 
   /** Shard-file materialization (p171): the corpus WRITTEN as actual
@@ -3101,7 +3219,7 @@ object PipelineQueries {
       shardToks = 4096L)
     val tmp = scratchDir(s, dir, "shard_files")
     graft.pipeline.Shards.write(docs, "doc_id", "text", man, tmp)
-    graft.pipeline.Shards.certify(graft.pipeline.Shards.read(s, tmp))
+    graft.pipeline.Shards.certify(s, tmp)
   }
 
   def p167JsonlRoundtrip(s: SparkSession, dir: String): DataFrame = {
@@ -4288,6 +4406,7 @@ object PipelineQueries {
     "p177_passage_retrieval" -> p177PassageRetrieval _,
     "p178_index_export" -> p178IndexExport _,
     "p179_lsh_bucket_audit" -> p179LshBucketAudit _,
+    "p180_release_signoff" -> p180ReleaseSignoff _,
     "p164_crop_pairs" -> p164CropPairs _,
     "p165_shard_mix" -> p165ShardMix _,
     "p166_epoch_decorrelation" -> p166EpochDecorrelation _,
@@ -5844,8 +5963,115 @@ object PipelineQueries {
     sb.toString.stripMargin
   }
 
+  private def oSourceDupRates: String =
+    s"""WITH RECURSIVE sh AS (
+           |  SELECT doc_id, ${oShingles(4)} AS sh
+           |  FROM (SELECT doc_id, $oToks AS toks FROM documents)),
+           |pairs AS (
+           |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           |  WHERE len(list_intersect(a.sh, b.sh))
+           |      / CAST(len(list_distinct(list_concat(a.sh, b.sh)))
+           |             AS DOUBLE) >= 0.4),
+           |edges AS (
+           |  SELECT doc_a AS u, doc_b AS v FROM pairs
+           |  UNION SELECT doc_b, doc_a FROM pairs),
+           |reach(u, v) AS (
+           |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+           |  UNION
+           |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+           |dec AS (SELECT u AS doc_id,
+           |    CASE WHEN u = MIN(v) THEN 1 ELSE 0 END AS keep
+           |  FROM reach GROUP BY u),
+           |nt AS (SELECT doc_id, source,
+           |    CAST(len($oToks) AS BIGINT) AS n_toks FROM documents)
+           |SELECT nt.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |  CAST(SUM(CASE WHEN dec.doc_id IS NOT NULL THEN 1 ELSE 0
+           |    END) AS BIGINT) AS n_clustered,
+           |  CAST(SUM(CASE WHEN dec.keep = 0 THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_dropped,
+           |  CAST(SUM(CASE WHEN dec.keep = 0 THEN nt.n_toks ELSE 0
+           |    END) AS BIGINT) AS toks_dropped,
+           |  (CAST(SUM(CASE WHEN dec.doc_id IS NOT NULL THEN 1 ELSE 0
+           |    END) AS BIGINT) * 1000000) // CAST(COUNT(*) AS BIGINT)
+           |    AS dup_rate_micro
+           |FROM nt LEFT JOIN dec ON nt.doc_id = dec.doc_id
+           |GROUP BY nt.source""".stripMargin
+
+  private def oReleaseDiffCard: String =
+    s"""WITH oldr AS (
+           |  SELECT doc_id, source,
+           |    substr(md5(array_to_string($oToks, ' ')), 1, 16) AS fp,
+           |    CAST(len($oToks) AS BIGINT) AS nt
+           |  FROM documents),
+           |r2 AS (
+           |  SELECT doc_id, source,
+           |    CASE WHEN doc_id % 7 = 3
+           |         THEN text || ' release2 amendment' ELSE text END
+           |      AS text
+           |  FROM documents WHERE doc_id % 7 != 2
+           |  UNION ALL
+           |  SELECT doc_id + (SELECT MAX(doc_id) + 1 FROM documents),
+           |    source,
+           |    text || ' brand new document' AS text
+           |  FROM documents WHERE doc_id % 7 = 4),
+           |newr AS (
+           |  SELECT doc_id, source,
+           |    substr(md5(array_to_string($oToks, ' ')), 1, 16) AS fp,
+           |    CAST(len($oToks) AS BIGINT) AS nt
+           |  FROM r2),
+           |j AS (
+           |  SELECT COALESCE(n.source, o.source) AS source,
+           |    CASE WHEN o.fp IS NULL THEN 'added'
+           |         WHEN n.fp IS NULL THEN 'removed'
+           |         WHEN o.fp != n.fp THEN 'modified'
+           |         ELSE 'unchanged' END AS status,
+           |    COALESCE(o.nt, 0) AS nt_o, COALESCE(n.nt, 0) AS nt_n
+           |  FROM oldr o FULL OUTER JOIN newr n ON o.doc_id = n.doc_id)
+           |SELECT source, status, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |  CAST(SUM(nt_o) AS BIGINT) AS n_toks_old,
+           |  CAST(SUM(nt_n) AS BIGINT) AS n_toks_new,
+           |  CAST(SUM(nt_n) - SUM(nt_o) AS BIGINT) AS tok_delta
+           |FROM j GROUP BY source, status""".stripMargin
+
+  /** The p180 oracle: each section is the STANDALONE card's oracle,
+    * embedded verbatim as a derived table and melted to the composite's
+    * (section, item, metric, value) long format — so the composite is
+    * certified to be exactly the standalone cards, reshaped.
+    */
+  private def oReleaseSignoff: String = {
+    def melt(section: String, itemSql: String, inner: String,
+        metrics: Seq[String]): String =
+      metrics.map { m =>
+        s"""SELECT '$section' AS section,
+           |  CAST($itemSql AS VARCHAR) AS item, '$m' AS metric,
+           |  CAST($m AS BIGINT) AS value FROM ($inner)""".stripMargin
+      }.mkString("\nUNION ALL\n")
+    val sweep = Seq(40, 90, 96, 98).map { t =>
+      s"""SELECT 'threshold_sweep' AS section,
+         |  CAST($t AS VARCHAR) AS item, 'n_pairs' AS metric,
+         |  CAST(COUNT(*) AS BIGINT) AS value
+         |  FROM (${oJaccardPairs(k = 4, threshold = 0.4)})
+         |  WHERE jaccard_micro >= ${t}0000""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    Seq(
+      melt("dedup_impact", "bucket", oracle0("p107_dedup_impact"),
+        Seq("n_clusters", "n_docs", "n_docs_removed", "toks_removed")),
+      sweep,
+      melt("source_dup", "source", oSourceDupRates,
+        Seq("n_docs", "n_clustered", "n_dropped", "toks_dropped",
+          "dup_rate_micro")),
+      melt("retrieval", "method", oDedupRetrievalImpact,
+        Seq("n_queries", "n_hits", "mrr_micro", "ndcg_micro")),
+      melt("release_diff", "source || '|' || status",
+        oReleaseDiffCard,
+        Seq("n_docs", "n_toks_old", "n_toks_new"))
+    ).mkString("\nUNION ALL\n")
+  }
+
   def oracle: Map[String, String] =
     oracle0 + ("p56_ann_recall" -> oAnnRecall) +
+      ("p180_release_signoff" -> oReleaseSignoff) +
       ("p66_quality_funnel" -> oQualityFunnel) +
       ("p79_clustered_recall" -> oClusteredRecall) +
       ("p81_nb_classifier" -> oNbClassifier) +
@@ -6401,40 +6627,7 @@ object PipelineQueries {
            |  CASE WHEN epochs_micro > 4000000 THEN CAST(1 AS BIGINT)
            |       ELSE CAST(0 AS BIGINT) END AS over_cap
            |FROM y""".stripMargin) +
-      ("p151_source_dup_rates" ->
-        s"""WITH RECURSIVE sh AS (
-           |  SELECT doc_id, ${oShingles(4)} AS sh
-           |  FROM (SELECT doc_id, $oToks AS toks FROM documents)),
-           |pairs AS (
-           |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-           |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-           |  WHERE len(list_intersect(a.sh, b.sh))
-           |      / CAST(len(list_distinct(list_concat(a.sh, b.sh)))
-           |             AS DOUBLE) >= 0.4),
-           |edges AS (
-           |  SELECT doc_a AS u, doc_b AS v FROM pairs
-           |  UNION SELECT doc_b, doc_a FROM pairs),
-           |reach(u, v) AS (
-           |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
-           |  UNION
-           |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
-           |dec AS (SELECT u AS doc_id,
-           |    CASE WHEN u = MIN(v) THEN 1 ELSE 0 END AS keep
-           |  FROM reach GROUP BY u),
-           |nt AS (SELECT doc_id, source,
-           |    CAST(len($oToks) AS BIGINT) AS n_toks FROM documents)
-           |SELECT nt.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
-           |  CAST(SUM(CASE WHEN dec.doc_id IS NOT NULL THEN 1 ELSE 0
-           |    END) AS BIGINT) AS n_clustered,
-           |  CAST(SUM(CASE WHEN dec.keep = 0 THEN 1 ELSE 0 END)
-           |    AS BIGINT) AS n_dropped,
-           |  CAST(SUM(CASE WHEN dec.keep = 0 THEN nt.n_toks ELSE 0
-           |    END) AS BIGINT) AS toks_dropped,
-           |  (CAST(SUM(CASE WHEN dec.doc_id IS NOT NULL THEN 1 ELSE 0
-           |    END) AS BIGINT) * 1000000) // CAST(COUNT(*) AS BIGINT)
-           |    AS dup_rate_micro
-           |FROM nt LEFT JOIN dec ON nt.doc_id = dec.doc_id
-           |GROUP BY nt.source""".stripMargin) +
+      ("p151_source_dup_rates" -> oSourceDupRates) +
       ("p152_split_leakage" ->
         s"""WITH RECURSIVE sh AS (
            |  SELECT doc_id, ${oShingles(4)} AS sh
@@ -6879,40 +7072,7 @@ object PipelineQueries {
            |  array_to_string(toks[chunk_seq * 24 + 1 :
            |    chunk_seq * 24 + 32], ' ') AS chunk_text
            |FROM x""".stripMargin) +
-      ("p175_release_diff" ->
-        s"""WITH oldr AS (
-           |  SELECT doc_id, source,
-           |    substr(md5(array_to_string($oToks, ' ')), 1, 16) AS fp,
-           |    CAST(len($oToks) AS BIGINT) AS nt
-           |  FROM documents),
-           |r2 AS (
-           |  SELECT doc_id, source,
-           |    CASE WHEN doc_id % 7 = 3
-           |         THEN text || ' release2 amendment' ELSE text END
-           |      AS text
-           |  FROM documents WHERE doc_id % 7 != 2
-           |  UNION ALL
-           |  SELECT doc_id + 1000000, source,
-           |    text || ' brand new document' AS text
-           |  FROM documents WHERE doc_id % 7 = 4),
-           |newr AS (
-           |  SELECT doc_id, source,
-           |    substr(md5(array_to_string($oToks, ' ')), 1, 16) AS fp,
-           |    CAST(len($oToks) AS BIGINT) AS nt
-           |  FROM r2),
-           |j AS (
-           |  SELECT COALESCE(n.source, o.source) AS source,
-           |    CASE WHEN o.fp IS NULL THEN 'added'
-           |         WHEN n.fp IS NULL THEN 'removed'
-           |         WHEN o.fp != n.fp THEN 'modified'
-           |         ELSE 'unchanged' END AS status,
-           |    COALESCE(o.nt, 0) AS nt_o, COALESCE(n.nt, 0) AS nt_n
-           |  FROM oldr o FULL OUTER JOIN newr n ON o.doc_id = n.doc_id)
-           |SELECT source, status, CAST(COUNT(*) AS BIGINT) AS n_docs,
-           |  CAST(SUM(nt_o) AS BIGINT) AS n_toks_old,
-           |  CAST(SUM(nt_n) AS BIGINT) AS n_toks_new,
-           |  CAST(SUM(nt_n) - SUM(nt_o) AS BIGINT) AS tok_delta
-           |FROM j GROUP BY source, status""".stripMargin) +
+      ("p175_release_diff" -> oReleaseDiffCard) +
       ("p174_shard_append" ->
         // the p172 append manifest + the p171 checksum rollup: the
         // incrementally-extended shard directory must certify exactly

@@ -1798,7 +1798,7 @@ class PipelineSpec extends SparkSpec {
       // complete and uncorrupted
       assert(back.filter(col("_corrupt").isNotNull).count() == 0)
       assert(back.count() == docs.count())
-      val cert = Shards.certify(back).cache()
+      val cert = Shards.certify(spark, tmp).cache()
       try {
         // physical row order matches the manifest order
         assert(cert.agg(max("order_inversions")).as[Long].head() == 0L)
@@ -1860,9 +1860,9 @@ class PipelineSpec extends SparkSpec {
     assert(new java.io.File(gz).listFiles()
       .filter(_.isDirectory).flatMap(_.listFiles())
       .exists(_.getName.endsWith(".json.gz")))
-    val cp = Shards.certify(Shards.read(spark, plain))
+    val cp = Shards.certify(spark, plain)
       .orderBy("chunk_idx").collect().toSeq
-    val cz = Shards.certify(Shards.read(spark, gz))
+    val cz = Shards.certify(spark, gz)
       .orderBy("chunk_idx").collect().toSeq
     assert(cp == cz && cp.nonEmpty)
   }
@@ -1914,22 +1914,55 @@ class PipelineSpec extends SparkSpec {
       .select("doc_id", "text", "chunk_idx", "chunk_off")
     assert(incRows.except(fullRows).isEmpty &&
       fullRows.except(incRows).isEmpty)
-    val ci = Shards.certify(Shards.read(spark, inc)).orderBy("chunk_idx")
+    val ci = Shards.certify(spark, inc).orderBy("chunk_idx")
       .collect().toSeq
-    val cf = Shards.certify(Shards.read(spark, full)).orderBy("chunk_idx")
+    val cf = Shards.certify(spark, full).orderBy("chunk_idx")
       .collect().toSeq
     assert(ci == cf)
   }
 
   test("shard order audit counts inversions — a scrambled shard is caught") {
-    // one partition, offsets deliberately out of order within chunk 0;
-    // chunk 1 ordered — exactly one adjacent same-chunk decrease
-    val scrambled = Seq((0L, 5L), (0L, 2L), (1L, 0L), (1L, 3L))
-      .toDF("chunk_idx", "chunk_off").coalesce(1)
-    assert(Shards.orderInversions(scrambled).as[Long].head() == 1L)
-    val ordered = Seq((0L, 2L), (0L, 5L), (1L, 0L), (1L, 3L))
-      .toDF("chunk_idx", "chunk_off").coalesce(1)
-    assert(Shards.orderInversions(ordered).as[Long].head() == 0L)
+    // write the shard FILES by hand: chunk 0 scrambled (one decrease),
+    // chunk 1 ordered — the audit reads the files themselves
+    val dir = java.nio.file.Files.createTempDirectory("ordaudit").toString
+    def writeChunk(idx: Int, offs: Seq[Long]): Unit = {
+      val d = java.nio.file.Paths.get(dir, s"chunk_idx=$idx")
+      java.nio.file.Files.createDirectories(d)
+      val lines = offs.map(o =>
+        s"""{"doc_id":$o,"text":"t $o","chunk_off":$o}""").mkString("\n")
+      java.nio.file.Files.write(d.resolve("part-00000.json"),
+        lines.getBytes("UTF-8"))
+    }
+    writeChunk(0, Seq(5L, 2L, 7L))
+    writeChunk(1, Seq(0L, 3L))
+    assert(Shards.orderInversions(spark, dir).as[Long].head() == 1L)
+    writeChunk(0, Seq(2L, 5L, 7L))
+    assert(Shards.orderInversions(spark, dir).as[Long].head() == 0L)
+  }
+
+  test("shard order audit survives files larger than a read split") {
+    // the regression the frame-based audit had: an out-of-order pair
+    // STRADDLING a DataFrame-scan split boundary was never compared
+    // (adjacent pairs were only counted within read partitions). The
+    // file-based audit reads each file whole, so the straddling pair
+    // is caught no matter how small maxPartitionBytes is.
+    val dir = java.nio.file.Files.createTempDirectory("ordsplit").toString
+    val d = java.nio.file.Paths.get(dir, "chunk_idx=0")
+    java.nio.file.Files.createDirectories(d)
+    // ~100 KB of ordered rows, then ONE inverted pair at the very end
+    val pad = "x" * 200
+    val lines = ((0L until 500L).map(o =>
+      s"""{"doc_id":$o,"text":"$pad","chunk_off":$o}""") :+
+      s"""{"doc_id":9,"text":"$pad","chunk_off":1}""").mkString("\n")
+    java.nio.file.Files.write(d.resolve("part-00000.json"),
+      lines.getBytes("UTF-8"))
+    val prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "8192")
+      // a DataFrame scan now splits the file ~13 ways; the audit must
+      // still count exactly the one inversion
+      assert(Shards.orderInversions(spark, dir).as[Long].head() == 1L)
+    } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
   }
 
   test("PolyMap dispatches by domain and leaves unmapped domains null") {
