@@ -98,10 +98,62 @@ case class L2NormF(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** [[DotProductF]] over `array<double>` inputs — the residual-space
+  * kernel (residuals are exact `float − float` doubles). Same index
+  * order, same double accumulation: bit-identical to the HOF
+  * `aggregate(zip_with(a, b, _*_), 0.0, _+_)` it replaces, which the
+  * higher-order-function interpreter evaluates with a lambda dispatch
+  * (and an ArrayData allocation) per element — the dominant cost of
+  * the residual-PQ argmin, which reads ~3·m·|book| dots per row.
+  */
+case class DotProductD(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dot_product_d"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      s += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += $x.getDouble($i) * $y.getDouble($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExpressions {
   /** dot(a, b) over array<float> columns, as double. */
   def dotF(a: Column, b: Column): Column =
     ColumnBridge.column(DotProductF(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** dot(a, b) over array<double> columns, as double. */
+  def dotD(a: Column, b: Column): Column =
+    ColumnBridge.column(DotProductD(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   /** |a|₂ over an array<float> column, as double. */

@@ -1231,14 +1231,18 @@ object Similarity {
       books, m, sub, k)
   }
 
-  /** Index-order dot over DOUBLE arrays as a HOF — the residual-space
-    * sibling of [[dot]] (whose native kernel is typed to float
-    * arrays); documented-equivalent accumulation order, so driver
-    * doubles, this HOF, and the oracle's `list_sum(list_transform)`
-    * all agree bit-for-bit.
+  /** Index-order dot over DOUBLE arrays — the residual-space sibling
+    * of [[dot]], backed by the native codegen'd kernel
+    * ([[graft.functions.DotProductD]]); bit-identical to the HOF
+    * `aggregate(zip_with(a, b, _*_), 0.0, _+_)` form (same index
+    * order, same double accumulation), so driver doubles, this
+    * kernel, and the oracle's `list_sum(list_transform)` all agree
+    * bit-for-bit. The HOF form it replaces pays a lambda dispatch per
+    * element in the interpreter — measured ~5x on the residual-PQ
+    * argmin, which reads ~3·m·|book| dots per corpus row.
     */
   private def dotD(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.VectorExpressions.dotD(a, b)
 
   /** Squared L2 over double arrays in [[dist2]]'s expanded op order. */
   private def dist2D(a: Column, b: Column): Column =
@@ -1336,17 +1340,26 @@ object Similarity {
     }: _*)
     def residual(v: Column, ce: Column): Column =
       zip_with(v, ce, (a, b) => a.cast("double") - b.cast("double"))
-    // corpus: assign cell, residualize, code — all in the scan
+    // corpus: assign cell + residualize in the scan, then MATERIALIZE
+    // the residual through the parallelism exchange before the m
+    // per-subspace argmins read it. Collapsed into one projection the
+    // argmins would inline `rv` (itself the folded cell argmax + a
+    // 64-wide zip_with) into every one of their ~3·m·|book| distance
+    // terms — whole-stage codegen's subexpression elimination hides
+    // that, but this stage exceeds the JIT method bound and runs on
+    // the interpreted path, which has no CSE: measured ~5x slower
+    // with the single collapsed projection.
     val codesExpr = array((0 until m).map(s =>
       pqArgminD(slice(col("rv"), s * sub + 1, sub), books(s))): _*)
     val cellC = corpus
-      .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol).as("cand_id"), col(vecCol).as("cv"),
         l2norm(col(vecCol)).as("cn"))
       .withColumn("cent_id",
         element_at(reverse(array_sort(scoredCells(col("cv"), col("cn")))), 1)
           .getField("cent_id"))
       .withColumn("rv", residual(col("cv"), element_at(centVecMap, col("cent_id"))))
+      .select(col("cand_id"), col("cent_id"), col("rv"))
+      .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
       .select(col("cand_id"), col("cent_id"), codesExpr.as("codes"))
     // queries: top-nprobe cells per row, residual per probed cell
     val cellQ = queries

@@ -699,10 +699,11 @@ object PipelineQueries {
   // ------------------------------------------------------------ similarity
 
   /** Brute-force cosine top-5 for a 20-query batch. */
-  def p05CosineTopK(s: SparkSession, dir: String): DataFrame = {
-    val emb = t(s, dir, "embeddings")
-    Similarity.topK(emb, emb.filter(col("vec_id") < 20), "vec_id", "embedding", k = 5)
-  }
+  def p05CosineTopK(s: SparkSession, dir: String): DataFrame =
+    p05CosineTopKOn(t(s, dir, "embeddings"))
+  private def p05CosineTopKOn(emb: DataFrame): DataFrame =
+    Similarity.topK(emb, emb.filter(col("vec_id") < 20), "vec_id",
+      "embedding", k = 5)
 
   /** Hard-negative mining for contrastive training: the top-5
     * most-similar candidates per query that sit BELOW the near-dup
@@ -735,11 +736,11 @@ object PipelineQueries {
   }
 
   /** Hyperplane-LSH approximate top-3 (4 planes → 16 buckets). */
-  def p06AnnLsh(s: SparkSession, dir: String): DataFrame = {
-    val emb = t(s, dir, "embeddings")
-    Similarity.lshTopK(emb, emb.filter(col("vec_id") < 20), "vec_id", "embedding",
-      dim = 64, planes = 4, k = 3)
-  }
+  def p06AnnLsh(s: SparkSession, dir: String): DataFrame =
+    p06AnnLshOn(t(s, dir, "embeddings"))
+  private def p06AnnLshOn(emb: DataFrame): DataFrame =
+    Similarity.lshTopK(emb, emb.filter(col("vec_id") < 20), "vec_id",
+      "embedding", dim = 64, planes = 4, k = 3)
 
   /** Multi-probe hyperplane LSH top-k (p93): p06's index, but each
     * query also probes the `probes`=2 buckets reached by flipping its
@@ -748,11 +749,11 @@ object PipelineQueries {
     * The oracle replays the margin sort and the perturbed-bucket
     * join, so a pass certifies the probe-set construction end to end.
     */
-  def p93LshMultiProbe(s: SparkSession, dir: String): DataFrame = {
-    val emb = t(s, dir, "embeddings")
+  def p93LshMultiProbe(s: SparkSession, dir: String): DataFrame =
+    p93LshMultiProbeOn(t(s, dir, "embeddings"))
+  private def p93LshMultiProbeOn(emb: DataFrame): DataFrame =
     Similarity.lshMultiProbeTopK(emb, emb.filter(col("vec_id") < 20),
       "vec_id", "embedding", dim = 64, planes = 4, probes = 2, k = 3)
-  }
 
   /** Embedding-cosine near-dup pairs: all pairs with cosine ≥ 0.4.
     * Brute force at this SF; the LSH-bucketed path (p06) is the scale
@@ -1260,7 +1261,13 @@ object PipelineQueries {
     * at the probed mass — documented on p56/p73).
     */
   private def clusteredEmbeddings(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "embeddings").select(col("vec_id"),
+    // repartition BELOW the fixture projection: the synthetic vector
+    // is ~130 hash60 (md5) calls per row, and the source parquet is
+    // one file — without the exchange the whole fixture computes in a
+    // single scan task while 31 cores idle
+    t(s, dir, "embeddings")
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("vec_id"),
       transform(sequence(lit(1), lit(64)), d =>
         ((TF.hash60(concat(lit("cc"),
             pmod(col("vec_id"), lit(32)).cast("string"),
@@ -1279,7 +1286,11 @@ object PipelineQueries {
     * what the residual codebook resolves.
     */
   private def hierEmbeddings(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "embeddings").select(col("vec_id"),
+    // same single-scan-task guard as [[clusteredEmbeddings]]: 192
+    // md5-backed hash60 calls per row must spread across cores
+    t(s, dir, "embeddings")
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("vec_id"),
       transform(sequence(lit(1), lit(64)), d =>
         ((TF.hash60(concat(lit("hc"),
             pmod(col("vec_id"), lit(8)).cast("string"),
@@ -1519,11 +1530,11 @@ object PipelineQueries {
     base.join(topWord, Seq("doc_id"))
   }
 
-  def p19Ivf(s: SparkSession, dir: String): DataFrame = {
-    val emb = t(s, dir, "embeddings")
-    Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 20), "vec_id", "embedding",
-      centroidFilter = col("vec_id") % 25 === 0, k = 3)
-  }
+  def p19Ivf(s: SparkSession, dir: String): DataFrame =
+    p19IvfOn(t(s, dir, "embeddings"))
+  private def p19IvfOn(emb: DataFrame): DataFrame =
+    Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 20), "vec_id",
+      "embedding", centroidFilter = col("vec_id") % 25 === 0, k = 3)
 
   /** IVF centroid training: one Lloyd iteration over the p19 seed
     * centroids — fixed-point per-dimension means, exact in any engine.
@@ -1745,12 +1756,12 @@ object PipelineQueries {
     * p52's train→index→query composition for the ADC family. The
     * oracle replays training AND the four-term asymmetric distance.
     */
-  def p58PqTrainedTopK(s: SparkSession, dir: String): DataFrame = {
-    val emb = t(s, dir, "embeddings")
+  def p58PqTrainedTopK(s: SparkSession, dir: String): DataFrame =
+    p58PqTrainedTopKOn(t(s, dir, "embeddings"))
+  private def p58PqTrainedTopKOn(emb: DataFrame): DataFrame =
     Similarity.pqTopKTrained(emb, emb.filter(col("vec_id") < 20),
       "vec_id", "embedding", m = 4, dim = 64,
       centroidFilter = col("vec_id") < 8, iters = 2, k = 5)
-  }
 
   /** ADC top-k over the p48 codes ([[Similarity.pqTopK]]): the p05
     * query set scanned against code-compressed corpus rows, ranked by
@@ -1759,11 +1770,12 @@ object PipelineQueries {
     * compressed scan — codes, codebook lookup, and ranking — not just
     * the assignment step.
     */
-  def p49PqTopK(s: SparkSession, dir: String): DataFrame = {
-    val emb = t(s, dir, "embeddings")
+  def p49PqTopK(s: SparkSession, dir: String): DataFrame =
+    p49PqTopKOn(t(s, dir, "embeddings"))
+  private def p49PqTopKOn(emb: DataFrame): DataFrame =
     Similarity.pqTopK(emb, emb.filter(col("vec_id") < 20), "vec_id",
-      "embedding", m = 4, dim = 64, centroidFilter = col("vec_id") < 8, k = 5)
-  }
+      "embedding", m = 4, dim = 64, centroidFilter = col("vec_id") < 8,
+      k = 5)
 
   /** Overlapping token-window chunking ([[Curation.chunks]]): 32-token
     * windows every 24 tokens (25% overlap) — the RAG / context-window
@@ -1978,11 +1990,12 @@ object PipelineQueries {
   /** Multi-probe IVF: the p19 layout with each query probing its two
     * nearest cells — recall widens, the corpus index is untouched.
     */
-  def p26IvfNprobe(s: SparkSession, dir: String): DataFrame = {
-    val emb = t(s, dir, "embeddings")
-    Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 20), "vec_id", "embedding",
-      centroidFilter = col("vec_id") % 25 === 0, k = 3, nprobe = 2)
-  }
+  def p26IvfNprobe(s: SparkSession, dir: String): DataFrame =
+    p26IvfNprobeOn(t(s, dir, "embeddings"))
+  private def p26IvfNprobeOn(emb: DataFrame): DataFrame =
+    Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 20), "vec_id",
+      "embedding", centroidFilter = col("vec_id") % 25 === 0, k = 3,
+      nprobe = 2)
 
   /** The TUNED IVF operating point for the recall scorecard: the same
     * index as p26 (one cell per 25 vectors), probing 8 cells instead
@@ -1992,11 +2005,12 @@ object PipelineQueries {
     * fast configurations to document an achievable high-recall
     * operating point, not just the cheap ones.
     */
-  def p73IvfTuned(s: SparkSession, dir: String): DataFrame = {
-    val emb = t(s, dir, "embeddings")
-    Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 20), "vec_id", "embedding",
-      centroidFilter = col("vec_id") % 25 === 0, k = 3, nprobe = 8)
-  }
+  def p73IvfTuned(s: SparkSession, dir: String): DataFrame =
+    p73IvfTunedOn(t(s, dir, "embeddings"))
+  private def p73IvfTunedOn(emb: DataFrame): DataFrame =
+    Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 20), "vec_id",
+      "embedding", centroidFilter = col("vec_id") % 25 === 0, k = 3,
+      nprobe = 8)
 
   /** IVF-PQ compressed probe search ([[Similarity.ivfPqTopK]] — the
     * FAISS-IVFPQ composition, the index shape of production
@@ -2006,12 +2020,12 @@ object PipelineQueries {
     * only. The oracle replays coarse assignment, code assignment,
     * probe set, and ADC ranking end to end.
     */
-  def p74IvfPq(s: SparkSession, dir: String): DataFrame = {
-    val emb = t(s, dir, "embeddings")
+  def p74IvfPq(s: SparkSession, dir: String): DataFrame =
+    p74IvfPqOn(t(s, dir, "embeddings"))
+  private def p74IvfPqOn(emb: DataFrame): DataFrame =
     Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 20), "vec_id",
       "embedding", coarseFilter = col("vec_id") % 25 === 0,
       pqFilter = col("vec_id") < 8, m = 4, dim = 64, k = 5, nprobe = 4)
-  }
 
   /** IVF-PQ with exact refine (p83 — FAISS's IVFPQ+refine): the p74
     * compressed ADC pass widened to a top-20 shortlist, then ONLY
@@ -2021,13 +2035,13 @@ object PipelineQueries {
     * visible in the output. The oracle replays ADC shortlist AND
     * exact re-rank end to end.
     */
-  def p83IvfPqRefine(s: SparkSession, dir: String): DataFrame = {
-    val emb = t(s, dir, "embeddings")
+  def p83IvfPqRefine(s: SparkSession, dir: String): DataFrame =
+    p83IvfPqRefineOn(t(s, dir, "embeddings"))
+  private def p83IvfPqRefineOn(emb: DataFrame): DataFrame =
     Similarity.ivfPqRefineTopK(emb, emb.filter(col("vec_id") < 20),
       "vec_id", "embedding", coarseFilter = col("vec_id") % 25 === 0,
       pqFilter = col("vec_id") < 8, m = 4, dim = 64, k = 5, nprobe = 4,
       rerank = 20)
-  }
 
   /** SentencePiece-style unigram tokenizer (p87): seed a substring
     * vocabulary (all single chars + top multi-char substrings), then
@@ -2284,7 +2298,18 @@ object PipelineQueries {
     * truth, and the recall divisions.
     */
   def p122ResidualPq(s: SparkSession, dir: String): DataFrame = {
-    val emb = hierEmbeddings(s, dir)
+    // the synthetic fixture costs ~190 md5 calls per row and is
+    // scanned ~4x by EACH of the four pipelines below (corpus side,
+    // probe side, centroid collect, codebook collect) — materialize
+    // it once for the duration of the card (measured 15s -> ~4s at
+    // sf0.1). Bench fingerprints the lazy twin (p122ResidualPqPlan).
+    val emb0 = hierEmbeddings(s, dir)
+    graft.core.Caching.withCached(emb0)(p122ResidualPqPlan(s, emb0))
+  }
+
+  /** Lazy plan of [[p122ResidualPq]] over a prepared fixture frame. */
+  private[graft] def p122ResidualPqPlan(s: SparkSession,
+      emb: DataFrame): DataFrame = {
     val queries = emb.filter(col("vec_id") < 20)
     val exact = Similarity.topK(emb, queries, "vec_id", "embedding", 10)
       .select("query_id", "cand_id")
@@ -3961,8 +3986,10 @@ object PipelineQueries {
     * energy concentration to redistribute (same cap as p73's recall
     * note); the operator earns its keep on learned embeddings.
     */
-  def p97RotPq(s: SparkSession, dir: String): DataFrame = {
-    val rot = t(s, dir, "embeddings").select(col("vec_id"),
+  def p97RotPq(s: SparkSession, dir: String): DataFrame =
+    p97RotPqOn(t(s, dir, "embeddings"))
+  private def p97RotPqOn(emb: DataFrame): DataFrame = {
+    val rot = emb.select(col("vec_id"),
       Similarity.rotateVec(col("embedding"), 64, "q97").as("embedding"))
     Similarity.pqTopK(rot, rot.filter(col("vec_id") < 20), "vec_id",
       "embedding", m = 4, dim = 64, centroidFilter = col("vec_id") < 8,
@@ -4068,6 +4095,8 @@ object PipelineQueries {
         "text", k = 3, numHashes = 12)
       Dedup.minhashPlan(docs, bands = 6, rows = 2, threshold = 0.5)
     }),
+    "p122_residual_pq" -> ((s, dir) =>
+      p122ResidualPqPlan(s, hierEmbeddings(s, dir))),
     "p04_ngram_jaccard" -> ((s, dir) => {
       val docs = Dedup.shingled(t(s, dir, "documents"), "doc_id", "text", k = 4)
       val inv = Dedup.invIndex(docs, None, maxShingleFreqFrac = Some(0.1))
@@ -4092,9 +4121,11 @@ object PipelineQueries {
       ConnectedComponents.merge(assignment,
         pairs.filter((col("u") + col("v")) % 2 =!= 0))
     }),
-    "p56_ann_recall" -> ((s, dir) =>
-      annRecallPlan(s, dir,
-        p05CosineTopK(s, dir).select("query_id", "cand_id", "rank"))),
+    "p56_ann_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      annRecallPlan(emb,
+        p05CosineTopKOn(emb).select("query_id", "cand_id", "rank"))
+    }),
     "p68_unigram_lm" -> ((s, dir) =>
       Curation.unigramLogLossPlan(
         Curation.tokenOccurrences(t(s, dir, "documents"), "doc_id", "text"),
@@ -5146,27 +5177,36 @@ object PipelineQueries {
     * buys back.
     */
   def p56AnnRecall(s: SparkSession, dir: String): DataFrame = {
-    val exact = p05CosineTopK(s, dir).select("query_id", "cand_id", "rank")
-    graft.core.Caching.withCached(exact)(annRecallPlan(s, dir, exact))
+    val emb = t(s, dir, "embeddings")
+    val exact = p05CosineTopKOn(emb).select("query_id", "cand_id", "rank")
+    graft.core.Caching.withCached(exact)(annRecallPlan(emb, exact))
   }
 
   /** Lazy plan for [[p56AnnRecall]] over a prepared exact-truth frame
     * (split out so Bench can fingerprint it — the public query's
     * cache bracket returns an opaque LogicalRDD).
+    *
+    * Every method row builds on the SAME `emb` frame: Spark's
+    * exchange reuse compares canonicalized plans, and two independent
+    * `spark.read`s of one path never canonicalize equal (each carries
+    * its own FileIndex instance) — with per-row reads the ten rows
+    * shared nothing (fingerprint: 124 exchanges, 0 reused). Off one
+    * shared read, identical corpus-side subtrees (the three IVF rows'
+    * cell index, the PQ rows' code scans) dedupe at runtime.
     */
-  private def annRecallPlan(s: SparkSession, dir: String,
+  private def annRecallPlan(emb: DataFrame,
       exact: DataFrame): DataFrame = {
     val methods: Seq[(String, DataFrame, Int)] = Seq(
-      ("p06_ann_lsh", p06AnnLsh(s, dir), 3),
-      ("p19_ivf", p19Ivf(s, dir), 3),
-      ("p26_ivf_nprobe", p26IvfNprobe(s, dir), 3),
-      ("p49_pq_topk", p49PqTopK(s, dir), 5),
-      ("p58_pq_trained_topk", p58PqTrainedTopK(s, dir), 5),
-      ("p73_ivf_tuned", p73IvfTuned(s, dir), 3),
-      ("p74_ivfpq", p74IvfPq(s, dir), 5),
-      ("p83_ivfpq_refine", p83IvfPqRefine(s, dir), 5),
-      ("p93_lsh_multiprobe", p93LshMultiProbe(s, dir), 3),
-      ("p97_rot_pq", p97RotPq(s, dir), 5))
+      ("p06_ann_lsh", p06AnnLshOn(emb), 3),
+      ("p19_ivf", p19IvfOn(emb), 3),
+      ("p26_ivf_nprobe", p26IvfNprobeOn(emb), 3),
+      ("p49_pq_topk", p49PqTopKOn(emb), 5),
+      ("p58_pq_trained_topk", p58PqTrainedTopKOn(emb), 5),
+      ("p73_ivf_tuned", p73IvfTunedOn(emb), 3),
+      ("p74_ivfpq", p74IvfPqOn(emb), 5),
+      ("p83_ivfpq_refine", p83IvfPqRefineOn(emb), 5),
+      ("p93_lsh_multiprobe", p93LshMultiProbeOn(emb), 3),
+      ("p97_rot_pq", p97RotPqOn(emb), 5))
     methods.map { case (name, df, km) =>
       val truth = exact.filter(col("rank") <= km)
         .select("query_id", "cand_id")
