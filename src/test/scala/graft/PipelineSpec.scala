@@ -262,6 +262,15 @@ class PipelineSpec extends SparkSpec {
       graft.functions.VectorExpressions.l2normF(col("a")) === hofNorm)
       .as[(Boolean, Boolean)].head()
     assert(row == ((true, true)))
+    // the double-array kernel (residual space) against ITS HOF form —
+    // values chosen so naive reassociation would differ in the last ulp
+    val dd = Seq((Array(0.1, -2.5e7, 3.75, 1e-9, 7.25),
+      Array(1.5, 0.25, -0.75, 8.0, -1e8))).toDF("a", "b")
+    val hofDotD = aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+      lit(0.0), (acc, v) => acc + v)
+    assert(dd.select(
+      graft.functions.VectorExpressions.dotD(col("a"), col("b")) === hofDotD)
+      .as[Boolean].head())
   }
 
   test("lshBucket puts identical vectors in the same bucket") {
