@@ -353,6 +353,50 @@ object Similarity {
       .write.mode("overwrite").parquet(s"$path/codes")
   }
 
+  /** Incremental serving-index maintenance: code a DELTA batch of
+    * vectors against the FROZEN artifacts and APPEND the new
+    * `(vec_id, cent_id, subspace, code)` rows to `codes/` — O(Δ) new
+    * parquet files, zero rewrite of committed bytes, no retraining.
+    * This is how a billion-vector serving index absorbs a day's
+    * ingest: the coarse quantizer and PQ codebook are release-frozen
+    * (re-training them would invalidate every stored code), so a new
+    * vector costs exactly one folded cell argmax + m folded code
+    * argmins, computed per row in the scan.
+    *
+    * Bit-compatibility: centroids and codebook are read back from the
+    * directory (parquet round-trips floats exactly), and the
+    * assignment expressions are the same double math and tie rules
+    * [[exportServingIndex]] used — so appended rows are bit-identical
+    * to what a FULL re-export over (corpus ∪ delta) with the frozen
+    * centroid/codebook sets would write for those ids (spec-pinned),
+    * and [[certifyServingIndex]]/[[ivfPqTopKFromArtifacts]] work on
+    * the extended directory unchanged.
+    */
+  def appendServingIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, delta: DataFrame, idCol: String, vecCol: String,
+      m: Int, dim: Int): Unit = {
+    require(dim % m == 0, "m must divide dim")
+    val sub = dim / m
+    val book = spark.read.parquet(s"$path/codebook")
+      .select(col("cid"), col("entry")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    val books = subSlices(book, m, sub)
+    val centRows = spark.read.parquet(s"$path/centroids")
+      .select(col("cent_id").cast("long"), col("ce")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toSeq))
+      .sortBy(_._1).toSeq
+    val cell = centroidAssignExpr(centRows, col(vecCol)).getField("cell")
+    val codesExpr = array((0 until m).map(s =>
+      pqArgmin(slice(col(vecCol), s * sub + 1, sub), books(s))): _*)
+    delta
+      .select(col(idCol).as("vec_id"), cell.as("cent_id"),
+        posexplode(codesExpr).as(Seq("subspace", "code")))
+      .select(col("vec_id"), col("cent_id"),
+        col("subspace").cast("integer").as("subspace"), col("code"))
+      .write.mode("append").parquet(s"$path/codes")
+  }
+
   /** Read an [[exportServingIndex]] directory back and certify it:
     * one row per artifact with its row count and an order-free
     * integer checksum (Σ hash60(canonical integer row string)

@@ -2811,6 +2811,38 @@ object PipelineQueries {
         concat(col("__pad"), lit(" "), col("text")).as("text"))
   }
 
+  /** Incremental serving-index append (p181): the exported IVF-PQ
+    * artifacts absorb a DELTA batch in place
+    * ([[Similarity.appendServingIndex]]) — new vectors (a rotated,
+    * id-shifted tenth of the corpus, deterministic and
+    * oracle-replayable) are coded against the FROZEN centroids and
+    * codebook read back from the directory, and only O(Δ) new code
+    * rows land in `codes/`; committed bytes are never rewritten and
+    * nothing retrains. The card is [[Similarity.certifyServingIndex]]
+    * over the EXTENDED directory: the oracle recomputes all three
+    * artifact checksums from the source table plus the replayed delta,
+    * so a lost delta row, a drifted code, or a disturbed base byte
+    * hash-mismatches. The spec additionally pins that appending equals
+    * a full re-export over (corpus ∪ delta) with the frozen quantizer,
+    * and that the served top-k from the extended artifacts equals the
+    * in-memory index over the union.
+    */
+  def p181IndexAppend(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val tmp = scratchDir(s, dir, "serving_append")
+    Similarity.exportServingIndex(emb, "vec_id", "embedding",
+      coarseFilter = col("vec_id") % 25 === 0,
+      pqFilter = col("vec_id") < 8, m = 4, dim = 64, tmp)
+    val mx = broadcast(emb.agg((max(col("vec_id")) + 1L).as("__base")))
+    val delta = emb.crossJoin(mx)
+      .select((col("vec_id") + col("__base")).as("vec_id"),
+        Similarity.rotateVec(col("embedding"), 64, "p181").as("embedding"))
+      .filter(col("vec_id") % 10 === 3)
+    Similarity.appendServingIndex(s, tmp, delta, "vec_id", "embedding",
+      m = 4, dim = 64)
+    Similarity.certifyServingIndex(s, tmp)
+  }
+
   def p178IndexExport(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     val tmp = scratchDir(s, dir, "serving_index")
@@ -4438,6 +4470,7 @@ object PipelineQueries {
     "p178_index_export" -> p178IndexExport _,
     "p179_lsh_bucket_audit" -> p179LshBucketAudit _,
     "p180_release_signoff" -> p180ReleaseSignoff _,
+    "p181_index_append" -> p181IndexAppend _,
     "p164_crop_pairs" -> p164CropPairs _,
     "p165_shard_mix" -> p165ShardMix _,
     "p166_epoch_decorrelation" -> p166EpochDecorrelation _,
@@ -6074,6 +6107,72 @@ object PipelineQueries {
            |  CAST(SUM(nt_n) - SUM(nt_o) AS BIGINT) AS tok_delta
            |FROM j GROUP BY source, status""".stripMargin
 
+  /** The serving-index certification replay, parameterized on the
+    * relation feeding the CODES side (`rel` must expose
+    * (vec_id, embedding)): p178 certifies the base export
+    * (rel = embeddings); p181 certifies the APPENDED directory
+    * (rel = base ∪ delta) against the same frozen centroid/codebook
+    * rows. `pre` prepends extra CTEs (the delta construction).
+    */
+  private def oServingCertify(rel: String, pre: String = ""): String = {
+    def vecRow(tag: String, pred: String, idc: String) =
+      s"""SELECT '$tag' AS artifact,
+         |  CAST(COUNT(DISTINCT $idc) AS BIGINT) AS n_rows,
+         |  CAST(SUM(${oHash(
+            s"CAST($idc AS VARCHAR) || ':' || CAST(i - 1 AS VARCHAR)" +
+              " || ':' || CAST(CAST(FLOOR(CAST(embedding[i] AS DOUBLE)" +
+              " * 1e6) AS BIGINT) AS VARCHAR)")}
+         |    % 268435456) AS BIGINT) AS checksum
+         |FROM embeddings,
+         |  (SELECT unnest(generate_series(1, 64)) AS i)
+         |WHERE $pred""".stripMargin
+    s"""WITH $pre ccents AS (
+       |  SELECT vec_id AS cent_id, embedding AS ce FROM embeddings
+       |  WHERE vec_id % 25 = 0),
+       |asg AS (
+       |  SELECT e.vec_id, cent_id,
+       |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${oCos("e.embedding", "ce")} DESC,
+       |        cent_id ASC) AS rn
+       |  FROM $rel e, ccents),
+       |cells AS (SELECT vec_id, cent_id FROM asg WHERE rn = 1),
+       |pcents AS (
+       |  SELECT vec_id AS cent_id, embedding AS ce FROM embeddings
+       |  WHERE vec_id < 8),
+       |subs AS (SELECT unnest(generate_series(0, 3)) AS s),
+       |pq AS (
+       |  SELECT e.vec_id, subs.s, c.cent_id,
+       |    ROW_NUMBER() OVER (PARTITION BY e.vec_id, subs.s ORDER BY
+       |      (list_sum(list_transform(generate_series(1, 16),
+       |         i -> CAST(e.embedding[subs.s*16 + i] AS DOUBLE)
+       |              * CAST(e.embedding[subs.s*16 + i] AS DOUBLE)))
+       |       - 2 * list_sum(list_transform(generate_series(1, 16),
+       |         i -> CAST(e.embedding[subs.s*16 + i] AS DOUBLE)
+       |              * CAST(c.ce[subs.s*16 + i] AS DOUBLE)))
+       |       + list_sum(list_transform(generate_series(1, 16),
+       |         i -> CAST(c.ce[subs.s*16 + i] AS DOUBLE)
+       |              * CAST(c.ce[subs.s*16 + i] AS DOUBLE)))) ASC,
+       |      c.cent_id ASC) AS rn
+       |  FROM $rel e, pcents c, subs),
+       |codes AS (
+       |  SELECT p.vec_id, cl.cent_id, p.s AS subspace,
+       |    p.cent_id AS code
+       |  FROM pq p JOIN cells cl ON p.vec_id = cl.vec_id
+       |  WHERE p.rn = 1)
+       |${vecRow("centroids", "vec_id % 25 = 0", "vec_id")}
+       |UNION ALL
+       |${vecRow("codebook", "vec_id < 8", "vec_id")}
+       |UNION ALL
+       |SELECT 'codes' AS artifact,
+       |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |  CAST(SUM(${oHash(
+            "CAST(vec_id AS VARCHAR) || ':' || CAST(cent_id AS VARCHAR)" +
+              " || ':' || CAST(subspace AS VARCHAR) || ':' ||" +
+              " CAST(code AS VARCHAR)")}
+       |    % 268435456) AS BIGINT) AS checksum
+       |FROM codes""".stripMargin
+  }
+
   /** The p180 oracle: each section is the STANDALONE card's oracle,
     * embedded verbatim as a derived table and melted to the composite's
     * (section, item, metric, value) long format — so the composite is
@@ -6964,64 +7063,17 @@ object PipelineQueries {
            |  CAST(start_tok % 4096 AS BIGINT) AS chunk_off
            |FROM st""".stripMargin) +
       ("p173_ltr_rerank" -> oLtrRerank(iters = 12, lrNum = 50L)) +
-      ("p178_index_export" -> {
-        def vecRow(tag: String, pred: String, idc: String) =
-          s"""SELECT '$tag' AS artifact,
-             |  CAST(COUNT(DISTINCT $idc) AS BIGINT) AS n_rows,
-             |  CAST(SUM(${oHash(
-                s"CAST($idc AS VARCHAR) || ':' || CAST(i - 1 AS VARCHAR)" +
-                  " || ':' || CAST(CAST(FLOOR(CAST(embedding[i] AS DOUBLE)" +
-                  " * 1e6) AS BIGINT) AS VARCHAR)")}
-             |    % 268435456) AS BIGINT) AS checksum
-             |FROM embeddings,
-             |  (SELECT unnest(generate_series(1, 64)) AS i)
-             |WHERE $pred""".stripMargin
-        s"""WITH ccents AS (
-           |  SELECT vec_id AS cent_id, embedding AS ce FROM embeddings
-           |  WHERE vec_id % 25 = 0),
-           |asg AS (
-           |  SELECT e.vec_id, cent_id,
-           |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
-           |      ORDER BY ${oCos("e.embedding", "ce")} DESC,
-           |        cent_id ASC) AS rn
-           |  FROM embeddings e, ccents),
-           |cells AS (SELECT vec_id, cent_id FROM asg WHERE rn = 1),
-           |pcents AS (
-           |  SELECT vec_id AS cent_id, embedding AS ce FROM embeddings
-           |  WHERE vec_id < 8),
-           |subs AS (SELECT unnest(generate_series(0, 3)) AS s),
-           |pq AS (
-           |  SELECT e.vec_id, subs.s, c.cent_id,
-           |    ROW_NUMBER() OVER (PARTITION BY e.vec_id, subs.s ORDER BY
-           |      (list_sum(list_transform(generate_series(1, 16),
-           |         i -> CAST(e.embedding[subs.s*16 + i] AS DOUBLE)
-           |              * CAST(e.embedding[subs.s*16 + i] AS DOUBLE)))
-           |       - 2 * list_sum(list_transform(generate_series(1, 16),
-           |         i -> CAST(e.embedding[subs.s*16 + i] AS DOUBLE)
-           |              * CAST(c.ce[subs.s*16 + i] AS DOUBLE)))
-           |       + list_sum(list_transform(generate_series(1, 16),
-           |         i -> CAST(c.ce[subs.s*16 + i] AS DOUBLE)
-           |              * CAST(c.ce[subs.s*16 + i] AS DOUBLE)))) ASC,
-           |      c.cent_id ASC) AS rn
-           |  FROM embeddings e, pcents c, subs),
-           |codes AS (
-           |  SELECT p.vec_id, cl.cent_id, p.s AS subspace,
-           |    p.cent_id AS code
-           |  FROM pq p JOIN cells cl ON p.vec_id = cl.vec_id
-           |  WHERE p.rn = 1)
-           |${vecRow("centroids", "vec_id % 25 = 0", "vec_id")}
-           |UNION ALL
-           |${vecRow("codebook", "vec_id < 8", "vec_id")}
-           |UNION ALL
-           |SELECT 'codes' AS artifact,
-           |  CAST(COUNT(*) AS BIGINT) AS n_rows,
-           |  CAST(SUM(${oHash(
-                "CAST(vec_id AS VARCHAR) || ':' || CAST(cent_id AS VARCHAR)" +
-                  " || ':' || CAST(subspace AS VARCHAR) || ':' ||" +
-                  " CAST(code AS VARCHAR)")}
-           |    % 268435456) AS BIGINT) AS checksum
-           |FROM codes""".stripMargin
-      }) +
+      ("p178_index_export" -> oServingCertify("embeddings")) +
+      ("p181_index_append" -> oServingCertify("allv", pre = s"""
+         |dmx AS (SELECT MAX(vec_id) + 1 AS base FROM embeddings),
+         |delta AS (
+         |  SELECT e.vec_id + dmx.base AS vec_id,
+         |    ${oRotate("e.embedding", "p181")} AS embedding
+         |  FROM embeddings e, dmx
+         |  WHERE (e.vec_id + dmx.base) % 10 = 3),
+         |allv AS (SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL SELECT vec_id, embedding FROM delta),
+         |""".stripMargin)) +
       ("p177_passage_retrieval" -> {
         val cavgdl = "(CAST(cst.sdl AS DOUBLE) / CAST(cst.nd AS DOUBLE))"
         val cidf = "ln(1.0 + (CAST(cst.nd AS DOUBLE) - CAST(f.df" +

@@ -1707,6 +1707,54 @@ class PipelineSpec extends SparkSpec {
     assert(!(w._1 eq a._1))
   }
 
+  test("serving-index append equals a full re-export with the frozen quantizer") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val inc = java.nio.file.Files.createTempDirectory("idxappend").toString
+    val full = java.nio.file.Files.createTempDirectory("idxfull").toString
+    val maxId = emb.agg(max(col("vec_id"))).as[Long].head()
+    val coarse = col("vec_id") % 25 === 0 && col("vec_id") <= maxId
+    val pq = col("vec_id") < 8
+    Similarity.exportServingIndex(emb, "vec_id", "embedding",
+      coarseFilter = coarse, pqFilter = pq, m = 4, dim = 64, inc)
+    val frozen = new java.io.File(s"$inc/centroids").listFiles()
+      .map(f => (f.getName, f.length, f.lastModified)).toSet
+    // localCheckpoint the delta: the re-export below would otherwise
+    // fuse rotateVec's 64 permuted element_at trees INTO the folded
+    // PQ-argmin codegen of the union leg, and janino dies compiling
+    // the composed class (a test-harness composition; the production
+    // append path codes the delta directly and is unaffected)
+    val delta = emb
+      .select((col("vec_id") + lit(maxId + 1)).as("vec_id"),
+        Similarity.rotateVec(col("embedding"), 64, "p181").as("embedding"))
+      .filter(col("vec_id") % 10 === 3)
+      .localCheckpoint(true)
+    Similarity.appendServingIndex(spark, inc, delta, "vec_id",
+      "embedding", m = 4, dim = 64)
+    // committed centroid bytes untouched by the append
+    assert(new java.io.File(s"$inc/centroids").listFiles()
+      .map(f => (f.getName, f.length, f.lastModified)).toSet == frozen)
+    // the extended codes equal a FULL re-export over the union with
+    // the SAME frozen quantizer rows (delta ids all sit past maxId,
+    // so the bounded filters select exactly the old seed rows)
+    Similarity.exportServingIndex(emb.unionByName(delta), "vec_id",
+      "embedding", coarseFilter = coarse, pqFilter = pq, m = 4,
+      dim = 64, full)
+    val ci = spark.read.parquet(s"$inc/codes")
+    val cf = spark.read.parquet(s"$full/codes")
+    assert(ci.exceptAll(cf).isEmpty && cf.exceptAll(ci).isEmpty)
+    // and the SERVED top-k from the extended artifacts equals the
+    // in-memory index over the union
+    val queries = emb.filter(col("vec_id") < 20)
+    val served = Similarity.ivfPqTopKFromArtifacts(spark, inc, queries,
+      "vec_id", "embedding", m = 4, dim = 64, k = 5, nprobe = 4)
+    val mem = Similarity.ivfPqTopK(emb.unionByName(delta), queries,
+      "vec_id", "embedding", coarseFilter = coarse, pqFilter = pq,
+      m = 4, dim = 64, k = 5, nprobe = 4)
+    assert(served.exceptAll(mem).isEmpty && mem.exceptAll(served).isEmpty
+      && served.count() > 0)
+  }
+
   test("trained-index store trains once per key across fresh reads") {
     // TWO INDEPENDENT reads of the same table must share one artifact:
     // the key is the canonicalized plan + resolved input files, not the
