@@ -100,6 +100,8 @@ object Cli {
         |  stream-classify <dir> <outDir>                NB quality classification at stream ingest (snapshot-fit
         |                                                model; same closed-window emission as stream-perplexity)
         |  stream-embed-neardup <dir> <outDir>           embedding near-dup vs the corpus at stream ingest
+        |  stream-ingest-dedup <dir> <outDir>            near-dup gate at stream ingest, served from the frozen
+        |                                                LSH band/signature artifacts (p182 twin)
         |  stream-cluster-assign <dir> <outDir>          online k-means cell routing at stream ingest
         |  stream-tokenize <dir> <outDir>                BPE tokenization at stream ingest (snapshot-trained merges)
         |  stream-image-neardup <dir> <outDir>           perceptual image near-dup vs the corpus at stream ingest
@@ -1184,6 +1186,36 @@ object Cli {
         .start()
       annQ.awaitTermination()
       println(s"""{"stream_ann":"$out"}""")
+
+    // near-dup gate at ingest: the frozen LSH band/signature
+    // artifacts (the p182 export) answer each arriving document
+    // micro-batch through the SAME batch plan (ingestDedupCheck), run
+    // per batch via foreachBatch — like stream-ann, the per-new-doc
+    // best-match aggregation is illegal in a continuous append stream
+    // but legal inside a bounded micro-batch, and the artifacts make
+    // each batch's plan stateless, so results are bit-identical to
+    // the batch check over the same rows.
+    case "stream-ingest-dedup" :: dir :: out :: Nil =>
+      val corpus = Tables.read(spark, dir, "documents")
+      val artifacts = s"$out/_artifacts"
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(artifacts)))
+        pipeline.Dedup.exportDedupIndex(corpus, "doc_id", "text",
+          k = 3, numHashes = 12, bands = 6, artifacts)
+      val arriving = stagedDocStream(spark, dir, out)
+        .filter(col("doc_id") % 10 === 1)
+        .select(col("doc_id"), col("text"))
+      val gateQ = arriving.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          pipeline.Dedup.ingestDedupCheck(spark, artifacts, batch,
+              "doc_id", "text", k = 3, numHashes = 12, bands = 6,
+              minAgree = 8)
+            .write.mode("append").parquet(out)
+        }
+        .option("checkpointLocation", s"$out/_checkpoint")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      gateQ.awaitTermination()
+      println(s"""{"stream_ingest_dedup":"$out"}""")
 
     // online cluster routing: k-means trained once on the snapshot,
     // arriving vectors assigned to trained cells as a stateless

@@ -233,6 +233,117 @@ object Dedup {
           .as("pairs_capped"))
   }
 
+  /** Export the FROZEN dedup-index artifacts — the near-dup twin of
+    * [[graft.pipeline.Similarity.exportServingIndex]]: the two
+    * relations an ingest gate needs to answer "is this arriving
+    * document a near-copy of anything already admitted?", written as
+    * parquet under `path`:
+    *
+    *   - `bands/ (key, doc)` — LSH band-bucket membership, the
+    *     candidate-generation index;
+    *   - `sigs/ (doc, sig)`  — the full minhash signature per
+    *     document (numHashes longs — a few hundred bytes, NOT the
+    *     text), the verification side.
+    *
+    * The [[LshBucketCap]] star guard is applied AT EXPORT: a bucket
+    * past `bucketCap` keeps only its minimum-id representative, so the
+    * frozen index is O(N·bands) rows with a hard per-bucket bound and
+    * an arriving batch can never join into a B²-shaped bucket. For
+    * true duplicate clusters the representative carries the cluster's
+    * signature, so membership detection survives the cap;
+    * [[lshBucketAudit]] reports how often it binds.
+    *
+    * Verification against the index is SIGNATURE AGREEMENT (matching
+    * minhash count, an unbiased Jaccard estimator) rather than exact
+    * shingle Jaccard — deliberately: storing shingle sets would make
+    * the index a copy of the corpus, while signatures keep it ~10⁻³
+    * of corpus bytes, which is what makes a 100 TB ingest gate
+    * loadable. Build cost: one signature scan + one band-key count
+    * shuffle (the cap) + two writes off a cached signature frame.
+    */
+  def exportDedupIndex(df: DataFrame, idCol: String, textCol: String,
+      k: Int, numHashes: Int, bands: Int, path: String,
+      bucketCap: Int = LshBucketCap): Unit = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val docs = minhashDocs(df, idCol, textCol, k, numHashes)
+      .select(col("doc"), col("sig")).persist()
+    try {
+      docs.count() // materialize once; both writes below reuse blocks
+      val bandRows = docs.select(col("doc"),
+        explode(bandKeyArray(col("sig"), bands, rows)).as("key"))
+      val sizes = bandRows.groupBy("key")
+        .agg(count(lit(1)).as("__bn"), min(col("doc")).as("__bmin"))
+      bandRows.join(sizes, "key")
+        .filter(col("__bn") <= bucketCap || col("doc") === col("__bmin"))
+        .select(col("key"), col("doc"))
+        .write.mode("overwrite").parquet(s"$path/bands")
+      docs.write.mode("overwrite").parquet(s"$path/sigs")
+    } finally docs.unpersist()
+  }
+
+  /** Check an arriving batch against an [[exportDedupIndex]]
+    * directory: per delta document, the best-matching admitted
+    * document and their minhash agreement count — dedup AT INGEST,
+    * the batch/stream gate that keeps a growing corpus clean without
+    * ever re-running the all-pairs detector.
+    *
+    * Per delta doc: signature (same native kernel as the index
+    * build) → band keys → equi-join the frozen `bands/` relation →
+    * distinct (new, admitted) candidates → join the frozen `sigs/`
+    * and count agreeing minhash positions (`n_agree` of `numHashes`;
+    * n_agree/numHashes is the standard unbiased Jaccard estimate).
+    * The verdict keeps each delta doc's best match (max agreement,
+    * ties to the smallest admitted id); docs colliding with nothing
+    * surface with `n_agree = 0`. `is_dup` = n_agree ≥ `minAgree`.
+    *
+    * Scale shape: the delta side is |Δ|·bands rows — AQE broadcasts
+    * it against the frozen band scan, so the admitted corpus is
+    * never shuffled; the capped export bounds every bucket, so the
+    * candidate set is O(|Δ|·bands·cap) worst-case, O(collisions) in
+    * practice. The only aggregation is the per-delta-doc argmax.
+    * Output: (doc_id, n_agree, match_doc, is_dup); match_doc is null
+    * when no band collides.
+    */
+  def ingestDedupCheck(spark: org.apache.spark.sql.SparkSession,
+      path: String, delta: DataFrame, idCol: String, textCol: String,
+      k: Int, numHashes: Int, bands: Int, minAgree: Int): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    require(minAgree >= 1 && minAgree <= numHashes,
+      "minAgree must be in [1, numHashes]")
+    val rows = numHashes / bands
+    val dsig = minhashDocs(delta, idCol, textCol, k, numHashes)
+      .select(col("doc").as("new_doc"), col("sig").as("new_sig"))
+    Caching.withCached(dsig) {
+      val dband = dsig.select(col("new_doc"),
+        explode(bandKeyArray(col("new_sig"), bands, rows)).as("key"))
+      val frozenBands = spark.read.parquet(s"$path/bands")
+        .select(col("key"), col("doc").as("idx_doc"))
+      val cand = dband.join(frozenBands, "key")
+        .select(col("new_doc"), col("idx_doc")).distinct()
+      val frozenSigs = spark.read.parquet(s"$path/sigs")
+        .select(col("doc").as("idx_doc"), col("sig").as("idx_sig"))
+      val agree = aggregate(
+        zip_with(col("new_sig"), col("idx_sig"),
+          (a, b) => (a === b).cast("long")),
+        lit(0L), (acc, x) => acc + x)
+      val best = cand.join(frozenSigs, "idx_doc").join(dsig, "new_doc")
+        .select(col("new_doc"), col("idx_doc"), agree.as("n_agree"))
+        .groupBy(col("new_doc"))
+        .agg(max(struct(col("n_agree"), (-col("idx_doc")).as("__tie"),
+          col("idx_doc"))).as("b"))
+        .select(col("new_doc"), col("b.n_agree").as("n_agree"),
+          col("b.idx_doc").as("match_doc"))
+      dsig.select(col("new_doc"))
+        .join(best, Seq("new_doc"), "left")
+        .select(col("new_doc").as(idCol),
+          coalesce(col("n_agree"), lit(0L)).as("n_agree"),
+          col("match_doc"),
+          (coalesce(col("n_agree"), lit(0L)) >= minAgree)
+            .cast("long").as("is_dup"))
+    }
+  }
+
   /** b-bit minhash Jaccard estimation (Li & König 2010, "b-Bit
     * Minwise Hashing"): keep only the lowest `b` bits of each minhash
     * value — a 2^b-fold storage cut per hash — and estimate Jaccard

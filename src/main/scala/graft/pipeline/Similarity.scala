@@ -350,7 +350,14 @@ object Similarity {
         Seq("vec_id"))
       .select(col("vec_id"), col("cent_id"), col("subspace"),
         col("code"))
-      .write.mode("overwrite").parquet(s"$path/codes")
+      // codes are PARTITIONED BY CELL: a served query probes nprobe
+      // of nlist cells, so the cell is the serving read path's
+      // partition-prune key — [[ivfPqTopKFromArtifacts]] pushes the
+      // probed cell set into the scan and reads nprobe/nlist of the
+      // corpus instead of all of it. At export time this costs one
+      // dynamic-partition write (rows for one cell land together).
+      .write.mode("overwrite").partitionBy("cent_id")
+      .parquet(s"$path/codes")
   }
 
   /** Incremental serving-index maintenance: code a DELTA batch of
@@ -394,7 +401,76 @@ object Similarity {
         posexplode(codesExpr).as(Seq("subspace", "code")))
       .select(col("vec_id"), col("cent_id"),
         col("subspace").cast("integer").as("subspace"), col("code"))
-      .write.mode("append").parquet(s"$path/codes")
+      // same cell layout as the export: delta files land INSIDE the
+      // existing cell directories (new files only — committed bytes
+      // still never rewritten), so the serving prune keeps working
+      // across appends
+      .write.mode("append").partitionBy("cent_id")
+      .parquet(s"$path/codes")
+  }
+
+  /** Probed-cell count above which [[ivfPqTopKFromArtifacts]] skips
+    * the partition-prune literal IN: a batch probing thousands of
+    * distinct cells is reading most of the index anyway, and the
+    * full-scan cell equi-join is the better plan than a
+    * thousands-literal predicate.
+    */
+  val ServingPruneLimit = 4096
+
+  private def servingDirExists(spark: org.apache.spark.sql.SparkSession,
+      p: String): Boolean = {
+    val path = new org.apache.hadoop.fs.Path(p)
+    path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .exists(path)
+  }
+
+  /** DELETE vectors from a serving index the way a live index must —
+    * without rewriting committed bytes: append the ids to a
+    * `tombstones/` relation under `path`. Serving
+    * ([[ivfPqTopKFromArtifacts]]) anti-joins it, so a takedown (a
+    * right-to-be-forgotten order, a detected poisoning batch) takes
+    * effect in O(|ids|) written bytes, immediately, while `codes/`
+    * stays frozen. The physical reclaim is deferred to
+    * [[compactServingIndex]] — the LSM discipline. Duplicate requests
+    * are absorbed by the distinct; already-tombstoned ids appended
+    * again stay correct (the anti-join is idempotent) and are
+    * reconciled at compaction.
+    */
+  def tombstoneServingIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, ids: DataFrame, idCol: String): Unit =
+    ids.select(col(idCol).cast("long").as("vec_id")).distinct()
+      .write.mode("append").parquet(s"$path/tombstones")
+
+  /** Physically reclaim tombstoned rows: rewrite `codes/` minus the
+    * tombstoned ids and clear `tombstones/` — the compaction that
+    * turns the O(|ids|) logical delete into reclaimed bytes. The
+    * rewrite lands in a scratch directory first and swaps in via
+    * rename with the old `codes/` held as `codes_old/` until the new
+    * directory is in place (the IdMapStore backup-swap discipline), so
+    * a crash mid-compact leaves either the old or the new state, never
+    * a torn one. Cost: one scan of `codes/` + one anti-join (the
+    * tombstone side is read once; AQE broadcasts it when small) + one
+    * write — no re-coding, no training, centroids/codebook untouched.
+    * A no-tombstone compact is a legitimate file-coalescing rewrite
+    * (it still rewrites `codes/`), not an error.
+    */
+  def compactServingIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val codes = spark.read.parquet(s"$path/codes")
+    val kept =
+      if (servingDirExists(spark, s"$path/tombstones"))
+        codes.join(spark.read.parquet(s"$path/tombstones")
+          .select(col("vec_id")).distinct(), Seq("vec_id"), "left_anti")
+      else codes
+    kept.write.mode("overwrite").partitionBy("cent_id")
+      .parquet(s"$path/codes_new")
+    fs.rename(new Path(s"$path/codes"), new Path(s"$path/codes_old"))
+    fs.rename(new Path(s"$path/codes_new"), new Path(s"$path/codes"))
+    fs.delete(new Path(s"$path/codes_old"), true)
+    fs.delete(new Path(s"$path/tombstones"), true)
   }
 
   /** Read an [[exportServingIndex]] directory back and certify it:
@@ -430,7 +506,18 @@ object Similarity {
           col("code").cast("string"))), M).as("term"))
       .groupBy(col("artifact"))
       .agg(count(lit(1)).as("n_rows"), sum(col("term")).as("checksum"))
-    cents.unionByName(book).unionByName(codes)
+    val base = cents.unionByName(book).unionByName(codes)
+    // The tombstone relation is part of the index's logical state —
+    // certify it too whenever it exists (absent after compaction or
+    // on a never-deleted index, so p178/p181 certificates are
+    // unchanged).
+    if (!servingDirExists(spark, s"$path/tombstones")) base
+    else base.unionByName(
+      spark.read.parquet(s"$path/tombstones")
+        .select(lit("tombstones").as("artifact"),
+          pmod(TF.hash60(col("vec_id").cast("string")), M).as("term"))
+        .groupBy(col("artifact"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("term")).as("checksum")))
   }
 
   /** Within-cell pair detection + transitive closure + keep decision
@@ -1266,13 +1353,45 @@ object Similarity {
     val books = subSlices(book, m, sub)
     val cents = broadcast(spark.read.parquet(s"$path/centroids")
       .select(col("cent_id"), col("ce"), l2norm(col("ce")).as("ce_n")))
-    val cellC = spark.read.parquet(s"$path/codes")
+    // The probe set is |Q|·nprobe rows by construction — materialize
+    // it once (localCheckpoint) so the driver can read the probed
+    // cell set for partition pruning AND the ADC join reuses it
+    // without re-probing.
+    val cellQ = probeCellsQ(queries, idCol, vecCol, cents, nprobe)
+      .localCheckpoint()
+    val probed = cellQ.select(col("cent_id")).distinct()
+      .collect().map(_.getLong(0))
+    // Cell-pruned serving: codes/ is partitioned by cent_id, so
+    // pushing the probed cells into the scan reads nprobe/nlist of
+    // the compressed corpus instead of all of it — the reason the
+    // export lays codes out by cell. Past ServingPruneLimit distinct
+    // cells (a huge query batch probing most of the index) the
+    // literal IN stops paying for its plan size and the full-scan
+    // cell join is the right plan anyway.
+    val rawCodes = {
+      val all = spark.read.parquet(s"$path/codes")
+      if (probed.length <= ServingPruneLimit)
+        all.filter(col("cent_id").isin(probed.toIndexedSeq: _*))
+      else all
+    }
+    // Honor logical deletes: tombstoned ids drop out of the candidate
+    // scan before any scoring (the anti-join prunes map-side when the
+    // tombstone set broadcasts — AQE's call, since a takedown batch
+    // can be anywhere from one id to millions).
+    val liveCodes =
+      if (servingDirExists(spark, s"$path/tombstones"))
+        rawCodes.join(spark.read.parquet(s"$path/tombstones")
+          .select(col("vec_id")).distinct(), Seq("vec_id"), "left_anti")
+      else rawCodes
+    val cellC = liveCodes
       .groupBy(col("vec_id"), col("cent_id"))
       .agg(transform(array_sort(collect_list(struct(col("subspace"),
         col("code")))), x => x.getField("code")).as("codes"))
-      .select(col("vec_id").as("cand_id"), col("cent_id"), col("codes"))
-    adcRank(cellC, probeCellsQ(queries, idCol, vecCol, cents, nprobe),
-      books, m, sub, k)
+      // the partition column reads back as its narrowest integer
+      // type; normalize to long so the ADC cell join is cast-free
+      .select(col("vec_id").as("cand_id"),
+        col("cent_id").cast("long").as("cent_id"), col("codes"))
+    adcRank(cellC, cellQ, books, m, sub, k)
   }
 
   /** Index-order dot over DOUBLE arrays — the residual-space sibling

@@ -2843,6 +2843,93 @@ object PipelineQueries {
     Similarity.certifyServingIndex(s, tmp)
   }
 
+  /** Dedup AT INGEST against frozen index artifacts (p182): the
+    * near-dup lifecycle's serving story, the dedup twin of p178's
+    * ANN hand-off — [[Dedup.exportDedupIndex]] freezes the admitted
+    * corpus's LSH band table and minhash signatures as parquet
+    * artifacts (signatures, ~10⁻³ of corpus bytes — never the text),
+    * and an arriving batch is answered FROM THE ARTIFACTS ALONE:
+    * band-key equi-join for candidates, signature-agreement count
+    * for the verdict. The delta is deterministic and
+    * oracle-replayable: ids shifted past the in-plan max; of the
+    * original ids ≡ 1, 4, 7 (mod 10) — exact copies ('copy', full
+    * 12/12 agreement), first-half truncations ('trunc', partial
+    * agreement), and synthetic novel text ('novel', n_agree ~ 0).
+    * The oracle replays the signatures, the band join WITH the
+    * export-side bucket cap, the agreement count, and the best-match
+    * argmax, so candidate generation and verdicts are certified end
+    * to end. CLI twin `stream-ingest-dedup` answers arriving
+    * micro-batches against the same artifacts.
+    */
+  def p182IngestDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val tmp = scratchDir(s, dir, "dedup_index")
+    Dedup.exportDedupIndex(docs, "doc_id", "text", k = 3,
+      numHashes = 12, bands = 6, tmp)
+    val mx = broadcast(docs.agg((max(col("doc_id")) + 1L).as("__base")))
+    val toks = TF.tokens(col("text"))
+    val half = floor((size(toks) + lit(1)) / lit(2)).cast("int")
+    val idStr = col("doc_id").cast("string")
+    val deltaText = when(col("doc_id") % 10 === 1, col("text"))
+      .when(col("doc_id") % 10 === 4,
+        array_join(slice(toks, lit(1), half), " "))
+      .otherwise(concat(lit("zqa"), idStr, lit(" zqb"), idStr,
+        lit(" zqc"), idStr, lit(" zqd"), idStr))
+    val kind = when(col("doc_id") % 10 === 1, lit("copy"))
+      .when(col("doc_id") % 10 === 4, lit("trunc"))
+      .otherwise(lit("novel"))
+    val delta = docs.crossJoin(mx)
+      .filter(col("doc_id") % 10 === 1 || col("doc_id") % 10 === 4 ||
+        col("doc_id") % 10 === 7)
+      .select((col("doc_id") + col("__base")).as("doc_id"),
+        col("doc_id").as("orig"), kind.as("kind"),
+        deltaText.as("text"))
+    val verdict = Dedup.ingestDedupCheck(s, tmp, delta, "doc_id",
+      "text", k = 3, numHashes = 12, bands = 6, minAgree = 8)
+    verdict.join(delta.select(col("doc_id"), col("orig"), col("kind")),
+        "doc_id")
+      .select(col("doc_id"), col("orig"), col("kind"), col("n_agree"),
+        col("match_doc"), col("is_dup"))
+  }
+
+  /** Serving-index DELETE lifecycle (p183): tombstone → serve-around
+    * → compact — how a frozen ANN index honors a takedown without
+    * rewriting committed bytes, then reclaims them. Export (the p178
+    * artifacts), tombstone a deterministic slice (vec_id ≡ 2 mod 9,
+    * excluding centroid/codebook rows so the frozen quantizer is
+    * untouched), certify the EXTENDED directory (pre phase: the codes
+    * checksum is UNCHANGED — a logical delete rewrites nothing — and
+    * the tombstone relation itself is certified), then
+    * [[Similarity.compactServingIndex]] and certify again (post
+    * phase: codes shrink by exactly the tombstoned rows, the
+    * tombstone relation is gone). The oracle recomputes both phases
+    * from the source table — cell assignments and PQ codes for the
+    * full corpus (pre) and the surviving corpus (post) — so a
+    * compact that loses a live row, resurrects a deleted one, or
+    * perturbs a surviving code hash-mismatches. The spec pins that
+    * serving from the tombstoned directory equals the in-memory
+    * index over the surviving corpus bit for bit, and that
+    * compaction leaves served answers unchanged.
+    */
+  def p183IndexDelete(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val tmp = scratchDir(s, dir, "serving_delete")
+    Similarity.exportServingIndex(emb, "vec_id", "embedding",
+      coarseFilter = col("vec_id") % 25 === 0,
+      pqFilter = col("vec_id") < 8, m = 4, dim = 64, tmp)
+    Similarity.tombstoneServingIndex(s, tmp,
+      emb.filter(col("vec_id") % 9 === 2 && col("vec_id") % 25 =!= 0 &&
+        col("vec_id") >= 8).select(col("vec_id")), "vec_id")
+    val pre = Similarity.certifyServingIndex(s, tmp)
+      .withColumn("phase", lit("pre")).localCheckpoint()
+    Similarity.compactServingIndex(s, tmp)
+    val post = Similarity.certifyServingIndex(s, tmp)
+      .withColumn("phase", lit("post"))
+    pre.unionByName(post)
+      .select(col("phase"), col("artifact"), col("n_rows"),
+        col("checksum"))
+  }
+
   def p178IndexExport(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     val tmp = scratchDir(s, dir, "serving_index")
@@ -4471,6 +4558,8 @@ object PipelineQueries {
     "p179_lsh_bucket_audit" -> p179LshBucketAudit _,
     "p180_release_signoff" -> p180ReleaseSignoff _,
     "p181_index_append" -> p181IndexAppend _,
+    "p182_ingest_dedup" -> p182IngestDedup _,
+    "p183_index_delete" -> p183IndexDelete _,
     "p164_crop_pairs" -> p164CropPairs _,
     "p165_shard_mix" -> p165ShardMix _,
     "p166_epoch_decorrelation" -> p166EpochDecorrelation _,
@@ -7074,6 +7163,86 @@ object PipelineQueries {
          |allv AS (SELECT vec_id, embedding FROM embeddings
          |  UNION ALL SELECT vec_id, embedding FROM delta),
          |""".stripMargin)) +
+      ("p183_index_delete" -> {
+        val doomed =
+          "vec_id % 9 = 2 AND vec_id % 25 != 0 AND vec_id >= 8"
+        s"""SELECT 'pre' AS phase, artifact, n_rows, checksum FROM (
+           |${oServingCertify("embeddings")}
+           |UNION ALL
+           |SELECT 'tombstones' AS artifact,
+           |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+           |  CAST(SUM(${oHash("CAST(vec_id AS VARCHAR)")} % 268435456)
+           |    AS BIGINT) AS checksum
+           |FROM embeddings WHERE $doomed)
+           |UNION ALL
+           |SELECT 'post' AS phase, artifact, n_rows, checksum FROM (
+           |${oServingCertify(
+             s"(SELECT vec_id, embedding FROM embeddings" +
+               s" WHERE NOT ($doomed))")})""".stripMargin
+      }) +
+      ("p182_ingest_dedup" -> {
+        val P = 2147483647L
+        val dsigs = TF.minhashSeeds(12).map { case (a, b) =>
+          s"COALESCE(list_min(list_transform(dbh, h -> ($a * h + $b) % $P)), $P)"
+        }.mkString(",\n      ")
+        val idv = "CAST(t.doc_id AS VARCHAR)"
+        val novel = s"'zqa' || $idv || ' zqb' || $idv || ' zqc' ||" +
+          s" $idv || ' zqd' || $idv"
+        s"""${oMinhashSigCtes(3, 12)},
+           |bds AS (SELECT unnest(generate_series(0, 5)) AS bd),
+           |bl AS (SELECT doc_id, bd,
+           |    list_slice(sig, bd*2 + 1, bd*2 + 2) AS sl
+           |  FROM sg, bds),
+           |bsz AS (SELECT bd, sl, COUNT(*) AS n, MIN(doc_id) AS bmin
+           |  FROM bl GROUP BY 1, 2),
+           |fb AS (SELECT bl.doc_id, bl.bd, bl.sl FROM bl
+           |  JOIN bsz ON bl.bd = bsz.bd AND bl.sl = bsz.sl
+           |  WHERE bsz.n <= 1024 OR bl.doc_id = bsz.bmin),
+           |dmx AS (SELECT MAX(doc_id) + 1 AS base FROM documents),
+           |dd AS (SELECT t.doc_id + dmx.base AS doc_id,
+           |    t.doc_id AS orig,
+           |    CASE WHEN t.doc_id % 10 = 1 THEN 'copy'
+           |         WHEN t.doc_id % 10 = 4 THEN 'trunc'
+           |         ELSE 'novel' END AS kind,
+           |    CASE WHEN t.doc_id % 10 = 1 THEN d.text
+           |         WHEN t.doc_id % 10 = 4 THEN array_to_string(
+           |           list_slice(t.toks, 1, (len(t.toks) + 1) // 2),
+           |           ' ')
+           |         ELSE $novel END AS dtext
+           |  FROM t JOIN documents d ON t.doc_id = d.doc_id, dmx
+           |  WHERE t.doc_id % 10 IN (1, 4, 7)),
+           |ddt AS (SELECT doc_id, orig, kind,
+           |    ${oToksOf("dtext")} AS toks FROM dd),
+           |dshs AS (SELECT doc_id, orig, kind, ${oShingles(3)} AS sh
+           |  FROM ddt),
+           |dhh AS (SELECT doc_id, orig, kind,
+           |    list_transform(sh, s0 -> ${oHash("s0")} % $P) AS dbh
+           |  FROM dshs),
+           |dsg AS (SELECT doc_id, orig, kind, [
+           |      $dsigs] AS sig FROM dhh),
+           |dbl AS (SELECT doc_id, bd,
+           |    list_slice(sig, bd*2 + 1, bd*2 + 2) AS sl
+           |  FROM dsg, bds),
+           |cand AS (SELECT DISTINCT dbl.doc_id AS new_doc,
+           |    fb.doc_id AS idx_doc
+           |  FROM dbl JOIN fb ON dbl.bd = fb.bd AND dbl.sl = fb.sl),
+           |agr AS (SELECT c.new_doc, c.idx_doc,
+           |    CAST(list_sum(list_transform(generate_series(1, 12),
+           |      i -> CASE WHEN ns.sig[i] = xs.sig[i]
+           |           THEN 1 ELSE 0 END)) AS BIGINT) AS n_agree
+           |  FROM cand c
+           |  JOIN dsg ns ON ns.doc_id = c.new_doc
+           |  JOIN sg xs ON xs.doc_id = c.idx_doc),
+           |best AS (SELECT new_doc, n_agree, idx_doc,
+           |    ROW_NUMBER() OVER (PARTITION BY new_doc
+           |      ORDER BY n_agree DESC, idx_doc ASC) AS rn FROM agr)
+           |SELECT d.doc_id, d.orig, d.kind,
+           |  COALESCE(b.n_agree, 0) AS n_agree, b.idx_doc AS match_doc,
+           |  CAST(COALESCE(b.n_agree, 0) >= 8 AS BIGINT) AS is_dup
+           |FROM dsg d
+           |LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
+           |  ON b.new_doc = d.doc_id""".stripMargin
+      }) +
       ("p177_passage_retrieval" -> {
         val cavgdl = "(CAST(cst.sdl AS DOUBLE) / CAST(cst.nd AS DOUBLE))"
         val cidf = "ln(1.0 + (CAST(cst.nd AS DOUBLE) - CAST(f.df" +

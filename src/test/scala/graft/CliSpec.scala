@@ -496,6 +496,21 @@ class CliSpec extends SparkSpec {
     assert(sannGot.exceptAll(sannMem).count() == 0 &&
       sannMem.exceptAll(sannGot).count() == 0)
 
+    // stream-ingest-dedup: arriving docs gated against the frozen
+    // band/signature artifacts, bit-identical to the batch check
+    // over the same rows (per-batch plans are stateless)
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(s"$out/sidg"))
+    Cli.run(spark, List("stream-ingest-dedup", sf0001, s"$out/sidg"))
+    val sidgGot = spark.read.parquet(s"$out/sidg")
+    val sidgDocs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .filter(col("doc_id") % 10 === 1).select("doc_id", "text")
+    val sidgExp = graft.pipeline.Dedup.ingestDedupCheck(spark,
+      s"$out/sidg/_artifacts", sidgDocs, "doc_id", "text", k = 3,
+      numHashes = 12, bands = 6, minAgree = 8)
+    assert(sidgGot.exceptAll(sidgExp).count() == 0 &&
+      sidgExp.exceptAll(sidgGot).count() == 0 && sidgGot.count() > 0)
+
     // stream-tokenize: a one-shot drain tokenizes exactly like the
     // batch replay encode with the same snapshot-trained merges
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$out/stok"))

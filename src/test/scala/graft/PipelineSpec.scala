@@ -1755,6 +1755,74 @@ class PipelineSpec extends SparkSpec {
       && served.count() > 0)
   }
 
+  test("serving-index delete: tombstone serves around, compact reclaims, answers unchanged") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val tmp = java.nio.file.Files.createTempDirectory("idxdelete").toString
+    val coarse = col("vec_id") % 25 === 0
+    val pq = col("vec_id") < 8
+    Similarity.exportServingIndex(emb, "vec_id", "embedding",
+      coarseFilter = coarse, pqFilter = pq, m = 4, dim = 64, tmp)
+    // the doomed slice deliberately avoids centroid/codebook rows so
+    // the frozen quantizer survives the delete
+    val doomedPred = col("vec_id") % 9 === 2 &&
+      col("vec_id") % 25 =!= 0 && col("vec_id") >= 8
+    val doomed = emb.filter(doomedPred).select("vec_id")
+    val doomedIds = doomed.as[Long].collect().toSet
+    assert(doomedIds.nonEmpty)
+    val preCodes = spark.read.parquet(s"$tmp/codes").count()
+    Similarity.tombstoneServingIndex(spark, tmp, doomed, "vec_id")
+    // the logical delete rewrote nothing in codes/
+    assert(spark.read.parquet(s"$tmp/codes").count() == preCodes)
+    // serving anti-joins the tombstones: equals the in-memory index
+    // over the surviving corpus, and never returns a deleted id
+    val queries = emb.filter(col("vec_id") < 20)
+    val servedPre = Similarity.ivfPqTopKFromArtifacts(spark, tmp,
+      queries, "vec_id", "embedding", m = 4, dim = 64, k = 5,
+      nprobe = 4).collect().toSet
+    val mem = Similarity.ivfPqTopK(emb.filter(!doomedPred), queries,
+      "vec_id", "embedding", coarseFilter = coarse, pqFilter = pq,
+      m = 4, dim = 64, k = 5, nprobe = 4).collect().toSet
+    assert(servedPre == mem && servedPre.nonEmpty)
+    assert(servedPre.forall(r => !doomedIds.contains(
+      r.getAs[Long]("cand_id"))))
+    // compaction reclaims exactly the tombstoned rows (m per vector),
+    // clears the tombstone relation, and leaves served answers
+    // bit-identical
+    Similarity.compactServingIndex(spark, tmp)
+    assert(!new java.io.File(s"$tmp/tombstones").exists())
+    assert(spark.read.parquet(s"$tmp/codes").count() ==
+      preCodes - 4L * doomedIds.size)
+    val servedPost = Similarity.ivfPqTopKFromArtifacts(spark, tmp,
+      queries, "vec_id", "embedding", m = 4, dim = 64, k = 5,
+      nprobe = 4).collect().toSet
+    assert(servedPost == servedPre)
+  }
+
+  test("ingest dedup gate: re-ingested corpus all dup, novel doc sails through") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("dedupidx").toString
+    Dedup.exportDedupIndex(docs, "doc_id", "text", k = 3,
+      numHashes = 12, bands = 6, tmp)
+    val got = Dedup.ingestDedupCheck(spark, tmp, docs, "doc_id",
+      "text", k = 3, numHashes = 12, bands = 6, minAgree = 8)
+    val n = docs.count()
+    assert(got.count() == n)
+    // every re-ingested doc self-collides: full 12/12 agreement, dup
+    // verdict, and the best match is itself or an earlier exact copy
+    // (ties go to the smallest admitted id)
+    assert(got.filter(col("n_agree") === 12 && col("is_dup") === 1 &&
+      col("match_doc") <= col("doc_id")).count() == n)
+    // a genuinely novel document sails through the gate
+    val novel = Seq((999999L, "qqa qqb qqc qqd qqe"))
+      .toDF("doc_id", "text")
+    val g2 = Dedup.ingestDedupCheck(spark, tmp, novel, "doc_id",
+      "text", k = 3, numHashes = 12, bands = 6, minAgree = 8)
+      .collect().head
+    assert(g2.getAs[Long]("is_dup") == 0L)
+  }
+
   test("trained-index store trains once per key across fresh reads") {
     // TWO INDEPENDENT reads of the same table must share one artifact:
     // the key is the canonicalized plan + resolved input files, not the

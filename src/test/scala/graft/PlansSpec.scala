@@ -482,6 +482,29 @@ class PlansSpec extends SparkSpec {
     assert(!po.contains("SortMergeJoin"), po)
   }
 
+  test("artifact serving prunes the codes scan to the probed cells") {
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val tmp = java.nio.file.Files.createTempDirectory("prunedserve")
+      .toString
+    graft.pipeline.Similarity.exportServingIndex(emb, "vec_id",
+      "embedding", coarseFilter = col("vec_id") % 25 === 0,
+      pqFilter = col("vec_id") < 8, m = 4, dim = 64, tmp)
+    val served = graft.pipeline.Similarity.ivfPqTopKFromArtifacts(
+      spark, tmp, emb.filter(col("vec_id") < 4), "vec_id", "embedding",
+      m = 4, dim = 64, k = 3, nprobe = 2)
+    val p = plan(served)
+    // the probed cell set reaches the codes scan as a PARTITION
+    // filter — the serving read is nprobe/nlist of the index, not a
+    // full scan (codes/ is laid out by cell at export for exactly
+    // this)
+    val pf = p.linesIterator
+      .filter(_.contains("PartitionFilters")).toSeq
+    assert(pf.exists(l => l.contains("cent_id") &&
+      !l.contains("PartitionFilters: []")), p)
+  }
+
   test("PII scrub is a zero-exchange codegen projection (p38)") {
     val p = plan(PipelineQueries.p38PiiScrub(spark, sf0001))
     assert(!p.contains("Exchange"), p)
