@@ -354,8 +354,11 @@ object Similarity {
       // of nlist cells, so the cell is the serving read path's
       // partition-prune key — [[ivfPqTopKFromArtifacts]] pushes the
       // probed cell set into the scan and reads nprobe/nlist of the
-      // corpus instead of all of it. At export time this costs one
-      // dynamic-partition write (rows for one cell land together).
+      // corpus instead of all of it. The pre-write repartition
+      // clusters each cell into one task (without it every task
+      // writes a file per cell it happens to hold — tasks × nlist
+      // small files); the shuffle moves m-byte codes, never vectors.
+      .repartition(col("cent_id"))
       .write.mode("overwrite").partitionBy("cent_id")
       .parquet(s"$path/codes")
   }
@@ -404,7 +407,9 @@ object Similarity {
       // same cell layout as the export: delta files land INSIDE the
       // existing cell directories (new files only — committed bytes
       // still never rewritten), so the serving prune keeps working
-      // across appends
+      // across appends; clustered like the export so a delta adds at
+      // most one file per touched cell
+      .repartition(col("cent_id"))
       .write.mode("append").partitionBy("cent_id")
       .parquet(s"$path/codes")
   }
@@ -465,7 +470,8 @@ object Similarity {
         codes.join(spark.read.parquet(s"$path/tombstones")
           .select(col("vec_id")).distinct(), Seq("vec_id"), "left_anti")
       else codes
-    kept.write.mode("overwrite").partitionBy("cent_id")
+    kept.repartition(col("cent_id"))
+      .write.mode("overwrite").partitionBy("cent_id")
       .parquet(s"$path/codes_new")
     fs.rename(new Path(s"$path/codes"), new Path(s"$path/codes_old"))
     fs.rename(new Path(s"$path/codes_new"), new Path(s"$path/codes"))
