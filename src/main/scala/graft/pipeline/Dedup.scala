@@ -282,6 +282,92 @@ object Dedup {
     } finally docs.unpersist()
   }
 
+  /** Absorb an admitted delta batch into an [[exportDedupIndex]]
+    * directory in place — O(Δ) appended rows, committed bytes never
+    * rewritten, mirroring the serving-index append discipline: delta
+    * signatures land in `sigs/`, delta band rows in `bands/`, both as
+    * new files only. The append is deliberately UNCAPPED (the
+    * export-time bucket cap bounded the base index; appended rows
+    * accrue) — the LSM discipline where writes land unconstrained and
+    * [[compactDedupIndex]] restores the invariant; [[lshBucketAudit]]
+    * reports when it's due. An `ingestDedupCheck` after the append
+    * catches duplicates of DELTA documents too (spec-pinned).
+    */
+  def appendDedupIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, delta: DataFrame, idCol: String, textCol: String,
+      k: Int, numHashes: Int, bands: Int): Unit = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val docs = minhashDocs(delta, idCol, textCol, k, numHashes)
+      .select(col("doc"), col("sig")).persist()
+    try {
+      docs.count()
+      docs.select(col("doc"),
+          explode(bandKeyArray(col("sig"), bands, rows)).as("key"))
+        .select(col("key"), col("doc"))
+        .write.mode("append").parquet(s"$path/bands")
+      docs.write.mode("append").parquet(s"$path/sigs")
+    } finally docs.unpersist()
+  }
+
+  /** Re-apply the [[LshBucketCap]] star guard to a dedup index whose
+    * `bands/` relation has grown past it through uncapped appends:
+    * recount every bucket and rewrite, keeping all rows for buckets at
+    * or under the cap and only the minimum-id representative past it
+    * (`sigs/` is untouched — it is per-document, not per-bucket). The
+    * rewrite lands in `bands_new/` and swaps in via rename with the
+    * old relation held as `bands_old/` until the new one is in place,
+    * so a crash leaves old or new state, never a torn one. Cost: one
+    * band-key count shuffle + one write — the same shape as the
+    * export-time guard.
+    */
+  def compactDedupIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, bucketCap: Int = LshBucketCap): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bandRows = spark.read.parquet(s"$path/bands")
+    val sizes = bandRows.groupBy("key")
+      .agg(count(lit(1)).as("__bn"), min(col("doc")).as("__bmin"))
+    bandRows.join(sizes, "key")
+      .filter(col("__bn") <= bucketCap || col("doc") === col("__bmin"))
+      .select(col("key"), col("doc"))
+      .write.mode("overwrite").parquet(s"$path/bands_new")
+    fs.rename(new Path(s"$path/bands"), new Path(s"$path/bands_old"))
+    fs.rename(new Path(s"$path/bands_new"), new Path(s"$path/bands"))
+    fs.delete(new Path(s"$path/bands_old"), true)
+  }
+
+  /** Read an [[exportDedupIndex]] directory back and certify it: one
+    * row per artifact with its row count and an order-free integer
+    * checksum (Σ hash60(canonical row string) mod 2²⁸ — the
+    * [[graft.pipeline.Similarity.certifyServingIndex]] pattern), so a
+    * lost band row, a drifted signature value, or a resurrected
+    * compacted row hash-mismatches against an oracle that recomputes
+    * both relations from the source corpus. `sigs` counts documents
+    * (its row grain); `bands` counts band rows.
+    */
+  def certifyDedupIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    val M = lit(268435456L)
+    val bandRows = spark.read.parquet(s"$path/bands")
+      .select(lit("bands").as("artifact"),
+        pmod(hash60(concat_ws(":", col("key"),
+          col("doc").cast("string"))), M).as("term"))
+      .groupBy(col("artifact"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("term")).as("checksum"))
+    val sigRows = spark.read.parquet(s"$path/sigs")
+      .select(col("doc"), posexplode(col("sig")).as(Seq("pos", "v")))
+      .select(lit("sigs").as("artifact"), col("doc"),
+        pmod(hash60(concat_ws(":", col("doc").cast("string"),
+          col("pos").cast("string"), col("v").cast("string"))), M)
+          .as("term"))
+      .groupBy(col("artifact"))
+      .agg(countDistinct(col("doc")).as("n_rows"),
+        sum(col("term")).as("checksum"))
+    bandRows.unionByName(sigRows)
+  }
+
   /** Check an arriving batch against an [[exportDedupIndex]]
     * directory: per delta document, the best-matching admitted
     * document and their minhash agreement count — dedup AT INGEST,

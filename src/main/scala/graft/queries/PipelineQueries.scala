@@ -2930,6 +2930,35 @@ object PipelineQueries {
         col("checksum"))
   }
 
+  /** Incremental dedup-index append (p184): the near-dup gate's
+    * index absorbs a day's admits in place — base index exported over
+    * doc_id % 3 ≠ 0, the % 3 = 0 batch appended via
+    * [[Dedup.appendDedupIndex]] (O(Δ) new files in `bands/` and
+    * `sigs/`, committed bytes never rewritten, append deliberately
+    * uncapped with [[Dedup.compactDedupIndex]] as the LSM re-cap),
+    * then the EXTENDED directory certified:
+    * [[Dedup.certifyDedupIndex]] emits per-artifact row counts and
+    * order-free integer checksums, and the oracle recomputes both
+    * relations from the source corpus — base band rows capped by
+    * base-only bucket counts (exactly what the export wrote), delta
+    * band rows uncapped (exactly what the append wrote), signatures
+    * for every admitted doc. A lost delta row, a drifted signature,
+    * or a base row disturbed by the append hash-mismatches. The spec
+    * pins that the appended index catches duplicates of DELTA
+    * documents, that append equals a fresh full export on an
+    * uncongested corpus, and that compaction collapses a planted
+    * oversized bucket to its representative.
+    */
+  def p184DedupAppend(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val tmp = scratchDir(s, dir, "dedup_append")
+    Dedup.exportDedupIndex(docs.filter(col("doc_id") % 3 =!= 0),
+      "doc_id", "text", k = 3, numHashes = 12, bands = 6, tmp)
+    Dedup.appendDedupIndex(s, tmp, docs.filter(col("doc_id") % 3 === 0),
+      "doc_id", "text", k = 3, numHashes = 12, bands = 6)
+    Dedup.certifyDedupIndex(s, tmp)
+  }
+
   def p178IndexExport(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     val tmp = scratchDir(s, dir, "serving_index")
@@ -4560,6 +4589,7 @@ object PipelineQueries {
     "p181_index_append" -> p181IndexAppend _,
     "p182_ingest_dedup" -> p182IngestDedup _,
     "p183_index_delete" -> p183IndexDelete _,
+    "p184_dedup_append" -> p184DedupAppend _,
     "p164_crop_pairs" -> p164CropPairs _,
     "p165_shard_mix" -> p165ShardMix _,
     "p166_epoch_decorrelation" -> p166EpochDecorrelation _,
@@ -7179,6 +7209,40 @@ object PipelineQueries {
            |${oServingCertify(
              s"(SELECT vec_id, embedding FROM embeddings" +
                s" WHERE NOT ($doomed))")})""".stripMargin
+      }) +
+      ("p184_dedup_append" -> {
+        s"""${oMinhashSigCtes(3, 12)},
+           |bds AS (SELECT unnest(generate_series(0, 5)) AS bd),
+           |bl AS (SELECT doc_id, bd,
+           |    CAST(bd AS VARCHAR) || '_'
+           |      || CAST(sig[bd*2 + 1] AS VARCHAR) || '_'
+           |      || CAST(sig[bd*2 + 2] AS VARCHAR) AS key
+           |  FROM sg, bds),
+           |basebl AS (SELECT * FROM bl WHERE doc_id % 3 != 0),
+           |bsz AS (SELECT key, COUNT(*) AS n, MIN(doc_id) AS bmin
+           |  FROM basebl GROUP BY 1),
+           |fb AS (
+           |  SELECT b.key, b.doc_id FROM basebl b
+           |  JOIN bsz ON b.key = bsz.key
+           |  WHERE bsz.n <= 1024 OR b.doc_id = bsz.bmin
+           |  UNION ALL
+           |  SELECT key, doc_id FROM bl WHERE doc_id % 3 = 0)
+           |SELECT 'bands' AS artifact,
+           |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+           |  CAST(SUM(${oHash(
+                 "key || ':' || CAST(doc_id AS VARCHAR)")}
+           |    % 268435456) AS BIGINT) AS checksum
+           |FROM fb
+           |UNION ALL
+           |SELECT 'sigs' AS artifact,
+           |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_rows,
+           |  CAST(SUM(${oHash(
+                 "CAST(doc_id AS VARCHAR) || ':' ||" +
+                   " CAST(i - 1 AS VARCHAR) || ':' ||" +
+                   " CAST(sig[i] AS VARCHAR)")}
+           |    % 268435456) AS BIGINT) AS checksum
+           |FROM sg, (SELECT unnest(generate_series(1, 12)) AS i)"""
+          .stripMargin
       }) +
       ("p182_ingest_dedup" -> {
         val P = 2147483647L

@@ -1823,6 +1823,72 @@ class PipelineSpec extends SparkSpec {
     assert(g2.getAs[Long]("is_dup") == 0L)
   }
 
+  test("dedup-index append extends in place and catches delta dups") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text")
+    val base = docs.filter(col("doc_id") % 3 =!= 0)
+    val delta = docs.filter(col("doc_id") % 3 === 0)
+    val tmp = java.nio.file.Files.createTempDirectory("dedupappend")
+      .toString
+    val full = java.nio.file.Files.createTempDirectory("dedupfull")
+      .toString
+    Dedup.exportDedupIndex(base, "doc_id", "text", k = 3,
+      numHashes = 12, bands = 6, tmp)
+    def sigFiles() = new java.io.File(s"$tmp/sigs").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => (f.getName, f.length, f.lastModified)).toSet
+    val frozen = sigFiles()
+    Dedup.appendDedupIndex(spark, tmp, delta, "doc_id", "text",
+      k = 3, numHashes = 12, bands = 6)
+    // committed sig data files untouched by the append — new files
+    // only (the _SUCCESS marker's mtime does change)
+    assert(frozen.subsetOf(sigFiles()) && sigFiles().size > frozen.size)
+    // the appended index equals a fresh full export (no bucket at
+    // this SF is anywhere near the cap, so base-capped ∪ delta
+    // uncapped = full-capped)
+    Dedup.exportDedupIndex(docs, "doc_id", "text", k = 3,
+      numHashes = 12, bands = 6, full)
+    for (rel <- Seq("bands", "sigs")) {
+      val a = spark.read.parquet(s"$tmp/$rel")
+      val b = spark.read.parquet(s"$full/$rel")
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty, rel)
+    }
+    // a duplicate of a DELTA document is caught after the append
+    val deltaDup = delta.limit(1)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    val v = Dedup.ingestDedupCheck(spark, tmp, deltaDup, "doc_id",
+      "text", k = 3, numHashes = 12, bands = 6, minAgree = 8)
+      .collect().head
+    assert(v.getAs[Long]("is_dup") == 1L &&
+      v.getAs[Long]("n_agree") == 12L)
+  }
+
+  test("dedup-index compact collapses an oversized bucket to its representative") {
+    // 60 identical docs against cap 16: the uncapped append pushes
+    // every band bucket past the cap; compact keeps only the min-id
+    // representative, and the gate still flags an identical arrival
+    val boiler = (1L to 60L).map(i => (i, "xx yy zz ww vv uu"))
+      .toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("dedupcompact")
+      .toString
+    Dedup.exportDedupIndex(boiler.filter(col("doc_id") <= 10),
+      "doc_id", "text", k = 3, numHashes = 12, bands = 6, tmp,
+      bucketCap = 16)
+    Dedup.appendDedupIndex(spark, tmp,
+      boiler.filter(col("doc_id") > 10), "doc_id", "text", k = 3,
+      numHashes = 12, bands = 6)
+    // one shared signature -> 6 band buckets of 60 rows each
+    assert(spark.read.parquet(s"$tmp/bands").count() == 360L)
+    Dedup.compactDedupIndex(spark, tmp, bucketCap = 16)
+    assert(spark.read.parquet(s"$tmp/bands").count() == 6L)
+    val v = Dedup.ingestDedupCheck(spark, tmp,
+      Seq((999L, "xx yy zz ww vv uu")).toDF("doc_id", "text"),
+      "doc_id", "text", k = 3, numHashes = 12, bands = 6,
+      minAgree = 8).collect().head
+    assert(v.getAs[Long]("is_dup") == 1L &&
+      v.getAs[Long]("match_doc") == 1L)
+  }
+
   test("trained-index store trains once per key across fresh reads") {
     // TWO INDEPENDENT reads of the same table must share one artifact:
     // the key is the canonicalized plan + resolved input files, not the
