@@ -102,6 +102,8 @@ object Cli {
         |  stream-embed-neardup <dir> <outDir>           embedding near-dup vs the corpus at stream ingest
         |  stream-ingest-dedup <dir> <outDir>            near-dup gate at stream ingest, served from the frozen
         |                                                LSH band/signature artifacts (p182 twin)
+        |  stream-decontaminate <dir> <outDir>           benchmark-contamination gate at stream ingest, served
+        |                                                from the frozen eval posting artifact (p185 twin)
         |  stream-cluster-assign <dir> <outDir>          online k-means cell routing at stream ingest
         |  stream-tokenize <dir> <outDir>                BPE tokenization at stream ingest (snapshot-trained merges)
         |  stream-image-neardup <dir> <outDir>           perceptual image near-dup vs the corpus at stream ingest
@@ -1216,6 +1218,34 @@ object Cli {
         .start()
       gateQ.awaitTermination()
       println(s"""{"stream_ingest_dedup":"$out"}""")
+
+    // decontamination at ingest: the benchmark's k-gram posting
+    // artifact (the p185 export — hashes only, never eval text)
+    // gates each arriving micro-batch through the SAME batch plan
+    // via foreachBatch; the artifact broadcast makes each batch's
+    // plan stateless, so results are bit-identical to the batch gate
+    // over the same rows.
+    case "stream-decontaminate" :: dir :: out :: Nil =>
+      val corpus = Tables.read(spark, dir, "documents")
+      val artifacts = s"$out/_artifacts"
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(artifacts)))
+        pipeline.Curation.exportEvalIndex(
+          corpus.filter(col("doc_id") % 20 === 0), "doc_id", "text",
+          k = 3, artifacts)
+      val incoming = stagedDocStream(spark, dir, out)
+        .filter(col("doc_id") % 20 =!= 0 && col("doc_id") % 7 === 1)
+        .select(col("doc_id"), col("text"))
+      val decontQ = incoming.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          pipeline.Curation.ingestContaminationCheck(spark, artifacts,
+              batch, "doc_id", "text", k = 3, minShared = 2)
+            .write.mode("append").parquet(out)
+        }
+        .option("checkpointLocation", s"$out/_checkpoint")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      decontQ.awaitTermination()
+      println(s"""{"stream_decontaminate":"$out"}""")
 
     // online cluster routing: k-means trained once on the snapshot,
     // arriving vectors assigned to trained cells as a stateless

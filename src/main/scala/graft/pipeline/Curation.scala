@@ -1515,6 +1515,64 @@ object Curation {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Export the frozen DECONTAMINATION artifact: the benchmark/eval
+    * set's k-gram hash posting index as one parquet relation
+    * `postings/ (h, bench_doc)` under `path` — 8-byte hashes, never
+    * eval text, so the artifact ships to every ingest site without
+    * leaking the benchmark itself. The deployment half of
+    * [[contaminationPairs]]: the batch detector recomputes the eval
+    * postings per run; a production pipeline freezes them once per
+    * benchmark release and gates every arriving batch against the
+    * artifact ([[ingestContaminationCheck]]).
+    */
+  def exportEvalIndex(bench: DataFrame, idCol: String, textCol: String,
+      k: Int, path: String): Unit =
+    Dedup.shingled(bench, idCol, textCol, k)
+      .select(col("doc").as("bench_doc"), explode(col("sh")).as("s"))
+      .select(TF.hash60(col("s")).as("h"), col("bench_doc"))
+      .write.mode("overwrite").parquet(s"$path/postings")
+
+  /** Contamination gate at ingest: arriving documents checked against
+    * a frozen [[exportEvalIndex]] artifact — per document, the
+    * worst-hit benchmark doc (max shared k-grams, ties to the
+    * smallest bench id) and the `is_contaminated` verdict at
+    * `minShared`. Clean documents surface with `n_shared = 0` so the
+    * gate's output is a complete admission record, not just the
+    * rejects.
+    *
+    * Scale shape: the eval posting index BROADCASTS (benchmark sets
+    * are small by construction — the same shape the batch detector
+    * uses), so the arriving batch is gated in its own scan: shingle
+    * hashes join map-side, and the only exchanges are the two
+    * per-doc aggregations over hit rows (proportional to
+    * contamination, not corpus size).
+    */
+  def ingestContaminationCheck(spark: org.apache.spark.sql.SparkSession,
+      path: String, batch: DataFrame, idCol: String, textCol: String,
+      k: Int, minShared: Int): DataFrame = {
+    require(minShared >= 1, "minShared must be >= 1")
+    val post = broadcast(spark.read.parquet(s"$path/postings"))
+    val docs = Dedup.shingled(batch, idCol, textCol, k)
+    graft.core.Caching.withCached(docs) {
+      val hits = docs.select(col("doc"), explode(col("sh")).as("s"))
+        .select(col("doc"), TF.hash60(col("s")).as("h"))
+        .join(post, "h")
+        .groupBy(col("doc"), col("bench_doc"))
+        .agg(count(lit(1)).as("n_shared"))
+        .groupBy(col("doc"))
+        .agg(max(struct(col("n_shared"), (-col("bench_doc")).as("__tie"),
+          col("bench_doc"))).as("b"))
+        .select(col("doc"), col("b.n_shared").as("n_shared"),
+          col("b.bench_doc").as("bench_doc"))
+      docs.select(col("doc")).join(hits, Seq("doc"), "left")
+        .select(col("doc").as(idCol),
+          coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+          col("bench_doc").as("match_bench"),
+          (coalesce(col("n_shared"), lit(0L)) >= minShared)
+            .cast("long").as("is_contaminated"))
+    }
+  }
+
   /** Overlapping token-window chunking (RAG / context-window prep):
     * each document's tokens split into windows of `window` tokens every
     * `stride` tokens (stride < window ⇒ overlap), one output row per

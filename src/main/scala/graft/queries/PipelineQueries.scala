@@ -2959,6 +2959,30 @@ object PipelineQueries {
     Dedup.certifyDedupIndex(s, tmp)
   }
 
+  /** Decontamination at ingest (p185): the deployment shape of p25 —
+    * the benchmark's k-gram hash postings frozen once per eval
+    * release ([[Curation.exportEvalIndex]]: 8-byte hashes, never eval
+    * text) and every arriving batch gated against the artifact
+    * ([[Curation.ingestContaminationCheck]]): per document the
+    * worst-hit benchmark doc, its shared-k-gram count, and the
+    * verdict at minShared — clean docs included with n_shared = 0, so
+    * the output is a complete admission record. The eval postings
+    * broadcast (benchmark sets are small by construction); the only
+    * exchanges are hit-row aggregations. The oracle replays the
+    * posting join, the per-pair counts, and the worst-hit argmax.
+    * CLI twin `stream-decontaminate` gates arriving micro-batches
+    * from the same artifact.
+    */
+  def p185IngestDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val tmp = scratchDir(s, dir, "eval_index")
+    Curation.exportEvalIndex(docs.filter(col("doc_id") % 20 === 0),
+      "doc_id", "text", k = 3, tmp)
+    Curation.ingestContaminationCheck(s, tmp,
+      docs.filter(col("doc_id") % 20 =!= 0), "doc_id", "text",
+      k = 3, minShared = 2)
+  }
+
   def p178IndexExport(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     val tmp = scratchDir(s, dir, "serving_index")
@@ -4590,6 +4614,7 @@ object PipelineQueries {
     "p182_ingest_dedup" -> p182IngestDedup _,
     "p183_index_delete" -> p183IndexDelete _,
     "p184_dedup_append" -> p184DedupAppend _,
+    "p185_ingest_decontaminate" -> p185IngestDecontaminate _,
     "p164_crop_pairs" -> p164CropPairs _,
     "p165_shard_mix" -> p165ShardMix _,
     "p166_epoch_decorrelation" -> p166EpochDecorrelation _,
@@ -7210,6 +7235,32 @@ object PipelineQueries {
              s"(SELECT vec_id, embedding FROM embeddings" +
                s" WHERE NOT ($doomed))")})""".stripMargin
       }) +
+      ("p185_ingest_decontaminate" ->
+        s"""WITH sh AS (
+           |  SELECT DISTINCT doc_id, ${oHash("s")} AS h
+           |  FROM (SELECT doc_id, unnest(${oShingles(3)}) AS s
+           |        FROM (SELECT doc_id, $oToks AS toks
+           |              FROM documents))),
+           |b AS (SELECT doc_id AS bench_doc, h FROM sh
+           |  WHERE doc_id % 20 = 0),
+           |tr AS (SELECT doc_id AS train_doc, h FROM sh
+           |  WHERE doc_id % 20 != 0),
+           |pairs AS (
+           |  SELECT train_doc, bench_doc,
+           |    CAST(COUNT(*) AS BIGINT) AS n_shared
+           |  FROM tr JOIN b USING (h) GROUP BY 1, 2),
+           |best AS (
+           |  SELECT train_doc, n_shared, bench_doc,
+           |    ROW_NUMBER() OVER (PARTITION BY train_doc
+           |      ORDER BY n_shared DESC, bench_doc ASC) AS rn
+           |  FROM pairs)
+           |SELECT a.doc_id, COALESCE(x.n_shared, 0) AS n_shared,
+           |  x.bench_doc AS match_bench,
+           |  CAST(COALESCE(x.n_shared, 0) >= 2 AS BIGINT)
+           |    AS is_contaminated
+           |FROM (SELECT doc_id FROM documents WHERE doc_id % 20 != 0) a
+           |LEFT JOIN (SELECT * FROM best WHERE rn = 1) x
+           |  ON x.train_doc = a.doc_id""".stripMargin) +
       ("p184_dedup_append" -> {
         s"""${oMinhashSigCtes(3, 12)},
            |bds AS (SELECT unnest(generate_series(0, 5)) AS bd),

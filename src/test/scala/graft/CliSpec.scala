@@ -511,6 +511,21 @@ class CliSpec extends SparkSpec {
     assert(sidgGot.exceptAll(sidgExp).count() == 0 &&
       sidgExp.exceptAll(sidgGot).count() == 0 && sidgGot.count() > 0)
 
+    // stream-decontaminate: arriving docs gated against the frozen
+    // eval posting artifact, bit-identical to the batch gate
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(s"$out/sdec"))
+    Cli.run(spark, List("stream-decontaminate", sf0001, s"$out/sdec"))
+    val sdecGot = spark.read.parquet(s"$out/sdec")
+    val sdecDocs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .filter(col("doc_id") % 20 =!= 0 && col("doc_id") % 7 === 1)
+      .select("doc_id", "text")
+    val sdecExp = graft.pipeline.Curation.ingestContaminationCheck(
+      spark, s"$out/sdec/_artifacts", sdecDocs, "doc_id", "text",
+      k = 3, minShared = 2)
+    assert(sdecGot.exceptAll(sdecExp).count() == 0 &&
+      sdecExp.exceptAll(sdecGot).count() == 0 && sdecGot.count() > 0)
+
     // stream-tokenize: a one-shot drain tokenizes exactly like the
     // batch replay encode with the same snapshot-trained merges
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$out/stok"))

@@ -1889,6 +1889,37 @@ class PipelineSpec extends SparkSpec {
       v.getAs[Long]("match_doc") == 1L)
   }
 
+  test("ingest contamination gate agrees with the batch detector pair for pair") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text")
+    val bench = docs.filter(col("doc_id") % 20 === 0)
+    val train = docs.filter(col("doc_id") % 20 =!= 0)
+    val tmp = java.nio.file.Files.createTempDirectory("evalidx").toString
+    Curation.exportEvalIndex(bench, "doc_id", "text", k = 3, tmp)
+    val gate = Curation.ingestContaminationCheck(spark, tmp, train,
+      "doc_id", "text", k = 3, minShared = 2)
+    // complete admission record: one verdict per arriving doc
+    assert(gate.count() == train.count())
+    // the flagged set is exactly the batch detector's train side, and
+    // each flagged doc's n_shared equals its worst pair's count
+    val pairs = Curation.contaminationPairs(train, bench, "doc_id",
+      "text", k = 3, minShared = 2)
+    val worst = pairs.groupBy(col("train_doc").as("doc_id"))
+      .agg(max(col("n_shared")).as("exp_shared"))
+    val flagged = gate.filter(col("is_contaminated") === 1)
+      .select(col("doc_id"), col("n_shared"))
+    assert(flagged.join(worst, "doc_id")
+      .filter(col("n_shared") =!= col("exp_shared")).count() == 0)
+    assert(flagged.count() == worst.count())
+    // an arriving verbatim copy of a benchmark doc is flagged (take
+    // the longest bench doc so it surely carries >= 2 shingles)
+    val copy = bench.orderBy(length(col("text")).desc).limit(1)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    val v = Curation.ingestContaminationCheck(spark, tmp, copy,
+      "doc_id", "text", k = 3, minShared = 2).collect().head
+    assert(v.getAs[Long]("is_contaminated") == 1L)
+  }
+
   test("trained-index store trains once per key across fresh reads") {
     // TWO INDEPENDENT reads of the same table must share one artifact:
     // the key is the canonicalized plan + resolved input files, not the
