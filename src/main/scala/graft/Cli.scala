@@ -104,6 +104,8 @@ object Cli {
         |                                                LSH band/signature artifacts (p182 twin)
         |  stream-decontaminate <dir> <outDir>           benchmark-contamination gate at stream ingest, served
         |                                                from the frozen eval posting artifact (p185 twin)
+        |  stream-dedup-loop <dir> <outDir>              self-maintaining dedup gate: each batch checked against
+        |                                                the index, then its admitted docs appended to it
         |  stream-cluster-assign <dir> <outDir>          online k-means cell routing at stream ingest
         |  stream-tokenize <dir> <outDir>                BPE tokenization at stream ingest (snapshot-trained merges)
         |  stream-image-neardup <dir> <outDir>           perceptual image near-dup vs the corpus at stream ingest
@@ -1218,6 +1220,66 @@ object Cli {
         .start()
       gateQ.awaitTermination()
       println(s"""{"stream_ingest_dedup":"$out"}""")
+
+    // SELF-MAINTAINING dedup ingest loop: each arriving micro-batch
+    // is gated against the index, its verdicts written, and its
+    // ADMITTED (non-dup) documents appended to the index
+    // (appendDedupIndex, O(batch) new files) — so batch N+1 is
+    // checked against the base corpus AND batches 1..N. This is the
+    // production shape of a growing corpus's dedup gate: the index is
+    // the state, maintained as artifacts rather than a state store,
+    // which keeps every batch plan stateless and the state itself
+    // inspectable/certifiable (certifyDedupIndex). Arriving docs are
+    // staged as one file per batch with increasing mtimes +
+    // maxFilesPerTrigger=1, so batch order — and with it the
+    // admission record — is deterministic and replayable (CliSpec
+    // pins stream == sequential batch replay).
+    case "stream-dedup-loop" :: dir :: out :: Nil =>
+      val corpus = Tables.read(spark, dir, "documents")
+      val artifacts = s"$out/_artifacts"
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(artifacts)))
+        pipeline.Dedup.exportDedupIndex(
+          corpus.filter(col("doc_id") % 4 === 0), "doc_id", "text",
+          k = 3, numHashes = 12, bands = 6, artifacts)
+      val stage = java.nio.file.Paths.get(out, "_ingest")
+      if (!java.nio.file.Files.exists(stage)) {
+        java.nio.file.Files.createDirectories(stage)
+        for (k <- 1 to 3) {
+          val tmp = java.nio.file.Files
+            .createTempDirectory(s"dedup_loop_b$k").toString
+          corpus.filter(col("doc_id") % 4 === k)
+            .select(col("doc_id"), col("text"))
+            .coalesce(1).write.mode("overwrite").parquet(tmp)
+          val part = new java.io.File(tmp).listFiles()
+            .filter(_.getName.endsWith(".parquet")).head
+          val dest = stage.resolve(f"batch_$k%02d.parquet")
+          java.nio.file.Files.move(part.toPath, dest)
+          dest.toFile.setLastModified(1000000000000L + k * 60000L)
+        }
+      }
+      val schema = org.apache.spark.sql.types.StructType(
+        corpus.schema.filter(f => f.name == "doc_id" || f.name == "text"))
+      val loopQ = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(stage.toString)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          val verdicts = pipeline.Dedup.ingestDedupCheck(spark,
+            artifacts, batch, "doc_id", "text", k = 3, numHashes = 12,
+            bands = 6, minAgree = 8)
+          verdicts.write.mode("append").parquet(out)
+          // admit the clean docs into the index BEFORE the next batch
+          // (verdicts were just materialized by the write, and this
+          // re-evaluation still reads the pre-append artifacts)
+          pipeline.Dedup.appendDedupIndex(spark, artifacts,
+            batch.join(verdicts.filter(col("is_dup") === 0),
+              Seq("doc_id"), "left_semi"),
+            "doc_id", "text", k = 3, numHashes = 12, bands = 6)
+        }
+        .option("checkpointLocation", s"$out/_checkpoint")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      loopQ.awaitTermination()
+      println(s"""{"stream_dedup_loop":"$out"}""")
 
     // decontamination at ingest: the benchmark's k-gram posting
     // artifact (the p185 export — hashes only, never eval text)

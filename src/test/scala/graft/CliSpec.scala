@@ -526,6 +526,45 @@ class CliSpec extends SparkSpec {
     assert(sdecGot.exceptAll(sdecExp).count() == 0 &&
       sdecExp.exceptAll(sdecGot).count() == 0 && sdecGot.count() > 0)
 
+    // stream-dedup-loop: the SELF-MAINTAINING gate — each batch
+    // checked against the index, then its admitted docs appended, so
+    // later batches dedup against earlier ones. Pinned equal to the
+    // sequential batch replay over fresh artifacts (batch order is
+    // mtime-deterministic), and the loop's index state must have
+    // grown to base + admitted.
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(s"$out/sloop"))
+    Cli.run(spark, List("stream-dedup-loop", sf0001, s"$out/sloop"))
+    val sloopGot = spark.read.parquet(s"$out/sloop")
+    val loopDocs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text")
+    val replayArt = java.nio.file.Files
+      .createTempDirectory("looprep").toString
+    graft.pipeline.Dedup.exportDedupIndex(
+      loopDocs.filter(col("doc_id") % 4 === 0), "doc_id", "text",
+      k = 3, numHashes = 12, bands = 6, replayArt)
+    val replay = (1 to 3).map { bk =>
+      val b = loopDocs.filter(col("doc_id") % 4 === bk)
+      val v = graft.pipeline.Dedup.ingestDedupCheck(spark, replayArt,
+        b, "doc_id", "text", k = 3, numHashes = 12, bands = 6,
+        minAgree = 8).localCheckpoint(true)
+      graft.pipeline.Dedup.appendDedupIndex(spark, replayArt,
+        b.join(v.filter(col("is_dup") === 0), Seq("doc_id"),
+          "left_semi"), "doc_id", "text", k = 3, numHashes = 12,
+        bands = 6)
+      v
+    }.reduce(_ unionByName _)
+    assert(sloopGot.exceptAll(replay).count() == 0 &&
+      replay.exceptAll(sloopGot).count() == 0 &&
+      sloopGot.count() ==
+        loopDocs.filter(col("doc_id") % 4 =!= 0).count())
+    val loopCert = graft.pipeline.Dedup.certifyDedupIndex(spark,
+      s"$out/sloop/_artifacts")
+      .filter(col("artifact") === "sigs").collect().head
+    assert(loopCert.getAs[Long]("n_rows") ==
+      loopDocs.filter(col("doc_id") % 4 === 0).count() +
+        replay.filter(col("is_dup") === 0).count())
+
     // stream-tokenize: a one-shot drain tokenizes exactly like the
     // batch replay encode with the same snapshot-trained merges
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$out/stok"))
