@@ -106,6 +106,8 @@ object Cli {
         |                                                from the frozen eval posting artifact (p185 twin)
         |  stream-dedup-loop <dir> <outDir>              self-maintaining dedup gate: each batch checked against
         |                                                the index, then its admitted docs appended to it
+        |  stream-ann-loop <dir> <outDir>                self-maintaining ANN serving: each vector batch answered
+        |                                                from the artifacts, then absorbed into them
         |  stream-cluster-assign <dir> <outDir>          online k-means cell routing at stream ingest
         |  stream-tokenize <dir> <outDir>                BPE tokenization at stream ingest (snapshot-trained merges)
         |  stream-image-neardup <dir> <outDir>           perceptual image near-dup vs the corpus at stream ingest
@@ -1220,6 +1222,60 @@ object Cli {
         .start()
       gateQ.awaitTermination()
       println(s"""{"stream_ingest_dedup":"$out"}""")
+
+    // SELF-MAINTAINING ANN serving loop: each arriving vector batch
+    // is first ANSWERED from the current artifacts (top-k over
+    // everything admitted so far) and then ABSORBED into the index
+    // (appendServingIndex — coded against the frozen quantizer,
+    // O(batch) new files), so batch N+1 retrieves batches 1..N. The
+    // same artifacts-as-state shape as stream-dedup-loop: no state
+    // store, every batch plan stateless, the index certifiable at any
+    // point. Batch order is mtime-deterministic (one staged file per
+    // batch + maxFilesPerTrigger=1), so the serve-then-absorb record
+    // replays exactly (CliSpec pins stream == sequential replay).
+    case "stream-ann-loop" :: dir :: out :: Nil =>
+      val corpus = Tables.read(spark, dir, "embeddings")
+      val artifacts = s"$out/_artifacts"
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(artifacts)))
+        pipeline.Similarity.exportServingIndex(
+          corpus.filter(col("vec_id") % 4 === 0), "vec_id", "embedding",
+          coarseFilter = col("vec_id") % 25 === 0,
+          pqFilter = col("vec_id") < 32, m = 4, dim = 64, artifacts)
+      val stage = java.nio.file.Paths.get(out, "_ingest")
+      if (!java.nio.file.Files.exists(stage)) {
+        java.nio.file.Files.createDirectories(stage)
+        for (k <- 1 to 3) {
+          val tmp = java.nio.file.Files
+            .createTempDirectory(s"ann_loop_b$k").toString
+          corpus.filter(col("vec_id") % 4 === k)
+            .select(col("vec_id"), col("embedding"))
+            .coalesce(1).write.mode("overwrite").parquet(tmp)
+          val part = new java.io.File(tmp).listFiles()
+            .filter(_.getName.endsWith(".parquet")).head
+          val dest = stage.resolve(f"batch_$k%02d.parquet")
+          java.nio.file.Files.move(part.toPath, dest)
+          dest.toFile.setLastModified(1000000000000L + k * 60000L)
+        }
+      }
+      val annSchema = org.apache.spark.sql.types.StructType(
+        corpus.schema.filter(f =>
+          f.name == "vec_id" || f.name == "embedding"))
+      val annLoopQ = spark.readStream.schema(annSchema)
+        .option("maxFilesPerTrigger", 1).parquet(stage.toString)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          pipeline.Similarity.ivfPqTopKFromArtifacts(spark, artifacts,
+              batch, "vec_id", "embedding", m = 4, dim = 64, k = 5,
+              nprobe = 4)
+            .write.mode("append").parquet(out)
+          pipeline.Similarity.appendServingIndex(spark, artifacts,
+            batch, "vec_id", "embedding", m = 4, dim = 64)
+        }
+        .option("checkpointLocation", s"$out/_checkpoint")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      annLoopQ.awaitTermination()
+      println(s"""{"stream_ann_loop":"$out"}""")
 
     // SELF-MAINTAINING dedup ingest loop: each arriving micro-batch
     // is gated against the index, its verdicts written, and its

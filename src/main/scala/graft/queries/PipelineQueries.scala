@@ -2983,6 +2983,51 @@ object PipelineQueries {
       k = 3, minShared = 2)
   }
 
+  /** Serving-index CRUD lifecycle composite (p186): export → append
+    * → delete → compact on ONE directory, certified after every
+    * phase — the interaction coverage the standalone cards can't
+    * give (p181 appends to a fresh export; p183 deletes from one;
+    * here the tombstoned rows are removed from a directory that ALSO
+    * holds appended delta files, and compaction must preserve the
+    * delta while reclaiming the doomed base rows). Phases:
+    * 1_export (the p178 artifacts), 2_append (the p181 delta, coded
+    * against the frozen quantizer), 3_delete (tombstones over base
+    * ids — codes checksum must equal phase 2's: a logical delete
+    * rewrites nothing), 4_compact (codes = base ∪ delta minus the
+    * doomed rows; tombstones gone). The oracle recomputes every
+    * phase from the source table and the replayed delta.
+    */
+  def p186IndexLifecycle(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val tmp = scratchDir(s, dir, "serving_lifecycle")
+    Similarity.exportServingIndex(emb, "vec_id", "embedding",
+      coarseFilter = col("vec_id") % 25 === 0,
+      pqFilter = col("vec_id") < 8, m = 4, dim = 64, tmp)
+    val c1 = Similarity.certifyServingIndex(s, tmp)
+      .withColumn("phase", lit("1_export")).localCheckpoint()
+    val mx = broadcast(emb.agg((max(col("vec_id")) + 1L).as("__base")))
+    val delta = emb.crossJoin(mx)
+      .select((col("vec_id") + col("__base")).as("vec_id"),
+        Similarity.rotateVec(col("embedding"), 64, "p186")
+          .as("embedding"))
+      .filter(col("vec_id") % 10 === 3)
+    Similarity.appendServingIndex(s, tmp, delta, "vec_id", "embedding",
+      m = 4, dim = 64)
+    val c2 = Similarity.certifyServingIndex(s, tmp)
+      .withColumn("phase", lit("2_append")).localCheckpoint()
+    Similarity.tombstoneServingIndex(s, tmp,
+      emb.filter(col("vec_id") % 9 === 2 && col("vec_id") % 25 =!= 0 &&
+        col("vec_id") >= 8).select(col("vec_id")), "vec_id")
+    val c3 = Similarity.certifyServingIndex(s, tmp)
+      .withColumn("phase", lit("3_delete")).localCheckpoint()
+    Similarity.compactServingIndex(s, tmp)
+    val c4 = Similarity.certifyServingIndex(s, tmp)
+      .withColumn("phase", lit("4_compact"))
+    c1.unionByName(c2).unionByName(c3).unionByName(c4)
+      .select(col("phase"), col("artifact"), col("n_rows"),
+        col("checksum"))
+  }
+
   def p178IndexExport(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     val tmp = scratchDir(s, dir, "serving_index")
@@ -4615,6 +4660,7 @@ object PipelineQueries {
     "p183_index_delete" -> p183IndexDelete _,
     "p184_dedup_append" -> p184DedupAppend _,
     "p185_ingest_decontaminate" -> p185IngestDecontaminate _,
+    "p186_index_lifecycle" -> p186IndexLifecycle _,
     "p164_crop_pairs" -> p164CropPairs _,
     "p165_shard_mix" -> p165ShardMix _,
     "p166_epoch_decorrelation" -> p166EpochDecorrelation _,
@@ -7234,6 +7280,44 @@ object PipelineQueries {
            |${oServingCertify(
              s"(SELECT vec_id, embedding FROM embeddings" +
                s" WHERE NOT ($doomed))")})""".stripMargin
+      }) +
+      ("p186_index_lifecycle" -> {
+        val doomed =
+          "vec_id % 9 = 2 AND vec_id % 25 != 0 AND vec_id >= 8"
+        val deltaCtes = s"""
+           |dmx AS (SELECT MAX(vec_id) + 1 AS base FROM embeddings),
+           |delta AS (
+           |  SELECT e.vec_id + dmx.base AS vec_id,
+           |    ${oRotate("e.embedding", "p186")} AS embedding
+           |  FROM embeddings e, dmx
+           |  WHERE (e.vec_id + dmx.base) % 10 = 3),
+           |allv AS (SELECT vec_id, embedding FROM embeddings
+           |  UNION ALL SELECT vec_id, embedding FROM delta),
+           |""".stripMargin
+        val liveCtes = deltaCtes + s"""live AS (
+           |  SELECT vec_id, embedding FROM allv
+           |  WHERE vec_id NOT IN
+           |    (SELECT vec_id FROM embeddings WHERE $doomed)),
+           |""".stripMargin
+        val tombRow = s"""SELECT 'tombstones' AS artifact,
+           |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+           |  CAST(SUM(${oHash("CAST(vec_id AS VARCHAR)")} % 268435456)
+           |    AS BIGINT) AS checksum
+           |FROM embeddings WHERE $doomed""".stripMargin
+        s"""SELECT '1_export' AS phase, artifact, n_rows, checksum
+           |FROM (${oServingCertify("embeddings")})
+           |UNION ALL
+           |SELECT '2_append' AS phase, artifact, n_rows, checksum
+           |FROM (${oServingCertify("allv", pre = deltaCtes)})
+           |UNION ALL
+           |SELECT '3_delete' AS phase, artifact, n_rows, checksum
+           |FROM (${oServingCertify("allv", pre = deltaCtes)}
+           |      UNION ALL
+           |      $tombRow)
+           |UNION ALL
+           |SELECT '4_compact' AS phase, artifact, n_rows, checksum
+           |FROM (${oServingCertify("live", pre = liveCtes)})"""
+          .stripMargin
       }) +
       ("p185_ingest_decontaminate" ->
         s"""WITH sh AS (

@@ -565,6 +565,39 @@ class CliSpec extends SparkSpec {
       loopDocs.filter(col("doc_id") % 4 === 0).count() +
         replay.filter(col("is_dup") === 0).count())
 
+    // stream-ann-loop: each vector batch answered from the artifacts
+    // then absorbed into them — later batches retrieve earlier ones;
+    // pinned equal to the sequential serve-then-absorb replay
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(s"$out/saloop"))
+    Cli.run(spark, List("stream-ann-loop", sf0001, s"$out/saloop"))
+    val saloopGot = spark.read.parquet(s"$out/saloop")
+    val loopEmb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val annReplayArt = java.nio.file.Files
+      .createTempDirectory("annlooprep").toString
+    graft.pipeline.Similarity.exportServingIndex(
+      loopEmb.filter(col("vec_id") % 4 === 0), "vec_id", "embedding",
+      coarseFilter = col("vec_id") % 25 === 0,
+      pqFilter = col("vec_id") < 32, m = 4, dim = 64, annReplayArt)
+    val annReplay = (1 to 3).map { bk =>
+      val b = loopEmb.filter(col("vec_id") % 4 === bk)
+      val served = graft.pipeline.Similarity.ivfPqTopKFromArtifacts(
+        spark, annReplayArt, b, "vec_id", "embedding", m = 4,
+        dim = 64, k = 5, nprobe = 4).localCheckpoint(true)
+      graft.pipeline.Similarity.appendServingIndex(spark,
+        annReplayArt, b, "vec_id", "embedding", m = 4, dim = 64)
+      served
+    }.reduce(_ unionByName _)
+    assert(saloopGot.exceptAll(annReplay).count() == 0 &&
+      annReplay.exceptAll(saloopGot).count() == 0 &&
+      saloopGot.count() > 0)
+    // the loop's index state grew to the full corpus
+    val annCert = graft.pipeline.Similarity.certifyServingIndex(spark,
+      s"$out/saloop/_artifacts")
+      .filter(col("artifact") === "codes").collect().head
+    assert(annCert.getAs[Long]("n_rows") == 4L * loopEmb.count())
+
     // stream-tokenize: a one-shot drain tokenizes exactly like the
     // batch replay encode with the same snapshot-trained merges
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$out/stok"))
