@@ -364,6 +364,49 @@ object Cli {
     spark.readStream.schema(schema).parquet(stage.toString)
   }
 
+  /** Stage `nBatches` deterministic micro-batches for the
+    * self-maintaining loops: rows with `keyCol % (nBatches+1) == k`
+    * land as ONE parquet file per batch with strictly increasing
+    * mtimes, so a file-source stream under maxFilesPerTrigger=1
+    * processes them in a pinned order — the determinism the CliSpec
+    * replay pins rely on. Shared by stream-dedup-loop and
+    * stream-ann-loop so the mtime scheme can't fork between them.
+    */
+  private def stageBatches(df: DataFrame, keyCol: String,
+      stage: java.nio.file.Path, nBatches: Int): Unit = {
+    java.nio.file.Files.createDirectories(stage)
+    for (k <- 1 to nBatches) {
+      val tmp = java.nio.file.Files
+        .createTempDirectory(s"stage_b$k").toString
+      df.filter(col(keyCol) % (nBatches + 1) === k)
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dest = stage.resolve(f"batch_$k%02d.parquet")
+      java.nio.file.Files.move(part.toPath, dest)
+      dest.toFile.setLastModified(1000000000000L + k * 60000L)
+    }
+  }
+
+  /** At-least-once guard for loop foreachBatch bodies that MUTATE
+    * index artifacts: Structured Streaming replays a batch whose
+    * checkpoint commit didn't land, and replaying a gate-then-append
+    * against an index that already absorbed the batch yields
+    * contradictory verdicts and double-appended rows. The marker file
+    * makes a fully-completed batch a no-op on replay; a crash INSIDE
+    * the body (between the writes and the marker) still replays —
+    * exactly-once would need a transactional sink, which a parquet
+    * demo loop honestly does not have.
+    */
+  private def onceBatch(out: String, batchId: Long)(work: => Unit): Unit = {
+    val marker = java.nio.file.Paths.get(out,
+      f"_batch_committed_$batchId%05d")
+    if (!java.nio.file.Files.exists(marker)) {
+      work
+      java.nio.file.Files.createFile(marker)
+    }
+  }
+
   private def stagedDocStream(spark: SparkSession, dir: String,
       out: String): DataFrame = {
     val schema = Tables.read(spark, dir, "documents").schema
@@ -1242,34 +1285,24 @@ object Cli {
           coarseFilter = col("vec_id") % 25 === 0,
           pqFilter = col("vec_id") < 32, m = 4, dim = 64, artifacts)
       val stage = java.nio.file.Paths.get(out, "_ingest")
-      if (!java.nio.file.Files.exists(stage)) {
-        java.nio.file.Files.createDirectories(stage)
-        for (k <- 1 to 3) {
-          val tmp = java.nio.file.Files
-            .createTempDirectory(s"ann_loop_b$k").toString
-          corpus.filter(col("vec_id") % 4 === k)
-            .select(col("vec_id"), col("embedding"))
-            .coalesce(1).write.mode("overwrite").parquet(tmp)
-          val part = new java.io.File(tmp).listFiles()
-            .filter(_.getName.endsWith(".parquet")).head
-          val dest = stage.resolve(f"batch_$k%02d.parquet")
-          java.nio.file.Files.move(part.toPath, dest)
-          dest.toFile.setLastModified(1000000000000L + k * 60000L)
-        }
-      }
+      if (!java.nio.file.Files.exists(stage))
+        stageBatches(corpus.select(col("vec_id"), col("embedding")),
+          "vec_id", stage, nBatches = 3)
       val annSchema = org.apache.spark.sql.types.StructType(
         corpus.schema.filter(f =>
           f.name == "vec_id" || f.name == "embedding"))
       val annLoopQ = spark.readStream.schema(annSchema)
         .option("maxFilesPerTrigger", 1).parquet(stage.toString)
         .writeStream
-        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-          pipeline.Similarity.ivfPqTopKFromArtifacts(spark, artifacts,
-              batch, "vec_id", "embedding", m = 4, dim = 64, k = 5,
-              nprobe = 4)
-            .write.mode("append").parquet(out)
-          pipeline.Similarity.appendServingIndex(spark, artifacts,
-            batch, "vec_id", "embedding", m = 4, dim = 64)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
+          onceBatch(out, bid) {
+            pipeline.Similarity.ivfPqTopKFromArtifacts(spark, artifacts,
+                batch, "vec_id", "embedding", m = 4, dim = 64, k = 5,
+                nprobe = 4)
+              .write.mode("append").parquet(out)
+            pipeline.Similarity.appendServingIndex(spark, artifacts,
+              batch, "vec_id", "embedding", m = 4, dim = 64)
+          }
         }
         .option("checkpointLocation", s"$out/_checkpoint")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -1298,38 +1331,29 @@ object Cli {
           corpus.filter(col("doc_id") % 4 === 0), "doc_id", "text",
           k = 3, numHashes = 12, bands = 6, artifacts)
       val stage = java.nio.file.Paths.get(out, "_ingest")
-      if (!java.nio.file.Files.exists(stage)) {
-        java.nio.file.Files.createDirectories(stage)
-        for (k <- 1 to 3) {
-          val tmp = java.nio.file.Files
-            .createTempDirectory(s"dedup_loop_b$k").toString
-          corpus.filter(col("doc_id") % 4 === k)
-            .select(col("doc_id"), col("text"))
-            .coalesce(1).write.mode("overwrite").parquet(tmp)
-          val part = new java.io.File(tmp).listFiles()
-            .filter(_.getName.endsWith(".parquet")).head
-          val dest = stage.resolve(f"batch_$k%02d.parquet")
-          java.nio.file.Files.move(part.toPath, dest)
-          dest.toFile.setLastModified(1000000000000L + k * 60000L)
-        }
-      }
+      if (!java.nio.file.Files.exists(stage))
+        stageBatches(corpus.select(col("doc_id"), col("text")),
+          "doc_id", stage, nBatches = 3)
       val schema = org.apache.spark.sql.types.StructType(
         corpus.schema.filter(f => f.name == "doc_id" || f.name == "text"))
       val loopQ = spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1).parquet(stage.toString)
         .writeStream
-        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-          val verdicts = pipeline.Dedup.ingestDedupCheck(spark,
-            artifacts, batch, "doc_id", "text", k = 3, numHashes = 12,
-            bands = 6, minAgree = 8)
-          verdicts.write.mode("append").parquet(out)
-          // admit the clean docs into the index BEFORE the next batch
-          // (verdicts were just materialized by the write, and this
-          // re-evaluation still reads the pre-append artifacts)
-          pipeline.Dedup.appendDedupIndex(spark, artifacts,
-            batch.join(verdicts.filter(col("is_dup") === 0),
-              Seq("doc_id"), "left_semi"),
-            "doc_id", "text", k = 3, numHashes = 12, bands = 6)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
+          onceBatch(out, bid) {
+            val verdicts = pipeline.Dedup.ingestDedupCheck(spark,
+              artifacts, batch, "doc_id", "text", k = 3, numHashes = 12,
+              bands = 6, minAgree = 8)
+            verdicts.write.mode("append").parquet(out)
+            // admit the clean docs into the index BEFORE the next
+            // batch (verdicts were just materialized by the write,
+            // and this re-evaluation still reads the pre-append
+            // artifacts)
+            pipeline.Dedup.appendDedupIndex(spark, artifacts,
+              batch.join(verdicts.filter(col("is_dup") === 0),
+                Seq("doc_id"), "left_semi"),
+              "doc_id", "text", k = 3, numHashes = 12, bands = 6)
+          }
         }
         .option("checkpointLocation", s"$out/_checkpoint")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

@@ -1,0 +1,43 @@
+package graft.core
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** Directory-artifact maintenance shared by the index compactors
+  * (serving codes, dedup bands) — the backup-rename swap discipline
+  * of `IdMapStore.swapIn`, factored out so every compactor gets the
+  * SAME safety:
+  *
+  *  - a stale `<live>__prev` from a previously crashed swap is
+  *    deleted up front (without this, a rename onto an existing
+  *    directory silently nests the new data INSIDE the old one —
+  *    Hadoop rename-into-existing-dir semantics — and the index is
+  *    corrupted while the call reports success);
+  *  - every rename's return value is checked and a failure raises
+  *    rather than continuing into the destructive tail.
+  *
+  * Crash windows, stated honestly: a crash BETWEEN the two renames
+  * leaves only `<live>__prev` on disk (no `<live>`) — recovery is
+  * renaming it back; a crash after publish leaves a stale backup the
+  * next swap clears. Readers here do not auto-fall-back to the
+  * backup (IdMapStore's resolve does, because its store is read on
+  * every CLI invocation; the index compactors are operator-invoked
+  * maintenance where a loud missing-directory error is preferable to
+  * silently serving the pre-compact state).
+  */
+object Artifacts {
+
+  /** Publish `staging` as `live`, retiring any existing `live` to
+    * `<live>__prev` and reclaiming the backup on success.
+    */
+  def swapIn(fs: FileSystem, staging: String, live: String): Unit = {
+    val stagingP = new Path(staging)
+    val liveP = new Path(live)
+    val prevP = new Path(live + "__prev")
+    fs.delete(prevP, true)
+    if (fs.exists(liveP) && !fs.rename(liveP, prevP))
+      sys.error(s"Artifacts: failed to retire $live")
+    if (!fs.rename(stagingP, liveP))
+      sys.error(s"Artifacts: failed to publish $staging -> $live")
+    fs.delete(prevP, true)
+  }
+}

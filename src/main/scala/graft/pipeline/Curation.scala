@@ -1526,11 +1526,19 @@ object Curation {
     * artifact ([[ingestContaminationCheck]]).
     */
   def exportEvalIndex(bench: DataFrame, idCol: String, textCol: String,
-      k: Int, path: String): Unit =
+      k: Int, path: String): Unit = {
+    // the shingle width rides with the artifact; the gate validates it
+    // — a k mismatch yields hashes that never collide, silently
+    // admitting verbatim benchmark copies
+    val sess = bench.sparkSession
+    import sess.implicits._
+    Seq(Tuple1(k)).toDF("k")
+      .write.mode("overwrite").parquet(s"$path/params")
     Dedup.shingled(bench, idCol, textCol, k)
       .select(col("doc").as("bench_doc"), explode(col("sh")).as("s"))
       .select(TF.hash60(col("s")).as("h"), col("bench_doc"))
       .write.mode("overwrite").parquet(s"$path/postings")
+  }
 
   /** Contamination gate at ingest: arriving documents checked against
     * a frozen [[exportEvalIndex]] artifact — per document, the
@@ -1551,6 +1559,14 @@ object Curation {
       path: String, batch: DataFrame, idCol: String, textCol: String,
       k: Int, minShared: Int): DataFrame = {
     require(minShared >= 1, "minShared must be >= 1")
+    val paramsP = new org.apache.hadoop.fs.Path(s"$path/params")
+    if (paramsP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(paramsP)) {
+      val gk = spark.read.parquet(s"$path/params").collect()
+        .head.getAs[Int]("k")
+      require(gk == k, s"eval index at $path was exported with k=$gk;" +
+        s" called with k=$k")
+    }
     val post = broadcast(spark.read.parquet(s"$path/postings"))
     val docs = Dedup.shingled(batch, idCol, textCol, k)
     graft.core.Caching.withCached(docs) {

@@ -164,23 +164,34 @@ object Dedup {
     */
   val LshBucketCap = 1024
 
+  /** The bucket-cap star guard, THE one implementation every consumer
+    * shares (the batch detector's a-side, the index export, and the
+    * index compactor — the p179/p182/p184 oracles replay this
+    * literally, so the invariant must not fork): for any bucket past
+    * `bucketCap`, keep only the bucket's min doc id; buckets at or
+    * under the cap keep every row. One band-key count shuffle.
+    */
+  private def cappedBandRows(bandRows: DataFrame,
+      bucketCap: Int): DataFrame = {
+    val sizes = bandRows.groupBy("key")
+      .agg(count(lit(1)).as("__bn"), min(col("doc")).as("__bmin"))
+    bandRows.join(sizes, "key")
+      .filter(col("__bn") <= bucketCap || col("doc") === col("__bmin"))
+      .select(col("doc"), col("key"))
+  }
+
   private[graft] def minhashPlan(docs: DataFrame, bands: Int, rows: Int,
       threshold: Double, bucketCap: Int = LshBucketCap): DataFrame = {
     val bandRows = docs.select(
       col("doc"),
       explode(bandKeyArray(col("sig"), bands, rows)).as("key"))
 
-    // Skew guard: the LEFT side of the band self-join keeps, for any
-    // bucket past `bucketCap`, only the bucket's min doc id — so an
+    // Skew guard: the LEFT side of the band self-join is capped — an
     // oversized bucket contributes O(B) star edges instead of B²/2
     // pairs, while buckets at or under the cap are exact all-pairs
     // (the a-side filter is the only change; the b-side is untouched,
     // and a.doc < b.doc makes the bucket min always the a side).
-    val sizes = bandRows.groupBy("key")
-      .agg(count(lit(1)).as("__bn"), min(col("doc")).as("__bmin"))
-    val aSide = bandRows.join(sizes, "key")
-      .filter(col("__bn") <= bucketCap || col("doc") === col("__bmin"))
-      .select("doc", "key")
+    val aSide = cappedBandRows(bandRows, bucketCap)
 
     val a = aSide.alias("a")
     val b = bandRows.alias("b")
@@ -266,20 +277,47 @@ object Dedup {
       bucketCap: Int = LshBucketCap): Unit = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
+    // the build parameters ride with the artifacts; the gate and the
+    // append validate against them — a k/bands mismatch would produce
+    // keys that never collide and silently admit exact duplicates
+    val sess = df.sparkSession
+    import sess.implicits._
+    Seq((k, numHashes, bands)).toDF("k", "num_hashes", "bands")
+      .write.mode("overwrite").parquet(s"$path/params")
     val docs = minhashDocs(df, idCol, textCol, k, numHashes)
       .select(col("doc"), col("sig")).persist()
     try {
       docs.count() // materialize once; both writes below reuse blocks
       val bandRows = docs.select(col("doc"),
         explode(bandKeyArray(col("sig"), bands, rows)).as("key"))
-      val sizes = bandRows.groupBy("key")
-        .agg(count(lit(1)).as("__bn"), min(col("doc")).as("__bmin"))
-      bandRows.join(sizes, "key")
-        .filter(col("__bn") <= bucketCap || col("doc") === col("__bmin"))
+      cappedBandRows(bandRows, bucketCap)
         .select(col("key"), col("doc"))
         .write.mode("overwrite").parquet(s"$path/bands")
       docs.write.mode("overwrite").parquet(s"$path/sigs")
     } finally docs.unpersist()
+  }
+
+  /** Refuse to read a dedup index with parameters other than the ones
+    * it was exported with: a bands/k mismatch yields band keys that
+    * never collide, so every arriving document — verbatim copies
+    * included — would sail through as novel with no error at all; a
+    * numHashes mismatch corrupts the agreement count the same silent
+    * way. Pre-params directories (external imports) skip the check.
+    */
+  private def requireDedupParams(
+      spark: org.apache.spark.sql.SparkSession, path: String, k: Int,
+      numHashes: Int, bands: Int): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/params")
+    if (p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(p)) {
+      val r = spark.read.parquet(s"$path/params").collect().head
+      val (gk, gn, gb) = (r.getAs[Int]("k"), r.getAs[Int]("num_hashes"),
+        r.getAs[Int]("bands"))
+      require(gk == k && gn == numHashes && gb == bands,
+        s"dedup index at $path was exported with k=$gk" +
+          s" numHashes=$gn bands=$gb; called with k=$k" +
+          s" numHashes=$numHashes bands=$bands")
+    }
   }
 
   /** Absorb an admitted delta batch into an [[exportDedupIndex]]
@@ -297,6 +335,7 @@ object Dedup {
       path: String, delta: DataFrame, idCol: String, textCol: String,
       k: Int, numHashes: Int, bands: Int): Unit = {
     require(numHashes % bands == 0, "bands must divide numHashes")
+    requireDedupParams(spark, path, k, numHashes, bands)
     val rows = numHashes / bands
     val docs = minhashDocs(delta, idCol, textCol, k, numHashes)
       .select(col("doc"), col("sig")).persist()
@@ -326,16 +365,11 @@ object Dedup {
     import org.apache.hadoop.fs.Path
     val fs = new Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val bandRows = spark.read.parquet(s"$path/bands")
-    val sizes = bandRows.groupBy("key")
-      .agg(count(lit(1)).as("__bn"), min(col("doc")).as("__bmin"))
-    bandRows.join(sizes, "key")
-      .filter(col("__bn") <= bucketCap || col("doc") === col("__bmin"))
+    cappedBandRows(spark.read.parquet(s"$path/bands"), bucketCap)
       .select(col("key"), col("doc"))
-      .write.mode("overwrite").parquet(s"$path/bands_new")
-    fs.rename(new Path(s"$path/bands"), new Path(s"$path/bands_old"))
-    fs.rename(new Path(s"$path/bands_new"), new Path(s"$path/bands"))
-    fs.delete(new Path(s"$path/bands_old"), true)
+      .write.mode("overwrite").parquet(s"$path/bands__staging")
+    graft.core.Artifacts.swapIn(fs, s"$path/bands__staging",
+      s"$path/bands")
   }
 
   /** Read an [[exportDedupIndex]] directory back and certify it: one
@@ -397,6 +431,7 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     require(minAgree >= 1 && minAgree <= numHashes,
       "minAgree must be in [1, numHashes]")
+    requireDedupParams(spark, path, k, numHashes, bands)
     val rows = numHashes / bands
     val dsig = minhashDocs(delta, idCol, textCol, k, numHashes)
       .select(col("doc").as("new_doc"), col("sig").as("new_sig"))

@@ -338,6 +338,13 @@ object Similarity {
       vecCol: String, coarseFilter: Column, pqFilter: Column, m: Int,
       dim: Int, path: String): Unit = {
     require(dim % m == 0, "m must divide dim")
+    // the build parameters ride with the artifacts: a consumer called
+    // with a different m/dim would mis-slice codes without failing
+    // loudly on its own, so append/serve validate against this row
+    val sess = corpus.sparkSession
+    import sess.implicits._
+    Seq((m, dim)).toDF("m", "dim")
+      .write.mode("overwrite").parquet(s"$path/params")
     corpus.filter(coarseFilter)
       .select(col(idCol).as("cent_id"), col(vecCol).as("ce"))
       .write.mode("overwrite").parquet(s"$path/centroids")
@@ -386,6 +393,7 @@ object Similarity {
       path: String, delta: DataFrame, idCol: String, vecCol: String,
       m: Int, dim: Int): Unit = {
     require(dim % m == 0, "m must divide dim")
+    requireIndexParams(spark, path, m, dim)
     val sub = dim / m
     val book = spark.read.parquet(s"$path/codebook")
       .select(col("cid"), col("entry")).collect()
@@ -429,6 +437,23 @@ object Similarity {
       .exists(path)
   }
 
+  /** Refuse to read a serving index with parameters other than the
+    * ones it was exported with — a mismatched m/dim slices codes
+    * against the wrong sub-quantizers and degrades results silently
+    * rather than erroring. Pre-params directories (external imports)
+    * skip the check.
+    */
+  private def requireIndexParams(
+      spark: org.apache.spark.sql.SparkSession, path: String, m: Int,
+      dim: Int): Unit =
+    if (servingDirExists(spark, s"$path/params")) {
+      val r = spark.read.parquet(s"$path/params").collect().head
+      val (gm, gd) = (r.getAs[Int]("m"), r.getAs[Int]("dim"))
+      require(gm == m && gd == dim,
+        s"serving index at $path was exported with m=$gm dim=$gd;" +
+          s" called with m=$m dim=$dim")
+    }
+
   /** DELETE vectors from a serving index the way a live index must —
     * without rewriting committed bytes: append the ids to a
     * `tombstones/` relation under `path`. Serving
@@ -464,7 +489,7 @@ object Similarity {
     import org.apache.hadoop.fs.Path
     val fs = new Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val codes = spark.read.parquet(s"$path/codes")
+    val codes = readCodes(spark, path)
     val kept =
       if (servingDirExists(spark, s"$path/tombstones"))
         codes.join(spark.read.parquet(s"$path/tombstones")
@@ -472,12 +497,33 @@ object Similarity {
       else codes
     kept.repartition(col("cent_id"))
       .write.mode("overwrite").partitionBy("cent_id")
-      .parquet(s"$path/codes_new")
-    fs.rename(new Path(s"$path/codes"), new Path(s"$path/codes_old"))
-    fs.rename(new Path(s"$path/codes_new"), new Path(s"$path/codes"))
-    fs.delete(new Path(s"$path/codes_old"), true)
+      .parquet(s"$path/codes__staging")
+    graft.core.Artifacts.swapIn(fs, s"$path/codes__staging",
+      s"$path/codes")
     fs.delete(new Path(s"$path/tombstones"), true)
   }
+
+  /** The `codes/` relation's schema, provided explicitly on every
+    * read: the cell is a PARTITION column, so an inferred read would
+    * type it by its directory values (int vs long depending on id
+    * magnitude) and fail entirely on a legitimately EMPTY relation
+    * (a full-takedown compact leaves no data files to infer from).
+    * The explicit long also makes the serving prune's `IN` literal
+    * cast-free.
+    */
+  private val codesSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("vec_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("subspace",
+      org.apache.spark.sql.types.IntegerType),
+    org.apache.spark.sql.types.StructField("code",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("cent_id",
+      org.apache.spark.sql.types.LongType)))
+
+  private def readCodes(spark: org.apache.spark.sql.SparkSession,
+      path: String) =
+    spark.read.schema(codesSchema).parquet(s"$path/codes")
 
   /** Read an [[exportServingIndex]] directory back and certify it:
     * one row per artifact with its row count and an order-free
@@ -505,7 +551,7 @@ object Similarity {
       "cent_id", "ce", "centroids")
     val book = vecSum(spark.read.parquet(s"$path/codebook"),
       "cid", "entry", "codebook")
-    val codes = spark.read.parquet(s"$path/codes")
+    val codes = readCodes(spark, path)
       .select(lit("codes").as("artifact"),
         pmod(TF.hash60(concat_ws(":", col("vec_id").cast("string"),
           col("cent_id").cast("string"), col("subspace").cast("string"),
@@ -1351,6 +1397,7 @@ object Similarity {
       m: Int, dim: Int, k: Int, nprobe: Int): DataFrame = {
     require(dim % m == 0, "m must divide dim")
     require(nprobe >= 1, "nprobe must be >= 1")
+    requireIndexParams(spark, path, m, dim)
     val sub = dim / m
     val book = spark.read.parquet(s"$path/codebook")
       .select(col("cid"), col("entry")).collect()
@@ -1375,7 +1422,7 @@ object Similarity {
     // literal IN stops paying for its plan size and the full-scan
     // cell join is the right plan anyway.
     val rawCodes = {
-      val all = spark.read.parquet(s"$path/codes")
+      val all = readCodes(spark, path)
       if (probed.length <= ServingPruneLimit)
         all.filter(col("cent_id").isin(probed.toIndexedSeq: _*))
       else all
@@ -1393,10 +1440,8 @@ object Similarity {
       .groupBy(col("vec_id"), col("cent_id"))
       .agg(transform(array_sort(collect_list(struct(col("subspace"),
         col("code")))), x => x.getField("code")).as("codes"))
-      // the partition column reads back as its narrowest integer
-      // type; normalize to long so the ADC cell join is cast-free
-      .select(col("vec_id").as("cand_id"),
-        col("cent_id").cast("long").as("cent_id"), col("codes"))
+      .select(col("vec_id").as("cand_id"), col("cent_id"),
+        col("codes"))
     adcRank(cellC, cellQ, books, m, sub, k)
   }
 
