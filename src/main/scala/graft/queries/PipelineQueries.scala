@@ -3028,6 +3028,49 @@ object PipelineQueries {
         col("checksum"))
   }
 
+  /** Ingest ADMISSION PIPELINE (p187): the three gates a
+    * training-data pipeline runs on every arriving batch, composed
+    * into ONE admission record — near-dup against the frozen dedup
+    * index (p182's gate), benchmark contamination against the frozen
+    * eval postings (p185's gate), and the quality funnel (the
+    * p61/p64/p09 gate expressions under the p81/p84 corpus profile)
+    * — with one verdict per document under reject precedence
+    * dup > contaminated > low-quality > admit. The base corpus
+    * (doc_id % 7 ≠ 2) builds both frozen artifacts; the arrival
+    * batch (doc_id % 7 = 2) flows through all three gates off its
+    * own single scan (each gate broadcasts its frozen side). The
+    * oracle replays every gate — capped band join, posting join,
+    * all three quality gates — and the verdict precedence, so the
+    * one-stop admission table is certified end to end.
+    */
+  def p187AdmissionPipeline(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val base = docs.filter(col("doc_id") % 7 =!= 2)
+    val arrivals = docs.filter(col("doc_id") % 7 === 2)
+    val dTmp = scratchDir(s, dir, "adm_dedup")
+    val eTmp = scratchDir(s, dir, "adm_eval")
+    Dedup.exportDedupIndex(base, "doc_id", "text", k = 3,
+      numHashes = 12, bands = 6, dTmp)
+    Curation.exportEvalIndex(base.filter(col("doc_id") % 20 === 0),
+      "doc_id", "text", k = 3, eTmp)
+    val dup = Dedup.ingestDedupCheck(s, dTmp, arrivals, "doc_id",
+      "text", k = 3, numHashes = 12, bands = 6, minAgree = 8)
+      .select(col("doc_id"), col("n_agree"), col("is_dup"))
+    val cont = Curation.ingestContaminationCheck(s, eTmp, arrivals,
+      "doc_id", "text", k = 3, minShared = 2)
+      .select(col("doc_id"), col("n_shared"), col("is_contaminated"))
+    val qual = Curation.funnelLabels(arrivals, "doc_id", "text",
+      profile = Curation.GateProfile.wordSalad)
+      .select(col("doc_id"), col("cls"))
+    dup.join(cont, "doc_id").join(qual, "doc_id")
+      .select(col("doc_id"), col("n_agree"), col("n_shared"),
+        col("cls").as("quality_keep"),
+        when(col("is_dup") === 1, "reject_dup")
+          .when(col("is_contaminated") === 1, "reject_contaminated")
+          .when(col("cls") === 0, "reject_quality")
+          .otherwise("admit").as("verdict"))
+  }
+
   def p178IndexExport(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     val tmp = scratchDir(s, dir, "serving_index")
@@ -4661,6 +4704,7 @@ object PipelineQueries {
     "p184_dedup_append" -> p184DedupAppend _,
     "p185_ingest_decontaminate" -> p185IngestDecontaminate _,
     "p186_index_lifecycle" -> p186IndexLifecycle _,
+    "p187_admission_pipeline" -> p187AdmissionPipeline _,
     "p164_crop_pairs" -> p164CropPairs _,
     "p165_shard_mix" -> p165ShardMix _,
     "p166_epoch_decorrelation" -> p166EpochDecorrelation _,
@@ -7280,6 +7324,75 @@ object PipelineQueries {
            |${oServingCertify(
              s"(SELECT vec_id, embedding FROM embeddings" +
                s" WHERE NOT ($doomed))")})""".stripMargin
+      }) +
+      ("p187_admission_pipeline" -> {
+        s"""${oMinhashSigCtes(3, 12)},
+           |bds AS (SELECT unnest(generate_series(0, 5)) AS bd),
+           |bl AS (SELECT doc_id, bd,
+           |    list_slice(sig, bd*2 + 1, bd*2 + 2) AS sl
+           |  FROM sg, bds),
+           |basebl AS (SELECT * FROM bl WHERE doc_id % 7 != 2),
+           |bsz AS (SELECT bd, sl, COUNT(*) AS n, MIN(doc_id) AS bmin
+           |  FROM basebl GROUP BY 1, 2),
+           |fb AS (SELECT basebl.doc_id, basebl.bd, basebl.sl
+           |  FROM basebl JOIN bsz
+           |    ON basebl.bd = bsz.bd AND basebl.sl = bsz.sl
+           |  WHERE bsz.n <= 1024 OR basebl.doc_id = bsz.bmin),
+           |abl AS (SELECT * FROM bl WHERE doc_id % 7 = 2),
+           |candd AS (SELECT DISTINCT abl.doc_id AS new_doc,
+           |    fb.doc_id AS idx_doc
+           |  FROM abl JOIN fb ON abl.bd = fb.bd AND abl.sl = fb.sl),
+           |agrd AS (SELECT cd.new_doc, cd.idx_doc,
+           |    CAST(list_sum(list_transform(generate_series(1, 12),
+           |      i -> CASE WHEN ns.sig[i] = xs.sig[i]
+           |           THEN 1 ELSE 0 END)) AS BIGINT) AS n_agree
+           |  FROM candd cd
+           |  JOIN sg ns ON ns.doc_id = cd.new_doc
+           |  JOIN sg xs ON xs.doc_id = cd.idx_doc),
+           |bestd AS (SELECT new_doc, n_agree,
+           |    ROW_NUMBER() OVER (PARTITION BY new_doc
+           |      ORDER BY n_agree DESC, idx_doc ASC) AS rn FROM agrd),
+           |ch AS (SELECT DISTINCT doc_id, ${oHash("s")} AS h
+           |  FROM (SELECT doc_id, unnest(${oShingles(3)}) AS s
+           |        FROM t)),
+           |bp AS (SELECT doc_id AS bench_doc, h FROM ch
+           |  WHERE doc_id % 7 != 2 AND doc_id % 20 = 0),
+           |tp AS (SELECT doc_id, h FROM ch WHERE doc_id % 7 = 2),
+           |cpairs AS (SELECT tp.doc_id, bench_doc,
+           |    CAST(COUNT(*) AS BIGINT) AS n_shared
+           |  FROM tp JOIN bp USING (h) GROUP BY 1, 2),
+           |bestc AS (SELECT doc_id, n_shared,
+           |    ROW_NUMBER() OVER (PARTITION BY doc_id
+           |      ORDER BY n_shared DESC, bench_doc ASC) AS rn
+           |  FROM cpairs),
+           |g AS (${oGopherRules(minWords = 20, minStop = 1)}),
+           |c AS (${oC4Lines(minLineWords = 3, requirePunct = false,
+                    minSentences = 0)}),
+           |q AS (${oracle0("p09_quality")}),
+           |lab AS (
+           |  SELECT d.doc_id,
+           |    CAST(CASE WHEN q.score >= 0.5 THEN 1 ELSE 0 END
+           |         * g.keep * c.page_keep AS BIGINT) AS cls
+           |  FROM documents d
+           |  JOIN g ON d.doc_id = g.doc_id
+           |  JOIN c ON d.doc_id = c.doc_id
+           |  JOIN q ON d.doc_id = q.doc_id),
+           |arr AS (SELECT doc_id FROM documents WHERE doc_id % 7 = 2)
+           |SELECT arr.doc_id,
+           |  COALESCE(bd.n_agree, 0) AS n_agree,
+           |  COALESCE(bc.n_shared, 0) AS n_shared,
+           |  lab.cls AS quality_keep,
+           |  CASE WHEN COALESCE(bd.n_agree, 0) >= 8 THEN 'reject_dup'
+           |       WHEN COALESCE(bc.n_shared, 0) >= 2
+           |         THEN 'reject_contaminated'
+           |       WHEN lab.cls = 0 THEN 'reject_quality'
+           |       ELSE 'admit' END AS verdict
+           |FROM arr
+           |LEFT JOIN (SELECT * FROM bestd WHERE rn = 1) bd
+           |  ON bd.new_doc = arr.doc_id
+           |LEFT JOIN (SELECT * FROM bestc WHERE rn = 1) bc
+           |  ON bc.doc_id = arr.doc_id
+           |JOIN lab ON lab.doc_id = arr.doc_id""".stripMargin
       }) +
       ("p186_index_lifecycle" -> {
         val doomed =
