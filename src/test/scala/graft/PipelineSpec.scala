@@ -1920,6 +1920,64 @@ class PipelineSpec extends SparkSpec {
     assert(v.getAs[Long]("is_contaminated") == 1L)
   }
 
+  test("artifact param guards fail loudly on mismatched parameters") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text").limit(50)
+    val tmp = java.nio.file.Files.createTempDirectory("paramguard")
+      .toString
+    Dedup.exportDedupIndex(docs, "doc_id", "text", k = 3,
+      numHashes = 12, bands = 6, tmp)
+    // a bands mismatch would produce keys that never collide and
+    // silently admit every duplicate — it must throw instead
+    val e1 = intercept[IllegalArgumentException] {
+      Dedup.ingestDedupCheck(spark, tmp, docs, "doc_id", "text",
+        k = 3, numHashes = 12, bands = 4, minAgree = 8)
+    }
+    assert(e1.getMessage.contains("bands=6"))
+    val etmp = java.nio.file.Files.createTempDirectory("paramguard2")
+      .toString
+    Curation.exportEvalIndex(docs, "doc_id", "text", k = 3, etmp)
+    val e2 = intercept[IllegalArgumentException] {
+      Curation.ingestContaminationCheck(spark, etmp, docs, "doc_id",
+        "text", k = 4, minShared = 2)
+    }
+    assert(e2.getMessage.contains("k=3"))
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val stmp = java.nio.file.Files.createTempDirectory("paramguard3")
+      .toString
+    Similarity.exportServingIndex(emb, "vec_id", "embedding",
+      coarseFilter = col("vec_id") % 25 === 0,
+      pqFilter = col("vec_id") < 8, m = 4, dim = 64, stmp)
+    // a mis-sliced m would degrade results silently
+    val e3 = intercept[IllegalArgumentException] {
+      Similarity.ivfPqTopKFromArtifacts(spark, stmp, emb.limit(2),
+        "vec_id", "embedding", m = 8, dim = 64, k = 3, nprobe = 2)
+    }
+    assert(e3.getMessage.contains("m=4"))
+  }
+
+  test("artifact swap clears a stale backup instead of nesting into it") {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val root = java.nio.file.Files.createTempDirectory("swap").toString
+    // simulate a crashed prior swap: live + staging + stale __prev
+    for (d <- Seq("live", "staging", "live__prev")) {
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(root, d))
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(root, d, "marker.txt"), d)
+    }
+    graft.core.Artifacts.swapIn(fs, s"$root/staging", s"$root/live")
+    // staging content is live, nothing nested, backup reclaimed
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(root, "live", "marker.txt")) == "staging")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(root, "live", "staging")))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(root, "live__prev")))
+  }
+
   test("trained-index store trains once per key across fresh reads") {
     // TWO INDEPENDENT reads of the same table must share one artifact:
     // the key is the canonicalized plan + resolved input files, not the
