@@ -777,6 +777,20 @@ object Dedup {
     * join is stateless projections (what lets [[hammingPairsDelta]]
     * run per micro-batch unchanged).
     */
+  /** The (seg, segval)-keyed sibling of [[cappedBandRows]] — the ONE
+    * segment-bucket cap shared by the Hamming self-join, the delta
+    * gate, and the frozen-index export. Input and output columns:
+    * (doc, sim, seg, segval).
+    */
+  private def cappedSegRows(segs: DataFrame,
+      bucketCap: Int): DataFrame = {
+    val sizes = segs.groupBy("seg", "segval")
+      .agg(count(lit(1)).as("__bn"), min(col("doc")).as("__bmin"))
+    segs.join(sizes, Seq("seg", "segval"))
+      .filter(col("__bn") <= bucketCap || col("doc") === col("__bmin"))
+      .select("doc", "sim", "seg", "segval")
+  }
+
   def hammingPairs(hashes: DataFrame, idCol: String, hashCol: String,
       bits: Int, segments: Int, maxHamming: Int,
       bucketCap: Int = LshBucketCap): DataFrame = {
@@ -788,11 +802,7 @@ object Dedup {
     // identical-fingerprint cluster has first-equal segment 0 for
     // every pair, so its stars all survive [[firstSegmentOnly]] and
     // the closure still merges the cluster in O(B) rows.
-    val sizes = segs.groupBy("seg", "segval")
-      .agg(count(lit(1)).as("__bn"), min(col("doc")).as("__bmin"))
-    val aSide = segs.join(sizes, Seq("seg", "segval"))
-      .filter(col("__bn") <= bucketCap || col("doc") === col("__bmin"))
-      .select("doc", "sim", "seg", "segval")
+    val aSide = cappedSegRows(segs, bucketCap)
     val a = aSide.alias("a")
     val b = segs.alias("b")
     a.join(b,
@@ -825,12 +835,9 @@ object Dedup {
     // cluster representative instead of B candidate rows per batch.
     // The aggregation is static-side only; the (possibly streaming)
     // delta passes through stateless as before.
-    val cb = corpusBands.toDF("doc_b", "sim_b", "seg", "segval")
-    val sizes = cb.groupBy("seg", "segval")
-      .agg(count(lit(1)).as("__bn"), min(col("doc_b")).as("__bmin"))
-    val cbCapped = cb.join(sizes, Seq("seg", "segval"))
-      .filter(col("__bn") <= bucketCap || col("doc_b") === col("__bmin"))
-      .select("doc_b", "sim_b", "seg", "segval")
+    val cbCapped = cappedSegRows(
+        corpusBands.toDF("doc", "sim", "seg", "segval"), bucketCap)
+      .toDF("doc_b", "sim_b", "seg", "segval")
     bandRows(delta, idCol, hashCol, bits, segments)
       .toDF("doc_a", "sim_a", "seg", "segval")
       .join(cbCapped,
@@ -840,6 +847,61 @@ object Dedup {
       .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
       .filter(col("hamming") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming").cast("long").as("hamming"))
+  }
+
+  /** Export the frozen HAMMING-fingerprint dedup artifacts — the
+    * perceptual-hash (image dHash, audio fingerprint) twin of
+    * [[exportDedupIndex]]: one `bands/ (doc, sim, seg, segval)`
+    * relation (the ≤64-bit hash rides with its bands, so the gate
+    * needs no second artifact) with the [[LshBucketCap]] star guard
+    * applied at export, plus the `params/` row
+    * [[ingestHammingCheck]] validates. Payload bytes never enter the
+    * artifact — a billion-image index is 32 bytes × segments per
+    * image.
+    */
+  def exportHammingIndex(hashes: DataFrame, idCol: String,
+      hashCol: String, bits: Int, segments: Int, path: String,
+      bucketCap: Int = LshBucketCap): Unit = {
+    require(bits % segments == 0, "segments must divide bits")
+    val sess = hashes.sparkSession
+    import sess.implicits._
+    Seq((bits, segments)).toDF("bits", "segments")
+      .write.mode("overwrite").parquet(s"$path/params")
+    cappedSegRows(bandRows(hashes, idCol, hashCol, bits, segments),
+        bucketCap)
+      .write.mode("overwrite").parquet(s"$path/bands")
+  }
+
+  /** Gate an arriving batch of fingerprints against an
+    * [[exportHammingIndex]] directory: per arriving id, the
+    * best-matching admitted id within `maxHamming` bit flips (ties to
+    * the smallest hamming then id — the min struct) or null —
+    * [[hammingPairsDelta]] against the frozen band relation, rolled
+    * up to the per-arrival verdict. The `hamming` distance itself is
+    * deliberately NOT exposed: for lossy-codec perceptual hashes the
+    * exact flip count is encoder-specific (the p77 rule).
+    */
+  def ingestHammingCheck(spark: org.apache.spark.sql.SparkSession,
+      path: String, batch: DataFrame, idCol: String, hashCol: String,
+      bits: Int, segments: Int, maxHamming: Int): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/params")
+    if (p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(p)) {
+      val r = spark.read.parquet(s"$path/params").collect().head
+      val (gb, gs) = (r.getAs[Int]("bits"), r.getAs[Int]("segments"))
+      require(gb == bits && gs == segments,
+        s"hamming index at $path was exported with bits=$gb" +
+          s" segments=$gs; called with bits=$bits segments=$segments")
+    }
+    val pairs = hammingPairsDelta(spark.read.parquet(s"$path/bands"),
+      batch, idCol, hashCol, bits, segments, maxHamming)
+    val best = pairs.groupBy(col("doc_a"))
+      .agg(min(struct(col("hamming"), col("doc_b"))).as("b"))
+      .select(col("doc_a"), col("b.doc_b").as("match_id"))
+    batch.select(col(idCol).as("doc_a"))
+      .join(best, Seq("doc_a"), "left")
+      .select(col("doc_a").as(idCol), col("match_id"),
+        col("match_id").isNotNull.cast("long").as("is_dup"))
   }
 
   /** One row per (id, hash, segment index, segment value) — the banded

@@ -3071,6 +3071,42 @@ object PipelineQueries {
           .otherwise("admit").as("verdict"))
   }
 
+  /** Image ingest gate from frozen artifacts (p188): the MULTIMODAL
+    * member of the ingest-gate family — the admitted corpus's
+    * perceptual dHashes frozen as a banded Hamming index
+    * ([[Dedup.exportHammingIndex]]: 64-bit hashes + segment bands,
+    * never payload bytes), and an arriving image batch gated against
+    * it ([[Dedup.ingestHammingCheck]]). The fixture is p77's
+    * real-codec plant flipped into an ingest story: the ADMITTED side
+    * is every even doc's 9×8 pattern through the REAL PNG writer; the
+    * ARRIVING side is the odd docs' re-encodes of the SAME patterns
+    * through the REAL JPEG writer — an arrival is flagged iff the
+    * decoder genuinely recovers the raster from both codecs, and its
+    * match is exactly its partner (distinct patterns sit ~32 bits
+    * apart). The oracle is therefore the closed-form partner list:
+    * odd doc n matches even doc n−1 when it exists — a stubbed
+    * decode, a broken band join, or a hash drift breaks the compare.
+    */
+  def p188ImageIngestGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = t(s, dir, "documents")
+    def src(parity: Int) = docs
+      .filter(pmod(col("doc_id"), lit(2)) === parity)
+      .select(col("doc_id"), floor(col("doc_id") / 2).cast("long"))
+      .as[(Long, Long)]
+    val admitted = Multimodal.encodePattern(src(0), "png")
+    val arrivals = Multimodal.encodePattern(src(1), "jpg")
+    val tmp = scratchDir(s, dir, "image_index")
+    val aH = Multimodal.dHash(admitted.map(e =>
+      Multimodal.MediaRow(e.media_id, e.png, "image/*"))).toDF()
+    Dedup.exportHammingIndex(aH, "media_id", "dhash", bits = 64,
+      segments = 4, tmp)
+    val bH = Multimodal.dHash(arrivals.map(e =>
+      Multimodal.MediaRow(e.media_id, e.png, "image/*"))).toDF()
+    Dedup.ingestHammingCheck(s, tmp, bH, "media_id", "dhash",
+      bits = 64, segments = 4, maxHamming = 3)
+  }
+
   def p178IndexExport(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     val tmp = scratchDir(s, dir, "serving_index")
@@ -4705,6 +4741,7 @@ object PipelineQueries {
     "p185_ingest_decontaminate" -> p185IngestDecontaminate _,
     "p186_index_lifecycle" -> p186IndexLifecycle _,
     "p187_admission_pipeline" -> p187AdmissionPipeline _,
+    "p188_image_ingest_gate" -> p188ImageIngestGate _,
     "p164_crop_pairs" -> p164CropPairs _,
     "p165_shard_mix" -> p165ShardMix _,
     "p166_epoch_decorrelation" -> p166EpochDecorrelation _,
@@ -7325,6 +7362,13 @@ object PipelineQueries {
              s"(SELECT vec_id, embedding FROM embeddings" +
                s" WHERE NOT ($doomed))")})""".stripMargin
       }) +
+      ("p188_image_ingest_gate" ->
+        s"""SELECT a.doc_id AS media_id, e.doc_id AS match_id,
+           |  CAST(e.doc_id IS NOT NULL AS BIGINT) AS is_dup
+           |FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) a
+           |LEFT JOIN (SELECT doc_id FROM documents
+           |           WHERE doc_id % 2 = 0) e
+           |  ON e.doc_id = a.doc_id - 1""".stripMargin) +
       ("p187_admission_pipeline" -> {
         s"""${oMinhashSigCtes(3, 12)},
            |bds AS (SELECT unnest(generate_series(0, 5)) AS bd),

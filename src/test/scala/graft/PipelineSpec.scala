@@ -1955,6 +1955,17 @@ class PipelineSpec extends SparkSpec {
         "vec_id", "embedding", m = 8, dim = 64, k = 3, nprobe = 2)
     }
     assert(e3.getMessage.contains("m=4"))
+    // the hamming (perceptual) index guards its banding the same way
+    val hashes = Seq((1L, 7L), (2L, 7L)).toDF("media_id", "h")
+    val htmp = java.nio.file.Files.createTempDirectory("paramguard4")
+      .toString
+    Dedup.exportHammingIndex(hashes, "media_id", "h", bits = 64,
+      segments = 4, htmp)
+    val e4 = intercept[IllegalArgumentException] {
+      Dedup.ingestHammingCheck(spark, htmp, hashes, "media_id", "h",
+        bits = 64, segments = 8, maxHamming = 3)
+    }
+    assert(e4.getMessage.contains("segments=4"))
   }
 
   test("artifact swap clears a stale backup instead of nesting into it") {
