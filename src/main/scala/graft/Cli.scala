@@ -377,14 +377,22 @@ object Cli {
     java.nio.file.Files.createDirectories(stage)
     for (k <- 1 to nBatches) {
       val tmp = java.nio.file.Files
-        .createTempDirectory(s"stage_b$k").toString
+        .createTempDirectory(s"stage_b$k")
       df.filter(col(keyCol) % (nBatches + 1) === k)
-        .coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = new java.io.File(tmp).listFiles()
-        .filter(_.getName.endsWith(".parquet")).head
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val parts = tmp.toFile.listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+      require(parts.nonEmpty,
+        s"stageBatches: batch $k of $nBatches selected no rows from " +
+          s"$keyCol — a loop fed an empty batch would hang its replay " +
+          "pins; widen the slice or lower nBatches")
       val dest = stage.resolve(f"batch_$k%02d.parquet")
-      java.nio.file.Files.move(part.toPath, dest)
-      dest.toFile.setLastModified(1000000000000L + k * 60000L)
+      java.nio.file.Files.move(parts.head.toPath, dest)
+      if (!dest.toFile.setLastModified(1000000000000L + k * 60000L))
+        sys.error(s"stageBatches: could not pin mtime on $dest — " +
+          "batch processing order would be undefined")
+      // reclaim the scratch dir (the .crc/_SUCCESS residue)
+      org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
     }
   }
 
@@ -1323,13 +1331,18 @@ object Cli {
     // maxFilesPerTrigger=1, so batch order — and with it the
     // admission record — is deterministic and replayable (CliSpec
     // pins stream == sequential batch replay).
-    case "stream-dedup-loop" :: dir :: out :: Nil =>
+    case "stream-dedup-loop" :: dir :: out :: rest if rest.size <= 1 =>
+      // optional trailing arg: the bucket cap (default LshBucketCap)
+      // — the CliSpec flood test lowers it so compaction triggers at
+      // spec scale; production uses the default
+      val cap = rest.headOption.map(_.toInt)
+        .getOrElse(pipeline.Dedup.LshBucketCap)
       val corpus = Tables.read(spark, dir, "documents")
       val artifacts = s"$out/_artifacts"
       if (!java.nio.file.Files.exists(java.nio.file.Paths.get(artifacts)))
         pipeline.Dedup.exportDedupIndex(
           corpus.filter(col("doc_id") % 4 === 0), "doc_id", "text",
-          k = 3, numHashes = 12, bands = 6, artifacts)
+          k = 3, numHashes = 12, bands = 6, artifacts, bucketCap = cap)
       val stage = java.nio.file.Paths.get(out, "_ingest")
       if (!java.nio.file.Files.exists(stage))
         stageBatches(corpus.select(col("doc_id"), col("text")),
@@ -1353,6 +1366,16 @@ object Cli {
               batch.join(verdicts.filter(col("is_dup") === 0),
                 Seq("doc_id"), "left_semi"),
               "doc_id", "text", k = 3, numHashes = 12, bands = 6)
+            // self-maintenance (the LSM discipline closed): the
+            // uncapped append can grow a band bucket past the star
+            // guard — a boilerplate flood being the canonical cause —
+            // so audit the index and re-cap it before the next batch.
+            // Inside the commit marker: a replayed batch skips the
+            // whole body, and compaction is idempotent anyway (a
+            // re-capped bucket stays under the cap).
+            if (pipeline.Dedup.indexOversizedBuckets(spark, artifacts,
+                cap) > 0)
+              pipeline.Dedup.compactDedupIndex(spark, artifacts, cap)
           }
         }
         .option("checkpointLocation", s"$out/_checkpoint")

@@ -16,23 +16,44 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   *    rather than continuing into the destructive tail.
   *
   * Crash windows, stated honestly: a crash BETWEEN the two renames
-  * leaves only `<live>__prev` on disk (no `<live>`) — recovery is
-  * renaming it back; a crash after publish leaves a stale backup the
-  * next swap clears. Readers here do not auto-fall-back to the
-  * backup (IdMapStore's resolve does, because its store is read on
-  * every CLI invocation; the index compactors are operator-invoked
-  * maintenance where a loud missing-directory error is preferable to
-  * silently serving the pre-compact state).
+  * leaves only `<live>__prev` on disk (no `<live>`) — the next
+  * [[swapIn]] self-heals by renaming the backup back before starting
+  * (so a re-run of the interrupted compactor just works); a crash
+  * after publish leaves a stale backup the next swap clears. Readers
+  * here do not auto-fall-back to the backup (IdMapStore's resolve
+  * does, because its store is read on every CLI invocation; the
+  * index compactors are operator-invoked maintenance where a loud
+  * missing-directory error is preferable to silently serving the
+  * pre-compact state).
   */
 object Artifacts {
 
   /** Publish `staging` as `live`, retiring any existing `live` to
     * `<live>__prev` and reclaiming the backup on success.
     */
+  /** Self-heal a crash between [[swapIn]]'s two renames: `live`
+    * missing but `<live>__prev` present means the old swap retired
+    * the live directory and died before publishing — restore the
+    * backup so the caller's read (and a re-run of the interrupted
+    * compactor) just works. Compactors call this BEFORE reading the
+    * live relation; a healthy directory is a no-op.
+    */
+  def heal(fs: FileSystem, live: String): Unit = {
+    val liveP = new Path(live)
+    val prevP = new Path(live + "__prev")
+    if (!fs.exists(liveP) && fs.exists(prevP)
+        && !fs.rename(prevP, liveP))
+      sys.error(s"Artifacts: failed to restore $prevP -> $live")
+  }
+
   def swapIn(fs: FileSystem, staging: String, live: String): Unit = {
     val stagingP = new Path(staging)
     val liveP = new Path(live)
     val prevP = new Path(live + "__prev")
+    // Defense in depth: the same mid-swap crash can also be healed
+    // here (callers that derived staging from an already-read live
+    // state reach this with live absent only after such a crash).
+    heal(fs, live)
     fs.delete(prevP, true)
     if (fs.exists(liveP) && !fs.rename(liveP, prevP))
       sys.error(s"Artifacts: failed to retire $live")

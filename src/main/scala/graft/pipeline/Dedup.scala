@@ -365,12 +365,28 @@ object Dedup {
     import org.apache.hadoop.fs.Path
     val fs = new Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.core.Artifacts.heal(fs, s"$path/bands")
     cappedBandRows(spark.read.parquet(s"$path/bands"), bucketCap)
       .select(col("key"), col("doc"))
       .write.mode("overwrite").parquet(s"$path/bands__staging")
     graft.core.Artifacts.swapIn(fs, s"$path/bands__staging",
       s"$path/bands")
   }
+
+  /** How many band buckets of an index's `bands/` relation have grown
+    * past the cap through uncapped LSM appends — the compaction
+    * TRIGGER for a self-maintaining ingest loop: `> 0` means the
+    * star-guard invariant no longer holds and [[compactDedupIndex]]
+    * is due. One count shuffle over the band relation (signatures and
+    * corpus text are never touched); a loop amortizes it per batch —
+    * the same key distribution the candidate join shuffles anyway.
+    */
+  def indexOversizedBuckets(spark: org.apache.spark.sql.SparkSession,
+      path: String, bucketCap: Int = LshBucketCap): Long =
+    spark.read.parquet(s"$path/bands")
+      .groupBy(col("key")).count()
+      .filter(col("count") > bucketCap)
+      .count()
 
   /** Read an [[exportDedupIndex]] directory back and certify it: one
     * row per artifact with its row count and an order-free integer
@@ -835,8 +851,13 @@ object Dedup {
     // cluster representative instead of B candidate rows per batch.
     // The aggregation is static-side only; the (possibly streaming)
     // delta passes through stateless as before.
+    // Bind the frozen artifact BY NAME before the positional rename:
+    // an externally-written or physically re-ordered bands/ relation
+    // fails loudly on a missing column here instead of silently
+    // mis-binding doc/sim/seg/segval.
     val cbCapped = cappedSegRows(
-        corpusBands.toDF("doc", "sim", "seg", "segval"), bucketCap)
+        corpusBands.select(col("doc"), col("sim"), col("seg"),
+          col("segval")), bucketCap)
       .toDF("doc_b", "sim_b", "seg", "segval")
     bandRows(delta, idCol, hashCol, bits, segments)
       .toDF("doc_a", "sim_a", "seg", "segval")

@@ -394,6 +394,11 @@ object Similarity {
       m: Int, dim: Int): Unit = {
     require(dim % m == 0, "m must divide dim")
     requireIndexParams(spark, path, m, dim)
+    // A pre-params import may carry a FLAT codes/ layout (no cent_id=
+    // partition dirs). Appending cell-partitioned files into it would
+    // succeed and then fail every subsequent read with a
+    // conflicting-directory-structure error — detect and refuse now.
+    requirePartitionedCodes(spark, path)
     val sub = dim / m
     val book = spark.read.parquet(s"$path/codebook")
       .select(col("cid"), col("entry")).collect()
@@ -429,6 +434,30 @@ object Similarity {
     * thousands-literal predicate.
     */
   val ServingPruneLimit = 4096
+
+  /** Refuse to append cell-partitioned code files into a FLAT
+    * `codes/` directory (a legacy/imported index written without
+    * `partitionBy(cent_id)`, a case [[requireIndexParams]] tolerates
+    * for reads). Mixing the two layouts corrupts the directory: the
+    * append itself succeeds, then every read fails with Spark's
+    * conflicting-directory-structure error. Re-export such an index
+    * instead of appending to it.
+    */
+  private def requirePartitionedCodes(
+      spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    val codes = new org.apache.hadoop.fs.Path(s"$path/codes")
+    val fs = codes
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(codes)) {
+      val flat = fs.listStatus(codes).exists { st =>
+        st.isFile && st.getPath.getName.endsWith(".parquet")
+      }
+      require(!flat,
+        s"serving index at $path has a flat codes/ layout (no " +
+          "cent_id= partition directories); appending partitioned " +
+          "files would corrupt it — re-export the index instead")
+    }
+  }
 
   private def servingDirExists(spark: org.apache.spark.sql.SparkSession,
       p: String): Boolean = {
@@ -489,6 +518,7 @@ object Similarity {
     import org.apache.hadoop.fs.Path
     val fs = new Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.core.Artifacts.heal(fs, s"$path/codes")
     val codes = readCodes(spark, path)
     val kept =
       if (servingDirExists(spark, s"$path/tombstones"))

@@ -446,17 +446,9 @@ object PipelineQueries {
     * the single double division at the end.
     */
   private lazy val oDetectorAgreement: String =
-    s"""WITH RECURSIVE sh AS (
-       |  SELECT doc_id, ${oShingles(4)} AS sh
-       |  FROM (SELECT doc_id, $oToks AS toks FROM documents)),
-       |jp AS (
-       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-       |  WHERE len(list_intersect(a.sh, b.sh))
-       |      / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE)
-       |      >= 0.4),
-       |je AS (SELECT doc_a AS u, doc_b AS v FROM jp
-       |       UNION SELECT doc_b, doc_a FROM jp),
+    s"""WITH RECURSIVE ${oPairCtes(4, 0.4)},
+       |je AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+       |       UNION SELECT doc_b, doc_a FROM pairs),
        |jreach(u, v) AS (
        |  SELECT u, u FROM (SELECT DISTINCT u FROM je)
        |  UNION
@@ -604,15 +596,9 @@ object PipelineQueries {
          |        ORDER BY score_micro DESC, doc_id) AS rank
          |    FROM ${px}sc)
          |  WHERE rank <= 10)""".stripMargin
-    s"""WITH RECURSIVE alldocs AS (
+    s"""WITH RECURSIVE alldocs AS MATERIALIZED (
        |  SELECT doc_id, $oToks AS toks FROM documents),
-       |sh AS (SELECT doc_id, ${oShingles(4)} AS sh FROM alldocs),
-       |pairs AS (
-       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-       |  WHERE len(list_intersect(a.sh, b.sh))
-       |      / CAST(len(list_distinct(list_concat(a.sh, b.sh)))
-       |             AS DOUBLE) >= 0.4),
+       |${oPairCtes(4, 0.4, toksRel = "alldocs")},
        |edges AS (
        |  SELECT doc_a AS u, doc_b AS v FROM pairs
        |  UNION SELECT doc_b, doc_a FROM pairs),
@@ -641,18 +627,58 @@ object PipelineQueries {
        |${oScorecardRow("drk10", "dedup_minid")}""".stripMargin
   }
 
-  /** Exhaustive pair-Jaccard oracle shared by the dedup queries. */
-  private def oJaccardPairs(k: Int, threshold: Double): String =
-    s"""WITH sh AS (
+  /** Bounded near-dup pair CTE chain — the oracle-side cost-diet twin
+    * of the engine's own inverted-index candidate generation. Emits
+    * CTEs `sh`, `ndposts`, `ndsz`, `ndcand`, and
+    * `pairs(doc_a, doc_b[, j])`.
+    *
+    * EXACT, not approximate: for any threshold > 0 a qualifying pair
+    * shares at least one k-shingle, so the shingle-equality self-join
+    * finds every such pair; and because [[oShingles]] emits
+    * `list_distinct` lists, the per-pair match count IS the
+    * intersection size, giving J = inter / (|A| + |B| - inter)
+    * exactly. Equivalence with the old exhaustive O(N²) scan is
+    * pinned by `tools/oracle_equiv.py` (byte-identical result sets at
+    * sf0.01 and an sf0.1 slice); cost drops from O(N²) string-list
+    * intersections (~7 s at sf0.01, >5 min at sf0.1, replayed per CTE
+    * reference by DuckDB's inlining) to O(Σ f_g²) grouped integer
+    * counting behind a MATERIALIZED barrier (~0.05 s / ~0.8 s).
+    *
+    * `toksRel` is the relation exposing (doc_id, toks) — override when
+    * an embedding oracle already has a token CTE (e.g. `alldocs`).
+    */
+  private def oPairCtes(k: Int, threshold: Double,
+      withJ: Boolean = false,
+      toksRel: String = ""): String = {
+    val toks =
+      if (toksRel.nonEmpty) toksRel
+      else s"(SELECT doc_id, $oToks AS toks FROM documents)"
+    val j = "c.inter / CAST(sa.n + sb.n - c.inter AS DOUBLE)"
+    val jcol = if (withJ) s",\n    $j AS j" else ""
+    s"""sh AS MATERIALIZED (
        |  SELECT doc_id, ${oShingles(k)} AS sh
-       |  FROM (SELECT doc_id, $oToks AS toks FROM documents)),
-       |pairs AS (
+       |  FROM $toks),
+       |ndposts AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+       |ndsz AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n FROM sh),
+       |ndcand AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |    len(list_intersect(a.sh, b.sh))
-       |      / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS j
-       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+       |    CAST(COUNT(*) AS BIGINT) AS inter
+       |  FROM ndposts a JOIN ndposts b
+       |    ON a.g = b.g AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |pairs AS MATERIALIZED (
+       |  SELECT c.doc_a, c.doc_b$jcol
+       |  FROM ndcand c JOIN ndsz sa ON c.doc_a = sa.doc_id
+       |  JOIN ndsz sb ON c.doc_b = sb.doc_id
+       |  WHERE $j >= $threshold)""".stripMargin
+  }
+
+  /** Pair-Jaccard oracle shared by the dedup queries — the
+    * [[oPairCtes]] inverted-index formulation (exact; see there). */
+  private def oJaccardPairs(k: Int, threshold: Double): String =
+    s"""WITH ${oPairCtes(k, threshold, withJ = true)}
        |SELECT doc_a, doc_b, CAST(FLOOR(j * 1e6) AS BIGINT) AS jaccard_micro
-       |FROM pairs WHERE j >= $threshold""".stripMargin
+       |FROM pairs""".stripMargin
 
   // ---------------------------------------------------------------- dedup
 
@@ -6109,14 +6135,15 @@ object PipelineQueries {
     val cost = s"""CASE WHEN o.prev IS NULL OR ${p}ctx.cctx IS NULL THEN
        |      FLOOR(-ln($pcont) * 1e6)
        |    ELSE FLOOR(-ln($pkn) * 1e6) END""".stripMargin
-    s"""${p}base AS (SELECT doc_id, source, $oToks AS toks FROM $src),
-       |${p}occ AS (
+    s"""${p}base AS MATERIALIZED (
+       |  SELECT doc_id, source, $oToks AS toks FROM $src),
+       |${p}occ AS MATERIALIZED (
        |  SELECT doc_id, source, toks[i] AS cur,
        |    CASE WHEN i > 1 THEN toks[i - 1] END AS prev
        |  FROM (SELECT doc_id, source, toks,
        |          unnest(generate_series(1, len(toks))) AS i
        |        FROM ${p}base)),
-       |${p}bg AS (
+       |${p}bg AS MATERIALIZED (
        |  SELECT prev, cur, COUNT(*) AS cbi FROM ${p}occ
        |  WHERE prev IS NOT NULL GROUP BY prev, cur),
        |${p}ctx AS (
@@ -6308,15 +6335,7 @@ object PipelineQueries {
   }
 
   private def oSourceDupRates: String =
-    s"""WITH RECURSIVE sh AS (
-           |  SELECT doc_id, ${oShingles(4)} AS sh
-           |  FROM (SELECT doc_id, $oToks AS toks FROM documents)),
-           |pairs AS (
-           |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-           |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-           |  WHERE len(list_intersect(a.sh, b.sh))
-           |      / CAST(len(list_distinct(list_concat(a.sh, b.sh)))
-           |             AS DOUBLE) >= 0.4),
+    s"""WITH RECURSIVE ${oPairCtes(4, 0.4)},
            |edges AS (
            |  SELECT doc_a AS u, doc_b AS v FROM pairs
            |  UNION SELECT doc_b, doc_a FROM pairs),
@@ -6539,7 +6558,7 @@ object PipelineQueries {
            |  FROM a_res r,
            |    (SELECT CAST(SUM(n_tokens) AS BIGINT) AS ntot
            |     FROM a_res) t),
-           |kept AS (
+           |kept AS MATERIALIZED (
            |  SELECT d.doc_id, d.source, d.text
            |  FROM documents d JOIN rates r ON d.source = r.source
            |  WHERE ${oHash("'dr2' || CAST(doc_id AS VARCHAR)")} % 1000000
@@ -6840,18 +6859,8 @@ object PipelineQueries {
              |    SUM(CASE WHEN c.doc_id != c.cluster_id THEN tk.n_toks
              |        ELSE 0 END) AS toks_removed
              |  FROM c$t c JOIN tk ON c.doc_id = tk.doc_id)""".stripMargin
-        s"""WITH RECURSIVE sh AS (
-           |  SELECT doc_id, ${oShingles(4)} AS sh
-           |  FROM (SELECT doc_id, $oToks AS toks FROM documents)),
-           |allp AS (
-           |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           |    len(list_intersect(a.sh, b.sh))
-           |      / CAST(len(list_distinct(list_concat(a.sh, b.sh)))
-           |             AS DOUBLE) AS j
-           |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-           |  WHERE len(list_intersect(a.sh, b.sh))
-           |      / CAST(len(list_distinct(list_concat(a.sh, b.sh)))
-           |             AS DOUBLE) >= 0.4),
+        s"""WITH RECURSIVE ${oPairCtes(4, 0.4, withJ = true)},
+           |allp AS (SELECT doc_a, doc_b, j FROM pairs),
            |tk AS (SELECT doc_id, CAST(len($oToks) AS BIGINT) AS n_toks
            |       FROM documents),
            |${Seq(40, 90, 96, 98).map(tcte).mkString(",\n")}
@@ -7039,15 +7048,7 @@ object PipelineQueries {
            |FROM y""".stripMargin) +
       ("p151_source_dup_rates" -> oSourceDupRates) +
       ("p152_split_leakage" ->
-        s"""WITH RECURSIVE sh AS (
-           |  SELECT doc_id, ${oShingles(4)} AS sh
-           |  FROM (SELECT doc_id, $oToks AS toks FROM documents)),
-           |pairs AS (
-           |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-           |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-           |  WHERE len(list_intersect(a.sh, b.sh))
-           |      / CAST(len(list_distinct(list_concat(a.sh, b.sh)))
-           |             AS DOUBLE) >= 0.4),
+        s"""WITH RECURSIVE ${oPairCtes(4, 0.4)},
            |edges AS (
            |  SELECT doc_a AS u, doc_b AS v FROM pairs
            |  UNION SELECT doc_b, doc_a FROM pairs),
@@ -7080,15 +7081,7 @@ object PipelineQueries {
            |UNION ALL SELECT 'clusters_straddling', n_straddling
            |FROM sm""".stripMargin) +
       ("p159_split_repair" ->
-        s"""WITH RECURSIVE sh AS (
-           |  SELECT doc_id, ${oShingles(4)} AS sh
-           |  FROM (SELECT doc_id, $oToks AS toks FROM documents)),
-           |pairs AS (
-           |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-           |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-           |  WHERE len(list_intersect(a.sh, b.sh))
-           |      / CAST(len(list_distinct(list_concat(a.sh, b.sh)))
-           |             AS DOUBLE) >= 0.4),
+        s"""WITH RECURSIVE ${oPairCtes(4, 0.4)},
            |edges AS (
            |  SELECT doc_a AS u, doc_b AS v FROM pairs
            |  UNION SELECT doc_b, doc_a FROM pairs),
@@ -7800,15 +7793,7 @@ object PipelineQueries {
           |  END AS spike
           |FROM dev d JOIN m2 USING (event_type)""".stripMargin) +
       ("p149_survivor_policies" ->
-        s"""WITH RECURSIVE sh AS (
-           |  SELECT doc_id, ${oShingles(4)} AS sh
-           |  FROM (SELECT doc_id, $oToks AS toks FROM documents)),
-           |pairs AS (
-           |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-           |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-           |  WHERE len(list_intersect(a.sh, b.sh))
-           |      / CAST(len(list_distinct(list_concat(a.sh, b.sh)))
-           |             AS DOUBLE) >= 0.4),
+        s"""WITH RECURSIVE ${oPairCtes(4, 0.4)},
            |edges AS (
            |  SELECT doc_a AS u, doc_b AS v FROM pairs
            |  UNION SELECT doc_b, doc_a FROM pairs),
@@ -9110,15 +9095,7 @@ object PipelineQueries {
          |  CAST(COALESCE(c.cmp, a.vec_id) = a.vec_id AS INT) AS keep
          |FROM cells a LEFT JOIN comp c ON a.vec_id = c.u""".stripMargin,
     "p37_dup_clusters" ->
-      s"""WITH RECURSIVE sh AS (
-         |  SELECT doc_id, ${oShingles(4)} AS sh
-         |  FROM (SELECT doc_id, $oToks AS toks FROM documents)),
-         |pairs AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-         |  WHERE len(list_intersect(a.sh, b.sh))
-         |      / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE)
-         |      >= 0.4),
+      s"""WITH RECURSIVE ${oPairCtes(4, 0.4)},
          |edges AS (
          |  SELECT doc_a AS u, doc_b AS v FROM pairs
          |  UNION SELECT doc_b, doc_a FROM pairs),
@@ -9130,15 +9107,7 @@ object PipelineQueries {
          |  CAST(u = MIN(v) AS INT) AS keep
          |FROM reach GROUP BY u""".stripMargin,
     "p107_dedup_impact" ->
-      s"""WITH RECURSIVE sh AS (
-         |  SELECT doc_id, ${oShingles(4)} AS sh
-         |  FROM (SELECT doc_id, $oToks AS toks FROM documents)),
-         |pairs AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-         |  WHERE len(list_intersect(a.sh, b.sh))
-         |      / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE)
-         |      >= 0.4),
+      s"""WITH RECURSIVE ${oPairCtes(4, 0.4)},
          |edges AS (
          |  SELECT doc_a AS u, doc_b AS v FROM pairs
          |  UNION SELECT doc_b, doc_a FROM pairs),
@@ -9698,15 +9667,7 @@ object PipelineQueries {
          |FROM toks t2 CROSS JOIN oov LEFT JOIN cost ON t2.tok = cost.tok
          |GROUP BY t2.doc_id""".stripMargin,
     "p69_cluster_best" ->
-      s"""WITH RECURSIVE sh AS (
-         |  SELECT doc_id, ${oShingles(4)} AS sh
-         |  FROM (SELECT doc_id, $oToks AS toks FROM documents)),
-         |pairs AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-         |  WHERE len(list_intersect(a.sh, b.sh))
-         |      / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE)
-         |      >= 0.4),
+      s"""WITH RECURSIVE ${oPairCtes(4, 0.4)},
          |edges AS (
          |  SELECT doc_a AS u, doc_b AS v FROM pairs
          |  UNION SELECT doc_b, doc_a FROM pairs),
@@ -9924,14 +9885,21 @@ object PipelineQueries {
          |  CAST(FLOOR(224 * 1000000.0 / h) AS BIGINT) AS scale_y_micro
          |FROM d""".stripMargin,
     "p27_containment" ->
-      s"""WITH sh AS (
+      s"""WITH sh AS MATERIALIZED (
          |  SELECT doc_id, ${oShingles(4)} AS sh
          |  FROM (SELECT doc_id, $oToks AS toks FROM documents)),
+         |ndposts AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+         |ndsz AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n FROM sh),
          |pairs AS (
-         |  SELECT a.doc_id AS da, b.doc_id AS db,
-         |    len(list_intersect(a.sh, b.sh)) AS inter,
-         |    len(a.sh) AS na, len(b.sh) AS nb
-         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+         |  SELECT c.doc_a AS da, c.doc_b AS db, c.inter,
+         |    sa.n AS na, sb.n AS nb
+         |  FROM (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |          CAST(COUNT(*) AS BIGINT) AS inter
+         |        FROM ndposts a JOIN ndposts b
+         |          ON a.g = b.g AND a.doc_id < b.doc_id
+         |        GROUP BY 1, 2) c
+         |  JOIN ndsz sa ON c.doc_a = sa.doc_id
+         |  JOIN ndsz sb ON c.doc_b = sb.doc_id),
          |dirn AS (
          |  SELECT da AS contained, db AS container,
          |    inter / CAST(na AS DOUBLE) AS c
