@@ -1475,6 +1475,47 @@ object Similarity {
     adcRank(cellC, cellQ, books, m, sub, k)
   }
 
+  /** Mean squared reconstruction error of a mass's STORED codes
+    * against its true vectors — the FAISS re-train criterion, read
+    * entirely from an [[exportServingIndex]] directory: each stored
+    * code row reconstructs through the frozen codebook (folded into a
+    * literal LUT like serving) and is compared to the mass's actual
+    * vector. Per-vector errors floor to integers BEFORE the sum, so
+    * the distributed aggregate is order-free exact math (a double
+    * mean would vary with partition order). One row:
+    * (n_vecs, recon_err = Σ floor(d²(v, recon(v))) // n).
+    */
+  def reconstructionError(spark: org.apache.spark.sql.SparkSession,
+      path: String, mass: DataFrame, idCol: String, vecCol: String,
+      m: Int, dim: Int): DataFrame = {
+    require(dim % m == 0, "m must divide dim")
+    requireIndexParams(spark, path, m, dim)
+    val sub = dim / m
+    val book = spark.read.parquet(s"$path/codebook")
+      .select(col("cid"), col("entry")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    val books = subSlices(book, m, sub)
+    val codes = readCodes(spark, path)
+      .groupBy(col("vec_id"))
+      .agg(transform(array_sort(collect_list(struct(col("subspace"),
+        col("code")))), x => x.getField("code")).as("codes"))
+    val joined = mass
+      .select(col(idCol).as("vec_id"), col(vecCol).as("v"))
+      .join(codes, Seq("vec_id"))
+    val err = (0 until m).map { s =>
+      val lut = map(books(s).toIndexedSeq.flatMap { case (cid, ce) =>
+        Seq(lit(cid), array(ce.toIndexedSeq.map(lit(_)): _*))
+      }: _*)
+      dist2(slice(col("v"), s * sub + 1, sub),
+        element_at(lut, col("codes").getItem(s)))
+    }.reduce(_ + _)
+    joined.select(floor(err).cast("long").as("e"))
+      .agg(count(lit(1)).as("n_vecs"),
+        floor(sum(col("e")).cast("double") / count(lit(1)))
+          .cast("long").as("recon_err"))
+  }
+
   /** Index-order dot over DOUBLE arrays — the residual-space sibling
     * of [[dot]], backed by the native codegen'd kernel
     * ([[graft.functions.DotProductD]]); bit-identical to the HOF

@@ -3142,6 +3142,119 @@ object PipelineQueries {
     Similarity.certifyServingIndex(s, tmp)
   }
 
+  /** Drifted sibling of [[clusteredEmbeddings]] for the p189 card:
+    * the same 32-cluster two-level closed form with a DIFFERENT
+    * center salt per stage — an arriving distribution the frozen
+    * quantizer was never trained on (centers land elsewhere in the
+    * ±1000 cube). A quarter of the corpus per stage
+    * (`vec_id % 4 = stage`), ids shifted past the base mass, cluster
+    * and noise derived from the SHIFTED id so the oracle rebuilds
+    * identical vectors from the id alone.
+    */
+  private def driftedEmbeddings(s: SparkSession, dir: String,
+      stage: Int): DataFrame =
+    t(s, dir, "embeddings")
+      .repartition(s.sparkContext.defaultParallelism)
+      .filter(pmod(col("vec_id"), lit(4)) === stage)
+      .select((col("vec_id") + lit(stage * 1000000L)).as("vec_id"))
+      .select(col("vec_id"),
+        transform(sequence(lit(1), lit(64)), d =>
+          ((TF.hash60(concat(lit(s"dc$stage"),
+              pmod(col("vec_id"), lit(32)).cast("string"),
+              lit("_"), d.cast("string"))) % 2001 - 1000)
+            + (TF.hash60(concat(lit(s"dn$stage"),
+              col("vec_id").cast("string"),
+              lit("_"), d.cast("string"))) % 21 - 10))
+            .cast("float")).as("embedding"))
+
+  /** Quantizer-drift card (p189): the operational signal a FROZEN
+    * serving index uses to schedule re-training — the question
+    * p178/p181/p183/p186 leave open. [[Similarity.appendServingIndex]]
+    * deliberately never re-trains (stored codes stay valid), so as
+    * appended mass drifts away from the training distribution its
+    * codes degrade. The card measures that degradation from the
+    * SERVED artifacts at growing delta fractions: export over the
+    * clustered fixture, then two appends of drift-shifted quarters
+    * ([[driftedEmbeddings]] — same structure, different centers), and
+    * per (stage, mass) one row with
+    *
+    *  - `recon_err`: mean squared reconstruction error of the mass's
+    *    stored codes against its true vectors (per-vector floor, so
+    *    the distributed sum is order-free integer math) — FAISS's
+    *    re-train criterion, stable at any SF;
+    *  - `recall_micro`: served ADC recall@3 against the exact
+    *    ranking over the union (the asked-for view; raw-PQ code ties
+    *    resolve by id, which is exactly the discrimination loss the
+    *    drifted mass suffers first);
+    *  - `retrain_recommended`: 1 when the mass's reconstruction
+    *    error exceeds 4× the export-time base error — drifted
+    *    appends trip it, base mass never does.
+    *
+    * Scale shape: the artifacts serve every measurement (centroids/
+    * codebook fold into literals; codes scan cell-pruned); exact
+    * truth is one broadcast-join scan per mass; nothing all-pairs.
+    */
+  def p189QuantizerDrift(s: SparkSession, dir: String): DataFrame = {
+    val base = clusteredEmbeddings(s, dir)
+    val tmp = scratchDir(s, dir, "quantizer_drift")
+    // 32 codebook entries — one per base cluster — so the trained
+    // quantizer is TIGHT on its training distribution (base recon
+    // error ~ the ±10 jitter mass) and the drifted mass's stale-code
+    // error stands out by orders of magnitude; with 8 entries the
+    // base error is itself center-sized and drift disappears into it
+    Similarity.exportServingIndex(base, "vec_id", "embedding",
+      coarseFilter = col("vec_id") < 32, pqFilter = col("vec_id") < 32,
+      m = 4, dim = 64, tmp)
+    val d1 = driftedEmbeddings(s, dir, 1)
+    val d2 = driftedEmbeddings(s, dir, 2)
+    def measure(stage: String, mass: String, union: DataFrame,
+        massDf: DataFrame, queries: DataFrame): DataFrame = {
+      val served = Similarity.ivfPqTopKFromArtifacts(s, tmp, queries,
+          "vec_id", "embedding", m = 4, dim = 64, k = 3, nprobe = 2)
+        .select(col("query_id"), col("cand_id"))
+      val exact = Similarity.topK(union, queries, "vec_id",
+          "embedding", 3)
+        .select(col("query_id"), col("cand_id"))
+      val recall = served.join(exact, Seq("query_id", "cand_id"))
+        .agg(count(lit(1)).as("n_hits"))
+        .crossJoin(exact.agg(count(lit(1)).as("n_truth")))
+      val err = Similarity.reconstructionError(s, tmp, massDf,
+        "vec_id", "embedding", m = 4, dim = 64)
+      recall.crossJoin(err)
+        .select(lit(stage).as("stage"), lit(mass).as("mass"),
+          col("n_vecs"), col("recon_err"), col("n_hits"),
+          col("n_truth"),
+          floor(col("n_hits") * lit(1e6) / col("n_truth"))
+            .cast("long").as("recall_micro"))
+    }
+    val baseQ = base.filter(col("vec_id") < 16)
+    val deltaQ = d1.filter(col("vec_id") < 1000064L)
+    val s0 = measure("0_export", "base", base, base, baseQ)
+      .localCheckpoint()
+    Similarity.appendServingIndex(s, tmp, d1, "vec_id", "embedding",
+      m = 4, dim = 64)
+    val u1 = base.unionByName(d1)
+    val s1b = measure("1_append25", "base", u1, base, baseQ)
+      .localCheckpoint()
+    val s1d = measure("1_append25", "delta", u1, d1, deltaQ)
+      .localCheckpoint()
+    Similarity.appendServingIndex(s, tmp, d2, "vec_id", "embedding",
+      m = 4, dim = 64)
+    val u2 = u1.unionByName(d2)
+    val s2b = measure("2_append50", "base", u2, base, baseQ)
+    val s2d = measure("2_append50", "delta", u2, d1.unionByName(d2),
+      deltaQ)
+    val rows = s0.unionByName(s1b).unionByName(s1d).unionByName(s2b)
+      .unionByName(s2d)
+    val ref = broadcast(s0.select(col("recon_err").as("__ref")))
+    rows.crossJoin(ref)
+      .select(col("stage"), col("mass"), col("n_vecs"),
+        col("recon_err"), col("n_hits"), col("n_truth"),
+        col("recall_micro"),
+        (col("recon_err") > col("__ref") * lit(4L)).cast("long")
+          .as("retrain_recommended"))
+  }
+
   /** Passage retrieval card (p177): the MaxP evidence-aggregation
     * pattern (Dai & Callan 2019) over p176's chunks — documents
     * ranked by their BEST chunk's BM25 score versus whole-document
@@ -4768,6 +4881,7 @@ object PipelineQueries {
     "p186_index_lifecycle" -> p186IndexLifecycle _,
     "p187_admission_pipeline" -> p187AdmissionPipeline _,
     "p188_image_ingest_gate" -> p188ImageIngestGate _,
+    "p189_quantizer_drift" -> p189QuantizerDrift _,
     "p164_crop_pairs" -> p164CropPairs _,
     "p165_shard_mix" -> p165ShardMix _,
     "p166_epoch_decorrelation" -> p166EpochDecorrelation _,
@@ -6498,8 +6612,164 @@ object PipelineQueries {
     ).mkString("\nUNION ALL\n")
   }
 
+  /** The p189 oracle: closed-form base + drifted fixtures, the frozen
+    * quantizer (base rows < 32 / < 8), coarse assignment and PQ codes
+    * over the FULL final mass (codes are append-invariant — the
+    * frozen quantizer never re-codes, so one codes table serves every
+    * stage restricted by id range), per-vector floored reconstruction
+    * errors, and per (stage, mass) the served ADC top-3 against the
+    * exact cosine ranking over that stage's union — all in the
+    * integer/double op order the engine uses (the oIvfPqAd
+    * conventions, green on p74/p178/p181).
+    */
+  private lazy val oQuantizerDrift: String = {
+    def oDotAt(a: String, b: String, s: Int): String =
+      s"""list_sum(list_transform(generate_series(1, 16),
+         |      i -> CAST($a[${s * 16} + i] AS DOUBLE)
+         |           * CAST($b[${s * 16} + i] AS DOUBLE)))""".stripMargin
+    def oD2At(a: String, b: String, s: Int): String =
+      s"""(${oDotAt(a, a, s)}
+         |   - 2 * ${oDotAt(a, b, s)}
+         |   + ${oDotAt(b, b, s)})""".stripMargin
+    val baseDef =
+      s"""SELECT vec_id,
+         |  list_transform(generate_series(1, 64), d ->
+         |    CAST((${oHash("'cc' || CAST(vec_id % 32 AS VARCHAR) || '_' || CAST(d AS VARCHAR)")} % 2001 - 1000
+         |        + ${oHash("'cn' || CAST(vec_id AS VARCHAR) || '_' || CAST(d AS VARCHAR)")} % 21 - 10) AS FLOAT)) AS embedding
+         |FROM embeddings""".stripMargin
+    def driftDef(stage: Int) =
+      s"""SELECT vec_id,
+         |  list_transform(generate_series(1, 64), d ->
+         |    CAST((${oHash(s"'dc$stage' || CAST(vec_id % 32 AS VARCHAR) || '_' || CAST(d AS VARCHAR)")} % 2001 - 1000
+         |        + ${oHash(s"'dn$stage' || CAST(vec_id AS VARCHAR) || '_' || CAST(d AS VARCHAR)")} % 21 - 10) AS FLOAT)) AS embedding
+         |FROM (SELECT vec_id + ${stage * 1000000L} AS vec_id
+         |      FROM embeddings WHERE vec_id % 4 = $stage)""".stripMargin
+    val adTerms = (0 until 4)
+      .map(s => oD2At("q.embedding", s"e$s.ce", s)).mkString("\n  + ")
+    // one (stage, mass) scorecard row: served ADC top-3 vs exact
+    // cosine top-3 over the stage's union, plus the mass's recon stats
+    def rowSql(stage: String, mass: String, unionPred: String,
+        massPred: String, qPred: String): String = {
+      val served =
+        s"""SELECT query_id, cand_id FROM (
+           |  SELECT q.vec_id AS query_id, w.vec_id AS cand_id,
+           |    ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+           |      ($adTerms) ASC, w.vec_id ASC) AS rn
+           |  FROM (SELECT vec_id, embedding FROM u2 WHERE $qPred) q
+           |  JOIN (SELECT qid, cent_id FROM (
+           |          SELECT q2.vec_id AS qid, c.cent_id,
+           |            ROW_NUMBER() OVER (PARTITION BY q2.vec_id
+           |              ORDER BY ${oCos("q2.embedding", "c.ce")} DESC,
+           |                c.cent_id ASC) AS prn
+           |          FROM (SELECT vec_id, embedding FROM u2
+           |                WHERE $qPred) q2, ccents c)
+           |        WHERE prn <= 2) pr ON pr.qid = q.vec_id
+           |  JOIN asg cc ON cc.cent_id = pr.cent_id
+           |    AND ${unionPred.replace("vec_id", "cc.vec_id")}
+           |  JOIN codesw w ON w.vec_id = cc.vec_id
+           |  JOIN pcents e0 ON e0.cent_id = w.c0
+           |  JOIN pcents e1 ON e1.cent_id = w.c1
+           |  JOIN pcents e2 ON e2.cent_id = w.c2
+           |  JOIN pcents e3 ON e3.cent_id = w.c3
+           |  WHERE q.vec_id != w.vec_id) WHERE rn <= 3""".stripMargin
+      val exact =
+        s"""SELECT query_id, cand_id FROM (
+           |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+           |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+           |      ORDER BY ${oCos("q.embedding", "c.embedding")} DESC,
+           |        c.vec_id ASC) AS rn
+           |  FROM (SELECT vec_id, embedding FROM u2 WHERE $qPred) q
+           |  JOIN u2 c ON ${unionPred.replace("vec_id", "c.vec_id")}
+           |    AND c.vec_id != q.vec_id) WHERE rn <= 3""".stripMargin
+      s"""SELECT '$stage' AS stage, '$mass' AS mass,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM recon
+         |   WHERE $massPred) AS n_vecs,
+         |  (SELECT CAST(SUM(e) // COUNT(*) AS BIGINT) FROM recon
+         |   WHERE $massPred) AS recon_err,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM ($served) a
+         |   JOIN ($exact) e ON a.query_id = e.query_id
+         |    AND a.cand_id = e.cand_id) AS n_hits,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM ($exact)) AS n_truth"""
+        .stripMargin
+    }
+    val reconTerms = (0 until 4)
+      .map(s => oD2At("v.embedding", s"e$s.ce", s)).mkString("\n  + ")
+    val rows = Seq(
+      ("0_export", "base", "vec_id < 1000000", "vec_id < 1000000",
+        "vec_id < 16"),
+      ("1_append25", "base", "vec_id < 2000000", "vec_id < 1000000",
+        "vec_id < 16"),
+      ("1_append25", "delta", "vec_id < 2000000",
+        "vec_id >= 1000000 AND vec_id < 2000000",
+        "vec_id >= 1000000 AND vec_id < 1000064"),
+      ("2_append50", "base", "vec_id < 3000000", "vec_id < 1000000",
+        "vec_id < 16"),
+      ("2_append50", "delta", "vec_id < 3000000",
+        "vec_id >= 1000000",
+        "vec_id >= 1000000 AND vec_id < 1000064"))
+      .map { case (st, ms, up, mp, qp) => rowSql(st, ms, up, mp, qp) }
+      .mkString("\nUNION ALL\n")
+    s"""WITH base AS MATERIALIZED ($baseDef),
+       |d1 AS MATERIALIZED (${driftDef(1)}),
+       |d2 AS MATERIALIZED (${driftDef(2)}),
+       |u2 AS MATERIALIZED (
+       |  SELECT * FROM base UNION ALL SELECT * FROM d1
+       |  UNION ALL SELECT * FROM d2),
+       |ccents AS MATERIALIZED (
+       |  SELECT vec_id AS cent_id, embedding AS ce FROM base
+       |  WHERE vec_id < 32),
+       |pcents AS MATERIALIZED (
+       |  SELECT vec_id AS cent_id, embedding AS ce FROM base
+       |  WHERE vec_id < 32),
+       |subs AS (SELECT unnest(generate_series(0, 3)) AS s),
+       |asg AS MATERIALIZED (
+       |  SELECT vec_id, cent_id FROM (
+       |    SELECT e.vec_id, c.cent_id,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${oCos("e.embedding", "c.ce")} DESC,
+       |          c.cent_id ASC) AS rn
+       |    FROM u2 e, ccents c) WHERE rn = 1),
+       |pqscored AS (
+       |  SELECT e.vec_id, subs.s, c.cent_id,
+       |    ROW_NUMBER() OVER (PARTITION BY e.vec_id, subs.s ORDER BY
+       |      (list_sum(list_transform(generate_series(1, 16),
+       |         i -> CAST(e.embedding[subs.s*16 + i] AS DOUBLE)
+       |              * CAST(e.embedding[subs.s*16 + i] AS DOUBLE)))
+       |       - 2 * list_sum(list_transform(generate_series(1, 16),
+       |         i -> CAST(e.embedding[subs.s*16 + i] AS DOUBLE)
+       |              * CAST(c.ce[subs.s*16 + i] AS DOUBLE)))
+       |       + list_sum(list_transform(generate_series(1, 16),
+       |         i -> CAST(c.ce[subs.s*16 + i] AS DOUBLE)
+       |              * CAST(c.ce[subs.s*16 + i] AS DOUBLE)))) ASC,
+       |      c.cent_id ASC) AS rn
+       |  FROM u2 e, pcents c, subs),
+       |codesw AS MATERIALIZED (
+       |  SELECT vec_id,
+       |    MAX(CASE WHEN s = 0 THEN cent_id END) AS c0,
+       |    MAX(CASE WHEN s = 1 THEN cent_id END) AS c1,
+       |    MAX(CASE WHEN s = 2 THEN cent_id END) AS c2,
+       |    MAX(CASE WHEN s = 3 THEN cent_id END) AS c3
+       |  FROM pqscored WHERE rn = 1 GROUP BY vec_id),
+       |recon AS MATERIALIZED (
+       |  SELECT v.vec_id, CAST(FLOOR($reconTerms) AS BIGINT) AS e
+       |  FROM u2 v
+       |  JOIN codesw w ON w.vec_id = v.vec_id
+       |  JOIN pcents e0 ON e0.cent_id = w.c0
+       |  JOIN pcents e1 ON e1.cent_id = w.c1
+       |  JOIN pcents e2 ON e2.cent_id = w.c2
+       |  JOIN pcents e3 ON e3.cent_id = w.c3),
+       |refr AS (SELECT SUM(e) // COUNT(*) AS r FROM recon
+       |         WHERE vec_id < 1000000)
+       |SELECT stage, mass, n_vecs, recon_err, n_hits, n_truth,
+       |  CAST(FLOOR(n_hits * 1e6 / n_truth) AS BIGINT) AS recall_micro,
+       |  CAST(CASE WHEN recon_err > 4 * refr.r THEN 1 ELSE 0 END
+       |    AS BIGINT) AS retrain_recommended
+       |FROM ($rows) CROSS JOIN refr""".stripMargin
+  }
+
   def oracle: Map[String, String] =
     oracle0 + ("p56_ann_recall" -> oAnnRecall) +
+      ("p189_quantizer_drift" -> oQuantizerDrift) +
       ("p180_release_signoff" -> oReleaseSignoff) +
       ("p66_quality_funnel" -> oQualityFunnel) +
       ("p79_clustered_recall" -> oClusteredRecall) +

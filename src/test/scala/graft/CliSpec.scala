@@ -730,4 +730,74 @@ class CliSpec extends SparkSpec {
     val scratch2 = scratchOf(corpus2)
     assert(merged2.except(scratch2).isEmpty && scratch2.except(merged2).isEmpty)
   }
+
+  test("stream-dedup-loop self-compacts under a boilerplate flood") {
+    import spark.implicits._
+    // A deterministic flood: each micro-batch carries 9 IDENTICAL
+    // novel docs (admitted together, so their 6 band buckets jump to
+    // 9 > cap=4 in one append) plus one exact copy of an earlier
+    // group (a real dup the gate must keep catching). Without the
+    // in-loop audit+compact the index's buckets grow unboundedly;
+    // with it every bucket is re-capped before the next batch.
+    def words(tag: String) =
+      (0 until 20).map(w => s"${tag}w$w").mkString(" ")
+    val t0 = words("base"); val groups = Map(1 -> words("g1"),
+      2 -> words("g2"), 3 -> words("g3"))
+    val rows = (0 until 40).flatMap { i =>
+      val b = i % 4
+      val text =
+        if (b == 0) t0
+        else if (i == 37) t0 // batch-1 dup of the base group
+        else if (i == 38) groups(1) // batch-2 dup of batch-1's group
+        else if (i == 39) groups(2) // batch-3 dup of batch-2's group
+        else groups(b)
+      Some((i.toLong, text))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("floodsrc")
+    rows.toDF("doc_id", "text").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = java.nio.file.Files.createTempDirectory("floodout")
+    Cli.run(spark,
+      List("stream-dedup-loop", dir.toString, s"$out/loop", "4"))
+
+    // 1) compaction engaged and restored the invariant: no bucket in
+    //    the live index exceeds the cap
+    val bandCounts = spark.read.parquet(s"$out/loop/_artifacts/bands")
+      .groupBy("key").count()
+    assert(bandCounts.filter(col("count") > 4).count() == 0)
+    assert(graft.pipeline.Dedup.indexOversizedBuckets(spark,
+      s"$out/loop/_artifacts", 4) == 0)
+
+    // 2) verdicts equal the UNCOMPACTED sequential replay: capping
+    //    keeps the min-id representative, and best-match ties go to
+    //    the smallest index id, so even the cross-batch dup resolves
+    //    to the same match_doc
+    val loopDocs = rows.toDF("doc_id", "text")
+    val replayArt = java.nio.file.Files
+      .createTempDirectory("floodrep").toString
+    graft.pipeline.Dedup.exportDedupIndex(
+      loopDocs.filter(col("doc_id") % 4 === 0), "doc_id", "text",
+      k = 3, numHashes = 12, bands = 6, replayArt, bucketCap = 4)
+    val replay = (1 to 3).map { bk =>
+      val b = loopDocs.filter(col("doc_id") % 4 === bk)
+      val v = graft.pipeline.Dedup.ingestDedupCheck(spark, replayArt,
+        b, "doc_id", "text", k = 3, numHashes = 12, bands = 6,
+        minAgree = 8).localCheckpoint(true)
+      graft.pipeline.Dedup.appendDedupIndex(spark, replayArt,
+        b.join(v.filter(col("is_dup") === 0), Seq("doc_id"),
+          "left_semi"), "doc_id", "text", k = 3, numHashes = 12,
+        bands = 6)
+      v
+    }.reduce(_ unionByName _)
+    val got = spark.read.parquet(s"$out/loop")
+    assert(got.exceptAll(replay).count() == 0 &&
+      replay.exceptAll(got).count() == 0 && got.count() == 30)
+    // the dups were caught: one per batch from 2 on, plus batch 1's
+    assert(got.filter(col("is_dup") === 1).count() == 3)
+
+    // 3) the flood WOULD have overflowed: the uncompacted replay's
+    //    index holds a bucket past the cap (what the loop prevented)
+    assert(spark.read.parquet(s"$replayArt/bands")
+      .groupBy("key").count().filter(col("count") > 4).count() > 0)
+  }
 }

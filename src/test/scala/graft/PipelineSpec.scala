@@ -1989,6 +1989,91 @@ class PipelineSpec extends SparkSpec {
       java.nio.file.Paths.get(root, "live__prev")))
   }
 
+  test("artifact heal restores a half-swapped live directory") {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val root = java.nio.file.Files.createTempDirectory("heal").toString
+    // crash BETWEEN the two renames: live retired to __prev, nothing
+    // published — only the backup exists
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(root, "live__prev"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(root, "live__prev", "marker.txt"), "old")
+    graft.core.Artifacts.heal(fs, s"$root/live")
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(root, "live", "marker.txt")) == "old")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(root, "live__prev")))
+    // healthy directory: heal is a no-op
+    graft.core.Artifacts.heal(fs, s"$root/live")
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(root, "live", "marker.txt")) == "old")
+  }
+
+  test("append refuses a flat codes/ layout instead of corrupting it") {
+    val root = java.nio.file.Files.createTempDirectory("flatidx")
+      .toString
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    Similarity.exportServingIndex(emb, "vec_id", "embedding",
+      coarseFilter = col("vec_id") % 25 === 0,
+      pqFilter = col("vec_id") < 32, m = 4, dim = 64, root)
+    // simulate a legacy import: flatten codes/ (no cent_id= dirs)
+    val flat = spark.read.parquet(s"$root/codes")
+    val tmp = java.nio.file.Files.createTempDirectory("flatcodes")
+      .toString
+    flat.coalesce(1).write.mode("overwrite").parquet(tmp)
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(s"$root/codes"))
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$root/codes"))
+    val part = new java.io.File(tmp).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.move(part.toPath,
+      java.nio.file.Paths.get(s"$root/codes", part.getName))
+    val delta = emb.filter(col("vec_id") < 8)
+      .withColumn("vec_id", col("vec_id") + 100000L)
+    val e = intercept[IllegalArgumentException] {
+      Similarity.appendServingIndex(spark, root, delta, "vec_id",
+        "embedding", m = 4, dim = 64)
+    }
+    assert(e.getMessage.contains("flat codes/ layout"))
+  }
+
+  test("reconstruction error reads stored codes against true vectors") {
+    // dim=4, m=2, two codebook entries per subspace at (1,1)/(10,10)
+    // (off the origin — the coarse assign is cosine-based): vectors
+    // 0/1 sit exactly on entries (error 0); vector 2 codes to entry 0
+    // in both subspaces with d² = (1²+1²) + (2²+2²) = 10. Mean over
+    // the mass floors: (0+0+10)//3 = 3.
+    val emb = Seq(
+      (0L, Array(1f, 1f, 1f, 1f)),
+      (1L, Array(10f, 10f, 10f, 10f)),
+      (2L, Array(2f, 2f, 3f, 3f))).toDF("vec_id", "embedding")
+    val root = java.nio.file.Files.createTempDirectory("reconerr")
+      .toString
+    Similarity.exportServingIndex(emb, "vec_id", "embedding",
+      coarseFilter = col("vec_id") < 1, pqFilter = col("vec_id") < 2,
+      m = 2, dim = 4, root)
+    val all = Similarity.reconstructionError(spark, root, emb,
+      "vec_id", "embedding", m = 2, dim = 4).collect().head
+    assert(all.getAs[Long]("n_vecs") == 3 &&
+      all.getAs[Long]("recon_err") == 3)
+    val one = Similarity.reconstructionError(spark, root,
+      emb.filter(col("vec_id") === 2), "vec_id", "embedding",
+      m = 2, dim = 4).collect().head
+    assert(one.getAs[Long]("n_vecs") == 1 &&
+      one.getAs[Long]("recon_err") == 10)
+    // append-invariance: absorbing a delta must not move the stored
+    // codes of the base mass — the property the p189 card leans on
+    Similarity.appendServingIndex(spark, root,
+      emb.select((col("vec_id") + 100L).as("vec_id"),
+        col("embedding")), "vec_id", "embedding", m = 2, dim = 4)
+    val after = Similarity.reconstructionError(spark, root, emb,
+      "vec_id", "embedding", m = 2, dim = 4).collect().head
+    assert(after.getAs[Long]("recon_err") == 3)
+  }
+
   test("trained-index store trains once per key across fresh reads") {
     // TWO INDEPENDENT reads of the same table must share one artifact:
     // the key is the canonicalized plan + resolved input files, not the
