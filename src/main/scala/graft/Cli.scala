@@ -1287,11 +1287,26 @@ object Cli {
     case "stream-ann-loop" :: dir :: out :: Nil =>
       val corpus = Tables.read(spark, dir, "embeddings")
       val artifacts = s"$out/_artifacts"
-      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(artifacts)))
-        pipeline.Similarity.exportServingIndex(
-          corpus.filter(col("vec_id") % 4 === 0), "vec_id", "embedding",
-          coarseFilter = col("vec_id") % 25 === 0,
+      def exportOver(mass: org.apache.spark.sql.DataFrame): Unit =
+        pipeline.Similarity.exportServingIndex(mass, "vec_id",
+          "embedding", coarseFilter = col("vec_id") % 25 === 0,
           pqFilter = col("vec_id") < 32, m = 4, dim = 64, artifacts)
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(artifacts)))
+        exportOver(corpus.filter(col("vec_id") % 4 === 0))
+      // Export-time baseline for the drift watch below: the base
+      // mass's reconstruction error under the quantizer that was
+      // trained ON it. Codebook rows themselves reconstruct exactly
+      // and would deflate the baseline (arriving same-distribution
+      // batches would then look drifted), so the baseline holds out
+      // the pq-entry ids when any non-entry base rows exist. One
+      // driver long, computed once per loop run.
+      def reconOf(mass: org.apache.spark.sql.DataFrame): Long =
+        pipeline.Similarity.reconstructionError(spark, artifacts,
+            mass, "vec_id", "embedding", m = 4, dim = 64)
+          .collect().head.getAs[Long]("recon_err")
+      val baseMass = corpus.filter(col("vec_id") % 4 === 0)
+      val heldOut = baseMass.filter(col("vec_id") >= 32)
+      val errBase = reconOf(if (heldOut.isEmpty) baseMass else heldOut)
       val stage = java.nio.file.Paths.get(out, "_ingest")
       if (!java.nio.file.Files.exists(stage))
         stageBatches(corpus.select(col("vec_id"), col("embedding")),
@@ -1310,6 +1325,27 @@ object Cli {
               .write.mode("append").parquet(out)
             pipeline.Similarity.appendServingIndex(spark, artifacts,
               batch, "vec_id", "embedding", m = 4, dim = 64)
+            // Drift-triggered RE-TRAINING (the p189 criterion closing
+            // the loop the way the dedup loop's auto-compaction does):
+            // the batch's stored codes measured against its true
+            // vectors; past 4x the export-time base error the frozen
+            // quantizer no longer describes what's arriving, so
+            // re-export over EVERYTHING absorbed so far (the absorbed
+            // ids' raw vectors re-read from the corpus — a production
+            // loop re-reads its store the same way) with a freshly
+            // trained quantizer. Inside the commit marker: a replayed
+            // batch skips the whole body. Served answers already
+            // written are untouched; later batches code against the
+            // new quantizer.
+            if (reconOf(batch) > 4L * math.max(errBase, 1L)) {
+              val absorbed = pipeline.Similarity
+                .readCodes(spark, artifacts)
+                .select(col("vec_id")).distinct()
+              exportOver(corpus.join(absorbed, Seq("vec_id"),
+                "left_semi"))
+              java.nio.file.Files.createFile(java.nio.file.Paths.get(
+                out, f"_retrained_b$bid%05d"))
+            }
           }
         }
         .option("checkpointLocation", s"$out/_checkpoint")

@@ -551,8 +551,12 @@ object Similarity {
     org.apache.spark.sql.types.StructField("cent_id",
       org.apache.spark.sql.types.LongType)))
 
-  private def readCodes(spark: org.apache.spark.sql.SparkSession,
-      path: String) =
+  /** The `codes/` relation with its schema pinned (partition column
+    * included) — also the absorbed-id census a self-maintaining loop
+    * reads to re-train over everything an index has admitted.
+    */
+  def readCodes(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
     spark.read.schema(codesSchema).parquet(s"$path/codes")
 
   /** Read an [[exportServingIndex]] directory back and certify it:

@@ -731,6 +731,60 @@ class CliSpec extends SparkSpec {
     assert(merged2.except(scratch2).isEmpty && scratch2.except(merged2).isEmpty)
   }
 
+  test("stream-ann-loop re-trains when an absorbed batch drifts") {
+    import spark.implicits._
+    // base (%4==0) and batches 1-2 are ONE point of the distribution
+    // (identical vectors — they reconstruct exactly, error 0, so the
+    // frozen quantizer is provably adequate for them); batch 3
+    // arrives shifted +5000 per component, so its stored codes'
+    // reconstruction error explodes past the 4x threshold and the
+    // loop re-trains.
+    def vec(shift: Int) = Array.tabulate(64)(d =>
+      (100 + d + shift).toFloat)
+    val rows = (0 until 40).map { i =>
+      (i.toLong, vec(if (i % 4 == 3) 5000 else 0))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("driftsrc")
+    rows.toDF("vec_id", "embedding").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = java.nio.file.Files.createTempDirectory("driftout")
+    Cli.run(spark, List("stream-ann-loop", dir.toString, s"$out/loop"))
+
+    // 1) re-training fired at the drifted batch and ONLY there
+    //    (file-source batch ids are 0-based arrival order)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(
+      s"$out/loop", "_retrained_b00002")))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(
+      s"$out/loop", "_retrained_b00000")) &&
+      !java.nio.file.Files.exists(java.nio.file.Paths.get(
+        s"$out/loop", "_retrained_b00001")))
+
+    // 2) the re-trained index IS a fresh export over everything
+    //    absorbed: certify rows match a from-scratch export bit for bit
+    val art = s"$out/loop/_artifacts"
+    val freshDir = java.nio.file.Files
+      .createTempDirectory("driftfresh").toString
+    val all = rows.toDF("vec_id", "embedding")
+    graft.pipeline.Similarity.exportServingIndex(all, "vec_id",
+      "embedding", coarseFilter = col("vec_id") % 25 === 0,
+      pqFilter = col("vec_id") < 32, m = 4, dim = 64, freshDir)
+    val gotCert = graft.pipeline.Similarity
+      .certifyServingIndex(spark, art).collect().toSet
+    val expCert = graft.pipeline.Similarity
+      .certifyServingIndex(spark, freshDir).collect().toSet
+    assert(gotCert == expCert)
+
+    // 3) the re-trained quantizer describes BOTH masses: the drifted
+    //    mass's error is within the re-train threshold of the base's
+    val errB = graft.pipeline.Similarity.reconstructionError(spark,
+      art, all.filter(col("vec_id") % 4 =!= 3), "vec_id", "embedding",
+      m = 4, dim = 64).collect().head.getAs[Long]("recon_err")
+    val errD = graft.pipeline.Similarity.reconstructionError(spark,
+      art, all.filter(col("vec_id") % 4 === 3), "vec_id", "embedding",
+      m = 4, dim = 64).collect().head.getAs[Long]("recon_err")
+    assert(errD <= 4L * math.max(errB, 1L))
+  }
+
   test("stream-dedup-loop self-compacts under a boilerplate flood") {
     import spark.implicits._
     // A deterministic flood: each micro-batch carries 9 IDENTICAL
