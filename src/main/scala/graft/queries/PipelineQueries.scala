@@ -3195,7 +3195,9 @@ object PipelineQueries {
     * truth is one broadcast-join scan per mass; nothing all-pairs.
     */
   def p189QuantizerDrift(s: SparkSession, dir: String): DataFrame = {
-    val base = clusteredEmbeddings(s, dir)
+    // the closed-form fixtures are ~130 md5 calls per row and feed
+    // every export/append/measurement below — materialize each once
+    val base = clusteredEmbeddings(s, dir).localCheckpoint(true)
     val tmp = scratchDir(s, dir, "quantizer_drift")
     // 32 codebook entries — one per base cluster — so the trained
     // quantizer is TIGHT on its training distribution (base recon
@@ -3205,8 +3207,8 @@ object PipelineQueries {
     Similarity.exportServingIndex(base, "vec_id", "embedding",
       coarseFilter = col("vec_id") < 32, pqFilter = col("vec_id") < 32,
       m = 4, dim = 64, tmp)
-    val d1 = driftedEmbeddings(s, dir, 1)
-    val d2 = driftedEmbeddings(s, dir, 2)
+    val d1 = driftedEmbeddings(s, dir, 1).localCheckpoint(true)
+    val d2 = driftedEmbeddings(s, dir, 2).localCheckpoint(true)
     def measure(stage: String, mass: String, union: DataFrame,
         massDf: DataFrame, queries: DataFrame): DataFrame = {
       val served = Similarity.ivfPqTopKFromArtifacts(s, tmp, queries,
