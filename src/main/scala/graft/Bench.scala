@@ -40,6 +40,14 @@ object Bench {
     // in. The driver's per-round artifact stays single-run; medians
     // land in the committed BENCH_local_r*_medians.json.
     val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "1").toInt
+    // SPARK_GRAFT_COLDSTORES=1: drop the trained-artifact stores
+    // (TokenizerStore / TrainedIndexStore) before every run, so
+    // repeat medians measure COLD training cost instead of the
+    // memoized within-session reuse (p118's 100-round WordPiece train
+    // reads ~0.1s warm vs ~20s cold). Default off — within-session
+    // reuse IS the production economics; use this mode when the
+    // number being chased is training itself.
+    val coldStores = sys.env.get("SPARK_GRAFT_COLDSTORES").contains("1")
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
       s(s.size / 2) // odd N -> true median; even N -> upper median
@@ -48,6 +56,10 @@ object Bench {
       .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
     val results = selected.map { case (name, fn) =>
       val runs = (1 to repeat).flatMap { _ =>
+        if (coldStores) {
+          graft.pipeline.TokenizerStore.clear()
+          graft.pipeline.TrainedIndexStore.clear()
+        }
         val t0 = System.nanoTime()
         val r = try {
           val df = fn(spark, sfDir)

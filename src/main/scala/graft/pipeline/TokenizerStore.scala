@@ -50,4 +50,11 @@ object TokenizerStore {
     cache.computeIfAbsent(
       key("wordpiece", docs, corpusKey, textCol, nMerges),
       _ => Bpe.trainWordPieceWithVocab(docs, textCol, nMerges))
+
+  /** Drop every trained artifact — benchmarking only (Bench's
+    * cold-store mode re-measures the training cost per run; a
+    * production session never calls this). Checkpoint blocks are
+    * reclaimed by the session's ContextCleaner once unreferenced.
+    */
+  def clear(): Unit = cache.clear()
 }

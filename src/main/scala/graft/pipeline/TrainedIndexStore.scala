@@ -95,4 +95,10 @@ object TrainedIndexStore {
   private[graft] def kmeansMeansRows(corpus: DataFrame, idCol: String,
       vecCol: String, centroidFilter: Column, iters: Int): Array[Row] =
     kmeansMeans(corpus, idCol, vecCol, centroidFilter, iters).collect()
+
+  /** Drop every trained artifact — benchmarking only (Bench's
+    * cold-store mode re-measures the training cost per run; a
+    * production session never calls this).
+    */
+  def clear(): Unit = cache.clear()
 }
