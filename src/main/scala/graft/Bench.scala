@@ -59,6 +59,7 @@ object Bench {
         if (coldStores) {
           graft.pipeline.TokenizerStore.clear()
           graft.pipeline.TrainedIndexStore.clear()
+          graft.pipeline.DedupStore.clear()
         }
         val t0 = System.nanoTime()
         val r = try {

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Tables
 import graft.operators.{ConnectedComponents, Sessionize}
-import graft.pipeline.{Bpe, Curation, Dedup, Ingest, Multimodal, Retrieval, Similarity, TextFunctions => TF}
+import graft.pipeline.{Bpe, Curation, Dedup, DedupStore, Ingest, Multimodal, Retrieval, Similarity, TextFunctions => TF}
 
 /** Beyond-reference data-pipeline queries (dedup, similarity search,
   * text analysis, multimodal, event sessionization) over the driver's
@@ -719,7 +719,7 @@ object PipelineQueries {
     * qualifying pair at this SF.
     */
   def p04NgramJaccard(s: SparkSession, dir: String): DataFrame =
-    Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+    DedupStore.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
       k = 4, threshold = 0.4, maxShingleFreqFrac = Some(0.1))
 
   // ------------------------------------------------------------ similarity
@@ -1048,10 +1048,8 @@ object PipelineQueries {
     */
   def p69ClusterBest(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+    val comp = DedupStore.dedupDecisions(docs, "doc_id", "text",
       k = 4, threshold = 0.4, maxShingleFreqFrac = Some(0.1))
-    val comp = ConnectedComponents.components(
-      pairs.select(col("doc_a").as("u"), col("doc_b").as("v")))
     val w = Window.partitionBy("cluster_id")
       .orderBy(col("score_micro").desc, col("doc_id"))
     comp.select(col("node").as("doc_id"), col("component").as("cluster_id"))
@@ -1637,10 +1635,8 @@ object PipelineQueries {
     */
   def p37DupClusters(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
-      k = 4, threshold = 0.4, maxShingleFreqFrac = Some(0.1))
-    ConnectedComponents.dedupDecisions(
-      pairs.select(col("doc_a").as("u"), col("doc_b").as("v")))
+    DedupStore.dedupDecisions(docs, "doc_id", "text",
+        k = 4, threshold = 0.4, maxShingleFreqFrac = Some(0.1))
       .select(col("node").as("doc_id"), col("component").as("cluster_id"),
         col("keep"))
   }
@@ -2491,7 +2487,7 @@ object PipelineQueries {
     */
   def p138PagerankHubs(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", k = 4,
+    val pairs = DedupStore.ngramJaccardPairs(docs, "doc_id", "text", k = 4,
         threshold = 0.4, maxShingleFreqFrac = Some(0.1))
       .select(col("doc_a"), col("doc_b"))
     val edges = pairs
@@ -2529,7 +2525,7 @@ object PipelineQueries {
     */
   def p154KCore(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", k = 4,
+    val pairs = DedupStore.ngramJaccardPairs(docs, "doc_id", "text", k = 4,
         threshold = 0.4, maxShingleFreqFrac = Some(0.1))
       .select(col("doc_a"), col("doc_b"))
     Seq(2L, 3L).map { kk =>
@@ -2573,10 +2569,8 @@ object PipelineQueries {
   def p156DedupRetrievalImpact(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     val queries = Retrieval.plantedQueries(docs, "doc_id", "text")
-    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", k = 4,
-      threshold = 0.4, maxShingleFreqFrac = Some(0.1))
-    val dropped = graft.operators.ConnectedComponents.dedupDecisions(
-        pairs.select(col("doc_a").as("u"), col("doc_b").as("v")))
+    val dropped = DedupStore.dedupDecisions(docs, "doc_id", "text",
+        k = 4, threshold = 0.4, maxShingleFreqFrac = Some(0.1))
       .filter(col("keep") === 0).select(col("node").as("doc_id"))
     val deduped = docs.join(dropped, Seq("doc_id"), "left_anti")
     def card(tag: String, corpus: DataFrame) =
@@ -2632,17 +2626,14 @@ object PipelineQueries {
     */
   def p159SplitRepair(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", k = 4,
-        threshold = 0.4, maxShingleFreqFrac = Some(0.1))
-      .select(col("doc_a"), col("doc_b"))
     val split = docs.select(col("doc_id"),
       (TF.hash60(concat(lit("split"), col("doc_id").cast("string")))
         % 100).as("h"))
       .select(col("doc_id"),
         when(col("h") < 80, "train").when(col("h") < 90, "valid")
           .otherwise("test").as("split"))
-    val cc = graft.operators.ConnectedComponents.components(
-      pairs.select(col("doc_a").as("u"), col("doc_b").as("v")))
+    val cc = DedupStore.dedupDecisions(docs, "doc_id", "text",
+      k = 4, threshold = 0.4, maxShingleFreqFrac = Some(0.1))
     cc.join(split.select(col("doc_id").as("node"),
         col("split").as("from_split")), Seq("node"))
       .join(split.select(col("doc_id").as("component"),
@@ -3371,11 +3362,11 @@ object PipelineQueries {
           item.cast("string").as("item"),
           explode(map(metrics.flatMap(m =>
             Seq(lit(m), col(m).cast("long"))): _*)).as(Seq("metric", "value")))
-    val pairs0 = Dedup.ngramJaccardPairs(docs, "doc_id", "text", k = 4,
+    val pairs0 = DedupStore.ngramJaccardPairs(docs, "doc_id", "text", k = 4,
       threshold = 0.4, maxShingleFreqFrac = Some(0.1))
     val parts = graft.core.Caching.withCachedMulti(pairs0) {
-      val dec0 = ConnectedComponents.dedupDecisions(
-        pairs0.select(col("doc_a").as("u"), col("doc_b").as("v")))
+      val dec0 = DedupStore.dedupDecisions(docs, "doc_id", "text",
+        k = 4, threshold = 0.4, maxShingleFreqFrac = Some(0.1))
       graft.core.Caching.withCachedMulti(dec0) {
         val toks = docs.select(col("doc_id"),
           size(TF.tokens(col("text"))).cast("long").as("n_toks"))
@@ -3742,10 +3733,8 @@ object PipelineQueries {
     */
   def p151SourceDupRates(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", k = 4,
-      threshold = 0.4, maxShingleFreqFrac = Some(0.1))
-    val cc = graft.operators.ConnectedComponents.dedupDecisions(
-      pairs.select(col("doc_a").as("u"), col("doc_b").as("v")))
+    val cc = DedupStore.dedupDecisions(docs, "doc_id", "text",
+      k = 4, threshold = 0.4, maxShingleFreqFrac = Some(0.1))
     docs.select(col("doc_id"), col("source"),
         size(TF.tokens(col("text"))).cast("long").as("n_toks"))
       .join(cc.select(col("node").as("doc_id"), col("keep")),
@@ -3772,7 +3761,7 @@ object PipelineQueries {
     */
   def p152SplitLeakage(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", k = 4,
+    val pairs = DedupStore.ngramJaccardPairs(docs, "doc_id", "text", k = 4,
         threshold = 0.4, maxShingleFreqFrac = Some(0.1))
       .select(col("doc_a"), col("doc_b"))
     val split = docs.select(col("doc_id"),
@@ -3792,8 +3781,8 @@ object PipelineQueries {
       .agg(count(lit(1)).as("n"))
       .select(concat(col("s1"), lit("|"), col("s2")).as("bucket"),
         col("n"))
-    val cc = graft.operators.ConnectedComponents.components(
-      pairs.select(col("doc_a").as("u"), col("doc_b").as("v")))
+    val cc = DedupStore.dedupDecisions(docs, "doc_id", "text",
+      k = 4, threshold = 0.4, maxShingleFreqFrac = Some(0.1))
     val summary = cc.join(split.select(col("doc_id").as("node"),
         col("split")), Seq("node"))
       .groupBy("component")
@@ -3833,7 +3822,7 @@ object PipelineQueries {
     */
   def p149SurvivorPolicies(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", k = 4,
+    val pairs = DedupStore.ngramJaccardPairs(docs, "doc_id", "text", k = 4,
       threshold = 0.4, maxShingleFreqFrac = Some(0.1))
     Dedup.survivorPolicyCard(scoredDocs(docs), "doc_id", "n_toks",
       "score_micro", pairs)
@@ -3950,7 +3939,7 @@ object PipelineQueries {
         .select(col("doc_id"),
           coalesce(col("component"), col("doc_id")).as("cluster"))
     }
-    val pa = partition(Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+    val pa = partition(DedupStore.ngramJaccardPairs(docs, "doc_id", "text",
       k = 4, threshold = 0.4, maxShingleFreqFrac = Some(0.1)))
     val pb = partition(Dedup.simhashPairs(docs, "doc_id", "text",
       bits = 64, segments = 4, maxHamming = 2))
@@ -3970,7 +3959,7 @@ object PipelineQueries {
     */
   def p141Triangles(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", k = 4,
+    val pairs = DedupStore.ngramJaccardPairs(docs, "doc_id", "text", k = 4,
       threshold = 0.4, maxShingleFreqFrac = Some(0.1))
     graft.operators.Triangles.perNode(pairs, "doc_a", "doc_b")
       .select(col("node").as("doc_id"), col("degree"), col("tri_count"))
@@ -4144,7 +4133,7 @@ object PipelineQueries {
     */
   def p125DedupSweep(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", k = 4,
+    val pairs = DedupStore.ngramJaccardPairs(docs, "doc_id", "text", k = 4,
       threshold = 0.4, maxShingleFreqFrac = Some(0.1))
     val toks = docs.select(col("doc_id"),
       size(TF.tokens(col("text"))).cast("long").as("n_toks"))
@@ -4271,10 +4260,8 @@ object PipelineQueries {
     */
   def p107DedupImpact(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+    val dec = DedupStore.dedupDecisions(docs, "doc_id", "text",
       k = 4, threshold = 0.4, maxShingleFreqFrac = Some(0.1))
-    val dec = ConnectedComponents.dedupDecisions(
-      pairs.select(col("doc_a").as("u"), col("doc_b").as("v")))
     val toks = docs.select(col("doc_id"),
       size(TF.tokens(col("text"))).cast("long").as("n_toks"))
     val per = dec.join(toks, col("node") === col("doc_id"))

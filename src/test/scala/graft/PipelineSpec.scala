@@ -2074,6 +2074,37 @@ class PipelineSpec extends SparkSpec {
     assert(after.getAs[Long]("recon_err") == 3)
   }
 
+  test("dedup store detects once per key across fresh reads") {
+    // two INDEPENDENT reads of the same table share one pair frame
+    // and one decision frame (the key is the canonicalized plan +
+    // input files, not the DataFrame reference); a different corpus
+    // (another SF dir) never collides
+    val a = DedupStore.ngramJaccardPairs(
+      spark.read.parquet(s"$sf0001/documents.parquet"), "doc_id",
+      "text", k = 4, threshold = 0.4, maxShingleFreqFrac = Some(0.1))
+    val b = DedupStore.ngramJaccardPairs(
+      spark.read.parquet(s"$sf0001/documents.parquet"), "doc_id",
+      "text", k = 4, threshold = 0.4, maxShingleFreqFrac = Some(0.1))
+    assert(a eq b)
+    val c = DedupStore.ngramJaccardPairs(
+      spark.read.parquet(s"$sf001/documents.parquet"), "doc_id",
+      "text", k = 4, threshold = 0.4, maxShingleFreqFrac = Some(0.1))
+    assert(!(a eq c))
+    // the memoized frames carry the direct detector's exact values
+    val direct = Dedup.ngramJaccardPairs(
+      spark.read.parquet(s"$sf0001/documents.parquet"), "doc_id",
+      "text", k = 4, threshold = 0.4,
+      maxShingleFreqFrac = Some(0.1))
+    assert(a.exceptAll(direct).isEmpty && direct.exceptAll(a).isEmpty)
+    val dec = DedupStore.dedupDecisions(
+      spark.read.parquet(s"$sf0001/documents.parquet"), "doc_id",
+      "text", k = 4, threshold = 0.4, maxShingleFreqFrac = Some(0.1))
+    val decDirect = graft.operators.ConnectedComponents.dedupDecisions(
+      direct.select(col("doc_a").as("u"), col("doc_b").as("v")))
+    assert(dec.exceptAll(decDirect).isEmpty &&
+      decDirect.exceptAll(dec).isEmpty)
+  }
+
   test("trained-index store trains once per key across fresh reads") {
     // TWO INDEPENDENT reads of the same table must share one artifact:
     // the key is the canonicalized plan + resolved input files, not the
