@@ -64,18 +64,35 @@ object DedupStore {
     */
   def dedupDecisions(df: DataFrame, idCol: String, textCol: String,
       k: Int, threshold: Double,
-      maxShingleFreqFrac: Option[Double]): DataFrame =
+      maxShingleFreqFrac: Option[Double]): DataFrame = {
+    // resolve the pair entry BEFORE entering this key's compute —
+    // ConcurrentHashMap forbids a computeIfAbsent nested inside
+    // another on the same map ("Recursive update")
+    val pairs = ngramJaccardPairs(df, idCol, textCol, k, threshold,
+      maxShingleFreqFrac)
     cache.computeIfAbsent(
       key("dec", df, idCol, textCol,
         s"k=$k|t=$threshold|f=${maxShingleFreqFrac.getOrElse(-1.0)}"),
       _ => {
         import org.apache.spark.sql.functions.col
         graft.operators.ConnectedComponents.dedupDecisions(
-          ngramJaccardPairs(df, idCol, textCol, k, threshold,
-              maxShingleFreqFrac)
-            .select(col("doc_a").as("u"), col("doc_b").as("v")))
+            pairs.select(col("doc_a").as("u"), col("doc_b").as("v")))
           .localCheckpoint(true)
       })
+  }
+
+  /** [[Dedup.simhashPairs]] memoized per (session, corpus, columns,
+    * bits, segments, maxHamming) — the Hamming-banded detector is the
+    * same multi-exchange shape (banded self-join + verification) the
+    * Jaccard detector is, and p03/p142 consume the identical pair set.
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+      bits: Int, segments: Int, maxHamming: Int): DataFrame =
+    cache.computeIfAbsent(
+      key("sim", df, idCol, textCol,
+        s"b=$bits|s=$segments|h=$maxHamming"),
+      _ => Dedup.simhashPairs(df, idCol, textCol, bits, segments,
+        maxHamming).localCheckpoint(true))
 
   /** Drop every detection artifact — benchmarking only (Bench's
     * cold-store mode re-measures detection cost per run).

@@ -706,7 +706,7 @@ object PipelineQueries {
     * segment 3 still spans 4k effective values.
     */
   def p03Simhash(s: SparkSession, dir: String): DataFrame =
-    Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
+    DedupStore.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
       bits = 64, segments = 4, maxHamming = 2)
 
   /** 4-gram-Jaccard pairs via inverted shingle index, with BOTH scale
@@ -3941,7 +3941,7 @@ object PipelineQueries {
     }
     val pa = partition(DedupStore.ngramJaccardPairs(docs, "doc_id", "text",
       k = 4, threshold = 0.4, maxShingleFreqFrac = Some(0.1)))
-    val pb = partition(Dedup.simhashPairs(docs, "doc_id", "text",
+    val pb = partition(DedupStore.simhashPairs(docs, "doc_id", "text",
       bits = 64, segments = 4, maxHamming = 2))
     graft.operators.RandIndex.adjustedRand(pa, "doc_id", "cluster",
       pb, "doc_id", "cluster")

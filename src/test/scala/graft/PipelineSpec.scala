@@ -2103,6 +2103,19 @@ class PipelineSpec extends SparkSpec {
       direct.select(col("doc_a").as("u"), col("doc_b").as("v")))
     assert(dec.exceptAll(decDirect).isEmpty &&
       decDirect.exceptAll(dec).isEmpty)
+    // the simhash entry follows the same contract
+    val s1 = DedupStore.simhashPairs(
+      spark.read.parquet(s"$sf0001/documents.parquet"), "doc_id",
+      "text", bits = 64, segments = 4, maxHamming = 2)
+    val s2 = DedupStore.simhashPairs(
+      spark.read.parquet(s"$sf0001/documents.parquet"), "doc_id",
+      "text", bits = 64, segments = 4, maxHamming = 2)
+    assert(s1 eq s2)
+    val sDirect = Dedup.simhashPairs(
+      spark.read.parquet(s"$sf0001/documents.parquet"), "doc_id",
+      "text", bits = 64, segments = 4, maxHamming = 2)
+    assert(s1.exceptAll(sDirect).isEmpty &&
+      sDirect.exceptAll(s1).isEmpty)
   }
 
   test("trained-index store trains once per key across fresh reads") {
