@@ -33,6 +33,31 @@ object Tables {
         .load()
     else spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Write a named table into a schema namespace — the S2 sink's twin
+    * of [[read]] (the round-14 review's missing JDBC write-back leg):
+    * a parquet namespace lands as `<dir>/<name>.parquet`; a `jdbc:`
+    * namespace materializes INTO the database through `df.write.jdbc`
+    * — the reference CTAS-es transform results into PostgreSQL
+    * (`pedsnetdcc/transform_runner.py:88-95`), and `overwrite` mode
+    * here follows the same drop-and-recreate discipline its CTAS
+    * runs under.
+    *
+    * Scale note: a JDBC write opens one connection PER PARTITION and
+    * streams batched inserts — the right shape for dimension-sized
+    * results; a 100 TB fact write belongs in parquet (the database is
+    * the reference's serving layer, not its bulk store), so callers
+    * route big outputs to a parquet namespace and hand the database a
+    * view or the id-map-sized slice.
+    */
+  def write(df: DataFrame, dir: String, name: String,
+      mode: String = "overwrite"): Unit =
+    if (dir.startsWith("jdbc:"))
+      df.write.mode(mode).format("jdbc")
+        .option("url", dir)
+        .option("dbtable", name)
+        .save()
+    else df.write.mode(mode).parquet(s"$dir/$name.parquet")
+
   /** JDBC fact-table read with range partitioning: `numPartitions`
     * parallel scans, each pushing `partCol BETWEEN lo AND hi` to the
     * database — Spark's stride splitting over [lower, upper]. Bounds

@@ -60,6 +60,38 @@ class TablesJdbcSpec extends SparkSpec {
     assert(df.count() > 0)
   }
 
+  test("Tables.write round-trips through a jdbc: namespace") {
+    // the S2 sink's database leg: write into the database, read back
+    // through the same namespace string, bit-equal rows
+    val df = Tables.read(spark, sf0001, "nation")
+      .select(col("n_nationkey"), col("n_name"))
+    Tables.write(df, url, "nation_rt")
+    val back = Tables.read(spark, url, "nation_rt")
+      .select(col("n_nationkey").cast("long").as("n_nationkey"),
+        col("n_name"))
+    val src = df.select(col("n_nationkey").cast("long").as("n_nationkey"),
+      col("n_name"))
+    assert(back.exceptAll(src).count() == 0 &&
+      src.exceptAll(back).count() == 0 && back.count() == df.count())
+    // overwrite mode follows the CTAS drop-and-recreate discipline: a
+    // second write replaces, never duplicates
+    Tables.write(df.limit(5), url, "nation_rt")
+    assert(Tables.read(spark, url, "nation_rt").count() == 5)
+  }
+
+  test("transform CLI accepts a <jdbc-url>::<table> target") {
+    val out = java.nio.file.Files.createTempDirectory("jdbcsink").toString
+    Cli.run(spark, List("transform", sf0001, "siteA", "orders",
+      s"$url::orders_tr"))
+    Cli.run(spark, List("transform", sf0001, "siteA", "orders",
+      s"$out/orders_tr"))
+    val viaDb = Tables.read(spark, url, "orders_tr")
+    val viaParquet = spark.read.parquet(s"$out/orders_tr")
+    assert(viaDb.columns.map(_.toLowerCase).sorted.toSeq ==
+      viaParquet.columns.map(_.toLowerCase).sorted.toSeq)
+    assert(viaDb.count() == viaParquet.count() && viaDb.count() > 0)
+  }
+
   test("readJdbcPartitioned splits the scan into range tasks") {
     withTable("facts") {
       val df = Tables.readJdbcPartitioned(spark, url, "facts",
