@@ -245,8 +245,18 @@ object Cli {
     sys.exit(2)
   }
 
+  /** CTAS sink for CLI jobs. An `out` of `<jdbc-url>::<table>` (the
+    * `::` separator never appears in a JDBC URL's scheme/host/props)
+    * materializes into the database via [[Tables.write]] — the S2
+    * sink's database leg, matching the reference's transform-into-
+    * PostgreSQL CTAS; anything else is a parquet path as before.
+    */
   private def write(df: DataFrame, out: String): Unit =
-    df.write.mode("overwrite").parquet(out)
+    out.split("::", 2) match {
+      case Array(url, table) if url.startsWith("jdbc:") =>
+        Tables.write(df, url, table)
+      case _ => df.write.mode("overwrite").parquet(out)
+    }
 
   def main(args: Array[String]): Unit = {
     if (args.isEmpty) usage()
@@ -396,23 +406,78 @@ object Cli {
     }
   }
 
-  /** At-least-once guard for loop foreachBatch bodies that MUTATE
-    * index artifacts: Structured Streaming replays a batch whose
-    * checkpoint commit didn't land, and replaying a gate-then-append
-    * against an index that already absorbed the batch yields
-    * contradictory verdicts and double-appended rows. The marker file
-    * makes a fully-completed batch a no-op on replay; a crash INSIDE
-    * the body (between the writes and the marker) still replays —
-    * exactly-once would need a transactional sink, which a parquet
-    * demo loop honestly does not have.
+  /** Test-only failpoint for [[txnBatch]]'s crash-window specs: set
+    * to a window name (`"before_publish"` / `"after_publish"`) and
+    * the NEXT txnBatch reaching that point throws once — the injected
+    * crash the restart-replay test needs — then clears itself so the
+    * replay runs through. Production never sets it.
     */
-  private def onceBatch(out: String, batchId: Long)(work: => Unit): Unit = {
+  private[graft] val testFailpoint =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  private def failpoint(name: String): Unit =
+    if (testFailpoint.compareAndSet(name, null))
+      sys.error(s"injected failpoint: $name")
+
+  /** EXACTLY-ONCE guard for loop foreachBatch bodies that mutate
+    * index artifacts (the round-14 review's remaining crash window
+    * closed): Structured Streaming replays a batch whose checkpoint
+    * commit didn't land, and replaying a gate-then-append against an
+    * index that already absorbed the batch would yield contradictory
+    * verdicts and double-appended rows.
+    *
+    * The old marker-only scheme left a window INSIDE the body
+    * (verdicts written, append not yet) where a crash replayed the
+    * verdict write too. Now the body is a transaction:
+    *
+    *  1. `stage(tmp)` computes EVERYTHING the batch produces —
+    *     verdicts/answers and index-delta files — under a scratch dir
+    *     nothing reads;
+    *  2. one atomic rename publishes the scratch dir as the batch's
+    *     intent log `<out>/_txn_b<id>`;
+    *  3. `apply(txn)` rolls the staged files forward into their homes
+    *     — every step idempotent
+    *     ([[graft.core.Artifacts.publishTree]] moves with
+    *     deterministic names, compaction/re-train are
+    *     idempotent-by-construction);
+    *  4. the commit marker lands and the intent log is reclaimed.
+    *
+    * Crash before 2: nothing is visible (underscore dirs are invisible
+    * to readers); the replay re-stages from scratch. Crash after 2:
+    * the replay skips straight to roll-forward — the staged bytes,
+    * not a recomputation, are what lands, so the observable state is
+    * EXACTLY what a single clean execution would have produced.
+    * Crash after 4's marker: the replay is a no-op. The atomicity
+    * point is the single directory rename in 2, the same primitive
+    * `Artifacts.swapIn` builds on.
+    */
+  private def txnBatch(out: String, batchId: Long)(
+      stage: String => Unit)(apply: String => Unit): Unit = {
     val marker = java.nio.file.Paths.get(out,
       f"_batch_committed_$batchId%05d")
-    if (!java.nio.file.Files.exists(marker)) {
-      work
-      java.nio.file.Files.createFile(marker)
+    val txn = f"$out/_txn_b$batchId%05d"
+    val fs = new org.apache.hadoop.fs.Path(out).getFileSystem(
+      org.apache.spark.sql.SparkSession.active
+        .sparkContext.hadoopConfiguration)
+    val txnP = new org.apache.hadoop.fs.Path(txn)
+    if (java.nio.file.Files.exists(marker)) {
+      // fully committed; reclaim a leftover intent log from a crash
+      // between marker and cleanup
+      fs.delete(txnP, true)
+      return
     }
+    if (!fs.exists(txnP)) {
+      val tmpP = new org.apache.hadoop.fs.Path(s"$txn.tmp")
+      fs.delete(tmpP, true) // stale scratch from a pre-publish crash
+      stage(s"$txn.tmp")
+      failpoint("before_publish")
+      if (!fs.rename(tmpP, txnP))
+        sys.error(s"txnBatch: failed to publish $tmpP -> $txnP")
+    }
+    failpoint("after_publish")
+    apply(txn)
+    java.nio.file.Files.createFile(marker)
+    fs.delete(txnP, true)
   }
 
   private def stagedDocStream(spark: SparkSession, dir: String,
@@ -1287,10 +1352,17 @@ object Cli {
     case "stream-ann-loop" :: dir :: out :: Nil =>
       val corpus = Tables.read(spark, dir, "embeddings")
       val artifacts = s"$out/_artifacts"
-      def exportOver(mass: org.apache.spark.sql.DataFrame): Unit =
+      val artFs = new org.apache.hadoop.fs.Path(out).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      def exportOver(mass: org.apache.spark.sql.DataFrame,
+          path: String = artifacts): Unit =
         pipeline.Similarity.exportServingIndex(mass, "vec_id",
           "embedding", coarseFilter = col("vec_id") % 25 === 0,
-          pqFilter = col("vec_id") < 32, m = 4, dim = 64, artifacts)
+          pqFilter = col("vec_id") < 32, m = 4, dim = 64, path)
+      // a restart after a crash mid-retrain-swap finds artifacts
+      // retired to __prev — restore before the exists probe, or the
+      // loop would re-export the base corpus over a live index
+      graft.core.Artifacts.heal(artFs, artifacts)
       if (!java.nio.file.Files.exists(java.nio.file.Paths.get(artifacts)))
         exportOver(corpus.filter(col("vec_id") % 4 === 0))
       // Export-time baseline for the drift watch below: the base
@@ -1318,13 +1390,21 @@ object Cli {
         .option("maxFilesPerTrigger", 1).parquet(stage.toString)
         .writeStream
         .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
-          onceBatch(out, bid) {
+          txnBatch(out, bid) { tmp =>
+            // STAGE — the batch ANSWERED from the pre-batch artifacts
+            // and its coded delta, both under the scratch dir
             pipeline.Similarity.ivfPqTopKFromArtifacts(spark, artifacts,
                 batch, "vec_id", "embedding", m = 4, dim = 64, k = 5,
                 nprobe = 4)
-              .write.mode("append").parquet(out)
-            pipeline.Similarity.appendServingIndex(spark, artifacts,
-              batch, "vec_id", "embedding", m = 4, dim = 64)
+              .write.mode("overwrite").parquet(s"$tmp/served")
+            pipeline.Similarity.stageServingDelta(spark, artifacts,
+              batch, "vec_id", "embedding", m = 4, dim = 64, tmp)
+          } { txn =>
+            // APPLY — answers into the sink, codes into their cells
+            graft.core.Artifacts.publishTree(artFs, s"$txn/served",
+              out, f"b$bid%05d")
+            graft.core.Artifacts.publishTree(artFs, s"$txn/codes",
+              s"$artifacts/codes", f"b$bid%05d")
             // Drift-triggered RE-TRAINING (the p189 criterion closing
             // the loop the way the dedup loop's auto-compaction does):
             // the batch's stored codes measured against its true
@@ -1333,8 +1413,10 @@ object Cli {
             // re-export over EVERYTHING absorbed so far (the absorbed
             // ids' raw vectors re-read from the corpus — a production
             // loop re-reads its store the same way) with a freshly
-            // trained quantizer. Inside the commit marker: a replayed
-            // batch skips the whole body. Served answers already
+            // trained quantizer, exported to staging and swapped in
+            // atomically (a replayed apply finds small per-batch error
+            // under the new quantizer and does not re-train; a crash
+            // mid-swap heals at loop start). Served answers already
             // written are untouched; later batches code against the
             // new quantizer.
             if (reconOf(batch) > 4L * math.max(errBase, 1L)) {
@@ -1342,9 +1424,13 @@ object Cli {
                 .readCodes(spark, artifacts)
                 .select(col("vec_id")).distinct()
               exportOver(corpus.join(absorbed, Seq("vec_id"),
-                "left_semi"))
-              java.nio.file.Files.createFile(java.nio.file.Paths.get(
-                out, f"_retrained_b$bid%05d"))
+                "left_semi"), s"${artifacts}__staging")
+              graft.core.Artifacts.swapIn(artFs,
+                s"${artifacts}__staging", artifacts)
+              val rm = java.nio.file.Paths.get(
+                out, f"_retrained_b$bid%05d")
+              if (!java.nio.file.Files.exists(rm))
+                java.nio.file.Files.createFile(rm)
             }
           }
         }
@@ -1389,26 +1475,40 @@ object Cli {
         .option("maxFilesPerTrigger", 1).parquet(stage.toString)
         .writeStream
         .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
-          onceBatch(out, bid) {
-            val verdicts = pipeline.Dedup.ingestDedupCheck(spark,
-              artifacts, batch, "doc_id", "text", k = 3, numHashes = 12,
-              bands = 6, minAgree = 8)
-            verdicts.write.mode("append").parquet(out)
-            // admit the clean docs into the index BEFORE the next
-            // batch (verdicts were just materialized by the write,
-            // and this re-evaluation still reads the pre-append
-            // artifacts)
-            pipeline.Dedup.appendDedupIndex(spark, artifacts,
-              batch.join(verdicts.filter(col("is_dup") === 0),
+          txnBatch(out, bid) { tmp =>
+            // STAGE — everything computed against the PRE-batch
+            // artifacts, landing under the invisible scratch dir:
+            // the batch's verdicts, then the band/sig delta of its
+            // ADMITTED (non-dup) docs
+            pipeline.Dedup.ingestDedupCheck(spark,
+                artifacts, batch, "doc_id", "text", k = 3,
+                numHashes = 12, bands = 6, minAgree = 8)
+              .write.mode("overwrite").parquet(s"$tmp/verdicts")
+            pipeline.Dedup.stageDedupDelta(spark, artifacts,
+              batch.join(
+                spark.read.parquet(s"$tmp/verdicts")
+                  .filter(col("is_dup") === 0),
                 Seq("doc_id"), "left_semi"),
-              "doc_id", "text", k = 3, numHashes = 12, bands = 6)
+              "doc_id", "text", k = 3, numHashes = 12, bands = 6, tmp)
+          } { txn =>
+            // APPLY — idempotent roll-forward of the published intent
+            // log: verdicts into the sink, the admitted delta into
+            // the index, so batch N+1 is checked against the base
+            // corpus AND batches 1..N
+            val fs = new org.apache.hadoop.fs.Path(out).getFileSystem(
+              spark.sparkContext.hadoopConfiguration)
+            graft.core.Artifacts.publishTree(fs, s"$txn/verdicts",
+              out, f"b$bid%05d")
+            graft.core.Artifacts.publishTree(fs, s"$txn/bands",
+              s"$artifacts/bands", f"b$bid%05d")
+            graft.core.Artifacts.publishTree(fs, s"$txn/sigs",
+              s"$artifacts/sigs", f"b$bid%05d")
             // self-maintenance (the LSM discipline closed): the
             // uncapped append can grow a band bucket past the star
             // guard — a boilerplate flood being the canonical cause —
             // so audit the index and re-cap it before the next batch.
-            // Inside the commit marker: a replayed batch skips the
-            // whole body, and compaction is idempotent anyway (a
-            // re-capped bucket stays under the cap).
+            // Idempotent on replay (a re-capped bucket stays under
+            // the cap; the swap heals its own crash windows).
             if (pipeline.Dedup.indexOversizedBuckets(spark, artifacts,
                 cap) > 0)
               pipeline.Dedup.compactDedupIndex(spark, artifacts, cap)

@@ -46,6 +46,41 @@ object Artifacts {
       sys.error(s"Artifacts: failed to restore $prevP -> $live")
   }
 
+  /** Roll-forward half of a loop batch transaction: idempotently move
+    * every staged leaf file under `src` into `destRoot`, preserving
+    * relative subdirectories (parquet partition dirs like `cent_id=N`
+    * ride along) and prefixing each file name with `tag` so batches
+    * never collide. Callable any number of times — the staged tree is
+    * frozen by its atomic publish rename before this runs, so names
+    * are stable across retries: a file already moved no longer exists
+    * under `src`, a destination that already exists is skipped, and a
+    * crash mid-walk resumes with the remaining files. Underscore/dot
+    * entries (`_SUCCESS`, checksums) are dropped, matching what a
+    * parquet read would ignore anyway.
+    */
+  def publishTree(fs: FileSystem, src: String, destRoot: String,
+      tag: String): Unit = {
+    val srcP = new Path(src)
+    if (!fs.exists(srcP)) return
+    def walk(p: Path, rel: String): Unit =
+      fs.listStatus(p).foreach { st =>
+        val name = st.getPath.getName
+        if (!name.startsWith("_") && !name.startsWith(".")) {
+          if (st.isDirectory) walk(st.getPath, s"$rel$name/")
+          else {
+            val destDir =
+              if (rel.isEmpty) new Path(destRoot)
+              else new Path(destRoot, rel)
+            if (!fs.exists(destDir)) fs.mkdirs(destDir)
+            val dest = new Path(destDir, s"${tag}_$name")
+            if (!fs.exists(dest) && !fs.rename(st.getPath, dest))
+              sys.error(s"Artifacts: failed to publish ${st.getPath} -> $dest")
+          }
+        }
+      }
+    walk(srcP, "")
+  }
+
   def swapIn(fs: FileSystem, staging: String, live: String): Unit = {
     val stagingP = new Path(staging)
     val liveP = new Path(live)

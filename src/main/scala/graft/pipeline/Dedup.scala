@@ -333,7 +333,29 @@ object Dedup {
     */
   def appendDedupIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, delta: DataFrame, idCol: String, textCol: String,
-      k: Int, numHashes: Int, bands: Int): Unit = {
+      k: Int, numHashes: Int, bands: Int): Unit =
+    writeDedupDelta(spark, path, delta, idCol, textCol, k, numHashes,
+      bands, s"$path/bands", s"$path/sigs", "append")
+
+  /** [[appendDedupIndex]]'s STAGING twin for exactly-once loop
+    * bodies: the delta's band rows and signatures land under
+    * `staging/bands` + `staging/sigs` instead of inside the live
+    * index, so a loop can publish them together with the batch's
+    * verdicts in one atomic rename and roll the file moves forward
+    * idempotently ([[graft.core.Artifacts.publishTree]]). Byte-wise
+    * the rows are what the direct append would have written — same
+    * kernel, same params validation against the LIVE index.
+    */
+  def stageDedupDelta(spark: org.apache.spark.sql.SparkSession,
+      path: String, delta: DataFrame, idCol: String, textCol: String,
+      k: Int, numHashes: Int, bands: Int, staging: String): Unit =
+    writeDedupDelta(spark, path, delta, idCol, textCol, k, numHashes,
+      bands, s"$staging/bands", s"$staging/sigs", "overwrite")
+
+  private def writeDedupDelta(spark: org.apache.spark.sql.SparkSession,
+      path: String, delta: DataFrame, idCol: String, textCol: String,
+      k: Int, numHashes: Int, bands: Int, bandsOut: String,
+      sigsOut: String, mode: String): Unit = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     requireDedupParams(spark, path, k, numHashes, bands)
     val rows = numHashes / bands
@@ -344,8 +366,8 @@ object Dedup {
       docs.select(col("doc"),
           explode(bandKeyArray(col("sig"), bands, rows)).as("key"))
         .select(col("key"), col("doc"))
-        .write.mode("append").parquet(s"$path/bands")
-      docs.write.mode("append").parquet(s"$path/sigs")
+        .write.mode(mode).parquet(bandsOut)
+      docs.write.mode(mode).parquet(sigsOut)
     } finally docs.unpersist()
   }
 

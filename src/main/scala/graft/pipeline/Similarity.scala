@@ -391,7 +391,39 @@ object Similarity {
     */
   def appendServingIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, delta: DataFrame, idCol: String, vecCol: String,
-      m: Int, dim: Int): Unit = {
+      m: Int, dim: Int): Unit =
+    codedServingDelta(spark, path, delta, idCol, vecCol, m, dim)
+      // same cell layout as the export: delta files land INSIDE the
+      // existing cell directories (new files only — committed bytes
+      // still never rewritten), so the serving prune keeps working
+      // across appends; clustered like the export so a delta adds at
+      // most one file per touched cell
+      .repartition(col("cent_id"))
+      .write.mode("append").partitionBy("cent_id")
+      .parquet(s"$path/codes")
+
+  /** [[appendServingIndex]]'s STAGING twin for exactly-once loop
+    * bodies: the delta's coded rows land under `staging/codes`
+    * (same `cent_id=` partition layout) instead of inside the live
+    * index, so a loop can publish them together with the batch's
+    * served answers in one atomic rename and roll the per-cell file
+    * moves forward idempotently
+    * ([[graft.core.Artifacts.publishTree]] preserves the partition
+    * dirs). Byte-wise the rows are what the direct append would have
+    * written — coded against the same frozen artifacts.
+    */
+  def stageServingDelta(spark: org.apache.spark.sql.SparkSession,
+      path: String, delta: DataFrame, idCol: String, vecCol: String,
+      m: Int, dim: Int, staging: String): Unit =
+    codedServingDelta(spark, path, delta, idCol, vecCol, m, dim)
+      .repartition(col("cent_id"))
+      .write.mode("overwrite").partitionBy("cent_id")
+      .parquet(s"$staging/codes")
+
+  private def codedServingDelta(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      delta: DataFrame, idCol: String, vecCol: String, m: Int,
+      dim: Int): DataFrame = {
     require(dim % m == 0, "m must divide dim")
     requireIndexParams(spark, path, m, dim)
     // A pre-params import may carry a FLAT codes/ layout (no cent_id=
@@ -417,14 +449,6 @@ object Similarity {
         posexplode(codesExpr).as(Seq("subspace", "code")))
       .select(col("vec_id"), col("cent_id"),
         col("subspace").cast("integer").as("subspace"), col("code"))
-      // same cell layout as the export: delta files land INSIDE the
-      // existing cell directories (new files only — committed bytes
-      // still never rewritten), so the serving prune keeps working
-      // across appends; clustered like the export so a delta adds at
-      // most one file per touched cell
-      .repartition(col("cent_id"))
-      .write.mode("append").partitionBy("cent_id")
-      .parquet(s"$path/codes")
   }
 
   /** Probed-cell count above which [[ivfPqTopKFromArtifacts]] skips
