@@ -667,123 +667,123 @@ object Cli {
 
     // lexical retrieval + classifier-evaluation layer (round 10)
     case "search" :: dir :: out :: Nil =>
-      write(queries.PipelineQueries.p112Bm25(spark, dir), out)
+      write(queries.PipelineQueries2.p112Bm25(spark, dir), out)
     case "ql-search" :: dir :: out :: Nil =>
-      write(queries.PipelineQueries.p129Ql(spark, dir), out)
+      write(queries.PipelineQueries2.p129Ql(spark, dir), out)
     case "classifier-pr-auc" :: dir :: out :: Nil =>
-      write(queries.PipelineQueries.p155PrAuc(spark, dir), out)
+      write(queries.PipelineQueries2.p155PrAuc(spark, dir), out)
     case "operating-points" :: dir :: out :: Nil =>
-      write(queries.PipelineQueries.p157OperatingPoints(spark, dir), out)
+      write(queries.PipelineQueries2.p157OperatingPoints(spark, dir), out)
     case "repetition-signals" :: dir :: out :: Nil =>
-      write(queries.PipelineQueries.p158Repetition(spark, dir), out)
+      write(queries.PipelineQueries2.p158Repetition(spark, dir), out)
     case "split-repair" :: dir :: out :: Nil =>
-      write(queries.PipelineQueries.p159SplitRepair(spark, dir), out)
+      write(queries.PipelineQueries2.p159SplitRepair(spark, dir), out)
     case "classifier-auc" :: dir :: out :: Nil =>
-      write(queries.PipelineQueries.p113Auc(spark, dir), out)
+      write(queries.PipelineQueries2.p113Auc(spark, dir), out)
     case "ppl-buckets" :: dir :: out :: Nil =>
-      write(queries.PipelineQueries.p114PplBuckets(spark, dir), out)
+      write(queries.PipelineQueries2.p114PplBuckets(spark, dir), out)
     case "domain-cap" :: dir :: out :: Nil =>
-      write(queries.PipelineQueries.p115DomainCap(spark, dir), out)
+      write(queries.PipelineQueries2.p115DomainCap(spark, dir), out)
     case "collocations" :: dir :: out :: Nil =>
-      write(queries.PipelineQueries.p116Pmi(spark, dir), out)
+      write(queries.PipelineQueries2.p116Pmi(spark, dir), out)
     case "train-classifier" :: dir :: out :: Nil =>
-      write(queries.PipelineQueries.p117LrClassifier(spark, dir), out)
+      write(queries.PipelineQueries2.p117LrClassifier(spark, dir), out)
     case "wordpiece-train" :: dir :: out :: Nil =>
-      write(queries.PipelineQueries.p118Wordpiece(spark, dir), out)
+      write(queries.PipelineQueries2.p118Wordpiece(spark, dir), out)
     case "hybrid-search" :: dir :: out :: Nil =>
-      write(queries.PipelineQueries.p119HybridRrf(spark, dir), out)
+      write(queries.PipelineQueries2.p119HybridRrf(spark, dir), out)
     case "prf-search" :: dir :: out :: Nil =>
-      write(queries.PipelineQueries.p120Prf(spark, dir), out)
+      write(queries.PipelineQueries2.p120Prf(spark, dir), out)
     case "entropy" :: dir :: out :: Nil =>
-      write(queries.PipelineQueries.p121Entropy(spark, dir), out)
+      write(queries.PipelineQueries2.p121Entropy(spark, dir), out)
     case "residual-pq" :: dir :: out :: Nil =>
-      write(queries.PipelineQueries.p122ResidualPq(spark, dir), out)
+      write(queries.PipelineQueries2.p122ResidualPq(spark, dir), out)
     case "doc-features" :: dir :: out :: Nil =>
-      write(queries.PipelineQueries.p123DocFeatures(spark, dir), out)
+      write(queries.PipelineQueries2.p123DocFeatures(spark, dir), out)
     case "calibration" :: dir :: out :: Nil =>
-      write(queries.PipelineQueries.p124Calibration(spark, dir), out)
+      write(queries.PipelineQueries2.p124Calibration(spark, dir), out)
     case "dedup-sweep" :: dir :: out :: Nil =>
-      write(queries.PipelineQueries.p125DedupSweep(spark, dir), out)
+      write(queries.PipelineQueries2.p125DedupSweep(spark, dir), out)
     case "domain-drift" :: dir :: out :: Nil =>
-      write(queries.PipelineQueries.p126DomainDrift(spark, dir), out)
+      write(queries.PipelineQueries2.p126DomainDrift(spark, dir), out)
     case "countmin" :: dir :: out :: Nil =>
-      write(queries.PipelineQueries.p127CountMin(spark, dir), out)
+      write(queries.PipelineQueries2.p127CountMin(spark, dir), out)
     case "hll" :: dir :: out :: Nil =>
-      write(queries.PipelineQueries.p128Hll(spark, dir), out)
+      write(queries.PipelineQueries2.p128Hll(spark, dir), out)
 
     // retrieval quality + phrase/fielded queries (round 11)
     case "retrieval-scorecard" :: dir :: out :: Nil =>
-      write(queries.PipelineQueries.p130RetrievalScorecard(spark, dir), out)
+      write(queries.PipelineQueries2.p130RetrievalScorecard(spark, dir), out)
     case "phrase-search" :: dir :: out :: Nil =>
-      write(queries.PipelineQueries.p131PhraseRerank(spark, dir), out)
+      write(queries.PipelineQueries2.p131PhraseRerank(spark, dir), out)
     case "bm25f-search" :: dir :: out :: Nil =>
-      write(queries.PipelineQueries.p132Bm25f(spark, dir), out)
+      write(queries.PipelineQueries2.p132Bm25f(spark, dir), out)
     case "snippets" :: dir :: out :: Nil =>
-      write(queries.PipelineQueries.p133Snippets(spark, dir), out)
+      write(queries.PipelineQueries2.p133Snippets(spark, dir), out)
     case "proximity-search" :: dir :: out :: Nil =>
-      write(queries.PipelineQueries.p134Proximity(spark, dir), out)
+      write(queries.PipelineQueries2.p134Proximity(spark, dir), out)
     case "spell-suggest" :: dir :: out :: Nil =>
-      write(queries.PipelineQueries.p135SpellSuggest(spark, dir), out)
+      write(queries.PipelineQueries2.p135SpellSuggest(spark, dir), out)
     case "ranking-significance" :: dir :: out :: Nil =>
-      write(queries.PipelineQueries.p136Significance(spark, dir), out)
+      write(queries.PipelineQueries2.p136Significance(spark, dir), out)
     case "wordpiece-encode" :: dir :: out :: Nil =>
-      write(queries.PipelineQueries.p137WordpieceEncode(spark, dir), out)
+      write(queries.PipelineQueries2.p137WordpieceEncode(spark, dir), out)
     case "dedup-hubs" :: dir :: out :: Nil =>
-      write(queries.PipelineQueries.p138PagerankHubs(spark, dir), out)
+      write(queries.PipelineQueries2.p138PagerankHubs(spark, dir), out)
     case "classifier-agreement" :: dir :: out :: Nil =>
-      write(queries.PipelineQueries.p139ClassifierAgreement(spark, dir), out)
+      write(queries.PipelineQueries2.p139ClassifierAgreement(spark, dir), out)
     case "cluster-quality" :: dir :: out :: Nil =>
-      write(queries.PipelineQueries.p140ClusterQuality(spark, dir), out)
+      write(queries.PipelineQueries2.p140ClusterQuality(spark, dir), out)
     case "dedup-triangles" :: dir :: out :: Nil =>
-      write(queries.PipelineQueries.p141Triangles(spark, dir), out)
+      write(queries.PipelineQueries2.p141Triangles(spark, dir), out)
     case "dedup-kcore" :: dir :: out :: Nil =>
-      write(queries.PipelineQueries.p154KCore(spark, dir), out)
+      write(queries.PipelineQueries2.p154KCore(spark, dir), out)
     case "dedup-retrieval-impact" :: dir :: out :: Nil =>
-      write(queries.PipelineQueries.p156DedupRetrievalImpact(spark, dir), out)
+      write(queries.PipelineQueries2.p156DedupRetrievalImpact(spark, dir), out)
     case "detector-agreement" :: dir :: out :: Nil =>
-      write(queries.PipelineQueries.p142DetectorAgreement(spark, dir), out)
+      write(queries.PipelineQueries2.p142DetectorAgreement(spark, dir), out)
     case "chi-square" :: dir :: out :: Nil =>
-      write(queries.PipelineQueries.p143ChiSquare(spark, dir), out)
+      write(queries.PipelineQueries2.p143ChiSquare(spark, dir), out)
     case "pmi-expansion" :: dir :: out :: Nil =>
-      write(queries.PipelineQueries.p144PmiExpansion(spark, dir), out)
+      write(queries.PipelineQueries2.p144PmiExpansion(spark, dir), out)
     case "packing-efficiency" :: dir :: out :: Nil =>
-      write(queries.PipelineQueries.p145PackingEfficiency(spark, dir), out)
+      write(queries.PipelineQueries2.p145PackingEfficiency(spark, dir), out)
     case "bootstrap-ci" :: dir :: out :: Nil =>
-      write(queries.PipelineQueries.p146BootstrapCi(spark, dir), out)
+      write(queries.PipelineQueries2.p146BootstrapCi(spark, dir), out)
     case "vocab-growth" :: dir :: out :: Nil =>
-      write(queries.PipelineQueries.p147VocabGrowth(spark, dir), out)
+      write(queries.PipelineQueries2.p147VocabGrowth(spark, dir), out)
     case "hdr-quantiles" :: dir :: out :: Nil =>
-      write(queries.PipelineQueries.p148HdrQuantiles(spark, dir), out)
+      write(queries.PipelineQueries2.p148HdrQuantiles(spark, dir), out)
     case "survivor-policies" :: dir :: out :: Nil =>
-      write(queries.PipelineQueries.p149SurvivorPolicies(spark, dir), out)
+      write(queries.PipelineQueries2.p149SurvivorPolicies(spark, dir), out)
     case "rate-spikes" :: dir :: out :: Nil =>
-      write(queries.PipelineQueries.p150RateSpikes(spark, dir), out)
+      write(queries.PipelineQueries2.p150RateSpikes(spark, dir), out)
     case "source-dup-rates" :: dir :: out :: Nil =>
-      write(queries.PipelineQueries.p151SourceDupRates(spark, dir), out)
+      write(queries.PipelineQueries2.p151SourceDupRates(spark, dir), out)
     case "split-leakage" :: dir :: out :: Nil =>
-      write(queries.PipelineQueries.p152SplitLeakage(spark, dir), out)
+      write(queries.PipelineQueries2.p152SplitLeakage(spark, dir), out)
     case "epoch-schedule" :: dir :: out :: Nil =>
-      write(queries.PipelineQueries.p153EpochSchedule(spark, dir), out)
+      write(queries.PipelineQueries2.p153EpochSchedule(spark, dir), out)
     case "global-shard-manifest" :: dir :: out :: Nil =>
-      write(queries.PipelineQueries.p160ShardManifest(spark, dir), out)
+      write(queries.PipelineQueries2.p160ShardManifest(spark, dir), out)
     case "bm25-hard-negatives" :: dir :: out :: Nil =>
-      write(queries.PipelineQueries.p161HardNegatives(spark, dir), out)
+      write(queries.PipelineQueries2.p161HardNegatives(spark, dir), out)
     case "distinct-n" :: dir :: out :: Nil =>
-      write(queries.PipelineQueries.p162DistinctN(spark, dir), out)
+      write(queries.PipelineQueries2.p162DistinctN(spark, dir), out)
     case "mix-interleave" :: dir :: out :: Nil =>
-      write(queries.PipelineQueries.p163MixInterleave(spark, dir), out)
+      write(queries.PipelineQueries2.p163MixInterleave(spark, dir), out)
     case "crop-pairs" :: dir :: out :: Nil =>
-      write(queries.PipelineQueries.p164CropPairs(spark, dir), out)
+      write(queries.PipelineQueries2.p164CropPairs(spark, dir), out)
     case "epoch-decorrelation" :: dir :: out :: Nil =>
-      write(queries.PipelineQueries.p166EpochDecorrelation(spark, dir), out)
+      write(queries.PipelineQueries2.p166EpochDecorrelation(spark, dir), out)
     case "shard-mix" :: dir :: out :: Nil =>
-      write(queries.PipelineQueries.p165ShardMix(spark, dir), out)
+      write(queries.PipelineQueries2.p165ShardMix(spark, dir), out)
     case "k-anonymity" :: dir :: out :: Nil =>
-      write(queries.PipelineQueries.p168KAnonymity(spark, dir), out)
+      write(queries.PipelineQueries2.p168KAnonymity(spark, dir), out)
     case "knn-probe" :: dir :: out :: Nil =>
-      write(queries.PipelineQueries.p169KnnProbe(spark, dir), out)
+      write(queries.PipelineQueries2.p169KnnProbe(spark, dir), out)
     case "quantization-probe" :: dir :: out :: Nil =>
-      write(queries.PipelineQueries.p170QuantizationProbe(spark, dir), out)
+      write(queries.PipelineQueries2.p170QuantizationProbe(spark, dir), out)
     // corpus release: write ordered JSONL shard files in p160 manifest
     // order and print the read-back certification card
     case "export-shards" :: dir :: shardDir :: out :: Nil =>
@@ -799,17 +799,17 @@ object Cli {
         pqFilter = col("vec_id") < 8, m = 4, dim = 64, indexDir)
       write(pipeline.Similarity.certifyServingIndex(spark, indexDir), out)
     case "passage-retrieval" :: dir :: out :: Nil =>
-      write(queries.PipelineQueries.p177PassageRetrieval(spark, dir), out)
+      write(queries.PipelineQueries2.p177PassageRetrieval(spark, dir), out)
     case "chunk-docs" :: dir :: out :: Nil =>
-      write(queries.PipelineQueries.p176DocChunks(spark, dir), out)
+      write(queries.PipelineQueries2.p176DocChunks(spark, dir), out)
     case "release-diff" :: dir :: out :: Nil =>
-      write(queries.PipelineQueries.p175ReleaseDiff(spark, dir), out)
+      write(queries.PipelineQueries2.p175ReleaseDiff(spark, dir), out)
     case "append-shards" :: dir :: out :: Nil =>
-      write(queries.PipelineQueries.p174ShardAppend(spark, dir), out)
+      write(queries.PipelineQueries2.p174ShardAppend(spark, dir), out)
     case "manifest-append" :: dir :: out :: Nil =>
-      write(queries.PipelineQueries.p172ManifestAppend(spark, dir), out)
+      write(queries.PipelineQueries2.p172ManifestAppend(spark, dir), out)
     case "ltr-rerank" :: dir :: out :: Nil =>
-      write(queries.PipelineQueries.p173LtrRerank(spark, dir), out)
+      write(queries.PipelineQueries2.p173LtrRerank(spark, dir), out)
     // corpus interchange: parquet -> JSONL export (optionally gzip)
     case "export-jsonl" :: dir :: out :: rest if rest.lengthIs <= 1 =>
       pipeline.Jsonl.write(

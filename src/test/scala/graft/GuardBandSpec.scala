@@ -126,7 +126,7 @@ class GuardBandSpec extends SparkSpec {
     // floor inputs the document-corpus audit never saw — audit BOTH
     // the chunk index and the padded whole-document index p177 ranks
     val base = Tables.read(spark, sf001, "documents")
-    val docs = graft.queries.PipelineQueries.longDocFixture(base)
+    val docs = graft.queries.PipelineQueries2.longDocFixture(base)
     // p177's own 8-token planted queries (see its scaladoc)
     val queries = Retrieval.plantedSample(base, "doc_id")
       .select(col("doc_id").as("query_id"),

@@ -1664,7 +1664,7 @@ class PipelineSpec extends SparkSpec {
     val cc = graft.operators.ConnectedComponents.components(
       pairs.select(col("doc_a").as("u"), col("doc_b").as("v")))
     // the migration matrix accounts for every clustered doc exactly once
-    val out = graft.queries.PipelineQueries.p159SplitRepair(spark, sf0001)
+    val out = graft.queries.PipelineQueries2.p159SplitRepair(spark, sf0001)
     assert(out.agg(sum(col("n_docs"))).as[Long].head() == cc.count())
     // post-repair split of a doc = split of its cluster head: both
     // endpoints of EVERY near-dup pair must now agree

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.ExplainMode
 
-import graft.queries.{ParityQueries, PipelineQueries}
+import graft.queries.{ParityQueries, PipelineQueries, PipelineQueries2}
 
 /** Physical-plan assertions: the scale properties (filter pushdown,
   * column pruning, broadcast selection, no stray shuffles) must not
@@ -123,8 +123,8 @@ class PlansSpec extends SparkSpec {
     // window then runs over <=topK survivors (its parent position in
     // the formatted tree — parents print before children — proves it
     // consumes the limit, not the vocabulary).
-    for (df <- Seq(PipelineQueries.p109ZipfFit(spark, sf0001),
-        PipelineQueries.p143ChiSquare(spark, sf0001))) {
+    for (df <- Seq(PipelineQueries2.p109ZipfFit(spark, sf0001),
+        PipelineQueries2.p143ChiSquare(spark, sf0001))) {
       val p = plan(df)
       val take = p.indexOf("TakeOrderedAndProject")
       assert(take >= 0, p)
@@ -143,8 +143,8 @@ class PlansSpec extends SparkSpec {
     // `query_id != cand_id` condition is its signature; the remaining
     // BNLJ blocks are the single-row stride and ~32-row centroid
     // broadcasts, which carry no cand_id).
-    for (df <- Seq(PipelineQueries.p169KnnProbe(spark, sf0001),
-        PipelineQueries.p170QuantizationProbe(spark, sf0001))) {
+    for (df <- Seq(PipelineQueries2.p169KnnProbe(spark, sf0001),
+        PipelineQueries2.p170QuantizationProbe(spark, sf0001))) {
       val p = plan(df)
       assert(p.contains("SortMergeJoin"), p)
       val bnlj = p.split("""\(\d+\) """)
@@ -418,7 +418,7 @@ class PlansSpec extends SparkSpec {
   }
 
   test("decontamination broadcasts the benchmark posting list (p25)") {
-    val p = plan(PipelineQueries.p25Decontaminate(spark, sf0001))
+    val p = plan(PipelineQueries2.p25Decontaminate(spark, sf0001))
     // the corpus side must stream: hashed-shingle equi-join against a
     // broadcast eval set, no corpus shuffle before the pair count
     assert(p.contains("BroadcastHashJoin"), p)
@@ -556,7 +556,7 @@ class PlansSpec extends SparkSpec {
         !b.contains("__q_stride"))
 
   test("phrase rerank adds only candidate-pruned joins over bm25 (p131)") {
-    val p = plan(PipelineQueries.p131PhraseRerank(spark, sf0001))
+    val p = plan(PipelineQueries2.p131PhraseRerank(spark, sf0001))
     // the gram side is semi-join-pruned to candidate docs and the
     // phrase key matches via broadcast — no all-pairs anywhere
     assert(p.contains("BroadcastHashJoin"), p)
@@ -564,7 +564,7 @@ class PlansSpec extends SparkSpec {
   }
 
   test("proximity pair scan stays inside candidate groups (p134)") {
-    val p = plan(PipelineQueries.p134Proximity(spark, sf0001))
+    val p = plan(PipelineQueries2.p134Proximity(spark, sf0001))
     // the match self-join keys on (query_id, doc_id) — an equi-join,
     // never a cross product; candidate prunes broadcast
     assert(p.contains("BroadcastHashJoin"), p)
@@ -572,7 +572,7 @@ class PlansSpec extends SparkSpec {
   }
 
   test("spell suggestion joins the bigram index, never all-pairs (p135)") {
-    val p = plan(PipelineQueries.p135SpellSuggest(spark, sf0001))
+    val p = plan(PipelineQueries2.p135SpellSuggest(spark, sf0001))
     // probe×vocab contact happens only through the 2-char bigram key
     assert(!p.contains("CartesianProduct"), p)
     assert("""\(\d+\) BroadcastNestedLoopJoin""".r.findAllIn(p).size == 0, p)
@@ -601,13 +601,13 @@ class PlansSpec extends SparkSpec {
   }
 
   test("domain drift: corpus-wide counts broadcast onto one source-token shuffle (p126)") {
-    val p = plan(PipelineQueries.p126DomainDrift(spark, sf0001))
+    val p = plan(PipelineQueries2.p126DomainDrift(spark, sf0001))
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
   }
 
   test("HLL registers: sketch state is a grouped max, no corpus-wide sort (p128)") {
-    val p = plan(PipelineQueries.p128Hll(spark, sf0001))
+    val p = plan(PipelineQueries2.p128Hll(spark, sf0001))
     // the estimate path is register-table-sized aggregations; the only
     // heavy structure is the (src, register) max groupBy
     assert(!p.contains("CartesianProduct"), p)
@@ -633,7 +633,7 @@ class PlansSpec extends SparkSpec {
   }
 
   test("cluster-quality card broadcasts centroids and prunes map-side (p140)") {
-    val p = plan(PipelineQueries.p140ClusterQuality(spark, sf0001))
+    val p = plan(PipelineQueries2.p140ClusterQuality(spark, sf0001))
     // trained centroids ride a broadcast crossJoin; distances stay in
     // the codegen kernel; the ranking shuffle is preceded by the
     // partial top-k mapPartitions so only 2 rows per vector move
@@ -644,7 +644,7 @@ class PlansSpec extends SparkSpec {
   }
 
   test("chi-square features: one token shuffle, totals broadcast (p143)") {
-    val p = plan(PipelineQueries.p143ChiSquare(spark, sf0001))
+    val p = plan(PipelineQueries2.p143ChiSquare(spark, sf0001))
     // the single-row totals frame must broadcast onto the vocab-sized
     // cell table — a sort-merge join here would shuffle the corpus
     assert(p.contains("BroadcastNestedLoopJoin"), p)
@@ -653,7 +653,7 @@ class PlansSpec extends SparkSpec {
   }
 
   test("vocab growth: two count shuffles, no sort-merge join, no cartesian (p147)") {
-    val p = plan(PipelineQueries.p147VocabGrowth(spark, sf0001))
+    val p = plan(PipelineQueries2.p147VocabGrowth(spark, sf0001))
     assert(!p.contains("SortMergeJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
     // hash-nested checkpoints: NO global sort/window over the corpus
@@ -661,19 +661,19 @@ class PlansSpec extends SparkSpec {
   }
 
   test("hdr quantile sketch: bucket window is sketch-sized, no cartesian (p148)") {
-    val p = plan(PipelineQueries.p148HdrQuantiles(spark, sf0001))
+    val p = plan(PipelineQueries2.p148HdrQuantiles(spark, sf0001))
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("SortMergeJoin"), p)
   }
 
   test("crop pairs are a zero-exchange per-row projection (p164)") {
-    val p = plan(PipelineQueries.p164CropPairs(spark, sf0001))
+    val p = plan(PipelineQueries2.p164CropPairs(spark, sf0001))
     val exchanges = """Exchange \(\d""".r.findAllIn(p).size
     assert(exchanges == 0, s"expected 0 exchanges, got $exchanges\n$p")
   }
 
   test("mixture interleave: offset frames broadcast, text never shuffles (p163)") {
-    val p = plan(PipelineQueries.p163MixInterleave(spark, sf0001))
+    val p = plan(PipelineQueries2.p163MixInterleave(spark, sf0001))
     // the bucket-offset and weight frames come back as broadcasts
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
@@ -690,7 +690,7 @@ class PlansSpec extends SparkSpec {
     // at 100 TB — its join carries an explicit merge hint so the
     // chunk_idx join is a shuffle join at ANY size estimate, while
     // the domain-sized weight frames keep their broadcasts
-    val p = plan(PipelineQueries.p165ShardMix(spark, sf0001))
+    val p = plan(PipelineQueries2.p165ShardMix(spark, sf0001))
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
       s"shard-totals join must be a shuffle join on chunk_idx\n$p")
     assert("""Left keys \[1\]: \[chunk_idx""".r.findAllIn(p).nonEmpty, p)

@@ -47,7 +47,7 @@ class RetrievalSpec extends SparkSpec {
   }
 
   test("bm25 on the corpus: ranks contiguous, scores non-increasing, ties on id") {
-    val out = graft.queries.PipelineQueries.p112Bm25(spark, sf0001)
+    val out = graft.queries.PipelineQueries2.p112Bm25(spark, sf0001)
       .collect().groupBy(_.getLong(0))
     assert(out.nonEmpty)
     for ((_, rows) <- out) {
@@ -247,7 +247,7 @@ class RetrievalSpec extends SparkSpec {
   }
 
   test("nb classifier AP beats prevalence on the corpus (the p155 certificate)") {
-    val row = graft.queries.PipelineQueries.p155PrAuc(spark, sf0001)
+    val row = graft.queries.PipelineQueries2.p155PrAuc(spark, sf0001)
       .as[(Long, Long, Long, Long)].collect().head
     assert(row._1 > 0 && row._2 > 0)
     assert(row._3 > row._4,
@@ -256,7 +256,7 @@ class RetrievalSpec extends SparkSpec {
   }
 
   test("nb classifier AUC on the corpus is strong (the p113 certificate)") {
-    val row = graft.queries.PipelineQueries.p113Auc(spark, sf0001)
+    val row = graft.queries.PipelineQueries2.p113Auc(spark, sf0001)
       .as[(Long, Long, Long, Long)].collect().head
     assert(row._1 > 0 && row._2 > 0)
     assert(row._4 > 900000L, s"NB training AUC collapsed: ${row._4}")
@@ -326,7 +326,7 @@ class RetrievalSpec extends SparkSpec {
   }
 
   test("stream feature projection matches the p123 feature-store columns") {
-    val batch = graft.queries.PipelineQueries.p123DocFeatures(spark, sf0001)
+    val batch = graft.queries.PipelineQueries2.p123DocFeatures(spark, sf0001)
       .select("doc_id", "n_toks", "score_micro", "lang_pred",
         "dup_3gram_frac", "chars_entropy_micro", "toks_entropy_micro")
       .orderBy("doc_id")
@@ -352,7 +352,7 @@ class RetrievalSpec extends SparkSpec {
   }
 
   test("residual coding beats raw-vector IVF-PQ on hierarchical structure (p122)") {
-    val recall = graft.queries.PipelineQueries.p122ResidualPq(spark, sf0001)
+    val recall = graft.queries.PipelineQueries2.p122ResidualPq(spark, sf0001)
       .as[(String, Long, Long, Long)].collect()
       .map { case (m, _, _, r) => m -> r }.toMap
     assert(recall("ivfpq_residual_hier") > recall("ivfpq_raw_hier") + 100000L,
@@ -366,7 +366,7 @@ class RetrievalSpec extends SparkSpec {
   // -------------------------------------------- LR quality classifier
 
   test("LR classifier beats the base rate against its own labels (p117)") {
-    val out = graft.queries.PipelineQueries.p117LrClassifier(spark, sf0001)
+    val out = graft.queries.PipelineQueries2.p117LrClassifier(spark, sf0001)
       .select("cls", "pred").as[(Long, Long)].collect()
     val acc = out.count { case (c, p) => c == p }.toDouble / out.length
     val base = math.max(out.count(_._1 == 1L), out.count(_._1 == 0L))
@@ -376,7 +376,7 @@ class RetrievalSpec extends SparkSpec {
   }
 
   test("count-min never underestimates; collisions only inflate (p127)") {
-    val rows = graft.queries.PipelineQueries.p127CountMin(spark, sf0001)
+    val rows = graft.queries.PipelineQueries2.p127CountMin(spark, sf0001)
       .select("exact", "est").as[(Long, Long)].collect()
     assert(rows.nonEmpty)
     assert(rows.forall { case (exact, est) => est >= exact },
@@ -384,7 +384,7 @@ class RetrievalSpec extends SparkSpec {
   }
 
   test("HLL estimate lands within the sketch's error regime (p128)") {
-    val rows = graft.queries.PipelineQueries.p128Hll(spark, sf0001)
+    val rows = graft.queries.PipelineQueries2.p128Hll(spark, sf0001)
       .select("exact_distinct", "est").as[(Long, Long)].collect()
     assert(rows.nonEmpty)
     // 64 registers -> ~13% std error; allow 4 sigma per source
@@ -588,7 +588,7 @@ class RetrievalSpec extends SparkSpec {
   }
 
   test("LTR head: trained re-ranker beats base BM25 on the planted card (p173)") {
-    val card = graft.queries.PipelineQueries.p173LtrRerank(spark, sf0001)
+    val card = graft.queries.PipelineQueries2.p173LtrRerank(spark, sf0001)
       .collect().map(r => r.getString(0) ->
         (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
     val (bq, bh, bmrr, bndcg) = card("bm25")
