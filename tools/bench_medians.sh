@@ -23,9 +23,11 @@ run_bench() { # $1 = artifact path, then extra env VAR=VAL args
   local out=$1; shift
   # keep only the FIRST "metric" line (the full per-query JSON; the
   # second is the tail summary for truncated collectors)
+  # sbt prefixes forked stdout with "[info] " when writing to a pipe —
+  # strip it or the artifact isn't valid JSON
   env SPARK_GRAFT_SF_DIR="$SF" SPARK_GRAFT_REPEAT="$REPEAT" "$@" \
     sbt -batch "runMain graft.Bench" \
-    | grep '"metric"' | head -1 > "$out"
+    | sed 's/^\[info\] //' | grep '^{.*"metric"' | head -1 > "$out"
   python3 - "$out" <<'PY'
 import json, sys
 p = sys.argv[1]
