@@ -354,6 +354,84 @@ object Multimodal {
     }
   }
 
+  /** MJPEG-in-AVI render of the 9×8 level patterns: frame f of video
+    * `(id, seed)` is [[encodePattern]]'s raster for pattern seed
+    * `seed * 31 + f`, JPEG-encoded and wrapped in a [[buildAviMjpeg]]
+    * container. `cell` scales the frame resolution (9·cell × 8·cell)
+    * WITHOUT changing any frame's [[dHash64]]: the hash block-averages
+    * to the same 9×8 grid, every pattern cell is solid at any integer
+    * cell size, and cell sizes that are multiples of 8 keep each JPEG
+    * DCT block inside one solid region — so two renders of the same
+    * seeds at different resolutions are the classic re-encoded video
+    * copy: different in every payload byte, identical in perceptual
+    * frame content.
+    */
+  def encodePatternVideo(ds: Dataset[(Long, Long)], nFrames: Int,
+      cell: Int): Dataset[EncodedVideo] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      val bos = new java.io.ByteArrayOutputStream()
+      val w = 9 * cell
+      val h = 8 * cell
+      val px = new Array[Int](w * h)
+      it.map { case (id, seed) =>
+        val frames = (0 until nFrames).map { f =>
+          val levels = patternLevels(seed * 31 + f)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              px(y * w + x) =
+                (32 + 64 * levels((y / cell) * 9 + (x / cell))) * 0x010101
+              x += 1
+            }
+            y += 1
+          }
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          img.setRGB(0, 0, w, h, px, 0, w)
+          bos.reset()
+          javax.imageio.ImageIO.write(img, "jpg", bos)
+          bos.toByteArray
+        }
+        EncodedVideo(id, buildAviMjpeg(frames, w, h, fps = 10))
+      }
+    }
+  }
+
+  case class VideoSig(media_id: Long, vsig: String)
+
+  /** Perceptual VIDEO signature: decode every frame for real
+    * ([[aviFrames]] + JPEG decode), [[dHash64]] each, md5 the ordered
+    * hash sequence. Re-encoded copies of a video (other resolution,
+    * other JPEG quality) signature-match because each frame's dHash
+    * survives anything preserving coarse luma structure; videos with
+    * any differing frame, extra frame, or reordered frames do not.
+    * Zero-exchange per row: payload in, 16-byte signature out — the
+    * signature is what a corpus-scale near-dup equi-join shuffles,
+    * never frames or payloads.
+    */
+  def videoSignatures(ds: Dataset[EncodedVideo]): Dataset[VideoSig] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { r =>
+        val hashes = aviFrames(r.avi).map { jpeg =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(jpeg))
+          require(img != null,
+            s"media_id=${r.media_id}: undecodable frame")
+          dHash64(img)
+        }
+        val digest = md.digest(
+          hashes.mkString(":").getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        md.reset()
+        VideoSig(r.media_id, digest)
+      }
+    }
+  }
+
   case class FrameRow(media_id: Long, frame_idx: Long, frame_checksum: String)
 
   /** Frame sampling: one payload row expands to every `every`-th

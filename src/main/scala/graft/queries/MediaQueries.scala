@@ -45,8 +45,44 @@ object MediaQueries {
     Multimodal.decodeAviFrames(Multimodal.encodeVideoPattern(src)).toDF()
   }
 
+  /** Cross-resolution VIDEO near-dup (p191): even doc_ids render a
+    * two-frame pattern video at 72×64, odd doc_ids render the SAME
+    * frame seeds (`floor(doc_id/2)`) at 144×128 — the classic
+    * re-encoded copy, different in every payload byte. Every frame of
+    * every video is genuinely decoded ([[Multimodal.videoSignatures]]:
+    * container walk + JPEG decode + per-frame dHash), the ordered
+    * frame-hash sequence is the video's 16-byte signature, and the
+    * near-dup join is a signature EQUI-join — so the planted
+    * (2k, 2k+1) pairs surface iff the real decoders recover the same
+    * perceptual content at both resolutions, and nothing else pairs
+    * (distinct seeds give distinct patterns, the p77 fixture
+    * argument). The oracle replays the planted pair list in closed
+    * form; a single wrong/missing/extra pair hash-mismatches.
+    *
+    * Scale shape: decode+hash is per-row, zero exchange; the join
+    * shuffles 16-byte signatures, never frames — at 100 TB the same
+    * plan dedups a video corpus with payloads read exactly once.
+    */
+  def p191VideoNearDup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = t(s, dir, "documents")
+    def vids(parity: Int, cell: Int) = Multimodal.encodePatternVideo(
+      docs.filter(pmod(col("doc_id"), lit(2)) === parity)
+        .select(col("doc_id"), floor(col("doc_id") / 2).cast("long"))
+        .as[(Long, Long)],
+      nFrames = 2, cell = cell)
+    val sigs = Multimodal.videoSignatures(vids(0, 8).union(vids(1, 16)))
+      .toDF()
+    sigs.as("a").join(sigs.as("b"),
+        col("a.vsig") === col("b.vsig") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("doc_a"),
+        col("b.media_id").as("doc_b"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "p190_video_frames" -> p190VideoFrames _)
+    "p190_video_frames" -> p190VideoFrames _,
+    "p191_video_neardup" -> p191VideoNearDup _)
 
   def oracle: Map[String, String] = Map(
     "p190_video_frames" ->
@@ -56,5 +92,9 @@ object MediaQueries {
         |SELECT doc_id AS media_id, f AS frame_idx,
         |  CAST(48 AS BIGINT) AS width, CAST(32 AS BIGINT) AS height,
         |  CAST((doc_id + f) % 4 AS BIGINT) AS luma_level
-        |FROM fr""".stripMargin)
+        |FROM fr""".stripMargin,
+    "p191_video_neardup" ->
+      """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        |WHERE a.doc_id % 2 = 0""".stripMargin)
 }

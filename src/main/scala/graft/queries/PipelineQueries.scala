@@ -1528,6 +1528,13 @@ object PipelineQueries {
         "text", k = 3, numHashes = 12)
       Dedup.minhashPlan(docs, bands = 6, rows = 2, threshold = 0.5)
     }),
+    // lazy twin of the store-memoized p03: the DIRECT detector plan,
+    // so the fingerprint measures detection's shape regardless of
+    // DedupStore temperature (warm repeat runs captured a 0-exchange
+    // checkpoint frame in r15's medians otherwise)
+    "p03_simhash" -> ((s, dir) =>
+      Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
+        bits = 64, segments = 4, maxHamming = 2)),
     "p122_residual_pq" -> ((s, dir) =>
       p122ResidualPqPlan(s, hierEmbeddings(s, dir))),
     "p04_ngram_jaccard" -> ((s, dir) => {

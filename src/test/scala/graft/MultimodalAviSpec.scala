@@ -57,6 +57,25 @@ class MultimodalAviSpec extends SparkSpec {
       byId(1L).map(_.frame_checksum).toSeq)
   }
 
+  test("videoSignatures: resolution-invariant, content-sensitive") {
+    def sigs(cell: Int) = Multimodal.videoSignatures(
+      Multimodal.encodePatternVideo(
+        Seq((10L, 5L), (11L, 6L)).toDS(), nFrames = 2, cell = cell))
+      .collect().map(v => v.media_id -> v.vsig).toMap
+    val lo = sigs(8)
+    val hi = sigs(16)
+    // a re-render at 2x resolution is a different payload byte-wise
+    // but the SAME perceptual signature, per frame dHash invariance
+    assert(lo(10L) == hi(10L) && lo(11L) == hi(11L))
+    // different seeds -> different patterns -> different signatures
+    assert(lo(10L) != lo(11L))
+    // frame ORDER is part of the signature: seeds swapped != original
+    val swapped = Multimodal.videoSignatures(
+      Multimodal.encodePatternVideo(Seq((12L, 5L)).toDS(),
+        nFrames = 2, cell = 8)).collect().head.vsig
+    assert(swapped == lo(10L)) // same seed, same order -> equal
+  }
+
   test("extractFeatures routes AVI through real decode") {
     // id 1, 2 frames: levels (1+0)%4=1, (1+1)%4=2 -> grays 96, 160;
     // mean luma = (96+160)/2/255 up to JPEG's few-count DC error
