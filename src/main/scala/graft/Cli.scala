@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.{GraftSession, Tables}
 import graft.operators._
-import graft.pipeline.{Curation, Dedup, Multimodal, Similarity, TextFunctions}
+import graft.pipeline.{Curation, Dedup, Multimodal, Similarity, TextFunctions, Web}
 import graft.transforms._
 
 /** Thin command surface mirroring the reference CLI
@@ -36,6 +36,11 @@ object Cli {
         |  dedup-exact <dir> <outDir>                    exact document dedup
         |  dedup-keep-longest <dir> <outDir>             exact dedup, longest-raw-text survivor policy
         |  dedup-minhash <dir> <outDir>                  MinHash+LSH near-dup pairs
+        |  web-records <dir> <outDir>                    WARC record census over the capture fixture
+        |  web-extract <dir> <outDir>                    HTML main-text extraction from WARC captures
+        |  web-admission <dir> <outDir>                  crawl front end: WARC -> HTTP -> HTML -> verdict
+        |  web-ingest <capturesDir> <outDir>             admission verdicts over a real captures parquet
+        |                                                (doc_id, warc) — the production crawl path
         |  ann <dir> <outDir>                            cosine top-k for the query batch
         |  text-stats <dir> <outDir>                     lang-id + quality + token counts
         |  media-meta <dir> <outDir>                     multimodal payload metadata
@@ -86,6 +91,8 @@ object Cli {
         |                                                doc per CCNet-normalized fingerprint admitted)
         |  stream-quality <dir> <outDir>                 Gopher quality gates applied at stream ingest
         |  stream-c4 <dir> <outDir>                      C4 page gates applied at stream ingest
+        |  stream-web <dir> <outDir>                     crawl admission straight off arriving WARC bytes
+        |                                                (walk + HTTP split + extract + verdict per batch)
         |  stream-funnel <dir> <outDir>                  three-gate quality funnel at stream ingest
         |  stream-perplexity <dir> <outDir>              unigram-LM scoring at stream ingest (snapshot-fit;
         |                                                Append mode emits CLOSED windows only — docs in the
@@ -662,6 +669,24 @@ object Cli {
     case "dedup-minhash" :: dir :: out :: Nil =>
       write(queries.PipelineQueries.p02MinhashLsh(spark, dir), out)
 
+    case "web-records" :: dir :: out :: Nil =>
+      write(queries.WebQueries.p192WarcRecords(spark, dir), out)
+
+    case "web-extract" :: dir :: out :: Nil =>
+      write(queries.WebQueries.p193HtmlExtract(spark, dir), out)
+
+    case "web-admission" :: dir :: out :: Nil =>
+      write(queries.WebQueries.p194WebAdmission(spark, dir), out)
+
+    // the production crawl path: a captures parquet (doc_id, warc)
+    // from any fetcher, gated without any fixture assumptions
+    case "web-ingest" :: capDir :: out :: Nil =>
+      import spark.implicits._
+      val caps = spark.read.parquet(capDir)
+        .select(col("doc_id").cast("long"), col("warc"))
+        .as[Web.WebCapture]
+      write(Web.admissionVerdicts(Web.extractCaptures(caps).toDF()), out)
+
     case "ann" :: dir :: out :: Nil =>
       write(queries.PipelineQueries.p05CosineTopK(spark, dir), out)
 
@@ -1156,6 +1181,33 @@ object Cli {
         .start()
       q.awaitTermination()
       println(s"""{"stream_quality":"$out"}""")
+
+    case "stream-web" :: dir :: out :: Nil =>
+      // stage a captures parquet built once from the documents
+      // fixture, then gate each arriving capture off its WARC bytes
+      import spark.implicits._
+      val capDir = java.nio.file.Paths.get(out, "_ingest", "captures")
+      if (!java.nio.file.Files.exists(capDir)) {
+        java.nio.file.Files.createDirectories(capDir.getParent)
+        Web.encodeCaptures(Tables.read(spark, dir, "documents")
+            .select(col("doc_id"), col("text")).as[(Long, String)])
+          .toDF().write.parquet(capDir.toString)
+      }
+      val capSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("warc",
+          org.apache.spark.sql.types.BinaryType)))
+      val stream = spark.readStream.schema(capSchema)
+        .parquet(capDir.toString)
+      val q = streaming.StreamingJobs.webAdmissionGate(stream)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", s"$out/_checkpoint")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      println(s"""{"stream_web":"$out"}""")
 
     case "stream-scrub" :: dir :: out :: Nil =>
       runEventStream(spark, dir, out, streaming.StreamingJobs.scrub)

@@ -21,7 +21,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ParityQueries.queries ++ ParityQueries2.queries ++
       ParityQueries3.queries ++ ParityQueries4.queries ++
-      PipelineQueries.queries ++ MediaQueries.queries
+      PipelineQueries.queries ++ MediaQueries.queries ++ WebQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -29,7 +29,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     ParityQueries.oracle ++ ParityQueries2.oracle ++
       ParityQueries3.oracle ++ ParityQueries4.oracle ++
-      PipelineQueries.oracle ++ MediaQueries.oracle
+      PipelineQueries.oracle ++ MediaQueries.oracle ++ WebQueries.oracle
 
   /** Lazy pre-checkpoint plan builders for checkpoint-backed queries —
     * Bench fingerprints these instead of the opaque LogicalRDD the

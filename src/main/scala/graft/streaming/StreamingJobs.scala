@@ -102,6 +102,25 @@ object StreamingJobs {
   def qualityGate(docs: DataFrame): DataFrame =
     graft.pipeline.Curation.gopherGates(docs, "doc_id", "text")
 
+  /** Crawl-ingest gating straight off the WIRE bytes — the streaming
+    * twin of the web-admission composite (p194): each arriving WARC
+    * capture (`doc_id`, `warc` binary) is walked, HTTP-split,
+    * HTML-extracted, and scored inside its micro-batch, through the
+    * SAME per-row extraction ([[graft.pipeline.Web.extractCaptures]])
+    * and the SAME verdict projection
+    * ([[graft.pipeline.Web.admissionVerdicts]]) as the batch card, so
+    * stream and batch admission cannot drift. Stateless; payload
+    * bytes never outlive their micro-batch task.
+    */
+  def webAdmissionGate(captures: DataFrame): DataFrame = {
+    val s = captures.sparkSession
+    import s.implicits._
+    graft.pipeline.Web.admissionVerdicts(
+      graft.pipeline.Web.extractCaptures(
+        captures.select(col("doc_id").cast("long"), col("warc"))
+          .as[graft.pipeline.Web.WebCapture]).toDF())
+  }
+
   /** Ingest-time C4 page gating — the streaming twin of the C4
     * cleaner (p64). Shares the EXACT projection with the batch query
     * ([[graft.pipeline.Curation.c4PageGates]], published thresholds),

@@ -269,6 +269,26 @@ class CliSpec extends SparkSpec {
     assert(sfun.select("doc_id", "score_keep", "gopher_keep", "page_keep")
       .exceptAll(batchFlags).count() == 0)
 
+    // web family: the fixture-driven front end, the production path
+    // over a real captures parquet, and the streaming gate — all
+    // three must agree document-for-document
+    Cli.run(spark, List("web-admission", sf0001, s"$out/webadm"))
+    val webAdm = spark.read.parquet(s"$out/webadm")
+    assert(webAdm.count() == nDocsAll)
+    import spark.implicits._
+    graft.pipeline.Web.encodeCaptures(
+        spark.read.parquet(s"$sf0001/documents.parquet")
+          .select(col("doc_id"), col("text")).as[(Long, String)])
+      .toDF().write.mode("overwrite").parquet(s"$out/webcaps")
+    Cli.run(spark, List("web-ingest", s"$out/webcaps", s"$out/webing"))
+    assert(spark.read.parquet(s"$out/webing")
+      .exceptAll(webAdm).count() == 0)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$out/sweb"))
+    Cli.run(spark, List("stream-web", sf0001, s"$out/sweb"))
+    assert(spark.read.parquet(s"$out/sweb")
+      .exceptAll(webAdm).count() == 0)
+    assert(spark.read.parquet(s"$out/sweb").count() == nDocsAll)
+
     // stream-perplexity: a one-shot drain emits exactly the batch
     // scores for every CLOSED window (the final watermark equals the
     // max event time, so only the last minute's window stays open)
