@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.ExplainMode
 
-import graft.queries.{ParityQueries, PipelineQueries, PipelineQueries2}
+import graft.queries.{ParityQueries, PipelineQueries, PipelineQueries2, WebQueries}
 
 /** Physical-plan assertions: the scale properties (filter pushdown,
   * column pruning, broadcast selection, no stray shuffles) must not
@@ -695,5 +695,33 @@ class PlansSpec extends SparkSpec {
       s"shard-totals join must be a shuffle join on chunk_idx\n$p")
     assert("""Left keys \[1\]: \[chunk_idx""".r.findAllIn(p).nonEmpty, p)
     assert(p.contains("BroadcastHashJoin"), p) // hinted weights survive
+  }
+
+  test("web byte path is zero-exchange; payload bytes never shuffle (p192-p194, p197-p198)") {
+    // encode → walk → HTTP split → extract → score are per-row maps:
+    // one parquet scan, no Exchange, no Join — WARC payloads live and
+    // die inside their task at any corpus size
+    for (q <- Seq(WebQueries.p192WarcRecords _,
+        WebQueries.p193HtmlExtract _, WebQueries.p194WebAdmission _,
+        WebQueries.p197WetRoundtrip _, WebQueries.p198CharsetDecode _)) {
+      val p = plan(q(spark, sf0001))
+      assert(!p.contains("Exchange"), p)
+      assert(!p.contains("Join"), p)
+      assert("""\(\d+\) Scan parquet""".r.findAllIn(p).size == 1, p)
+    }
+  }
+
+  test("frontier dedup and fetch schedule shuffle keys only, once (p195, p196, p199)") {
+    // p195: canonicalize per-row, ONE hash-agg exchange on the
+    // canonical key; p196: per-row policy math, zero exchange; p199:
+    // one per-host window exchange — never a global single partition
+    val p195 = plan(WebQueries.p195UrlFrontier(spark, sf0001))
+    assert("""Arguments: hashpartitioning""".r.findAllIn(p195).size == 1,
+      p195)
+    val p196 = plan(WebQueries.p196RobotsGate(spark, sf0001))
+    assert(!p196.contains("Exchange"), p196)
+    val p199 = plan(WebQueries.p199FetchSchedule(spark, sf0001))
+    assert(p199.contains("hashpartitioning(host"), p199)
+    assert(!p199.contains("SinglePartition"), p199)
   }
 }
