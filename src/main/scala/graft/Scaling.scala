@@ -49,7 +49,8 @@ object Scaling {
     Family("retrieval_bm25", "p112_bm25"),
     Family("graph_pagerank", "p138_pagerank_hubs"),
     Family("manifest_interleave", "p163_mix_interleave"),
-    Family("ann_ivf_pq", "p74_ivfpq"))
+    Family("ann_ivf_pq", "p74_ivfpq"),
+    Family("web_front_end", "p194_web_admission"))
 
   /** 10 shifted copies of the sf0.1 documents/embeddings tables —
     * ids offset per copy, content decorrelated per the header note.
