@@ -230,12 +230,56 @@ object WebQueries {
       .withColumn("slot_ms", ((col("fetch_order") - 1) * 1000).cast("long"))
   }
 
+  /** End-to-end crawl pipeline (p200): the whole front end as ONE
+    * plan — every document's fetch path is decided by the REAL RFC
+    * 9309 evaluator against the p196 policy (the verdict drives the
+    * branch; nothing is hard-coded off the fixture parity), robots-
+    * denied documents surface as `blocked` without ever being
+    * fetched, and the allowed ones flow through capture → WARC walk →
+    * HTTP split → HTML extraction → admission scoring to `admitted`
+    * or `rejected`. The oracle composes the p196 and p194 closed
+    * forms, so one wrong robots verdict, one mis-extracted byte, or
+    * one drifted score flips an outcome and hash-mismatches.
+    *
+    * Scale shape: two scans of the frontier (blocked branch, fetched
+    * branch) unioned — per-row maps throughout, zero exchanges; at
+    * 100 TB the fetch fleet never even requests a blocked URL.
+    */
+  def p200CrawlPipeline(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val withPath = t(s, dir, "documents").select(
+      col("doc_id"),
+      concat(
+        when(pmod(col("doc_id"), lit(4)) === 1, lit("/private/doc/"))
+          .when(pmod(col("doc_id"), lit(4)) === 2, lit("/private/ok/"))
+          .otherwise(lit("/doc/")),
+        col("doc_id"),
+        when(pmod(col("doc_id"), lit(4)) === 3, lit(".json"))
+          .otherwise(lit(""))).as("path"),
+      col("text"))
+      .as[(Long, String, String)]
+    val decided = withPath.map { case (id, path, text) =>
+      (id, Web.robotsDecision(robotsTxt, "graftbot", path)._1, text)
+    }
+    val blocked = decided.filter(!_._2)
+      .map(r => (r._1, 0L, "blocked"))
+      .toDF("doc_id", "fetched", "outcome")
+    val fetched = Web.admissionVerdicts(
+        Web.extractCaptures(Web.encodeCaptures(
+          decided.filter(_._2).map(r => (r._1, r._3)))).toDF())
+      .select(col("doc_id"), lit(1L).as("fetched"),
+        when(col("admitted") === 1, "admitted").otherwise("rejected")
+          .as("outcome"))
+    blocked.unionByName(fetched)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p192_warc_records" -> p192WarcRecords _,
     "p193_html_extract" -> p193HtmlExtract _,
     "p194_web_admission" -> p194WebAdmission _,
     "p195_url_frontier" -> p195UrlFrontier _,
     "p196_robots_gate" -> p196RobotsGate _,
+    "p200_crawl_pipeline" -> p200CrawlPipeline _,
     "p197_wet_roundtrip" -> p197WetRoundtrip _,
     "p198_charset_decode" -> p198CharsetDecode _,
     "p199_fetch_schedule" -> p199FetchSchedule _)
@@ -268,6 +312,23 @@ object WebQueries {
   private[queries] val oExtracted =
     """text || chr(10) || 'archived & verified copy of record ' || doc_id ||
       |    ' from crawl segment ' || (doc_id % 10) || '.'""".stripMargin
+
+  /** The p194 admission oracle — the shadowing CTE re-binds
+    * `documents` to the EXTRACTED text, so the reused p08/p09
+    * fragments score the real byte path's output; `main.`
+    * disambiguates the base view (DuckDB rejects a self-referential
+    * CTE name otherwise). Shared with the p200 composite.
+    */
+  private lazy val oAdmission: String =
+    s"""WITH documents AS (
+       |  SELECT doc_id, $oExtracted AS text FROM main.documents),
+       |l AS (SELECT * FROM (${PipelineOracles2.oracle0("p08_lang_id")})),
+       |q AS (${PipelineOracles2.oracle0("p09_quality")})
+       |SELECT l.doc_id, l.lang_pred,
+       |  CAST(FLOOR(q.score * 1e6) AS BIGINT) AS score_micro,
+       |  CAST(CASE WHEN l.lang_pred = 'en' AND q.score >= 0.5
+       |       THEN 1 ELSE 0 END AS BIGINT) AS admitted
+       |FROM l JOIN q ON l.doc_id = q.doc_id""".stripMargin
 
   def oracle: Map[String, String] = Map(
     "p192_warc_records" ->
@@ -305,20 +366,7 @@ object WebQueries {
          |    AS n_words,
          |  md5($oExtracted) AS text_md5
          |FROM documents""".stripMargin,
-    "p194_web_admission" ->
-      // the shadowing CTE re-binds `documents` to the EXTRACTED text,
-      // so the reused p08/p09 fragments score the real byte path's
-      // output; `main.` disambiguates the base view (DuckDB rejects a
-      // self-referential CTE name otherwise)
-      s"""WITH documents AS (
-         |  SELECT doc_id, $oExtracted AS text FROM main.documents),
-         |l AS (SELECT * FROM (${PipelineOracles2.oracle0("p08_lang_id")})),
-         |q AS (${PipelineOracles2.oracle0("p09_quality")})
-         |SELECT l.doc_id, l.lang_pred,
-         |  CAST(FLOOR(q.score * 1e6) AS BIGINT) AS score_micro,
-         |  CAST(CASE WHEN l.lang_pred = 'en' AND q.score >= 0.5
-         |       THEN 1 ELSE 0 END AS BIGINT) AS admitted
-         |FROM l JOIN q ON l.doc_id = q.doc_id""".stripMargin,
+    "p194_web_admission" -> oAdmission,
     "p195_url_frontier" ->
       """SELECT 'http://corpus.example/a/doc/' || doc_id || '?ref='
         |    || (doc_id % 5) AS canonical,
@@ -373,5 +421,16 @@ object WebQueries {
         |       ORDER BY doc_id) AS BIGINT) AS fetch_order,
         |  CAST((ROW_NUMBER() OVER (PARTITION BY doc_id % 7
         |       ORDER BY doc_id) - 1) * 1000 AS BIGINT) AS slot_ms
-        |FROM documents""".stripMargin)
+        |FROM documents""".stripMargin,
+    "p200_crawl_pipeline" ->
+      // composes the p196 robots closed form (doc_id % 4 in (1,3) is
+      // blocked) with the p194 admission closed form for the rest
+      s"""WITH adm AS ($oAdmission)
+         |SELECT doc_id,
+         |  CAST(CASE WHEN doc_id % 4 IN (1, 3) THEN 0 ELSE 1 END
+         |       AS BIGINT) AS fetched,
+         |  CASE WHEN doc_id % 4 IN (1, 3) THEN 'blocked'
+         |       WHEN admitted = 1 THEN 'admitted'
+         |       ELSE 'rejected' END AS outcome
+         |FROM adm""".stripMargin)
 }

@@ -724,4 +724,14 @@ class PlansSpec extends SparkSpec {
     assert(p199.contains("hashpartitioning(host"), p199)
     assert(!p199.contains("SinglePartition"), p199)
   }
+
+  test("crawl pipeline composite stays a zero-exchange union of two scans (p200)") {
+    // blocked branch and fetched branch are per-row maps over the
+    // frontier, unioned — no join, no exchange; a blocked URL is
+    // never fetched, at any scale
+    val p = plan(WebQueries.p200CrawlPipeline(spark, sf0001))
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("Join"), p)
+    assert(p.contains("Union"), p)
+  }
 }
