@@ -2261,6 +2261,20 @@ object Curation {
     * documents yield no chunks.
     */
   def chunkDocuments(df: DataFrame, idCol: String, textCol: String,
+      chunkToks: Int, strideToks: Int): DataFrame =
+    chunkDocumentsToks(df, idCol, textCol, chunkToks, strideToks)
+      .withColumn("chunk_text", concat_ws(" ", col("chunk_toks")))
+      .drop("chunk_toks")
+
+  /** [[chunkDocuments]] emitting the chunk as its TOKEN ARRAY
+    * (`chunk_toks`) instead of re-joined text — for consumers that
+    * immediately re-tokenize (the chunk BM25 index): `TF.tokens` is a
+    * whitespace split, so the array and the joined string are
+    * interconvertible losslessly, and handing the array over skips a
+    * concat_ws + split round trip per chunk. [[chunkDocuments]] is
+    * this plus the join, so both shapes share one window rule.
+    */
+  def chunkDocumentsToks(df: DataFrame, idCol: String, textCol: String,
       chunkToks: Int, strideToks: Int): DataFrame = {
     require(chunkToks > 0 && strideToks > 0 && strideToks <= chunkToks,
       "need 0 < strideToks <= chunkToks")
@@ -2278,9 +2292,9 @@ object Curation {
         least(lit(chunkToks.toLong),
           col("__n") - col("chunk_seq") * strideToks)
           .as("n_chunk_toks"),
-        concat_ws(" ", slice(col("__toks"),
+        slice(col("__toks"),
           (col("chunk_seq") * strideToks + 1L).cast("int"),
-          lit(chunkToks))).as("chunk_text"))
+          lit(chunkToks)).as("chunk_toks"))
   }
 
   /** Release diff card — the change log between two corpus releases

@@ -101,12 +101,24 @@ object Retrieval {
     * aggregate for the corpus stats; document lengths are a
     * zero-exchange projection over the same scan.
     */
-  def bm25Index(docs: DataFrame, idCol: String, textCol: String): Bm25Index = {
+  def bm25Index(docs: DataFrame, idCol: String, textCol: String): Bm25Index =
+    bm25IndexTokens(docs, idCol, TF.tokens(col(textCol)))
+
+  /** [[bm25Index]] over a PRE-TOKENIZED token-array expression — for
+    * callers that already hold the token array (chunked documents
+    * rebuilt from slices of a tokenized stream). `TF.tokens` is a
+    * whitespace split of whitespace-joined nonempty tokens, so
+    * `tokens(concat_ws(" ", toks)) == toks` exactly; skipping the
+    * round trip removes one string materialization and two
+    * re-tokenizations per row (guide §1.2 step 2: per-task work) with
+    * bit-identical postings/lengths.
+    */
+  def bm25IndexTokens(docs: DataFrame, idCol: String,
+      toks: Column): Bm25Index = {
     val doclen = docs.select(col(idCol).as("doc_id"),
-      size(TF.tokens(col(textCol))).cast("long").as("dl"))
+      size(toks).cast("long").as("dl"))
     val postings = docs
-      .select(col(idCol).as("doc_id"),
-        explode(TF.tokens(col(textCol))).as("tok"))
+      .select(col(idCol).as("doc_id"), explode(toks).as("tok"))
       .groupBy("tok", "doc_id").agg(count(lit(1)).as("tf"))
     val stats = doclen.agg(count(lit(1)).as("nd"), sum("dl").as("sdl"))
     Bm25Index(postings, doclen, stats)
@@ -883,9 +895,17 @@ object Retrieval {
     */
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
       queries: DataFrame, qidCol: String, qtextCol: String, k: Int,
+      p: Bm25Params = Bm25Params()): DataFrame =
+    bm25TopKIndexed(bm25Index(docs, idCol, textCol), queries, qidCol,
+      qtextCol, k, p)
+
+  /** [[bm25TopK]] over a prebuilt index (the [[bm25IndexTokens]]
+    * companion): same cache bracket, same ranking stack.
+    */
+  def bm25TopKIndexed(index: Bm25Index, queries: DataFrame,
+      qidCol: String, qtextCol: String, k: Int,
       p: Bm25Params = Bm25Params()): DataFrame = {
     require(k > 0, "k must be positive")
-    val index = bm25Index(docs, idCol, textCol)
     val qTerms = queryTerms(queries, qidCol, qtextCol)
     val hits = index.postings.join(
       broadcast(qTerms.select("tok").distinct()), Seq("tok"))

@@ -41,6 +41,7 @@ object MediaQueries {
     val src = t(s, dir, "documents").select(
         col("doc_id"),
         (lit(1) + pmod(col("doc_id"), lit(3))).cast("int"))
+      .repartition(s.sparkContext.defaultParallelism)
       .as[(Long, Int)]
     Multimodal.decodeAviFrames(Multimodal.encodeVideoPattern(src)).toDF()
   }
@@ -69,6 +70,7 @@ object MediaQueries {
     def vids(parity: Int, cell: Int) = Multimodal.encodePatternVideo(
       docs.filter(pmod(col("doc_id"), lit(2)) === parity)
         .select(col("doc_id"), floor(col("doc_id") / 2).cast("long"))
+        .repartition(s.sparkContext.defaultParallelism)
         .as[(Long, Long)],
       nFrames = 2, cell = cell)
     val sigs = Multimodal.videoSignatures(vids(0, 8).union(vids(1, 16)))

@@ -548,6 +548,7 @@ object PipelineQueries {
         (lit(1) + pmod(col("doc_id"), lit(16))).cast("int"),
         (lit(1) + pmod(length(col("text")), lit(16))).cast("int"),
         (pmod(col("doc_id"), lit(256)) * 65793).cast("int"))
+      .repartition(s.sparkContext.defaultParallelism)
       .as[(Long, Int, Int, Int)]
     Multimodal.decodePng(Multimodal.encodePng(src)).toDF()
   }
@@ -570,6 +571,7 @@ object PipelineQueries {
           (lit(1) + pmod(col("doc_id"), lit(16))).cast("int"),
           (lit(1) + pmod(length(col("text")), lit(16))).cast("int"),
           (pmod(col("doc_id"), lit(256)) * 65793).cast("int"))
+        .repartition(s.sparkContext.defaultParallelism)
         .as[(Long, Int, Int, Int)]
     val mixed = Multimodal.encodeImage(src(0), "png")
       .union(Multimodal.encodeImage(src(1), "jpg"))
@@ -615,6 +617,7 @@ object PipelineQueries {
     def src(parity: Int) = docs
       .filter(pmod(col("doc_id"), lit(2)) === parity)
       .select(col("doc_id"), floor(col("doc_id") / 2).cast("long"))
+      .repartition(s.sparkContext.defaultParallelism)
       .as[(Long, Long)]
     val corpus = Multimodal.encodePattern(src(0), "png")
       .union(Multimodal.encodePattern(src(1), "jpg"))
@@ -739,6 +742,7 @@ object PipelineQueries {
     def src(parity: Int) = docs
       .filter(pmod(col("doc_id"), lit(2)) === parity)
       .select(col("doc_id"), floor(col("doc_id") / 2).cast("long"))
+      .repartition(s.sparkContext.defaultParallelism)
       .as[(Long, Long)]
     val corpus = Multimodal.encodeWavPattern(src(0), scale = 1)
       .union(Multimodal.encodeWavPattern(src(1), scale = 2))
@@ -762,6 +766,7 @@ object PipelineQueries {
         (lit(1) + pmod(col("doc_id"), lit(16))).cast("int"),
         (lit(1) + pmod(length(col("text")), lit(16))).cast("int"),
         (pmod(col("doc_id"), lit(256)) * 65793).cast("int"))
+      .repartition(s.sparkContext.defaultParallelism)
       .as[(Long, Int, Int, Int)]
     Multimodal.resizePlanPng(Multimodal.encodePng(src),
       targetW = 224, targetH = 224).toDF()
@@ -781,6 +786,7 @@ object PipelineQueries {
         (lit(8000) + pmod(col("doc_id"), lit(8)) * 1000).cast("int"),
         (lit(100) + pmod(length(col("text")), lit(400))).cast("int"),
         (pmod(col("doc_id"), lit(1000)) * 30).cast("int"))
+      .repartition(s.sparkContext.defaultParallelism)
       .as[(Long, Int, Int, Int)]
     Multimodal.decodeWav(Multimodal.encodeWav(src)).toDF()
   }
@@ -802,6 +808,7 @@ object PipelineQueries {
         (lit(100) + pmod(length(col("text")), lit(400))).cast("int"),
         (lit(1) + pmod(col("doc_id"), lit(1000)) * 30).cast("int"),
         (lit(1) + pmod(col("doc_id"), lit(7))).cast("int"))
+      .repartition(s.sparkContext.defaultParallelism)
       .as[(Long, Int, Int, Int, Int)]
     Multimodal.audioFeatures(Multimodal.encodeWavSquare(src)).toDF()
   }
@@ -1633,11 +1640,12 @@ object PipelineQueries {
       val queries = Retrieval.plantedSample(base, "doc_id")
       .select(col("doc_id").as("query_id"),
         concat_ws(" ", slice(TF.tokens(col("text")), 1, 8)).as("qtext"))
-      val chunks = Curation.chunkDocuments(docs, "doc_id", "text",
+      val chunks = Curation.chunkDocumentsToks(docs, "doc_id", "text",
           chunkToks = 32, strideToks = 24)
         .select((col("doc_id") * 10000L + col("chunk_seq"))
-          .as("chunk_id"), col("chunk_text"))
-      val index = Retrieval.bm25Index(chunks, "chunk_id", "chunk_text")
+          .as("chunk_id"), col("chunk_toks"))
+      val index = Retrieval.bm25IndexTokens(chunks, "chunk_id",
+        col("chunk_toks"))
       val qT = Retrieval.queryTerms(queries, "query_id", "qtext")
       val hits = index.postings.join(
         broadcast(qT.select("tok").distinct()), Seq("tok"))
@@ -1649,6 +1657,8 @@ object PipelineQueries {
           call_function("div", col("doc_id"), lit(10000L)).as("doc_id")),
         "chunk_maxp_lazy", topK = 10)
     }),
+    "p136_significance" -> ((s, dir) =>
+      PipelineQueries2.p136SignificancePlan(s, dir)),
     "p132_bm25f" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val toks = TF.tokens(col("text"))
