@@ -198,34 +198,33 @@ object Similarity {
       vecCol: String, centroidTable: DataFrame, k: Int,
       nprobe: Int): DataFrame = {
     require(nprobe >= 1, "nprobe must be >= 1")
+    val centRows = centroidTable
+      .select(col("cent_id").cast("long"), col("ce")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+      .sortBy(_._1).toSeq
     val cents = broadcast(centroidTable
       .select(col("cent_id"), col("ce"), l2norm(col("ce")).as("ce_n")))
-    // Nearest-cell assignment collapses the corpus×centroids product
-    // MAP-SIDE — the same partial-aggregated argmax shape as
-    // [[lloydStep]]. A ranking window here would hash-exchange all
-    // N·C scored rows (vectors included) just to keep rank ≤ nprobe;
-    // the partial agg reduces each vector's C candidates to one row
-    // (or one ≤nprobe-slot list) before anything shuffles, so the
-    // exchange moves N rows regardless of the centroid count.
+    // Nearest-cell assignment: argmin (maxRank == 1) is the native
+    // zero-exchange kernel projection over driver-held centroids (see
+    // [[semanticCells]] — replaces crossJoin + vector-carrying
+    // max(struct) aggregate); top-nprobe (query side) keeps the
+    // bounded collect_list partial agg — a ranking window here would
+    // hash-exchange all N·C scored rows just to keep rank ≤ nprobe.
     def assign(df: DataFrame, prefix: String, maxRank: Int): DataFrame = {
       val base = df
         .repartition(df.sparkSession.sparkContext.defaultParallelism)
         .select(col(idCol).as(s"${prefix}_id"), col(vecCol).as(s"${prefix}v"),
           l2norm(col(vecCol)).as(s"${prefix}n"))
-      val scored = base.crossJoin(cents)
+      lazy val scored = base.crossJoin(cents)
         .withColumn("__sim",
           cosinePre(dot(col(s"${prefix}v"), col("ce")), col(s"${prefix}n"),
             col("ce_n")))
       if (maxRank == 1) {
-        // struct order (sim, −cent_id) == the old window's
-        // (sim desc, cent_id asc) — ties to the smaller centroid id
-        scored.groupBy(col(s"${prefix}_id"))
-          .agg(max(struct(col("__sim"), (-col("cent_id")).as("tie"),
-            col("cent_id"), col(s"${prefix}v"), col(s"${prefix}n"))).as("best"))
-          .select(col(s"${prefix}_id"),
-            col(s"best.${prefix}v").as(s"${prefix}v"),
-            col(s"best.${prefix}n").as(s"${prefix}n"),
-            col("best.cent_id").as("cent_id"))
+        // same (sim, −cent_id) total order — ties to the smaller id
+        base.select(col(s"${prefix}_id"), col(s"${prefix}v"),
+          col(s"${prefix}n"),
+          centroidAssignExpr(centRows, col(s"${prefix}v"))
+            .getField("cell").as("cent_id"))
       } else {
         // bounded top-nprobe per vector: collect the (sim, tie, cent)
         // triples (24 bytes each — never the vectors), sort the ≤C-slot
@@ -297,22 +296,35 @@ object Similarity {
     */
   private[graft] def semanticCells(corpus: DataFrame, idCol: String,
       vecCol: String, centroidFilter: Column): DataFrame = {
-    val cents = broadcast(corpus.filter(centroidFilter)
-      .select(col(idCol).as("cent_id"), col(vecCol).as("ce"),
-        l2norm(col(vecCol)).as("ce_n")))
-    val base = corpus
+    // Cell assignment as a ZERO-exchange projection over the native
+    // argmin kernel (centroids are driver state, the kmeansTrain
+    // convention). The previous broadcast-crossJoin + max(struct)
+    // aggregate shuffled one struct PER VECTOR carrying the full
+    // vector through the exchange and evaluated C cosines per row in
+    // separate struct nodes; the kernel is one generated loop, and
+    // the vector never enters an exchange at all. Same sim math and
+    // tie rule — the aggregate's max over (sim, -id) equals the
+    // kernel's ascending-id strict-better scan (ArgminKernelSpec).
+    val centRows = collectCentroids(corpus, idCol, vecCol, centroidFilter)
+    corpus
       .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol).as("vid"), col(vecCol).as("v"),
         l2norm(col(vecCol)).as("vn"))
-    base.crossJoin(cents)
-      .withColumn("__sim",
-        cosinePre(dot(col("v"), col("ce")), col("vn"), col("ce_n")))
-      .groupBy(col("vid"))
-      .agg(max(struct(col("__sim"), (-col("cent_id")).as("tie"),
-        col("cent_id"), col("v"), col("vn"))).as("best"))
-      .select(col("vid"), col("best.v").as("v"), col("best.vn").as("vn"),
-        col("best.cent_id").as("cent_id"))
+      .select(col("vid"), col("v"), col("vn"),
+        centroidAssignExpr(centRows, col("v")).getField("cell")
+          .as("cent_id"))
   }
+
+  /** Driver-held centroid rows `(cent_id, vector)` sorted by id — the
+    * collect every folded-argmin caller shares (cells × dims floats,
+    * the same driver state [[kmeansTrain]] carries between rounds).
+    */
+  private def collectCentroids(corpus: DataFrame, idCol: String,
+      vecCol: String, centroidFilter: Column): Seq[(Long, Seq[Float])] =
+    corpus.filter(centroidFilter)
+      .select(col(idCol).cast("long"), col(vecCol)).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+      .sortBy(_._1).toSeq
 
   /** Export the IVF-PQ SERVING ARTIFACTS — the hand-off this module's
     * header promises instead of a graph index: a single-node
@@ -351,10 +363,24 @@ object Similarity {
     corpus.filter(pqFilter)
       .select(col(idCol).as("cid"), col(vecCol).as("entry"))
       .write.mode("overwrite").parquet(s"$path/codebook")
-    semanticCells(corpus, idCol, vecCol, coarseFilter)
-      .select(col("vid").as("vec_id"), col("cent_id"))
-      .join(pqCodes(corpus, idCol, vecCol, m, dim, pqFilter),
-        Seq("vec_id"))
+    // cell AND codes in ONE zero-exchange projection over a single
+    // corpus scan — the native argmin kernels make both per-row
+    // expressions, so the former vec_id equi-join of two corpus-sized
+    // frames (semanticCells ⋈ pqCodes: two scans + a shuffle join)
+    // disappears; rows are identical (every vector got exactly one
+    // cell and m codes on both paths)
+    val sub = dim / m
+    val centRows = collectCentroids(corpus, idCol, vecCol, coarseFilter)
+    val books = subSlices(loadCodebook(corpus, idCol, vecCol, pqFilter),
+      m, sub)
+    corpus
+      .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).as("vec_id"),
+        centroidAssignExpr(centRows, col(vecCol)).getField("cell")
+          .as("cent_id"),
+        posexplode(array((0 until m).map(s =>
+          pqArgmin(slice(col(vecCol), s * sub + 1, sub), books(s))): _*))
+          .as(Seq("subspace", "code")))
       .select(col("vec_id"), col("cent_id"), col("subspace"),
         col("code"))
       // codes are PARTITIONED BY CELL: a served query probes nprobe
@@ -923,8 +949,7 @@ object Similarity {
   def kmeansUpdate(corpus: DataFrame, idCol: String, vecCol: String,
       centroidFilter: Column): DataFrame =
     lloydStep(corpus, idCol, vecCol,
-      corpus.filter(centroidFilter)
-        .select(col(idCol).as("cent_id"), col(vecCol).as("ce")))
+      collectCentroids(corpus, idCol, vecCol, centroidFilter))
 
   /** Lloyd iterated to a fixed count: [[kmeansUpdate]]'s step, with the
     * refined centroids fed back in. Between iterations the k·d
@@ -944,22 +969,22 @@ object Similarity {
   def kmeansTrain(corpus: DataFrame, idCol: String, vecCol: String,
       centroidFilter: Column, iters: Int): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    var cents = corpus.filter(centroidFilter)
-      .select(col(idCol).cast("long").as("cent_id"), col(vecCol).as("ce"))
+    var cents = collectCentroids(corpus, idCol, vecCol, centroidFilter)
     var out: DataFrame = null
     for (i <- 1 to iters) {
       out = lloydStep(corpus, idCol, vecCol, cents)
       if (i < iters) {
+        // rebuilt centroid elements are (mean_fixed / 1e6).toFloat —
+        // the same two IEEE ops as before; the refined rows now stay
+        // driver-side instead of round-tripping through a toDF the
+        // next lloydStep would immediately re-collect
         val rows = out.select("cent_id", "dim", "mean_fixed").collect()
         cents = rows.groupBy(_.getLong(0)).toSeq
           .map { case (id, rs) =>
             (id, rs.sortBy(_.getLong(1))
-              .map(r => (r.getLong(2).toDouble / 1e6).toFloat))
+              .map(r => (r.getLong(2).toDouble / 1e6).toFloat).toSeq)
           }
           .sortBy(_._1)
-          .toDF("cent_id", "ce")
       }
     }
     out.select(col("cent_id").cast("long").as("cent_id"), col("dim"),
@@ -967,20 +992,19 @@ object Similarity {
   }
 
   private def lloydStep(corpus: DataFrame, idCol: String, vecCol: String,
-      rawCents: DataFrame): DataFrame = {
-    val cents = broadcast(rawCents
-      .select(col("cent_id"), col("ce"), l2norm(col("ce")).as("ce_n")))
-    val base = corpus.select(col(idCol).as("vid"), col(vecCol).as("v"),
-      l2norm(col(vecCol)).as("vn"))
-    val assigned = base.crossJoin(cents)
-      .withColumn("sim",
-        cosinePre(dot(col("v"), col("ce")), col("vn"), col("ce_n")))
-      .groupBy(col("vid"))
-      .agg(max(struct(col("sim"), (-col("cent_id")).as("tie"),
-        col("cent_id"), col("v"))).as("best"))
-      .select(col("best.cent_id").as("cent_id"), col("best.v").as("v"))
-    assigned
-      .select(col("cent_id"), posexplode(col("v")).as(Seq("dim", "x")))
+      centRows: Seq[(Long, Seq[Float])]): DataFrame = {
+    // Assignment as the zero-exchange argmin projection (see
+    // [[semanticCells]]): each Lloyd round is now ONE update shuffle
+    // instead of assignment shuffle + update shuffle, and the vector
+    // no longer rides a max(struct) exchange. Centroids were already
+    // driver state between rounds ([[kmeansTrain]] collects means);
+    // they arrive here as driver rows directly. Same sim math and
+    // smaller-id tie rule — means are bit-identical.
+    corpus
+      .select(
+        centroidAssignExpr(centRows, col(vecCol)).getField("cell")
+          .as("cent_id"),
+        posexplode(col(vecCol)).as(Seq("dim", "x")))
       .groupBy(col("cent_id"), col("dim"))
       .agg(
         count(lit(1)).as("n"),
@@ -1054,13 +1078,14 @@ object Similarity {
   private def pqArgmin(vslice: Column,
       entries: Array[(Long, Array[Float])]): Column = {
     require(entries.nonEmpty, "empty subspace codebook")
-    val scored = entries.map { case (cid, ce) =>
-      val cslice = array(ce.toIndexedSeq.map(lit(_)): _*)
-      struct((-dist2(vslice, cslice)).as("negd"),
-        lit(-cid).as("tie"), lit(cid).as("cent_id"))
-    }
-    (if (scored.length == 1) scored.head else greatest(scored.toIndexedSeq: _*))
-      .getField("cent_id")
+    // native codegen loop over a reference-object codebook — replaces
+    // the greatest(struct(-dist2, -id, id)) folded-literal tree, whose
+    // C·sub expression nodes overflowed the JIT method ceiling and ran
+    // interpreted (no CSE: dot(v,v) re-evaluated per entry). Same index
+    // -order double math, same tie rule — ArgminKernelSpec pins
+    // bit-equality against the folded form.
+    graft.functions.VectorExpressions.pqArgminF(vslice,
+      entries.toIndexedSeq)
   }
 
   /** Per-subspace Lloyd refinement of the PQ codebook — the ADC-error
@@ -1263,21 +1288,17 @@ object Similarity {
     */
   def ivfCellIndex(corpus: DataFrame, idCol: String, vecCol: String,
       centroidFilter: Column): DataFrame = {
-    val cents = broadcast(corpus.filter(centroidFilter)
-      .select(col(idCol).as("cent_id"), col(vecCol).as("ce"),
-        l2norm(col(vecCol)).as("ce_n")))
+    // zero-exchange argmin projection — see [[semanticCells]]; the
+    // corpus vector no longer rides a max(struct) aggregate exchange
+    val centRows = collectCentroids(corpus, idCol, vecCol, centroidFilter)
     corpus
       .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol).as("cand_id"), col(vecCol).as("candv"),
         l2norm(col(vecCol)).as("candn"))
-      .crossJoin(cents)
-      .withColumn("__sim",
-        cosinePre(dot(col("candv"), col("ce")), col("candn"), col("ce_n")))
-      .groupBy(col("cand_id"))
-      .agg(max(struct(col("__sim"), (-col("cent_id")).as("tie"),
-        col("cent_id"), col("candv"), col("candn"))).as("best"))
-      .select(col("cand_id"), col("best.cent_id").as("cent_id"),
-        col("best.candv").as("candv"), col("best.candn").as("candn"))
+      .select(col("cand_id"),
+        centroidAssignExpr(centRows, col("candv")).getField("cell")
+          .as("cent_id"),
+        col("candv"), col("candn"))
   }
 
   /** [[ivfProbePairs]] with the corpus cell index as an explicit input
@@ -1369,24 +1390,19 @@ object Similarity {
     val cents = broadcast(corpus.filter(coarseFilter)
       .select(col(idCol).as("cent_id"), col(vecCol).as("ce"),
         l2norm(col(vecCol)).as("ce_n")))
-    // corpus side: PQ codes fold into the scan projection, then the
-    // cell argmax partial-aggregates with the codes (not the vector)
-    // riding the struct — the exchange carries m ints per vector
-    val codesExpr = array((0 until m).map(s =>
-      pqArgmin(slice(col("cv"), s * sub + 1, sub), books(s))): _*)
+    // corpus side: PQ codes AND the cell argmin fold into one scan
+    // projection (native kernels — no crossJoin, no aggregate; the
+    // former max(struct) exchange moved m ints per vector, this moves
+    // nothing at all)
+    val centRows = collectCentroids(corpus, idCol, vecCol, coarseFilter)
     val cellC = corpus
       .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
-      .select(col(idCol).as("cand_id"), col(vecCol).as("cv"),
-        l2norm(col(vecCol)).as("cn"))
-      .withColumn("codes", codesExpr)
-      .crossJoin(cents)
-      .withColumn("__sim",
-        cosinePre(dot(col("cv"), col("ce")), col("cn"), col("ce_n")))
-      .groupBy(col("cand_id"))
-      .agg(max(struct(col("__sim"), (-col("cent_id")).as("tie"),
-        col("cent_id"), col("codes"))).as("best"))
-      .select(col("cand_id"), col("best.cent_id").as("cent_id"),
-        col("best.codes").as("codes"))
+      .select(col(idCol).as("cand_id"),
+        centroidAssignExpr(centRows, col(vecCol)).getField("cell")
+          .as("cent_id"),
+        array((0 until m).map(s =>
+          pqArgmin(slice(col(vecCol), s * sub + 1, sub), books(s))): _*)
+          .as("codes"))
     adcRank(cellC, probeCellsQ(queries, idCol, vecCol, cents, nprobe),
       books, m, sub, k)
   }
@@ -1568,12 +1584,9 @@ object Similarity {
   private def pqArgminD(vslice: Column,
       entries: Array[(Long, Array[Double])]): Column = {
     require(entries.nonEmpty, "empty subspace codebook")
-    val scored = entries.map { case (cid, ce) =>
-      struct((-dist2D(vslice, litD(ce))).as("negd"),
-        lit(-cid).as("tie"), lit(cid).as("cent_id"))
-    }
-    (if (scored.length == 1) scored.head else greatest(scored.toIndexedSeq: _*))
-      .getField("cent_id")
+    // native kernel — see [[pqArgmin]]; dist2D op order preserved
+    graft.functions.VectorExpressions.pqArgminD(vslice,
+      entries.toIndexedSeq)
   }
 
   /** Residual IVF-PQ — FAISS's actual IVFPQ encoding: each vector's
@@ -1925,11 +1938,13 @@ object Similarity {
   def centroidAssignExpr(cents: Seq[(Long, Seq[Float])],
       vec: Column): Column = {
     require(cents.nonEmpty, "need at least one centroid")
-    val structs = cents.sortBy(_._1).map { case (id, ce) =>
-      struct(cosine(vec, array(ce.map(lit(_)): _*)).as("sim"),
-        lit(-id).as("tie"), lit(id).as("cell"))
-    }
-    if (structs.size == 1) structs.head else greatest(structs: _*)
+    // native codegen loop (see [[graft.functions.CentroidArgminF]]) —
+    // replaces greatest(struct(cosine, -id, id)) over folded literals:
+    // same cosine op order (index-order double dot / norm product /
+    // one division), same Double.compare total order, ties to the
+    // smaller id. One compact loop at ANY centroid count instead of a
+    // C·dim-node tree that overflowed the JIT ceiling past ~30 cells.
+    graft.functions.VectorExpressions.centroidArgminF(vec, cents)
   }
 
   /** Clustering-quality card (the elbow/validation card a k selection

@@ -56,7 +56,7 @@ class PlansSpec extends SparkSpec {
   test("pq code assignment is a zero-exchange codegen projection (p48)") {
     val p = plan(PipelineQueries.p48PqCodes(spark, sf0001))
     assert(!p.contains("Exchange"), p)
-    assert(p.contains("dot_product_f"), p)
+    assert(p.contains("pq_argmin_f"), p) // native argmin kernel (r15)
   }
 
   test("trained-PQ code assignment stays a zero-exchange projection (p55)") {
@@ -85,13 +85,17 @@ class PlansSpec extends SparkSpec {
 
   test("IVF-PQ corpus exchange moves codes, not vectors (p74)") {
     val p = plan(PipelineQueries.p74IvfPq(spark, sf0001))
-    // the cand-side cell argmax shuffles partial aggregates whose
-    // struct carries the m-entry codes; the raw vector column must be
-    // projected away before the exchange
-    val m = ("""\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]\n""" +
-      """Arguments: hashpartitioning\(cand_id#""").r.findFirstMatchIn(p)
-    assert(m.isDefined, p)
-    assert(!m.get.group(1).contains("cv#"), m.get.group(1))
+    // r15: cell + codes are ONE native-argmin projection — the former
+    // hashpartitioning(cand_id) argmax exchange is gone entirely. The
+    // invariant stands stronger: no KEYED exchange may carry a corpus
+    // vector (the round-robin compute-spread exchange legitimately
+    // moves raw vectors once).
+    assert(p.contains("centroid_argmin_f") && p.contains("pq_argmin_f"), p)
+    assert(!p.contains("hashpartitioning(cand_id"), p)
+    val keyedIn = ("""\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]\n""" +
+      """Arguments: hashpartitioning\(""").r.findAllMatchIn(p)
+      .map(_.group(1)).toSeq
+    keyedIn.foreach(in => assert(!in.contains("cv#"), in))
   }
 
   test("IVF-PQ refine broadcasts the shortlist; full vectors never shuffle (p83)") {
@@ -100,9 +104,11 @@ class PlansSpec extends SparkSpec {
     // the Q·rerank shortlist — full vectors are filtered map-side and
     // consumed by the cosine projection, never hash-partitioned
     assert(p.contains("BroadcastHashJoin"), p)
-    val exIn = """\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]"""
-      .r.findAllMatchIn(p).map(_.group(1)).toSeq
-    assert(exIn.nonEmpty, p)
+    // r15: only KEYED exchanges are vector-free — the round-robin
+    // compute-spread exchange moves raw vectors once by design
+    val exIn = ("""\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]\n""" +
+      """Arguments: hashpartitioning\(""").r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
     exIn.foreach(in => assert(!in.contains("cv#"), in))
   }
 
@@ -146,10 +152,13 @@ class PlansSpec extends SparkSpec {
     for (df <- Seq(PipelineQueries2.p169KnnProbe(spark, sf0001),
         PipelineQueries2.p170QuantizationProbe(spark, sf0001))) {
       val p = plan(df)
-      assert(p.contains("SortMergeJoin"), p)
+      // candidates arrive through the cell equi-join (sort-merge or,
+      // post-r15 with the leaner argmin projection sides, broadcast)
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+        || p.contains("BroadcastHashJoin"), p)
+      // and NO nested-loop block may score queries against the corpus
       val bnlj = p.split("""\(\d+\) """)
         .filter(_.startsWith("BroadcastNestedLoopJoin"))
-      assert(bnlj.nonEmpty, p)
       bnlj.foreach(b => assert(!b.contains("cand_id"),
         s"brute-force scoring BNLJ back in the probe plan:\n$b"))
     }
@@ -440,13 +449,18 @@ class PlansSpec extends SparkSpec {
     val cells = graft.pipeline.Similarity.semanticCells(
       emb, "vec_id", "embedding", col("vec_id") % 25 === 0)
     val p = plan(cells)
-    // the only nested-loop is the bounded corpus×centroids assignment
-    // against a BROADCAST build side; no unbounded cartesian anywhere,
-    // and the argmax must be a partial-aggregated max(struct) — a
-    // ranking window here would shuffle all N·C scored rows
+    // r15 optimization: cell assignment is the native argmin kernel —
+    // a zero-join projection over driver-held centroids. No cartesian,
+    // no nested-loop, no window, and the only shuffle is the
+    // work-spreading round-robin repartition (the corpus vector never
+    // enters a keyed exchange).
     assert(!p.contains("CartesianProduct"), p)
-    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
     assert(!p.contains("Window"), p)
+    assert(p.contains("centroid_argmin_f"), p)
+    val cellExchanges = """[+:]- Exchange \(""".r.findAllIn(p).size
+    assert(cellExchanges <= 1,
+      s"expected only the spread repartition, got $cellExchanges\n$p")
     // downstream: the pair join keys on the cell id (equi-join), and
     // the closure output join stays an equi-join on vid
     val pd = plan(graft.pipeline.Similarity.semanticDedupPlan(cells, 0.4))
@@ -456,9 +470,11 @@ class PlansSpec extends SparkSpec {
 
   test("IVF assignment collapses corpus×centroids map-side, no N·C window (p19, p26)") {
     // the ONLY window allowed is the final per-query re-rank over the
-    // pruned candidate set; the corpus- and query-side assignments must
-    // be partial-aggregated argmax / bounded collect_list, so exactly
-    // one Window node appears and max(struct(...)) shows in the plan
+    // pruned candidate set. r15 optimization: the argmin (corpus side,
+    // and the query side at nprobe=1) is the native kernel projection
+    // — zero joins, zero aggregation; only a query side probing
+    // nprobe>1 cells keeps the bounded collect_list over the broadcast
+    // centroid product.
     for (df <- Seq(PipelineQueries.p19Ivf(spark, sf0001),
         PipelineQueries.p26IvfNprobe(spark, sf0001))) {
       val p = plan(df)
@@ -467,8 +483,7 @@ class PlansSpec extends SparkSpec {
       // "(n) Window" lack the trailing paren
       val windows = """Window \(\d""".r.findAllIn(p).size
       assert(windows <= 1, s"expected the final re-rank window only, got $windows\n$p")
-      assert(p.contains("BroadcastNestedLoopJoin"), p)
-      assert(p.contains("max(struct("), p)
+      assert(p.contains("centroid_argmin_f"), p)
       assert(!p.contains("CartesianProduct"), p)
     }
   }
