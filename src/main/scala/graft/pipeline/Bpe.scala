@@ -203,10 +203,32 @@ object Bpe {
     var it = 1
     var exhausted = false
     while (it <= nMerges && !exhausted) {
-      val sc = words
-        .select(explode(col("syms")).as("sym"), col("cnt"))
-        .groupBy("sym").agg(sum(col("cnt")).as("sc"))
-      val top = pairCounts(words)
+      // ONE corpus-vocab aggregation per round (r15 optimization —
+      // the round formerly ran pairCounts AND a second symbol-rollup
+      // explode over the word table, then joined them): every symbol
+      // occurrence is either the LEFT of exactly one adjacent pair or
+      // its word's LAST symbol, so sc(s) = Σ_r pc(s,r) + lastCount(s)
+      // exactly. One tagged explode (pairs + a last-symbol row with
+      // r = NULL) feeds one groupBy; the symbol rollup and both joins
+      // then run over the TINY aggregated pair table (its exchange is
+      // reused, so the vocab scan happens once per round). Identical
+      // pc/sc/score values — the trajectory replays bit-for-bit.
+      val syms = col("syms")
+      val pairRows = when(size(syms) >= 2,
+        zip_with(
+          slice(syms, lit(1), size(syms) - 1),
+          slice(syms, lit(2), size(syms) - 1),
+          (a, b) => struct(a.as("l"), b.as("r"))))
+        .otherwise(array().cast("array<struct<l:string,r:string>>"))
+      val tagged = words
+        .select(col("cnt"), explode(concat(pairRows,
+          array(struct(element_at(syms, -1).as("l"),
+            lit(null).cast("string").as("r"))))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("cnt")).as("pc"))
+      val sc = tagged.groupBy(col("l").as("sym"))
+        .agg(sum(col("pc")).as("sc"))
+      val top = tagged.filter(col("r").isNotNull)
         .join(sc.select(col("sym").as("l"), col("sc").as("cl")), Seq("l"))
         .join(sc.select(col("sym").as("r"), col("sc").as("cr")), Seq("r"))
         // q12 scale overflows int64 past pc ≈ 9.2e6; fail loudly

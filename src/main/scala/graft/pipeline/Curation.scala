@@ -2221,7 +2221,13 @@ object Curation {
   def domainMixIterate(df: DataFrame, idCol: String, textCol: String,
       domainCol: String, vocabSize: Int,
       salt: String = "dr2"): DataFrame = {
+    // r1 (per-domain, a handful of rows) feeds FOUR lazy consumers —
+    // its own total, the rate table, the round-2 corpus filter, and
+    // the final join; composed lazily the whole round-1 LM pipeline
+    // re-evaluated once per consumer (measured 11s / 219 stages at
+    // sf0.1). Pin r1 and the rate table once; values unchanged.
     val r1 = domainMixWeights(df, idCol, textCol, domainCol, vocabSize)
+      .localCheckpoint()
     val rates = r1.crossJoin(broadcast(r1.agg(sum("n_tokens").as("ntot"))))
       .withColumn("share_micro", expr("(n_tokens * 1000000) div ntot"))
       .withColumn("rate_micro",
@@ -2229,6 +2235,7 @@ object Curation {
           expr("(weight_micro * 1000000) div share_micro")))
       .select(col(domainCol), col("weight_micro").as("w1_micro"),
         col("excess_micro").as("excess1_micro"), col("rate_micro"))
+      .localCheckpoint()
     val kept = df.join(broadcast(rates.select(col(domainCol),
         col("rate_micro"))), Seq(domainCol))
       .filter(pmod(TF.hash60(concat(lit(salt), col(idCol).cast("string"))),

@@ -913,6 +913,58 @@ object Retrieval {
       rankTopK(bm25ScoresFromHits(index, hits, qTerms, p), k))
   }
 
+  /** Full-vs-deduped ranking scorecards off ONE postings build (p156,
+    * p180's retrieval section): the deduped index is the FULL index
+    * with the dropped docs anti-joined away — bit-identical to
+    * re-indexing the deduped corpus, because tokenization is per-doc
+    * (removal commutes with explode/groupBy), document frequency is
+    * counted over each corpus's own pruned postings either way, and
+    * the stats row re-aggregates the filtered doclen. One corpus
+    * tokenization and one postings shuffle serve both cards (the lazy
+    * composition paid both twice).
+    */
+  def bm25DedupImpactCards(docs: DataFrame, idCol: String,
+      textCol: String, queries: DataFrame, qidCol: String,
+      qtextCol: String, dropped: DataFrame, k: Int,
+      p: Bm25Params = Bm25Params()): DataFrame = {
+    val index = bm25Index(docs, idCol, textCol)
+    val d = broadcast(dropped.select(col("doc_id")))
+    val dedupDoclen = index.doclen.join(d, Seq("doc_id"), "left_anti")
+    val dedup = Bm25Index(
+      index.postings.join(d, Seq("doc_id"), "left_anti"),
+      dedupDoclen,
+      dedupDoclen.agg(count(lit(1)).as("nd"), sum("dl").as("sdl")))
+    val cards = graft.core.Caching.withCachedMulti(index.postings)(Seq(
+      bm25TopKIndexed(index, queries, qidCol, qtextCol, k, p),
+      bm25TopKIndexed(dedup, queries, qidCol, qtextCol, k, p)))
+    rankingScorecard(cards(0), "full", topK = k)
+      .unionByName(rankingScorecard(cards(1), "dedup_minid", topK = k))
+  }
+
+  /** Lazy (uncached, un-checkpointed) twin of [[bm25DedupImpactCards]]
+    * for plan fingerprints — same structure, nothing materialized.
+    */
+  private[graft] def bm25DedupImpactCardsPlan(docs: DataFrame,
+      idCol: String, textCol: String, queries: DataFrame, qidCol: String,
+      qtextCol: String, dropped: DataFrame, k: Int,
+      p: Bm25Params = Bm25Params()): DataFrame = {
+    val index = bm25Index(docs, idCol, textCol)
+    val d = broadcast(dropped.select(col("doc_id")))
+    val dedupDoclen = index.doclen.join(d, Seq("doc_id"), "left_anti")
+    val dedup = Bm25Index(
+      index.postings.join(d, Seq("doc_id"), "left_anti"),
+      dedupDoclen,
+      dedupDoclen.agg(count(lit(1)).as("nd"), sum("dl").as("sdl")))
+    def rank(ix: Bm25Index): DataFrame = {
+      val qT = queryTerms(queries, qidCol, qtextCol)
+      val hits = ix.postings.join(
+        broadcast(qT.select("tok").distinct()), Seq("tok"))
+      rankTopK(bm25ScoresFromHits(ix, hits, qT, p), k)
+    }
+    rankingScorecard(rank(index), "full", topK = k)
+      .unionByName(rankingScorecard(rank(dedup), "dedup_minid", topK = k))
+  }
+
   /** Hard-negative mining for retrieval-model training data (the
     * BM25-negatives recipe of DPR — Karpukhin et al. 2020 §3.2: the
     * strongest training signal comes from top-ranked lexical matches
@@ -968,9 +1020,18 @@ object Retrieval {
   def bm25PmiExpandedTopK(docs: DataFrame, idCol: String,
       textCol: String, queries: DataFrame, qidCol: String,
       qtextCol: String, collocations: DataFrame, k: Int,
+      p: Bm25Params = Bm25Params()): DataFrame =
+    bm25PmiExpandedTopKIndexed(bm25Index(docs, idCol, textCol), queries,
+      qidCol, qtextCol, collocations, k, p)
+
+  /** [[bm25PmiExpandedTopK]] over a prebuilt index — lets a composite
+    * (p144) share ONE postings build between the plain and expanded
+    * rankings instead of re-tokenizing the corpus per ranker.
+    */
+  def bm25PmiExpandedTopKIndexed(index: Bm25Index, queries: DataFrame,
+      qidCol: String, qtextCol: String, collocations: DataFrame, k: Int,
       p: Bm25Params = Bm25Params()): DataFrame = {
     require(k > 0, "k must be positive")
-    val index = bm25Index(docs, idCol, textCol)
     val qT = queryTerms(queries, qidCol, qtextCol)
     val top1 = collocations
       .withColumn("r", row_number().over(Window.partitionBy(col("tok_a"))

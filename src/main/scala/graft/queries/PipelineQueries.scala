@@ -1659,6 +1659,33 @@ object PipelineQueries {
     }),
     "p136_significance" -> ((s, dir) =>
       PipelineQueries2.p136SignificancePlan(s, dir)),
+    "p144_pmi_expansion" -> ((s, dir) => {
+      // lazy twin: both rankers off one uncached index
+      val docs = t(s, dir, "documents")
+      val queries = Retrieval.plantedQueries(docs, "doc_id", "text")
+      val coll = Curation.pmiCollocations(docs, "doc_id", "text",
+        minCount = 5L, topK = 100)
+      val index = Retrieval.bm25Index(docs, "doc_id", "text")
+      val qT = Retrieval.queryTerms(queries, "query_id", "qtext")
+      val hits = index.postings.join(
+        broadcast(qT.select("tok").distinct()), Seq("tok"))
+      Retrieval.rankingScorecard(
+          Retrieval.rankTopK(Retrieval.bm25ScoresFromHits(index, hits,
+            qT, Retrieval.Bm25Params()), 10), "bm25", 10)
+        .unionByName(Retrieval.rankingScorecard(
+          Retrieval.bm25PmiExpandedTopKIndexed(index, queries,
+            "query_id", "qtext", coll, k = 10), "bm25_pmi", 10))
+    }),
+    "p156_dedup_retrieval" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val queries = Retrieval.plantedQueries(docs, "doc_id", "text")
+      val dropped = graft.pipeline.DedupStore.dedupDecisions(docs,
+          "doc_id", "text", k = 4, threshold = 0.4,
+          maxShingleFreqFrac = Some(0.1))
+        .filter(col("keep") === 0).select(col("node").as("doc_id"))
+      Retrieval.bm25DedupImpactCardsPlan(docs, "doc_id", "text",
+        queries, "query_id", "qtext", dropped, k = 10)
+    }),
     "p132_bm25f" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val toks = TF.tokens(col("text"))

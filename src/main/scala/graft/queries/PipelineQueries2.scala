@@ -450,13 +450,11 @@ object PipelineQueries2 {
     val dropped = DedupStore.dedupDecisions(docs, "doc_id", "text",
         k = 4, threshold = 0.4, maxShingleFreqFrac = Some(0.1))
       .filter(col("keep") === 0).select(col("node").as("doc_id"))
-    val deduped = docs.join(dropped, Seq("doc_id"), "left_anti")
-    def card(tag: String, corpus: DataFrame) =
-      Retrieval.rankingScorecard(
-        Retrieval.bm25TopK(corpus, "doc_id", "text",
-          queries, "query_id", "qtext", k = 10),
-        tag, topK = 10)
-    card("full", docs).unionByName(card("dedup_minid", deduped))
+    // one postings build serves both cards (the deduped index is the
+    // full one with dropped docs anti-joined — bit-identical, see
+    // [[Retrieval.bm25DedupImpactCards]])
+    Retrieval.bm25DedupImpactCards(docs, "doc_id", "text", queries,
+      "query_id", "qtext", dropped, k = 10)
   }
 
   /** Classifier operating points (p157): precision / recall / F1 of
@@ -1302,18 +1300,14 @@ object PipelineQueries2 {
               .as("toks_dropped"))
           .withColumn("dup_rate_micro", call_function("div",
             col("n_clustered") * lit(1000000L), col("n_docs")))
-        // p156's retrieval impact, drop set off the shared decisions
+        // p156's retrieval impact, drop set off the shared decisions;
+        // one postings build serves both cards (see
+        // [[Retrieval.bm25DedupImpactCards]])
         val queries = Retrieval.plantedQueries(docs, "doc_id", "text")
         val dropped = dec0.filter(col("keep") === 0)
           .select(col("node").as("doc_id"))
-        val deduped = docs.join(dropped, Seq("doc_id"), "left_anti")
-        def card(tag: String, corpus: DataFrame) =
-          Retrieval.rankingScorecard(
-            Retrieval.bm25TopK(corpus, "doc_id", "text",
-              queries, "query_id", "qtext", k = 10),
-            tag, topK = 10)
-        val retrieval = card("full", docs)
-          .unionByName(card("dedup_minid", deduped))
+        val retrieval = Retrieval.bm25DedupImpactCards(docs, "doc_id",
+          "text", queries, "query_id", "qtext", dropped, k = 10)
         Seq(
           melt(impact, "dedup_impact", col("bucket"),
             Seq("n_clusters", "n_docs", "n_docs_removed", "toks_removed")),
@@ -1794,12 +1788,17 @@ object PipelineQueries2 {
     val queries = Retrieval.plantedQueries(docs, "doc_id", "text")
     val coll = Curation.pmiCollocations(docs, "doc_id", "text",
       minCount = 5L, topK = 100)
-    val base = Retrieval.bm25TopK(docs, "doc_id", "text", queries,
-      "query_id", "qtext", k = 10)
-    val expd = Retrieval.bm25PmiExpandedTopK(docs, "doc_id", "text",
-      queries, "query_id", "qtext", coll, k = 10)
-    Retrieval.rankingScorecard(base, "bm25", 10)
-      .unionByName(Retrieval.rankingScorecard(expd, "bm25_pmi", 10))
+    // ONE index + ONE cached postings frame feed both rankers — the
+    // lazy composition re-tokenized the corpus and re-shuffled the
+    // postings once per ranker (guide §2.4: share the exchange)
+    val index = Retrieval.bm25Index(docs, "doc_id", "text")
+    val shared = graft.core.Caching.withCachedMulti(index.postings)(Seq(
+      Retrieval.bm25TopKIndexed(index, queries, "query_id", "qtext",
+        k = 10),
+      Retrieval.bm25PmiExpandedTopKIndexed(index, queries, "query_id",
+        "qtext", coll, k = 10)))
+    Retrieval.rankingScorecard(shared(0), "bm25", 10)
+      .unionByName(Retrieval.rankingScorecard(shared(1), "bm25_pmi", 10))
   }
 
   /** Feature selection (p143): per-token χ² association between token
