@@ -1390,15 +1390,21 @@ object PipelineQueries2 {
     val w = p50TempMix(s, dir)
       .select(col("source"), col("p_micro").as("w"))
     val totalW = w.agg(sum(col("w")).as("tw"))
-    val shardTotals = manifest.groupBy("chunk_idx")
-      .agg(count(lit(1)).as("shard_docs"))
-    // shardTotals is shard-count-sized (corpus tokens / shardToks) —
-    // unbounded at 100 TB, so it joins co-keyed on chunk_idx with an
-    // explicit merge hint (never broadcast, whatever the planner's
-    // size estimate says at test SF); the domain-sized weight frames
-    // do broadcast
-    manifest.groupBy(col("chunk_idx"), col("source"))
+    // ONE manifest pass: the per-(shard, source) rollup is computed
+    // first and the shard totals derive from IT (counts are additive
+    // over sources), so the whole mixture-interleave subtree is no
+    // longer evaluated twice — r15 measure-first: the duplicated
+    // manifest plan was most of this card's depth. shardTotals stays
+    // shard-count-sized (unbounded at 100 TB), so it joins co-keyed
+    // on chunk_idx with an explicit merge hint (never broadcast,
+    // whatever the planner estimates at test SF); the domain-sized
+    // weight frames do broadcast.
+    val perShardSource = manifest
+      .groupBy(col("chunk_idx"), col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_toks"))
+    val shardTotals = perShardSource.groupBy("chunk_idx")
+      .agg(sum(col("n_docs")).as("shard_docs"))
+    perShardSource
       .join(shardTotals.hint("merge"), Seq("chunk_idx"))
       .join(broadcast(w), Seq("source"))
       .crossJoin(broadcast(totalW))
@@ -2216,7 +2222,11 @@ object PipelineQueries2 {
     */
   def p106TextNearDup(s: SparkSession, dir: String): DataFrame = {
     val TFx = graft.pipeline.TextFunctions
-    val vecs = Similarity.hashedDocVectors(t(s, dir, "documents"),
+    // spread the md5-heavy shingle-vector projection (see p100) — the
+    // centroid collect and the probe side otherwise evaluate it on
+    // the one-file scan's single task
+    val vecs = Similarity.hashedDocVectors(
+      t(s, dir, "documents").repartition(s.sparkContext.defaultParallelism),
         "doc_id", TFx.shingles(TFx.tokens(col("text")), 3), dim = 128)
       .filter(Similarity.l2norm(col("embedding")) > 0)
     Similarity.ivfProbePairs(vecs.filter(col("doc_id") % 10 === 7), vecs,
@@ -2251,12 +2261,21 @@ object PipelineQueries2 {
     */
   def p100HashedNearDup(s: SparkSession, dir: String): DataFrame = {
     val TFx = graft.pipeline.TextFunctions
-    val v = Similarity.hashedDocVectors(t(s, dir, "documents"), "doc_id",
-      TFx.shingles(TFx.tokens(col("text")), 3), dim = 128)
-    val a = v.repartition(s.sparkContext.defaultParallelism)
+    // spread the md5-heavy shingle-vector projection BELOW both sides
+    // (the broadcast build side formerly computed it on the one-file
+    // scan's single task — a measured 3.6s single-thread stage)
+    val v = Similarity.hashedDocVectors(
+      t(s, dir, "documents").repartition(s.sparkContext.defaultParallelism),
+      "doc_id", TFx.shingles(TFx.tokens(col("text")), 3), dim = 128)
+    // the explicit stream-side repartition ALSO pins the quadratic
+    // pair-join's parallelism: the vector frame is ~2 MB, so without
+    // it AQE coalesces the exchange to one partition and the O(N²)
+    // dot stage runs single-task (measured 9.4 s on one core)
+    val a = v
       .select(col("doc_id").as("doc_a"), col("embedding").as("ea"),
         Similarity.l2norm(col("embedding")).as("na"))
       .filter(col("na") > 0)
+      .repartition(s.sparkContext.defaultParallelism)
     val b = v.select(col("doc_id").as("doc_b"), col("embedding").as("eb"),
         Similarity.l2norm(col("embedding")).as("nb"))
       .filter(col("nb") > 0)
