@@ -52,4 +52,20 @@ object Caching {
     try build.map(_.localCheckpoint(eager = true))
     finally intermediates.foreach(_.unpersist())
   }
+
+  /** Materialize several INDEPENDENT frames' local checkpoints
+    * concurrently (optimization-guide §2.6: actions are only
+    * sequential because the driver calls them sequentially). Each
+    * branch's straggler tail is back-filled by the next branch's
+    * tasks under the default FIFO scheduler. Only for branches with
+    * no mutual ordering (no shared mutable artifact directories
+    * between them); results are position-stable.
+    */
+  def checkpointAllParallel(dfs: Seq[DataFrame]): Seq[DataFrame] = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val fs = dfs.map(df => Future(df.localCheckpoint(eager = true)))
+    fs.map(Await.result(_, Duration.Inf))
+  }
 }

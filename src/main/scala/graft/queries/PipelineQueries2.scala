@@ -1115,16 +1115,20 @@ object PipelineQueries2 {
     Similarity.appendServingIndex(s, tmp, d1, "vec_id", "embedding",
       m = 4, dim = 64)
     val u1 = base.unionByName(d1)
-    val s1b = measure("1_append25", "base", u1, base, baseQ)
-      .localCheckpoint()
-    val s1d = measure("1_append25", "delta", u1, d1, deltaQ)
-      .localCheckpoint()
+    // the two per-stage masses are measured against the SAME frozen
+    // artifacts with no mutual ordering — materialize them
+    // concurrently (guide §2.6) instead of serializing two multi-job
+    // measurement pipelines
+    val Seq(s1b, s1d) = graft.core.Caching.checkpointAllParallel(Seq(
+      measure("1_append25", "base", u1, base, baseQ),
+      measure("1_append25", "delta", u1, d1, deltaQ)))
     Similarity.appendServingIndex(s, tmp, d2, "vec_id", "embedding",
       m = 4, dim = 64)
     val u2 = u1.unionByName(d2)
-    val s2b = measure("2_append50", "base", u2, base, baseQ)
-    val s2d = measure("2_append50", "delta", u2, d1.unionByName(d2),
-      deltaQ)
+    val Seq(s2b, s2d) = graft.core.Caching.checkpointAllParallel(Seq(
+      measure("2_append50", "base", u2, base, baseQ),
+      measure("2_append50", "delta", u2, d1.unionByName(d2),
+        deltaQ)))
     val rows = s0.unionByName(s1b).unionByName(s1d).unionByName(s2b)
       .unionByName(s2d)
     val ref = broadcast(s0.select(col("recon_err").as("__ref")))
@@ -1907,9 +1911,10 @@ object PipelineQueries2 {
     // per use — measured 20.4s -> the ranker work exactly once
     // (guide §7.2: duplicated subtrees; §5: checkpoint tiny reused
     // frames). Values are unchanged: same frames, computed once.
-    val metric = ranked.map { case (meth, df) =>
-      meth -> Retrieval.perQueryNdcg(df, qIds, topK = 10)
-        .localCheckpoint() }
+    val methods = ranked.keys.toSeq
+    val metric = methods.zip(graft.core.Caching.checkpointAllParallel(
+      methods.map(m =>
+        Retrieval.perQueryNdcg(ranked(m), qIds, topK = 10)))).toMap
     val base = metric("bm25f")
       .select(col("query_id"), col("m").as("m_a"))
     Seq("bm25", "ql", "prf", "rrf").map { meth =>
