@@ -60,6 +60,7 @@ object Bench {
           graft.pipeline.TokenizerStore.clear()
           graft.pipeline.TrainedIndexStore.clear()
           graft.pipeline.DedupStore.clear()
+          graft.pipeline.ClassifierStore.clear()
         }
         val t0 = System.nanoTime()
         val r = try {

@@ -21,8 +21,14 @@ object PlanDump {
         // benchPlans holds the lazy pre-checkpoint plan for
         // checkpoint-backed queries (the public frame is an opaque
         // LogicalRDD) — same convention as Bench's fingerprint.
-        val df = SparkEntry.benchPlans.get(name)
-          .map(_(spark, sfDir)).getOrElse(fn(spark, sfDir))
+        // SPARK_GRAFT_PLANDUMP_PUBLIC=1 dumps the PUBLIC query's plan
+        // instead — the shape store-memoized consumers actually run.
+        val public = sys.env.get("SPARK_GRAFT_PLANDUMP_PUBLIC")
+          .contains("1")
+        val df =
+          if (public) fn(spark, sfDir)
+          else SparkEntry.benchPlans.get(name)
+            .map(_(spark, sfDir)).getOrElse(fn(spark, sfDir))
         val p = df.queryExecution.explainString(
           org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
         val f = new java.io.PrintWriter(s"$outDir/${name}_$suffix.txt")

@@ -170,8 +170,8 @@ object Retrieval {
     require(k > 0, "k must be positive")
     val index = bm25fIndex(docs, idCol, fields)
     val qTerms = queryTerms(queries, qidCol, qtextCol)
-    val hits = index.postings.join(
-      broadcast(qTerms.select("tok").distinct()), Seq("tok"))
+    val hits = prunedHitsFields(docs, idCol, fields,
+      qTerms.select("tok").distinct())
     graft.core.Caching.withCached(hits)(
       rankTopK(bm25ScoresFromHits(index, hits, qTerms, p), k))
   }
@@ -185,6 +185,41 @@ object Retrieval {
     queries.select(col(qidCol).as("query_id"),
         explode(TF.tokens(col(qtextCol))).as("tok"))
       .distinct()
+
+  /** The candidate-hit frame `postings ⋈ broadcast(query toks)` built
+    * WITHOUT the full-vocabulary postings shuffle: the query-term
+    * prune is a filter on the (tok, doc) GROUP KEY, so applying it to
+    * the exploded occurrences BEFORE the tf count is bit-identical to
+    * applying it to the finished postings — same (tok, doc_id, tf)
+    * rows, same df/cf rollups downstream (guide §2.3: filter before
+    * the exchange; §3.2: semi-join prefilter of the big side). The
+    * exchange carries only query-term occurrences — bounded by
+    * |query vocabulary| · df — instead of every token of the corpus;
+    * at web scale that is orders of magnitude fewer bytes for a
+    * ranking whose scores only ever read query-term postings.
+    * `qToks` must be the DISTINCT query-term set (one `tok` column).
+    */
+  private[graft] def prunedHits(docs: DataFrame, idCol: String,
+      toks: Column, qToks: DataFrame): DataFrame =
+    docs.select(col(idCol).as("doc_id"), explode(toks).as("tok"))
+      .join(broadcast(qToks), Seq("tok"))
+      .repartition(col("doc_id"))
+      .groupBy("tok", "doc_id").agg(count(lit(1)).as("tf"))
+
+  /** [[prunedHits]] for the weighted-field index: per-field exploded
+    * occurrences are pruned to the query vocabulary BEFORE the
+    * weighted tf combine — identical commutation argument, identical
+    * rows to `bm25fIndex(...).postings ⋈ query toks`.
+    */
+  private[graft] def prunedHitsFields(docs: DataFrame, idCol: String,
+      fields: Seq[(Column, Long)], qToks: DataFrame): DataFrame =
+    fields.map { case (f, w) =>
+        docs.select(col(idCol).as("doc_id"), explode(f).as("tok"),
+          lit(w).as("w"))
+      }.reduce(_.unionByName(_))
+      .join(broadcast(qToks), Seq("tok"))
+      .repartition(col("doc_id"))
+      .groupBy("tok", "doc_id").agg(sum(col("w")).as("tf"))
 
   /** Per-(query, doc) BM25 scores in integer micro-points.
     *
@@ -240,10 +275,20 @@ object Retrieval {
       hits: DataFrame, qTerms: DataFrame, p: Bm25Params): DataFrame = {
     val df = hits.groupBy("tok")
       .agg(count(lit(1)).as("df"))
+    // Join order is load-bearing (guide §2.4, §3.3): doclen attaches
+    // to the (tok, doc)-sized hits BEFORE the query join multiplies
+    // rows by matching queries, so the big corpus-keyed join never
+    // sees the |Q|-expanded frame — and when `hits` arrives
+    // doc_id-partitioned ([[prunedHits]]), the (query, doc) rollup
+    // reuses that partitioning (doc_id is a subset of the grouping
+    // key), so the expanded candidate frame crosses NO exchange: the
+    // ranking window's partial top-k (WindowGroupLimit) is all that
+    // reaches the query-keyed exchange. Same (q, tok, doc) rows with
+    // identical tf/df/dl/nd/sdl either order — scores bit-identical.
     hits
+      .join(index.doclen, Seq("doc_id"))
       .join(broadcast(qTerms), Seq("tok"))
       .join(broadcast(df), Seq("tok"))
-      .join(index.doclen, Seq("doc_id"))
       .crossJoin(broadcast(index.stats))
       .withColumn("contrib_micro", contribMicro(p))
       .groupBy(col("query_id"), col("doc_id"))
@@ -309,13 +354,14 @@ object Retrieval {
       p: Bm25Params = Bm25Params()): DataFrame = {
     require(fbDocs > 0 && fbTerms > 0 && k > 0,
       "fbDocs, fbTerms, k must be positive")
-    val index = bm25Index(docs, idCol, textCol)
+    val toks = TF.tokens(col(textCol))
+    val index = bm25IndexTokens(docs, idCol, toks)
     val qT = queryTerms(queries, qidCol, qtextCol)
-    val hits1 = index.postings.join(
-      broadcast(qT.select("tok").distinct()), Seq("tok"))
+    val hits1 = prunedHits(docs, idCol, toks,
+      qT.select("tok").distinct())
     val pass1 = graft.core.Caching.withCached(hits1)(
       rankTopK(bm25ScoresFromHits(index, hits1, qT, p), fbDocs))
-    prfFromPass1(index, qT,
+    prfFromPass1(docs, idCol, toks, qT,
       pass1.select(col("query_id"), col("doc_id")), fbTerms, k, p)
   }
 
@@ -324,11 +370,25 @@ object Retrieval {
     * ALREADY hold a top-k of the same queries (the scorecard: pass 1
     * at fbDocs=3 is a rank-filter of the bm25 top-10) can skip the
     * redundant first pass.
+    *
+    * Feedback-term extraction is the "forward index" lookup: instead
+    * of joining a FULL postings build against the (|Q|·fbDocs)-row
+    * feedback list, the feedback documents are broadcast-semi-joined
+    * out of the corpus and only THEY are exploded and counted —
+    * identical (doc, tok, tf) rows (tokenization is per-document, so
+    * restricting the corpus before explode/groupBy commutes with
+    * restricting the postings after), corpus work ∝ feedback set.
     */
-  private[graft] def prfFromPass1(index: Bm25Index, qT: DataFrame,
-      pass1: DataFrame, fbTerms: Int, k: Int,
-      p: Bm25Params): DataFrame = {
-    val fbTermScores = index.postings
+  private[graft] def prfFromPass1(docs: DataFrame, idCol: String,
+      toks: Column, qT: DataFrame, pass1: DataFrame, fbTerms: Int,
+      k: Int, p: Bm25Params): DataFrame = {
+    val index = bm25IndexTokens(docs, idCol, toks)
+    val fbPostings = docs
+      .join(broadcast(pass1.select(col("doc_id").as("__fb_doc"))),
+        col(idCol) === col("__fb_doc"), "left_semi")
+      .select(col(idCol).as("doc_id"), explode(toks).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val fbTermScores = fbPostings
       .join(broadcast(pass1), Seq("doc_id"))
       .join(qT, Seq("query_id", "tok"), "left_anti")
       .groupBy(col("query_id"), col("tok"))
@@ -340,8 +400,8 @@ object Retrieval {
       .filter(col("r") <= fbTerms)
       .select(col("query_id"), col("tok"))
     val qT2 = qT.union(expansion).distinct()
-    val hits2 = index.postings.join(
-      broadcast(qT2.select("tok").distinct()), Seq("tok"))
+    val hits2 = prunedHits(docs, idCol, toks,
+      qT2.select("tok").distinct())
     graft.core.Caching.withCached(hits2)(
       rankTopK(bm25ScoresFromHits(index, hits2, qT2, p), k))
   }
@@ -383,10 +443,11 @@ object Retrieval {
       queries: DataFrame, qidCol: String, qtextCol: String, k: Int,
       mu: Double = 100.0): DataFrame = {
     require(k > 0, "k must be positive")
-    val index = bm25Index(docs, idCol, textCol)
+    val toks = TF.tokens(col(textCol))
+    val index = bm25IndexTokens(docs, idCol, toks)
     val qTerms = queryTerms(queries, qidCol, qtextCol)
-    val hits = index.postings.join(
-      broadcast(qTerms.select("tok").distinct()), Seq("tok"))
+    val hits = prunedHits(docs, idCol, toks,
+      qTerms.select("tok").distinct())
     graft.core.Caching.withCached(hits)(
       qlRankFromHits(index, hits, qTerms, k, mu))
   }
@@ -896,8 +957,25 @@ object Retrieval {
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
       queries: DataFrame, qidCol: String, qtextCol: String, k: Int,
       p: Bm25Params = Bm25Params()): DataFrame =
-    bm25TopKIndexed(bm25Index(docs, idCol, textCol), queries, qidCol,
-      qtextCol, k, p)
+    bm25TopKTokens(docs, idCol, TF.tokens(col(textCol)), queries,
+      qidCol, qtextCol, k, p)
+
+  /** [[bm25TopK]] over a token-array expression, with the candidate
+    * hits built by [[prunedHits]] — the full-vocabulary postings
+    * shuffle never runs; doclen/stats come from the (lazy) index
+    * whose postings are never evaluated.
+    */
+  def bm25TopKTokens(docs: DataFrame, idCol: String, toks: Column,
+      queries: DataFrame, qidCol: String, qtextCol: String, k: Int,
+      p: Bm25Params = Bm25Params()): DataFrame = {
+    require(k > 0, "k must be positive")
+    val index = bm25IndexTokens(docs, idCol, toks)
+    val qTerms = queryTerms(queries, qidCol, qtextCol)
+    val hits = prunedHits(docs, idCol, toks,
+      qTerms.select("tok").distinct())
+    graft.core.Caching.withCached(hits)(
+      rankTopK(bm25ScoresFromHits(index, hits, qTerms, p), k))
+  }
 
   /** [[bm25TopK]] over a prebuilt index (the [[bm25IndexTokens]]
     * companion): same cache bracket, same ranking stack.
@@ -927,16 +1005,26 @@ object Retrieval {
       textCol: String, queries: DataFrame, qidCol: String,
       qtextCol: String, dropped: DataFrame, k: Int,
       p: Bm25Params = Bm25Params()): DataFrame = {
-    val index = bm25Index(docs, idCol, textCol)
+    val toks = TF.tokens(col(textCol))
+    val index = bm25IndexTokens(docs, idCol, toks)
     val d = broadcast(dropped.select(col("doc_id")))
     val dedupDoclen = index.doclen.join(d, Seq("doc_id"), "left_anti")
     val dedup = Bm25Index(
       index.postings.join(d, Seq("doc_id"), "left_anti"),
       dedupDoclen,
       dedupDoclen.agg(count(lit(1)).as("nd"), sum("dl").as("sdl")))
-    val cards = graft.core.Caching.withCachedMulti(index.postings)(Seq(
-      bm25TopKIndexed(index, queries, qidCol, qtextCol, k, p),
-      bm25TopKIndexed(dedup, queries, qidCol, qtextCol, k, p)))
+    val qT = queryTerms(queries, qidCol, qtextCol)
+    // ONE pruned candidate-hit frame serves both corpora: the deduped
+    // hits are the full hits with dropped docs anti-joined (identical
+    // to pruning the deduped postings — both operations are per-row
+    // filters on different keys, so they commute); the shared cache
+    // now holds query-term hits, not the full-vocabulary postings
+    val hits = prunedHits(docs, idCol, toks,
+      qT.select("tok").distinct())
+    val dedupHits = hits.join(d, Seq("doc_id"), "left_anti")
+    val cards = graft.core.Caching.withCachedMulti(hits)(Seq(
+      rankTopK(bm25ScoresFromHits(index, hits, qT, p), k),
+      rankTopK(bm25ScoresFromHits(dedup, dedupHits, qT, p), k)))
     rankingScorecard(cards(0), "full", topK = k)
       .unionByName(rankingScorecard(cards(1), "dedup_minid", topK = k))
   }
@@ -948,21 +1036,23 @@ object Retrieval {
       idCol: String, textCol: String, queries: DataFrame, qidCol: String,
       qtextCol: String, dropped: DataFrame, k: Int,
       p: Bm25Params = Bm25Params()): DataFrame = {
-    val index = bm25Index(docs, idCol, textCol)
+    val toks = TF.tokens(col(textCol))
+    val index = bm25IndexTokens(docs, idCol, toks)
     val d = broadcast(dropped.select(col("doc_id")))
     val dedupDoclen = index.doclen.join(d, Seq("doc_id"), "left_anti")
     val dedup = Bm25Index(
       index.postings.join(d, Seq("doc_id"), "left_anti"),
       dedupDoclen,
       dedupDoclen.agg(count(lit(1)).as("nd"), sum("dl").as("sdl")))
-    def rank(ix: Bm25Index): DataFrame = {
-      val qT = queryTerms(queries, qidCol, qtextCol)
-      val hits = ix.postings.join(
-        broadcast(qT.select("tok").distinct()), Seq("tok"))
-      rankTopK(bm25ScoresFromHits(ix, hits, qT, p), k)
-    }
-    rankingScorecard(rank(index), "full", topK = k)
-      .unionByName(rankingScorecard(rank(dedup), "dedup_minid", topK = k))
+    val qT = queryTerms(queries, qidCol, qtextCol)
+    val hits = prunedHits(docs, idCol, toks,
+      qT.select("tok").distinct())
+    val dedupHits = hits.join(d, Seq("doc_id"), "left_anti")
+    rankingScorecard(rankTopK(bm25ScoresFromHits(index, hits, qT, p), k),
+        "full", topK = k)
+      .unionByName(rankingScorecard(
+        rankTopK(bm25ScoresFromHits(dedup, dedupHits, qT, p), k),
+        "dedup_minid", topK = k))
   }
 
   /** Hard-negative mining for retrieval-model training data (the
@@ -988,10 +1078,11 @@ object Retrieval {
       positives: DataFrame, k: Int,
       p: Bm25Params = Bm25Params()): DataFrame = {
     require(k > 0, "k must be positive")
-    val index = bm25Index(docs, idCol, textCol)
+    val toks = TF.tokens(col(textCol))
+    val index = bm25IndexTokens(docs, idCol, toks)
     val qTerms = queryTerms(queries, qidCol, qtextCol)
-    val hits = index.postings.join(
-      broadcast(qTerms.select("tok").distinct()), Seq("tok"))
+    val hits = prunedHits(docs, idCol, toks,
+      qTerms.select("tok").distinct())
     graft.core.Caching.withCached(hits)(
       rankTopK(
         bm25ScoresFromHits(index, hits, qTerms, p)
@@ -1021,18 +1112,45 @@ object Retrieval {
       textCol: String, queries: DataFrame, qidCol: String,
       qtextCol: String, collocations: DataFrame, k: Int,
       p: Bm25Params = Bm25Params()): DataFrame =
-    bm25PmiExpandedTopKIndexed(bm25Index(docs, idCol, textCol), queries,
-      qidCol, qtextCol, collocations, k, p)
+    bm25PlainAndPmiExpanded(docs, idCol, textCol, queries, qidCol,
+      qtextCol, collocations, k, p, lazyPlans = true)(1)
 
-  /** [[bm25PmiExpandedTopK]] over a prebuilt index — lets a composite
-    * (p144) share ONE postings build between the plain and expanded
-    * rankings instead of re-tokenizing the corpus per ranker.
+  /** The plain AND the PMI-expanded BM25 rankings off ONE pruned
+    * candidate-hit frame (p144's sharing, upgraded from sharing the
+    * full postings build): hits are pruned to the EXPANDED query
+    * vocabulary once; the plain ranking's hits are that frame
+    * filtered to the original query terms — bit-identical to pruning
+    * the postings with each vocabulary separately, at one explode.
+    * With `lazyPlans` the shared frame is left uncached (plan
+    * fingerprints / single-ranker callers); eager composites cache it.
     */
-  def bm25PmiExpandedTopKIndexed(index: Bm25Index, queries: DataFrame,
-      qidCol: String, qtextCol: String, collocations: DataFrame, k: Int,
-      p: Bm25Params = Bm25Params()): DataFrame = {
+  def bm25PlainAndPmiExpanded(docs: DataFrame, idCol: String,
+      textCol: String, queries: DataFrame, qidCol: String,
+      qtextCol: String, collocations: DataFrame, k: Int,
+      p: Bm25Params = Bm25Params(),
+      lazyPlans: Boolean = false): Seq[DataFrame] = {
     require(k > 0, "k must be positive")
+    val toks = TF.tokens(col(textCol))
+    val index = bm25IndexTokens(docs, idCol, toks)
     val qT = queryTerms(queries, qidCol, qtextCol)
+    val wTerms = pmiExpandedTerms(qT, collocations)
+    val hitsWide = prunedHits(docs, idCol, toks,
+      wTerms.select("tok").distinct())
+    def rankings(h: DataFrame): Seq[DataFrame] = Seq(
+      rankTopK(bm25ScoresFromHits(index,
+        h.join(broadcast(qT.select("tok").distinct()), Seq("tok")),
+        qT, p), k),
+      rankTopK(pmiWeightedScores(index, h, wTerms, p), k))
+    if (lazyPlans) rankings(hitsWide)
+    else graft.core.Caching.withCachedMulti(hitsWide)(rankings(hitsWide))
+  }
+
+  /** The weighted expanded term set of [[bm25PmiExpandedTopK]]:
+    * original terms at weight 2, each term's top-PMI right-collocate
+    * at weight 1 (a collocate already in the query keeps 2).
+    */
+  private def pmiExpandedTerms(qT: DataFrame,
+      collocations: DataFrame): DataFrame = {
     val top1 = collocations
       .withColumn("r", row_number().over(Window.partitionBy(col("tok_a"))
         .orderBy(col("pmi_micro").desc, col("tok_b").asc)))
@@ -1040,24 +1158,44 @@ object Retrieval {
       .select(col("tok_a"), col("tok_b"))
     val exp = qT.join(broadcast(top1), qT("tok") === top1("tok_a"))
       .select(col("query_id"), col("tok_b").as("tok"))
-    val wTerms = qT.select(col("query_id"), col("tok"), lit(2L).as("w"))
+    qT.select(col("query_id"), col("tok"), lit(2L).as("w"))
       .unionByName(exp.select(col("query_id"), col("tok"),
         lit(1L).as("w")))
       .groupBy("query_id", "tok").agg(max(col("w")).as("w"))
+  }
+
+  /** The weighted scoring body shared by the expanded ranker's two
+    * entry points — [[bm25ScoresFromHits]] with the per-term integer
+    * weight multiplied AFTER the micro floor.
+    */
+  private def pmiWeightedScores(index: Bm25Index, hits: DataFrame,
+      wTerms: DataFrame, p: Bm25Params): DataFrame = {
+    val df = hits.groupBy("tok").agg(count(lit(1)).as("df"))
+    // doclen before the query join — see [[bm25ScoresFromHits]]
+    hits
+      .join(index.doclen, Seq("doc_id"))
+      .join(broadcast(wTerms), Seq("tok"))
+      .join(broadcast(df), Seq("tok"))
+      .crossJoin(broadcast(index.stats))
+      .withColumn("contrib_micro", contribMicro(p) * col("w"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("contrib_micro")).as("score_micro"))
+  }
+
+  /** [[bm25PmiExpandedTopK]] over a prebuilt index — for callers that
+    * genuinely hold materialized postings; the tokens-path entry
+    * points above never build them.
+    */
+  def bm25PmiExpandedTopKIndexed(index: Bm25Index, queries: DataFrame,
+      qidCol: String, qtextCol: String, collocations: DataFrame, k: Int,
+      p: Bm25Params = Bm25Params()): DataFrame = {
+    require(k > 0, "k must be positive")
+    val qT = queryTerms(queries, qidCol, qtextCol)
+    val wTerms = pmiExpandedTerms(qT, collocations)
     val hits = index.postings.join(
       broadcast(wTerms.select("tok").distinct()), Seq("tok"))
-    graft.core.Caching.withCached(hits) {
-      val df = hits.groupBy("tok").agg(count(lit(1)).as("df"))
-      val scored = hits
-        .join(broadcast(wTerms), Seq("tok"))
-        .join(broadcast(df), Seq("tok"))
-        .join(index.doclen, Seq("doc_id"))
-        .crossJoin(broadcast(index.stats))
-        .withColumn("contrib_micro", contribMicro(p) * col("w"))
-        .groupBy(col("query_id"), col("doc_id"))
-        .agg(count(lit(1)).as("n_terms"),
-          sum(col("contrib_micro")).as("score_micro"))
-      rankTopK(scored, k)
-    }
+    graft.core.Caching.withCached(hits)(
+      rankTopK(pmiWeightedScores(index, hits, wTerms, p), k))
   }
 }

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Tables
 import graft.operators.{ConnectedComponents, Sessionize}
-import graft.pipeline.{Bpe, Curation, Dedup, DedupStore, Ingest, Multimodal, Retrieval, Similarity, TextFunctions => TF}
+import graft.pipeline.{Bpe, ClassifierStore, Curation, Dedup, DedupStore, Ingest, Multimodal, Retrieval, Similarity, TextFunctions => TF}
 
 /** Beyond-reference data-pipeline queries (dedup, similarity search,
   * text analysis, multimodal, event sessionization) over the driver's
@@ -290,7 +290,7 @@ object PipelineQueries {
     // wordSalad gate profile: the published thresholds admit zero
     // documents of the punctuation-free synthetic corpus, which would
     // train the model on all-negative labels (see GateProfile)
-    Curation.nbClassifier(t(s, dir, "documents"), "doc_id", "text",
+    ClassifierStore.nbScored(t(s, dir, "documents"), "doc_id", "text",
       vocabSize = 500, profile = Curation.GateProfile.wordSalad)
 
   /** Classifier-vs-gates audit (p84): per source, where the learned
@@ -303,7 +303,7 @@ object PipelineQueries {
     * source-cardinality exchange and no join.
     */
   def p84ClassifierAudit(s: SparkSession, dir: String): DataFrame =
-    classifierAuditRollup(Curation.nbClassifier(t(s, dir, "documents"),
+    classifierAuditRollup(ClassifierStore.nbScored(t(s, dir, "documents"),
       "doc_id", "text", vocabSize = 500, carry = Seq("source"),
       profile = Curation.GateProfile.wordSalad))
 
@@ -1623,11 +1623,12 @@ object PipelineQueries {
     }),
     "p112_bm25" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
+      val toks = TF.tokens(col("text"))
       val queries = Retrieval.plantedQueries(docs, "doc_id", "text")
-      val index = Retrieval.bm25Index(docs, "doc_id", "text")
+      val index = Retrieval.bm25IndexTokens(docs, "doc_id", toks)
       val qT = Retrieval.queryTerms(queries, "query_id", "qtext")
-      val hits = index.postings.join(
-        broadcast(qT.select("tok").distinct()), Seq("tok"))
+      val hits = Retrieval.prunedHits(docs, "doc_id", toks,
+        qT.select("tok").distinct())
       Retrieval.rankTopK(
         Retrieval.bm25ScoresFromHits(index, hits, qT,
           Retrieval.Bm25Params()), k = 10)
@@ -1647,8 +1648,8 @@ object PipelineQueries {
       val index = Retrieval.bm25IndexTokens(chunks, "chunk_id",
         col("chunk_toks"))
       val qT = Retrieval.queryTerms(queries, "query_id", "qtext")
-      val hits = index.postings.join(
-        broadcast(qT.select("tok").distinct()), Seq("tok"))
+      val hits = Retrieval.prunedHits(chunks, "chunk_id",
+        col("chunk_toks"), qT.select("tok").distinct())
       val ranked = Retrieval.rankTopK(
         Retrieval.bm25ScoresFromHits(index, hits, qT,
           Retrieval.Bm25Params()), k = 10)
@@ -1660,21 +1661,17 @@ object PipelineQueries {
     "p136_significance" -> ((s, dir) =>
       PipelineQueries2.p136SignificancePlan(s, dir)),
     "p144_pmi_expansion" -> ((s, dir) => {
-      // lazy twin: both rankers off one uncached index
+      // lazy twin: both rankers off one uncached pruned-hit frame
       val docs = t(s, dir, "documents")
       val queries = Retrieval.plantedQueries(docs, "doc_id", "text")
       val coll = Curation.pmiCollocations(docs, "doc_id", "text",
         minCount = 5L, topK = 100)
-      val index = Retrieval.bm25Index(docs, "doc_id", "text")
-      val qT = Retrieval.queryTerms(queries, "query_id", "qtext")
-      val hits = index.postings.join(
-        broadcast(qT.select("tok").distinct()), Seq("tok"))
-      Retrieval.rankingScorecard(
-          Retrieval.rankTopK(Retrieval.bm25ScoresFromHits(index, hits,
-            qT, Retrieval.Bm25Params()), 10), "bm25", 10)
-        .unionByName(Retrieval.rankingScorecard(
-          Retrieval.bm25PmiExpandedTopKIndexed(index, queries,
-            "query_id", "qtext", coll, k = 10), "bm25_pmi", 10))
+      val shared = Retrieval.bm25PlainAndPmiExpanded(docs, "doc_id",
+        "text", queries, "query_id", "qtext", coll, k = 10,
+        lazyPlans = true)
+      Retrieval.rankingScorecard(shared(0), "bm25", 10)
+        .unionByName(
+          Retrieval.rankingScorecard(shared(1), "bm25_pmi", 10))
     }),
     "p156_dedup_retrieval" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
@@ -1689,12 +1686,13 @@ object PipelineQueries {
     "p132_bm25f" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val toks = TF.tokens(col("text"))
+      val fields = Seq((slice(toks, 1, 8), 3L),
+        (slice(toks, lit(9), size(toks)), 1L))
       val queries = Retrieval.plantedQueries(docs, "doc_id", "text")
-      val index = Retrieval.bm25fIndex(docs, "doc_id",
-        Seq((slice(toks, 1, 8), 3L), (slice(toks, lit(9), size(toks)), 1L)))
+      val index = Retrieval.bm25fIndex(docs, "doc_id", fields)
       val qT = Retrieval.queryTerms(queries, "query_id", "qtext")
-      val hits = index.postings.join(
-        broadcast(qT.select("tok").distinct()), Seq("tok"))
+      val hits = Retrieval.prunedHitsFields(docs, "doc_id", fields,
+        qT.select("tok").distinct())
       Retrieval.rankTopK(
         Retrieval.bm25ScoresFromHits(index, hits, qT,
           Retrieval.Bm25Params()), k = 10)
@@ -1753,6 +1751,33 @@ object PipelineQueries {
               .as("bucket")),
           "doc_id", iters = 12, lrDen = 1),
         "z_micro", "cls", bucketMicro = 400000L)
+    }),
+    "p157_operating_points" -> ((s, dir) => {
+      val labels = Curation.funnelLabels(t(s, dir, "documents"), "doc_id",
+        "text", profile = Curation.GateProfile.wordSalad)
+      Curation.classifierOperatingPoints(Curation.nbClassifierPlan(
+        labels.select(col("doc_id"), col("cls"),
+          explode(graft.pipeline.TextFunctions.tokens(col("text")))
+            .as("tok")),
+        "doc_id", vocabSize = 500), "llr_micro", "cls",
+        thresholds = Seq(0L, 2000000L, 4000000L, 6000000L, 10000000L))
+    }),
+    "p139_classifier_agreement" -> ((s, dir) => {
+      val labels = Curation.funnelLabels(t(s, dir, "documents"), "doc_id",
+        "text", profile = Curation.GateProfile.wordSalad)
+      val nb = Curation.nbClassifierPlan(
+        labels.select(col("doc_id"), col("cls"),
+          explode(graft.pipeline.TextFunctions.tokens(col("text")))
+            .as("tok")),
+        "doc_id", vocabSize = 500)
+      val lr = Curation.logisticRegressionPlan(
+        labels.select(col("doc_id"), col("cls"),
+          explode(array_distinct(transform(
+            graft.pipeline.TextFunctions.tokens(col("text")),
+            tk => graft.pipeline.TextFunctions.hash60(tk) % 64)))
+            .as("bucket")),
+        "doc_id", iters = 12, lrDen = 1)
+      Curation.classifierAgreement(nb, "pred", lr, "pred", "doc_id")
     }))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Tables
 import graft.operators.{ConnectedComponents, Sessionize}
-import graft.pipeline.{Bpe, Curation, Dedup, DedupStore, Ingest, Multimodal, Retrieval, Similarity, TextFunctions => TF}
+import graft.pipeline.{Bpe, ClassifierStore, Curation, Dedup, DedupStore, Ingest, Multimodal, Retrieval, Similarity, TextFunctions => TF}
 
 /** Query-card defs p96+ (events, retrieval, manifests, index
   * lifecycle, audits) — part 3 of the round-15 split of the
@@ -93,7 +93,7 @@ object PipelineQueries2 {
     */
   def p113Auc(s: SparkSession, dir: String): DataFrame =
     Curation.rocAuc(
-      Curation.nbClassifier(t(s, dir, "documents"), "doc_id", "text",
+      ClassifierStore.nbScored(t(s, dir, "documents"), "doc_id", "text",
         vocabSize = 500, profile = Curation.GateProfile.wordSalad),
       "llr_micro", "cls")
 
@@ -138,7 +138,7 @@ object PipelineQueries2 {
     * iteration by iteration.
     */
   def p117LrClassifier(s: SparkSession, dir: String): DataFrame =
-    Curation.logisticRegression(t(s, dir, "documents"), "doc_id",
+    ClassifierStore.lrScored(t(s, dir, "documents"), "doc_id",
       "text", buckets = 64, iters = 12, lrDen = 1,
       profile = Curation.GateProfile.wordSalad)
 
@@ -299,18 +299,19 @@ object PipelineQueries2 {
   private[queries] def sharedRankings(s: SparkSession,
       dir: String): Seq[(String, DataFrame)] = {
     val docs = t(s, dir, "documents")
+    val docToks = TF.tokens(col("text"))
     val queries = Retrieval.plantedQueries(docs, "doc_id", "text")
-    val index = Retrieval.bm25Index(docs, "doc_id", "text")
+    val index = Retrieval.bm25IndexTokens(docs, "doc_id", docToks)
     val qT = Retrieval.queryTerms(queries, "query_id", "qtext")
-    val hits = index.postings.join(
-      broadcast(qT.select("tok").distinct()), Seq("tok"))
+    val hits = Retrieval.prunedHits(docs, "doc_id", docToks,
+      qT.select("tok").distinct())
     val shared = graft.core.Caching.withCachedMulti(hits)(Seq(
       Retrieval.rankTopK(Retrieval.bm25ScoresFromHits(index, hits, qT,
         Retrieval.Bm25Params()), 10),
       Retrieval.qlRankFromHits(index, hits, qT, k = 10, mu = 100.0)))
     val bm = shared(0)
     val ql = shared(1)
-    val prf = Retrieval.prfFromPass1(index, qT,
+    val prf = Retrieval.prfFromPass1(docs, "doc_id", docToks, qT,
       bm.filter(col("rank") <= 3).select(col("query_id"), col("doc_id")),
       fbTerms = 5, k = 10, Retrieval.Bm25Params())
     val emb = t(s, dir, "embeddings")
@@ -347,9 +348,9 @@ object PipelineQueries2 {
     */
   def p139ClassifierAgreement(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val nb = Curation.nbClassifier(docs, "doc_id", "text",
+    val nb = ClassifierStore.nbScored(docs, "doc_id", "text",
       vocabSize = 500, profile = Curation.GateProfile.wordSalad)
-    val lr = Curation.logisticRegression(docs, "doc_id", "text",
+    val lr = ClassifierStore.lrScored(docs, "doc_id", "text",
       buckets = 64, iters = 12, lrDen = 1,
       profile = Curation.GateProfile.wordSalad)
     Curation.classifierAgreement(nb, "pred", lr, "pred", "doc_id")
@@ -426,7 +427,7 @@ object PipelineQueries2 {
     */
   def p155PrAuc(s: SparkSession, dir: String): DataFrame =
     Curation.averagePrecision(
-      Curation.nbClassifier(t(s, dir, "documents"), "doc_id", "text",
+      ClassifierStore.nbScored(t(s, dir, "documents"), "doc_id", "text",
         vocabSize = 500, profile = Curation.GateProfile.wordSalad),
       "llr_micro", "cls")
 
@@ -467,7 +468,7 @@ object PipelineQueries2 {
     */
   def p157OperatingPoints(s: SparkSession, dir: String): DataFrame =
     Curation.classifierOperatingPoints(
-      Curation.nbClassifier(t(s, dir, "documents"), "doc_id", "text",
+      ClassifierStore.nbScored(t(s, dir, "documents"), "doc_id", "text",
         vocabSize = 500, profile = Curation.GateProfile.wordSalad),
       "llr_micro", "cls",
       // the corpus LLR mass spans ~[-0.8M, 13.6M] (median ~4M): these
@@ -1173,7 +1174,21 @@ object PipelineQueries2 {
     */
   def p177PassageRetrieval(s: SparkSession, dir: String): DataFrame = {
     val base = t(s, dir, "documents")
+    // the padded fixture is a self-join that shuffles the 7×-padded
+    // text (SortMergeJoin — correct shape at scale), and SIX subtrees
+    // below consume it (doc hits, doc lengths, doc stats, chunk hits,
+    // chunk lengths, chunk stats): cache-bracket it for the duration
+    // of the card so the join runs once (guide §7.2 duplicated
+    // subtrees; measured ~119 MB of padded-text shuffle per
+    // re-evaluation). The bracket closes deterministically — the
+    // inner rankings checkpoint eagerly against the cached fixture.
     val docs = longDocFixture(base)
+    graft.core.Caching.withCached(docs)(
+      p177Body(s, dir, base, docs))
+  }
+
+  private def p177Body(s: SparkSession, dir: String, base: DataFrame,
+      docs: DataFrame): DataFrame = {
     val queries = Retrieval.plantedSample(base, "doc_id")
       .select(col("doc_id").as("query_id"),
         concat_ws(" ", slice(TF.tokens(col("text")), 1, 8)).as("qtext"))
@@ -1198,9 +1213,8 @@ object PipelineQueries2 {
     // -> top-10 docs): overlapping windows mean one document can
     // occupy several top slots, and a 10-chunk pool can crowd the
     // relevant document out entirely before the MaxP rollup dedupes
-    val chunkRank = Retrieval.bm25TopKIndexed(
-      Retrieval.bm25IndexTokens(chunks, "chunk_id", col("chunk_toks")),
-      queries, "query_id", "qtext", k = 30)
+    val chunkRank = Retrieval.bm25TopKTokens(chunks, "chunk_id",
+      col("chunk_toks"), queries, "query_id", "qtext", k = 30)
     val maxp = chunkRank
       .select(col("query_id"),
         call_function("div", col("doc_id"), lit(10000L)).as("doc_id"),
@@ -1798,15 +1812,12 @@ object PipelineQueries2 {
     val queries = Retrieval.plantedQueries(docs, "doc_id", "text")
     val coll = Curation.pmiCollocations(docs, "doc_id", "text",
       minCount = 5L, topK = 100)
-    // ONE index + ONE cached postings frame feed both rankers — the
-    // lazy composition re-tokenized the corpus and re-shuffled the
-    // postings once per ranker (guide §2.4: share the exchange)
-    val index = Retrieval.bm25Index(docs, "doc_id", "text")
-    val shared = graft.core.Caching.withCachedMulti(index.postings)(Seq(
-      Retrieval.bm25TopKIndexed(index, queries, "query_id", "qtext",
-        k = 10),
-      Retrieval.bm25PmiExpandedTopKIndexed(index, queries, "query_id",
-        "qtext", coll, k = 10)))
+    // ONE pruned candidate-hit frame feeds both rankers (the lazy
+    // composition re-tokenized the corpus per ranker; the r15 interim
+    // shared the FULL postings build — now neither ranker ever builds
+    // full-vocabulary postings, guide §2.3/§2.4)
+    val shared = Retrieval.bm25PlainAndPmiExpanded(docs, "doc_id",
+      "text", queries, "query_id", "qtext", coll, k = 10)
     Retrieval.rankingScorecard(shared(0), "bm25", 10)
       .unionByName(Retrieval.rankingScorecard(shared(1), "bm25_pmi", 10))
   }
@@ -2103,7 +2114,7 @@ object PipelineQueries2 {
     */
   def p124Calibration(s: SparkSession, dir: String): DataFrame =
     Curation.calibrationReport(
-      Curation.logisticRegression(t(s, dir, "documents"), "doc_id",
+      ClassifierStore.lrScored(t(s, dir, "documents"), "doc_id",
         "text", buckets = 64, iters = 12, lrDen = 1,
         profile = Curation.GateProfile.wordSalad),
       "z_micro", "cls", bucketMicro = 400000L)

@@ -2118,6 +2118,50 @@ class PipelineSpec extends SparkSpec {
       sDirect.exceptAll(s1).isEmpty)
   }
 
+  test("classifier store fits once per key across fresh reads") {
+    // two INDEPENDENT reads of the same table share one scored frame
+    // (key = canonicalized plan + input files, not the reference);
+    // different hyperparameters or another SF dir never collide
+    val p = Curation.GateProfile.wordSalad
+    val a = ClassifierStore.nbScored(
+      spark.read.parquet(s"$sf0001/documents.parquet"), "doc_id",
+      "text", vocabSize = 500, profile = p)
+    val b = ClassifierStore.nbScored(
+      spark.read.parquet(s"$sf0001/documents.parquet"), "doc_id",
+      "text", vocabSize = 500, profile = p)
+    assert(a eq b)
+    val other = ClassifierStore.nbScored(
+      spark.read.parquet(s"$sf001/documents.parquet"), "doc_id",
+      "text", vocabSize = 500, profile = p)
+    assert(!(a eq other))
+    val narrower = ClassifierStore.nbScored(
+      spark.read.parquet(s"$sf0001/documents.parquet"), "doc_id",
+      "text", vocabSize = 100, profile = p)
+    assert(!(a eq narrower))
+    // the memoized frame carries the direct fit's exact values
+    val direct = Curation.nbClassifier(
+      spark.read.parquet(s"$sf0001/documents.parquet"), "doc_id",
+      "text", vocabSize = 500, profile = p)
+    assert(a.exceptAll(direct).isEmpty && direct.exceptAll(a).isEmpty)
+    // the LR entry follows the same contract
+    val l1 = ClassifierStore.lrScored(
+      spark.read.parquet(s"$sf0001/documents.parquet"), "doc_id",
+      "text", buckets = 64, iters = 12, lrDen = 1, profile = p)
+    val l2 = ClassifierStore.lrScored(
+      spark.read.parquet(s"$sf0001/documents.parquet"), "doc_id",
+      "text", buckets = 64, iters = 12, lrDen = 1, profile = p)
+    assert(l1 eq l2)
+    val lDirect = Curation.logisticRegression(
+      spark.read.parquet(s"$sf0001/documents.parquet"), "doc_id",
+      "text", buckets = 64, iters = 12, lrDen = 1, profile = p)
+    assert(l1.exceptAll(lDirect).isEmpty &&
+      lDirect.exceptAll(l1).isEmpty)
+    val fewerIters = ClassifierStore.lrScored(
+      spark.read.parquet(s"$sf0001/documents.parquet"), "doc_id",
+      "text", buckets = 64, iters = 2, lrDen = 1, profile = p)
+    assert(!(l1 eq fewerIters))
+  }
+
   test("trained-index store trains once per key across fresh reads") {
     // TWO INDEPENDENT reads of the same table must share one artifact:
     // the key is the canonicalized plan + resolved input files, not the
