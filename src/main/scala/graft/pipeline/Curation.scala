@@ -15,6 +15,27 @@ import graft.pipeline.{TextFunctions => TF}
   */
 object Curation {
 
+  /** Document corpora at the test SFs arrive as ONE dense parquet
+    * file (1 input split ≪ cores), so every per-document token/gram
+    * explode below inherited a single-task scan — measured 1-3 s of
+    * single-threaded CPU per card while 31 cores idled (guide §2.5
+    * input skew: "one huge unsplittable file — repartition immediately
+    * after the read"). Scale-adaptive, unlike a bare repartition: the
+    * round-robin exchange of raw rows is added ONLY when the input
+    * arrives with fewer partitions than cores, so a real many-file
+    * 100 TB layout keeps its natural parallelism and pays no shuffle
+    * (and an already-spread frame is never spread twice). Streaming
+    * frames pass through untouched (micro-batch parallelism is the
+    * source's concern, and `.rdd` is undefined on them).
+    */
+  private def spread(df: DataFrame): DataFrame = {
+    if (df.isStreaming) df
+    else {
+      val dp = df.sparkSession.sparkContext.defaultParallelism
+      if (df.rdd.getNumPartitions >= dp) df else df.repartition(dp)
+    }
+  }
+
   /** Exactly `min(quota, |stratum|)` rows per stratum, drawn in
     * portable-hash order — a seedless simple random sample that any
     * engine reproduces row-for-row (`TABLESAMPLE`/`rand()` never
@@ -487,12 +508,13 @@ object Curation {
       textCol: String, ns: Seq[Int]): DataFrame = {
     require(ns.nonEmpty && ns.forall(_ >= 1), "orders must be >= 1")
     val toks = TF.tokens(col(textCol))
+    val src = spread(df)
     val perN = ns.map { n =>
       val grams = when(size(toks) >= n,
         transform(sequence(lit(1), size(toks) - (n - 1)),
           i => concat_ws(" ", slice(toks, i, lit(n)))))
         .otherwise(array().cast("array<string>"))
-      df.select(col(stratumCol).as("source"), explode(grams).as("g"))
+      src.select(col(stratumCol).as("source"), explode(grams).as("g"))
         .groupBy(col("source"), col("g"))
         .agg(count(lit(1)).as("c"))
         .groupBy(col("source"))
@@ -1294,7 +1316,8 @@ object Curation {
   def repetitionSignals(df: DataFrame, idCol: String, textCol: String,
       topN: Int = 2, dupN: Int = 5): DataFrame = {
     require(topN >= 1 && dupN >= 1, "n-gram sizes must be positive")
-    val base = df.select(col(idCol), TF.tokens(col(textCol)).as("toks"))
+    val base = spread(df)
+      .select(col(idCol), TF.tokens(col(textCol)).as("toks"))
       .withColumn("n_toks", size(col("toks")).cast("long"))
       .withColumn("n_chars",
         aggregate(col("toks"), lit(0L), (a, x) => a + length(x)))
@@ -1657,7 +1680,8 @@ object Curation {
     */
   def tokenOccurrences(df: DataFrame, idCol: String,
       textCol: String): DataFrame =
-    df.select(col(idCol), explode(TF.tokens(col(textCol))).as("tok"))
+    spread(df).select(col(idCol),
+      explode(TF.tokens(col(textCol))).as("tok"))
 
   /** Fit the add-one-smoothed unigram cost tables over an occurrence
     * stream: the vocab-sized per-token cost table and the single-row
@@ -1730,6 +1754,12 @@ object Curation {
     * is a zero-exchange projection — no per-document window/lag
     * shuffle just to sequence tokens.
     */
+  // NOT spread: the bigram-model builds make ~10 short passes over
+  // the (cached, ~1 MB) occurrence frame, each dominated by per-task
+  // overhead — measured p92 3.4→5.6 s / p110 11.3→16.6 s WITH the
+  // round-robin exchange (32 tasks of overhead per pass) vs without
+  // (1 task per pass). The explode itself is cheap here; the heavy
+  // single-task explodes are the token/gram cards above.
   def bigramOccurrences(df: DataFrame, idCol: String, textCol: String,
       carry: Seq[String] = Nil): DataFrame =
     df.withColumn("__toks", TF.tokens(col(textCol)))
@@ -1954,7 +1984,8 @@ object Curation {
   def funnelLabels(df: DataFrame, idCol: String, textCol: String,
       carry: Seq[String] = Nil,
       profile: GateProfile = GateProfile.published): DataFrame =
-    funnelFlags(df, idCol, textCol, carry = textCol +: carry, profile)
+    funnelFlags(spread(df), idCol, textCol, carry = textCol +: carry,
+      profile)
       .select(col(idCol) +: carry.map(col) ++: Seq(col(textCol),
         (col("score_keep") * col("keep") * col("page_keep")).as("cls")): _*)
 
@@ -2361,7 +2392,7 @@ object Curation {
     * `topK` rows, never the vocabulary.
     */
   def zipfFit(df: DataFrame, textCol: String, topK: Int): DataFrame = {
-    val occ = df.select(explode(TF.tokens(col(textCol))).as("tok"))
+    val occ = spread(df).select(explode(TF.tokens(col(textCol))).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("n"))
     // top-k via TakeOrderedAndProject (per-partition heaps), THEN rank
     // the <=topK survivors — a global row_number window here would
@@ -2770,7 +2801,7 @@ object Curation {
     // α·m²·2⁵⁵ as one driver-folded constant (the oracle embeds the
     // identical round-tripped double literal)
     val numer = alpha * (m.toDouble * m) * math.pow(2.0, 55)
-    val grams = df.select(col(sourceCol).as("src"),
+    val grams = spread(df).select(col(sourceCol).as("src"),
         explode(TF.shingles(TF.tokens(col(textCol)), k)).as("sh"))
       .select(col("src"), TF.hash60(col("sh")).as("h"))
     graft.core.Caching.withCached(grams) {
@@ -2977,7 +3008,7 @@ object Curation {
     */
   def chiSquareFromLabels(labeledDf: DataFrame, idCol: String,
       textCol: String, clsCol: String, topK: Int): DataFrame = {
-    val labeled = labeledDf
+    val labeled = spread(labeledDf)
       .select(col(idCol).as("id"), col(textCol).as("txt"),
         col(clsCol).as("cls"))
     val toks = labeled.select(col("id"), col("cls"),
@@ -3033,8 +3064,9 @@ object Curation {
     * exchange; the per-doc totals arrive via a window over the
     * grouped counts, not a second scan.
     */
-  def entropyStats(df: DataFrame, idCol: String,
+  def entropyStats(df0: DataFrame, idCol: String,
       textCol: String): DataFrame = {
+    val df = spread(df0)
     def branch(sym: Column, out: String): DataFrame = {
       val counts = df
         .select(col(idCol), explode(sym).as("sym"))
