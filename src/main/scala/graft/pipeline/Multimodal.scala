@@ -27,6 +27,17 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  // ImageIO defaults to a FILE-backed stream cache: every
+  // read/write of an in-memory byte array round-trips through a temp
+  // file under java.io.tmpdir, with synchronized temp-file creation —
+  // measured as the dominant non-CPU runtime of the codec stages
+  // (p191's two hot stages: 150 s + 104 s task runtime against
+  // ~25 s CPU each at 64 concurrent tasks). All codec inputs here ARE
+  // in-memory byte arrays, so the memory-backed cache is strictly
+  // better; decoded values are identical. JVM-global, set once when
+  // an executor first loads this class.
+  javax.imageio.ImageIO.setUseCache(false)
+
   case class MediaRow(media_id: Long, content: Array[Byte], mime: String)
 
   case class MediaFeatures(
